@@ -1,0 +1,121 @@
+package graft.functions
+
+/**
+ * Tight primitive-array kernels, called both from interpreted `eval` and
+ * from generated code (static method call keeps whole-stage codegen spans
+ * intact). Distances accumulate in Double, sequentially over the array —
+ * the same left-to-right order DuckDB's list arithmetic uses, so oracle
+ * results are bit-identical.
+ *
+ * Semantics mirror reference/engine/kernels.cuh:
+ *  - l2: squared L2, no sqrt (:36-47)
+ *  - ip: negated dot product (:50-60)
+ *  - cosine: 1 - dot/(sqrt(na)*sqrt(nb) + 1e-8) (:63-80)
+ *  - normalize: v * 1/sqrt(||v||^2 + 1e-8) (:357-385)
+ */
+object VectorKernels {
+
+  final val METRIC_L2 = 0
+  final val METRIC_IP = 1
+  final val METRIC_COSINE = 2
+
+  def l2(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = a(i).toDouble - b(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  def ip(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      s += a(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    -s
+  }
+
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble
+      val y = b(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    1.0 - dot / (math.sqrt(na) * math.sqrt(nb) + 1e-8)
+  }
+
+  def distance(a: Array[Float], b: Array[Float], metric: Int): Double =
+    metric match {
+      case METRIC_IP     => ip(a, b)
+      case METRIC_COSINE => cosine(a, b)
+      case _             => l2(a, b)
+    }
+
+  /** L2-normalize, computing the scale in double then rounding each
+    * component back to float (kernels.cuh:357-385 semantics + 1e-8 eps). */
+  def normalize(a: Array[Float]): Array[Float] = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val x = a(i).toDouble; s += x * x; i += 1 }
+    val inv = 1.0 / math.sqrt(s + 1e-8)
+    val out = new Array[Float](a.length)
+    i = 0
+    while (i < a.length) { out(i) = (a(i).toDouble * inv).toFloat; i += 1 }
+    out
+  }
+
+  /**
+   * Index of the nearest centroid under squared L2 (assignment is always
+   * L2 in the reference, kernels.cuh:314-354). Strict `<` comparison means
+   * ties keep the lowest centroid index, like the reference's linear scan.
+   */
+  def argminCentroid(v: Array[Float], centroids: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestDist = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val d = l2(v, centroids(c))
+      if (d < bestDist) { bestDist = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /**
+   * Top-`nprobe` centroid ids by (distance, id) — the coarse-quantizer probe
+   * (ivf_flat_index.cpp:298-336). The reference computes probe distances
+   * under L2 or IP only (Cosine falls through with dist from L2's default 0
+   * accumulator path); we compute the requested metric honestly, documenting
+   * the divergence (SURVEY §2.7.9).
+   */
+  def probeLists(
+      v: Array[Float],
+      centroids: Array[Array[Float]],
+      nprobe: Int,
+      metric: Int): Array[Int] = {
+    val n = centroids.length
+    val dists = new Array[Double](n)
+    var c = 0
+    while (c < n) { dists(c) = distance(v, centroids(c), metric); c += 1 }
+    val k = math.min(nprobe, n)
+    val idx = Array.range(0, n)
+    // full sort is fine: nlist <= 16384 and this runs once per query row
+    val sorted = idx.sortBy(i => (dists(i), i))
+    java.util.Arrays.copyOfRange(sorted, 0, k)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Metric
+import graft.functions.vector
+
+/**
+ * Exact brute-force k-NN (reference S1, engine/kernels.cuh:84-185) as a
+ * composed DataFrame plan: the query batch is broadcast (the kernel's
+ * shared-memory query cache, SURVEY §4) and every stored vector is scanned
+ * once — a nested-loop theta-join, which is exactly what brute force *is*.
+ * Top-k per query runs as a rank-limited window; Spark's WindowGroupLimit
+ * rule prunes each partition to k rows before the shuffle, which is the
+ * partial-top-k + merge shape of the reference's per-thread top-32 buffer.
+ */
+object Knn {
+
+  /**
+   * @param queries  (qid: LONG, qvec: ARRAY<FLOAT>) — small batch, broadcast
+   * @param vectors  (id: LONG, vec: ARRAY<FLOAT>) — the scanned corpus
+   * @return (qid, id, dist: DOUBLE, rank: INT), rank 1..k by (dist, id)
+   */
+  def exact(
+      queries: DataFrame,
+      vectors: DataFrame,
+      k: Int,
+      metric: Metric.Value = Metric.L2): DataFrame = {
+    val scored = vectors
+      .crossJoin(broadcast(queries))
+      .withColumn("dist", vector.distance(col("qvec"), col("vec"), metric))
+    topKPerQuery(scored, k).select("qid", "id", "dist", "rank")
+  }
+
+  /**
+   * Rank-limit per query with the reference's deterministic
+   * (dist, id) tie order (std::sort on pair<float,uint64>,
+   * ivf_flat_index.cpp:493). Input needs columns qid, id, dist.
+   */
+  def topKPerQuery(scored: DataFrame, k: Int,
+      queryCol: String = "qid", idCol: String = "id",
+      distCol: String = "dist"): DataFrame = {
+    val w = Window.partitionBy(queryCol).orderBy(col(distCol).asc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /**
+   * S5 merge (ivf_flat_index.cpp:474-518): union of per-list candidates →
+   * dedup by id keeping the best (dist, id) — min over the pair preserves
+   * the reference's sort-then-first-seen order — then global top-k.
+   * In IVF-Flat each id lives in exactly one list so dedup is usually a
+   * no-op; it matters when candidates come from overlapping sources.
+   */
+  def mergeResults(candidates: DataFrame, k: Int,
+      queryCol: String = "qid", idCol: String = "id",
+      distCol: String = "dist"): DataFrame = {
+    val deduped = candidates
+      .groupBy(col(queryCol), col(idCol))
+      .agg(min(col(distCol)).as(distCol))
+    topKPerQuery(deduped, k, queryCol, idCol, distCol)
+  }
+}

@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/**
+ * Relational coverage queries over the TPC-H-ish tables.
+ *
+ * Cross-engine float determinism: money columns are 2-dp decimals stored as
+ * doubles, so they cast to DECIMAL exactly; all arithmetic then stays in
+ * DECIMAL (exact, associative — immune to partial-aggregation order) and
+ * only the final value is cast to DOUBLE. Arbitrary doubles (events.value)
+ * are summed as integer "cents" via floor(), which both engines compute
+ * identically. Never cast a computed DOUBLE to DECIMAL: Spark routes that
+ * cast through the shortest string representation while DuckDB rounds the
+ * binary value, and the results can differ in the last place.
+ */
+object RelationalQueries {
+
+  private def dec(c: String) = col(c).cast(DecimalType(18, 2))
+
+  /** l_extendedprice * (1 - l_discount), computed exactly in decimal. */
+  private def discPrice =
+    dec("l_extendedprice") * (lit(1).cast(DecimalType(3, 2)) - dec("l_discount"))
+
+  private val sqlDiscPrice =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+  /** TPC-H Q1-style pricing summary. */
+  private def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Join + group: revenue per nation of the supplier (broadcast-join shape). */
+  private def q3Join(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val sup = Tables(spark, dir, "supplier")
+    val nat = Tables(spark, dir, "nation")
+    li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(discPrice).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** Window/top-n per group: top 3 orders by price within each priority. */
+  private def topOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        col("rn").as("rank_in_priority"))
+      .orderBy("o_orderpriority", "rank_in_priority")
+  }
+
+  /**
+   * Hourly event rollup. events.ts is TIMESTAMP(NANOS) parquet, which Spark
+   * only reads as a nanosecond LONG (spark.sql.legacy.parquet.nanosAsLong);
+   * the hour bucket is formatted as a string so both engines compare the
+   * same value. value is an arbitrary double -> summed as floor() cents.
+   */
+  private def eventsHourly(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val hourSec = (col("ts") / lit(3600000000000L)).cast("long") * 3600
+    Tables(spark, dir, "events")
+      .withColumn("hour",
+        date_format(timestamp_seconds(hourSec), "yyyy-MM-dd HH:mm:ss"))
+      .groupBy("hour", "event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_value_cents"))
+      .orderBy("hour", "event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q3_join" -> (q3Join _),
+    "top_orders_window" -> (topOrders _),
+    "events_hourly" -> (eventsHourly _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum($sqlDiscPrice) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join" ->
+      s"""SELECT n_name,
+        |  CAST(sum($sqlDiscPrice) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "top_orders_window" ->
+      """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |       ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rank_in_priority
+        |  FROM orders)
+        |SELECT o_orderpriority, o_orderkey, o_totalprice, rank_in_priority
+        |FROM r WHERE rank_in_priority <= 3
+        |ORDER BY o_orderpriority, rank_in_priority""".stripMargin,
+    "events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+  )
+}

@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Metric, Tables}
+import graft.functions.vector
+import graft.index.Knn
+
+/**
+ * Driver-contract query entries for the vector-search operators
+ * (SURVEY §2: D1-D4, S1, S7) with DuckDB oracle SQL. All distances are
+ * double, accumulated sequentially, so Spark and DuckDB agree bitwise.
+ */
+object VectorQueries {
+
+  private val K = 10
+  private val NQ = 10 // embeddings with vec_id < NQ are the query batch
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+
+  private def knnExact(metric: Metric.Value)(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val queries = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Knn.exact(queries, vectors, K, metric).orderBy("qid", "rank")
+  }
+
+  private def normalizeVectors(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("vec_id"), vector.normalize_vector(col("embedding")).as("norm_vec"))
+      .orderBy("vec_id")
+
+  /**
+   * Argmin assignment (S7) against a deterministic centroid set: the 16
+   * lowest-id embeddings double as "centroids" so the oracle can rebuild
+   * them in SQL. Ties keep the lowest centroid id, like the reference's
+   * strict `<` scan (kernels.cuh:338-347).
+   */
+  private def assignLists(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = e.filter(col("vec_id") < 16)
+      .orderBy("vec_id")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val bc = spark.sparkContext.broadcast(cents.map(_._2))
+    val cids = cents.map(_._1)
+    val cidCol = element_at(
+      array(cids.map(lit): _*),
+      vector.argmin_centroid(col("embedding"), bc) + 1)
+    e.select(col("vec_id"), cidCol.as("list_id")).orderBy("vec_id")
+  }
+
+  // --- DuckDB oracle fragments -------------------------------------------
+
+  /** Squared L2 in double, sequential accumulation (matches VectorKernels.l2).
+    * Spelled as an explicit product — DuckDB's `^` is pow(), which is not
+    * bit-identical to multiplication. */
+  private def sqlL2(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), " +
+      s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
+
+  private def sqlIp(a: String, b: String): String =
+    s"-list_sum(list_transform(range(1, len($a)+1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def sqlCosine(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1, len($x)+1), " +
+        s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    s"1.0 - ${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}) + 1e-8)"
+  }
+
+  private def knnOracle(distExpr: String): String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $NQ),
+       |d AS (SELECT q.qid, v.vec_id AS id, ${distExpr} AS dist FROM q, embeddings v),
+       |r AS (SELECT qid, id, dist,
+       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS INT) AS rank
+       |      FROM d)
+       |SELECT qid, id, dist, rank FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_exact_l2" -> knnExact(Metric.L2) _,
+    "knn_exact_ip" -> knnExact(Metric.InnerProduct) _,
+    "knn_exact_cosine" -> knnExact(Metric.Cosine) _,
+    "normalize_vectors" -> (normalizeVectors _),
+    "assign_lists" -> (assignLists _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "knn_exact_l2" -> knnOracle(sqlL2("q.qv", "v.embedding")),
+    "knn_exact_ip" -> knnOracle(sqlIp("q.qv", "v.embedding")),
+    "knn_exact_cosine" -> knnOracle(sqlCosine("q.qv", "v.embedding")),
+    "normalize_vectors" ->
+      """WITH n AS (SELECT vec_id, embedding,
+        |  1.0 / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) + 1e-8) AS inv
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |       list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * inv AS FLOAT)) AS norm_vec
+        |FROM n ORDER BY vec_id""".stripMargin,
+    "assign_lists" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |d AS (SELECT v.vec_id, c.cid, ${sqlL2("v.embedding", "c.cv")} AS dist
+         |      FROM embeddings v, c),
+         |r AS (SELECT vec_id, cid,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |      FROM d)
+         |SELECT vec_id, cid AS list_id FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+  )
+}

@@ -1,0 +1,17 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/**
+ * Minimal bridge to `private[sql]` Spark internals that third-party
+ * Catalyst extensions need: the Column <-> Expression converters and the
+ * `AbstractDataType` family used by `ExpectsInputTypes`. This is the
+ * conventional extension-point shim (same pattern as Delta Lake / frameless);
+ * nothing here copies Spark code, it only re-exports access.
+ */
+object graftshims {
+  type AbstractDataType = org.apache.spark.sql.types.AbstractDataType
+
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
