@@ -7,11 +7,10 @@ import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    VectorQueries.queries("knn_exact_l2")(spark, dir)
-  }
+  /** Flagship query: the full IVF search pipeline (train -> assign ->
+    * probe -> pruned join -> top-k) on sf0.001. */
+  def entry(spark: SparkSession): DataFrame =
+    VectorQueries.queries("ivf_search_full")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

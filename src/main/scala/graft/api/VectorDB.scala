@@ -1,0 +1,230 @@
+package graft.api
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+
+import graft._
+import graft.index.IvfFlatIndex
+import graft.storage.{EpochManager, Manifest, ShardInfo}
+
+/**
+ * The service facade — the reference's gRPC surface (QueryService +
+ * AdminService, proto/vdb.proto:90-109) as Scala methods over Spark, with
+ * the same validation matrix (server/query_service.cpp:68-124, 419-470):
+ *
+ *  - Search: queries non-empty; 0 < topk <= 1000; index name set; index
+ *    must exist; per-query dimension must match; nprobe defaults to 8;
+ *    unknown metric strings fall back to L2.
+ *  - CreateIndex: name required; 1 <= dimension <= 65536; nlist default
+ *    min(4096, sqrt(1e6)); nbits default 8.
+ *  - BuildEpoch is a REAL implementation (the reference's is a placeholder,
+ *    query_service.cpp:549-584): read -> train -> assign -> partitioned
+ *    epoch write -> manifest.
+ *  - ActivateEpoch/LoadIndex: atomic swap of the serving index
+ *    (query_service.cpp:206-265 zero-downtime pattern).
+ *
+ * @param dataPath root directory: `<dataPath>/<index>/epochs/<epochId>/`
+ */
+class VectorDB(val spark: SparkSession, val dataPath: String) {
+
+  private case class Served(
+      manifest: Manifest,
+      index: IvfFlatIndex,
+      epochId: String)
+
+  private val served = TrieMap.empty[String, Served]
+  private val epochManagers = TrieMap.empty[String, EpochManager]
+
+  private def indexPath(name: String) = s"$dataPath/$name"
+  private def manifestPath(name: String) = s"${indexPath(name)}/manifest.json"
+  private def epochManager(name: String): EpochManager =
+    epochManagers.getOrElseUpdate(name, new EpochManager(s"${indexPath(name)}/epochs"))
+
+  // --- A4 CreateIndex ------------------------------------------------------
+
+  def createIndex(config: IndexConfig): Unit = {
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(manifestPath(config.name))))
+      throw new InvalidArgumentException(s"Index already exists: ${config.name}")
+    Manifest(config).save(manifestPath(config.name))
+  }
+
+  def indexManifest(name: String): Manifest = {
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(manifestPath(name))))
+      throw new NotFoundException(s"Index not found: $name")
+    Manifest.load(manifestPath(name))
+  }
+
+  // --- A5 BuildEpoch -------------------------------------------------------
+
+  /**
+   * Build a new epoch from source vectors: train (seed-42 k-means++ +
+   * Lloyd) -> distributed assign -> partitionBy(list_id) write ->
+   * centroids parquet -> manifest. Returns the epoch id (not yet active).
+   *
+   * @param source (id LONG, vec ARRAY<FLOAT>) rows, e.g. from
+   *               [[VectorDB.readVectorParquet]]
+   */
+  def buildEpoch(name: String, source: DataFrame): String = {
+    val manifest = indexManifest(name)
+    val em = epochManager(name)
+    val epochId = em.createEpoch()
+    val path = em.epochPath(epochId)
+
+    val cents = IvfFlatIndex.train(spark, source, manifest.nlist)
+    val bc = IvfFlatIndex.broadcastCentroids(spark, cents)
+    IvfFlatIndex.writeEpoch(IvfFlatIndex.assign(source, bc), s"$path/vectors")
+    writeCentroids(cents, s"$path/centroids")
+
+    val shardCounts = spark.read.parquet(s"$path/vectors")
+      .groupBy("list_id").count().collect()
+      .map(r => ShardInfo(r.getInt(0), s"$path/vectors/list_id=${r.getInt(0)}", r.getLong(1)))
+      .sortBy(_.listId)
+    manifest.copy(
+      epoch = epochId,
+      createdAt = System.currentTimeMillis(),
+      numVectors = shardCounts.map(_.numVectors).sum,
+      shards = shardCounts.toSeq)
+      .save(s"$path/manifest.json")
+    epochId
+  }
+
+  // --- A6/A3 ActivateEpoch / LoadIndex ------------------------------------
+
+  /** Atomic serve-state swap; readers keep the old Served until replaced. */
+  def activateEpoch(name: String, epochId: String): Unit = {
+    val em = epochManager(name)
+    if (!em.contains(epochId)) throw new NotFoundException(s"Epoch not found: $epochId")
+    loadServed(name, epochId)
+    em.activateEpoch(epochId)
+  }
+
+  /** Load an epoch (default: the active one) into serving state. */
+  def loadIndex(name: String, epochId: String = ""): Unit = {
+    val em = epochManager(name)
+    val id =
+      if (epochId.nonEmpty) epochId
+      else em.activeEpoch.getOrElse(throw new NotFoundException(s"No active epoch for index: $name"))
+    if (!em.contains(id)) throw new NotFoundException(s"Epoch not found: $id")
+    loadServed(name, id)
+  }
+
+  private def loadServed(name: String, epochId: String): Unit = {
+    val em = epochManager(name)
+    val path = em.epochPath(epochId)
+    val manifest = Manifest.load(s"$path/manifest.json")
+    val cents = readCentroids(s"$path/centroids")
+    val bc = IvfFlatIndex.broadcastCentroids(spark, cents)
+    val vectors = IvfFlatIndex.readEpoch(spark, s"$path/vectors")
+    served.put(name, Served(manifest, new IvfFlatIndex(spark, vectors, bc, manifest.metric), epochId))
+  }
+
+  // --- A1 Search -----------------------------------------------------------
+
+  /**
+   * Batch k-NN with the reference's validation matrix. `metric` overrides
+   * the index default when non-empty (SURVEY §3.4 decision); unknown
+   * strings fall back to L2 like the reference (query_service.cpp:107).
+   */
+  def search(
+      name: String,
+      queries: DataFrame,
+      topk: Int,
+      nprobe: Int = 0,
+      metric: String = ""): DataFrame = {
+    if (queries.isEmpty) throw new InvalidArgumentException("No queries provided")
+    if (topk <= 0 || topk > 1000) throw new InvalidArgumentException("Invalid topk value")
+    if (name.isEmpty) throw new InvalidArgumentException("Index name required")
+    val s = served.getOrElse(name, throw new NotFoundException(s"Index not found: $name"))
+
+    validateQuerySchema(queries, s.manifest.dimension)
+    val params = SearchParams(
+      k = topk,
+      nprobe = if (nprobe > 0) nprobe else 8,
+      metric = if (metric.nonEmpty) Some(Metric.parse(metric)) else None)
+    s.index.search(queries, params)
+  }
+
+  /** Exact search through the serving index (the recall oracle). */
+  def searchExact(name: String, queries: DataFrame, topk: Int): DataFrame = {
+    val s = served.getOrElse(name, throw new NotFoundException(s"Index not found: $name"))
+    s.index.searchExact(queries, topk)
+  }
+
+  private def validateQuerySchema(queries: DataFrame, dim: Int): Unit = {
+    val schema = queries.schema
+    require(schema.fieldNames.contains("qid") && schema.fieldNames.contains("qvec"),
+      "queries need (qid LONG, qvec ARRAY<FLOAT>) columns")
+    val bad = queries.filter(size(col("qvec")) =!= dim).limit(1).count()
+    if (bad > 0) throw new InvalidArgumentException("Query dimension mismatch")
+  }
+
+  // --- A2 Warmup -----------------------------------------------------------
+
+  /**
+   * C6/A2: pin the given lists (or all) into executor memory — persist +
+   * materialize the pruned partitions, the Spark analog of preloading
+   * lists to the GPU (server/query_service.cpp:170-204).
+   */
+  def warmup(name: String, listIds: Seq[Int] = Nil): Long = {
+    val s = served.getOrElse(name, throw new NotFoundException(s"Index not found: $name"))
+    val subset =
+      if (listIds.isEmpty) s.index.vectors
+      else s.index.vectors.filter(col("list_id").isin(listIds: _*))
+    subset.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+  }
+
+  // --- A7 GetStats ---------------------------------------------------------
+
+  /** (total vectors, active epoch, nlist, dimension) of the serving index. */
+  def stats(name: String): Map[String, Any] = {
+    val s = served.getOrElse(name, throw new NotFoundException(s"Index not found: $name"))
+    Map(
+      "name" -> name,
+      "num_vectors" -> s.manifest.numVectors,
+      "epoch" -> s.epochId,
+      "nlist" -> s.manifest.nlist,
+      "dimension" -> s.manifest.dimension,
+      "metric" -> s.manifest.metric.toString,
+      "num_shards" -> s.manifest.shards.size)
+  }
+
+  def cleanupOldEpochs(name: String, keepN: Int = 3): Seq[String] =
+    epochManager(name).cleanupOldEpochs(keepN)
+
+  def listEpochs(name: String): Seq[String] = epochManager(name).listEpochs
+
+  // --- F1/F2 vector + centroid IO ------------------------------------------
+
+  def writeCentroids(cents: Array[Array[Float]], path: String): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq
+      .toDF("id", "vec")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def readCentroids(path: String): Array[Array[Float]] =
+    spark.read.parquet(path)
+      .orderBy("id")
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+}
+
+object VectorDB {
+
+  /** F1/F8: read a (vec_id|id, embedding|vec) parquet as (id, vec). */
+  def readVectorParquet(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val idCol = Seq("id", "vec_id").find(df.columns.contains)
+      .getOrElse(throw new InvalidArgumentException(s"no id column in $path"))
+    val vecCol = Seq("vec", "embedding", "vector").find(df.columns.contains)
+      .getOrElse(throw new InvalidArgumentException(s"no vector column in $path"))
+    df.select(
+      col(idCol).cast(LongType).as("id"),
+      col(vecCol).cast(ArrayType(FloatType)).as("vec"))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.index
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Metric, SearchParams}
+import graft.functions.vector
+import graft.kmeans.Lloyd
+
+/**
+ * IVF-Flat index on Spark (reference engine/ivf_flat_index.cpp). The
+ * inverted lists are a Hive-partitioned Parquet table (`list_id=<n>/`),
+ * the centroids a broadcast matrix, and a search is ONE declarative plan:
+ *
+ *   queries -> ProbeLists(bcast centroids) -> explode -> join(vectors,
+ *   "list_id") [partition-pruned] -> distance -> per-query top-k
+ *
+ * which is S2 -> S3 -> S5 composed (ivf_flat_index.cpp:205-256). The probe
+ * pairs are broadcast, so the join triggers parquet partition pruning —
+ * the Spark equivalent of "only load the probed lists" — and the top-k
+ * runs as partial-per-partition + final WindowGroupLimit, the same
+ * partial/merge shape as the reference's per-list top-k + merge.
+ *
+ * @param vectors   (id LONG, vec ARRAY<FLOAT>, list_id INT) — usually a
+ *                  partitionBy("list_id") epoch read
+ * @param centroids broadcast nlist x dim matrix, row index == list_id
+ * @param metric    the index's default metric (overridable per search)
+ */
+class IvfFlatIndex(
+    val spark: SparkSession,
+    val vectors: DataFrame,
+    val centroids: Broadcast[Array[Array[Float]]],
+    val metric: Metric.Value) {
+
+  def nlist: Int = centroids.value.length
+  def dimension: Int = centroids.value.head.length
+
+  /**
+   * Batch k-NN (S6). Queries: (qid LONG, qvec ARRAY<FLOAT>).
+   * Returns (qid, id, dist DOUBLE, rank INT), rank 1..k by (dist, id).
+   */
+  def search(queries: DataFrame, params: SearchParams): DataFrame = {
+    val m = params.metric.getOrElse(metric)
+    val nprobe = math.min(params.nprobe, nlist)
+    val probed = queries
+      .withColumn("list_id",
+        explode(vector.probe_lists(col("qvec"), centroids, nprobe, m)))
+    val candidates = vectors
+      .join(broadcast(probed), "list_id")
+      .withColumn("dist", vector.distance(col("qvec"), col("vec"), m))
+      .select("qid", "id", "dist")
+    Knn.topKPerQuery(candidates, params.k).select("qid", "id", "dist", "rank")
+  }
+
+  /** Exact brute-force scan (S1) — also the recall oracle for IVF. */
+  def searchExact(queries: DataFrame, k: Int,
+      metricOverride: Option[Metric.Value] = None): DataFrame =
+    Knn.exact(queries, vectors.select("id", "vec"), k, metricOverride.getOrElse(metric))
+}
+
+object IvfFlatIndex {
+
+  /** Train centroids (S8) from (id, vec) rows — seed 42, 10 Lloyd iters. */
+  def train(
+      spark: SparkSession,
+      vectors: DataFrame,
+      nlist: Int,
+      maxTrain: Int = Lloyd.DefaultMaxTrain): Array[Array[Float]] =
+    Lloyd.trainFromDataFrame(vectors, nlist, "id", "vec", maxTrain)
+
+  /**
+   * Assign every vector to its inverted list (S7/S9 head): the distributed
+   * argmin over broadcast centroids. Input (id, vec) -> (id, vec, list_id).
+   */
+  def assign(
+      vectors: DataFrame,
+      centroids: Broadcast[Array[Array[Float]]]): DataFrame =
+    vectors.withColumn("list_id", vector.argmin_centroid(col("vec"), centroids))
+
+  /**
+   * S9 tail: write the assigned corpus as a list-partitioned epoch.
+   * Hive partitioning by list_id is the reference's per-list shard layout
+   * (format/storage.h:27-34) and is what makes probe-time partition
+   * pruning possible.
+   */
+  def writeEpoch(assigned: DataFrame, epochPath: String): Unit =
+    assigned
+      .write
+      .mode("overwrite")
+      .partitionBy("list_id")
+      .parquet(epochPath)
+
+  /** Open an epoch directory written by [[writeEpoch]]. */
+  def readEpoch(spark: SparkSession, epochPath: String): DataFrame =
+    spark.read.parquet(epochPath)
+
+  def broadcastCentroids(
+      spark: SparkSession,
+      centroids: Array[Array[Float]]): Broadcast[Array[Array[Float]]] =
+    spark.sparkContext.broadcast(centroids)
+
+  /** Build an in-memory index (train + assign, no epoch write). */
+  def build(
+      spark: SparkSession,
+      vectors: DataFrame,
+      nlist: Int,
+      metric: Metric.Value = Metric.L2,
+      maxTrain: Int = Lloyd.DefaultMaxTrain): IvfFlatIndex = {
+    val cents = train(spark, vectors, nlist, maxTrain)
+    val bc = broadcastCentroids(spark, cents)
+    new IvfFlatIndex(spark, assign(vectors, bc), bc, metric)
+  }
+}

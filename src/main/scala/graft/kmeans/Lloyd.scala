@@ -1,0 +1,159 @@
+package graft.kmeans
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration.Duration
+import scala.concurrent.ExecutionContext.Implicits.global
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.functions.VectorKernels
+
+/**
+ * IVF coarse-quantizer training: k-means++ seeding (seed 42) followed by 10
+ * Lloyd's iterations, mirroring the reference procedure
+ * (reference engine/ivf_flat_index.cpp:49-145).
+ *
+ * Scale design: like the reference (bench/benchmark.cpp:69 trains on a 100k
+ * subset of 1M vectors), training runs on a BOUNDED, DETERMINISTIC sample —
+ * the `maxTrain` lowest-id rows — collected to the driver (~50 MB at
+ * 100k x 128D). That keeps centroids bit-reproducible across runs (a
+ * distributed FP reduction would not be, SURVEY §7.4.3) while the
+ * full-corpus work — assignment and the partitioned epoch write — stays
+ * distributed via [[graft.functions.ArgMinCentroid]]. The iteration work is
+ * parallelized over fixed-size chunks merged in chunk order, so parallelism
+ * never changes the result.
+ */
+object Lloyd {
+
+  val Seed = 42
+  val Iterations = 10
+  val DefaultMaxTrain = 100000
+
+  /** Deterministic driver-side training sample: lowest `maxTrain` ids. */
+  def trainSample(
+      vectors: DataFrame,
+      idCol: String = "id",
+      vecCol: String = "vec",
+      maxTrain: Int = DefaultMaxTrain): Array[Array[Float]] =
+    vectors
+      .select(col(idCol), col(vecCol))
+      .orderBy(col(idCol))
+      .limit(maxTrain)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+
+  /** k-means++ D^2-weighted seeding, seed 42 (ivf_flat_index.cpp:52-105). */
+  def kmeansPlusPlusInit(
+      sample: Array[Array[Float]],
+      nlist: Int,
+      seed: Int = Seed): Array[Array[Float]] = {
+    require(sample.nonEmpty, "cannot train on an empty sample")
+    val rnd = new scala.util.Random(seed)
+    val n = sample.length
+    val k = math.min(nlist, n)
+    val centroids = new Array[Array[Float]](k)
+    centroids(0) = sample(rnd.nextInt(n)).clone()
+
+    // minDist(v) = distance to nearest already-chosen centroid, updated
+    // incrementally as each centroid is added (same semantics as the
+    // reference's rescan, O(kn) instead of O(k^2 n)).
+    val minDist = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      val newest = centroids(c - 1)
+      var total = 0.0
+      var v = 0
+      while (v < n) {
+        val d = VectorKernels.l2(sample(v), newest)
+        if (d < minDist(v)) minDist(v) = d
+        total += minDist(v)
+        v += 1
+      }
+      val target = rnd.nextDouble() * total
+      var cumsum = 0.0
+      var chosen = n - 1
+      var i = 0
+      var done = false
+      while (i < n && !done) {
+        cumsum += minDist(i)
+        if (cumsum >= target) { chosen = i; done = true }
+        i += 1
+      }
+      centroids(c) = sample(chosen).clone()
+      c += 1
+    }
+    // if nlist > n (degenerate), pad by cycling the sample like extra seeds
+    if (k < nlist) centroids ++ (k until nlist).map(i => sample(i % n).clone())
+    else centroids
+  }
+
+  /**
+   * 10 Lloyd iterations over the sample (ivf_flat_index.cpp:107-144):
+   * assign to nearest centroid (L2), recompute means, empty clusters keep
+   * their previous centroid. Chunk-parallel with ordered merge.
+   */
+  def train(
+      sample: Array[Array[Float]],
+      nlist: Int,
+      iterations: Int = Iterations,
+      seed: Int = Seed): Array[Array[Float]] = {
+    var centroids = kmeansPlusPlusInit(sample, nlist, seed)
+    val dim = sample.head.length
+    val chunks = sample.grouped(8192).toArray
+
+    var iter = 0
+    while (iter < iterations) {
+      val cents = centroids
+      val partials: Array[(Array[Array[Double]], Array[Long])] =
+        Await.result(
+          Future.sequence(chunks.toSeq.map { chunk =>
+            Future {
+              val sums = Array.fill(nlist)(new Array[Double](dim))
+              val counts = new Array[Long](nlist)
+              chunk.foreach { v =>
+                val a = VectorKernels.argminCentroid(v, cents)
+                val s = sums(a)
+                var d = 0
+                while (d < dim) { s(d) += v(d); d += 1 }
+                counts(a) += 1
+              }
+              (sums, counts)
+            }
+          }),
+          Duration.Inf).toArray
+
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Long](nlist)
+      partials.foreach { case (ps, pc) =>
+        var c = 0
+        while (c < nlist) {
+          val s = sums(c); val p = ps(c)
+          var d = 0
+          while (d < dim) { s(d) += p(d); d += 1 }
+          counts(c) += pc(c)
+          c += 1
+        }
+      }
+      centroids = Array.tabulate(nlist) { c =>
+        if (counts(c) > 0) {
+          val out = new Array[Float](dim)
+          var d = 0
+          while (d < dim) { out(d) = (sums(c)(d) / counts(c)).toFloat; d += 1 }
+          out
+        } else centroids(c) // empty cluster keeps old centroid (:135-141)
+      }
+      iter += 1
+    }
+    centroids
+  }
+
+  /** End-to-end: sample -> k-means++ -> Lloyd. */
+  def trainFromDataFrame(
+      vectors: DataFrame,
+      nlist: Int,
+      idCol: String = "id",
+      vecCol: String = "vec",
+      maxTrain: Int = DefaultMaxTrain): Array[Array[Float]] =
+    train(trainSample(vectors, idCol, vecCol, maxTrain), nlist)
+}

@@ -54,6 +54,37 @@ object VectorQueries {
     e.select(col("vec_id"), cidCol.as("list_id")).orderBy("vec_id")
   }
 
+  /**
+   * Full IVF pipeline (S2-S6 + S7/S8 train) end-to-end: build an index over
+   * the embeddings and search with nprobe = nlist, which must equal exact
+   * brute force (the §5.1 differential) — making the DuckDB exact-kNN SQL a
+   * valid oracle for the entire train -> assign -> probe -> prune -> top-k
+   * plan.
+   */
+  private def ivfSearchFull(spark: SparkSession, dir: String): DataFrame = {
+    import graft.SearchParams
+    import graft.index.IvfFlatIndex
+    val e = emb(spark, dir)
+    val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val index = IvfFlatIndex.build(spark, vectors, nlist = 16)
+    index.search(queries, SearchParams(k = K, nprobe = 16)).orderBy("qid", "rank")
+  }
+
+  /** Pruned IVF probe (nprobe < nlist) — approximate, so rows-only checked;
+    * the recall floor vs exact is asserted in IvfFlatIndexSpec. */
+  private def ivfSearchProbe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.SearchParams
+    import graft.index.IvfFlatIndex
+    val e = emb(spark, dir)
+    val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val index = IvfFlatIndex.build(spark, vectors, nlist = 16)
+    index.search(queries, SearchParams(k = K, nprobe = 4)).orderBy("qid", "rank")
+  }
+
   // --- DuckDB oracle fragments -------------------------------------------
 
   /** Squared L2 in double, sequential accumulation (matches VectorKernels.l2).
@@ -89,12 +120,16 @@ object VectorQueries {
     "knn_exact_cosine" -> knnExact(Metric.Cosine) _,
     "normalize_vectors" -> (normalizeVectors _),
     "assign_lists" -> (assignLists _),
+    "ivf_search_full" -> (ivfSearchFull _),
+    "ivf_search_probe" -> (ivfSearchProbe _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "knn_exact_l2" -> knnOracle(sqlL2("q.qv", "v.embedding")),
     "knn_exact_ip" -> knnOracle(sqlIp("q.qv", "v.embedding")),
     "knn_exact_cosine" -> knnOracle(sqlCosine("q.qv", "v.embedding")),
+    // nprobe = nlist makes IVF exhaustive, so exact kNN is the oracle
+    "ivf_search_full" -> knnOracle(sqlL2("q.qv", "v.embedding")),
     "normalize_vectors" ->
       """WITH n AS (SELECT vec_id, embedding,
         |  1.0 / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) + 1e-8) AS inv

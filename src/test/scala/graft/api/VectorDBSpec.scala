@@ -1,0 +1,100 @@
+package graft.api
+
+import java.nio.file.Files
+
+import graft._
+
+/**
+ * API contract suite mirroring the reference's gRPC error-contract tests
+ * (test/integration/grpc_integration_test.cpp:105-245): the CreateIndex ->
+ * BuildEpoch -> ActivateEpoch -> Search workflow plus the full
+ * INVALID_ARGUMENT / NOT_FOUND validation matrix.
+ */
+class VectorDBSpec extends SparkSpec {
+
+  private lazy val db = new VectorDB(spark, Files.createTempDirectory("graft-db").toString)
+  private lazy val corpus = vectorsDF(randomVectors(500, 8))
+  private lazy val qs = queriesDF(randomVectors(5, 8, seed = 7))
+
+  private lazy val ready: Unit = {
+    db.createIndex(IndexConfig("test_index", dimension = 8, nlist = 4))
+    val epoch = db.buildEpoch("test_index", corpus)
+    db.activateEpoch("test_index", epoch)
+  }
+
+  test("CreateIndex -> BuildEpoch -> ActivateEpoch -> Search workflow") {
+    ready
+    val res = db.search("test_index", qs, topk = 5)
+    assert(res.count() === 25)
+    val cols = res.columns.toSeq
+    assert(cols === Seq("qid", "id", "dist", "rank"))
+  }
+
+  test("search validation: empty queries -> INVALID_ARGUMENT") {
+    ready
+    intercept[InvalidArgumentException](db.search("test_index", qs.limit(0), 5))
+  }
+
+  test("search validation: topk bounds 0 < k <= 1000") {
+    ready
+    intercept[InvalidArgumentException](db.search("test_index", qs, 0))
+    intercept[InvalidArgumentException](db.search("test_index", qs, -3))
+    intercept[InvalidArgumentException](db.search("test_index", qs, 1001))
+  }
+
+  test("search validation: index name required / unknown index NOT_FOUND") {
+    ready
+    intercept[InvalidArgumentException](db.search("", qs, 5))
+    intercept[NotFoundException](db.search("missing_index", qs, 5))
+  }
+
+  test("search validation: query dimension mismatch") {
+    ready
+    val wrongDim = queriesDF(randomVectors(2, 9, seed = 1))
+    intercept[InvalidArgumentException](db.search("test_index", wrongDim, 5))
+  }
+
+  test("CreateIndex validation: dimension bounds and duplicate names") {
+    intercept[IllegalArgumentException](IndexConfig("bad", 0))
+    intercept[IllegalArgumentException](IndexConfig("bad", 65537))
+    intercept[IllegalArgumentException](IndexConfig("", 8))
+    ready
+    intercept[InvalidArgumentException](
+      db.createIndex(IndexConfig("test_index", 8)))
+  }
+
+  test("nlist default mirrors the reference heuristic (query_service.cpp:443)") {
+    assert(IndexConfig("x", 8).nlist === 1000)
+  }
+
+  test("stats reports the serving epoch (A7)") {
+    ready
+    val s = db.stats("test_index")
+    assert(s("num_vectors") === 500L)
+    assert(s("nlist") === 4)
+    assert(s("dimension") === 8)
+    assert(s("epoch").toString.startsWith("epoch_"))
+  }
+
+  test("warmup materializes the pruned lists (A2/C6)") {
+    ready
+    assert(db.warmup("test_index", Seq(0, 1)) > 0)
+    intercept[NotFoundException](db.warmup("missing", Nil))
+  }
+
+  test("epoch swap: activating a second epoch changes serving atomically (A6)") {
+    ready
+    val epoch2 = db.buildEpoch("test_index", vectorsDF(randomVectors(300, 8, seed = 9)))
+    db.activateEpoch("test_index", epoch2)
+    assert(db.stats("test_index")("num_vectors") === 300L)
+    assert(db.stats("test_index")("epoch") === epoch2)
+  }
+
+  test("per-request metric override via string, unknown string -> L2 default") {
+    ready
+    val res = db.search("test_index", qs, 3, metric = "InnerProduct")
+    assert(res.collect().map(_.getDouble(2)).exists(_ < 0))
+    val fallback = db.search("test_index", qs, 3, metric = "NotAMetric")
+    assert(fallback.collect().map(_.getDouble(2)).forall(_ >= 0))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.index
+
+import org.apache.spark.sql.functions._
+
+import graft.{Metric, SearchParams, SparkSpec}
+import graft.kmeans.Lloyd
+
+class IvfFlatIndexSpec extends SparkSpec {
+
+  private lazy val data = randomVectors(1000, 16)
+  private lazy val queries = randomVectors(10, 16, seed = 12345)
+  private lazy val index = IvfFlatIndex.build(spark, vectorsDF(data), nlist = 8)
+
+  test("Lloyd training is deterministic across runs (seed 42)") {
+    val sample = data.map(_._2).toArray
+    val c1 = Lloyd.train(sample, 8)
+    val c2 = Lloyd.train(sample, 8)
+    assert(c1.map(_.toSeq) === c2.map(_.toSeq))
+  }
+
+  test("empty clusters keep their previous centroid") {
+    // two far groups, k=3 -> at least one centroid may starve; never NaN
+    val sample = (Array.fill(50)(Array(0f, 0f)) ++ Array.fill(50)(Array(10f, 10f)))
+    val cents = Lloyd.train(sample, 3)
+    assert(cents.forall(_.forall(x => !x.isNaN)))
+    assert(cents.length === 3)
+  }
+
+  test("assign puts every vector in a valid list") {
+    val assigned = index.vectors
+    assert(assigned.filter(col("list_id") < 0 || col("list_id") >= 8).count() === 0)
+    assert(assigned.count() === 1000)
+  }
+
+  test("IVF search with nprobe = nlist equals exact brute force (the §5.1 differential)") {
+    val q = queriesDF(queries)
+    val ivf = index.search(q, SearchParams(k = 10, nprobe = 8)).collect()
+    val exact = index.searchExact(q, 10).collect()
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getInt(3))
+    assert(ivf.map(r => (key(r), r.getLong(1), r.getDouble(2))).sortBy(_._1) ===
+      exact.map(r => (key(r), r.getLong(1), r.getDouble(2))).sortBy(_._1))
+  }
+
+  test("IVF search recall@10 vs exact oracle is high at nprobe=4/8 lists") {
+    val q = queriesDF(queries)
+    val ivf = index.search(q, SearchParams(k = 10, nprobe = 4)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = index.searchExact(q, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall@10 was $recall")
+  }
+
+  test("per-request metric override wins over the index default (SURVEY §3.4)") {
+    val q = queriesDF(queries.take(2))
+    val l2 = index.search(q, SearchParams(k = 5, nprobe = 8))
+    val ip = index.search(q, SearchParams(k = 5, nprobe = 8, metric = Some(Metric.InnerProduct)))
+    val l2d = l2.collect().map(_.getDouble(2))
+    val ipd = ip.collect().map(_.getDouble(2))
+    assert(l2d.forall(_ >= 0.0)) // squared L2 is non-negative
+    assert(ipd.exists(_ < 0.0)) // negated dot products go negative
+  }
+
+  test("search results are (dist, id)-ordered with rank 1..k") {
+    val q = queriesDF(queries.take(3))
+    val rows = index.search(q, SearchParams(k = 10, nprobe = 8))
+      .orderBy("qid", "rank").collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getInt(3)).toSeq
+      assert(ranks === (1 to ranks.size))
+      val pairs = rs.map(r => (r.getDouble(2), r.getLong(1))).toSeq
+      assert(pairs === pairs.sorted)
+    }
+  }
+
+  test("mergeResults dedups by id keeping the best distance (S5)") {
+    val s = spark
+    import s.implicits._
+    val cands = Seq(
+      (1L, 10L, 0.5), (1L, 10L, 0.3), (1L, 11L, 0.4), (1L, 12L, 0.6))
+      .toDF("qid", "id", "dist")
+    val merged = Knn.mergeResults(cands, k = 2).orderBy("rank").collect()
+    assert(merged.map(r => (r.getLong(1), r.getDouble(2))).toSeq ===
+      Seq((10L, 0.3), (11L, 0.4)))
+  }
+
+  test("probe join plan broadcasts and never degenerates to a cartesian product") {
+    val q = queriesDF(queries)
+    val plan = index.search(q, SearchParams(k = 10, nprobe = 2))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("epoch write + read roundtrip preserves list partitioning") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-epoch").toString
+    IvfFlatIndex.writeEpoch(index.vectors, s"$tmp/vectors")
+    val back = IvfFlatIndex.readEpoch(spark, s"$tmp/vectors")
+    assert(back.count() === 1000)
+    assert(back.columns.toSet === Set("id", "vec", "list_id"))
+    // pruned read touches only the probed partition directories
+    val pruned = back.filter(col("list_id") === 3)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") || pruned.count() ==
+      index.vectors.filter(col("list_id") === 3).count())
+  }
+}

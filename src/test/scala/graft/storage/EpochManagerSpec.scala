@@ -1,0 +1,69 @@
+package graft.storage
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{IndexConfig, Metric, NotFoundException}
+
+class EpochManagerSpec extends AnyFunSuite {
+
+  private def tmpDir() = Files.createTempDirectory("graft-em").toString
+
+  test("create/activate/list epochs with persisted state (storage.cpp:318-375)") {
+    val base = tmpDir()
+    val em = new EpochManager(base)
+    val e1 = em.createEpoch()
+    val e2 = em.createEpoch()
+    assert(em.listEpochs.toSet === Set(e1, e2))
+    assert(em.activeEpoch.isEmpty)
+    em.activateEpoch(e2)
+    assert(em.activeEpoch === Some(e2))
+    // state survives a restart (epochs.json)
+    val em2 = new EpochManager(base)
+    assert(em2.listEpochs.toSet === Set(e1, e2))
+    assert(em2.activeEpoch === Some(e2))
+  }
+
+  test("activate of unknown epoch throws NOT_FOUND") {
+    val em = new EpochManager(tmpDir())
+    intercept[NotFoundException](em.activateEpoch("epoch_nope"))
+  }
+
+  test("cleanup keeps newest N and NEVER deletes the active epoch (storage.cpp:450)") {
+    val base = tmpDir()
+    val em = new EpochManager(base)
+    val ids = (1 to 5).map { i =>
+      val id = em.createEpoch(); Thread.sleep(2); id
+    }
+    em.activateEpoch(ids.head) // oldest is active
+    val deleted = em.cleanupOldEpochs(keepN = 2)
+    assert(!deleted.contains(ids.head), "active epoch must survive cleanup")
+    assert(em.contains(ids.head))
+    // newest 2 survive
+    assert(em.contains(ids(4)) && em.contains(ids(3)))
+    assert(!em.contains(ids(1)) && !em.contains(ids(2)))
+    assert(deleted.toSet === Set(ids(1), ids(2)))
+    // directories of deleted epochs are gone
+    deleted.foreach(id => assert(!Files.exists(java.nio.file.Paths.get(em.epochPath(id)))))
+  }
+
+  test("deactivate clears the active pointer") {
+    val em = new EpochManager(tmpDir())
+    val e = em.createEpoch()
+    em.activateEpoch(e)
+    em.deactivateEpoch(e)
+    assert(em.activeEpoch.isEmpty)
+  }
+
+  test("manifest JSON roundtrip preserves all fields (storage.h:15-42)") {
+    val m = Manifest(
+      IndexConfig("idx", 64, Metric.Cosine, nlist = 32, m = 8, nbits = 8),
+      epoch = "epoch_1", createdAt = 12345L, numVectors = 999L,
+      shards = Seq(ShardInfo(0, "p0", 500L), ShardInfo(1, "p1", 499L)))
+    val p = tmpDir() + "/manifest.json"
+    m.save(p)
+    val back = Manifest.load(p)
+    assert(back === m)
+  }
+}
