@@ -1,0 +1,158 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshims
+import org.apache.spark.sql.types._
+
+/**
+ * Kernels for the LLM-pipeline text operators: MinHash signatures and
+ * SimHash fingerprints over token arrays. Hashing is Spark's own XXH64
+ * (public xxHash64 algorithm) with per-permutation seeds, evaluated
+ * directly over UTF8String bytes — no boxing, no per-row string copies.
+ */
+object TextKernels {
+
+  /**
+   * MinHash signature: out(h) = min over tokens of xxh64(token, seed+h).
+   * An empty token set yields Long.MaxValue entries (deterministic).
+   */
+  def minhash(tokens: ArrayData, numHashes: Int, seed: Long): ArrayData = {
+    val out = new Array[Long](numHashes)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      val s = tokens.getUTF8String(t)
+      var h = 0
+      while (h < numHashes) {
+        val v = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed + h)
+        if (v < out(h)) out(h) = v
+        h += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /**
+   * 64-bit SimHash: per-token xxh64, +1/-1 vote per bit, sign -> bit.
+   * Near-duplicate texts land within small Hamming distance.
+   */
+  def simhash(tokens: ArrayData, seed: Long): Long = {
+    val w = new Array[Int](64)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      val s = tokens.getUTF8String(t)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) w(b) += 1 else w(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (w(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+}
+
+/** MinHash signature of an ARRAY<STRING> token column. */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.minhash(v.asInstanceOf[ArrayData], numHashes, seed)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.TextKernels.minhash($v, $numHashes, ${seed}L);")
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}
+
+/** 64-bit SimHash of an ARRAY<STRING> token column. */
+case class SimHash64(child: Expression, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.simhash(v.asInstanceOf[ArrayData], seed)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.TextKernels.simhash($v, ${seed}L);")
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
+/** Column-level text functions (composed built-ins where possible). */
+object text {
+  import org.apache.spark.sql.functions._
+
+  private def col(e: Expression): Column = graftshims.column(e)
+  private def ex(c: Column): Expression = graftshims.expression(c)
+
+  /** Lowercased word tokens ([a-z0-9]+ runs) — codegen'd builtins only. */
+  def tokenize(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+
+  /** Word n-grams as space-joined strings over a token array. */
+  def word_ngrams(tokens: Column, n: Int): Column =
+    when(size(tokens) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(tokens) - n),
+        i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+
+  def minhash_signature(tokens: Column, numHashes: Int = 64, seed: Long = 42L): Column =
+    col(MinHashSignature(ex(tokens), numHashes, seed))
+
+  def simhash64(tokens: Column, seed: Long = 42L): Column =
+    col(SimHash64(ex(tokens), seed))
+
+  /**
+   * LSH band keys for a MinHash signature: `bands` hashes, each over a
+   * `len/bands`-row slice. Join on (band index, band hash) to find
+   * near-duplicate candidates without an all-pairs comparison.
+   */
+  def lsh_bands(sig: Column, numHashes: Int, bands: Int): Column = {
+    val r = numHashes / bands
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(sig, b * lit(r) + 1, lit(r))))
+  }
+
+  /**
+   * Polynomial rolling-hash document fingerprint mod 1e9+7 — the same
+   * arithmetic is expressible in DuckDB SQL (list_reduce), so this one is
+   * oracle-checkable end to end.
+   */
+  def fingerprint(c: Column): Column =
+    aggregate(
+      transform(
+        filter(split(c, ""), ch => ch =!= ""), // split() emits a trailing ""
+        ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % 1000000007L)
+
+  /** Whitespace-ish token count via the same [a-z0-9]+ tokenizer. */
+  def token_count(c: Column): Column = size(tokenize(c))
+}

@@ -1,0 +1,156 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{text, vector}
+import graft.Metric
+
+/**
+ * Corpus deduplication for LLM training-data pipelines. Every variant is
+ * blocked/bucketed — candidate pairs always come from an equi-join on a
+ * blocking key (exact hash, LSH band, SimHash chunk, IVF list), NEVER from
+ * an all-pairs comparison, so each shape survives a 100 TB corpus: the only
+ * shuffle is on the blocking key, and per-bucket work is bounded by bucket
+ * size.
+ */
+object Dedup {
+
+  /** a<b canonical pair ordering so each pair appears once. */
+  private def pairUp(a: Column, b: Column): Column = a < b
+
+  /**
+   * Exact dedup: group identical normalized text, keep the lowest id.
+   * Returns (keep_id, dup_count, text); dup_count > 1 marks duplicates.
+   */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+      .select(col("keep_id"), col("dup_count"), col(textCol))
+
+  /**
+   * MinHash + LSH near-duplicate pairs: shingle -> minhash signature ->
+   * band keys -> equi-join on (band, key) for candidates -> verify with
+   * true n-gram Jaccard -> threshold. One shuffle on the band key; the
+   * signature pass is a single map.
+   */
+  def minhashLsh(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      ngram: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("id"),
+      text.word_ngrams(text.tokenize(col(textCol)), ngram).as("shingles"))
+    val sigs = toks
+      .withColumn("sig", text.minhash_signature(col("shingles"), numHashes))
+      .select(col("id"), col("shingles"),
+        posexplode(text.lsh_bands(col("sig"), numHashes, bands)).as(Seq("pos", "band")))
+    val a = sigs.select(col("pos").as("band_pos"), col("band").as("band_key"),
+      col("id").as("a_id"), col("shingles").as("a_sh"))
+    val b = sigs.select(col("pos").as("band_pos"), col("band").as("band_key"),
+      col("id").as("b_id"), col("shingles").as("b_sh"))
+    a.join(b, Seq("band_pos", "band_key"))
+      .filter(pairUp(col("a_id"), col("b_id")))
+      .select("a_id", "b_id", "a_sh", "b_sh").distinct()
+      .withColumn("jaccard",
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /**
+   * SimHash near-dup pairs with Hamming distance <= maxHamming. Blocking by
+   * pigeonhole: split the 64-bit simhash into (maxHamming+1) chunks — any
+   * pair within the bound must agree on at least one chunk, so candidates
+   * come from an equi-join on (chunk index, chunk value).
+   */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val bits = 64 / chunks
+    val sigs = docs.select(
+      col(idCol).as("id"),
+      text.simhash64(text.tokenize(col(textCol))).as("sim"))
+    val chunkCols = (0 until chunks).map { i =>
+      struct(
+        lit(i).as("cpos"),
+        shiftrightunsigned(col("sim"), i * bits)
+          .bitwiseAND(lit((1L << bits) - 1)).as("ckey"))
+    }
+    val chunked = sigs
+      .select(col("id"), col("sim"), explode(array(chunkCols: _*)).as("pc"))
+      .select(col("id"), col("sim"), col("pc.cpos").as("cpos"), col("pc.ckey").as("ckey"))
+    val a = chunked.select(col("cpos"), col("ckey"),
+      col("id").as("a_id"), col("sim").as("a_sim"))
+    val b = chunked.select(col("cpos"), col("ckey"),
+      col("id").as("b_id"), col("sim").as("b_sim"))
+    a.join(b, Seq("cpos", "ckey"))
+      .filter(pairUp(col("a_id"), col("b_id")))
+      .select("a_id", "b_id", "a_sim", "b_sim").distinct()
+      .withColumn("hamming", bit_count(col("a_sim").bitwiseXOR(col("b_sim"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  /**
+   * Exact n-gram Jaccard similarity pairs within a bounded id subset —
+   * the oracle-checkable variant (quadratic, so callers bound the subset;
+   * the scalable path is [[minhashLsh]]).
+   */
+  def ngramJaccardExact(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      ngram: Int = 3,
+      threshold: Double = 0.3): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("id"),
+      array_distinct(text.word_ngrams(text.tokenize(col(textCol)), ngram)).as("sh"))
+    val a = toks.select(col("id").as("a_id"), col("sh").as("a_sh"))
+    val b = toks.select(col("id").as("b_id"), col("sh").as("b_sh"))
+    a.crossJoin(b)
+      .filter(pairUp(col("a_id"), col("b_id")))
+      .withColumn("jaccard",
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /**
+   * Embedding-cosine near-duplicate pairs, blocked by IVF list: vectors are
+   * k-means-assigned (broadcast centroids), candidates are same-list pairs
+   * only — the SURVEY §7.5 "IVF list_id as the blocking key" design. With
+   * multi-probe assignment (assignProbes > 1) each vector enters its
+   * assignProbes nearest lists, trading shuffle volume for recall across
+   * list boundaries.
+   */
+  def embeddingNearDup(
+      vectors: DataFrame, // (id, vec)
+      centroids: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
+      maxCosineDist: Double = 0.2,
+      assignProbes: Int = 2): DataFrame = {
+    val assigned = vectors.select(
+      col("id"),
+      col("vec"),
+      explode(vector.probe_lists(col("vec"), centroids, assignProbes, Metric.L2))
+        .as("list_id"))
+    val a = assigned.select(col("list_id"), col("id").as("a_id"), col("vec").as("a_vec"))
+    val b = assigned.select(col("list_id"), col("id").as("b_id"), col("vec").as("b_vec"))
+    a.join(b, Seq("list_id"))
+      .filter(pairUp(col("a_id"), col("b_id")))
+      .select("a_id", "b_id", "a_vec", "b_vec").distinct()
+      .withColumn("cos_dist", vector.cosine_distance(col("a_vec"), col("b_vec")))
+      .filter(col("cos_dist") <= maxCosineDist)
+      .select("a_id", "b_id", "cos_dist")
+  }
+}

@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{Metric, SearchParams}
+import graft.functions.vector
+import graft.index.{IvfFlatIndex, Knn}
+
+/**
+ * Similarity-search operators over an embedding column:
+ *  - brute-force cosine top-k (the exactness baseline),
+ *  - IVF-pruned ANN (the 100 TB scale path: probe -> partition-pruned join),
+ *  - filtered ANN (relational predicate + top-k — something the reference
+ *    engine cannot express at all, SURVEY §7.5).
+ */
+object Similarity {
+
+  /** Exact cosine top-k: broadcast query batch x corpus scan. */
+  def bruteForceCosine(
+      queries: DataFrame, // (qid, qvec)
+      vectors: DataFrame, // (id, vec)
+      k: Int): DataFrame =
+    Knn.exact(queries, vectors, k, Metric.Cosine)
+
+  /** ANN through an IVF index: same result columns, sub-linear scan. */
+  def annCosine(
+      index: IvfFlatIndex,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int): DataFrame =
+    index.search(queries, SearchParams(k, nprobe, Some(Metric.Cosine)))
+
+  /**
+   * Filtered ANN: apply a relational predicate to the corpus BEFORE the
+   * top-k, e.g. "nearest neighbors among label = 7 vectors". The filter is
+   * pushed into the scan (partition/row-group pruning), then the usual
+   * distance + WindowGroupLimit top-k runs on the survivors.
+   */
+  def filteredKnn(
+      queries: DataFrame,
+      vectors: DataFrame, // any schema with (id, vec) + predicate columns
+      predicate: org.apache.spark.sql.Column,
+      k: Int,
+      metric: Metric.Value = Metric.Cosine): DataFrame =
+    Knn.exact(queries, vectors.filter(predicate).select("id", "vec"), k, metric)
+
+  /**
+   * Cosine top-k self-join for corpus analytics (each vector's k nearest
+   * others), IVF-blocked: candidates share an IVF list (multi-probe for
+   * recall), so the shuffle is on list_id — never an all-pairs product.
+   */
+  def knnSelfJoin(
+      vectors: DataFrame, // (id, vec)
+      centroids: Broadcast[Array[Array[Float]]],
+      k: Int,
+      assignProbes: Int = 2): DataFrame = {
+    val assigned = vectors.select(
+      col("id"), col("vec"),
+      explode(vector.probe_lists(col("vec"), centroids, assignProbes, Metric.L2))
+        .as("list_id"))
+    val a = assigned.select(col("list_id"), col("id").as("qid"), col("vec").as("qvec"))
+    val b = assigned.select(col("list_id"), col("id"), col("vec"))
+    val cands = a.join(b, Seq("list_id"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"),
+        vector.cosine_distance(col("qvec"), col("vec")).as("dist"))
+    Knn.mergeResults(cands, k) // dedup (multi-probe overlap) + top-k
+      .select("qid", "id", "dist", "rank")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.text
+
+/**
+ * Text-analysis operators for training-data curation: language ID
+ * (stopword-hit heuristic), quality scoring (length/punct/stopword ratios),
+ * token counting, and rolling-hash fingerprinting. Every function is pure
+ * per-row arithmetic over codegen'd built-ins — no UDFs, no shuffles — and
+ * each is written so the identical logic is expressible in DuckDB SQL for
+ * the oracle gate.
+ */
+object TextAnalysis {
+
+  /** Stopword lists for the n-gram language heuristic. Deterministic and
+    * tiny by design — the point is the operator shape, not NLP accuracy. */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "en", "un", "du"))
+
+  private def hits(tokens: Column, lang: String): Column =
+    size(array_intersect(tokens, array(Stopwords(lang).map(lit): _*)))
+
+  /**
+   * Language ID: count distinct stopword hits per language, take the
+   * argmax with fixed priority order en > de > es > fr on ties.
+   */
+  def langId(textCol: Column): Column = {
+    val toks = text.tokenize(textCol)
+    val en = hits(toks, "en"); val de = hits(toks, "de")
+    val es = hits(toks, "es"); val fr = hits(toks, "fr")
+    when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  /**
+   * Quality score in [0,1]: blend of token count saturation, alpha ratio,
+   * and mean token length band — the standard cheap pre-filter shape for
+   * corpus curation. Pure double arithmetic, same order as the SQL oracle.
+   */
+  def qualityScore(textCol: Column): Column = {
+    val toks = text.tokenize(textCol)
+    val nTok = size(toks).cast("double")
+    val nChars = length(textCol).cast("double")
+    val alphaChars = length(regexp_replace(lower(textCol), "[^a-z0-9]", "")).cast("double")
+    val lenScore = least(nTok / lit(20.0), lit(1.0))
+    val alphaRatio = when(nChars > 0, alphaChars / nChars).otherwise(0.0)
+    val meanTokLen = when(nTok > 0, alphaChars / nTok).otherwise(0.0)
+    val tokLenScore = when(meanTokLen >= 3 && meanTokLen <= 10, lit(1.0)).otherwise(lit(0.5))
+    (lenScore * lit(0.4) + alphaRatio * lit(0.4) + tokLenScore * lit(0.2))
+  }
+
+  /** Full per-document analysis projection. */
+  def analyze(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      text.token_count(col(textCol)).as("n_tokens"),
+      langId(col(textCol)).as("lang_pred"),
+      qualityScore(col(textCol)).as("quality"),
+      text.fingerprint(col(textCol)).as("fingerprint"))
+}

@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.vector
+import graft.index.IvfFlatIndex
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/**
+ * Driver-contract entries for the LLM-pipeline operators (dedup,
+ * similarity, text analysis, multimodal). SQL-expressible variants carry a
+ * DuckDB oracle; the LSH/IVF-blocked scale paths are rows-only here and
+ * verified against exact results in PipelineSpec.
+ */
+object PipelineQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+
+  // --- oracle-checked ------------------------------------------------------
+
+  private def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(spark, dir)).orderBy("keep_id")
+
+  private def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardExact(
+      docs(spark, dir).filter(col("doc_id") < 200),
+      ngram = 3, threshold = 0.5)
+      .orderBy("a_id", "b_id")
+
+  private def textAnalysis(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.analyze(docs(spark, dir)).orderBy("doc_id")
+
+  private def neardupExact(spark: SparkSession, dir: String): DataFrame = {
+    val v = emb(spark, dir).filter(col("vec_id") < 200)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val a = v.select(col("id").as("a_id"), col("vec").as("a_vec"))
+    val b = v.select(col("id").as("b_id"), col("vec").as("b_vec"))
+    a.crossJoin(b)
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos_dist", vector.cosine_distance(col("a_vec"), col("b_vec")))
+      .filter(col("cos_dist") <= 0.65)
+      .select("a_id", "b_id", "cos_dist")
+      .orderBy("a_id", "b_id")
+  }
+
+  private def filteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.select(
+      col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+    Similarity.filteredKnn(queries, corpus, col("label") === 3, k = 5)
+      .orderBy("qid", "rank")
+  }
+
+  private def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaMeta(
+      Multimodal.mediaFromDocuments(spark, docs(spark, dir)).toDF())
+      .orderBy("doc_id")
+
+  // --- rows-only (scale paths; exactness covered in PipelineSpec) ----------
+
+  private def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(docs(spark, dir), threshold = 0.5)
+      .orderBy("a_id", "b_id")
+
+  private def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(spark, dir), maxHamming = 3)
+      .orderBy("a_id", "b_id")
+
+  private def neardupEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val v = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = IvfFlatIndex.train(spark, v, nlist = 8)
+    Dedup.embeddingNearDup(v, IvfFlatIndex.broadcastCentroids(spark, cents),
+      maxCosineDist = 0.65, assignProbes = 2)
+      .orderBy("a_id", "b_id")
+  }
+
+  private def knnSelfJoin(spark: SparkSession, dir: String): DataFrame = {
+    val v = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = IvfFlatIndex.train(spark, v, nlist = 8)
+    Similarity.knnSelfJoin(v, IvfFlatIndex.broadcastCentroids(spark, cents),
+      k = 5, assignProbes = 2)
+      .orderBy("qid", "rank")
+  }
+
+  private def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.mediaFromDocuments(spark, docs(spark, dir)))
+      .toDF()
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "text_analysis" -> (textAnalysis _),
+    "neardup_exact" -> (neardupExact _),
+    "filtered_ann" -> (filteredAnn _),
+    "multimodal_meta" -> (multimodalMeta _),
+    "minhash_pairs" -> (minhashPairs _),
+    "simhash_pairs" -> (simhashPairs _),
+    "neardup_embeddings" -> (neardupEmbeddings _),
+    "knn_self_join" -> (knnSelfJoin _),
+    "multimodal_features" -> (multimodalFeatures _),
+  )
+
+  private val sqlCosineDist: String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1, len($x)+1), " +
+        s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    s"1.0 - ${dot("a.a_vec", "b.b_vec")} / " +
+      s"(sqrt(${dot("a.a_vec", "a.a_vec")}) * sqrt(${dot("b.b_vec", "b.b_vec")}) + 1e-8)"
+  }
+
+  private val stop = graft.pipeline.TextAnalysis.Stopwords
+  private def sqlList(lang: String): String =
+    stop(lang).map(w => s"'$w'").mkString("[", ",", "]")
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_count, text
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH t0 AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS toks
+        |            FROM documents WHERE doc_id < 200),
+        |t AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh FROM t0),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / len(list_distinct(a.sh || b.sh)) AS jaccard
+        |      FROM t a, t b WHERE a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    "text_analysis" ->
+      s"""WITH b AS (SELECT doc_id, text,
+         |  regexp_extract_all(lower(text),'[a-z0-9]+') AS toks,
+         |  CAST(length(text) AS DOUBLE) AS n_chars,
+         |  CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) AS alpha_chars
+         |  FROM documents),
+         |s AS (SELECT doc_id, text, CAST(len(toks) AS DOUBLE) AS n_tok_d,
+         |  CAST(len(toks) AS INT) AS n_tokens,
+         |  len(list_intersect(toks, ${sqlList("en")})) AS s_en,
+         |  len(list_intersect(toks, ${sqlList("de")})) AS s_de,
+         |  len(list_intersect(toks, ${sqlList("es")})) AS s_es,
+         |  len(list_intersect(toks, ${sqlList("fr")})) AS s_fr,
+         |  n_chars, alpha_chars FROM b)
+         |SELECT doc_id, n_tokens,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred,
+         |  (least(n_tok_d / 20.0, 1.0) * 0.4
+         |   + (CASE WHEN n_chars > 0 THEN alpha_chars / n_chars ELSE 0.0 END) * 0.4
+         |   + (CASE WHEN n_tok_d > 0 AND alpha_chars / n_tok_d >= 3
+         |            AND alpha_chars / n_tok_d <= 10 THEN 1.0 ELSE 0.5 END) * 0.2) AS quality,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(list_filter(string_split_regex(text, ''), c -> c <> ''),
+         |        c -> CAST(ascii(c) AS BIGINT))),
+         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "neardup_exact" ->
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+         |a AS (SELECT vec_id AS a_id, embedding AS a_vec FROM v),
+         |b AS (SELECT vec_id AS b_id, embedding AS b_vec FROM v),
+         |d AS (SELECT a.a_id, b.b_id, $sqlCosineDist AS cos_dist
+         |      FROM a, b WHERE a.a_id < b.b_id)
+         |SELECT a_id, b_id, cos_dist FROM d WHERE cos_dist <= 0.65
+         |ORDER BY a_id, b_id""".stripMargin,
+    "filtered_ann" -> {
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(range(1, len($x)+1), " +
+          s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+      val cd = s"1.0 - ${dot("q.qv", "v.embedding")} / " +
+        s"(sqrt(${dot("q.qv", "q.qv")}) * sqrt(${dot("v.embedding", "v.embedding")}) + 1e-8)"
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |d AS (SELECT q.qid, v.vec_id AS id, $cd AS dist
+         |      FROM q, embeddings v WHERE v.label = 3),
+         |r AS (SELECT qid, id, dist,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS INT) AS rank
+         |      FROM d)
+         |SELECT qid, id, dist, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
+    "multimodal_meta" ->
+      s"""SELECT doc_id, 'text/plain' AS media_type,
+         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+         |  CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / ${Multimodal.FrameBytes}) AS INT) AS n_frames
+         |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

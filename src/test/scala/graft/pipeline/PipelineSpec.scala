@@ -1,0 +1,128 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.text
+import graft.index.IvfFlatIndex
+
+class PipelineSpec extends SparkSpec {
+
+  private lazy val docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 0
+      (2L, "der schnelle braune fuchs springt und der hund ist mit den anderen"),
+      (3L, "el perro y el gato de la casa que corre por en un jardin"),
+      (4L, "completely different text about spark query engines and columnar io"),
+      (5L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 0
+      (6L, ""))
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical text and keeps the lowest id") {
+    val d = Dedup.exact(docs).collect()
+    val dup = d.find(_.getLong(1) > 1).get
+    assert(dup.getLong(0) === 0L) // keep_id = min(0, 5)
+    assert(dup.getLong(1) === 2L)
+    assert(d.length === 6) // 7 docs, one exact pair
+  }
+
+  test("minhash LSH finds the near-duplicate pair without all-pairs compare") {
+    val pairs = Dedup.minhashLsh(docs, numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 5L))) // exact dup
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 5L)), s"near-dup missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated doc never pairs
+  }
+
+  test("minhash LSH candidates cover all high-jaccard pairs found exactly") {
+    val exact = Dedup.ngramJaccardExact(docs, ngram = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(lsh),
+      s"LSH missed exact pairs: ${exact -- lsh}") // 16 bands x 4 rows => ~certain at j>=0.5
+  }
+
+  test("simhash pairs: exact/near dup within hamming bound, distinct docs far apart") {
+    // a 1-word change in a ~13-token doc flips ~0.2*64 bits, so the
+    // near-dup bound is 16; unrelated docs sit near the ~32-bit mean
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs(((0L, 5L))) === 0) // identical text -> identical simhash
+    assert(pairs.contains((0L, 1L))) // near-dup within the bound
+    assert(!pairs.contains((2L, 3L)) && !pairs.contains((0L, 4L)))
+  }
+
+  test("embedding near-dup via IVF blocking finds the planted duplicate pair") {
+    val base = randomVectors(200, 16)
+    // plant a near-duplicate of vector 7 as id 1007
+    val planted = base :+ (1007L, base(7)._2.map(x => x + 0.001f))
+    val v = vectorsDF(planted)
+    val cents = IvfFlatIndex.train(spark, v, nlist = 4)
+    val pairs = Dedup.embeddingNearDup(v, IvfFlatIndex.broadcastCentroids(spark, cents),
+      maxCosineDist = 0.01, assignProbes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((7L, 1007L)), s"planted dup missed: $pairs")
+  }
+
+  test("knn self-join returns k neighbors per vector with no self-matches") {
+    val v = vectorsDF(randomVectors(100, 8))
+    val cents = IvfFlatIndex.train(spark, v, nlist = 4)
+    val res = Similarity.knnSelfJoin(v, IvfFlatIndex.broadcastCentroids(spark, cents), k = 3)
+    val rows = res.collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    val counts = rows.groupBy(_.getLong(0)).map(_._2.length)
+    assert(counts.forall(_ <= 3))
+    assert(counts.size === 100) // every vector got neighbors
+  }
+
+  test("language id picks the stopword-dominant language deterministically") {
+    val res = TextAnalysis.analyze(docs).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(res(0L) === "en")
+    assert(res(2L) === "de")
+    assert(res(3L) === "es")
+    assert(res(6L) === "en") // empty text: all scores 0 -> first priority wins
+  }
+
+  test("quality score lands in [0,1] and penalizes empty/degenerate docs") {
+    val q = TextAnalysis.analyze(docs).collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(6L) < q(0L)) // empty doc scores below a real sentence
+  }
+
+  test("fingerprint is deterministic and position-sensitive") {
+    val s = spark
+    import s.implicits._
+    val fp = Seq(("ab cd"), ("cd ab"), ("ab cd"))
+      .toDF("text").select(text.fingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(fp(0) === fp(2))
+    assert(fp(0) !== fp(1)) // rolling hash is order-sensitive, unlike bag-of-words
+  }
+
+  test("multimodal feature extraction preserves schema and determinism (stub decode)") {
+    val media = Multimodal.mediaFromDocuments(spark, docs)
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(f1.map(_.feature.toSeq) === f2.map(_.feature.toSeq))
+    assert(f1.forall(_.feature.length === Multimodal.FeatureDim))
+    val d0 = f1.find(_.doc_id == 0L).get
+    assert(d0.n_bytes === docs.filter(col("doc_id") === 0).head().getString(1).length)
+    assert(d0.n_frames === (d0.n_bytes + Multimodal.FrameBytes - 1) / Multimodal.FrameBytes)
+    assert(f1.find(_.doc_id == 6L).get.byte_entropy === 0.0)
+  }
+
+  test("word n-grams: boundary cases (short docs, exact n)") {
+    val s = spark
+    import s.implicits._
+    val r = Seq("a b c d", "a b", "").toDF("t")
+      .select(text.word_ngrams(text.tokenize(col("t")), 3).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(r(0) === Seq("a b c", "b c d"))
+    assert(r(1) === Seq.empty)
+    assert(r(2) === Seq.empty)
+  }
+}
