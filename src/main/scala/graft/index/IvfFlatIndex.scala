@@ -39,18 +39,62 @@ class IvfFlatIndex(
   /**
    * Batch k-NN (S6). Queries: (qid LONG, qvec ARRAY<FLOAT>).
    * Returns (qid, id, dist DOUBLE, rank INT), rank 1..k by (dist, id).
+   *
+   * Two probe strategies, auto-selected by batch size:
+   *
+   *  - **static pruning** (batch <= [[IvfFlatIndex.MaxStaticBatch]], the
+   *    serving shape — the reference coalesces at most 64 queries/batch):
+   *    the probe runs distributed, but only the (qid, list_id) PAIRS — a
+   *    few KB of metadata, never vector data — come back to the driver to
+   *    build a literal `list_id IN (...)` predicate. That predicate reaches
+   *    the parquet scan as a PartitionFilter, so a 100 TB corpus reads only
+   *    nprobe/nlist of its partitions. This is the Spark equivalent of the
+   *    reference loading only the probed lists (ivf_flat_index.cpp:238).
+   *
+   *  - **join pruning** (larger batches, e.g. index-wide self-join):
+   *    fully-distributed broadcast equi-join on list_id with no driver
+   *    round-trip; the scan is pruned dynamically when DPP fires, and at
+   *    worst degrades to a full scan that is still a single pass.
    */
   def search(queries: DataFrame, params: SearchParams): DataFrame = {
     val m = params.metric.getOrElse(metric)
     val nprobe = math.min(params.nprobe, nlist)
-    val probed = queries
-      .withColumn("list_id",
-        explode(vector.probe_lists(col("qvec"), centroids, nprobe, m)))
+    val isSmall =
+      queries.limit(IvfFlatIndex.MaxStaticBatch + 1).count() <= IvfFlatIndex.MaxStaticBatch
+    if (isSmall) searchStaticPruned(queries, params.k, nprobe, m)
+    else searchJoinPruned(queries, params.k, nprobe, m)
+  }
+
+  private def probePairs(queries: DataFrame, nprobe: Int, m: Metric.Value): DataFrame =
+    queries.select(
+      col("qid"),
+      explode(vector.probe_lists(col("qvec"), centroids, nprobe, m)).as("list_id"))
+
+  private def searchStaticPruned(
+      queries: DataFrame, k: Int, nprobe: Int, m: Metric.Value): DataFrame = {
+    val pairs = probePairs(queries, nprobe, m)
+      .collect() // metadata only: <= batch x nprobe (qid, list_id) ints
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val listIds = pairs.map(_._2).distinct.toSeq
+    val pairsDF = spark.createDataFrame(pairs).toDF("qid", "list_id")
+    val probed = pairsDF.join(broadcast(queries), "qid")
+    val candidates = vectors
+      .filter(col("list_id").isInCollection(listIds)) // static partition pruning
+      .join(broadcast(probed), "list_id")
+      .withColumn("dist", vector.distance(col("qvec"), col("vec"), m))
+      .select("qid", "id", "dist")
+    Knn.topKPerQuery(candidates, k).select("qid", "id", "dist", "rank")
+  }
+
+  private def searchJoinPruned(
+      queries: DataFrame, k: Int, nprobe: Int, m: Metric.Value): DataFrame = {
+    val probed = queries.withColumn("list_id",
+      explode(vector.probe_lists(col("qvec"), centroids, nprobe, m)))
     val candidates = vectors
       .join(broadcast(probed), "list_id")
       .withColumn("dist", vector.distance(col("qvec"), col("vec"), m))
       .select("qid", "id", "dist")
-    Knn.topKPerQuery(candidates, params.k).select("qid", "id", "dist", "rank")
+    Knn.topKPerQuery(candidates, k).select("qid", "id", "dist", "rank")
   }
 
   /** Exact brute-force scan (S1) — also the recall oracle for IVF. */
@@ -60,6 +104,10 @@ class IvfFlatIndex(
 }
 
 object IvfFlatIndex {
+
+  /** Batches up to this size use the static-pruning probe (the reference's
+    * serving batches cap at 64, server/query_service.h:25). */
+  val MaxStaticBatch = 256
 
   /** Train centroids (S8) from (id, vec) rows — seed 42, 10 Lloyd iters. */
   def train(

@@ -43,20 +43,30 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
+    // both sides of the self-join reference these subplans; Spark has no
+    // cross-branch CSE, so persist them once (ids + band keys are tiny
+    // relative to the corpus; shingles are one text-scan's worth)
     val toks = docs.select(
       col(idCol).as("id"),
       text.word_ngrams(text.tokenize(col(textCol)), ngram).as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // band join carries ONLY ids: candidate volume is pairs x 8 bytes, not
+    // pairs x shingle arrays; payloads join back after the distinct
     val sigs = toks
       .withColumn("sig", text.minhash_signature(col("shingles"), numHashes))
-      .select(col("id"), col("shingles"),
+      .select(col("id"),
         posexplode(text.lsh_bands(col("sig"), numHashes, bands)).as(Seq("pos", "band")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sigs.select(col("pos").as("band_pos"), col("band").as("band_key"),
-      col("id").as("a_id"), col("shingles").as("a_sh"))
+      col("id").as("a_id"))
     val b = sigs.select(col("pos").as("band_pos"), col("band").as("band_key"),
-      col("id").as("b_id"), col("shingles").as("b_sh"))
-    a.join(b, Seq("band_pos", "band_key"))
+      col("id").as("b_id"))
+    val cands = a.join(b, Seq("band_pos", "band_key"))
       .filter(pairUp(col("a_id"), col("b_id")))
-      .select("a_id", "b_id", "a_sh", "b_sh").distinct()
+      .select("a_id", "b_id").distinct()
+    cands
+      .join(toks.select(col("id").as("a_id"), col("shingles").as("a_sh")), "a_id")
+      .join(toks.select(col("id").as("b_id"), col("shingles").as("b_sh")), "b_id")
       .withColumn("jaccard",
         size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
           size(array_union(col("a_sh"), col("b_sh"))))
@@ -139,16 +149,22 @@ object Dedup {
       centroids: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
       maxCosineDist: Double = 0.2,
       assignProbes: Int = 2): DataFrame = {
+    // bucket join on (list_id, id) only — vectors join back per candidate
+    // pair after the distinct, so the heavy column never rides the
+    // quadratic part of the shuffle
     val assigned = vectors.select(
       col("id"),
-      col("vec"),
       explode(vector.probe_lists(col("vec"), centroids, assignProbes, Metric.L2))
         .as("list_id"))
-    val a = assigned.select(col("list_id"), col("id").as("a_id"), col("vec").as("a_vec"))
-    val b = assigned.select(col("list_id"), col("id").as("b_id"), col("vec").as("b_vec"))
-    a.join(b, Seq("list_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("list_id"), col("id").as("a_id"))
+    val b = assigned.select(col("list_id"), col("id").as("b_id"))
+    val cands = a.join(b, Seq("list_id"))
       .filter(pairUp(col("a_id"), col("b_id")))
-      .select("a_id", "b_id", "a_vec", "b_vec").distinct()
+      .select("a_id", "b_id").distinct()
+    cands
+      .join(vectors.select(col("id").as("a_id"), col("vec").as("a_vec")), "a_id")
+      .join(vectors.select(col("id").as("b_id"), col("vec").as("b_vec")), "b_id")
       .withColumn("cos_dist", vector.cosine_distance(col("a_vec"), col("b_vec")))
       .filter(col("cos_dist") <= maxCosineDist)
       .select("a_id", "b_id", "cos_dist")

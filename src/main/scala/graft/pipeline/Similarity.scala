@@ -60,6 +60,7 @@ object Similarity {
       col("id"), col("vec"),
       explode(vector.probe_lists(col("vec"), centroids, assignProbes, Metric.L2))
         .as("list_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("list_id"), col("id").as("qid"), col("vec").as("qvec"))
     val b = assigned.select(col("list_id"), col("id"), col("vec"))
     val cands = a.join(b, Seq("list_id"))

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured-Streaming surface of the engine. The reference has no data
+ * streaming at all — its only time window is the 2 ms RPC coalescing queue
+ * (reference server/query_service.cpp:612-636); these operators are the
+ * SURVEY §7.5 "streaming ingest" extension: an events stream feeding
+ * watermarked windowed aggregation, stateful sessionization, and an
+ * append-only staging area that a periodic BuildEpoch re-clusters.
+ */
+object StreamingIngest {
+
+  case class Event(
+      event_id: Long,
+      ts: Timestamp,
+      user_id: Long,
+      event_type: String,
+      value: Double)
+
+  case class Session(
+      user_id: Long,
+      n_events: Int,
+      total_value: Double,
+      started: Timestamp,
+      ended: Timestamp)
+
+  /**
+   * Tumbling-window rollup with late-data handling: watermark bounds state,
+   * so this runs forever on an unbounded stream without growing memory —
+   * the scale requirement for a 100 TB/day event feed.
+   */
+  def windowedCounts(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /**
+   * Stateful sessionization via mapGroupsWithState: one state entry per
+   * user, closed by a processing-time timeout — the
+   * KeyValueGroupedDataset custom-state path (SURVEY §2.8 streaming row).
+   */
+  def sessionize(
+      events: Dataset[Event],
+      timeoutMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    // timeoutMs <= 0 disables session expiry (useful for deterministic
+    // tests: a processing-time timeout keeps scheduling micro-batches,
+    // so processAllAvailable never sees an idle stream)
+    val conf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Session, Session](conf) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[Session]) =>
+          if (state.hasTimedOut) {
+            val out = state.get
+            state.remove()
+            out
+          } else {
+            val evs = rows.toSeq
+            val prev = state.getOption
+            val merged = Session(
+              user_id = userId,
+              n_events = prev.map(_.n_events).getOrElse(0) + evs.size,
+              total_value = prev.map(_.total_value).getOrElse(0.0) + evs.map(_.value).sum,
+              started = prev.map(_.started)
+                .getOrElse(evs.map(_.ts).minBy(_.getTime)),
+              ended = evs.map(_.ts).maxBy(_.getTime))
+            state.update(merged)
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            merged
+          }
+      }
+  }
+
+  /**
+   * Streaming ingest into an epoch staging directory: append-only parquet
+   * that a periodic (batch) BuildEpoch picks up and re-clusters — the
+   * streaming half of the CreateIndex -> BuildEpoch -> ActivateEpoch loop.
+   */
+  def ingestToStaging(
+      events: DataFrame,
+      stagingPath: String,
+      checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .format("parquet")
+      .option("path", stagingPath)
+      .option("checkpointLocation", checkpointPath)
+      .outputMode(OutputMode.Append())
+      .start()
+}

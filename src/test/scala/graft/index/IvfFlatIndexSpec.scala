@@ -104,4 +104,17 @@ class IvfFlatIndexSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") || pruned.count() ==
       index.vectors.filter(col("list_id") === 3).count())
   }
+
+  test("small-batch search over an epoch table prunes partitions statically") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-epoch2").toString
+    IvfFlatIndex.writeEpoch(index.vectors, s"$tmp/vectors")
+    val epochIdx = new IvfFlatIndex(
+      spark, IvfFlatIndex.readEpoch(spark, s"$tmp/vectors"), index.centroids, Metric.L2)
+    val res = epochIdx.search(queriesDF(queries.take(4)), SearchParams(k = 5, nprobe = 2))
+    res.collect()
+    val plan = res.queryExecution.executedPlan.toString
+    // the probe's list ids must reach the parquet scan as a partition IN-filter
+    assert(plan.contains("PartitionFilters: [list_id"), s"no static pruning in:\n$plan")
+    assert(plan.contains(" IN ("), s"no IN filter in:\n$plan")
+  }
 }

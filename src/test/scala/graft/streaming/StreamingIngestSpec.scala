@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.streaming.StreamingIngest.{Event, Session}
+
+class StreamingIngestSpec extends SparkSpec {
+
+  private def ts(minute: Int) = new Timestamp(3600L * 1000 * 24 + minute * 60000L)
+
+  test("windowed counts aggregate a streaming source incrementally") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingIngest
+      .windowedCounts(mem.toDF(), windowLength = "10 minutes", watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 2, "click", 2.0),
+        Event(3, ts(11), 1, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+      val click = rows.find(_.getString(1) == "click").get
+      assert(click.getLong(2) === 2L)
+      assert(click.getDouble(3) === 3.0)
+      val view = rows.find(_.getString(1) == "view").get
+      assert(view.getLong(2) === 1L)
+      // two distinct 10-minute windows
+      assert(rows.map(_.get(0)).distinct.length === 2)
+    } finally q.stop()
+  }
+
+  test("sessionize merges per-user state across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingIngest.sessionize(mem.toDS(), timeoutMs = 0).toDF()
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(1), 7, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(2), 7, "click", 4.0), Event(4, ts(0), 8, "view", 9.0))
+      q.processAllAvailable()
+      val byUser = spark.table("sessions").as[Session].collect()
+        .groupBy(_.user_id).map { case (u, ss) => u -> ss.maxBy(_.n_events) }
+      assert(byUser(7L).n_events === 3)
+      assert(byUser(7L).total_value === 7.0)
+      assert(byUser(7L).started === ts(0))
+      assert(byUser(7L).ended === ts(2))
+      assert(byUser(8L).n_events === 1)
+    } finally q.stop()
+  }
+
+  test("streaming ingest appends to an epoch staging dir readable by batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-staging").toString
+    val mem = MemoryStream[Event]
+    val q = StreamingIngest.ingestToStaging(
+      mem.toDF(), s"$tmp/staging", s"$tmp/ckpt")
+    try {
+      mem.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 2, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(2), 3, "click", 3.0))
+      q.processAllAvailable()
+      val staged = spark.read.parquet(s"$tmp/staging")
+      assert(staged.count() === 3)
+      assert(staged.columns.toSet ===
+        Set("event_id", "ts", "user_id", "event_type", "value"))
+    } finally q.stop()
+  }
+}
