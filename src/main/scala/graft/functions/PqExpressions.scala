@@ -1,0 +1,184 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshims
+import org.apache.spark.sql.types._
+
+/**
+ * Product-quantization kernels (reference engine/kernels.cuh:186-312 —
+ * declared in the reference's host API but never wired there; implemented
+ * for real here). Codebooks are `(m)(ks)(dsub)`; a code is `m` bytes;
+ * the ADC table for a query is `m x ks` squared-L2 distances between each
+ * query subvector and each codeword; a candidate's distance is the sum of
+ * `m` table lookups.
+ */
+object PqKernels {
+
+  /** Nearest-codeword index per subspace (encode, kernels.cuh analog). */
+  def encode(v: Array[Float], codebooks: Array[Array[Array[Float]]]): Array[Byte] = {
+    val m = codebooks.length
+    val out = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val dsub = cb(0).length
+      val off = s * dsub
+      var best = 0
+      var bestDist = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cw = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val diff = v(off + i).toDouble - cw(i).toDouble
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestDist) { bestDist = d; best = c }
+        c += 1
+      }
+      out(s) = best.toByte
+      s += 1
+    }
+    out
+  }
+
+  /** ADC lookup table for one query: [m][ks] squared L2 (kernels.cuh:188-223). */
+  def adcTable(q: Array[Float], codebooks: Array[Array[Array[Float]]]): ArrayData = {
+    val m = codebooks.length
+    val rows = new Array[ArrayData](m)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val dsub = cb(0).length
+      val off = s * dsub
+      val row = new Array[Double](cb.length)
+      var c = 0
+      while (c < cb.length) {
+        val cw = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val diff = q(off + i).toDouble - cw(i).toDouble
+          d += diff * diff
+          i += 1
+        }
+        row(c) = d
+        c += 1
+      }
+      rows(s) = new GenericArrayData(row)
+      s += 1
+    }
+    new GenericArrayData(rows.asInstanceOf[Array[Any]])
+  }
+
+  /** ADC distance: sum of per-subspace table lookups (kernels.cuh:280-287). */
+  def adcDistance(table: ArrayData, codes: ArrayData): Double = {
+    var d = 0.0
+    val m = codes.numElements()
+    var i = 0
+    while (i < m) {
+      d += table.getArray(i).getDouble(codes.getByte(i) & 0xff)
+      i += 1
+    }
+    d
+  }
+
+  /** Decode a PQ code back to its codeword concatenation (for tests). */
+  def decode(code: Array[Byte], codebooks: Array[Array[Array[Float]]]): Array[Float] = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val out = new Array[Float](m * dsub)
+    var s = 0
+    while (s < m) {
+      System.arraycopy(codebooks(s)(code(s) & 0xff), 0, out, s * dsub, dsub)
+      s += 1
+    }
+    out
+  }
+}
+
+/** Encode an ARRAY<FLOAT> vector into m PQ code bytes. */
+case class PqEncode(child: Expression, codebooks: Broadcast[Array[Array[Array[Float]]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      PqKernels.encode(v.asInstanceOf[ArrayData].toFloatArray(), codebooks.value))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bc = ctx.addReferenceObj("pqCodebooks", codebooks,
+      classOf[Broadcast[Array[Array[Array[Float]]]]].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.PqKernels.encode($v.toFloatArray(), (float[][][]) $bc.value()));")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+}
+
+/** Per-query ADC table: ARRAY<ARRAY<DOUBLE>> of m x ks squared L2. */
+case class PqAdcTable(child: Expression, codebooks: Broadcast[Array[Array[Array[Float]]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc_table"
+
+  override def nullSafeEval(v: Any): Any =
+    PqKernels.adcTable(v.asInstanceOf[ArrayData].toFloatArray(), codebooks.value)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bc = ctx.addReferenceObj("pqCodebooks", codebooks,
+      classOf[Broadcast[Array[Array[Array[Float]]]]].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.PqKernels.adcTable(" +
+        s"$v.toFloatArray(), (float[][][]) $bc.value());")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqAdcTable = copy(child = c)
+}
+
+/** Sum of table lookups: distance between a query's ADC table and a code. */
+case class PqAdcDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc_distance"
+
+  override def nullSafeEval(table: Any, codes: Any): Any =
+    PqKernels.adcDistance(table.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, c) =>
+      s"${ev.value} = graft.functions.PqKernels.adcDistance($t, $c);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcDistance =
+    copy(left = newLeft, right = newRight)
+}
+
+object pq {
+  private def col(e: Expression): Column = graftshims.column(e)
+  private def ex(c: Column): Expression = graftshims.expression(c)
+
+  def pq_encode(v: Column, codebooks: Broadcast[Array[Array[Array[Float]]]]): Column =
+    col(PqEncode(ex(v), codebooks))
+
+  def pq_adc_table(q: Column, codebooks: Broadcast[Array[Array[Array[Float]]]]): Column =
+    col(PqAdcTable(ex(q), codebooks))
+
+  def pq_adc_distance(table: Column, codes: Column): Column =
+    col(PqAdcDistance(ex(table), ex(codes)))
+}

@@ -85,6 +85,37 @@ object VectorQueries {
     index.search(queries, SearchParams(k = K, nprobe = 4)).orderBy("qid", "rank")
   }
 
+  /**
+   * IVF-PQ with exhaustive probe + full exact rerank (S10-S13): ADC
+   * prefilter then exact re-scoring over every candidate reduces to exact
+   * kNN, so the same DuckDB oracle checks the whole PQ pipeline
+   * (train codebooks -> encode -> ADC tables -> lookup-sum -> rerank).
+   */
+  private def ivfpqSearchRerank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.SearchParams
+    import graft.index.IvfPqIndex
+    val e = emb(spark, dir)
+    val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val index = IvfPqIndex.build(spark, vectors, nlist = 16, m = 8, nbits = 8)
+    index.search(queries, SearchParams(k = K, nprobe = 16), rerankK = 100000)
+      .orderBy("qid", "rank")
+  }
+
+  /** ADC-only IVF-PQ search — approximate, rows-only checked (recall floor
+    * asserted in IvfPqIndexSpec). */
+  private def ivfpqSearchAdc(spark: SparkSession, dir: String): DataFrame = {
+    import graft.SearchParams
+    import graft.index.IvfPqIndex
+    val e = emb(spark, dir)
+    val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val index = IvfPqIndex.build(spark, vectors, nlist = 16, m = 8, nbits = 8)
+    index.search(queries, SearchParams(k = K, nprobe = 4)).orderBy("qid", "rank")
+  }
+
   // --- DuckDB oracle fragments -------------------------------------------
 
   /** Squared L2 in double, sequential accumulation (matches VectorKernels.l2).
@@ -122,6 +153,8 @@ object VectorQueries {
     "assign_lists" -> (assignLists _),
     "ivf_search_full" -> (ivfSearchFull _),
     "ivf_search_probe" -> (ivfSearchProbe _),
+    "ivfpq_search_rerank" -> (ivfpqSearchRerank _),
+    "ivfpq_search_adc" -> (ivfpqSearchAdc _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -130,6 +163,8 @@ object VectorQueries {
     "knn_exact_cosine" -> knnOracle(sqlCosine("q.qv", "v.embedding")),
     // nprobe = nlist makes IVF exhaustive, so exact kNN is the oracle
     "ivf_search_full" -> knnOracle(sqlL2("q.qv", "v.embedding")),
+    // exhaustive probe + full exact rerank makes IVF-PQ exact too
+    "ivfpq_search_rerank" -> knnOracle(sqlL2("q.qv", "v.embedding")),
     "normalize_vectors" ->
       """WITH n AS (SELECT vec_id, embedding,
         |  1.0 / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) + 1e-8) AS inv

@@ -1,0 +1,91 @@
+package graft.index
+
+import graft.{SearchParams, SparkSpec}
+import graft.functions.PqKernels
+import graft.kmeans.Lloyd
+
+class IvfPqIndexSpec extends SparkSpec {
+
+  private lazy val data = randomVectors(1000, 16)
+  private lazy val queries = randomVectors(8, 16, seed = 12345)
+  private lazy val index = IvfPqIndex.build(spark, vectorsDF(data), nlist = 8, m = 4, nbits = 6)
+
+  test("codebooks have shape m x ks x dsub and training is deterministic") {
+    val sample = data.map(_._2).toArray
+    val b1 = IvfPqIndex.trainCodebooks(sample, m = 4, nbits = 6)
+    val b2 = IvfPqIndex.trainCodebooks(sample, m = 4, nbits = 6)
+    assert(b1.length === 4)
+    assert(b1.forall(_.length === 64))
+    assert(b1.forall(_.forall(_.length === 4)))
+    assert(b1.map(_.map(_.toSeq).toSeq).toSeq === b2.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("encode/decode quantization error is bounded and ADC equals decoded distance") {
+    val sample = data.map(_._2).toArray
+    val books = IvfPqIndex.trainCodebooks(sample, m = 4, nbits = 6)
+    val v = sample(17)
+    val code = PqKernels.encode(v, books)
+    val dec = PqKernels.decode(code, books)
+    val qerr = graft.functions.VectorKernels.l2(v, dec)
+    assert(qerr < 4.0, s"quantization error too large: $qerr")
+    // ADC distance of query q to code(v) == exact L2(q, decode(v))
+    val q = queries.head._2
+    val table = PqKernels.adcTable(q, books)
+    val adc = PqKernels.adcDistance(table,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(code))
+    val viaDecode = graft.functions.VectorKernels.l2(q, dec)
+    assert(math.abs(adc - viaDecode) < 1e-9)
+  }
+
+  test("ADC-only search recall@10 vs exact is reasonable") {
+    val q = queriesDF(queries)
+    val adc = index.search(q, SearchParams(k = 10, nprobe = 8)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flat = IvfFlatIndex.build(spark, vectorsDF(data), nlist = 8)
+    val exact = flat.searchExact(q, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (adc & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ADC recall@10 was $recall")
+  }
+
+  test("full rerank over all candidates makes IVF-PQ exact (the S13 differential)") {
+    val q = queriesDF(queries)
+    val reranked = index.search(
+      q, SearchParams(k = 10, nprobe = 8), rerankK = data.size).collect()
+    val flat = IvfFlatIndex.build(spark, vectorsDF(data), nlist = 8)
+    val exact = flat.searchExact(q, 10).collect()
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))
+    assert(reranked.map(key).sortBy(x => (x._1, x._2)) ===
+      exact.map(key).sortBy(x => (x._1, x._2)))
+  }
+
+  test("moderate rerank beats ADC-only recall") {
+    val q = queriesDF(queries)
+    val flat = IvfFlatIndex.build(spark, vectorsDF(data), nlist = 8)
+    val exact = flat.searchExact(q, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame) = {
+      val s = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (s & exact).size.toDouble / exact.size
+    }
+    val adcOnly = recallOf(index.search(q, SearchParams(k = 10, nprobe = 8)))
+    val rr = recallOf(index.search(q, SearchParams(k = 10, nprobe = 8), rerankK = 50))
+    assert(rr >= adcOnly, s"rerank recall $rr < adc-only $adcOnly")
+  }
+
+  test("codebook parquet roundtrip preserves the (sub << 16) | centroid packing") {
+    val sample = data.take(200).map(_._2).toArray
+    val books = IvfPqIndex.trainCodebooks(sample, m = 2, nbits = 4)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    IvfPqIndex.writeCodebooks(spark, books, s"$tmp/codebooks")
+    val back = IvfPqIndex.readCodebooks(spark, s"$tmp/codebooks")
+    assert(back.map(_.map(_.toSeq).toSeq).toSeq === books.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("nbits bounds are enforced") {
+    val sample = data.take(100).map(_._2).toArray
+    intercept[IllegalArgumentException](IvfPqIndex.trainCodebooks(sample, m = 4, nbits = 9))
+    intercept[IllegalArgumentException](IvfPqIndex.trainCodebooks(sample, m = 5, nbits = 4))
+  }
+}
