@@ -38,6 +38,16 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
   private val served = TrieMap.empty[String, Served]
   private val epochManagers = TrieMap.empty[String, EpochManager]
 
+  /** C1/LFU hotness: per-index probe counts and last access per list
+    * (reference InvertedList.access_count/last_access,
+    * engine/ivf_flat_index.h:34-35, updated at ivf_flat_index.cpp:227-229). */
+  private val listStats =
+    TrieMap.empty[String, TrieMap[Int, (Long, Long)]] // list -> (count, lastMs)
+
+  /** A5 build-progress registry (query_service.cpp:475-513: progress 0->1,
+    * concurrent builds for one index are rejected). */
+  private val builds = TrieMap.empty[String, java.util.concurrent.atomic.AtomicReference[Double]]
+
   private def indexPath(name: String) = s"$dataPath/$name"
   private def manifestPath(name: String) = s"${indexPath(name)}/manifest.json"
   private def epochManager(name: String): EpochManager =
@@ -68,27 +78,86 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
    *               [[VectorDB.readVectorParquet]]
    */
   def buildEpoch(name: String, source: DataFrame): String = {
+    val progress = new java.util.concurrent.atomic.AtomicReference[Double](0.0)
+    if (builds.putIfAbsent(name, progress).isDefined)
+      throw new InvalidArgumentException(s"Build already in progress for index: $name")
+    try doBuildEpoch(name, source, progress)
+    finally builds.remove(name)
+  }
+
+  private def doBuildEpoch(
+      name: String,
+      source: DataFrame,
+      progress: java.util.concurrent.atomic.AtomicReference[Double]): String = {
     val manifest = indexManifest(name)
+    locally {
+      val em = epochManager(name)
+      val epochId = em.createEpoch()
+      val path = em.epochPath(epochId)
+      progress.set(0.1)
+
+      val cents = IvfFlatIndex.train(spark, source, manifest.nlist)
+      progress.set(0.5)
+      val bc = IvfFlatIndex.broadcastCentroids(spark, cents)
+      IvfFlatIndex.writeEpoch(IvfFlatIndex.assign(source, bc), s"$path/vectors")
+      progress.set(0.8)
+      writeCentroids(cents, s"$path/centroids")
+
+      val shardCounts = spark.read.parquet(s"$path/vectors")
+        .groupBy("list_id").count().collect()
+        .map(r => ShardInfo(r.getInt(0), s"$path/vectors/list_id=${r.getInt(0)}", r.getLong(1)))
+        .sortBy(_.listId)
+      manifest.copy(
+        epoch = epochId,
+        createdAt = System.currentTimeMillis(),
+        numVectors = shardCounts.map(_.numVectors).sum,
+        shards = shardCounts.toSeq)
+        .save(s"$path/manifest.json")
+      progress.set(1.0)
+      epochId
+    }
+  }
+
+  /**
+   * A5 async flavor: the reference's BuildEpoch spawns a worker thread and
+   * reports progress 0 -> 1 (query_service.cpp:499, 549-584 — a
+   * placeholder there; real here). Poll with [[buildProgress]]. The build
+   * slot is reserved SYNCHRONOUSLY, so a concurrent second build for the
+   * same index is rejected before any async work starts.
+   */
+  def buildEpochAsync(name: String, source: DataFrame)(
+      implicit ec: scala.concurrent.ExecutionContext):
+      scala.concurrent.Future[String] = {
+    indexManifest(name) // validate the index exists before going async
+    val progress = new java.util.concurrent.atomic.AtomicReference[Double](0.0)
+    if (builds.putIfAbsent(name, progress).isDefined)
+      throw new InvalidArgumentException(s"Build already in progress for index: $name")
+    scala.concurrent.Future {
+      try doBuildEpoch(name, source, progress)
+      finally builds.remove(name)
+    }
+  }
+
+  /** Progress of an in-flight build: 0..1, or None when no build runs. */
+  def buildProgress(name: String): Option[Double] = builds.get(name).map(_.get())
+
+  /**
+   * S9 add: assign a new batch against the SERVING epoch's centroids and
+   * append it to that epoch's lists (ivf_flat_index.cpp:148-202). Only the
+   * touched list partitions gain files; serving picks the rows up on
+   * reload (stale-cache eviction analog).
+   */
+  def addVectors(name: String, batch: DataFrame): Long = {
+    val s = served.getOrElse(name, throw new NotFoundException(s"Index not found: $name"))
     val em = epochManager(name)
-    val epochId = em.createEpoch()
-    val path = em.epochPath(epochId)
-
-    val cents = IvfFlatIndex.train(spark, source, manifest.nlist)
-    val bc = IvfFlatIndex.broadcastCentroids(spark, cents)
-    IvfFlatIndex.writeEpoch(IvfFlatIndex.assign(source, bc), s"$path/vectors")
-    writeCentroids(cents, s"$path/centroids")
-
-    val shardCounts = spark.read.parquet(s"$path/vectors")
-      .groupBy("list_id").count().collect()
-      .map(r => ShardInfo(r.getInt(0), s"$path/vectors/list_id=${r.getInt(0)}", r.getLong(1)))
-      .sortBy(_.listId)
-    manifest.copy(
-      epoch = epochId,
-      createdAt = System.currentTimeMillis(),
-      numVectors = shardCounts.map(_.numVectors).sum,
-      shards = shardCounts.toSeq)
-      .save(s"$path/manifest.json")
-    epochId
+    val path = em.epochPath(s.epochId)
+    val assigned = IvfFlatIndex.assign(batch, s.index.centroids)
+    IvfFlatIndex.appendToEpoch(assigned, s"$path/vectors")
+    val added = batch.count()
+    val updated = Manifest.load(s"$path/manifest.json")
+    updated.copy(numVectors = updated.numVectors + added).save(s"$path/manifest.json")
+    loadServed(name, s.epochId) // re-read: new files become visible
+    added
   }
 
   // --- A6/A3 ActivateEpoch / LoadIndex ------------------------------------
@@ -118,8 +187,30 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     val cents = readCentroids(s"$path/centroids")
     val bc = IvfFlatIndex.broadcastCentroids(spark, cents)
     val vectors = IvfFlatIndex.readEpoch(spark, s"$path/vectors")
-    served.put(name, Served(manifest, new IvfFlatIndex(spark, vectors, bc, manifest.metric), epochId))
+    val stats = listStats.getOrElseUpdate(name, TrieMap.empty)
+    val listener: Array[(Long, Int)] => Unit = pairs => {
+      val now = System.currentTimeMillis()
+      pairs.groupBy(_._2).foreach { case (listId, hits) =>
+        val (c, _) = stats.getOrElse(listId, (0L, 0L))
+        stats.put(listId, (c + hits.length, now))
+      }
+    }
+    served.put(name,
+      Served(manifest, new IvfFlatIndex(spark, vectors, bc, manifest.metric, listener), epochId))
   }
+
+  /** C1: per-list access stats of the serving index — (list_id, probe
+    * count, last access ms), hottest first. */
+  def hotLists(name: String, topN: Int = 10): Seq[(Int, Long, Long)] =
+    listStats.getOrElse(name, TrieMap.empty).toSeq
+      .map { case (l, (c, t)) => (l, c, t) }
+      .sortBy { case (l, c, _) => (-c, l) }
+      .take(topN)
+
+  /** C1: persist the hottest lists (LFU preload — reference
+    * prefetcher.h:139-183 ListPrefetcher hotness idea). */
+  def warmupHot(name: String, topN: Int = 10): Long =
+    warmup(name, hotLists(name, topN).map(_._1))
 
   // --- A1 Search -----------------------------------------------------------
 
@@ -227,4 +318,10 @@ object VectorDB {
       col(idCol).cast(LongType).as("id"),
       col(vecCol).cast(ArrayType(FloatType)).as("vec"))
   }
+
+  /** F1 slice read (reference ArrowStorage::read_vectors offset/length,
+    * format/storage.cpp:142-180): a deterministic id-ordered window. */
+  def readVectorSlice(
+      spark: SparkSession, path: String, offset: Int, length: Int): DataFrame =
+    readVectorParquet(spark, path).orderBy("id").offset(offset).limit(length)
 }

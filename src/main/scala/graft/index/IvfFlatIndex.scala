@@ -31,7 +31,11 @@ class IvfFlatIndex(
     val spark: SparkSession,
     val vectors: DataFrame,
     val centroids: Broadcast[Array[Array[Float]]],
-    val metric: Metric.Value) {
+    val metric: Metric.Value,
+    /** Called with the (qid, list_id) probe pairs of each small-batch
+      * search — feeds LFU hot-list stats (reference access_count /
+      * last_access, engine/ivf_flat_index.h:34-35). */
+    val probeListener: Array[(Long, Int)] => Unit = _ => ()) {
 
   def nlist: Int = centroids.value.length
   def dimension: Int = centroids.value.head.length
@@ -75,6 +79,7 @@ class IvfFlatIndex(
     val pairs = probePairs(queries, nprobe, m)
       .collect() // metadata only: <= batch x nprobe (qid, list_id) ints
       .map(r => (r.getLong(0), r.getInt(1)))
+    probeListener(pairs)
     val listIds = pairs.map(_._2).distinct.toSeq
     val pairsDF = spark.createDataFrame(pairs).toDF("qid", "list_id")
     val probed = pairsDF.join(broadcast(queries), "qid")
@@ -136,6 +141,20 @@ object IvfFlatIndex {
     assigned
       .write
       .mode("overwrite")
+      .partitionBy("list_id")
+      .parquet(epochPath)
+
+  /**
+   * S9 append semantics (ivf_flat_index.cpp:148-202): add a new batch to
+   * an existing epoch's lists. Only the touched list partitions gain new
+   * files; untouched lists are not rewritten (dynamic partition append).
+   * The reference additionally evicts stale GPU copies of touched lists —
+   * the Spark analog is that a re-read/persist picks up the new files.
+   */
+  def appendToEpoch(assigned: DataFrame, epochPath: String): Unit =
+    assigned
+      .write
+      .mode("append")
       .partitionBy("list_id")
       .parquet(epochPath)
 

@@ -90,6 +90,48 @@ class VectorDBSpec extends SparkSpec {
     assert(db.stats("test_index")("epoch") === epoch2)
   }
 
+  test("addVectors appends to the serving epoch's lists (S9 semantics)") {
+    ready
+    val before = db.stats("test_index")("num_vectors").asInstanceOf[Long]
+    val newRows = vectorsDF(randomVectors(20, 8, seed = 77)
+      .map { case (i, v) => (i + 100000L, v) })
+    assert(db.addVectors("test_index", newRows) === 20L)
+    assert(db.stats("test_index")("num_vectors") === before + 20)
+    // the appended vectors are searchable: query one of them exactly
+    val q = newRows.limit(1).selectExpr("id as qid", "vec as qvec")
+    val hit = db.search("test_index", q, topk = 1, nprobe = 4).head()
+    assert(hit.getLong(1) >= 100000L)
+    assert(hit.getDouble(2) === 0.0)
+  }
+
+  test("build progress reporting and async build (A5)") {
+    ready
+    assert(db.buildProgress("test_index").isEmpty) // idle
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fut = db.buildEpochAsync("test_index", vectorsDF(randomVectors(100, 8, seed = 3)))
+    val epoch = scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration.Inf)
+    assert(epoch.startsWith("epoch_"))
+    assert(db.buildProgress("test_index").isEmpty) // cleared after completion
+    assert(db.listEpochs("test_index").contains(epoch))
+  }
+
+  test("hot-list stats accumulate from searches and drive warmupHot (C1)") {
+    ready
+    db.search("test_index", qs, topk = 3, nprobe = 2).collect()
+    val hot = db.hotLists("test_index")
+    assert(hot.nonEmpty)
+    assert(hot.map(_._2).sum >= 5 * 2) // 5 queries x nprobe 2 probes recorded
+    assert(hot.head._2 === hot.map(_._2).max) // hottest first
+    assert(db.warmupHot("test_index", topN = 2) > 0)
+  }
+
+  test("vector slice read returns a deterministic id-ordered window (F1)") {
+    val slice = VectorDB.readVectorSlice(
+      spark, "/root/testdata/sf0.001/embeddings.parquet", offset = 10, length = 5)
+      .collect()
+    assert(slice.map(_.getLong(0)).toSeq === Seq(10L, 11L, 12L, 13L, 14L))
+  }
+
   test("per-request metric override via string, unknown string -> L2 default") {
     ready
     val res = db.search("test_index", qs, 3, metric = "InnerProduct")
