@@ -60,13 +60,27 @@ class IvfFlatIndex(
    *    round-trip; the scan is pruned dynamically when DPP fires, and at
    *    worst degrades to a full scan that is still a single pass.
    */
-  def search(queries: DataFrame, params: SearchParams): DataFrame = {
+  def search(queries: DataFrame, params: SearchParams): DataFrame =
+    searchWhere(queries, params, None)
+
+  /**
+   * Filtered ANN: relational predicate + top-k in one plan — the predicate
+   * lands in the same pruned scan as the probe's partition filter, so
+   * Catalyst pushes BOTH down to parquet (something the reference engine
+   * cannot express at all, SURVEY §7.5). Pass a predicate over the
+   * vectors table's columns (e.g. col("label") === 3).
+   */
+  def searchWhere(
+      queries: DataFrame,
+      params: SearchParams,
+      predicate: Option[org.apache.spark.sql.Column]): DataFrame = {
     val m = params.metric.getOrElse(metric)
     val nprobe = math.min(params.nprobe, nlist)
+    val corpus = predicate.map(vectors.filter).getOrElse(vectors)
     val isSmall =
       queries.limit(IvfFlatIndex.MaxStaticBatch + 1).count() <= IvfFlatIndex.MaxStaticBatch
-    if (isSmall) searchStaticPruned(queries, params.k, nprobe, m)
-    else searchJoinPruned(queries, params.k, nprobe, m)
+    if (isSmall) searchStaticPruned(corpus, queries, params.k, nprobe, m)
+    else searchJoinPruned(corpus, queries, params.k, nprobe, m)
   }
 
   private def probePairs(queries: DataFrame, nprobe: Int, m: Metric.Value): DataFrame =
@@ -75,7 +89,7 @@ class IvfFlatIndex(
       explode(vector.probe_lists(col("qvec"), centroids, nprobe, m)).as("list_id"))
 
   private def searchStaticPruned(
-      queries: DataFrame, k: Int, nprobe: Int, m: Metric.Value): DataFrame = {
+      corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int, m: Metric.Value): DataFrame = {
     val pairs = probePairs(queries, nprobe, m)
       .collect() // metadata only: <= batch x nprobe (qid, list_id) ints
       .map(r => (r.getLong(0), r.getInt(1)))
@@ -83,7 +97,7 @@ class IvfFlatIndex(
     val listIds = pairs.map(_._2).distinct.toSeq
     val pairsDF = spark.createDataFrame(pairs).toDF("qid", "list_id")
     val probed = pairsDF.join(broadcast(queries), "qid")
-    val candidates = vectors
+    val candidates = corpus
       .filter(col("list_id").isInCollection(listIds)) // static partition pruning
       .join(broadcast(probed), "list_id")
       .withColumn("dist", vector.distance(col("qvec"), col("vec"), m))
@@ -92,10 +106,10 @@ class IvfFlatIndex(
   }
 
   private def searchJoinPruned(
-      queries: DataFrame, k: Int, nprobe: Int, m: Metric.Value): DataFrame = {
+      corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int, m: Metric.Value): DataFrame = {
     val probed = queries.withColumn("list_id",
       explode(vector.probe_lists(col("qvec"), centroids, nprobe, m)))
-    val candidates = vectors
+    val candidates = corpus
       .join(broadcast(probed), "list_id")
       .withColumn("dist", vector.distance(col("qvec"), col("vec"), m))
       .select("qid", "id", "dist")

@@ -46,6 +46,17 @@ object Similarity {
       metric: Metric.Value = Metric.Cosine): DataFrame =
     Knn.exact(queries, vectors.filter(predicate).select("id", "vec"), k, metric)
 
+  /** Filtered ANN through an IVF index: predicate + probe pruning in one
+    * pruned scan (see IvfFlatIndex.searchWhere). */
+  def filteredAnn(
+      index: IvfFlatIndex,
+      queries: DataFrame,
+      predicate: org.apache.spark.sql.Column,
+      k: Int,
+      nprobe: Int,
+      metric: Metric.Value = Metric.Cosine): DataFrame =
+    index.searchWhere(queries, SearchParams(k, nprobe, Some(metric)), Some(predicate))
+
   /**
    * Cosine top-k self-join for corpus analytics (each vector's k nearest
    * others), IVF-blocked: candidates share an IVF list (multi-probe for

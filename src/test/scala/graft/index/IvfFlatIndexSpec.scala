@@ -105,6 +105,26 @@ class IvfFlatIndexSpec extends SparkSpec {
       index.vectors.filter(col("list_id") === 3).count())
   }
 
+  test("filtered ANN: predicate + probe pruning in one plan, exhaustive probe == filtered exact") {
+    val s = spark
+    import s.implicits._
+    // corpus with a label column riding alongside (id, vec)
+    val labeled = data.map { case (i, v) => (i, v, (i % 3).toInt) }
+      .toDF("id", "vec", "label")
+    val cents = IvfFlatIndex.train(spark, labeled.select("id", "vec"), 8)
+    val bc = IvfFlatIndex.broadcastCentroids(spark, cents)
+    val idx = new IvfFlatIndex(spark, IvfFlatIndex.assign(labeled, bc), bc, Metric.L2)
+    val q = queriesDF(queries)
+    val filtered = idx.searchWhere(q, SearchParams(k = 5, nprobe = 8), Some(col("label") === 1))
+      .collect().map(r => ((r.getLong(0), r.getInt(3)), r.getLong(1))).toMap
+    val exact = Knn.exact(q,
+      labeled.filter(col("label") === 1).select("id", "vec"), 5, Metric.L2)
+      .collect().map(r => ((r.getLong(0), r.getInt(3)), r.getLong(1))).toMap
+    assert(filtered === exact)
+    // every hit respects the predicate
+    assert(filtered.values.forall(_ % 3 == 1))
+  }
+
   test("small-batch search over an epoch table prunes partitions statically") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-epoch2").toString
     IvfFlatIndex.writeEpoch(index.vectors, s"$tmp/vectors")
