@@ -48,13 +48,22 @@ object PipelineQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** Filtered ANN through the IVF index (predicate + probe pruning in one
+    * scan, IvfFlatIndex.searchWhere). nprobe = nlist makes it exhaustive,
+    * so the filtered exact-kNN SQL is a valid oracle for the whole path. */
   private def filteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.{Metric, SearchParams}
     val e = emb(spark, dir)
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val corpus = e.select(
       col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
-    Similarity.filteredKnn(queries, corpus, col("label") === 3, k = 5)
+    val cents = IvfFlatIndex.train(spark, corpus.select("id", "vec"), nlist = 16)
+    val bc = IvfFlatIndex.broadcastCentroids(spark, cents)
+    val index = new IvfFlatIndex(spark, IvfFlatIndex.assign(corpus, bc), bc, Metric.Cosine)
+    index.searchWhere(queries,
+      SearchParams(k = 5, nprobe = 16, metric = Some(Metric.Cosine)),
+      Some(col("label") === 3))
       .orderBy("qid", "rank")
   }
 
