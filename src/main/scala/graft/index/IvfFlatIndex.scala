@@ -150,13 +150,26 @@ object IvfFlatIndex {
    * Hive partitioning by list_id is the reference's per-list shard layout
    * (format/storage.h:27-34) and is what makes probe-time partition
    * pruning possible.
+   *
+   * File layout at scale: without a pre-shuffle, EVERY write task opens a
+   * file in EVERY list directory — nlist x tasks tiny files (4096 lists x
+   * 1000 tasks = 4M files). The repartition below clusters each list's
+   * rows first, producing `filesPerList` files per list; raise
+   * `filesPerList` when single lists outgrow one task (k-means skew) so
+   * hot lists split across writers — the AQE-era version of the
+   * reference's shard compaction (format/storage.h:91-173).
    */
-  def writeEpoch(assigned: DataFrame, epochPath: String): Unit =
-    assigned
+  def writeEpoch(assigned: DataFrame, epochPath: String, filesPerList: Int = 1): Unit =
+    clusterByList(assigned, filesPerList)
       .write
       .mode("overwrite")
       .partitionBy("list_id")
       .parquet(epochPath)
+
+  private def clusterByList(assigned: DataFrame, filesPerList: Int): DataFrame =
+    if (filesPerList <= 1) assigned.repartition(col("list_id"))
+    else assigned.repartition(col("list_id"),
+      pmod(hash(col("id")), lit(filesPerList)))
 
   /**
    * S9 append semantics (ivf_flat_index.cpp:148-202): add a new batch to
@@ -165,8 +178,8 @@ object IvfFlatIndex {
    * The reference additionally evicts stale GPU copies of touched lists —
    * the Spark analog is that a re-read/persist picks up the new files.
    */
-  def appendToEpoch(assigned: DataFrame, epochPath: String): Unit =
-    assigned
+  def appendToEpoch(assigned: DataFrame, epochPath: String, filesPerList: Int = 1): Unit =
+    clusterByList(assigned, filesPerList)
       .write
       .mode("append")
       .partitionBy("list_id")

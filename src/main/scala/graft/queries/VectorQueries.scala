@@ -72,6 +72,22 @@ object VectorQueries {
     index.search(queries, SearchParams(k = K, nprobe = 16)).orderBy("qid", "rank")
   }
 
+  /**
+   * Large-batch IVF search: EVERY embedding is a query, which exceeds
+   * MaxStaticBatch and exercises the fully-distributed join-pruned path
+   * (searchJoinPruned) — with nprobe = nlist it is exhaustive, so the
+   * unfiltered exact-kNN SQL is its oracle.
+   */
+  private def ivfSearchBatchAll(spark: SparkSession, dir: String): DataFrame = {
+    import graft.SearchParams
+    import graft.index.IvfFlatIndex
+    val e = emb(spark, dir)
+    val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = e.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val index = IvfFlatIndex.build(spark, vectors, nlist = 16)
+    index.search(queries, SearchParams(k = 5, nprobe = 16)).orderBy("qid", "rank")
+  }
+
   /** Pruned IVF probe (nprobe < nlist) — approximate, so rows-only checked;
     * the recall floor vs exact is asserted in IvfFlatIndexSpec. */
   private def ivfSearchProbe(spark: SparkSession, dir: String): DataFrame = {
@@ -153,6 +169,7 @@ object VectorQueries {
     "assign_lists" -> (assignLists _),
     "ivf_search_full" -> (ivfSearchFull _),
     "ivf_search_probe" -> (ivfSearchProbe _),
+    "ivf_search_batch_all" -> (ivfSearchBatchAll _),
     "ivfpq_search_rerank" -> (ivfpqSearchRerank _),
     "ivfpq_search_adc" -> (ivfpqSearchAdc _),
   )
@@ -165,6 +182,15 @@ object VectorQueries {
     "ivf_search_full" -> knnOracle(sqlL2("q.qv", "v.embedding")),
     // exhaustive probe + full exact rerank makes IVF-PQ exact too
     "ivfpq_search_rerank" -> knnOracle(sqlL2("q.qv", "v.embedding")),
+    // join-pruned large-batch path, exhaustive probe == exact for ALL rows
+    "ivf_search_batch_all" ->
+      s"""WITH d AS (SELECT q.vec_id AS qid, v.vec_id AS id,
+         |        ${sqlL2("q.embedding", "v.embedding")} AS dist
+         |      FROM embeddings q, embeddings v),
+         |r AS (SELECT qid, id, dist,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS INT) AS rank
+         |      FROM d)
+         |SELECT qid, id, dist, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "normalize_vectors" ->
       """WITH n AS (SELECT vec_id, embedding,
         |  1.0 / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) + 1e-8) AS inv
