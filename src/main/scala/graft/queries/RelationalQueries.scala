@@ -87,11 +87,59 @@ object RelationalQueries {
       .orderBy("hour", "event_type")
   }
 
+  /** Semi/anti join coverage: customers with vs without any order. */
+  private def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+    val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("has_orders").as("status"))
+    val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_orders").as("status"))
+    withO.unionAll(withoutO).orderBy("c_custkey")
+  }
+
+  /** Rollup coverage: subtotal + grand-total rows with grouping ids. */
+  private def qRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("gid"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+      .select("gid", "l_returnflag", "l_linestatus", "sum_qty", "n")
+
+  /**
+   * Sessionization as a batch window query: per user, a session break is a
+   * gap > 30 min from the previous event; session count = 1 + number of
+   * breaks. ts arrives as a nanosecond LONG (see eventsHourly).
+   */
+  private def qSessions(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val gapNs = 30L * 60 * 1000000000L
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables(spark, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1)
+          .otherwise(0))
+      .groupBy("user_id")
+      .agg(
+        sum(col("brk")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q3_join" -> (q3Join _),
     "top_orders_window" -> (topOrders _),
     "events_hourly" -> (eventsHourly _),
+    "q_semi_anti" -> (qSemiAnti _),
+    "q_rollup" -> (qRollup _),
+    "q_sessions" -> (qSessions _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -124,5 +172,29 @@ object RelationalQueries {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_semi_anti" ->
+      """SELECT c_custkey, 'has_orders' AS status FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS status FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+        |  l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_sessions" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN prev_ts IS NULL
+        |                 OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_sessions,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }
