@@ -67,18 +67,24 @@ object Similarity {
       centroids: Broadcast[Array[Array[Float]]],
       k: Int,
       assignProbes: Int = 2): DataFrame = {
+    // bucket join carries ids only; multi-probe duplicate pairs are
+    // dropped BEFORE the distance computes (and before vectors shuffle)
     val assigned = vectors.select(
-      col("id"), col("vec"),
+      col("id"),
       explode(vector.probe_lists(col("vec"), centroids, assignProbes, Metric.L2))
         .as("list_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = assigned.select(col("list_id"), col("id").as("qid"), col("vec").as("qvec"))
-    val b = assigned.select(col("list_id"), col("id"), col("vec"))
+    val a = assigned.select(col("list_id"), col("id").as("qid"))
+    val b = assigned.select(col("list_id"), col("id"))
     val cands = a.join(b, Seq("list_id"))
       .filter(col("qid") =!= col("id"))
+      .select("qid", "id").distinct()
+    val scored = cands
+      .join(vectors.select(col("id").as("qid"), col("vec").as("qvec")), "qid")
+      .join(vectors.select(col("id"), col("vec")), "id")
       .select(col("qid"), col("id"),
         vector.cosine_distance(col("qvec"), col("vec")).as("dist"))
-    Knn.mergeResults(cands, k) // dedup (multi-probe overlap) + top-k
+    Knn.topKPerQuery(scored, k) // pairs already unique; rank by (dist, id)
       .select("qid", "id", "dist", "rank")
   }
 }

@@ -84,17 +84,15 @@ object PipelineQueries {
 
   private def neardupEmbeddings(spark: SparkSession, dir: String): DataFrame = {
     val v = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val cents = IvfFlatIndex.train(spark, v, nlist = 8)
-    Dedup.embeddingNearDup(v, IvfFlatIndex.broadcastCentroids(spark, cents),
-      maxCosineDist = 0.65, assignProbes = 2)
+    val idx = VectorQueries.ivfIndex(spark, dir, 16)
+    Dedup.embeddingNearDup(v, idx.centroids, maxCosineDist = 0.65, assignProbes = 2)
       .orderBy("a_id", "b_id")
   }
 
   private def knnSelfJoin(spark: SparkSession, dir: String): DataFrame = {
     val v = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val cents = IvfFlatIndex.train(spark, v, nlist = 8)
-    Similarity.knnSelfJoin(v, IvfFlatIndex.broadcastCentroids(spark, cents),
-      k = 5, assignProbes = 2)
+    val idx = VectorQueries.ivfIndex(spark, dir, 16)
+    Similarity.knnSelfJoin(v, idx.centroids, k = 5, assignProbes = 2)
       .orderBy("qid", "rank")
   }
 
