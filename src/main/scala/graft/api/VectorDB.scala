@@ -285,6 +285,29 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
   def cleanupOldEpochs(name: String, keepN: Int = 3): Seq[String] =
     epochManager(name).cleanupOldEpochs(keepN)
 
+  /**
+   * F7 analog (ShardManager::compact, declared-only in the reference,
+   * format/storage.h:91-173): rewrite an epoch's list partitions into
+   * `filesPerList` files each — the cure for append-accumulated small
+   * files. Write-to-temp + atomic directory swap keeps readers safe.
+   */
+  def compactEpoch(name: String, epochId: String = "", filesPerList: Int = 1): Unit = {
+    val em = epochManager(name)
+    val id =
+      if (epochId.nonEmpty) epochId
+      else em.activeEpoch.getOrElse(throw new NotFoundException(s"No active epoch for index: $name"))
+    if (!em.contains(id)) throw new NotFoundException(s"Epoch not found: $id")
+    val path = s"${em.epochPath(id)}/vectors"
+    val tmp = s"${em.epochPath(id)}/vectors_compacting"
+    IvfFlatIndex.writeEpoch(spark.read.parquet(path), tmp, filesPerList)
+    val p = java.nio.file.Paths.get(path)
+    val old = java.nio.file.Paths.get(path + "_old")
+    java.nio.file.Files.move(p, old)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p)
+    org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+    if (served.get(name).exists(_.epochId == id)) loadServed(name, id)
+  }
+
   def listEpochs(name: String): Seq[String] = epochManager(name).listEpochs
 
   // --- F1/F2 vector + centroid IO ------------------------------------------

@@ -125,6 +125,33 @@ class VectorDBSpec extends SparkSpec {
     assert(db.warmupHot("test_index", topN = 2) > 0)
   }
 
+  test("compactEpoch rewrites accumulated append files and keeps results identical (F7)") {
+    ready
+    // create fragmentation: three small appends
+    (1 to 3).foreach { i =>
+      db.addVectors("test_index", vectorsDF(
+        randomVectors(10, 8, seed = 50 + i).map { case (id, v) => (id + 200000L + i * 100, v) }))
+    }
+    val before = db.search("test_index", qs, topk = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))).sortBy(x => (x._1, x._2))
+    val em = new graft.storage.EpochManager(
+      db.dataPath + "/test_index/epochs")
+    val epoch = db.stats("test_index")("epoch").toString
+    def fileCount = {
+      val dir = new java.io.File(s"${em.epochPath(epoch)}/vectors")
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(dir)
+    }
+    val fragmented = fileCount
+    db.compactEpoch("test_index")
+    assert(fileCount < fragmented, s"compaction did not reduce $fragmented files")
+    val after = db.search("test_index", qs, topk = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))).sortBy(x => (x._1, x._2))
+    assert(after === before)
+  }
+
   test("vector slice read returns a deterministic id-ordered window (F1)") {
     val slice = VectorDB.readVectorSlice(
       spark, "/root/testdata/sf0.001/embeddings.parquet", offset = 10, length = 5)
