@@ -44,6 +44,10 @@ object Knn {
       distCol: String = "dist"): DataFrame = {
     val w = Window.partitionBy(queryCol).orderBy(col(distCol).asc, col(idCol).asc)
     scored
+      // null distances (null input vectors) must not win the nulls-first
+      // ascending sort — mirror the reference's id-validity filter
+      // (server/query_service.cpp:150)
+      .filter(col(distCol).isNotNull)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

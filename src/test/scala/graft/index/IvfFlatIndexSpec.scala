@@ -105,6 +105,35 @@ class IvfFlatIndexSpec extends SparkSpec {
       index.vectors.filter(col("list_id") === 3).count())
   }
 
+  test("null vectors never enter the top-k (nulls would win an ascending sort)") {
+    val s = spark
+    import s.implicits._
+    val withNulls = data.take(50).map { case (i, v) => (i, v) }
+      .toDF("id", "vec")
+      .unionAll(Seq((999L, null.asInstanceOf[Array[Float]])).toDF("id", "vec"))
+    val res = Knn.exact(queriesDF(queries.take(2)), withNulls, 5)
+    assert(res.filter(col("id") === 999L).count() === 0)
+    assert(res.count() === 10)
+  }
+
+  test("pathological skew: every vector in one list still searches correctly") {
+    // centroids far from all data -> argmin sends everything to list 0
+    val far = Array.fill(16)(1000f)
+    val near = Array.fill(16)(1001f)
+    val cents = IvfFlatIndex.broadcastCentroids(spark, Array(far, near))
+    val skewed = new IvfFlatIndex(
+      spark, IvfFlatIndex.assign(vectorsDF(data), cents), cents, Metric.L2)
+    val lists = skewed.vectors.select("list_id").distinct().collect().map(_.getInt(0))
+    assert(lists.toSeq === Seq(0)) // total skew
+    val res = skewed.search(queriesDF(queries.take(3)), SearchParams(k = 5, nprobe = 1))
+    assert(res.count() === 15)
+    // matches exact since everything lives in the probed list
+    val exact = skewed.searchExact(queriesDF(queries.take(3)), 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === exact)
+  }
+
   test("filtered ANN: predicate + probe pruning in one plan, exhaustive probe == filtered exact") {
     val s = spark
     import s.implicits._

@@ -1,0 +1,45 @@
+package graft.index
+
+import graft.SparkSpec
+
+class TopKAggregatorSpec extends SparkSpec {
+
+  test("aggregator top-k equals the Window top-k exactly (order, ranks, dists)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val scored = (0 until 5000).map { _ =>
+      (rnd.nextInt(7).toLong, rnd.nextInt(2000).toLong, rnd.nextInt(50).toDouble)
+    }.toDF("qid", "id", "dist")
+      .dropDuplicates("qid", "id") // ranks are only comparable on unique pairs
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))
+    val win = Knn.topKPerQuery(scored, 10).select("qid", "id", "dist", "rank")
+      .collect().map(key).sortBy(x => (x._1, x._2))
+    val agg = TopKAggregator.topKPerQuery(scored, 10)
+      .collect().map(key).sortBy(x => (x._1, x._2))
+    assert(agg === win)
+  }
+
+  test("aggregator keeps the (dist, id) tie order and the k bound") {
+    val s = spark
+    import s.implicits._
+    val ties = Seq(
+      (1L, 30L, 1.0), (1L, 10L, 1.0), (1L, 20L, 1.0), (1L, 5L, 0.5))
+      .toDF("qid", "id", "dist")
+    val res = TopKAggregator.topKPerQuery(ties, 3).orderBy("rank").collect()
+    assert(res.map(_.getLong(1)).toSeq === Seq(5L, 10L, 20L)) // dist, then id
+    assert(res.map(_.getInt(3)).toSeq === Seq(1, 2, 3))
+  }
+
+  test("buffer never exceeds k during reduce/merge") {
+    val a = new TopKAggregator(3)
+    val buf = (1 to 100).foldLeft(a.zero)((b, i) => a.reduce(b, (0L, i.toLong, i.toDouble)))
+    assert(buf.size === 3)
+    assert(buf.map(_._1) === Seq(1.0, 2.0, 3.0))
+    val merged = a.merge(buf,
+      (101 to 200).foldLeft(a.zero)((b, i) => a.reduce(b, (0L, i.toLong, -i.toDouble))))
+    assert(merged.size === 3)
+    assert(merged.map(_._1) === Seq(-200.0, -199.0, -198.0))
+  }
+}
