@@ -148,6 +148,31 @@ object VectorQueries {
       .search(queries, SearchParams(k = K, nprobe = 4)).orderBy("qid", "rank")
   }
 
+  /**
+   * The reference's canonical bench shape (bench/benchmark.cpp:28-43:
+   * 1M x 128D, nlist 1024, nprobe 10, k 10, 10k queries) scaled 1/5 to fit
+   * the local bench budget: 200k x 128D, nlist 256, nprobe 10, k 10, 1k
+   * queries. Vectors are generated deterministically from xxhash64 of the
+   * row id — no files needed, same corpus every run. Rows-only (the IVF
+   * machinery itself is oracle-checked by the sf entries).
+   */
+  private def vectorScaleBench(spark: SparkSession, dir: String): DataFrame = {
+    import graft.SearchParams
+    val dim = 128
+    val n = 200000
+    val vecExpr = transform(
+      sequence(lit(0), lit(dim - 1)),
+      d => (pmod(xxhash64(col("id") * dim + d), lit(2000)) / 1000.0 - 1.0).cast("float"))
+    val index = cached(s"scale:$n:$dim") {
+      val corpus = spark.range(n).select(col("id"), vecExpr.as("vec"))
+      graft.index.IvfFlatIndex.build(spark, corpus, nlist = 256, maxTrain = 20000)
+    }
+    val queries = spark.range(1000)
+      .select((col("id") + 5000000L).as("id"), vecExpr.as("vec"))
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    index.search(queries, SearchParams(k = 10, nprobe = 10))
+  }
+
   // --- DuckDB oracle fragments -------------------------------------------
 
   /** Squared L2 in double, sequential accumulation (matches VectorKernels.l2).
@@ -188,6 +213,7 @@ object VectorQueries {
     "ivf_search_batch_all" -> (ivfSearchBatchAll _),
     "ivfpq_search_rerank" -> (ivfpqSearchRerank _),
     "ivfpq_search_adc" -> (ivfpqSearchAdc _),
+    "vector_scale_bench" -> (vectorScaleBench _),
   )
 
   val oracleSql: Map[String, String] = Map(
