@@ -289,7 +289,11 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
    * F7 analog (ShardManager::compact, declared-only in the reference,
    * format/storage.h:91-173): rewrite an epoch's list partitions into
    * `filesPerList` files each — the cure for append-accumulated small
-   * files. Write-to-temp + atomic directory swap keeps readers safe.
+   * files. The rewrite lands in a temp dir first, but the two-rename swap
+   * is NOT transactional: there is a brief window where the directory is
+   * absent, and in-flight scans of the old files can fail — run during a
+   * maintenance window or compact a non-active epoch and activate it
+   * (the epoch mechanism is the transactional path).
    */
   def compactEpoch(name: String, epochId: String = "", filesPerList: Int = 1): Unit = {
     val em = epochManager(name)

@@ -77,10 +77,17 @@ class IvfFlatIndex(
     val m = params.metric.getOrElse(metric)
     val nprobe = math.min(params.nprobe, nlist)
     val corpus = predicate.map(vectors.filter).getOrElse(vectors)
-    val isSmall =
-      queries.limit(IvfFlatIndex.MaxStaticBatch + 1).count() <= IvfFlatIndex.MaxStaticBatch
-    if (isSmall) searchStaticPruned(corpus, queries, params.k, nprobe, m)
-    else searchJoinPruned(corpus, queries, params.k, nprobe, m)
+    // snapshot ONCE: a non-deterministic queries plan (sample, unordered
+    // limit) must not be re-evaluated for probe vs join — the probe pairs
+    // and the joined qvecs have to come from the same rows. One job
+    // answers batch size AND provides the batch.
+    val qdf = queries.select(col("qid"), col("qvec"))
+    val sample = qdf.limit(IvfFlatIndex.MaxStaticBatch + 1).collect()
+    if (sample.length <= IvfFlatIndex.MaxStaticBatch) {
+      val localQ = spark.createDataFrame(
+        java.util.Arrays.asList(sample: _*), qdf.schema)
+      searchStaticPruned(corpus, localQ, params.k, nprobe, m)
+    } else searchJoinPruned(corpus, qdf, params.k, nprobe, m)
   }
 
   private def probePairs(queries: DataFrame, nprobe: Int, m: Metric.Value): DataFrame =

@@ -43,16 +43,23 @@ class IvfPqIndex(
    * approximation; with `rerankK > 0` the top rerank_k ADC candidates are
    * re-scored exactly from the raw vectors and the final top-k re-ranked
    * on true distance (dist column is then exact).
+   *
+   * Metric caveat: list probing honors `params.metric`, but the ADC
+   * candidate stage is inherently squared-L2 (the PQ tables are L2, as in
+   * the reference kernels, kernels.cuh:213-216) — for InnerProduct/Cosine
+   * the ADC pool favors L2-near vectors, so use a generous `rerankK` or
+   * the flat index when non-L2 recall matters.
    */
   def search(
       queries: DataFrame,
       params: SearchParams,
       rerankK: Int = 0): DataFrame = {
     val nprobe = math.min(params.nprobe, nlist)
+    val probeMetric = params.metric.getOrElse(Metric.L2)
     val probed = queries
       .withColumn("adc", pq.pq_adc_table(col("qvec"), codebooks))
       .withColumn("list_id",
-        explode(vector.probe_lists(col("qvec"), centroids, nprobe, Metric.L2)))
+        explode(vector.probe_lists(col("qvec"), centroids, nprobe, probeMetric)))
       .select("qid", "adc", "list_id")
     val cands = codes
       .join(broadcast(probed), "list_id")

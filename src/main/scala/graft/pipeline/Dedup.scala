@@ -13,6 +13,10 @@ import graft.Metric
  * an all-pairs comparison, so each shape survives a 100 TB corpus: the only
  * shuffle is on the blocking key, and per-bucket work is bounded by bucket
  * size.
+ *
+ * The self-join operators persist their shared subplans (Spark has no
+ * cross-branch CSE); a long-lived session reusing these repeatedly should
+ * release the cache between corpora (`spark.catalog.clearCache()`).
  */
 object Dedup {
 
@@ -46,9 +50,14 @@ object Dedup {
     // both sides of the self-join reference these subplans; Spark has no
     // cross-branch CSE, so persist them once (ids + band keys are tiny
     // relative to the corpus; shingles are one text-scan's worth)
+    // docs shorter than the shingle width have EMPTY shingle sets: they
+    // all share the identity MinHash signature (one giant O(N^2) bucket)
+    // and their 0/0 jaccard is NaN, which Spark orders ABOVE any threshold
+    // — drop them up front (they cannot be near-duplicates of anything)
     val toks = docs.select(
       col(idCol).as("id"),
       text.word_ngrams(text.tokenize(col(textCol)), ngram).as("shingles"))
+      .filter(size(col("shingles")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band join carries ONLY ids: candidate volume is pairs x 8 bytes, not
     // pairs x shingle arrays; payloads join back after the distinct
@@ -87,6 +96,8 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val bits = 64 / chunks
+    // (1L << 64) wraps to 1 (shift mod 64): full-width chunks need -1L
+    val mask = if (bits >= 64) -1L else (1L << bits) - 1
     val sigs = docs.select(
       col(idCol).as("id"),
       text.simhash64(text.tokenize(col(textCol))).as("sim"))
@@ -94,7 +105,7 @@ object Dedup {
       struct(
         lit(i).as("cpos"),
         shiftrightunsigned(col("sim"), i * bits)
-          .bitwiseAND(lit((1L << bits) - 1)).as("ckey"))
+          .bitwiseAND(lit(mask)).as("ckey"))
     }
     val chunked = sigs
       .select(col("id"), col("sim"), explode(array(chunkCols: _*)).as("pc"))
@@ -125,6 +136,7 @@ object Dedup {
     val toks = docs.select(
       col(idCol).as("id"),
       array_distinct(text.word_ngrams(text.tokenize(col(textCol)), ngram)).as("sh"))
+      .filter(size(col("sh")) > 0) // empty sets -> NaN jaccard (see minhashLsh)
     val a = toks.select(col("id").as("a_id"), col("sh").as("a_sh"))
     val b = toks.select(col("id").as("b_id"), col("sh").as("b_sh"))
     a.crossJoin(b)

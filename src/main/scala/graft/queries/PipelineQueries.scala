@@ -116,13 +116,8 @@ object PipelineQueries {
     "multimodal_features" -> (multimodalFeatures _),
   )
 
-  private val sqlCosineDist: String = {
-    def dot(x: String, y: String) =
-      s"list_sum(list_transform(range(1, len($x)+1), " +
-        s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
-    s"1.0 - ${dot("a.a_vec", "b.b_vec")} / " +
-      s"(sqrt(${dot("a.a_vec", "a.a_vec")}) * sqrt(${dot("b.b_vec", "b.b_vec")}) + 1e-8)"
-  }
+  private val sqlCosineDist: String =
+    OracleFragments.sqlCosine("a.a_vec", "b.b_vec")
 
   private val stop = graft.pipeline.TextAnalysis.Stopwords
   private def sqlList(lang: String): String =
@@ -179,11 +174,7 @@ object PipelineQueries {
          |SELECT a_id, b_id, cos_dist FROM d WHERE cos_dist <= 0.65
          |ORDER BY a_id, b_id""".stripMargin,
     "filtered_ann" -> {
-      def dot(x: String, y: String) =
-        s"list_sum(list_transform(range(1, len($x)+1), " +
-          s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
-      val cd = s"1.0 - ${dot("q.qv", "v.embedding")} / " +
-        s"(sqrt(${dot("q.qv", "q.qv")}) * sqrt(${dot("v.embedding", "v.embedding")}) + 1e-8)"
+      val cd = OracleFragments.sqlCosine("q.qv", "v.embedding")
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
          |d AS (SELECT q.qid, v.vec_id AS id, $cd AS dist
          |      FROM q, embeddings v WHERE v.label = 3),

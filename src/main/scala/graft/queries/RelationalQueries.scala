@@ -76,7 +76,9 @@ object RelationalQueries {
    */
   private def eventsHourly(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val hourSec = (col("ts") / lit(3600000000000L)).cast("long") * 3600
+    // integer div: `/` on LONGs is DOUBLE division, and nanosecond epochs
+    // exceed 2^53 — a double round-trip mis-buckets events near boundaries
+    val hourSec = expr("ts div 3600000000000") * 3600
     Tables(spark, dir, "events")
       .withColumn("hour",
         date_format(timestamp_seconds(hourSec), "yyyy-MM-dd HH:mm:ss"))

@@ -175,24 +175,7 @@ object VectorQueries {
 
   // --- DuckDB oracle fragments -------------------------------------------
 
-  /** Squared L2 in double, sequential accumulation (matches VectorKernels.l2).
-    * Spelled as an explicit product — DuckDB's `^` is pow(), which is not
-    * bit-identical to multiplication. */
-  private def sqlL2(a: String, b: String): String =
-    s"list_sum(list_transform(range(1, len($a)+1), " +
-      s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
-      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
-
-  private def sqlIp(a: String, b: String): String =
-    s"-list_sum(list_transform(range(1, len($a)+1), " +
-      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-
-  private def sqlCosine(a: String, b: String): String = {
-    def dot(x: String, y: String) =
-      s"list_sum(list_transform(range(1, len($x)+1), " +
-        s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
-    s"1.0 - ${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}) + 1e-8)"
-  }
+  import OracleFragments.{sqlL2, sqlIp, sqlCosine}
 
   private def knnOracle(distExpr: String): String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $NQ),

@@ -81,7 +81,9 @@ object StreamingIngest {
               total_value = prev.map(_.total_value).getOrElse(0.0) + evs.map(_.value).sum,
               started = prev.map(_.started)
                 .getOrElse(evs.map(_.ts).minBy(_.getTime)),
-              ended = evs.map(_.ts).maxBy(_.getTime))
+              // late events must not move the session end backwards
+              ended = (prev.map(_.ended).toSeq ++ evs.map(_.ts))
+                .maxBy(_.getTime))
             state.update(merged)
             if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
             merged

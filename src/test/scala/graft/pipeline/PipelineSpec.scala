@@ -57,6 +57,29 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.contains((2L, 3L)) && !pairs.contains((0L, 4L)))
   }
 
+  test("short docs (fewer tokens than the shingle width) never become LSH pairs") {
+    val s = spark
+    import s.implicits._
+    val shorties = docs.unionAll(Seq(
+      (100L, "hello"), (101L, "world"), (102L, "ab cd")).toDF("doc_id", "text"))
+    val pairs = Dedup.minhashLsh(shorties, threshold = 0.5).collect()
+    // empty shingle sets share the identity signature; without the guard
+    // they'd all collide and their 0/0 jaccard (NaN) passes any threshold
+    assert(!pairs.exists(r => r.getLong(0) >= 100L || r.getLong(1) >= 100L))
+    assert(pairs.forall(r => !r.getDouble(2).isNaN))
+    val exact = Dedup.ngramJaccardExact(shorties, threshold = 0.5).collect()
+    assert(exact.forall(r => !r.getDouble(2).isNaN))
+  }
+
+  test("simhash maxHamming=0 buckets on the full 64-bit value (shift-overflow guard)") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+    // only the exact duplicate survives, and the single 64-bit chunk must
+    // not degenerate to mask 0 (which would bucket EVERY doc together)
+    assert(pairs.map(_._1).toSeq === Seq((0L, 5L)))
+    assert(pairs.head._2 === 0)
+  }
+
   test("embedding near-dup via IVF blocking finds the planted duplicate pair") {
     val base = randomVectors(200, 16)
     // plant a near-duplicate of vector 7 as id 1007

@@ -51,12 +51,15 @@ class StreamingIngestSpec extends SparkSpec {
       q.processAllAvailable()
       mem.addData(Event(3, ts(2), 7, "click", 4.0), Event(4, ts(0), 8, "view", 9.0))
       q.processAllAvailable()
+      // a LATE event must not move the session end backwards
+      mem.addData(Event(5, ts(1), 7, "late", 0.5))
+      q.processAllAvailable()
       val byUser = spark.table("sessions").as[Session].collect()
         .groupBy(_.user_id).map { case (u, ss) => u -> ss.maxBy(_.n_events) }
-      assert(byUser(7L).n_events === 3)
-      assert(byUser(7L).total_value === 7.0)
+      assert(byUser(7L).n_events === 4)
+      assert(byUser(7L).total_value === 7.5)
       assert(byUser(7L).started === ts(0))
-      assert(byUser(7L).ended === ts(2))
+      assert(byUser(7L).ended === ts(2)) // not regressed to ts(1)
       assert(byUser(8L).n_events === 1)
     } finally q.stop()
   }
