@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.{Metric, SparkSpec}
+import graft.index.Knn
+
+/**
+ * Every custom expression ships both an interpreted `eval` and generated
+ * code; this suite pins them to each other by running the same plans with
+ * whole-stage codegen on (default) and off.
+ */
+class CodegenParitySpec extends SparkSpec {
+
+  private def withCodegenOff[T](f: => T): T = {
+    val key = "spark.sql.codegen.wholeStage"
+    val old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try f finally spark.conf.set(key, old)
+  }
+
+  test("distance/normalize expressions: codegen == interpreted") {
+    val vecs = vectorsDF(randomVectors(200, 12))
+    val qs = queriesDF(randomVectors(5, 12, seed = 3))
+    def run() = Knn.exact(qs, vecs, 7, Metric.Cosine)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val on = run()
+    val off = withCodegenOff(run())
+    assert(on === off)
+  }
+
+  test("text expressions (minhash/simhash/fingerprint): codegen == interpreted") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "the quick brown fox"), (2L, "jumps over the lazy dog"), (3L, ""))
+      .toDF("id", "t")
+    def run() = docs.select(
+      col("id"),
+      text.minhash_signature(text.tokenize(col("t")), 16),
+      text.simhash64(text.tokenize(col("t"))),
+      text.fingerprint(col("t")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val on = run()
+    val off = withCodegenOff(run())
+    assert(on === off)
+  }
+
+  test("PQ expressions: codegen == interpreted") {
+    val s = spark
+    import s.implicits._
+    val sample = randomVectors(200, 8).map(_._2).toArray
+    val books = graft.index.IvfPqIndex.trainCodebooks(sample, m = 2, nbits = 4)
+    val bc = spark.sparkContext.broadcast(books)
+    val df = vectorsDF(randomVectors(50, 8, seed = 4))
+    def run() = df.select(
+      col("id"),
+      pq.pq_encode(col("vec"), bc).as("c"),
+      pq.pq_adc_distance(pq.pq_adc_table(col("vec"), bc),
+        pq.pq_encode(col("vec"), bc)).as("d"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Byte](1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val on = run()
+    val off = withCodegenOff(run())
+    assert(on === off)
+  }
+}
