@@ -155,4 +155,16 @@ object text {
 
   /** Whitespace-ish token count via the same [a-z0-9]+ tokenizer. */
   def token_count(c: Column): Column = size(tokenize(c))
+
+  /**
+   * BPE-ish token count: the GPT-2-style pre-tokenizer pattern (common
+   * contractions, letter runs, digit runs, punctuation runs — each with an
+   * optional leading space). Approximates LLM token budgets without a
+   * vocabulary; the same RE2-compatible pattern runs in the DuckDB oracle.
+   */
+  val BpePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  def token_count_bpe(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpePattern), lit(0)))
 }

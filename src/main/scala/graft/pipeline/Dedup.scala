@@ -84,6 +84,22 @@ object Dedup {
   }
 
   /**
+   * Apply a near-duplicate pair set to the corpus: every doc that appears
+   * as the HIGHER id of a pair is dropped, keeping the lowest id of each
+   * duplicate cluster reachable by pair-chaining (the standard cheap
+   * approximation of connected components — one anti-join, no iteration;
+   * a doc both kept and dropped in different pairs resolves to dropped,
+   * which keeps exactly one representative per chain).
+   */
+  def dropNearDuplicates(
+      docs: DataFrame,
+      pairs: DataFrame, // (a_id, b_id, ...) with a_id < b_id
+      idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      pairs.select(col("b_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+  /**
    * SimHash near-dup pairs with Hamming distance <= maxHamming. Blocking by
    * pigeonhole: split the 64-bit simhash into (maxHamming+1) chunks — any
    * pair within the bound must agree on at least one chunk, so candidates

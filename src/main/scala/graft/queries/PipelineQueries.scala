@@ -67,6 +67,25 @@ object PipelineQueries {
       .orderBy("qid", "rank")
   }
 
+  /** BPE-ish token counting (LLM token-budget estimation, no vocab). */
+  private def tokenCountBpe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.text
+    docs(spark, dir)
+      .select(col("doc_id"), text.token_count_bpe(col("text")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Actionable dedup: the surviving corpus after dropping every doc that
+    * appears as the higher id of a >= 0.5-jaccard pair (bounded subset so
+    * the oracle can replicate the pair set). */
+  private def dedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val subset = docs(spark, dir).filter(col("doc_id") < 200)
+    val pairs = Dedup.ngramJaccardExact(subset, ngram = 3, threshold = 0.5)
+    Dedup.dropNearDuplicates(subset, pairs)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   private def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.mediaMeta(
       Multimodal.mediaFromDocuments(spark, docs(spark, dir)).toDF())
@@ -109,6 +128,8 @@ object PipelineQueries {
     "neardup_exact" -> (neardupExact _),
     "filtered_ann" -> (filteredAnn _),
     "multimodal_meta" -> (multimodalMeta _),
+    "token_count_bpe" -> (tokenCountBpe _),
+    "dedup_corpus" -> (dedupCorpus _),
     "minhash_pairs" -> (minhashPairs _),
     "simhash_pairs" -> (simhashPairs _),
     "neardup_embeddings" -> (neardupEmbeddings _),
@@ -183,6 +204,26 @@ object PipelineQueries {
          |      FROM d)
          |SELECT qid, id, dist, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
     },
+    "token_count_bpe" -> {
+      val pat = graft.functions.text.BpePattern.replace("'", "''")
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$pat')) AS INT) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "dedup_corpus" ->
+      """WITH t0 AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS toks
+        |            FROM documents WHERE doc_id < 200),
+        |t AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh FROM t0),
+        |t1 AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / len(list_distinct(a.sh || b.sh)) AS jaccard
+        |      FROM t1 a, t1 b WHERE a.doc_id < b.doc_id)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id < 200
+        |  AND doc_id NOT IN (SELECT b_id FROM p WHERE jaccard >= 0.5)
+        |ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       s"""SELECT doc_id, 'text/plain' AS media_type,
          |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -138,6 +138,24 @@ class PipelineSpec extends SparkSpec {
     assert(f1.find(_.doc_id == 6L).get.byte_entropy === 0.0)
   }
 
+  test("dropNearDuplicates keeps one representative per duplicate chain") {
+    val pairs = Dedup.ngramJaccardExact(docs, ngram = 3, threshold = 0.5)
+    val kept = Dedup.dropNearDuplicates(docs, pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(0L)) // lowest id of the 0/1/5 chain survives
+    assert(!kept.contains(1L) && !kept.contains(5L)) // near/exact dups dropped
+    assert(kept.contains(2L) && kept.contains(3L) && kept.contains(4L))
+  }
+
+  test("BPE-ish token count splits contractions, numbers, and punctuation") {
+    val s = spark
+    import s.implicits._
+    val r = Seq("Hello, world's best 42 foos don't!").toDF("t")
+      .select(text.token_count_bpe(col("t"))).head().getInt(0)
+    // Hello | , | world | 's | best | 42 | foos | don | 't | !
+    assert(r === 10)
+  }
+
   test("word n-grams: boundary cases (short docs, exact n)") {
     val s = spark
     import s.implicits._
