@@ -134,7 +134,18 @@ object RelationalQueries {
       .orderBy("user_id")
   }
 
+  /** Distinct aggregation: exact distinct counts per group. */
+  private def qDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_distinct" -> (qDistinct _),
     "q1_agg" -> (q1Agg _),
     "q3_join" -> (q3Join _),
     "top_orders_window" -> (topOrders _),
@@ -145,6 +156,12 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
