@@ -22,19 +22,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Long =
-      try fn(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
+      try { fn(spark, sfDir).count(); true }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+      }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      runOnce(fn) // warm-up: plan + codegen + JIT
+      runOnce(name, fn) // warm-up: plan + codegen + JIT
       val t0 = System.nanoTime()
-      runOnce(fn)
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = runOnce(name, fn)
+      // a crashed query reports -1, never a healthy-looking near-zero time
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -48,6 +48,10 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     * concurrent builds for one index are rejected). */
   private val builds = TrieMap.empty[String, java.util.concurrent.atomic.AtomicReference[Double]]
 
+  /** DataFrames persisted by warmup, released when the epoch reloads —
+    * without this every reload/warmup cycle would leak one cached copy. */
+  private val warmed = TrieMap.empty[String, List[DataFrame]]
+
   private def indexPath(name: String) = s"$dataPath/$name"
   private def manifestPath(name: String) = s"${indexPath(name)}/manifest.json"
   private def epochManager(name: String): EpochManager =
@@ -149,6 +153,10 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
    */
   def addVectors(name: String, batch: DataFrame): Long = {
     val s = served.getOrElse(name, throw new NotFoundException(s"Index not found: $name"))
+    // the kernels truncate to min(len) — wrong-dim vectors would be
+    // silently appended and silently mis-scored forever after
+    if (batch.filter(size(col("vec")) =!= s.manifest.dimension).limit(1).count() > 0)
+      throw new InvalidArgumentException("Vector dimension mismatch")
     val em = epochManager(name)
     val path = em.epochPath(s.epochId)
     val assigned = IvfFlatIndex.assign(batch, s.index.centroids)
@@ -181,6 +189,8 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
   }
 
   private def loadServed(name: String, epochId: String): Unit = {
+    // release caches pinned against the previous serve state
+    warmed.remove(name).foreach(_.foreach(_.unpersist(blocking = false)))
     val em = epochManager(name)
     val path = em.epochPath(epochId)
     val manifest = Manifest.load(s"$path/manifest.json")
@@ -238,9 +248,14 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     s.index.search(queries, params)
   }
 
-  /** Exact search through the serving index (the recall oracle). */
+  /** Exact search through the serving index (the recall oracle) —
+    * same validation matrix as [[search]]. */
   def searchExact(name: String, queries: DataFrame, topk: Int): DataFrame = {
+    if (queries.isEmpty) throw new InvalidArgumentException("No queries provided")
+    if (topk <= 0 || topk > 1000) throw new InvalidArgumentException("Invalid topk value")
+    if (name.isEmpty) throw new InvalidArgumentException("Index name required")
     val s = served.getOrElse(name, throw new NotFoundException(s"Index not found: $name"))
+    validateQuerySchema(queries, s.manifest.dimension)
     s.index.searchExact(queries, topk)
   }
 
@@ -264,7 +279,9 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     val subset =
       if (listIds.isEmpty) s.index.vectors
       else s.index.vectors.filter(col("list_id").isin(listIds: _*))
-    subset.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    subset.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    warmed.updateWith(name)(old => Some(subset :: old.getOrElse(Nil)))
+    subset.count()
   }
 
   // --- A7 GetStats ---------------------------------------------------------
@@ -283,7 +300,11 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
   }
 
   def cleanupOldEpochs(name: String, keepN: Int = 3): Seq[String] =
-    epochManager(name).cleanupOldEpochs(keepN)
+    // the active epoch is protected by the EpochManager; also protect
+    // whatever this facade is currently SERVING (loadIndex can serve a
+    // non-active epoch for rollback/inspection)
+    epochManager(name).cleanupOldEpochs(keepN,
+      protectedIds = served.get(name).map(_.epochId).toSet)
 
   /**
    * F7 analog (ShardManager::compact, declared-only in the reference,

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshims
@@ -105,8 +105,10 @@ object PqKernels {
 
 /** Encode an ARRAY<FLOAT> vector into m PQ code bytes. */
 case class PqEncode(child: Expression, codebooks: Broadcast[Array[Array[Array[Float]]]])
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[org.apache.spark.sql.graftshims.AbstractDataType] =
+    Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(ByteType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "pq_encode"
@@ -128,8 +130,10 @@ case class PqEncode(child: Expression, codebooks: Broadcast[Array[Array[Array[Fl
 
 /** Per-query ADC table: ARRAY<ARRAY<DOUBLE>> of m x ks squared L2. */
 case class PqAdcTable(child: Expression, codebooks: Broadcast[Array[Array[Array[Float]]]])
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[org.apache.spark.sql.graftshims.AbstractDataType] =
+    Seq(ArrayType(FloatType))
   override def dataType: DataType =
     ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -151,8 +155,10 @@ case class PqAdcTable(child: Expression, codebooks: Broadcast[Array[Array[Array[
 
 /** Sum of table lookups: distance between a query's ADC table and a code. */
 case class PqAdcDistance(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[org.apache.spark.sql.graftshims.AbstractDataType] =
+    Seq(ArrayType(ArrayType(DoubleType, containsNull = false)), ArrayType(ByteType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "pq_adc_distance"

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshims
@@ -68,8 +68,10 @@ object TextKernels {
 
 /** MinHash signature of an ARRAY<STRING> token column. */
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[org.apache.spark.sql.graftshims.AbstractDataType] =
+    Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "minhash_signature"
@@ -87,8 +89,10 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
 
 /** 64-bit SimHash of an ARRAY<STRING> token column. */
 case class SimHash64(child: Expression, seed: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[org.apache.spark.sql.graftshims.AbstractDataType] =
+    Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "simhash64"

@@ -28,8 +28,8 @@ object Knn {
       vectors: DataFrame,
       k: Int,
       metric: Metric.Value = Metric.L2): DataFrame = {
-    val scored = vectors
-      .crossJoin(broadcast(queries))
+    val scored = vectors.select(col("id"), col("vec"))
+      .crossJoin(broadcast(queries.select(col("qid"), col("qvec"))))
       .withColumn("dist", vector.distance(col("qvec"), col("vec"), metric))
     topKPerQuery(scored, k).select("qid", "id", "dist", "rank")
   }
@@ -45,9 +45,10 @@ object Knn {
     val w = Window.partitionBy(queryCol).orderBy(col(distCol).asc, col(idCol).asc)
     scored
       // null distances (null input vectors) must not win the nulls-first
-      // ascending sort — mirror the reference's id-validity filter
+      // ascending sort, and NaN (NaN vector components) must not rank at
+      // all — mirror the reference's id-validity filter
       // (server/query_service.cpp:150)
-      .filter(col(distCol).isNotNull)
+      .filter(col(distCol).isNotNull && !isnan(col(distCol)))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

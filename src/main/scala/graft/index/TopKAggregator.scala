@@ -21,9 +21,11 @@ class TopKAggregator(k: Int)
 
   override def zero: Seq[(Double, Long)] = Vector.empty
 
-  /** in = (qid, id, dist); qid is the grouping key, ignored here. */
+  /** in = (qid, id, dist); qid is the grouping key, ignored here. NaN
+    * distances are excluded — under ordLt a NaN would win every
+    * comparison and sit at rank 1, where the Window path sorts it last. */
   override def reduce(buf: Seq[(Double, Long)], in: (Long, Long, Double)): Seq[(Double, Long)] =
-    insert(buf, (in._3, in._2))
+    if (in._3.isNaN) buf else insert(buf, (in._3, in._2))
 
   private def insert(buf: Seq[(Double, Long)], cand: (Double, Long)): Seq[(Double, Long)] =
     if (buf.size >= k && ordGte(cand, buf.last)) buf

@@ -153,10 +153,11 @@ object PipelineQueries {
         |            FROM documents WHERE doc_id < 200),
         |t AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
         |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh FROM t0),
+        |t1 AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |          / len(list_distinct(a.sh || b.sh)) AS jaccard
-        |      FROM t a, t b WHERE a.doc_id < b.doc_id)
+        |      FROM t1 a, t1 b WHERE a.doc_id < b.doc_id)
         |SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
     "text_analysis" ->

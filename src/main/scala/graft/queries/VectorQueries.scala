@@ -167,9 +167,11 @@ object VectorQueries {
       val corpus = spark.range(n).select(col("id"), vecExpr.as("vec"))
       graft.index.IvfFlatIndex.build(spark, corpus, nlist = 256, maxTrain = 20000)
     }
+    // two-step select: vecExpr must hash the OFFSET id, or the "queries"
+    // would be bit-identical copies of corpus vectors 0..999
     val queries = spark.range(1000)
-      .select((col("id") + 5000000L).as("id"), vecExpr.as("vec"))
-      .select(col("id").as("qid"), col("vec").as("qvec"))
+      .select((col("id") + 5000000L).as("id"))
+      .select(col("id").as("qid"), vecExpr.as("qvec"))
     index.search(queries, SearchParams(k = 10, nprobe = 10))
   }
 

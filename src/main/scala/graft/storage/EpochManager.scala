@@ -56,10 +56,14 @@ class EpochManager(basePath: String) {
 
   def contains(id: String): Boolean = epochs.contains(id)
 
-  /** Keep the newest `keepN` epochs; the active epoch is never deleted. */
-  def cleanupOldEpochs(keepN: Int = 3): Seq[String] = synchronized {
+  /** Keep the newest `keepN` epochs; the active epoch — and any id in
+    * `protectedIds` (e.g. an epoch currently loaded for serving) — is
+    * never deleted. */
+  def cleanupOldEpochs(keepN: Int = 3, protectedIds: Set[String] = Set.empty): Seq[String] = synchronized {
     val byAgeDesc = epochs.toSeq.sortBy { case (id, ts) => (-ts, id) }
-    val doomed = byAgeDesc.drop(keepN).filter(_._1 != activeId).map(_._1)
+    val doomed = byAgeDesc.drop(keepN)
+      .filterNot { case (id, _) => id == activeId || protectedIds.contains(id) }
+      .map(_._1)
     doomed.foreach { id =>
       deleteRecursively(epochPath(id))
       epochs.remove(id)

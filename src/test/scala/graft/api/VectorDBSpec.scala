@@ -104,6 +104,25 @@ class VectorDBSpec extends SparkSpec {
     assert(hit.getDouble(2) === 0.0)
   }
 
+  test("addVectors rejects wrong-dimension batches (kernels would truncate silently)") {
+    ready
+    val wrongDim = vectorsDF(randomVectors(3, 5, seed = 88)
+      .map { case (i, v) => (i + 300000L, v) })
+    intercept[InvalidArgumentException](db.addVectors("test_index", wrongDim))
+  }
+
+  test("cleanup never deletes the epoch currently loaded for serving") {
+    ready
+    val served = db.stats("test_index")("epoch").toString
+    val newer = db.buildEpoch("test_index", vectorsDF(randomVectors(50, 8, seed = 4)))
+    // keep only the newest -> the older SERVED epoch would be doomed
+    // unless the facade protects it
+    val deleted = db.cleanupOldEpochs("test_index", keepN = 1)
+    assert(!deleted.contains(served))
+    assert(db.search("test_index", qs, topk = 2).count() > 0) // still serves
+    assert(db.listEpochs("test_index").contains(newer))
+  }
+
   test("build progress reporting and async build (A5)") {
     ready
     assert(db.buildProgress("test_index").isEmpty) // idle

@@ -32,6 +32,18 @@ class TopKAggregatorSpec extends SparkSpec {
     assert(res.map(_.getInt(3)).toSeq === Seq(1, 2, 3))
   }
 
+  test("NaN distances never rank (they would win every ordLt comparison)") {
+    val s = spark
+    import s.implicits._
+    val scored = Seq(
+      (1L, 10L, 0.5), (1L, 11L, Double.NaN), (1L, 12L, 0.3))
+      .toDF("qid", "id", "dist")
+    val agg = TopKAggregator.topKPerQuery(scored, 2).orderBy("rank").collect()
+    assert(agg.map(_.getLong(1)).toSeq === Seq(12L, 10L))
+    val win = Knn.topKPerQuery(scored, 2).orderBy("rank").collect()
+    assert(win.map(_.getLong(1)).toSeq === Seq(12L, 10L))
+  }
+
   test("buffer never exceeds k during reduce/merge") {
     val a = new TopKAggregator(3)
     val buf = (1 to 100).foldLeft(a.zero)((b, i) => a.reduce(b, (0L, i.toLong, i.toDouble)))
