@@ -286,9 +286,16 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
 
   // --- A7 GetStats ---------------------------------------------------------
 
-  /** (total vectors, active epoch, nlist, dimension) of the serving index. */
+  /** (total vectors, active epoch, nlist, dimension) of the serving index,
+    * plus the k-means list-imbalance factor (max list / mean list size —
+    * 1.0 is perfectly balanced; large values mean hot partitions and are
+    * the signal to retrain or raise filesPerList). */
   def stats(name: String): Map[String, Any] = {
     val s = served.getOrElse(name, throw new NotFoundException(s"Index not found: $name"))
+    val sizes = s.manifest.shards.map(_.numVectors)
+    val imbalance =
+      if (sizes.isEmpty || sizes.sum == 0) 0.0
+      else sizes.max.toDouble * sizes.size / sizes.sum
     Map(
       "name" -> name,
       "num_vectors" -> s.manifest.numVectors,
@@ -296,7 +303,8 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       "nlist" -> s.manifest.nlist,
       "dimension" -> s.manifest.dimension,
       "metric" -> s.manifest.metric.toString,
-      "num_shards" -> s.manifest.shards.size)
+      "num_shards" -> s.manifest.shards.size,
+      "list_imbalance" -> imbalance)
   }
 
   def cleanupOldEpochs(name: String, keepN: Int = 3): Seq[String] =
