@@ -102,7 +102,7 @@ class IvfFlatIndex(
       .map(r => (r.getLong(0), r.getInt(1)))
     probeListener(pairs)
     val listIds = pairs.map(_._2).distinct.toSeq
-    val pairsDF = spark.createDataFrame(pairs).toDF("qid", "list_id")
+    val pairsDF = spark.createDataFrame(pairs.toIndexedSeq).toDF("qid", "list_id")
     val probed = pairsDF.join(broadcast(queries), "qid")
     val candidates = corpus
       .filter(col("list_id").isInCollection(listIds)) // static partition pruning

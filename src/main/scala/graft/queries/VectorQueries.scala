@@ -72,7 +72,7 @@ object VectorQueries {
     val bc = spark.sparkContext.broadcast(cents.map(_._2))
     val cids = cents.map(_._1)
     val cidCol = element_at(
-      array(cids.map(lit): _*),
+      array(cids.toIndexedSeq.map(lit): _*),
       vector.argmin_centroid(col("embedding"), bc) + 1)
     e.select(col("vec_id"), cidCol.as("list_id")).orderBy("vec_id")
   }
