@@ -139,6 +139,51 @@ case class ProbeLists(
     copy(child = c)
 }
 
+/**
+ * Distance between a stored vector and a query looked up BY ID from a
+ * broadcast map — the probe join then carries only an 8-byte qid per
+ * candidate row instead of materializing the full query vector into every
+ * joined row (at 128D that is ~512 bytes/row of copying saved; the
+ * reference gets the same effect from its shared-memory query cache,
+ * kernels.cuh:111-117). The query batch is broadcast either way; this
+ * just stops it riding through the row stream.
+ */
+case class DistanceToQuery(
+    vec: Expression,
+    qid: Expression,
+    queries: Broadcast[java.util.HashMap[java.lang.Long, Array[Float]]],
+    metric: Metric.Value)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def left: Expression = vec
+  override def right: Expression = qid
+  override def inputTypes: Seq[graftshims.AbstractDataType] =
+    Seq(ArrayType(FloatType), LongType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "distance_to_query"
+
+  private val metricId = metric.id
+
+  override def nullSafeEval(v: Any, q: Any): Any =
+    VectorKernels.distanceToQuery(
+      v.asInstanceOf[ArrayData], q.asInstanceOf[Long], queries.value, metricId)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bc = ctx.addReferenceObj("queriesBc", queries,
+      classOf[Broadcast[java.util.HashMap[java.lang.Long, Array[Float]]]].getName)
+    // raw-type cast: Janino's generics support is limited and a failed
+    // codegen compile silently disables whole-stage codegen for the stage
+    nullSafeCodeGen(ctx, ev, (v, q) =>
+      s"${ev.value} = graft.functions.VectorKernels.distanceToQuery(" +
+        s"$v, $q, (java.util.HashMap) $bc.value(), $metricId);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DistanceToQuery =
+    copy(vec = newLeft, qid = newRight)
+}
+
 /** Column-level entry points (the `functions._` of this engine). */
 object vector {
   private def col(e: Expression): Column = graftshims.column(e)
@@ -170,4 +215,11 @@ object vector {
       nprobe: Int,
       metric: Metric.Value = Metric.L2): Column =
     col(ProbeLists(expr(v), centroids, nprobe, metric))
+
+  def distance_to_query(
+      v: Column,
+      qid: Column,
+      queries: Broadcast[java.util.HashMap[java.lang.Long, Array[Float]]],
+      metric: Metric.Value): Column =
+    col(DistanceToQuery(expr(v), expr(qid), queries, metric))
 }

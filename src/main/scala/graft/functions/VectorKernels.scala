@@ -66,6 +66,20 @@ object VectorKernels {
       case _             => l2(a, b)
     }
 
+  /** Distance against a query resolved by id from a broadcast map (see
+    * DistanceToQuery). Codegen-callable; throws on an unknown qid — the
+    * candidate stream is built from the same query batch, so a miss is a
+    * plan bug, not data. */
+  def distanceToQuery(
+      vec: org.apache.spark.sql.catalyst.util.ArrayData,
+      qid: Long,
+      queries: java.util.HashMap[java.lang.Long, Array[Float]],
+      metric: Int): Double = {
+    val q = queries.get(qid)
+    if (q == null) throw new IllegalStateException(s"unknown qid in candidate stream: $qid")
+    distance(vec.toFloatArray(), q, metric)
+  }
+
   /** L2-normalize, computing the scale in double then rounding each
     * component back to float (kernels.cuh:357-385 semantics + 1e-8 eps). */
   def normalize(a: Array[Float]): Array[Float] = {

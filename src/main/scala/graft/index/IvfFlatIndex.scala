@@ -73,20 +73,28 @@ class IvfFlatIndex(
   def searchWhere(
       queries: DataFrame,
       params: SearchParams,
-      predicate: Option[org.apache.spark.sql.Column]): DataFrame = {
+      predicate: Option[org.apache.spark.sql.Column],
+      strategy: IvfFlatIndex.ProbeStrategy = IvfFlatIndex.Auto): DataFrame = {
     val m = params.metric.getOrElse(metric)
     val nprobe = math.min(params.nprobe, nlist)
     val corpus = predicate.map(vectors.filter).getOrElse(vectors)
+    if (strategy == IvfFlatIndex.ForceJoin)
+      return searchJoinPruned(corpus, queries.select(col("qid"), col("qvec")),
+        params.k, nprobe, m)
     // snapshot ONCE: a non-deterministic queries plan (sample, unordered
     // limit) must not be re-evaluated for probe vs join — the probe pairs
     // and the joined qvecs have to come from the same rows. One job
     // answers batch size AND provides the batch.
     val qdf = queries.select(col("qid"), col("qvec"))
     val sample = qdf.limit(IvfFlatIndex.MaxStaticBatch + 1).collect()
-    if (sample.length <= IvfFlatIndex.MaxStaticBatch) {
+    if (strategy == IvfFlatIndex.ForceStatic ||
+        sample.length <= IvfFlatIndex.MaxStaticBatch) {
       val localQ = spark.createDataFrame(
         java.util.Arrays.asList(sample: _*), qdf.schema)
-      searchStaticPruned(corpus, localQ, params.k, nprobe, m)
+      val qmap = new java.util.HashMap[java.lang.Long, Array[Float]]()
+      sample.foreach(r => qmap.put(r.getLong(0), r.getSeq[Float](1).toArray))
+      searchStaticPruned(corpus, localQ, spark.sparkContext.broadcast(qmap),
+        params.k, nprobe, m)
     } else searchJoinPruned(corpus, qdf, params.k, nprobe, m)
   }
 
@@ -96,18 +104,23 @@ class IvfFlatIndex(
       explode(vector.probe_lists(col("qvec"), centroids, nprobe, m)).as("list_id"))
 
   private def searchStaticPruned(
-      corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int, m: Metric.Value): DataFrame = {
+      corpus: DataFrame, queries: DataFrame,
+      qmap: Broadcast[java.util.HashMap[java.lang.Long, Array[Float]]],
+      k: Int, nprobe: Int, m: Metric.Value): DataFrame = {
     val pairs = probePairs(queries, nprobe, m)
       .collect() // metadata only: <= batch x nprobe (qid, list_id) ints
       .map(r => (r.getLong(0), r.getInt(1)))
     probeListener(pairs)
     val listIds = pairs.map(_._2).distinct.toSeq
+    // the probe join carries only the 8-byte qid; the query vector is
+    // resolved inside the distance expression from the broadcast map,
+    // saving a dim x 4B row copy per candidate (kernels.cuh:111-117's
+    // shared-memory query cache, in Spark terms)
     val pairsDF = spark.createDataFrame(pairs.toIndexedSeq).toDF("qid", "list_id")
-    val probed = pairsDF.join(broadcast(queries), "qid")
     val candidates = corpus
       .filter(col("list_id").isInCollection(listIds)) // static partition pruning
-      .join(broadcast(probed), "list_id")
-      .withColumn("dist", vector.distance(col("qvec"), col("vec"), m))
+      .join(broadcast(pairsDF), "list_id")
+      .withColumn("dist", vector.distance_to_query(col("vec"), col("qid"), qmap, m))
       .select("qid", "id", "dist")
     TopKAggregator.topKPerQuery(candidates, k)
   }
@@ -133,9 +146,19 @@ class IvfFlatIndex(
 
 object IvfFlatIndex {
 
+  /** Probe-strategy override for [[IvfFlatIndex.searchWhere]]: Auto picks
+    * by batch size; ForceJoin keeps everything distributed (no driver
+    * snapshot) for arbitrarily large query sets; ForceStatic snapshots
+    * regardless (caller asserts the batch is bounded). */
+  sealed trait ProbeStrategy
+  case object Auto extends ProbeStrategy
+  case object ForceStatic extends ProbeStrategy
+  case object ForceJoin extends ProbeStrategy
+
   /** Batches up to this size use the static-pruning probe (the reference's
-    * serving batches cap at 64, server/query_service.h:25). */
-  val MaxStaticBatch = 256
+    * serving batches cap at 64, server/query_service.h:25; 1024 x 2048D
+    * worst case is ~8 MB of driver metadata). */
+  val MaxStaticBatch = 1024
 
   /** Train centroids (S8) from (id, vec) rows — seed 42, 10 Lloyd iters. */
   def train(

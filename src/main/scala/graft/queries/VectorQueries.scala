@@ -94,20 +94,20 @@ object VectorQueries {
   }
 
   /**
-   * Large-batch IVF search: EVERY embedding is a query, which exceeds
-   * MaxStaticBatch and exercises the fully-distributed join-pruned path
-   * (searchJoinPruned) — with nprobe = nlist it is exhaustive, so the
-   * unfiltered exact-kNN SQL is its oracle.
+   * Large-batch IVF search through the fully-distributed join-pruned path
+   * (ForceJoin — no driver snapshot, the shape for unbounded query sets);
+   * with nprobe = nlist it is exhaustive, so the exact-kNN SQL is its
+   * oracle.
    */
   private def ivfSearchBatchAll(spark: SparkSession, dir: String): DataFrame = {
     import graft.SearchParams
+    import graft.index.IvfFlatIndex
     val e = emb(spark, dir)
-    // 300 > MaxStaticBatch(256) forces the join-pruned path; bounded so the
-    // exhaustive-probe oracle stays cheap at every sf
     val queries = e.filter(col("vec_id") < 300)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     ivfIndex(spark, dir, 16)
-      .search(queries, SearchParams(k = 5, nprobe = 16)).orderBy("qid", "rank")
+      .searchWhere(queries, SearchParams(k = 5, nprobe = 16), None, IvfFlatIndex.ForceJoin)
+      .orderBy("qid", "rank")
   }
 
   /** Pruned IVF probe (nprobe < nlist) — approximate, so rows-only checked;
@@ -165,7 +165,12 @@ object VectorQueries {
       d => (pmod(xxhash64(col("id") * dim + d), lit(2000)) / 1000.0 - 1.0).cast("float"))
     val index = cached(s"scale:$n:$dim") {
       val corpus = spark.range(n).select(col("id"), vecExpr.as("vec"))
-      graft.index.IvfFlatIndex.build(spark, corpus, nlist = 256, maxTrain = 20000)
+      val idx = graft.index.IvfFlatIndex.build(spark, corpus, nlist = 256, maxTrain = 20000)
+      // materialize the assigned corpus once — the in-memory stand-in for
+      // an epoch on disk; otherwise every search regenerates 25.6M
+      // xxhash components AND re-runs the 200k x 256-centroid argmin
+      idx.vectors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+      idx
     }
     // two-step select: vecExpr must hash the OFFSET id, or the "queries"
     // would be bit-identical copies of corpus vectors 0..999
