@@ -86,7 +86,11 @@ class IvfFlatIndex(
     // and the joined qvecs have to come from the same rows. One job
     // answers batch size AND provides the batch.
     val qdf = queries.select(col("qid"), col("qvec"))
-    val sample = qdf.limit(IvfFlatIndex.MaxStaticBatch + 1).collect()
+    // ForceStatic must snapshot the WHOLE batch — the limit-probe would
+    // silently truncate a batch above the threshold
+    val sample =
+      if (strategy == IvfFlatIndex.ForceStatic) qdf.collect()
+      else qdf.limit(IvfFlatIndex.MaxStaticBatch + 1).collect()
     if (strategy == IvfFlatIndex.ForceStatic ||
         sample.length <= IvfFlatIndex.MaxStaticBatch) {
       val localQ = spark.createDataFrame(

@@ -134,6 +134,15 @@ class IvfFlatIndexSpec extends SparkSpec {
     assert(got === exact)
   }
 
+  test("ForceStatic snapshots the whole batch (no silent truncation above the threshold)") {
+    // all 1000 vectors as queries with ForceStatic: results must cover
+    // every qid, proving the snapshot wasn't cut at MaxStaticBatch+1
+    val q = queriesDF(data.map { case (i, v) => (i, v) })
+    val res = index.searchWhere(q, SearchParams(k = 1, nprobe = 8), None,
+      IvfFlatIndex.ForceStatic)
+    assert(res.select("qid").distinct().count() === 1000)
+  }
+
   test("filtered ANN: predicate + probe pruning in one plan, exhaustive probe == filtered exact") {
     val s = spark
     import s.implicits._
