@@ -178,6 +178,31 @@ class VectorDBSpec extends SparkSpec {
     assert(slice.map(_.getLong(0)).toSeq === Seq(10L, 11L, 12L, 13L, 14L))
   }
 
+  test("searches race epoch swaps without failures (zero-downtime A6 contract)") {
+    ready
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val searchers = (1 to 3).map { _ =>
+      Future {
+        while (!stop.get()) {
+          try { val n = db.search("test_index", qs, topk = 3).count(); assert(n > 0) }
+          catch { case t: Throwable => errors.add(t); stop.set(true) }
+        }
+      }
+    }
+    try {
+      (1 to 3).foreach { i =>
+        val e = db.buildEpoch("test_index", vectorsDF(randomVectors(100 + i, 8, seed = i)))
+        db.activateEpoch("test_index", e)
+      }
+    } finally stop.set(true)
+    Await.result(Future.sequence(searchers), 120.seconds)
+    assert(errors.isEmpty, s"search failed during epoch swap: ${errors.peek()}")
+  }
+
   test("per-request metric override via string, unknown string -> L2 default") {
     ready
     val res = db.search("test_index", qs, 3, metric = "InnerProduct")
