@@ -15,11 +15,26 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query timeout: one hung query (e.g. a runaway kernel loop) must
+    // not take the whole correctness dump down with it — cancel its job
+    // group and move on.
+    val timeoutMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_MS", "300000").toLong
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val worker = new Thread(() =>
+        try {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        } finally spark.sparkContext.clearJobGroup())
+      worker.setDaemon(true)
+      worker.start()
+      worker.join(timeoutMs)
+      if (worker.isAlive) {
+        System.err.println(s"[verify] $name TIMED OUT after ${timeoutMs}ms; cancelling")
+        spark.sparkContext.cancelJobGroup(name)
+        worker.join(30000)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

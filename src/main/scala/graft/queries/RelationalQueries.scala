@@ -144,7 +144,22 @@ object RelationalQueries {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Ordered-set aggregation: exact linear-interpolated percentiles —
+    * Spark `percentile` and DuckDB `quantile_cont` share the
+    * interpolation, so doubles match bitwise on sorted exact values. */
+  private def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_percentiles" -> (qPercentiles _),
     "q_distinct" -> (qDistinct _),
     "q1_agg" -> (q1Agg _),
     "q3_join" -> (q3Join _),
@@ -156,6 +171,12 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_percentiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.95) AS p95,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_distinct" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS n_parts,
