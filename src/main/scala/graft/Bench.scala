@@ -31,11 +31,17 @@ object Bench {
       }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      runOnce(name, fn) // warm-up: plan + codegen + JIT
-      val t0 = System.nanoTime()
-      val ok = runOnce(name, fn)
+      // one warm-up (plan + codegen + JIT), then the MEDIAN of three timed
+      // runs — single-run numbers on a shared box carry multi-second
+      // scheduler/IO spikes that a median shrugs off
+      runOnce(name, fn)
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = runOnce(name, fn)
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
       // a crashed query reports -1, never a healthy-looking near-zero time
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (times.exists(_ < 0)) -1.0 else times.sorted.apply(1))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

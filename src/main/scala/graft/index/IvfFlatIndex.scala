@@ -93,27 +93,22 @@ class IvfFlatIndex(
       else qdf.limit(IvfFlatIndex.MaxStaticBatch + 1).collect()
     if (strategy == IvfFlatIndex.ForceStatic ||
         sample.length <= IvfFlatIndex.MaxStaticBatch) {
-      val localQ = spark.createDataFrame(
-        java.util.Arrays.asList(sample: _*), qdf.schema)
       val qmap = new java.util.HashMap[java.lang.Long, Array[Float]]()
       sample.foreach(r => qmap.put(r.getLong(0), r.getSeq[Float](1).toArray))
-      searchStaticPruned(corpus, localQ, spark.sparkContext.broadcast(qmap),
+      // the batch is already on the driver — probe it here (parallel
+      // chunks) instead of scheduling a one-partition Spark job
+      val cents = centroids.value
+      val pairs = IvfFlatIndex.localProbe(sample.map(r =>
+        (r.getLong(0), r.getSeq[Float](1).toArray)), cents, nprobe, m)
+      searchStaticPruned(corpus, pairs, spark.sparkContext.broadcast(qmap),
         params.k, nprobe, m)
     } else searchJoinPruned(corpus, qdf, params.k, nprobe, m)
   }
 
-  private def probePairs(queries: DataFrame, nprobe: Int, m: Metric.Value): DataFrame =
-    queries.select(
-      col("qid"),
-      explode(vector.probe_lists(col("qvec"), centroids, nprobe, m)).as("list_id"))
-
   private def searchStaticPruned(
-      corpus: DataFrame, queries: DataFrame,
+      corpus: DataFrame, pairs: Array[(Long, Int)],
       qmap: Broadcast[java.util.HashMap[java.lang.Long, Array[Float]]],
       k: Int, nprobe: Int, m: Metric.Value): DataFrame = {
-    val pairs = probePairs(queries, nprobe, m)
-      .collect() // metadata only: <= batch x nprobe (qid, list_id) ints
-      .map(r => (r.getLong(0), r.getInt(1)))
     probeListener(pairs)
     val listIds = pairs.map(_._2).distinct.toSeq
     // the probe join carries only the 8-byte qid; the query vector is
@@ -163,6 +158,31 @@ object IvfFlatIndex {
     * serving batches cap at 64, server/query_service.h:25; 1024 x 2048D
     * worst case is ~8 MB of driver metadata). */
   val MaxStaticBatch = 1024
+
+  /** Driver-side probe of a bounded query batch: chunk-parallel, ordered
+    * output — mirrors the reference's host-side select_nprobe_lists loop
+    * (ivf_flat_index.cpp:215-218). ~33M madds for 1024 x 16384-list
+    * worst case, far below one Spark job's scheduling cost. */
+  private[index] def localProbe(
+      batch: Array[(Long, Array[Float])],
+      cents: Array[Array[Float]],
+      nprobe: Int,
+      m: Metric.Value): Array[(Long, Int)] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val chunks = batch.grouped(64).toArray
+    val probed = Await.result(
+      Future.sequence(chunks.toSeq.map { chunk =>
+        Future {
+          chunk.flatMap { case (qid, v) =>
+            graft.functions.VectorKernels.probeLists(v, cents, nprobe, m.id)
+              .map(listId => (qid, listId))
+          }
+        }
+      }), Duration.Inf)
+    probed.flatten.toArray
+  }
 
   /** Train centroids (S8) from (id, vec) rows — seed 42, 10 Lloyd iters. */
   def train(

@@ -60,6 +60,15 @@ object TopKAggregator {
       distCol: String = "dist"): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
+    // ObjectHashAggregate falls back to SORT-BASED aggregation once a
+    // partition sees >128 distinct keys (objectHashAggregate.sortBased.
+    // fallbackThreshold) — with hundreds of query groups that means
+    // sorting and spilling the full candidate stream on every search.
+    // The hash map only ever holds nQueries k-bounded buffers, so a large
+    // threshold is safe.
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    if (spark.conf.get(key, "128").toLong < 1048576L)
+      spark.conf.set(key, "1048576")
     val agg = new TopKAggregator(k).toColumn
     scored
       .filter(col(distCol).isNotNull)
