@@ -134,6 +134,17 @@ class IvfFlatIndexSpec extends SparkSpec {
     assert(got === exact)
   }
 
+  test("static and join probe strategies return bit-identical results") {
+    val q = queriesDF(queries)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))
+    val static = index.searchWhere(q, SearchParams(k = 7, nprobe = 3), None,
+      IvfFlatIndex.ForceStatic).collect().map(key).sortBy(x => (x._1, x._2))
+    val join = index.searchWhere(q, SearchParams(k = 7, nprobe = 3), None,
+      IvfFlatIndex.ForceJoin).collect().map(key).sortBy(x => (x._1, x._2))
+    assert(static === join)
+  }
+
   test("ForceStatic snapshots the whole batch (no silent truncation above the threshold)") {
     // all 1000 vectors as queries with ForceStatic: results must cover
     // every qid, proving the snapshot wasn't cut at MaxStaticBatch+1
