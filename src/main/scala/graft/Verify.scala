@@ -19,7 +19,11 @@ object Verify {
     // not take the whole correctness dump down with it — cancel its job
     // group and move on.
     val timeoutMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_MS", "300000").toLong
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional local-iteration filter: run only the named queries.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       val worker = new Thread(() =>
         try {
           spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)

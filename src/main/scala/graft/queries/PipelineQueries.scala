@@ -115,9 +115,12 @@ object PipelineQueries {
       .orderBy("qid", "rank")
   }
 
+  /** REAL media decode: synthesize WAV containers from the corpus, parse
+    * them back (RIFF chunk walk, PCM16 samples), and emit exact-arithmetic
+    * audio features the oracle recomputes from the text directly. */
   private def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.extractFeatures(
-      Multimodal.mediaFromDocuments(spark, docs(spark, dir)))
+    Multimodal.extractWavFeatures(
+      Multimodal.wavFromDocuments(spark, docs(spark, dir)))
       .toDF()
       .orderBy("doc_id")
 
@@ -225,6 +228,26 @@ object PipelineQueries {
         |WHERE doc_id < 200
         |  AND doc_id NOT IN (SELECT b_id FROM p WHERE jaccard >= 0.5)
         |ORDER BY doc_id""".stripMargin,
+    // one PCM16 sample per codepoint; every feature is exact integer (or an
+    // exact-ratio double), so decode-then-aggregate == direct SQL aggregate
+    "multimodal_features" ->
+      """WITH s AS (SELECT doc_id,
+        |    list_transform(list_filter(string_split_regex(text, ''), c -> c <> ''),
+        |      c -> (CAST(ascii(c) AS BIGINT) * 131 + 17) % 65536 - 32768) AS samples
+        |  FROM documents),
+        |f AS (SELECT doc_id, CAST(len(samples) AS INT) AS n_samples, samples FROM s)
+        |SELECT doc_id,
+        |  'audio/wav' AS media_type,
+        |  CAST(44 + 2 * n_samples AS INT) AS n_bytes,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  n_samples,
+        |  CAST(n_samples AS DOUBLE) * 1000.0 / 8000.0 AS duration_ms,
+        |  CAST(COALESCE(list_max(list_transform(samples, x -> abs(x))), 0) AS BIGINT) AS peak_abs,
+        |  CAST(COALESCE(list_sum(list_transform(samples, x -> abs(x))), 0) AS BIGINT) AS sum_abs,
+        |  CAST(COALESCE(list_sum(list_transform(samples, x -> x * x)), 0) AS BIGINT) AS energy,
+        |  CASE WHEN n_samples = 0 THEN 0.0
+        |       ELSE CAST(CAST(list_sum(samples) AS BIGINT) AS DOUBLE) / n_samples END AS mean_amp
+        |FROM f ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       s"""SELECT doc_id, 'text/plain' AS media_type,
          |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -51,10 +51,14 @@ object VectorQueries {
     Knn.exact(queries, vectors, K, metric).orderBy("qid", "rank")
   }
 
+  /** D4 exploded to (vec_id, pos, component) rows — raw ARRAY outputs crash
+    * the driver's pandas-based hash compare, and the exploded projection is
+    * strictly stronger anyway (position-wise equality, not just set). */
   private def normalizeVectors(spark: SparkSession, dir: String): DataFrame =
     emb(spark, dir)
-      .select(col("vec_id"), vector.normalize_vector(col("embedding")).as("norm_vec"))
-      .orderBy("vec_id")
+      .select(col("vec_id"),
+        posexplode(vector.normalize_vector(col("embedding"))).as(Seq("pos", "component")))
+      .orderBy("vec_id", "pos")
 
   /**
    * Argmin assignment (S7) against a deterministic centroid set: the 16
@@ -223,13 +227,15 @@ object VectorQueries {
          |        CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS INT) AS rank
          |      FROM d)
          |SELECT qid, id, dist, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // aligned unnests zip positionally in DuckDB => (pos, component) rows
     "normalize_vectors" ->
       """WITH n AS (SELECT vec_id, embedding,
         |  1.0 / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) + 1e-8) AS inv
         |  FROM embeddings)
         |SELECT vec_id,
-        |       list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * inv AS FLOAT)) AS norm_vec
-        |FROM n ORDER BY vec_id""".stripMargin,
+        |       CAST(unnest(range(0, len(embedding))) AS INT) AS pos,
+        |       unnest(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * inv AS FLOAT))) AS component
+        |FROM n ORDER BY vec_id, pos""".stripMargin,
     "assign_lists" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
          |d AS (SELECT v.vec_id, c.cid, ${sqlL2("v.embedding", "c.cv")} AS dist
