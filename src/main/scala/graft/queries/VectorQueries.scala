@@ -114,15 +114,38 @@ object VectorQueries {
       .orderBy("qid", "rank")
   }
 
-  /** Pruned IVF probe (nprobe < nlist) — approximate, so rows-only checked;
-    * the recall floor vs exact is asserted in IvfFlatIndexSpec. */
+  /** The 16 lowest-id embeddings as a deterministic centroid/codeword set
+    * the oracle can rebuild in SQL (same recipe as assign_lists) — the
+    * probe and ADC paths are deterministic GIVEN centroids, so swapping
+    * trained centroids for fixed ones hash-checks the serving machinery
+    * itself; trained-centroid quality is covered by ivf_search_full
+    * (≡ exact) and the recall suite. */
+  private def fixedCentroids(spark: SparkSession, dir: String): Array[Array[Float]] =
+    cached(s"fixedcents:$dir") {
+      emb(spark, dir).filter(col("vec_id") < 16).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    }
+
+  /**
+   * Pruned IVF probe (nprobe=4 < nlist=16) — THE serving configuration
+   * (reference default nprobe=8, server/query_service.cpp:97), hash-checked
+   * end to end: S2 probe top-nprobe -> S3 restrict to probed lists -> S5/S6
+   * top-k merge, all replicated in the oracle SQL over fixed centroids.
+   */
   private def ivfSearchProbe(spark: SparkSession, dir: String): DataFrame = {
     import graft.SearchParams
+    import graft.index.IvfFlatIndex
     val e = emb(spark, dir)
     val queries = e.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    ivfIndex(spark, dir, 16)
-      .search(queries, SearchParams(k = K, nprobe = 4)).orderBy("qid", "rank")
+    val index = cached(s"ivffixed:$dir") {
+      val bc = IvfFlatIndex.broadcastCentroids(spark, fixedCentroids(spark, dir))
+      new IvfFlatIndex(spark,
+        IvfFlatIndex.assign(
+          e.select(col("vec_id").as("id"), col("embedding").as("vec")), bc),
+        bc, Metric.L2)
+    }
+    index.search(queries, SearchParams(k = K, nprobe = 4)).orderBy("qid", "rank")
   }
 
   /**
@@ -141,15 +164,37 @@ object VectorQueries {
       .orderBy("qid", "rank")
   }
 
-  /** ADC-only IVF-PQ search — approximate, rows-only checked (recall floor
-    * asserted in IvfPqIndexSpec). */
+  /**
+   * Pruned-probe (nprobe=4) + ADC IVF-PQ search over FIXED codebooks and
+   * centroids (subvectors / full vectors of the 16 lowest-id embeddings):
+   * the whole declared-PQ pipeline — encode argmin (S11 codes), ADC tables
+   * (S10), lookup-sum distance, coarse probe prune — is deterministic given
+   * the codebooks, so the oracle SQL replays it exactly. Trained-codebook
+   * recall is asserted in IvfPqIndexSpec; exactness of the trained path in
+   * ivfpq_search_rerank.
+   */
   private def ivfpqSearchAdc(spark: SparkSession, dir: String): DataFrame = {
     import graft.SearchParams
+    import graft.functions.pq
     val e = emb(spark, dir)
     val queries = e.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    ivfpqIndex(spark, dir, 16, 8)
-      .search(queries, SearchParams(k = K, nprobe = 4)).orderBy("qid", "rank")
+    val index = cached(s"ivfpqfixed:$dir") {
+      val cents = fixedCentroids(spark, dir)
+      val m = 8
+      val dsub = cents(0).length / m
+      val books = Array.tabulate(m)(s =>
+        cents.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub)))
+      val bcC = spark.sparkContext.broadcast(cents)
+      val bcB = spark.sparkContext.broadcast(books)
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val codes = vectors.select(
+        col("id"),
+        pq.pq_encode(col("vec"), bcB).as("codes"),
+        vector.argmin_centroid(col("vec"), bcC).as("list_id"))
+      new graft.index.IvfPqIndex(spark, codes, vectors, bcC, bcB)
+    }
+    index.search(queries, SearchParams(k = K, nprobe = 4)).orderBy("qid", "rank")
   }
 
   /**
@@ -236,6 +281,62 @@ object VectorQueries {
         |       CAST(unnest(range(0, len(embedding))) AS INT) AS pos,
         |       unnest(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * inv AS FLOAT))) AS component
         |FROM n ORDER BY vec_id, pos""".stripMargin,
+    // fixed-centroid pruned probe: assign + probe-top-4 + restrict + top-k,
+    // the full serving plan replayed in SQL
+    "ivf_search_probe" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $NQ),
+         |ad AS (SELECT v.vec_id, c.cid, ${sqlL2("v.embedding", "c.cv")} AS d FROM embeddings v, c),
+         |asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ad) WHERE rn = 1),
+         |pd AS (SELECT q.qid, c.cid, ${sqlL2("q.qv", "c.cv")} AS d FROM q, c),
+         |probe AS (SELECT qid, cid FROM (SELECT qid, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rn FROM pd) WHERE rn <= 4),
+         |d AS (SELECT q.qid, v.vec_id AS id, ${sqlL2("q.qv", "v.embedding")} AS dist
+         |      FROM probe p JOIN q ON q.qid = p.qid
+         |      JOIN asg a ON a.cid = p.cid
+         |      JOIN embeddings v ON v.vec_id = a.vec_id),
+         |r AS (SELECT qid, id, dist,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS INT) AS rank
+         |      FROM d)
+         |SELECT qid, id, dist, rank FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin,
+    // fixed-codebook PQ: encode argmin per subspace, probe-top-4 coarse
+    // prune, ADC lookup-sum distance (sum ordered by subspace), top-k
+    "ivfpq_search_adc" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $NQ),
+         |ad AS (SELECT v.vec_id, c.cid, ${sqlL2("v.embedding", "c.cv")} AS d FROM embeddings v, c),
+         |asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ad) WHERE rn = 1),
+         |pd AS (SELECT q.qid, c.cid, ${sqlL2("q.qv", "c.cv")} AS d FROM q, c),
+         |probe AS (SELECT qid, cid FROM (SELECT qid, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rn FROM pd) WHERE rn <= 4),
+         |cw AS (SELECT t.s, c.vec_id AS cid,
+         |    list_transform(range(1, 9), i -> CAST(c.embedding[t.s*8 + i] AS DOUBLE)) AS w
+         |  FROM range(0, 8) t(s), embeddings c WHERE c.vec_id < 16),
+         |vsub AS (SELECT v.vec_id, t.s,
+         |    list_transform(range(1, 9), i -> CAST(v.embedding[t.s*8 + i] AS DOUBLE)) AS u
+         |  FROM embeddings v, range(0, 8) t(s)),
+         |enc0 AS (SELECT vsub.vec_id, vsub.s, cw.cid,
+         |    list_sum(list_transform(range(1, 9), i -> (u[i] - w[i]) * (u[i] - w[i]))) AS d
+         |  FROM vsub JOIN cw ON cw.s = vsub.s),
+         |enc AS (SELECT vec_id, s, cid FROM (SELECT vec_id, s, cid,
+         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rn FROM enc0) WHERE rn = 1),
+         |qsub AS (SELECT q.qid, t.s,
+         |    list_transform(range(1, 9), i -> CAST(q.qv[t.s*8 + i] AS DOUBLE)) AS u
+         |  FROM q, range(0, 8) t(s)),
+         |cand AS (SELECT p.qid, a.vec_id AS id FROM probe p JOIN asg a ON a.cid = p.cid),
+         |contrib AS (SELECT cand.qid, cand.id, qsub.s,
+         |    list_sum(list_transform(range(1, 9), i -> (qsub.u[i] - cw.w[i]) * (qsub.u[i] - cw.w[i]))) AS d
+         |  FROM cand
+         |  JOIN qsub ON qsub.qid = cand.qid
+         |  JOIN enc ON enc.vec_id = cand.id AND enc.s = qsub.s
+         |  JOIN cw ON cw.s = enc.s AND cw.cid = enc.cid),
+         |dd AS (SELECT qid, id, list_sum(list(d ORDER BY s)) AS dist FROM contrib GROUP BY qid, id),
+         |r AS (SELECT qid, id, dist,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS INT) AS rank
+         |      FROM dd)
+         |SELECT qid, id, dist, rank FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin,
     "assign_lists" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
          |d AS (SELECT v.vec_id, c.cid, ${sqlL2("v.embedding", "c.cv")} AS dist
