@@ -123,13 +123,30 @@ object VectorKernels {
       nprobe: Int,
       metric: Int): Array[Int] = {
     val n = centroids.length
-    val dists = new Array[Double](n)
-    var c = 0
-    while (c < n) { dists(c) = distance(v, centroids(c), metric); c += 1 }
     val k = math.min(nprobe, n)
-    val idx = Array.range(0, n)
-    // full sort is fine: nlist <= 16384 and this runs once per query row
-    val sorted = idx.sortBy(i => (dists(i), i))
-    java.util.Arrays.copyOfRange(sorted, 0, k)
+    // bounded insertion buffer, ascending by (dist, id): O(nlist * nprobe)
+    // worst case with zero boxing — on the distributed join path this runs
+    // per query row against up to nlist=16384 centroids, where the previous
+    // full sortBy over boxed (Double, Int) tuples dominated the row cost
+    val bufD = new Array[Double](k)
+    val bufI = new Array[Int](k)
+    var size = 0
+    var c = 0
+    while (c < n) {
+      val d = distance(v, centroids(c), metric)
+      // centroid ids arrive ascending, so on a tie the incumbent wins
+      if (size < k || d < bufD(size - 1)) {
+        var p = size
+        while (p > 0 && d < bufD(p - 1)) p -= 1
+        val tail = math.min(size, k - 1)
+        System.arraycopy(bufD, p, bufD, p + 1, tail - p)
+        System.arraycopy(bufI, p, bufI, p + 1, tail - p)
+        bufD(p) = d
+        bufI(p) = c
+        if (size < k) size += 1
+      }
+      c += 1
+    }
+    java.util.Arrays.copyOfRange(bufI, 0, size)
   }
 }

@@ -48,10 +48,10 @@ class TopKAggregatorSpec extends SparkSpec {
     val a = new TopKAggregator(3)
     val buf = (1 to 100).foldLeft(a.zero)((b, i) => a.reduce(b, (0L, i.toLong, i.toDouble)))
     assert(buf.size === 3)
-    assert(buf.map(_._1) === Seq(1.0, 2.0, 3.0))
+    assert(buf.toSeq.map(_._1) === Seq(1.0, 2.0, 3.0))
     val merged = a.merge(buf,
       (101 to 200).foldLeft(a.zero)((b, i) => a.reduce(b, (0L, i.toLong, -i.toDouble))))
     assert(merged.size === 3)
-    assert(merged.map(_._1) === Seq(-200.0, -199.0, -198.0))
+    assert(merged.toSeq.map(_._1) === Seq(-200.0, -199.0, -198.0))
   }
 }
