@@ -81,18 +81,26 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
    * @param source (id LONG, vec ARRAY<FLOAT>) rows, e.g. from
    *               [[VectorDB.readVectorParquet]]
    */
-  def buildEpoch(name: String, source: DataFrame): String = {
+  /** @param centroids warm-start: skip training and cluster the epoch on
+    *        the given centroids (row index == list_id) — re-shard/rebuild
+    *        without retraining, and the deterministic path the driver's
+    *        oracle-checked lifecycle entry uses. */
+  def buildEpoch(
+      name: String,
+      source: DataFrame,
+      centroids: Option[Array[Array[Float]]] = None): String = {
     val progress = new java.util.concurrent.atomic.AtomicReference[Double](0.0)
     if (builds.putIfAbsent(name, progress).isDefined)
       throw new InvalidArgumentException(s"Build already in progress for index: $name")
-    try doBuildEpoch(name, source, progress)
+    try doBuildEpoch(name, source, progress, centroids)
     finally builds.remove(name)
   }
 
   private def doBuildEpoch(
       name: String,
       source: DataFrame,
-      progress: java.util.concurrent.atomic.AtomicReference[Double]): String = {
+      progress: java.util.concurrent.atomic.AtomicReference[Double],
+      warmStart: Option[Array[Array[Float]]] = None): String = {
     val manifest = indexManifest(name)
     locally {
       val em = epochManager(name)
@@ -100,7 +108,7 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       val path = em.epochPath(epochId)
       progress.set(0.1)
 
-      val cents = IvfFlatIndex.train(spark, source, manifest.nlist)
+      val cents = warmStart.getOrElse(IvfFlatIndex.train(spark, source, manifest.nlist))
       progress.set(0.5)
       val bc = IvfFlatIndex.broadcastCentroids(spark, cents)
       IvfFlatIndex.writeEpoch(IvfFlatIndex.assign(source, bc), s"$path/vectors")

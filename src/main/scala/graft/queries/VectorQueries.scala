@@ -149,6 +149,37 @@ object VectorQueries {
   }
 
   /**
+   * Full ON-DISK epoch lifecycle as a hash-gated entry (S9 + F5/F6 +
+   * A3-A6, reference format/storage.cpp:304-579): createIndex ->
+   * buildEpoch (warm-start on the fixed centroids; partitionBy(list_id)
+   * vectors + centroids parquet + manifest with shard counts) ->
+   * activateEpoch -> loadIndex (reads everything back from disk) -> serve
+   * a pruned search. The probed `list_id IN (...)` predicate lands as a
+   * PartitionFilter on the epoch's parquet scan (pinned by
+   * VectorDBSpec), and the results must hash-match the same oracle SQL as
+   * the in-memory probe entry.
+   */
+  private def ivfSearchEpoch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.api.VectorDB
+    val e = emb(spark, dir)
+    val queries = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val db = cached(s"epochdb:$dir") {
+      val cents = fixedCentroids(spark, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_epoch_entry").toString
+      val db = new VectorDB(spark, root)
+      db.createIndex(graft.IndexConfig(
+        name = "emb_fixed", dimension = cents(0).length, nlist = cents.length))
+      val eid = db.buildEpoch("emb_fixed",
+        e.select(col("vec_id").as("id"), col("embedding").as("vec")), Some(cents))
+      db.activateEpoch("emb_fixed", eid)
+      db.loadIndex("emb_fixed")
+      db
+    }
+    db.search("emb_fixed", queries, topk = K, nprobe = 4).orderBy("qid", "rank")
+  }
+
+  /**
    * IVF-PQ with exhaustive probe + full exact rerank (S10-S13): ADC
    * prefilter then exact re-scoring over every candidate reduces to exact
    * kNN, so the same DuckDB oracle checks the whole PQ pipeline
@@ -249,6 +280,7 @@ object VectorQueries {
     "assign_lists" -> (assignLists _),
     "ivf_search_full" -> (ivfSearchFull _),
     "ivf_search_probe" -> (ivfSearchProbe _),
+    "ivf_search_epoch" -> (ivfSearchEpoch _),
     "ivf_search_batch_all" -> (ivfSearchBatchAll _),
     "ivfpq_search_rerank" -> (ivfpqSearchRerank _),
     "ivfpq_search_adc" -> (ivfpqSearchAdc _),
@@ -283,23 +315,9 @@ object VectorQueries {
         |FROM n ORDER BY vec_id, pos""".stripMargin,
     // fixed-centroid pruned probe: assign + probe-top-4 + restrict + top-k,
     // the full serving plan replayed in SQL
-    "ivf_search_probe" ->
-      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
-         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $NQ),
-         |ad AS (SELECT v.vec_id, c.cid, ${sqlL2("v.embedding", "c.cv")} AS d FROM embeddings v, c),
-         |asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ad) WHERE rn = 1),
-         |pd AS (SELECT q.qid, c.cid, ${sqlL2("q.qv", "c.cv")} AS d FROM q, c),
-         |probe AS (SELECT qid, cid FROM (SELECT qid, cid,
-         |    row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rn FROM pd) WHERE rn <= 4),
-         |d AS (SELECT q.qid, v.vec_id AS id, ${sqlL2("q.qv", "v.embedding")} AS dist
-         |      FROM probe p JOIN q ON q.qid = p.qid
-         |      JOIN asg a ON a.cid = p.cid
-         |      JOIN embeddings v ON v.vec_id = a.vec_id),
-         |r AS (SELECT qid, id, dist,
-         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS INT) AS rank
-         |      FROM d)
-         |SELECT qid, id, dist, rank FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin,
+    "ivf_search_probe" -> probeOracleSql,
+    // identical semantics through the on-disk epoch (write -> read -> serve)
+    "ivf_search_epoch" -> probeOracleSql,
     // fixed-codebook PQ: encode argmin per subspace, probe-top-4 coarse
     // prune, ADC lookup-sum distance (sum ordered by subspace), top-k
     "ivfpq_search_adc" ->
@@ -346,4 +364,24 @@ object VectorQueries {
          |      FROM d)
          |SELECT vec_id, cid AS list_id FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
   )
+
+  /** Shared by ivf_search_probe (in-memory) and ivf_search_epoch (on-disk
+    * lifecycle): both must produce the identical pruned-probe result. */
+  private lazy val probeOracleSql: String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $NQ),
+       |ad AS (SELECT v.vec_id, c.cid, ${sqlL2("v.embedding", "c.cv")} AS d FROM embeddings v, c),
+       |asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ad) WHERE rn = 1),
+       |pd AS (SELECT q.qid, c.cid, ${sqlL2("q.qv", "c.cv")} AS d FROM q, c),
+       |probe AS (SELECT qid, cid FROM (SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rn FROM pd) WHERE rn <= 4),
+       |d AS (SELECT q.qid, v.vec_id AS id, ${sqlL2("q.qv", "v.embedding")} AS dist
+       |      FROM probe p JOIN q ON q.qid = p.qid
+       |      JOIN asg a ON a.cid = p.cid
+       |      JOIN embeddings v ON v.vec_id = a.vec_id),
+       |r AS (SELECT qid, id, dist,
+       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS INT) AS rank
+       |      FROM d)
+       |SELECT qid, id, dist, rank FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
 }

@@ -30,6 +30,30 @@ class VectorDBSpec extends SparkSpec {
     assert(cols === Seq("qid", "id", "dist", "rank"))
   }
 
+  test("epoch-backed search prunes the parquet scan (PartitionFilters on list_id)") {
+    ready
+    // nprobe=1 of nlist=4: the probed lists reach the on-disk epoch scan as
+    // a partition filter — the Spark analog of loading only probed lists
+    val plan = db.search("test_index", qs, topk = 5, nprobe = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [list_id"), s"no partition pruning in:\n$plan")
+  }
+
+  test("buildEpoch warm-start uses the given centroids verbatim") {
+    ready
+    val prev = db.stats("test_index")("epoch").toString
+    val cents = Array(
+      Array.fill(8)(-10.0f), Array.fill(8)(0.0f), Array.fill(8)(10.0f), Array.fill(8)(20.0f))
+    val epoch = db.buildEpoch("test_index", corpus, Some(cents))
+    db.activateEpoch("test_index", epoch)
+    val loaded = db.stats("test_index")
+    assert(loaded("epoch") === epoch)
+    // N(0,1) vectors all sit nearest the zero centroid -> one hot shard
+    assert(loaded("num_shards") === 1)
+    // restore the trained epoch for the other tests (shared fixture)
+    db.activateEpoch("test_index", prev)
+  }
+
   test("search validation: empty queries -> INVALID_ARGUMENT") {
     ready
     intercept[InvalidArgumentException](db.search("test_index", qs.limit(0), 5))
