@@ -23,6 +23,44 @@ object Dedup {
   /** a<b canonical pair ordering so each pair appears once. */
   private def pairUp(a: Column, b: Column): Column = a < b
 
+  /** Per-side row cap for one bucket-join task: a bucket above this size is
+    * split into salted sub-buckets, so per-task candidate fan-out is at
+    * most maxBucket^2 regardless of k-means skew. */
+  val DefaultMaxBucket = 4096
+
+  /**
+   * All ordered same-bucket pairs (a_id, b_id), a != b, with SKEW-BOUNDED
+   * tasks: bucket sizes are counted, buckets larger than `maxBucket` rows
+   * split into ceil(n/maxBucket) salted sub-buckets, and each row fans out
+   * to one sub-bucket per side-combination — the classic blocked self-join
+   * tiling. Every ordered pair lands in exactly one (bucket, bi, bj) block,
+   * and each block's join is at most maxBucket x maxBucket, so one hot
+   * k-means list (imbalance is routine at 100 TB) can no longer produce a
+   * single quadratic straggler task; total candidate volume is unchanged
+   * (it is the operator's semantics), but it is spread evenly.
+   *
+   * Undirected consumers filter a_id < b_id afterwards.
+   */
+  private[pipeline] def bucketedSelfPairs(
+      assigned: DataFrame, // (list_id, id)
+      maxBucket: Int): DataFrame = {
+    val sizes = assigned.groupBy("list_id").agg(count(lit(1)).as("bucket_n"))
+    val salted = assigned.join(sizes, "list_id")
+      .withColumn("nsplit",
+        greatest(lit(1), ceil(col("bucket_n") / maxBucket)).cast("int"))
+      .withColumn("salt", pmod(xxhash64(col("id")), col("nsplit")).cast("int"))
+    val blocks = explode(sequence(lit(0), col("nsplit") - 1))
+    val a = salted
+      .withColumn("bj", blocks)
+      .select(col("list_id"), col("salt").as("bi"), col("bj"), col("id").as("a_id"))
+    val b = salted
+      .withColumn("bi", blocks)
+      .select(col("list_id"), col("bi"), col("salt").as("bj"), col("id").as("b_id"))
+    a.join(b, Seq("list_id", "bi", "bj"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id")
+  }
+
   /**
    * Exact dedup: group identical normalized text, keep the lowest id.
    * Returns (keep_id, dup_count, text); dup_count > 1 marks duplicates.
@@ -176,7 +214,8 @@ object Dedup {
       vectors: DataFrame, // (id, vec)
       centroids: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
       maxCosineDist: Double = 0.2,
-      assignProbes: Int = 2): DataFrame = {
+      assignProbes: Int = 2,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // bucket join on (list_id, id) only — vectors join back per candidate
     // pair after the distinct, so the heavy column never rides the
     // quadratic part of the shuffle
@@ -185,9 +224,7 @@ object Dedup {
       explode(vector.probe_lists(col("vec"), centroids, assignProbes, Metric.L2))
         .as("list_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = assigned.select(col("list_id"), col("id").as("a_id"))
-    val b = assigned.select(col("list_id"), col("id").as("b_id"))
-    val cands = a.join(b, Seq("list_id"))
+    val cands = bucketedSelfPairs(assigned, maxBucket)
       .filter(pairUp(col("a_id"), col("b_id")))
       .select("a_id", "b_id").distinct()
     cands

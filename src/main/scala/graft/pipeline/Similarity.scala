@@ -66,19 +66,20 @@ object Similarity {
       vectors: DataFrame, // (id, vec)
       centroids: Broadcast[Array[Array[Float]]],
       k: Int,
-      assignProbes: Int = 2): DataFrame = {
+      assignProbes: Int = 2,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     // bucket join carries ids only; multi-probe duplicate pairs are
-    // dropped BEFORE the distance computes (and before vectors shuffle)
+    // dropped BEFORE the distance computes (and before vectors shuffle).
+    // Dedup.bucketedSelfPairs splits skewed lists into salted sub-buckets
+    // so no single hot list becomes one quadratic task; the top-k below
+    // merges across sub-buckets by qid, so the split is invisible to it.
     val assigned = vectors.select(
       col("id"),
       explode(vector.probe_lists(col("vec"), centroids, assignProbes, Metric.L2))
         .as("list_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = assigned.select(col("list_id"), col("id").as("qid"))
-    val b = assigned.select(col("list_id"), col("id"))
-    val cands = a.join(b, Seq("list_id"))
-      .filter(col("qid") =!= col("id"))
-      .select("qid", "id").distinct()
+    val cands = Dedup.bucketedSelfPairs(assigned, maxBucket)
+      .select(col("a_id").as("qid"), col("b_id").as("id")).distinct()
     val scored = cands
       .join(vectors.select(col("id").as("qid"), col("vec").as("qvec")), "qid")
       .join(vectors.select(col("id"), col("vec")), "id")

@@ -92,6 +92,26 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.contains((7L, 1007L)), s"planted dup missed: $pairs")
   }
 
+  test("skewed bucket (one list holds ~90% of rows) splits without changing results") {
+    // centroid 0 at the origin captures every N(0,1) vector; centroid 1 is
+    // far away and stays empty -> maximal k-means skew
+    val v = vectorsDF(randomVectors(300, 8))
+    val cents = IvfFlatIndex.broadcastCentroids(spark,
+      Array(Array.fill(8)(0.0f), Array.fill(8)(100.0f)))
+    def pairs(maxBucket: Int) =
+      Dedup.embeddingNearDup(v, cents, maxCosineDist = 0.9,
+        assignProbes = 1, maxBucket = maxBucket)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val split = pairs(maxBucket = 25)   // 300-row bucket -> 12 sub-buckets
+    val whole = pairs(maxBucket = 1 << 30)
+    assert(split === whole, "salted sub-bucket split changed the pair set")
+    assert(split.nonEmpty)
+    def topk(maxBucket: Int) =
+      Similarity.knnSelfJoin(v, cents, k = 3, assignProbes = 1, maxBucket = maxBucket)
+        .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    assert(topk(25) === topk(1 << 30), "split changed the self-join top-k")
+  }
+
   test("knn self-join returns k neighbors per vector with no self-matches") {
     val v = vectorsDF(randomVectors(100, 8))
     val cents = IvfFlatIndex.train(spark, v, nlist = 4)
