@@ -161,20 +161,50 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
    */
   def addVectors(name: String, batch: DataFrame): Long = {
     val s = served.getOrElse(name, throw new NotFoundException(s"Index not found: $name"))
-    // the kernels truncate to min(len) — wrong-dim vectors would be
-    // silently appended and silently mis-scored forever after
-    if (batch.filter(size(col("vec")) =!= s.manifest.dimension).limit(1).count() > 0)
-      throw new InvalidArgumentException("Vector dimension mismatch")
     val em = epochManager(name)
     val path = em.epochPath(s.epochId)
-    val assigned = IvfFlatIndex.assign(batch, s.index.centroids)
-    IvfFlatIndex.appendToEpoch(assigned, s"$path/vectors")
-    val added = batch.count()
-    val updated = Manifest.load(s"$path/manifest.json")
-    updated.copy(numVectors = updated.numVectors + added).save(s"$path/manifest.json")
-    loadServed(name, s.epochId) // re-read: new files become visible
-    added
+    // snapshot ONCE (persist + count): a non-deterministic source (sample/
+    // limit/stream) must yield the same rows to the dim check, the write,
+    // and the reported count. The count materializes the cache and fires
+    // the in-plan dimension guard — wrong-dim vectors would otherwise be
+    // silently appended and mis-scored by the min-length kernels forever.
+    val guarded = batch.withColumn("vec",
+      when(size(col("vec")) === s.manifest.dimension, col("vec"))
+        .otherwise(raise_error(lit("Vector dimension mismatch"))))
+    val assigned = IvfFlatIndex.assign(guarded, s.index.centroids)
+    try {
+      // persist inside the translation scope: local-relation batches hit
+      // the guard during plan normalization (ConvertToLocalRelation
+      // evaluates projections eagerly), file-backed ones at execution.
+      // count() alone would column-prune the guard away — the write below
+      // evaluates every column, so the guard always fires before any
+      // manifest/serving state changes (parquet cleans its own task files)
+      assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val added = assigned.count()
+      if (added > 0) {
+        IvfFlatIndex.appendToEpoch(assigned, s"$path/vectors")
+        // manifest read-modify-write + reload serialized per index so
+        // concurrent adds cannot lose counts
+        manifestLock(name).synchronized {
+          val updated = Manifest.load(s"$path/manifest.json")
+          updated.copy(numVectors = updated.numVectors + added).save(s"$path/manifest.json")
+          loadServed(name, s.epochId) // re-read: new files become visible
+        }
+      }
+      added
+    } catch {
+      case e: Exception if dimensionError(e) =>
+        throw new InvalidArgumentException("Vector dimension mismatch")
+    } finally assigned.unpersist(blocking = false)
   }
+
+  private val manifestLocks = TrieMap.empty[String, Object]
+  private def manifestLock(name: String): Object =
+    manifestLocks.getOrElseUpdate(name, new Object)
+
+  private def dimensionError(e: Throwable): Boolean =
+    e != null && (Option(e.getMessage).exists(_.contains("dimension mismatch")) ||
+      dimensionError(e.getCause))
 
   // --- A6/A3 ActivateEpoch / LoadIndex ------------------------------------
 
@@ -199,6 +229,10 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
   private def loadServed(name: String, epochId: String): Unit = {
     // release caches pinned against the previous serve state
     warmed.remove(name).foreach(_.foreach(_.unpersist(blocking = false)))
+    // a DIFFERENT epoch remaps list ids (retrain) — stale hotness stats
+    // would make warmupHot pin the wrong partitions. Same-epoch reloads
+    // (addVectors append) keep their stats.
+    if (served.get(name).exists(_.epochId != epochId)) listStats.remove(name)
     val em = epochManager(name)
     val path = em.epochPath(epochId)
     val manifest = Manifest.load(s"$path/manifest.json")
@@ -243,37 +277,75 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       topk: Int,
       nprobe: Int = 0,
       metric: String = ""): DataFrame = {
-    if (queries.isEmpty) throw new InvalidArgumentException("No queries provided")
-    if (topk <= 0 || topk > 1000) throw new InvalidArgumentException("Invalid topk value")
-    if (name.isEmpty) throw new InvalidArgumentException("Index name required")
-    val s = served.getOrElse(name, throw new NotFoundException(s"Index not found: $name"))
-
-    validateQuerySchema(queries, s.manifest.dimension)
+    val (s, batch) = validateAndSnapshot(name, queries, topk)
     val params = SearchParams(
       k = topk,
       nprobe = if (nprobe > 0) nprobe else 8,
       metric = if (metric.nonEmpty) Some(Metric.parse(metric)) else None)
-    s.index.search(queries, params)
+    batch match {
+      case Some(b) => s.index.searchBatch(b, params) // zero further jobs
+      case None => // unbounded batch: stay fully distributed, guard in-plan
+        s.index.searchWhere(
+          guardedQueries(queries, s.manifest.dimension), params, None,
+          IvfFlatIndex.ForceJoin)
+    }
   }
 
   /** Exact search through the serving index (the recall oracle) —
     * same validation matrix as [[search]]. */
   def searchExact(name: String, queries: DataFrame, topk: Int): DataFrame = {
-    if (queries.isEmpty) throw new InvalidArgumentException("No queries provided")
+    val (s, batch) = validateAndSnapshot(name, queries, topk)
+    val qdf = batch match {
+      // reuse the snapshot: the validated rows ARE the batch (a
+      // non-deterministic source is never evaluated twice)
+      case Some(b) =>
+        import spark.implicits._
+        b.toSeq.toDF("qid", "qvec")
+      case None => guardedQueries(queries, s.manifest.dimension)
+    }
+    s.index.searchExact(qdf, topk)
+  }
+
+  /**
+   * The A1 validation matrix in ONE Spark job: a bounded snapshot answers
+   * emptiness, per-query dimension, and (when the batch fits
+   * [[IvfFlatIndex.MaxStaticBatch]]) doubles as the serving batch itself —
+   * the previous shape ran isEmpty + a full-scan dimension count + the
+   * probe snapshot as three separate jobs, re-evaluating the caller's plan
+   * each time. Returns Some(batch) when bounded, None when the query set
+   * exceeds the static limit (callers then stay distributed and validate
+   * in-plan via [[guardedQueries]]).
+   */
+  private def validateAndSnapshot(
+      name: String,
+      queries: DataFrame,
+      topk: Int): (Served, Option[Array[(Long, Array[Float])]]) = {
     if (topk <= 0 || topk > 1000) throw new InvalidArgumentException("Invalid topk value")
     if (name.isEmpty) throw new InvalidArgumentException("Index name required")
     val s = served.getOrElse(name, throw new NotFoundException(s"Index not found: $name"))
-    validateQuerySchema(queries, s.manifest.dimension)
-    s.index.searchExact(queries, topk)
-  }
-
-  private def validateQuerySchema(queries: DataFrame, dim: Int): Unit = {
     val schema = queries.schema
     require(schema.fieldNames.contains("qid") && schema.fieldNames.contains("qvec"),
       "queries need (qid LONG, qvec ARRAY<FLOAT>) columns")
-    val bad = queries.filter(size(col("qvec")) =!= dim).limit(1).count()
-    if (bad > 0) throw new InvalidArgumentException("Query dimension mismatch")
+    val sample = queries.select(col("qid"), col("qvec"))
+      .limit(IvfFlatIndex.MaxStaticBatch + 1).collect()
+    if (sample.isEmpty) throw new InvalidArgumentException("No queries provided")
+    val dim = s.manifest.dimension
+    val batch = sample.map(r => (r.getLong(0),
+      Option(r.getSeq[Float](1)).map(_.toArray).orNull))
+    if (batch.exists(b => b._2 == null || b._2.length != dim))
+      throw new InvalidArgumentException("Query dimension mismatch")
+    (s, if (batch.length <= IvfFlatIndex.MaxStaticBatch) Some(batch) else None)
   }
+
+  /** In-plan dimension guard for unbounded query sets: rows past the
+    * validation sample raise at execution time instead of being silently
+    * truncated/mis-scored by the min-length distance kernels. */
+  private def guardedQueries(queries: DataFrame, dim: Int): DataFrame =
+    queries.withColumn("qvec",
+      when(size(col("qvec")) === dim, col("qvec"))
+        .otherwise(raise_error(concat(
+          lit("Query dimension mismatch: expected "), lit(dim).cast("string"),
+          lit(", got "), size(col("qvec")).cast("string")))))
 
   // --- A2 Warmup -----------------------------------------------------------
 

@@ -93,16 +93,32 @@ class IvfFlatIndex(
       else qdf.limit(IvfFlatIndex.MaxStaticBatch + 1).collect()
     if (strategy == IvfFlatIndex.ForceStatic ||
         sample.length <= IvfFlatIndex.MaxStaticBatch) {
-      val qmap = new java.util.HashMap[java.lang.Long, Array[Float]]()
-      sample.foreach(r => qmap.put(r.getLong(0), r.getSeq[Float](1).toArray))
-      // the batch is already on the driver — probe it here (parallel
-      // chunks) instead of scheduling a one-partition Spark job
-      val cents = centroids.value
-      val pairs = IvfFlatIndex.localProbe(sample.map(r =>
-        (r.getLong(0), r.getSeq[Float](1).toArray)), cents, nprobe, m)
-      searchStaticPruned(corpus, pairs, spark.sparkContext.broadcast(qmap),
-        params.k, nprobe, m)
+      searchBatch(sample.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)),
+        params, predicate)
     } else searchJoinPruned(corpus, qdf, params.k, nprobe, m)
+  }
+
+  /**
+   * Static-pruned search over an ALREADY-COLLECTED query batch: zero Spark
+   * jobs before the returned plan executes. This is the serving hot path —
+   * a facade that has the batch in hand (e.g. after validating it) calls
+   * this directly instead of paying a snapshot job (reference coalesced
+   * batches are bounded at 64 queries, server/query_service.h:25-31).
+   */
+  def searchBatch(
+      batch: Array[(Long, Array[Float])],
+      params: SearchParams,
+      predicate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val m = params.metric.getOrElse(metric)
+    val nprobe = math.min(params.nprobe, nlist)
+    val corpus = predicate.map(vectors.filter).getOrElse(vectors)
+    val qmap = new java.util.HashMap[java.lang.Long, Array[Float]]()
+    batch.foreach { case (qid, v) => qmap.put(qid, v) }
+    // the batch is already on the driver — probe it here (parallel
+    // chunks) instead of scheduling a one-partition Spark job
+    val pairs = IvfFlatIndex.localProbe(batch, centroids.value, nprobe, m)
+    searchStaticPruned(corpus, pairs, spark.sparkContext.broadcast(qmap),
+      params.k, nprobe, m)
   }
 
   private def searchStaticPruned(

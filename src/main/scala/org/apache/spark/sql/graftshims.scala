@@ -14,4 +14,9 @@ object graftshims {
 
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Drain the shared listener bus — lets tests assert deterministically on
+    * SparkListener-observed state (job counts etc.). */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

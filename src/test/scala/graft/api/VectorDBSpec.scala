@@ -30,6 +30,27 @@ class VectorDBSpec extends SparkSpec {
     assert(cols === Seq("qid", "id", "dist", "rank"))
   }
 
+  test("serving search schedules NO extra Spark jobs before returning the plan") {
+    ready
+    db.search("test_index", qs, topk = 3).count() // settle lazy init/caches
+    val counter = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      db.search("test_index", qs, topk = 3) // plan construction, no action
+      org.apache.spark.sql.graftshims.drainListenerBus(spark)
+      // the single validate+snapshot collect short-circuits on a local
+      // batch (LocalTableScan), so the serving path costs ZERO driver
+      // jobs here — the old shape ran a full-scan dimension count
+      assert(counter.get() === 0,
+        s"expected no pre-search jobs on a local batch, saw ${counter.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("epoch-backed search prunes the parquet scan (PartitionFilters on list_id)") {
     ready
     // nprobe=1 of nlist=4: the probed lists reach the on-disk epoch scan as
