@@ -23,6 +23,17 @@ object Dedup {
   /** a<b canonical pair ordering so each pair appears once. */
   private def pairUp(a: Column, b: Column): Column = a < b
 
+  /** Persist unless an equivalent plan is already cached — repeated
+    * invocations over the same corpus (bench iterations, retries) would
+    * otherwise spam "Asked to cache already cached data" and re-register
+    * the cache entry. storageLevel resolves through the CacheManager, so
+    * the check is structural, not per-Dataset-object. */
+  private[pipeline] def persistOnce(df: DataFrame): DataFrame = {
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
+
   /** Per-side row cap for one bucket-join task: a bucket above this size is
     * split into salted sub-buckets, so per-task candidate fan-out is at
     * most maxBucket^2 regardless of k-means skew. */
@@ -96,14 +107,14 @@ object Dedup {
       col(idCol).as("id"),
       text.word_ngrams(text.tokenize(col(textCol)), ngram).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(persistOnce)
     // band join carries ONLY ids: candidate volume is pairs x 8 bytes, not
     // pairs x shingle arrays; payloads join back after the distinct
     val sigs = toks
       .withColumn("sig", text.minhash_signature(col("shingles"), numHashes))
       .select(col("id"),
         posexplode(text.lsh_bands(col("sig"), numHashes, bands)).as(Seq("pos", "band")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(persistOnce)
     val a = sigs.select(col("pos").as("band_pos"), col("band").as("band_key"),
       col("id").as("a_id"))
     val b = sigs.select(col("pos").as("band_pos"), col("band").as("band_key"),
@@ -223,7 +234,7 @@ object Dedup {
       col("id"),
       explode(vector.probe_lists(col("vec"), centroids, assignProbes, Metric.L2))
         .as("list_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Dedup.persistOnce)
     val cands = bucketedSelfPairs(assigned, maxBucket)
       .filter(pairUp(col("a_id"), col("b_id")))
       .select("a_id", "b_id").distinct()

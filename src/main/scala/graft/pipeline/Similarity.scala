@@ -77,7 +77,7 @@ object Similarity {
       col("id"),
       explode(vector.probe_lists(col("vec"), centroids, assignProbes, Metric.L2))
         .as("list_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Dedup.persistOnce)
     val cands = Dedup.bucketedSelfPairs(assigned, maxBucket)
       .select(col("a_id").as("qid"), col("b_id").as("id")).distinct()
     val scored = cands
