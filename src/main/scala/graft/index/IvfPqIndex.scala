@@ -66,7 +66,9 @@ class IvfPqIndex(
       .withColumn("dist", pq.pq_adc_distance(col("adc"), col("codes")))
       .select("qid", "id", "dist")
     val preK = if (rerankK > 0) math.max(rerankK, params.k) else params.k
-    val adcTop = Knn.topKPerQuery(cands, preK).select("qid", "id", "dist", "rank")
+    // bounded-buffer top-k: only nQueries x preK rows cross the shuffle —
+    // the ADC candidate stream is the big one (nprobe/nlist of the corpus)
+    val adcTop = TopKAggregator.topKPerQuery(cands, preK).select("qid", "id", "dist", "rank")
     if (rerankK <= 0) adcTop
     else {
       val m = params.metric.getOrElse(Metric.L2)
@@ -75,7 +77,7 @@ class IvfPqIndex(
         .join(broadcast(queries), "qid")
         .withColumn("dist", vector.distance(col("qvec"), col("vec"), m))
         .select("qid", "id", "dist")
-      Knn.topKPerQuery(exact, params.k).select("qid", "id", "dist", "rank")
+      TopKAggregator.topKPerQuery(exact, params.k).select("qid", "id", "dist", "rank")
     }
   }
 }

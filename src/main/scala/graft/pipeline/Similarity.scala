@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{Metric, SearchParams}
 import graft.functions.vector
-import graft.index.{IvfFlatIndex, Knn}
+import graft.index.{IvfFlatIndex, Knn, TopKAggregator}
 
 /**
  * Similarity-search operators over an embedding column:
@@ -85,7 +85,9 @@ object Similarity {
       .join(vectors.select(col("id"), col("vec")), "id")
       .select(col("qid"), col("id"),
         vector.cosine_distance(col("qvec"), col("vec")).as("dist"))
-    Knn.topKPerQuery(scored, k) // pairs already unique; rank by (dist, id)
+    // bounded-buffer top-k (every vector is a query here — the partial
+    // mapPartitions combine keeps the shuffle at nVectors x k rows)
+    TopKAggregator.topKPerQuery(scored, k) // pairs already unique; rank by (dist, id)
       .select("qid", "id", "dist", "rank")
   }
 }

@@ -101,17 +101,23 @@ object PipelineQueries {
     Dedup.simhashPairs(docs(spark, dir), maxHamming = 3)
       .orderBy("a_id", "b_id")
 
+  /** Fixed-centroid blocking (same recipe as the probe entries) makes the
+    * IVF-blocked near-dup and self-join paths fully deterministic given
+    * the data, so the oracle replays block assignment + verification in
+    * SQL — these were rows-only when the blocking key came from trained
+    * centroids. Trained-centroid recall is covered in PipelineSpec. */
+  private def fixedBc(spark: SparkSession, dir: String) =
+    IvfFlatIndex.broadcastCentroids(spark, VectorQueries.fixedCentroids(spark, dir))
+
   private def neardupEmbeddings(spark: SparkSession, dir: String): DataFrame = {
     val v = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val idx = VectorQueries.ivfIndex(spark, dir, 16)
-    Dedup.embeddingNearDup(v, idx.centroids, maxCosineDist = 0.65, assignProbes = 2)
+    Dedup.embeddingNearDup(v, fixedBc(spark, dir), maxCosineDist = 0.65, assignProbes = 2)
       .orderBy("a_id", "b_id")
   }
 
   private def knnSelfJoin(spark: SparkSession, dir: String): DataFrame = {
     val v = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val idx = VectorQueries.ivfIndex(spark, dir, 16)
-    Similarity.knnSelfJoin(v, idx.centroids, k = 5, assignProbes = 2)
+    Similarity.knnSelfJoin(v, fixedBc(spark, dir), k = 5, assignProbes = 2)
       .orderBy("qid", "rank")
   }
 
@@ -228,6 +234,40 @@ object PipelineQueries {
         |WHERE doc_id < 200
         |  AND doc_id NOT IN (SELECT b_id FROM p WHERE jaccard >= 0.5)
         |ORDER BY doc_id""".stripMargin,
+    // fixed-centroid IVF blocking replayed in SQL: multi-probe (top-2)
+    // assignment, same-list candidate pairs, cosine verification
+    "neardup_embeddings" -> {
+      val cd = OracleFragments.sqlCosine("x.vec", "y.vec")
+      val l2 = OracleFragments.sqlL2("v.vec", "c.cv")
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |pd AS (SELECT v.id, c.cid, $l2 AS d FROM v, c),
+         |asg AS (SELECT id, cid FROM (SELECT id, cid,
+         |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn FROM pd) WHERE rn <= 2),
+         |cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
+         |         FROM asg a JOIN asg b ON a.cid = b.cid AND a.id < b.id),
+         |d AS (SELECT cand.a_id, cand.b_id, $cd AS cos_dist
+         |      FROM cand JOIN v x ON x.id = cand.a_id JOIN v y ON y.id = cand.b_id)
+         |SELECT a_id, b_id, cos_dist FROM d WHERE cos_dist <= 0.65
+         |ORDER BY a_id, b_id""".stripMargin
+    },
+    "knn_self_join" -> {
+      val cd = OracleFragments.sqlCosine("x.vec", "y.vec")
+      val l2 = OracleFragments.sqlL2("v.vec", "c.cv")
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |pd AS (SELECT v.id, c.cid, $l2 AS d FROM v, c),
+         |asg AS (SELECT id, cid FROM (SELECT id, cid,
+         |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn FROM pd) WHERE rn <= 2),
+         |cand AS (SELECT DISTINCT a.id AS qid, b.id AS id
+         |         FROM asg a JOIN asg b ON a.cid = b.cid AND a.id <> b.id),
+         |d AS (SELECT cand.qid, cand.id, $cd AS dist
+         |      FROM cand JOIN v x ON x.id = cand.qid JOIN v y ON y.id = cand.id),
+         |r AS (SELECT qid, id, dist,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS INT) AS rank
+         |      FROM d)
+         |SELECT qid, id, dist, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
     // one PCM16 sample per codepoint; every feature is exact integer (or an
     // exact-ratio double), so decode-then-aggregate == direct SQL aggregate
     "multimodal_features" ->

@@ -120,7 +120,7 @@ object VectorQueries {
     * trained centroids for fixed ones hash-checks the serving machinery
     * itself; trained-centroid quality is covered by ivf_search_full
     * (≡ exact) and the recall suite. */
-  private def fixedCentroids(spark: SparkSession, dir: String): Array[Array[Float]] =
+  private[queries] def fixedCentroids(spark: SparkSession, dir: String): Array[Array[Float]] =
     cached(s"fixedcents:$dir") {
       emb(spark, dir).filter(col("vec_id") < 16).orderBy("vec_id")
         .select("embedding").collect().map(_.getSeq[Float](0).toArray)
