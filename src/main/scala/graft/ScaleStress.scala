@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * One-off scale diagnostic at the reference's FULL canonical bench shape
+ * (reference bench/benchmark.cpp:28-43: 1M x 128D, nlist 1024, nprobe 10,
+ * k 10, 10k queries, train subset 100k) — NOT part of the per-round Bench
+ * (it would dominate its budget). Exercises BOTH probe strategies: the
+ * 10k-query batch exceeds MaxStaticBatch, so Auto takes the distributed
+ * join path; a 1k slice then takes the static serving path.
+ */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dim = 128
+    val n = 1000000
+    val nq = 10000
+    val vecExpr = transform(
+      sequence(lit(0), lit(dim - 1)),
+      d => (pmod(xxhash64(col("id") * dim + d), lit(2000)) / 1000.0 - 1.0).cast("float"))
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stress] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val corpus = spark.range(n).select(col("id"), vecExpr.as("vec"))
+    val index = timed("train(100k sample, nlist=1024) + assign(1M) + materialize") {
+      val idx = index_build(spark, corpus)
+      idx.vectors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+      idx
+    }
+    val queries = spark.range(nq)
+      .select((col("id") + 5000000L).as("id"))
+      .select(col("id").as("qid"), vecExpr.as("qvec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    queries.count()
+    (1 to 3).foreach { i =>
+      timed(s"join-path search run $i (10k queries, nprobe=10, k=10)") {
+        index.search(queries, SearchParams(k = 10, nprobe = 10)).count()
+      }
+    }
+    val small = queries.limit(1000)
+    (1 to 3).foreach { i =>
+      timed(s"static-path search run $i (1k queries, nprobe=10, k=10)") {
+        index.search(small, SearchParams(k = 10, nprobe = 10)).count()
+      }
+    }
+    spark.stop()
+  }
+
+  private def index_build(spark: SparkSession, corpus: org.apache.spark.sql.DataFrame) =
+    graft.index.IvfFlatIndex.build(spark, corpus, nlist = 1024, maxTrain = 100000)
+}

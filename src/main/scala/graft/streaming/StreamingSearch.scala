@@ -38,8 +38,20 @@ object StreamingSearch {
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          sink(index.search(batch, params), batchId)
+        // ONE bounded snapshot answers emptiness AND serves as the batch —
+        // a separate isEmpty probe would double the per-trigger job count
+        // on the serving hot loop
+        val sample = batch.select(org.apache.spark.sql.functions.col("qid"),
+            org.apache.spark.sql.functions.col("qvec"))
+          .limit(IvfFlatIndex.MaxStaticBatch + 1).collect()
+        if (sample.nonEmpty) {
+          val result =
+            if (sample.length <= IvfFlatIndex.MaxStaticBatch)
+              index.searchBatch(
+                sample.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)), params)
+            else // flood between triggers: stay fully distributed
+              index.searchWhere(batch, params, None, IvfFlatIndex.ForceJoin)
+          sink(result, batchId)
         }
       }
       .start()

@@ -106,6 +106,34 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("TopKBuf: any insert order + any partition into merged buffers == sort-take-k") {
+    import graft.index.TopKBuf
+    val candsGen: Gen[(Int, List[(Double, Long)], Long)] = for {
+      k <- Gen.chooseNum(1, 8)
+      n <- Gen.chooseNum(0, 60)
+      // coarse value/id ranges force duplicate distances and exercise the
+      // (dist, id) tie order
+      cands <- Gen.listOfN(n, for {
+        d <- Gen.chooseNum(0, 5).map(_.toDouble)
+        id <- Gen.chooseNum(0L, 20L)
+      } yield (d, id))
+      seed <- Gen.chooseNum(0L, 1000L)
+    } yield (k, cands, seed)
+    check(forAll(candsGen) { case (k, cands, seed) =>
+      val expected = cands.distinct.sorted.take(k) // total (dist, id) order
+      // NOTE: TopKBuf does not dedup identical (dist,id) pairs, so feed
+      // distinct candidates (the IVF candidate stream has unique ids)
+      val rnd = new scala.util.Random(seed)
+      val shuffled = rnd.shuffle(cands.distinct)
+      val direct = shuffled.foldLeft(TopKBuf.empty(k))((b, c) => b.insert(c._1, c._2))
+      // arbitrary partition into sub-buffers, then pairwise merge
+      val parts = shuffled.grouped(math.max(1, 1 + rnd.nextInt(7))).map(
+        _.foldLeft(TopKBuf.empty(k))((b, c) => b.insert(c._1, c._2)))
+      val merged = parts.foldLeft(TopKBuf.empty(k))((a, b) => a.merge(b))
+      direct.toSeq == expected && merged.toSeq == expected
+    })
+  }
+
   test("minhash similarity estimate tracks true jaccard of token sets") {
     // deterministic spot-check rather than full generator: two token sets
     // with known overlap; estimated similarity within coarse tolerance
