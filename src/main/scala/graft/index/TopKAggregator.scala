@@ -52,7 +52,8 @@ object TopKAggregator {
    */
   def topKPerQuery(scored: DataFrame, k: Int,
       queryCol: String = "qid", idCol: String = "id",
-      distCol: String = "dist"): DataFrame = {
+      distCol: String = "dist",
+      maxPartialKeys: Int = MaxPartialKeys): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     val ds = scored
@@ -60,26 +61,43 @@ object TopKAggregator {
       .select(col(queryCol).as("qid"), col(idCol).as("id"), col(distCol).as("dist"))
       .as[(Long, Long, Double)]
     val partial = ds.mapPartitions { rows =>
-      val map = new java.util.HashMap[Long, TopKBuf]()
-      val flushed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-      def drain(): Unit = {
-        map.forEach { (qid, buf) =>
+      // incremental partial combine: consume candidates into a bounded map,
+      // and when the key budget fills, STREAM the drained buffers out
+      // before building the next map — memory stays O(MaxPartialKeys * k)
+      // no matter how many distinct query ids one partition holds
+      new Iterator[(Long, Long, Double)] {
+        private val map = new java.util.HashMap[Long, TopKBuf]()
+        private var out: Iterator[(Long, Long, Double)] = Iterator.empty
+        private var exhausted = false
+
+        override def hasNext: Boolean = {
+          while (!out.hasNext && !exhausted) advance()
+          out.hasNext
+        }
+        override def next(): (Long, Long, Double) = { hasNext; out.next() }
+
+        private def advance(): Unit = {
+          while (rows.hasNext && map.size < maxPartialKeys) {
+            val (qid, id, dist) = rows.next()
+            var buf = map.get(qid)
+            if (buf == null) { buf = TopKBuf.empty(k); map.put(qid, buf) }
+            buf.insert(dist, id)
+          }
+          if (!rows.hasNext) exhausted = true
+          out = snapshot()
+        }
+
+        /** Copy the map's buffers out, clear it, and stream the rows. */
+        private def snapshot(): Iterator[(Long, Long, Double)] = {
+          val arr = new Array[(Long, TopKBuf)](map.size)
           var i = 0
-          while (i < buf.size) { flushed += ((qid, buf.ids(i), buf.dists(i))); i += 1 }
+          map.forEach { (qid, buf) => arr(i) = (qid, buf); i += 1 }
+          map.clear()
+          arr.iterator.flatMap { case (qid, buf) =>
+            Iterator.range(0, buf.size).map(j => (qid, buf.ids(j), buf.dists(j)))
+          }
         }
-        map.clear()
       }
-      rows.foreach { case (qid, id, dist) =>
-        var buf = map.get(qid)
-        if (buf == null) {
-          if (map.size >= MaxPartialKeys) drain()
-          buf = TopKBuf.empty(k)
-          map.put(qid, buf)
-        }
-        buf.insert(dist, id)
-      }
-      drain()
-      flushed.iterator
     }
     val agg = new TopKAggregator(k).toColumn
     partial

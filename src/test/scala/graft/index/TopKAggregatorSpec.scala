@@ -44,6 +44,24 @@ class TopKAggregatorSpec extends SparkSpec {
     assert(win.map(_.getLong(1)).toSeq === Seq(12L, 10L))
   }
 
+  test("partial-stage key-budget flushes leave results identical to Window") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    // 400 distinct qids against a 5-key budget -> dozens of mid-partition
+    // flushes; the final merge must reassemble exactly the Window answer
+    val scored = (0 until 6000).map { _ =>
+      (rnd.nextInt(400).toLong, rnd.nextInt(3000).toLong, rnd.nextInt(40).toDouble)
+    }.toDF("qid", "id", "dist").dropDuplicates("qid", "id")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))
+    val win = Knn.topKPerQuery(scored, 7).select("qid", "id", "dist", "rank")
+      .collect().map(key).sortBy(x => (x._1, x._2))
+    val agg = TopKAggregator.topKPerQuery(scored, 7, maxPartialKeys = 5)
+      .collect().map(key).sortBy(x => (x._1, x._2))
+    assert(agg === win)
+  }
+
   test("buffer never exceeds k during reduce/merge") {
     val a = new TopKAggregator(3)
     val buf = (1 to 100).foldLeft(a.zero)((b, i) => a.reduce(b, (0L, i.toLong, i.toDouble)))
