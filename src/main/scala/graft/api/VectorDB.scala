@@ -80,15 +80,23 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
    *
    * @param source (id LONG, vec ARRAY<FLOAT>) rows, e.g. from
    *               [[VectorDB.readVectorParquet]]
+   * @param centroids warm-start: skip training and cluster the epoch on
+   *        the given centroids (row index == list_id) — re-shard/rebuild
+   *        without retraining, and the deterministic path the driver's
+   *        oracle-checked lifecycle entry uses. Must match the index
+   *        dimension: the distance kernels truncate to min(len), so a
+   *        short centroid would silently mis-cluster the whole epoch.
    */
-  /** @param centroids warm-start: skip training and cluster the epoch on
-    *        the given centroids (row index == list_id) — re-shard/rebuild
-    *        without retraining, and the deterministic path the driver's
-    *        oracle-checked lifecycle entry uses. */
   def buildEpoch(
       name: String,
       source: DataFrame,
       centroids: Option[Array[Array[Float]]] = None): String = {
+    centroids.foreach { c =>
+      val dim = indexManifest(name).dimension
+      if (c.isEmpty || c.exists(_.length != dim))
+        throw new InvalidArgumentException(
+          s"Warm-start centroids must be non-empty with dimension $dim")
+    }
     val progress = new java.util.concurrent.atomic.AtomicReference[Double](0.0)
     if (builds.putIfAbsent(name, progress).isDefined)
       throw new InvalidArgumentException(s"Build already in progress for index: $name")
@@ -185,10 +193,13 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
         IvfFlatIndex.appendToEpoch(assigned, s"$path/vectors")
         // manifest read-modify-write + reload serialized per index so
         // concurrent adds cannot lose counts
-        manifestLock(name).synchronized {
+        stateLock(name).synchronized {
           val updated = Manifest.load(s"$path/manifest.json")
           updated.copy(numVectors = updated.numVectors + added).save(s"$path/manifest.json")
-          loadServed(name, s.epochId) // re-read: new files become visible
+          // reload ONLY if this epoch still serves — a concurrent
+          // activation of a different epoch must not be rolled back
+          if (served.get(name).forall(_.epochId == s.epochId))
+            loadServed(name, s.epochId) // re-read: new files become visible
         }
       }
       added
@@ -198,9 +209,11 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     } finally assigned.unpersist(blocking = false)
   }
 
-  private val manifestLocks = TrieMap.empty[String, Object]
-  private def manifestLock(name: String): Object =
-    manifestLocks.getOrElseUpdate(name, new Object)
+  /** Serializes every serve-state mutation (loadServed) and manifest
+    * read-modify-write for one index. */
+  private val stateLocks = TrieMap.empty[String, Object]
+  private def stateLock(name: String): Object =
+    stateLocks.getOrElseUpdate(name, new Object)
 
   private def dimensionError(e: Throwable): Boolean =
     e != null && (Option(e.getMessage).exists(_.contains("dimension mismatch")) ||
@@ -212,8 +225,10 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
   def activateEpoch(name: String, epochId: String): Unit = {
     val em = epochManager(name)
     if (!em.contains(epochId)) throw new NotFoundException(s"Epoch not found: $epochId")
-    loadServed(name, epochId)
-    em.activateEpoch(epochId)
+    stateLock(name).synchronized {
+      loadServed(name, epochId)
+      em.activateEpoch(epochId)
+    }
   }
 
   /** Load an epoch (default: the active one) into serving state. */
@@ -223,7 +238,7 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       if (epochId.nonEmpty) epochId
       else em.activeEpoch.getOrElse(throw new NotFoundException(s"No active epoch for index: $name"))
     if (!em.contains(id)) throw new NotFoundException(s"Epoch not found: $id")
-    loadServed(name, id)
+    stateLock(name).synchronized { loadServed(name, id) }
   }
 
   private def loadServed(name: String, epochId: String): Unit = {
@@ -326,15 +341,14 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     val schema = queries.schema
     require(schema.fieldNames.contains("qid") && schema.fieldNames.contains("qvec"),
       "queries need (qid LONG, qvec ARRAY<FLOAT>) columns")
-    val sample = queries.select(col("qid"), col("qvec"))
-      .limit(IvfFlatIndex.MaxStaticBatch + 1).collect()
-    if (sample.isEmpty) throw new InvalidArgumentException("No queries provided")
-    val dim = s.manifest.dimension
-    val batch = sample.map(r => (r.getLong(0),
-      Option(r.getSeq[Float](1)).map(_.toArray).orNull))
-    if (batch.exists(b => b._2 == null || b._2.length != dim))
-      throw new InvalidArgumentException("Query dimension mismatch")
-    (s, if (batch.length <= IvfFlatIndex.MaxStaticBatch) Some(batch) else None)
+    val snapshot = IvfFlatIndex.snapshotQueries(queries)
+    snapshot.foreach { batch =>
+      if (batch.isEmpty) throw new InvalidArgumentException("No queries provided")
+      val dim = s.manifest.dimension
+      if (batch.exists(b => b._2 == null || b._2.length != dim))
+        throw new InvalidArgumentException("Query dimension mismatch")
+    }
+    (s, snapshot)
   }
 
   /** In-plan dimension guard for unbounded query sets: rows past the
@@ -418,7 +432,9 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     java.nio.file.Files.move(p, old)
     java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p)
     org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
-    if (served.get(name).exists(_.epochId == id)) loadServed(name, id)
+    stateLock(name).synchronized {
+      if (served.get(name).exists(_.epochId == id)) loadServed(name, id)
+    }
   }
 
   def listEpochs(name: String): Seq[String] = epochManager(name).listEpochs

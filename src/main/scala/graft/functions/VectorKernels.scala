@@ -124,6 +124,7 @@ object VectorKernels {
       metric: Int): Array[Int] = {
     val n = centroids.length
     val k = math.min(nprobe, n)
+    if (k <= 0) return Array.emptyIntArray // nprobe<=0 probes nothing
     // bounded insertion buffer, ascending by (dist, id): O(nlist * nprobe)
     // worst case with zero boxing — on the distributed join path this runs
     // per query row against up to nlist=16384 centroids, where the previous

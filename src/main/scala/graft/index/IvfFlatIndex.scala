@@ -88,14 +88,12 @@ class IvfFlatIndex(
     val qdf = queries.select(col("qid"), col("qvec"))
     // ForceStatic must snapshot the WHOLE batch — the limit-probe would
     // silently truncate a batch above the threshold
-    val sample =
-      if (strategy == IvfFlatIndex.ForceStatic) qdf.collect()
-      else qdf.limit(IvfFlatIndex.MaxStaticBatch + 1).collect()
-    if (strategy == IvfFlatIndex.ForceStatic ||
-        sample.length <= IvfFlatIndex.MaxStaticBatch) {
-      searchBatch(sample.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)),
-        params, predicate)
-    } else searchJoinPruned(corpus, qdf, params.k, nprobe, m)
+    if (strategy == IvfFlatIndex.ForceStatic)
+      searchBatch(qdf.collect().map(IvfFlatIndex.decodeQueryRow), params, predicate)
+    else IvfFlatIndex.snapshotQueries(qdf) match {
+      case Some(batch) => searchBatch(batch, params, predicate)
+      case None => searchJoinPruned(corpus, qdf, params.k, nprobe, m)
+    }
   }
 
   /**
@@ -113,7 +111,10 @@ class IvfFlatIndex(
     val nprobe = math.min(params.nprobe, nlist)
     val corpus = predicate.map(vectors.filter).getOrElse(vectors)
     val qmap = new java.util.HashMap[java.lang.Long, Array[Float]]()
-    batch.foreach { case (qid, v) => qmap.put(qid, v) }
+    batch.foreach { case (qid, v) =>
+      require(v != null, s"null query vector for qid=$qid")
+      qmap.put(qid, v)
+    }
     // the batch is already on the driver — probe it here (parallel
     // chunks) instead of scheduling a one-partition Spark job
     val pairs = IvfFlatIndex.localProbe(batch, centroids.value, nprobe, m)
@@ -174,6 +175,27 @@ object IvfFlatIndex {
     * serving batches cap at 64, server/query_service.h:25; 1024 x 2048D
     * worst case is ~8 MB of driver metadata). */
   val MaxStaticBatch = 1024
+
+  /** (qid, qvec) row decode shared by every snapshot site; a missing qvec
+    * stays null so callers choose their own error contract. */
+  def decodeQueryRow(r: org.apache.spark.sql.Row): (Long, Array[Float]) =
+    (r.getLong(0), Option(r.getSeq[Float](1)).map(_.toArray).orNull)
+
+  /**
+   * THE bounded-snapshot decision, shared by searchWhere, the VectorDB
+   * validation path, and the streaming serve loop (keeping three copies in
+   * sync was a bug farm): one limited collect; Some(batch) when the query
+   * set fits [[MaxStaticBatch]] (the batch IS the serving input — the
+   * source plan is never evaluated twice), None when it exceeds (callers
+   * stay fully distributed).
+   */
+  def snapshotQueries(
+      queries: org.apache.spark.sql.DataFrame): Option[Array[(Long, Array[Float])]] = {
+    val sample = queries.select(col("qid"), col("qvec"))
+      .limit(MaxStaticBatch + 1).collect()
+    if (sample.length > MaxStaticBatch) None
+    else Some(sample.map(decodeQueryRow))
+  }
 
   /** Driver-side probe of a bounded query batch: chunk-parallel, ordered
     * output — mirrors the reference's host-side select_nprobe_lists loop

@@ -139,8 +139,12 @@ object Multimodal {
     while (buf.remaining() >= 8 && (sampleRate < 0 || samples == null)) {
       val id = tag()
       val size = buf.getInt()
+      // negative/oversized chunk lengths (hostile or truncated payloads)
+      // must fail, not spin: position would stop advancing
+      require(size >= 0 && size <= buf.remaining(), s"bad chunk size $size")
       id match {
         case "fmt " =>
+          require(size >= 16, s"fmt chunk too short: $size")
           val fmt = buf.getShort(); val ch = buf.getShort()
           sampleRate = buf.getInt()
           buf.getInt(); buf.getShort()
@@ -153,7 +157,8 @@ object Multimodal {
           var i = 0
           while (i < samples.length) { samples(i) = buf.getShort(); i += 1 }
         case _ =>
-          buf.position(buf.position() + size + (size & 1)) // chunks are word-aligned
+          val pad = if ((size & 1) == 1 && buf.remaining() - size >= 1) 1 else 0
+          buf.position(buf.position() + size + pad) // chunks are word-aligned
       }
     }
     require(sampleRate > 0 && samples != null, "missing fmt/data chunk")

@@ -41,17 +41,11 @@ object StreamingSearch {
         // ONE bounded snapshot answers emptiness AND serves as the batch —
         // a separate isEmpty probe would double the per-trigger job count
         // on the serving hot loop
-        val sample = batch.select(org.apache.spark.sql.functions.col("qid"),
-            org.apache.spark.sql.functions.col("qvec"))
-          .limit(IvfFlatIndex.MaxStaticBatch + 1).collect()
-        if (sample.nonEmpty) {
-          val result =
-            if (sample.length <= IvfFlatIndex.MaxStaticBatch)
-              index.searchBatch(
-                sample.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)), params)
-            else // flood between triggers: stay fully distributed
-              index.searchWhere(batch, params, None, IvfFlatIndex.ForceJoin)
-          sink(result, batchId)
+        IvfFlatIndex.snapshotQueries(batch) match {
+          case Some(b) if b.isEmpty => // idle trigger: nothing to serve
+          case Some(b) => sink(index.searchBatch(b, params), batchId)
+          case None => // flood between triggers: stay fully distributed
+            sink(index.searchWhere(batch, params, None, IvfFlatIndex.ForceJoin), batchId)
         }
       }
       .start()
