@@ -52,6 +52,28 @@ object ScaleStress {
         index.search(small, SearchParams(k = 10, nprobe = 10)).count()
       }
     }
+    // IVF-PQ at the same shape: m=16 -> 16-byte codes vs 512-byte raw
+    // vectors (32x scan-byte reduction — THE 100 TB memory story). The
+    // rerank source reuses the flat index's ASSIGNED corpus cache (with
+    // list_id), so rerank reads prune to probed lists like an epoch read.
+    val pq = timed("PQ train(m=16,nbits=8) + encode(1M) + materialize") {
+      val idx0 = graft.index.IvfPqIndex.build(spark, corpus, nlist = 1024, m = 16,
+        maxTrain = 100000)
+      val idx = new graft.index.IvfPqIndex(spark, idx0.codes, index.vectors,
+        idx0.centroids, idx0.codebooks)
+      idx.codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+      idx
+    }
+    (1 to 3).foreach { i =>
+      timed(s"PQ ADC search run $i (1k queries, nprobe=10, k=10)") {
+        pq.search(small, SearchParams(k = 10, nprobe = 10)).count()
+      }
+    }
+    (1 to 3).foreach { i =>
+      timed(s"PQ ADC+rerank(100) search run $i (1k queries, nprobe=10, k=10)") {
+        pq.search(small, SearchParams(k = 10, nprobe = 10), rerankK = 100).count()
+      }
+    }
     spark.stop()
   }
 

@@ -48,10 +48,11 @@ object PqKernels {
     out
   }
 
-  /** ADC lookup table for one query: [m][ks] squared L2 (kernels.cuh:188-223). */
-  def adcTable(q: Array[Float], codebooks: Array[Array[Array[Float]]]): ArrayData = {
+  /** ADC lookup table for one query as raw primitive arrays: [m][ks]
+    * squared L2 (kernels.cuh:188-223). */
+  def adcTableRaw(q: Array[Float], codebooks: Array[Array[Array[Float]]]): Array[Array[Double]] = {
     val m = codebooks.length
-    val rows = new Array[ArrayData](m)
+    val rows = new Array[Array[Double]](m)
     var s = 0
     while (s < m) {
       val cb = codebooks(s)
@@ -71,10 +72,35 @@ object PqKernels {
         row(c) = d
         c += 1
       }
-      rows(s) = new GenericArrayData(row)
+      rows(s) = row
       s += 1
     }
-    new GenericArrayData(rows.asInstanceOf[Array[Any]])
+    rows
+  }
+
+  /** Catalyst-typed wrapper of [[adcTableRaw]] for the distributed path. */
+  def adcTable(q: Array[Float], codebooks: Array[Array[Array[Float]]]): ArrayData =
+    new GenericArrayData(
+      adcTableRaw(q, codebooks).map(new GenericArrayData(_)).asInstanceOf[Array[Any]])
+
+  /** ADC distance resolving the query's table by qid from a broadcast map
+    * (the static serving path: candidate rows carry 8-byte qids, never a
+    * 32KB-per-row table — the flat path's shared-query-cache idea,
+    * kernels.cuh:111-117, applied to PQ). */
+  def adcDistanceTo(
+      codes: ArrayData,
+      qid: Long,
+      tables: java.util.HashMap[java.lang.Long, Array[Array[Double]]]): Double = {
+    val t = tables.get(qid)
+    if (t == null) throw new IllegalStateException(s"unknown qid in ADC stream: $qid")
+    var d = 0.0
+    var i = 0
+    val m = codes.numElements()
+    while (i < m) {
+      d += t(i)(codes.getByte(i) & 0xff)
+      i += 1
+    }
+    d
   }
 
   /** ADC distance: sum of per-subspace table lookups (kernels.cuh:280-287). */
@@ -175,6 +201,39 @@ case class PqAdcDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** ADC distance against a query resolved by qid from a broadcast table map
+  * (static serving path). */
+case class PqAdcDistanceToQuery(
+    left: Expression, // codes ARRAY<BYTE>
+    right: Expression, // qid LONG
+    tables: Broadcast[java.util.HashMap[java.lang.Long, Array[Array[Double]]]])
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftshims.AbstractDataType] =
+    Seq(ArrayType(ByteType), LongType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc_distance_to_query"
+
+  override def nullSafeEval(codes: Any, qid: Any): Any =
+    PqKernels.adcDistanceTo(
+      codes.asInstanceOf[ArrayData], qid.asInstanceOf[Long], tables.value)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bc = ctx.addReferenceObj("adcTables", tables,
+      classOf[Broadcast[java.util.HashMap[java.lang.Long, Array[Array[Double]]]]].getName)
+    // raw-type cast: Janino cannot compile generic casts (silent
+    // interpreted fallback for the whole stage otherwise)
+    nullSafeCodeGen(ctx, ev, (c, q) =>
+      s"${ev.value} = graft.functions.PqKernels.adcDistanceTo(" +
+        s"$c, $q, (java.util.HashMap) $bc.value());")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcDistanceToQuery =
+    copy(left = newLeft, right = newRight)
+}
+
 object pq {
   private def col(e: Expression): Column = graftshims.column(e)
   private def ex(c: Column): Expression = graftshims.expression(c)
@@ -187,4 +246,10 @@ object pq {
 
   def pq_adc_distance(table: Column, codes: Column): Column =
     col(PqAdcDistance(ex(table), ex(codes)))
+
+  def pq_adc_distance_to_query(
+      codes: Column,
+      qid: Column,
+      tables: Broadcast[java.util.HashMap[java.lang.Long, Array[Array[Double]]]]): Column =
+    col(PqAdcDistanceToQuery(ex(codes), ex(qid), tables))
 }

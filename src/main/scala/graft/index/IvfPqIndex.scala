@@ -25,7 +25,11 @@ import graft.kmeans.Lloyd
  * path reads them, ivf_flat_index.h:41,136-137).
  *
  * @param codes (id LONG, codes ARRAY<BYTE>, list_id INT)
- * @param rawVectors (id LONG, vec ARRAY<FLOAT>) — only read when reranking
+ * @param rawVectors (id LONG, vec ARRAY<FLOAT>) — only read when reranking.
+ *        May additionally carry a `list_id` column ASSIGNED UNDER THIS
+ *        INDEX'S centroids (an epoch read is exactly that): the rerank
+ *        scan then prunes to the probed lists instead of reading the
+ *        whole corpus. A foreign list_id would silently drop candidates.
  */
 class IvfPqIndex(
     val spark: SparkSession,
@@ -53,7 +57,68 @@ class IvfPqIndex(
   def search(
       queries: DataFrame,
       params: SearchParams,
+      rerankK: Int = 0): DataFrame =
+    IvfFlatIndex.snapshotQueries(queries) match {
+      case Some(batch) => searchBatch(batch, params, rerankK)
+      case None => searchJoin(queries, params, rerankK)
+    }
+
+  /**
+   * Static serving path over a pre-collected batch (mirrors
+   * [[IvfFlatIndex.searchBatch]]): the probe AND the per-query ADC tables
+   * are computed on the driver and ship ONCE in broadcast maps, so each
+   * candidate row carries an 8-byte qid — the join-path alternative
+   * replicates a 32KB m x ks table into every (query, probe) broadcast
+   * row, which dominated the ADC stage wall-clock at the 1M-vector shape.
+   */
+  def searchBatch(
+      batch: Array[(Long, Array[Float])],
+      params: SearchParams,
       rerankK: Int = 0): DataFrame = {
+    val nprobe = math.min(params.nprobe, nlist)
+    val probeMetric = params.metric.getOrElse(Metric.L2)
+    val pairs = IvfFlatIndex.localProbe(batch, centroids.value, nprobe, probeMetric)
+    val tables = new java.util.HashMap[java.lang.Long, Array[Array[Double]]]()
+    val qmap = new java.util.HashMap[java.lang.Long, Array[Float]]()
+    batch.foreach { case (qid, v) =>
+      require(v != null, s"null query vector for qid=$qid")
+      tables.put(qid, graft.functions.PqKernels.adcTableRaw(v, codebooks.value))
+      qmap.put(qid, v)
+    }
+    val bcT = spark.sparkContext.broadcast(tables)
+    val listIds = pairs.map(_._2).distinct.toSeq
+    val pairsDF = spark.createDataFrame(pairs.toIndexedSeq).toDF("qid", "list_id")
+    val cands = codes
+      .filter(col("list_id").isInCollection(listIds)) // partition pruning
+      .join(broadcast(pairsDF), "list_id")
+      .withColumn("dist", pq.pq_adc_distance_to_query(col("codes"), col("qid"), bcT))
+      .select("qid", "id", "dist")
+    val preK = if (rerankK > 0) math.max(rerankK, params.k) else params.k
+    val adcTop = TopKAggregator.topKPerQuery(cands, preK).select("qid", "id", "dist", "rank")
+    if (rerankK <= 0) adcTop
+    else {
+      val m = params.metric.getOrElse(Metric.L2)
+      val bcQ = spark.sparkContext.broadcast(qmap)
+      // every rerank candidate lives in a probed list — when the raw table
+      // carries list_id (epoch reads do), prune its scan to those
+      // partitions instead of re-reading the whole corpus
+      val rerankSource =
+        if (rawVectors.columns.contains("list_id"))
+          rawVectors.filter(col("list_id").isInCollection(listIds)).select("id", "vec")
+        else rawVectors.select("id", "vec")
+      val exact = adcTop
+        .join(rerankSource, "id")
+        .withColumn("dist", vector.distance_to_query(col("vec"), col("qid"), bcQ, m))
+        .select("qid", "id", "dist")
+      TopKAggregator.topKPerQuery(exact, params.k).select("qid", "id", "dist", "rank")
+    }
+  }
+
+  /** Fully-distributed fallback for unbounded query sets. */
+  private[index] def searchJoin(
+      queries: DataFrame,
+      params: SearchParams,
+      rerankK: Int): DataFrame = {
     val nprobe = math.min(params.nprobe, nlist)
     val probeMetric = params.metric.getOrElse(Metric.L2)
     val probed = queries

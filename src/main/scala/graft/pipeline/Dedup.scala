@@ -28,7 +28,7 @@ object Dedup {
     * otherwise spam "Asked to cache already cached data" and re-register
     * the cache entry. storageLevel resolves through the CacheManager, so
     * the check is structural, not per-Dataset-object. */
-  private[pipeline] def persistOnce(df: DataFrame): DataFrame = {
+  private[graft] def persistOnce(df: DataFrame): DataFrame = {
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     df

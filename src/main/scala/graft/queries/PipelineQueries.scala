@@ -26,11 +26,17 @@ object PipelineQueries {
   private def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(docs(spark, dir)).orderBy("keep_id")
 
+  /** Shared by dedup_ngram_jaccard and dedup_corpus — persistOnce makes
+    * the second entry reuse the first's cached pair set (same plan) rather
+    * than recomputing the bounded quadratic anchor. */
+  private def ngramPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.persistOnce(
+      Dedup.ngramJaccardExact(
+        docs(spark, dir).filter(col("doc_id") < 200),
+        ngram = 3, threshold = 0.5))
+
   private def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardExact(
-      docs(spark, dir).filter(col("doc_id") < 200),
-      ngram = 3, threshold = 0.5)
-      .orderBy("a_id", "b_id")
+    ngramPairs(spark, dir).orderBy("a_id", "b_id")
 
   private def textAnalysis(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.analyze(docs(spark, dir)).orderBy("doc_id")
@@ -80,8 +86,7 @@ object PipelineQueries {
     * the oracle can replicate the pair set). */
   private def dedupCorpus(spark: SparkSession, dir: String): DataFrame = {
     val subset = docs(spark, dir).filter(col("doc_id") < 200)
-    val pairs = Dedup.ngramJaccardExact(subset, ngram = 3, threshold = 0.5)
-    Dedup.dropNearDuplicates(subset, pairs)
+    Dedup.dropNearDuplicates(subset, ngramPairs(spark, dir))
       .select("doc_id")
       .orderBy("doc_id")
   }

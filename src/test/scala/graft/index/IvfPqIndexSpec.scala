@@ -74,6 +74,21 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(rr >= adcOnly, s"rerank recall $rr < adc-only $adcOnly")
   }
 
+  test("static (batch) and distributed (join) PQ paths are bit-identical") {
+    val qdf = queriesDF(queries)
+    val params = SearchParams(k = 5, nprobe = 4)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))
+    for (rerank <- Seq(0, 50)) {
+      val static = index.searchBatch(
+        queries.map { case (i, v) => (i, v) }.toArray, params, rerank)
+        .collect().map(key).sortBy(x => (x._1, x._2))
+      val join = index.searchJoin(qdf, params, rerank)
+        .collect().map(key).sortBy(x => (x._1, x._2))
+      assert(static === join, s"paths diverge at rerankK=$rerank")
+    }
+  }
+
   test("codebook parquet roundtrip preserves the (sub << 16) | centroid packing") {
     val sample = data.take(200).map(_._2).toArray
     val books = IvfPqIndex.trainCodebooks(sample, m = 2, nbits = 4)
