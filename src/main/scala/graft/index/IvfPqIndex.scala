@@ -191,6 +191,39 @@ object IvfPqIndex {
   }
 
   /**
+   * On-disk PQ epoch (symmetric with [[IvfFlatIndex.writeEpoch]]):
+   * list-partitioned codes + raw vectors, centroids, and packed codebooks.
+   * A read-back index reranks through a PARTITION-PRUNED raw scan (the
+   * raw table keeps this index's list_id).
+   */
+  def writeEpoch(index: IvfPqIndex, epochPath: String, filesPerList: Int = 1): Unit = {
+    IvfFlatIndex.writeEpoch(index.codes, s"$epochPath/codes", filesPerList)
+    val rawAssigned = index.rawVectors.select(col("id"), col("vec"),
+      vector.argmin_centroid(col("vec"), index.centroids).as("list_id"))
+    IvfFlatIndex.writeEpoch(rawAssigned, s"$epochPath/vectors", filesPerList)
+    writeVectorTable(index.spark, index.centroids.value, s"$epochPath/centroids")
+    writeCodebooks(index.spark, index.codebooks.value, s"$epochPath/codebooks")
+  }
+
+  def readEpoch(spark: SparkSession, epochPath: String): IvfPqIndex = {
+    val cents = spark.read.parquet(s"$epochPath/centroids").orderBy("id")
+      .collect().map(_.getSeq[Float](1).toArray)
+    val books = readCodebooks(spark, s"$epochPath/codebooks")
+    new IvfPqIndex(spark,
+      spark.read.parquet(s"$epochPath/codes"),
+      spark.read.parquet(s"$epochPath/vectors"), // carries list_id -> pruned rerank
+      spark.sparkContext.broadcast(cents),
+      spark.sparkContext.broadcast(books))
+  }
+
+  private def writeVectorTable(
+      spark: SparkSession, rows: Array[Array[Float]], path: String): Unit = {
+    import spark.implicits._
+    rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+      .toDF("id", "vec").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /**
    * F3: codebook parquet IO with the reference's id packing rule
    * `(subquantizer << 16) | centroid` (format/storage.cpp:249-271).
    */

@@ -89,6 +89,26 @@ class IvfPqIndexSpec extends SparkSpec {
     }
   }
 
+  test("PQ epoch roundtrip: disk-backed search matches in-memory; rerank scan prunes") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq-epoch").toString
+    IvfPqIndex.writeEpoch(index, tmp)
+    val back = IvfPqIndex.readEpoch(spark, tmp)
+    val params = SearchParams(k = 5, nprobe = 4)
+    val batch = queries.map { case (i, v) => (i, v) }.toArray
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))
+    val mem = index.searchBatch(batch, params, rerankK = 20)
+      .collect().map(key).sortBy(x => (x._1, x._2))
+    val disk = back.searchBatch(batch, params, rerankK = 20)
+      .collect().map(key).sortBy(x => (x._1, x._2))
+    assert(mem === disk)
+    val plan = back.searchBatch(batch, params, rerankK = 20)
+      .queryExecution.executedPlan.toString
+    // both the codes scan and the rerank's raw scan prune to probed lists
+    assert(plan.linesIterator.count(_.contains("PartitionFilters: [list_id")) >= 2,
+      s"expected pruned codes+raw scans in:\n$plan")
+  }
+
   test("codebook parquet roundtrip preserves the (sub << 16) | centroid packing") {
     val sample = data.take(200).map(_._2).toArray
     val books = IvfPqIndex.trainCodebooks(sample, m = 2, nbits = 4)
