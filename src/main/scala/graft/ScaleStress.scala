@@ -56,10 +56,16 @@ object ScaleStress {
     // vectors (32x scan-byte reduction — THE 100 TB memory story). The
     // rerank source reuses the flat index's ASSIGNED corpus cache (with
     // list_id), so rerank reads prune to probed lists like an epoch read.
-    val pq = timed("PQ train(m=16,nbits=8) + encode(1M) + materialize") {
+    val pq = timed("PQ train(m=16,nbits=8) + encode(1M) + assign raw + materialize") {
       val idx0 = graft.index.IvfPqIndex.build(spark, corpus, nlist = 1024, m = 16,
         maxTrain = 100000)
-      val idx = new graft.index.IvfPqIndex(spark, idx0.codes, index.vectors,
+      // rerank source assigned under idx0's OWN centroids (safe by
+      // construction — a foreign list_id would silently drop candidates)
+      val raw = corpus.select(col("id"), col("vec"),
+        graft.functions.vector.argmin_centroid(col("vec"), idx0.centroids).as("list_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      raw.count()
+      val idx = new graft.index.IvfPqIndex(spark, idx0.codes, raw,
         idx0.centroids, idx0.codebooks)
       idx.codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
       idx

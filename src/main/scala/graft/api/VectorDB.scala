@@ -92,10 +92,15 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       source: DataFrame,
       centroids: Option[Array[Array[Float]]] = None): String = {
     centroids.foreach { c =>
-      val dim = indexManifest(name).dimension
-      if (c.isEmpty || c.exists(_.length != dim))
+      val m = indexManifest(name)
+      if (c.isEmpty || c.exists(_.length != m.dimension))
         throw new InvalidArgumentException(
-          s"Warm-start centroids must be non-empty with dimension $dim")
+          s"Warm-start centroids must be non-empty with dimension ${m.dimension}")
+      // stats()/readers trust manifest.nlist — a mismatched count would
+      // silently disagree with the epoch's actual list structure
+      if (c.length != m.nlist)
+        throw new InvalidArgumentException(
+          s"Warm-start centroid count ${c.length} != index nlist ${m.nlist}")
     }
     val progress = new java.util.concurrent.atomic.AtomicReference[Double](0.0)
     if (builds.putIfAbsent(name, progress).isDefined)
@@ -342,13 +347,16 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     require(schema.fieldNames.contains("qid") && schema.fieldNames.contains("qvec"),
       "queries need (qid LONG, qvec ARRAY<FLOAT>) columns")
     val snapshot = IvfFlatIndex.snapshotQueries(queries)
-    snapshot.foreach { batch =>
-      if (batch.isEmpty) throw new InvalidArgumentException("No queries provided")
-      val dim = s.manifest.dimension
-      if (batch.exists(b => b._2 == null || b._2.length != dim))
-        throw new InvalidArgumentException("Query dimension mismatch")
-    }
-    (s, snapshot)
+    // validate the PREFIX eagerly even for over-limit sets — the facade's
+    // documented error contract is a synchronous InvalidArgumentException,
+    // not a deferred raise_error at first execution (which still guards
+    // the un-sampled tail via guardedQueries)
+    if (snapshot.sample.isEmpty)
+      throw new InvalidArgumentException("No queries provided")
+    val dim = s.manifest.dimension
+    if (snapshot.sample.exists(b => b._2 == null || b._2.length != dim))
+      throw new InvalidArgumentException("Query dimension mismatch")
+    (s, snapshot.batch)
   }
 
   /** In-plan dimension guard for unbounded query sets: rows past the

@@ -90,7 +90,7 @@ class IvfFlatIndex(
     // silently truncate a batch above the threshold
     if (strategy == IvfFlatIndex.ForceStatic)
       searchBatch(qdf.collect().map(IvfFlatIndex.decodeQueryRow), params, predicate)
-    else IvfFlatIndex.snapshotQueries(qdf) match {
+    else IvfFlatIndex.snapshotQueries(qdf).batch match {
       case Some(batch) => searchBatch(batch, params, predicate)
       case None => searchJoinPruned(corpus, qdf, params.k, nprobe, m)
     }
@@ -181,20 +181,26 @@ object IvfFlatIndex {
   def decodeQueryRow(r: org.apache.spark.sql.Row): (Long, Array[Float]) =
     (r.getLong(0), Option(r.getSeq[Float](1)).map(_.toArray).orNull)
 
+  /** Result of [[snapshotQueries]]: the decoded prefix sample (validation
+    * material either way), and whether it IS the whole query set. */
+  case class QuerySnapshot(sample: Array[(Long, Array[Float])], bounded: Boolean) {
+    /** The serving batch when the set fits the static path. */
+    def batch: Option[Array[(Long, Array[Float])]] = if (bounded) Some(sample) else None
+  }
+
   /**
    * THE bounded-snapshot decision, shared by searchWhere, the VectorDB
    * validation path, and the streaming serve loop (keeping three copies in
-   * sync was a bug farm): one limited collect; Some(batch) when the query
-   * set fits [[MaxStaticBatch]] (the batch IS the serving input — the
-   * source plan is never evaluated twice), None when it exceeds (callers
-   * stay fully distributed).
+   * sync was a bug farm): one limited collect; `bounded` when the query
+   * set fits [[MaxStaticBatch]] (the sample IS the serving input — the
+   * source plan is never evaluated twice). An over-limit set still
+   * returns its prefix so callers can validate eagerly before going
+   * distributed.
    */
-  def snapshotQueries(
-      queries: org.apache.spark.sql.DataFrame): Option[Array[(Long, Array[Float])]] = {
+  def snapshotQueries(queries: org.apache.spark.sql.DataFrame): QuerySnapshot = {
     val sample = queries.select(col("qid"), col("qvec"))
       .limit(MaxStaticBatch + 1).collect()
-    if (sample.length > MaxStaticBatch) None
-    else Some(sample.map(decodeQueryRow))
+    QuerySnapshot(sample.map(decodeQueryRow), sample.length <= MaxStaticBatch)
   }
 
   /** Driver-side probe of a bounded query batch: chunk-parallel, ordered

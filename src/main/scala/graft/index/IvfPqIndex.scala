@@ -58,7 +58,7 @@ class IvfPqIndex(
       queries: DataFrame,
       params: SearchParams,
       rerankK: Int = 0): DataFrame =
-    IvfFlatIndex.snapshotQueries(queries) match {
+    IvfFlatIndex.snapshotQueries(queries).batch match {
       case Some(batch) => searchBatch(batch, params, rerankK)
       case None => searchJoin(queries, params, rerankK)
     }
@@ -198,8 +198,13 @@ object IvfPqIndex {
    */
   def writeEpoch(index: IvfPqIndex, epochPath: String, filesPerList: Int = 1): Unit = {
     IvfFlatIndex.writeEpoch(index.codes, s"$epochPath/codes", filesPerList)
-    val rawAssigned = index.rawVectors.select(col("id"), col("vec"),
-      vector.argmin_centroid(col("vec"), index.centroids).as("list_id"))
+    // a raw table that already carries this index's list_id (epoch
+    // re-write, ScaleStress-style build) skips a full argmin re-assign
+    val rawAssigned =
+      if (index.rawVectors.columns.contains("list_id"))
+        index.rawVectors.select("id", "vec", "list_id")
+      else index.rawVectors.select(col("id"), col("vec"),
+        vector.argmin_centroid(col("vec"), index.centroids).as("list_id"))
     IvfFlatIndex.writeEpoch(rawAssigned, s"$epochPath/vectors", filesPerList)
     writeVectorTable(index.spark, index.centroids.value, s"$epochPath/centroids")
     writeCodebooks(index.spark, index.codebooks.value, s"$epochPath/codebooks")

@@ -41,7 +41,7 @@ object StreamingSearch {
         // ONE bounded snapshot answers emptiness AND serves as the batch —
         // a separate isEmpty probe would double the per-trigger job count
         // on the serving hot loop
-        IvfFlatIndex.snapshotQueries(batch) match {
+        IvfFlatIndex.snapshotQueries(batch).batch match {
           case Some(b) if b.isEmpty => // idle trigger: nothing to serve
           case Some(b) => sink(index.searchBatch(b, params), batchId)
           case None => // flood between triggers: stay fully distributed
