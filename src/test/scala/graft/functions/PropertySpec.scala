@@ -134,6 +134,31 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("WAV decoder terminates on arbitrary and mutated payloads (throws, never spins)") {
+    import graft.pipeline.Multimodal
+    val junkGen: Gen[Array[Byte]] = Gen.chooseNum(0, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+    check(forAll(junkGen) { bytes =>
+      try { Multimodal.decodeWav(bytes); true }
+      catch { case _: IllegalArgumentException | _: java.nio.BufferUnderflowException => true }
+    })
+    // single-byte mutations of a VALID container (hits the chunk-walk paths)
+    val valid = Multimodal.encodeWav(Array[Short](1, -2, 300, -400, 5))
+    val mutGen: Gen[(Int, Byte)] = for {
+      pos <- Gen.chooseNum(0, valid.length - 1)
+      b <- Gen.chooseNum(-128, 127).map(_.toByte)
+    } yield (pos, b)
+    check(forAll(mutGen) { case (pos, b) =>
+      val m = valid.clone(); m(pos) = b
+      try { Multimodal.decodeWav(m); true }
+      catch { case _: IllegalArgumentException | _: java.nio.BufferUnderflowException => true }
+    })
+    // and the roundtrip itself stays exact
+    val audio = Multimodal.decodeWav(valid)
+    assert(audio.samples.toSeq === Seq[Short](1, -2, 300, -400, 5))
+    assert(audio.sampleRate === Multimodal.WavSampleRate)
+  }
+
   test("minhash similarity estimate tracks true jaccard of token sets") {
     // deterministic spot-check rather than full generator: two token sets
     // with known overlap; estimated similarity within coarse tolerance
