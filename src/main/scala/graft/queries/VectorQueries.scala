@@ -159,12 +159,10 @@ object VectorQueries {
    * VectorDBSpec), and the results must hash-match the same oracle SQL as
    * the in-memory probe entry.
    */
-  private def ivfSearchEpoch(spark: SparkSession, dir: String): DataFrame = {
-    import graft.api.VectorDB
-    val e = emb(spark, dir)
-    val queries = e.filter(col("vec_id") < NQ)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val db = cached(s"epochdb:$dir") {
+  private def epochDb(spark: SparkSession, dir: String): graft.api.VectorDB =
+    cached(s"epochdb:$dir") {
+      import graft.api.VectorDB
+      val e = emb(spark, dir)
       val cents = fixedCentroids(spark, dir)
       val root = java.nio.file.Files.createTempDirectory("graft_epoch_entry").toString
       val db = new VectorDB(spark, root)
@@ -176,8 +174,36 @@ object VectorQueries {
       db.loadIndex("emb_fixed")
       db
     }
-    db.search("emb_fixed", queries, topk = K, nprobe = 4).orderBy("qid", "rank")
+
+  private def ivfSearchEpoch(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val queries = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    epochDb(spark, dir)
+      .search("emb_fixed", queries, topk = K, nprobe = 4).orderBy("qid", "rank")
   }
+
+  /** A7 GetStats through the on-disk epoch, as a one-row DataFrame the
+    * oracle recomputes from the raw table (count, shard count from the
+    * fixed-centroid assignment, imbalance = max shard x shards / total). */
+  private def epochStats(spark: SparkSession, dir: String): DataFrame = {
+    val s = epochDb(spark, dir).stats("emb_fixed")
+    import spark.implicits._
+    Seq((
+      s("num_vectors").asInstanceOf[Long],
+      s("nlist").asInstanceOf[Int],
+      s("dimension").asInstanceOf[Int],
+      s("num_shards").asInstanceOf[Int],
+      s("list_imbalance").asInstanceOf[Double]))
+      .toDF("num_vectors", "nlist", "dimension", "num_shards", "list_imbalance")
+  }
+
+  /** F1 slice read (reference ArrowStorage offset/length): a deterministic
+    * id-ordered window, exploded so the oracle can hash it. */
+  private def vectorSliceRead(spark: SparkSession, dir: String): DataFrame =
+    graft.api.VectorDB.readVectorSlice(spark, s"$dir/embeddings.parquet", 100, 50)
+      .select(col("id"), posexplode(col("vec")).as(Seq("pos", "component")))
+      .orderBy("id", "pos")
 
   /**
    * IVF-PQ with exhaustive probe + full exact rerank (S10-S13): ADC
@@ -281,6 +307,8 @@ object VectorQueries {
     "ivf_search_full" -> (ivfSearchFull _),
     "ivf_search_probe" -> (ivfSearchProbe _),
     "ivf_search_epoch" -> (ivfSearchEpoch _),
+    "epoch_stats" -> (epochStats _),
+    "vector_slice_read" -> (vectorSliceRead _),
     "ivf_search_batch_all" -> (ivfSearchBatchAll _),
     "ivfpq_search_rerank" -> (ivfpqSearchRerank _),
     "ivfpq_search_adc" -> (ivfpqSearchAdc _),
@@ -318,6 +346,25 @@ object VectorQueries {
     "ivf_search_probe" -> probeOracleSql,
     // identical semantics through the on-disk epoch (write -> read -> serve)
     "ivf_search_epoch" -> probeOracleSql,
+    // A7 stats replayed from the raw table + fixed-centroid assignment
+    "epoch_stats" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |ad AS (SELECT v.vec_id, c.cid, ${sqlL2("v.embedding", "c.cv")} AS d FROM embeddings v, c),
+         |asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ad) WHERE rn = 1),
+         |sizes AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM asg GROUP BY cid)
+         |SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS num_vectors,
+         |  CAST(16 AS INT) AS nlist,
+         |  CAST((SELECT len(embedding) FROM embeddings WHERE vec_id = 0) AS INT) AS dimension,
+         |  CAST((SELECT count(*) FROM sizes) AS INT) AS num_shards,
+         |  (SELECT CAST(max(n) AS DOUBLE) * count(*) / sum(n) FROM sizes) AS list_imbalance""".stripMargin,
+    // F1 slice read: same ordered window + exploded components
+    "vector_slice_read" ->
+      """WITH w AS (SELECT vec_id AS id, embedding FROM embeddings
+        |           ORDER BY vec_id LIMIT 50 OFFSET 100)
+        |SELECT id, CAST(unnest(range(0, len(embedding))) AS INT) AS pos,
+        |       unnest(embedding) AS component
+        |FROM w ORDER BY id, pos""".stripMargin,
     // fixed-codebook PQ: encode argmin per subspace, probe-top-4 coarse
     // prune, ADC lookup-sum distance (sum ordered by subspace), top-k
     "ivfpq_search_adc" ->
