@@ -92,6 +92,24 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.contains((7L, 1007L)), s"planted dup missed: $pairs")
   }
 
+  test("bucketedSelfPairs covers every within-list ordered pair exactly once") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(5)
+    for (maxBucket <- Seq(1, 3, 7, 1000)) {
+      // ragged buckets incl. singletons and one above every tested cap
+      val rows = (0 until 60).map(i => (rnd.nextInt(5), i.toLong))
+      val df = rows.toDF("list_id", "id")
+      val got = Dedup.bucketedSelfPairs(df, maxBucket)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val expected = rows.groupBy(_._1).values.flatMap { bucket =>
+        for (a <- bucket; b <- bucket if a._2 != b._2) yield (a._2, b._2)
+      }.toSeq
+      // multiset equality: no pair lost, no pair double-tiled
+      assert(got.sorted === expected.toSeq.sorted, s"coverage broke at maxBucket=$maxBucket")
+    }
+  }
+
   test("skewed bucket (one list holds ~90% of rows) splits without changing results") {
     // centroid 0 at the origin captures every N(0,1) vector; centroid 1 is
     // far away and stays empty -> maximal k-means skew
