@@ -97,8 +97,9 @@ class PipelineSpec extends SparkSpec {
     import s.implicits._
     val rnd = new scala.util.Random(5)
     for (maxBucket <- Seq(1, 3, 7, 1000)) {
-      // ragged buckets incl. singletons and one above every tested cap
-      val rows = (0 until 60).map(i => (rnd.nextInt(5), i.toLong))
+      // ~12-row buckets (split under caps 1/3/7, unsplit under 1000) plus
+      // an explicit singleton bucket (list 9)
+      val rows = (0 until 60).map(i => (rnd.nextInt(5), i.toLong)) :+ ((9, 999L))
       val df = rows.toDF("list_id", "id")
       val got = Dedup.bucketedSelfPairs(df, maxBucket)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
