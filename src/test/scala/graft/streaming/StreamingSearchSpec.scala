@@ -44,4 +44,38 @@ class StreamingSearchSpec extends SparkSpec {
       assert(batches.asScala.toSet.size <= 3)
     } finally q.stop()
   }
+
+  test("a flood micro-batch (> MaxStaticBatch) takes the distributed path, same results") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = vectorsDF(randomVectors(300, 8))
+    val index = IvfFlatIndex.build(spark, corpus, nlist = 4)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val results = new ConcurrentLinkedQueue[Row]()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-serve-flood").toString
+    val q = StreamingSearch.serve(
+      index,
+      mem.toDF().toDF("qid", "qvec"),
+      SearchParams(k = 2, nprobe = 4),
+      checkpointPath = s"$tmp/ckpt",
+      triggerMs = 50L) { (res, _) => res.collect().foreach(results.add) }
+    try {
+      val flood = randomVectors(IvfFlatIndex.MaxStaticBatch + 30, 8, seed = 6)
+      mem.addData(flood: _*)
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val rows = results.asScala.toSeq
+      val perQ = rows.groupBy(_.getLong(0)).view.mapValues(_.size).toMap
+      assert(perQ.keySet === flood.map(_._1).toSet)
+      assert(perQ.values.forall(_ === 2))
+      // spot-check a query against the exact oracle (nprobe=nlist)
+      val sample = flood.take(3)
+      val exact = index.searchExact(queriesDF(sample), 2)
+        .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+      val served = rows.filter(r => sample.exists(_._1 == r.getLong(0)))
+        .map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+      assert(served === exact)
+    } finally q.stop()
+  }
 }
