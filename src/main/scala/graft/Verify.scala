@@ -19,8 +19,12 @@ object Verify {
     // not take the whole correctness dump down with it — cancel its job
     // group and move on.
     val timeoutMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_MS", "300000").toLong
-    // Optional local-iteration filter: run only the named queries.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Optional local-iteration filter: run only the named queries. A
+    // set-but-blank variable means NO filter — an empty dump + empty
+    // oracle json would let the compare pass vacuously.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

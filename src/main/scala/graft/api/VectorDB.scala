@@ -449,20 +449,11 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
 
   // --- F1/F2 vector + centroid IO ------------------------------------------
 
-  def writeCentroids(cents: Array[Array[Float]], path: String): Unit = {
-    import spark.implicits._
-    cents.zipWithIndex
-      .map { case (v, i) => (i.toLong, v) }.toSeq
-      .toDF("id", "vec")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(path)
-  }
+  def writeCentroids(cents: Array[Array[Float]], path: String): Unit =
+    IvfFlatIndex.writeCentroidTable(spark, cents, path)
 
   def readCentroids(path: String): Array[Array[Float]] =
-    spark.read.parquet(path)
-      .orderBy("id")
-      .collect()
-      .map(_.getSeq[Float](1).toArray)
+    IvfFlatIndex.readCentroidTable(spark, path)
 }
 
 object VectorDB {

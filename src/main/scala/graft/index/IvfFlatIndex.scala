@@ -294,6 +294,20 @@ object IvfFlatIndex {
       centroids: Array[Array[Float]]): Broadcast[Array[Array[Float]]] =
     spark.sparkContext.broadcast(centroids)
 
+  /** F2: THE centroid parquet layout `(id = row index, vec)` — one
+    * definition shared by the VectorDB facade and the PQ epoch writer so
+    * the two can always read each other's files. */
+  def writeCentroidTable(
+      spark: SparkSession, rows: Array[Array[Float]], path: String): Unit = {
+    import spark.implicits._
+    rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+      .toDF("id", "vec").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def readCentroidTable(spark: SparkSession, path: String): Array[Array[Float]] =
+    spark.read.parquet(path).orderBy("id")
+      .collect().map(_.getSeq[Float](1).toArray)
+
   /** Build an in-memory index (train + assign, no epoch write). */
   def build(
       spark: SparkSession,

@@ -77,14 +77,16 @@ class IvfPqIndex(
       rerankK: Int = 0): DataFrame = {
     val nprobe = math.min(params.nprobe, nlist)
     val probeMetric = params.metric.getOrElse(Metric.L2)
-    val pairs = IvfFlatIndex.localProbe(batch, centroids.value, nprobe, probeMetric)
     val tables = new java.util.HashMap[java.lang.Long, Array[Array[Double]]]()
     val qmap = new java.util.HashMap[java.lang.Long, Array[Float]]()
+    // validate BEFORE the probe — a null vector must fail with this
+    // message, not an NPE from inside the probe's worker future
     batch.foreach { case (qid, v) =>
       require(v != null, s"null query vector for qid=$qid")
       tables.put(qid, graft.functions.PqKernels.adcTableRaw(v, codebooks.value))
       qmap.put(qid, v)
     }
+    val pairs = IvfFlatIndex.localProbe(batch, centroids.value, nprobe, probeMetric)
     val bcT = spark.sparkContext.broadcast(tables)
     val listIds = pairs.map(_._2).distinct.toSeq
     val pairsDF = spark.createDataFrame(pairs.toIndexedSeq).toDF("qid", "list_id")
@@ -206,26 +208,18 @@ object IvfPqIndex {
       else index.rawVectors.select(col("id"), col("vec"),
         vector.argmin_centroid(col("vec"), index.centroids).as("list_id"))
     IvfFlatIndex.writeEpoch(rawAssigned, s"$epochPath/vectors", filesPerList)
-    writeVectorTable(index.spark, index.centroids.value, s"$epochPath/centroids")
+    IvfFlatIndex.writeCentroidTable(index.spark, index.centroids.value, s"$epochPath/centroids")
     writeCodebooks(index.spark, index.codebooks.value, s"$epochPath/codebooks")
   }
 
   def readEpoch(spark: SparkSession, epochPath: String): IvfPqIndex = {
-    val cents = spark.read.parquet(s"$epochPath/centroids").orderBy("id")
-      .collect().map(_.getSeq[Float](1).toArray)
+    val cents = IvfFlatIndex.readCentroidTable(spark, s"$epochPath/centroids")
     val books = readCodebooks(spark, s"$epochPath/codebooks")
     new IvfPqIndex(spark,
       spark.read.parquet(s"$epochPath/codes"),
       spark.read.parquet(s"$epochPath/vectors"), // carries list_id -> pruned rerank
       spark.sparkContext.broadcast(cents),
       spark.sparkContext.broadcast(books))
-  }
-
-  private def writeVectorTable(
-      spark: SparkSession, rows: Array[Array[Float]], path: String): Unit = {
-    import spark.implicits._
-    rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
-      .toDF("id", "vec").coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   /**

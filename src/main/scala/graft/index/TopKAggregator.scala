@@ -54,6 +54,8 @@ object TopKAggregator {
       queryCol: String = "qid", idCol: String = "id",
       distCol: String = "dist",
       maxPartialKeys: Int = MaxPartialKeys): DataFrame = {
+    require(maxPartialKeys > 0, // a 0 budget would spin the flush loop forever
+      s"maxPartialKeys must be positive, got $maxPartialKeys")
     val spark = scored.sparkSession
     import spark.implicits._
     val ds = scored
