@@ -8,12 +8,102 @@ import org.apache.spark.sql.graftshims
 import org.apache.spark.sql.types._
 
 /**
+ * Hash family for the MinHash/SimHash kernels. `Xxh64` (Spark's own XXH64,
+ * public xxHash64 algorithm) is the production default — best mixing, zero
+ * collisions in practice. `Poly` is a polynomial rolling hash mod 1e9+7
+ * whose arithmetic a SQL engine can replay (list_reduce over characters),
+ * so Poly-hashed MinHash/SimHash results are oracle-checkable end to end;
+ * its mixing is weaker, which only costs a little LSH precision (more
+ * false candidates), never recall past the verify step.
+ */
+sealed trait HashFamily
+object HashFamily {
+  case object Xxh64 extends HashFamily
+  case object Poly extends HashFamily
+}
+
+/**
  * Kernels for the LLM-pipeline text operators: MinHash signatures and
- * SimHash fingerprints over token arrays. Hashing is Spark's own XXH64
- * (public xxHash64 algorithm) with per-permutation seeds, evaluated
+ * SimHash fingerprints over token arrays. Default hashing is Spark's own
+ * XXH64 (public xxHash64 algorithm) with per-permutation seeds, evaluated
  * directly over UTF8String bytes — no boxing, no per-row string copies.
+ * The Poly family mirrors the same shapes with SQL-replayable arithmetic.
  */
 object TextKernels {
+
+  /** Modulus of the Poly family (1e9+7, same as [[text.fingerprint]]). */
+  val PolyP = 1000000007L
+
+  /** Polynomial rolling hash of a UTF8 string's bytes mod 1e9+7. Tokens
+    * here are ASCII ([a-z0-9 ]), so byte-wise == character-wise and the
+    * oracle's per-character `ascii()` fold reproduces it exactly. */
+  def polyBase(s: org.apache.spark.unsafe.types.UTF8String, mult: Long): Long = {
+    val n = s.numBytes
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc = (acc * mult + (s.getByte(i) & 0xffL)) % PolyP
+      i += 1
+    }
+    acc
+  }
+
+  /**
+   * Poly-family MinHash: out(h) = min over tokens of the affine transform
+   * ((seed + 2h + 1) * base + 31*seed + 7919*h) mod 1e9+7, base = the
+   * 31-multiplier rolling hash. Closed-form coefficients so the oracle can
+   * replay them without an RNG. Empty token set -> Long.MaxValue entries.
+   */
+  def minhashPoly(tokens: ArrayData, numHashes: Int, seed: Long): ArrayData = {
+    val out = new Array[Long](numHashes)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      val base = polyBase(tokens.getUTF8String(t), 31)
+      var h = 0
+      while (h < numHashes) {
+        val v = ((seed + 2L * h + 1L) * base + 31L * seed + 7919L * h) % PolyP
+        if (v < out(h)) out(h) = v
+        h += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Poly-family 61-bit token hash: two independent rolling hashes (mults
+    * 31 and 37, seed folded additively) packed as hi<<31 | lo. Bits 61..63
+    * are structurally zero — the SimHash sign votes there are always
+    * negative, deterministically, in both engines. */
+  def polyToken64(s: org.apache.spark.unsafe.types.UTF8String, seed: Long): Long = {
+    val hi = (polyBase(s, 31) + seed) % PolyP
+    val lo = (polyBase(s, 37) + seed) % PolyP
+    (hi << 31) + lo
+  }
+
+  /** Poly-family SimHash over [[polyToken64]] votes. */
+  def simhashPoly(tokens: ArrayData, seed: Long): Long = {
+    val w = new Array[Int](64)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      val h = polyToken64(tokens.getUTF8String(t), seed)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) w(b) += 1 else w(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (w(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
 
   /**
    * MinHash signature: out(h) = min over tokens of xxh64(token, seed+h).
@@ -67,7 +157,8 @@ object TextKernels {
 }
 
 /** MinHash signature of an ARRAY<STRING> token column. */
-case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long,
+    family: HashFamily = HashFamily.Xxh64)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[org.apache.spark.sql.graftshims.AbstractDataType] =
@@ -76,19 +167,27 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "minhash_signature"
 
-  override def nullSafeEval(v: Any): Any =
-    TextKernels.minhash(v.asInstanceOf[ArrayData], numHashes, seed)
+  private def kernel: String = family match {
+    case HashFamily.Xxh64 => "minhash"
+    case HashFamily.Poly => "minhashPoly"
+  }
+
+  override def nullSafeEval(v: Any): Any = family match {
+    case HashFamily.Xxh64 => TextKernels.minhash(v.asInstanceOf[ArrayData], numHashes, seed)
+    case HashFamily.Poly => TextKernels.minhashPoly(v.asInstanceOf[ArrayData], numHashes, seed)
+  }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.functions.TextKernels.minhash($v, $numHashes, ${seed}L);")
+      s"${ev.value} = graft.functions.TextKernels.$kernel($v, $numHashes, ${seed}L);")
 
   override protected def withNewChildInternal(c: Expression): MinHashSignature =
     copy(child = c)
 }
 
 /** 64-bit SimHash of an ARRAY<STRING> token column. */
-case class SimHash64(child: Expression, seed: Long)
+case class SimHash64(child: Expression, seed: Long,
+    family: HashFamily = HashFamily.Xxh64)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[org.apache.spark.sql.graftshims.AbstractDataType] =
@@ -97,12 +196,19 @@ case class SimHash64(child: Expression, seed: Long)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(v: Any): Any =
-    TextKernels.simhash(v.asInstanceOf[ArrayData], seed)
+  private def kernel: String = family match {
+    case HashFamily.Xxh64 => "simhash"
+    case HashFamily.Poly => "simhashPoly"
+  }
+
+  override def nullSafeEval(v: Any): Any = family match {
+    case HashFamily.Xxh64 => TextKernels.simhash(v.asInstanceOf[ArrayData], seed)
+    case HashFamily.Poly => TextKernels.simhashPoly(v.asInstanceOf[ArrayData], seed)
+  }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.functions.TextKernels.simhash($v, ${seed}L);")
+      s"${ev.value} = graft.functions.TextKernels.$kernel($v, ${seed}L);")
 
   override protected def withNewChildInternal(c: Expression): SimHash64 =
     copy(child = c)
@@ -126,11 +232,13 @@ object text {
         sequence(lit(0), size(tokens) - n),
         i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
 
-  def minhash_signature(tokens: Column, numHashes: Int = 64, seed: Long = 42L): Column =
-    col(MinHashSignature(ex(tokens), numHashes, seed))
+  def minhash_signature(tokens: Column, numHashes: Int = 64, seed: Long = 42L,
+      family: HashFamily = HashFamily.Xxh64): Column =
+    col(MinHashSignature(ex(tokens), numHashes, seed, family))
 
-  def simhash64(tokens: Column, seed: Long = 42L): Column =
-    col(SimHash64(ex(tokens), seed))
+  def simhash64(tokens: Column, seed: Long = 42L,
+      family: HashFamily = HashFamily.Xxh64): Column =
+    col(SimHash64(ex(tokens), seed, family))
 
   /**
    * LSH band keys for a MinHash signature: `bands` hashes, each over a

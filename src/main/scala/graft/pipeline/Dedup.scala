@@ -95,7 +95,8 @@ object Dedup {
       ngram: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      family: graft.functions.HashFamily = graft.functions.HashFamily.Xxh64): DataFrame = {
     // both sides of the self-join reference these subplans; Spark has no
     // cross-branch CSE, so persist them once (ids + band keys are tiny
     // relative to the corpus; shingles are one text-scan's worth)
@@ -111,7 +112,7 @@ object Dedup {
     // band join carries ONLY ids: candidate volume is pairs x 8 bytes, not
     // pairs x shingle arrays; payloads join back after the distinct
     val sigs = toks
-      .withColumn("sig", text.minhash_signature(col("shingles"), numHashes))
+      .withColumn("sig", text.minhash_signature(col("shingles"), numHashes, family = family))
       .select(col("id"),
         posexplode(text.lsh_bands(col("sig"), numHashes, bands)).as(Seq("pos", "band")))
       .transform(persistOnce)
@@ -158,14 +159,15 @@ object Dedup {
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      family: graft.functions.HashFamily = graft.functions.HashFamily.Xxh64): DataFrame = {
     val chunks = maxHamming + 1
     val bits = 64 / chunks
     // (1L << 64) wraps to 1 (shift mod 64): full-width chunks need -1L
     val mask = if (bits >= 64) -1L else (1L << bits) - 1
     val sigs = docs.select(
       col(idCol).as("id"),
-      text.simhash64(text.tokenize(col(textCol))).as("sim"))
+      text.simhash64(text.tokenize(col(textCol)), family = family).as("sim"))
     val chunkCols = (0 until chunks).map { i =>
       struct(
         lit(i).as("cpos"),

@@ -106,6 +106,26 @@ object PipelineQueries {
     Dedup.simhashPairs(docs(spark, dir), maxHamming = 3)
       .orderBy("a_id", "b_id")
 
+  // --- oracle-checked poly-hash twins of the LSH paths ---------------------
+  // Same plans as minhash_pairs / simhash_pairs but with HashFamily.Poly
+  // (polynomial rolling hash mod 1e9+7), whose arithmetic DuckDB can
+  // replay — the production XXH64 default stays rows-only + differential-
+  // tested, these twins put the SAME plan shape under the hash gate.
+  // Band-key equality is xxhash64-of-slice equality == slice equality, so
+  // the oracle joins on the signature slice itself; the simhash pigeonhole
+  // blocking at maxHamming=3 is lossless (3 flipped bits touch <= 3 of the
+  // 4 chunks), so its oracle is brute-force hamming <= 3.
+
+  private def minhashPairsPoly(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(docs(spark, dir), threshold = 0.5,
+      family = graft.functions.HashFamily.Poly)
+      .orderBy("a_id", "b_id")
+
+  private def simhashPairsPoly(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(spark, dir), maxHamming = 3,
+      family = graft.functions.HashFamily.Poly)
+      .orderBy("a_id", "b_id")
+
   /** Fixed-centroid blocking (same recipe as the probe entries) makes the
     * IVF-blocked near-dup and self-join paths fully deterministic given
     * the data, so the oracle replays block assignment + verification in
@@ -146,6 +166,8 @@ object PipelineQueries {
     "dedup_corpus" -> (dedupCorpus _),
     "minhash_pairs" -> (minhashPairs _),
     "simhash_pairs" -> (simhashPairs _),
+    "minhash_pairs_poly" -> (minhashPairsPoly _),
+    "simhash_pairs_poly" -> (simhashPairsPoly _),
     "neardup_embeddings" -> (neardupEmbeddings _),
     "knn_self_join" -> (knnSelfJoin _),
     "multimodal_features" -> (multimodalFeatures _),
@@ -273,6 +295,64 @@ object PipelineQueries {
          |      FROM d)
          |SELECT qid, id, dist, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
     },
+    // Poly MinHash+LSH replayed in SQL: 3-gram shingles -> 64-entry poly
+    // signature (seed 42: a_h = 43+2h, b_h = 1302+7919h mod 1e9+7) -> 16
+    // bands of 4 joined on the slice itself -> true-jaccard verify.
+    "minhash_pairs_poly" ->
+      """WITH t0 AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS toks
+        |            FROM documents),
+        |t AS (SELECT doc_id, list_transform(range(1, len(toks)-1),
+        |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS sh FROM t0),
+        |t1 AS (SELECT doc_id AS id, list_distinct(sh) AS dsh FROM t WHERE len(sh) > 0),
+        |bs AS (SELECT id, dsh, list_transform(dsh, s ->
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(list_filter(string_split_regex(s, ''), c -> c <> ''),
+        |             c -> CAST(ascii(c) AS BIGINT))),
+        |           (acc, x) -> (acc * 31 + x) % 1000000007)) AS bases FROM t1),
+        |sigs AS (SELECT id, dsh, list_transform(range(0, 64), h ->
+        |           list_min(list_transform(bases, base ->
+        |             ((43 + 2*h) * base + 1302 + 7919*h) % 1000000007))) AS sig FROM bs),
+        |bnd AS (SELECT id, b, CAST(list_slice(sig, b*4+1, b*4+4) AS VARCHAR) AS bkey
+        |        FROM sigs, (SELECT unnest(range(0, 16)) AS b)),
+        |cand AS (SELECT DISTINCT a.id AS a_id, c.id AS b_id
+        |         FROM bnd a JOIN bnd c ON a.b = c.b AND a.bkey = c.bkey AND a.id < c.id),
+        |p AS (SELECT cand.a_id, cand.b_id,
+        |        CAST(len(list_intersect(x.dsh, y.dsh)) AS DOUBLE)
+        |          / len(list_distinct(x.dsh || y.dsh)) AS jaccard
+        |      FROM cand JOIN sigs x ON x.id = cand.a_id JOIN sigs y ON y.id = cand.b_id)
+        |SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    // Poly SimHash replayed in SQL: per-token 61-bit hash (two rolling
+    // hashes, mults 31/37, seed 42 folded, packed hi*2^31+lo), sign votes
+    // per bit, brute-force hamming <= 3 (== the lossless pigeonhole join).
+    "simhash_pairs_poly" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS toks
+        |           FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+        |h AS (SELECT doc_id,
+        |        ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            list_transform(list_filter(string_split_regex(tk, ''), c -> c <> ''),
+        |              c -> CAST(ascii(c) AS BIGINT))),
+        |            (acc, x) -> (acc * 31 + x) % 1000000007) + 42) % 1000000007) * 2147483648
+        |        + ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            list_transform(list_filter(string_split_regex(tk, ''), c -> c <> ''),
+        |              c -> CAST(ascii(c) AS BIGINT))),
+        |            (acc, x) -> (acc * 37 + x) % 1000000007) + 42) % 1000000007) AS h64
+        |      FROM tok),
+        |bits AS (SELECT doc_id, b,
+        |           sum(CASE WHEN ((h64 >> b) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+        |         FROM h, (SELECT unnest(range(0, 61)) AS b) GROUP BY doc_id, b),
+        |sim AS (SELECT doc_id,
+        |          CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b)
+        |                        ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sim
+        |        FROM bits GROUP BY doc_id),
+        |s2 AS (SELECT d.doc_id AS id, COALESCE(sim.sim, 0) AS sim
+        |       FROM documents d LEFT JOIN sim ON sim.doc_id = d.doc_id),
+        |p AS (SELECT a.id AS a_id, b.id AS b_id,
+        |        CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+        |      FROM s2 a, s2 b WHERE a.id < b.id)
+        |SELECT a_id, b_id, hamming FROM p WHERE hamming <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
     // one PCM16 sample per codepoint; every feature is exact integer (or an
     // exact-ratio double), so decode-then-aggregate == direct SQL aggregate
     "multimodal_features" ->

@@ -71,6 +71,34 @@ class PipelineSpec extends SparkSpec {
     assert(exact.forall(r => !r.getDouble(2).isNaN))
   }
 
+  test("poly-family minhash LSH still covers all exact high-jaccard pairs") {
+    import graft.functions.HashFamily
+    val exact = Dedup.ngramJaccardExact(docs, ngram = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, numHashes = 64, bands = 16, threshold = 0.5,
+      family = HashFamily.Poly)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(lsh), s"poly LSH missed exact pairs: ${exact -- lsh}")
+  }
+
+  test("poly simhash: blocked pigeonhole join equals brute-force hamming filter") {
+    import graft.functions.HashFamily
+    val sims = docs.select(col("doc_id"),
+      text.simhash64(text.tokenize(col("text")), family = HashFamily.Poly).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sims.keys; b <- sims.keys if a < b
+      h = java.lang.Long.bitCount(sims(a) ^ sims(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    val blocked = Dedup.simhashPairs(docs, maxHamming = 3, family = HashFamily.Poly)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(blocked === brute)
+    // the oracle replays bits 0..60 only: the packed hi<<31|lo layout must
+    // keep bits 61..63 structurally zero for every token hash
+    val tok = org.apache.spark.unsafe.types.UTF8String.fromString("anything42")
+    assert((graft.functions.TextKernels.polyToken64(tok, 42L) >>> 61) === 0L)
+  }
+
   test("simhash maxHamming=0 buckets on the full 64-bit value (shift-overflow guard)") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 0)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
