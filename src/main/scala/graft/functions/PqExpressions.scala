@@ -48,11 +48,45 @@ object PqKernels {
     out
   }
 
-  /** ADC lookup table for one query as raw primitive arrays: [m][ks]
-    * squared L2 (kernels.cuh:188-223). */
-  def adcTableRaw(q: Array[Float], codebooks: Array[Array[Array[Float]]]): Array[Array[Double]] = {
+  /**
+   * ADC lookup table for one query as raw primitive arrays: [m][ks], per
+   * `metric` (reference kernels.cuh:188-223 are L2-only; IP/Cosine are the
+   * metric-generic variants its host API declares, ivf_flat_index.h:119-137):
+   *
+   *  - L2: squared L2 between each query subvector and each codeword;
+   *    lookup-sum = ||q - decode(code)||².
+   *  - InnerProduct: negated dot per subspace; lookup-sum =
+   *    -dot(q, decode(code)) — same ascending order as the flat IP metric.
+   *  - Cosine: the query is L2-normalized IN DOUBLES (1/√(‖q‖²+1e-8), the
+   *    D4 epsilon), tables are negated dots against the codewords, and the
+   *    constant 1 is folded into subspace 0 — lookup-sum =
+   *    1 - dot(q̂, decode(code)). REQUIRES codes encoded from normalized
+   *    vectors (build(metric = Cosine) does this): then decode(code) ≈ v̂
+   *    and the lookup-sum approximates the flat cosine distance 1 - cos.
+   */
+  def adcTableRaw(
+      q: Array[Float],
+      codebooks: Array[Array[Array[Float]]],
+      metric: Int = VectorKernels.METRIC_L2): Array[Array[Double]] = {
     val m = codebooks.length
     val rows = new Array[Array[Double]](m)
+    val cosine = metric == VectorKernels.METRIC_COSINE
+    val dot = cosine || metric == VectorKernels.METRIC_IP
+    // cosine: normalize the query once, in doubles (codewords are already
+    // float-rounded normalized components; the query stays full-precision,
+    // exactly like the flat metric's double accumulation)
+    val qd = new Array[Double](q.length)
+    if (cosine) {
+      var s = 0.0
+      var i = 0
+      while (i < q.length) { val x = q(i).toDouble; s += x * x; i += 1 }
+      val inv = 1.0 / math.sqrt(s + 1e-8)
+      i = 0
+      while (i < q.length) { qd(i) = q(i).toDouble * inv; i += 1 }
+    } else {
+      var i = 0
+      while (i < q.length) { qd(i) = q(i).toDouble; i += 1 }
+    }
     var s = 0
     while (s < m) {
       val cb = codebooks(s)
@@ -64,12 +98,17 @@ object PqKernels {
         val cw = cb(c)
         var d = 0.0
         var i = 0
-        while (i < dsub) {
-          val diff = q(off + i).toDouble - cw(i).toDouble
-          d += diff * diff
-          i += 1
+        if (dot) {
+          while (i < dsub) { d += qd(off + i) * cw(i).toDouble; i += 1 }
+          row(c) = if (cosine && s == 0) 1.0 + -d else -d
+        } else {
+          while (i < dsub) {
+            val diff = qd(off + i) - cw(i).toDouble
+            d += diff * diff
+            i += 1
+          }
+          row(c) = d
         }
-        row(c) = d
         c += 1
       }
       rows(s) = row
@@ -79,9 +118,9 @@ object PqKernels {
   }
 
   /** Catalyst-typed wrapper of [[adcTableRaw]] for the distributed path. */
-  def adcTable(q: Array[Float], codebooks: Array[Array[Array[Float]]]): ArrayData =
+  def adcTable(q: Array[Float], codebooks: Array[Array[Array[Float]]], metric: Int): ArrayData =
     new GenericArrayData(
-      adcTableRaw(q, codebooks).map(new GenericArrayData(_)).asInstanceOf[Array[Any]])
+      adcTableRaw(q, codebooks, metric).map(new GenericArrayData(_)).asInstanceOf[Array[Any]])
 
   /** ADC distance resolving the query's table by qid from a broadcast map
     * (the static serving path: candidate rows carry 8-byte qids, never a
@@ -154,8 +193,9 @@ case class PqEncode(child: Expression, codebooks: Broadcast[Array[Array[Array[Fl
   override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
 }
 
-/** Per-query ADC table: ARRAY<ARRAY<DOUBLE>> of m x ks squared L2. */
-case class PqAdcTable(child: Expression, codebooks: Broadcast[Array[Array[Array[Float]]]])
+/** Per-query ADC table: ARRAY<ARRAY<DOUBLE>> of m x ks per-metric costs. */
+case class PqAdcTable(child: Expression, codebooks: Broadcast[Array[Array[Array[Float]]]],
+    metric: graft.Metric.Value = graft.Metric.L2)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[org.apache.spark.sql.graftshims.AbstractDataType] =
@@ -165,15 +205,17 @@ case class PqAdcTable(child: Expression, codebooks: Broadcast[Array[Array[Array[
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "pq_adc_table"
 
+  private val metricId = metric.id
+
   override def nullSafeEval(v: Any): Any =
-    PqKernels.adcTable(v.asInstanceOf[ArrayData].toFloatArray(), codebooks.value)
+    PqKernels.adcTable(v.asInstanceOf[ArrayData].toFloatArray(), codebooks.value, metricId)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bc = ctx.addReferenceObj("pqCodebooks", codebooks,
       classOf[Broadcast[Array[Array[Array[Float]]]]].getName)
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = graft.functions.PqKernels.adcTable(" +
-        s"$v.toFloatArray(), (float[][][]) $bc.value());")
+        s"$v.toFloatArray(), (float[][][]) $bc.value(), $metricId);")
   }
 
   override protected def withNewChildInternal(c: Expression): PqAdcTable = copy(child = c)
@@ -241,8 +283,9 @@ object pq {
   def pq_encode(v: Column, codebooks: Broadcast[Array[Array[Array[Float]]]]): Column =
     col(PqEncode(ex(v), codebooks))
 
-  def pq_adc_table(q: Column, codebooks: Broadcast[Array[Array[Array[Float]]]]): Column =
-    col(PqAdcTable(ex(q), codebooks))
+  def pq_adc_table(q: Column, codebooks: Broadcast[Array[Array[Array[Float]]]],
+      metric: graft.Metric.Value = graft.Metric.L2): Column =
+    col(PqAdcTable(ex(q), codebooks, metric))
 
   def pq_adc_distance(table: Column, codes: Column): Column =
     col(PqAdcDistance(ex(table), ex(codes)))

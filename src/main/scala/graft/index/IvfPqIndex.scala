@@ -48,11 +48,14 @@ class IvfPqIndex(
    * re-scored exactly from the raw vectors and the final top-k re-ranked
    * on true distance (dist column is then exact).
    *
-   * Metric caveat: list probing honors `params.metric`, but the ADC
-   * candidate stage is inherently squared-L2 (the PQ tables are L2, as in
-   * the reference kernels, kernels.cuh:213-216) — for InnerProduct/Cosine
-   * the ADC pool favors L2-near vectors, so use a generous `rerankK` or
-   * the flat index when non-L2 recall matters.
+   * Both the list probe AND the ADC tables honor `params.metric`
+   * ([[graft.functions.PqKernels.adcTableRaw]]): L2 tables are squared L2
+   * (the reference's only kernel, kernels.cuh:213-216), IP tables are
+   * negated dots, Cosine tables are negated dots against a normalized
+   * query with the +1 constant folded in. Cosine REQUIRES codes encoded
+   * from normalized vectors — [[IvfPqIndex.build]] with
+   * `metric = Metric.Cosine` sets that up; on mismatched codes the ADC
+   * pool degrades to dot-product order, not cosine.
    */
   def search(
       queries: DataFrame,
@@ -83,7 +86,8 @@ class IvfPqIndex(
     // message, not an NPE from inside the probe's worker future
     batch.foreach { case (qid, v) =>
       require(v != null, s"null query vector for qid=$qid")
-      tables.put(qid, graft.functions.PqKernels.adcTableRaw(v, codebooks.value))
+      tables.put(qid,
+        graft.functions.PqKernels.adcTableRaw(v, codebooks.value, probeMetric.id))
       qmap.put(qid, v)
     }
     val pairs = IvfFlatIndex.localProbe(batch, centroids.value, nprobe, probeMetric)
@@ -124,7 +128,7 @@ class IvfPqIndex(
     val nprobe = math.min(params.nprobe, nlist)
     val probeMetric = params.metric.getOrElse(Metric.L2)
     val probed = queries
-      .withColumn("adc", pq.pq_adc_table(col("qvec"), codebooks))
+      .withColumn("adc", pq.pq_adc_table(col("qvec"), codebooks, probeMetric))
       .withColumn("list_id",
         explode(vector.probe_lists(col("qvec"), centroids, nprobe, probeMetric)))
       .select("qid", "adc", "list_id")
@@ -172,24 +176,38 @@ object IvfPqIndex {
     }
   }
 
-  /** Build from (id, vec) rows: coarse centroids + codebooks + codes. */
+  /**
+   * Build from (id, vec) rows: coarse centroids + codebooks + codes.
+   *
+   * With `metric = Metric.Cosine` the whole index lives in normalized
+   * space (the standard cosine-as-inner-product construction): vectors are
+   * L2-normalized (D4 kernel, 1e-8 eps) before training, encoding, AND the
+   * raw table kept for reranking — cosine ADC tables then approximate
+   * 1 - cos exactly as documented on [[PqKernels.adcTableRaw]]. Cosine is
+   * normalization-invariant, so search results are unchanged semantically.
+   */
   def build(
       spark: SparkSession,
       vectors: DataFrame,
       nlist: Int,
       m: Int,
       nbits: Int = 8,
-      maxTrain: Int = Lloyd.DefaultMaxTrain): IvfPqIndex = {
-    val sample = Lloyd.trainSample(vectors, "id", "vec", maxTrain)
+      maxTrain: Int = Lloyd.DefaultMaxTrain,
+      metric: graft.Metric.Value = Metric.L2): IvfPqIndex = {
+    val space =
+      if (metric == Metric.Cosine)
+        vectors.select(col("id"), vector.normalize_vector(col("vec")).as("vec"))
+      else vectors.select("id", "vec")
+    val sample = Lloyd.trainSample(space, "id", "vec", maxTrain)
     val cents = Lloyd.train(sample, nlist)
     val books = trainCodebooks(sample, m, nbits)
     val bcC = spark.sparkContext.broadcast(cents)
     val bcB = spark.sparkContext.broadcast(books)
-    val codes = vectors.select(
+    val codes = space.select(
       col("id"),
       pq.pq_encode(col("vec"), bcB).as("codes"),
       vector.argmin_centroid(col("vec"), bcC).as("list_id"))
-    new IvfPqIndex(spark, codes, vectors.select("id", "vec"), bcC, bcB)
+    new IvfPqIndex(spark, codes, space, bcC, bcB)
   }
 
   /**

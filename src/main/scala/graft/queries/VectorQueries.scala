@@ -138,8 +138,9 @@ object VectorQueries {
     val e = emb(spark, dir)
     val queries = e.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cents = fixedCentroids(spark, dir) // hoisted: nested memo = Recursive update
     val index = cached(s"ivffixed:$dir") {
-      val bc = IvfFlatIndex.broadcastCentroids(spark, fixedCentroids(spark, dir))
+      val bc = IvfFlatIndex.broadcastCentroids(spark, cents)
       new IvfFlatIndex(spark,
         IvfFlatIndex.assign(
           e.select(col("vec_id").as("id"), col("embedding").as("vec")), bc),
@@ -236,8 +237,8 @@ object VectorQueries {
     val e = emb(spark, dir)
     val queries = e.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cents = fixedCentroids(spark, dir) // hoisted: nested memo = Recursive update
     val index = cached(s"ivfpqfixed:$dir") {
-      val cents = fixedCentroids(spark, dir)
       val m = 8
       val dsub = cents(0).length / m
       val books = Array.tabulate(m)(s =>
@@ -252,6 +253,44 @@ object VectorQueries {
       new graft.index.IvfPqIndex(spark, codes, vectors, bcC, bcB)
     }
     index.search(queries, SearchParams(k = K, nprobe = 4)).orderBy("qid", "rank")
+  }
+
+  /**
+   * Per-metric ADC under Cosine (the reference declares metric-generic PQ
+   * search but implements only L2 kernels, ivf_flat_index.h:119-137 vs
+   * kernels.cuh:213-216): codes are encoded from NORMALIZED vectors against
+   * codebooks sliced from the normalized fixed centroids; the coarse probe
+   * runs cosine on the raw centroids; ADC tables are negated dots of the
+   * double-normalized query with +1 folded into subspace 0 — all of it
+   * deterministic given the fixed centroid set, so the oracle replays the
+   * entire normalized-space pipeline in SQL.
+   */
+  private def ivfpqSearchAdcCosine(spark: SparkSession, dir: String): DataFrame = {
+    import graft.SearchParams
+    import graft.functions.pq
+    val e = emb(spark, dir)
+    val queries = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // resolve the centroid memo OUTSIDE the index memo's lambda — nested
+    // computeIfAbsent on one ConcurrentHashMap throws "Recursive update"
+    val cents = fixedCentroids(spark, dir)
+    val index = cached(s"ivfpqfixedcos:$dir") {
+      val ncents = cents.map(graft.functions.VectorKernels.normalize)
+      val m = 8
+      val dsub = cents(0).length / m
+      val books = Array.tabulate(m)(s =>
+        ncents.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub)))
+      val bcC = spark.sparkContext.broadcast(cents)
+      val bcB = spark.sparkContext.broadcast(books)
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val codes = vectors.select(
+        col("id"),
+        pq.pq_encode(vector.normalize_vector(col("vec")), bcB).as("codes"),
+        vector.argmin_centroid(col("vec"), bcC).as("list_id"))
+      new graft.index.IvfPqIndex(spark, codes, vectors, bcC, bcB)
+    }
+    index.search(queries, SearchParams(k = K, nprobe = 4, metric = Some(Metric.Cosine)))
+      .orderBy("qid", "rank")
   }
 
   /**
@@ -312,6 +351,7 @@ object VectorQueries {
     "ivf_search_batch_all" -> (ivfSearchBatchAll _),
     "ivfpq_search_rerank" -> (ivfpqSearchRerank _),
     "ivfpq_search_adc" -> (ivfpqSearchAdc _),
+    "ivfpq_search_adc_cosine" -> (ivfpqSearchAdcCosine _),
     "vector_scale_bench" -> (vectorScaleBench _),
   )
 
@@ -393,6 +433,55 @@ object VectorQueries {
          |cand AS (SELECT p.qid, a.vec_id AS id FROM probe p JOIN asg a ON a.cid = p.cid),
          |contrib AS (SELECT cand.qid, cand.id, qsub.s,
          |    list_sum(list_transform(range(1, 9), i -> (qsub.u[i] - cw.w[i]) * (qsub.u[i] - cw.w[i]))) AS d
+         |  FROM cand
+         |  JOIN qsub ON qsub.qid = cand.qid
+         |  JOIN enc ON enc.vec_id = cand.id AND enc.s = qsub.s
+         |  JOIN cw ON cw.s = enc.s AND cw.cid = enc.cid),
+         |dd AS (SELECT qid, id, list_sum(list(d ORDER BY s)) AS dist FROM contrib GROUP BY qid, id),
+         |r AS (SELECT qid, id, dist,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS INT) AS rank
+         |      FROM dd)
+         |SELECT qid, id, dist, rank FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin,
+    // normalized-space PQ: corpus + codebook centroids float-normalized
+    // (D4 rule), query normalized in doubles, tables = -dot with +1 folded
+    // into subspace 0, coarse probe = cosine on raw centroids, assignment
+    // = L2 argmin on raw vectors (same machinery as ivfpq_search_adc)
+    "ivfpq_search_adc_cosine" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $NQ),
+         |ad AS (SELECT v.vec_id, c.cid, ${sqlL2("v.embedding", "c.cv")} AS d FROM embeddings v, c),
+         |asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ad) WHERE rn = 1),
+         |pd AS (SELECT q.qid, c.cid, ${sqlCosine("q.qv", "c.cv")} AS d FROM q, c),
+         |probe AS (SELECT qid, cid FROM (SELECT qid, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rn FROM pd) WHERE rn <= 4),
+         |nrm0 AS (SELECT vec_id, embedding,
+         |    1.0 / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) + 1e-8) AS inv
+         |  FROM embeddings),
+         |nrm AS (SELECT vec_id, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * inv AS FLOAT)) AS ne
+         |  FROM nrm0),
+         |cw AS (SELECT t.s, n.vec_id AS cid,
+         |    list_transform(range(1, 9), i -> CAST(n.ne[t.s*8 + i] AS DOUBLE)) AS w
+         |  FROM range(0, 8) t(s), nrm n WHERE n.vec_id < 16),
+         |vsub AS (SELECT n.vec_id, t.s,
+         |    list_transform(range(1, 9), i -> CAST(n.ne[t.s*8 + i] AS DOUBLE)) AS u
+         |  FROM nrm n, range(0, 8) t(s)),
+         |enc0 AS (SELECT vsub.vec_id, vsub.s, cw.cid,
+         |    list_sum(list_transform(range(1, 9), i -> (u[i] - w[i]) * (u[i] - w[i]))) AS d
+         |  FROM vsub JOIN cw ON cw.s = vsub.s),
+         |enc AS (SELECT vec_id, s, cid FROM (SELECT vec_id, s, cid,
+         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rn FROM enc0) WHERE rn = 1),
+         |qn0 AS (SELECT qid, qv,
+         |    1.0 / sqrt(list_sum(list_transform(qv, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) + 1e-8) AS inv
+         |  FROM q),
+         |qsub AS (SELECT qn0.qid, t.s,
+         |    list_transform(range(1, 9), i -> CAST(qn0.qv[t.s*8 + i] AS DOUBLE) * qn0.inv) AS u
+         |  FROM qn0, range(0, 8) t(s)),
+         |cand AS (SELECT p.qid, a.vec_id AS id FROM probe p JOIN asg a ON a.cid = p.cid),
+         |contrib AS (SELECT cand.qid, cand.id, qsub.s,
+         |    CASE WHEN qsub.s = 0
+         |      THEN 1.0 + (-(list_sum(list_transform(range(1, 9), i -> qsub.u[i] * cw.w[i]))))
+         |      ELSE -(list_sum(list_transform(range(1, 9), i -> qsub.u[i] * cw.w[i]))) END AS d
          |  FROM cand
          |  JOIN qsub ON qsub.qid = cand.qid
          |  JOIN enc ON enc.vec_id = cand.id AND enc.s = qsub.s

@@ -98,7 +98,7 @@ class PropertySpec extends AnyFunSuite {
     } yield (books.toArray, v, q)
     check(forAll(g) { case (books, v, q) =>
       val code = PqKernels.encode(v, books)
-      val table = PqKernels.adcTable(q, books)
+      val table = PqKernels.adcTable(q, books, VectorKernels.METRIC_L2)
       val adc = PqKernels.adcDistance(table,
         new org.apache.spark.sql.catalyst.util.GenericArrayData(code))
       val exact = VectorKernels.l2(q, PqKernels.decode(code, books))

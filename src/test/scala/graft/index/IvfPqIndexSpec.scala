@@ -30,7 +30,7 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(qerr < 4.0, s"quantization error too large: $qerr")
     // ADC distance of query q to code(v) == exact L2(q, decode(v))
     val q = queries.head._2
-    val table = PqKernels.adcTable(q, books)
+    val table = PqKernels.adcTable(q, books, graft.functions.VectorKernels.METRIC_L2)
     val adc = PqKernels.adcDistance(table,
       new org.apache.spark.sql.catalyst.util.GenericArrayData(code))
     val viaDecode = graft.functions.VectorKernels.l2(q, dec)
@@ -74,18 +74,57 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(rr >= adcOnly, s"rerank recall $rr < adc-only $adcOnly")
   }
 
+  test("per-metric ADC tables: IP/Cosine recall without rerank inflation") {
+    import graft.Metric
+    val q = queriesDF(queries)
+    val vectors = vectorsDF(data)
+    def recallOf(res: org.apache.spark.sql.DataFrame, metric: Metric.Value) = {
+      val exact = Knn.exact(q, vectors, 10, metric).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = res.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    // IP tables on the L2-built (raw-space) index: decode approximates the
+    // raw vector, so -dot lookup-sums track the true IP order
+    val ip = recallOf(
+      index.search(q, SearchParams(k = 10, nprobe = 8, metric = Some(Metric.InnerProduct))),
+      Metric.InnerProduct)
+    // the round-3 caveat shape: L2-ordered ADC pool measured against the
+    // IP ground truth — per-metric tables must do strictly better
+    val ipViaL2 = recallOf(
+      index.search(q, SearchParams(k = 10, nprobe = 8)), Metric.InnerProduct)
+    assert(ip >= 0.6, s"IP ADC recall@10 was $ip")
+    assert(ip >= ipViaL2, s"IP tables ($ip) lost to L2-shaped pool ($ipViaL2)")
+    // Cosine requires the normalized-space build
+    val cosIndex = IvfPqIndex.build(spark, vectors, nlist = 8, m = 4, nbits = 6,
+      metric = Metric.Cosine)
+    val cos = recallOf(
+      cosIndex.search(q, SearchParams(k = 10, nprobe = 8, metric = Some(Metric.Cosine))),
+      Metric.Cosine)
+    val cosViaL2 = recallOf(
+      index.search(q, SearchParams(k = 10, nprobe = 8)), Metric.Cosine)
+    // same absolute bar as the L2 ADC-only test: random gaussians at dim 16
+    // concentrate cosine distances, so quantization noise caps recall
+    assert(cos >= 0.5, s"Cosine ADC recall@10 was $cos")
+    assert(cos >= cosViaL2, s"cosine tables ($cos) lost to L2-shaped pool ($cosViaL2)")
+  }
+
   test("static (batch) and distributed (join) PQ paths are bit-identical") {
     val qdf = queriesDF(queries)
     val params = SearchParams(k = 5, nprobe = 4)
     val key = (r: org.apache.spark.sql.Row) =>
       (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))
-    for (rerank <- Seq(0, 50)) {
+    for {
+      rerank <- Seq(0, 50)
+      metric <- Seq(None, Some(graft.Metric.InnerProduct), Some(graft.Metric.Cosine))
+    } {
+      val p = params.copy(metric = metric)
       val static = index.searchBatch(
-        queries.map { case (i, v) => (i, v) }.toArray, params, rerank)
+        queries.map { case (i, v) => (i, v) }.toArray, p, rerank)
         .collect().map(key).sortBy(x => (x._1, x._2))
-      val join = index.searchJoin(qdf, params, rerank)
+      val join = index.searchJoin(qdf, p, rerank)
         .collect().map(key).sortBy(x => (x._1, x._2))
-      assert(static === join, s"paths diverge at rerankK=$rerank")
+      assert(static === join, s"paths diverge at rerankK=$rerank metric=$metric")
     }
   }
 
