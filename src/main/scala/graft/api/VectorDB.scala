@@ -470,9 +470,31 @@ object VectorDB {
       col(vecCol).cast(ArrayType(FloatType)).as("vec"))
   }
 
-  /** F1 slice read (reference ArrowStorage::read_vectors offset/length,
-    * format/storage.cpp:142-180): a deterministic id-ordered window. */
+  /**
+   * F1 slice read (reference ArrowStorage::read_vectors offset/length,
+   * format/storage.cpp:142-180): a deterministic id-ordered window.
+   *
+   * Scale shape: when ids are DENSE (a contiguous range — the epoch
+   * invariant, and what the reference's row-offset read assumes), the
+   * window is equivalent to an id-range predicate, which lands in the
+   * parquet scan as PushedFilters + row-group stats pruning — the read
+   * touches only the row groups covering [min+offset, min+offset+length),
+   * never sorts the table, and survives a 100x corpus. Sparse ids fall
+   * back to the global-sort window (correct, but it scans the table; a
+   * caller with sparse ids is asking for a rank-window, which has no
+   * cheaper distributed shape). Density is decided by one min/max/count
+   * aggregate over the pruned single-column id scan.
+   */
   def readVectorSlice(
-      spark: SparkSession, path: String, offset: Int, length: Int): DataFrame =
-    readVectorParquet(spark, path).orderBy("id").offset(offset).limit(length)
+      spark: SparkSession, path: String, offset: Int, length: Int): DataFrame = {
+    val base = readVectorParquet(spark, path)
+    val r = base.agg(
+      min(col("id")).as("lo"), max(col("id")).as("hi"), count(lit(1)).as("n")).head()
+    val dense = r.getLong(2) > 0 && r.getLong(1) - r.getLong(0) + 1 == r.getLong(2)
+    if (dense) {
+      val lo = r.getLong(0) + offset
+      // the orderBy sorts only the <= `length` filtered rows, not the table
+      base.filter(col("id") >= lo && col("id") < lo + length.toLong).orderBy("id")
+    } else base.orderBy("id").offset(offset).limit(length)
+  }
 }

@@ -58,6 +58,46 @@ object Similarity {
     index.searchWhere(queries, SearchParams(k, nprobe, Some(metric)), Some(predicate))
 
   /**
+   * Filtered ANN with an adaptive-recall escape hatch. At nprobe < nlist a
+   * selective predicate whose matches live in unprobed lists silently
+   * costs recall — the standard filtered-ANN trade-off (the pruned scan
+   * can only rank what it reads). This wrapper runs the pruned pass, then
+   * reruns EXHAUSTIVELY (nprobe = nlist) exactly the queries that came
+   * back with fewer than k rows, replacing their results; satisfied
+   * queries keep their pruned (approximate) rows untouched.
+   *
+   * Cost model: one bounded driver action (per-qid result counts — at most
+   * one row per query) gates the retry; the happy path (every query
+   * satisfied) pays no second scan. The retry scan reads only the
+   * predicate's survivors, exhaustively — for a predicate selective enough
+   * to starve the probe, that is exactly the cheap scan. `queries` must be
+   * a deterministic plan (it is evaluated again for the retry).
+   */
+  def filteredAnnAdaptive(
+      index: IvfFlatIndex,
+      queries: DataFrame,
+      predicate: org.apache.spark.sql.Column,
+      k: Int,
+      nprobe: Int,
+      metric: Metric.Value = Metric.Cosine): DataFrame = {
+    val pruned = filteredAnn(index, queries, predicate, k, nprobe, metric)
+    if (nprobe >= index.nlist) return pruned
+    val cached = Dedup.persistOnce(pruned)
+    // zero-row queries are ABSENT from the result — left join from the
+    // query set to count shortfalls, not from the result
+    val counts = cached.groupBy("qid").agg(count(lit(1)).as("n"))
+    val short = queries.select("qid")
+      .join(counts, Seq("qid"), "left")
+      .filter(coalesce(col("n"), lit(0L)) < k)
+      .select("qid").collect().map(_.getLong(0)).toSeq
+    if (short.isEmpty) cached
+    else cached.filter(!col("qid").isInCollection(short))
+      .unionAll(index.searchWhere(
+        queries.filter(col("qid").isInCollection(short)),
+        SearchParams(k, index.nlist, Some(metric)), Some(predicate)))
+  }
+
+  /**
    * Cosine top-k self-join for corpus analytics (each vector's k nearest
    * others), IVF-blocked: candidates share an IVF list (multi-probe for
    * recall), so the shuffle is on list_id — never an all-pairs product.

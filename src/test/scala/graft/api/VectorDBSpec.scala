@@ -219,8 +219,26 @@ class VectorDBSpec extends SparkSpec {
   test("vector slice read returns a deterministic id-ordered window (F1)") {
     val slice = VectorDB.readVectorSlice(
       spark, "/root/testdata/sf0.001/embeddings.parquet", offset = 10, length = 5)
-      .collect()
-    assert(slice.map(_.getLong(0)).toSeq === Seq(10L, 11L, 12L, 13L, 14L))
+    assert(slice.collect().map(_.getLong(0)).toSeq === Seq(10L, 11L, 12L, 13L, 14L))
+    // dense ids (the epoch invariant): the window must reach the scan as a
+    // pushed id-range — row-group pruning, no sort of the table
+    val plan = slice.queryExecution.executedPlan.toString
+    // the range resolves through the id alias to the file's vec_id column
+    assert(plan.contains("GreaterThanOrEqual(vec_id,10)") && plan.contains("LessThan(vec_id,15)"),
+      s"slice window not pushed to the scan:\n$plan")
+    assert(!plan.contains("GlobalLimit"), s"dense path still rank-windowing:\n$plan")
+  }
+
+  test("slice read over sparse ids falls back to the rank window") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sparse").toString
+    // gap at id=3: ids 0,1,2,4,5 — offset 2, length 2 must give (2, 4)
+    Seq(0L, 1L, 2L, 4L, 5L).map(i => (i, Array(i.toFloat)))
+      .toDF("id", "vec").write.parquet(s"$tmp/v.parquet")
+    val got = VectorDB.readVectorSlice(spark, s"$tmp/v.parquet", 2, 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(2L, 4L))
   }
 
   test("searches race epoch swaps without failures (zero-downtime A6 contract)") {

@@ -159,6 +159,44 @@ class PipelineSpec extends SparkSpec {
     assert(topk(25) === topk(1 << 30), "split changed the self-join top-k")
   }
 
+  test("filtered ANN at pruned nprobe: adaptive widening restores starved queries") {
+    val s = spark
+    import s.implicits._
+    import graft.{Metric, SearchParams}
+    // list 0: 200 vectors near the origin, label 0; list 1: 20 vectors
+    // near (100,...), label 1 — a query at the origin with nprobe=1 probes
+    // ONLY list 0, so predicate label=1 starves the pruned pass entirely
+    val rnd = new scala.util.Random(7)
+    val near = (0 until 200).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat), 0))
+    val far = (1000 until 1020).map(i =>
+      (i.toLong, Array.fill(8)(100.0f + rnd.nextGaussian().toFloat), 1))
+    val corpus = (near ++ far).toDF("id", "vec", "label")
+    val cents = IvfFlatIndex.broadcastCentroids(spark,
+      Array(Array.fill(8)(0.0f), Array.fill(8)(100.0f)))
+    val index = new IvfFlatIndex(spark, IvfFlatIndex.assign(corpus, cents), cents, Metric.L2)
+    val queries = Seq((0L, Array.fill(8)(0.01f))).toDF("qid", "qvec")
+    val starved = Similarity.filteredAnn(index, queries, col("label") === 1,
+      k = 5, nprobe = 1, metric = Metric.L2)
+    assert(starved.count() === 0, "nprobe=1 should read no label=1 vectors")
+    val adaptive = Similarity.filteredAnnAdaptive(index, queries, col("label") === 1,
+      k = 5, nprobe = 1, metric = Metric.L2)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+    val exact = Similarity.filteredKnn(queries, corpus, col("label") === 1,
+      k = 5, metric = Metric.L2)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+    assert(adaptive.sortBy(x => (x._1, x._2)) === exact.sortBy(x => (x._1, x._2)),
+      "widened retry must equal the exact filtered top-k")
+    // a satisfied query keeps its pruned rows (no spurious rerun): label=0
+    // matches saturate k inside the probed list
+    val sat = Similarity.filteredAnnAdaptive(index, queries, col("label") === 0,
+      k = 5, nprobe = 1, metric = Metric.L2)
+    val satPruned = Similarity.filteredAnn(index, queries, col("label") === 0,
+      k = 5, nprobe = 1, metric = Metric.L2)
+    assert(sat.collect().map(_.toSeq).sortBy(_.toString) ===
+      satPruned.collect().map(_.toSeq).sortBy(_.toString))
+  }
+
   test("knn self-join returns k neighbors per vector with no self-matches") {
     val v = vectorsDF(randomVectors(100, 8))
     val cents = IvfFlatIndex.train(spark, v, nlist = 4)
