@@ -420,29 +420,42 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
    * F7 analog (ShardManager::compact, declared-only in the reference,
    * format/storage.h:91-173): rewrite an epoch's list partitions into
    * `filesPerList` files each — the cure for append-accumulated small
-   * files. The rewrite lands in a temp dir first, but the two-rename swap
-   * is NOT transactional: there is a brief window where the directory is
-   * absent, and in-flight scans of the old files can fail — run during a
-   * maintenance window or compact a non-active epoch and activate it
-   * (the epoch mechanism is the transactional path).
+   * files. TRANSACTIONAL, via the epoch mechanism itself: the compacted
+   * copy lands in a NEW epoch (same centroids, same vectors, fresh shard
+   * layout), and when the source epoch was active/serving the new one
+   * takes over through the standard atomic swap — in-flight scans keep
+   * reading the old epoch's files the whole time, and the source epoch
+   * stays on disk for rollback until [[cleanupOldEpochs]] reaps it.
+   * (The previous in-place two-rename swap had a window where the vectors
+   * directory was absent and running scans could fail.)
+   * Returns the new epoch id.
    */
-  def compactEpoch(name: String, epochId: String = "", filesPerList: Int = 1): Unit = {
+  def compactEpoch(name: String, epochId: String = "", filesPerList: Int = 1): String = {
     val em = epochManager(name)
     val id =
       if (epochId.nonEmpty) epochId
       else em.activeEpoch.getOrElse(throw new NotFoundException(s"No active epoch for index: $name"))
     if (!em.contains(id)) throw new NotFoundException(s"Epoch not found: $id")
-    val path = s"${em.epochPath(id)}/vectors"
-    val tmp = s"${em.epochPath(id)}/vectors_compacting"
-    IvfFlatIndex.writeEpoch(spark.read.parquet(path), tmp, filesPerList)
-    val p = java.nio.file.Paths.get(path)
-    val old = java.nio.file.Paths.get(path + "_old")
-    java.nio.file.Files.move(p, old)
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p)
-    org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+    val src = em.epochPath(id)
+    val newId = em.createEpoch()
+    val dst = em.epochPath(newId)
+    IvfFlatIndex.writeEpoch(spark.read.parquet(s"$src/vectors"), s"$dst/vectors", filesPerList)
+    writeCentroids(readCentroids(s"$src/centroids"), s"$dst/centroids")
+    val shardCounts = spark.read.parquet(s"$dst/vectors")
+      .groupBy("list_id").count().collect()
+      .map(r => ShardInfo(r.getInt(0), s"$dst/vectors/list_id=${r.getInt(0)}", r.getLong(1)))
+      .sortBy(_.listId)
+    Manifest.load(s"$src/manifest.json").copy(
+      epoch = newId,
+      createdAt = System.currentTimeMillis(),
+      numVectors = shardCounts.map(_.numVectors).sum,
+      shards = shardCounts.toSeq)
+      .save(s"$dst/manifest.json")
     stateLock(name).synchronized {
-      if (served.get(name).exists(_.epochId == id)) loadServed(name, id)
+      if (em.activeEpoch.contains(id)) em.activateEpoch(newId)
+      if (served.get(name).exists(_.epochId == id)) loadServed(name, newId)
     }
+    newId
   }
 
   def listEpochs(name: String): Seq[String] = epochManager(name).listEpochs

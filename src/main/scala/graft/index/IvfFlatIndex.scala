@@ -106,7 +106,25 @@ class IvfFlatIndex(
   def searchBatch(
       batch: Array[(Long, Array[Float])],
       params: SearchParams,
-      predicate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      predicate: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    searchBatchManaged(batch, params, predicate)._1
+
+  /**
+   * [[searchBatch]] plus a release handle for the call's broadcast state
+   * (the query map). Each batch search ships one broadcast; in a one-shot
+   * query that is garbage, but a long-lived serving loop accumulates one
+   * per micro-batch until the ContextCleaner happens to run — executor
+   * block managers fill with dead broadcast blocks. The serving loop
+   * ([[graft.streaming.StreamingSearch.serve]]) calls release() after the
+   * sink consumed the batch. Release DESTROYS the broadcast (unpersist
+   * would leave the driver-resident block alive — in local mode, i.e.
+   * every test and the bench, that frees nothing): the returned plan must
+   * not be executed again after release().
+   */
+  def searchBatchManaged(
+      batch: Array[(Long, Array[Float])],
+      params: SearchParams,
+      predicate: Option[org.apache.spark.sql.Column] = None): (DataFrame, () => Unit) = {
     val m = params.metric.getOrElse(metric)
     val nprobe = math.min(params.nprobe, nlist)
     val corpus = predicate.map(vectors.filter).getOrElse(vectors)
@@ -118,8 +136,9 @@ class IvfFlatIndex(
     // the batch is already on the driver — probe it here (parallel
     // chunks) instead of scheduling a one-partition Spark job
     val pairs = IvfFlatIndex.localProbe(batch, centroids.value, nprobe, m)
-    searchStaticPruned(corpus, pairs, spark.sparkContext.broadcast(qmap),
-      params.k, nprobe, m)
+    val bcQ = spark.sparkContext.broadcast(qmap)
+    (searchStaticPruned(corpus, pairs, bcQ, params.k, nprobe, m),
+      () => bcQ.destroy())
   }
 
   private def searchStaticPruned(

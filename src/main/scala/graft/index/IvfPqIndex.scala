@@ -77,7 +77,18 @@ class IvfPqIndex(
   def searchBatch(
       batch: Array[(Long, Array[Float])],
       params: SearchParams,
-      rerankK: Int = 0): DataFrame = {
+      rerankK: Int = 0): DataFrame =
+    searchBatchManaged(batch, params, rerankK)._1
+
+  /** [[searchBatch]] plus a release handle for the call's broadcasts (the
+    * per-query ADC tables — 32KB x batch at m=16/ks=256 — and the rerank
+    * query map). Same contract as [[IvfFlatIndex.searchBatchManaged]]:
+    * serving loops call release() after the sink consumed the batch;
+    * release destroys the broadcasts, so the plan must not run again. */
+  def searchBatchManaged(
+      batch: Array[(Long, Array[Float])],
+      params: SearchParams,
+      rerankK: Int = 0): (DataFrame, () => Unit) = {
     val nprobe = math.min(params.nprobe, nlist)
     val probeMetric = params.metric.getOrElse(Metric.L2)
     val tables = new java.util.HashMap[java.lang.Long, Array[Array[Double]]]()
@@ -101,7 +112,7 @@ class IvfPqIndex(
       .select("qid", "id", "dist")
     val preK = if (rerankK > 0) math.max(rerankK, params.k) else params.k
     val adcTop = TopKAggregator.topKPerQuery(cands, preK).select("qid", "id", "dist", "rank")
-    if (rerankK <= 0) adcTop
+    if (rerankK <= 0) (adcTop, () => bcT.destroy())
     else {
       val m = params.metric.getOrElse(Metric.L2)
       val bcQ = spark.sparkContext.broadcast(qmap)
@@ -116,7 +127,8 @@ class IvfPqIndex(
         .join(rerankSource, "id")
         .withColumn("dist", vector.distance_to_query(col("vec"), col("qid"), bcQ, m))
         .select("qid", "id", "dist")
-      TopKAggregator.topKPerQuery(exact, params.k).select("qid", "id", "dist", "rank")
+      (TopKAggregator.topKPerQuery(exact, params.k).select("qid", "id", "dist", "rank"),
+        () => { bcT.destroy(); bcQ.destroy() })
     }
   }
 

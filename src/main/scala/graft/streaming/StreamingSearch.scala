@@ -25,7 +25,11 @@ object StreamingSearch {
   /**
    * Start a serving loop: `queryStream` is a streaming DataFrame of
    * (qid LONG, qvec ARRAY<FLOAT>); each micro-batch is searched as one
-   * batch and handed to `sink` with the batch id.
+   * batch and handed to `sink` with the batch id. The per-batch broadcast
+   * state (query map) is released as soon as the sink returns — a serving
+   * loop runs for days, and without the release every micro-batch leaks
+   * one broadcast into the executors' block managers until a driver GC
+   * happens to trigger the ContextCleaner.
    */
   def serve(
       index: IvfFlatIndex,
@@ -43,10 +47,66 @@ object StreamingSearch {
         // on the serving hot loop
         IvfFlatIndex.snapshotQueries(batch).batch match {
           case Some(b) if b.isEmpty => // idle trigger: nothing to serve
-          case Some(b) => sink(index.searchBatch(b, params), batchId)
+          case Some(b) =>
+            val (res, release) = index.searchBatchManaged(b, params)
+            try sink(res, batchId) finally release()
           case None => // flood between triggers: stay fully distributed
             sink(index.searchWhere(batch, params, None, IvfFlatIndex.ForceJoin), batchId)
         }
       }
       .start()
+
+  /**
+   * Multi-profile coalescing dispatcher (A8 parity): ONE serving loop for
+   * several indices. `queryStream` rows are (index STRING, qid LONG,
+   * qvec ARRAY<FLOAT>); each micro-batch is grouped by index name and
+   * served as one batched call per index — the reference drains its queue
+   * grouped by index in a single loop (server/query_service.cpp:287-345)
+   * but then applies the FIRST request's params to everything ("Assuming
+   * uniform search params", :351-352); here params come from the registry
+   * entry, per index, so profiles never mix.
+   *
+   * A row naming an unregistered index fails the micro-batch (the
+   * streaming query surfaces the error) — dropping it silently would look
+   * like a lost request to the caller.
+   */
+  def serveMulti(
+      indices: Map[String, (IvfFlatIndex, SearchParams)],
+      queryStream: DataFrame,
+      checkpointPath: String,
+      triggerMs: Long = 100L)(
+      sink: (String, DataFrame, Long) => Unit): StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    queryStream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val named = batch.select(col("index"), col("qid"), col("qvec"))
+        // same bounded-snapshot contract as serve(): one limited collect
+        // answers emptiness, grouping, AND the serving input
+        val sample = named.limit(IvfFlatIndex.MaxStaticBatch + 1).collect()
+        if (sample.length > IvfFlatIndex.MaxStaticBatch) {
+          // flood: stay distributed, one join-pruned pass per index that
+          // actually has queued rows (cheap driver distinct on the names)
+          val present = named.select("index").distinct().collect().map(_.getString(0))
+          present.foreach { name =>
+            val (idx, params) = indices.getOrElse(name,
+              throw new IllegalArgumentException(s"unregistered index in stream: $name"))
+            sink(name,
+              idx.searchWhere(named.filter(col("index") === name).select("qid", "qvec"),
+                params, None, IvfFlatIndex.ForceJoin), batchId)
+          }
+        } else if (sample.nonEmpty) {
+          sample.groupBy(_.getString(0)).foreach { case (name, rows) =>
+            val (idx, params) = indices.getOrElse(name,
+              throw new IllegalArgumentException(s"unregistered index in stream: $name"))
+            val b = rows.map(r =>
+              (r.getLong(1), Option(r.getSeq[Float](2)).map(_.toArray).orNull))
+            val (res, release) = idx.searchBatchManaged(b, params)
+            try sink(name, res, batchId) finally release()
+          }
+        }
+      }
+      .start()
+  }
 }

@@ -200,17 +200,39 @@ class VectorDBSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))).sortBy(x => (x._1, x._2))
     val em = new graft.storage.EpochManager(
       db.dataPath + "/test_index/epochs")
-    val epoch = db.stats("test_index")("epoch").toString
-    def fileCount = {
+    val srcEpoch = db.stats("test_index")("epoch").toString
+    def fileCount(epoch: String) = {
       val dir = new java.io.File(s"${em.epochPath(epoch)}/vectors")
       def walk(f: java.io.File): Int =
         if (f.isDirectory) f.listFiles().map(walk).sum
         else if (f.getName.endsWith(".parquet")) 1 else 0
       walk(dir)
     }
-    val fragmented = fileCount
-    db.compactEpoch("test_index")
-    assert(fileCount < fragmented, s"compaction did not reduce $fragmented files")
+    val fragmented = fileCount(srcEpoch)
+    // transactional compaction: results land in a NEW epoch; searches keep
+    // running against the old files until the atomic swap, so hammer the
+    // serving path concurrently and require zero failures
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val searcher = Future {
+      while (!stop.get()) {
+        try assert(db.search("test_index", qs, topk = 5).count() > 0)
+        catch { case t: Throwable => errors.add(t); stop.set(true) }
+      }
+    }
+    val newEpoch =
+      try db.compactEpoch("test_index")
+      finally stop.set(true)
+    Await.result(searcher, scala.concurrent.duration.Duration.Inf)
+    assert(errors.isEmpty, s"search failed during compaction: ${errors.peek()}")
+    assert(newEpoch !== srcEpoch)
+    assert(db.stats("test_index")("epoch").toString === newEpoch) // serving swapped
+    assert(fileCount(newEpoch) < fragmented,
+      s"compaction did not reduce $fragmented files")
+    // the source epoch survives for rollback until cleanup reaps it
+    assert(db.listEpochs("test_index").contains(srcEpoch))
     val after = db.search("test_index", qs, topk = 5).collect()
       .map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))).sortBy(x => (x._1, x._2))
     assert(after === before)

@@ -45,6 +45,64 @@ class StreamingSearchSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("multi-profile dispatcher routes one stream to per-index batches with own params") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // disjoint id ranges make routing mistakes visible in the results
+    val corpusA = vectorsDF(randomVectors(200, 8))
+    val corpusB = vectorsDF(randomVectors(200, 8, seed = 99).map { case (i, v) => (i + 10000L, v) })
+    val idxA = IvfFlatIndex.build(spark, corpusA, nlist = 4)
+    val idxB = IvfFlatIndex.build(spark, corpusB, nlist = 4)
+    val mem = MemoryStream[(String, Long, Array[Float])]
+    val results = new ConcurrentLinkedQueue[(String, Row)]()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-serve-multi").toString
+    val q = StreamingSearch.serveMulti(
+      Map("a" -> (idxA, SearchParams(k = 3, nprobe = 4)),
+        "b" -> (idxB, SearchParams(k = 2, nprobe = 4))),
+      mem.toDF().toDF("index", "qid", "qvec"),
+      checkpointPath = s"$tmp/ckpt",
+      triggerMs = 50L) { (name, res, _) =>
+      res.collect().foreach(r => results.add((name, r)))
+    }
+    try {
+      val qs = randomVectors(4, 8, seed = 5)
+      // interleave both indices in one stream, including the same qid twice
+      mem.addData(
+        ("a", qs(0)._1, qs(0)._2), ("b", qs(0)._1, qs(0)._2),
+        ("a", qs(1)._1, qs(1)._2), ("b", qs(2)._1, qs(2)._2))
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val rows = results.asScala.toSeq
+      val byIndex = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      // per-profile k is honored and every hit comes from the right corpus
+      assert(byIndex("a").groupBy(_.getLong(0)).values.forall(_.size === 3))
+      assert(byIndex("b").groupBy(_.getLong(0)).values.forall(_.size === 2))
+      assert(byIndex("a").forall(_.getLong(1) < 10000L))
+      assert(byIndex("b").forall(_.getLong(1) >= 10000L))
+      assert(byIndex("a").map(_.getLong(0)).toSet === Set(qs(0)._1, qs(1)._1))
+      assert(byIndex("b").map(_.getLong(0)).toSet === Set(qs(0)._1, qs(2)._1))
+    } finally q.stop()
+  }
+
+  test("managed batch search releases its broadcast blocks after consumption") {
+    val index = IvfFlatIndex.build(spark, vectorsDF(randomVectors(300, 8)), nlist = 4)
+    def broadcastBlocks: Int =
+      org.apache.spark.graftenv.broadcastBlockCount(spark.sparkContext)
+    val batch = randomVectors(8, 8, seed = 11).map { case (i, v) => (i, v) }.toArray
+    val (res, release) = index.searchBatchManaged(batch, SearchParams(k = 2, nprobe = 4))
+    assert(res.count() > 0)
+    val during = broadcastBlocks
+    release()
+    // unpersist is async — poll until the query-map blocks drain
+    val deadline = System.nanoTime() + 10_000_000_000L
+    var now = broadcastBlocks
+    while (now >= during && System.nanoTime() < deadline) {
+      Thread.sleep(100); now = broadcastBlocks
+    }
+    assert(now < during, s"broadcast blocks did not drop after release ($during -> $now)")
+  }
+
   test("a flood micro-batch (> MaxStaticBatch) takes the distributed path, same results") {
     val s = spark
     import s.implicits._
