@@ -30,18 +30,35 @@ object Lloyd {
   val Iterations = 10
   val DefaultMaxTrain = 100000
 
-  /** Deterministic driver-side training sample: lowest `maxTrain` ids. */
+  /** Driver-memory budget for the training sample's float payload (Row
+    * decode overhead adds a transient ~2-3x on top): 256 MB caps a
+    * dim=2048 sample at ~32k rows instead of collecting maxTrain x dim x
+    * 4 B (~800 MB at 100k x 2048D) into the driver — same spirit as the
+    * broadcast-size bound in SURVEY §7.4.7. At the reference's canonical
+    * dim=128 the cap (524k rows) never binds. */
+  val MaxTrainBytes: Long = 256L << 20
+
+  /** Deterministic driver-side training sample: lowest `maxTrain` ids,
+    * additionally capped so the sample fits `maxBytes` of float payload
+    * (one limit(1) probe reads the dimension first). */
   def trainSample(
       vectors: DataFrame,
       idCol: String = "id",
       vecCol: String = "vec",
-      maxTrain: Int = DefaultMaxTrain): Array[Array[Float]] =
-    vectors
-      .select(col(idCol), col(vecCol))
+      maxTrain: Int = DefaultMaxTrain,
+      maxBytes: Long = MaxTrainBytes): Array[Array[Float]] = {
+    val src = vectors.select(col(idCol), col(vecCol))
+    val dim = src.limit(1).collect()
+      .headOption.map(_.getSeq[Float](1).length).getOrElse(0)
+    val capped =
+      if (dim <= 0) maxTrain
+      else math.min(maxTrain.toLong, math.max(1L, maxBytes / (dim * 4L))).toInt
+    src
       .orderBy(col(idCol))
-      .limit(maxTrain)
+      .limit(capped)
       .collect()
       .map(_.getSeq[Float](1).toArray)
+  }
 
   /** k-means++ D^2-weighted seeding, seed 42 (ivf_flat_index.cpp:52-105). */
   def kmeansPlusPlusInit(

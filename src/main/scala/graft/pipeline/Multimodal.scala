@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
  * Multimodal-column plumbing: media (image/audio/video) as opaque BINARY
  * columns with typed metadata, processed in partition-local batches. The
  * Spark side — schema, partitioning, batch iteration, feature output — is
- * real and tested; the actual media DECODE is a clearly marked
- * deterministic STUB (no image/audio codecs in this environment). Swapping
- * `decodeStub` for a real decoder (JNI/ONNX/etc.) changes nothing about
- * the distributed shape.
+ * real and tested. Audio (RIFF/PCM16 WAV) and image (24bpp BMP) decode
+ * are REAL pure-JVM codecs; only video remains behind the clearly marked
+ * deterministic `decodeStub` (no video codecs in this environment).
+ * Swapping the stub for a real decoder (JNI/ONNX/etc.) changes nothing
+ * about the distributed shape.
  */
 object Multimodal {
 
@@ -201,6 +202,156 @@ object Multimodal {
       sum_abs: Long,
       energy: Long,
       mean_amp: Double)
+
+  // --- real BMP codec (pure JVM, BI_RGB 24bpp, bottom-up) ------------------
+  //
+  // Second genuinely decoded media type (the WAV pattern applied to
+  // images): synthesize 24bpp BMP containers, parse them back (file +
+  // DIB header walk, stride/padding, bottom-up row order), and extract
+  // exact-integer pixel features the DuckDB oracle can recompute.
+
+  /** Fixed raster width for synthesized corpora: 32 px x 3 B = 96 B rows,
+    * already 4-byte aligned, so the oracle needs no stride arithmetic. */
+  val BmpWidth = 32
+
+  /** Decoded image: row-major TOP-DOWN gray values (0..255). */
+  case class BmpImage(width: Int, height: Int, gray: Array[Int])
+
+  /** Canonical 54-byte-header BMP writer: BI_RGB, 24bpp, bottom-up rows,
+    * 4-byte row stride, equal RGB channels from the gray raster. */
+  def encodeBmp(width: Int, height: Int, gray: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && gray.length == width * height,
+      s"raster mismatch: $width x $height vs ${gray.length} pixels")
+    val stride = ((width * 3 + 3) / 4) * 4
+    val dataBytes = stride * height
+    val buf = java.nio.ByteBuffer.allocate(54 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + dataBytes).putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24)
+      .putInt(0)                     // BI_RGB
+      .putInt(dataBytes).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var row = height - 1             // bottom-up storage order
+    while (row >= 0) {
+      var x = 0
+      while (x < width) {
+        val g = (gray(row * width + x) & 0xff).toByte
+        buf.put(g).put(g).put(g)     // B, G, R
+        x += 1
+      }
+      var pad = stride - width * 3
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      row -= 1
+    }
+    buf.array()
+  }
+
+  /** Real BMP parser: validates magic + DIB header, honors the pixel-data
+    * offset, row stride, and bottom-up vs top-down (negative height)
+    * order; reads the blue channel as gray (the encoder writes equal
+    * channels). Throws on malformed payloads. */
+  def decodeBmp(payload: Array[Byte]): BmpImage = {
+    require(payload.length >= 54, s"BMP too short: ${payload.length} bytes")
+    require(payload(0) == 'B'.toByte && payload(1) == 'M'.toByte, "not a BMP file")
+    val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dataOffset = buf.getInt(10)
+    val dibSize = buf.getInt(14)
+    require(dibSize >= 40, s"unsupported DIB header: $dibSize bytes")
+    val width = buf.getInt(18)
+    val rawHeight = buf.getInt(22)
+    val planes = buf.getShort(26)
+    val bpp = buf.getShort(28)
+    val compression = buf.getInt(30)
+    require(planes == 1 && bpp == 24 && compression == 0,
+      s"unsupported BMP: planes=$planes bpp=$bpp compression=$compression")
+    val bottomUp = rawHeight > 0
+    val height = math.abs(rawHeight)
+    require(width > 0 && height > 0, s"bad dimensions: $width x $rawHeight")
+    val stride = ((width * 3 + 3) / 4) * 4
+    // hostile/truncated sizes must fail the bounds check, not read garbage
+    require(dataOffset >= 54 && stride.toLong * height + dataOffset <= payload.length,
+      s"pixel data out of bounds: offset=$dataOffset stride=$stride height=$height")
+    val gray = new Array[Int](width * height)
+    var r = 0
+    while (r < height) {
+      val y = if (bottomUp) height - 1 - r else r
+      var x = 0
+      while (x < width) {
+        gray(y * width + x) = payload(dataOffset + r * stride + x * 3) & 0xff
+        x += 1
+      }
+      r += 1
+    }
+    BmpImage(width, height, gray)
+  }
+
+  /** Deterministic text -> gray raster at [[BmpWidth]]: one pixel per
+    * codepoint (`(ascii(c)*71+13) % 256`, oracle-replayable), zero-padded
+    * to fill the last row; empty text yields one all-zero row. */
+  def textToRaster(text: String): (Int, Array[Int]) = {
+    val cps = text.codePoints().toArray
+    val height = math.max(1, (cps.length + BmpWidth - 1) / BmpWidth)
+    val gray = new Array[Int](BmpWidth * height)
+    var i = 0
+    while (i < cps.length) {
+      gray(i) = ((cps(i).toLong * 71 + 13) % 256).toInt
+      i += 1
+    }
+    (height, gray)
+  }
+
+  /** Synthesize a real BMP media table from the documents corpus. */
+  def bmpFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select("doc_id", "text").as[(Long, String)].map { case (id, text) =>
+      val (h, gray) = textToRaster(text)
+      MediaRow(id, "image/bmp", encodeBmp(BmpWidth, h, gray))
+    }
+  }
+
+  /** Image features, all exact integers so the oracle hash-matches. */
+  case class BmpFeatures(
+      doc_id: Long,
+      media_type: String,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      n_pixels: Int,
+      sum_gray: Long,
+      max_gray: Int,
+      nonzero_pixels: Int)
+
+  /** Partition-parallel REAL image decode, mirroring
+    * [[extractWavFeatures]]: parse each BMP container, compute features
+    * from the recovered raster. */
+  def extractBmpFeatures(media: Dataset[MediaRow]): Dataset[BmpFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = decodeBmp(r.payload)
+        var sum = 0L; var max = 0; var nz = 0
+        var i = 0
+        while (i < img.gray.length) {
+          val g = img.gray(i)
+          sum += g
+          if (g > max) max = g
+          if (g != 0) nz += 1
+          i += 1
+        }
+        BmpFeatures(
+          doc_id = r.doc_id,
+          media_type = r.media_type,
+          n_bytes = r.payload.length,
+          width = img.width,
+          height = img.height,
+          n_pixels = img.width * img.height,
+          sum_gray = sum,
+          max_gray = max,
+          nonzero_pixels = nz)
+      }
+    }
+  }
 
   /** Partition-parallel REAL decode: parses each WAV container and computes
     * features from the recovered samples. Same narrow mapPartitions shape

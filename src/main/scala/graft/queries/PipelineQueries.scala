@@ -155,6 +155,16 @@ object PipelineQueries {
       .toDF()
       .orderBy("doc_id")
 
+  /** REAL image decode (the WAV pattern for BMP): synthesize 24bpp BMP
+    * containers from the corpus, parse them back (header walk, stride,
+    * bottom-up rows), and emit exact-integer raster features the oracle
+    * recomputes from the text directly. */
+  private def multimodalBmp(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractBmpFeatures(
+      Multimodal.bmpFromDocuments(spark, docs(spark, dir)))
+      .toDF()
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -171,6 +181,7 @@ object PipelineQueries {
     "neardup_embeddings" -> (neardupEmbeddings _),
     "knn_self_join" -> (knnSelfJoin _),
     "multimodal_features" -> (multimodalFeatures _),
+    "multimodal_bmp" -> (multimodalBmp _),
   )
 
   private val sqlCosineDist: String =
@@ -372,6 +383,27 @@ object PipelineQueries {
         |  CAST(COALESCE(list_sum(list_transform(samples, x -> x * x)), 0) AS BIGINT) AS energy,
         |  CASE WHEN n_samples = 0 THEN 0.0
         |       ELSE CAST(CAST(list_sum(samples) AS BIGINT) AS DOUBLE) / n_samples END AS mean_amp
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // one gray pixel per codepoint at fixed width 32 (96 B rows, already
+    // 4-byte aligned -> no stride arithmetic), zero-padded last row;
+    // decode-then-aggregate == direct SQL aggregate over the text
+    "multimodal_bmp" ->
+      """WITH s AS (SELECT doc_id,
+        |    list_transform(list_filter(string_split_regex(text, ''), c -> c <> ''),
+        |      c -> (CAST(ascii(c) AS BIGINT) * 71 + 13) % 256) AS px
+        |  FROM documents),
+        |f AS (SELECT doc_id, px, len(px) AS n,
+        |    CAST(greatest(1, CAST(ceil(CAST(len(px) AS DOUBLE) / 32) AS BIGINT)) AS INT) AS height
+        |  FROM s)
+        |SELECT doc_id,
+        |  'image/bmp' AS media_type,
+        |  CAST(54 + 96 * height AS INT) AS n_bytes,
+        |  CAST(32 AS INT) AS width,
+        |  height,
+        |  CAST(32 * height AS INT) AS n_pixels,
+        |  CAST(COALESCE(list_sum(px), 0) AS BIGINT) AS sum_gray,
+        |  CAST(COALESCE(list_max(px), 0) AS INT) AS max_gray,
+        |  CAST(len(list_filter(px, x -> x <> 0)) AS INT) AS nonzero_pixels
         |FROM f ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       s"""SELECT doc_id, 'text/plain' AS media_type,

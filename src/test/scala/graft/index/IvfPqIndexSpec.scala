@@ -157,6 +157,17 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(back.map(_.map(_.toSeq).toSeq).toSeq === books.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
+  test("trainSample caps rows by the driver byte budget, keeping the id-prefix") {
+    val v = vectorsDF(data) // dim 16 -> 64 B float payload per row
+    val capped = Lloyd.trainSample(v, maxTrain = 1000, maxBytes = 640) // 10 rows
+    assert(capped.length === 10)
+    val full = Lloyd.trainSample(v, maxTrain = 1000)
+    assert(full.length === 1000) // default 256 MB budget never binds here
+    // the cap keeps the deterministic lowest-id prefix, so training stays
+    // reproducible — just on fewer rows
+    assert(capped.map(_.toSeq).toSeq === full.take(10).map(_.toSeq).toSeq)
+  }
+
   test("nbits bounds are enforced") {
     val sample = data.take(100).map(_._2).toArray
     intercept[IllegalArgumentException](IvfPqIndex.trainCodebooks(sample, m = 4, nbits = 9))

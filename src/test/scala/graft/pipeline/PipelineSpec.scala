@@ -243,6 +243,40 @@ class PipelineSpec extends SparkSpec {
     assert(f1.find(_.doc_id == 6L).get.byte_entropy === 0.0)
   }
 
+  test("BMP codec: roundtrip across strides, malformed rejection, corpus features") {
+    val rnd = new scala.util.Random(21)
+    // widths 3 and 5 force row padding (9->12, 15->16 B); 4 is stride-free
+    for (w <- Seq(1, 3, 4, 5, 32); h <- Seq(1, 2, 7)) {
+      val gray = Array.fill(w * h)(rnd.nextInt(256))
+      val img = Multimodal.decodeBmp(Multimodal.encodeBmp(w, h, gray))
+      assert((img.width, img.height) === ((w, h)))
+      assert(img.gray.toSeq === gray.toSeq, s"roundtrip broke at ${w}x$h")
+    }
+    // top-down variant (negative height) decodes to the same raster
+    val gray = Array.tabulate(8)(i => i * 30)
+    val bottomUp = Multimodal.encodeBmp(4, 2, gray)
+    val topDown = bottomUp.clone()
+    val bb = java.nio.ByteBuffer.wrap(topDown).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -2) // height = -2 -> rows stored top-down
+    // stored rows are bottom-up; flagging top-down must flip the raster
+    val flipped = Multimodal.decodeBmp(topDown).gray.toSeq
+    assert(flipped === (gray.drop(4) ++ gray.take(4)).toSeq)
+    // malformed payloads fail loudly, never read garbage
+    intercept[IllegalArgumentException](Multimodal.decodeBmp(Array[Byte](1, 2, 3)))
+    intercept[IllegalArgumentException](
+      Multimodal.decodeBmp(bottomUp.take(bottomUp.length - 5))) // truncated pixels
+    val badMagic = bottomUp.clone(); badMagic(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.decodeBmp(badMagic))
+    // corpus features: empty text -> one zero row; decode matches direct text math
+    val f = Multimodal.extractBmpFeatures(Multimodal.bmpFromDocuments(spark, docs))
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(f(6L).height === 1 && f(6L).sum_gray === 0L && f(6L).nonzero_pixels === 0)
+    val text0 = docs.filter(col("doc_id") === 0).head().getString(1)
+    val expected = text0.codePoints().toArray.map(c => (c.toLong * 71 + 13) % 256)
+    assert(f(0L).sum_gray === expected.sum)
+    assert(f(0L).n_pixels === 32 * ((expected.length + 31) / 32))
+  }
+
   test("dropNearDuplicates keeps one representative per duplicate chain") {
     val pairs = Dedup.ngramJaccardExact(docs, ngram = 3, threshold = 0.5)
     val kept = Dedup.dropNearDuplicates(docs, pairs)
