@@ -164,8 +164,16 @@ class IvfFlatIndex(
       corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int, m: Metric.Value): DataFrame = {
     val probed = queries.withColumn("list_id",
       explode(vector.probe_lists(col("qvec"), centroids, nprobe, m)))
+    // SIZE-GATED broadcast: this path exists precisely because the batch is
+    // too big to snapshot, so an unconditional broadcast(probed) — queries x
+    // nprobe rows each carrying a full qvec — is a driver/8 GB-limit killer
+    // at 1M-query floods. Below the gate the hint keeps the corpus
+    // unshuffled; above it a plain equi-join lets AQE pick shuffle-hash +
+    // skew-join (and re-promote to broadcast if the runtime size allows).
+    val hinted =
+      if (IvfFlatIndex.fitsBroadcastGate(queries, nprobe)) broadcast(probed) else probed
     val candidates = corpus
-      .join(broadcast(probed), "list_id")
+      .join(hinted, "list_id")
       .withColumn("dist", vector.distance(col("qvec"), col("vec"), m))
       .select("qid", "id", "dist")
     // typed bounded-buffer top-k: ~40% faster than the Window path at
@@ -194,6 +202,32 @@ object IvfFlatIndex {
     * serving batches cap at 64, server/query_service.h:25; 1024 x 2048D
     * worst case is ~8 MB of driver metadata). */
   val MaxStaticBatch = 1024
+
+  /** Conf key bounding the join-path broadcast hint, in bytes of estimated
+    * probed-side size (query-plan stats x nprobe). Above the gate the
+    * probed side goes through a plain equi-join instead of an explicit
+    * broadcast (which would bypass autoBroadcastJoinThreshold entirely). */
+  val BroadcastGateKey = "spark.graft.broadcast.gateBytes"
+
+  /** Default gate: 256 MB — far below Spark's 8 GB broadcast hard limit
+    * and any sane driver heap, far above every coalesced serving batch
+    * (a 10k x 768D probed side at nprobe 8 is ~250 MB). */
+  val DefaultBroadcastGateBytes: Long = 256L << 20
+
+  /**
+   * Should the join path's probed side carry a broadcast hint? Decided
+   * from Catalyst's plan-stats estimate (driver-only, no job): the query
+   * plan's sizeInBytes x nprobe approximates the exploded probe rows.
+   * Unknown-size sources (foreachBatch LogicalRDDs, streams) estimate to
+   * defaultSizeInBytes = huge -> no hint, which is exactly the safe
+   * default for a flood; AQE can still re-promote to broadcast at runtime
+   * once the true size is known — and unlike the hint, AQE validates it.
+   */
+  def fitsBroadcastGate(queries: DataFrame, nprobe: Int): Boolean = {
+    val gate = queries.sparkSession.conf
+      .get(BroadcastGateKey, DefaultBroadcastGateBytes.toString).toLong
+    queries.queryExecution.optimizedPlan.stats.sizeInBytes * nprobe <= BigInt(gate)
+  }
 
   /** (qid, qvec) row decode shared by every snapshot site; a missing qvec
     * stays null so callers choose their own error contract. */
