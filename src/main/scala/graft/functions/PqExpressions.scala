@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshims
@@ -67,16 +67,20 @@ object PqKernels {
   def adcTableRaw(
       q: Array[Float],
       codebooks: Array[Array[Array[Float]]],
-      metric: Int = VectorKernels.METRIC_L2): Array[Array[Double]] = {
-    val m = codebooks.length
-    val rows = new Array[Array[Double]](m)
-    val cosine = metric == VectorKernels.METRIC_COSINE
-    val dot = cosine || metric == VectorKernels.METRIC_IP
-    // cosine: normalize the query once, in doubles (codewords are already
-    // float-rounded normalized components; the query stays full-precision,
-    // exactly like the flat metric's double accumulation)
+      metric: Int = VectorKernels.METRIC_L2): Array[Array[Double]] =
+    adcTableFromPrepped(prepQuery(q, metric), codebooks, metric)
+
+  /**
+   * Query prep shared by the table and direct ADC paths: a doubles copy,
+   * L2-normalized for cosine (1/√(‖q‖²+1e-8), the D4 epsilon). Codewords
+   * are already float-rounded normalized components; the query stays
+   * full-precision, exactly like the flat metric's double accumulation.
+   * One definition so the table path and [[adcDistanceDirect]] are
+   * bit-identical by construction.
+   */
+  def prepQuery(q: Array[Float], metric: Int): Array[Double] = {
     val qd = new Array[Double](q.length)
-    if (cosine) {
+    if (metric == VectorKernels.METRIC_COSINE) {
       var s = 0.0
       var i = 0
       while (i < q.length) { val x = q(i).toDouble; s += x * x; i += 1 }
@@ -87,6 +91,18 @@ object PqKernels {
       var i = 0
       while (i < q.length) { qd(i) = q(i).toDouble; i += 1 }
     }
+    qd
+  }
+
+  /** [[adcTableRaw]] over an already-prepped query (see [[prepQuery]]). */
+  def adcTableFromPrepped(
+      qd: Array[Double],
+      codebooks: Array[Array[Array[Float]]],
+      metric: Int): Array[Array[Double]] = {
+    val m = codebooks.length
+    val rows = new Array[Array[Double]](m)
+    val cosine = metric == VectorKernels.METRIC_COSINE
+    val dot = cosine || metric == VectorKernels.METRIC_IP
     var s = 0
     while (s < m) {
       val cb = codebooks(s)
@@ -154,6 +170,60 @@ object PqKernels {
     d
   }
 
+  /** Lookup-sum over a raw (non-Catalyst) table — same accumulation order
+    * as [[adcDistance]], for the streaming scorer's table mode. */
+  def adcDistanceRaw(table: Array[Array[Double]], codes: ArrayData): Double = {
+    var d = 0.0
+    val m = codes.numElements()
+    var i = 0
+    while (i < m) {
+      d += table(i)(codes.getByte(i) & 0xff)
+      i += 1
+    }
+    d
+  }
+
+  /**
+   * Direct per-candidate ADC distance from a prepped query, without a
+   * table: per subspace, score ONLY the codeword the code byte names.
+   * O(dim) per candidate instead of a 16 KB-per-query table — the join
+   * path's above-gate fallback. Bit-identical to the lookup-sum over
+   * [[adcTableFromPrepped]]'s rows: same per-subspace inner loop, same
+   * ascending-subspace accumulation order.
+   */
+  def adcDistanceDirect(
+      qd: Array[Double],
+      codebooks: Array[Array[Array[Float]]],
+      metric: Int,
+      codes: ArrayData): Double = {
+    val m = codebooks.length
+    val cosine = metric == VectorKernels.METRIC_COSINE
+    val dot = cosine || metric == VectorKernels.METRIC_IP
+    var total = 0.0
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val dsub = cb(0).length
+      val off = s * dsub
+      val cw = cb(codes.getByte(s) & 0xff)
+      var d = 0.0
+      var i = 0
+      if (dot) {
+        while (i < dsub) { d += qd(off + i) * cw(i).toDouble; i += 1 }
+        total += (if (cosine && s == 0) 1.0 + -d else -d)
+      } else {
+        while (i < dsub) {
+          val diff = qd(off + i) - cw(i).toDouble
+          d += diff * diff
+          i += 1
+        }
+        total += d
+      }
+      s += 1
+    }
+    total
+  }
+
   /** Decode a PQ code back to its codeword concatenation (for tests). */
   def decode(code: Array[Byte], codebooks: Array[Array[Array[Float]]]): Array[Float] = {
     val m = codebooks.length
@@ -165,6 +235,59 @@ object PqKernels {
       s += 1
     }
     out
+  }
+}
+
+object AdcStreamScorer {
+  /** Rows of one query seen consecutively before the scorer builds the
+    * full m x ks table: build costs ~ks x dim madds, direct rows cost dim
+    * each, so the table pays for itself after ~ks rows — 32 keeps the
+    * wasted prefix small while still capturing long per-(qid, list) runs. */
+  val DefaultBuildAfter = 32
+}
+
+/**
+ * Per-task streaming ADC scorer for the distributed join path. Candidate
+ * rows arrive in whatever order the join produces; the scorer adapts:
+ *
+ *  - qid-clustered runs (probed side streamed through the join — each
+ *    probed row emits all its list's codes consecutively): after
+ *    `buildAfter` rows of one query it builds that query's ADC table once
+ *    and the rest of the run is m lookups per candidate — full ADC speed.
+ *  - adversarial order (qids alternating row to row): it never builds a
+ *    table and scores each candidate directly at O(dim) — the flat-scan
+ *    cost, never the O(ks x dim) table-per-row catastrophe.
+ *
+ * Either mode produces bit-identical distances (both derive from the same
+ * [[PqKernels.prepQuery]] output and the same per-subspace arithmetic).
+ * State is per-instance; instances live one-per-task (deserialized plan
+ * copies / per-partition codegen instances), never shared across threads.
+ */
+final class AdcStreamScorer(
+    codebooks: Array[Array[Array[Float]]],
+    metric: Int,
+    buildAfter: Int) extends Serializable {
+
+  def this(codebooks: Array[Array[Array[Float]]], metric: Int) =
+    this(codebooks, metric, AdcStreamScorer.DefaultBuildAfter)
+
+  private var lastQid = 0L
+  private var qd: Array[Double] = null
+  private var table: Array[Array[Double]] = null
+  private var run = 0
+
+  def score(qid: Long, qvec: ArrayData, codes: ArrayData): Double = {
+    if (qd == null || qid != lastQid) {
+      lastQid = qid
+      qd = PqKernels.prepQuery(qvec.toFloatArray(), metric)
+      table = null
+      run = 0
+    }
+    run += 1
+    if (table == null && run >= buildAfter)
+      table = PqKernels.adcTableFromPrepped(qd, codebooks, metric)
+    if (table != null) PqKernels.adcDistanceRaw(table, codes)
+    else PqKernels.adcDistanceDirect(qd, codebooks, metric, codes)
   }
 }
 
@@ -276,6 +399,53 @@ case class PqAdcDistanceToQuery(
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Join-path ADC distance fused with per-task query prep: scores a
+ * candidate's codes against the row's (qid, qvec) through an
+ * [[AdcStreamScorer]], so probed rows carry the dim x 4 B query vector —
+ * never a 16 KB m x ks table — across the join, and no per-row table is
+ * ever broadcast or shuffled. See the scorer for the adaptive
+ * table-vs-direct policy and the bit-exactness argument.
+ */
+case class PqAdcDistanceFused(
+    first: Expression, // qid LONG
+    second: Expression, // qvec ARRAY<FLOAT>
+    third: Expression, // codes ARRAY<BYTE>
+    codebooks: Broadcast[Array[Array[Array[Float]]]],
+    metric: graft.Metric.Value)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftshims.AbstractDataType] =
+    Seq(LongType, ArrayType(FloatType), ArrayType(ByteType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc_distance_fused"
+
+  private val metricId = metric.id
+
+  // one scorer per deserialized plan copy = per task (interpreted path)
+  @transient private lazy val scorer = new AdcStreamScorer(codebooks.value, metricId)
+
+  override def nullSafeEval(qid: Any, qvec: Any, codes: Any): Any =
+    scorer.score(qid.asInstanceOf[Long],
+      qvec.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bc = ctx.addReferenceObj("pqCodebooks", codebooks,
+      classOf[Broadcast[Array[Array[Array[Float]]]]].getName)
+    // per-generated-instance scorer = per partition (codegen classes are
+    // instantiated once per task); raw-type cast for Janino
+    val scorer = ctx.addMutableState("graft.functions.AdcStreamScorer", "adcScorer",
+      v => s"$v = new graft.functions.AdcStreamScorer((float[][][]) $bc.value(), $metricId);")
+    nullSafeCodeGen(ctx, ev, (q, v, c) =>
+      s"${ev.value} = $scorer.score($q, $v, $c);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): PqAdcDistanceFused =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object pq {
   private def col(e: Expression): Column = graftshims.column(e)
   private def ex(c: Column): Expression = graftshims.expression(c)
@@ -289,6 +459,11 @@ object pq {
 
   def pq_adc_distance(table: Column, codes: Column): Column =
     col(PqAdcDistance(ex(table), ex(codes)))
+
+  def pq_adc_distance_fused(qid: Column, qvec: Column, codes: Column,
+      codebooks: Broadcast[Array[Array[Array[Float]]]],
+      metric: graft.Metric.Value = graft.Metric.L2): Column =
+    col(PqAdcDistanceFused(ex(qid), ex(qvec), ex(codes), codebooks, metric))
 
   def pq_adc_distance_to_query(
       codes: Column,

@@ -132,7 +132,20 @@ class IvfPqIndex(
     }
   }
 
-  /** Fully-distributed fallback for unbounded query sets. */
+  /**
+   * Fully-distributed fallback for unbounded query sets. This path is
+   * selected precisely BECAUSE the batch exceeds
+   * [[IvfFlatIndex.MaxStaticBatch]], so nothing here may assume the query
+   * set is small: probed rows carry only (qid, qvec, list_id) — the ADC
+   * table (16 KB at m=8/ks=256, vs a 512 B qvec at 128D) is never
+   * materialized per row; [[graft.functions.AdcStreamScorer]] derives it
+   * per task from the broadcast codebooks. Both joins that touch the query
+   * set are size-gated through [[IvfFlatIndex.fitsBroadcastGate]]: below
+   * the gate a broadcast hint keeps the codes/raw scans unshuffled, above
+   * it a plain equi-join lets AQE pick shuffle-hash + skew-join (and
+   * re-promote to a VALIDATED broadcast at runtime) — a 1M-query flood
+   * never ships through an unconditional driver-side broadcast.
+   */
   private[index] def searchJoin(
       queries: DataFrame,
       params: SearchParams,
@@ -140,13 +153,15 @@ class IvfPqIndex(
     val nprobe = math.min(params.nprobe, nlist)
     val probeMetric = params.metric.getOrElse(Metric.L2)
     val probed = queries
-      .withColumn("adc", pq.pq_adc_table(col("qvec"), codebooks, probeMetric))
       .withColumn("list_id",
         explode(vector.probe_lists(col("qvec"), centroids, nprobe, probeMetric)))
-      .select("qid", "adc", "list_id")
+      .select("qid", "qvec", "list_id")
+    val hinted =
+      if (IvfFlatIndex.fitsBroadcastGate(queries, nprobe)) broadcast(probed) else probed
     val cands = codes
-      .join(broadcast(probed), "list_id")
-      .withColumn("dist", pq.pq_adc_distance(col("adc"), col("codes")))
+      .join(hinted, "list_id")
+      .withColumn("dist",
+        pq.pq_adc_distance_fused(col("qid"), col("qvec"), col("codes"), codebooks, probeMetric))
       .select("qid", "id", "dist")
     val preK = if (rerankK > 0) math.max(rerankK, params.k) else params.k
     // bounded-buffer top-k: only nQueries x preK rows cross the shuffle —
@@ -155,9 +170,12 @@ class IvfPqIndex(
     if (rerankK <= 0) adcTop
     else {
       val m = params.metric.getOrElse(Metric.L2)
+      val qSide = queries.select("qid", "qvec")
+      val qHinted =
+        if (IvfFlatIndex.fitsBroadcastGate(queries, 1)) broadcast(qSide) else qSide
       val exact = adcTop
         .join(rawVectors, "id")
-        .join(broadcast(queries), "qid")
+        .join(qHinted, "qid")
         .withColumn("dist", vector.distance(col("qvec"), col("vec"), m))
         .select("qid", "id", "dist")
       TopKAggregator.topKPerQuery(exact, params.k).select("qid", "id", "dist", "rank")
