@@ -295,39 +295,128 @@ object VectorQueries {
 
   /**
    * The reference's canonical bench shape (bench/benchmark.cpp:28-43:
-   * 1M x 128D, nlist 1024, nprobe 10, k 10, 10k queries) scaled 1/5 to fit
-   * the local bench budget: 200k x 128D, nlist 256, nprobe 10, k 10, 1k
-   * queries. Vectors are generated deterministically from xxhash64 of the
-   * row id — no files needed, same corpus every run. Rows-only (the IVF
-   * machinery itself is oracle-checked by the sf entries).
+   * 1M x 128D, nlist 1024, nprobe 10, k 10, 10k queries) scaled to the
+   * input SF: the corpus size tracks the lineitem rowcount snapped to a
+   * decade (sf0.1 bench -> the canonical-over-5 200k x 128D, sf0.01
+   * correctness gate -> 20k — the shape the oracle SQL replays, sf0.001
+   * smoke -> 2k), so the entry behaves like every other one: bigger input
+   * data, bigger query.
+   *
+   * Round-6 rework closing rounds 4/5's two open items on this entry:
+   *
+   *  - STABILITY: the corpus is written ONCE per JVM to a temp parquet
+   *    epoch and served disk-backed — a lost cache block now costs a
+   *    pruned parquet re-read, not a 25.6M-hash + 200k x 256-argmin
+   *    re-derivation (the r3 0.75s / r4 7.35s / r5 3.61s bimodality, with
+   *    its `Block ... already exists` warnings, was the persisted
+   *    in-memory corpus rematerializing mid-bench).
+   *  - ORACLE: vectors come from a SQL-replayable polynomial hash (the
+   *    minhash_pairs_poly recipe applied to vector components) and the
+   *    index clusters on FIXED centroids (the ScaleNlist lowest-id corpus
+   *    vectors), so corpus gen, assign, probe, scan, and top-k all replay
+   *    in DuckDB and the entry is hash-gated like the rest.
    */
+  private val ScaleDim = 128
+  private val ScaleNlist = 256
+  private val ScaleNQ = 1000
+  private val ScaleQidOffset = 5000000L
+
+  /** Component d of the vector for row `id`: an affine + quadratic mix of
+    * x = id*dim + d mod 1e9+7, quantized to [-1, 1) in milli steps. Pure
+    * 64-bit arithmetic, overflow-free for every id this entry generates
+    * (x <= ~6.4e8 -> x² <= 4.1e17 < 2^63), so Spark longs and DuckDB
+    * BIGINTs agree bit for bit. */
+  private def polyVec(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(
+      sequence(lit(0), lit(ScaleDim - 1)),
+      d => {
+        val x = id * lit(ScaleDim.toLong) + d.cast("long")
+        val h = pmod(
+          (x + lit(1L)) * lit(2654435761L) +
+            lit(40503L) * pmod(x * x, lit(1000000007L)),
+          lit(1000000007L))
+        (pmod(h, lit(2000L)) / 1000.0 - 1.0).cast("float")
+      })
+
+  /** Corpus rows for this SF: lineitem rowcount snapped to a decade / 3 —
+    * 2k at sf0.001, 20k at sf0.01, 200k at sf0.1. */
+  private def scaleN(spark: SparkSession, dir: String): Int =
+    cached(s"scalen:$dir") {
+      val rows = spark.read.parquet(s"$dir/lineitem.parquet").count()
+      val decade = math.max(0, math.min(2,
+        math.round(math.log10(math.max(1L, rows) / 6000.0)))).toInt
+      Int.box(2000 * math.pow(10, decade).toInt)
+    }.asInstanceOf[Int]
+
+  private def scaleIndex(spark: SparkSession, dir: String): graft.index.IvfFlatIndex = {
+    val n = scaleN(spark, dir) // hoisted: nested memo = Recursive update
+    cached(s"scalepoly:$dir:$n") {
+      import graft.index.IvfFlatIndex
+      val corpus = spark.range(n).select(col("id"), polyVec(col("id")).as("vec"))
+      val cents = corpus.filter(col("id") < ScaleNlist).orderBy("id")
+        .select("vec").collect().map(_.getSeq[Float](0).toArray)
+      val bc = IvfFlatIndex.broadcastCentroids(spark, cents)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_scale_epoch").toString
+      sys.addShutdownHook { // one 40 MB epoch per JVM — don't accumulate
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(tmp)
+        if (java.nio.file.Files.exists(root))
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      IvfFlatIndex.writeEpoch(IvfFlatIndex.assign(corpus, bc), s"$tmp/vectors")
+      new IvfFlatIndex(spark, IvfFlatIndex.readEpoch(spark, s"$tmp/vectors"), bc, Metric.L2)
+    }
+  }
+
   private def vectorScaleBench(spark: SparkSession, dir: String): DataFrame = {
     import graft.SearchParams
-    val dim = 128
-    val n = 200000
-    val vecExpr = transform(
-      sequence(lit(0), lit(dim - 1)),
-      d => (pmod(xxhash64(col("id") * dim + d), lit(2000)) / 1000.0 - 1.0).cast("float"))
-    val index = cached(s"scale:$n:$dim") {
-      val corpus = spark.range(n).select(col("id"), vecExpr.as("vec"))
-      val idx = graft.index.IvfFlatIndex.build(spark, corpus, nlist = 256, maxTrain = 20000)
-      // materialize the assigned corpus once — the in-memory stand-in for
-      // an epoch on disk; otherwise every search regenerates 25.6M
-      // xxhash components AND re-runs the 200k x 256-centroid argmin
-      idx.vectors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
-      idx
-    }
-    // two-step select: vecExpr must hash the OFFSET id, or the "queries"
+    val index = scaleIndex(spark, dir)
+    // two-step select: polyVec must hash the OFFSET id, or the "queries"
     // would be bit-identical copies of corpus vectors 0..999
-    val queries = spark.range(1000)
-      .select((col("id") + 5000000L).as("id"))
-      .select(col("id").as("qid"), vecExpr.as("qvec"))
-    index.search(queries, SearchParams(k = 10, nprobe = 10))
+    val queries = spark.range(ScaleNQ)
+      .select((col("id") + ScaleQidOffset).as("id"))
+      .select(col("id").as("qid"), polyVec(col("id")).as("qvec"))
+    index.search(queries, SearchParams(k = 10, nprobe = 10)).orderBy("qid", "rank")
   }
 
   // --- DuckDB oracle fragments -------------------------------------------
 
   import OracleFragments.{sqlL2, sqlIp, sqlCosine}
+
+  /** DuckDB twin of one [[polyVec]] component for x-expression `x` —
+    * same affine + quadratic mix mod 1e9+7, same [-1, 1) quantization,
+    * positive operands throughout so `%` and Spark's pmod agree. */
+  private def polySql(x: String): String =
+    s"CAST((((((($x)+1) * 2654435761 + 40503 * ((($x)*($x)) % 1000000007)) " +
+      s"% 1000000007) % 2000) / 1000.0 - 1.0) AS FLOAT)"
+
+  /** Full replay of vector_scale_bench at the sf0.01 shape the driver
+    * verifies at (n=20000): corpus gen -> fixed centroids -> assign ->
+    * probe top-nprobe -> pruned scan -> top-k. */
+  private def scaleOracleSql: String = {
+    val n = 20000
+    s"""WITH corpus AS (SELECT t.id,
+       |    list_transform(range(0, $ScaleDim), d -> ${polySql(s"t.id*$ScaleDim+d")}) AS vec
+       |  FROM range(0, $n) t(id)),
+       |q AS (SELECT $ScaleQidOffset + t.i AS qid,
+       |    list_transform(range(0, $ScaleDim), d -> ${polySql(s"($ScaleQidOffset+t.i)*$ScaleDim+d")}) AS qv
+       |  FROM range(0, $ScaleNQ) t(i)),
+       |c AS (SELECT id AS cid, vec AS cv FROM corpus WHERE id < $ScaleNlist),
+       |ad AS (SELECT v.id, c.cid, ${sqlL2("v.vec", "c.cv")} AS d FROM corpus v, c),
+       |asg AS (SELECT id, cid FROM (SELECT id, cid,
+       |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn FROM ad) WHERE rn = 1),
+       |pd AS (SELECT q.qid, c.cid, ${sqlL2("q.qv", "c.cv")} AS d FROM q, c),
+       |probe AS (SELECT qid, cid FROM (SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rn FROM pd) WHERE rn <= 10),
+       |cand AS (SELECT p.qid, a.id FROM probe p JOIN asg a ON a.cid = p.cid),
+       |dd AS (SELECT cand.qid, cand.id, ${sqlL2("q.qv", "v.vec")} AS dist
+       |  FROM cand JOIN q ON q.qid = cand.qid JOIN corpus v ON v.id = cand.id),
+       |r AS (SELECT qid, id, dist,
+       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS INT) AS rank
+       |      FROM dd)
+       |SELECT qid, id, dist, rank FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+  }
 
   private def knnOracle(distExpr: String): String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $NQ),
@@ -499,6 +588,9 @@ object VectorQueries {
          |        row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
          |      FROM d)
          |SELECT vec_id, cid AS list_id FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // poly-hash synthetic corpus + fixed centroids: the entire bench entry
+    // (gen -> assign -> probe -> pruned scan -> top-k) replayed in SQL
+    "vector_scale_bench" -> scaleOracleSql,
   )
 
   /** Shared by ivf_search_probe (in-memory) and ivf_search_epoch (on-disk
