@@ -33,9 +33,11 @@ class IvfFlatIndex(
     val centroids: Broadcast[Array[Array[Float]]],
     val metric: Metric.Value,
     /** Called with the (qid, list_id) probe pairs of each small-batch
-      * search — feeds LFU hot-list stats (reference access_count /
-      * last_access, engine/ivf_flat_index.h:34-35). */
-    val probeListener: Array[(Long, Int)] => Unit = _ => ()) {
+      * search WHEN IT EXECUTES (via [[ExecutionProbeHook]]) — feeds LFU
+      * hot-list stats (reference access_count / last_access,
+      * engine/ivf_flat_index.h:34-35). Leave the default no-op to keep
+      * search plans free of the observe() wrapper entirely. */
+    val probeListener: Array[(Long, Int)] => Unit = IvfFlatIndex.NoopProbeListener) {
 
   def nlist: Int = centroids.value.length
   def dimension: Int = centroids.value.head.length
@@ -145,7 +147,6 @@ class IvfFlatIndex(
       corpus: DataFrame, pairs: Array[(Long, Int)],
       qmap: Broadcast[java.util.HashMap[java.lang.Long, Array[Float]]],
       k: Int, nprobe: Int, m: Metric.Value): DataFrame = {
-    probeListener(pairs)
     val listIds = pairs.map(_._2).distinct.toSeq
     // the probe join carries only the 8-byte qid; the query vector is
     // resolved inside the distance expression from the broadcast map,
@@ -157,7 +158,11 @@ class IvfFlatIndex(
       .join(broadcast(pairsDF), "list_id")
       .withColumn("dist", vector.distance_to_query(col("vec"), col("qid"), qmap, m))
       .select("qid", "id", "dist")
-    TopKAggregator.topKPerQuery(candidates, k)
+    val result = TopKAggregator.topKPerQuery(candidates, k)
+    // stats record when the plan RUNS, not here at construction — an
+    // abandoned DataFrame must leave hot-list stats untouched
+    if (probeListener eq IvfFlatIndex.NoopProbeListener) result
+    else ExecutionProbeHook.arm(result, () => probeListener(pairs))
   }
 
   private def searchJoinPruned(
@@ -188,6 +193,10 @@ class IvfFlatIndex(
 }
 
 object IvfFlatIndex {
+
+  /** Default listener sentinel: searches on an index built with this skip
+    * the execution hook entirely (no observe() node in the plan). */
+  val NoopProbeListener: Array[(Long, Int)] => Unit = _ => ()
 
   /** Probe-strategy override for [[IvfFlatIndex.searchWhere]]: Auto picks
     * by batch size; ForceJoin keeps everything distributed (no driver

@@ -182,11 +182,30 @@ class VectorDBSpec extends SparkSpec {
   test("hot-list stats accumulate from searches and drive warmupHot (C1)") {
     ready
     db.search("test_index", qs, topk = 3, nprobe = 2).collect()
+    // stats record via a QueryExecutionListener on the async listener bus
+    org.apache.spark.sql.graftshims.drainListenerBus(spark)
     val hot = db.hotLists("test_index")
     assert(hot.nonEmpty)
     assert(hot.map(_._2).sum >= 5 * 2) // 5 queries x nprobe 2 probes recorded
     assert(hot.head._2 === hot.map(_._2).max) // hottest first
     assert(db.warmupHot("test_index", topN = 2) > 0)
+  }
+
+  test("probe stats record at execution time, not plan construction (C1)") {
+    ready
+    org.apache.spark.sql.graftshims.drainListenerBus(spark)
+    val before = db.hotLists("test_index", topN = 1000).map(_._2).sum
+    // construct but never execute: an abandoned plan must not heat stats
+    val abandoned = db.search("test_index", qs, topk = 3, nprobe = 2)
+    org.apache.spark.sql.graftshims.drainListenerBus(spark)
+    assert(db.hotLists("test_index", topN = 1000).map(_._2).sum === before,
+      "unexecuted search changed hot-list stats")
+    // every EXECUTION fires once — two actions on one plan = two batches
+    abandoned.collect()
+    abandoned.collect()
+    org.apache.spark.sql.graftshims.drainListenerBus(spark)
+    assert(db.hotLists("test_index", topN = 1000).map(_._2).sum === before + 2 * 5 * 2,
+      "two executions should record exactly twice")
   }
 
   test("compactEpoch rewrites accumulated append files and keeps results identical (F7)") {
