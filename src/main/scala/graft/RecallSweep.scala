@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.index.{IvfFlatIndex, Knn}
@@ -8,21 +8,71 @@ import graft.index.{IvfFlatIndex, Knn}
 /**
  * Recall@10 at the reference's OWN sizing guidance (reference
  * README.md:154-167: nlist 128 / nprobe 16 for 100k-1M vectors; nlist 4096
- * / nprobe 32 for > 1M) on the reference's canonical synthetic shape
- * (bench/benchmark.cpp:28-43: 1M x 128D, train subset 100k), plus the
- * canonical bench point (nlist 1024 / nprobe 10). The reference measures
- * recall nowhere (its bench/recall_test.cpp is referenced by CMake but
- * absent) — this sweep is the honest algorithmic comparable BASELINE.md
- * names.
+ * / nprobe 32 for > 1M; nlist 1024 / nprobe 10 is the canonical bench
+ * point, bench/benchmark.cpp:28-43). The reference measures recall nowhere
+ * (its bench/recall_test.cpp is referenced by CMake but absent) — this
+ * sweep is the honest algorithmic comparable BASELINE.md names.
  *
- * Ground truth is ONE exact brute-force pass (index-independent); each
- * sizing point then trains its own index and sweeps nprobe around the
- * reference's recommended value. Prints one JSON line and writes it to
- * RECALL.json (or argv(0)) next to the bench artifacts.
+ * THREE corpora, because IVF recall is a property of the DATA's cluster
+ * structure, not just the engine: (1) uniform synthetic noise — the
+ * worst case for IVF, centroids carve arbitrary Voronoi cells and true
+ * neighbors scatter across them; (2) clustered synthetic at the same
+ * 1M x 128D shape — 1024 planted centers + 5% noise, the regime ANN
+ * indexes are built for; (3) the real embeddings table (sf0.1,
+ * 2000 x 64D). Reading the uniform point alone as an engine defect is
+ * the misread this file's caveat line exists to prevent — the engine is
+ * hash-proven exact at nprobe = nlist in the correctness gate.
+ *
+ * Ground truth per corpus is ONE exact brute-force pass
+ * (index-independent); each sizing point trains its own index and sweeps
+ * nprobe around the reference's recommended value. Prints one JSON line
+ * and writes it to RECALL.json (or argv(0)).
  */
 object RecallSweep {
+
+  private def timed[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[recall] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    r
+  }
+
+  /** Exact ground truth + per-(nlist, nprobe) recall for one corpus. */
+  private def sweepCorpus(
+      spark: SparkSession,
+      name: String,
+      corpus: DataFrame,
+      queries: DataFrame,
+      points: Seq[(Int, Int, Seq[Int])],
+      maxTrain: Int,
+      k: Int): String = {
+    val exact = timed(s"$name: exact ground truth") {
+      Knn.exact(queries, corpus, k, Metric.L2).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val results = points.map { case (nlist, rec, sweep) =>
+      val index = timed(s"$name: build nlist=$nlist") {
+        val idx = IvfFlatIndex.build(spark, corpus, nlist, maxTrain = maxTrain)
+        idx.vectors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+        idx
+      }
+      val recalls = sweep.map { nprobe =>
+        val got = timed(s"$name: search nlist=$nlist nprobe=$nprobe") {
+          index.search(queries, SearchParams(k, nprobe)).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+        }
+        nprobe -> (got & exact).size.toDouble / exact.size
+      }
+      index.vectors.unpersist(blocking = false)
+      val rs = recalls.map { case (np, r) => s""""$np":$r""" }.mkString("{", ",", "}")
+      s"""{"nlist":$nlist,"reference_nprobe":$rec,"recall":$rs}"""
+    }
+    results.mkString("[", ",", "]")
+  }
+
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("RECALL.json")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -36,58 +86,80 @@ object RecallSweep {
     val n = 1000000
     val nq = 1000
     val k = 10
-    val vecExpr = transform(
+
+    def persisted(df: DataFrame): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    }
+
+    // --- corpus 1: uniform synthetic noise (IVF worst case) --------------
+    val uniformExpr = transform(
       sequence(lit(0), lit(dim - 1)),
       d => (pmod(xxhash64(col("id") * dim + d), lit(2000)) / 1000.0 - 1.0).cast("float"))
-    val corpus = spark.range(n).select(col("id"), vecExpr.as("vec"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    corpus.count()
-    val queries = spark.range(nq)
+    val uniform = persisted(spark.range(n).select(col("id"), uniformExpr.as("vec")))
+    val uniformQ = persisted(spark.range(nq)
       .select((col("id") + 5000000L).as("id"))
-      .select(col("id").as("qid"), vecExpr.as("qvec"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    queries.count()
+      .select(col("id").as("qid"), uniformExpr.as("qvec")))
+    val uniformJson = sweepCorpus(spark, "uniform", uniform, uniformQ,
+      Seq(
+        (128, 16, Seq(4, 8, 16, 32)),   // README: 100k-1M sizing
+        (1024, 10, Seq(10)),            // canonical bench shape
+        (4096, 32, Seq(8, 16, 32, 64))), // README: >1M sizing
+      maxTrain = 100000, k)
+    uniform.unpersist(blocking = false)
+    uniformQ.unpersist(blocking = false)
 
-    def timed[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[recall] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
-      r
+    // --- corpus 2: clustered synthetic, same shape -----------------------
+    // 1024 planted centers + 5% per-component noise: the data regime IVF
+    // is designed for, at the identical 1M x 128D sizing — recall deltas
+    // vs corpus 1 are pure data-distribution effects.
+    val ncenters = 1024
+    def clusteredExpr(idCol: org.apache.spark.sql.Column) = {
+      val cluster = pmod(xxhash64(idCol), lit(ncenters))
+      transform(
+        sequence(lit(0), lit(dim - 1)),
+        d => ((pmod(xxhash64(cluster * dim + d + lit(1000000)), lit(2000)) / 1000.0 - 1.0) +
+          (pmod(xxhash64(idCol * dim + d + lit(2000000)), lit(2000)) / 1000.0 - 1.0) * 0.05)
+          .cast("float"))
     }
+    val clustered = persisted(spark.range(n).select(col("id"), clusteredExpr(col("id")).as("vec")))
+    val clusteredQ = persisted(spark.range(nq)
+      .select((col("id") + 5000000L).as("id"))
+      .select(col("id").as("qid"), clusteredExpr(col("id")).as("qvec")))
+    val clusteredJson = sweepCorpus(spark, "clustered", clustered, clusteredQ,
+      Seq(
+        (128, 16, Seq(4, 8, 16, 32)),
+        (1024, 10, Seq(10))),
+      maxTrain = 100000, k)
+    clustered.unpersist(blocking = false)
+    clusteredQ.unpersist(blocking = false)
 
-    val exact = timed("exact ground truth (1k x 1M)") {
-      Knn.exact(queries, corpus, k, Metric.L2).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-    }
+    // --- corpus 3: the real embeddings table (clustered real data) ------
+    val e = Tables(spark, sfDir, "embeddings")
+    val emb = persisted(e.select(col("vec_id").as("id"), col("embedding").as("vec")))
+    val embN = emb.count()
+    val embQ = persisted(e.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec")))
+    val embJson = sweepCorpus(spark, "embeddings", emb, embQ,
+      Seq(
+        (16, 8, Seq(1, 2, 4, 8, 16)),  // the shape VERDICT's 0.80 point used
+        (128, 16, Seq(4, 8, 16, 32)),
+        (1024, 10, Seq(10, 32))),      // reference sizing on a tiny corpus
+      maxTrain = 100000, k)
+    emb.unpersist(blocking = false)
+    embQ.unpersist(blocking = false)
 
-    // (nlist, reference-recommended nprobe, sweep values)
-    val points = Seq(
-      (128, 16, Seq(4, 8, 16, 32)),   // README: 100k-1M sizing
-      (1024, 10, Seq(10)),            // canonical bench shape
-      (4096, 32, Seq(8, 16, 32, 64))) // README: >1M sizing
-
-    val results = points.map { case (nlist, rec, sweep) =>
-      val index = timed(s"build nlist=$nlist (train 100k + assign 1M)") {
-        val idx = IvfFlatIndex.build(spark, corpus, nlist, maxTrain = 100000)
-        idx.vectors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
-        idx
-      }
-      val recalls = sweep.map { nprobe =>
-        val got = timed(s"search nlist=$nlist nprobe=$nprobe") {
-          index.search(queries, SearchParams(k, nprobe)).collect()
-            .map(r => (r.getLong(0), r.getLong(1))).toSet
-        }
-        nprobe -> (got & exact).size.toDouble / exact.size
-      }
-      index.vectors.unpersist(blocking = false)
-      (nlist, rec, recalls)
-    }
-
-    val json = results.map { case (nlist, rec, recalls) =>
-      val rs = recalls.map { case (np, r) => s""""$np":$r""" }.mkString("{", ",", "}")
-      s"""{"nlist":$nlist,"reference_nprobe":$rec,"recall":$rs}"""
-    }.mkString("[", ",", "]")
-    val line = s"""{"shape":"1Mx128D","k":$k,"train":100000,"queries":$nq,"points":$json}"""
+    val caveat = "IVF recall tracks the data's cluster structure, not engine " +
+      "correctness (exactness is hash-proven at nprobe=nlist in the " +
+      "correctness gate): uniform noise is the worst case, the clustered " +
+      "corpus at the same shape and the real embeddings table show the " +
+      "designed-for regime."
+    val line =
+      s"""{"k":$k,"caveat":"$caveat","corpora":[""" +
+        s"""{"corpus":"uniform-synthetic 1Mx128D","train":100000,"queries":$nq,"points":$uniformJson},""" +
+        s"""{"corpus":"clustered-synthetic 1Mx128D (1024 centers, 5% noise)","train":100000,"queries":$nq,"points":$clusteredJson},""" +
+        s"""{"corpus":"embeddings $sfDir (${embN}x64D real)","queries":100,"points":$embJson}]}"""
     println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     spark.stop()

@@ -57,6 +57,34 @@ object StreamingSearch {
       .start()
 
   /**
+   * [[serve]] wrapped in a [[ServingGuard]] (the reference's LoadBalancer
+   * decorator, server/load_balancer.cpp:34-74): each micro-batch is one
+   * admission-controlled request against the "search" service. A batch
+   * rejected by the guard (circuit open / overload) or failed by the
+   * handler goes to `onReject` WITH its error instead of killing the
+   * serving loop — the reference returns a status to the caller and keeps
+   * the server up; the streaming analog is a loop that keeps triggering.
+   * The default `onReject` drops rejected batches silently, exactly like
+   * a load-shedding gRPC front end; pass a callback to surface them.
+   * (The per-trigger bounded snapshot — driver metadata only — still runs
+   * for a rejected batch; it IS the coalescing read. The guarded part is
+   * the distributed search execution and the sink.)
+   */
+  def serveGuarded(
+      index: IvfFlatIndex,
+      queryStream: DataFrame,
+      params: SearchParams,
+      checkpointPath: String,
+      guard: ServingGuard,
+      triggerMs: Long = 100L,
+      onReject: (Long, Throwable) => Unit = (_, _) => ())(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    serve(index, queryStream, params, checkpointPath, triggerMs) { (res, batchId) =>
+      try guard.guarded("search")(sink(res, batchId))
+      catch { case e: Throwable => onReject(batchId, e) }
+    }
+
+  /**
    * Multi-profile coalescing dispatcher (A8 parity): ONE serving loop for
    * several indices. `queryStream` rows are (index STRING, qid LONG,
    * qvec ARRAY<FLOAT>); each micro-batch is grouped by index name and

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** State-transition contract of [[ServingGuard]] vs the reference
+  * LoadBalancer (server/load_balancer.cpp:8-120, 173-244). */
+class ServingGuardSpec extends AnyFunSuite {
+
+  /** Guard on a settable clock — breaker timeouts without sleeping. */
+  private def clocked(maxConcurrent: Int = 100): (ServingGuard, () => Unit) = {
+    var t = 0L
+    val g = new ServingGuard(maxConcurrent = maxConcurrent, now = () => t)
+    (g, () => t += 31000L) // one tick > the 30 s breaker timeout
+  }
+
+  test("errors above the 50% rate open the circuit; open circuit rejects without running") {
+    val (g, _) = clocked()
+    intercept[RuntimeException](g.guarded("s")(throw new RuntimeException("boom")))
+    assert(g.isCircuitOpen("s")) // 1 error / 1 total = 100% > 50%
+    var ran = false
+    val e = intercept[g.RejectedException](g.guarded("s") { ran = true })
+    assert(!ran && e.reason.contains("circuit open"))
+  }
+
+  test("successes keep the circuit closed while the rate stays under threshold") {
+    val (g, _) = clocked()
+    (1 to 3).foreach(_ => g.guarded("s")(42))
+    intercept[RuntimeException](g.guarded("s")(throw new RuntimeException("boom")))
+    // 1 error / 4 total = 25% < 50% -> still closed
+    assert(!g.isCircuitOpen("s"))
+    assert(g.guarded("s")(7) === 7)
+  }
+
+  test("after the cool-down one probe passes; cumulative-rate quirk needs a success run to close") {
+    val (g, tick) = clocked()
+    intercept[RuntimeException](g.guarded("s")(throw new RuntimeException("b1")))
+    intercept[g.RejectedException](g.guarded("s")(1)) // open, inside cool-down
+    tick() // past breakerTimeoutMs since last failure
+    assert(g.guarded("s")(1) === 1) // recovery probe runs
+    // reference semantics: rates are CUMULATIVE (1 err / 2 total = 50%,
+    // not > threshold on error path, not < threshold on success path) —
+    // the circuit stays closed now and more successes keep it closed
+    assert(g.guarded("s")(2) === 2)
+    assert(!g.isCircuitOpen("s"))
+  }
+
+  test("a failed recovery probe re-opens the circuit for another cool-down") {
+    val (g, tick) = clocked()
+    intercept[RuntimeException](g.guarded("s")(throw new RuntimeException("b1")))
+    tick()
+    intercept[RuntimeException](g.guarded("s")(throw new RuntimeException("b2")))
+    assert(g.isCircuitOpen("s")) // 2/2 = 100% -> reopened
+    intercept[g.RejectedException](g.guarded("s")(1))
+  }
+
+  test("the concurrency cap rejects as overload and counts it as an error") {
+    val (g, _) = clocked(maxConcurrent = 1)
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => g.guarded("s") { entered.countDown(); latch.await(); 1 })
+    t.start()
+    entered.await()
+    assert(g.currentLoad === 1)
+    val e = intercept[g.RejectedException](g.guarded("s")(2))
+    assert(e.reason.contains("overloaded"))
+    latch.countDown()
+    t.join()
+    assert(g.currentLoad === 0)
+    // the overload rejection recorded an error BEFORE the in-flight call
+    // could record its success (0 ok / 1 err at that instant = 100%), so
+    // the breaker tripped — the reference's ordering does the same, and
+    // the later success at exactly 50% does not close it (reset needs
+    // rate strictly below threshold)
+    assert(g.isCircuitOpen("s"))
+  }
+
+  test("EMA latency (alpha 0.1) drives the adaptive timeout with [1s, 30s] clamps") {
+    var t = 0L
+    val g = new ServingGuard(now = () => t)
+    assert(g.requestTimeoutMs("s") === 5000L) // no samples yet
+    g.guarded("s") { t += 1000L; 1 } // first sample sets the average
+    assert(g.requestTimeoutMs("s") === 3000L) // 3 x 1000
+    g.guarded("s") { t += 11000L; 1 } // EMA: 1000*0.9 + 11000*0.1 = 2000
+    assert(g.requestTimeoutMs("s") === 6000L)
+    g.guarded("s") { t += 100L; 1 } // EMA: 2000*0.9 + 100*0.1 = 1810
+    assert(g.requestTimeoutMs("s") === 5430L)
+    val fast = new ServingGuard(now = () => 0L)
+    fast.guarded("s")(1) // zero-latency sample keeps avg 0 -> default path
+    assert(fast.requestTimeoutMs("s") === 5000L)
+  }
+
+  test("adaptive batch size follows load factor (16/32/64)") {
+    val (g, _) = clocked(maxConcurrent = 10)
+    assert(g.optimalBatchSize === 16) // 0% load
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val entered = new java.util.concurrent.CountDownLatch(5)
+    val threads = (1 to 5).map { _ =>
+      val t = new Thread(() => g.guarded("s") { entered.countDown(); latch.await(); 1 })
+      t.start(); t
+    }
+    entered.await()
+    assert(g.optimalBatchSize === 32) // 50% load
+    latch.countDown()
+    threads.foreach(_.join())
+    assert(g.optimalBatchSize === 16)
+  }
+}

@@ -45,6 +45,51 @@ class StreamingSearchSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("guarded serving loop sheds load when the breaker opens and keeps running") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val index = IvfFlatIndex.build(spark, vectorsDF(randomVectors(200, 8)), nlist = 4)
+    val mem = MemoryStream[(Long, Array[Float])]
+    var clock = 0L
+    val guard = new ServingGuard(now = () => clock)
+    val served = new ConcurrentLinkedQueue[Long]()
+    val rejected = new ConcurrentLinkedQueue[(Long, String)]()
+    @volatile var sinkFails = true
+    val tmp = java.nio.file.Files.createTempDirectory("graft-serve-guarded").toString
+    val q = StreamingSearch.serveGuarded(
+      index,
+      mem.toDF().toDF("qid", "qvec"),
+      SearchParams(k = 3, nprobe = 4),
+      checkpointPath = s"$tmp/ckpt",
+      guard = guard,
+      triggerMs = 50L,
+      onReject = (bid, e) => rejected.add((bid, e.getMessage))) { (res, batchId) =>
+      if (sinkFails) throw new RuntimeException("downstream down")
+      res.collect()
+      served.add(batchId)
+    }
+    try {
+      val qs = randomVectors(6, 8, seed = 5)
+      mem.addData(qs(0))
+      q.processAllAvailable() // sink fails -> 1/1 errors -> breaker opens
+      assert(guard.isCircuitOpen("search"))
+      sinkFails = false
+      mem.addData(qs(1))
+      q.processAllAvailable() // inside cool-down: shed, sink never called
+      assert(served.isEmpty)
+      import scala.jdk.CollectionConverters._
+      assert(rejected.asScala.exists(_._2.contains("circuit open")))
+      // the loop is still alive: after the cool-down it serves again
+      clock += 31000L
+      mem.addData(qs(2))
+      q.processAllAvailable()
+      assert(q.isActive)
+      assert(!served.isEmpty)
+      assert(!guard.isCircuitOpen("search"))
+    } finally q.stop()
+  }
+
   test("multi-profile dispatcher routes one stream to per-index batches with own params") {
     val s = spark
     import s.implicits._
