@@ -165,6 +165,16 @@ object PipelineQueries {
       .toDF()
       .orderBy("doc_id")
 
+  /** REAL video decode (the RIFF walk + DIB frames composed): synthesize
+    * uncompressed AVI containers from the corpus, parse them back, and
+    * emit exact-integer frame-sample + motion features the oracle
+    * recomputes from the text directly. */
+  private def multimodalVideo(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractAviFeatures(
+      Multimodal.aviFromDocuments(spark, docs(spark, dir)))
+      .toDF()
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -182,6 +192,7 @@ object PipelineQueries {
     "knn_self_join" -> (knnSelfJoin _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_bmp" -> (multimodalBmp _),
+    "multimodal_video" -> (multimodalVideo _),
   )
 
   private val sqlCosineDist: String =
@@ -405,6 +416,35 @@ object PipelineQueries {
         |  CAST(COALESCE(list_max(px), 0) AS INT) AS max_gray,
         |  CAST(len(list_filter(px, x -> x <> 0)) AS INT) AS nonzero_pixels
         |FROM f ORDER BY doc_id""".stripMargin,
+    // AVI: pixels chunk into 64-px frames (zero-padded); sampled stats
+    // cover even frames, motion diffs consecutive frames through the
+    // padding; n_bytes replays the container layout (224 B of RIFF/hdrl
+    // framing + 200 B per '00db' frame chunk)
+    "multimodal_video" ->
+      """WITH s AS (SELECT doc_id,
+        |    list_transform(list_filter(string_split_regex(text, ''), c -> c <> ''),
+        |      c -> (CAST(ascii(c) AS BIGINT) * 59 + 11) % 256) AS px
+        |  FROM documents),
+        |f AS (SELECT doc_id, px, len(px) AS n,
+        |    CAST(greatest(1, CAST(ceil(CAST(len(px) AS DOUBLE) / 64) AS BIGINT)) AS INT) AS nf
+        |  FROM s),
+        |p AS (SELECT doc_id, nf,
+        |    list_transform(range(0, nf*64), i -> CASE WHEN i < n THEN px[i+1] ELSE 0 END) AS q
+        |  FROM f)
+        |SELECT doc_id,
+        |  'video/avi' AS media_type,
+        |  CAST(224 + 200 * nf AS INT) AS n_bytes,
+        |  CAST(8 AS INT) AS width,
+        |  CAST(8 AS INT) AS height,
+        |  nf AS n_frames,
+        |  CAST((nf + 1) // 2 AS INT) AS n_sampled,
+        |  CAST(COALESCE(list_sum(list_transform(range(0, nf*64),
+        |      i -> CASE WHEN (i // 64) % 2 = 0 THEN q[i+1] ELSE 0 END)), 0) AS BIGINT) AS sum_gray_sampled,
+        |  CAST(COALESCE(list_max(list_transform(range(0, nf*64),
+        |      i -> CASE WHEN (i // 64) % 2 = 0 THEN q[i+1] ELSE 0 END)), 0) AS INT) AS max_gray_sampled,
+        |  CAST(COALESCE(list_sum(list_transform(range(64, nf*64),
+        |      i -> abs(q[i+1] - q[i-63]))), 0) AS BIGINT) AS motion_abs
+        |FROM p ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       s"""SELECT doc_id, 'text/plain' AS media_type,
          |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,

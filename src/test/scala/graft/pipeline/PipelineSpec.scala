@@ -277,6 +277,44 @@ class PipelineSpec extends SparkSpec {
     assert(f(0L).n_pixels === 32 * ((expected.length + 31) / 32))
   }
 
+  test("AVI codec: roundtrip, malformed rejection, frame-sample + motion features") {
+    val rnd = new scala.util.Random(22)
+    for (nf <- Seq(1, 2, 5)) {
+      val frames = Array.fill(nf)(Array.fill(64)(rnd.nextInt(256)))
+      val vid = Multimodal.decodeAvi(Multimodal.encodeAvi(8, 8, frames))
+      assert((vid.width, vid.height, vid.frames.length) === ((8, 8, nf)))
+      assert(vid.frames.map(_.toSeq).toSeq === frames.map(_.toSeq).toSeq,
+        s"roundtrip broke at $nf frames")
+    }
+    // container layout: 224 B framing + 200 B per frame (the oracle's math)
+    val two = Multimodal.encodeAvi(8, 8, Array.fill(2)(new Array[Int](64)))
+    assert(two.length === 224 + 2 * 200)
+    // malformed payloads fail loudly, never read garbage
+    intercept[IllegalArgumentException](Multimodal.decodeAvi(Array[Byte](1, 2, 3)))
+    intercept[IllegalArgumentException](Multimodal.decodeAvi(two.take(two.length - 7)))
+    val badMagic = two.clone(); badMagic(8) = 'X'.toByte // 'AVI ' -> 'XVI '
+    intercept[IllegalArgumentException](Multimodal.decodeAvi(badMagic))
+    // a frame-count lie in avih must be caught by the chunk walk
+    val lied = two.clone()
+    java.nio.ByteBuffer.wrap(lied).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(48, 3)
+    intercept[IllegalArgumentException](Multimodal.decodeAvi(lied))
+    // corpus features: empty text -> one zero frame; math matches the text
+    val f = Multimodal.extractAviFeatures(Multimodal.aviFromDocuments(spark, docs))
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(f(6L).n_frames === 1 && f(6L).n_sampled === 1)
+    assert(f(6L).sum_gray_sampled === 0L && f(6L).motion_abs === 0L)
+    val text0 = docs.filter(col("doc_id") === 0).head().getString(1)
+    val px = text0.codePoints().toArray.map(c => ((c.toLong * 59 + 11) % 256).toInt)
+    val nf0 = math.max(1, (px.length + 63) / 64)
+    val padded = px ++ Array.fill(nf0 * 64 - px.length)(0)
+    val sampledSum = padded.zipWithIndex.collect { case (v, i) if (i / 64) % 2 == 0 => v.toLong }.sum
+    val motion = (64 until nf0 * 64).map(i => math.abs(padded(i) - padded(i - 64)).toLong).sum
+    assert(f(0L).n_frames === nf0)
+    assert(f(0L).sum_gray_sampled === sampledSum)
+    assert(f(0L).motion_abs === motion)
+    assert(f(0L).n_bytes === 224 + 200 * nf0)
+  }
+
   test("dropNearDuplicates keeps one representative per duplicate chain") {
     val pairs = Dedup.ngramJaccardExact(docs, ngram = 3, threshold = 0.5)
     val kept = Dedup.dropNearDuplicates(docs, pairs)
