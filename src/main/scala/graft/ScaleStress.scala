@@ -80,6 +80,18 @@ object ScaleStress {
         pq.search(small, SearchParams(k = 10, nprobe = 10), rerankK = 100).count()
       }
     }
+    // PQ FLOOD path (10k queries > MaxStaticBatch -> searchJoin with the
+    // per-task streaming ADC scorer; probed rows ship qvec, never tables)
+    (1 to 3).foreach { i =>
+      timed(s"PQ join-path search run $i (10k queries, nprobe=10, k=10)") {
+        pq.search(queries, SearchParams(k = 10, nprobe = 10)).count()
+      }
+    }
+    (1 to 3).foreach { i =>
+      timed(s"PQ join-path rerank(100) run $i (10k queries, nprobe=10, k=10)") {
+        pq.search(queries, SearchParams(k = 10, nprobe = 10), rerankK = 100).count()
+      }
+    }
     spark.stop()
   }
 
