@@ -52,6 +52,18 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     * without this every reload/warmup cycle would leak one cached copy. */
   private val warmed = TrieMap.empty[String, List[DataFrame]]
 
+  /** A10 metrics: per-index search latency histograms, fed execution wall
+    * time by the same hook that records probe stats — a constructed-but-
+    * never-run search records nothing. */
+  private val searchLatency = TrieMap.empty[String, LatencyHistogram]
+
+  /** Wrap a search result so its executions record into `name`'s latency
+    * histogram (reference MetricsCollector::record_search_latency,
+    * server/query_service.cpp:686-689). */
+  private def timed(name: String, df: DataFrame): DataFrame =
+    graft.index.ExecutionProbeHook.armTimed(df,
+      ns => searchLatency.getOrElseUpdate(name, new LatencyHistogram).record(ns))
+
   private def indexPath(name: String) = s"$dataPath/$name"
   private def manifestPath(name: String) = s"${indexPath(name)}/manifest.json"
   private def epochManager(name: String): EpochManager =
@@ -303,11 +315,11 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       nprobe = if (nprobe > 0) nprobe else 8,
       metric = if (metric.nonEmpty) Some(Metric.parse(metric)) else None)
     batch match {
-      case Some(b) => s.index.searchBatch(b, params) // zero further jobs
+      case Some(b) => timed(name, s.index.searchBatch(b, params)) // zero further jobs
       case None => // unbounded batch: stay fully distributed, guard in-plan
-        s.index.searchWhere(
+        timed(name, s.index.searchWhere(
           guardedQueries(queries, s.manifest.dimension), params, None,
-          IvfFlatIndex.ForceJoin)
+          IvfFlatIndex.ForceJoin))
     }
   }
 
@@ -407,6 +419,70 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       "metric" -> s.manifest.metric.toString,
       "num_shards" -> s.manifest.shards.size,
       "list_imbalance" -> imbalance)
+  }
+
+  // --- A10 health + metrics -------------------------------------------------
+
+  /**
+   * gRPC-health-protocol check (reference health_service.cpp:8-158), with
+   * the reference's device/memory probes mapped to Spark:
+   *
+   *  - `""` (system): context alive, block managers respond, every block
+   *    manager keeps >= 10% storage memory free (the reference's GPU-mem
+   *    rule, health_service.cpp:138-152), and the query service serves;
+   *  - `"QueryService"`: at least one index is loaded for serving
+   *    (health_service.cpp:103-112);
+   *  - `"AdminService"`: stateless — serving while the process runs;
+   *  - anything else: ServiceUnknown.
+   */
+  def healthCheck(service: String = ""): Health.Value = service match {
+    case "" =>
+      val sc = spark.sparkContext
+      if (sc.isStopped) Health.NotServing
+      else {
+        val mem = sc.getExecutorMemoryStatus
+        val memHealthy = mem.nonEmpty && mem.values.forall { case (max, remaining) =>
+          max <= 0 || remaining.toDouble / max >= 0.1
+        }
+        if (memHealthy && healthCheck("QueryService") == Health.Serving) Health.Serving
+        else Health.NotServing
+      }
+    case "QueryService" =>
+      if (served.nonEmpty) Health.Serving else Health.NotServing
+    case "AdminService" => Health.Serving
+    case _ => Health.ServiceUnknown
+  }
+
+  /** A10 per-index search metrics: executed-search count, mean and
+    * p50/p95/p99 latency ms (reference query_service.cpp:714-724). */
+  def metrics(name: String): Map[String, Any] = {
+    val h = searchLatency.getOrElse(name, new LatencyHistogram)
+    Map(
+      "index" -> name,
+      "searches_total" -> h.count,
+      "avg_latency_ms" -> h.meanMs,
+      "p50_latency_ms" -> h.percentileMs(0.5),
+      "p95_latency_ms" -> h.percentileMs(0.95),
+      "p99_latency_ms" -> h.percentileMs(0.99))
+  }
+
+  /** Prometheus exposition text for every index that has served searches —
+    * the reference's metric names (query_service.cpp:752-760, README
+    * `vdb_search_duration_milliseconds` family). */
+  def metricsText(): String = {
+    val sb = new StringBuilder
+    sb.append("# HELP vdb_search_duration_milliseconds Search latency in milliseconds\n")
+    sb.append("# TYPE vdb_search_duration_milliseconds summary\n")
+    searchLatency.toSeq.sortBy(_._1).foreach { case (name, h) =>
+      Seq("0.5" -> h.percentileMs(0.5), "0.95" -> h.percentileMs(0.95),
+        "0.99" -> h.percentileMs(0.99)).foreach { case (q, v) =>
+        sb.append(s"""vdb_search_duration_milliseconds{index="$name",quantile="$q"} $v""")
+        sb.append('\n')
+      }
+      sb.append(s"""vdb_searches_total{index="$name"} ${h.count}""")
+      sb.append('\n')
+    }
+    sb.toString
   }
 
   def cleanupOldEpochs(name: String, keepN: Int = 3): Seq[String] =

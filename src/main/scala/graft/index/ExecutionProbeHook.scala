@@ -31,16 +31,22 @@ private[graft] object ExecutionProbeHook {
   // insertion-ordered with eldest-entry eviction: never-executed plans
   // (bounded at MaxPending) are the only entries that age out in practice
   private val pending = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, () => Unit](64, 0.75f, false) {
+    new java.util.LinkedHashMap[String, Long => Unit](64, 0.75f, false) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, () => Unit]): Boolean = size() > MaxPending
+          e: java.util.Map.Entry[String, Long => Unit]): Boolean = size() > MaxPending
     })
 
   private val registered = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   /** Wrap `df` so `fire` runs on each successful execution of the result. */
-  def arm(df: DataFrame, fire: () => Unit): DataFrame = {
+  def arm(df: DataFrame, fire: () => Unit): DataFrame =
+    armTimed(df, _ => fire())
+
+  /** [[arm]] flavor whose callback also receives the execution's wall
+    * duration in nanoseconds (the listener's durationNs) — feeds the A10
+    * per-index latency histograms without a second timing source. */
+  def armTimed(df: DataFrame, fire: Long => Unit): DataFrame = {
     ensureListener(df.sparkSession)
     val name = Prefix + counter.incrementAndGet()
     pending.put(name, fire)
@@ -54,7 +60,7 @@ private[graft] object ExecutionProbeHook {
         spark.listenerManager.register(new QueryExecutionListener {
           override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
             qe.observedMetrics.keys.foreach { k =>
-              if (k.startsWith(Prefix)) Option(pending.get(k)).foreach(_.apply())
+              if (k.startsWith(Prefix)) Option(pending.get(k)).foreach(_.apply(durationNs))
             }
           override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
         })

@@ -208,6 +208,51 @@ class VectorDBSpec extends SparkSpec {
       "two executions should record exactly twice")
   }
 
+  test("health checks mirror the reference's service matrix (A10)") {
+    // a fresh facade with nothing served: admin healthy, query not
+    val bare = new graft.api.VectorDB(spark,
+      java.nio.file.Files.createTempDirectory("graft-health").toString)
+    assert(bare.healthCheck("AdminService") === graft.api.Health.Serving)
+    assert(bare.healthCheck("QueryService") === graft.api.Health.NotServing)
+    assert(bare.healthCheck() === graft.api.Health.NotServing)
+    assert(bare.healthCheck("NoSuchService") === graft.api.Health.ServiceUnknown)
+    // the shared facade serves an index -> system healthy end to end
+    ready
+    assert(db.healthCheck("QueryService") === graft.api.Health.Serving)
+    assert(db.healthCheck() === graft.api.Health.Serving)
+  }
+
+  test("search metrics record per-execution latency histograms (A10)") {
+    ready
+    val before = db.metrics("test_index")("searches_total").asInstanceOf[Long]
+    val df = db.search("test_index", qs, topk = 3)
+    // construction alone records nothing (same contract as probe stats)
+    org.apache.spark.sql.graftshims.drainListenerBus(spark)
+    assert(db.metrics("test_index")("searches_total") === before)
+    df.collect()
+    df.collect()
+    org.apache.spark.sql.graftshims.drainListenerBus(spark)
+    val m = db.metrics("test_index")
+    assert(m("searches_total") === before + 2)
+    assert(m("p50_latency_ms").asInstanceOf[Double] > 0.0)
+    assert(m("p99_latency_ms").asInstanceOf[Double] >= m("p50_latency_ms").asInstanceOf[Double])
+    val text = db.metricsText()
+    assert(text.contains("vdb_search_duration_milliseconds{index=\"test_index\",quantile=\"0.5\"}"))
+    assert(text.contains("vdb_searches_total{index=\"test_index\"}"))
+  }
+
+  test("latency histogram buckets and percentiles are monotone and exact at edges") {
+    val h = new graft.api.LatencyHistogram
+    assert(h.percentileMs(0.5) === 0.0) // empty
+    // 9 samples at ~1ms, one at ~1000ms: p50 tiny, p99 catches the tail
+    (1 to 9).foreach(_ => h.record(1000000L))
+    h.record(1000L * 1000000L)
+    assert(h.count === 10)
+    assert(h.percentileMs(0.5) === 1.0)
+    assert(h.percentileMs(0.99) === 1024.0) // bucket upper bound of 1000ms
+    assert(h.meanMs > 99.0 && h.meanMs < 102.0)
+  }
+
   test("compactEpoch rewrites accumulated append files and keeps results identical (F7)") {
     ready
     // create fragmentation: three small appends
