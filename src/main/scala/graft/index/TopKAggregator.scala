@@ -42,13 +42,19 @@ object TopKAggregator {
    * Aggregator-based drop-in for [[Knn.topKPerQuery]]: same output schema
    * (qid, id, dist, rank) and the same (dist, id) ordering.
    *
-   * Two-level shape: a `mapPartitions` partial top-k first reduces each
-   * partition's candidate stream to <= nQueries x k rows in bounded memory
-   * (map-side combine that can never degrade to a sort-based fallback —
-   * the previous ObjectHashAggregate-only plan silently re-sorted the full
-   * candidate stream once a partition saw >128 query ids, unless a
-   * session-global conf was rewritten), then the typed aggregator merges
-   * the tiny partial stream into final buffers.
+   * Two-level shape: a partial top-k first reduces each partition's
+   * candidate stream to <= nQueries x k rows in bounded memory (map-side
+   * combine that can never degrade to a sort-based fallback — the previous
+   * ObjectHashAggregate-only plan silently re-sorted the full candidate
+   * stream once a partition saw >128 query ids, unless a session-global
+   * conf was rewritten), then the typed aggregator merges the tiny partial
+   * stream into final buffers.
+   *
+   * The partial stage is a first-class physical operator
+   * ([[PartialTopKExec]]): it consumes the child plan's InternalRows with
+   * primitive getters and keys a primitive-long open-addressing map, so
+   * the per-candidate hot loop allocates nothing — and the surrounding
+   * plan (probe join, partition-pruned scan) stays visible in `explain`.
    */
   def topKPerQuery(scored: DataFrame, k: Int,
       queryCol: String = "qid", idCol: String = "id",
@@ -58,49 +64,23 @@ object TopKAggregator {
       s"maxPartialKeys must be positive, got $maxPartialKeys")
     val spark = scored.sparkSession
     import spark.implicits._
-    val ds = scored
-      .filter(col(distCol).isNotNull)
-      .select(col(queryCol).as("qid"), col(idCol).as("id"), col(distCol).as("dist"))
+    // long/double casts are no-ops (optimizer-removed) on already-typed
+    // plans, and pin the InternalRow accessor types for the exec's getters.
+    // Null candidates are skipped INSIDE the operator (a null-bit check per
+    // row) instead of via `filter(dist.isNotNull)`: on a computed distance
+    // column that filter gets substituted through the Project into the join
+    // condition by predicate pushdown, and the whole distance kernel runs
+    // TWICE per candidate row — the dominant cost of every search plan.
+    val prepared = scored
+      .select(
+        col(queryCol).cast("long").as("qid"),
+        col(idCol).cast("long").as("id"),
+        col(distCol).cast("double").as("dist"))
+    // the partial output is tiny (<= nQueries x k per partition), so the
+    // typed decode below is off the hot path; tuple field names for as[]
+    val partial = PartialTopK(prepared, k, maxPartialKeys)
+      .toDF("_1", "_2", "_3")
       .as[(Long, Long, Double)]
-    val partial = ds.mapPartitions { rows =>
-      // incremental partial combine: consume candidates into a bounded map,
-      // and when the key budget fills, STREAM the drained buffers out
-      // before building the next map — memory stays O(MaxPartialKeys * k)
-      // no matter how many distinct query ids one partition holds
-      new Iterator[(Long, Long, Double)] {
-        private val map = new java.util.HashMap[Long, TopKBuf]()
-        private var out: Iterator[(Long, Long, Double)] = Iterator.empty
-        private var exhausted = false
-
-        override def hasNext: Boolean = {
-          while (!out.hasNext && !exhausted) advance()
-          out.hasNext
-        }
-        override def next(): (Long, Long, Double) = { hasNext; out.next() }
-
-        private def advance(): Unit = {
-          while (rows.hasNext && map.size < maxPartialKeys) {
-            val (qid, id, dist) = rows.next()
-            var buf = map.get(qid)
-            if (buf == null) { buf = TopKBuf.empty(k); map.put(qid, buf) }
-            buf.insert(dist, id)
-          }
-          if (!rows.hasNext) exhausted = true
-          out = snapshot()
-        }
-
-        /** Copy the map's buffers out, clear it, and stream the rows. */
-        private def snapshot(): Iterator[(Long, Long, Double)] = {
-          val arr = new Array[(Long, TopKBuf)](map.size)
-          var i = 0
-          map.forEach { (qid, buf) => arr(i) = (qid, buf); i += 1 }
-          map.clear()
-          arr.iterator.flatMap { case (qid, buf) =>
-            Iterator.range(0, buf.size).map(j => (qid, buf.ids(j), buf.dists(j)))
-          }
-        }
-      }
-    }
     val agg = new TopKAggregator(k).toColumn
     partial
       .groupByKey(_._1)

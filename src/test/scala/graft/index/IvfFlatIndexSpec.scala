@@ -92,6 +92,23 @@ class IvfFlatIndexSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("distance kernel evaluates ONCE per candidate — never inside a join condition") {
+    // a `filter(dist.isNotNull)` above the scoring Project used to be
+    // substituted into the probe join's condition by predicate pushdown,
+    // running the whole distance expression twice per candidate row; the
+    // null skip now lives inside PartialTopKExec instead
+    val q = queriesDF(queries)
+    for ((df, label) <- Seq(
+        (index.search(q, SearchParams(k = 10, nprobe = 2)), "static"),
+        (index.searchWhere(q, SearchParams(k = 10, nprobe = 2), None,
+          IvfFlatIndex.ForceJoin), "join"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      for (kernel <- Seq("distance_to_query", "l2_distance", "vectordistance"))
+        assert(!plan.toLowerCase.contains(s"isnotnull($kernel"),
+          s"$label plan re-evaluates the distance kernel in a null check:\n$plan")
+    }
+  }
+
   test("epoch write + read roundtrip preserves list partitioning") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-epoch").toString
     IvfFlatIndex.writeEpoch(index.vectors, s"$tmp/vectors")
