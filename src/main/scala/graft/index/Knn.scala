@@ -12,9 +12,12 @@ import graft.functions.vector
  * composed DataFrame plan: the query batch is broadcast (the kernel's
  * shared-memory query cache, SURVEY §4) and every stored vector is scanned
  * once — a nested-loop theta-join, which is exactly what brute force *is*.
- * Top-k per query runs as a rank-limited window; Spark's WindowGroupLimit
- * rule prunes each partition to k rows before the shuffle, which is the
- * partial-top-k + merge shape of the reference's per-thread top-32 buffer.
+ * Top-k runs through [[TopKAggregator.topKPerQuery]]'s partial-combine
+ * operator: the Window variant's null/NaN pre-filter on the computed
+ * distance column was substituted into the cross-join's condition by
+ * predicate pushdown, evaluating the full distance kernel THREE times per
+ * (query, vector) pair; the operator skips null/NaN candidates internally
+ * and the kernel evaluates once.
  */
 object Knn {
 
@@ -31,7 +34,7 @@ object Knn {
     val scored = vectors.select(col("id"), col("vec"))
       .crossJoin(broadcast(queries.select(col("qid"), col("qvec"))))
       .withColumn("dist", vector.distance(col("qvec"), col("vec"), metric))
-    topKPerQuery(scored, k).select("qid", "id", "dist", "rank")
+    TopKAggregator.topKPerQuery(scored, k).select("qid", "id", "dist", "rank")
   }
 
   /**

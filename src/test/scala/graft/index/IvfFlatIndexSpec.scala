@@ -107,6 +107,12 @@ class IvfFlatIndexSpec extends SparkSpec {
         assert(!plan.toLowerCase.contains(s"isnotnull($kernel"),
           s"$label plan re-evaluates the distance kernel in a null check:\n$plan")
     }
+    // brute-force exact: the Window variant's null/NaN pre-filter used to
+    // land in the cross-join condition — THREE kernel evals per pair
+    val exactPlan = index.searchExact(q, 5).queryExecution.executedPlan.toString
+    val kernelCount = "_distance\\(".r.findAllIn(exactPlan).length
+    assert(kernelCount == 1,
+      s"exact plan evaluates the distance kernel $kernelCount times:\n$exactPlan")
   }
 
   test("epoch write + read roundtrip preserves list partitioning") {
