@@ -174,9 +174,16 @@ object Dedup {
         shiftrightunsigned(col("sim"), i * bits)
           .bitwiseAND(lit(mask)).as("ckey"))
     }
+    // both self-join sides reference this subplan; without the persist
+    // each side re-scans the corpus AND re-computes simhash64 per row —
+    // and the equi-join's inferred isnotnull(join key) is substituted
+    // into the scans, running the tokenize+hash a second time per side.
+    // The cached frame is (id, sim, cpos, ckey): ~28 bytes x chunks per
+    // doc, tiny relative to the text it replaces
     val chunked = sigs
       .select(col("id"), col("sim"), explode(array(chunkCols: _*)).as("pc"))
       .select(col("id"), col("sim"), col("pc.cpos").as("cpos"), col("pc.ckey").as("ckey"))
+      .transform(persistOnce)
     val a = chunked.select(col("cpos"), col("ckey"),
       col("id").as("a_id"), col("sim").as("a_sim"))
     val b = chunked.select(col("cpos"), col("ckey"),
