@@ -1,0 +1,94 @@
+package graft.index
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class LongTopKMapSpec extends AnyFunSuite {
+
+  test("put/get round-trips keys including 0, negatives, and Long extremes") {
+    val m = new LongTopKMap(4, 1 << 20)
+    val keys = Seq(0L, -1L, 1L, Long.MaxValue, Long.MinValue, 42L)
+    keys.foreach(k => m.put(k, TopKBuf.empty(3).insert(k.toDouble, k)))
+    assert(m.size === keys.size)
+    keys.foreach(k => assert(m.get(k).ids(0) === k, s"key $k"))
+    assert(m.get(999L) === null)
+  }
+
+  test("grows past the initial capacity without losing entries") {
+    val m = new LongTopKMap(4, 1 << 20)
+    val n = 10000
+    (0 until n).foreach(i => m.put(i.toLong * 7919, TopKBuf.empty(1).insert(i, i)))
+    assert(m.size === n)
+    (0 until n).foreach { i =>
+      val buf = m.get(i.toLong * 7919)
+      assert(buf != null && buf.ids(0) === i, s"entry $i")
+    }
+  }
+
+  test("drain empties the map and returns every entry exactly once") {
+    val m = new LongTopKMap(4, 1 << 20)
+    (0 until 100).foreach(i => m.put(i, TopKBuf.empty(1).insert(i, i)))
+    val drained = m.drain()
+    assert(drained.map(_._1).sorted.toSeq === (0L until 100L))
+    assert(m.size === 0)
+    assert(m.get(5L) === null)
+    // reusable after drain
+    m.put(7L, TopKBuf.empty(1).insert(7, 7))
+    assert(m.get(7L).ids(0) === 7L)
+  }
+}
+
+class PartialTopKSpec extends SparkSpec {
+
+  private def candidates(nq: Int, perQ: Int) = {
+    // deterministic scored stream with shuffled-ish dist order
+    spark.range(nq.toLong * perQ).select(
+      (col("id") % nq).as("qid"),
+      col("id").as("id"),
+      (pmod(col("id") * 2654435761L, lit(100000)) / lit(10.0)).as("dist"))
+  }
+
+  private def windowTopK(scored: org.apache.spark.sql.DataFrame, k: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("qid", "id", "dist", "rank")
+  }
+
+  test("operator top-k equals the Window reference on a multi-partition stream") {
+    val scored = candidates(97, 500).repartition(7)
+    val a = TopKAggregator.topKPerQuery(scored, 10)
+    val b = windowTopK(scored, 10)
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+  }
+
+  test("a tiny flush budget (mid-partition drains) changes nothing") {
+    val scored = candidates(97, 200).repartition(3)
+    val tight = TopKAggregator.topKPerQuery(scored, 5, maxPartialKeys = 2)
+    val ref = windowTopK(scored, 5)
+    assert(tight.exceptAll(ref).count() === 0)
+    assert(ref.exceptAll(tight).count() === 0)
+  }
+
+  test("null qid/id/dist candidates are skipped, not ranked or crashed") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq[(java.lang.Long, java.lang.Long, java.lang.Double)](
+      (1L, 10L, 1.0), (1L, 11L, 2.0),
+      (null, 12L, 0.1), (1L, null, 0.2), (1L, 13L, null))
+      .toDF("qid", "id", "dist")
+    val out = TopKAggregator.topKPerQuery(rows, 10).collect()
+    assert(out.map(_.getLong(1)).sorted.toSeq === Seq(10L, 11L))
+  }
+
+  test("the plan shows PartialTopK with the child scan visible beneath it") {
+    val scored = candidates(5, 10)
+    val plan = TopKAggregator.topKPerQuery(scored, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartialTopK"))
+    assert(plan.contains("Range")) // the child source survives in the same tree
+  }
+}
