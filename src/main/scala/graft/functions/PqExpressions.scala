@@ -387,11 +387,13 @@ case class PqAdcDistanceToQuery(
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bc = ctx.addReferenceObj("adcTables", tables,
       classOf[Broadcast[java.util.HashMap[java.lang.Long, Array[Array[Double]]]]].getName)
-    // raw-type cast: Janino cannot compile generic casts (silent
-    // interpreted fallback for the whole stage otherwise)
+    // deref the broadcast ONCE per generated instance (= per task), not
+    // per row; raw-type cast because Janino cannot compile generic casts
+    // (silent interpreted fallback for the whole stage otherwise)
+    val tbl = ctx.addMutableState("java.util.HashMap", "adcTablesMap",
+      v => s"$v = (java.util.HashMap) $bc.value();")
     nullSafeCodeGen(ctx, ev, (c, q) =>
-      s"${ev.value} = graft.functions.PqKernels.adcDistanceTo(" +
-        s"$c, $q, (java.util.HashMap) $bc.value());")
+      s"${ev.value} = graft.functions.PqKernels.adcDistanceTo($c, $q, $tbl);")
   }
 
   override protected def withNewChildrenInternal(

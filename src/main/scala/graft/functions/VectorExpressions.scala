@@ -172,11 +172,14 @@ case class DistanceToQuery(
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bc = ctx.addReferenceObj("queriesBc", queries,
       classOf[Broadcast[java.util.HashMap[java.lang.Long, Array[Float]]]].getName)
-    // raw-type cast: Janino's generics support is limited and a failed
-    // codegen compile silently disables whole-stage codegen for the stage
+    // deref the broadcast ONCE per generated instance (= per task), not
+    // per row; raw-type cast: Janino's generics support is limited and a
+    // failed codegen compile silently disables whole-stage codegen
+    val qm = ctx.addMutableState("java.util.HashMap", "queriesMap",
+      v => s"$v = (java.util.HashMap) $bc.value();")
     nullSafeCodeGen(ctx, ev, (v, q) =>
       s"${ev.value} = graft.functions.VectorKernels.distanceToQuery(" +
-        s"$v, $q, (java.util.HashMap) $bc.value(), $metricId);")
+        s"$v, $q, $qm, $metricId);")
   }
 
   override protected def withNewChildrenInternal(

@@ -10,35 +10,35 @@ package graft.index
  *
  * Not thread-safe; one instance per partition-task.
  */
-final class LongTopKMap(initialCapacity: Int, maxKeys: Int) {
+final class LongTopKMap[V >: Null <: AnyRef](initialCapacity: Int, maxKeys: Int) {
   require(maxKeys > 0, s"maxKeys must be positive, got $maxKeys")
 
   private var cap = Integer.highestOneBit(
     math.max(8, math.min(initialCapacity, maxKeys)) * 2 - 1) * 2
   private var mask = cap - 1
   private var keys = new Array[Long](cap)
-  private var vals = new Array[TopKBuf](cap)
+  private var vals = new Array[AnyRef](cap)
   private var n = 0
 
   def size: Int = n
 
-  /** Spread the key's entropy across bits (qids are often sequential). */
+  /** Mix the key's entropy across bits (qids are often sequential). */
   @inline private def slot(k: Long): Int = {
     val h = k * 0x9E3779B97F4A7C15L
     ((h >>> 32) ^ h).toInt & mask
   }
 
-  def get(k: Long): TopKBuf = {
+  def get(k: Long): V = {
     var i = slot(k)
     while (vals(i) != null) {
-      if (keys(i) == k) return vals(i)
+      if (keys(i) == k) return vals(i).asInstanceOf[V]
       i = (i + 1) & mask
     }
     null
   }
 
   /** Caller must ensure the key is absent and `size < maxKeys`. */
-  def put(k: Long, v: TopKBuf): Unit = {
+  def put(k: Long, v: V): Unit = {
     var i = slot(k)
     while (vals(i) != null) i = (i + 1) & mask
     keys(i) = k
@@ -55,7 +55,7 @@ final class LongTopKMap(initialCapacity: Int, maxKeys: Int) {
     cap <<= 1
     mask = cap - 1
     keys = new Array[Long](cap)
-    vals = new Array[TopKBuf](cap)
+    vals = new Array[AnyRef](cap)
     var i = 0
     while (i < oldVals.length) {
       val v = oldVals(i)
@@ -70,8 +70,8 @@ final class LongTopKMap(initialCapacity: Int, maxKeys: Int) {
   }
 
   /** Snapshot entries into an array (for the flush drain) and clear. */
-  def drain(): Array[(Long, TopKBuf)] = {
-    val out = new Array[(Long, TopKBuf)](n)
+  def drain(): Array[(Long, V)] = {
+    val out = new Array[(Long, AnyRef)](n)
     var i = 0
     var o = 0
     while (i < vals.length) {
@@ -83,6 +83,6 @@ final class LongTopKMap(initialCapacity: Int, maxKeys: Int) {
       i += 1
     }
     n = 0
-    out
+    out.asInstanceOf[Array[(Long, V)]]
   }
 }

@@ -3,7 +3,9 @@ package graft.index
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet, GenericInternalRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet}
+import org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter
+import org.apache.spark.sql.types.{DoubleType, LongType}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
@@ -54,13 +56,26 @@ case class PartialTopKExec(k: Int, maxKeys: Int, child: SparkPlan)
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val maxLocal = maxKeys
-    val types = output.map(_.dataType).toArray
+    require(output.map(_.dataType) == Seq(LongType, LongType, DoubleType),
+      s"PartialTopKExec needs (LONG, LONG, DOUBLE) input, got ${output.map(_.dataType)}")
     val outRows = longMetric("numOutputRows")
     child.execute().mapPartitions({ rows =>
       new Iterator[InternalRow] {
-        private val map = new LongTopKMap(1 << 10, maxLocal)
-        private val proj = UnsafeProjection.create(types)
-        private val reused = new GenericInternalRow(3)
+        // buffer strategy by k: TopKBuf's sorted-array insert (one-compare
+        // reject, O(k) arraycopy accept) wins for serving-sized k; above
+        // the threshold a rerank-all shape (k >= candidates per query)
+        // would pay O(n^2/4) shifts, so large k switches to the O(log k)
+        // heap ([[TopKHeap]]) with one heapsort at drain
+        private val useHeap = kLocal > PartialTopK.HeapThreshold
+        private val bufMap =
+          if (useHeap) null else new LongTopKMap[TopKBuf](1 << 10, maxLocal)
+        private val heapMap =
+          if (useHeap) new LongTopKMap[TopKHeap](1 << 10, maxLocal) else null
+        // fixed 3-primitive schema -> hand-rolled UnsafeRow writer; an
+        // UnsafeProjection.create here would re-run source generation +
+        // codegen-cache lookup in EVERY task, which dominated small-batch
+        // serving latency (measured ~2x task time at 100-query batches)
+        private val writer = new UnsafeRowWriter(3)
         private var out: Iterator[InternalRow] = Iterator.empty
         private var exhausted = false
 
@@ -70,8 +85,12 @@ case class PartialTopKExec(k: Int, maxKeys: Int, child: SparkPlan)
         }
         override def next(): InternalRow = { hasNext; out.next() }
 
+        @inline private def mapSize: Int = if (useHeap) heapMap.size else bufMap.size
+
+        private var debugT0 = 0L
         private def advance(): Unit = {
-          while (rows.hasNext && map.size < maxLocal) {
+          if (debugT0 == 0) debugT0 = System.nanoTime()
+          while (rows.hasNext && mapSize < maxLocal) {
             val r = rows.next()
             // null skip lives here, NOT as a Catalyst filter upstream: an
             // isnotnull on a computed distance column would be substituted
@@ -79,24 +98,42 @@ case class PartialTopKExec(k: Int, maxKeys: Int, child: SparkPlan)
             // the distance kernel would evaluate twice per candidate
             if (!(r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2))) {
               val qid = r.getLong(0)
-              var buf = map.get(qid)
-              if (buf == null) { buf = TopKBuf.empty(kLocal); map.put(qid, buf) }
-              buf.insert(r.getDouble(2), r.getLong(1))
+              if (useHeap) {
+                var h = heapMap.get(qid)
+                if (h == null) { h = new TopKHeap(kLocal); heapMap.put(qid, h) }
+                h.insert(r.getDouble(2), r.getLong(1))
+              } else {
+                var buf = bufMap.get(qid)
+                if (buf == null) { buf = TopKBuf.empty(kLocal); bufMap.put(qid, buf) }
+                buf.insert(r.getDouble(2), r.getLong(1))
+              }
             }
           }
-          if (!rows.hasNext) exhausted = true
-          out = map.drain().iterator.flatMap { case (qid, buf) =>
-            Iterator.range(0, buf.size).map { j =>
-              reused.setLong(0, qid)
-              reused.setLong(1, buf.ids(j))
-              reused.setDouble(2, buf.dists(j))
-              outRows += 1
-              // the projection's UnsafeRow buffer is reused per row — fine
-              // for every consumer (exchanges and object-deserializers
-              // copy eagerly), same contract as codegen'd operators
-              proj(reused)
-            }
+          if (!rows.hasNext) {
+            exhausted = true
+            if (PartialTopK.debugEnabled)
+              System.err.println(f"[ptopk-task] k=$kLocal heap=$useHeap " +
+                f"wall=${(System.nanoTime() - debugT0) / 1e6}%.1f ms qids=$mapSize")
           }
+          // the writer's UnsafeRow buffer is reused per row — fine for
+          // every consumer (exchanges and object-deserializers copy
+          // eagerly), same contract as codegen'd operators
+          @inline def emit(qid: Long, id: Long, dist: Double): InternalRow = {
+            writer.reset()
+            writer.write(0, qid)
+            writer.write(1, id)
+            writer.write(2, dist)
+            outRows += 1
+            writer.getRow
+          }
+          out =
+            if (useHeap) heapMap.drain().iterator.flatMap { case (qid, h) =>
+              h.sortAscending()
+              Iterator.range(0, h.size).map(j => emit(qid, h.ids(j), h.dists(j)))
+            }
+            else bufMap.drain().iterator.flatMap { case (qid, buf) =>
+              Iterator.range(0, buf.size).map(j => emit(qid, buf.ids(j), buf.dists(j)))
+            }
         }
       }
     }, preservesPartitioning = true)
@@ -116,6 +153,17 @@ object PartialTopKStrategy extends SparkStrategy {
 }
 
 object PartialTopK {
+
+  /** Task-side wall prints for the combine loop (diagnostics only). */
+  private[index] val debugEnabled = sys.env.contains("GRAFT_TOPK_DEBUG")
+
+  /** k above which the partial combine switches from [[TopKBuf]]'s
+    * sorted-array insert to the [[TopKHeap]] max-heap — one step past the
+    * reference's serving topk cap (1 <= topk <= 1000,
+    * server/query_service.cpp:107), so every serving-shaped search keeps
+    * the one-compare-reject buffer and only rerank-all style exhaustive
+    * searches pay the heap's extra compare per accept. */
+  val HeapThreshold = 1024
 
   /** Wrap `candidates` — already shaped (qid LONG, id LONG, dist DOUBLE);
     * rows with a null slot are skipped inside the operator — in the

@@ -71,15 +71,16 @@ object TopKAggregator {
     // column that filter gets substituted through the Project into the join
     // condition by predicate pushdown, and the whole distance kernel runs
     // TWICE per candidate row — the dominant cost of every search plan.
+    // tuple field names up front: the typed decode below resolves _1/_2/_3
+    // and naming them here avoids a rename Project above the operator
     val prepared = scored
       .select(
-        col(queryCol).cast("long").as("qid"),
-        col(idCol).cast("long").as("id"),
-        col(distCol).cast("double").as("dist"))
+        col(queryCol).cast("long").as("_1"),
+        col(idCol).cast("long").as("_2"),
+        col(distCol).cast("double").as("_3"))
     // the partial output is tiny (<= nQueries x k per partition), so the
-    // typed decode below is off the hot path; tuple field names for as[]
+    // typed decode below is off the hot path
     val partial = PartialTopK(prepared, k, maxPartialKeys)
-      .toDF("_1", "_2", "_3")
       .as[(Long, Long, Double)]
     val agg = new TopKAggregator(k).toColumn
     partial

@@ -18,10 +18,53 @@ object OneQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(name)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        taskMs.addAndGet(s.stageInfo.taskMetrics.executorRunTime)
+        if (sys.env.contains("ONEQUERY_STAGES"))
+          println(f"[stage] ${s.stageInfo.taskMetrics.executorRunTime}%5d ms " +
+            f"tasks=${s.stageInfo.numTasks}%3d ${s.stageInfo.name.takeWhile(_ != '\n').take(90)}")
+      }
+    })
     (1 to iters).foreach { i =>
+      jobs.set(0); stages.set(0); taskMs.set(0)
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[onequery] $name iter$i ${(System.nanoTime() - t0) / 1e9}%7.3f s rows=$n")
+      val df = fn(spark, sfDir)
+      val t1 = System.nanoTime()
+      val n = df.count()
+      val t2 = System.nanoTime()
+      println(f"[onequery] $name iter$i ${(t2 - t0) / 1e9}%7.3f s " +
+        f"(build ${(t1 - t0) / 1e9}%6.3f, exec ${(t2 - t1) / 1e9}%6.3f) rows=$n " +
+        f"jobs=${jobs.get} stages=${stages.get} taskSec=${taskMs.get / 1e3}%.2f")
+    }
+    if (sys.env.contains("ONEQUERY_METRICS")) {
+      val df = fn(spark, sfDir)
+      df.count()
+      def walk(p: org.apache.spark.sql.execution.SparkPlan, d: Int): Unit = {
+        val m = p.metrics.map { case (k, v) => s"$k=${v.value}" }.mkString(" ")
+        println(s"[metrics] ${"  " * d}${p.nodeName} $m")
+        p.children.foreach(walk(_, d + 1))
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan, d + 1)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(q.plan, d + 1)
+          case _ =>
+        }
+      }
+      walk(df.queryExecution.executedPlan, 0)
+    }
+    if (sys.env.contains("ONEQUERY_CODEGEN")) {
+      import org.apache.spark.sql.execution.debug._
+      val df = fn(spark, sfDir)
+      df.count() // finalize AQE stages so codegen subtrees exist
+      df.debugCodegen()
     }
     if (sys.env.contains("ONEQUERY_EXPLAIN")) {
       val df = fn(spark, sfDir)
