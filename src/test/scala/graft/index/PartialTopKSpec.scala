@@ -8,7 +8,7 @@ import graft.SparkSpec
 class LongTopKMapSpec extends AnyFunSuite {
 
   test("put/get round-trips keys including 0, negatives, and Long extremes") {
-    val m = new LongTopKMap(4, 1 << 20)
+    val m = new LongTopKMap[TopKBuf](4, 1 << 20)
     val keys = Seq(0L, -1L, 1L, Long.MaxValue, Long.MinValue, 42L)
     keys.foreach(k => m.put(k, TopKBuf.empty(3).insert(k.toDouble, k)))
     assert(m.size === keys.size)
@@ -17,7 +17,7 @@ class LongTopKMapSpec extends AnyFunSuite {
   }
 
   test("grows past the initial capacity without losing entries") {
-    val m = new LongTopKMap(4, 1 << 20)
+    val m = new LongTopKMap[TopKBuf](4, 1 << 20)
     val n = 10000
     (0 until n).foreach(i => m.put(i.toLong * 7919, TopKBuf.empty(1).insert(i, i)))
     assert(m.size === n)
@@ -28,7 +28,7 @@ class LongTopKMapSpec extends AnyFunSuite {
   }
 
   test("drain empties the map and returns every entry exactly once") {
-    val m = new LongTopKMap(4, 1 << 20)
+    val m = new LongTopKMap[TopKBuf](4, 1 << 20)
     (0 until 100).foreach(i => m.put(i, TopKBuf.empty(1).insert(i, i)))
     val drained = m.drain()
     assert(drained.map(_._1).sorted.toSeq === (0L until 100L))
@@ -37,6 +37,36 @@ class LongTopKMapSpec extends AnyFunSuite {
     // reusable after drain
     m.put(7L, TopKBuf.empty(1).insert(7, 7))
     assert(m.get(7L).ids(0) === 7L)
+  }
+}
+
+class TopKHeapSpec extends AnyFunSuite {
+
+  test("heap keep-set and drain order equal TopKBuf for random streams with ties") {
+    val rnd = new scala.util.Random(7)
+    for (k <- Seq(1, 2, 7, 64); n <- Seq(0, 1, 5, 500)) {
+      val buf = TopKBuf.empty(k)
+      val heap = new TopKHeap(k)
+      (0 until n).foreach { i =>
+        val d = rnd.nextInt(20).toDouble // dense values force id tie-breaks
+        val id = rnd.nextInt(100).toLong
+        buf.insert(d, id)
+        heap.insert(d, id)
+      }
+      heap.sortAscending()
+      val a = (0 until buf.size).map(j => (buf.dists(j), buf.ids(j)))
+      val b = (0 until heap.size).map(j => (heap.dists(j), heap.ids(j)))
+      assert(a === b, s"k=$k n=$n")
+    }
+  }
+
+  test("NaN never enters; k larger than the stream keeps everything sorted") {
+    val heap = new TopKHeap(1000)
+    heap.insert(Double.NaN, 1L)
+    assert(heap.size === 0)
+    Seq(3.0 -> 3L, 1.0 -> 1L, 2.0 -> 2L).foreach { case (d, i) => heap.insert(d, i) }
+    heap.sortAscending()
+    assert((0 until heap.size).map(heap.ids(_)).toSeq === Seq(1L, 2L, 3L))
   }
 }
 
@@ -61,6 +91,14 @@ class PartialTopKSpec extends SparkSpec {
     val scored = candidates(97, 500).repartition(7)
     val a = TopKAggregator.topKPerQuery(scored, 10)
     val b = windowTopK(scored, 10)
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+  }
+
+  test("large k (heap path) equals the Window reference") {
+    val scored = candidates(11, 400).repartition(3)
+    val a = TopKAggregator.topKPerQuery(scored, 2000) // k > HeapThreshold, k > stream
+    val b = windowTopK(scored, 2000)
     assert(a.exceptAll(b).count() === 0)
     assert(b.exceptAll(a).count() === 0)
   }
