@@ -52,6 +52,42 @@ object ScaleStress {
         index.search(small, SearchParams(k = 10, nprobe = 10)).count()
       }
     }
+    // the reference's OWN serving shape: coalesced batches of 64 queries
+    // (server/query_service.h:25-27, vendor p99 12 ms on V100) — measure
+    // the per-micro-batch latency floor of the static path at batch=64
+    val batch64 = small.limit(64).collect().map(graft.index.IvfFlatIndex.decodeQueryRow)
+    val lat = (1 to 60).map { _ =>
+      val t0 = System.nanoTime()
+      val (df, release) = index.searchBatchManaged(batch64, SearchParams(k = 10, nprobe = 10))
+      df.count()
+      release()
+      (System.nanoTime() - t0) / 1e6
+    }.drop(10).sorted // 10 warmup batches; percentiles over the remaining 50
+    def pct(p: Double) = lat((p * (lat.size - 1)).round.toInt)
+    println(f"[stress] batch=64 serving latency ms p50=${pct(.5)}%.1f " +
+      f"p95=${pct(.95)}%.1f p99=${pct(.99)}%.1f -> ${64000 / pct(.5)}%.0f QPS/stream")
+    // concurrent serving streams (the reference serves 16-32 concurrent
+    // searches, server/query_service.h:28): N driver threads each running
+    // sequential batch-64 searches — Spark's scheduler interleaves their
+    // jobs across the same executor threads
+    for (streams <- Seq(4, 16)) {
+      val perStream = 12
+      val t0 = System.nanoTime()
+      val threads = (1 to streams).map { _ =>
+        val t = new Thread(() => {
+          (1 to perStream).foreach { _ =>
+            val (df, release) = index.searchBatchManaged(batch64, SearchParams(k = 10, nprobe = 10))
+            df.count()
+            release()
+          }
+        })
+        t.start(); t
+      }
+      threads.foreach(_.join())
+      val wall = (System.nanoTime() - t0) / 1e9
+      val qps = streams * perStream * 64 / wall
+      println(f"[stress] $streams concurrent batch-64 streams: ${wall}%.1f s -> $qps%.0f QPS aggregate")
+    }
     // IVF-PQ at the same shape: m=16 -> 16-byte codes vs 512-byte raw
     // vectors (32x scan-byte reduction — THE 100 TB memory story). The
     // rerank source reuses the flat index's ASSIGNED corpus cache (with
