@@ -70,6 +70,47 @@ object RecallSweep {
     results.mkString("[", ",", "]")
   }
 
+  /** PQ recall at one sizing point: ADC-only top-k and ADC + exact rerank
+    * vs brute-force ground truth. Quantization loss rides ON TOP of the
+    * IVF probe loss, so the honest points pair each flat number with its
+    * PQ counterpart at the identical (nlist, nprobe). */
+  private def sweepPq(
+      spark: SparkSession,
+      name: String,
+      corpus: DataFrame,
+      queries: DataFrame,
+      nlist: Int,
+      m: Int,
+      nprobes: Seq[Int],
+      rerankK: Int,
+      maxTrain: Int,
+      k: Int): String = {
+    val exact = timed(s"$name: exact ground truth (pq)") {
+      Knn.exact(queries, corpus, k, Metric.L2).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val index = timed(s"$name: pq build nlist=$nlist m=$m") {
+      val idx = graft.index.IvfPqIndex.build(spark, corpus, nlist, m, maxTrain = maxTrain)
+      idx.codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+      idx
+    }
+    val rows = nprobes.map { nprobe =>
+      def recallOf(df: DataFrame): Double = {
+        val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        (got & exact).size.toDouble / exact.size
+      }
+      val adc = timed(s"$name: pq adc nlist=$nlist nprobe=$nprobe") {
+        recallOf(index.search(queries, SearchParams(k, nprobe)))
+      }
+      val rr = timed(s"$name: pq rerank($rerankK) nlist=$nlist nprobe=$nprobe") {
+        recallOf(index.search(queries, SearchParams(k, nprobe), rerankK = rerankK))
+      }
+      s""""$nprobe":{"adc":$adc,"rerank":$rr}"""
+    }
+    index.codes.unpersist(blocking = false)
+    s"""{"nlist":$nlist,"m":$m,"rerank_k":$rerankK,"recall":${rows.mkString("{", ",", "}")}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("RECALL.json")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -132,6 +173,11 @@ object RecallSweep {
         (128, 16, Seq(4, 8, 16, 32)),
         (1024, 10, Seq(10))),
       maxTrain = 100000, k)
+    // PQ at the canonical shape on the designed-for corpus: ADC-only vs
+    // ADC + exact rerank at the same (nlist, nprobe) as the flat points
+    val clusteredPqJson = sweepPq(spark, "clustered", clustered, clusteredQ,
+      nlist = 1024, m = 16, nprobes = Seq(10, 32), rerankK = 100,
+      maxTrain = 100000, k = k)
     clustered.unpersist(blocking = false)
     clusteredQ.unpersist(blocking = false)
 
@@ -147,6 +193,9 @@ object RecallSweep {
         (128, 16, Seq(4, 8, 16, 32)),
         (1024, 10, Seq(10, 32))),      // reference sizing on a tiny corpus
       maxTrain = 100000, k)
+    val embPqJson = sweepPq(spark, "embeddings", emb, embQ,
+      nlist = 16, m = 8, nprobes = Seq(8, 16), rerankK = 100,
+      maxTrain = 100000, k = k)
     emb.unpersist(blocking = false)
     embQ.unpersist(blocking = false)
 
@@ -154,12 +203,16 @@ object RecallSweep {
       "correctness (exactness is hash-proven at nprobe=nlist in the " +
       "correctness gate): uniform noise is the worst case, the clustered " +
       "corpus at the same shape and the real embeddings table show the " +
-      "designed-for regime."
+      "designed-for regime. PQ on the clustered corpus is the OPPOSITE " +
+      "degenerate case: ~1000 near-identical points per center collapse to " +
+      "the same m-byte code, ADC ties break by id (~k/1000 recall) and " +
+      "rerank(100) recovers only the ~100/1000 pool odds — real embeddings " +
+      "(the pq block on the last corpus) show PQ's actual behavior."
     val line =
       s"""{"k":$k,"caveat":"$caveat","corpora":[""" +
         s"""{"corpus":"uniform-synthetic 1Mx128D","train":100000,"queries":$nq,"points":$uniformJson},""" +
-        s"""{"corpus":"clustered-synthetic 1Mx128D (1024 centers, 5% noise)","train":100000,"queries":$nq,"points":$clusteredJson},""" +
-        s"""{"corpus":"embeddings $sfDir (${embN}x64D real)","queries":100,"points":$embJson}]}"""
+        s"""{"corpus":"clustered-synthetic 1Mx128D (1024 centers, 5% noise)","train":100000,"queries":$nq,"points":$clusteredJson,"pq":$clusteredPqJson},""" +
+        s"""{"corpus":"embeddings $sfDir (${embN}x64D real)","queries":100,"points":$embJson,"pq":$embPqJson}]}"""
     println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     spark.stop()
