@@ -130,35 +130,35 @@ class IvfFlatIndex(
     val m = params.metric.getOrElse(metric)
     val nprobe = math.min(params.nprobe, nlist)
     val corpus = predicate.map(vectors.filter).getOrElse(vectors)
-    val qmap = new java.util.HashMap[java.lang.Long, Array[Float]]()
     batch.foreach { case (qid, v) =>
       require(v != null, s"null query vector for qid=$qid")
-      qmap.put(qid, v)
     }
     // the batch is already on the driver — probe it here (parallel
     // chunks) instead of scheduling a one-partition Spark job
     val pairs = IvfFlatIndex.localProbe(batch, centroids.value, nprobe, m)
-    val bcQ = spark.sparkContext.broadcast(qmap)
-    (searchStaticPruned(corpus, pairs, bcQ, params.k, nprobe, m),
-      () => bcQ.destroy())
+    // ONE broadcast carries the batch's vectors (once, never replicated
+    // per probe) plus the per-list probe positions — the shared-query-
+    // cache idea of kernels.cuh:111-117 in Spark terms
+    val bcP = spark.sparkContext.broadcast(ProbeIndex(batch, pairs, nlist))
+    (searchStaticPruned(corpus, pairs, bcP, params.k, m),
+      () => bcP.destroy())
   }
 
   private def searchStaticPruned(
       corpus: DataFrame, pairs: Array[(Long, Int)],
-      qmap: Broadcast[java.util.HashMap[java.lang.Long, Array[Float]]],
-      k: Int, nprobe: Int, m: Metric.Value): DataFrame = {
+      probeIdx: Broadcast[ProbeIndex],
+      k: Int, m: Metric.Value): DataFrame = {
     val listIds = pairs.map(_._2).distinct.toSeq
-    // the probe join carries only the 8-byte qid; the query vector is
-    // resolved inside the distance expression from the broadcast map,
-    // saving a dim x 4B row copy per candidate (kernels.cuh:111-117's
-    // shared-memory query cache, in Spark terms)
-    val pairsDF = spark.createDataFrame(pairs.toIndexedSeq).toDF("qid", "list_id")
-    val candidates = corpus
+    // per-list scan + partial top-k as ONE stable operator: the pruned
+    // scan's rows go straight into per-query insertion buffers — no
+    // candidate rows, no per-candidate generated glue (see ListScanTopK)
+    val pruned = corpus
       .filter(col("list_id").isInCollection(listIds)) // static partition pruning
-      .join(broadcast(pairsDF), "list_id")
-      .withColumn("dist", vector.distance_to_query(col("vec"), col("qid"), qmap, m))
-      .select("qid", "id", "dist")
-    val result = TopKAggregator.topKPerQuery(candidates, k)
+      .select(col("id").cast("long"), col("list_id").cast("int"), col("vec"))
+    val partial = ListScanTopK(pruned,
+      new FlatListScorer(probeIdx, m.id), k)
+    val result = TopKAggregator.finalizePartial(partial, k)
+      .select("qid", "id", "dist", "rank")
     // stats record when the plan RUNS, not here at construction — an
     // abandoned DataFrame must leave hot-list stats untouched
     if (probeListener eq IvfFlatIndex.NoopProbeListener) result

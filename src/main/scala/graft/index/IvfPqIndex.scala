@@ -91,30 +91,31 @@ class IvfPqIndex(
       rerankK: Int = 0): (DataFrame, () => Unit) = {
     val nprobe = math.min(params.nprobe, nlist)
     val probeMetric = params.metric.getOrElse(Metric.L2)
-    val tables = new java.util.HashMap[java.lang.Long, Array[Array[Double]]]()
-    val qmap = new java.util.HashMap[java.lang.Long, Array[Float]]()
     // validate BEFORE the probe — a null vector must fail with this
     // message, not an NPE from inside the probe's worker future
     batch.foreach { case (qid, v) =>
       require(v != null, s"null query vector for qid=$qid")
-      tables.put(qid,
-        graft.functions.PqKernels.adcTableRaw(v, codebooks.value, probeMetric.id))
-      qmap.put(qid, v)
     }
     val pairs = IvfFlatIndex.localProbe(batch, centroids.value, nprobe, probeMetric)
-    val bcT = spark.sparkContext.broadcast(tables)
     val listIds = pairs.map(_._2).distinct.toSeq
-    val pairsDF = spark.createDataFrame(pairs.toIndexedSeq).toDF("qid", "list_id")
-    val cands = codes
+    // one broadcast: per-query ADC tables (computed once on the driver,
+    // never replicated per candidate) + per-list probe positions; the
+    // pruned codes scan feeds per-query top-k buffers inside the stable
+    // ListScanTopK operator — no candidate rows, no per-candidate codegen
+    val bcT = spark.sparkContext.broadcast(
+      PqProbeIndex(batch, pairs, nlist, codebooks.value, probeMetric.id))
+    val prunedCodes = codes
       .filter(col("list_id").isInCollection(listIds)) // partition pruning
-      .join(broadcast(pairsDF), "list_id")
-      .withColumn("dist", pq.pq_adc_distance_to_query(col("codes"), col("qid"), bcT))
-      .select("qid", "id", "dist")
+      .select(col("id").cast("long"), col("list_id").cast("int"), col("codes"))
     val preK = if (rerankK > 0) math.max(rerankK, params.k) else params.k
-    val adcTop = TopKAggregator.topKPerQuery(cands, preK).select("qid", "id", "dist", "rank")
+    val partial = ListScanTopK(prunedCodes, new PqListScorer(bcT), preK)
+    val adcTop = TopKAggregator.finalizePartial(partial, preK)
+      .select("qid", "id", "dist", "rank")
     if (rerankK <= 0) (adcTop, () => bcT.destroy())
     else {
       val m = params.metric.getOrElse(Metric.L2)
+      val qmap = new java.util.HashMap[java.lang.Long, Array[Float]]()
+      batch.foreach { case (qid, v) => qmap.put(qid, v) }
       val bcQ = spark.sparkContext.broadcast(qmap)
       // every rerank candidate lives in a probed list — when the raw table
       // carries list_id (epoch reads do), prune its scan to those

@@ -37,16 +37,20 @@ final class LongTopKMap[V >: Null <: AnyRef](initialCapacity: Int, maxKeys: Int)
     null
   }
 
-  /** Caller must ensure the key is absent and `size < maxKeys`. */
+  /** Caller must ensure the key is absent. `maxKeys` is the caller's FLUSH
+    * budget, not a hard capacity: a caller that inserts several keys
+    * between flush checks (ListScanTopKExec scores one corpus row against
+    * a whole list's queries) may overshoot it by one batch, so capacity
+    * always follows `n` — a full table would turn the linear probe into an
+    * infinite loop. */
   def put(k: Long, v: V): Unit = {
     var i = slot(k)
     while (vals(i) != null) i = (i + 1) & mask
     keys(i) = k
     vals(i) = v
     n += 1
-    // keep load factor <= 0.5 so probe chains stay short; capacity is
-    // bounded by 4 * maxKeys, after which the flush budget empties the map
-    if (n * 2 > cap && cap < maxKeys * 4) grow()
+    // keep load factor <= 0.5 so probe chains stay short
+    if (n * 2 > cap) grow()
   }
 
   private def grow(): Unit = {

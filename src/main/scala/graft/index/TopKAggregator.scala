@@ -78,12 +78,21 @@ object TopKAggregator {
         col(queryCol).cast("long").as("_1"),
         col(idCol).cast("long").as("_2"),
         col(distCol).cast("double").as("_3"))
-    // the partial output is tiny (<= nQueries x k per partition), so the
-    // typed decode below is off the hot path
-    val partial = PartialTopK(prepared, k, maxPartialKeys)
-      .as[(Long, Long, Double)]
+    finalizePartial(PartialTopK(prepared, k, maxPartialKeys), k)
+  }
+
+  /**
+   * Final merge over an already-partial candidate stream `(_1 qid LONG,
+   * _2 id LONG, _3 dist DOUBLE)` — the output contract of BOTH partial
+   * operators ([[PartialTopKExec]] and [[ListScanTopKExec]]). The partial
+   * stream is tiny (<= nQueries x k per partition), so the typed decode
+   * here is off the hot path.
+   */
+  def finalizePartial(partial: DataFrame, k: Int): DataFrame = {
+    val spark = partial.sparkSession
+    import spark.implicits._
     val agg = new TopKAggregator(k).toColumn
-    partial
+    partial.as[(Long, Long, Double)]
       .groupByKey(_._1)
       .agg(agg.name("topk").as[Seq[(Double, Long)]](
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()))

@@ -84,12 +84,22 @@ class IvfFlatIndexSpec extends SparkSpec {
       Seq((10L, 0.3), (11L, 0.4)))
   }
 
-  test("probe join plan broadcasts and never degenerates to a cartesian product") {
+  test("static path plans the list-scan top-k operator; join path broadcasts") {
     val q = queriesDF(queries)
+    // small batch -> static path: the pruned scan feeds the per-list scan
+    // + top-k operator directly — no candidate join exists in the plan
     val plan = index.search(q, SearchParams(k = 10, nprobe = 2))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
-    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("ListScanTopK"), s"static path missing operator:\n$plan")
+    assert(!plan.contains("Join"), s"static path should be join-free:\n$plan")
+    assert(!plan.startsWith("!") && !plan.contains("\n!"),
+      s"plan contains an invalid (!) node:\n$plan")
+    // distributed join path: broadcast equi-join, never a cartesian blowup
+    val joinPlan = index.searchWhere(q, SearchParams(k = 10, nprobe = 2), None,
+      IvfFlatIndex.ForceJoin).queryExecution.executedPlan.toString
+    assert(joinPlan.contains("BroadcastHashJoin") ||
+      joinPlan.contains("BroadcastNestedLoopJoin"))
+    assert(!joinPlan.contains("CartesianProduct"))
   }
 
   test("distance kernel evaluates ONCE per candidate — never inside a join condition") {

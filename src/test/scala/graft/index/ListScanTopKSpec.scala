@@ -1,0 +1,105 @@
+package graft.index
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.{Metric, SearchParams, SparkSpec}
+
+/**
+ * Contracts of the scan-side list top-k operator (the static serving
+ * path's per-list scan + insertion buffers, ListScanTopK.scala). The
+ * broader static ≡ join ≡ exact hash-equalities live in IvfFlatIndexSpec /
+ * BroadcastGateSpec; this spec pins the operator-specific behavior:
+ * flush fragmentation, null/unprobed skips, heap switch, and the PQ
+ * scorer against its join-path twin.
+ */
+class ListScanTopKSpec extends SparkSpec {
+
+  private val dim = 16
+  private lazy val corpus = randomVectors(600, dim)
+  private lazy val queries = randomVectors(40, dim, seed = 99)
+    .map { case (i, v) => (i + 1000L, v) }
+  private lazy val flat = IvfFlatIndex.build(spark, vectorsDF(corpus), nlist = 8)
+
+  private def sortedHits(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Int)] =
+    df.select("qid", "id", "dist", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+
+  test("operator results are identical to the distributed join path") {
+    val params = SearchParams(k = 7, nprobe = 8) // all lists -> exact too
+    val static = sortedHits(flat.searchBatch(queries.toArray, params))
+    val join = sortedHits(flat.searchWhere(queriesDF(queries), params, None,
+      IvfFlatIndex.ForceJoin))
+    val exact = sortedHits(flat.searchExact(queriesDF(queries), 7))
+    assert(static === join)
+    assert(static === exact)
+  }
+
+  test("a tiny maxKeys forces mid-partition flushes; fragments re-merge exactly") {
+    val params = SearchParams(k = 5, nprobe = 8)
+    val pairs = IvfFlatIndex.localProbe(queries.toArray, flat.centroids.value,
+      nprobe = 8, Metric.L2)
+    val bc = spark.sparkContext.broadcast(ProbeIndex(queries.toArray, pairs, flat.nlist))
+    val pruned = flat.vectors
+      .select(col("id").cast("long"), col("list_id").cast("int"), col("vec"))
+    def run(maxKeys: Int) = sortedHits(TopKAggregator.finalizePartial(
+      ListScanTopK(pruned, new FlatListScorer(bc, Metric.L2.id), 5, maxKeys), 5))
+    // maxKeys=1: every corpus row's first insert fills the map -> flush
+    // storm; results must still merge to the unfragmented answer
+    assert(run(1) === run(Int.MaxValue))
+    bc.destroy()
+  }
+
+  test("null payloads and rows from unprobed lists are skipped, not scored") {
+    val s = spark
+    import s.implicits._
+    // probe index covering ONLY list 0 with one query at the origin
+    val batch = Array((1L, Array.fill(dim)(0f)))
+    val pairs = Array((1L, 0))
+    val bc = spark.sparkContext.broadcast(ProbeIndex(batch, pairs, 4))
+    val rows = Seq(
+      (10L, 0, Some(Array.fill(dim)(1f))),   // scored
+      (11L, 0, None),                        // null vec -> skipped
+      (12L, 1, Some(Array.fill(dim)(0.1f))), // closer, but unprobed list
+      (13L, 9, Some(Array.fill(dim)(0.2f)))  // list id beyond nlist bound
+    ).toDF("id", "list_id", "vec")
+      .select(col("id").cast("long"), col("list_id").cast("int"), col("vec"))
+    val hits = sortedHits(TopKAggregator.finalizePartial(
+      ListScanTopK(rows, new FlatListScorer(bc, Metric.L2.id), 3), 3))
+    assert(hits.map(_._2) === Seq(10L))
+    bc.destroy()
+  }
+
+  test("k above the heap threshold takes the heap buffer and matches the array path") {
+    val params = SearchParams(k = PartialTopK.HeapThreshold + 10, nprobe = 8)
+    val static = sortedHits(flat.searchBatch(queries.take(3).toArray, params))
+    val exact = sortedHits(flat.searchExact(queriesDF(queries.take(3)),
+      PartialTopK.HeapThreshold + 10))
+    assert(static === exact)
+  }
+
+  test("pq static scorer matches the distributed pq join path (adc + rerank)") {
+    val pq = IvfPqIndex.build(spark, vectorsDF(corpus), nlist = 8, m = 4)
+    for (rerank <- Seq(0, 20)) {
+      val params = SearchParams(k = 6, nprobe = 8)
+      val static = sortedHits(pq.searchBatch(queries.toArray, params, rerank))
+      val join = sortedHits(pq.searchJoin(queriesDF(queries), params, rerank))
+      assert(static === join, s"rerankK=$rerank")
+    }
+  }
+
+  test("operator plan is valid (no missing-input '!' nodes) and prunes partitions") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lstk").toString
+    IvfFlatIndex.writeEpoch(flat.vectors, s"$tmp/vectors")
+    val epochIdx = new IvfFlatIndex(
+      spark, IvfFlatIndex.readEpoch(spark, s"$tmp/vectors"), flat.centroids, Metric.L2)
+    val df = epochIdx.searchBatch(queries.take(2).toArray, SearchParams(k = 3, nprobe = 2))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.startsWith("!") && !plan.contains("\n!"),
+      s"invalid node in plan:\n$plan")
+    assert(plan.contains("ListScanTopK"), s"operator missing from plan:\n$plan")
+    assert(plan.contains("PartitionFilters: [list_id"), s"no static pruning:\n$plan")
+    df.collect() // executes cleanly
+  }
+}
