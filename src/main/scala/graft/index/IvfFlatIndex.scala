@@ -268,8 +268,10 @@ object IvfFlatIndex {
   /** Driver-side probe of a bounded query batch: chunk-parallel, ordered
     * output — mirrors the reference's host-side select_nprobe_lists loop
     * (ivf_flat_index.cpp:215-218). ~33M madds for 1024 x 16384-list
-    * worst case, far below one Spark job's scheduling cost. */
-  private[index] def localProbe(
+    * worst case, far below one Spark job's scheduling cost. Also the
+    * probe half of the self-join's broadcast fast path
+    * ([[graft.pipeline.Similarity.knnSelfJoin]]). */
+  private[graft] def localProbe(
       batch: Array[(Long, Array[Float])],
       cents: Array[Array[Float]],
       nprobe: Int,

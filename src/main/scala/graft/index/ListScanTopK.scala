@@ -209,9 +209,12 @@ object ProbeIndex {
 }
 
 /** Flat-vector scorer: payload is the row's ARRAY<FLOAT> vector, decoded
-  * once and scored against each probing query with the metric kernel. */
+  * once and scored against each probing query with the metric kernel.
+  * `excludeSelf` skips qid == id pairs — the self-join reformulation
+  * treats every corpus vector as a query and must not rank itself. */
 final class FlatListScorer(
-    bc: Broadcast[ProbeIndex], metric: Int) extends ListScorer {
+    bc: Broadcast[ProbeIndex], metric: Int,
+    excludeSelf: Boolean = false) extends ListScorer {
   override def scoreInto(listId: Int, payload: ArrayData, id: Long, out: TopKSink): Unit = {
     val pi = bc.value
     if (listId >= 0 && listId < pi.listPos.length) {
@@ -221,7 +224,8 @@ final class FlatListScorer(
         var j = 0
         while (j < pos.length) {
           val p = pos(j)
-          out.insert(pi.qids(p), id, VectorKernels.distance(v, pi.qvecs(p), metric))
+          if (!(excludeSelf && pi.qids(p) == id))
+            out.insert(pi.qids(p), id, VectorKernels.distance(v, pi.qvecs(p), metric))
           j += 1
         }
       }

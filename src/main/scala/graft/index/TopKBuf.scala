@@ -34,6 +34,12 @@ case class TopKBuf(k: Int, dists: Array[Double], ids: Array[Long], var size: Int
       val mid = (lo + hi) >>> 1
       if (d < dists(mid) || (d == dists(mid) && id < ids(mid))) hi = mid else lo = mid + 1
     }
+    // the search lands AFTER an equal (d, id) entry, so an exact duplicate
+    // is always at lo-1: keep one. Top-k is over the candidate SET; a
+    // multi-probe self-join scores a pair once per shared list and the
+    // copies must not crowd out real neighbors. For every other producer
+    // (unique (qid, id) streams) this check never fires.
+    if (lo > 0 && dists(lo - 1) == d && ids(lo - 1) == id) return this
     val tail = math.min(size, k - 1) // last slot falls off when full
     System.arraycopy(dists, lo, dists, lo + 1, tail - lo)
     System.arraycopy(ids, lo, ids, lo + 1, tail - lo)

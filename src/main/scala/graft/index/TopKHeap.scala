@@ -12,7 +12,12 @@ package graft.index
  *
  * Same keep-set and tie order as TopKBuf: the k smallest (dist, id) pairs,
  * NaN rejected, ties broken by id; [[sortAscending]] leaves the arrays in
- * exactly TopKBuf's emit order.
+ * exactly TopKBuf's emit order. One contract difference: [[TopKBuf]] drops
+ * exact (dist, id) duplicates at insert (set semantics, O(1) there); a
+ * heap has no cheap duplicate check, so producers must emit each
+ * (qid, id) once — every heap-k path does, and the duplicate-producing
+ * self-join fast path is gated to buffer-sized k
+ * ([[graft.pipeline.Similarity.knnSelfJoin]]).
  */
 final class TopKHeap(val k: Int) {
   private var cap = math.min(k, 32)

@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 
 import graft.{Metric, SearchParams}
 import graft.functions.vector
-import graft.index.{IvfFlatIndex, Knn, TopKAggregator}
+import graft.index.{FlatListScorer, IvfFlatIndex, Knn, ListScanTopK, PartialTopK,
+  ProbeIndex, TopKAggregator}
 
 /**
  * Similarity-search operators over an embedding column:
@@ -97,22 +98,72 @@ object Similarity {
         SearchParams(k, index.nlist, Some(metric)), Some(predicate)))
   }
 
+  /** Corpus rows up to which the self-join ships the whole corpus as one
+    * driver-built probe index (~34 MB at 64k x 128D) — the serving trick
+    * applied to analytics. Above it, or at heap-sized k, the salted
+    * equi-join path below scales without any driver state. */
+  val MaxSelfIndexRows: Int = 1 << 16
+
   /**
    * Cosine top-k self-join for corpus analytics (each vector's k nearest
    * others), IVF-blocked: candidates share an IVF list (multi-probe for
-   * recall), so the shuffle is on list_id — never an all-pairs product.
+   * recall) — never an all-pairs product.
+   *
+   * Two size-gated executions with IDENTICAL results (the candidate set —
+   * ordered pairs sharing >= 1 of their `assignProbes` nearest lists,
+   * self excluded — is the same; equality is pinned by test and the
+   * driver's DuckDB oracle):
+   *
+   *  - **broadcast self-index** (corpus <= `maxSelfIndexRows`): the
+   *    self-join IS [[IvfFlatIndex.searchBatch]] with the corpus as the
+   *    batch — the corpus ships once as a [[ProbeIndex]] and the exploded
+   *    multi-probe scan feeds per-query top-k buffers inside
+   *    [[ListScanTopK]]. No candidate materialization, no distinct
+   *    shuffle, no payload join-backs. A pair sharing BOTH probed lists
+   *    scores twice with bit-identical distance; [[graft.index.TopKBuf]]
+   *    drops the exact duplicate at insert.
+   *  - **salted equi-join** (the 100 TB path): bucket join carries ids
+   *    only, multi-probe duplicate pairs collapse in `distinct()` BEFORE
+   *    the distance computes; `Dedup.bucketedSelfPairs` splits skewed
+   *    lists into salted sub-buckets (lossless tiling) so no hot list
+   *    becomes one quadratic task.
    */
   def knnSelfJoin(
       vectors: DataFrame, // (id, vec)
       centroids: Broadcast[Array[Array[Float]]],
       k: Int,
       assignProbes: Int = 2,
-      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
-    // bucket join carries ids only; multi-probe duplicate pairs are
-    // dropped BEFORE the distance computes (and before vectors shuffle).
-    // Dedup.bucketedSelfPairs splits skewed lists into salted sub-buckets
-    // so no single hot list becomes one quadratic task; the top-k below
-    // merges across sub-buckets by qid, so the split is invisible to it.
+      maxBucket: Int = Dedup.DefaultMaxBucket,
+      maxSelfIndexRows: Int = MaxSelfIndexRows): DataFrame = {
+    val spark = vectors.sparkSession
+    // the heap partial buffer has no cheap exact-duplicate skip, so the
+    // broadcast path is only taken at array-buffer k
+    val batch =
+      if (k > PartialTopK.HeapThreshold) null
+      else {
+        val rows = vectors.select(col("id"), col("vec"))
+          .limit(maxSelfIndexRows + 1).collect()
+        if (rows.length > maxSelfIndexRows) null
+        // a null vec is neither a query nor a candidate in the blocked
+        // path (explode of a null probe list emits nothing) — drop it
+        // from the probe index too
+        else rows.map(IvfFlatIndex.decodeQueryRow).filter(_._2 != null)
+      }
+    if (batch != null) {
+      val pairs = IvfFlatIndex.localProbe(batch, centroids.value, assignProbes, Metric.L2)
+      val bc = spark.sparkContext.broadcast(
+        ProbeIndex(batch, pairs, centroids.value.length))
+      val exploded = vectors.select(
+        col("id"),
+        explode(vector.probe_lists(col("vec"), centroids, assignProbes, Metric.L2))
+          .as("list_id"),
+        col("vec"))
+        .select(col("id").cast("long"), col("list_id").cast("int"), col("vec"))
+      val partial = ListScanTopK(exploded,
+        new FlatListScorer(bc, Metric.Cosine.id, excludeSelf = true), k)
+      return TopKAggregator.finalizePartial(partial, k)
+        .select("qid", "id", "dist", "rank")
+    }
     val assigned = vectors.select(
       col("id"),
       explode(vector.probe_lists(col("vec"), centroids, assignProbes, Metric.L2))

@@ -43,13 +43,18 @@ class LongTopKMapSpec extends AnyFunSuite {
 class TopKHeapSpec extends AnyFunSuite {
 
   test("heap keep-set and drain order equal TopKBuf for random streams with ties") {
+    // UNIQUE (dist, id) pairs, shuffled: the heap's contract domain (its
+    // producers emit each (qid, id) once); dense dist values still force
+    // id tie-breaks. Exact duplicates are TopKBuf-only territory — the
+    // buffer drops them (next test), the heap requires producers not to
+    // send them (the dup-producing self-join path is gated to buffer k).
     val rnd = new scala.util.Random(7)
     for (k <- Seq(1, 2, 7, 64); n <- Seq(0, 1, 5, 500)) {
       val buf = TopKBuf.empty(k)
       val heap = new TopKHeap(k)
-      (0 until n).foreach { i =>
-        val d = rnd.nextInt(20).toDouble // dense values force id tie-breaks
-        val id = rnd.nextInt(100).toLong
+      val pairs = rnd.shuffle(
+        (0 until n).map(i => (rnd.nextInt(20).toDouble, i.toLong)))
+      pairs.foreach { case (d, id) =>
         buf.insert(d, id)
         heap.insert(d, id)
       }
@@ -58,6 +63,24 @@ class TopKHeapSpec extends AnyFunSuite {
       val b = (0 until heap.size).map(j => (heap.dists(j), heap.ids(j)))
       assert(a === b, s"k=$k n=$n")
     }
+  }
+
+  test("TopKBuf drops exact (dist, id) duplicates — top-k is over the candidate set") {
+    val buf = TopKBuf.empty(3)
+    buf.insert(1.0, 10L).insert(1.0, 10L).insert(2.0, 20L)
+    assert(buf.toSeq === Seq((1.0, 10L), (2.0, 20L)))
+    // a duplicate of a NON-adjacent entry also collapses (binary search
+    // lands after the equal pair wherever it sits)
+    buf.insert(0.5, 5L).insert(1.0, 10L)
+    assert(buf.toSeq === Seq((0.5, 5L), (1.0, 10L), (2.0, 20L)))
+    // ties on dist with DIFFERENT ids are distinct candidates, kept
+    val tied = TopKBuf.empty(3)
+    tied.insert(1.0, 1L).insert(1.0, 2L).insert(1.0, 1L)
+    assert(tied.toSeq === Seq((1.0, 1L), (1.0, 2L)))
+    // merge (S5) also collapses duplicates arriving from another partition
+    val other = TopKBuf.empty(3).insert(1.0, 1L).insert(0.1, 9L)
+    tied.merge(other)
+    assert(tied.toSeq === Seq((0.1, 9L), (1.0, 1L), (1.0, 2L)))
   }
 
   test("NaN never enters; k larger than the stream keeps everything sorted") {

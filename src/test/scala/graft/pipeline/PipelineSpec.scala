@@ -153,10 +153,33 @@ class PipelineSpec extends SparkSpec {
     val whole = pairs(maxBucket = 1 << 30)
     assert(split === whole, "salted sub-bucket split changed the pair set")
     assert(split.nonEmpty)
-    def topk(maxBucket: Int) =
-      Similarity.knnSelfJoin(v, cents, k = 3, assignProbes = 1, maxBucket = maxBucket)
+    def topk(maxBucket: Int) = // maxSelfIndexRows=0 pins the BLOCKED path
+      Similarity.knnSelfJoin(v, cents, k = 3, assignProbes = 1, maxBucket = maxBucket,
+        maxSelfIndexRows = 0)
         .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
     assert(topk(25) === topk(1 << 30), "split changed the self-join top-k")
+  }
+
+  test("self-join broadcast fast path equals the salted equi-join path exactly") {
+    // multi-probe (2 lists) with few centroids: many pairs share BOTH
+    // probed lists, exercising the exact-duplicate skip in TopKBuf; the
+    // clustered layout also gives real distance ties a chance
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 150).map { i =>
+      val c = i % 3
+      (i.toLong, Array.fill(8)(c * 10.0f + rnd.nextGaussian().toFloat))
+    }
+    val v = vectorsDF(rows)
+    val cents = IvfFlatIndex.broadcastCentroids(spark,
+      Array.tabulate(4)(c => Array.fill(8)(c * 10.0f)))
+    def run(maxSelf: Int) =
+      Similarity.knnSelfJoin(v, cents, k = 5, assignProbes = 2, maxSelfIndexRows = maxSelf)
+        .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val broadcastPath = run(maxSelf = 1 << 20)
+    val blockedPath = run(maxSelf = 0)
+    assert(broadcastPath === blockedPath)
+    assert(broadcastPath.forall { case (q, _, id, _) => q != id }, "self-match leaked")
   }
 
   test("filtered ANN at pruned nprobe: adaptive widening restores starved queries") {
