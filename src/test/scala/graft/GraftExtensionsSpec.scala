@@ -22,6 +22,38 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getLong(3) !== 0L)
   }
 
+  test("SQL surface: text pipeline functions mirror their Column twins") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  graft_tokenize('Hello, World 42!') AS toks,
+        |  word_ngrams(graft_tokenize('a b c d'), 2) AS grams,
+        |  doc_fingerprint('abc') AS fp,
+        |  token_count('Hello, World 42!') AS tc,
+        |  token_count_bpe('Hello, World 42!') AS bpe,
+        |  lsh_bands(minhash_signature(graft_tokenize('a b c')), 64, 16) AS bands
+        |""".stripMargin).head()
+    assert(row.getSeq[String](0) === Seq("hello", "world", "42"))
+    assert(row.getSeq[String](1) === Seq("a b", "b c", "c d"))
+    // rolling hash of "abc": ((97*31+98)*31+99) mod 1e9+7
+    assert(row.getLong(2) === ((97L * 31 + 98) * 31 + 99) % 1000000007L)
+    assert(row.getInt(3) === 3)
+    assert(row.getInt(4) === 5) // Hello | , | (sp)World | (sp)42 | !
+    assert(row.getSeq[Long](5).length === 16)
+    // the SQL twins must agree with the Column API versions on real text
+    import graft.functions.text
+    val s = "The quick brown fox, 99 times! Déjà vu."
+    val twins = spark.sql(
+      s"""SELECT doc_fingerprint('$s') AS fp, token_count('$s') AS tc,
+         |       token_count_bpe("$s") AS bpe""".stripMargin).head()
+    val cols = vectorsDF(Seq((1L, Array(0f)))).select(
+      text.fingerprint(lit(s)), text.token_count(lit(s)), text.token_count_bpe(lit(s)))
+      .head()
+    assert(twins.getLong(0) === cols.getLong(0))
+    assert(twins.getInt(1) === cols.getInt(1))
+    assert(twins.getInt(2) === cols.getInt(2))
+  }
+
   test("SQL surface: ORDER BY distance LIMIT k runs the kNN shape in SQL") {
     GraftExtensions.register(spark)
     vectorsDF(randomVectors(100, 8)).createOrReplaceTempView("vecs")

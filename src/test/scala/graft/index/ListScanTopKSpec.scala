@@ -89,6 +89,30 @@ class ListScanTopKSpec extends SparkSpec {
     }
   }
 
+  test("randomized equivalence sweep: static = join across shapes, = exact at full probe") {
+    for {
+      (nlist, seed) <- Seq((4, 1), (16, 2), (32, 3))
+      metric <- Seq(Metric.L2, Metric.InnerProduct, Metric.Cosine)
+    } {
+      val n = 200 + seed * 37
+      val idx = IvfFlatIndex.build(spark, vectorsDF(randomVectors(n, dim, seed)), nlist,
+        metric = metric)
+      val qs = randomVectors(11 + seed, dim, seed = seed + 500)
+        .map { case (i, v) => (i + 5000L, v) }
+      for (nprobe <- Seq(1, nlist / 2 + 1, nlist)) {
+        val params = SearchParams(k = 4 + seed, nprobe = nprobe)
+        val static = sortedHits(idx.searchBatch(qs.toArray, params))
+        val join = sortedHits(idx.searchWhere(queriesDF(qs), params, None,
+          IvfFlatIndex.ForceJoin))
+        assert(static === join, s"nlist=$nlist metric=$metric nprobe=$nprobe")
+        if (nprobe == nlist) {
+          val exact = sortedHits(idx.searchExact(queriesDF(qs), 4 + seed))
+          assert(static === exact, s"nlist=$nlist metric=$metric full-probe vs exact")
+        }
+      }
+    }
+  }
+
   test("operator plan is valid (no missing-input '!' nodes) and prunes partitions") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-lstk").toString
     IvfFlatIndex.writeEpoch(flat.vectors, s"$tmp/vectors")
