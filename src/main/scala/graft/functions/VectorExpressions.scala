@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshims
@@ -187,6 +187,59 @@ case class DistanceToQuery(
     copy(vec = newLeft, qid = newRight)
 }
 
+/**
+ * Threshold pairs against a broadcast probe index — the near-dup broadcast
+ * fast path's scorer ([[graft.pipeline.Dedup.embeddingNearDup]]): for one
+ * corpus row (vec, id, list_id), every probe-index entry of that list with
+ * a_id < id and distance <= maxDist, as ARRAY<STRUCT<a_id, dist>> ready
+ * for explode. The inner loop runs in [[graft.index.ProbeIndex]] (stable,
+ * compiled once per JVM); only matches materialize.
+ */
+case class NearPairs(
+    vec: Expression,
+    rowId: Expression,
+    listId: Expression,
+    probeIdx: Broadcast[graft.index.ProbeIndex],
+    metric: Metric.Value,
+    maxDist: Double)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def first: Expression = vec
+  override def second: Expression = rowId
+  override def third: Expression = listId
+  override def inputTypes: Seq[graftshims.AbstractDataType] =
+    Seq(ArrayType(FloatType), LongType, IntegerType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("a_id", LongType, nullable = false),
+      StructField("dist", DoubleType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "near_pairs"
+
+  private val metricId = metric.id
+
+  override def nullSafeEval(v: Any, id: Any, list: Any): Any =
+    graft.index.ProbeIndex.nearPairsInList(
+      v.asInstanceOf[ArrayData], id.asInstanceOf[Long], list.asInstanceOf[Int],
+      probeIdx.value, metricId, maxDist)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bc = ctx.addReferenceObj("probeIdxBc", probeIdx,
+      classOf[Broadcast[graft.index.ProbeIndex]].getName)
+    // per-task deref, raw type (Janino generics limits — see DistanceToQuery)
+    val pi = ctx.addMutableState("graft.index.ProbeIndex", "probeIdx",
+      v => s"$v = (graft.index.ProbeIndex) $bc.value();")
+    nullSafeCodeGen(ctx, ev, (v, id, list) =>
+      s"${ev.value} = graft.index.ProbeIndex.nearPairsInList(" +
+        s"$v, $id, $list, $pi, $metricId, $maxDist);")
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): NearPairs =
+    copy(vec = f, rowId = s, listId = t)
+}
+
 /** Column-level entry points (the `functions._` of this engine). */
 object vector {
   private def col(e: Expression): Column = graftshims.column(e)
@@ -225,4 +278,13 @@ object vector {
       queries: Broadcast[java.util.HashMap[java.lang.Long, Array[Float]]],
       metric: Metric.Value): Column =
     col(DistanceToQuery(expr(v), expr(qid), queries, metric))
+
+  def near_pairs(
+      v: Column,
+      rowId: Column,
+      listId: Column,
+      probeIdx: Broadcast[graft.index.ProbeIndex],
+      metric: Metric.Value,
+      maxDist: Double): Column =
+    col(NearPairs(expr(v), expr(rowId), expr(listId), probeIdx, metric, maxDist))
 }

@@ -187,6 +187,48 @@ case class ProbeIndex(
     listPos: Array[Array[Int]])
 
 object ProbeIndex {
+
+  private val EmptyArray = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+    new Array[Any](0))
+
+  /**
+   * Threshold-pair kernel for the near-dup broadcast fast path
+   * ([[graft.pipeline.Dedup.embeddingNearDup]]): all (a_id, dist) pairs of
+   * probe-index entries in `listId` with a_id < rowId (each unordered pair
+   * emits from exactly one side) and dist <= maxDist. Runs per corpus row
+   * from [[graft.functions.NearPairs]] — the payload decodes once and the
+   * whole inner loop stays in this stable class.
+   */
+  def nearPairsInList(
+      vec: ArrayData,
+      rowId: Long,
+      listId: Int,
+      pi: ProbeIndex,
+      metric: Int,
+      maxDist: Double): ArrayData = {
+    if (listId < 0 || listId >= pi.listPos.length) return EmptyArray
+    val pos = pi.listPos(listId)
+    if (pos == null) return EmptyArray
+    val v = vec.toFloatArray()
+    var hits: scala.collection.mutable.ArrayBuffer[Any] = null
+    var j = 0
+    while (j < pos.length) {
+      val p = pos(j)
+      val q = pi.qids(p)
+      if (q < rowId) {
+        val d = VectorKernels.distance(v, pi.qvecs(p), metric)
+        if (d <= maxDist) {
+          if (hits == null) hits = new scala.collection.mutable.ArrayBuffer[Any](4)
+          hits += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](q, d))
+        }
+      }
+      j += 1
+    }
+    if (hits == null) EmptyArray
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(hits.toArray)
+  }
+
   /** Build from a collected batch and its (qid, list_id) probe pairs. */
   def apply(batch: Array[(Long, Array[Float])], pairs: Array[(Long, Int)],
       nlist: Int): ProbeIndex = {

@@ -235,7 +235,38 @@ object Dedup {
       centroids: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
       maxCosineDist: Double = 0.2,
       assignProbes: Int = 2,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket,
+      maxSelfIndexRows: Int = graft.pipeline.Similarity.MaxSelfIndexRows): DataFrame = {
+    // size-gated broadcast fast path (the self-join trick with a threshold
+    // sink): the corpus ships once as a ProbeIndex and the exploded
+    // multi-probe scan emits only the matching (a_id < b_id, dist <=
+    // maxCosineDist) pairs through the NearPairs kernel — no candidate
+    // materialization, no payload join-backs. A pair sharing BOTH probed
+    // lists emits twice with bit-identical dist; distinct collapses it.
+    // Above the gate the salted bucket join below is the 100 TB path.
+    val spark = vectors.sparkSession
+    val batch = {
+      val rows = vectors.select(col("id"), col("vec"))
+        .limit(maxSelfIndexRows + 1).collect()
+      if (rows.length > maxSelfIndexRows) null
+      else rows.map(graft.index.IvfFlatIndex.decodeQueryRow).filter(_._2 != null)
+    }
+    if (batch != null) {
+      val pairs = graft.index.IvfFlatIndex.localProbe(
+        batch, centroids.value, assignProbes, Metric.L2)
+      val bc = spark.sparkContext.broadcast(
+        graft.index.ProbeIndex(batch, pairs, centroids.value.length))
+      return vectors.select(
+        col("id"),
+        explode(vector.probe_lists(col("vec"), centroids, assignProbes, Metric.L2))
+          .as("list_id"),
+        col("vec"))
+        .select(col("id").cast("long").as("b_id"),
+          explode(vector.near_pairs(col("vec"), col("id").cast("long"),
+            col("list_id").cast("int"), bc, Metric.Cosine, maxCosineDist)).as("h"))
+        .select(col("h.a_id").as("a_id"), col("b_id"), col("h.dist").as("cos_dist"))
+        .distinct()
+    }
     // bucket join on (list_id, id) only — vectors join back per candidate
     // pair after the distinct, so the heavy column never rides the
     // quadratic part of the shuffle

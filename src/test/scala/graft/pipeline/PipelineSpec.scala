@@ -145,14 +145,23 @@ class PipelineSpec extends SparkSpec {
     val v = vectorsDF(randomVectors(300, 8))
     val cents = IvfFlatIndex.broadcastCentroids(spark,
       Array(Array.fill(8)(0.0f), Array.fill(8)(100.0f)))
-    def pairs(maxBucket: Int) =
+    def pairs(maxBucket: Int) = // maxSelfIndexRows=0 pins the BLOCKED path
       Dedup.embeddingNearDup(v, cents, maxCosineDist = 0.9,
-        assignProbes = 1, maxBucket = maxBucket)
+        assignProbes = 1, maxBucket = maxBucket, maxSelfIndexRows = 0)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val split = pairs(maxBucket = 25)   // 300-row bucket -> 12 sub-buckets
     val whole = pairs(maxBucket = 1 << 30)
     assert(split === whole, "salted sub-bucket split changed the pair set")
     assert(split.nonEmpty)
+    // broadcast fast path: identical pair set AND identical distances
+    val broadcastPairs = Dedup.embeddingNearDup(v, cents, maxCosineDist = 0.9,
+      assignProbes = 1, maxSelfIndexRows = 1 << 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blockedPairs = Dedup.embeddingNearDup(v, cents, maxCosineDist = 0.9,
+      assignProbes = 1, maxSelfIndexRows = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(broadcastPairs === blockedPairs,
+      "broadcast near-dup path diverged from the bucket join")
     def topk(maxBucket: Int) = // maxSelfIndexRows=0 pins the BLOCKED path
       Similarity.knnSelfJoin(v, cents, k = 3, assignProbes = 1, maxBucket = maxBucket,
         maxSelfIndexRows = 0)
