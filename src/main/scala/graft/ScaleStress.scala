@@ -88,6 +88,28 @@ object ScaleStress {
       val qps = streams * perStream * 64 / wall
       println(f"[stress] $streams concurrent batch-64 streams: ${wall}%.1f s -> $qps%.0f QPS aggregate")
     }
+    // the ABOVE-GATE (blocked) pipeline shapes: the bench corpora fit the
+    // broadcast fast paths, so the salted-equi-join formulations — the
+    // ones a 100 TB corpus actually runs — need their own measured point.
+    // 200k vectors > MaxSelfIndexRows forces both blocked paths.
+    {
+      val subN = 200000
+      val sub = corpus.filter(col("id") < subN)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sub.count()
+      (1 to 2).foreach { i =>
+        timed(s"BLOCKED knn self-join run $i (${subN} x 128D, k=10, 2-probe)") {
+          graft.pipeline.Similarity.knnSelfJoin(sub, index.centroids, k = 10).count()
+        }
+      }
+      (1 to 2).foreach { i =>
+        timed(s"BLOCKED embedding near-dup run $i (${subN} x 128D, 2-probe)") {
+          graft.pipeline.Dedup.embeddingNearDup(sub, index.centroids,
+            maxCosineDist = 0.05).count()
+        }
+      }
+      sub.unpersist(blocking = false)
+    }
     // IVF-PQ at the same shape: m=16 -> 16-byte codes vs 512-byte raw
     // vectors (32x scan-byte reduction — THE 100 TB memory story). The
     // rerank source reuses the flat index's ASSIGNED corpus cache (with

@@ -245,12 +245,7 @@ object Dedup {
     // lists emits twice with bit-identical dist; distinct collapses it.
     // Above the gate the salted bucket join below is the 100 TB path.
     val spark = vectors.sparkSession
-    val batch = {
-      val rows = vectors.select(col("id"), col("vec"))
-        .limit(maxSelfIndexRows + 1).collect()
-      if (rows.length > maxSelfIndexRows) null
-      else rows.map(graft.index.IvfFlatIndex.decodeQueryRow).filter(_._2 != null)
-    }
+    val batch = Similarity.selfIndexBatch(vectors, maxSelfIndexRows)
     if (batch != null) {
       val pairs = graft.index.IvfFlatIndex.localProbe(
         batch, centroids.value, assignProbes, Metric.L2)

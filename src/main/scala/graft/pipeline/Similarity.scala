@@ -105,6 +105,25 @@ object Similarity {
   val MaxSelfIndexRows: Int = 1 << 16
 
   /**
+   * Snapshot the corpus for a broadcast fast path, or null when it is (or
+   * plan-stats say it obviously is) too big. The stats pre-check keeps a
+   * 100 TB table from paying even the bounded `limit(n+1)` scan: at 256 MB
+   * of estimated (compressed) bytes the corpus cannot plausibly be under
+   * 64k rows of real vectors. Null vecs are dropped — they are neither
+   * queries nor candidates in the blocked paths either (an exploded null
+   * probe list emits nothing).
+   */
+  private[pipeline] def selfIndexBatch(
+      vectors: DataFrame, maxRows: Int): Array[(Long, Array[Float])] = {
+    if (maxRows <= 0) return null
+    val statBytes = vectors.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (statBytes > BigInt(256L << 20)) return null
+    val rows = vectors.select(col("id"), col("vec")).limit(maxRows + 1).collect()
+    if (rows.length > maxRows) null
+    else rows.map(IvfFlatIndex.decodeQueryRow).filter(_._2 != null)
+  }
+
+  /**
    * Cosine top-k self-join for corpus analytics (each vector's k nearest
    * others), IVF-blocked: candidates share an IVF list (multi-probe for
    * recall) — never an all-pairs product.
@@ -140,15 +159,7 @@ object Similarity {
     // broadcast path is only taken at array-buffer k
     val batch =
       if (k > PartialTopK.HeapThreshold) null
-      else {
-        val rows = vectors.select(col("id"), col("vec"))
-          .limit(maxSelfIndexRows + 1).collect()
-        if (rows.length > maxSelfIndexRows) null
-        // a null vec is neither a query nor a candidate in the blocked
-        // path (explode of a null probe list emits nothing) — drop it
-        // from the probe index too
-        else rows.map(IvfFlatIndex.decodeQueryRow).filter(_._2 != null)
-      }
+      else selfIndexBatch(vectors, maxSelfIndexRows)
     if (batch != null) {
       val pairs = IvfFlatIndex.localProbe(batch, centroids.value, assignProbes, Metric.L2)
       val bc = spark.sparkContext.broadcast(
