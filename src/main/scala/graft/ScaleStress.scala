@@ -41,6 +41,10 @@ object ScaleStress {
       .select(col("id").as("qid"), vecExpr.as("qvec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     queries.count()
+    // arg `selfjoin` runs ONLY the broadcast-vs-blocked pipeline section
+    // (its blocked shapes take minutes); default runs everything else
+    val selfJoinOnly = args.contains("selfjoin")
+    if (!selfJoinOnly) {
     (1 to 3).foreach { i =>
       timed(s"join-path search run $i (10k queries, nprobe=10, k=10)") {
         index.search(queries, SearchParams(k = 10, nprobe = 10)).count()
@@ -88,24 +92,45 @@ object ScaleStress {
       val qps = streams * perStream * 64 / wall
       println(f"[stress] $streams concurrent batch-64 streams: ${wall}%.1f s -> $qps%.0f QPS aggregate")
     }
-    // the ABOVE-GATE (blocked) pipeline shapes: the bench corpora fit the
-    // broadcast fast paths, so the salted-equi-join formulations — the
-    // ones a 100 TB corpus actually runs — need their own measured point.
-    // 200k vectors > MaxSelfIndexRows forces both blocked paths.
-    {
+    } // !selfJoinOnly
+    // BROADCAST vs BLOCKED pipeline shapes at 200k x 128D (run with arg
+    // `selfjoin`, optionally narrowed by `broadcast-only`/`blocked-only`;
+    // skipped by default — the blocked shapes take minutes): the bench
+    // corpora all fit the broadcast fast paths, so the salted equi-join
+    // formulations — what a truly driver-exceeding corpus runs — get
+    // their own measured point, and the same size runs both ways to
+    // justify the MaxSelfIndexRows gate. Measured on this box (clean
+    // runs): self-join broadcast 21-24s vs blocked 230-277s (~11x);
+    // near-dup broadcast ~13s vs blocked ~83s (~6x). The ~300M-row
+    // candidate distinct + twin payload joins dominate the blocked
+    // shapes, not the distance flops.
+    if (selfJoinOnly) {
+      val blocked = !args.contains("broadcast-only")
+      val broadcast = !args.contains("blocked-only")
       val subN = 200000
       val sub = corpus.filter(col("id") < subN)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sub.count()
-      (1 to 2).foreach { i =>
-        timed(s"BLOCKED knn self-join run $i (${subN} x 128D, k=10, 2-probe)") {
-          graft.pipeline.Similarity.knnSelfJoin(sub, index.centroids, k = 10).count()
+      if (broadcast) (1 to 2).foreach { i =>
+        timed(s"BROADCAST knn self-join run $i (${subN} x 128D, k=10, 2-probe)") {
+          graft.pipeline.Similarity.knnSelfJoin(sub, index.centroids, k = 10,
+            maxSelfIndexRows = 1 << 20).count()
         }
       }
-      (1 to 2).foreach { i =>
-        timed(s"BLOCKED embedding near-dup run $i (${subN} x 128D, 2-probe)") {
+      if (broadcast) (1 to 2).foreach { i =>
+        timed(s"BROADCAST embedding near-dup run $i (${subN} x 128D, 2-probe)") {
           graft.pipeline.Dedup.embeddingNearDup(sub, index.centroids,
-            maxCosineDist = 0.05).count()
+            maxCosineDist = 0.05, maxSelfIndexRows = 1 << 20).count()
+        }
+      }
+      if (blocked) {
+        timed(s"BLOCKED embedding near-dup (${subN} x 128D, 2-probe)") {
+          graft.pipeline.Dedup.embeddingNearDup(sub, index.centroids,
+            maxCosineDist = 0.05, maxSelfIndexRows = 0).count()
+        }
+        timed(s"BLOCKED knn self-join (${subN} x 128D, k=10, 2-probe)") {
+          graft.pipeline.Similarity.knnSelfJoin(sub, index.centroids, k = 10,
+            maxSelfIndexRows = 0).count()
         }
       }
       sub.unpersist(blocking = false)
@@ -114,6 +139,8 @@ object ScaleStress {
     // vectors (32x scan-byte reduction — THE 100 TB memory story). The
     // rerank source reuses the flat index's ASSIGNED corpus cache (with
     // list_id), so rerank reads prune to probed lists like an epoch read.
+    if (!selfJoinOnly) {
+    val small = queries.limit(1000)
     val pq = timed("PQ train(m=16,nbits=8) + encode(1M) + assign raw + materialize") {
       val idx0 = graft.index.IvfPqIndex.build(spark, corpus, nlist = 1024, m = 16,
         maxTrain = 100000)
@@ -150,6 +177,7 @@ object ScaleStress {
         pq.search(queries, SearchParams(k = 10, nprobe = 10), rerankK = 100).count()
       }
     }
+    } // !selfJoinOnly
     spark.stop()
   }
 

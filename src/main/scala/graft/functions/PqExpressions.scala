@@ -138,26 +138,6 @@ object PqKernels {
     new GenericArrayData(
       adcTableRaw(q, codebooks, metric).map(new GenericArrayData(_)).asInstanceOf[Array[Any]])
 
-  /** ADC distance resolving the query's table by qid from a broadcast map
-    * (the static serving path: candidate rows carry 8-byte qids, never a
-    * 32KB-per-row table — the flat path's shared-query-cache idea,
-    * kernels.cuh:111-117, applied to PQ). */
-  def adcDistanceTo(
-      codes: ArrayData,
-      qid: Long,
-      tables: java.util.HashMap[java.lang.Long, Array[Array[Double]]]): Double = {
-    val t = tables.get(qid)
-    if (t == null) throw new IllegalStateException(s"unknown qid in ADC stream: $qid")
-    var d = 0.0
-    var i = 0
-    val m = codes.numElements()
-    while (i < m) {
-      d += t(i)(codes.getByte(i) & 0xff)
-      i += 1
-    }
-    d
-  }
-
   /** ADC distance: sum of per-subspace table lookups (kernels.cuh:280-287). */
   def adcDistance(table: ArrayData, codes: ArrayData): Double = {
     var d = 0.0
@@ -366,41 +346,6 @@ case class PqAdcDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** ADC distance against a query resolved by qid from a broadcast table map
-  * (static serving path). */
-case class PqAdcDistanceToQuery(
-    left: Expression, // codes ARRAY<BYTE>
-    right: Expression, // qid LONG
-    tables: Broadcast[java.util.HashMap[java.lang.Long, Array[Array[Double]]]])
-    extends BinaryExpression with ExpectsInputTypes {
-
-  override def inputTypes: Seq[org.apache.spark.sql.graftshims.AbstractDataType] =
-    Seq(ArrayType(ByteType), LongType)
-  override def dataType: DataType = DoubleType
-  override def nullIntolerant: Boolean = true
-  override def prettyName: String = "pq_adc_distance_to_query"
-
-  override def nullSafeEval(codes: Any, qid: Any): Any =
-    PqKernels.adcDistanceTo(
-      codes.asInstanceOf[ArrayData], qid.asInstanceOf[Long], tables.value)
-
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val bc = ctx.addReferenceObj("adcTables", tables,
-      classOf[Broadcast[java.util.HashMap[java.lang.Long, Array[Array[Double]]]]].getName)
-    // deref the broadcast ONCE per generated instance (= per task), not
-    // per row; raw-type cast because Janino cannot compile generic casts
-    // (silent interpreted fallback for the whole stage otherwise)
-    val tbl = ctx.addMutableState("java.util.HashMap", "adcTablesMap",
-      v => s"$v = (java.util.HashMap) $bc.value();")
-    nullSafeCodeGen(ctx, ev, (c, q) =>
-      s"${ev.value} = graft.functions.PqKernels.adcDistanceTo($c, $q, $tbl);")
-  }
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): PqAdcDistanceToQuery =
-    copy(left = newLeft, right = newRight)
-}
-
 /**
  * Join-path ADC distance fused with per-task query prep: scores a
  * candidate's codes against the row's (qid, qvec) through an
@@ -466,10 +411,4 @@ object pq {
       codebooks: Broadcast[Array[Array[Array[Float]]]],
       metric: graft.Metric.Value = graft.Metric.L2): Column =
     col(PqAdcDistanceFused(ex(qid), ex(qvec), ex(codes), codebooks, metric))
-
-  def pq_adc_distance_to_query(
-      codes: Column,
-      qid: Column,
-      tables: Broadcast[java.util.HashMap[java.lang.Long, Array[Array[Double]]]]): Column =
-    col(PqAdcDistanceToQuery(ex(codes), ex(qid), tables))
 }

@@ -99,10 +99,15 @@ object Similarity {
   }
 
   /** Corpus rows up to which the self-join ships the whole corpus as one
-    * driver-built probe index (~34 MB at 64k x 128D) — the serving trick
+    * driver-built probe index (~134 MB at 256k x 128D — well under any
+    * sane driver heap and Spark's broadcast limit) — the serving trick
     * applied to analytics. Above it, or at heap-sized k, the salted
-    * equi-join path below scales without any driver state. */
-  val MaxSelfIndexRows: Int = 1 << 16
+    * equi-join path scales without any driver state. The gate is
+    * deliberately generous: at 200k x 128D the broadcast path measures
+    * ~20x faster than the bucket join (ScaleStress `selfjoin` section) —
+    * the candidate distinct + twin payload joins, not the distance
+    * flops, dominate the blocked shape. */
+  val MaxSelfIndexRows: Int = 1 << 18
 
   /**
    * Snapshot the corpus for a broadcast fast path, or null when it is (or
