@@ -113,6 +113,25 @@ class ListScanTopKSpec extends SparkSpec {
     }
   }
 
+  test("empty corpus and empty probe index both yield empty results, not errors") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Int, Array[Float])].toDF("id", "list_id", "vec")
+      .select(col("id").cast("long"), col("list_id").cast("int"), col("vec"))
+    val batch = Array((1L, Array.fill(dim)(0f)))
+    val bc = spark.sparkContext.broadcast(ProbeIndex(batch, Array((1L, 0)), 4))
+    assert(TopKAggregator.finalizePartial(
+      ListScanTopK(empty, new FlatListScorer(bc, Metric.L2.id), 3), 3).count() === 0)
+    // probe index with zero queries: every row skips (null listPos everywhere)
+    val bcEmpty = spark.sparkContext.broadcast(
+      ProbeIndex(Array.empty[(Long, Array[Float])], Array.empty[(Long, Int)], 4))
+    val rows = Seq((10L, 0, Array.fill(dim)(1f))).toDF("id", "list_id", "vec")
+      .select(col("id").cast("long"), col("list_id").cast("int"), col("vec"))
+    assert(TopKAggregator.finalizePartial(
+      ListScanTopK(rows, new FlatListScorer(bcEmpty, Metric.L2.id), 3), 3).count() === 0)
+    bc.destroy(); bcEmpty.destroy()
+  }
+
   test("operator plan is valid (no missing-input '!' nodes) and prunes partitions") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-lstk").toString
     IvfFlatIndex.writeEpoch(flat.vectors, s"$tmp/vectors")
