@@ -113,6 +113,35 @@ class ListScanTopKSpec extends SparkSpec {
     }
   }
 
+  test("self-join duplicates split across flush fragments still collapse at merge") {
+    val s = spark
+    import s.implicits._
+    // every vector probes BOTH lists -> every pair is a double-scored
+    // duplicate; maxKeys=1 forces a flush after (nearly) every row so the
+    // duplicate's two inserts land in different partial fragments and the
+    // final TopKBuf merge must drop the copy
+    val vecs = (0 until 12).map(i => (i.toLong, Array.fill(dim)(i.toFloat)))
+    val pairs = vecs.flatMap { case (id, _) => Seq((id, 0), (id, 1)) }.toArray
+    val bc = spark.sparkContext.broadcast(ProbeIndex(vecs.toArray, pairs, 2))
+    val exploded = vecs.flatMap { case (id, v) => Seq((id, 0, v), (id, 1, v)) }
+      .toDF("id", "list_id", "vec")
+      .select(col("id").cast("long"), col("list_id").cast("int"), col("vec"))
+    def run(maxKeys: Int) = TopKAggregator.finalizePartial(
+      ListScanTopK(exploded, new FlatListScorer(bc, Metric.L2.id, excludeSelf = true),
+        5, maxKeys), 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val fragmented = run(1)
+    val whole = run(Int.MaxValue)
+    assert(fragmented === whole)
+    // k=5 with 11 candidates per query: a surviving duplicate would show
+    // as the same id twice within one query's top-5
+    whole.groupBy(_._1).foreach { case (q, hits) =>
+      assert(hits.map(_._3).distinct.length === hits.length, s"dup id in top-k of $q")
+    }
+    bc.destroy()
+  }
+
   test("empty corpus and empty probe index both yield empty results, not errors") {
     val s = spark
     import s.implicits._
