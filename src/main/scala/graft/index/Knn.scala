@@ -25,16 +25,40 @@ object Knn {
    * @param queries  (qid: LONG, qvec: ARRAY<FLOAT>) — small batch, broadcast
    * @param vectors  (id: LONG, vec: ARRAY<FLOAT>) — the scanned corpus
    * @return (qid, id, dist: DOUBLE, rank: INT), rank 1..k by (dist, id)
+   *
+   * A bounded batch (<= [[IvfFlatIndex.MaxStaticBatch]]) runs through
+   * [[ListScanTopK]] with ONE virtual list covering the whole corpus: each
+   * stored vector decodes once and scores against every query inside the
+   * stable kernel — the cross-join formulation paid a `toFloatArray` per
+   * (query, vector) PAIR through per-query generated code (batch x more
+   * copies, plus the deopt exposure the operator was built to shed). An
+   * unbounded query set keeps the broadcast nested-loop join, which is
+   * what brute force over a stream of queries IS.
    */
   def exact(
       queries: DataFrame,
       vectors: DataFrame,
       k: Int,
       metric: Metric.Value = Metric.L2): DataFrame = {
-    val scored = vectors.select(col("id"), col("vec"))
-      .crossJoin(broadcast(queries.select(col("qid"), col("qvec"))))
-      .withColumn("dist", vector.distance(col("qvec"), col("vec"), metric))
-    TopKAggregator.topKPerQuery(scored, k).select("qid", "id", "dist", "rank")
+    val qdf = queries.select(col("qid"), col("qvec"))
+    IvfFlatIndex.snapshotQueries(qdf).batch match {
+      case Some(batch) =>
+        // null query vectors yield no rows either way (the join path's
+        // null distance is skipped inside the top-k) — drop them here
+        val live = batch.filter(_._2 != null)
+        val bc = qdf.sparkSession.sparkContext.broadcast(
+          ProbeIndex(live, live.map(q => (q._1, 0)), nlist = 1))
+        val corpus = vectors.select(
+          col("id").cast("long"), lit(0).cast("int").as("list_id"), col("vec"))
+        TopKAggregator.finalizePartial(
+          ListScanTopK(corpus, new FlatListScorer(bc, metric.id), k), k)
+          .select("qid", "id", "dist", "rank")
+      case None =>
+        val scored = vectors.select(col("id"), col("vec"))
+          .crossJoin(broadcast(qdf))
+          .withColumn("dist", vector.distance(col("qvec"), col("vec"), metric))
+        TopKAggregator.topKPerQuery(scored, k).select("qid", "id", "dist", "rank")
+    }
   }
 
   /**

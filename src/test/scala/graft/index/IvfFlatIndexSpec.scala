@@ -117,12 +117,22 @@ class IvfFlatIndexSpec extends SparkSpec {
         assert(!plan.toLowerCase.contains(s"isnotnull($kernel"),
           s"$label plan re-evaluates the distance kernel in a null check:\n$plan")
     }
-    // brute-force exact: the Window variant's null/NaN pre-filter used to
-    // land in the cross-join condition — THREE kernel evals per pair
+    // brute-force exact, bounded batch: the kernel moved INSIDE the
+    // list-scan operator (one virtual list) — no distance expression may
+    // appear in the plan at all
     val exactPlan = index.searchExact(q, 5).queryExecution.executedPlan.toString
-    val kernelCount = "_distance\\(".r.findAllIn(exactPlan).length
+    assert(exactPlan.contains("ListScanTopK"), s"static exact plan:\n$exactPlan")
+    assert(!exactPlan.toLowerCase.contains("_distance("),
+      s"static exact plan should carry no distance expression:\n$exactPlan")
+    // unbounded fallback (cross join): exactly ONE kernel eval per pair —
+    // the Window variant's null/NaN pre-filter used to land in the
+    // cross-join condition, evaluating the kernel THREE times per pair
+    val wide = queriesDF(randomVectors(IvfFlatIndex.MaxStaticBatch + 8, 16, seed = 321))
+    val joinPlan = Knn.exact(wide, index.vectors.select("id", "vec"), 5)
+      .queryExecution.executedPlan.toString
+    val kernelCount = "_distance\\(".r.findAllIn(joinPlan).length
     assert(kernelCount == 1,
-      s"exact plan evaluates the distance kernel $kernelCount times:\n$exactPlan")
+      s"join exact plan evaluates the distance kernel $kernelCount times:\n$joinPlan")
   }
 
   test("epoch write + read roundtrip preserves list partitioning") {
