@@ -27,10 +27,20 @@ object Dedup {
     * invocations over the same corpus (bench iterations, retries) would
     * otherwise spam "Asked to cache already cached data" and re-register
     * the cache entry. storageLevel resolves through the CacheManager, so
-    * the check is structural, not per-Dataset-object. */
+    * the check is structural, not per-Dataset-object.
+    *
+    * Materializes EAGERLY on first persist: every persistOnce consumer
+    * fans the cached plan into 2+ independent stages of one job (LSH
+    * a-side/b-side, bucket sizes + salted rows), and lazy caching lets
+    * those stages race to compute the same partitions — each raced
+    * partition is computed twice and dropped once (`Block rdd_N already
+    * exists` warnings). One up-front pass is the same work the first
+    * consumer would do, minus the duplication. */
   private[graft] def persistOnce(df: DataFrame): DataFrame = {
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+    }
     df
   }
 
