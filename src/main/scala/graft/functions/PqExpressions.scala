@@ -163,6 +163,21 @@ object PqKernels {
     d
   }
 
+  /** Lookup-sum over a raw table and a plain byte-array code row — the
+    * typed-Dataset twin of [[adcDistanceRaw]] for the cogroup flood path,
+    * where codes arrive as `Array[Byte]` through the encoder rather than
+    * as Catalyst ArrayData. Same accumulation order. */
+  def adcDistanceBytes(table: Array[Array[Double]], codes: Array[Byte]): Double = {
+    var d = 0.0
+    val m = codes.length
+    var i = 0
+    while (i < m) {
+      d += table(i)(codes(i) & 0xff)
+      i += 1
+    }
+    d
+  }
+
   /**
    * Direct per-candidate ADC distance from a prepped query, without a
    * table: per subspace, score ONLY the codeword the code byte names.

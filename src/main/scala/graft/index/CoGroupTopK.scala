@@ -1,0 +1,220 @@
+package graft.index
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions.col
+
+import graft.functions.{PqKernels, VectorKernels}
+
+/**
+ * Deopt-immune DISTRIBUTED flood search: the above-gate twin of
+ * [[ListScanTopK]]. When a query flood is too large to ship as a
+ * driver-built [[ProbeIndex]] broadcast, the probed queries and the corpus
+ * are co-partitioned on `list_id` (one shuffle each — the same data
+ * movement as the plain equi-join this replaces) and each list's
+ * query x candidate scoring runs inside THIS class's stable loops:
+ * the candidate pairs never exist as rows in the plan, and the only
+ * per-candidate work is the distance kernel plus a bounded-buffer insert
+ * (reference semantics: engine/kernels.cuh:84-185 per-list scan feeding
+ * per-thread insertion buffers, merged per query downstream).
+ *
+ * Rounds 3-6 measured the old join-path shape (equi-join ->
+ * distance-per-candidate-row -> partial top-k) intermittently running
+ * 10-18x slower on identical input: per-plan whole-stage-generated classes
+ * executing at CANDIDATE cardinality went zombie under JIT code-cache
+ * churn and the hot loop re-ran interpreted. Here generated code (shuffle
+ * writers, encoder deserializers) touches each query row and corpus row
+ * ONCE; the quadratic-per-list work lives in scalac-compiled methods,
+ * compiled once per JVM — the exact property that fixed the static path.
+ *
+ * Memory per task is bounded by the buffered side of each list group:
+ *  - flat: the QUERIES probing the list (flood x nprobe / nlist rows of
+ *    dim floats — a few MB for realistic floods; raise nlist with corpus
+ *    size, as the reference's sizing table does);
+ *  - PQ: the list's CODES (m+8 bytes per corpus row — the most compact
+ *    artifact in the system), so only ONE ADC table is ever resident.
+ */
+object CoGroupTopK {
+
+  private val PartialEncoder = ExpressionEncoder[(Long, Long, Double)]()
+  private val RankedEncoder = ExpressionEncoder[(Long, Long, Double, Int)]()
+
+  /**
+   * Flat-vector flood search. `probed` is (qid LONG, qvec ARRAY<FLOAT>,
+   * list_id INT) — one row per (query, probe); `corpus` is (id LONG,
+   * list_id INT, vec ARRAY<FLOAT>). Returns (qid, id, dist, rank) with the
+   * (dist, id) tie order, bit-identical to the static path (same
+   * [[VectorKernels.distance]] kernel, same [[TopKBuf]] order).
+   */
+  def flatSearch(probed: DataFrame, corpus: DataFrame, k: Int, metricId: Int): DataFrame = {
+    val spark = probed.sparkSession
+    import spark.implicits._
+    val q = probed
+      .select(col("list_id").cast("int"), col("qid").cast("long"), col("qvec"))
+      .as[(Int, Long, Array[Float])]
+    val c = corpus
+      .select(col("list_id").cast("int"), col("id").cast("long"), col("vec"))
+      .as[(Int, Long, Array[Float])]
+    val partial = q.groupByKey(_._1).cogroup(c.groupByKey(_._1)) {
+      (_, qs, cs) => scoreFlatList(qs, cs, k, metricId)
+    }(PartialEncoder)
+    TopKAggregator.finalizePartial(partial.toDF("_1", "_2", "_3"), k)
+      .select("qid", "id", "dist", "rank")
+  }
+
+  /**
+   * PQ ADC flood search. `probed` as in [[flatSearch]]; `codes` is
+   * (id LONG, list_id INT, codes ARRAY<BYTE>). Per list the CODES buffer
+   * (compact) is resident and queries stream one at a time — each query
+   * derives its ADC table once per probed list (m x ks x dsub madds,
+   * noise next to scoring the list) and scans the buffer through
+   * [[PqKernels.adcDistanceBytes]], the byte-array twin of the static
+   * path's lookup-sum. Returns (qid, id, dist, rank) at `k`.
+   */
+  def pqSearch(
+      probed: DataFrame,
+      codes: DataFrame,
+      codebooks: Broadcast[Array[Array[Array[Float]]]],
+      metricId: Int,
+      k: Int): DataFrame = {
+    val spark = probed.sparkSession
+    import spark.implicits._
+    val q = probed
+      .select(col("list_id").cast("int"), col("qid").cast("long"), col("qvec"))
+      .as[(Int, Long, Array[Float])]
+    // codes are ARRAY<TINYINT> in the plan (the PQ encoder's type); the
+    // Array[Byte] encoder would demand BINARY, so decode as Seq and copy
+    // to a primitive array once per row at buffer time (off the hot loop)
+    val c = codes
+      .select(col("list_id").cast("int"), col("id").cast("long"), col("codes"))
+      .as[(Int, Long, scala.collection.Seq[Byte])]
+    val partial = q.groupByKey(_._1).cogroup(c.groupByKey(_._1)) {
+      (_, qs, cs) => scorePqList(qs, cs, k, metricId, codebooks.value)
+    }(PartialEncoder)
+    TopKAggregator.finalizePartial(partial.toDF("_1", "_2", "_3"), k)
+      .select("qid", "id", "dist", "rank")
+  }
+
+  /**
+   * Distributed exact rerank: `queries` (qid, qvec) cogrouped with the
+   * candidate rows (qid, id, vec) on qid — all of a query's candidates
+   * land in one group, so the top-k emits FINAL ranked rows directly (no
+   * further merge). A duplicate qid in the query set takes the first
+   * qvec; exact-duplicate candidates collapse in [[TopKBuf]], matching
+   * the join-path behavior this replaces.
+   */
+  def rerankTopK(queries: DataFrame, cands: DataFrame, metricId: Int, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val q = queries.select(col("qid").cast("long"), col("qvec"))
+      .as[(Long, Array[Float])]
+    val c = cands.select(col("qid").cast("long"), col("id").cast("long"), col("vec"))
+      .as[(Long, Long, Array[Float])]
+    q.groupByKey(_._1).cogroup(c.groupByKey(_._1)) { (qid, qs, cs) =>
+      if (!qs.hasNext) Iterator.empty
+      else {
+        val qvec = qs.next()._2
+        if (qvec == null) Iterator.empty
+        else {
+          val buf = TopKBuf.empty(k)
+          while (cs.hasNext) {
+            val (_, id, vec) = cs.next()
+            if (vec != null) buf.insert(VectorKernels.distance(vec, qvec, metricId), id)
+          }
+          Iterator.range(0, buf.size).map(j => (qid, buf.ids(j), buf.dists(j), j + 1))
+        }
+      }
+    }(RankedEncoder).toDF("qid", "id", "dist", "rank")
+  }
+
+  /** One list's query x corpus scoring, flat vectors: queries buffered
+    * (flood x nprobe / nlist of them), corpus streamed — each corpus
+    * payload decodes once and feeds every probing query's buffer. */
+  private def scoreFlatList(
+      qs: Iterator[(Int, Long, Array[Float])],
+      cs: Iterator[(Int, Long, Array[Float])],
+      k: Int,
+      metricId: Int): Iterator[(Long, Long, Double)] = {
+    if (!qs.hasNext) return Iterator.empty
+    val qids = new ArrayBuffer[Long]
+    val qvecs = new ArrayBuffer[Array[Float]]
+    while (qs.hasNext) {
+      val (_, qid, qvec) = qs.next()
+      if (qvec != null) { qids += qid; qvecs += qvec }
+    }
+    val n = qids.length
+    if (n == 0) return Iterator.empty
+    val useHeap = k > PartialTopK.HeapThreshold
+    val bufs = if (useHeap) null else Array.fill(n)(TopKBuf.empty(k))
+    val heaps = if (useHeap) Array.fill(n)(new TopKHeap(k)) else null
+    while (cs.hasNext) {
+      val (_, id, vec) = cs.next()
+      if (vec != null) {
+        var i = 0
+        while (i < n) {
+          val d = VectorKernels.distance(vec, qvecs(i), metricId)
+          if (useHeap) heaps(i).insert(d, id) else bufs(i).insert(d, id)
+          i += 1
+        }
+      }
+    }
+    Iterator.range(0, n).flatMap { i =>
+      if (useHeap) {
+        val h = heaps(i)
+        h.sortAscending()
+        Iterator.range(0, h.size).map(j => (qids(i), h.ids(j), h.dists(j)))
+      } else {
+        val b = bufs(i)
+        Iterator.range(0, b.size).map(j => (qids(i), b.ids(j), b.dists(j)))
+      }
+    }
+  }
+
+  /** One list's query x corpus scoring, PQ codes: the list's codes
+    * buffered (m+8 B per row), queries streamed with one resident ADC
+    * table at a time. */
+  private def scorePqList(
+      qs: Iterator[(Int, Long, Array[Float])],
+      cs: Iterator[(Int, Long, scala.collection.Seq[Byte])],
+      k: Int,
+      metricId: Int,
+      books: Array[Array[Array[Float]]]): Iterator[(Long, Long, Double)] = {
+    if (!qs.hasNext) return Iterator.empty
+    val ids = new ArrayBuffer[Long]
+    val codeRows = new ArrayBuffer[Array[Byte]]
+    while (cs.hasNext) {
+      val (_, id, code) = cs.next()
+      if (code != null) { ids += id; codeRows += code.toArray }
+    }
+    val nC = ids.length
+    if (nC == 0) return Iterator.empty
+    val useHeap = k > PartialTopK.HeapThreshold
+    qs.flatMap { case (_, qid, qvec) =>
+      if (qvec == null) Iterator.empty
+      else {
+        val table = PqKernels.adcTableRaw(qvec, books, metricId)
+        if (useHeap) {
+          val h = new TopKHeap(k)
+          var i = 0
+          while (i < nC) {
+            h.insert(PqKernels.adcDistanceBytes(table, codeRows(i)), ids(i))
+            i += 1
+          }
+          h.sortAscending()
+          Iterator.range(0, h.size).map(j => (qid, h.ids(j), h.dists(j)))
+        } else {
+          val b = TopKBuf.empty(k)
+          var i = 0
+          while (i < nC) {
+            b.insert(PqKernels.adcDistanceBytes(table, codeRows(i)), ids(i))
+            i += 1
+          }
+          Iterator.range(0, b.size).map(j => (qid, b.ids(j), b.dists(j)))
+        }
+      }
+    }
+  }
+}

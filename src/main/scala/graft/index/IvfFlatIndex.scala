@@ -165,25 +165,33 @@ class IvfFlatIndex(
     else ExecutionProbeHook.arm(result, () => probeListener(pairs))
   }
 
+  /**
+   * Fully-distributed flood search: per-candidate scoring lives in stable
+   * library operators on BOTH regimes (round-7 fix — the previous
+   * equi-join → distance-per-candidate-row → partial-top-k shape kept all
+   * per-candidate work in whole-stage-generated glue, the JIT-deopt
+   * exposure [[ListScanTopK]] shed for the static path):
+   *
+   *  - **below the size gate** (the serving/ScaleStress flood shape): the
+   *    probed rows ship through Spark's lazy broadcast exchange into
+   *    [[BroadcastProbeTopK]] — the corpus never shuffles, each query
+   *    vector ships once (the old hint-join shipped one copy per probe
+   *    row), and plan construction stays job-free for ForceJoin callers.
+   *  - **above the gate** (true floods — queries x nprobe too big to
+   *    broadcast): [[CoGroupTopK]] co-partitions probed queries and corpus
+   *    on list_id — the same data movement as the plain equi-join it
+   *    replaces, with AQE free to split skewed list partitions.
+   */
   private def searchJoinPruned(
       corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int, m: Metric.Value): DataFrame = {
     val probed = queries.withColumn("list_id",
       explode(vector.probe_lists(col("qvec"), centroids, nprobe, m)))
-    // SIZE-GATED broadcast: this path exists precisely because the batch is
-    // too big to snapshot, so an unconditional broadcast(probed) — queries x
-    // nprobe rows each carrying a full qvec — is a driver/8 GB-limit killer
-    // at 1M-query floods. Below the gate the hint keeps the corpus
-    // unshuffled; above it a plain equi-join lets AQE pick shuffle-hash +
-    // skew-join (and re-promote to broadcast if the runtime size allows).
-    val hinted =
-      if (IvfFlatIndex.fitsBroadcastGate(queries, nprobe)) broadcast(probed) else probed
-    val candidates = corpus
-      .join(hinted, "list_id")
-      .withColumn("dist", vector.distance(col("qvec"), col("vec"), m))
-      .select("qid", "id", "dist")
-    // typed bounded-buffer top-k: ~40% faster than the Window path at
-    // 8M candidates (only nQueries x k rows cross the shuffle)
-    TopKAggregator.topKPerQuery(candidates, k)
+      .select("qid", "qvec", "list_id")
+    if (IvfFlatIndex.fitsBroadcastGate(queries, nprobe)) {
+      val partial = BroadcastProbeTopK(probed,
+        corpus.select(col("id"), col("list_id"), col("vec")), k, m.id)
+      TopKAggregator.finalizePartial(partial, k).select("qid", "id", "dist", "rank")
+    } else CoGroupTopK.flatSearch(probed, corpus, k, m.id)
   }
 
   /** Exact brute-force scan (S1) — also the recall oracle for IVF. */

@@ -137,15 +137,23 @@ class IvfPqIndex(
    * Fully-distributed fallback for unbounded query sets. This path is
    * selected precisely BECAUSE the batch exceeds
    * [[IvfFlatIndex.MaxStaticBatch]], so nothing here may assume the query
-   * set is small: probed rows carry only (qid, qvec, list_id) — the ADC
-   * table (16 KB at m=8/ks=256, vs a 512 B qvec at 128D) is never
-   * materialized per row; [[graft.functions.AdcStreamScorer]] derives it
-   * per task from the broadcast codebooks. Both joins that touch the query
-   * set are size-gated through [[IvfFlatIndex.fitsBroadcastGate]]: below
-   * the gate a broadcast hint keeps the codes/raw scans unshuffled, above
-   * it a plain equi-join lets AQE pick shuffle-hash + skew-join (and
-   * re-promote to a VALIDATED broadcast at runtime) — a 1M-query flood
-   * never ships through an unconditional driver-side broadcast.
+   * set is small, and (round-7 fix) ALL per-candidate work runs in stable
+   * library code — the previous shape (codes equi-join → fused ADC
+   * expression per candidate row → partial top-k) kept the hot loop in
+   * whole-stage-generated glue, the JIT-deopt exposure whose 10.2 s
+   * outlier the round-6 bench recorded:
+   *
+   *  - **ADC stage**: [[CoGroupTopK.pqSearch]] co-partitions probed
+   *    queries and codes on list_id. The shuffled artifact is the CODES
+   *    table — m+8 bytes per corpus row, the most compact in the system
+   *    (a 100 TB raw corpus is ~1.6 TB of m=16 codes) — and each query's
+   *    ADC table derives once per probed list (m x ks x dsub madds, noise
+   *    next to scanning the list), so the per-candidate cost stays m
+   *    lookups with nothing per-candidate materialized as rows.
+   *  - **rerank stage**: the id-only ADC winners join back to raw payloads
+   *    (size-gated broadcast keeps the 100 TB raw scan unshuffled), and
+   *    the exact distances + final top-k run inside
+   *    [[CoGroupTopK.rerankTopK]]'s cogroup on qid.
    */
   private[index] def searchJoin(
       queries: DataFrame,
@@ -157,29 +165,20 @@ class IvfPqIndex(
       .withColumn("list_id",
         explode(vector.probe_lists(col("qvec"), centroids, nprobe, probeMetric)))
       .select("qid", "qvec", "list_id")
-    val hinted =
-      if (IvfFlatIndex.fitsBroadcastGate(queries, nprobe)) broadcast(probed) else probed
-    val cands = codes
-      .join(hinted, "list_id")
-      .withColumn("dist",
-        pq.pq_adc_distance_fused(col("qid"), col("qvec"), col("codes"), codebooks, probeMetric))
-      .select("qid", "id", "dist")
     val preK = if (rerankK > 0) math.max(rerankK, params.k) else params.k
-    // bounded-buffer top-k: only nQueries x preK rows cross the shuffle —
-    // the ADC candidate stream is the big one (nprobe/nlist of the corpus)
-    val adcTop = TopKAggregator.topKPerQuery(cands, preK).select("qid", "id", "dist", "rank")
+    val adcTop = CoGroupTopK.pqSearch(probed, codes, codebooks, probeMetric.id, preK)
     if (rerankK <= 0) adcTop
     else {
       val m = params.metric.getOrElse(Metric.L2)
-      val qSide = queries.select("qid", "qvec")
-      val qHinted =
-        if (IvfFlatIndex.fitsBroadcastGate(queries, 1)) broadcast(qSide) else qSide
-      val exact = adcTop
-        .join(rawVectors, "id")
-        .join(qHinted, "qid")
-        .withColumn("dist", vector.distance(col("qvec"), col("vec"), m))
-        .select("qid", "id", "dist")
-      TopKAggregator.topKPerQuery(exact, params.k).select("qid", "id", "dist", "rank")
+      // id-only candidate stream (<= queries x preK 16-byte rows) joins
+      // back to the raw payloads; the gate estimate (query-plan stats x
+      // preK) safely overestimates it, since stats price the qvec column
+      // the stream no longer carries
+      val candIds = adcTop.select("qid", "id")
+      val hinted =
+        if (IvfFlatIndex.fitsBroadcastGate(queries, preK)) broadcast(candIds) else candIds
+      val cands = rawVectors.select("id", "vec").join(hinted, "id")
+      CoGroupTopK.rerankTopK(queries.select("qid", "qvec"), cands, m.id, params.k)
     }
   }
 }

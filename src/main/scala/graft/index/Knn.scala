@@ -54,10 +54,27 @@ object Knn {
           ListScanTopK(corpus, new FlatListScorer(bc, metric.id), k), k)
           .select("qid", "id", "dist", "rank")
       case None =>
-        val scored = vectors.select(col("id"), col("vec"))
-          .crossJoin(broadcast(qdf))
-          .withColumn("dist", vector.distance(col("qvec"), col("vec"), metric))
-        TopKAggregator.topKPerQuery(scored, k).select("qid", "id", "dist", "rank")
+        // unbounded query set. Below the size gate the batch ships through
+        // the lazy broadcast exchange into the same stable scan operator
+        // (one virtual list spanning the corpus — each stored vector
+        // decodes once and scores every query in scalac-compiled code);
+        // above it nothing is broadcast — this branch fires precisely
+        // because the batch is large, so an unconditional hint would
+        // bypass autoBroadcastJoinThreshold for an arbitrarily big set
+        // (round-7 fix): the plain cross join lets AQE plan the flood.
+        if (IvfFlatIndex.fitsBroadcastGate(qdf, 1)) {
+          val probed = qdf.withColumn("list_id", lit(0))
+          val corpus = vectors.select(
+            col("id").cast("long"), lit(0).cast("int").as("list_id"), col("vec"))
+          TopKAggregator.finalizePartial(
+            BroadcastProbeTopK(probed, corpus, k, metric.id), k)
+            .select("qid", "id", "dist", "rank")
+        } else {
+          val scored = vectors.select(col("id"), col("vec"))
+            .crossJoin(qdf)
+            .withColumn("dist", vector.distance(col("qvec"), col("vec"), metric))
+          TopKAggregator.topKPerQuery(scored, k).select("qid", "id", "dist", "rank")
+        }
     }
   }
 

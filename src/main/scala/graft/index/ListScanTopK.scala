@@ -91,73 +91,92 @@ case class ListScanTopKExec(
     val outRows = longMetric("numOutputRows")
     val cands = longMetric("numCandidates")
     child.execute().mapPartitions({ rows =>
-      new Iterator[InternalRow] with TopKSink {
-        private val useHeap = kLocal > PartialTopK.HeapThreshold
-        private val bufMap =
-          if (useHeap) null else new LongTopKMap[TopKBuf](1 << 10, maxLocal)
-        private val heapMap =
-          if (useHeap) new LongTopKMap[TopKHeap](1 << 10, maxLocal) else null
-        private val writer = new UnsafeRowWriter(3)
-        private var out: Iterator[InternalRow] = Iterator.empty
-        private var exhausted = false
-        private var scored = 0L
-
-        override def insert(qid: Long, id: Long, dist: Double): Unit = {
-          scored += 1
-          if (useHeap) {
-            var h = heapMap.get(qid)
-            if (h == null) { h = new TopKHeap(kLocal); heapMap.put(qid, h) }
-            h.insert(dist, id)
-          } else {
-            var buf = bufMap.get(qid)
-            if (buf == null) { buf = TopKBuf.empty(kLocal); bufMap.put(qid, buf) }
-            buf.insert(dist, id)
-          }
-        }
-
-        override def hasNext: Boolean = {
-          while (!out.hasNext && !exhausted) advance()
-          out.hasNext
-        }
-        override def next(): InternalRow = { hasNext; out.next() }
-
-        @inline private def mapSize: Int = if (useHeap) heapMap.size else bufMap.size
-
-        private def advance(): Unit = {
-          while (rows.hasNext && mapSize < maxLocal) {
-            val r = rows.next()
-            // null payload/list (e.g. a predicate-filtered projection) is
-            // skipped, matching the old path where a null distance row was
-            // dropped inside PartialTopKExec
-            if (!(r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2)))
-              scorerLocal.scoreInto(r.getInt(1), r.getArray(2), r.getLong(0), this)
-          }
-          if (!rows.hasNext) exhausted = true
-          @inline def emit(qid: Long, id: Long, dist: Double): InternalRow = {
-            writer.reset()
-            writer.write(0, qid)
-            writer.write(1, id)
-            writer.write(2, dist)
-            outRows += 1
-            writer.getRow
-          }
-          cands += scored
-          scored = 0L
-          out =
-            if (useHeap) heapMap.drain().iterator.flatMap { case (qid, h) =>
-              h.sortAscending()
-              Iterator.range(0, h.size).map(j => emit(qid, h.ids(j), h.dists(j)))
-            }
-            else bufMap.drain().iterator.flatMap { case (qid, buf) =>
-              Iterator.range(0, buf.size).map(j => emit(qid, buf.ids(j), buf.dists(j)))
-            }
-        }
-      }
+      new TopKScanIterator(rows, scorerLocal, kLocal, maxLocal, outRows, cands)
     }, preservesPartitioning = true)
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): ListScanTopKExec =
     copy(child = newChild)
+}
+
+/**
+ * THE per-partition scan → score → partial-top-k loop, shared by every
+ * deopt-immune operator ([[ListScanTopKExec]] over a driver-built probe
+ * broadcast, [[BroadcastProbeTopKExec]] over an in-plan broadcast
+ * exchange): pulls corpus rows `(id LONG, list_id INT, payload)` by
+ * position, routes each through the scorer into per-query top-k buffers,
+ * and drains `(_1 qid, _2 id, _3 dist)` partial rows. Bounded memory at
+ * any query cardinality — past `maxKeys` distinct qids the buffer map
+ * flushes and restarts (fragments re-merge in the final aggregation).
+ */
+final class TopKScanIterator(
+    rows: Iterator[InternalRow],
+    scorer: ListScorer,
+    k: Int,
+    maxKeys: Int,
+    outRows: SQLMetric,
+    cands: SQLMetric) extends Iterator[InternalRow] with TopKSink {
+
+  private val useHeap = k > PartialTopK.HeapThreshold
+  private val bufMap =
+    if (useHeap) null else new LongTopKMap[TopKBuf](1 << 10, maxKeys)
+  private val heapMap =
+    if (useHeap) new LongTopKMap[TopKHeap](1 << 10, maxKeys) else null
+  private val writer = new UnsafeRowWriter(3)
+  private var out: Iterator[InternalRow] = Iterator.empty
+  private var exhausted = false
+  private var scored = 0L
+
+  override def insert(qid: Long, id: Long, dist: Double): Unit = {
+    scored += 1
+    if (useHeap) {
+      var h = heapMap.get(qid)
+      if (h == null) { h = new TopKHeap(k); heapMap.put(qid, h) }
+      h.insert(dist, id)
+    } else {
+      var buf = bufMap.get(qid)
+      if (buf == null) { buf = TopKBuf.empty(k); bufMap.put(qid, buf) }
+      buf.insert(dist, id)
+    }
+  }
+
+  override def hasNext: Boolean = {
+    while (!out.hasNext && !exhausted) advance()
+    out.hasNext
+  }
+  override def next(): InternalRow = { hasNext; out.next() }
+
+  @inline private def mapSize: Int = if (useHeap) heapMap.size else bufMap.size
+
+  private def advance(): Unit = {
+    while (rows.hasNext && mapSize < maxKeys) {
+      val r = rows.next()
+      // null payload/list (e.g. a predicate-filtered projection) is
+      // skipped, matching the old path where a null distance row was
+      // dropped inside PartialTopKExec
+      if (!(r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2)))
+        scorer.scoreInto(r.getInt(1), r.getArray(2), r.getLong(0), this)
+    }
+    if (!rows.hasNext) exhausted = true
+    @inline def emit(qid: Long, id: Long, dist: Double): InternalRow = {
+      writer.reset()
+      writer.write(0, qid)
+      writer.write(1, id)
+      writer.write(2, dist)
+      outRows += 1
+      writer.getRow
+    }
+    cands += scored
+    scored = 0L
+    out =
+      if (useHeap) heapMap.drain().iterator.flatMap { case (qid, h) =>
+        h.sortAscending()
+        Iterator.range(0, h.size).map(j => emit(qid, h.ids(j), h.dists(j)))
+      }
+      else bufMap.drain().iterator.flatMap { case (qid, buf) =>
+        Iterator.range(0, buf.size).map(j => emit(qid, buf.ids(j), buf.dists(j)))
+      }
+  }
 }
 
 /** Candidate receiver for [[ListScorer.scoreInto]] — implemented by the
@@ -257,8 +276,17 @@ object ProbeIndex {
 final class FlatListScorer(
     bc: Broadcast[ProbeIndex], metric: Int,
     excludeSelf: Boolean = false) extends ListScorer {
-  override def scoreInto(listId: Int, payload: ArrayData, id: Long, out: TopKSink): Unit = {
-    val pi = bc.value
+  override def scoreInto(listId: Int, payload: ArrayData, id: Long, out: TopKSink): Unit =
+    FlatListScorer.scoreRow(bc.value, metric, excludeSelf, listId, payload, id, out)
+}
+
+object FlatListScorer {
+  /** One corpus row against every query probing its list — the loop shared
+    * by the driver-broadcast scorer above and the executor-local
+    * [[LocalFlatScorer]] of the in-plan-broadcast flood path. */
+  @inline def scoreRow(
+      pi: ProbeIndex, metric: Int, excludeSelf: Boolean,
+      listId: Int, payload: ArrayData, id: Long, out: TopKSink): Unit = {
     if (listId >= 0 && listId < pi.listPos.length) {
       val pos = pi.listPos(listId)
       if (pos != null) {
@@ -273,6 +301,15 @@ final class FlatListScorer(
       }
     }
   }
+}
+
+/** [[FlatListScorer]] over an executor-resident [[ProbeIndex]] (built per
+  * task from an in-plan broadcast exchange, [[BroadcastProbeTopKExec]]) —
+  * never serialized, so it holds the index directly instead of a
+  * driver-created Broadcast handle. */
+final class LocalFlatScorer(pi: ProbeIndex, metric: Int) extends ListScorer {
+  override def scoreInto(listId: Int, payload: ArrayData, id: Long, out: TopKSink): Unit =
+    FlatListScorer.scoreRow(pi, metric, excludeSelf = false, listId, payload, id, out)
 }
 
 /** PQ ADC scorer: payload is the row's ARRAY<BYTE> codes; each probing

@@ -7,11 +7,14 @@ import graft.{SearchParams, SparkSpec}
 /**
  * The broadcast size-gate contract for BOTH distributed flood paths
  * (flat [[IvfFlatIndex.searchJoinPruned]] and PQ [[IvfPqIndex.searchJoin]]):
- * below the gate the probed side carries an explicit broadcast hint (the
- * corpus scan stays unshuffled); above it NO hint is planted — the plan
- * must not force an unbounded query set through a driver-side broadcast,
- * Spark's own threshold/AQE decide instead. Results are identical either
- * way (round-4 "done" criterion: plan-string assert + hash equality).
+ * below the gate the probed side ships through the lazy broadcast
+ * exchange into [[BroadcastProbeTopK]] (the corpus scan stays
+ * unshuffled); above it NOTHING is broadcast — the flood co-partitions
+ * through [[CoGroupTopK]] instead of forcing an unbounded query set
+ * through a driver-side broadcast. The PQ ADC stage always co-partitions
+ * (the shuffled codes are m+8 B/row); its gate governs only the rerank
+ * candidate join-back. Results are identical either way (plan-string
+ * assert + hash equality).
  */
 class BroadcastGateSpec extends SparkSpec {
 
@@ -52,18 +55,22 @@ class BroadcastGateSpec extends SparkSpec {
     (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))
   private def sortedKeys(df: DataFrame) = df.collect().map(key).sortBy(x => (x._1, x._2))
 
-  test("flat flood path above the gate plants no broadcast hint, below it does") {
+  test("flat flood co-partitions above the gate, broadcast-probes below it") {
     val qdf = queriesDF(floodQueries)
     val params = SearchParams(k = 5, nprobe = 4)
     withConf(gate = "1", auto = "-1") {
-      val plan = initialPlan(flat.search(qdf, params)) // nOver > MaxStaticBatch -> join path
-      assert(!plan.contains("BroadcastHashJoin"),
+      val plan = initialPlan(flat.search(qdf, params)) // nOver > MaxStaticBatch -> flood path
+      assert(!plan.contains("BroadcastProbeTopK") && !plan.contains("BroadcastExchange"),
         s"above-gate flood must not broadcast the probed side:\n$plan")
+      assert(plan.contains("CoGroup"),
+        s"above-gate flood should co-partition queries and corpus:\n$plan")
     }
     withConf(gate = (1L << 40).toString, auto = "-1") {
       val plan = initialPlan(flat.search(qdf, params))
-      assert(plan.contains("BroadcastHashJoin"),
-        s"below-gate probe should carry the broadcast hint even past Spark's threshold:\n$plan")
+      assert(plan.contains("BroadcastProbeTopK"),
+        s"below-gate flood should take the broadcast-probe operator:\n$plan")
+      assert(!plan.contains("CoGroup"),
+        s"below-gate flood must not shuffle the corpus:\n$plan")
     }
   }
 
@@ -79,22 +86,28 @@ class BroadcastGateSpec extends SparkSpec {
     }
   }
 
-  test("pq flood paths (adc + rerank) plant no broadcast hint above the gate") {
+  test("pq flood: ADC always co-partitions; rerank join-back hints only below the gate") {
     val qdf = queriesDF(floodQueries)
     val params = SearchParams(k = 5, nprobe = 4)
     withConf(gate = "1", auto = "-1") {
       for (rerank <- Seq(0, 20)) {
         val plan = initialPlan(pqIndex.search(qdf, params, rerank))
-        assert(!plan.contains("BroadcastHashJoin"),
+        assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastExchange"),
           s"above-gate PQ flood (rerankK=$rerank) must not broadcast:\n$plan")
+        assert(plan.contains("CoGroup"),
+          s"PQ flood (rerankK=$rerank) should co-partition the codes scan:\n$plan")
       }
     }
     withConf(gate = (1L << 40).toString, auto = "-1") {
-      for (rerank <- Seq(0, 20)) {
-        val plan = initialPlan(pqIndex.search(qdf, params, rerank))
-        assert(plan.contains("BroadcastHashJoin"),
-          s"below-gate PQ flood (rerankK=$rerank) should carry the hint:\n$plan")
-      }
+      // ADC-only: co-partitioned end to end, nothing to broadcast at all
+      val adcPlan = initialPlan(pqIndex.search(qdf, params, 0))
+      assert(adcPlan.contains("CoGroup") && !adcPlan.contains("BroadcastHashJoin"),
+        s"below-gate ADC-only PQ flood should stay join-free:\n$adcPlan")
+      // rerank: the id-only ADC winners broadcast into the raw-payload
+      // join-back so the (100 TB) raw scan stays unshuffled
+      val rrPlan = initialPlan(pqIndex.search(qdf, params, 20))
+      assert(rrPlan.contains("BroadcastHashJoin"),
+        s"below-gate PQ rerank should hint the candidate join-back:\n$rrPlan")
     }
   }
 

@@ -84,7 +84,7 @@ class IvfFlatIndexSpec extends SparkSpec {
       Seq((10L, 0.3), (11L, 0.4)))
   }
 
-  test("static path plans the list-scan top-k operator; join path broadcasts") {
+  test("static path plans the list-scan top-k operator; flood path the broadcast-probe one") {
     val q = queriesDF(queries)
     // small batch -> static path: the pruned scan feeds the per-list scan
     // + top-k operator directly — no candidate join exists in the plan
@@ -94,12 +94,19 @@ class IvfFlatIndexSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"static path should be join-free:\n$plan")
     assert(!plan.startsWith("!") && !plan.contains("\n!"),
       s"plan contains an invalid (!) node:\n$plan")
-    // distributed join path: broadcast equi-join, never a cartesian blowup
+    // distributed flood path (round 7): below the gate the probed side
+    // ships through the lazy broadcast exchange into the stable scan
+    // operator — no candidate join, no cartesian blowup, corpus unshuffled
     val joinPlan = index.searchWhere(q, SearchParams(k = 10, nprobe = 2), None,
       IvfFlatIndex.ForceJoin).queryExecution.executedPlan.toString
-    assert(joinPlan.contains("BroadcastHashJoin") ||
-      joinPlan.contains("BroadcastNestedLoopJoin"))
+    assert(joinPlan.contains("BroadcastProbeTopK"),
+      s"flood path missing the broadcast-probe operator:\n$joinPlan")
+    assert(joinPlan.contains("BroadcastExchange IdentityBroadcastMode"),
+      s"flood path should broadcast the probed rows via the exchange:\n$joinPlan")
+    assert(!joinPlan.contains("Join"), s"flood path should be join-free:\n$joinPlan")
     assert(!joinPlan.contains("CartesianProduct"))
+    assert(!joinPlan.startsWith("!") && !joinPlan.contains("\n!"),
+      s"plan contains an invalid (!) node:\n$joinPlan")
   }
 
   test("distance kernel evaluates ONCE per candidate — never inside a join condition") {
@@ -124,15 +131,40 @@ class IvfFlatIndexSpec extends SparkSpec {
     assert(exactPlan.contains("ListScanTopK"), s"static exact plan:\n$exactPlan")
     assert(!exactPlan.toLowerCase.contains("_distance("),
       s"static exact plan should carry no distance expression:\n$exactPlan")
-    // unbounded fallback (cross join): exactly ONE kernel eval per pair —
-    // the Window variant's null/NaN pre-filter used to land in the
-    // cross-join condition, evaluating the kernel THREE times per pair
+    // unbounded fallback, below the gate (round 7): the batch ships
+    // through the broadcast exchange into the stable scan operator — no
+    // distance expression in the plan at all
     val wide = queriesDF(randomVectors(IvfFlatIndex.MaxStaticBatch + 8, 16, seed = 321))
-    val joinPlan = Knn.exact(wide, index.vectors.select("id", "vec"), 5)
+    val bcPlan = Knn.exact(wide, index.vectors.select("id", "vec"), 5)
       .queryExecution.executedPlan.toString
-    val kernelCount = "_distance\\(".r.findAllIn(joinPlan).length
-    assert(kernelCount == 1,
-      s"join exact plan evaluates the distance kernel $kernelCount times:\n$joinPlan")
+    assert(bcPlan.contains("BroadcastProbeTopK"), s"bounded-flood exact plan:\n$bcPlan")
+    assert("_distance\\(".r.findAllIn(bcPlan).isEmpty,
+      s"bounded-flood exact plan should carry no distance expression:\n$bcPlan")
+    // unbounded fallback ABOVE the gate (plain cross join, nothing
+    // broadcast): exactly ONE kernel eval per pair — the Window variant's
+    // null/NaN pre-filter used to land in the cross-join condition,
+    // evaluating the kernel THREE times per pair
+    // with Spark's own auto-broadcast disabled too, any BroadcastExchange
+    // in the plan could only come from a planted hint — there must be none
+    val conf = spark.conf
+    val autoKey = "spark.sql.autoBroadcastJoinThreshold"
+    val oldGate = conf.getOption(IvfFlatIndex.BroadcastGateKey)
+    val oldAuto = conf.getOption(autoKey)
+    try {
+      conf.set(IvfFlatIndex.BroadcastGateKey, "1")
+      conf.set(autoKey, "-1")
+      val joinPlan = Knn.exact(wide, index.vectors.select("id", "vec"), 5)
+        .queryExecution.executedPlan.toString
+      val kernelCount = "_distance\\(".r.findAllIn(joinPlan).length
+      assert(kernelCount == 1,
+        s"join exact plan evaluates the distance kernel $kernelCount times:\n$joinPlan")
+      assert(!joinPlan.contains("BroadcastExchange"),
+        s"above-gate exact plan must not broadcast the query set:\n$joinPlan")
+    } finally {
+      oldGate.fold(conf.unset(IvfFlatIndex.BroadcastGateKey))(
+        conf.set(IvfFlatIndex.BroadcastGateKey, _))
+      oldAuto.fold(conf.unset(autoKey))(conf.set(autoKey, _))
+    }
   }
 
   test("epoch write + read roundtrip preserves list partitioning") {
