@@ -60,16 +60,55 @@ object ScaleStress {
     // (server/query_service.h:25-27, vendor p99 12 ms on V100) — measure
     // the per-micro-batch latency floor of the static path at batch=64
     val batch64 = small.limit(64).collect().map(graft.index.IvfFlatIndex.decodeQueryRow)
-    val lat = (1 to 60).map { _ =>
-      val t0 = System.nanoTime()
-      val (df, release) = index.searchBatchManaged(batch64, SearchParams(k = 10, nprobe = 10))
-      df.count()
-      release()
-      (System.nanoTime() - t0) / 1e6
-    }.drop(10).sorted // 10 warmup batches; percentiles over the remaining 50
-    def pct(p: Double) = lat((p * (lat.size - 1)).round.toInt)
-    println(f"[stress] batch=64 serving latency ms p50=${pct(.5)}%.1f " +
-      f"p95=${pct(.95)}%.1f p99=${pct(.99)}%.1f -> ${64000 / pct(.5)}%.0f QPS/stream")
+    def servingFloor(idx: graft.index.IvfFlatIndex, label: String, runs: Int = 60): Double = {
+      val lat = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val (df, release) = idx.searchBatchManaged(batch64, SearchParams(k = 10, nprobe = 10))
+        df.count()
+        release()
+        (System.nanoTime() - t0) / 1e6
+      }.drop(runs / 6).sorted // warmup prefix; percentiles over the rest
+      def pct(p: Double) = lat((p * (lat.size - 1)).round.toInt)
+      println(f"[stress] $label batch=64 latency ms p50=${pct(.5)}%.1f " +
+        f"p95=${pct(.95)}%.1f p99=${pct(.99)}%.1f -> ${64000 / pct(.5)}%.0f QPS/stream")
+      pct(.5)
+    }
+    servingFloor(index, "nlist=1024 in-memory corpus:")
+    // EPOCH-BACKED serving (the production topology: list-partitioned
+    // parquet), cold vs LFU-warmed — the Spark analog of the reference's
+    // GPU-cache warmup (server/query_service.cpp:170-204): the workload's
+    // probed lists persist as EXACTLY the pruned-scan fragment the static
+    // path plans, so the cache substitutes into every serving plan
+    val epochPath = "/tmp/graft_stress_epoch"
+    timed("write 1M-vector epoch (list-partitioned parquet)") {
+      graft.index.IvfFlatIndex.writeEpoch(index.vectors, epochPath)
+    }
+    val diskVectors = graft.index.IvfFlatIndex.readEpoch(spark, epochPath)
+    val diskIdx = new graft.index.IvfFlatIndex(spark, diskVectors, index.centroids, Metric.L2)
+    servingFloor(diskIdx, "epoch-backed COLD (pruned parquet scan):")
+    val hotPairs = graft.index.IvfFlatIndex.localProbe(
+      batch64, index.centroids.value, 10, Metric.L2)
+    val hotLists = hotPairs.map(_._2).distinct.toSeq
+    val warmedDF = diskVectors
+      .filter(col("list_id").isInCollection(hotLists))
+      .select(col("id").cast("long"), col("list_id").cast("int"), col("vec"))
+    timed(s"warmupHot: persist the ${hotLists.size}/1024 probed lists") {
+      warmedDF.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    }
+    servingFloor(diskIdx, s"epoch-backed WARM (${hotLists.size}/1024 lists persisted):")
+    warmedDF.unpersist(blocking = false)
+    // higher-nlist point (the reference's sizing table puts 1M vectors at
+    // nlist=4096): each batch-64 x nprobe=10 probes <=640/4096 ≈ 16% of
+    // lists instead of ~half, so the per-batch scan shrinks ~4x — the
+    // lever that moves the small-batch floor without new hardware
+    val idx4096 = timed("train(100k sample, nlist=4096) + assign(1M) + materialize") {
+      val idx = graft.index.IvfFlatIndex.build(spark, corpus, nlist = 4096,
+        maxTrain = 100000)
+      idx.vectors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+      idx
+    }
+    servingFloor(idx4096, "nlist=4096 in-memory corpus:")
+    idx4096.vectors.unpersist(blocking = false)
     // concurrent serving streams (the reference serves 16-32 concurrent
     // searches, server/query_service.h:28): N driver threads each running
     // sequential batch-64 searches — Spark's scheduler interleaves their

@@ -160,7 +160,7 @@ object PartialTopK {
   /** k above which the partial combine switches from [[TopKBuf]]'s
     * sorted-array insert to the [[TopKHeap]] max-heap — one step past the
     * reference's serving topk cap (1 <= topk <= 1000,
-    * server/query_service.cpp:107), so every serving-shaped search keeps
+    * server/query_service.cpp:77), so every serving-shaped search keeps
     * the one-compare-reject buffer and only rerank-all style exhaustive
     * searches pay the heap's extra compare per accept. */
   val HeapThreshold = 1024

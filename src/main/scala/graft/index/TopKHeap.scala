@@ -12,18 +12,27 @@ package graft.index
  *
  * Same keep-set and tie order as TopKBuf: the k smallest (dist, id) pairs,
  * NaN rejected, ties broken by id; [[sortAscending]] leaves the arrays in
- * exactly TopKBuf's emit order. One contract difference: [[TopKBuf]] drops
- * exact (dist, id) duplicates at insert (set semantics, O(1) there); a
- * heap has no cheap duplicate check, so producers must emit each
- * (qid, id) once — every heap-k path does, and the duplicate-producing
- * self-join fast path is gated to buffer-sized k
- * ([[graft.pipeline.Similarity.knnSelfJoin]]).
+ * exactly TopKBuf's emit order — INCLUDING the exact-duplicate skip. A
+ * heap cannot find a duplicate in place, so a companion id → dist map
+ * mirrors the kept set and is probed only on the ACCEPT path (the common
+ * reject stays one comparison against the root). This is what lets the
+ * duplicate-producing self-join fast path run at heap-sized k
+ * ([[graft.pipeline.Similarity.knnSelfJoin]] — a pair sharing both probed
+ * lists scores twice with bit-identical distance). Deliberate limit: the
+ * map keys on id alone, so it detects duplicates whose distance matches
+ * the kept entry — true for every real producer, where distance is a
+ * deterministic function of (qid, id); a producer emitting one id at
+ * DIFFERENT distances would keep both in TopKBuf but only the first here
+ * (no such producer exists).
  */
 final class TopKHeap(val k: Int) {
   private var cap = math.min(k, 32)
   var dists = new Array[Double](cap)
   var ids = new Array[Long](cap)
   var size = 0
+  /** id → dist of the current heap contents (duplicate detection). */
+  private val kept = new java.util.HashMap[java.lang.Long, java.lang.Double](
+    math.min(k, 1 << 16))
 
   /** (d1, i1) orders strictly after (d2, i2)? */
   @inline private def gt(d1: Double, i1: Long, d2: Double, i2: Long): Boolean =
@@ -34,10 +43,17 @@ final class TopKHeap(val k: Int) {
     if (size == k) {
       // full: accept only if strictly better than the worst kept (the root)
       if (!gt(dists(0), ids(0), d, id)) return
+      val prev = kept.get(id)
+      if (prev != null && prev.doubleValue() == d) return // exact duplicate
+      kept.remove(ids(0))
+      kept.put(id, d)
       dists(0) = d
       ids(0) = id
       siftDown(0, size)
     } else {
+      val prev = kept.get(id)
+      if (prev != null && prev.doubleValue() == d) return // exact duplicate
+      kept.put(id, d)
       if (size == cap) grow()
       dists(size) = d
       ids(size) = id

@@ -261,7 +261,10 @@ object Dedup {
         batch, centroids.value, assignProbes, Metric.L2)
       val bc = spark.sparkContext.broadcast(
         graft.index.ProbeIndex(batch, pairs, centroids.value.length))
-      return vectors.select(
+      // corpus side = the snapshot parallelized back out: one evaluation
+      // of the source plan, so query and corpus sides cannot diverge on a
+      // non-deterministic input (Similarity.corpusFromBatch)
+      return Similarity.corpusFromBatch(spark, batch).select(
         col("id"),
         explode(vector.probe_lists(col("vec"), centroids, assignProbes, Metric.L2))
           .as("list_id"),

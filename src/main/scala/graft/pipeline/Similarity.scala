@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{Metric, SearchParams}
 import graft.functions.vector
-import graft.index.{FlatListScorer, IvfFlatIndex, Knn, ListScanTopK, PartialTopK,
+import graft.index.{FlatListScorer, IvfFlatIndex, Knn, ListScanTopK,
   ProbeIndex, TopKAggregator}
 
 /**
@@ -71,8 +71,11 @@ object Similarity {
    * one row per query) gates the retry; the happy path (every query
    * satisfied) pays no second scan. The retry scan reads only the
    * predicate's survivors, exhaustively — for a predicate selective enough
-   * to starve the probe, that is exactly the cheap scan. `queries` must be
-   * a deterministic plan (it is evaluated again for the retry).
+   * to starve the probe, that is exactly the cheap scan. The query set is
+   * pinned ONCE up front (round-7 fix: the pruned pass, the shortfall
+   * count, and the retry all read the same materialized rows), so a
+   * non-deterministic query plan — a sample, an unordered limit — is
+   * safe here.
    */
   def filteredAnnAdaptive(
       index: IvfFlatIndex,
@@ -81,51 +84,80 @@ object Similarity {
       k: Int,
       nprobe: Int,
       metric: Metric.Value = Metric.Cosine): DataFrame = {
-    val pruned = filteredAnn(index, queries, predicate, k, nprobe, metric)
+    val q = Dedup.persistOnce(queries.select("qid", "qvec"))
+    val pruned = filteredAnn(index, q, predicate, k, nprobe, metric)
     if (nprobe >= index.nlist) return pruned
     val cached = Dedup.persistOnce(pruned)
     // zero-row queries are ABSENT from the result — left join from the
     // query set to count shortfalls, not from the result
     val counts = cached.groupBy("qid").agg(count(lit(1)).as("n"))
-    val short = queries.select("qid")
+    val short = q.select("qid")
       .join(counts, Seq("qid"), "left")
       .filter(coalesce(col("n"), lit(0L)) < k)
       .select("qid").collect().map(_.getLong(0)).toSeq
     if (short.isEmpty) cached
     else cached.filter(!col("qid").isInCollection(short))
       .unionAll(index.searchWhere(
-        queries.filter(col("qid").isInCollection(short)),
+        q.filter(col("qid").isInCollection(short)),
         SearchParams(k, index.nlist, Some(metric)), Some(predicate)))
   }
 
   /** Corpus rows up to which the self-join ships the whole corpus as one
     * driver-built probe index (~134 MB at 256k x 128D — well under any
     * sane driver heap and Spark's broadcast limit) — the serving trick
-    * applied to analytics. Above it, or at heap-sized k, the salted
-    * equi-join path scales without any driver state. The gate is
-    * deliberately generous: at 200k x 128D the broadcast path measures
-    * ~20x faster than the bucket join (ScaleStress `selfjoin` section) —
-    * the candidate distinct + twin payload joins, not the distance
-    * flops, dominate the blocked shape. */
+    * applied to analytics. Above it the salted equi-join path scales
+    * without any driver state. The gate is deliberately generous: at
+    * 200k x 128D the broadcast path measures ~20x faster than the bucket
+    * join (ScaleStress `selfjoin` section) — the candidate distinct +
+    * twin payload joins, not the distance flops, dominate the blocked
+    * shape. */
   val MaxSelfIndexRows: Int = 1 << 18
+
+  /** Byte budget for one snapshot ([[selfIndexBatch]]): bounds BOTH the
+    * plan-stats pre-gate and the dimension-aware row cap. */
+  val MaxSelfIndexBytes: Long = 256L << 20
 
   /**
    * Snapshot the corpus for a broadcast fast path, or null when it is (or
-   * plan-stats say it obviously is) too big. The stats pre-check keeps a
-   * 100 TB table from paying even the bounded `limit(n+1)` scan: at 256 MB
-   * of estimated (compressed) bytes the corpus cannot plausibly be under
-   * 64k rows of real vectors. Null vecs are dropped — they are neither
-   * queries nor candidates in the blocked paths either (an exploded null
-   * probe list emits nothing).
+   * plan-stats say it obviously is) too big. Three defenses, cheapest
+   * first: the stats pre-check keeps a 100 TB table from paying even a
+   * bounded scan; a one-row probe reads the vector WIDTH and shrinks the
+   * row cap to the same byte budget (stats can underestimate — e.g.
+   * optimistic filter selectivity — and a row gate alone is
+   * dimension-blind: 256k x 2048D is ~2 GB of driver heap); the
+   * `limit(cap + 1)` collect then proves the corpus actually fits. Null
+   * vecs are dropped — they are neither queries nor candidates in the
+   * blocked paths either (an exploded null probe list emits nothing).
    */
   private[pipeline] def selfIndexBatch(
-      vectors: DataFrame, maxRows: Int): Array[(Long, Array[Float])] = {
+      vectors: DataFrame, maxRows: Int,
+      maxBytes: Long = MaxSelfIndexBytes): Array[(Long, Array[Float])] = {
     if (maxRows <= 0) return null
     val statBytes = vectors.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (statBytes > BigInt(256L << 20)) return null
-    val rows = vectors.select(col("id"), col("vec")).limit(maxRows + 1).collect()
-    if (rows.length > maxRows) null
+    if (statBytes > BigInt(maxBytes)) return null
+    val head = vectors.select(col("id"), col("vec")).limit(1).collect()
+    if (head.isEmpty) return Array.empty
+    val dim = Option(head(0).getSeq[Float](1)).map(_.length).getOrElse(0)
+    val effMax =
+      if (dim <= 0) maxRows
+      else math.min(maxRows.toLong, maxBytes / (4L * dim + 24L)).toInt
+    val rows = vectors.select(col("id"), col("vec")).limit(effMax + 1).collect()
+    if (rows.length > effMax) null
     else rows.map(IvfFlatIndex.decodeQueryRow).filter(_._2 != null)
+  }
+
+  /** The snapshot parallelized back out as the fast path's corpus side:
+    * the source plan is evaluated ONLY for the snapshot, so a
+    * non-deterministic input (sample, unordered limit) cannot diverge
+    * between the probe-index (query) side and the scanned (corpus) side. */
+  private[pipeline] def corpusFromBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: Array[(Long, Array[Float])]): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext
+      .parallelize(batch.toIndexedSeq,
+        math.max(1, math.min(spark.sparkContext.defaultParallelism, batch.length / 4096 + 1)))
+      .toDF("id", "vec")
   }
 
   /**
@@ -160,16 +192,15 @@ object Similarity {
       maxBucket: Int = Dedup.DefaultMaxBucket,
       maxSelfIndexRows: Int = MaxSelfIndexRows): DataFrame = {
     val spark = vectors.sparkSession
-    // the heap partial buffer has no cheap exact-duplicate skip, so the
-    // broadcast path is only taken at array-buffer k
-    val batch =
-      if (k > PartialTopK.HeapThreshold) null
-      else selfIndexBatch(vectors, maxSelfIndexRows)
+    // heap-sized k is fast-path-eligible too since TopKHeap gained the
+    // exact-duplicate skip (round 7) — both partial buffers now collapse
+    // the twice-scored shared-list pairs
+    val batch = selfIndexBatch(vectors, maxSelfIndexRows)
     if (batch != null) {
       val pairs = IvfFlatIndex.localProbe(batch, centroids.value, assignProbes, Metric.L2)
       val bc = spark.sparkContext.broadcast(
         ProbeIndex(batch, pairs, centroids.value.length))
-      val exploded = vectors.select(
+      val exploded = corpusFromBatch(spark, batch).select(
         col("id"),
         explode(vector.probe_lists(col("vec"), centroids, assignProbes, Metric.L2))
           .as("list_id"),

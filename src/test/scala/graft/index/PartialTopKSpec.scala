@@ -43,17 +43,16 @@ class LongTopKMapSpec extends AnyFunSuite {
 class TopKHeapSpec extends AnyFunSuite {
 
   test("heap keep-set and drain order equal TopKBuf for random streams with ties") {
-    // UNIQUE (dist, id) pairs, shuffled: the heap's contract domain (its
-    // producers emit each (qid, id) once); dense dist values still force
-    // id tie-breaks. Exact duplicates are TopKBuf-only territory — the
-    // buffer drops them (next test), the heap requires producers not to
-    // send them (the dup-producing self-join path is gated to buffer k).
+    // random pairs INCLUDING exact duplicates (distance is a function of
+    // id here, so a repeated id repeats its distance — the self-join
+    // producer shape): buffer and heap must agree on the keep-set, the
+    // drain order, AND the duplicate collapse
     val rnd = new scala.util.Random(7)
     for (k <- Seq(1, 2, 7, 64); n <- Seq(0, 1, 5, 500)) {
       val buf = TopKBuf.empty(k)
       val heap = new TopKHeap(k)
-      val pairs = rnd.shuffle(
-        (0 until n).map(i => (rnd.nextInt(20).toDouble, i.toLong)))
+      val ids = (0 until n).map(_ => rnd.nextInt(200).toLong) // repeats = dups
+      val pairs = ids.map(id => ((id * 7 % 20).toDouble, id))
       pairs.foreach { case (d, id) =>
         buf.insert(d, id)
         heap.insert(d, id)
@@ -63,6 +62,26 @@ class TopKHeapSpec extends AnyFunSuite {
       val b = (0 until heap.size).map(j => (heap.dists(j), heap.ids(j)))
       assert(a === b, s"k=$k n=$n")
     }
+  }
+
+  test("TopKHeap drops exact (dist, id) duplicates like TopKBuf (round 7)") {
+    val heap = new TopKHeap(3)
+    heap.insert(1.0, 10L); heap.insert(1.0, 10L); heap.insert(2.0, 20L)
+    heap.sortAscending()
+    assert((0 until heap.size).map(j => (heap.dists(j), heap.ids(j))) ===
+      Seq((1.0, 10L), (2.0, 20L)))
+    // ties on dist with DIFFERENT ids are distinct candidates, kept; a
+    // duplicate arriving AFTER an eviction of its twin is a fresh insert
+    val h2 = new TopKHeap(2)
+    h2.insert(1.0, 1L); h2.insert(1.0, 2L); h2.insert(1.0, 1L)
+    h2.sortAscending()
+    assert((0 until h2.size).map(j => (h2.dists(j), h2.ids(j))) ===
+      Seq((1.0, 1L), (1.0, 2L)))
+    val h3 = new TopKHeap(1)
+    h3.insert(2.0, 9L) // evicted next
+    h3.insert(1.0, 1L); h3.insert(2.0, 9L) // duplicate of the EVICTED entry: rejected on order anyway
+    h3.sortAscending()
+    assert((0 until h3.size).map(j => (h3.dists(j), h3.ids(j))) === Seq((1.0, 1L)))
   }
 
   test("TopKBuf drops exact (dist, id) duplicates — top-k is over the candidate set") {

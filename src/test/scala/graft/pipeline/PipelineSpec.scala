@@ -191,6 +191,76 @@ class PipelineSpec extends SparkSpec {
     assert(broadcastPath.forall { case (q, _, id, _) => q != id }, "self-match leaked")
   }
 
+  test("self-join fast path opens at heap-sized k and equals the blocked path (round 7)") {
+    // k above PartialTopK.HeapThreshold exercises TopKHeap's new exact-
+    // duplicate skip: with few centroids and 2-probe assignment, many
+    // pairs share BOTH probed lists and score twice bit-identically — at
+    // k > candidate count, a missed dedup would KEEP the twin (nothing
+    // falls off the buffer), so equality with the distinct()-based
+    // blocked path pins the skip end to end
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 60).map { i =>
+      val c = i % 3
+      (i.toLong, Array.fill(8)(c * 10.0f + rnd.nextGaussian().toFloat))
+    }
+    val v = vectorsDF(rows)
+    val cents = IvfFlatIndex.broadcastCentroids(spark,
+      Array.tabulate(4)(c => Array.fill(8)(c * 10.0f)))
+    val k = graft.index.PartialTopK.HeapThreshold + 6
+    def run(maxSelf: Int) =
+      Similarity.knnSelfJoin(v, cents, k = k, assignProbes = 2, maxSelfIndexRows = maxSelf)
+    val fast = run(1 << 20)
+    assert(fast.queryExecution.executedPlan.toString.contains("ListScanTopK"),
+      "fast path not taken at heap-sized k")
+    def keys(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(keys(fast) === keys(run(0)))
+  }
+
+  test("selfIndexBatch caps by bytes, not rows: wide vectors refuse the fast path") {
+    val v = vectorsDF(randomVectors(100, 64))
+    // 100 rows sail through the row gate, but a byte budget of ~4 rows of
+    // 64D vectors (64*4+24 = 280 B each) must refuse the snapshot — the
+    // dimension-blind row cap alone would have collected ~2 GB at 2048D
+    assert(Similarity.selfIndexBatch(v, maxRows = 1 << 18, maxBytes = 1200) === null)
+    val ok = Similarity.selfIndexBatch(v, maxRows = 1 << 18)
+    assert(ok != null && ok.length === 100)
+  }
+
+  test("adaptive filtered ANN evaluates a non-deterministic query plan exactly once") {
+    val s = spark
+    import s.implicits._
+    import graft.Metric
+    // corpus: list 0 near the origin (label 0), list 1 far away (label 1)
+    // — label=1 with nprobe=1 starves every query, forcing the retry
+    val rnd = new scala.util.Random(7)
+    val near = (0 until 50).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat), 0))
+    val far = (1000 until 1010).map(i =>
+      (i.toLong, Array.fill(8)(100.0f + rnd.nextGaussian().toFloat), 1))
+    val corpus = (near ++ far).toDF("id", "vec", "label")
+    val cents = IvfFlatIndex.broadcastCentroids(spark,
+      Array(Array.fill(8)(0.0f), Array.fill(8)(100.0f)))
+    val index = new IvfFlatIndex(spark, IvfFlatIndex.assign(corpus, cents), cents, Metric.L2)
+    // a query source whose qid CHANGES on every evaluation: each pass over
+    // the RDD bumps the counter, so any second evaluation mints qid 2000,
+    // the retry's isInCollection([1000]) then matches nothing, and the
+    // starved query comes back empty — the exact silent-loss mode the
+    // snapshot-once contract forbids
+    PipelineSpec.evalCount.set(0)
+    val queries = spark.sparkContext.parallelize(Seq(0), 1).mapPartitions { _ =>
+      val e = PipelineSpec.evalCount.incrementAndGet()
+      Iterator((e * 1000L, Array.fill(8)(0.01f)))
+    }.toDF("qid", "qvec")
+    val res = Similarity.filteredAnnAdaptive(index, queries, col("label") === 1,
+      k = 5, nprobe = 1, metric = Metric.L2).collect()
+    assert(res.nonEmpty, "retry lost the starved query — source was re-evaluated")
+    assert(res.map(_.getLong(0)).toSet === Set(1000L),
+      s"result qids ${res.map(_.getLong(0)).toSet} show a re-evaluated source")
+    assert(res.length === 5)
+  }
+
   test("filtered ANN at pruned nprobe: adaptive widening restores starved queries") {
     val s = spark
     import s.implicits._
@@ -375,4 +445,11 @@ class PipelineSpec extends SparkSpec {
     assert(r(1) === Seq.empty)
     assert(r(2) === Seq.empty)
   }
+}
+
+object PipelineSpec {
+  /** Evaluation counter for the snapshot-once test: bumped by each pass
+    * over the non-deterministic query RDD (local mode — tasks share the
+    * JVM, so the object is the shared state). */
+  val evalCount = new java.util.concurrent.atomic.AtomicInteger(0)
 }
