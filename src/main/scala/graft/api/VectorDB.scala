@@ -57,6 +57,11 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     * never-run search records nothing. */
   private val searchLatency = TrieMap.empty[String, LatencyHistogram]
 
+  /** (observation count, recall sum) per index — running mean recall@k
+    * (see [[recordRecall]]). */
+  private val searchRecall = TrieMap.empty[String,
+    (java.util.concurrent.atomic.AtomicLong, java.util.concurrent.atomic.DoubleAdder)]
+
   /** Wrap a search result so its executions record into `name`'s latency
     * histogram (reference MetricsCollector::record_search_latency,
     * server/query_service.cpp:686-689). */
@@ -453,17 +458,54 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     case _ => Health.ServiceUnknown
   }
 
+  /**
+   * Measured recall@k of the serving (pruned) search against the exact
+   * scan on a bounded, deterministic probe set — recorded into
+   * [[metrics]]. The reference plumbs `record_search_recall`
+   * (server/query_service.h:200-202, query_service.cpp:691) but nothing
+   * ever calls it with a measured value; here the measurement is real:
+   * recall = |approx ∩ exact| / |exact| over (qid, id) pairs.
+   */
+  def measureRecall(
+      name: String, queries: DataFrame, topk: Int, nprobe: Int = 0): Double = {
+    val approx = search(name, queries, topk, nprobe)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = searchExact(name, queries, topk)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = if (exact.isEmpty) 1.0 else (approx & exact).size.toDouble / exact.size
+    recordRecall(name, recall)
+    recall
+  }
+
+  /** Record one recall@k observation (reference MetricsCollector::
+    * record_search_recall, query_service.cpp:691 — a running mean here
+    * rather than its unbounded vector, so a long-lived server cannot
+    * grow without limit). */
+  def recordRecall(name: String, recall: Double): Unit = {
+    require(recall >= 0.0 && recall <= 1.0, s"recall must be in [0,1], got $recall")
+    val (n, sum) = searchRecall.getOrElseUpdate(name,
+      (new java.util.concurrent.atomic.AtomicLong, new java.util.concurrent.atomic.DoubleAdder))
+    sum.add(recall)
+    n.incrementAndGet()
+  }
+
   /** A10 per-index search metrics: executed-search count, mean and
-    * p50/p95/p99 latency ms (reference query_service.cpp:714-724). */
+    * p50/p95/p99 latency ms (reference query_service.cpp:714-724), plus
+    * the measured recall@k mean when any observation exists. */
   def metrics(name: String): Map[String, Any] = {
     val h = searchLatency.getOrElse(name, new LatencyHistogram)
-    Map(
+    val base = Map[String, Any](
       "index" -> name,
       "searches_total" -> h.count,
       "avg_latency_ms" -> h.meanMs,
       "p50_latency_ms" -> h.percentileMs(0.5),
       "p95_latency_ms" -> h.percentileMs(0.95),
       "p99_latency_ms" -> h.percentileMs(0.99))
+    searchRecall.get(name).filter(_._1.get() > 0).fold(base) { case (n, sum) =>
+      base ++ Map[String, Any](
+        "recall_samples" -> n.get(),
+        "avg_recall" -> sum.sum() / n.get())
+    }
   }
 
   /** Prometheus exposition text for every index that has served searches —
@@ -481,6 +523,15 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       }
       sb.append(s"""vdb_searches_total{index="$name"} ${h.count}""")
       sb.append('\n')
+    }
+    val withRecall = searchRecall.toSeq.filter(_._2._1.get() > 0).sortBy(_._1)
+    if (withRecall.nonEmpty) {
+      sb.append("# HELP vdb_search_recall Measured recall@k vs the exact scan (mean)\n")
+      sb.append("# TYPE vdb_search_recall gauge\n")
+      withRecall.foreach { case (name, (n, sum)) =>
+        sb.append(s"""vdb_search_recall{index="$name"} ${sum.sum() / n.get()}""")
+        sb.append('\n')
+      }
     }
     sb.toString
   }

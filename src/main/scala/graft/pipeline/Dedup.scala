@@ -35,7 +35,12 @@ object Dedup {
     * those stages race to compute the same partitions — each raced
     * partition is computed twice and dropped once (`Block rdd_N already
     * exists` warnings). One up-front pass is the same work the first
-    * consumer would do, minus the duplication. */
+    * consumer would do, minus the duplication. DELIBERATE semantics
+    * change vs a lazy cache: merely CONSTRUCTING a pipeline DataFrame
+    * that flows through here runs the materialization job — every
+    * current caller consumes its result, so nothing is wasted, and
+    * abandoned-plan laziness matters on the serving paths, which never
+    * touch this helper. */
   private[graft] def persistOnce(df: DataFrame): DataFrame = {
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -254,6 +259,9 @@ object Dedup {
     // materialization, no payload join-backs. A pair sharing BOTH probed
     // lists emits twice with bit-identical dist; distinct collapses it.
     // Above the gate the salted bucket join below is the 100 TB path.
+    // Broadcast lifetime: one ProbeIndex broadcast per call, reclaimed by
+    // the ContextCleaner when the returned plan is unreachable (see the
+    // knnSelfJoin scaladoc for the serving-loop alternative).
     val spark = vectors.sparkSession
     val batch = Similarity.selfIndexBatch(vectors, maxSelfIndexRows)
     if (batch != null) {

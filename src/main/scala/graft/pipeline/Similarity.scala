@@ -183,6 +183,13 @@ object Similarity {
    *    the distance computes; `Dedup.bucketedSelfPairs` splits skewed
    *    lists into salted sub-buckets (lossless tiling) so no hot list
    *    becomes one quadratic task.
+   *
+   * Broadcast lifetime: the fast path ships one ProbeIndex broadcast per
+   * call (≤ ~134 MB at the gate), reclaimed by the ContextCleaner once
+   * the returned plan is unreachable — the right contract for one-shot
+   * analytics. A loop that holds many results alive should use the
+   * serving API ([[graft.index.IvfFlatIndex.searchBatchManaged]]), whose
+   * release handle destroys the broadcast deterministically.
    */
   def knnSelfJoin(
       vectors: DataFrame, // (id, vec)

@@ -241,6 +241,23 @@ class VectorDBSpec extends SparkSpec {
     assert(text.contains("vdb_searches_total{index=\"test_index\"}"))
   }
 
+  test("measured recall@k lands in metrics and the Prometheus text (round 7)") {
+    ready
+    // nprobe = nlist: the pruned search IS exact, so measured recall is
+    // exactly 1.0 — the differential the reference plumbs
+    // (record_search_recall) but never feeds
+    val full = db.measureRecall("test_index", qs, topk = 5, nprobe = 4)
+    assert(full === 1.0)
+    val pruned = db.measureRecall("test_index", qs, topk = 5, nprobe = 1)
+    assert(pruned >= 0.0 && pruned <= 1.0)
+    val m = db.metrics("test_index")
+    assert(m("recall_samples") === 2L)
+    val avg = m("avg_recall").asInstanceOf[Double]
+    assert(avg === (full + pruned) / 2)
+    assert(db.metricsText().contains("vdb_search_recall{index=\"test_index\"}"))
+    intercept[IllegalArgumentException](db.recordRecall("test_index", 1.5))
+  }
+
   test("latency histogram buckets and percentiles are monotone and exact at edges") {
     val h = new graft.api.LatencyHistogram
     assert(h.percentileMs(0.5) === 0.0) // empty

@@ -64,6 +64,59 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E2E: streamed vectors reach serving through the epoch lifecycle (round 7)") {
+    // the full SURVEY §7.5 streaming-ingest story, mirroring the
+    // reference's BuildEpoch/ActivateEpoch loop (query_service.cpp:472-519):
+    // stream NEW vectors into staging -> batch re-cluster staging + the
+    // serving corpus into a fresh epoch -> atomic swap -> the ingested
+    // vectors surface in search results -> the superseded epoch cleans up
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val db = new graft.api.VectorDB(spark,
+      java.nio.file.Files.createTempDirectory("graft-e2e-db").toString)
+    val dim = 8
+    db.createIndex(graft.IndexConfig("stream_idx", dimension = dim, nlist = 2))
+    // epoch 1: a batch corpus clustered away from the soon-to-stream point
+    val base = randomVectors(100, dim)
+    val e1 = db.buildEpoch("stream_idx", vectorsDF(base))
+    db.activateEpoch("stream_idx", e1)
+    // stream novel vectors (ids 9000+) clustered at a distinctive corner
+    val tmp = java.nio.file.Files.createTempDirectory("graft-e2e-staging").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val ingest = StreamingIngest.ingestToStaging(
+      mem.toDF().toDF("id", "vec"), s"$tmp/staging", s"$tmp/ckpt")
+    val novel = (0 until 10).map(i =>
+      (9000L + i, Seq.fill(dim)(50.0f + i * 0.01f)))
+    try {
+      mem.addData(novel.take(6): _*)
+      ingest.processAllAvailable()
+      mem.addData(novel.drop(6): _*) // second micro-batch appends
+      ingest.processAllAvailable()
+    } finally ingest.stop()
+    val probe = queriesDF(Seq((0L, Array.fill(dim)(50.0f))))
+    // BEFORE the swap the serving epoch knows nothing of the stream
+    val before = db.search("stream_idx", probe, topk = 3).collect()
+    assert(before.forall(_.getLong(1) < 9000L), "unswapped epoch leaked staged ids")
+    // rebuild from serving corpus + staging, swap, search again
+    val staged = spark.read.parquet(s"$tmp/staging")
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("vec").cast("array<float>").as("vec"))
+    assert(staged.count() === 10)
+    val merged = vectorsDF(base).unionByName(staged)
+    val e2 = db.buildEpoch("stream_idx", merged)
+    db.activateEpoch("stream_idx", e2)
+    val after = db.search("stream_idx", probe, topk = 3).collect()
+    assert(after.nonEmpty && after.forall(_.getLong(1) >= 9000L),
+      s"ingested vectors absent after swap: ${after.map(_.getLong(1)).toSeq}")
+    assert(db.stats("stream_idx")("num_vectors") === 110L)
+    // superseded epoch cleans up; the serving epoch survives
+    val removed = db.cleanupOldEpochs("stream_idx", keepN = 1)
+    assert(removed.nonEmpty, "old epoch should have been removed")
+    assert(db.search("stream_idx", probe, topk = 3).count() === 3,
+      "serving epoch must survive cleanup")
+  }
+
   test("streaming ingest appends to an epoch staging dir readable by batch") {
     val s = spark
     import s.implicits._
