@@ -189,10 +189,17 @@ object ScaleStress {
         graft.functions.vector.argmin_centroid(col("vec"), idx0.centroids).as("list_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       raw.count()
-      val idx = new graft.index.IvfPqIndex(spark, idx0.codes, raw,
-        idx0.centroids, idx0.codebooks)
-      idx.codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
-      idx
+      // cluster codes by list (what an epoch read delivers for free from
+      // the list_id=N/ directory layout): the flood scorer's per-list ADC
+      // tables only amortize over CONSECUTIVE rows of one list — on a
+      // row-random layout it correctly degrades to direct scoring, ~2x
+      // slower at these parameters (measured 2.0 s vs 0.9 s for the 10k
+      // flood)
+      val codes = idx0.codes
+        .repartition(col("list_id")).sortWithinPartitions("list_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      codes.count()
+      new graft.index.IvfPqIndex(spark, codes, raw, idx0.centroids, idx0.codebooks)
     }
     (1 to 3).foreach { i =>
       timed(s"PQ ADC search run $i (1k queries, nprobe=10, k=10)") {

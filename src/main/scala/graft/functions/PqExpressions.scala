@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshims
@@ -133,25 +133,8 @@ object PqKernels {
     rows
   }
 
-  /** Catalyst-typed wrapper of [[adcTableRaw]] for the distributed path. */
-  def adcTable(q: Array[Float], codebooks: Array[Array[Array[Float]]], metric: Int): ArrayData =
-    new GenericArrayData(
-      adcTableRaw(q, codebooks, metric).map(new GenericArrayData(_)).asInstanceOf[Array[Any]])
-
-  /** ADC distance: sum of per-subspace table lookups (kernels.cuh:280-287). */
-  def adcDistance(table: ArrayData, codes: ArrayData): Double = {
-    var d = 0.0
-    val m = codes.numElements()
-    var i = 0
-    while (i < m) {
-      d += table.getArray(i).getDouble(codes.getByte(i) & 0xff)
-      i += 1
-    }
-    d
-  }
-
-  /** Lookup-sum over a raw (non-Catalyst) table — same accumulation order
-    * as [[adcDistance]], for the streaming scorer's table mode. */
+  /** Lookup-sum over a raw table, codes as Catalyst ArrayData — the
+    * scan-side scorers' table mode (kernels.cuh:280-287). */
   def adcDistanceRaw(table: Array[Array[Double]], codes: ArrayData): Double = {
     var d = 0.0
     val m = codes.numElements()
@@ -233,59 +216,6 @@ object PqKernels {
   }
 }
 
-object AdcStreamScorer {
-  /** Rows of one query seen consecutively before the scorer builds the
-    * full m x ks table: build costs ~ks x dim madds, direct rows cost dim
-    * each, so the table pays for itself after ~ks rows — 32 keeps the
-    * wasted prefix small while still capturing long per-(qid, list) runs. */
-  val DefaultBuildAfter = 32
-}
-
-/**
- * Per-task streaming ADC scorer for the distributed join path. Candidate
- * rows arrive in whatever order the join produces; the scorer adapts:
- *
- *  - qid-clustered runs (probed side streamed through the join — each
- *    probed row emits all its list's codes consecutively): after
- *    `buildAfter` rows of one query it builds that query's ADC table once
- *    and the rest of the run is m lookups per candidate — full ADC speed.
- *  - adversarial order (qids alternating row to row): it never builds a
- *    table and scores each candidate directly at O(dim) — the flat-scan
- *    cost, never the O(ks x dim) table-per-row catastrophe.
- *
- * Either mode produces bit-identical distances (both derive from the same
- * [[PqKernels.prepQuery]] output and the same per-subspace arithmetic).
- * State is per-instance; instances live one-per-task (deserialized plan
- * copies / per-partition codegen instances), never shared across threads.
- */
-final class AdcStreamScorer(
-    codebooks: Array[Array[Array[Float]]],
-    metric: Int,
-    buildAfter: Int) extends Serializable {
-
-  def this(codebooks: Array[Array[Array[Float]]], metric: Int) =
-    this(codebooks, metric, AdcStreamScorer.DefaultBuildAfter)
-
-  private var lastQid = 0L
-  private var qd: Array[Double] = null
-  private var table: Array[Array[Double]] = null
-  private var run = 0
-
-  def score(qid: Long, qvec: ArrayData, codes: ArrayData): Double = {
-    if (qd == null || qid != lastQid) {
-      lastQid = qid
-      qd = PqKernels.prepQuery(qvec.toFloatArray(), metric)
-      table = null
-      run = 0
-    }
-    run += 1
-    if (table == null && run >= buildAfter)
-      table = PqKernels.adcTableFromPrepped(qd, codebooks, metric)
-    if (table != null) PqKernels.adcDistanceRaw(table, codes)
-    else PqKernels.adcDistanceDirect(qd, codebooks, metric, codes)
-  }
-}
-
 /** Encode an ARRAY<FLOAT> vector into m PQ code bytes. */
 case class PqEncode(child: Expression, codebooks: Broadcast[Array[Array[Array[Float]]]])
     extends UnaryExpression with ExpectsInputTypes {
@@ -311,119 +241,10 @@ case class PqEncode(child: Expression, codebooks: Broadcast[Array[Array[Array[Fl
   override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
 }
 
-/** Per-query ADC table: ARRAY<ARRAY<DOUBLE>> of m x ks per-metric costs. */
-case class PqAdcTable(child: Expression, codebooks: Broadcast[Array[Array[Array[Float]]]],
-    metric: graft.Metric.Value = graft.Metric.L2)
-    extends UnaryExpression with ExpectsInputTypes {
-
-  override def inputTypes: Seq[org.apache.spark.sql.graftshims.AbstractDataType] =
-    Seq(ArrayType(FloatType))
-  override def dataType: DataType =
-    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
-  override def nullIntolerant: Boolean = true
-  override def prettyName: String = "pq_adc_table"
-
-  private val metricId = metric.id
-
-  override def nullSafeEval(v: Any): Any =
-    PqKernels.adcTable(v.asInstanceOf[ArrayData].toFloatArray(), codebooks.value, metricId)
-
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val bc = ctx.addReferenceObj("pqCodebooks", codebooks,
-      classOf[Broadcast[Array[Array[Array[Float]]]]].getName)
-    nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.functions.PqKernels.adcTable(" +
-        s"$v.toFloatArray(), (float[][][]) $bc.value(), $metricId);")
-  }
-
-  override protected def withNewChildInternal(c: Expression): PqAdcTable = copy(child = c)
-}
-
-/** Sum of table lookups: distance between a query's ADC table and a code. */
-case class PqAdcDistance(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
-
-  override def inputTypes: Seq[org.apache.spark.sql.graftshims.AbstractDataType] =
-    Seq(ArrayType(ArrayType(DoubleType, containsNull = false)), ArrayType(ByteType))
-  override def dataType: DataType = DoubleType
-  override def nullIntolerant: Boolean = true
-  override def prettyName: String = "pq_adc_distance"
-
-  override def nullSafeEval(table: Any, codes: Any): Any =
-    PqKernels.adcDistance(table.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData])
-
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (t, c) =>
-      s"${ev.value} = graft.functions.PqKernels.adcDistance($t, $c);")
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): PqAdcDistance =
-    copy(left = newLeft, right = newRight)
-}
-
-/**
- * Join-path ADC distance fused with per-task query prep: scores a
- * candidate's codes against the row's (qid, qvec) through an
- * [[AdcStreamScorer]], so probed rows carry the dim x 4 B query vector —
- * never a 16 KB m x ks table — across the join, and no per-row table is
- * ever broadcast or shuffled. See the scorer for the adaptive
- * table-vs-direct policy and the bit-exactness argument.
- */
-case class PqAdcDistanceFused(
-    first: Expression, // qid LONG
-    second: Expression, // qvec ARRAY<FLOAT>
-    third: Expression, // codes ARRAY<BYTE>
-    codebooks: Broadcast[Array[Array[Array[Float]]]],
-    metric: graft.Metric.Value)
-    extends TernaryExpression with ExpectsInputTypes {
-
-  override def inputTypes: Seq[org.apache.spark.sql.graftshims.AbstractDataType] =
-    Seq(LongType, ArrayType(FloatType), ArrayType(ByteType))
-  override def dataType: DataType = DoubleType
-  override def nullIntolerant: Boolean = true
-  override def prettyName: String = "pq_adc_distance_fused"
-
-  private val metricId = metric.id
-
-  // one scorer per deserialized plan copy = per task (interpreted path)
-  @transient private lazy val scorer = new AdcStreamScorer(codebooks.value, metricId)
-
-  override def nullSafeEval(qid: Any, qvec: Any, codes: Any): Any =
-    scorer.score(qid.asInstanceOf[Long],
-      qvec.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData])
-
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val bc = ctx.addReferenceObj("pqCodebooks", codebooks,
-      classOf[Broadcast[Array[Array[Array[Float]]]]].getName)
-    // per-generated-instance scorer = per partition (codegen classes are
-    // instantiated once per task); raw-type cast for Janino
-    val scorer = ctx.addMutableState("graft.functions.AdcStreamScorer", "adcScorer",
-      v => s"$v = new graft.functions.AdcStreamScorer((float[][][]) $bc.value(), $metricId);")
-    nullSafeCodeGen(ctx, ev, (q, v, c) =>
-      s"${ev.value} = $scorer.score($q, $v, $c);")
-  }
-
-  override protected def withNewChildrenInternal(
-      newFirst: Expression, newSecond: Expression, newThird: Expression): PqAdcDistanceFused =
-    copy(first = newFirst, second = newSecond, third = newThird)
-}
-
 object pq {
   private def col(e: Expression): Column = graftshims.column(e)
   private def ex(c: Column): Expression = graftshims.expression(c)
 
   def pq_encode(v: Column, codebooks: Broadcast[Array[Array[Array[Float]]]]): Column =
     col(PqEncode(ex(v), codebooks))
-
-  def pq_adc_table(q: Column, codebooks: Broadcast[Array[Array[Array[Float]]]],
-      metric: graft.Metric.Value = graft.Metric.L2): Column =
-    col(PqAdcTable(ex(q), codebooks, metric))
-
-  def pq_adc_distance(table: Column, codes: Column): Column =
-    col(PqAdcDistance(ex(table), ex(codes)))
-
-  def pq_adc_distance_fused(qid: Column, qvec: Column, codes: Column,
-      codebooks: Broadcast[Array[Array[Array[Float]]]],
-      metric: graft.Metric.Value = graft.Metric.L2): Column =
-    col(PqAdcDistanceFused(ex(qid), ex(qvec), ex(codes), codebooks, metric))
 }

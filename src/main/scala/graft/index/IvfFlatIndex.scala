@@ -188,7 +188,7 @@ class IvfFlatIndex(
       explode(vector.probe_lists(col("qvec"), centroids, nprobe, m)))
       .select("qid", "qvec", "list_id")
     if (IvfFlatIndex.fitsBroadcastGate(queries, nprobe)) {
-      val partial = BroadcastProbeTopK(probed,
+      val partial = BroadcastProbeTopK.flat(probed,
         corpus.select(col("id"), col("list_id"), col("vec")), k, m.id)
       TopKAggregator.finalizePartial(partial, k).select("qid", "id", "dist", "rank")
     } else CoGroupTopK.flatSearch(probed, corpus, k, m.id)

@@ -143,13 +143,19 @@ class IvfPqIndex(
    * whole-stage-generated glue, the JIT-deopt exposure whose 10.2 s
    * outlier the round-6 bench recorded:
    *
-   *  - **ADC stage**: [[CoGroupTopK.pqSearch]] co-partitions probed
-   *    queries and codes on list_id. The shuffled artifact is the CODES
-   *    table — m+8 bytes per corpus row, the most compact in the system
-   *    (a 100 TB raw corpus is ~1.6 TB of m=16 codes) — and each query's
-   *    ADC table derives once per probed list (m x ks x dsub madds, noise
-   *    next to scanning the list), so the per-candidate cost stays m
-   *    lookups with nothing per-candidate materialized as rows.
+   *  - **ADC stage, below the size gate** (the usual flood): the probed
+   *    rows ship through the lazy broadcast exchange into
+   *    [[BroadcastProbeTopK.pq]] — the codes scan NEVER shuffles (read in
+   *    place, pruned where the layout allows), queries prep once per
+   *    executor, and ADC tables build per probed LIST on the scan
+   *    ([[PqLocalListScorer]]: bounded by queries-per-list, direct
+   *    bit-identical arithmetic below the cutover), so per-candidate cost
+   *    stays m lookups with nothing per-candidate materialized as rows.
+   *  - **ADC stage, above the gate**: [[CoGroupTopK.pqSearch]]
+   *    co-partitions probed queries and codes on list_id. The shuffled
+   *    artifact is the CODES table — m+8 bytes per corpus row, the most
+   *    compact in the system (a 100 TB raw corpus is ~1.6 TB of m=16
+   *    codes) — and each query's ADC table derives once per probed list.
    *  - **rerank stage**: the id-only ADC winners join back to raw payloads
    *    (size-gated broadcast keeps the 100 TB raw scan unshuffled), and
    *    the exact distances + final top-k run inside
@@ -166,7 +172,12 @@ class IvfPqIndex(
         explode(vector.probe_lists(col("qvec"), centroids, nprobe, probeMetric)))
       .select("qid", "qvec", "list_id")
     val preK = if (rerankK > 0) math.max(rerankK, params.k) else params.k
-    val adcTop = CoGroupTopK.pqSearch(probed, codes, codebooks, probeMetric.id, preK)
+    val adcTop =
+      if (IvfFlatIndex.fitsBroadcastGate(queries, nprobe))
+        TopKAggregator.finalizePartial(
+          BroadcastProbeTopK.pq(probed, codes, preK, codebooks, probeMetric.id), preK)
+          .select("qid", "id", "dist", "rank")
+      else CoGroupTopK.pqSearch(probed, codes, codebooks, probeMetric.id, preK)
     if (rerankK <= 0) adcTop
     else {
       val m = params.metric.getOrElse(Metric.L2)

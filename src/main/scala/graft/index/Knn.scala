@@ -67,7 +67,7 @@ object Knn {
           val corpus = vectors.select(
             col("id").cast("long"), lit(0).cast("int").as("list_id"), col("vec"))
           TopKAggregator.finalizePartial(
-            BroadcastProbeTopK(probed, corpus, k, metric.id), k)
+            BroadcastProbeTopK.flat(probed, corpus, k, metric.id), k)
             .select("qid", "id", "dist", "rank")
         } else {
           val scored = vectors.select(col("id"), col("vec"))

@@ -47,7 +47,7 @@ class CodegenParitySpec extends SparkSpec {
     assert(on === off)
   }
 
-  test("PQ expressions: codegen == interpreted") {
+  test("PQ encode: codegen == interpreted") {
     val s = spark
     import s.implicits._
     val sample = randomVectors(200, 8).map(_._2).toArray
@@ -56,10 +56,8 @@ class CodegenParitySpec extends SparkSpec {
     val df = vectorsDF(randomVectors(50, 8, seed = 4))
     def run() = df.select(
       col("id"),
-      pq.pq_encode(col("vec"), bc).as("c"),
-      pq.pq_adc_distance(pq.pq_adc_table(col("vec"), bc),
-        pq.pq_encode(col("vec"), bc)).as("d"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Byte](1), r.getDouble(2)))
+      pq.pq_encode(col("vec"), bc).as("c"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Byte](1)))
       .sortBy(_._1).toSeq
     val on = run()
     val off = withCodegenOff(run())

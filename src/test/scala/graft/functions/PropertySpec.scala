@@ -98,9 +98,8 @@ class PropertySpec extends AnyFunSuite {
     } yield (books.toArray, v, q)
     check(forAll(g) { case (books, v, q) =>
       val code = PqKernels.encode(v, books)
-      val table = PqKernels.adcTable(q, books, VectorKernels.METRIC_L2)
-      val adc = PqKernels.adcDistance(table,
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(code))
+      val table = PqKernels.adcTableRaw(q, books, VectorKernels.METRIC_L2)
+      val adc = PqKernels.adcDistanceBytes(table, code)
       val exact = VectorKernels.l2(q, PqKernels.decode(code, books))
       math.abs(adc - exact) < 1e-6
     })

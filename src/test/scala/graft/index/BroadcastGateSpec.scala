@@ -86,28 +86,30 @@ class BroadcastGateSpec extends SparkSpec {
     }
   }
 
-  test("pq flood: ADC always co-partitions; rerank join-back hints only below the gate") {
+  test("pq flood broadcast-probes below the gate, co-partitions above it") {
     val qdf = queriesDF(floodQueries)
     val params = SearchParams(k = 5, nprobe = 4)
     withConf(gate = "1", auto = "-1") {
       for (rerank <- Seq(0, 20)) {
         val plan = initialPlan(pqIndex.search(qdf, params, rerank))
-        assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastExchange"),
+        assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastProbeTopK"),
           s"above-gate PQ flood (rerankK=$rerank) must not broadcast:\n$plan")
         assert(plan.contains("CoGroup"),
-          s"PQ flood (rerankK=$rerank) should co-partition the codes scan:\n$plan")
+          s"above-gate PQ flood (rerankK=$rerank) should co-partition the codes scan:\n$plan")
       }
     }
     withConf(gate = (1L << 40).toString, auto = "-1") {
-      // ADC-only: co-partitioned end to end, nothing to broadcast at all
+      // ADC-only: probed rows through the lazy exchange into the stable
+      // scan operator — the codes scan never shuffles, no candidate join
       val adcPlan = initialPlan(pqIndex.search(qdf, params, 0))
-      assert(adcPlan.contains("CoGroup") && !adcPlan.contains("BroadcastHashJoin"),
-        s"below-gate ADC-only PQ flood should stay join-free:\n$adcPlan")
+      assert(adcPlan.contains("BroadcastProbeTopK") && !adcPlan.contains("CoGroup"),
+        s"below-gate ADC-only PQ flood should broadcast-probe the codes scan:\n$adcPlan")
+      assert(!adcPlan.contains("Join"), s"below-gate ADC-only should be join-free:\n$adcPlan")
       // rerank: the id-only ADC winners broadcast into the raw-payload
       // join-back so the (100 TB) raw scan stays unshuffled
       val rrPlan = initialPlan(pqIndex.search(qdf, params, 20))
-      assert(rrPlan.contains("BroadcastHashJoin"),
-        s"below-gate PQ rerank should hint the candidate join-back:\n$rrPlan")
+      assert(rrPlan.contains("BroadcastProbeTopK") && rrPlan.contains("BroadcastHashJoin"),
+        s"below-gate PQ rerank should broadcast-probe ADC and hint the join-back:\n$rrPlan")
     }
   }
 
@@ -143,35 +145,50 @@ class BroadcastGateSpec extends SparkSpec {
     }
   }
 
-  test("streaming ADC scorer is bit-identical across orderings and the table cutover") {
+  test("pq flood scorer is bit-identical across list orderings and the table cutover") {
+    import graft.functions.PqKernels
     val books = IvfPqIndex.trainCodebooks(corpus.map(_._2).toArray, m = 4, nbits = 6)
     val qs = floodQueries.take(4).toArray
-    val codeRows = corpus.take(200).map { case (_, v) =>
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        graft.functions.PqKernels.encode(v, books))
+    val codeRows = corpus.take(200).map { case (id, v) =>
+      (id, new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        PqKernels.encode(v, books)))
     }
-    def arr(v: Array[Float]) = new org.apache.spark.sql.catalyst.util.GenericArrayData(v)
+    final class CollectSink extends TopKSink {
+      val rows = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+      override def insert(qid: Long, id: Long, dist: Double): Unit =
+        rows += ((qid, id, dist))
+    }
     for (metricId <- Seq(graft.functions.VectorKernels.METRIC_L2,
         graft.functions.VectorKernels.METRIC_IP,
         graft.functions.VectorKernels.METRIC_COSINE)) {
-      // ground truth: the static path's full-table lookup-sum
-      val expected = for ((qid, qv) <- qs; c <- codeRows) yield
-        graft.functions.PqKernels.adcDistance(
-          graft.functions.PqKernels.adcTable(qv, books, metricId), c)
-      // clustered order (runs cross the buildAfter=32 cutover at 200 rows)
-      val clustered = new graft.functions.AdcStreamScorer(books, metricId)
-      val got = for ((qid, qv) <- qs; c <- codeRows) yield
-        clustered.score(qid, arr(qv), c)
-      assert(got.toSeq === expected.toSeq, s"clustered order diverged, metric=$metricId")
-      // adversarial order: qid alternates every row -> scorer must stay in
-      // direct mode and STILL produce identical bits
-      val alternating = new graft.functions.AdcStreamScorer(books, metricId)
-      val altExpected = for (c <- codeRows; (qid, qv) <- qs) yield
-        graft.functions.PqKernels.adcDistance(
-          graft.functions.PqKernels.adcTable(qv, books, metricId), c)
-      val altGot = for (c <- codeRows; (qid, qv) <- qs) yield
-        alternating.score(qid, arr(qv), c)
-      assert(altGot.toSeq === altExpected.toSeq, s"alternating order diverged, metric=$metricId")
+      // every query probes both lists; corpus rows split across them
+      val pi = PqFloodIndex(
+        qids = qs.map(_._1),
+        prepped = qs.map(q => PqKernels.prepQuery(q._2, metricId)),
+        listPos = Array(qs.indices.toArray, qs.indices.toArray))
+      // ground truth: full-table lookup-sum per (query, candidate)
+      val tables = qs.map(q => PqKernels.adcTableRaw(q._2, books, metricId))
+      val expected = (for ((id, c) <- codeRows; (qi, t) <- qs.zip(tables))
+        yield (qi._1, id, PqKernels.adcDistanceRaw(t, c))).toSet
+      // clustered order: list 0's 200 rows then list 1's — both runs cross
+      // the buildAfter=32 cutover, so the prefix scores DIRECT and the
+      // rest by table; bits must not change at the seam
+      val clustered = new PqLocalListScorer(pi, books, metricId)
+      val cSink = new CollectSink
+      for (list <- Seq(0, 1); (id, c) <- codeRows) clustered.scoreInto(list, c, id, cSink)
+      assert(cSink.rows.size === 2 * codeRows.size * qs.length)
+      assert(cSink.rows.toSet === expected, s"clustered diverged, metric=$metricId")
+      // adversarial order: the list flaps every row -> the run counter
+      // never reaches the cutover, everything scores direct — same bits
+      val flapping = new PqLocalListScorer(pi, books, metricId)
+      val fSink = new CollectSink
+      for (((id, c), i) <- codeRows.zipWithIndex) flapping.scoreInto(i % 2, c, id, fSink)
+      assert(fSink.rows.toSet === expected, s"flapping diverged, metric=$metricId")
+      // a list hotter than the table budget also stays direct — same bits
+      val capped = new PqLocalListScorer(pi, books, metricId, tableBudgetBytes = 1)
+      val capSink = new CollectSink
+      for ((id, c) <- codeRows) capped.scoreInto(0, c, id, capSink)
+      assert(capSink.rows.toSet === expected, s"budget-capped diverged, metric=$metricId")
     }
   }
 }

@@ -30,9 +30,8 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(qerr < 4.0, s"quantization error too large: $qerr")
     // ADC distance of query q to code(v) == exact L2(q, decode(v))
     val q = queries.head._2
-    val table = PqKernels.adcTable(q, books, graft.functions.VectorKernels.METRIC_L2)
-    val adc = PqKernels.adcDistance(table,
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(code))
+    val table = PqKernels.adcTableRaw(q, books, graft.functions.VectorKernels.METRIC_L2)
+    val adc = PqKernels.adcDistanceBytes(table, code)
     val viaDecode = graft.functions.VectorKernels.l2(q, dec)
     assert(math.abs(adc - viaDecode) < 1e-9)
   }
