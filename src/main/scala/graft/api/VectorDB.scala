@@ -266,6 +266,7 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
   private def loadServed(name: String, epochId: String): Unit = {
     // release caches pinned against the previous serve state
     warmed.remove(name).foreach(_.foreach(_.unpersist(blocking = false)))
+    hotWarm.remove(name).foreach(_._2.unpersist(blocking = false))
     // a DIFFERENT epoch remaps list ids (retrain) — stale hotness stats
     // would make warmupHot pin the wrong partitions. Same-epoch reloads
     // (addVectors append) keep their stats.
@@ -296,10 +297,34 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       .sortBy { case (l, c, _) => (-c, l) }
       .take(topN)
 
+  /** Hot-set warm state per index: (warmed list set, its cached subset) —
+    * lets a PERIODIC auto-warmup (serving loops re-warm every N batches)
+    * be a free no-op while the working set is stable, and swap cleanly
+    * (persist new, release old) when the LFU ranking drifts. */
+  private val hotWarm = TrieMap.empty[String, (Set[Int], DataFrame)]
+
   /** C1: persist the hottest lists (LFU preload — reference
-    * prefetcher.h:139-183 ListPrefetcher hotness idea). */
-  def warmupHot(name: String, topN: Int = 10): Long =
-    warmup(name, hotLists(name, topN).map(_._1))
+    * prefetcher.h:139-183 ListPrefetcher hotness idea). Re-entrant by
+    * design: an unchanged hot set returns 0 without touching the cache;
+    * a drifted one pins the new subset and releases the previous — so
+    * wiring this into a serving loop ([[graft.streaming.StreamingSearch
+    * .serve]]'s `warmupEvery`) never accumulates stale cached copies. */
+  def warmupHot(name: String, topN: Int = 10): Long = {
+    val hot = hotLists(name, topN).map(_._1)
+    if (hot.isEmpty) return 0L
+    val hotSet = hot.toSet
+    hotWarm.get(name) match {
+      case Some((prev, _)) if prev == hotSet => 0L // working set stable
+      case prevEntry =>
+        val s = served.getOrElse(name, throw new NotFoundException(s"Index not found: $name"))
+        val subset = s.index.vectors.filter(col("list_id").isin(hot: _*))
+        subset.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = subset.count()
+        prevEntry.foreach(_._2.unpersist(blocking = false))
+        hotWarm.put(name, (hotSet, subset))
+        n
+    }
+  }
 
   // --- A1 Search -----------------------------------------------------------
 

@@ -5,7 +5,7 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, explode, lit, pmod, sequence, xxhash64}
 
 import graft.functions.{PqKernels, VectorKernels}
 
@@ -42,6 +42,32 @@ object CoGroupTopK {
   private val PartialEncoder = ExpressionEncoder[(Long, Long, Double)]()
   private val RankedEncoder = ExpressionEncoder[(Long, Long, Double, Int)]()
 
+  /** Conf key for the flood co-partition salt (sub-buckets per list).
+    * k-means lists are skewed by nature; with salt S every list's CORPUS
+    * rows split S ways by id hash (each candidate lands in exactly one
+    * sub-bucket — lossless) and the list's probing queries replicate into
+    * all S, so one hot list becomes S tasks instead of one quadratic
+    * straggler. S multiplies only the shuffled QUERY rows (the small
+    * side); corpus data movement is unchanged. */
+  val SaltKey = "spark.graft.flood.salt"
+  val DefaultSalt = 8
+
+  private def saltOf(spark: org.apache.spark.sql.SparkSession): Int = {
+    val s = spark.conf.get(SaltKey, DefaultSalt.toString).toInt
+    require(s >= 1, s"$SaltKey must be >= 1, got $s")
+    s
+  }
+
+  /** (list_id, salt) composite grouping keys: corpus rows by id hash,
+    * query rows replicated to every sub-bucket of their probed list. */
+  private def saltedKey(listCol: String, salt: Int) =
+    (col(listCol).cast("long") * salt +
+      pmod(xxhash64(col("id")), lit(salt))).as("_skey")
+  private def explodedSaltKeys(listCol: String, salt: Int) =
+    explode(sequence(
+      col(listCol).cast("long") * salt,
+      col(listCol).cast("long") * salt + (salt - 1))).as("_skey")
+
   /**
    * Flat-vector flood search. `probed` is (qid LONG, qvec ARRAY<FLOAT>,
    * list_id INT) — one row per (query, probe); `corpus` is (id LONG,
@@ -52,12 +78,13 @@ object CoGroupTopK {
   def flatSearch(probed: DataFrame, corpus: DataFrame, k: Int, metricId: Int): DataFrame = {
     val spark = probed.sparkSession
     import spark.implicits._
+    val salt = saltOf(spark)
     val q = probed
-      .select(col("list_id").cast("int"), col("qid").cast("long"), col("qvec"))
-      .as[(Int, Long, Array[Float])]
+      .select(explodedSaltKeys("list_id", salt), col("qid").cast("long"), col("qvec"))
+      .as[(Long, Long, Array[Float])]
     val c = corpus
-      .select(col("list_id").cast("int"), col("id").cast("long"), col("vec"))
-      .as[(Int, Long, Array[Float])]
+      .select(saltedKey("list_id", salt), col("id").cast("long"), col("vec"))
+      .as[(Long, Long, Array[Float])]
     val partial = q.groupByKey(_._1).cogroup(c.groupByKey(_._1)) {
       (_, qs, cs) => scoreFlatList(qs, cs, k, metricId)
     }(PartialEncoder)
@@ -82,15 +109,16 @@ object CoGroupTopK {
       k: Int): DataFrame = {
     val spark = probed.sparkSession
     import spark.implicits._
+    val salt = saltOf(spark)
     val q = probed
-      .select(col("list_id").cast("int"), col("qid").cast("long"), col("qvec"))
-      .as[(Int, Long, Array[Float])]
+      .select(explodedSaltKeys("list_id", salt), col("qid").cast("long"), col("qvec"))
+      .as[(Long, Long, Array[Float])]
     // codes are ARRAY<TINYINT> in the plan (the PQ encoder's type); the
     // Array[Byte] encoder would demand BINARY, so decode as Seq and copy
     // to a primitive array once per row at buffer time (off the hot loop)
     val c = codes
-      .select(col("list_id").cast("int"), col("id").cast("long"), col("codes"))
-      .as[(Int, Long, scala.collection.Seq[Byte])]
+      .select(saltedKey("list_id", salt), col("id").cast("long"), col("codes"))
+      .as[(Long, Long, scala.collection.Seq[Byte])]
     val partial = q.groupByKey(_._1).cogroup(c.groupByKey(_._1)) {
       (_, qs, cs) => scorePqList(qs, cs, k, metricId, codebooks.value)
     }(PartialEncoder)
@@ -134,8 +162,8 @@ object CoGroupTopK {
     * (flood x nprobe / nlist of them), corpus streamed — each corpus
     * payload decodes once and feeds every probing query's buffer. */
   private def scoreFlatList(
-      qs: Iterator[(Int, Long, Array[Float])],
-      cs: Iterator[(Int, Long, Array[Float])],
+      qs: Iterator[(Long, Long, Array[Float])],
+      cs: Iterator[(Long, Long, Array[Float])],
       k: Int,
       metricId: Int): Iterator[(Long, Long, Double)] = {
     if (!qs.hasNext) return Iterator.empty
@@ -177,8 +205,8 @@ object CoGroupTopK {
     * buffered (m+8 B per row), queries streamed with one resident ADC
     * table at a time. */
   private def scorePqList(
-      qs: Iterator[(Int, Long, Array[Float])],
-      cs: Iterator[(Int, Long, scala.collection.Seq[Byte])],
+      qs: Iterator[(Long, Long, Array[Float])],
+      cs: Iterator[(Long, Long, scala.collection.Seq[Byte])],
       k: Int,
       metricId: Int,
       books: Array[Array[Array[Float]]]): Iterator[(Long, Long, Double)] = {

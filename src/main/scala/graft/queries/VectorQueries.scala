@@ -114,6 +114,77 @@ object VectorQueries {
       .orderBy("qid", "rank")
   }
 
+  /** Run `f` with the flood confs pinned (path selection happens at plan
+    * CONSTRUCTION — fitsBroadcastGate and the salt read the conf then —
+    * so restoring after the DataFrame is built is safe). */
+  private def withFloodConfs(spark: SparkSession, gate: String)(f: => DataFrame): DataFrame = {
+    val conf = spark.conf
+    val oldGate = conf.getOption(graft.index.IvfFlatIndex.BroadcastGateKey)
+    try {
+      conf.set(graft.index.IvfFlatIndex.BroadcastGateKey, gate)
+      f
+    } finally oldGate.fold(conf.unset(graft.index.IvfFlatIndex.BroadcastGateKey))(
+      conf.set(graft.index.IvfFlatIndex.BroadcastGateKey, _))
+  }
+
+  /**
+   * The ABOVE-gate flat flood: same query/oracle shape as
+   * ivf_search_batch_all, but with the broadcast gate pinned to 1 byte so
+   * the plan takes the salted co-partition path ([[CoGroupTopK]], default
+   * salt 8 — every list split into sub-bucket tasks). Exhaustive probe ⇒
+   * the exact-kNN SQL stays the oracle, hash-gating losslessness of the
+   * salt tiling and the cogroup scoring end to end.
+   */
+  private def ivfSearchFloodSalted(spark: SparkSession, dir: String): DataFrame = {
+    import graft.SearchParams
+    import graft.index.IvfFlatIndex
+    val e = emb(spark, dir)
+    val queries = e.filter(col("vec_id") < 300)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val index = ivfIndex(spark, dir, 16)
+    withFloodConfs(spark, gate = "1") {
+      index.searchWhere(queries, SearchParams(k = 5, nprobe = 16), None,
+        IvfFlatIndex.ForceJoin)
+    }.orderBy("qid", "rank")
+  }
+
+  /** Four qid-offset replicas of the whole embeddings table — a query set
+    * above MaxStaticBatch (1,600 at sf0.01) that forces the PQ FLOOD path
+    * while staying SQL-replayable. */
+  private def floodQuerySet(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val offs = Seq(0L, 10000L, 20000L, 30000L).toDF("off")
+    emb(spark, dir).filter(col("vec_id") < 400).crossJoin(offs)
+      .select((col("vec_id") + col("off")).as("qid"), col("embedding").as("qvec"))
+  }
+
+  /**
+   * PQ flood (> MaxStaticBatch ⇒ searchJoin) with exhaustive probe +
+   * rerank-all: below the gate the ADC stage runs in
+   * [[graft.index.BroadcastProbeTopK]] (codes scan in place) and the
+   * rerank in [[CoGroupTopK.rerankTopK]]; exhaustive rerank re-scores
+   * every candidate exactly, so the exact-kNN SQL over the replicated
+   * query set is the oracle — hash-gating row fidelity (no loss, no dup)
+   * through probe → ADC top-k → id join-back → cogroup rerank.
+   */
+  private def ivfpqFloodRerank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.SearchParams
+    ivfpqIndex(spark, dir, 16, 8)
+      .search(floodQuerySet(spark, dir), SearchParams(k = 5, nprobe = 16), rerankK = 100000)
+      .orderBy("qid", "rank")
+  }
+
+  /** The same PQ flood pinned ABOVE the gate: ADC through the salted
+    * co-partition ([[CoGroupTopK.pqSearch]]), plain rerank join-back. */
+  private def ivfpqFloodCogroup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.SearchParams
+    val index = ivfpqIndex(spark, dir, 16, 8)
+    val queries = floodQuerySet(spark, dir)
+    withFloodConfs(spark, gate = "1") {
+      index.search(queries, SearchParams(k = 5, nprobe = 16), rerankK = 100000)
+    }.orderBy("qid", "rank")
+  }
+
   /** The 16 lowest-id embeddings as a deterministic centroid/codeword set
     * the oracle can rebuild in SQL (same recipe as assign_lists) — the
     * probe and ADC paths are deterministic GIVEN centroids, so swapping
@@ -438,11 +509,35 @@ object VectorQueries {
     "epoch_stats" -> (epochStats _),
     "vector_slice_read" -> (vectorSliceRead _),
     "ivf_search_batch_all" -> (ivfSearchBatchAll _),
+    "ivf_search_flood_salted" -> (ivfSearchFloodSalted _),
+    "ivfpq_flood_rerank" -> (ivfpqFloodRerank _),
+    "ivfpq_flood_cogroup" -> (ivfpqFloodCogroup _),
     "ivfpq_search_rerank" -> (ivfpqSearchRerank _),
     "ivfpq_search_adc" -> (ivfpqSearchAdc _),
     "ivfpq_search_adc_cosine" -> (ivfpqSearchAdcCosine _),
     "vector_scale_bench" -> (vectorScaleBench _),
   )
+
+  private lazy val batchAllOracleSql =
+    s"""WITH d AS (SELECT q.vec_id AS qid, v.vec_id AS id,
+       |        ${sqlL2("q.embedding", "v.embedding")} AS dist
+       |      FROM embeddings q, embeddings v WHERE q.vec_id < 300),
+       |r AS (SELECT qid, id, dist,
+       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS INT) AS rank
+       |      FROM d)
+       |SELECT qid, id, dist, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** Exact kNN over the 4-replica flood query set (see floodQuerySet). */
+  private lazy val floodOracleSql =
+    s"""WITH q AS (SELECT v.vec_id + t.off AS qid, v.embedding AS qv
+       |        FROM embeddings v CROSS JOIN (VALUES (0), (10000), (20000), (30000)) t(off)
+       |        WHERE v.vec_id < 400),
+       |d AS (SELECT q.qid, v.vec_id AS id, ${sqlL2("q.qv", "v.embedding")} AS dist
+       |      FROM q, embeddings v),
+       |r AS (SELECT qid, id, dist,
+       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS INT) AS rank
+       |      FROM d)
+       |SELECT qid, id, dist, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "knn_exact_l2" -> knnOracle(sqlL2("q.qv", "v.embedding")),
@@ -453,14 +548,13 @@ object VectorQueries {
     // exhaustive probe + full exact rerank makes IVF-PQ exact too
     "ivfpq_search_rerank" -> knnOracle(sqlL2("q.qv", "v.embedding")),
     // join-pruned large-batch path, exhaustive probe == exact for ALL rows
-    "ivf_search_batch_all" ->
-      s"""WITH d AS (SELECT q.vec_id AS qid, v.vec_id AS id,
-         |        ${sqlL2("q.embedding", "v.embedding")} AS dist
-         |      FROM embeddings q, embeddings v WHERE q.vec_id < 300),
-         |r AS (SELECT qid, id, dist,
-         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS INT) AS rank
-         |      FROM d)
-         |SELECT qid, id, dist, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "ivf_search_batch_all" -> batchAllOracleSql,
+    // identical semantics through the ABOVE-gate salted co-partition path
+    "ivf_search_flood_salted" -> batchAllOracleSql,
+    // PQ flood (broadcast-probe ADC below the gate / salted cogroup above)
+    // with exhaustive probe + rerank-all == exact over the replicated set
+    "ivfpq_flood_rerank" -> floodOracleSql,
+    "ivfpq_flood_cogroup" -> floodOracleSql,
     // aligned unnests zip positionally in DuckDB => (pos, component) rows
     "normalize_vectors" ->
       """WITH n AS (SELECT vec_id, embedding,

@@ -30,14 +30,25 @@ object StreamingSearch {
    * loop runs for days, and without the release every micro-batch leaks
    * one broadcast into the executors' block managers until a driver GC
    * happens to trigger the ContextCleaner.
+   *
+   * `warmupEvery` > 0 invokes `warm` after every N SERVED (non-idle)
+   * micro-batches — the LFU-stats → hot-list preload loop (pass
+   * `() => db.warmupHot(name)`: re-entrant, free while the working set is
+   * stable; measured on the 1M x 128D epoch-backed serving shape it moves
+   * the batch-64 floor p50 ~314 → ~195 ms). Runs on the foreachBatch
+   * thread, so the first call after a drift pays its materialization
+   * inside one trigger — the steady-state calls are set-compare no-ops.
    */
   def serve(
       index: IvfFlatIndex,
       queryStream: DataFrame,
       params: SearchParams,
       checkpointPath: String,
-      triggerMs: Long = 100L)(
-      sink: (DataFrame, Long) => Unit): StreamingQuery =
+      triggerMs: Long = 100L,
+      warmupEvery: Int = 0,
+      warm: () => Unit = () => ())(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val servedBatches = new java.util.concurrent.atomic.AtomicLong
     queryStream.writeStream
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.ProcessingTime(triggerMs))
@@ -45,16 +56,21 @@ object StreamingSearch {
         // ONE bounded snapshot answers emptiness AND serves as the batch —
         // a separate isEmpty probe would double the per-trigger job count
         // on the serving hot loop
-        IvfFlatIndex.snapshotQueries(batch).batch match {
-          case Some(b) if b.isEmpty => // idle trigger: nothing to serve
+        val ran = IvfFlatIndex.snapshotQueries(batch).batch match {
+          case Some(b) if b.isEmpty => false // idle trigger: nothing to serve
           case Some(b) =>
             val (res, release) = index.searchBatchManaged(b, params)
             try sink(res, batchId) finally release()
+            true
           case None => // flood between triggers: stay fully distributed
             sink(index.searchWhere(batch, params, None, IvfFlatIndex.ForceJoin), batchId)
+            true
         }
+        if (ran && warmupEvery > 0 &&
+          servedBatches.incrementAndGet() % warmupEvery == 0) warm()
       }
       .start()
+  }
 
   /**
    * [[serve]] wrapped in a [[ServingGuard]] (the reference's LoadBalancer
@@ -77,9 +93,12 @@ object StreamingSearch {
       checkpointPath: String,
       guard: ServingGuard,
       triggerMs: Long = 100L,
-      onReject: (Long, Throwable) => Unit = (_, _) => ())(
+      onReject: (Long, Throwable) => Unit = (_, _) => (),
+      warmupEvery: Int = 0,
+      warm: () => Unit = () => ())(
       sink: (DataFrame, Long) => Unit): StreamingQuery =
-    serve(index, queryStream, params, checkpointPath, triggerMs) { (res, batchId) =>
+    serve(index, queryStream, params, checkpointPath, triggerMs,
+      warmupEvery, warm) { (res, batchId) =>
       try guard.guarded("search")(sink(res, batchId))
       catch { case e: Throwable => onReject(batchId, e) }
     }

@@ -189,6 +189,11 @@ class VectorDBSpec extends SparkSpec {
     assert(hot.map(_._2).sum >= 5 * 2) // 5 queries x nprobe 2 probes recorded
     assert(hot.head._2 === hot.map(_._2).max) // hottest first
     assert(db.warmupHot("test_index", topN = 2) > 0)
+    // re-entrant (the serving-loop auto-warmup contract): the working set
+    // has not drifted, so the second call is a free no-op
+    assert(db.warmupHot("test_index", topN = 2) === 0L)
+    // a drifted hot set (different topN here) re-pins and releases the old
+    assert(db.warmupHot("test_index", topN = 1) > 0)
   }
 
   test("probe stats record at execution time, not plan construction (C1)") {

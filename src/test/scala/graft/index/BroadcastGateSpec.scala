@@ -132,6 +132,31 @@ class BroadcastGateSpec extends SparkSpec {
     }
   }
 
+  test("flood co-partition salting is lossless across salt values (flat + pq)") {
+    // above-gate floods split every list into S sub-buckets (corpus rows
+    // by id hash, queries replicated) so a skewed hot list becomes S
+    // tasks; each candidate lands in exactly ONE sub-bucket, so results
+    // must be bit-identical at any salt — including salt 1 (no split)
+    val qdf = queriesDF(floodQueries)
+    val params = SearchParams(k = 5, nprobe = 8) // nprobe = nlist -> fully determined
+    val flatStatic = sortedKeys(flat.searchBatch(floodQueries.toArray, params))
+    val pqParams = SearchParams(k = 5, nprobe = 4)
+    val pqStatic = sortedKeys(pqIndex.searchBatch(floodQueries.toArray, pqParams, 20))
+    val conf = spark.conf
+    val old = conf.getOption(CoGroupTopK.SaltKey)
+    try {
+      withConf(gate = "1", auto = "-1") { // force the co-partition path
+        for (salt <- Seq("1", "4", "13")) {
+          conf.set(CoGroupTopK.SaltKey, salt)
+          assert(sortedKeys(flat.search(qdf, params)) === flatStatic,
+            s"flat flood diverged at salt=$salt")
+          assert(sortedKeys(pqIndex.search(qdf, pqParams, 20)) === pqStatic,
+            s"pq flood diverged at salt=$salt")
+        }
+      }
+    } finally old.fold(conf.unset(CoGroupTopK.SaltKey))(conf.set(CoGroupTopK.SaltKey, _))
+  }
+
   test("gate decision pins to the plan-stats estimate boundary") {
     val qdf = queriesDF(floodQueries.take(64))
     val nprobe = 4
