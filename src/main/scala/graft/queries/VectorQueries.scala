@@ -148,29 +148,50 @@ object VectorQueries {
     }.orderBy("qid", "rank")
   }
 
-  /** Four qid-offset replicas of the whole embeddings table — a query set
-    * above MaxStaticBatch (1,600 at sf0.01) that forces the PQ FLOOD path
-    * while staying SQL-replayable. */
+  /** Four qid-offset replicas of 300 embeddings — a query set above
+    * MaxStaticBatch (1,200) that forces the PQ FLOOD path while staying
+    * SQL-replayable. */
   private def floodQuerySet(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val offs = Seq(0L, 10000L, 20000L, 30000L).toDF("off")
-    emb(spark, dir).filter(col("vec_id") < 400).crossJoin(offs)
+    emb(spark, dir).filter(col("vec_id") < 300).crossJoin(offs)
       .select((col("vec_id") + col("off")).as("qid"), col("embedding").as("qvec"))
+  }
+
+  /** Brute-force flood ABOVE the gate: the same replicated query set
+    * through [[Knn.exact]]'s unbounded branch with the gate pinned to 1,
+    * so nothing is broadcast and the plan is the plain cross join + the
+    * partial top-k operator — the one flood shape not covered by the
+    * probe-based entries. Exact by definition ⇒ same oracle. */
+  private def knnExactFlood(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = floodQuerySet(spark, dir)
+    withFloodConfs(spark, gate = "1") {
+      Knn.exact(queries, vectors, 5)
+    }.orderBy("qid", "rank")
   }
 
   /**
    * PQ flood (> MaxStaticBatch ⇒ searchJoin) with exhaustive probe +
-   * rerank-all: below the gate the ADC stage runs in
+   * rerank: below the gate the ADC stage runs in
    * [[graft.index.BroadcastProbeTopK]] (codes scan in place) and the
-   * rerank in [[CoGroupTopK.rerankTopK]]; exhaustive rerank re-scores
-   * every candidate exactly, so the exact-kNN SQL over the replicated
-   * query set is the oracle — hash-gating row fidelity (no loss, no dup)
-   * through probe → ADC top-k → id join-back → cogroup rerank.
+   * rerank in [[CoGroupTopK.rerankTopK]]. rerankK = 600 covers the WHOLE
+   * sf0.01 oracle corpus (500 vectors), so the rerank re-scores every
+   * candidate exactly and the exact-kNN SQL over the replicated query set
+   * is the oracle — hash-gating row fidelity (no loss, no dup) through
+   * probe → ADC top-k → id join-back → cogroup rerank. (At bigger bench
+   * SFs the same plan is a realistic top-600 rerank, not a rerank-all
+   * blow-up: preK-sized buffers and the join-back stream scale with
+   * rerankK, so the driver-gate trick must not ride a huge constant.)
    */
+  private val FloodRerankK = 600
+
   private def ivfpqFloodRerank(spark: SparkSession, dir: String): DataFrame = {
     import graft.SearchParams
     ivfpqIndex(spark, dir, 16, 8)
-      .search(floodQuerySet(spark, dir), SearchParams(k = 5, nprobe = 16), rerankK = 100000)
+      .search(floodQuerySet(spark, dir), SearchParams(k = 5, nprobe = 16),
+        rerankK = FloodRerankK)
       .orderBy("qid", "rank")
   }
 
@@ -181,7 +202,7 @@ object VectorQueries {
     val index = ivfpqIndex(spark, dir, 16, 8)
     val queries = floodQuerySet(spark, dir)
     withFloodConfs(spark, gate = "1") {
-      index.search(queries, SearchParams(k = 5, nprobe = 16), rerankK = 100000)
+      index.search(queries, SearchParams(k = 5, nprobe = 16), rerankK = FloodRerankK)
     }.orderBy("qid", "rank")
   }
 
@@ -510,6 +531,7 @@ object VectorQueries {
     "vector_slice_read" -> (vectorSliceRead _),
     "ivf_search_batch_all" -> (ivfSearchBatchAll _),
     "ivf_search_flood_salted" -> (ivfSearchFloodSalted _),
+    "knn_exact_flood" -> (knnExactFlood _),
     "ivfpq_flood_rerank" -> (ivfpqFloodRerank _),
     "ivfpq_flood_cogroup" -> (ivfpqFloodCogroup _),
     "ivfpq_search_rerank" -> (ivfpqSearchRerank _),
@@ -531,7 +553,7 @@ object VectorQueries {
   private lazy val floodOracleSql =
     s"""WITH q AS (SELECT v.vec_id + t.off AS qid, v.embedding AS qv
        |        FROM embeddings v CROSS JOIN (VALUES (0), (10000), (20000), (30000)) t(off)
-       |        WHERE v.vec_id < 400),
+       |        WHERE v.vec_id < 300),
        |d AS (SELECT q.qid, v.vec_id AS id, ${sqlL2("q.qv", "v.embedding")} AS dist
        |      FROM q, embeddings v),
        |r AS (SELECT qid, id, dist,
@@ -555,6 +577,8 @@ object VectorQueries {
     // with exhaustive probe + rerank-all == exact over the replicated set
     "ivfpq_flood_rerank" -> floodOracleSql,
     "ivfpq_flood_cogroup" -> floodOracleSql,
+    // unhinted cross join + partial top-k is exact by definition
+    "knn_exact_flood" -> floodOracleSql,
     // aligned unnests zip positionally in DuckDB => (pos, component) rows
     "normalize_vectors" ->
       """WITH n AS (SELECT vec_id, embedding,
