@@ -263,16 +263,18 @@ object Dedup {
     // the ContextCleaner when the returned plan is unreachable (see the
     // knnSelfJoin scaladoc for the serving-loop alternative).
     val spark = vectors.sparkSession
-    val batch = Similarity.selfIndexBatch(vectors, maxSelfIndexRows)
+    val batch = Similarity.selfIndexBatch(vectors, maxSelfIndexRows,
+      dimHint = centroids.value.head.length)
     if (batch != null) {
       val pairs = graft.index.IvfFlatIndex.localProbe(
         batch, centroids.value, assignProbes, Metric.L2)
       val bc = spark.sparkContext.broadcast(
         graft.index.ProbeIndex(batch, pairs, centroids.value.length))
-      // corpus side = the snapshot parallelized back out: one evaluation
-      // of the source plan, so query and corpus sides cannot diverge on a
-      // non-deterministic input (Similarity.corpusFromBatch)
-      return Similarity.corpusFromBatch(spark, batch).select(
+      // corpus side = the snapshot read back from the SAME ProbeIndex
+      // broadcast: one evaluation of the source plan, so query and corpus
+      // sides cannot diverge on a non-deterministic input, and nothing
+      // re-ships from the driver per run (Similarity.corpusFromProbeIndex)
+      return Similarity.corpusFromProbeIndex(spark, bc).select(
         col("id"),
         explode(vector.probe_lists(col("vec"), centroids, assignProbes, Metric.L2))
           .as("list_id"),

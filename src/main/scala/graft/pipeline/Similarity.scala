@@ -121,42 +121,50 @@ object Similarity {
    * Snapshot the corpus for a broadcast fast path, or null when it is (or
    * plan-stats say it obviously is) too big. Three defenses, cheapest
    * first: the stats pre-check keeps a 100 TB table from paying even a
-   * bounded scan; a one-row probe reads the vector WIDTH and shrinks the
-   * row cap to the same byte budget (stats can underestimate — e.g.
-   * optimistic filter selectivity — and a row gate alone is
-   * dimension-blind: 256k x 2048D is ~2 GB of driver heap); the
-   * `limit(cap + 1)` collect then proves the corpus actually fits. Null
+   * bounded scan; the vector WIDTH (`dimHint` — the self-join callers
+   * read it off their broadcast centroids, zero jobs and zero extra plan
+   * evaluations) shrinks the row cap to the same byte budget (stats can
+   * underestimate — e.g. optimistic filter selectivity — and a row gate
+   * alone is dimension-blind: 256k x 2048D is ~2 GB of driver heap); the
+   * `limit(cap + 1)` collect then proves the corpus actually fits. A
+   * corpus wider than its centroids would break distance semantics
+   * before it broke this gate (the kernels truncate to min length). Null
    * vecs are dropped — they are neither queries nor candidates in the
    * blocked paths either (an exploded null probe list emits nothing).
    */
   private[pipeline] def selfIndexBatch(
-      vectors: DataFrame, maxRows: Int,
+      vectors: DataFrame, maxRows: Int, dimHint: Int,
       maxBytes: Long = MaxSelfIndexBytes): Array[(Long, Array[Float])] = {
     if (maxRows <= 0) return null
     val statBytes = vectors.queryExecution.optimizedPlan.stats.sizeInBytes
     if (statBytes > BigInt(maxBytes)) return null
-    val head = vectors.select(col("id"), col("vec")).limit(1).collect()
-    if (head.isEmpty) return Array.empty
-    val dim = Option(head(0).getSeq[Float](1)).map(_.length).getOrElse(0)
     val effMax =
-      if (dim <= 0) maxRows
-      else math.min(maxRows.toLong, maxBytes / (4L * dim + 24L)).toInt
+      if (dimHint <= 0) maxRows
+      else math.min(maxRows.toLong, maxBytes / (4L * dimHint + 24L)).toInt
     val rows = vectors.select(col("id"), col("vec")).limit(effMax + 1).collect()
     if (rows.length > effMax) null
     else rows.map(IvfFlatIndex.decodeQueryRow).filter(_._2 != null)
   }
 
-  /** The snapshot parallelized back out as the fast path's corpus side:
-    * the source plan is evaluated ONLY for the snapshot, so a
-    * non-deterministic input (sample, unordered limit) cannot diverge
-    * between the probe-index (query) side and the scanned (corpus) side. */
-  private[pipeline] def corpusFromBatch(
+  /** The snapshot as the fast path's corpus side, read back from the SAME
+    * [[ProbeIndex]] broadcast the scorer uses: the source plan is
+    * evaluated ONLY for the snapshot, so a non-deterministic input
+    * (sample, unordered limit) cannot diverge between the probe-index
+    * (query) side and the scanned (corpus) side — and because the rows
+    * come out of the torrent-cached broadcast, nothing re-ships from the
+    * driver per execution (a `parallelize(batch)` formulation measured
+    * +50% on the 200k x 128D stress shape from re-serializing ~100 MB of
+    * vectors into every job). */
+  private[pipeline] def corpusFromProbeIndex(
       spark: org.apache.spark.sql.SparkSession,
-      batch: Array[(Long, Array[Float])]): DataFrame = {
+      bc: Broadcast[ProbeIndex]): DataFrame = {
     import spark.implicits._
-    spark.sparkContext
-      .parallelize(batch.toIndexedSeq,
-        math.max(1, math.min(spark.sparkContext.defaultParallelism, batch.length / 4096 + 1)))
+    spark.range(bc.value.qids.length.toLong)
+      .as[Long]
+      .mapPartitions { it =>
+        val pi = bc.value
+        it.map(i => (pi.qids(i.toInt), pi.qvecs(i.toInt)))
+      }
       .toDF("id", "vec")
   }
 
@@ -202,12 +210,13 @@ object Similarity {
     // heap-sized k is fast-path-eligible too since TopKHeap gained the
     // exact-duplicate skip (round 7) — both partial buffers now collapse
     // the twice-scored shared-list pairs
-    val batch = selfIndexBatch(vectors, maxSelfIndexRows)
+    val batch = selfIndexBatch(vectors, maxSelfIndexRows,
+      dimHint = centroids.value.head.length)
     if (batch != null) {
       val pairs = IvfFlatIndex.localProbe(batch, centroids.value, assignProbes, Metric.L2)
       val bc = spark.sparkContext.broadcast(
         ProbeIndex(batch, pairs, centroids.value.length))
-      val exploded = corpusFromBatch(spark, batch).select(
+      val exploded = corpusFromProbeIndex(spark, bc).select(
         col("id"),
         explode(vector.probe_lists(col("vec"), centroids, assignProbes, Metric.L2))
           .as("list_id"),
