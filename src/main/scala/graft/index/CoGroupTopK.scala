@@ -13,13 +13,12 @@ import graft.functions.{PqKernels, VectorKernels}
  * Deopt-immune DISTRIBUTED flood search: the above-gate twin of
  * [[ListScanTopK]]. When a query flood is too large to ship as a
  * driver-built [[ProbeIndex]] broadcast, the probed queries and the corpus
- * are co-partitioned on `list_id` (one shuffle each — the same data
- * movement as the plain equi-join this replaces) and each list's
- * query x candidate scoring runs inside THIS class's stable loops:
- * the candidate pairs never exist as rows in the plan, and the only
- * per-candidate work is the distance kernel plus a bounded-buffer insert
- * (reference semantics: engine/kernels.cuh:84-185 per-list scan feeding
- * per-thread insertion buffers, merged per query downstream).
+ * are co-partitioned on `list_id` and each list's query x candidate
+ * scoring runs inside THIS class's stable loops: the candidate pairs never
+ * exist as rows in the plan, and the only per-candidate work is the
+ * distance kernel plus a bounded-buffer insert (reference semantics:
+ * engine/kernels.cuh:84-185 per-list scan feeding per-thread insertion
+ * buffers, merged per query downstream).
  *
  * Rounds 3-6 measured the old join-path shape (equi-join ->
  * distance-per-candidate-row -> partial top-k) intermittently running
@@ -29,6 +28,19 @@ import graft.functions.{PqKernels, VectorKernels}
  * writers, encoder deserializers) touches each query row and corpus row
  * ONCE; the quadratic-per-list work lives in scalac-compiled methods,
  * compiled once per JVM — the exact property that fixed the static path.
+ *
+ * The co-partition is ONE shuffle of a tagged union (small side and big
+ * side carry the same `(_skey, _tag, id, payload)` shape), hash-distributed
+ * on the salted list key with an EXPLICIT partition count and sorted within
+ * partitions on `(_skey, _tag)` so each task streams its groups in order,
+ * buffering only the tag-0 side of the current group. The explicit count
+ * matters: a typed `Dataset.cogroup` takes two Exchange nodes that AQE
+ * coalesces BY BYTES, and flood scoring is compute-heavy per byte — at
+ * bench scale AQE folded the scoring stage to 4 tasks (~2.3 s) that the
+ * same work spread over `spark.sql.shuffle.partitions` tasks finishes in
+ * a fraction of. A `repartition(n, col)` shuffle (REPARTITION_BY_NUM) is
+ * exempt from coalescing, so the scoring stage keeps the parallelism the
+ * user sized for the cluster.
  *
  * Memory per task is bounded by the buffered side of each list group:
  *  - flat: the QUERIES probing the list (flood x nprobe / nlist rows of
@@ -58,6 +70,9 @@ object CoGroupTopK {
     s
   }
 
+  private def numParts(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.sessionState.conf.numShufflePartitions
+
   /** (list_id, salt) composite grouping keys: corpus rows by id hash,
     * query rows replicated to every sub-bucket of their probed list. */
   private def saltedKey(listCol: String, salt: Int) =
@@ -74,20 +89,39 @@ object CoGroupTopK {
    * list_id INT, vec ARRAY<FLOAT>). Returns (qid, id, dist, rank) with the
    * (dist, id) tie order, bit-identical to the static path (same
    * [[VectorKernels.distance]] kernel, same [[TopKBuf]] order).
+   *
+   * Queries sort FIRST within each group (tag 0: they are the buffered
+   * side); corpus rows then stream, each payload decoding once and feeding
+   * every probing query's buffer.
    */
   def flatSearch(probed: DataFrame, corpus: DataFrame, k: Int, metricId: Int): DataFrame = {
     val spark = probed.sparkSession
     import spark.implicits._
     val salt = saltOf(spark)
-    val q = probed
-      .select(explodedSaltKeys("list_id", salt), col("qid").cast("long"), col("qvec"))
-      .as[(Long, Long, Array[Float])]
-    val c = corpus
-      .select(saltedKey("list_id", salt), col("id").cast("long"), col("vec"))
-      .as[(Long, Long, Array[Float])]
-    val partial = q.groupByKey(_._1).cogroup(c.groupByKey(_._1)) {
-      (_, qs, cs) => scoreFlatList(qs, cs, k, metricId)
-    }(PartialEncoder)
+    val q = probed.select(
+      explodedSaltKeys("list_id", salt),
+      lit(0).as("_tag"),
+      col("qid").cast("long").as("id"),
+      col("qvec").as("vec"))
+    val c = corpus.select(
+      saltedKey("list_id", salt),
+      lit(1).as("_tag"),
+      col("id").cast("long").as("id"),
+      col("vec"))
+    val partial = q.unionByName(c)
+      .repartition(numParts(spark), col("_skey"))
+      .sortWithinPartitions("_skey", "_tag")
+      .as[(Long, Int, Long, Array[Float])]
+      .mapPartitions { rows =>
+        groupRuns(rows)(_._1) { group =>
+          val qs = new ArrayBuffer[(Long, Long, Array[Float])]
+          while (group.hasNext && group.head._2 == 0) {
+            val r = group.next()
+            qs += ((r._1, r._3, r._4))
+          }
+          scoreFlatList(qs.iterator, group.map(r => (r._1, r._3, r._4)), k, metricId)
+        }
+      }(PartialEncoder)
     TopKAggregator.finalizePartial(partial.toDF("_1", "_2", "_3"), k)
       .select("qid", "id", "dist", "rank")
   }
@@ -95,11 +129,12 @@ object CoGroupTopK {
   /**
    * PQ ADC flood search. `probed` as in [[flatSearch]]; `codes` is
    * (id LONG, list_id INT, codes ARRAY<BYTE>). Per list the CODES buffer
-   * (compact) is resident and queries stream one at a time — each query
-   * derives its ADC table once per probed list (m x ks x dsub madds,
-   * noise next to scoring the list) and scans the buffer through
-   * [[PqKernels.adcDistanceBytes]], the byte-array twin of the static
-   * path's lookup-sum. Returns (qid, id, dist, rank) at `k`.
+   * (compact, tag 0 — it sorts first and is the buffered side here) is
+   * resident and queries stream one at a time — each query derives its ADC
+   * table once per probed list (m x ks x dsub madds, noise next to scoring
+   * the list) and scans the buffer through [[PqKernels.adcDistanceBytes]],
+   * the byte-array twin of the static path's lookup-sum. Returns
+   * (qid, id, dist, rank) at `k`.
    */
   def pqSearch(
       probed: DataFrame,
@@ -110,24 +145,43 @@ object CoGroupTopK {
     val spark = probed.sparkSession
     import spark.implicits._
     val salt = saltOf(spark)
-    val q = probed
-      .select(explodedSaltKeys("list_id", salt), col("qid").cast("long"), col("qvec"))
-      .as[(Long, Long, Array[Float])]
     // codes are ARRAY<TINYINT> in the plan (the PQ encoder's type); the
     // Array[Byte] encoder would demand BINARY, so decode as Seq and copy
     // to a primitive array once per row at buffer time (off the hot loop)
-    val c = codes
-      .select(saltedKey("list_id", salt), col("id").cast("long"), col("codes"))
-      .as[(Long, Long, scala.collection.Seq[Byte])]
-    val partial = q.groupByKey(_._1).cogroup(c.groupByKey(_._1)) {
-      (_, qs, cs) => scorePqList(qs, cs, k, metricId, codebooks.value)
-    }(PartialEncoder)
+    val q = probed.select(
+      explodedSaltKeys("list_id", salt),
+      lit(1).as("_tag"),
+      col("qid").cast("long").as("id"),
+      col("qvec").as("qvec"),
+      lit(null).cast("array<byte>").as("codes"))
+    val c = codes.select(
+      saltedKey("list_id", salt),
+      lit(0).as("_tag"),
+      col("id").cast("long").as("id"),
+      lit(null).cast("array<float>").as("qvec"),
+      col("codes"))
+    val books = codebooks
+    val partial = q.unionByName(c)
+      .repartition(numParts(spark), col("_skey"))
+      .sortWithinPartitions("_skey", "_tag")
+      .as[(Long, Int, Long, Array[Float], scala.collection.Seq[Byte])]
+      .mapPartitions { rows =>
+        groupRuns(rows)(_._1) { group =>
+          val cs = new ArrayBuffer[(Long, Long, scala.collection.Seq[Byte])]
+          while (group.hasNext && group.head._2 == 0) {
+            val r = group.next()
+            cs += ((r._1, r._3, r._5))
+          }
+          scorePqList(group.map(r => (r._1, r._3, r._4)), cs.iterator, k, metricId,
+            books.value)
+        }
+      }(PartialEncoder)
     TopKAggregator.finalizePartial(partial.toDF("_1", "_2", "_3"), k)
       .select("qid", "id", "dist", "rank")
   }
 
   /**
-   * Distributed exact rerank: `queries` (qid, qvec) cogrouped with the
+   * Distributed exact rerank: `queries` (qid, qvec) co-partitioned with the
    * candidate rows (qid, id, vec) on qid — all of a query's candidates
    * land in one group, so the top-k emits FINAL ranked rows directly (no
    * further merge). A duplicate qid in the query set takes the first
@@ -137,25 +191,74 @@ object CoGroupTopK {
   def rerankTopK(queries: DataFrame, cands: DataFrame, metricId: Int, k: Int): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val q = queries.select(col("qid").cast("long"), col("qvec"))
-      .as[(Long, Array[Float])]
-    val c = cands.select(col("qid").cast("long"), col("id").cast("long"), col("vec"))
-      .as[(Long, Long, Array[Float])]
-    q.groupByKey(_._1).cogroup(c.groupByKey(_._1)) { (qid, qs, cs) =>
-      if (!qs.hasNext) Iterator.empty
-      else {
-        val qvec = qs.next()._2
-        if (qvec == null) Iterator.empty
-        else {
-          val buf = TopKBuf.empty(k)
-          while (cs.hasNext) {
-            val (_, id, vec) = cs.next()
-            if (vec != null) buf.insert(VectorKernels.distance(vec, qvec, metricId), id)
+    val q = queries.select(
+      col("qid").cast("long").as("_skey"),
+      lit(0).as("_tag"),
+      col("qid").cast("long").as("id"),
+      col("qvec").as("vec"))
+    val c = cands.select(
+      col("qid").cast("long").as("_skey"),
+      lit(1).as("_tag"),
+      col("id").cast("long").as("id"),
+      col("vec"))
+    q.unionByName(c)
+      .repartition(numParts(spark), col("_skey"))
+      .sortWithinPartitions("_skey", "_tag")
+      .as[(Long, Int, Long, Array[Float])]
+      .mapPartitions { rows =>
+        groupRuns(rows)(_._1) { group =>
+          val qid = group.head._1 // every row of the group shares the key
+          var first = true
+          var qvec: Array[Float] = null
+          while (group.hasNext && group.head._2 == 0) {
+            val r = group.next()
+            if (first) { qvec = r._4; first = false }
           }
-          Iterator.range(0, buf.size).map(j => (qid, buf.ids(j), buf.dists(j), j + 1))
+          if (first || qvec == null) Iterator.empty // no query row / null qvec
+          else {
+            val buf = TopKBuf.empty(k)
+            while (group.hasNext) {
+              val (_, _, id, vec) = group.next()
+              if (vec != null) buf.insert(VectorKernels.distance(vec, qvec, metricId), id)
+            }
+            Iterator.range(0, buf.size).map(j => (qid, buf.ids(j), buf.dists(j), j + 1))
+          }
+        }
+      }(RankedEncoder)
+      .toDF("qid", "id", "dist", "rank")
+  }
+
+  /** Walk a partition's `(key-sorted)` row stream as one lazy iterator per
+    * key run. `score` receives a BufferedIterator scoped to the current
+    * group (its `hasNext` turns false at the key boundary) and must fully
+    * consume it before the next group starts — both scorers do: they
+    * buffer one tag side and stream the other to exhaustion. */
+  private def groupRuns[R, O](rows: Iterator[R])(key: R => Long)(
+      score: BufferedIterator[R] => Iterator[O]): Iterator[O] = new Iterator[O] {
+    private val it = rows.buffered
+    private var out: Iterator[O] = Iterator.empty
+    override def hasNext: Boolean = {
+      while (!out.hasNext && it.hasNext) {
+        val k = key(it.head)
+        val group: BufferedIterator[R] = new Iterator[R] {
+          override def hasNext: Boolean = it.hasNext && key(it.head) == k
+          override def next(): R = {
+            if (!hasNext) throw new NoSuchElementException("group exhausted")
+            it.next()
+          }
+        }.buffered
+        out = score(group)
+        // a scorer may return lazily over a partially-consumed group; the
+        // contract above says it must not, but guard the walk anyway by
+        // draining the remainder once `out` is materialized lazily below
+        out = out ++ new Iterator[O] {
+          override def hasNext: Boolean = { while (group.hasNext) group.next(); false }
+          override def next(): O = throw new NoSuchElementException
         }
       }
-    }(RankedEncoder).toDF("qid", "id", "dist", "rank")
+      out.hasNext
+    }
+    override def next(): O = { hasNext; out.next() }
   }
 
   /** One list's query x corpus scoring, flat vectors: queries buffered

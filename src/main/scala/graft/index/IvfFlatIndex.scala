@@ -189,7 +189,8 @@ class IvfFlatIndex(
       .select("qid", "qvec", "list_id")
     if (IvfFlatIndex.fitsBroadcastGate(queries, nprobe)) {
       val partial = BroadcastProbeTopK.flat(probed,
-        corpus.select(col("id"), col("list_id"), col("vec")), k, m.id)
+        IvfFlatIndex.widenScan(
+          corpus.select(col("id"), col("list_id"), col("vec")), "list_id"), k, m.id)
       TopKAggregator.finalizePartial(partial, k).select("qid", "id", "dist", "rank")
     } else CoGroupTopK.flatSearch(probed, corpus, k, m.id)
   }
@@ -230,6 +231,39 @@ object IvfFlatIndex {
     * and any sane driver heap, far above every coalesced serving batch
     * (a 10k x 768D probed side at nprobe 8 is ~250 MB). */
   val DefaultBroadcastGateBytes: Long = 256L << 20
+
+  /** Cap for [[widenScan]]: only a corpus this small (plan-stats bytes)
+    * may be round-robin widened — the point is rescuing a compute-starved
+    * scan of a SMALL input, never adding a shuffle to a corpus that
+    * already fans out. */
+  val MaxWidenBytes: Long = 256L << 20
+
+  /**
+   * Widen a small corpus scan whose partition count would starve the
+   * flood scorers: file sources split by BYTES, but flood scoring is
+   * compute-heavy per byte (every corpus row scores against all queries
+   * probing its list), so a sub-parallelism split count — one parquet
+   * file's worth of codes, a coalesced cache — idles most of the cluster
+   * while one task builds every ADC table. Measured on the sf0.1 bench:
+   * the PQ flood's ADC scan ran ~1.0 s on ONE task that ~30 ms/task wide.
+   *
+   * No-op unless plan stats prove the input small AND its planned
+   * partition count undercuts the session's parallelism. The explicit
+   * partition count keeps AQE's byte-based coalescing from re-folding the
+   * shuffle, and the cheap local sort restores per-list locality for
+   * scorers that amortize per-list state (PQ ADC tables).
+   */
+  private[graft] def widenScan(df: DataFrame, sortCols: String*): DataFrame = {
+    val spark = df.sparkSession
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(MaxWidenBytes)) return df
+    val p = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df
+    else {
+      val wide = df.repartition(p)
+      if (sortCols.isEmpty) wide
+      else wide.sortWithinPartitions(sortCols.map(col): _*)
+    }
+  }
 
   /**
    * Should the join path's probed side carry a broadcast hint? Decided

@@ -175,7 +175,8 @@ class IvfPqIndex(
     val adcTop =
       if (IvfFlatIndex.fitsBroadcastGate(queries, nprobe))
         TopKAggregator.finalizePartial(
-          BroadcastProbeTopK.pq(probed, codes, preK, codebooks, probeMetric.id), preK)
+          BroadcastProbeTopK.pq(probed, IvfFlatIndex.widenScan(codes, "list_id"),
+            preK, codebooks, probeMetric.id), preK)
           .select("qid", "id", "dist", "rank")
       else CoGroupTopK.pqSearch(probed, codes, codebooks, probeMetric.id, preK)
     if (rerankK <= 0) adcTop
@@ -188,7 +189,9 @@ class IvfPqIndex(
       val candIds = adcTop.select("qid", "id")
       val hinted =
         if (IvfFlatIndex.fitsBroadcastGate(queries, preK)) broadcast(candIds) else candIds
-      val cands = rawVectors.select("id", "vec").join(hinted, "id")
+      // widen a small raw scan for the same reason as the ADC stage: the
+      // join fans the candidate stream out over the RAW side's partitions
+      val cands = IvfFlatIndex.widenScan(rawVectors.select("id", "vec")).join(hinted, "id")
       CoGroupTopK.rerankTopK(queries.select("qid", "qvec"), cands, m.id, params.k)
     }
   }

@@ -64,8 +64,8 @@ object Knn {
         // (round-7 fix): the plain cross join lets AQE plan the flood.
         if (IvfFlatIndex.fitsBroadcastGate(qdf, 1)) {
           val probed = qdf.withColumn("list_id", lit(0))
-          val corpus = vectors.select(
-            col("id").cast("long"), lit(0).cast("int").as("list_id"), col("vec"))
+          val corpus = IvfFlatIndex.widenScan(vectors.select(
+            col("id").cast("long"), lit(0).cast("int").as("list_id"), col("vec")))
           TopKAggregator.finalizePartial(
             BroadcastProbeTopK.flat(probed, corpus, k, metric.id), k)
             .select("qid", "id", "dist", "rank")
