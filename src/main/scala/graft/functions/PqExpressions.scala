@@ -161,6 +161,43 @@ object PqKernels {
     d
   }
 
+  /** [[adcDistanceDirect]] over a plain byte-array code row — the typed
+    * twin for the cogroup flood path's buffered codes. Same per-subspace
+    * loop and accumulation order as [[adcTableFromPrepped]] + lookup-sum,
+    * so the table/direct cutover never changes results. */
+  def adcDistanceDirectBytes(
+      qd: Array[Double],
+      codebooks: Array[Array[Array[Float]]],
+      metric: Int,
+      codes: Array[Byte]): Double = {
+    val m = codebooks.length
+    val cosine = metric == VectorKernels.METRIC_COSINE
+    val dot = cosine || metric == VectorKernels.METRIC_IP
+    var total = 0.0
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val dsub = cb(0).length
+      val off = s * dsub
+      val cw = cb(codes(s) & 0xff)
+      var d = 0.0
+      var i = 0
+      if (dot) {
+        while (i < dsub) { d += qd(off + i) * cw(i).toDouble; i += 1 }
+        total += (if (cosine && s == 0) 1.0 + -d else -d)
+      } else {
+        while (i < dsub) {
+          val diff = qd(off + i) - cw(i).toDouble
+          d += diff * diff
+          i += 1
+        }
+        total += d
+      }
+      s += 1
+    }
+    total
+  }
+
   /**
    * Direct per-candidate ADC distance from a prepped query, without a
    * table: per subspace, score ONLY the codeword the code byte names.

@@ -305,8 +305,12 @@ object CoGroupTopK {
   }
 
   /** One list's query x corpus scoring, PQ codes: the list's codes
-    * buffered (m+8 B per row), queries streamed with one resident ADC
-    * table at a time. */
+    * buffered (m+8 B per row), queries streamed with at most one resident
+    * ADC table at a time. The table only pays for itself past ~ks bucket
+    * rows (build = ks x dim madds vs direct = dim madds per row), and salt
+    * subdivision shrinks buckets by design — below the cutover each query
+    * scores the bucket directly through the bit-identical per-subspace
+    * kernel instead of building a table 10-100x the scan work. */
   private def scorePqList(
       qs: Iterator[(Long, Long, Array[Float])],
       cs: Iterator[(Long, Long, scala.collection.Seq[Byte])],
@@ -323,26 +327,26 @@ object CoGroupTopK {
     val nC = ids.length
     if (nC == 0) return Iterator.empty
     val useHeap = k > PartialTopK.HeapThreshold
+    val buildTable = nC >= books(0).length // ks — the amortization point
     qs.flatMap { case (_, qid, qvec) =>
       if (qvec == null) Iterator.empty
       else {
-        val table = PqKernels.adcTableRaw(qvec, books, metricId)
+        val prepped = PqKernels.prepQuery(qvec, metricId)
+        val table =
+          if (buildTable) PqKernels.adcTableFromPrepped(prepped, books, metricId) else null
+        @inline def dist(i: Int): Double =
+          if (table != null) PqKernels.adcDistanceBytes(table, codeRows(i))
+          else PqKernels.adcDistanceDirectBytes(prepped, books, metricId, codeRows(i))
         if (useHeap) {
           val h = new TopKHeap(k)
           var i = 0
-          while (i < nC) {
-            h.insert(PqKernels.adcDistanceBytes(table, codeRows(i)), ids(i))
-            i += 1
-          }
+          while (i < nC) { h.insert(dist(i), ids(i)); i += 1 }
           h.sortAscending()
           Iterator.range(0, h.size).map(j => (qid, h.ids(j), h.dists(j)))
         } else {
           val b = TopKBuf.empty(k)
           var i = 0
-          while (i < nC) {
-            b.insert(PqKernels.adcDistanceBytes(table, codeRows(i)), ids(i))
-            i += 1
-          }
+          while (i < nC) { b.insert(dist(i), ids(i)); i += 1 }
           Iterator.range(0, b.size).map(j => (qid, b.ids(j), b.dists(j)))
         }
       }

@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
 object DevFloodProfile {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val cpus = sys.env.getOrElse("PROF_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -20,7 +21,7 @@ object DevFloodProfile {
         val ms = for {
           a <- si.completionTime; b <- si.submissionTime
         } yield a - b
-        if (ms.exists(_ > 200))
+        if (ms.exists(_ > 100))
           println(f"[stage] ${si.stageId}%3d ${ms.get}%6d ms tasks=${si.numTasks}%3d " +
             si.name.take(90))
       }

@@ -62,13 +62,12 @@ class TopKAggregatorSpec extends SparkSpec {
     assert(agg === win)
   }
 
-  test("buffer never exceeds k during reduce/merge") {
-    val a = new TopKAggregator(3)
-    val buf = (1 to 100).foldLeft(a.zero)((b, i) => a.reduce(b, (0L, i.toLong, i.toDouble)))
+  test("buffer never exceeds k during insert/merge") {
+    val buf = (1 to 100).foldLeft(TopKBuf.empty(3))((b, i) => b.insert(i.toDouble, i.toLong))
     assert(buf.size === 3)
     assert(buf.toSeq.map(_._1) === Seq(1.0, 2.0, 3.0))
-    val merged = a.merge(buf,
-      (101 to 200).foldLeft(a.zero)((b, i) => a.reduce(b, (0L, i.toLong, -i.toDouble))))
+    val merged = buf.merge(
+      (101 to 200).foldLeft(TopKBuf.empty(3))((b, i) => b.insert(-i.toDouble, i.toLong)))
     assert(merged.size === 3)
     assert(merged.toSeq.map(_._1) === Seq(-200.0, -199.0, -198.0))
   }
