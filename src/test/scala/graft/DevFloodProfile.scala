@@ -81,6 +81,32 @@ object DevFloodProfile {
         SparkEntry.queries(name)(spark, dir).count()
       }
     }
+
+    // repeated rerank-entry runs: hunt the unstable mode the 32-cpu bench
+    // JVM shows (med 10.8 / max 23 s) with GC + JIT correlation
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum
+    }
+    def jitMs: Long = {
+      val c = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (c != null && c.isCompilationTimeMonitoringSupported) c.getTotalCompilationTime else -1
+    }
+    for (i <- 1 to 8) {
+      val g0 = gcMs; val j0 = jitMs
+      timed(s"rerank entry run $i")(
+        SparkEntry.queries("ivfpq_flood_rerank")(spark, dir).count())
+      println(s"[jvm] run $i: gc=${gcMs - g0} ms jit=${jitMs - j0} ms")
+    }
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    for (i <- 1 to 8) {
+      val g0 = gcMs; val j0 = jitMs
+      timed(s"rerank NOCODEGEN run $i")(
+        SparkEntry.queries("ivfpq_flood_rerank")(spark, dir).count())
+      println(s"[jvm] nc run $i: gc=${gcMs - g0} ms jit=${jitMs - j0} ms")
+    }
+    spark.conf.unset("spark.sql.codegen.wholeStage")
     spark.stop()
   }
 }
