@@ -1,9 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 import graft.Tables
 
@@ -69,19 +69,37 @@ object RelationalQueries {
   }
 
   /**
-   * Hourly event rollup. events.ts is TIMESTAMP(NANOS) parquet, which Spark
-   * only reads as a nanosecond LONG (spark.sql.legacy.parquet.nanosAsLong);
-   * the hour bucket is formatted as a string so both engines compare the
-   * same value. value is an arbitrary double -> summed as floor() cents.
+   * events.ts is TIMESTAMP(NANOS) parquet. How Spark reads it is
+   * version-dependent: 3.x only reads it as a nanosecond LONG (behind
+   * spark.sql.legacy.parquet.nanosAsLong); 4.1+ ignores that conf and
+   * resolves it as TIMESTAMP_NTZ (micros, wall clock). Branch on the
+   * dtype actually read rather than trusting any conf. Session timezone
+   * is UTC everywhere (Verify/Bench/tests), so NTZ wall-clock arithmetic
+   * matches DuckDB's naive-timestamp oracle exactly.
+   */
+  private def eventsWithTs(spark: SparkSession, dir: String): (DataFrame, Boolean) = {
+    // harmless on Spark 4.1+ (inert); required for the read to succeed on 3.x
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = Tables(spark, dir, "events")
+    (ev, ev.schema("ts").dataType == LongType)
+  }
+
+  /**
+   * Hourly event rollup; the hour bucket is formatted as a string so both
+   * engines compare the same value. value is an arbitrary double -> summed
+   * as floor() cents.
    */
   private def eventsHourly(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer div: `/` on LONGs is DOUBLE division, and nanosecond epochs
-    // exceed 2^53 — a double round-trip mis-buckets events near boundaries
-    val hourSec = expr("ts div 3600000000000") * 3600
-    Tables(spark, dir, "events")
-      .withColumn("hour",
-        date_format(timestamp_seconds(hourSec), "yyyy-MM-dd HH:mm:ss"))
+    val (ev, tsIsLong) = eventsWithTs(spark, dir)
+    val hourTs: Column =
+      if (tsIsLong)
+        // integer div: `/` on LONGs is DOUBLE division, and nanosecond epochs
+        // exceed 2^53 — a double round-trip mis-buckets events near boundaries
+        timestamp_seconds(expr("ts div 3600000000000") * 3600)
+      else
+        date_trunc("hour", col("ts"))
+    ev
+      .withColumn("hour", date_format(hourTs, "yyyy-MM-dd HH:mm:ss"))
       .groupBy("hour", "event_type")
       .agg(
         count(lit(1)).as("n_events"),
@@ -116,16 +134,22 @@ object RelationalQueries {
   /**
    * Sessionization as a batch window query: per user, a session break is a
    * gap > 30 min from the previous event; session count = 1 + number of
-   * breaks. ts arrives as a nanosecond LONG (see eventsHourly).
+   * breaks. ts dtype is version-dependent (see eventsWithTs).
    */
   private def qSessions(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val gapNs = 30L * 60 * 1000000000L
+    val (ev, tsIsLong) = eventsWithTs(spark, dir)
+    val gapExceeded: Column =
+      if (tsIsLong) col("ts") - col("prev_ts") > lit(30L * 60 * 1000000000L)
+      else
+        // micros difference is timezone-invariant; NTZ nanos were already
+        // truncated to micros by the read, matching the 30-min threshold
+        unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(col("prev_ts").cast("timestamp")) > lit(30L * 60 * 1000000L)
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    Tables(spark, dir, "events")
+    ev
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("brk",
-        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1)
+        when(col("prev_ts").isNull || gapExceeded, 1)
           .otherwise(0))
       .groupBy("user_id")
       .agg(
@@ -148,8 +172,8 @@ object RelationalQueries {
     * Spark `percentile` and DuckDB `quantile_cont` share the
     * interpolation, so doubles match bitwise on sorted exact values. */
   private def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables(spark, dir, "events")
+    val (ev, _) = eventsWithTs(spark, dir)
+    ev
       .groupBy("event_type")
       .agg(
         expr("percentile(value, 0.5)").as("p50"),

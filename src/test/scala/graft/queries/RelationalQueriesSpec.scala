@@ -1,0 +1,85 @@
+package graft.queries
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+
+import graft.SparkSpec
+
+/**
+ * Pins the events.ts read contract against the REAL driver testdata.
+ *
+ * Round 8 post-mortem: events.parquet's timestamp column resolves
+ * differently across Spark versions (3.x: nanosecond LONG behind
+ * spark.sql.legacy.parquet.nanosAsLong; 4.1+: TIMESTAMP_NTZ, conf inert),
+ * and `sbt test` stayed green while the driver gate failed because no
+ * suite exercised the ts-arithmetic path on the real file. These tests
+ * make an image-side Spark bump fail the build instead of the gate.
+ *
+ * The expected values are recomputed here in plain Scala (epoch-micros
+ * arithmetic on the collected rows) — an oracle independent of the Spark
+ * SQL plan under test.
+ */
+class RelationalQueriesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def haveData = new java.io.File(s"$dir/events.parquet").exists
+
+  /** (user_id, event_id, epoch-micros) for every event, via a plain read. */
+  private def rawEvents(): Array[(Long, Long, Long)] = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val withUs = ev.schema("ts").dataType match {
+      case LongType => ev.withColumn("us", col("ts") / 1000L cast "long")
+      case _        => ev.withColumn("us", unix_micros(col("ts").cast("timestamp")))
+    }
+    withUs.select("user_id", "event_id", "us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+  }
+
+  test("events.ts reads as a supported dtype (TIMESTAMP_NTZ or legacy LONG)") {
+    assume(haveData)
+    val dt = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    assert(dt == TimestampNTZType || dt == LongType,
+      s"events.ts resolved as $dt — neither TIMESTAMP_NTZ (Spark 4.1+) nor " +
+        "LONG nanos (3.x legacy conf); the RelationalQueries ts branch needs updating")
+  }
+
+  test("events_hourly runs on the real events.parquet and matches a scala-side rollup") {
+    assume(haveData)
+    val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss").withZone(ZoneOffset.UTC)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val expectedTotal = ev.count()
+
+    val got = RelationalQueries.queries("events_hourly")(spark, dir).collect()
+    assert(got.nonEmpty)
+    assert(got.map(_.getAs[Long]("n_events")).sum == expectedTotal)
+
+    // independent per-hour counts from epoch micros (floor to the hour)
+    val expectedByHour = rawEvents()
+      .groupBy { case (_, _, us) =>
+        fmt.format(Instant.ofEpochSecond(Math.floorDiv(us, 3600000000L) * 3600L))
+      }.map { case (h, rows) => h -> rows.length.toLong }
+    val gotByHour = got.groupBy(_.getAs[String]("hour"))
+      .map { case (h, rows) => h -> rows.map(_.getAs[Long]("n_events")).sum }
+    assert(gotByHour == expectedByHour)
+  }
+
+  test("q_sessions runs on the real events.parquet and matches a scala-side sessionizer") {
+    assume(haveData)
+    val gapUs = 30L * 60 * 1000000L
+    val expected = rawEvents()
+      .groupBy(_._1)
+      .map { case (uid, rows) =>
+        val ts = rows.sortBy { case (_, eid, us) => (us, eid) }.map(_._3)
+        val breaks = ts.sliding(2).count { case Array(a, b) => b - a > gapUs; case _ => false }
+        uid -> ((1L + breaks).toLong, ts.length.toLong)
+      }
+
+    val got = RelationalQueries.queries("q_sessions")(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"))).toMap
+    assert(got == expected)
+  }
+}
