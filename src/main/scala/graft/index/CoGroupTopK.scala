@@ -326,7 +326,15 @@ object CoGroupTopK {
     }
     val nC = ids.length
     if (nC == 0) return Iterator.empty
-    val useHeap = k > PartialTopK.HeapThreshold
+    // a bucket of nC rows emits at most nC results, so min(k, nC)-capacity
+    // buffers are lossless. This matters when k is a rerank preK (e.g.
+    // 600): allocating+zeroing a 600-slot heap per (query, bucket) pair at
+    // flood cardinality was ~1.5 GB of dead allocation per pass at sf0.1
+    // (153k pairs x 16-row buckets), a pure CPU tax the r9 task metrics
+    // exposed (PQ flood taskCpu 20x the brute-force exact scan's on the
+    // same candidate count)
+    val cap = math.min(k, nC)
+    val useHeap = cap > PartialTopK.HeapThreshold
     val buildTable = nC >= books(0).length // ks — the amortization point
     qs.flatMap { case (_, qid, qvec) =>
       if (qvec == null) Iterator.empty
@@ -338,13 +346,13 @@ object CoGroupTopK {
           if (table != null) PqKernels.adcDistanceBytes(table, codeRows(i))
           else PqKernels.adcDistanceDirectBytes(prepped, books, metricId, codeRows(i))
         if (useHeap) {
-          val h = new TopKHeap(k)
+          val h = new TopKHeap(cap)
           var i = 0
           while (i < nC) { h.insert(dist(i), ids(i)); i += 1 }
           h.sortAscending()
           Iterator.range(0, h.size).map(j => (qid, h.ids(j), h.dists(j)))
         } else {
-          val b = TopKBuf.empty(k)
+          val b = TopKBuf.empty(cap)
           var i = 0
           while (i < nC) { b.insert(dist(i), ids(i)); i += 1 }
           Iterator.range(0, b.size).map(j => (qid, b.ids(j), b.dists(j)))

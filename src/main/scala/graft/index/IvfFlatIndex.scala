@@ -302,8 +302,29 @@ object IvfFlatIndex {
    * distributed.
    */
   def snapshotQueries(queries: org.apache.spark.sql.DataFrame): QuerySnapshot = {
-    val sample = queries.select(col("qid"), col("qvec"))
-      .limit(MaxStaticBatch + 1).collect()
+    // Two probe shapes, both deliberate (r9):
+    //  - driver-local batch (the serving path's Seq.toDF): limit+collect
+    //    folds into the LocalRelation at optimization time — ZERO jobs,
+    //    ZERO codegen; the limit never reaches physical planning
+    //    (pinned by VectorDBSpec "schedules NO extra Spark jobs").
+    //  - distributed source: rdd.take, NOT limit(n).collect(). Spark's
+    //    BaseLimitExec mints a JVM-global `_limit_counter_N` state name
+    //    per operator instance, so a plan containing a limit NEVER hits
+    //    the codegen cache — every snapshot paid a fresh Janino compile +
+    //    C2 warm-in of the whole probe stage, re-paid on EVERY plan build
+    //    (r9 bench-instability root cause). RDD take pulls partition
+    //    iterators lazily (narrow pipelines compute only the pulled rows,
+    //    incremental 1-then-4x job scaling like executeTake) and compiles
+    //    nothing run-varying (pinned by SnapshotQueriesSpec).
+    val sel = queries.select(col("qid"), col("qvec"))
+    // `isLocal` alone misses Project(LocalRelation) (any .toDF rename);
+    // the optimizer's ConvertToLocalRelation folds those, so test the
+    // OPTIMIZED plan (computing it runs no jobs and is cached)
+    val local = sel.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+    val sample =
+      if (local) sel.limit(MaxStaticBatch + 1).collect()
+      else sel.rdd.take(MaxStaticBatch + 1)
     QuerySnapshot(sample.map(decodeQueryRow), sample.length <= MaxStaticBatch)
   }
 

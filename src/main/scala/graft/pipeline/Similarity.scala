@@ -67,15 +67,18 @@ object Similarity {
    * back with fewer than k rows, replacing their results; satisfied
    * queries keep their pruned (approximate) rows untouched.
    *
-   * Cost model: one bounded driver action (per-qid result counts — at most
-   * one row per query) gates the retry; the happy path (every query
-   * satisfied) pays no second scan. The retry scan reads only the
-   * predicate's survivors, exhaustively — for a predicate selective enough
-   * to starve the probe, that is exactly the cheap scan. The query set is
-   * pinned ONCE up front (round-7 fix: the pruned pass, the shortfall
-   * count, and the retry all read the same materialized rows), so a
-   * non-deterministic query plan — a sample, an unordered limit — is
-   * safe here.
+   * Cost model: the shortfall set is computed as a JOIN (query set x
+   * per-qid result counts) and never leaves the cluster — the only driver
+   * action is a 1-row emptiness probe that preserves the happy path
+   * (every query satisfied -> no second scan, round-9 fix: previously the
+   * shortfall qids were collect()ed into an IN-list, a driver bottleneck
+   * and a giant literal plan at flood cardinality). The retry scan reads
+   * only the predicate's survivors, exhaustively — for a predicate
+   * selective enough to starve the probe, that is exactly the cheap scan.
+   * The query set is pinned ONCE up front (round-7 fix: the pruned pass,
+   * the shortfall count, and the retry all read the same materialized
+   * rows), so a non-deterministic query plan — a sample, an unordered
+   * limit — is safe here.
    */
   def filteredAnnAdaptive(
       index: IvfFlatIndex,
@@ -91,15 +94,16 @@ object Similarity {
     // zero-row queries are ABSENT from the result — left join from the
     // query set to count shortfalls, not from the result
     val counts = cached.groupBy("qid").agg(count(lit(1)).as("n"))
-    val short = q.select("qid")
-      .join(counts, Seq("qid"), "left")
-      .filter(coalesce(col("n"), lit(0L)) < k)
-      .select("qid").collect().map(_.getLong(0)).toSeq
-    if (short.isEmpty) cached
-    else cached.filter(!col("qid").isInCollection(short))
+    val shortQ = Dedup.persistOnce(
+      q.join(counts, Seq("qid"), "left")
+        .filter(coalesce(col("n"), lit(0L)) < k)
+        .select("qid", "qvec"))
+    // the persisted shortfall set is tiny by construction (<= one row per
+    // query, usually far fewer) — Spark broadcasts the anti-join side
+    if (shortQ.isEmpty) cached
+    else cached.join(shortQ.select("qid"), Seq("qid"), "left_anti")
       .unionAll(index.searchWhere(
-        q.filter(col("qid").isInCollection(short)),
-        SearchParams(k, index.nlist, Some(metric)), Some(predicate)))
+        shortQ, SearchParams(k, index.nlist, Some(metric)), Some(predicate)))
   }
 
   /** Corpus rows up to which the self-join ships the whole corpus as one
@@ -141,7 +145,10 @@ object Similarity {
     val effMax =
       if (dimHint <= 0) maxRows
       else math.min(maxRows.toLong, maxBytes / (4L * dimHint + 24L)).toInt
-    val rows = vectors.select(col("id"), col("vec")).limit(effMax + 1).collect()
+    // rdd.take, not limit().collect() — a limit plan can never hit the
+    // codegen cache (see IvfFlatIndex.snapshotQueries), so the probe
+    // would recompile on every gate evaluation
+    val rows = vectors.select(col("id"), col("vec")).rdd.take(effMax + 1)
     if (rows.length > effMax) null
     else rows.map(IvfFlatIndex.decodeQueryRow).filter(_._2 != null)
   }

@@ -129,9 +129,11 @@ object StreamingSearch {
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val named = batch.select(col("index"), col("qid"), col("qvec"))
-        // same bounded-snapshot contract as serve(): one limited collect
-        // answers emptiness, grouping, AND the serving input
-        val sample = named.limit(IvfFlatIndex.MaxStaticBatch + 1).collect()
+        // same bounded-snapshot contract as serve(): one limited take
+        // answers emptiness, grouping, AND the serving input (rdd.take:
+        // a limit plan never hits the codegen cache — per-micro-batch
+        // recompiles would tax the serving loop; see snapshotQueries)
+        val sample = named.rdd.take(IvfFlatIndex.MaxStaticBatch + 1)
         if (sample.length > IvfFlatIndex.MaxStaticBatch) {
           // flood: stay distributed, one join-pruned pass per index that
           // actually has queued rows (cheap driver distinct on the names)

@@ -27,13 +27,27 @@ object OneQuery {
       override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         taskMs.addAndGet(s.stageInfo.taskMetrics.executorRunTime)
-        if (sys.env.contains("ONEQUERY_STAGES"))
-          println(f"[stage] ${s.stageInfo.taskMetrics.executorRunTime}%5d ms " +
-            f"tasks=${s.stageInfo.numTasks}%3d ${s.stageInfo.name.takeWhile(_ != '\n').take(90)}")
+        if (sys.env.contains("ONEQUERY_STAGES")) {
+          val m = s.stageInfo.taskMetrics
+          println(f"[stage] ${m.executorRunTime}%5d ms " +
+            f"cpu=${m.executorCpuTime / 1000000}%5d deser=${m.executorDeserializeTime}%5d " +
+            f"serRes=${m.resultSerializationTime}%4d gc=${m.jvmGCTime}%4d " +
+            f"shufR=${m.shuffleReadMetrics.totalBytesRead >> 10}%6dK shufW=${m.shuffleWriteMetrics.bytesWritten >> 10}%6dK " +
+            f"tasks=${s.stageInfo.numTasks}%3d ${s.stageInfo.name.takeWhile(_ != '\n').take(60)}")
+        }
       }
     })
+    // ONEQUERY_CODEGEN_DEBUG: log every codegen cache-miss compilation
+    // (source included, DEBUG level) so per-run recompiles can be diffed.
+    if (sys.env.contains("ONEQUERY_CODEGEN_DEBUG"))
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator",
+        org.apache.logging.log4j.Level.DEBUG)
+    def codegenN: Long =
+      org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
     (1 to iters).foreach { i =>
       jobs.set(0); stages.set(0); taskMs.set(0)
+      val cg0 = codegenN
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
       val t1 = System.nanoTime()
@@ -41,7 +55,8 @@ object OneQuery {
       val t2 = System.nanoTime()
       println(f"[onequery] $name iter$i ${(t2 - t0) / 1e9}%7.3f s " +
         f"(build ${(t1 - t0) / 1e9}%6.3f, exec ${(t2 - t1) / 1e9}%6.3f) rows=$n " +
-        f"jobs=${jobs.get} stages=${stages.get} taskSec=${taskMs.get / 1e3}%.2f")
+        f"jobs=${jobs.get} stages=${stages.get} taskSec=${taskMs.get / 1e3}%.2f " +
+        f"codegen+${codegenN - cg0}")
     }
     if (sys.env.contains("ONEQUERY_METRICS")) {
       val df = fn(spark, sfDir)

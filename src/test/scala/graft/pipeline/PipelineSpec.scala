@@ -300,6 +300,46 @@ class PipelineSpec extends SparkSpec {
       satPruned.collect().map(_.toSeq).sortBy(_.toString))
   }
 
+  test("adaptive filtered ANN retry stays distributed at flood cardinality") {
+    val s = spark
+    import s.implicits._
+    import graft.Metric
+    // two lists: label-0 vectors near the origin, label-1 vectors near
+    // (100,...). Queries split half/half: origin queries probe only list 0
+    // -> starved under label=1 and retried; far queries probe list 1 and
+    // are satisfied. 12k queries total — the r8 verdict's driver-bottleneck
+    // shape (shortfall qids were collect()ed into an IN-list).
+    val rnd = new scala.util.Random(11)
+    val near = (0 until 200).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat), 0))
+    val far = (1000 until 1020).map(i =>
+      (i.toLong, Array.fill(8)(100.0f + rnd.nextGaussian().toFloat), 1))
+    val corpus = (near ++ far).toDF("id", "vec", "label")
+    val cents = IvfFlatIndex.broadcastCentroids(spark,
+      Array(Array.fill(8)(0.0f), Array.fill(8)(100.0f)))
+    val index = new IvfFlatIndex(spark, IvfFlatIndex.assign(corpus, cents), cents, Metric.L2)
+    val flood = ((0 until 6000).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat * 0.1f))) ++
+      (10000 until 16000).map(i =>
+        (i.toLong, Array.fill(8)(100.0f + rnd.nextGaussian().toFloat * 0.1f))))
+    val queries = flood.toDF("qid", "qvec")
+    val res = Similarity.filteredAnnAdaptive(index, queries, col("label") === 1,
+      k = 5, nprobe = 1, metric = Metric.L2)
+    // the retry gate must not materialize qids into a driver-built literal:
+    // a collect()ed shortfall list >10 items optimizes into an INSET node
+    val plan = res.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("INSET"),
+      "shortfall qids were collected into a driver-side IN-list")
+    val got = res.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val exact = Similarity.filteredKnn(queries, corpus, col("label") === 1,
+      k = 5, metric = Metric.L2).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.length === 12000 * 5)
+    assert(got.sortBy(x => (x._1, x._4)) === exact.sortBy(x => (x._1, x._4)),
+      "flood adaptive result must equal the exact filtered top-k")
+  }
+
   test("knn self-join returns k neighbors per vector with no self-matches") {
     val v = vectorsDF(randomVectors(100, 8))
     val cents = IvfFlatIndex.train(spark, v, nlist = 4)

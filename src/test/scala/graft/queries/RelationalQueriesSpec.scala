@@ -38,6 +38,12 @@ class RelationalQueriesSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
   }
 
+  test("running against the documented Spark line (IMPLEMENTATION.md environment pin)") {
+    assert(spark.version.startsWith("4."),
+      s"Spark ${spark.version} is outside the supported 4.x line — " +
+        "re-validate the events.ts read contract and update IMPLEMENTATION.md")
+  }
+
   test("events.ts reads as a supported dtype (TIMESTAMP_NTZ or legacy LONG)") {
     assume(haveData)
     val dt = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
