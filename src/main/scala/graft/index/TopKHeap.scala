@@ -30,9 +30,13 @@ final class TopKHeap(val k: Int) {
   var dists = new Array[Double](cap)
   var ids = new Array[Long](cap)
   var size = 0
-  /** id → dist of the current heap contents (duplicate detection). */
-  private val kept = new java.util.HashMap[java.lang.Long, java.lang.Double](
-    math.min(k, 1 << 16))
+  /** id → dist of the current heap contents (duplicate detection).
+    * Starts small and rehashes as it fills: pre-sizing by k allocated a
+    * k-proportional table even when the producer supplies far fewer
+    * candidates (the rerank-preK flood shape — r9 task metrics), and
+    * the amortized rehash cost on the fill path is noise next to the
+    * per-candidate distance kernel. */
+  private val kept = new java.util.HashMap[java.lang.Long, java.lang.Double](32)
 
   /** (d1, i1) orders strictly after (d2, i2)? */
   @inline private def gt(d1: Double, i1: Long, d2: Double, i2: Long): Boolean =
