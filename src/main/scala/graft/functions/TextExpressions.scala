@@ -34,6 +34,29 @@ object TextKernels {
   /** Modulus of the Poly family (1e9+7, same as [[text.fingerprint]]). */
   val PolyP = 1000000007L
 
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** Space-joined word n-grams over a token array: out(i) = tokens[i..i+n)
+    * joined by ' '; fewer than n tokens -> empty array. A tight loop over
+    * UTF8Strings — the composed-builtin version (transform + slice +
+    * concat_ws) runs Catalyst higher-order functions, which are
+    * INTERPRETED per element (no doGenCode on HigherOrderFunction), and
+    * shingling is the hottest per-token loop in the dedup family. */
+  def wordNgrams(tokens: ArrayData, n: Int): ArrayData = {
+    val cnt = tokens.numElements()
+    if (cnt < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](cnt - n + 1)
+    val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i <= cnt - n) {
+      var j = 0
+      while (j < n) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(Space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Polynomial rolling hash of a UTF8 string's bytes mod 1e9+7. Tokens
     * here are ASCII ([a-z0-9 ]), so byte-wise == character-wise and the
     * oracle's per-character `ascii()` fold reproduces it exactly. */
@@ -156,6 +179,27 @@ object TextKernels {
 
 }
 
+/** Word n-grams of an ARRAY<STRING> token column (codegen'd kernel). */
+case class WordNgrams(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftshims.AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_ngrams"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.wordNgrams(v.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.TextKernels.wordNgrams($v, $n);")
+
+  override protected def withNewChildInternal(c: Expression): WordNgrams =
+    copy(child = c)
+}
+
 /** MinHash signature of an ARRAY<STRING> token column. */
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long,
     family: HashFamily = HashFamily.Xxh64)
@@ -227,10 +271,7 @@ object text {
 
   /** Word n-grams as space-joined strings over a token array. */
   def word_ngrams(tokens: Column, n: Int): Column =
-    when(size(tokens) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), size(tokens) - n),
-        i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+    col(WordNgrams(ex(tokens), n))
 
   def minhash_signature(tokens: Column, numHashes: Int = 64, seed: Long = 42L,
       family: HashFamily = HashFamily.Xxh64): Column =

@@ -1,0 +1,182 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.text
+
+/**
+ * Training-data preparation operators a large-scale LLM pipeline needs on
+ * top of dedup/similarity: sequence packing, reproducible stratified
+ * sampling, eval-set contamination checks, and corpus mixture statistics.
+ *
+ * Reference analog: none — the reference (a vector-search engine) stops at
+ * storage + ANN; these extend the same `documents` surface its pipeline
+ * feeds. Every operator here is one equi-partitioned shuffle (or none) and
+ * every hash is plain modular arithmetic, so results replay bit-identically
+ * in the DuckDB oracle AND across cluster sizes — reproducibility of the
+ * sample/pack decisions is a correctness property for training data, not a
+ * convenience (a re-run must produce the same training set).
+ */
+object TrainingPrep {
+
+  /**
+   * Concatenate-and-chop sequence packing: the standard LLM pretraining
+   * layout — documents are concatenated in a deterministic order and the
+   * stream is chopped into fixed `budget`-token context windows. Each doc
+   * is assigned the sequence its first token lands in, plus its offset
+   * within that sequence.
+   *
+   * Packing is per (source, shard) where `shard = doc_id % shards`: a
+   * running prefix sum is inherently sequential, so at 100 TB one global
+   * window would serialize the corpus through one task. Sharding bounds
+   * each window partition to corpus/(sources*shards) rows — exactly how
+   * production packers shard — at the cost of at most one ragged tail
+   * sequence per (source, shard) group. One shuffle total (the window's
+   * hash partitioning); the sort is per-group, not global.
+   */
+  def packSequences(
+      docs: DataFrame,
+      budget: Int = 256,
+      shards: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(shards > 0, s"shards must be positive: $shards")
+    val w = Window.partitionBy("source", "shard").orderBy(idCol)
+    docs
+      .withColumn("shard", (col(idCol) % shards).cast("int"))
+      .withColumn("n_tokens", text.token_count(col(textCol)).cast("long"))
+      // exclusive prefix sum = this doc's start offset in the group stream
+      .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(
+        col(idCol),
+        col("source"),
+        col("shard"),
+        col("n_tokens"),
+        // integer div/mod: offsets are exact longs, never double-rounded
+        expr(s"start div $budget").as("seq_id"),
+        expr(s"start % $budget").as("seq_offset"))
+  }
+
+  /** Deterministic per-doc hash in [0, 1000): a Lehmer-style LCG step mod
+    * 2^31-1 (a Mersenne prime, full-period multiplier 48271), then mod
+    * 1000. Plain modular arithmetic — replayable anywhere, stable across
+    * partitioning, runs, and engines. */
+  private def permilleBucket(id: Column): Column =
+    ((id * 48271L + 11L) % 2147483647L) % 1000L
+
+  /**
+   * Reproducible stratified sampling: keep a document iff its hash bucket
+   * falls under its stratum's per-mille rate. The decision is a pure
+   * function of (doc_id, lang) — no RNG state, no partition order
+   * dependence — so train/val splits are stable under re-runs, repartition,
+   * and incremental corpus growth (new docs never flip old decisions,
+   * unlike reservoir or fraction-of-partition sampling). Narrow plan: zero
+   * shuffles, filter pushes to the scan.
+   */
+  def sampleStratified(
+      docs: DataFrame,
+      ratesPermille: Map[String, Int],
+      defaultPermille: Int,
+      idCol: String = "doc_id",
+      stratumCol: String = "lang"): DataFrame = {
+    val rate = ratesPermille.foldLeft(lit(defaultPermille)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    docs
+      .withColumn("bucket", permilleBucket(col(idCol)))
+      .filter(col("bucket") < rate)
+      .select(col(idCol), col(stratumCol), col("source"), col("bucket"))
+  }
+
+  /**
+   * Eval-set contamination check: which corpus documents share word
+   * `n`-grams with a held-out eval set? The candidate generator is an
+   * equi-join on the shingle string — never an all-pairs scan — and
+   * shingles with corpus document frequency above `maxDf` are dropped
+   * (boilerplate n-grams match everything and carry no contamination
+   * signal).
+   *
+   * Built around the structural asymmetry of the problem — benchmarks are
+   * KBs, corpora are TBs — so CORPUS SHINGLES NEVER SHUFFLE: eval shingles
+   * broadcast into a first corpus pass (candidates), the distinct matched
+   * shingles (bounded by the eval set's shingle count) broadcast into a
+   * second pass that counts each one's corpus df (the cap only needs df
+   * for shingles that matched), and the df-capped survivors broadcast into
+   * the final aggregation. The one shuffle in the plan is the per-doc
+   * count over the already-tiny contaminated candidate set, so a hot
+   * boilerplate shingle can never produce a skewed join task — it is
+   * counted by map-side-combined partial aggregation and then dropped.
+   *
+   * Returns one row per contaminated corpus doc: the number of distinct
+   * eval docs hit and of distinct shared shingles.
+   */
+  def contamination(
+      corpusDocs: DataFrame,
+      evalDocs: DataFrame,
+      n: Int = 3,
+      maxDf: Int = 5,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def shingles(df: DataFrame, as: String): DataFrame =
+      df.select(
+          col(idCol).as(as),
+          explode(array_distinct(
+            text.word_ngrams(text.tokenize(col(textCol)), n))).as("shingle"))
+    val corpus = shingles(corpusDocs, "doc_id")
+    // pass 1: candidate (corpus doc, eval doc, shingle) triples
+    val cand = Dedup.persistOnce(
+      corpus.join(broadcast(shingles(evalDocs, "eval_id")), "shingle"))
+    // per-doc shingles are distinct, so count(*) per shingle == document
+    // frequency; only matched shingles need a df at all
+    val matched = cand.select("shingle").distinct()
+    // pass 2: corpus df of the matched shingles (map-side combine handles
+    // hot boilerplate keys; the aggregate output is eval-bounded)
+    val rare = corpus
+      .join(broadcast(matched), "shingle")
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("shingle")
+    cand
+      .join(broadcast(rare), "shingle")
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("eval_id")).as("n_eval_docs"),
+        countDistinct(col("shingle")).as("n_shared_shingles"))
+  }
+
+  /**
+   * Corpus mixture statistics per stratum: document/token counts, each
+   * stratum's share of total tokens, and the uniform-target mixture weight
+   * (multiply a doc's sampling probability by its stratum's `mix_weight`
+   * to flatten the token distribution across strata — the standard
+   * rebalancing step before temperature-based mixing). One partial-agg
+   * shuffle on the stratum key; token totals are exact longs, and the two
+   * doubles are each a single division of exact integers, so partial-agg
+   * order can't perturb them.
+   */
+  def corpusStats(
+      docs: DataFrame,
+      stratumCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    val per = docs
+      .groupBy(stratumCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(text.token_count(col(textCol)).cast("long")).as("n_tokens"))
+    val tot = per.agg(
+      sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_strata"))
+    per
+      .crossJoin(broadcast(tot))
+      .select(
+        col(stratumCol),
+        col("n_docs"),
+        col("n_tokens"),
+        (col("n_tokens").cast("double") / col("total_tokens")).as("token_share"),
+        (col("total_tokens").cast("double") / (col("n_strata") * col("n_tokens")))
+          .as("mix_weight"))
+  }
+}

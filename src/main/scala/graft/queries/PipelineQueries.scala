@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.vector
 import graft.index.IvfFlatIndex
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis, TrainingPrep}
 
 /**
  * Driver-contract entries for the LLM-pipeline operators (dedup,
@@ -175,7 +175,39 @@ object PipelineQueries {
       .toDF()
       .orderBy("doc_id")
 
+  /** Concatenate-and-chop packing into 256-token sequences, 4-way
+    * sharded per source (TrainingPrep.packSequences). */
+  private def seqPack(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.packSequences(docs(spark, dir), budget = 256, shards = 4)
+      .orderBy("doc_id")
+
+  /** Deterministic stratified sampling: en kept at 12%, everything else
+    * at 35% — the flatten-the-head shape of corpus rebalancing. */
+  private def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.sampleStratified(
+      docs(spark, dir), Map("en" -> 120), defaultPermille = 350)
+      .orderBy("doc_id")
+
+  /** Eval-set contamination: docs sharing a rare (df<=5) word 3-gram with
+    * the doc_id % 50 == 0 held-out slice. */
+  private def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TrainingPrep.contamination(
+      d.filter(col("doc_id") % 50 =!= 0),
+      d.filter(col("doc_id") % 50 === 0),
+      n = 3, maxDf = 5)
+      .orderBy("doc_id")
+  }
+
+  /** Per-language corpus mixture stats + uniform-target reweighting. */
+  private def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.corpusStats(docs(spark, dir)).orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "seq_pack" -> (seqPack _),
+    "sample_stratified" -> (sampleStratified _),
+    "contamination" -> (contamination _),
+    "corpus_stats" -> (corpusStats _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "text_analysis" -> (textAnalysis _),
@@ -203,6 +235,49 @@ object PipelineQueries {
     stop(lang).map(w => s"'$w'").mkString("[", ",", "]")
 
   val oracleSql: Map[String, String] = Map(
+    "seq_pack" ->
+      """WITH t AS (SELECT doc_id, source, CAST(doc_id % 4 AS INT) AS shard,
+        |  CAST(len(regexp_extract_all(lower(text),'[a-z0-9]+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source, shard
+        |        ORDER BY doc_id) - n_tokens AS start FROM t)
+        |SELECT doc_id, source, shard, n_tokens,
+        |  start // 256 AS seq_id, start % 256 AS seq_offset
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source,
+        |  ((doc_id * 48271 + 11) % 2147483647) % 1000 AS bucket
+        |FROM documents
+        |WHERE ((doc_id * 48271 + 11) % 2147483647) % 1000
+        |      < CASE WHEN lang = 'en' THEN 120 ELSE 350 END
+        |ORDER BY doc_id""".stripMargin,
+    "contamination" ->
+      """WITH t0 AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS toks
+        |            FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-1),
+        |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle
+        |       FROM t0),
+        |corpus AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+        |rare AS (SELECT shingle FROM corpus GROUP BY shingle
+        |         HAVING count(DISTINCT doc_id) <= 5),
+        |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 50 = 0)
+        |SELECT c.doc_id,
+        |  count(DISTINCT e.eval_id) AS n_eval_docs,
+        |  count(DISTINCT c.shingle) AS n_shared_shingles
+        |FROM corpus c JOIN rare r ON c.shingle = r.shingle
+        |              JOIN ev e ON c.shingle = e.shingle
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "corpus_stats" ->
+      """WITH per AS (SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CAST(len(regexp_extract_all(lower(text),'[a-z0-9]+')) AS BIGINT))
+        |    AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |               count(*) AS n_strata FROM per)
+        |SELECT lang, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
+        |  CAST(total_tokens AS DOUBLE) / (n_strata * n_tokens) AS mix_weight
+        |FROM per, tot ORDER BY lang""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count, text
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

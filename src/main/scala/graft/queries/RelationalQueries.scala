@@ -89,15 +89,18 @@ object RelationalQueries {
    * engines compare the same value. value is an arbitrary double -> summed
    * as floor() cents.
    */
+  /** Hour bucket of events.ts under either read dtype (see eventsWithTs). */
+  private def hourBucket(tsIsLong: Boolean): Column =
+    if (tsIsLong)
+      // integer div: `/` on LONGs is DOUBLE division, and nanosecond epochs
+      // exceed 2^53 — a double round-trip mis-buckets events near boundaries
+      timestamp_seconds(expr("ts div 3600000000000") * 3600)
+    else
+      date_trunc("hour", col("ts"))
+
   private def eventsHourly(spark: SparkSession, dir: String): DataFrame = {
     val (ev, tsIsLong) = eventsWithTs(spark, dir)
-    val hourTs: Column =
-      if (tsIsLong)
-        // integer div: `/` on LONGs is DOUBLE division, and nanosecond epochs
-        // exceed 2^53 — a double round-trip mis-buckets events near boundaries
-        timestamp_seconds(expr("ts div 3600000000000") * 3600)
-      else
-        date_trunc("hour", col("ts"))
+    val hourTs: Column = hourBucket(tsIsLong)
     ev
       .withColumn("hour", date_format(hourTs, "yyyy-MM-dd HH:mm:ss"))
       .groupBy("hour", "event_type")
@@ -172,12 +175,15 @@ object RelationalQueries {
     * Spark `percentile` and DuckDB `quantile_cont` share the
     * interpolation, so doubles match bitwise on sorted exact values. */
   private def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
-    val (ev, _) = eventsWithTs(spark, dir)
+    val (ev, tsIsLong) = eventsWithTs(spark, dir)
     ev
       .groupBy("event_type")
       .agg(
         expr("percentile(value, 0.5)").as("p50"),
         expr("percentile(value, 0.95)").as("p95"),
+        // touches the ts read path so a Spark dtype change breaks THIS
+        // oracle row too, not just the events_hourly/q_sessions pair
+        countDistinct(hourBucket(tsIsLong)).as("n_hours"),
         count(lit(1)).as("n"))
       .orderBy("event_type")
   }
@@ -199,6 +205,7 @@ object RelationalQueries {
       """SELECT event_type,
         |  quantile_cont(value, 0.5) AS p50,
         |  quantile_cont(value, 0.95) AS p95,
+        |  count(DISTINCT date_trunc('hour', ts)) AS n_hours,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_distinct" ->

@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TrainingPrepSpec extends SparkSpec {
+
+  private lazy val docs = {
+    val s = spark
+    import s.implicits._
+    // (doc_id, text, lang, source): token counts 4 / 3 / 2 / 5 / 3 / 1
+    Seq(
+      (0L, "alpha beta gamma delta", "en", "srcA"),
+      (1L, "epsilon zeta eta", "en", "srcA"),
+      (2L, "theta iota", "de", "srcA"),
+      (3L, "kappa lambda mu nu xi", "de", "srcB"),
+      (4L, "omicron pi rho", "en", "srcB"),
+      (5L, "sigma", "zh", "srcB"))
+      .toDF("doc_id", "text", "lang", "source")
+  }
+
+  test("packSequences chops the per-shard stream at exact token offsets") {
+    // shards=1 so each source is one stream; budget 5 forces mid-stream cuts
+    val out = TrainingPrep.packSequences(docs, budget = 5, shards = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // srcA stream: doc0 tokens 4 (start 0), doc1 tokens 3 (start 4),
+    //              doc2 tokens 2 (start 7)
+    // srcB stream: doc3 tokens 5 (start 0), doc4 tokens 3 (start 5),
+    //              doc5 tokens 1 (start 8)
+    assert(out === Array(
+      (0L, 4L, 0L, 0L), (1L, 3L, 0L, 4L), (2L, 2L, 1L, 2L),
+      (3L, 5L, 0L, 0L), (4L, 3L, 1L, 0L), (5L, 1L, 1L, 3L)))
+  }
+
+  test("packSequences shard boundaries never mix documents across shards") {
+    val out = TrainingPrep.packSequences(docs, budget = 5, shards = 2)
+      .select("doc_id", "shard").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(out === Map(0L -> 0, 1L -> 1, 2L -> 0, 3L -> 1, 4L -> 0, 5L -> 1))
+  }
+
+  test("sampleStratified is a pure function of (id, stratum) with per-stratum rates") {
+    def bucket(id: Long): Long = ((id * 48271L + 11L) % 2147483647L) % 1000L
+    val kept = TrainingPrep.sampleStratified(
+      docs, Map("en" -> 1000, "de" -> 0), defaultPermille = 500)
+      .collect().map(_.getLong(0)).toSet
+    val expected = docs.collect().flatMap { r =>
+      val (id, lang) = (r.getLong(0), r.getString(2))
+      val rate = lang match { case "en" => 1000L; case "de" => 0L; case _ => 500L }
+      if (bucket(id) < rate) Some(id) else None
+    }.toSet
+    assert(kept === expected)
+    assert(Set(0L, 1L, 4L).subsetOf(kept)) // rate 1000 keeps every en doc
+    assert(!kept.contains(2L) && !kept.contains(3L)) // rate 0 drops every de doc
+    // repartitioning must not change the sample (determinism contract)
+    val kept2 = TrainingPrep.sampleStratified(
+      docs.repartition(7), Map("en" -> 1000, "de" -> 0), defaultPermille = 500)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 === kept)
+  }
+
+  test("contamination finds shared rare n-grams and caps boilerplate by df") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (10L, "one two three four five"), // shares "two three four" with eval
+      (11L, "alpha beta gamma delta"), // no overlap
+      (12L, "two three four again here")) // also shares it
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val eval = Seq((90L, "two three four and more"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val hits = TrainingPrep.contamination(corpus, eval, n = 3, maxDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hits === Set((10L, 1L, 1L), (12L, 1L, 1L)))
+    // maxDf = 1: the shared shingle appears in 2 corpus docs -> dropped
+    val capped = TrainingPrep.contamination(corpus, eval, n = 3, maxDf = 1).count()
+    assert(capped === 0L)
+  }
+
+  test("corpusStats token shares sum to 1 and mix_weight flattens strata") {
+    val rows = TrainingPrep.corpusStats(docs).orderBy("lang").collect()
+    // en: docs 0,1,4 = 4+3+3 = 10 tokens; de: 2+5 = 7; zh: 1. total 18
+    val byLang = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(byLang("en")._1 === 3L && byLang("en")._2 === 10L)
+    assert(byLang("de")._2 === 7L && byLang("zh")._2 === 1L)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-12)
+    assert(byLang("en")._3 === 10.0 / 18.0)
+    // uniform target: weight = total / (n_strata * n_tokens)
+    assert(byLang("zh")._4 === 18.0 / (3.0 * 1.0))
+    // weighted shares are uniform: share * weight = 1 / n_strata
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3) * r.getDouble(4) - 1.0 / 3.0) < 1e-12)
+    }
+  }
+}
