@@ -148,6 +148,86 @@ object TrainingPrep {
   }
 
   /**
+   * Sliding-window document chunking for embedding/training pipelines:
+   * token windows of `window` tokens advancing by `stride` (overlap =
+   * window − stride), the standard long-document split before an embedding
+   * model. Chunk k starts at token k·stride; the chunk count covers every
+   * token (a final ragged chunk when the last window runs past the end;
+   * one empty chunk for an empty doc, so no doc silently disappears).
+   *
+   * Entirely codegen'd builtins (sequence/explode/slice/array_join) —
+   * no higher-order functions, no UDFs — and the plan is NARROW: chunking
+   * is per-row fan-out, zero shuffles, so it composes with any downstream
+   * partitioning at any corpus size.
+   */
+  def chunkDocuments(
+      docs: DataFrame,
+      window: Int = 64,
+      stride: Int = 48,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window: window=$window stride=$stride")
+    docs
+      .withColumn("toks", text.tokenize(col(textCol)))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("n") <= window, lit(1L))
+          .otherwise(expr(s"(n - $window + ${stride - 1}) div $stride") + 1L))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("n_chunks") - 1L)))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .select(
+        col(idCol),
+        col("chunk_id"),
+        col("start_tok"),
+        least(lit(window.toLong), col("n") - col("start_tok")).as("n_tok"),
+        array_join(slice(col("toks"), col("start_tok") + 1, lit(window)), " ")
+          .as("chunk_text"))
+  }
+
+  /**
+   * Deterministic corpus shuffle: a global pseudo-random training order
+   * that is a pure function of doc_id (same Lehmer step as
+   * [[sampleStratified]], full 31-bit value), so the order is reproducible
+   * across runs, engines, and cluster sizes — "shuffle the corpus" without
+   * an RNG state anyone has to checkpoint. Ties break by doc_id, so the
+   * order is total.
+   *
+   * The global position is computed WITHOUT a global-window funnel (a
+   * `row_number() over (order by …)` with no partition drags the whole
+   * corpus through one task): the key space is range-bucketed, each
+   * bucket numbers its rows in parallel, and a broadcast offset table
+   * (≤ `buckets` rows — the one tiny global window) shifts each bucket
+   * to its global base. The key is uniform by construction, so buckets
+   * are balanced without sampling.
+   */
+  def shuffleCorpus(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    // keys are uniform in [0, 2^31-1); fixed-width range buckets keep
+    // bucket order == key order, which makes offsets well-defined
+    val width = (2147483647L + buckets - 1) / buckets
+    val keyed = docs
+      .withColumn("shuffle_key", (col(idCol) * 48271L + 11L) % 2147483647L)
+      .withColumn("bkt", expr(s"shuffle_key div $width"))
+    val wIn = Window.partitionBy("bkt").orderBy(col("shuffle_key"), col(idCol))
+    val offsets = keyed
+      .groupBy("bkt").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        sum(col("cnt")).over(Window.orderBy("bkt")) - col("cnt"))
+      .select("bkt", "offset")
+    keyed
+      .withColumn("rn", row_number().over(wIn).cast("long"))
+      .join(broadcast(offsets), "bkt")
+      .select(
+        col(idCol),
+        col("shuffle_key"),
+        (col("offset") + col("rn")).as("position"))
+  }
+
+  /**
    * Corpus mixture statistics per stratum: document/token counts, each
    * stratum's share of total tokens, and the uniform-target mixture weight
    * (multiply a doc's sampling probability by its stratum's `mix_weight`

@@ -203,7 +203,18 @@ object PipelineQueries {
   private def corpusStats(spark: SparkSession, dir: String): DataFrame =
     TrainingPrep.corpusStats(docs(spark, dir)).orderBy("lang")
 
+  /** Sliding 64-token windows at stride 48 (TrainingPrep.chunkDocuments). */
+  private def docChunks(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.chunkDocuments(docs(spark, dir), window = 64, stride = 48)
+      .orderBy("doc_id", "chunk_id")
+
+  /** Reproducible global training order (TrainingPrep.shuffleCorpus). */
+  private def corpusShuffle(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.shuffleCorpus(docs(spark, dir)).orderBy("position")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_chunks" -> (docChunks _),
+    "corpus_shuffle" -> (corpusShuffle _),
     "seq_pack" -> (seqPack _),
     "sample_stratified" -> (sampleStratified _),
     "contamination" -> (contamination _),
@@ -235,6 +246,25 @@ object PipelineQueries {
     stop(lang).map(w => s"'$w'").mkString("[", ",", "]")
 
   val oracleSql: Map[String, String] = Map(
+    "doc_chunks" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS toks
+        |           FROM documents),
+        |k AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+        |        CASE WHEN len(toks) <= 64 THEN CAST(1 AS BIGINT)
+        |             ELSE (CAST(len(toks) AS BIGINT) - 64 + 47) // 48 + 1 END AS nk
+        |      FROM t),
+        |c AS (SELECT doc_id, toks, n, unnest(range(0, nk)) AS chunk_id FROM k)
+        |SELECT doc_id, chunk_id, chunk_id * 48 AS start_tok,
+        |  least(64, n - chunk_id * 48) AS n_tok,
+        |  array_to_string(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')
+        |    AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "corpus_shuffle" ->
+      """SELECT doc_id,
+        |  (doc_id * 48271 + 11) % 2147483647 AS shuffle_key,
+        |  CAST(row_number() OVER (ORDER BY (doc_id * 48271 + 11) % 2147483647, doc_id)
+        |    AS BIGINT) AS position
+        |FROM documents ORDER BY position""".stripMargin,
     "seq_pack" ->
       """WITH t AS (SELECT doc_id, source, CAST(doc_id % 4 AS INT) AS shard,
         |  CAST(len(regexp_extract_all(lower(text),'[a-z0-9]+')) AS BIGINT) AS n_tokens

@@ -79,6 +79,48 @@ class TrainingPrepSpec extends SparkSpec {
     assert(capped === 0L)
   }
 
+  test("chunkDocuments covers every token with sliding ragged-tail windows") {
+    val s = spark
+    import s.implicits._
+    // 10 tokens, window 4, stride 3 -> starts 0,3,6 (the start-6 window
+    // reaches the last token, so no redundant trailing chunk)
+    val d = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2L, "a b"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TrainingPrep.chunkDocuments(d, window = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out === Array(
+      (1L, 0L, 0L, 4L, "t0 t1 t2 t3"),
+      (1L, 1L, 3L, 4L, "t3 t4 t5 t6"),
+      (1L, 2L, 6L, 4L, "t6 t7 t8 t9"),
+      (2L, 0L, 0L, 2L, "a b"), // short doc: one whole-doc chunk
+      (3L, 0L, 0L, 0L, ""))) // empty doc: one empty chunk, never dropped
+    // stride == window -> disjoint cover, token counts sum to doc length
+    val cover = TrainingPrep.chunkDocuments(d, window = 4, stride = 4)
+      .groupBy("doc_id").sum("n_tok").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cover === Map(1L -> 10L, 2L -> 2L, 3L -> 0L))
+  }
+
+  test("shuffleCorpus is a reproducible total order independent of bucketing") {
+    val s = spark
+    import s.implicits._
+    val d = (0L until 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pos = TrainingPrep.shuffleCorpus(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // positions are exactly 1..N (offset arithmetic has no gaps/overlaps)
+    assert(pos.values.toSeq.sorted === (1L to 500L))
+    // bucketing is an implementation detail: any bucket count, same order
+    val pos2 = TrainingPrep.shuffleCorpus(d, buckets = 7).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(pos2 === pos)
+    // matches the definition: sort by (lehmer(id), id)
+    val expected = (0L until 500L)
+      .sortBy(i => ((i * 48271L + 11L) % 2147483647L, i))
+      .zipWithIndex.map { case (id, p) => id -> (p + 1L) }.toMap
+    assert(pos === expected)
+  }
+
   test("corpusStats token shares sum to 1 and mix_weight flattens strata") {
     val rows = TrainingPrep.corpusStats(docs).orderBy("lang").collect()
     // en: docs 0,1,4 = 4+3+3 = 10 tokens; de: 2+5 = 7; zh: 1. total 18
