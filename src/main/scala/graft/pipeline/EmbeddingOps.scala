@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Embedding-column utilities for training-data pipelines. The reference
+ * stores raw fp32 vectors only (format/storage.cpp — flat float pages);
+ * int8 quantization is the standard 4x storage/bandwidth saver bolted on
+ * here as pipeline-extension surface.
+ *
+ * Everything is per-row array arithmetic over codegen'd higher-order
+ * functions — zero shuffle, scales linearly with the scan. The arithmetic
+ * is restricted to operations that are bit-reproducible across engines
+ * (float->double promotion, double multiply, floor), so the DuckDB oracle
+ * can replay it exactly; round() is avoided because half-way tie rules
+ * differ across engines.
+ */
+object EmbeddingOps {
+
+  /** Symmetric per-vector int8 quantization: scale = 127/max|x|,
+    * code_i = floor(x_i * scale). Codes land in [-128, 127] (floor of a
+    * value in [-127, 127] can reach -128 only when max|x| is the unique
+    * negative extreme; the decoder divides by the same scale, so range
+    * asymmetry is harmless). */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = lit(127.0) / array_max(transform(vec, v => abs(v.cast("double"))))
+    transform(vec, v => floor(v.cast("double") * scale).cast("long"))
+  }
+
+  /**
+   * Quantization summary per vector: the scale (as floor(scale*1e6) so
+   * the oracle compares an exact integer) and exact-integer stats of the
+   * code distribution. `sum_codes` near 0 and `min/max` pinned at the
+   * int8 edges are the standard sanity probes for a symmetric quantizer.
+   */
+  def quantizeStats(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val x = col(vecCol)
+    val scale = lit(127.0) / array_max(transform(x, v => abs(v.cast("double"))))
+    val codes = transform(x, v => floor(v.cast("double") * scale).cast("long"))
+    emb.select(
+      col("vec_id"),
+      col("label"),
+      floor(scale * 1e6).cast("long").as("scale_m"),
+      aggregate(codes, lit(0L), (acc, c) => acc + c).as("sum_codes"),
+      array_min(codes).as("min_code"),
+      array_max(codes).as("max_code"))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.text
+
+/**
+ * Repetition-based quality filtering and keyword extraction — the
+ * Gopher-rules family of cheap corpus filters (Rae et al. 2021, "Scaling
+ * Language Models", table A1) re-expressed as Catalyst plans. The
+ * reference engine has no text surface; these are pipeline-extension
+ * operators over the `documents` table.
+ *
+ * Scale shape: every metric is either a per-row array expression (zero
+ * shuffle) or an explode -> two-stage aggregation (partial map-side agg,
+ * one shuffle on (doc_id, term), one on doc_id) — both the canonical
+ * 100 TB-safe forms. Nothing collects to the driver; corpus-wide stats
+ * (N, df) travel as 1-row / vocab-sized broadcast joins.
+ */
+object QualityFilters {
+
+  /** Thresholds for the keep/drop verdict — the Gopher values adapted to
+    * word-level metrics (no newlines in this corpus, so the line-based
+    * rules degenerate and are omitted). */
+  val MaxTopUnigramFrac = 0.10
+  val MaxTopBigramFrac = 0.08
+  val MinDistinctRatio = 0.40
+
+  /**
+   * Per-document repetition metrics:
+   *  - `distinct_ratio`  — type/token ratio, a per-row array expression;
+   *  - `top_unigram_frac` — share of the most frequent token;
+   *  - `top_bigram_frac`  — share of the most frequent word bigram;
+   *  - `rep_ok`           — conjunction of the thresholds above.
+   * Documents with fewer than 2 tokens get bigram frac 0 (no bigrams).
+   */
+  def repetitionMetrics(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs.select(
+      col(idCol),
+      text.tokenize(col(textCol)).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+
+    def topCount(grams: Column, out: String): DataFrame = base
+      .select(col(idCol), explode(grams).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol)).agg(max("cnt").as(out))
+    val uni = topCount(base("toks"), "top_uni")
+    val bi = topCount(text.word_ngrams(base("toks"), 2), "top_bi")
+
+    def ratio(num: Column, denom: Column): Column =
+      when(denom > 0, num.cast("double") / denom.cast("double")).otherwise(0.0)
+
+    base
+      .join(uni, Seq(idCol), "left")
+      .join(bi, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        col("n_distinct"),
+        ratio(col("n_distinct"), col("n_tokens")).as("distinct_ratio"),
+        ratio(coalesce(col("top_uni"), lit(0L)), col("n_tokens"))
+          .as("top_unigram_frac"),
+        ratio(coalesce(col("top_bi"), lit(0L)), col("n_tokens") - 1)
+          .as("top_bigram_frac"))
+      .withColumn("rep_ok",
+        col("distinct_ratio") >= MinDistinctRatio &&
+          col("top_unigram_frac") <= MaxTopUnigramFrac &&
+          col("top_bigram_frac") <= MaxTopBigramFrac)
+  }
+
+  /**
+   * Top-k keywords per document by a tf-rarity score with EXACT integer
+   * arithmetic: `score = cnt * (N - df)` where `cnt` is the in-doc term
+   * count, `N` the corpus size and `df` the term's document frequency.
+   * Rank-equivalent to tf-idf with the rational surrogate idf (N-df)/N
+   * (both factors are monotone the same way), and — unlike ln(N/df) —
+   * bit-reproducible across engines, so the oracle can replay it.
+   *
+   * Ties rank deterministically by term string ascending. `N` travels as
+   * a 1-row cross join (broadcast by AQE), `df` as an equi-join on term —
+   * vocab-sized, broadcast in practice.
+   */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val terms = docs
+      .select(col(idCol), explode(text.tokenize(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("cnt"))
+
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val df = terms.groupBy("term").agg(count(lit(1)).as("df"))
+
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("score").desc, col("term").asc)
+    terms
+      .join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("cnt") * (col("n_docs") - col("df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("cnt"), col("df"),
+        col("score"))
+  }
+}

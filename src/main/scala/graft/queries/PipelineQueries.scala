@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.vector
 import graft.index.IvfFlatIndex
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis, TrainingPrep}
+import graft.pipeline.{Dedup, EmbeddingOps, Multimodal, QualityFilters, Similarity, TextAnalysis, TrainingPrep}
 
 /**
  * Driver-contract entries for the LLM-pipeline operators (dedup,
@@ -212,7 +212,23 @@ object PipelineQueries {
   private def corpusShuffle(spark: SparkSession, dir: String): DataFrame =
     TrainingPrep.shuffleCorpus(docs(spark, dir)).orderBy("position")
 
+  /** Gopher-style repetition metrics per document (QualityFilters). */
+  private def qualityRepetition(spark: SparkSession, dir: String): DataFrame =
+    QualityFilters.repetitionMetrics(docs(spark, dir)).orderBy("doc_id")
+
+  /** Top-3 keywords per doc by the exact-integer tf-rarity score. */
+  private def tfidfKeywords(spark: SparkSession, dir: String): DataFrame =
+    QualityFilters.tfidfKeywords(docs(spark, dir), k = 3)
+      .orderBy("doc_id", "rank")
+
+  /** Symmetric int8 quantization summary per embedding (EmbeddingOps). */
+  private def embedQuantize(spark: SparkSession, dir: String): DataFrame =
+    EmbeddingOps.quantizeStats(emb(spark, dir)).orderBy("vec_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_repetition" -> (qualityRepetition _),
+    "tfidf_keywords" -> (tfidfKeywords _),
+    "embed_quantize" -> (embedQuantize _),
     "doc_chunks" -> (docChunks _),
     "corpus_shuffle" -> (corpusShuffle _),
     "seq_pack" -> (seqPack _),
@@ -246,6 +262,59 @@ object PipelineQueries {
     stop(lang).map(w => s"'$w'").mkString("[", ",", "]")
 
   val oracleSql: Map[String, String] = Map(
+    "quality_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS toks
+        |           FROM documents),
+        |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct FROM t),
+        |uc AS (SELECT doc_id, g, count(*) AS cnt FROM
+        |        (SELECT doc_id, unnest(toks) AS g FROM t) GROUP BY doc_id, g),
+        |u AS (SELECT doc_id, max(cnt) AS top_uni FROM uc GROUP BY doc_id),
+        |bc AS (SELECT doc_id, g, count(*) AS cnt FROM
+        |        (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |           i -> concat_ws(' ', toks[i], toks[i+1]))) AS g FROM t)
+        |       GROUP BY doc_id, g),
+        |b AS (SELECT doc_id, max(cnt) AS top_bi FROM bc GROUP BY doc_id),
+        |m AS (SELECT base.doc_id, n_tokens, n_distinct,
+        |  CASE WHEN n_tokens > 0
+        |       THEN CAST(n_distinct AS DOUBLE) / n_tokens ELSE 0.0 END AS distinct_ratio,
+        |  CASE WHEN n_tokens > 0
+        |       THEN CAST(coalesce(top_uni, 0) AS DOUBLE) / n_tokens ELSE 0.0 END
+        |    AS top_unigram_frac,
+        |  CASE WHEN n_tokens - 1 > 0
+        |       THEN CAST(coalesce(top_bi, 0) AS DOUBLE) / (n_tokens - 1) ELSE 0.0 END
+        |    AS top_bigram_frac
+        |  FROM base LEFT JOIN u ON base.doc_id = u.doc_id
+        |            LEFT JOIN b ON base.doc_id = b.doc_id)
+        |SELECT *, distinct_ratio >= 0.40 AND top_unigram_frac <= 0.10
+        |          AND top_bigram_frac <= 0.08 AS rep_ok
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "tfidf_keywords" ->
+      """WITH terms AS (SELECT doc_id, g AS term, count(*) AS cnt FROM
+        |   (SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS g
+        |    FROM documents) GROUP BY doc_id, g),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |df AS (SELECT term, count(*) AS df FROM terms GROUP BY term),
+        |s AS (SELECT t.doc_id, t.term, t.cnt, df.df,
+        |        t.cnt * (n.n_docs - df.df) AS score,
+        |        CAST(row_number() OVER (PARTITION BY t.doc_id
+        |          ORDER BY t.cnt * (n.n_docs - df.df) DESC, t.term ASC) AS INT) AS rank
+        |      FROM terms t JOIN df USING(term) CROSS JOIN n)
+        |SELECT doc_id, rank, term, cnt, df, score FROM s
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "embed_quantize" ->
+      """WITH q AS (SELECT vec_id, label,
+        |    127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |      AS scale, embedding FROM embeddings)
+        |SELECT vec_id, label,
+        |  CAST(floor(scale * 1000000.0) AS BIGINT) AS scale_m,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> floor(CAST(x AS DOUBLE) * scale))) AS BIGINT) AS sum_codes,
+        |  CAST(list_min(list_transform(embedding,
+        |    x -> floor(CAST(x AS DOUBLE) * scale))) AS BIGINT) AS min_code,
+        |  CAST(list_max(list_transform(embedding,
+        |    x -> floor(CAST(x AS DOUBLE) * scale))) AS BIGINT) AS max_code
+        |FROM q ORDER BY vec_id""".stripMargin,
     "doc_chunks" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS toks
         |           FROM documents),

@@ -188,7 +188,54 @@ object RelationalQueries {
       .orderBy("event_type")
   }
 
+  /**
+   * As-of join: every purchase picks up the user's most recent click at or
+   * before it ([[graft.operators.AsOfJoin]] — one shuffle on user_id).
+   * Timestamps are emitted as epoch micros so both engines compare exact
+   * integers under either read dtype.
+   */
+  private def eventsAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val (ev, tsIsLong) = eventsWithTs(spark, dir)
+    def toUs(c: String): Column =
+      if (tsIsLong) expr(s"$c div 1000")
+      else unix_micros(col(c).cast("timestamp"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("c_eid"), col("value").as("c_value"))
+    graft.operators.AsOfJoin
+      .backward(purchases, clicks, Seq("user_id"), "ts", "ts",
+        rightPayload = Map("ts" -> "click_ts", "c_value" -> "click_value"),
+        rightTieBreak = Seq("c_eid"))
+      .select(
+        col("event_id"), col("user_id"),
+        toUs("ts").as("ts_us"),
+        col("value").as("purchase_value"),
+        toUs("click_ts").as("click_ts_us"),
+        col("click_value"))
+      .withColumn("lag_us", col("ts_us") - col("click_ts_us"))
+      .orderBy("event_id")
+  }
+
+  /** Semi-structured extraction: parse the JSON props payload and roll the
+    * extracted integer up per event type — all exact-integer outputs. */
+  private def eventsJson(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_asof" -> (eventsAsOf _),
+    "events_json" -> (eventsJson _),
     "q_percentiles" -> (qPercentiles _),
     "q_distinct" -> (qDistinct _),
     "q1_agg" -> (q1Agg _),
@@ -201,6 +248,22 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "events_asof" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |  p.value AS purchase_value, epoch_us(c.ts) AS click_ts_us,
+        |  c.value AS click_value, epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "events_json" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+        |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+        |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+        |  count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS n_distinct_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_percentiles" ->
       """SELECT event_type,
         |  quantile_cont(value, 0.5) AS p50,

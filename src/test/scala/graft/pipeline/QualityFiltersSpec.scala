@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class QualityFiltersSpec extends SparkSpec {
+
+  private lazy val docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      // 20 distinct tokens -> every fraction under its threshold
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      // "spam spam spam spam" -> top unigram 4/4, top bigram 3/3
+      (1L, "spam spam spam spam"),
+      // single token: no bigrams at all
+      (2L, "lonely"),
+      // empty text: zero tokens, all ratios 0, never divides by zero
+      (3L, ""))
+      .toDF("doc_id", "text")
+  }
+
+  test("repetitionMetrics computes exact fractions and flags repetition") {
+    val m = QualityFilters.repetitionMetrics(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    assert(m(0) === ((0L, 20L, 20L, 1.0, 1.0 / 20, 1.0 / 19, true)))
+    assert(m(1) === ((1L, 4L, 1L, 0.25, 1.0, 1.0, false)))
+    assert(m(2) === ((2L, 1L, 1L, 1.0, 1.0, 0.0, false))) // top_uni 1/1 trips
+    assert(m(3) === ((3L, 0L, 0L, 0.0, 0.0, 0.0, false)))
+  }
+
+  test("tfidfKeywords ranks by exact score with term-ascending ties") {
+    val s = spark
+    import s.implicits._
+    // corpus of 3 docs: "rare" appears in 1 doc, "common" in all 3
+    val d = Seq(
+      (0L, "common rare rare"),
+      (1L, "common common other"),
+      (2L, "common other")).toDF("doc_id", "text")
+    val out = QualityFilters.tfidfKeywords(d, k = 2).orderBy("doc_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(5)))
+    // doc0: rare cnt=2 df=1 -> 2*(3-1)=4; common cnt=1 df=3 -> 0
+    assert(out(0) === ((0L, 1, "rare", 4L)))
+    assert(out(1) === ((0L, 2, "common", 0L)))
+    // doc1: other cnt=1 df=2 -> 1; common cnt=2 df=3 -> 0
+    assert(out(2) === ((1L, 1, "other", 1L)))
+    assert(out(3) === ((1L, 2, "common", 0L)))
+    // doc2: both score equal? other=1*(3-2)=1, common=1*0=0
+    assert(out(4) === ((2L, 1, "other", 1L)))
+    assert(out(5) === ((2L, 2, "common", 0L)))
+  }
+
+  test("quantizeStats pins codes to the int8 envelope") {
+    val s = spark
+    import s.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, -0.5f, 0.25f), 7),
+      (1L, Array(-2.0f, 1.0f, 0.0f), 8))
+      .toDF("vec_id", "embedding", "label")
+    val out = EmbeddingOps.quantizeStats(e).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    // vec0: scale=127, codes = floor(127), floor(-63.5), floor(31.75)
+    assert(out(0) === ((0L, 127000000L, 127L - 64L + 31L, -64L, 127L)))
+    // vec1: scale=63.5, codes = floor(-127)= -127, floor(63.5)=63, 0
+    assert(out(1) === ((1L, 63500000L, -127L + 63L + 0L, -127L, 63L)))
+  }
+
+  test("every code stays within [-128, 127] on real-shaped vectors") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(16)(j =>
+        math.sin(i * 17 + j * 3).toFloat * (1 + i % 5)), i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val out = EmbeddingOps.quantizeStats(vecs).collect()
+    out.foreach { r =>
+      assert(r.getLong(4) >= -128 && r.getLong(5) <= 127,
+        s"codes out of int8 range for vec ${r.getLong(0)}")
+    }
+  }
+}
