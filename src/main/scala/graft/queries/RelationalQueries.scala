@@ -194,11 +194,14 @@ object RelationalQueries {
    * Timestamps are emitted as epoch micros so both engines compare exact
    * integers under either read dtype.
    */
+  /** Epoch-micros projection of a ts column under either read dtype. */
+  private def tsUs(tsIsLong: Boolean)(c: String): Column =
+    if (tsIsLong) expr(s"$c div 1000")
+    else unix_micros(col(c).cast("timestamp"))
+
   private def eventsAsOf(spark: SparkSession, dir: String): DataFrame = {
     val (ev, tsIsLong) = eventsWithTs(spark, dir)
-    def toUs(c: String): Column =
-      if (tsIsLong) expr(s"$c div 1000")
-      else unix_micros(col(c).cast("timestamp"))
+    val toUs = tsUs(tsIsLong) _
     val purchases = ev.filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "ts", "value")
     val clicks = ev.filter(col("event_type") === "click")
@@ -215,6 +218,33 @@ object RelationalQueries {
         toUs("click_ts").as("click_ts_us"),
         col("click_value"))
       .withColumn("lag_us", col("ts_us") - col("click_ts_us"))
+      .orderBy("event_id")
+  }
+
+  /**
+   * Band join: clicks within ±5 minutes of each error event by the same
+   * user ([[graft.operators.RangeJoin]] — binned equi-join, shuffle volume
+   * 3|errors| + |clicks| instead of a per-user nested loop). Errors with
+   * no nearby click survive with zero counts via the join-back.
+   */
+  private def eventsRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (ev, tsIsLong) = eventsWithTs(spark, dir)
+    val base = ev.withColumn("ts_us", tsUs(tsIsLong)("ts"))
+    val errors = base.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts_us")
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("value").as("c_value"))
+    val pairs = graft.operators.RangeJoin.band(
+      errors, clicks, Seq("user_id"), "ts_us", "ts_us",
+      radius = 5L * 60 * 1000000,
+      rightPayload = Map("c_value" -> "click_value"))
+    val agg = pairs.groupBy("event_id").agg(
+      count(lit(1)).as("n_nearby"),
+      sum(floor(col("click_value") * 100)).cast("long").as("click_cents"))
+    errors.join(agg, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n_nearby"), lit(0L)).as("n_nearby"),
+        coalesce(col("click_cents"), lit(0L)).as("click_cents"))
       .orderBy("event_id")
   }
 
@@ -236,6 +266,7 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_asof" -> (eventsAsOf _),
     "events_json" -> (eventsJson _),
+    "events_range_join" -> (eventsRangeJoin _),
     "q_percentiles" -> (qPercentiles _),
     "q_distinct" -> (qDistinct _),
     "q1_agg" -> (q1Agg _),
@@ -257,6 +288,15 @@ object RelationalQueries {
         |  c.value AS click_value, epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    "events_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'error'),
+        |c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+        |SELECT e.event_id, e.user_id, count(c.ts) AS n_nearby,
+        |  coalesce(CAST(sum(floor(c.value * 100)) AS BIGINT), 0) AS click_cents
+        |FROM e LEFT JOIN c ON e.user_id = c.user_id
+        |  AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= 300000000
+        |GROUP BY e.event_id, e.user_id ORDER BY e.event_id""".stripMargin,
     "events_json" ->
       """SELECT event_type, count(*) AS n_events,
         |  sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
