@@ -73,6 +73,33 @@ object QualityFilters {
   }
 
   /**
+   * Composed curation verdict — the full cleaning pipeline in one plan:
+   * exact-dedup survivor flag (min doc_id per text), repetition gate
+   * ([[repetitionMetrics]]), and the [[TextAnalysis.qualityScore]]
+   * threshold, AND-ed into a final `keep`. One row per input document so
+   * rejected docs stay visible with their failure reasons — the audit
+   * shape a curation run needs. Three doc_id equi-joins over the
+   * aggregation outputs; nothing leaves the cluster.
+   */
+  def cleanVerdict(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
+    val keep = Dedup.exact(docs)
+      .select(col("keep_id").as("doc_id"), lit(true).as("dedup_keep"))
+    val rep = repetitionMetrics(docs).select("doc_id", "rep_ok")
+    val qual = docs.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    docs.select("doc_id", "lang")
+      .join(keep, Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"))
+      .join(qual, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("dedup_keep"), lit(false)).as("dedup_keep"),
+        col("rep_ok"),
+        (col("quality") >= minQuality).as("quality_ok"))
+      .withColumn("keep",
+        col("dedup_keep") && col("rep_ok") && col("quality_ok"))
+  }
+
+  /**
    * Top-k keywords per document by a tf-rarity score with EXACT integer
    * arithmetic: `score = cnt * (N - df)` where `cnt` is the in-doc term
    * count, `N` the corpus size and `df` the term's document frequency.

@@ -251,4 +251,34 @@ object Similarity {
     TopKAggregator.topKPerQuery(scored, k) // pairs already unique; rank by (dist, id)
       .select("qid", "id", "dist", "rank")
   }
+
+  /**
+   * Semantic eval-set contamination: training vectors whose cosine
+   * distance to ANY eval vector is <= maxDist, each reported once with
+   * its nearest eval id (ties by eval id ascending, deterministic).
+   *
+   * Eval benchmarks are small by construction, so the eval side ships as
+   * a broadcast and the training corpus streams through ONE narrow pass —
+   * |train| x |eval| codegen'd distance evaluations, zero shuffle before
+   * the (tiny, post-filter) per-train-row argmin window. That is the
+   * right 100 TB plan while eval stays broadcast-sized; for eval sets
+   * past that, block both sides by IVF list instead
+   * ([[graft.pipeline.Dedup.embeddingNearDup]]'s shape).
+   */
+  def crossContamination(
+      train: DataFrame, // (id, vec)
+      evalSet: DataFrame, // (id, vec)
+      maxDist: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id")
+      .orderBy(col("cos_dist").asc, col("eval_id").asc)
+    train
+      .crossJoin(broadcast(
+        evalSet.select(col("id").as("eval_id"), col("vec").as("e_vec"))))
+      .withColumn("cos_dist", vector.cosine_distance(col("vec"), col("e_vec")))
+      .filter(col("cos_dist") <= maxDist)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("eval_id"), col("cos_dist"))
+  }
 }

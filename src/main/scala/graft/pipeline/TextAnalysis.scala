@@ -57,6 +57,26 @@ object TextAnalysis {
     (lenScore * lit(0.4) + alphaRatio * lit(0.4) + tokLenScore * lit(0.2))
   }
 
+  /**
+   * Zipf histogram of the corpus vocabulary: term frequencies bucketed by
+   * decimal digit count (1 digit = 1..9 occurrences, 2 = 10..99, ...) —
+   * digit count instead of floor(log10) because string length is exact in
+   * every engine while log is transcendental. Two two-stage aggregations
+   * (partial map-side combine on both), output is at most 19 rows — the
+   * standard first look at corpus head/tail balance before choosing
+   * dedup/df-cap thresholds.
+   */
+  def tokenHistogram(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(text.tokenize(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("digits", length(col("cnt").cast("string")).cast("int"))
+      .groupBy("digits")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum("cnt").as("total_occurrences"),
+        min("cnt").as("min_cnt"),
+        max("cnt").as("max_cnt"))
+
   /** Full per-document analysis projection. */
   def analyze(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(

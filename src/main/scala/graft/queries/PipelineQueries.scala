@@ -225,7 +225,32 @@ object PipelineQueries {
   private def embedQuantize(spark: SparkSession, dir: String): DataFrame =
     EmbeddingOps.quantizeStats(emb(spark, dir)).orderBy("vec_id")
 
+  /** Corpus vocabulary Zipf histogram (TextAnalysis.tokenHistogram). */
+  private def tokenHistogram(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenHistogram(docs(spark, dir)).orderBy("digits")
+
+  /** Composed cleaning verdict: dedup x repetition x quality per doc. */
+  private def corpusClean(spark: SparkSession, dir: String): DataFrame =
+    QualityFilters.cleanVerdict(docs(spark, dir), minQuality = 0.5)
+      .orderBy("doc_id")
+
+  /** Semantic eval contamination: train vectors (vec_id % 50 != 0) within
+    * cosine 0.65 of any held-out eval vector (vec_id % 50 == 0). */
+  private def contaminationEmb(spark: SparkSession, dir: String): DataFrame = {
+    val v = emb(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.crossContamination(
+      v.filter(col("id") % 50 =!= 0),
+      v.filter(col("id") % 50 === 0),
+      maxDist = 0.65)
+      .select(col("id").as("vec_id"), col("eval_id"), col("cos_dist"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "token_histogram" -> (tokenHistogram _),
+    "corpus_clean" -> (corpusClean _),
+    "contamination_emb" -> (contaminationEmb _),
     "quality_repetition" -> (qualityRepetition _),
     "tfidf_keywords" -> (tfidfKeywords _),
     "embed_quantize" -> (embedQuantize _),
@@ -261,7 +286,78 @@ object PipelineQueries {
   private def sqlList(lang: String): String =
     stop(lang).map(w => s"'$w'").mkString("[", ",", "]")
 
+  private val sqlContamCos: String =
+    OracleFragments.sqlCosine("t.embedding", "e.embedding")
+
   val oracleSql: Map[String, String] = Map(
+    "token_histogram" ->
+      """WITH tc AS (SELECT g AS tok, count(*) AS cnt FROM
+        |   (SELECT unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS g
+        |    FROM documents) GROUP BY g),
+        |d AS (SELECT CAST(length(CAST(cnt AS VARCHAR)) AS INT) AS digits, cnt
+        |      FROM tc)
+        |SELECT digits, count(*) AS n_terms,
+        |  CAST(sum(cnt) AS BIGINT) AS total_occurrences,
+        |  min(cnt) AS min_cnt, max(cnt) AS max_cnt
+        |FROM d GROUP BY digits ORDER BY digits""".stripMargin,
+    "corpus_clean" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS toks
+        |           FROM documents),
+        |qb AS (SELECT doc_id, lang,
+        |  regexp_extract_all(lower(text),'[a-z0-9]+') AS toks,
+        |  CAST(length(text) AS DOUBLE) AS n_chars,
+        |  CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+        |    AS alpha_chars
+        |  FROM documents),
+        |q AS (SELECT doc_id, lang,
+        |  (least(CAST(len(toks) AS DOUBLE) / 20.0, 1.0) * 0.4
+        |   + (CASE WHEN n_chars > 0 THEN alpha_chars / n_chars ELSE 0.0 END) * 0.4
+        |   + (CASE WHEN CAST(len(toks) AS DOUBLE) > 0
+        |            AND alpha_chars / CAST(len(toks) AS DOUBLE) >= 3
+        |            AND alpha_chars / CAST(len(toks) AS DOUBLE) <= 10
+        |       THEN 1.0 ELSE 0.5 END) * 0.2) AS quality
+        |  FROM qb),
+        |k AS (SELECT min(doc_id) AS doc_id, TRUE AS dedup_keep FROM documents
+        |      GROUP BY text),
+        |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct FROM t),
+        |uc AS (SELECT doc_id, g, count(*) AS cnt FROM
+        |        (SELECT doc_id, unnest(toks) AS g FROM t) GROUP BY doc_id, g),
+        |u AS (SELECT doc_id, max(cnt) AS top_uni FROM uc GROUP BY doc_id),
+        |bc AS (SELECT doc_id, g, count(*) AS cnt FROM
+        |        (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |           i -> concat_ws(' ', toks[i], toks[i+1]))) AS g FROM t)
+        |       GROUP BY doc_id, g),
+        |b2 AS (SELECT doc_id, max(cnt) AS top_bi FROM bc GROUP BY doc_id),
+        |rep AS (SELECT base.doc_id,
+        |  (CASE WHEN n_tokens > 0
+        |        THEN CAST(n_distinct AS DOUBLE) / n_tokens ELSE 0.0 END) >= 0.40
+        |  AND (CASE WHEN n_tokens > 0
+        |       THEN CAST(coalesce(top_uni, 0) AS DOUBLE) / n_tokens ELSE 0.0 END)
+        |      <= 0.10
+        |  AND (CASE WHEN n_tokens - 1 > 0
+        |       THEN CAST(coalesce(top_bi, 0) AS DOUBLE) / (n_tokens - 1)
+        |       ELSE 0.0 END) <= 0.08 AS rep_ok
+        |  FROM base LEFT JOIN u ON base.doc_id = u.doc_id
+        |            LEFT JOIN b2 ON base.doc_id = b2.doc_id)
+        |SELECT q.doc_id, q.lang, coalesce(k.dedup_keep, FALSE) AS dedup_keep,
+        |  rep.rep_ok, q.quality >= 0.5 AS quality_ok,
+        |  (coalesce(k.dedup_keep, FALSE) AND rep.rep_ok AND q.quality >= 0.5)
+        |    AS keep
+        |FROM q LEFT JOIN k ON q.doc_id = k.doc_id
+        |       JOIN rep ON q.doc_id = rep.doc_id
+        |ORDER BY q.doc_id""".stripMargin,
+    "contamination_emb" ->
+      s"""WITH e AS (SELECT vec_id AS eval_id, embedding FROM embeddings
+         |           WHERE vec_id % 50 = 0),
+         |t AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0),
+         |p AS (SELECT t.vec_id, e.eval_id, $sqlContamCos AS cos_dist
+         |      FROM t CROSS JOIN e),
+         |f AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY cos_dist, eval_id) AS rn
+         |      FROM p WHERE cos_dist <= 0.65)
+         |SELECT vec_id, eval_id, cos_dist FROM f WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
     "quality_repetition" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS toks
         |           FROM documents),

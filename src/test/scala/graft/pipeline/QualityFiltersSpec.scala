@@ -70,6 +70,61 @@ class QualityFiltersSpec extends SparkSpec {
     assert(out(1) === ((1L, 63500000L, -127L + 63L + 0L, -127L, 63L)))
   }
 
+  test("cleanVerdict composes dedup, repetition and quality into keep") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      // 20 distinct tokens: passes everything
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon", "en"),
+      // exact duplicate of doc 0 -> dedup_keep false, everything else ok
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon", "en"),
+      // heavy repetition -> rep_ok false
+      (2L, "spam spam spam spam spam spam spam spam spam spam " +
+        "spam spam spam spam spam spam spam spam spam spam", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = QualityFilters.cleanVerdict(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5)))
+    assert(out(0) === ((0L, true, true, true, true)))
+    assert(out(1) === ((1L, false, true, true, false))) // dup of doc 0
+    assert(out(2)._1 === 2L)
+    assert(!out(2)._3 && !out(2)._5) // repetition trips, keep false
+  }
+
+  test("tokenHistogram buckets term frequencies by digit count") {
+    val s = spark
+    import s.implicits._
+    // "a" x 12 occurrences (2 digits), "b" and "c" x 3 each (1 digit)
+    val d = Seq(
+      (0L, "a a a a a a b b b"),
+      (1L, "a a a a a a c c c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tokenHistogram(d).orderBy("digits").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out === Array((1, 2L, 6L, 3L, 3L), (2, 1L, 12L, 12L, 12L)))
+  }
+
+  test("crossContamination matches brute force and picks the nearest eval") {
+    val s = spark
+    import s.implicits._
+    val train = Seq(
+      (10L, Array(1.0f, 0.0f)),   // identical to eval 0 -> dist ~0
+      (11L, Array(0.9f, 0.1f)),   // near eval 0
+      (12L, Array(-1.0f, 0.0f)))  // opposite: dist ~2, excluded
+      .toDF("id", "vec")
+    val ev = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)))
+      .toDF("id", "vec")
+    val out = Similarity.crossContamination(train, ev, maxDist = 0.5)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out === Array((10L, 0L), (11L, 0L)))
+  }
+
   test("every code stays within [-128, 127] on real-shaped vectors") {
     val s = spark
     import s.implicits._
