@@ -103,22 +103,27 @@ object Dedup {
    * true n-gram Jaccard -> threshold. One shuffle on the band key; the
    * signature pass is a single map.
    */
-  def minhashLsh(
+  /**
+   * Shingle + banded-MinHash projections shared by the self-join
+   * ([[minhashLsh]]) and bipartite ([[incremental]]) paths:
+   * `(id, shingles)` and `(id, pos, band)`, both persisted once — both
+   * sides of the downstream join reference these subplans and Spark has
+   * no cross-branch CSE (ids + band keys are tiny relative to the
+   * corpus; shingles are one text-scan's worth).
+   *
+   * Docs shorter than the shingle width have EMPTY shingle sets: they
+   * all share the identity MinHash signature (one giant O(N²) bucket)
+   * and their 0/0 jaccard is NaN, which Spark orders ABOVE any threshold
+   * — drop them up front (they cannot be near-duplicates of anything).
+   */
+  private def shingleBands(
       docs: DataFrame,
-      idCol: String = "doc_id",
-      textCol: String = "text",
-      ngram: Int = 3,
-      numHashes: Int = 64,
-      bands: Int = 16,
-      threshold: Double = 0.7,
-      family: graft.functions.HashFamily = graft.functions.HashFamily.Xxh64): DataFrame = {
-    // both sides of the self-join reference these subplans; Spark has no
-    // cross-branch CSE, so persist them once (ids + band keys are tiny
-    // relative to the corpus; shingles are one text-scan's worth)
-    // docs shorter than the shingle width have EMPTY shingle sets: they
-    // all share the identity MinHash signature (one giant O(N^2) bucket)
-    // and their 0/0 jaccard is NaN, which Spark orders ABOVE any threshold
-    // — drop them up front (they cannot be near-duplicates of anything)
+      idCol: String,
+      textCol: String,
+      ngram: Int,
+      numHashes: Int,
+      bands: Int,
+      family: graft.functions.HashFamily): (DataFrame, DataFrame) = {
     val toks = docs.select(
       col(idCol).as("id"),
       text.word_ngrams(text.tokenize(col(textCol)), ngram).as("shingles"))
@@ -131,6 +136,71 @@ object Dedup {
       .select(col("id"),
         posexplode(text.lsh_bands(col("sig"), numHashes, bands)).as(Seq("pos", "band")))
       .transform(persistOnce)
+    (toks, sigs)
+  }
+
+  /**
+   * Incremental dedup: match an incoming batch against an EXISTING corpus
+   * without ever self-joining the corpus — the shape of continuous-ingest
+   * curation, where the corpus is 100 TB and the batch is a day's crawl.
+   * Every batch doc comes back with `dup_of` (the lowest matching corpus
+   * id; null = novel) and `match_kind` ('exact' | 'near' | null), exact
+   * taking precedence.
+   *
+   * Exact path: one left equi-join on the text (min corpus id per text).
+   * Near path: bipartite banded MinHash — batch band keys join corpus
+   * band keys, candidates carry 8-byte ids only, true n-gram Jaccard
+   * verifies survivors. The corpus-side shingle/band projection is a pure
+   * function of the corpus, so at scale it is written once as an index
+   * table and only the (tiny) batch side is computed per ingest.
+   */
+  def incremental(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      ngram: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7,
+      family: graft.functions.HashFamily = graft.functions.HashFamily.Xxh64): DataFrame = {
+    val exact = batch.select(col(idCol), col(textCol))
+      .join(
+        corpus.groupBy(col(textCol)).agg(min(col(idCol)).as("exact_dup_of")),
+        Seq(textCol), "left")
+      .select(col(idCol), col("exact_dup_of"))
+    val (bToks, bBands) = shingleBands(batch, idCol, textCol, ngram, numHashes, bands, family)
+    val (cToks, cBands) = shingleBands(corpus, idCol, textCol, ngram, numHashes, bands, family)
+    val cands = bBands
+      .join(cBands.select(col("pos"), col("band"), col("id").as("c_id")),
+        Seq("pos", "band"))
+      .select("id", "c_id").distinct()
+    val near = cands
+      .join(bToks.select(col("id"), col("shingles").as("a_sh")), "id")
+      .join(cToks.select(col("id").as("c_id"), col("shingles").as("b_sh")), "c_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))))
+      .filter(col("jaccard") >= threshold)
+      .groupBy("id").agg(min("c_id").as("near_dup_of"))
+    exact.join(near, exact(idCol) === near("id"), "left")
+      .select(exact(idCol),
+        coalesce(col("exact_dup_of"), col("near_dup_of")).as("dup_of"),
+        when(col("exact_dup_of").isNotNull, "exact")
+          .when(col("near_dup_of").isNotNull, "near").as("match_kind"))
+  }
+
+  def minhashLsh(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      ngram: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7,
+      family: graft.functions.HashFamily = graft.functions.HashFamily.Xxh64): DataFrame = {
+    val (toks, sigs) = shingleBands(docs, idCol, textCol, ngram, numHashes,
+      bands, family)
     val a = sigs.select(col("pos").as("band_pos"), col("band").as("band_key"),
       col("id").as("a_id"))
     val b = sigs.select(col("pos").as("band_pos"), col("band").as("band_key"),

@@ -3,6 +3,8 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.vector
+
 /**
  * Embedding-column utilities for training-data pipelines. The reference
  * stores raw fp32 vectors only (format/storage.cpp — flat float pages);
@@ -26,6 +28,30 @@ object EmbeddingOps {
   def quantizeInt8(vec: Column): Column = {
     val scale = lit(127.0) / array_max(transform(vec, v => abs(v.cast("double"))))
     transform(vec, v => floor(v.cast("double") * scale).cast("long"))
+  }
+
+  /**
+   * Norm-outlier screen: vectors whose L2 norm falls outside the corpus
+   * [p_lo, p_hi] percentile band — the cheap filter for broken embeddings
+   * (zeroed rows, exploded values) before any similarity work. Norms are
+   * one narrow codegen'd pass (the same sequential-double dot kernel as
+   * the distance expressions); the two percentiles are ONE 1-row
+   * aggregate broadcast back, so the plan is two scans and no wide
+   * shuffle. Spark `percentile` and DuckDB `quantile_cont` share exact
+   * linear interpolation, making the flags oracle-replayable.
+   */
+  def normOutliers(emb: DataFrame, vecCol: String = "embedding",
+      lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
+    val norms = emb.select(
+      col("vec_id"),
+      sqrt(-vector.ip_distance(col(vecCol), col(vecCol))).as("norm"))
+    val bounds = norms.agg(
+      expr(s"percentile(norm, $lo)").as("p_lo"),
+      expr(s"percentile(norm, $hi)").as("p_hi"))
+    norms.crossJoin(broadcast(bounds))
+      .select(col("vec_id"), col("norm"),
+        (col("norm") < col("p_lo") || col("norm") > col("p_hi"))
+          .as("is_outlier"))
   }
 
   /**

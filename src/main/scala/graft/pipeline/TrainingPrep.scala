@@ -228,6 +228,36 @@ object TrainingPrep {
   }
 
   /**
+   * Deterministic per-source cap: keep at most `cap` documents from each
+   * source, chosen by the Lehmer shuffle key of doc_id (same generator as
+   * [[sampleStratified]]/[[shuffleCorpus]]) so the kept set is a pure
+   * function of the ids — stable under repartition and re-runs, and a
+   * random-looking subset rather than "the first N by id". The standard
+   * guard against any single domain dominating a training mix.
+   *
+   * Scale shape: rank <= cap over a per-source window. Spark rewrites
+   * that to WindowGroupLimit (partial top-cap inside each upstream task
+   * BEFORE the shuffle), so a hot source ships at most cap rows per task
+   * and sorts at most tasks x cap rows in its final partition — never the
+   * whole source.
+   */
+  def capPerSource(
+      docs: DataFrame,
+      cap: Int,
+      idCol: String = "doc_id",
+      srcCol: String = "source"): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    val w = Window.partitionBy(srcCol)
+      .orderBy(col("cap_key"), col(idCol))
+    docs
+      .withColumn("cap_key", (col(idCol) * 48271L + 11L) % 2147483647L)
+      .withColumn("rank_in_source", row_number().over(w))
+      .filter(col("rank_in_source") <= cap)
+      .select(col(idCol), col(srcCol), col("cap_key"),
+        col("rank_in_source"))
+  }
+
+  /**
    * Corpus mixture statistics per stratum: document/token counts, each
    * stratum's share of total tokens, and the uniform-target mixture weight
    * (multiply a doc's sampling probability by its stratum's `mix_weight`

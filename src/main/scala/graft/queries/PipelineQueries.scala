@@ -247,7 +247,31 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  /** Incremental dedup of the doc_id % 10 == 0 batch against the rest of
+    * the corpus — Poly family + threshold 0.5 so the DuckDB oracle can
+    * replay the banded MinHash end to end. */
+  private def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.incremental(
+      d.filter(col("doc_id") % 10 === 0),
+      d.filter(col("doc_id") % 10 =!= 0),
+      threshold = 0.5,
+      family = graft.functions.HashFamily.Poly)
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic per-source cap at 15 docs (TrainingPrep.capPerSource). */
+  private def sourceCap(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.capPerSource(docs(spark, dir), cap = 15).orderBy("doc_id")
+
+  /** Corpus-percentile norm-outlier flags (EmbeddingOps.normOutliers). */
+  private def embeddingOutliers(spark: SparkSession, dir: String): DataFrame =
+    EmbeddingOps.normOutliers(emb(spark, dir)).orderBy("vec_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental" -> (dedupIncremental _),
+    "source_cap" -> (sourceCap _),
+    "embedding_outliers" -> (embeddingOutliers _),
     "token_histogram" -> (tokenHistogram _),
     "corpus_clean" -> (corpusClean _),
     "contamination_emb" -> (contaminationEmb _),
@@ -290,6 +314,57 @@ object PipelineQueries {
     OracleFragments.sqlCosine("t.embedding", "e.embedding")
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_incremental" ->
+      """WITH t0 AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS toks
+        |            FROM documents),
+        |t AS (SELECT doc_id, list_transform(range(1, len(toks)-1),
+        |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS sh FROM t0),
+        |t1 AS (SELECT doc_id AS id, list_distinct(sh) AS dsh FROM t WHERE len(sh) > 0),
+        |bs AS (SELECT id, dsh, list_transform(dsh, s ->
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(list_filter(string_split_regex(s, ''), c -> c <> ''),
+        |             c -> CAST(ascii(c) AS BIGINT))),
+        |           (acc, x) -> (acc * 31 + x) % 1000000007)) AS bases FROM t1),
+        |sigs AS (SELECT id, dsh, list_transform(range(0, 64), h ->
+        |           list_min(list_transform(bases, base ->
+        |             ((43 + 2*h) * base + 1302 + 7919*h) % 1000000007))) AS sig FROM bs),
+        |bnd AS (SELECT id, b, CAST(list_slice(sig, b*4+1, b*4+4) AS VARCHAR) AS bkey
+        |        FROM sigs, (SELECT unnest(range(0, 16)) AS b)),
+        |cand AS (SELECT DISTINCT a.id AS a_id, c.id AS c_id
+        |         FROM bnd a JOIN bnd c ON a.b = c.b AND a.bkey = c.bkey
+        |         WHERE a.id % 10 = 0 AND c.id % 10 <> 0),
+        |nr0 AS (SELECT cand.a_id, cand.c_id,
+        |        CAST(len(list_intersect(x.dsh, y.dsh)) AS DOUBLE)
+        |          / len(list_distinct(x.dsh || y.dsh)) AS jaccard
+        |      FROM cand JOIN sigs x ON x.id = cand.a_id
+        |                JOIN sigs y ON y.id = cand.c_id),
+        |nr AS (SELECT a_id, min(c_id) AS near_dup_of FROM nr0
+        |       WHERE jaccard >= 0.5 GROUP BY a_id),
+        |ex AS (SELECT b.doc_id, min(c.doc_id) AS exact_dup_of FROM documents b
+        |       JOIN documents c ON b.text = c.text
+        |       WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0 GROUP BY b.doc_id)
+        |SELECT d.doc_id, coalesce(ex.exact_dup_of, nr.near_dup_of) AS dup_of,
+        |  CASE WHEN ex.exact_dup_of IS NOT NULL THEN 'exact'
+        |       WHEN nr.near_dup_of IS NOT NULL THEN 'near' END AS match_kind
+        |FROM documents d LEFT JOIN ex ON d.doc_id = ex.doc_id
+        |                 LEFT JOIN nr ON d.doc_id = nr.a_id
+        |WHERE d.doc_id % 10 = 0 ORDER BY d.doc_id""".stripMargin,
+    "source_cap" ->
+      """WITH k AS (SELECT doc_id, source,
+        |             (doc_id * 48271 + 11) % 2147483647 AS cap_key
+        |           FROM documents),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+        |        ORDER BY cap_key, doc_id) AS INT) AS rank_in_source FROM k)
+        |SELECT doc_id, source, cap_key, rank_in_source FROM r
+        |WHERE rank_in_source <= 15 ORDER BY doc_id""".stripMargin,
+    "embedding_outliers" ->
+      s"""WITH n AS (SELECT vec_id,
+         |  sqrt(${OracleFragments.sqlDot("embedding", "embedding")}) AS norm
+         |  FROM embeddings),
+         |b AS (SELECT quantile_cont(norm, 0.01) AS p_lo,
+         |             quantile_cont(norm, 0.99) AS p_hi FROM n)
+         |SELECT vec_id, norm, (norm < p_lo OR norm > p_hi) AS is_outlier
+         |FROM n, b ORDER BY vec_id""".stripMargin,
     "token_histogram" ->
       """WITH tc AS (SELECT g AS tok, count(*) AS cnt FROM
         |   (SELECT unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS g

@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IncrementalDedupSpec extends SparkSpec {
+
+  private val longA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  private val longB = "one two three four five six seven eight nine ten"
+
+  private lazy val corpus = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (100L, longA),
+      (101L, longA), // second copy: min corpus id must win as dup_of
+      (102L, longB),
+      (103L, "totally different words entirely unrelated content here"))
+      .toDF("doc_id", "text")
+  }
+
+  private lazy val batch = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, longA),                                   // exact dup of 100/101
+      // near dup of 102: 9 of 10 tokens shared -> high shingle jaccard
+      (1L, "one two three four five six seven eight nine eleven"),
+      (2L, "completely novel text with no partner anywhere at all"),
+      (3L, "tiny"))                                  // too short to shingle
+      .toDF("doc_id", "text")
+  }
+
+  test("incremental labels exact, near and novel batch docs") {
+    val out = Dedup.incremental(batch, corpus, threshold = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0),
+        Option(r.getAs[Any]("dup_of")).map(_.asInstanceOf[Long]),
+        Option(r.getAs[Any]("match_kind")).map(_.asInstanceOf[String])))
+    assert(out(0) === ((0L, Some(100L), Some("exact")))) // min corpus id
+    assert(out(1) === ((1L, Some(102L), Some("near"))))
+    assert(out(2) === ((2L, None, None)))
+    assert(out(3) === ((3L, None, None))) // unshingleable -> novel
+  }
+
+  test("identical-text pairs always survive LSH banding (jaccard = 1)") {
+    // identical shingle sets give identical signatures, so every band
+    // matches — the exact twin can never be missed by the near path either
+    val near = Dedup.incremental(
+      batch.filter(col("doc_id") === 0), corpus, threshold = 0.99)
+      .collect().head
+    assert(near.getAs[String]("match_kind") === "exact")
+    assert(near.getAs[Long]("dup_of") === 100L)
+  }
+
+  test("batch docs never match other batch docs, corpus never self-joins") {
+    val s = spark
+    import s.implicits._
+    // two identical docs in the SAME batch, corpus unrelated: both novel
+    val b2 = Seq((0L, longA), (1L, longA)).toDF("doc_id", "text")
+    val c2 = Seq((100L, longB)).toDF("doc_id", "text")
+    val out = Dedup.incremental(b2, c2, threshold = 0.5)
+      .collect().map(r => Option(r.getAs[Any]("dup_of")))
+    assert(out.forall(_.isEmpty))
+  }
+}

@@ -125,6 +125,33 @@ class QualityFiltersSpec extends SparkSpec {
     assert(out === Array((10L, 0L), (11L, 0L)))
   }
 
+  test("capPerSource keeps exactly cap docs per source, deterministically") {
+    val s = spark
+    import s.implicits._
+    val d = (0L until 30L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val out = TrainingPrep.capPerSource(d, cap = 4)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(bySrc === Map("src0" -> 4L, "src1" -> 4L, "src2" -> 4L))
+    // pure function of doc_id: identical kept set under any partitioning
+    val again = TrainingPrep.capPerSource(d.repartition(7), cap = 4)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(again === out.select("doc_id").collect().map(_.getLong(0)).sorted)
+  }
+
+  test("normOutliers flags only norms outside the percentile band") {
+    val s = spark
+    import s.implicits._
+    // 48 unit-norm vectors + one zero vector + one huge vector
+    val vecs = ((0 until 48).map(i => (i.toLong, Array(1.0f, 0.0f))) ++
+      Seq((48L, Array(0.0f, 0.0f)), (49L, Array(100.0f, 0.0f))))
+      .toDF("vec_id", "embedding")
+    val out = EmbeddingOps.normOutliers(vecs, lo = 0.05, hi = 0.95)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(out(48L) && out(49L), "extremes must be flagged")
+    assert((0 until 48).forall(i => !out(i.toLong)), "unit norms must pass")
+  }
+
   test("every code stays within [-128, 127] on real-shaped vectors") {
     val s = spark
     import s.implicits._
