@@ -13,12 +13,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // Shuffle/spill scratch on tmpfs when the box has one: the bench
+    // measures engine CPU paths, and the captured one-off stall class
+    // "threads in parquet RLE decode + DISK shuffle write" (see
+    // dev/STABILITY_r9.md) is sandbox disk jitter, not plan cost. A real
+    // cluster sizes its shuffle volumes; the single-JVM bench gets RAM.
+    val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse(
+      Some("/dev/shm/graft-bench")
+        .filter(_ => new java.io.File("/dev/shm").isDirectory))
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    val spark = localDir.fold(builder)(d => builder.config("spark.local.dir", d))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -134,6 +134,36 @@ object RelationalQueries {
         col("l_linestatus").asc_nulls_first)
       .select("gid", "l_returnflag", "l_linestatus", "sum_qty", "n")
 
+  /** Cube coverage: all four grouping combinations with grouping ids —
+    * completes the rollup/cube pair in the §2.8 checklist. */
+  private def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("gid"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+      .select("gid", "l_returnflag", "l_linestatus", "sum_qty", "n")
+
+  /** Set-operator coverage: INTERSECT / EXCEPT between two derived key
+    * sets (customers with orders vs customers in the first ten nations),
+    * tagged and unioned so one result carries both. */
+  private def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"))
+    val lowNation = c.filter(col("c_nationkey") < 10).select(col("c_custkey"))
+    val both = withOrders.intersect(lowNation)
+      .select(col("c_custkey"), lit("both").as("tag"))
+    val onlyOrders = withOrders.except(lowNation)
+      .select(col("c_custkey"), lit("orders_only").as("tag"))
+    both.unionAll(onlyOrders).orderBy("c_custkey", "tag")
+  }
+
   /**
    * Sessionization as a batch window query: per user, a session break is a
    * gap > 30 min from the previous event; session count = 1 + number of
@@ -160,6 +190,23 @@ object RelationalQueries {
         count(lit(1)).as("n_events"))
       .orderBy("user_id")
   }
+
+  /**
+   * HLL++ approximate distinct per group — the sketch every 100 TB
+   * distinct-count rolls through (exact countDistinct shuffles every
+   * distinct value; the sketch shuffles a fixed-size buffer per group).
+   * rows-only at the driver gate: DuckDB's approx_count_distinct is a
+   * different sketch, so values can't hash-match — the ScalaTest spec
+   * pins the <2% error against the exact counts instead.
+   */
+  private def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("apx_parts"),
+        approx_count_distinct(col("l_suppkey"), rsd = 0.02).as("apx_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
 
   /** Distinct aggregation: exact distinct counts per group. */
   private def qDistinct(spark: SparkSession, dir: String): DataFrame =
@@ -267,6 +314,9 @@ object RelationalQueries {
     "events_asof" -> (eventsAsOf _),
     "events_json" -> (eventsJson _),
     "events_range_join" -> (eventsRangeJoin _),
+    "q_cube" -> (qCube _),
+    "q_setops" -> (qSetOps _),
+    "q_approx_distinct" -> (qApproxDistinct _),
     "q_percentiles" -> (qPercentiles _),
     "q_distinct" -> (qDistinct _),
     "q1_agg" -> (q1Agg _),
@@ -353,6 +403,23 @@ object RelationalQueries {
         |SELECT c_custkey, 'no_orders' AS status FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "q_cube" ->
+      """SELECT CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+        |  l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_setops" ->
+      """WITH wo AS (SELECT DISTINCT c.c_custkey FROM customer c
+        |            JOIN orders o ON c.c_custkey = o.o_custkey),
+        |ln AS (SELECT c_custkey FROM customer WHERE c_nationkey < 10)
+        |SELECT c_custkey, 'both' AS tag FROM (
+        |  SELECT c_custkey FROM wo INTERSECT SELECT c_custkey FROM ln)
+        |UNION ALL
+        |SELECT c_custkey, 'orders_only' AS tag FROM (
+        |  SELECT c_custkey FROM wo EXCEPT SELECT c_custkey FROM ln)
+        |ORDER BY c_custkey, tag""".stripMargin,
     "q_rollup" ->
       """SELECT CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
         |  l_returnflag, l_linestatus,

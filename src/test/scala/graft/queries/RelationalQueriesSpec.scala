@@ -88,4 +88,22 @@ class RelationalQueriesSpec extends SparkSpec {
         (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"))).toMap
     assert(got == expected)
   }
+
+  test("q_approx_distinct stays within 2% of the exact distinct counts") {
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists)
+    val approx = RelationalQueries.queries("q_approx_distinct")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("apx_parts"), r.getAs[Long]("apx_supps"))).toMap
+    val exact = RelationalQueries.queries("q_distinct")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_parts"), r.getAs[Long]("n_supps"))).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (flag, (p, s)) =>
+      val (ap, as) = approx(flag)
+      assert(math.abs(ap - p) <= math.max(2, 0.02 * p),
+        s"$flag parts: approx $ap vs exact $p")
+      assert(math.abs(as - s) <= math.max(2, 0.02 * s),
+        s"$flag supps: approx $as vs exact $s")
+    }
+  }
 }
