@@ -104,6 +104,58 @@ object Dedup {
    * signature pass is a single map.
    */
   /**
+   * TRUE connected components over a near-duplicate pair graph: every doc
+   * gets `cluster_id` = the minimum doc id reachable through any chain of
+   * pairs, plus the cluster size. This is the exact upgrade over
+   * [[dropNearDuplicates]]'s one-pass chain approximation (which keeps
+   * one representative per chain but can over-drop: b dropped for (a,b)
+   * even when (b,c)'s c was its only link to a kept doc).
+   *
+   * Algorithm: min-label propagation to fixpoint — the standard
+   * distributed CC. Each iteration is ONE equi-join (labels onto the
+   * symmetric edge list) + ONE min-aggregation + a least() merge; rounds
+   * needed = graph diameter, and near-dup clusters are shallow (pairs
+   * share a blocking key), so the driver-side loop runs a handful of
+   * bounded-size Spark jobs, not per-row work. Lineage is truncated each
+   * round with localCheckpoint so round N's plan doesn't embed rounds
+   * 1..N-1 (a reliable checkpoint dir does the same on a cluster).
+   * Throws if `maxIters` rounds don't reach the fixpoint.
+   */
+  def dupClusters(
+      docs: DataFrame,
+      pairs: DataFrame, // (a_id, b_id) undirected
+      idCol: String = "doc_id",
+      maxIters: Int = 20): DataFrame = {
+    val esym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .transform(persistOnce)
+    var labels = docs.select(col(idCol).as("id"), col(idCol).as("lbl"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val neighborMin = esym
+        .join(labels.select(col("id").as("src"), col("lbl")), "src")
+        .groupBy(col("dst").as("id")).agg(min("lbl").as("nbr_lbl"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
+          (col("nbr_lbl") < col("lbl")).as("moved"))
+        .localCheckpoint(true)
+      changed = next.filter(col("moved")).count()
+      labels = next.select("id", "lbl")
+      it += 1
+    }
+    require(changed == 0,
+      s"dupClusters did not converge in $maxIters rounds — raise maxIters")
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("id").as(idCol), col("lbl").as("cluster_id"),
+        col("cluster_size"))
+  }
+
+  /**
    * Shingle + banded-MinHash projections shared by the self-join
    * ([[minhashLsh]]) and bipartite ([[incremental]]) paths:
    * `(id, shingles)` and `(id, pos, band)`, both persisted once — both

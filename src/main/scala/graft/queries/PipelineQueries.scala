@@ -268,7 +268,16 @@ object PipelineQueries {
   private def embeddingOutliers(spark: SparkSession, dir: String): DataFrame =
     EmbeddingOps.normOutliers(emb(spark, dir)).orderBy("vec_id")
 
+  /** True connected components over the bounded n-gram-Jaccard pair set
+    * (same cached pairs as dedup_ngram_jaccard/dedup_corpus). */
+  private def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dupClusters(
+      docs(spark, dir).filter(col("doc_id") < 200),
+      ngramPairs(spark, dir))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> (dedupClusters _),
     "dedup_incremental" -> (dedupIncremental _),
     "source_cap" -> (sourceCap _),
     "embedding_outliers" -> (embeddingOutliers _),
@@ -314,6 +323,32 @@ object PipelineQueries {
     OracleFragments.sqlCosine("t.embedding", "e.embedding")
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_clusters" ->
+      """WITH RECURSIVE t0 AS (SELECT doc_id,
+        |      regexp_extract_all(lower(text),'[a-z0-9]+') AS toks
+        |    FROM documents WHERE doc_id < 200),
+        |t AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh FROM t0),
+        |t1 AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / len(list_distinct(a.sh || b.sh)) AS jaccard
+        |      FROM t1 a, t1 b WHERE a.doc_id < b.doc_id),
+        |e AS (SELECT a_id, b_id FROM p WHERE jaccard >= 0.5),
+        |esym AS (SELECT a_id AS a, b_id AS b FROM e
+        |         UNION ALL SELECT b_id, a_id FROM e),
+        |r AS (
+        |  SELECT doc_id AS root, doc_id AS node FROM t0
+        |  UNION
+        |  SELECT r.root, esym.b FROM r JOIN esym ON esym.a = r.node
+        |),
+        |lbl AS (SELECT node AS doc_id, min(root) AS cluster_id
+        |        FROM r GROUP BY node),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl
+        |       GROUP BY cluster_id)
+        |SELECT lbl.doc_id, lbl.cluster_id, sz.cluster_size
+        |FROM lbl JOIN sz ON lbl.cluster_id = sz.cluster_id
+        |ORDER BY lbl.doc_id""".stripMargin,
     "dedup_incremental" ->
       """WITH t0 AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS toks
         |            FROM documents),

@@ -54,6 +54,32 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(near.getAs[Long]("dup_of") === 100L)
   }
 
+  test("dupClusters closes transitive chains the one-pass approximation can't") {
+    val s = spark
+    import s.implicits._
+    // chain 0-1, 1-2, 2-3 plus isolated 4 and a separate pair 5-6
+    val d = (0L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (5L, 6L))
+      .toDF("a_id", "b_id")
+    val out = Dedup.dupClusters(d, pairs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out === Array(
+      (0L, 0L, 4L), (1L, 0L, 4L), (2L, 0L, 4L), (3L, 0L, 4L),
+      (4L, 4L, 1L),
+      (5L, 5L, 2L), (6L, 5L, 2L)))
+  }
+
+  test("dupClusters is direction-agnostic in the pair list") {
+    val s = spark
+    import s.implicits._
+    val d = (0L to 2L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // deliberately reversed: higher id first
+    val pairs = Seq((2L, 0L), (1L, 2L)).toDF("a_id", "b_id")
+    val out = Dedup.dupClusters(d, pairs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out === Array((0L, 0L), (1L, 0L), (2L, 0L)))
+  }
+
   test("batch docs never match other batch docs, corpus never self-joins") {
     val s = spark
     import s.implicits._
