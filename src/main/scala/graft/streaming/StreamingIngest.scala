@@ -96,6 +96,25 @@ object StreamingIngest {
    * that a periodic (batch) BuildEpoch picks up and re-clusters — the
    * streaming half of the CreateIndex -> BuildEpoch -> ActivateEpoch loop.
    */
+  /**
+   * Streaming exact dedup — the ingest twin of [[graft.pipeline.Dedup.exact]]:
+   * drop re-arrivals of the same content key within the watermark horizon
+   * (re-crawls, at-least-once replays). `dropDuplicatesWithinWatermark`
+   * keys the state store on the dedup columns and EXPIRES entries past
+   * the watermark, so state is bounded by the horizon's key cardinality
+   * — the property that lets it run forever on a 100 TB/day feed, where
+   * an unbounded `dropDuplicates` would accumulate every key ever seen.
+   * Dedup on a content hash, not the raw text, so the state store holds
+   * 8-byte keys instead of documents.
+   */
+  def dedupStream(
+      docs: DataFrame, // needs an event-time `ts` and a `text` column
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("content_key", xxhash64(col("text")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_key")
+
   def ingestToStaging(
       events: DataFrame,
       stagingPath: String,

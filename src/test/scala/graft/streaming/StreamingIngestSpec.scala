@@ -136,4 +136,30 @@ class StreamingIngestSpec extends SparkSpec {
         Set("event_id", "ts", "user_id", "event_type", "value"))
     } finally q.stop()
   }
+
+  test("dedupStream drops re-arrivals of the same content within the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingIngest
+      .dedupStream(mem.toDF().toDF("doc_id", "ts", "text"),
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (1L, ts(0), "the quick brown fox"),
+        (2L, ts(1), "a different document"))
+      q.processAllAvailable()
+      // batch 2: one replay (same text, later ts) + one novel doc
+      mem.addData(
+        (3L, ts(2), "the quick brown fox"),
+        (4L, ts(3), "genuinely new content"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect()
+        .map(_.getAs[Long]("doc_id")).sorted
+      assert(ids === Array(1L, 2L, 4L), "replayed doc 3 must be dropped")
+    } finally q.stop()
+  }
 }
