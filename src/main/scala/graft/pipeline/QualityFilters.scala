@@ -73,6 +73,31 @@ object QualityFilters {
   }
 
   /**
+   * Longest consecutive identical-token run per document — the
+   * gaps-and-islands form: posexplode preserves positions, a `lag`
+   * window marks run breaks, a running sum names each island, and two
+   * partial-agg stages collapse islands to lengths and docs to the max.
+   * Everything shuffles on doc_id only (token positions stay inside
+   * their doc's partition), so the plan is a per-doc sort, not a global
+   * one. Empty docs survive with max_run 0 via the join-back.
+   */
+  def maxTokenRun(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val x = docs.select(col(idCol),
+      posexplode(text.tokenize(col(textCol))).as(Seq("pos", "tok")))
+    val wOrd = Window.partitionBy(idCol).orderBy("pos")
+    val runs = x
+      .withColumn("brk",
+        when(lag(col("tok"), 1).over(wOrd) === col("tok"), 0).otherwise(1))
+      .withColumn("grp", sum("brk").over(wOrd))
+      .groupBy(col(idCol), col("grp")).agg(count(lit(1)).as("run_len"))
+      .groupBy(idCol).agg(max("run_len").as("mr"))
+    docs.select(col(idCol))
+      .join(runs, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("mr"), lit(0L)).as("max_run"))
+  }
+
+  /**
    * Composed curation verdict — the full cleaning pipeline in one plan:
    * exact-dedup survivor flag (min doc_id per text), repetition gate
    * ([[repetitionMetrics]]), and the [[TextAnalysis.qualityScore]]

@@ -276,7 +276,12 @@ object PipelineQueries {
       ngramPairs(spark, dir))
       .orderBy("doc_id")
 
+  /** Longest identical-token run per doc (QualityFilters.maxTokenRun). */
+  private def qualityMaxrun(spark: SparkSession, dir: String): DataFrame =
+    QualityFilters.maxTokenRun(docs(spark, dir)).orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_maxrun" -> (qualityMaxrun _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_incremental" -> (dedupIncremental _),
     "source_cap" -> (sourceCap _),
@@ -323,6 +328,23 @@ object PipelineQueries {
     OracleFragments.sqlCosine("t.embedding", "e.embedding")
 
   val oracleSql: Map[String, String] = Map(
+    "quality_maxrun" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS toks
+        |           FROM documents),
+        |x AS (SELECT doc_id, unnest(toks) AS tok,
+        |        generate_subscripts(toks, 1) AS pos FROM t),
+        |m AS (SELECT doc_id, tok, pos,
+        |        CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) = tok
+        |             THEN 0 ELSE 1 END AS brk
+        |      FROM x),
+        |g AS (SELECT doc_id, tok,
+        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM m),
+        |runs AS (SELECT doc_id, grp, count(*) AS run_len FROM g
+        |         GROUP BY doc_id, grp),
+        |agg AS (SELECT doc_id, max(run_len) AS mr FROM runs GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(agg.mr, 0) AS BIGINT) AS max_run
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "dedup_clusters" ->
       """WITH RECURSIVE t0 AS (SELECT doc_id,
         |      regexp_extract_all(lower(text),'[a-z0-9]+') AS toks

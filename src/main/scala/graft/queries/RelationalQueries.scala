@@ -295,6 +295,33 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /**
+   * Time-series gap fill: the full (event_type × hour) grid between the
+   * corpus bounds, hours with no events kept at zero — the densification
+   * step every downstream rate/anomaly computation needs. The grid is
+   * generated (types × sequence of hours, both driver-free: bounds ride a
+   * 1-row broadcast), so no window scans the fact table twice.
+   */
+  private def eventsGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val (ev, tsIsLong) = eventsWithTs(spark, dir)
+    val hourTs = hourBucket(tsIsLong)
+    val hourly = ev.select(col("event_type"), hourTs.as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("n"))
+    val bounds = ev.agg(min(hourTs).as("h0"), max(hourTs).as("h1"))
+    val grid = ev.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+          .as("hour_ts"))
+    grid.join(hourly,
+        grid("event_type") === hourly("event_type") &&
+          col("hour_ts") === col("hr"), "left")
+      .select(grid("event_type"),
+        date_format(col("hour_ts"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy("event_type", "hour")
+  }
+
   /** Semi-structured extraction: parse the JSON props payload and roll the
     * extracted integer up per event type — all exact-integer outputs. */
   private def eventsJson(spark: SparkSession, dir: String): DataFrame =
@@ -317,6 +344,7 @@ object RelationalQueries {
     "q_cube" -> (qCube _),
     "q_setops" -> (qSetOps _),
     "q_approx_distinct" -> (qApproxDistinct _),
+    "events_gap_fill" -> (eventsGapFill _),
     "q_percentiles" -> (qPercentiles _),
     "q_distinct" -> (qDistinct _),
     "q1_agg" -> (q1Agg _),
@@ -347,6 +375,21 @@ object RelationalQueries {
         |FROM e LEFT JOIN c ON e.user_id = c.user_id
         |  AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= 300000000
         |GROUP BY e.event_id, e.user_id ORDER BY e.event_id""".stripMargin,
+    "events_gap_fill" ->
+      """WITH h AS (SELECT event_type AS et, date_trunc('hour', ts) AS hr,
+        |             count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(date_trunc('hour', ts)) AS h0,
+        |             max(date_trunc('hour', ts)) AS h1 FROM events),
+        |grid AS (SELECT t.event_type, gs.g AS hour
+        |         FROM (SELECT DISTINCT event_type FROM events) t,
+        |              (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+        |                 AS g FROM b) gs)
+        |SELECT grid.event_type,
+        |  strftime(grid.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  coalesce(h.n, 0) AS n_events
+        |FROM grid LEFT JOIN h ON grid.event_type = h.et AND grid.hour = h.hr
+        |ORDER BY grid.event_type, hour""".stripMargin,
     "events_json" ->
       """SELECT event_type, count(*) AS n_events,
         |  sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,

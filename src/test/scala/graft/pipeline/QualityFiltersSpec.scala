@@ -125,6 +125,20 @@ class QualityFiltersSpec extends SparkSpec {
     assert(out === Array((10L, 0L), (11L, 0L)))
   }
 
+  test("maxTokenRun finds the longest island, keeps empty docs at zero") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (0L, "a a a b a a"),      // runs 3,1,2 -> 3
+      (1L, "x y x y x y"),      // all runs 1
+      (2L, "z z z z z z z"),    // one run of 7
+      (3L, ""))                 // no tokens -> 0
+      .toDF("doc_id", "text")
+    val out = QualityFilters.maxTokenRun(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out === Array((0L, 3L), (1L, 1L), (2L, 7L), (3L, 0L)))
+  }
+
   test("capPerSource keeps exactly cap docs per source, deterministically") {
     val s = spark
     import s.implicits._

@@ -89,6 +89,18 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("events_gap_fill densifies the full type x hour grid on the real file") {
+    assume(haveData)
+    val rows = RelationalQueries.queries("events_gap_fill")(spark, dir).collect()
+    val types = rows.map(_.getString(0)).distinct.sorted
+    val hours = rows.map(_.getString(1)).distinct
+    // exact grid: every type has every hour exactly once
+    assert(rows.length === types.length * hours.length)
+    // zero rows exist (that's the point of gap filling) and counts add up
+    assert(rows.exists(_.getLong(2) == 0L))
+    assert(rows.map(_.getLong(2)).sum === rawEvents().length)
+  }
+
   test("q_approx_distinct stays within 2% of the exact distinct counts") {
     assume(new java.io.File(s"$dir/lineitem.parquet").exists)
     val approx = RelationalQueries.queries("q_approx_distinct")(spark, dir)
