@@ -425,4 +425,39 @@ object Dedup {
       .filter(col("cos_dist") <= maxCosineDist)
       .select("a_id", "b_id", "cos_dist")
   }
+
+  /**
+   * Exact substring (token-span) duplicate detection — the "exact
+   * substring dedup" of Lee et al. 2021 ("Deduplicating Training Data
+   * Makes Language Models Better", arXiv:2107.06499) re-expressed as a
+   * blocked equi-join: every length-`spanLen` token window is shingled
+   * per document (codegen'd [[graft.functions.TextKernels.wordNgrams]]
+   * kernel, de-duplicated per doc), and documents sharing any window are
+   * paired with the count of distinct shared windows.
+   *
+   * Scale shape: spans are reduced to 64-bit hashes BEFORE the self-join,
+   * so the quadratic candidate stage shuffles (id, 8-byte key) rows only
+   * — the span text never rides the shuffle. One equi-join on the span
+   * hash + one aggregation; per-key fan-out is bounded by how many docs
+   * actually share a window (real duplication), the property this
+   * operator exists to find.
+   *
+   * @return (doc_a, doc_b, n_shared_spans), doc_a < doc_b
+   */
+  def spanPairs(
+      docs: DataFrame,
+      spanLen: Int = 15,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spans = docs.select(
+      col(idCol).cast("long").as("id"),
+      explode(array_distinct(
+        text.word_ngrams(text.tokenize(col(textCol)), spanLen))).as("span"))
+      .select(col("id"), xxhash64(col("span")).as("h"))
+      .transform(persistOnce)
+    spans.as("a")
+      .join(spans.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+  }
 }

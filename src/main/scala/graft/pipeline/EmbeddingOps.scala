@@ -72,4 +72,21 @@ object EmbeddingOps {
       array_min(codes).as("min_code"),
       array_max(codes).as("max_code"))
   }
+
+  /**
+   * Sign-bit binary quantization, word `w` of the code: bit `b` is set
+   * iff `vec[w*32 + b] > 0` — 32 dims per word, held in a LONG so the
+   * word is always non-negative (and the DuckDB oracle's BIGINT shifts
+   * agree bit for bit). 32x scan-byte reduction vs fp32; Hamming over
+   * the packed words is the standard binary-quantized ANN first pass.
+   * `pow(2, b)` is exact in a double up to 2^52, so the cast is exact.
+   */
+  def signPackWord(vec: Column, word: Int): Column =
+    aggregate(
+      sequence(lit(0), lit(31)),
+      lit(0L),
+      (acc, b) =>
+        acc + when(
+          element_at(vec, (b + lit(word * 32 + 1)).cast("int")) > lit(0f),
+          pow(lit(2.0), b).cast("long")).otherwise(lit(0L)))
 }

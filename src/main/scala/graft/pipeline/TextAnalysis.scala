@@ -77,6 +77,38 @@ object TextAnalysis {
         min("cnt").as("min_cnt"),
         max("cnt").as("max_cnt"))
 
+  /** PII patterns, written in the RE2-compatible subset shared by Java's
+    * regex engine and DuckDB, so the oracle replays the scrub exactly:
+    * no backrefs, no lookaround, explicit character classes only. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /**
+   * PII scrub: count and redact emails, phone numbers, and IPv4 literals
+   * from a text column — the mandatory compliance pass before a corpus
+   * ships to training. Counting runs BEFORE redaction (each pattern sees
+   * the original text); redaction applies email -> phone -> ip so a
+   * pattern never matches inside another's placeholder. Pure per-row
+   * codegen'd regex built-ins: no UDFs, no shuffle, scales with the scan.
+   */
+  def piiScrub(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, lit(EmailRe), lit("<EMAIL>")),
+          lit(PhoneRe), lit("<PHONE>")),
+        lit(Ipv4Re), lit("<IP>"))
+    docs.select(
+      col(idCol),
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_count(t, lit(Ipv4Re)).cast("long").as("n_ips"),
+      redacted.as("redacted"))
+  }
+
   /** Full per-document analysis projection. */
   def analyze(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(

@@ -38,6 +38,28 @@ object PipelineQueries {
   private def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramPairs(spark, dir).orderBy("a_id", "b_id")
 
+  /** Exact 15-token-span duplicate pairs (Dedup.spanPairs). */
+  private def dedupSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.spanPairs(docs(spark, dir), spanLen = 15).orderBy("doc_a", "doc_b")
+
+  /** PII scrub over deterministically-injected pseudo-PII: the synthetic
+    * corpus carries none, so the fixture appends one email + phone + IPv4
+    * per doc (both engines build the identical string), making the
+    * regex counts AND the redacted text hash-gated rather than vacuously
+    * green on unmodified text. */
+  private def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val injected = docs(spark, dir).select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        lit(" reach user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0.7"))
+        .as("text"))
+    TextAnalysis.piiScrub(injected).orderBy("doc_id")
+  }
+
   private def textAnalysis(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.analyze(docs(spark, dir)).orderBy("doc_id")
 
@@ -300,6 +322,8 @@ object PipelineQueries {
     "corpus_stats" -> (corpusStats _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_spans" -> (dedupSpans _),
+    "pii_scrub" -> (piiScrub _),
     "text_analysis" -> (textAnalysis _),
     "neardup_exact" -> (neardupExact _),
     "filtered_ann" -> (filteredAnn _),
@@ -608,6 +632,32 @@ object PipelineQueries {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count, text
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "pii_scrub" ->
+      """WITH inj AS (SELECT doc_id,
+        |  text || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or +1-555-'
+        |       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |       || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.7' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM inj ORDER BY doc_id""".stripMargin,
+    "dedup_spans" ->
+      """WITH t0 AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS toks
+        |            FROM documents),
+        |spans AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |            range(1, greatest(len(toks)-13, 1)),
+        |            i -> array_to_string(toks[i:i+14], ' ')))) AS span
+        |          FROM t0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(count(*) AS BIGINT) AS n_shared_spans
+        |FROM spans a JOIN spans b ON a.span = b.span AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH t0 AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS toks
         |            FROM documents WHERE doc_id < 200),

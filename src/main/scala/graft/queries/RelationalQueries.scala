@@ -246,6 +246,38 @@ object RelationalQueries {
     if (tsIsLong) expr(s"$c div 1000")
     else unix_micros(col(c).cast("timestamp"))
 
+  /**
+   * Pivot: event_type rotated into wide columns of exact cent sums per
+   * user — the wide-format export surface. Pivot values are pinned (the
+   * five known types) so plan construction needs no distinct-scan job;
+   * absent (user, type) combinations stay NULL, matching SQL
+   * FILTER-aggregate semantics. One shuffle on user_id, partial
+   * aggregation map-side.
+   */
+  private def eventsPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(sum(floor(col("value") * 100).cast("long")))
+      .orderBy("user_id")
+
+  /**
+   * RANGE-frame window: per-customer rolling 30-day spend over orders —
+   * the time-bounded running aggregate (RANGE, not ROWS, so tied order
+   * dates aggregate as peers identically in both engines). The ordering
+   * key is exact epoch micros; money stays decimal until the final cast.
+   */
+  private def qRangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .withColumn("ts_us", unix_micros(col("o_orderdate").cast("timestamp")))
+    val w = Window.partitionBy("o_custkey").orderBy(col("ts_us"))
+      .rangeBetween(-30L * 86400 * 1000000, 0)
+    o.withColumn("spend_30d", sum(dec("o_totalprice")).over(w).cast("double"))
+      .withColumn("n_30d", count(lit(1)).over(w))
+      .select("o_orderkey", "o_custkey", "ts_us", "spend_30d", "n_30d")
+      .orderBy("o_orderkey")
+  }
+
   private def eventsAsOf(spark: SparkSession, dir: String): DataFrame = {
     val (ev, tsIsLong) = eventsWithTs(spark, dir)
     val toUs = tsUs(tsIsLong) _
@@ -339,6 +371,8 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_asof" -> (eventsAsOf _),
+    "events_pivot" -> (eventsPivot _),
+    "q_range_window" -> (qRangeWindow _),
     "events_json" -> (eventsJson _),
     "events_range_join" -> (eventsRangeJoin _),
     "q_cube" -> (qCube _),
@@ -357,6 +391,24 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "events_pivot" ->
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type='click' THEN CAST(floor(value*100) AS BIGINT) END) AS click,
+        |  sum(CASE WHEN event_type='error' THEN CAST(floor(value*100) AS BIGINT) END) AS error,
+        |  sum(CASE WHEN event_type='purchase' THEN CAST(floor(value*100) AS BIGINT) END) AS purchase,
+        |  sum(CASE WHEN event_type='signup' THEN CAST(floor(value*100) AS BIGINT) END) AS signup,
+        |  sum(CASE WHEN event_type='view' THEN CAST(floor(value*100) AS BIGINT) END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_range_window" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS ts_us,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders)
+        |SELECT o_orderkey, o_custkey, ts_us,
+        |  CAST(sum(p) OVER w AS DOUBLE) AS spend_30d,
+        |  count(*) OVER w AS n_30d
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY ts_us
+        |             RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
     "events_asof" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events
         |           WHERE event_type = 'purchase'),

@@ -538,7 +538,33 @@ object VectorQueries {
     "ivfpq_search_adc" -> (ivfpqSearchAdc _),
     "ivfpq_search_adc_cosine" -> (ivfpqSearchAdcCosine _),
     "vector_scale_bench" -> (vectorScaleBench _),
+    "hamming_ann" -> (hammingAnn _),
+    "hamming_rerank" -> (hammingRerank _),
   )
+
+  private val HammingNQ = 100
+
+  /** Binary-quantized first pass: sign-pack to 2x32-bit words, Hamming
+    * top-k (Similarity.hammingSearch) over the 64-dim embeddings. */
+  private def hammingAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    graft.pipeline.Similarity.hammingSearch(
+      e.filter(col("vec_id") < HammingNQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      e.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      dim = 64, k = K).orderBy("qid", "rank")
+  }
+
+  /** Full binary-quantization pipeline: Hamming top-100 candidates,
+    * exact-L2 rerank to top-k (Similarity.hammingSearchRerank). */
+  private def hammingRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    graft.pipeline.Similarity.hammingSearchRerank(
+      e.filter(col("vec_id") < HammingNQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      e.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      dim = 64, candK = 100, k = K).orderBy("qid", "rank")
+  }
 
   private lazy val batchAllOracleSql =
     s"""WITH d AS (SELECT q.vec_id AS qid, v.vec_id AS id,
@@ -561,7 +587,46 @@ object VectorQueries {
        |      FROM d)
        |SELECT qid, id, dist, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** Sign-pack word `w` of a 64-dim embedding as a BIGINT — replays
+    * EmbeddingOps.signPackWord bit for bit (non-negative 32-bit words). */
+  private def sqlSignWord(vec: String, w: Int): String =
+    s"CAST(list_sum(list_transform(range(0,32), b -> " +
+      s"CASE WHEN $vec[CAST(b+${w * 32 + 1} AS INT)] > 0 " +
+      s"THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)) AS BIGINT)"
+
+  /** Shared CTE prefix: packed corpus + packed query batch + Hamming
+    * distances of every (query, vector) pair. */
+  private lazy val hammingCtes =
+    s"""WITH p AS (SELECT vec_id, ${sqlSignWord("embedding", 0)} AS w0,
+       |                  ${sqlSignWord("embedding", 1)} AS w1 FROM embeddings),
+       |q AS (SELECT vec_id AS qid, w0 AS q0, w1 AS q1 FROM p WHERE vec_id < $HammingNQ),
+       |d AS (SELECT q.qid, v.vec_id AS id,
+       |        CAST(bit_count(xor(v.w0, q.q0)) + bit_count(xor(v.w1, q.q1)) AS BIGINT) AS dist
+       |      FROM q, p v)""".stripMargin
+
+  private lazy val hammingOracleSql =
+    s"""$hammingCtes,
+       |r AS (SELECT qid, id, dist,
+       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS INT) AS rank
+       |      FROM d)
+       |SELECT qid, id, dist, rank FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+
+  private lazy val hammingRerankOracleSql =
+    s"""$hammingCtes,
+       |c AS (SELECT qid, id FROM (SELECT qid, id,
+       |        row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk FROM d)
+       |      WHERE rnk <= 100),
+       |e AS (SELECT c.qid, c.id, ${sqlL2("qe.embedding", "ve.embedding")} AS dist
+       |      FROM c JOIN embeddings qe ON qe.vec_id = c.qid
+       |             JOIN embeddings ve ON ve.vec_id = c.id),
+       |r AS (SELECT qid, id, dist,
+       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS INT) AS rank
+       |      FROM e)
+       |SELECT qid, id, dist, rank FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "hamming_ann" -> hammingOracleSql,
+    "hamming_rerank" -> hammingRerankOracleSql,
     "knn_exact_l2" -> knnOracle(sqlL2("q.qv", "v.embedding")),
     "knn_exact_ip" -> knnOracle(sqlIp("q.qv", "v.embedding")),
     "knn_exact_cosine" -> knnOracle(sqlCosine("q.qv", "v.embedding")),
