@@ -81,6 +81,31 @@ object EmbeddingOps {
    * the packed words is the standard binary-quantized ANN first pass.
    * `pow(2, b)` is exact in a double up to 2^52, so the cast is exact.
    */
+  /**
+   * Per-label centroid summaries (class prototypes): the per-dimension
+   * mean of every label's vectors, the standard cluster-summary /
+   * nearest-class-mean building block. Components are fixed-pointed to
+   * exact integer micros (floor(x * 1e6) as LONG) before the aggregate,
+   * so the sums are partial-aggregation-order independent — a plain
+   * double mean would differ run to run under Spark's combine order —
+   * and the mean is derived deterministically from (sum, n) at the end.
+   * Plan: posexplode (narrow fan-out) + one two-stage aggregation on
+   * (label, pos); output is |labels| x dim rows.
+   */
+  def labelCentroids(emb: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame =
+    emb
+      .select(col(labelCol).cast("int").as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "component")))
+      .select(col("label"), col("pos"),
+        floor(col("component").cast("double") * 1e6).cast("long").as("micros"))
+      .groupBy("label", "pos")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("micros").as("sum_micros"))
+      .withColumn("mean_component",
+        col("sum_micros").cast("double") / col("n") / 1e6)
+
   def signPackWord(vec: Column, word: Int): Column =
     aggregate(
       sequence(lit(0), lit(31)),

@@ -330,6 +330,18 @@ object Similarity {
       k: Int,
       metric: Metric.Value = Metric.L2): DataFrame = {
     val cands = hammingSearch(queries, corpus, dim, candK).select("qid", "id")
+    rerankExact(cands, queries, corpus, k, metric)
+  }
+
+  /** Exact-metric rerank of a bounded candidate set: the (qid, id) pairs
+    * broadcast onto the raw corpus scan, so the fp32 read touches only
+    * candidates. Shared tail of the quantized two-pass pipelines. */
+  private def rerankExact(
+      cands: DataFrame, // (qid, id)
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (id, vec)
+      k: Int,
+      metric: Metric.Value): DataFrame = {
     val rescored = corpus
       .join(broadcast(cands), "id")
       .join(broadcast(queries), "qid")
@@ -337,5 +349,30 @@ object Similarity {
         vector.distance(col("qvec"), col("vec"), metric).as("dist"))
     TopKAggregator.topKPerQuery(rescored, k)
       .select("qid", "id", "dist", "rank")
+  }
+
+  /**
+   * Scalar-quantized (SQ8) two-pass search — the int8 sibling of the PQ
+   * and binary pipelines: the first pass scans per-vector int8 codes
+   * ([[EmbeddingOps.quantizeInt8]]'s floor(x * 127/max|x|) codes,
+   * 4x fewer scan bytes), dequantized in the scan projection
+   * (code/scale, rounded to FLOAT so both engines agree bit for bit) and
+   * scored with the same codegen'd distance kernel as exact search; the
+   * exact-metric rerank then touches only the candidate rows. The
+   * dequantize transform runs once per CORPUS ROW (narrow, amortized
+   * over the whole query batch), never per candidate pair.
+   */
+  def sq8SearchRerank(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (id, vec)
+      candK: Int,
+      k: Int,
+      metric: Metric.Value = Metric.L2): DataFrame = {
+    val scale = lit(127.0) / array_max(transform(col("vec"), v => abs(v.cast("double"))))
+    val codes = transform(col("vec"), v => floor(v.cast("double") * scale).cast("long"))
+    val dequant = transform(codes, c => (c.cast("double") / scale).cast("float"))
+    val approx = corpus.select(col("id"), dequant.as("vec"))
+    val cands = Knn.exact(queries, approx, candK, metric).select("qid", "id")
+    rerankExact(cands, queries, corpus, k, metric)
   }
 }

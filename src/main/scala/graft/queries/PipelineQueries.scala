@@ -247,6 +247,10 @@ object PipelineQueries {
   private def embedQuantize(spark: SparkSession, dir: String): DataFrame =
     EmbeddingOps.quantizeStats(emb(spark, dir)).orderBy("vec_id")
 
+  /** Per-label centroid summaries (EmbeddingOps.labelCentroids). */
+  private def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    EmbeddingOps.labelCentroids(emb(spark, dir)).orderBy("label", "pos")
+
   /** Corpus vocabulary Zipf histogram (TextAnalysis.tokenHistogram). */
   private def tokenHistogram(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenHistogram(docs(spark, dir)).orderBy("digits")
@@ -324,6 +328,7 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_spans" -> (dedupSpans _),
     "pii_scrub" -> (piiScrub _),
+    "label_centroids" -> (labelCentroids _),
     "text_analysis" -> (textAnalysis _),
     "neardup_exact" -> (neardupExact _),
     "filtered_ann" -> (filteredAnn _),
@@ -632,6 +637,16 @@ object PipelineQueries {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count, text
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "label_centroids" ->
+      """WITH m AS (SELECT CAST(label AS INT) AS label,
+        |  CAST(unnest(range(0, len(embedding))) AS INT) AS pos,
+        |  unnest(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT))) AS micros
+        |FROM embeddings)
+        |SELECT label, pos, count(*) AS n,
+        |  CAST(sum(micros) AS BIGINT) AS sum_micros,
+        |  CAST(sum(micros) AS DOUBLE) / count(*) / 1e6 AS mean_component
+        |FROM m GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "pii_scrub" ->
       """WITH inj AS (SELECT doc_id,
         |  text || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or +1-555-'

@@ -540,7 +540,19 @@ object VectorQueries {
     "vector_scale_bench" -> (vectorScaleBench _),
     "hamming_ann" -> (hammingAnn _),
     "hamming_rerank" -> (hammingRerank _),
+    "sq8_rerank" -> (sq8Rerank _),
   )
+
+  /** SQ8 two-pass: int8-dequantized first pass to 50 candidates, exact-L2
+    * rerank to top-k (Similarity.sq8SearchRerank). */
+  private def sq8Rerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    graft.pipeline.Similarity.sq8SearchRerank(
+      e.filter(col("vec_id") < HammingNQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      e.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      candK = 50, k = K).orderBy("qid", "rank")
+  }
 
   private val HammingNQ = 100
 
@@ -624,9 +636,29 @@ object VectorQueries {
        |      FROM e)
        |SELECT qid, id, dist, rank FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
 
+  private lazy val sq8RerankOracleSql =
+    s"""WITH s AS (SELECT vec_id, embedding,
+       |             127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+       |           FROM embeddings),
+       |a AS (SELECT vec_id, list_transform(embedding,
+       |        x -> CAST(floor(CAST(x AS DOUBLE) * scale) / scale AS FLOAT)) AS vec FROM s),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $HammingNQ),
+       |d AS (SELECT q.qid, a.vec_id AS id, ${sqlL2("q.qv", "a.vec")} AS dist FROM q, a),
+       |c AS (SELECT qid, id FROM (SELECT qid, id,
+       |        row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk FROM d)
+       |      WHERE rnk <= 50),
+       |e AS (SELECT c.qid, c.id, ${sqlL2("qe.embedding", "ve.embedding")} AS dist
+       |      FROM c JOIN embeddings qe ON qe.vec_id = c.qid
+       |             JOIN embeddings ve ON ve.vec_id = c.id),
+       |r AS (SELECT qid, id, dist,
+       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS INT) AS rank
+       |      FROM e)
+       |SELECT qid, id, dist, rank FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "hamming_ann" -> hammingOracleSql,
     "hamming_rerank" -> hammingRerankOracleSql,
+    "sq8_rerank" -> sq8RerankOracleSql,
     "knn_exact_l2" -> knnOracle(sqlL2("q.qv", "v.embedding")),
     "knn_exact_ip" -> knnOracle(sqlIp("q.qv", "v.embedding")),
     "knn_exact_cosine" -> knnOracle(sqlCosine("q.qv", "v.embedding")),

@@ -50,6 +50,33 @@ object StreamingIngest {
         col("event_type"), col("n_events"), col("sum_value"))
 
   /**
+   * Event-time session windows via the NATIVE `session_window` operator —
+   * the declarative sibling of [[sessionize]]: Spark merges overlapping
+   * per-key gap windows itself and the watermark both admits bounded
+   * lateness and EXPIRES closed-session state, so state is bounded by the
+   * open-session count, not history. Emits one row per closed session
+   * (Append mode — results are final once the watermark passes the gap).
+   * Prefer this when the session payload is an aggregation; drop to
+   * [[sessionize]]'s mapGroupsWithState only for state machines the
+   * grouped aggregate can't express.
+   */
+  def sessionWindows(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("started"),
+        col("session_window.end").as("ended"),
+        col("n_events"), col("total_value"))
+
+  /**
    * Stateful sessionization via mapGroupsWithState: one state entry per
    * user, closed by a processing-time timeout — the
    * KeyValueGroupedDataset custom-state path (SURVEY §2.8 streaming row).

@@ -68,6 +68,40 @@ class BinaryTextOpsSpec extends SparkSpec {
     assert(viaHamming.toSeq == exact.toSeq)
   }
 
+  test("sq8SearchRerank with candK = |corpus| equals exact L2 knn") {
+    val corpus = randomVectors(150, 64, seed = 17)
+    val queries = corpus.take(5).map { case (id, v) => (id + 500, v) }
+    val viaSq8 = Similarity
+      .sq8SearchRerank(queriesDF(queries.toIndexedSeq), vectorsDF(corpus), candK = 150, k = 4)
+      .select("qid", "id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(t => (t._1, t._3))
+    val exact = graft.index.Knn
+      .exact(queriesDF(queries.toIndexedSeq), vectorsDF(corpus), k = 4)
+      .select("qid", "id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(t => (t._1, t._3))
+    assert(viaSq8.toSeq == exact.toSeq)
+  }
+
+  test("labelCentroids computes exact fixed-point sums and derived means") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0L, Array(1.5f, -0.25f), 1),
+      (1L, Array(2.5f, 0.75f), 1),
+      (2L, Array(-1.0f, 4.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = EmbeddingOps.labelCentroids(df)
+      .select("label", "pos", "n", "sum_micros", "mean_component")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      (1, 0, 2L, 4000000L, 2.0),
+      (1, 1, 2L, 500000L, 0.25),
+      (2, 0, 1L, -1000000L, -1.0),
+      (2, 1, 1L, 4000000L, 4.0)))
+  }
+
   test("spanPairs finds exactly the documents sharing a full token span") {
     val s = spark
     import s.implicits._

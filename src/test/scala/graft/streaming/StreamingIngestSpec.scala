@@ -38,6 +38,35 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window merges gap windows and closes them at the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingIngest
+      .sessionWindows(mem.toDF(), gap = "10 minutes", watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("session_wins")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two events 5 min apart merge into one session; a third 60 min in
+      // starts a second session
+      mem.addData(
+        Event(1, ts(0), 7, "click", 1.0),
+        Event(2, ts(5), 7, "view", 2.0),
+        Event(3, ts(60), 7, "click", 4.0))
+      q.processAllAvailable()
+      // append mode: nothing final until the watermark passes session end
+      mem.addData(Event(4, ts(200), 9, "click", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("session_wins")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4))).sortBy(_._2.getTime)
+      assert(rows.length === 2) // user 9's session is still open
+      assert(rows(0) === ((7L, ts(0), ts(15), 2L, 3.0))) // merged, end = last+gap
+      assert(rows(1) === ((7L, ts(60), ts(70), 1L, 4.0)))
+    } finally q.stop()
+  }
+
   test("sessionize merges per-user state across micro-batches") {
     val s = spark
     import s.implicits._
