@@ -369,9 +369,18 @@ object Similarity {
       k: Int,
       metric: Metric.Value = Metric.L2): DataFrame = {
     val scale = lit(127.0) / array_max(transform(col("vec"), v => abs(v.cast("double"))))
-    val codes = transform(col("vec"), v => floor(v.cast("double") * scale).cast("long"))
-    val dequant = transform(codes, c => (c.cast("double") / scale).cast("float"))
-    val approx = corpus.select(col("id"), dequant.as("vec"))
+    // The codes table is the SQ8 index artifact — built once, cached
+    // (at 100 TB it is a stored table, like the PQ codes epoch). The
+    // cache is also a Catalyst barrier: without it CollapseProject
+    // inlines `scale` (an array_max over the row) into the dequantize
+    // lambda, and interpreted HOFs re-evaluate it PER ELEMENT — an
+    // O(dim^2) per-row blowup (measured 1.25 s -> 0.3 s at sf0.1).
+    val codesTable = corpus.select(
+      col("id"), scale.as("scale"),
+      transform(col("vec"), v => floor(v.cast("double") * scale).cast("long")).as("codes"))
+      .transform(Dedup.persistOnce)
+    val approx = codesTable.select(col("id"),
+      transform(col("codes"), c => (c.cast("double") / col("scale")).cast("float")).as("vec"))
     val cands = Knn.exact(queries, approx, candK, metric).select("qid", "id")
     rerankExact(cands, queries, corpus, k, metric)
   }
