@@ -278,6 +278,105 @@ object RelationalQueries {
       .orderBy("o_orderkey")
   }
 
+  /**
+   * Conversion funnel: first view -> first click strictly after it ->
+   * first purchase strictly after that, per user — ordered event-pattern
+   * matching as three aggregate passes (each a map-side-combined min on
+   * the user key, so the fact table never sorts). Broadcastable
+   * stage-to-stage joins: each stage's output is one row per surviving
+   * user.
+   */
+  private def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val (ev0, tsIsLong) = eventsWithTs(spark, dir)
+    val ev = ev0.select(col("user_id"), col("event_type"),
+      tsUs(tsIsLong)("ts").as("ts_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("t_view"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(broadcast(views), "user_id")
+      .filter(col("ts_us") > col("t_view"))
+      .groupBy("user_id").agg(min("ts_us").as("t_click"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(clicks), "user_id")
+      .filter(col("ts_us") > col("t_click"))
+      .groupBy("user_id").agg(min("ts_us").as("t_purchase"))
+    views
+      .join(clicks, Seq("user_id"), "left")
+      .join(purchases, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        col("t_purchase").isNotNull.as("converted"))
+      .orderBy("user_id")
+  }
+
+  /**
+   * Cohort retention: users bucketed by first-seen hour; for each
+   * (cohort, hour-offset) the distinct returning users — the standard
+   * retention triangle. Two aggregations ((user, hour) distinct, then
+   * the triangle) plus one broadcastable first-seen join.
+   */
+  private def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val (ev0, tsIsLong) = eventsWithTs(spark, dir)
+    val activity = ev0
+      .select(col("user_id"), tsUs(tsIsLong)("ts").as("ts_us"))
+      // integer div — `/` on longs is double division, and a quotient
+      // landing on a representability boundary could round into the
+      // next hour bucket
+      .select(col("user_id"), expr("ts_us div 3600000000").as("hour"))
+      .distinct()
+    val firsts = activity.groupBy("user_id").agg(min("hour").as("cohort_hour"))
+    activity.join(broadcast(firsts), "user_id")
+      .groupBy(col("cohort_hour"), (col("hour") - col("cohort_hour")).as("offset_hours"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_hour", "offset_hours")
+  }
+
+  /**
+   * Statistical aggregates from EXACT integer moments: variance and
+   * Pearson correlation derived at the very end from long-typed sums
+   * (quantity cents <= 5e3, discount permille <= 1e2 — every
+   * intermediate stays far under 2^53, so the final double arithmetic
+   * is bit-identical across engines; a plain `corr()` over doubles
+   * would be partial-aggregation-order dependent).
+   */
+  private def qStats(spark: SparkSession, dir: String): DataFrame = {
+    val q = (dec("l_quantity") * 100).cast("long")
+    val d = (dec("l_discount") * 1000).cast("long")
+    Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), q.as("q"), d.as("d"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("q").as("sum_q"), sum("d").as("sum_d"),
+        sum(col("q") * col("q")).as("sum_q2"),
+        sum(col("d") * col("d")).as("sum_d2"),
+        sum(col("q") * col("d")).as("sum_qd"))
+      .select(
+        col("l_returnflag"), col("n"), col("sum_q"), col("sum_d"),
+        (col("sum_q").cast("double") / col("n")).as("mean_q_cents"),
+        ((col("n") * col("sum_q2") - col("sum_q") * col("sum_q")).cast("double") /
+          (col("n") * col("n")).cast("double")).as("var_q"),
+        ((col("n") * col("sum_qd") - col("sum_q") * col("sum_d")).cast("double") /
+          (sqrt((col("n") * col("sum_q2") - col("sum_q") * col("sum_q")).cast("double")) *
+            sqrt((col("n") * col("sum_d2") - col("sum_d") * col("sum_d")).cast("double"))))
+          .as("corr_qd"))
+      .orderBy("l_returnflag")
+  }
+
+  /** GROUPING SETS — the explicit-combination sibling of rollup/cube
+    * (here: by flag, by status, and the grand total, but NOT the pair). */
+  private def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("graft_li_gs")
+    spark.sql(
+      """SELECT CAST(grouping_id() AS INT) AS gid, l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(1) AS n
+        |FROM graft_li_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+      .orderBy(col("gid"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
   private def eventsAsOf(spark: SparkSession, dir: String): DataFrame = {
     val (ev, tsIsLong) = eventsWithTs(spark, dir)
     val toUs = tsUs(tsIsLong) _
@@ -373,6 +472,10 @@ object RelationalQueries {
     "events_asof" -> (eventsAsOf _),
     "events_pivot" -> (eventsPivot _),
     "q_range_window" -> (qRangeWindow _),
+    "events_funnel" -> (eventsFunnel _),
+    "events_retention" -> (eventsRetention _),
+    "q_stats" -> (qStats _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "events_json" -> (eventsJson _),
     "events_range_join" -> (eventsRangeJoin _),
     "q_cube" -> (qCube _),
@@ -391,6 +494,51 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |v AS (SELECT user_id, min(ts_us) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT user_id, min(ts_us) AS t_click FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND ts_us > t_view GROUP BY 1),
+        |p AS (SELECT user_id, min(ts_us) AS t_purchase FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND ts_us > t_click GROUP BY 1)
+        |SELECT user_id, t_view, t_click, t_purchase,
+        |       t_purchase IS NOT NULL AS converted
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    "events_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |             epoch_us(ts) // 3600000000 AS hour FROM events),
+        |f AS (SELECT user_id, min(hour) AS cohort_hour FROM a GROUP BY 1)
+        |SELECT cohort_hour, hour - cohort_hour AS offset_hours,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stats" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 1000 AS BIGINT) AS d
+        |  FROM lineitem),
+        |m AS (SELECT l_returnflag, count(*) AS n,
+        |        CAST(sum(q) AS BIGINT) AS sum_q, CAST(sum(d) AS BIGINT) AS sum_d,
+        |        CAST(sum(q*q) AS BIGINT) AS sum_q2, CAST(sum(d*d) AS BIGINT) AS sum_d2,
+        |        CAST(sum(q*d) AS BIGINT) AS sum_qd
+        |      FROM b GROUP BY 1)
+        |SELECT l_returnflag, n, sum_q, sum_d,
+        |  CAST(sum_q AS DOUBLE) / n AS mean_q_cents,
+        |  CAST(n*sum_q2 - sum_q*sum_q AS DOUBLE) / CAST(n*n AS DOUBLE) AS var_q,
+        |  CAST(n*sum_qd - sum_q*sum_d AS DOUBLE) /
+        |    (sqrt(CAST(n*sum_q2 - sum_q*sum_q AS DOUBLE)) *
+        |     sqrt(CAST(n*sum_d2 - sum_d*sum_d AS DOUBLE))) AS corr_qd
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS INT) AS gid,
+        |  l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(1) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "events_pivot" ->
       """SELECT user_id,
         |  sum(CASE WHEN event_type='click' THEN CAST(floor(value*100) AS BIGINT) END) AS click,
