@@ -240,6 +240,66 @@ case class NearPairs(
     copy(vec = f, rowId = s, listId = t)
 }
 
+/** SQ8 pack: ARRAY<FLOAT> x DOUBLE scale -> BINARY int8 codes (one byte
+  * per dim — the true 4x scan-byte reduction the quantizer exists for). */
+case class Sq8Pack(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[graftshims.AbstractDataType] =
+    Seq(ArrayType(FloatType), DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sq8_pack"
+
+  override def nullSafeEval(v: Any, s: Any): Any =
+    VectorKernels.sq8Pack(v.asInstanceOf[ArrayData].toFloatArray(), s.asInstanceOf[Double])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, s) =>
+      s"${ev.value} = graft.functions.VectorKernels.sq8Pack($v.toFloatArray(), $s);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Sq8Pack =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Fused SQ8 distance: float query x BINARY codes x scale -> double,
+  * dequantizing per element exactly as the SQL oracle ((code/scale)
+  * rounded to FLOAT) — no scratch array per pair, stable compiled loop. */
+case class Sq8Distance(
+    query: Expression,
+    codes: Expression,
+    scale: Expression,
+    metric: Metric.Value)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def first: Expression = query
+  override def second: Expression = codes
+  override def third: Expression = scale
+  override def inputTypes: Seq[graftshims.AbstractDataType] =
+    Seq(ArrayType(FloatType), BinaryType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sq8_distance"
+
+  private val metricId = metric.id
+
+  override def nullSafeEval(q: Any, c: Any, s: Any): Any =
+    VectorKernels.sq8Distance(
+      q.asInstanceOf[ArrayData].toFloatArray(),
+      c.asInstanceOf[Array[Byte]],
+      s.asInstanceOf[Double], metricId)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, c, s) =>
+      s"${ev.value} = graft.functions.VectorKernels.sq8Distance(" +
+        s"$q.toFloatArray(), $c, $s, $metricId);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Sq8Distance =
+    copy(query = f, codes = s, scale = t)
+}
+
 /** Column-level entry points (the `functions._` of this engine). */
 object vector {
   private def col(e: Expression): Column = graftshims.column(e)
@@ -287,4 +347,11 @@ object vector {
       metric: Metric.Value,
       maxDist: Double): Column =
     col(NearPairs(expr(v), expr(rowId), expr(listId), probeIdx, metric, maxDist))
+
+  def sq8_pack(v: Column, scale: Column): Column =
+    col(Sq8Pack(expr(v), expr(scale)))
+
+  def sq8_distance(q: Column, codes: Column, scale: Column,
+      metric: Metric.Value = Metric.L2): Column =
+    col(Sq8Distance(expr(q), expr(codes), expr(scale), metric))
 }

@@ -66,6 +66,55 @@ object VectorKernels {
       case _             => l2(a, b)
     }
 
+  /** SQ8 pack: bytes[i] = floor(x_i * scale). With the symmetric scale
+    * 127/max|x| ([[graft.pipeline.EmbeddingOps.quantizeInt8]]) every code
+    * lands in [-128, 127], so the byte cast is exact — int8 codes at a
+    * true 4x fewer scan bytes than fp32. */
+  def sq8Pack(v: Array[Float], scale: Double): Array[Byte] = {
+    val out = new Array[Byte](v.length)
+    var i = 0
+    while (i < v.length) {
+      out(i) = math.floor(v(i).toDouble * scale).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Distance between a float query and SQ8 codes, dequantizing exactly
+    * as the SQL oracle replays it: (code/scale) rounded to FLOAT, then
+    * the same sequential-double accumulation as the fp32 kernels. Fused
+    * — no scratch float array per pair. */
+  def sq8Distance(q: Array[Float], codes: Array[Byte], scale: Double, metric: Int): Double = {
+    val n = math.min(q.length, codes.length)
+    var i = 0
+    metric match {
+      case METRIC_IP =>
+        var s = 0.0
+        while (i < n) {
+          s += q(i).toDouble * (codes(i).toDouble / scale).toFloat.toDouble
+          i += 1
+        }
+        -s
+      case METRIC_COSINE =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        while (i < n) {
+          val x = q(i).toDouble
+          val y = (codes(i).toDouble / scale).toFloat.toDouble
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        1.0 - dot / (math.sqrt(na) * math.sqrt(nb) + 1e-8)
+      case _ =>
+        var s = 0.0
+        while (i < n) {
+          val d = q(i).toDouble - (codes(i).toDouble / scale).toFloat.toDouble
+          s += d * d
+          i += 1
+        }
+        s
+    }
+  }
+
   /** Distance against a query resolved by id from a broadcast map (see
     * DistanceToQuery). Codegen-callable; throws on an unknown qid — the
     * candidate stream is built from the same query batch, so a miss is a

@@ -369,19 +369,21 @@ object Similarity {
       k: Int,
       metric: Metric.Value = Metric.L2): DataFrame = {
     val scale = lit(127.0) / array_max(transform(col("vec"), v => abs(v.cast("double"))))
-    // The codes table is the SQ8 index artifact — built once, cached
-    // (at 100 TB it is a stored table, like the PQ codes epoch). The
-    // cache is also a Catalyst barrier: without it CollapseProject
-    // inlines `scale` (an array_max over the row) into the dequantize
-    // lambda, and interpreted HOFs re-evaluate it PER ELEMENT — an
-    // O(dim^2) per-row blowup (measured 1.25 s -> 0.3 s at sf0.1).
+    // The codes table is the SQ8 index artifact — one BINARY byte per dim
+    // (the true 4x scan-byte reduction) + a double scale, built once and
+    // cached (at 100 TB it is a stored table, like the PQ codes epoch).
     val codesTable = corpus.select(
       col("id"), scale.as("scale"),
-      transform(col("vec"), v => floor(v.cast("double") * scale).cast("long")).as("codes"))
+      vector.sq8_pack(col("vec"), scale).as("codes"))
       .transform(Dedup.persistOnce)
-    val approx = codesTable.select(col("id"),
-      transform(col("codes"), c => (c.cast("double") / col("scale")).cast("float")).as("vec"))
-    val cands = Knn.exact(queries, approx, candK, metric).select("qid", "id")
+    // first pass: broadcast query batch x codes scan through the fused
+    // dequant-distance kernel (stable compiled loop, no per-pair scratch),
+    // bounded partial top-k — the same shape as the exact flood path but
+    // over int8 bytes
+    val scored = codesTable.crossJoin(broadcast(queries))
+      .select(col("qid"), col("id"),
+        vector.sq8_distance(col("qvec"), col("codes"), col("scale"), metric).as("dist"))
+    val cands = TopKAggregator.topKPerQuery(scored, candK).select("qid", "id")
     rerankExact(cands, queries, corpus, k, metric)
   }
 }
