@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftshims
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/**
+ * Z-order (Morton) clustering — the space-filling-curve layout technique
+ * for multi-dimensional pruning at 100 TB: sort/range-partition by the
+ * interleaved key before writing and parquet row-group min/max statistics
+ * become selective on BOTH dimensions, where a lexicographic sort prunes
+ * only its leading column. (The technique Delta/Iceberg expose as
+ * `OPTIMIZE ... ZORDER BY`; here as a first-class expression + layout
+ * helper.)
+ */
+object ZOrderKernels {
+  /** Morton interleave of the low `bits` bits of two non-negative longs:
+    * bit b of x lands at 2b, bit b of y at 2b+1. */
+  def interleave(x: Long, y: Long, bits: Int): Long = {
+    var z = 0L
+    var b = 0
+    while (b < bits) {
+      z |= ((x >>> b) & 1L) << (2 * b)
+      z |= ((y >>> b) & 1L) << (2 * b + 1)
+      b += 1
+    }
+    z
+  }
+}
+
+/** Codegen'd Morton key of two LONG columns (low `bits` bits each). */
+case class ZValue(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  require(bits > 0 && bits <= 32, s"bits must be in [1, 32], got $bits")
+
+  override def inputTypes: Seq[graftshims.AbstractDataType] = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "zvalue"
+
+  override def nullSafeEval(x: Any, y: Any): Any =
+    ZOrderKernels.interleave(x.asInstanceOf[Long], y.asInstanceOf[Long], bits)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.operators.ZOrderKernels.interleave($x, $y, $bits);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZValue =
+    copy(left = newLeft, right = newRight)
+}
+
+object ZOrder {
+
+  def zvalue(x: Column, y: Column, bits: Int = 16): Column =
+    graftshims.column(ZValue(
+      graftshims.expression(x.cast("long")),
+      graftshims.expression(y.cast("long")), bits))
+
+  /**
+   * Cluster a DataFrame for 2-D pruning: range-partition + sort by the
+   * Morton key, so each output file covers a compact (x, y) tile instead
+   * of a full-width stripe. Written this way the downstream
+   * `filter(x BETWEEN ... AND y BETWEEN ...)` prunes row groups on both
+   * predicates (see ZOrderSpec's bounding-box measurement).
+   */
+  def cluster(df: DataFrame, x: Column, y: Column, partitions: Int,
+      bits: Int = 16): DataFrame = {
+    val keyed = df.withColumn("_z", zvalue(x, y, bits))
+    keyed
+      .repartitionByRange(partitions, keyed.col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+  }
+}

@@ -77,6 +77,60 @@ object TextAnalysis {
         min("cnt").as("min_cnt"),
         max("cnt").as("max_cnt"))
 
+  /**
+   * Misra-Gries summary of a token iterator: at most `capacity` live
+   * counters; every token with local frequency > n/capacity survives.
+   * The classic bounded-memory heavy-hitter sketch (Misra & Gries 1982,
+   * "Finding repeated elements").
+   */
+  private[pipeline] def misraGries(it: Iterator[String], capacity: Int): Seq[String] = {
+    val counts = new scala.collection.mutable.HashMap[String, Long]()
+    while (it.hasNext) {
+      val t = it.next()
+      counts.get(t) match {
+        case Some(c) => counts.update(t, c + 1)
+        case None =>
+          if (counts.size < capacity) counts.update(t, 1L)
+          else {
+            // decrement-all; drop zeros (amortized O(1) per input token)
+            counts.mapValuesInPlace((_, c) => c - 1)
+            counts.filterInPlace((_, c) => c > 0)
+          }
+      }
+    }
+    counts.keys.toSeq
+  }
+
+  /**
+   * Exact top-k tokens by frequency, at 100 TB shuffle cost: phase 1 runs
+   * a per-partition Misra-Gries sketch (bounded memory, narrow) whose
+   * merged candidates PROVABLY contain every token with global frequency
+   * > N/capacity — if a token stays under the local threshold in every
+   * partition, the local counts sum under N/capacity. Phase 2
+   * exact-counts ONLY the candidates (broadcast semi-join), so the wide
+   * shuffle carries |candidates| <= partitions x capacity keys instead
+   * of the full vocabulary. Exactness of the final top-k holds whenever
+   * the k-th count exceeds N/capacity — vastly true for Zipfian text
+   * (guarantee pinned by the spec; independent of partitioning).
+   */
+  def heavyHitters(docs: DataFrame, k: Int, capacity: Int = 4096,
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(text.tokenize(col(textCol))).as("tok"))
+    val cands = toks.as[String]
+      .mapPartitions(it => misraGries(it, capacity).iterator)
+      .toDF("tok").distinct()
+    val counted = toks.join(broadcast(cands), "tok")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("cnt").desc, col("tok").asc)
+    counted
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .orderBy("rank")
+  }
+
   /** PII patterns, written in the RE2-compatible subset shared by Java's
     * regex engine and DuckDB, so the oracle replays the scrub exactly:
     * no backrefs, no lookaround, explicit character classes only. */

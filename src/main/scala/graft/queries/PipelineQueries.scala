@@ -251,6 +251,11 @@ object PipelineQueries {
   private def labelCentroids(spark: SparkSession, dir: String): DataFrame =
     EmbeddingOps.labelCentroids(emb(spark, dir)).orderBy("label", "pos")
 
+  /** Exact top-20 tokens via the Misra-Gries candidate sketch + exact
+    * second pass (TextAnalysis.heavyHitters). */
+  private def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.heavyHitters(docs(spark, dir), k = 20)
+
   /** Corpus vocabulary Zipf histogram (TextAnalysis.tokenHistogram). */
   private def tokenHistogram(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenHistogram(docs(spark, dir)).orderBy("digits")
@@ -329,6 +334,7 @@ object PipelineQueries {
     "dedup_spans" -> (dedupSpans _),
     "pii_scrub" -> (piiScrub _),
     "label_centroids" -> (labelCentroids _),
+    "heavy_hitters" -> (heavyHitters _),
     "text_analysis" -> (textAnalysis _),
     "neardup_exact" -> (neardupExact _),
     "filtered_ann" -> (filteredAnn _),
@@ -637,6 +643,14 @@ object PipelineQueries {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count, text
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "heavy_hitters" ->
+      """WITH t AS (SELECT unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS tok
+        |           FROM documents),
+        |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+        |r AS (SELECT tok, cnt,
+        |        CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INT) AS rank
+        |      FROM c)
+        |SELECT tok, cnt, rank FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
     "label_centroids" ->
       """WITH m AS (SELECT CAST(label AS INT) AS label,
         |  CAST(unnest(range(0, len(embedding))) AS INT) AS pos,

@@ -377,6 +377,20 @@ object RelationalQueries {
         col("l_linestatus").asc_nulls_first)
   }
 
+  /** Morton (Z-order) clustering keys over (user bucket, hour bucket) —
+    * the layout key [[graft.operators.ZOrder.cluster]] sorts by so parquet
+    * row-group stats prune BOTH dimensions (spec measures the tiles). */
+  private def zorderKey(spark: SparkSession, dir: String): DataFrame = {
+    val (ev0, tsIsLong) = eventsWithTs(spark, dir)
+    val base = ev0
+      .select(col("event_id"), (col("user_id") % 1024).as("x"),
+        tsUs(tsIsLong)("ts").as("ts_us"))
+      .select(col("event_id"), col("x"), expr("ts_us div 3600000000 % 1024").as("y"))
+    base.select(col("event_id"), col("x"), col("y"),
+      graft.operators.ZOrder.zvalue(col("x"), col("y"), 16).as("z"))
+      .orderBy("event_id")
+  }
+
   private def eventsAsOf(spark: SparkSession, dir: String): DataFrame = {
     val (ev, tsIsLong) = eventsWithTs(spark, dir)
     val toUs = tsUs(tsIsLong) _
@@ -474,6 +488,7 @@ object RelationalQueries {
     "q_range_window" -> (qRangeWindow _),
     "events_funnel" -> (eventsFunnel _),
     "events_retention" -> (eventsRetention _),
+    "zorder_key" -> (zorderKey _),
     "q_stats" -> (qStats _),
     "q_grouping_sets" -> (qGroupingSets _),
     "events_json" -> (eventsJson _),
@@ -494,6 +509,14 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "zorder_key" ->
+      """WITH b AS (SELECT event_id, user_id % 1024 AS x,
+        |             epoch_us(ts) // 3600000000 % 1024 AS y FROM events)
+        |SELECT event_id, x, y,
+        |  CAST(list_sum(list_transform(range(0, 16), bb ->
+        |    (((x >> bb) & 1) << (2*bb)) + (((y >> bb) & 1) << (2*bb + 1))))
+        |    AS BIGINT) AS z
+        |FROM b ORDER BY event_id""".stripMargin,
     "events_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |v AS (SELECT user_id, min(ts_us) AS t_view FROM e

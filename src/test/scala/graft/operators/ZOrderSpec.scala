@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ZOrderSpec extends SparkSpec {
+
+  test("interleave matches a bit-by-bit reference and de-interleaves") {
+    val rnd = new scala.util.Random(9)
+    for (_ <- 1 to 200) {
+      val x = rnd.nextInt(1 << 16).toLong
+      val y = rnd.nextInt(1 << 16).toLong
+      val z = ZOrderKernels.interleave(x, y, 16)
+      var rx = 0L; var ry = 0L
+      for (b <- 0 until 16) {
+        rx |= ((z >>> (2 * b)) & 1L) << b
+        ry |= ((z >>> (2 * b + 1)) & 1L) << b
+      }
+      assert((rx, ry) == ((x, y)), s"round-trip failed for ($x, $y)")
+    }
+    assert(ZOrderKernels.interleave(0b1010L, 0b0101L, 4) == 0b01100110L)
+  }
+
+  test("z-clustered layout prunes the non-leading dimension; a 1-D sort cannot") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(4)
+    val rows = Seq.fill(20000)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+      .toDF("x", "y")
+    val parts = 16
+
+    // partitions whose (min/max x, min/max y) bounding box — what a
+    // parquet row group's column stats expose — intersects the query
+    // rectangle; everything else is pruned without being read
+    def partitionsHit(df: org.apache.spark.sql.DataFrame,
+        xr: (Long, Long), yr: (Long, Long)): Int =
+      df.withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg(min("x").as("x0"), max("x").as("x1"), min("y").as("y0"), max("y").as("y1"))
+        .filter(col("x1") >= xr._1 && col("x0") <= xr._2 &&
+          col("y1") >= yr._1 && col("y0") <= yr._2)
+        .count().toInt
+
+    val byX = rows.repartitionByRange(parts, col("x")).sortWithinPartitions("x")
+    val byZ = ZOrder.cluster(rows, col("x"), col("y"), parts, bits = 10)
+
+    // a y-narrow query: the x-sorted stripes ALL cover the full y extent,
+    // so none prune; z tiles are square-ish, so only the low-y band reads
+    val yNarrowX = partitionsHit(byX, (0L, 1023L), (0L, 63L))
+    val yNarrowZ = partitionsHit(byZ, (0L, 1023L), (0L, 63L))
+    assert(yNarrowX == parts, s"stripe layout unexpectedly pruned: $yNarrowX")
+    assert(yNarrowZ * 2 <= parts, s"z layout pruned nothing: $yNarrowZ of $parts")
+
+    // and a small 2-D box touches only a few z tiles
+    val boxZ = partitionsHit(byZ, (0L, 127L), (0L, 127L))
+    assert(boxZ <= parts / 4, s"2-D box hit $boxZ of $parts z tiles")
+  }
+}

@@ -120,6 +120,37 @@ class BinaryTextOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 1L, 7L)))
   }
 
+  test("heavyHitters is exact, partitioning-invariant, and MG keeps the guarantee") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(5)
+    // Zipf-ish corpus: token i appears ~ 2000/i times, shuffled into docs
+    val stream = (1 to 60).flatMap(i => Seq.fill(2000 / i)(s"w$i"))
+    val docs = rnd.shuffle(stream).grouped(40).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val naive = stream.groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(10)
+      .zipWithIndex.map { case ((t, c), i) => (t, c.toLong, i + 1) }
+    def run(df: org.apache.spark.sql.DataFrame, cap: Int) =
+      TextAnalysis.heavyHitters(df, k = 10, capacity = cap)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(run(docs, 256) == naive)
+    assert(run(docs.repartition(7), 256) == naive) // partitioning-invariant
+    // tiny capacity still exact while the k-th count > N/capacity
+    val n = stream.size
+    assert(naive.last._2 > n / 64)
+    assert(run(docs.repartition(3), 64) == naive)
+  }
+
+  test("misraGries keeps every token above the n/capacity threshold") {
+    val tokens = Seq.fill(900)("hot") ++ (1 to 2100).map(i => s"cold$i")
+    val kept = TextAnalysis.misraGries(
+      new scala.util.Random(3).shuffle(tokens).iterator, capacity = 8)
+    assert(kept.contains("hot")) // 900 > 3000/8 = 375
+    assert(kept.size <= 8)
+  }
+
   test("piiScrub counts and redacts emails, phones, and IPv4s") {
     val s = spark
     import s.implicits._
