@@ -53,6 +53,9 @@ object GraftExtensions {
     "normalize_vector" -> (es => NormalizeVector(es(0))),
     "minhash_signature" -> (es => MinHashSignature(es(0), 64, 42L)),
     "simhash64" -> (es => SimHash64(es(0), 42L)),
+    "sq8_pack" -> (es => Sq8Pack(es(0), es(1))),
+    "sq8_distance" -> (es => Sq8Distance(es(0), es(1), es(2), Metric.L2)),
+    "zvalue" -> (es => graft.operators.ZValue(es(0), es(1), 16)),
     // text pipeline: same composed-builtin bodies as graft.functions.text
     "graft_tokenize" -> sqlMacro(
       "regexp_extract_all(lower(__arg0), '[a-z0-9]+', 0)") _,

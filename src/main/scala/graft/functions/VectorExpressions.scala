@@ -240,6 +240,29 @@ case class NearPairs(
     copy(vec = f, rowId = s, listId = t)
 }
 
+/** Sign-bit pack, one 32-dim word per call (codegen'd — the builtin
+  * aggregate-HOF formulation runs interpreted with a POWER per element). */
+case class SignPackWord(child: Expression, word: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(word >= 0, s"word must be non-negative, got $word")
+
+  override def inputTypes: Seq[graftshims.AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sign_pack_word"
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.signPackWord(v.asInstanceOf[ArrayData], word)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VectorKernels.signPackWord($v, $word);")
+
+  override protected def withNewChildInternal(c: Expression): SignPackWord =
+    copy(child = c)
+}
+
 /** SQ8 pack: ARRAY<FLOAT> x DOUBLE scale -> BINARY int8 codes (one byte
   * per dim — the true 4x scan-byte reduction the quantizer exists for). */
 case class Sq8Pack(left: Expression, right: Expression)
@@ -347,6 +370,9 @@ object vector {
       metric: Metric.Value,
       maxDist: Double): Column =
     col(NearPairs(expr(v), expr(rowId), expr(listId), probeIdx, metric, maxDist))
+
+  def sign_pack_word(v: Column, word: Int): Column =
+    col(SignPackWord(expr(v), word))
 
   def sq8_pack(v: Column, scale: Column): Column =
     col(Sq8Pack(expr(v), expr(scale)))

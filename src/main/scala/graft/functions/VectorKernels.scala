@@ -66,6 +66,22 @@ object VectorKernels {
       case _             => l2(a, b)
     }
 
+  /** Sign-bit pack, word `word`: bit b set iff v[word*32 + b] > 0 —
+    * operates straight on the columnar ArrayData (no float[] copy).
+    * Bits past the array length stay clear, matching the builtin
+    * formulation's out-of-bounds element_at -> NULL -> no bit. */
+  def signPackWord(v: org.apache.spark.sql.catalyst.util.ArrayData, word: Int): Long = {
+    val base = word * 32
+    val n = v.numElements()
+    var acc = 0L
+    var b = 0
+    while (b < 32 && base + b < n) {
+      if (v.getFloat(base + b) > 0f) acc |= (1L << b)
+      b += 1
+    }
+    acc
+  }
+
   /** SQ8 pack: bytes[i] = floor(x_i * scale). With the symmetric scale
     * 127/max|x| ([[graft.pipeline.EmbeddingOps.quantizeInt8]]) every code
     * lands in [-128, 127], so the byte cast is exact — int8 codes at a

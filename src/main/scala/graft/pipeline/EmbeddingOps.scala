@@ -74,14 +74,6 @@ object EmbeddingOps {
   }
 
   /**
-   * Sign-bit binary quantization, word `w` of the code: bit `b` is set
-   * iff `vec[w*32 + b] > 0` — 32 dims per word, held in a LONG so the
-   * word is always non-negative (and the DuckDB oracle's BIGINT shifts
-   * agree bit for bit). 32x scan-byte reduction vs fp32; Hamming over
-   * the packed words is the standard binary-quantized ANN first pass.
-   * `pow(2, b)` is exact in a double up to 2^52, so the cast is exact.
-   */
-  /**
    * Per-label centroid summaries (class prototypes): the per-dimension
    * mean of every label's vectors, the standard cluster-summary /
    * nearest-class-mean building block. Components are fixed-pointed to
@@ -106,12 +98,15 @@ object EmbeddingOps {
       .withColumn("mean_component",
         col("sum_micros").cast("double") / col("n") / 1e6)
 
+  /**
+   * Sign-bit binary quantization, word `w` of the code: bit `b` is set
+   * iff `vec[w*32 + b] > 0` — 32 dims per word, held in a LONG so the
+   * word is always non-negative (and the DuckDB oracle's BIGINT shifts
+   * agree bit for bit). 32x scan-byte reduction vs fp32; Hamming over
+   * the packed words is the standard binary-quantized ANN first pass.
+   * Native codegen'd kernel — the aggregate-HOF formulation ran
+   * INTERPRETED with a POWER call per element on the corpus-side scan.
+   */
   def signPackWord(vec: Column, word: Int): Column =
-    aggregate(
-      sequence(lit(0), lit(31)),
-      lit(0L),
-      (acc, b) =>
-        acc + when(
-          element_at(vec, (b + lit(word * 32 + 1)).cast("int")) > lit(0f),
-          pow(lit(2.0), b).cast("long")).otherwise(lit(0L)))
+    vector.sign_pack_word(vec, word)
 }

@@ -22,6 +22,22 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getLong(3) !== 0L)
   }
 
+  test("SQL surface: quantization and layout kernels callable from spark.sql") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  sq8_distance(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT)),
+        |    sq8_pack(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT)),
+        |             CAST(254 AS DOUBLE)),
+        |    CAST(254 AS DOUBLE)) AS self_dist,
+        |  zvalue(CAST(10 AS BIGINT), CAST(5 AS BIGINT)) AS z
+        |""".stripMargin).head()
+    // codes 127 and -64 dequantize to 0.5 and ~-0.2519..., so the self
+    // distance is the (tiny) quantization error, not zero
+    assert(row.getDouble(0) >= 0.0 && row.getDouble(0) < 1e-4)
+    assert(row.getLong(1) === graft.operators.ZOrderKernels.interleave(10L, 5L, 16))
+  }
+
   test("SQL surface: text pipeline functions mirror their Column twins") {
     GraftExtensions.register(spark)
     val row = spark.sql(
