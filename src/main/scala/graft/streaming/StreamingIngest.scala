@@ -50,6 +50,35 @@ object StreamingIngest {
         col("event_type"), col("n_events"), col("sum_value"))
 
   /**
+   * Stream-stream interval join: each purchase enriched with the same
+   * user's clicks from the preceding `lookback` — the canonical
+   * attribution join. Both sides carry watermarks and the join condition
+   * bounds event-time distance, which is exactly what lets Spark EXPIRE
+   * buffered rows: state is (lookback + watermark) worth of events per
+   * side, never history. Inner join => results are final on arrival.
+   */
+  def attributionJoin(
+      purchases: DataFrame, // event schema, the left/driving stream
+      clicks: DataFrame, // event schema, the enrichment stream
+      lookback: String = "15 minutes",
+      watermarkDelay: String = "5 minutes"): DataFrame = {
+    val p = purchases
+      .withWatermark("ts", watermarkDelay)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+    val c = clicks
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("click_value"))
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookback"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("purchase_value"), col("c_ts"), col("click_value"))
+  }
+
+  /**
    * Event-time session windows via the NATIVE `session_window` operator —
    * the declarative sibling of [[sessionize]]: Spark merges overlapping
    * per-key gap windows itself and the watermark both admits bounded

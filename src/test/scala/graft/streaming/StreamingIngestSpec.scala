@@ -38,6 +38,33 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join pairs purchases with lookback clicks only") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = StreamingIngest
+      .attributionJoin(purchases.toDF(), clicks.toDF(), lookback = "15 minutes")
+      .writeStream.format("memory").queryName("attr_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(
+        Event(1, ts(0), 7, "click", 1.0), // inside the 15-min lookback
+        Event(2, ts(9), 7, "click", 2.0), // inside
+        Event(3, ts(30), 7, "click", 3.0), // AFTER the purchase — excluded
+        Event(4, ts(9), 8, "click", 4.0)) // other user — excluded
+      purchases.addData(Event(10, ts(10), 7, "purchase", 99.0))
+      q.processAllAvailable()
+      val rows = spark.table("attr_join")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(4), r.getDouble(5)))
+        .sortBy(_._3.getTime)
+      assert(rows.toSeq == Seq(
+        (10L, 7L, ts(0), 1.0),
+        (10L, 7L, ts(9), 2.0)))
+    } finally q.stop()
+  }
+
   test("native session_window merges gap windows and closes them at the watermark") {
     val s = spark
     import s.implicits._
