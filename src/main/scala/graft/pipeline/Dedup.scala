@@ -98,6 +98,68 @@ object Dedup {
       .select(col("keep_id"), col("dup_count"), col(textCol))
 
   /**
+   * Exact dedup, quality-aware: within each identical-text group keep the
+   * preferred row — lexicographically smallest `prefCol` (canonical-source
+   * priority), ties broken by lowest id — instead of blindly keeping the
+   * lowest id. Implemented as a min-of-struct aggregation (field-by-field
+   * lexicographic ordering), which map-side combines: the shuffle carries
+   * one candidate per (partition, text) instead of the window variant's
+   * full per-group sort. Returns (keep_id, keep_<prefCol>, dup_count, text).
+   */
+  def exactKeepBest(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      prefCol: String = "source"): DataFrame =
+    docs
+      .groupBy(col(textCol))
+      .agg(
+        min(struct(col(prefCol), col(idCol))).as("best"),
+        count(lit(1)).as("dup_count"))
+      .select(
+        col("best")(idCol).as("keep_id"),
+        col("best")(prefCol).as(s"keep_$prefCol"),
+        col("dup_count"),
+        col(textCol))
+
+  /**
+   * Edit-distance near-duplicate pairs: all same-language pairs with
+   * Levenshtein distance <= `maxDist`. Candidates come from a length-band
+   * blocking join ([[graft.operators.RangeJoin.band]] on text length):
+   * lev(a,b) <= d forces |len(a)-len(b)| <= d, so banding with radius d
+   * is a lossless pigeonhole — no near-dup pair is ever missed — while the
+   * shuffle stays a linear equi-join on (lang, length-bin) instead of a
+   * per-language nested loop. Verification uses the threshold-banded
+   * Levenshtein (O(maxDist·len) per candidate, not O(len²)); candidates
+   * carry the text payload because every survivor needs the exact distance
+   * anyway — at 100 TB pre-gate with a cheap shingle filter before the DP
+   * if candidate volume dominates.
+   */
+  def editDistancePairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      langCol: String = "lang",
+      maxDist: Int = 24): DataFrame = {
+    val a = docs.select(
+      col(langCol),
+      col(idCol).as("a_id"), col(textCol).as("a_text"),
+      length(col(textCol)).cast("long").as("a_len"))
+    val b = docs.select(
+      col(langCol),
+      col(idCol).as("b_id"), col(textCol).as("b_text"),
+      length(col(textCol)).cast("long").as("b_len"))
+    graft.operators.RangeJoin
+      .band(a, b, Seq(langCol), "a_len", "b_len", radius = maxDist.toLong,
+        rightPayload = Map("b_id" -> "b_id", "b_text" -> "b_text"))
+      .filter(pairUp(col("a_id"), col("b_id")))
+      .withColumn("dist",
+        levenshtein(col("a_text"), col("b_text"), maxDist).cast("long"))
+      .filter(col("dist") >= 0) // banded DP returns -1 past the threshold
+      .select("a_id", "b_id", "dist")
+  }
+
+  /**
    * MinHash + LSH near-duplicate pairs: shingle -> minhash signature ->
    * band keys -> equi-join on (band, key) for candidates -> verify with
    * true n-gram Jaccard -> threshold. One shuffle on the band key; the

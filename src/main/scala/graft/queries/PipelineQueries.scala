@@ -26,6 +26,15 @@ object PipelineQueries {
   private def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(docs(spark, dir)).orderBy("keep_id")
 
+  /** Quality-aware exact dedup: keep the canonical-source copy per group. */
+  private def dedupKeepBest(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactKeepBest(docs(spark, dir)).orderBy("keep_id")
+
+  /** Levenshtein near-dup pairs via lossless length-band blocking. */
+  private def dedupEditDistance(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(docs(spark, dir), maxDist = 24)
+      .orderBy("a_id", "b_id")
+
   /** Shared by dedup_ngram_jaccard and dedup_corpus — persistOnce makes
     * the second entry reuse the first's cached pair set (same plan) rather
     * than recomputing the bounded quadratic anchor. */
@@ -330,6 +339,8 @@ object PipelineQueries {
     "contamination" -> (contamination _),
     "corpus_stats" -> (corpusStats _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_keep_best" -> (dedupKeepBest _),
+    "dedup_edit_distance" -> (dedupEditDistance _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_spans" -> (dedupSpans _),
     "pii_scrub" -> (piiScrub _),
@@ -643,6 +654,21 @@ object PipelineQueries {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count, text
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "dedup_keep_best" ->
+      """WITH r AS (SELECT doc_id, source, text,
+        |    row_number() OVER (PARTITION BY text ORDER BY source, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY text) AS dup_count
+        |  FROM documents)
+        |SELECT doc_id AS keep_id, source AS keep_source, dup_count, text
+        |FROM r WHERE rn = 1 ORDER BY keep_id""".stripMargin,
+    "dedup_edit_distance" ->
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        |FROM documents a JOIN documents b
+        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  AND abs(length(a.text) - length(b.text)) <= 24
+        |WHERE levenshtein(a.text, b.text) <= 24
+        |ORDER BY a_id, b_id""".stripMargin,
     "heavy_hitters" ->
       """WITH t AS (SELECT unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS tok
         |           FROM documents),

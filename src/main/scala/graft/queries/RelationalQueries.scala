@@ -56,6 +56,26 @@ object RelationalQueries {
       .orderBy("n_name")
   }
 
+  /**
+   * Runtime Bloom-filter join pruning ([[graft.operators.BloomJoin]]): the
+   * fact scan drops lineitems whose order key cannot match the filtered
+   * dim side BEFORE the join shuffle — at 100 TB the sketch (~1.2 B/key)
+   * replaces ~80% of the shuffle with a two-hash probe per row, and the
+   * exact join that follows removes the false positives, so results are
+   * bit-identical to the plain join the oracle runs.
+   */
+  private def qBloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val hot = Tables(spark, dir, "orders")
+      .filter(col("o_totalprice") > 400000.0)
+    graft.operators.BloomJoin.innerJoin(li, "l_orderkey", hot, "o_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(discPrice).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Window/top-n per group: top 3 orders by price within each priority. */
   private def topOrders(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir, "orders")
@@ -501,6 +521,7 @@ object RelationalQueries {
     "q_distinct" -> (qDistinct _),
     "q1_agg" -> (q1Agg _),
     "q3_join" -> (q3Join _),
+    "bloom_join" -> (qBloomJoin _),
     "top_orders_window" -> (topOrders _),
     "events_hourly" -> (eventsHourly _),
     "q_semi_anti" -> (qSemiAnti _),
@@ -641,6 +662,13 @@ object RelationalQueries {
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "bloom_join" ->
+      s"""SELECT o_orderpriority,
+        |  CAST(sum($sqlDiscPrice) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q3_join" ->
       s"""SELECT n_name,
         |  CAST(sum($sqlDiscPrice) AS DOUBLE) AS revenue,

@@ -486,6 +486,67 @@ class PipelineSpec extends SparkSpec {
     assert(r(1) === Seq.empty)
     assert(r(2) === Seq.empty)
   }
+
+  test("keep-best dedup prefers the canonical source, then the lowest id") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (10L, "same text", "srcB"),
+      (3L, "same text", "srcA"),  // smaller source wins despite larger... no: 3 < 10 anyway
+      (7L, "same text", "srcA"),  // srcA tie -> id 3 beats 7
+      (1L, "same text", "srcC"),  // lowest id overall but worst source: must NOT win
+      (20L, "unique", "srcZ"))
+      .toDF("doc_id", "text", "source")
+    val r = Dedup.exactKeepBest(d).orderBy("keep_id").collect()
+    assert(r.length === 2)
+    val grp = r.find(_.getLong(2) === 4L).get
+    assert(grp.getLong(0) === 3L)          // keep_id: srcA, then min id
+    assert(grp.getString(1) === "srcA")    // keep_source
+    val uniq = r.find(_.getLong(2) === 1L).get
+    assert(uniq.getLong(0) === 20L)
+  }
+
+  test("edit-distance pairs: lossless length banding, banded DP threshold") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (0L, "abcdefghij", "en"),        // dist 1 to doc 1 (one substitution)
+      (1L, "abcdefghiX", "en"),
+      (2L, "abcdefghijklmnop", "en"),  // dist 6 to doc 0 (6 inserts) — inside radius
+      (3L, "zzzzzzzzzz", "en"),        // same length as 0, far away
+      (4L, "abcdefghij", "de"),        // identical text, different lang: never pairs
+      (5L, "abcdefghij" * 10, "en"))   // way outside the band of the others
+      .toDF("doc_id", "text", "lang")
+    val pairs = Dedup.editDistancePairs(d, maxDist = 6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs((0L, 1L)) === 1L)
+    assert(pairs((0L, 2L)) === 6L)
+    assert(!pairs.contains((1L, 2L))) // X->j sub + 6 inserts = 7 > threshold
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L), s"cross-lang pair: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+    // the far-but-same-length doc must be compared (band can't exclude it) and rejected
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("edit-distance pairs match a brute-force levenshtein join") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcd"
+    def randStr(n: Int) = (0 until n).map(_ => alphabet(rnd.nextInt(4))).mkString
+    val base = (0L until 60L).map(i => (i, randStr(8 + rnd.nextInt(12)), "en"))
+    val d = base.toDF("doc_id", "text", "lang")
+    val got = Dedup.editDistancePairs(d, maxDist = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val brute = d.select(col("doc_id").as("a_id"), col("text").as("a_text"))
+      .crossJoin(d.select(col("doc_id").as("b_id"), col("text").as("b_text")))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("dist", levenshtein(col("a_text"), col("b_text")).cast("long"))
+      .filter(col("dist") <= 5)
+      .select("a_id", "b_id", "dist")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got === brute)
+  }
 }
 
 object PipelineSpec {
