@@ -79,6 +79,38 @@ object Knn {
   }
 
   /**
+   * Range search: ALL (qid, id, dist) pairs with dist <= radius, exact —
+   * the fixed-radius sibling of top-k (FAISS `range_search`; the
+   * reference's top-k-only surface has no analog, so this is extension
+   * surface). Unlike top-k there is no per-query state to bound: the
+   * result IS the filtered candidate set, so the plan is a single corpus
+   * scan against the broadcast query batch with the codegen'd distance
+   * kernel inside the scan's filter — no shuffle, no aggregation, output
+   * cardinality is the only data-dependent cost. At 100 TB this is the
+   * cheapest possible shape (embarrassingly parallel over corpus splits);
+   * callers bound the radius, not the engine.
+   *
+   * The radius predicate is the ONLY filter on purpose: `dist <= radius`
+   * already rejects NaN (NaN compares greatest) and null, and a separate
+   * null/NaN pre-filter would be substituted into the join condition by
+   * CollapseProject + pushdown, re-evaluating the distance kernel once
+   * per conjunct per (query, vector) pair (the 3x-evaluation trap this
+   * file's top-k paths were rebuilt to avoid — pinned by the plan spec).
+   */
+  def range(
+      queries: DataFrame,
+      vectors: DataFrame,
+      radius: Double,
+      metric: Metric.Value = Metric.L2): DataFrame = {
+    val qdf = queries.select(col("qid"), col("qvec"))
+    vectors.select(col("id"), col("vec"))
+      .crossJoin(broadcast(qdf))
+      .withColumn("dist", vector.distance(col("qvec"), col("vec"), metric))
+      .filter(col("dist") <= radius)
+      .select("qid", "id", "dist")
+  }
+
+  /**
    * Rank-limit per query with the reference's deterministic
    * (dist, id) tie order (std::sort on pair<float,uint64>,
    * ivf_flat_index.cpp:493). Input needs columns qid, id, dist.

@@ -43,6 +43,20 @@ object VectorQueries {
         e.select(col("vec_id").as("id"), col("embedding").as("vec")), nlist, m)
     }
 
+  /** Squared-L2 radius for range_search (~0.5% of pairs on this corpus). */
+  private val RangeRadius = 1.35
+
+  /** Fixed-radius exact range search ([[graft.index.Knn.range]]): one
+    * corpus scan, kernel-in-filter, no shuffle — the FAISS range_search
+    * sibling of top-k. */
+  private def rangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val queries = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    graft.index.Knn.range(queries, vectors, RangeRadius).orderBy("qid", "id")
+  }
+
   private def knnExact(metric: Metric.Value)(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val queries = e.filter(col("vec_id") < NQ)
@@ -522,6 +536,7 @@ object VectorQueries {
     "knn_exact_l2" -> knnExact(Metric.L2) _,
     "knn_exact_ip" -> knnExact(Metric.InnerProduct) _,
     "knn_exact_cosine" -> knnExact(Metric.Cosine) _,
+    "range_search" -> (rangeSearch _),
     "normalize_vectors" -> (normalizeVectors _),
     "assign_lists" -> (assignLists _),
     "ivf_search_full" -> (ivfSearchFull _),
@@ -659,6 +674,12 @@ object VectorQueries {
     "hamming_ann" -> hammingOracleSql,
     "hamming_rerank" -> hammingRerankOracleSql,
     "sq8_rerank" -> sq8RerankOracleSql,
+    "range_search" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $NQ),
+         |d AS (SELECT q.qid, v.vec_id AS id, ${sqlL2("q.qv", "v.embedding")} AS dist
+         |      FROM q, embeddings v)
+         |SELECT qid, id, dist FROM d WHERE dist <= $RangeRadius
+         |ORDER BY qid, id""".stripMargin,
     "knn_exact_l2" -> knnOracle(sqlL2("q.qv", "v.embedding")),
     "knn_exact_ip" -> knnOracle(sqlIp("q.qv", "v.embedding")),
     "knn_exact_cosine" -> knnOracle(sqlCosine("q.qv", "v.embedding")),
