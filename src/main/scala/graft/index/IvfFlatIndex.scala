@@ -199,6 +199,85 @@ class IvfFlatIndex(
   def searchExact(queries: DataFrame, k: Int,
       metricOverride: Option[Metric.Value] = None): DataFrame =
     Knn.exact(queries, vectors.select("id", "vec"), k, metricOverride.getOrElse(metric))
+
+  /**
+   * Per-list covering radii: max true-L2 distance from any member to its
+   * centroid, indexed by list_id (empty lists -> 0). One map-side-combined
+   * aggregation over the corpus, collected as nlist doubles (bounded
+   * metadata, like the probe pairs); computed once per index.
+   */
+  lazy val listRadii: Array[Double] = {
+    val cmap = new java.util.HashMap[java.lang.Long, Array[Float]]()
+    centroids.value.zipWithIndex.foreach { case (c, i) => cmap.put(i.toLong, c) }
+    val bcC = spark.sparkContext.broadcast(cmap)
+    val rows = vectors
+      .select(col("list_id").cast("long").as("lid"), col("vec"))
+      .groupBy("lid")
+      .agg(max(graft.functions.vector
+        .distance_to_query(col("vec"), col("lid"), bcC, Metric.L2)).as("maxd"))
+      .collect()
+    val radii = Array.fill(nlist)(0.0)
+    rows.foreach(r => radii(r.getLong(0).toInt) = math.sqrt(r.getDouble(1)))
+    radii
+  }
+
+  /** Candidate (qid, list_id) pairs for a fixed-radius search: a list
+    * survives iff the query ball intersects the list's covering ball —
+    * ||q − c|| <= sqrt(radius) + maxR(list). Reverse triangle inequality
+    * makes the prune EXACT (no false dismissals): for any x in the list,
+    * ||q − x|| >= ||q − c|| − ||x − c|| >= ||q − c|| − maxR. */
+  private[index] def rangeProbe(
+      batch: Array[(Long, Array[Float])], radius: Double): Array[(Long, Int)] = {
+    val r = math.sqrt(radius)
+    val radii = listRadii
+    val cents = centroids.value
+    batch.flatMap { case (qid, qv) =>
+      (0 until nlist).iterator
+        .filter(l => math.sqrt(graft.functions.VectorKernels.l2(qv, cents(l))) <= r + radii(l))
+        .map(l => (qid, l))
+    }
+  }
+
+  /**
+   * Exact fixed-radius range search ([[Knn.range]] semantics) with IVF
+   * list pruning: only lists whose covering ball intersects a query ball
+   * are scanned, and the pruned lists reach the parquet scan as a
+   * `list_id IN (...)` PartitionFilter like the static top-k path — on a
+   * 100 TB epoch the scan reads only the intersecting partitions. Results
+   * are bit-identical to the brute-force scan (the prune is a metric-space
+   * bound, not a heuristic). L2 only: the bound needs a true metric, which
+   * inner-product distance is not and this engine's cosine is only after
+   * normalization. Unbounded query sets fall back to the full scan.
+   */
+  def rangeSearch(queries: DataFrame, radius: Double): DataFrame = {
+    require(metric == Metric.L2, s"rangeSearch needs a metric-space bound; got $metric")
+    val qdf = queries.select(col("qid"), col("qvec"))
+    IvfFlatIndex.snapshotQueries(qdf).batch match {
+      case Some(batch) =>
+        val live = batch.filter(_._2 != null)
+        val pairs = rangeProbe(live, radius)
+        val sp = spark
+        import sp.implicits._
+        if (pairs.isEmpty) return Seq.empty[(Long, Long, Double)].toDF("qid", "id", "dist")
+        val qmap = new java.util.HashMap[java.lang.Long, Array[Float]]()
+        live.foreach { case (qid, qv) => qmap.put(qid, qv) }
+        val bcQ = spark.sparkContext.broadcast(qmap)
+        val probed = pairs.toSeq.toDF("qid", "list_id")
+        vectors
+          .filter(col("list_id").isInCollection(pairs.map(_._2).distinct.toSeq))
+          .select(col("id").cast("long"), col("list_id").cast("int"), col("vec"))
+          .join(broadcast(probed), "list_id")
+          // single-conjunct radius filter — see Knn.range: extra conjuncts
+          // would be substituted into the join condition and re-evaluate
+          // the kernel once per conjunct per candidate
+          .withColumn("dist", graft.functions.vector
+            .distance_to_query(col("vec"), col("qid"), bcQ, Metric.L2))
+          .filter(col("dist") <= radius)
+          .select("qid", "id", "dist")
+      case None =>
+        Knn.range(qdf, vectors.select("id", "vec"), radius, metric)
+    }
+  }
 }
 
 object IvfFlatIndex {

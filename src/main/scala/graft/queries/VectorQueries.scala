@@ -57,6 +57,17 @@ object VectorQueries {
     graft.index.Knn.range(queries, vectors, RangeRadius).orderBy("qid", "id")
   }
 
+  /** Same semantics through the IVF index: covering-ball list pruning
+    * (exact — reverse triangle inequality), so the pruned scan reads only
+    * intersecting lists. Same oracle as range_search because the prune
+    * never drops an in-radius pair. */
+  private def ivfRangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val queries = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    ivfIndex(spark, dir, 16).rangeSearch(queries, RangeRadius).orderBy("qid", "id")
+  }
+
   private def knnExact(metric: Metric.Value)(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val queries = e.filter(col("vec_id") < NQ)
@@ -524,6 +535,13 @@ object VectorQueries {
        |SELECT qid, id, dist, rank FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
   }
 
+  private lazy val rangeOracleSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $NQ),
+       |d AS (SELECT q.qid, v.vec_id AS id, ${sqlL2("q.qv", "v.embedding")} AS dist
+       |      FROM q, embeddings v)
+       |SELECT qid, id, dist FROM d WHERE dist <= $RangeRadius
+       |ORDER BY qid, id""".stripMargin
+
   private def knnOracle(distExpr: String): String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $NQ),
        |d AS (SELECT q.qid, v.vec_id AS id, ${distExpr} AS dist FROM q, embeddings v),
@@ -537,6 +555,7 @@ object VectorQueries {
     "knn_exact_ip" -> knnExact(Metric.InnerProduct) _,
     "knn_exact_cosine" -> knnExact(Metric.Cosine) _,
     "range_search" -> (rangeSearch _),
+    "ivf_range_search" -> (ivfRangeSearch _),
     "normalize_vectors" -> (normalizeVectors _),
     "assign_lists" -> (assignLists _),
     "ivf_search_full" -> (ivfSearchFull _),
@@ -674,12 +693,8 @@ object VectorQueries {
     "hamming_ann" -> hammingOracleSql,
     "hamming_rerank" -> hammingRerankOracleSql,
     "sq8_rerank" -> sq8RerankOracleSql,
-    "range_search" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $NQ),
-         |d AS (SELECT q.qid, v.vec_id AS id, ${sqlL2("q.qv", "v.embedding")} AS dist
-         |      FROM q, embeddings v)
-         |SELECT qid, id, dist FROM d WHERE dist <= $RangeRadius
-         |ORDER BY qid, id""".stripMargin,
+    "range_search" -> rangeOracleSql,
+    "ivf_range_search" -> rangeOracleSql,
     "knn_exact_l2" -> knnOracle(sqlL2("q.qv", "v.embedding")),
     "knn_exact_ip" -> knnOracle(sqlIp("q.qv", "v.embedding")),
     "knn_exact_cosine" -> knnOracle(sqlCosine("q.qv", "v.embedding")),

@@ -49,6 +49,41 @@ class RangeSearchSpec extends SparkSpec {
     assert(kernelCount === 1, s"distance evaluated $kernelCount times per pair:\n$plan")
   }
 
+  test("IVF range search is bit-identical to the brute-force scan") {
+    val index = IvfFlatIndex.build(spark, vectorsDF(corpus), nlist = 8)
+    val allD = for { (_, qv) <- queries; (_, v) <- corpus }
+      yield VectorKernels.distance(qv, v, Metric.L2.id)
+    val radius = allD.sorted.apply(allD.size / 20)
+    val got = index.rangeSearch(queriesDF(queries), radius)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got === brute(radius, Metric.L2))
+  }
+
+  test("covering-ball pruning skips lists that cannot intersect the query ball") {
+    // two tight, well-separated clusters: queries sit in cluster A, so
+    // cluster B's lists must be pruned from the probe pairs
+    val rnd = new scala.util.Random(3)
+    def jitter(center: Float) = Array.fill(dim)(center + rnd.nextFloat() * 0.1f)
+    val a = (0L until 100L).map(i => (i, jitter(0f)))
+    val b = (100L until 200L).map(i => (i, jitter(50f)))
+    val index = IvfFlatIndex.build(spark, vectorsDF(a ++ b), nlist = 4)
+    val qs = (0L until 3L).map(i => (i, jitter(0f))).toArray
+    val radius = 4.0 // squared — tiny vs the ~(50*sqrt(dim))^2 gap
+    val probed = index.rangeProbe(qs, radius).map(_._2).toSet
+    val bLists = index.vectors.filter(col("id") >= 100L)
+      .select("list_id").distinct().collect().map(_.getInt(0)).toSet
+    assert(probed.intersect(bLists).isEmpty,
+      s"far cluster's lists $bLists not pruned: probed $probed")
+    // and the pruned search still finds every in-radius pair
+    val got = index.rangeSearch(queriesDF(qs.toSeq), radius)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (qid, qv) <- qs.toSeq; (id, v) <- a ++ b
+      if VectorKernels.l2(qv, v) <= radius
+    } yield (qid, id)).toSet
+    assert(got === want)
+  }
+
   test("range_search driver-gate query is non-empty and radius-bounded on sf0.001") {
     val df = graft.queries.VectorQueries
       .queries("range_search")(spark, "/root/testdata/sf0.001")
