@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshims
@@ -177,6 +177,37 @@ object TextKernels {
     out
   }
 
+  /** Saturating byte histogram (256 bins, counts capped at 255) over a
+    * string's UTF-8 bytes — the per-DOC half of the edit-distance count
+    * filter: computed once per row, 256 bytes of payload. */
+  def byteHist(s: org.apache.spark.unsafe.types.UTF8String): Array[Byte] = {
+    val n = s.numBytes
+    val h = new Array[Int](256)
+    var i = 0
+    while (i < n) { h(s.getByte(i) & 0xFF) += 1; i += 1 }
+    val out = new Array[Byte](256)
+    i = 0
+    while (i < 256) { out(i) = math.min(h(i), 255).toByte; i += 1 }
+    out
+  }
+
+  /** L1 distance between two saturating byte histograms. One edit changes
+    * at most two bins by one each, so lev(a,b) <= d implies L1 <= 2d —
+    * and saturation only ever UNDERESTIMATES a bin's true difference
+    * (min(·,255) is monotone), so the bound stays safe: filtering on
+    * L1 <= 2d can admit extra candidates but never drops a true pair. */
+  def histL1(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var s = 0
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+      s += (if (d < 0) -d else d)
+      i += 1
+    }
+    s
+  }
+
 }
 
 /** Word n-grams of an ARRAY<STRING> token column (codegen'd kernel). */
@@ -259,6 +290,49 @@ case class SimHash64(child: Expression, seed: Long,
 }
 
 /** Column-level text functions (composed built-ins where possible). */
+/** Saturating 256-bin byte histogram of a STRING, as BINARY. */
+case class ByteHist(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftshims.AbstractDataType] =
+    Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "byte_hist"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.byteHist(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.TextKernels.byteHist($v);")
+
+  override protected def withNewChildInternal(c: Expression): ByteHist =
+    copy(child = c)
+}
+
+/** L1 distance between two byte histograms (edit-distance count filter). */
+case class HistL1(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftshims.AbstractDataType] =
+    Seq(BinaryType, BinaryType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hist_l1"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.histL1(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextKernels.histL1($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HistL1 =
+    copy(left = newLeft, right = newRight)
+}
+
 object text {
   import org.apache.spark.sql.functions._
 
@@ -272,6 +346,12 @@ object text {
   /** Word n-grams as space-joined strings over a token array. */
   def word_ngrams(tokens: Column, n: Int): Column =
     col(WordNgrams(ex(tokens), n))
+
+  /** Saturating 256-bin byte histogram (BINARY) — see [[TextKernels.byteHist]]. */
+  def byte_hist(c: Column): Column = col(ByteHist(ex(c)))
+
+  /** L1 distance between two byte histograms — see [[TextKernels.histL1]]. */
+  def hist_l1(a: Column, b: Column): Column = col(HistL1(ex(a), ex(b)))
 
   def minhash_signature(tokens: Column, numHashes: Int = 64, seed: Long = 42L,
       family: HashFamily = HashFamily.Xxh64): Column =

@@ -528,6 +528,26 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.contains((0L, 3L)))
   }
 
+  test("count-filter bound: hist L1 <= 2x levenshtein on random string pairs") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(13)
+    def randStr(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (_ <- 0 until 200) {
+      val a = randStr(5 + rnd.nextInt(40)); val b = randStr(5 + rnd.nextInt(40))
+      val l1 = graft.functions.TextKernels.histL1(
+        graft.functions.TextKernels.byteHist(UTF8String.fromString(a)),
+        graft.functions.TextKernels.byteHist(UTF8String.fromString(b)))
+      assert(l1 <= 2 * lev(a, b), s"bound violated: '$a' vs '$b' l1=$l1 lev=${lev(a, b)}")
+    }
+  }
+
   test("edit-distance pairs match a brute-force levenshtein join") {
     val s = spark
     import s.implicits._
