@@ -130,6 +130,27 @@ object RelationalQueries {
       .orderBy("hour", "event_type")
   }
 
+  /**
+   * Rank-family window coverage: dense_rank / percent_rank / cume_dist
+   * over a deliberately tie-rich bucket ordering (rank semantics over
+   * peers are the point), and ntile over a fully deterministic
+   * (price, key) order — ntile splits peer groups by physical row order,
+   * so a tie-rich ordering would be nondeterministic across engines.
+   */
+  private def qRankFamily(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .withColumn("price_bucket", floor(col("o_totalprice") / 10000).cast("long"))
+    val wb = Window.partitionBy("o_orderpriority").orderBy(col("price_bucket").desc)
+    val wt = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.select(col("o_orderpriority"), col("o_orderkey"), col("price_bucket"),
+        dense_rank().over(wb).as("drk"),
+        percent_rank().over(wb).as("prk"),
+        cume_dist().over(wb).as("cd"),
+        ntile(4).over(wt).as("quartile"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
   /** Semi/anti join coverage: customers with vs without any order. */
   private def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables(spark, dir, "customer")
@@ -523,6 +544,7 @@ object RelationalQueries {
     "q3_join" -> (q3Join _),
     "bloom_join" -> (qBloomJoin _),
     "top_orders_window" -> (topOrders _),
+    "q_rank_family" -> (qRankFamily _),
     "events_hourly" -> (eventsHourly _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_rollup" -> (qRollup _),
@@ -684,6 +706,19 @@ object RelationalQueries {
         |SELECT o_orderpriority, o_orderkey, o_totalprice, rank_in_priority
         |FROM r WHERE rank_in_priority <= 3
         |ORDER BY o_orderpriority, rank_in_priority""".stripMargin,
+    "q_rank_family" ->
+      """WITH b AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    CAST(floor(o_totalprice / 10000) AS BIGINT) AS price_bucket FROM orders)
+        |SELECT o_orderpriority, o_orderkey, price_bucket,
+        |  CAST(dense_rank() OVER wb AS INT) AS drk,
+        |  percent_rank() OVER wb AS prk,
+        |  cume_dist() OVER wb AS cd,
+        |  CAST(ntile(4) OVER wt AS INT) AS quartile
+        |FROM b
+        |WINDOW wb AS (PARTITION BY o_orderpriority ORDER BY price_bucket DESC),
+        |       wt AS (PARTITION BY o_orderpriority
+        |              ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type,

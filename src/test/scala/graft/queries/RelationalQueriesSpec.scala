@@ -118,4 +118,29 @@ class RelationalQueriesSpec extends SparkSpec {
         s"$flag supps: approx $as vs exact $s")
     }
   }
+
+  test("q_rank_family: rank invariants hold per partition on the real orders") {
+    assume(new java.io.File(s"$dir/orders.parquet").exists)
+    val rows = RelationalQueries.queries("q_rank_family")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getInt(3), r.getDouble(4),
+        r.getDouble(5), r.getInt(6)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (prio, g) =>
+      val n = g.length
+      // cume_dist spans (0, 1] and is monotone in the bucket ordering
+      assert(g.map(_._5).max === 1.0, prio)
+      assert(g.map(_._5).min > 0.0)
+      // percent_rank of the top bucket is 0
+      assert(g.filter(_._3 == 1).forall(_._4 === 0.0), prio)
+      // equal buckets share drk/prk/cd (peer semantics)
+      g.groupBy(_._2).foreach { case (_, peers) =>
+        assert(peers.map(t => (t._3, t._4, t._5)).distinct.size === 1, prio)
+      }
+      // quartiles partition the rows with sizes within 1 of each other
+      val sizes = g.groupBy(_._6).values.map(_.size)
+      assert(sizes.sum === n)
+      assert(sizes.max - sizes.min <= 1, s"$prio quartile sizes $sizes")
+    }
+  }
 }
