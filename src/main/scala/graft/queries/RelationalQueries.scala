@@ -151,6 +151,40 @@ object RelationalQueries {
       .orderBy("o_orderpriority", "o_orderkey")
   }
 
+  /**
+   * Sliding (hopping) windows — the third time-window family next to
+   * tumbling (events_hourly) and session (q_sessions): 1-hour windows
+   * every 30 minutes, so each event lands in exactly two windows. The
+   * NTZ path uses Spark's own `window()` (the TimeWindowing rule expands
+   * the slide into the per-row window set); the legacy LONG-nanos path
+   * derives the two window starts arithmetically. Window starts align to
+   * the epoch 30-minute grid in both engines.
+   */
+  private def eventsSliding(spark: SparkSession, dir: String): DataFrame = {
+    val (ev, tsIsLong) = eventsWithTs(spark, dir)
+    val agged =
+      if (tsIsLong)
+        ev.withColumn("k", explode(array(lit(0L), lit(1L))))
+          .withColumn("win_start",
+            date_format(
+              timestamp_seconds((expr("ts div 1800000000000") - col("k")) * 1800),
+              "yyyy-MM-dd HH:mm:ss"))
+          .groupBy(col("win_start"), col("event_type"))
+      else
+        ev.groupBy(window(col("ts"), "1 hour", "30 minutes").as("win"),
+          col("event_type"))
+    val out = agged.agg(
+      count(lit(1)).as("n_events"),
+      sum(floor(col("value") * 100).cast("long")).as("sum_value_cents"))
+    val named =
+      if (tsIsLong) out
+      else out
+        .withColumn("win_start", date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss"))
+        .drop("win")
+    named.select("win_start", "event_type", "n_events", "sum_value_cents")
+      .orderBy("win_start", "event_type")
+  }
+
   /** Semi/anti join coverage: customers with vs without any order. */
   private def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables(spark, dir, "customer")
@@ -546,6 +580,7 @@ object RelationalQueries {
     "top_orders_window" -> (topOrders _),
     "q_rank_family" -> (qRankFamily _),
     "events_hourly" -> (eventsHourly _),
+    "events_sliding" -> (eventsSliding _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_rollup" -> (qRollup _),
     "q_sessions" -> (qSessions _),
@@ -756,6 +791,17 @@ object RelationalQueries {
         |  count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "events_sliding" ->
+      """WITH w AS (SELECT event_type, value,
+        |    date_trunc('hour', ts)
+        |      + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+        |             ELSE INTERVAL 0 MINUTE END
+        |      - to_minutes(30 * k) AS win_ts
+        |  FROM events, (SELECT unnest([0, 1]) AS k))
+        |SELECT strftime(win_ts, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "q_sessions" ->
       """WITH g AS (SELECT user_id, ts, event_id,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

@@ -119,6 +119,17 @@ class RelationalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("events_sliding: every event lands in exactly two 30-min-aligned windows") {
+    assume(new java.io.File(s"$dir/events.parquet").exists)
+    val total = spark.read.parquet(s"$dir/events.parquet").count()
+    val rows = RelationalQueries.queries("events_sliding")(spark, dir).collect()
+    assert(rows.map(_.getLong(2)).sum === 2 * total)
+    rows.foreach { r =>
+      val mins = r.getString(0).substring(14, 16).toInt
+      assert(mins == 0 || mins == 30, s"unaligned window start ${r.getString(0)}")
+    }
+  }
+
   test("q_rank_family: rank invariants hold per partition on the real orders") {
     assume(new java.io.File(s"$dir/orders.parquet").exists)
     val rows = RelationalQueries.queries("q_rank_family")(spark, dir)
