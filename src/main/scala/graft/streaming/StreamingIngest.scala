@@ -50,6 +50,28 @@ object StreamingIngest {
         col("event_type"), col("n_events"), col("sum_value"))
 
   /**
+   * Sliding (hopping) window rollup — the streaming mirror of the batch
+   * `events_sliding` entry: each event lands in length/slide windows, all
+   * maintained concurrently in watermark-bounded state. State size is
+   * (length/slide) x live-window count, not history — the overlap factor
+   * is the only cost of the smoother trend line.
+   */
+  def slidingCounts(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      slide: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength, slide), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /**
    * Stream-stream interval join: each purchase enriched with the same
    * user's clicks from the preceding `lookback` — the canonical
    * attribution join. Both sides carry watermarks and the join condition

@@ -38,6 +38,31 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding counts place each event in length/slide concurrent windows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingIngest
+      .slidingCounts(mem.toDF(), windowLength = "10 minutes",
+        slide = "5 minutes", watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("slide_counts")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(
+        Event(1, ts(7), 1, "click", 1.0), // windows starting at 0 and 5
+        Event(2, ts(8), 2, "click", 2.0)) // same two windows
+      q.processAllAvailable()
+      val rows = spark.table("slide_counts").collect()
+      // both events in both overlapping windows
+      assert(rows.length === 2)
+      assert(rows.forall(_.getLong(2) === 2L))
+      assert(rows.forall(_.getDouble(3) === 3.0))
+      val starts = rows.map(_.getTimestamp(0).getTime).sorted
+      assert(starts(1) - starts(0) === 5 * 60 * 1000L) // one slide apart
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join pairs purchases with lookback clicks only") {
     val s = spark
     import s.implicits._
