@@ -56,6 +56,8 @@ object GraftExtensions {
     "sq8_pack" -> (es => Sq8Pack(es(0), es(1))),
     "sq8_distance" -> (es => Sq8Distance(es(0), es(1), es(2), Metric.L2)),
     "zvalue" -> (es => graft.operators.ZValue(es(0), es(1), 16)),
+    "byte_hist" -> (es => ByteHist(es(0))),
+    "hist_l1" -> (es => HistL1(es(0), es(1))),
     // text pipeline: same composed-builtin bodies as graft.functions.text
     "graft_tokenize" -> sqlMacro(
       "regexp_extract_all(lower(__arg0), '[a-z0-9]+', 0)") _,

@@ -196,6 +196,22 @@ object RelationalQueries {
     withO.unionAll(withoutO).orderBy("c_custkey")
   }
 
+  /** Full-outer-join coverage (completes the join-type family): nations'
+    * customer counts vs their HIGH-BALANCE supplier counts — the balance
+    * filter guarantees unmatched rows on both null-filled sides. */
+  private def qFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"))
+    val s = Tables(spark, dir, "supplier")
+      .filter(col("s_acctbal") > 9000.0)
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n_supp"))
+    c.join(s, c("c_nationkey") === s("s_nationkey"), "full_outer")
+      .select(
+        coalesce(c("c_nationkey"), s("s_nationkey")).as("nationkey"),
+        col("n_cust"), col("n_supp"))
+      .orderBy("nationkey")
+  }
+
   /** Rollup coverage: subtotal + grand-total rows with grouping ids. */
   private def qRollup(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
@@ -582,6 +598,7 @@ object RelationalQueries {
     "events_hourly" -> (eventsHourly _),
     "events_sliding" -> (eventsSliding _),
     "q_semi_anti" -> (qSemiAnti _),
+    "q_full_outer" -> (qFullOuter _),
     "q_rollup" -> (qRollup _),
     "q_sessions" -> (qSessions _),
   )
@@ -784,6 +801,13 @@ object RelationalQueries {
         |SELECT c_custkey, 'orders_only' AS tag FROM (
         |  SELECT c_custkey FROM wo EXCEPT SELECT c_custkey FROM ln)
         |ORDER BY c_custkey, tag""".stripMargin,
+    "q_full_outer" ->
+      """WITH c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1),
+        |s AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier
+        |      WHERE s_acctbal > 9000 GROUP BY 1)
+        |SELECT coalesce(c_nationkey, s_nationkey) AS nationkey, n_cust, n_supp
+        |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+        |ORDER BY nationkey""".stripMargin,
     "q_rollup" ->
       """SELECT CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
         |  l_returnflag, l_linestatus,

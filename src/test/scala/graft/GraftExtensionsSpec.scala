@@ -38,6 +38,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getLong(1) === graft.operators.ZOrderKernels.interleave(10L, 5L, 16))
   }
 
+  test("SQL surface: edit-distance count-filter kernels callable from spark.sql") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  hist_l1(byte_hist('abc'), byte_hist('abd')) AS l1_one_sub,
+        |  hist_l1(byte_hist('abc'), byte_hist('abc')) AS l1_same,
+        |  length(byte_hist('abc')) AS hist_len
+        |""".stripMargin).head()
+    assert(row.getInt(0) === 2) // one substitution moves two bins by one
+    assert(row.getInt(1) === 0)
+    assert(row.getInt(2) === 256)
+  }
+
   test("SQL surface: text pipeline functions mirror their Column twins") {
     GraftExtensions.register(spark)
     val row = spark.sql(
