@@ -144,6 +144,13 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       IvfFlatIndex.writeEpoch(IvfFlatIndex.assign(source, bc), s"$path/vectors")
       progress.set(0.8)
       writeCentroids(cents, s"$path/centroids")
+      // covering radii for range search: one aggregation over the written
+      // epoch now saves every serving process its own corpus pass later
+      locally {
+        val built = new IvfFlatIndex(spark,
+          IvfFlatIndex.readEpoch(spark, s"$path/vectors"), bc, manifest.metric)
+        IvfFlatIndex.writeListRadiiTable(spark, built.listRadii, s"$path/radii")
+      }
 
       val shardCounts = spark.read.parquet(s"$path/vectors")
         .groupBy("list_id").count().collect()
@@ -213,6 +220,14 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       val added = assigned.count()
       if (added > 0) {
         IvfFlatIndex.appendToEpoch(assigned, s"$path/vectors")
+        // appended rows can GROW lists: a stale persisted covering-radius
+        // bound would falsely dismiss them from range searches — drop the
+        // table; the reload below recomputes lazily on first range use
+        locally {
+          val radiiDir = new java.io.File(s"$path/radii")
+          if (radiiDir.exists)
+            scala.reflect.io.Directory(radiiDir).deleteRecursively()
+        }
         // manifest read-modify-write + reload serialized per index so
         // concurrent adds cannot lose counts
         stateLock(name).synchronized {
@@ -285,8 +300,15 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
         stats.put(listId, (c + hits.length, now))
       }
     }
-    served.put(name,
-      Served(manifest, new IvfFlatIndex(spark, vectors, bc, manifest.metric, listener), epochId))
+    val index = new IvfFlatIndex(spark, vectors, bc, manifest.metric, listener)
+    // persisted covering radii (absent on appended-to epochs — the append
+    // path drops the table because grown lists would make a stale bound a
+    // false-dismissal bug; the index then recomputes lazily on first use)
+    val radiiPath = s"$path/radii"
+    if (new java.io.File(radiiPath).exists)
+      index.presetListRadii(
+        IvfFlatIndex.readListRadiiTable(spark, radiiPath, manifest.nlist))
+    served.put(name, Served(manifest, index, epochId))
   }
 
   /** C1: per-list access stats of the serving index — (list_id, probe
@@ -351,6 +373,25 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
           guardedQueries(queries, s.manifest.dimension), params, None,
           IvfFlatIndex.ForceJoin))
     }
+  }
+
+  /**
+   * Fixed-radius range search through the serving index
+   * ([[IvfFlatIndex.rangeSearch]] — exact covering-ball list pruning,
+   * L2 only). Same query validation as [[search]]; `radius` is a squared
+   * L2 distance like every dist this engine returns.
+   */
+  def rangeSearch(name: String, queries: DataFrame, radius: Double): DataFrame = {
+    if (radius < 0 || radius.isNaN)
+      throw new InvalidArgumentException("Invalid radius value")
+    val (s, batch) = validateAndSnapshot(name, queries, topk = 1)
+    val qdf = batch match {
+      case Some(b) =>
+        import spark.implicits._
+        b.toSeq.toDF("qid", "qvec")
+      case None => guardedQueries(queries, s.manifest.dimension)
+    }
+    timed(name, s.index.rangeSearch(qdf, radius))
   }
 
   /** Exact search through the serving index (the recall oracle) —

@@ -204,9 +204,32 @@ class IvfFlatIndex(
    * Per-list covering radii: max true-L2 distance from any member to its
    * centroid, indexed by list_id (empty lists -> 0). One map-side-combined
    * aggregation over the corpus, collected as nlist doubles (bounded
-   * metadata, like the probe pairs); computed once per index.
+   * metadata, like the probe pairs); computed once per index — or preset
+   * from a persisted table ([[IvfFlatIndex.writeListRadiiTable]]) so an
+   * epoch-backed 100 TB index pays no corpus pass at load time.
    */
-  lazy val listRadii: Array[Double] = {
+  @volatile private var radiiCache: Array[Double] = null
+
+  /** Install persisted radii (epoch load path). Radii are only consumed
+    * as an UPPER bound on member-to-centroid distance, so installing
+    * radii computed for this exact membership is the caller's contract —
+    * appends grow lists, which is why the facade drops the persisted
+    * table on append instead of keeping a stale (false-dismissal) bound. */
+  def presetListRadii(r: Array[Double]): Unit = {
+    require(r.length == nlist, s"radii length ${r.length} != nlist $nlist")
+    radiiCache = r
+  }
+
+  def listRadii: Array[Double] = {
+    val c = radiiCache
+    if (c != null) c
+    else this.synchronized {
+      if (radiiCache == null) radiiCache = computeListRadii()
+      radiiCache
+    }
+  }
+
+  private def computeListRadii(): Array[Double] = {
     val cmap = new java.util.HashMap[java.lang.Long, Array[Float]]()
     centroids.value.zipWithIndex.foreach { case (c, i) => cmap.put(i.toLong, c) }
     val bcC = spark.sparkContext.broadcast(cmap)
@@ -513,6 +536,22 @@ object IvfFlatIndex {
   def readCentroidTable(spark: SparkSession, path: String): Array[Array[Float]] =
     spark.read.parquet(path).orderBy("id")
       .collect().map(_.getSeq[Float](1).toArray)
+
+  /** Covering-radii table `(list_id, radius)` beside the centroids —
+    * computed once at epoch build so load-time range searches pay no
+    * corpus pass. Same bounded-metadata scale as the centroid table. */
+  def writeListRadiiTable(spark: SparkSession, radii: Array[Double], path: String): Unit = {
+    import spark.implicits._
+    radii.zipWithIndex.map { case (r, i) => (i, r) }.toSeq
+      .toDF("list_id", "radius").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def readListRadiiTable(spark: SparkSession, path: String, nlist: Int): Array[Double] = {
+    val out = Array.fill(nlist)(0.0)
+    spark.read.parquet(path).collect()
+      .foreach(r => out(r.getInt(0)) = r.getDouble(1))
+    out
+  }
 
   /** Build an in-memory index (train + assign, no epoch write). */
   def build(

@@ -84,6 +84,51 @@ class RangeSearchSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("covering-radii table round-trips and presets without a corpus pass") {
+    val index = IvfFlatIndex.build(spark, vectorsDF(corpus), nlist = 8)
+    val radii = index.listRadii
+    val path = java.nio.file.Files.createTempDirectory("graft-radii").toString + "/radii"
+    IvfFlatIndex.writeListRadiiTable(spark, radii, path)
+    val back = IvfFlatIndex.readListRadiiTable(spark, path, nlist = 8)
+    assert(back.toSeq === radii.toSeq)
+    val fresh = IvfFlatIndex.build(spark, vectorsDF(corpus), nlist = 8)
+    fresh.presetListRadii(back)
+    assert(fresh.listRadii eq back) // preset short-circuits the compute
+  }
+
+  test("epoch-backed range search: persisted radii, append drops them, no false dismissal") {
+    import graft.api.VectorDB
+    import graft.{IndexConfig, Metric}
+    val s = spark
+    import s.implicits._
+    val db = new VectorDB(spark,
+      java.nio.file.Files.createTempDirectory("graft-range").toString)
+    db.createIndex(IndexConfig("rng", dimension = dim, metric = Metric.L2, nlist = 4))
+    val epoch = db.buildEpoch("rng", vectorsDF(corpus))
+    db.activateEpoch("rng", epoch)
+    db.loadIndex("rng")
+    // radii table written at build time
+    val path = s"${db.dataPath}/rng/epochs/$epoch/radii"
+    assert(new java.io.File(path).exists, s"no radii table at $path")
+    val radius = 2.0
+    val got = db.rangeSearch("rng", queriesDF(queries), radius)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (qid, qv) <- queries; (id, v) <- corpus
+      if VectorKernels.l2(qv, v) <= radius
+    } yield (qid, id)).toSet
+    assert(got === want)
+    // append a vector that duplicates a query: it MUST appear in-range
+    // even though it may grow its list beyond the persisted radius
+    val dupOfQuery = Seq((9000L, queries.head._2)).toDF("id", "vec")
+    db.addVectors("rng", dupOfQuery)
+    assert(!new java.io.File(path).exists, "stale radii table survived append")
+    val after = db.rangeSearch("rng", queriesDF(queries.take(1)), radius)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after.contains((queries.head._1, 9000L)),
+      s"appended in-radius vector falsely dismissed: $after")
+  }
+
   test("range_search driver-gate query is non-empty and radius-bounded on sf0.001") {
     val df = graft.queries.VectorQueries
       .queries("range_search")(spark, "/root/testdata/sf0.001")
