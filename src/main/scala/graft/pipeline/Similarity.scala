@@ -34,6 +34,27 @@ object Similarity {
     index.search(queries, SearchParams(k, nprobe, Some(Metric.Cosine)))
 
   /**
+   * Hard-negative mining — the contrastive-training staple: for each
+   * query, the k nearest corpus vectors with a DIFFERENT label (self
+   * excluded). Unlike [[filteredKnn]]'s corpus-wide predicate, the label
+   * constraint is PER-QUERY, so it rides the pair stream as a cheap
+   * integer inequality evaluated before the distance kernel; the top-k
+   * runs through the bounded partial-combine aggregator, so memory stays
+   * k-per-query at any corpus size. Queries carry (qid, qvec, q_label).
+   */
+  def hardNegatives(
+      queries: DataFrame, // (qid, qvec, q_label)
+      vectors: DataFrame, // (id, vec, label)
+      k: Int,
+      metric: Metric.Value = Metric.L2): DataFrame = {
+    val scored = vectors.select(col("id"), col("vec"), col("label"))
+      .crossJoin(broadcast(queries.select(col("qid"), col("qvec"), col("q_label"))))
+      .filter(col("label") =!= col("q_label") && col("id") =!= col("qid"))
+      .withColumn("dist", vector.distance(col("qvec"), col("vec"), metric))
+    TopKAggregator.topKPerQuery(scored, k).select("qid", "id", "dist", "rank")
+  }
+
+  /**
    * Filtered ANN: apply a relational predicate to the corpus BEFORE the
    * top-k, e.g. "nearest neighbors among label = 7 vectors". The filter is
    * pushed into the scan (partition/row-group pruning), then the usual

@@ -88,6 +88,18 @@ object PipelineQueries {
   /** Filtered ANN through the IVF index (predicate + probe pruning in one
     * scan, IvfFlatIndex.searchWhere). nprobe = nlist makes it exhaustive,
     * so the filtered exact-kNN SQL is a valid oracle for the whole path. */
+  /** Hard-negative mining (Similarity.hardNegatives): per-query nearest
+    * OTHER-label vectors — the contrastive-training batch builder. */
+  private def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("q_label"))
+    val corpus = e.select(
+      col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+    Similarity.hardNegatives(queries, corpus, k = 5).orderBy("qid", "rank")
+  }
+
   private def filteredAnn(spark: SparkSession, dir: String): DataFrame = {
     import graft.{Metric, SearchParams}
     val e = emb(spark, dir)
@@ -349,6 +361,7 @@ object PipelineQueries {
     "text_analysis" -> (textAnalysis _),
     "neardup_exact" -> (neardupExact _),
     "filtered_ann" -> (filteredAnn _),
+    "hard_negatives" -> (hardNegatives _),
     "multimodal_meta" -> (multimodalMeta _),
     "token_count_bpe" -> (tokenCountBpe _),
     "dedup_corpus" -> (dedupCorpus _),
@@ -760,6 +773,18 @@ object PipelineQueries {
          |      FROM a, b WHERE a.a_id < b.b_id)
          |SELECT a_id, b_id, cos_dist FROM d WHERE cos_dist <= 0.65
          |ORDER BY a_id, b_id""".stripMargin,
+    "hard_negatives" -> {
+      val dist = OracleFragments.sqlL2("q.qv", "v.embedding")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+         |           FROM embeddings WHERE vec_id < 10),
+         |d AS (SELECT q.qid, v.vec_id AS id, $dist AS dist
+         |      FROM q JOIN embeddings v
+         |        ON v.label <> q.ql AND v.vec_id <> q.qid),
+         |r AS (SELECT qid, id, dist,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS INT) AS rank
+         |      FROM d)
+         |SELECT qid, id, dist, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
     "filtered_ann" -> {
       val cd = OracleFragments.sqlCosine("q.qv", "v.embedding")
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),

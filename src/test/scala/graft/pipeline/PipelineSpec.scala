@@ -528,6 +528,29 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.contains((0L, 3L)))
   }
 
+  test("hard negatives exclude same-label vectors and self, rank by distance") {
+    val s = spark
+    import s.implicits._
+    val vecs = randomVectors(60, 8, seed = 21)
+    val corpus = vecs.map { case (id, v) => (id, v, (id % 3).toInt) }
+      .toDF("id", "vec", "label")
+    val queries = vecs.take(3).map { case (id, v) => (id, v, (id % 3).toInt) }
+      .toDF("qid", "qvec", "q_label")
+    val got = Similarity.hardNegatives(queries, corpus, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.length === 12) // 3 queries x k
+    got.foreach { case (qid, id, _, _) =>
+      assert(id !== qid)
+      assert(id % 3 !== qid % 3, s"same-label negative: q$qid -> $id")
+    }
+    // per-query ranks are 1..k by ascending distance
+    got.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1 to 4))
+      assert(sorted.map(_._3).toSeq === sorted.map(_._3).sorted.toSeq)
+    }
+  }
+
   test("count-filter bound: hist L1 <= 2x levenshtein on random string pairs") {
     import org.apache.spark.unsafe.types.UTF8String
     val rnd = new scala.util.Random(13)
