@@ -109,4 +109,181 @@ object EmbeddingOps {
    */
   def signPackWord(vec: Column, word: Int): Column =
     vector.sign_pack_word(vec, word)
+
+  /** Per-partition exact-moment partial: row count, fixed-point component
+    * sums, and the upper-triangle Gram matrix (length d*(d+1)/2, row-major
+    * over i <= j). One of these per task — the shuffle that follows is
+    * partitions x d^2/2 small rows, independent of corpus size. */
+  private case class MomentPartial(n: Long, sums: Array[Long], gram: Array[Long])
+
+  /**
+   * Corpus second moments in EXACT fixed-point arithmetic: components
+   * quantize to floor(x * scale) micros, and every statistic is an
+   * integer sum — associative, partial-aggregation-order-proof, and
+   * replayable bit-for-bit by a SQL oracle (a plain double covariance
+   * would differ in the last ulp per partitioning). Output: one row per
+   * upper-triangle (i, j), 1-based, with (n, s_i, s_j, s_ij); mean and
+   * covariance derive exactly as cov = (n*s_ij - s_i*s_j) / n^2 scaled.
+   *
+   * Magnitude guard: |component| <= 1e3 means products <= scale^2 * 1e6
+   * = 1e18/row-pair at the default scale... in practice unit-norm-ish
+   * embeddings keep s_ij <= rows * 1e12, exact far past 10^6 rows; for
+   * 100 TB (10^9+ rows) drop `scale` a digit — the guard below throws
+   * instead of silently wrapping.
+   *
+   * Plan shape: one narrow mapPartitions pass (stable compiled loop, no
+   * per-row allocation beyond the reused accumulators), then a
+   * partitions x d^2/2-row exact groupBy — never an n x d^2 explode.
+   */
+  def momentsFixedPoint(
+      emb: DataFrame,
+      vecCol: String = "embedding",
+      scale: Long = 1000000L): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val d = emb.select(size(col(vecCol))).head().getInt(0)
+    val tri = (for { i <- 0 until d; j <- i until d } yield (i, j)).toArray
+    val partials = emb.select(col(vecCol)).as[Seq[Float]]
+      .mapPartitions { rows =>
+        val sums = new Array[Long](d)
+        val gram = new Array[Long](d * (d + 1) / 2)
+        val q = new Array[Long](d)
+        var n = 0L
+        while (rows.hasNext) {
+          val v = rows.next()
+          if (v != null && v.length == d) {
+            var i = 0
+            while (i < d) {
+              val x = math.floor(v(i).toDouble * scale)
+              require(math.abs(x) < 1e15, s"component too large for exact fixed-point: ${v(i)}")
+              q(i) = x.toLong
+              i += 1
+            }
+            var t = 0
+            i = 0
+            while (i < d) {
+              sums(i) += q(i)
+              var j = i
+              while (j < d) { gram(t) += q(i) * q(j); t += 1; j += 1 }
+              i += 1
+            }
+            n += 1
+          }
+        }
+        if (n == 0) Iterator.empty
+        else Iterator.single(MomentPartial(n, sums, gram))
+      }
+    partials
+      .flatMap { p =>
+        var t = -1
+        tri.iterator.map { case (i, j) =>
+          t += 1
+          (i + 1, j + 1, p.n, p.sums(i), p.sums(j), p.gram(t))
+        }
+      }
+      .toDF("i", "j", "n", "s_i", "s_j", "s_ij")
+      .groupBy("i", "j")
+      .agg(sum("n").as("n"), sum("s_i").as("s_i"),
+        sum("s_j").as("s_j"), sum("s_ij").as("s_ij"))
+  }
+
+  /**
+   * ZCA whitening transform from the exact moments: W = V diag(1/sqrt(
+   * lambda + eps)) V^T over the sample covariance — the embedding-pipeline
+   * normalization that turns anisotropic encoder output into unit
+   * covariance (retrieval post-processing a la Su et al.'s whitening-BERT).
+   * The eigenproblem is d x d DRIVER-side math on the collected moment
+   * rows (bounded metadata — d^2/2 longs — like centroids); applying W is
+   * a per-row mat-vec in the scan, no shuffle. Returns (W, mean) in the
+   * original float space.
+   */
+  def whiteningTransform(
+      moments: DataFrame,
+      scale: Long = 1000000L,
+      eps: Double = 1e-5): (Array[Array[Double]], Array[Double]) = {
+    val rows = moments.select("i", "j", "n", "s_i", "s_j", "s_ij").collect()
+    require(rows.nonEmpty, "empty moments")
+    val d = rows.iterator.map(_.getInt(1)).max
+    val n = rows.head.getLong(2).toDouble
+    val s = scale.toDouble
+    val cov = Array.ofDim[Double](d, d)
+    val mean = new Array[Double](d)
+    rows.foreach { r =>
+      val (i, j) = (r.getInt(0) - 1, r.getInt(1) - 1)
+      val c = (n * r.getLong(5) - r.getLong(3).toDouble * r.getLong(4)) / (n * n * s * s)
+      cov(i)(j) = c; cov(j)(i) = c
+      if (i == j) mean(i) = r.getLong(3) / (n * s)
+    }
+    val (vals, vecs) = jacobiEigen(cov)
+    // W = V diag(1/sqrt(l+eps)) V^T
+    val w = Array.ofDim[Double](d, d)
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < d) {
+        var acc = 0.0
+        var k = 0
+        while (k < d) {
+          acc += vecs(i)(k) * vecs(j)(k) / math.sqrt(math.max(vals(k), 0.0) + eps)
+          k += 1
+        }
+        w(i)(j) = acc
+        j += 1
+      }
+      i += 1
+    }
+    (w, mean)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, eigenvector COLUMNS as vecs(row)(col)). O(d^3) per
+    * sweep, fine for d <= a few hundred on the driver. */
+  private[pipeline] def jacobiEigen(
+      a0: Array[Array[Double]], sweeps: Int = 32): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < sweeps && off > 1e-14) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          off += a(p)(q) * a(p)(q)
+          if (math.abs(a(p)(q)) > 1e-18) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            // theta == 0 (equal diagonal) still needs the 45-degree
+            // rotation: signum(0) would silently skip it
+            val sgn = if (theta >= 0.0) 1.0 else -1.0
+            val t = sgn / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
 }

@@ -88,6 +88,12 @@ object PipelineQueries {
   /** Filtered ANN through the IVF index (predicate + probe pruning in one
     * scan, IvfFlatIndex.searchWhere). nprobe = nlist makes it exhaustive,
     * so the filtered exact-kNN SQL is a valid oracle for the whole path. */
+  /** Exact fixed-point corpus moments (EmbeddingOps.momentsFixedPoint):
+    * the mean/covariance inputs of embedding whitening, as integer sums
+    * a SQL engine replays bit-for-bit. */
+  private def embeddingMoments(spark: SparkSession, dir: String): DataFrame =
+    EmbeddingOps.momentsFixedPoint(emb(spark, dir)).orderBy("i", "j")
+
   /** Hard-negative mining (Similarity.hardNegatives): per-query nearest
     * OTHER-label vectors — the contrastive-training batch builder. */
   private def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
@@ -362,6 +368,7 @@ object PipelineQueries {
     "neardup_exact" -> (neardupExact _),
     "filtered_ann" -> (filteredAnn _),
     "hard_negatives" -> (hardNegatives _),
+    "embedding_moments" -> (embeddingMoments _),
     "multimodal_meta" -> (multimodalMeta _),
     "token_count_bpe" -> (tokenCountBpe _),
     "dedup_corpus" -> (dedupCorpus _),
@@ -773,6 +780,15 @@ object PipelineQueries {
          |      FROM a, b WHERE a.a_id < b.b_id)
          |SELECT a_id, b_id, cos_dist FROM d WHERE cos_dist <= 0.65
          |ORDER BY a_id, b_id""".stripMargin,
+    "embedding_moments" ->
+      """WITH m AS (SELECT list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |p AS (SELECT i.range AS i, j.range AS j
+        |      FROM range(1, 65) i, range(1, 65) j WHERE i.range <= j.range)
+        |SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j, count(*) AS n,
+        |  sum(q[p.i]) AS s_i, sum(q[p.j]) AS s_j, sum(q[p.i] * q[p.j]) AS s_ij
+        |FROM m, p GROUP BY p.i, p.j ORDER BY i, j""".stripMargin,
     "hard_negatives" -> {
       val dist = OracleFragments.sqlL2("q.qv", "v.embedding")
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql

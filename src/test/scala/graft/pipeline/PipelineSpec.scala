@@ -528,6 +528,43 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.contains((0L, 3L)))
   }
 
+  test("jacobiEigen recovers a known symmetric eigensystem") {
+    // [[2,1],[1,2]] has eigenvalues 3 and 1
+    val (vals, vecs) = EmbeddingOps.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(vals.sorted.zip(Seq(1.0, 3.0)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // columns are orthonormal
+    val dot = vecs(0)(0) * vecs(0)(1) + vecs(1)(0) * vecs(1)(1)
+    assert(math.abs(dot) < 1e-12)
+  }
+
+  test("whitening from exact moments drives the sample covariance to identity") {
+    val s = spark
+    import s.implicits._
+    // anisotropic synthetic embeddings: correlated dims, distinct scales
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 400).map { i =>
+      val a = rnd.nextGaussian(); val b = rnd.nextGaussian(); val c = rnd.nextGaussian()
+      (i.toLong, Array((3 * a).toFloat, (a + 0.5 * b).toFloat, (0.2 * c + 1).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val moments = EmbeddingOps.momentsFixedPoint(df)
+    val (w, mean) = EmbeddingOps.whiteningTransform(moments)
+    val d = 3
+    // apply W(x - mean) to the raw rows and measure the sample covariance
+    val white = rows.map { case (_, v) =>
+      Array.tabulate(d)(i =>
+        (0 until d).map(k => w(i)(k) * (v(k) - mean(k))).sum)
+    }
+    val n = white.length.toDouble
+    val mu = Array.tabulate(d)(i => white.map(_(i)).sum / n)
+    for (i <- 0 until d; j <- 0 until d) {
+      val cov = white.map(x => (x(i) - mu(i)) * (x(j) - mu(j))).sum / n
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(cov - want) < 0.05, s"cov($i,$j)=$cov")
+    }
+  }
+
   test("hard negatives exclude same-label vectors and self, rank by distance") {
     val s = spark
     import s.implicits._
