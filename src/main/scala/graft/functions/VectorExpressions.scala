@@ -265,6 +265,41 @@ case class SignPackWord(child: Expression, word: Int)
 
 /** SQ8 pack: ARRAY<FLOAT> x DOUBLE scale -> BINARY int8 codes (one byte
   * per dim — the true 4x scan-byte reduction the quantizer exists for). */
+/**
+ * Affine whitening of an ARRAY<FLOAT>: W (v − mean) with the (matrix,
+ * mean) pair riding as a Broadcast handle like the centroid expressions —
+ * the plan never embeds the d² doubles, executors fetch once.
+ */
+case class WhitenVector(
+    child: Expression,
+    wm: Broadcast[(Array[Double], Array[Double])])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[graftshims.AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "whiten_vector"
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(VectorKernels.whiten(
+      v.asInstanceOf[ArrayData].toFloatArray(), wm.value._1, wm.value._2))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bc = ctx.addReferenceObj("whitenBc", wm,
+      classOf[Broadcast[(Array[Double], Array[Double])]].getName)
+    // per-task deref, raw Tuple2 (Janino generics limits — see DistanceToQuery)
+    val pair = ctx.addMutableState("scala.Tuple2", "whitenPair",
+      v => s"$v = (scala.Tuple2) $bc.value();")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VectorKernels.whiten($v.toFloatArray(), " +
+        s"(double[]) $pair._1(), (double[]) $pair._2()));")
+  }
+
+  override protected def withNewChildInternal(c: Expression): WhitenVector =
+    copy(child = c)
+}
+
 case class Sq8Pack(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
@@ -376,6 +411,12 @@ object vector {
 
   def sq8_pack(v: Column, scale: Column): Column =
     col(Sq8Pack(expr(v), expr(scale)))
+
+  /** Affine whitening W(v − mean); pair from
+    * [[graft.pipeline.EmbeddingOps.whiteningTransform]], flattened row-major. */
+  def whiten_vector(v: Column,
+      wm: Broadcast[(Array[Double], Array[Double])]): Column =
+    col(WhitenVector(expr(v), wm))
 
   def sq8_distance(q: Column, codes: Column, scale: Column,
       metric: Metric.Value = Metric.L2): Column =

@@ -86,6 +86,28 @@ object VectorKernels {
     * 127/max|x| ([[graft.pipeline.EmbeddingOps.quantizeInt8]]) every code
     * lands in [-128, 127], so the byte cast is exact — int8 codes at a
     * true 4x fewer scan bytes than fp32. */
+  /** Affine whitening: out = W (v - mean), double accumulation, float
+    * output. `w` is the d x d matrix flattened row-major. The per-row
+    * O(d^2) mat-vec lives here as a compiled loop — a transform-HOF
+    * formulation would run interpreted per element. */
+  def whiten(v: Array[Float], w: Array[Double], mean: Array[Double]): Array[Float] = {
+    val d = mean.length
+    val centered = new Array[Double](d)
+    var k = 0
+    while (k < d) { centered(k) = v(k).toDouble - mean(k); k += 1 }
+    val out = new Array[Float](d)
+    var i = 0
+    while (i < d) {
+      var acc = 0.0
+      val base = i * d
+      k = 0
+      while (k < d) { acc += w(base + k) * centered(k); k += 1 }
+      out(i) = acc.toFloat
+      i += 1
+    }
+    out
+  }
+
   def sq8Pack(v: Array[Float], scale: Double): Array[Byte] = {
     val out = new Array[Byte](v.length)
     var i = 0

@@ -235,6 +235,29 @@ object EmbeddingOps {
     (w, mean)
   }
 
+  /**
+   * End-to-end distributed whitening of an embedding column: exact
+   * moments (one narrow pass + tiny shuffle) -> driver-side eigen ->
+   * broadcast (W, mean) applied as a codegen'd per-row mat-vec in the
+   * scan. No shuffle touches the vectors themselves.
+   */
+  def whitenEmbeddings(
+      emb: DataFrame,
+      vecCol: String = "embedding",
+      eps: Double = 1e-5): DataFrame = {
+    val (w, mean) = whiteningTransform(momentsFixedPoint(emb, vecCol), eps = eps)
+    val d = mean.length
+    val flat = new Array[Double](d * d)
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < d) { flat(i * d + j) = w(i)(j); j += 1 }
+      i += 1
+    }
+    val bc = emb.sparkSession.sparkContext.broadcast((flat, mean))
+    emb.withColumn(vecCol, vector.whiten_vector(col(vecCol), bc))
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
     * (eigenvalues, eigenvector COLUMNS as vecs(row)(col)). O(d^3) per
     * sweep, fine for d <= a few hundred on the driver. */

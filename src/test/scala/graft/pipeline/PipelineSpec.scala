@@ -565,6 +565,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("distributed whitenEmbeddings matches the driver-side transform") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(37)
+    val rows = (0 until 100).map { i =>
+      val a = rnd.nextGaussian()
+      (i.toLong, Array((2 * a).toFloat, (a + rnd.nextGaussian()).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (w, mean) = EmbeddingOps.whiteningTransform(
+      EmbeddingOps.momentsFixedPoint(df))
+    val got = EmbeddingOps.whitenEmbeddings(df)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).toArray)
+    rows.zip(got).foreach { case ((_, v), g) =>
+      for (i <- 0 until 2) {
+        val want = (0 until 2).map(k => w(i)(k) * (v(k) - mean(k))).sum.toFloat
+        assert(math.abs(g(i) - want) < 1e-6f, s"row ${v.toSeq}: got ${g.toSeq}")
+      }
+    }
+  }
+
   test("hard negatives exclude same-label vectors and self, rank by distance") {
     val s = spark
     import s.implicits._
