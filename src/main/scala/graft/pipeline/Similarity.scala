@@ -47,8 +47,13 @@ object Similarity {
       vectors: DataFrame, // (id, vec, label)
       k: Int,
       metric: Metric.Value = Metric.L2): DataFrame = {
+    val qdf = queries.select(col("qid"), col("qvec"), col("q_label"))
+    // broadcast only under the size gate (round-7 lesson: an unconditional
+    // hint bypasses autoBroadcastJoinThreshold for an arbitrarily big
+    // set); above it the plain cross join lets AQE plan the flood
+    val q = if (IvfFlatIndex.fitsBroadcastGate(qdf, 1)) broadcast(qdf) else qdf
     val scored = vectors.select(col("id"), col("vec"), col("label"))
-      .crossJoin(broadcast(queries.select(col("qid"), col("qvec"), col("q_label"))))
+      .crossJoin(q)
       .filter(col("label") =!= col("q_label") && col("id") =!= col("qid"))
       .withColumn("dist", vector.distance(col("qvec"), col("vec"), metric))
     TopKAggregator.topKPerQuery(scored, k).select("qid", "id", "dist", "rank")
