@@ -103,8 +103,12 @@ object Knn {
       radius: Double,
       metric: Metric.Value = Metric.L2): DataFrame = {
     val qdf = queries.select(col("qid"), col("qvec"))
+    // broadcast only under the size gate (same contract as exact():
+    // an unconditional hint would bypass autoBroadcastJoinThreshold
+    // for an arbitrarily large query set)
+    val q = if (IvfFlatIndex.fitsBroadcastGate(qdf, 1)) broadcast(qdf) else qdf
     vectors.select(col("id"), col("vec"))
-      .crossJoin(broadcast(qdf))
+      .crossJoin(q)
       .withColumn("dist", vector.distance(col("qvec"), col("vec"), metric))
       .filter(col("dist") <= radius)
       .select("qid", "id", "dist")
