@@ -56,7 +56,7 @@ object GraftExtensions {
     "sq8_pack" -> (es => Sq8Pack(es(0), es(1))),
     "sq8_distance" -> (es => Sq8Distance(es(0), es(1), es(2), Metric.L2)),
     "zvalue" -> (es => graft.operators.ZValue(es(0), es(1), 16)),
-    "byte_hist" -> (es => ByteHist(es(0))),
+    "char_hist" -> (es => CharHist(es(0))),
     "hist_l1" -> (es => HistL1(es(0), es(1))),
     // text pipeline: same composed-builtin bodies as graft.functions.text
     "graft_tokenize" -> sqlMacro(

@@ -145,8 +145,10 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       progress.set(0.8)
       writeCentroids(cents, s"$path/centroids")
       // covering radii for range search: one aggregation over the written
-      // epoch now saves every serving process its own corpus pass later
-      locally {
+      // epoch now saves every serving process its own corpus pass later.
+      // L2 indexes only — rangeSearch is hard-rejected on other metrics,
+      // so computing radii there would be a wasted full corpus pass
+      if (manifest.metric == Metric.L2) {
         val built = new IvfFlatIndex(spark,
           IvfFlatIndex.readEpoch(spark, s"$path/vectors"), bc, manifest.metric)
         IvfFlatIndex.writeListRadiiTable(spark, built.listRadii, s"$path/radii")
@@ -219,15 +221,20 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val added = assigned.count()
       if (added > 0) {
-        IvfFlatIndex.appendToEpoch(assigned, s"$path/vectors")
         // appended rows can GROW lists: a stale persisted covering-radius
-        // bound would falsely dismiss them from range searches — drop the
-        // table; the reload below recomputes lazily on first range use
+        // bound would falsely dismiss them from range searches. Drop the
+        // table BEFORE the append lands — a crash between the two steps
+        // then leaves a radius-less epoch (recomputed lazily, safe), never
+        // an appended epoch with a stale bound; the delete must succeed
+        // for the append to proceed
         locally {
           val radiiDir = new java.io.File(s"$path/radii")
-          if (radiiDir.exists)
-            scala.reflect.io.Directory(radiiDir).deleteRecursively()
+          if (radiiDir.exists) {
+            require(scala.reflect.io.Directory(radiiDir).deleteRecursively(),
+              s"could not invalidate covering radii at $radiiDir")
+          }
         }
+        IvfFlatIndex.appendToEpoch(assigned, s"$path/vectors")
         // manifest read-modify-write + reload serialized per index so
         // concurrent adds cannot lose counts
         stateLock(name).synchronized {
@@ -385,6 +392,11 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     if (radius < 0 || radius.isNaN)
       throw new InvalidArgumentException("Invalid radius value")
     val (s, batch) = validateAndSnapshot(name, queries, topk = 1)
+    // facade error taxonomy: surface the metric restriction as the
+    // documented InvalidArgumentException, not a bare require failure
+    if (s.manifest.metric != Metric.L2)
+      throw new InvalidArgumentException(
+        s"Range search requires an L2 index; '${name}' uses ${s.manifest.metric}")
     val qdf = batch match {
       case Some(b) =>
         import spark.implicits._

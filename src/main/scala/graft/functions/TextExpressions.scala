@@ -177,14 +177,23 @@ object TextKernels {
     out
   }
 
-  /** Saturating byte histogram (256 bins, counts capped at 255) over a
-    * string's UTF-8 bytes — the per-DOC half of the edit-distance count
-    * filter: computed once per row, 256 bytes of payload. */
-  def byteHist(s: org.apache.spark.unsafe.types.UTF8String): Array[Byte] = {
-    val n = s.numBytes
+  /** Saturating CODE-POINT histogram (256 bins via cp mod 256, counts
+    * capped at 255) — the per-DOC half of the edit-distance count filter,
+    * computed once per row, 256 bytes of payload. Bins are per CHARACTER,
+    * not per UTF-8 byte, because Levenshtein counts character edits: a
+    * byte histogram would let one multi-byte-char substitution move up to
+    * 8 bins and silently break the L1 <= 2·lev bound on non-ASCII text.
+    * Bin collisions (two code points sharing cp%256) only merge counts —
+    * they can lower L1, never raise it, so the bound stays safe. */
+  def charHist(s: org.apache.spark.unsafe.types.UTF8String): Array[Byte] = {
+    val str = s.toString
     val h = new Array[Int](256)
     var i = 0
-    while (i < n) { h(s.getByte(i) & 0xFF) += 1; i += 1 }
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h(cp & 0xFF) += 1
+      i += Character.charCount(cp)
+    }
     val out = new Array[Byte](256)
     i = 0
     while (i < 256) { out(i) = math.min(h(i), 255).toByte; i += 1 }
@@ -291,23 +300,23 @@ case class SimHash64(child: Expression, seed: Long,
 
 /** Column-level text functions (composed built-ins where possible). */
 /** Saturating 256-bin byte histogram of a STRING, as BINARY. */
-case class ByteHist(child: Expression)
+case class CharHist(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[org.apache.spark.sql.graftshims.AbstractDataType] =
     Seq(StringType)
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
-  override def prettyName: String = "byte_hist"
+  override def prettyName: String = "char_hist"
 
   override def nullSafeEval(v: Any): Any =
-    TextKernels.byteHist(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    TextKernels.charHist(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.functions.TextKernels.byteHist($v);")
+      s"${ev.value} = graft.functions.TextKernels.charHist($v);")
 
-  override protected def withNewChildInternal(c: Expression): ByteHist =
+  override protected def withNewChildInternal(c: Expression): CharHist =
     copy(child = c)
 }
 
@@ -347,8 +356,8 @@ object text {
   def word_ngrams(tokens: Column, n: Int): Column =
     col(WordNgrams(ex(tokens), n))
 
-  /** Saturating 256-bin byte histogram (BINARY) — see [[TextKernels.byteHist]]. */
-  def byte_hist(c: Column): Column = col(ByteHist(ex(c)))
+  /** Saturating 256-bin byte histogram (BINARY) — see [[TextKernels.charHist]]. */
+  def char_hist(c: Column): Column = col(CharHist(ex(c)))
 
   /** L1 distance between two byte histograms — see [[TextKernels.histL1]]. */
   def hist_l1(a: Column, b: Column): Column = col(HistL1(ex(a), ex(b)))

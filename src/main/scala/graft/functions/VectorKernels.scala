@@ -92,6 +92,10 @@ object VectorKernels {
     * formulation would run interpreted per element. */
   def whiten(v: Array[Float], w: Array[Double], mean: Array[Double]): Array[Float] = {
     val d = mean.length
+    // a clear contract failure beats an AIOOBE mid-scan: the transform was
+    // fit at dimension d, so a shorter/longer row is corrupt input
+    require(v.length == d,
+      s"whiten: vector length ${v.length} != transform dimension $d")
     val centered = new Array[Double](d)
     var k = 0
     while (k < d) { centered(k) = v(k).toDouble - mean(k); k += 1 }

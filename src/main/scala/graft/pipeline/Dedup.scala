@@ -114,7 +114,11 @@ object Dedup {
     docs
       .groupBy(col(textCol))
       .agg(
-        min(struct(col(prefCol), col(idCol))).as("best"),
+        // leading isNull key: Spark's struct ordering sorts a null field
+        // FIRST, which would let a null source beat every named source —
+        // the opposite of "canonical-source priority" and of the SQL
+        // oracle's NULLS LAST ordering. false < true puts non-null first.
+        min(struct(col(prefCol).isNull, col(prefCol), col(idCol))).as("best"),
         count(lit(1)).as("dup_count"))
       .select(
         col("best")(idCol).as("keep_id"),
@@ -134,12 +138,18 @@ object Dedup {
    * Two exact pre-filters run before the O(maxDist·len) banded-Levenshtein
    * DP, both provable bounds rather than heuristics:
    *  1. the length band itself (above);
-   *  2. the COUNT filter: one edit changes at most two byte-histogram bins
-   *     by one each, so lev <= d forces hist-L1 <= 2d. Histograms are
-   *     computed once per DOC (256 B payload), and the per-pair check is
-   *     ~256 adds — it eliminates the random same-length candidate mass
-   *     that otherwise pays the full DP (measured at sf0.1: ~500k banded
-   *     candidates, ~100 true pairs).
+   *  2. the COUNT filter: one CHARACTER edit changes at most two
+   *     code-point-histogram bins by one each, so lev <= d forces
+   *     hist-L1 <= 2d (per-character bins, matching Levenshtein's edit
+   *     unit — per-BYTE bins would break the bound on multi-byte UTF-8).
+   *     Histograms are computed once per DOC (256 B payload), and the
+   *     per-pair check is ~256 adds — it eliminates the random
+   *     same-length candidate mass that otherwise pays the full DP
+   *     (measured at sf0.1: ~500k banded candidates, ~100 true pairs).
+   *
+   * maxDist = 0 is the exact-duplicate degenerate case (band radius
+   * clamps to 1 — the band is a superset generator, so a wider band only
+   * adds candidates the dist filter rejects).
    */
   def editDistancePairs(
       docs: DataFrame,
@@ -147,18 +157,20 @@ object Dedup {
       textCol: String = "text",
       langCol: String = "lang",
       maxDist: Int = 24): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
     val a = docs.select(
       col(langCol),
       col(idCol).as("a_id"), col(textCol).as("a_text"),
-      text.byte_hist(col(textCol)).as("a_hist"),
+      text.char_hist(col(textCol)).as("a_hist"),
       length(col(textCol)).cast("long").as("a_len"))
     val b = docs.select(
       col(langCol),
       col(idCol).as("b_id"), col(textCol).as("b_text"),
-      text.byte_hist(col(textCol)).as("b_hist"),
+      text.char_hist(col(textCol)).as("b_hist"),
       length(col(textCol)).cast("long").as("b_len"))
     graft.operators.RangeJoin
-      .band(a, b, Seq(langCol), "a_len", "b_len", radius = maxDist.toLong,
+      .band(a, b, Seq(langCol), "a_len", "b_len",
+        radius = math.max(1L, maxDist.toLong),
         rightPayload = Map(
           "b_id" -> "b_id", "b_text" -> "b_text", "b_hist" -> "b_hist"))
       .filter(pairUp(col("a_id"), col("b_id")) &&

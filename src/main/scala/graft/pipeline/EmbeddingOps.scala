@@ -116,6 +116,10 @@ object EmbeddingOps {
     * partitions x d^2/2 small rows, independent of corpus size. */
   private case class MomentPartial(n: Long, sums: Array[Long], gram: Array[Long])
 
+  /** Hard |q| bound of the exact-moment fixed point: products stay
+    * <= 1e10, so same-sign sums are exact past 9.2e8 rows. */
+  val MomentsMaxAbsQ: Long = 100000L
+
   /**
    * Corpus second moments in EXACT fixed-point arithmetic: components
    * quantize to floor(x * scale) micros, and every statistic is an
@@ -125,11 +129,14 @@ object EmbeddingOps {
    * upper-triangle (i, j), 1-based, with (n, s_i, s_j, s_ij); mean and
    * covariance derive exactly as cov = (n*s_ij - s_i*s_j) / n^2 scaled.
    *
-   * Magnitude guard: |component| <= 1e3 means products <= scale^2 * 1e6
-   * = 1e18/row-pair at the default scale... in practice unit-norm-ish
-   * embeddings keep s_ij <= rows * 1e12, exact far past 10^6 rows; for
-   * 100 TB (10^9+ rows) drop `scale` a digit — the guard below throws
-   * instead of silently wrapping.
+   * Overflow contract, enforced not hoped-for: every |q| is required
+   * <= MaxAbsQ = 1e5 (|x| <= 10 at the default scale 1e4 — raw encoder
+   * outputs are within that; normalize first if not), so each product is
+   * <= 1e10 and the all-same-sign worst case stays exact past 9.2e8 rows
+   * (Long.MaxValue / 1e10). Null or wrong-length vectors THROW rather
+   * than silently diverging from the SQL oracle's count(*). The 1e4
+   * scale resolves covariance entries to ~1e-8 — far below anything
+   * whitening can feel.
    *
    * Plan shape: one narrow mapPartitions pass (stable compiled loop, no
    * per-row allocation beyond the reused accumulators), then a
@@ -138,11 +145,12 @@ object EmbeddingOps {
   def momentsFixedPoint(
       emb: DataFrame,
       vecCol: String = "embedding",
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 10000L): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val d = emb.select(size(col(vecCol))).head().getInt(0)
     val tri = (for { i <- 0 until d; j <- i until d } yield (i, j)).toArray
+    val maxAbsQ = MomentsMaxAbsQ
     val partials = emb.select(col(vecCol)).as[Seq[Float]]
       .mapPartitions { rows =>
         val sums = new Array[Long](d)
@@ -151,24 +159,28 @@ object EmbeddingOps {
         var n = 0L
         while (rows.hasNext) {
           val v = rows.next()
-          if (v != null && v.length == d) {
-            var i = 0
-            while (i < d) {
-              val x = math.floor(v(i).toDouble * scale)
-              require(math.abs(x) < 1e15, s"component too large for exact fixed-point: ${v(i)}")
-              q(i) = x.toLong
-              i += 1
-            }
-            var t = 0
-            i = 0
-            while (i < d) {
-              sums(i) += q(i)
-              var j = i
-              while (j < d) { gram(t) += q(i) * q(j); t += 1; j += 1 }
-              i += 1
-            }
-            n += 1
+          require(v != null && v.length == d,
+            s"momentsFixedPoint: null or wrong-length vector (expected dim $d, " +
+              s"got ${if (v == null) "null" else v.length.toString}) — clean the column first")
+          var i = 0
+          while (i < d) {
+            val x = math.floor(v(i).toDouble * scale)
+            require(math.abs(x) <= maxAbsQ,
+              s"component ${v(i)} exceeds the exact fixed-point range " +
+                s"(|x| <= ${maxAbsQ / scale.toDouble} at scale $scale) — " +
+                "normalize the embeddings or lower the scale")
+            q(i) = x.toLong
+            i += 1
           }
+          var t = 0
+          i = 0
+          while (i < d) {
+            sums(i) += q(i)
+            var j = i
+            while (j < d) { gram(t) += q(i) * q(j); t += 1; j += 1 }
+            i += 1
+          }
+          n += 1
         }
         if (n == 0) Iterator.empty
         else Iterator.single(MomentPartial(n, sums, gram))
@@ -199,7 +211,7 @@ object EmbeddingOps {
    */
   def whiteningTransform(
       moments: DataFrame,
-      scale: Long = 1000000L,
+      scale: Long = 10000L,
       eps: Double = 1e-5): (Array[Array[Double]], Array[Double]) = {
     val rows = moments.select("i", "j", "n", "s_i", "s_j", "s_ij").collect()
     require(rows.nonEmpty, "empty moments")

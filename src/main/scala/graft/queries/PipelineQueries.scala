@@ -676,7 +676,8 @@ object PipelineQueries {
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "dedup_keep_best" ->
       """WITH r AS (SELECT doc_id, source, text,
-        |    row_number() OVER (PARTITION BY text ORDER BY source, doc_id) AS rn,
+        |    row_number() OVER (PARTITION BY text
+        |                       ORDER BY source NULLS LAST, doc_id) AS rn,
         |    count(*) OVER (PARTITION BY text) AS dup_count
         |  FROM documents)
         |SELECT doc_id AS keep_id, source AS keep_source, dup_count, text
@@ -782,7 +783,7 @@ object PipelineQueries {
          |ORDER BY a_id, b_id""".stripMargin,
     "embedding_moments" ->
       """WITH m AS (SELECT list_transform(embedding,
-        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
         |  FROM embeddings),
         |p AS (SELECT i.range AS i, j.range AS j
         |      FROM range(1, 65) i, range(1, 65) j WHERE i.range <= j.range)

@@ -42,9 +42,9 @@ class GraftExtensionsSpec extends SparkSpec {
     GraftExtensions.register(spark)
     val row = spark.sql(
       """SELECT
-        |  hist_l1(byte_hist('abc'), byte_hist('abd')) AS l1_one_sub,
-        |  hist_l1(byte_hist('abc'), byte_hist('abc')) AS l1_same,
-        |  length(byte_hist('abc')) AS hist_len
+        |  hist_l1(char_hist('abc'), char_hist('abd')) AS l1_one_sub,
+        |  hist_l1(char_hist('abc'), char_hist('abc')) AS l1_same,
+        |  length(char_hist('abc')) AS hist_len
         |""".stripMargin).head()
     assert(row.getInt(0) === 2) // one substitution moves two bins by one
     assert(row.getInt(1) === 0)

@@ -129,6 +129,22 @@ class RangeSearchSpec extends SparkSpec {
       s"appended in-radius vector falsely dismissed: $after")
   }
 
+  test("facade rangeSearch on a non-L2 index reports InvalidArgumentException") {
+    import graft.api.VectorDB
+    import graft.{IndexConfig, InvalidArgumentException, Metric}
+    val db = new VectorDB(spark,
+      java.nio.file.Files.createTempDirectory("graft-range-cos").toString)
+    db.createIndex(IndexConfig("cosrng", dimension = dim, metric = Metric.Cosine, nlist = 2))
+    val epoch = db.buildEpoch("cosrng", vectorsDF(corpus.take(50)))
+    db.activateEpoch("cosrng", epoch)
+    db.loadIndex("cosrng")
+    // no radii table was written for the cosine index (wasted pass guard)
+    assert(!new java.io.File(s"${db.dataPath}/cosrng/epochs/$epoch/radii").exists)
+    intercept[InvalidArgumentException] {
+      db.rangeSearch("cosrng", queriesDF(queries.take(1)), 1.0)
+    }
+  }
+
   test("range_search driver-gate query is non-empty and radius-bounded on sf0.001") {
     val df = graft.queries.VectorQueries
       .queries("range_search")(spark, "/root/testdata/sf0.001")

@@ -545,7 +545,7 @@ class PipelineSpec extends SparkSpec {
     val rnd = new scala.util.Random(31)
     val rows = (0 until 400).map { i =>
       val a = rnd.nextGaussian(); val b = rnd.nextGaussian(); val c = rnd.nextGaussian()
-      (i.toLong, Array((3 * a).toFloat, (a + 0.5 * b).toFloat, (0.2 * c + 1).toFloat))
+      (i.toLong, Array((2 * a).toFloat, (a + 0.5 * b).toFloat, (0.2 * c + 1).toFloat))
     }
     val df = rows.toDF("vec_id", "embedding")
     val moments = EmbeddingOps.momentsFixedPoint(df)
@@ -624,10 +624,67 @@ class PipelineSpec extends SparkSpec {
     for (_ <- 0 until 200) {
       val a = randStr(5 + rnd.nextInt(40)); val b = randStr(5 + rnd.nextInt(40))
       val l1 = graft.functions.TextKernels.histL1(
-        graft.functions.TextKernels.byteHist(UTF8String.fromString(a)),
-        graft.functions.TextKernels.byteHist(UTF8String.fromString(b)))
+        graft.functions.TextKernels.charHist(UTF8String.fromString(a)),
+        graft.functions.TextKernels.charHist(UTF8String.fromString(b)))
       assert(l1 <= 2 * lev(a, b), s"bound violated: '$a' vs '$b' l1=$l1 lev=${lev(a, b)}")
     }
+  }
+
+  test("edit-distance count filter keeps non-ASCII near-dups (per-char bins)") {
+    val s = spark
+    import s.implicits._
+    // one edit swaps a 3-byte Euro sign for 'x': a BYTE histogram moves 4
+    // bins and a 2d bound would drop the pair; per-character bins move 2
+    val d = Seq(
+      (0L, "€abcdefgh", "en"),
+      (1L, "xabcdefgh", "en"))
+      .toDF("doc_id", "text", "lang")
+    val pairs = Dedup.editDistancePairs(d, maxDist = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs((0L, 1L)) === 1L, s"non-ASCII near-dup dropped: $pairs")
+  }
+
+  test("edit-distance maxDist=0 finds exact-duplicate pairs") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (0L, "identical text", "en"),
+      (1L, "identical text", "en"),
+      (2L, "different body", "en"))
+      .toDF("doc_id", "text", "lang")
+    val pairs = Dedup.editDistancePairs(d, maxDist = 0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(pairs.toSeq === Seq(((0L, 1L), 0L)))
+  }
+
+  test("keep-best dedup ranks a null source LAST, matching the oracle") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (5L, "same text", null: String),
+      (9L, "same text", "srcA"))
+      .toDF("doc_id", "text", "source")
+    val r = Dedup.exactKeepBest(d).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 9L, "null source must not win")
+    assert(r.head.getString(1) === "srcA")
+  }
+
+  test("moments guard throws on out-of-range components and dirty rows") {
+    val s = spark
+    import s.implicits._
+    val big = Seq((0L, Array(100f, 0f))).toDF("vec_id", "embedding")
+    val e1 = intercept[org.apache.spark.SparkException] {
+      EmbeddingOps.momentsFixedPoint(big).collect()
+    }
+    assert(e1.getMessage.contains("exact fixed-point range")
+      || Option(e1.getCause).exists(_.getMessage.contains("exact fixed-point range")))
+    val dirty = Seq((0L, Array(1f, 2f)), (1L, Array(1f))).toDF("vec_id", "embedding")
+    val e2 = intercept[org.apache.spark.SparkException] {
+      EmbeddingOps.momentsFixedPoint(dirty).collect()
+    }
+    assert(e2.getMessage.contains("wrong-length")
+      || Option(e2.getCause).exists(_.getMessage.contains("wrong-length")))
   }
 
   test("edit-distance pairs match a brute-force levenshtein join") {
