@@ -196,6 +196,29 @@ object RelationalQueries {
     withO.unionAll(withoutO).orderBy("c_custkey")
   }
 
+  /**
+   * Correlated-subquery coverage: orders priced above their customer's
+   * average, expressed as actual correlated scalar subqueries through the
+   * SQL surface — Catalyst decorrelates them into the aggregate+join the
+   * DataFrame formulation would write by hand. The comparison is
+   * "n·price > sum" in exact integer cents, never "price > sum/n": an
+   * average divides, and decimal-vs-double division rounding could flip
+   * boundary rows (every single-order customer IS a boundary row) between
+   * engines.
+   */
+  private def qAboveAvg(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("graft_orders_sub")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM graft_orders_sub o
+        |WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |    (SELECT count(*) FROM graft_orders_sub i
+        |     WHERE i.o_custkey = o.o_custkey)
+        |  > (SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+        |     FROM graft_orders_sub i WHERE i.o_custkey = o.o_custkey)""".stripMargin)
+      .orderBy("o_orderkey")
+  }
+
   /** Full-outer-join coverage (completes the join-type family): nations'
     * customer counts vs their HIGH-BALANCE supplier counts — the balance
     * filter guarantees unmatched rows on both null-filled sides. */
@@ -599,6 +622,7 @@ object RelationalQueries {
     "events_sliding" -> (eventsSliding _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_full_outer" -> (qFullOuter _),
+    "q_above_avg" -> (qAboveAvg _),
     "q_rollup" -> (qRollup _),
     "q_sessions" -> (qSessions _),
   )
@@ -801,6 +825,14 @@ object RelationalQueries {
         |SELECT c_custkey, 'orders_only' AS tag FROM (
         |  SELECT c_custkey FROM wo EXCEPT SELECT c_custkey FROM ln)
         |ORDER BY c_custkey, tag""".stripMargin,
+    "q_above_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |    (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |  > (SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+        |     FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_full_outer" ->
       """WITH c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1),
         |s AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier

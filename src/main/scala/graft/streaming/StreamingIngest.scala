@@ -72,6 +72,21 @@ object StreamingIngest {
         col("event_type"), col("n_events"), col("sum_value"))
 
   /**
+   * Stream-static enrichment: the event stream joined to a static
+   * dimension table (user attributes, allow-lists, source weights). The
+   * static side broadcasts, so the stream never shuffles and no join
+   * state accumulates — the zero-state join every streaming pipeline
+   * reaches for before either stream-stream shape. `how = "left_semi"` /
+   * `"left_anti"` turn the same plan into an allow-/deny-list filter.
+   */
+  def enrichWithStatic(
+      events: DataFrame,
+      dim: DataFrame,
+      on: Seq[String],
+      how: String = "inner"): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), on, how)
+
+  /**
    * Stream-stream interval join: each purchase enriched with the same
    * user's clicks from the preceding `lookback` — the canonical
    * attribution join. Both sides carry watermarks and the join condition

@@ -63,6 +63,29 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment broadcasts the dim and drops deny-listed users") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "free")).toDF("user_id", "tier")
+    val mem = MemoryStream[Event]
+    val q = StreamingIngest
+      .enrichWithStatic(mem.toDF(), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 2, "view", 2.0),
+        Event(3, ts(2), 99, "click", 3.0)) // not in the dim: dropped by inner
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select("event_id", "tier").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows === Set((1L, "gold"), (2L, "free")))
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join pairs purchases with lookback clicks only") {
     val s = spark
     import s.implicits._
