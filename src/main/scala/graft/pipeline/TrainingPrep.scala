@@ -228,6 +228,51 @@ object TrainingPrep {
   }
 
   /**
+   * Deterministic shard export — the last step of a training-data
+   * pipeline: the shuffled corpus lands as `numShards` parquet shard
+   * directories of near-equal row counts, plus a JSON manifest recording
+   * per-shard counts and an order-insensitive content hash. Shard
+   * membership and within-shard order both derive from
+   * [[shuffleCorpus]]'s global position — a pure function of the ids —
+   * so re-running the export reproduces byte-identical shard membership
+   * regardless of partitioning. One range-shuffle on position (the write
+   * clusters each shard's rows before opening files: `numShards` files,
+   * not shards x tasks).
+   */
+  def writeShards(
+      docs: DataFrame,
+      path: String,
+      numShards: Int,
+      idCol: String = "doc_id"): Unit = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    val spark = docs.sparkSession
+    val n = docs.count()
+    val perShard = math.max(1L, (n + numShards - 1) / numShards)
+    val positioned = shuffleCorpus(docs, idCol)
+      .withColumn("shard", expr(s"(position - 1) div $perShard").cast("int"))
+      .join(docs, idCol)
+    positioned
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "position")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    val stats = spark.read.parquet(path)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("rows"),
+        // XOR fold: order-insensitive like a sum but cannot overflow
+        // under ANSI arithmetic (xxhash64 values span the full Long range)
+        expr(s"bit_xor(xxhash64($idCol))").as("content_hash"))
+      .orderBy("shard")
+      .collect()
+    val manifest = stats.map { r =>
+      s"""{"shard":${r.getInt(0)},"rows":${r.getLong(1)},"hash":${r.getLong(2)}}"""
+    }.mkString("[", ",", "]")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/_shards.json"),
+      s"""{"num_shards":${stats.length},"total_rows":$n,"shards":$manifest}""")
+  }
+
+  /**
    * Deterministic per-source cap: keep at most `cap` documents from each
    * source, chosen by the Lehmer shuffle key of doc_id (same generator as
    * [[sampleStratified]]/[[shuffleCorpus]]) so the kept set is a pure

@@ -121,6 +121,36 @@ class TrainingPrepSpec extends SparkSpec {
     assert(pos === expected)
   }
 
+  test("writeShards: balanced deterministic shards with a faithful manifest") {
+    val s = spark
+    import s.implicits._
+    val corpus = (0L until 97L).map(i => (i, s"doc $i body", "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/out"
+    TrainingPrep.writeShards(corpus, dir, numShards = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 97)
+    val sizes = back.groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet === Set(0, 1, 2, 3))
+    assert(sizes.values.max - sizes.values.min <= 25) // ceil(97/4)=25 cap
+    // every doc lands in exactly one shard
+    assert(back.select("doc_id").distinct().count() === 97)
+    // manifest totals match the data
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/_shards.json"))
+    assert(manifest.contains("\"total_rows\":97"))
+    assert(manifest.contains("\"num_shards\":4"))
+    // re-export reproduces identical shard membership (pure function of ids)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-shards2").toString + "/out"
+    TrainingPrep.writeShards(corpus, dir2, numShards = 4)
+    val m1 = back.select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val m2 = spark.read.parquet(dir2).select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m1 === m2)
+  }
+
   test("corpusStats token shares sum to 1 and mix_weight flattens strata") {
     val rows = TrainingPrep.corpusStats(docs).orderBy("lang").collect()
     // en: docs 0,1,4 = 4+3+3 = 10 tokens; de: 2+5 = 7; zh: 1. total 18
