@@ -276,6 +276,23 @@ object Dedup {
   }
 
   /**
+   * Corpus-side near-dup index tables — (shingles: `(id, shingles)`,
+   * bands: `(pos, band, id)`) — a pure function of the corpus, built once
+   * (at 100 TB: written once as index tables at curation time) and reused
+   * by every [[incremental]] batch and
+   * [[graft.streaming.StreamingIngest.nearDupScreen]] stream.
+   */
+  def bandIndex(
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      ngram: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      family: graft.functions.HashFamily = graft.functions.HashFamily.Xxh64): (DataFrame, DataFrame) =
+    shingleBands(corpus, idCol, textCol, ngram, numHashes, bands, family)
+
+  /**
    * Incremental dedup: match an incoming batch against an EXISTING corpus
    * without ever self-joining the corpus — the shape of continuous-ingest
    * curation, where the corpus is 100 TB and the batch is a day's crawl.

@@ -87,6 +87,48 @@ object StreamingIngest {
     events.join(org.apache.spark.sql.functions.broadcast(dim), on, how)
 
   /**
+   * Streaming near-duplicate screen: every incoming document checked
+   * against a STATIC corpus band index ([[graft.pipeline.Dedup.bandIndex]])
+   * at ingest time — the quality gate that keeps a crawl from re-adding
+   * what the corpus already holds. All joins are stream-static, so no
+   * join state accumulates; the only state is the within-watermark
+   * (doc, corpus) dedup that collapses multi-band candidate hits. Emits
+   * `(doc_id, ts, corpus_id, jaccard)` for verified matches only — true
+   * n-gram Jaccard, not just a band collision.
+   */
+  def nearDupScreen(
+      docs: DataFrame, // streaming (doc_id, ts, text)
+      corpusShingles: DataFrame, // static (id, shingles)
+      corpusBands: DataFrame, // static (pos, band, id)
+      ngram: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.functions.text
+    val banded = docs
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("shingles",
+        text.word_ngrams(text.tokenize(col("text")), ngram))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", text.minhash_signature(col("shingles"), numHashes))
+      .select(col("doc_id"), col("ts"), col("shingles"),
+        posexplode(text.lsh_bands(col("sig"), numHashes, bands))
+          .as(Seq("pos", "band")))
+    banded
+      .join(corpusBands.select(col("pos"), col("band"), col("id").as("corpus_id")),
+        Seq("pos", "band"))
+      .join(corpusShingles.select(col("id").as("corpus_id"),
+        col("shingles").as("c_sh")), Seq("corpus_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("shingles"), col("c_sh"))).cast("double") /
+          size(array_union(col("shingles"), col("c_sh"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("ts"), col("corpus_id"), col("jaccard"))
+      .dropDuplicatesWithinWatermark("doc_id", "corpus_id")
+  }
+
+  /**
    * Stream-stream interval join: each purchase enriched with the same
    * user's clicks from the preceding `lookback` — the canonical
    * attribution join. Both sides carry watermarks and the join condition

@@ -86,6 +86,41 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup screen flags corpus matches, passes novel docs") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (101L, "a completely unrelated corpus document about columnar execution"),
+      (102L, "der schnelle braune fuchs springt und der hund ist mit anderen"))
+      .toDF("doc_id", "text")
+    val (cShingles, cBands) = graft.pipeline.Dedup.bandIndex(corpus)
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingIngest
+      .nearDupScreen(mem.toDF().toDF("doc_id", "ts", "text"),
+        cShingles, cBands, threshold = 0.5)
+      .writeStream.format("memory").queryName("neardup_screen")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (1L, ts(0), "the quick brown fox jumps over the lazy dog near the river bank"), // exact
+        (2L, ts(1), "the quick brown fox jumps over the lazy dog near the river bend"), // near
+        (3L, ts(2), "totally novel text that matches nothing in the corpus at all ok"))
+      q.processAllAvailable()
+      val rows = spark.table("neardup_screen")
+        .select("doc_id", "corpus_id", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val byDoc = rows.groupBy(_._1)
+      assert(byDoc(1L).exists(t => t._2 == 100L && t._3 == 1.0)) // exact: jaccard 1
+      assert(byDoc(2L).exists(t => t._2 == 100L && t._3 >= 0.5)) // near-dup
+      assert(!byDoc.contains(3L), s"novel doc flagged: $rows")
+      // multi-band candidate hits collapsed to one row per (doc, corpus)
+      assert(rows.length === rows.distinct.length)
+      assert(byDoc(1L).count(_._2 == 100L) === 1)
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join pairs purchases with lookback clicks only") {
     val s = spark
     import s.implicits._
