@@ -65,18 +65,28 @@ class EpochManager(basePath: String) {
       .filterNot { case (id, _) => id == activeId || protectedIds.contains(id) }
       .map(_._1)
     doomed.foreach { id =>
-      deleteRecursively(epochPath(id))
+      // state first, directory second: a crash between the two leaves an
+      // orphan directory (harmless, re-collected by a later cleanup pass
+      // over unreferenced ids) — the reverse order would leave state
+      // pointing at a DELETED epoch, which activateEpoch would then
+      // happily activate
       epochs.remove(id)
+      persistState()
+      deleteRecursively(epochPath(id))
     }
-    persistState()
+    if (doomed.isEmpty) persistState()
     doomed
   }
 
   private def deleteRecursively(path: String): Unit = {
     val p = Paths.get(path)
     if (Files.exists(p)) {
-      Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+      // Files.walk holds open directory handles until closed — a
+      // long-lived driver running periodic cleanups would leak fds
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(f => Files.delete(f))
+      finally walk.close()
     }
   }
 

@@ -82,11 +82,22 @@ object Manifest {
       num("created_at"), num("num_vectors"), shards)
   }
 
-  /** temp file + atomic rename — the epoch-swap atomicity rule (SURVEY §7.4.5). */
+  /** temp file + fsync + atomic rename — the epoch-swap atomicity rule
+    * (SURVEY §7.4.5). The force(true) before the move matters: a rename
+    * only orders METADATA; without flushing the temp file's data blocks a
+    * power loss shortly after an epoch swap can leave the state file
+    * zero-length or truncated on ext4/xfs. */
   private[storage] def atomicWrite(target: Path, content: String): Unit = {
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
     Files.createDirectories(target.getParent)
-    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    val ch = java.nio.channels.FileChannel.open(tmp,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(content.getBytes(StandardCharsets.UTF_8)))
+      ch.force(true)
+    } finally ch.close()
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }

@@ -37,6 +37,7 @@ class ServingGuard(
     var successCount = 0L
     var errorCount = 0L
     var circuitOpen = false
+    var probing = false // half-open: ONE recovery probe in flight
     var lastFailureMs = 0L
     var avgLatencyMs = 0L
     def errorRate: Double = {
@@ -64,16 +65,25 @@ class ServingGuard(
     val m = metricsFor(service)
     m.synchronized {
       if (m.circuitOpen) {
-        // recovery probe: one request through after the cool-down
-        if (now() - m.lastFailureMs > breakerTimeoutMs) m.circuitOpen = false
+        // TRUE half-open: after the cool-down exactly ONE probe runs while
+        // the circuit stays open — closing it on admission would flood the
+        // still-failing backend with every queued request at once. The
+        // probe's success closes the circuit (inside recordSuccess, only
+        // once the cumulative rate allows); its failure restarts the
+        // cool-down; concurrent arrivals during the probe are rejected.
+        if (m.probing) throw new RejectedException(s"recovery probe in flight for $service")
+        if (now() - m.lastFailureMs > breakerTimeoutMs) m.probing = true
         else throw new RejectedException(s"circuit open for $service")
       }
     }
-    if (inFlight.get() >= maxConcurrent) {
-      recordError(m)
-      throw new RejectedException(s"server overloaded (${inFlight.get()}/$maxConcurrent)")
+    // increment-then-test: a check-then-increment pair lets N racing
+    // threads all pass the check at cap-1 and overshoot the cap by N-1
+    val load = inFlight.incrementAndGet()
+    if (load > maxConcurrent) {
+      inFlight.decrementAndGet()
+      recordError(m) // also releases a probe slot this request may hold
+      throw new RejectedException(s"server overloaded ($load/$maxConcurrent)")
     }
-    inFlight.incrementAndGet()
     val t0 = now()
     try {
       val r = body
@@ -86,6 +96,7 @@ class ServingGuard(
 
   private def recordSuccess(m: Metrics, latencyMs: Long): Unit = m.synchronized {
     m.successCount += 1
+    m.probing = false
     m.avgLatencyMs =
       if (m.avgLatencyMs == 0L) latencyMs
       else (m.avgLatencyMs * 0.9 + latencyMs * 0.1).toLong // EMA alpha 0.1
@@ -94,6 +105,7 @@ class ServingGuard(
 
   private def recordError(m: Metrics): Unit = m.synchronized {
     m.errorCount += 1
+    m.probing = false
     m.lastFailureMs = now()
     if (m.errorRate > breakerThreshold) m.circuitOpen = true
   }

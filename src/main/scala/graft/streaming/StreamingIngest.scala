@@ -104,20 +104,29 @@ object StreamingIngest {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.7,
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes",
+      family: graft.functions.HashFamily = graft.functions.HashFamily.Xxh64): DataFrame = {
     import graft.functions.text
     val banded = docs
       .withWatermark("ts", watermarkDelay)
       .withColumn("shingles",
         text.word_ngrams(text.tokenize(col("text")), ngram))
       .filter(size(col("shingles")) > 0)
-      .withColumn("sig", text.minhash_signature(col("shingles"), numHashes))
+      // `family` MUST match the one the corpus index was built with —
+      // mismatched hash families collide on nothing and the screen would
+      // silently admit every duplicate
+      .withColumn("sig",
+        text.minhash_signature(col("shingles"), numHashes, family = family))
       .select(col("doc_id"), col("ts"), col("shingles"),
         posexplode(text.lsh_bands(col("sig"), numHashes, bands))
           .as(Seq("pos", "band")))
     banded
       .join(corpusBands.select(col("pos"), col("band"), col("id").as("corpus_id")),
         Seq("pos", "band"))
+      // collapse multi-band hits BEFORE the shingle join + Jaccard (the
+      // batch twin's "candidates distinct first" rule): a doc colliding
+      // in all `bands` bands must pay ONE verification, not `bands`
+      .dropDuplicatesWithinWatermark("doc_id", "corpus_id")
       .join(corpusShingles.select(col("id").as("corpus_id"),
         col("shingles").as("c_sh")), Seq("corpus_id"))
       .withColumn("jaccard",
@@ -125,7 +134,6 @@ object StreamingIngest {
           size(array_union(col("shingles"), col("c_sh"))))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_id"), col("ts"), col("corpus_id"), col("jaccard"))
-      .dropDuplicatesWithinWatermark("doc_id", "corpus_id")
   }
 
   /**
@@ -214,8 +222,11 @@ object StreamingIngest {
               user_id = userId,
               n_events = prev.map(_.n_events).getOrElse(0) + evs.size,
               total_value = prev.map(_.total_value).getOrElse(0.0) + evs.map(_.value).sum,
-              started = prev.map(_.started)
-                .getOrElse(evs.map(_.ts).minBy(_.getTime)),
+              // symmetric late-data handling: a late event EARLIER than
+              // the recorded start pulls the start back, exactly as a
+              // late-but-latest event extends the end
+              started = (prev.map(_.started).toSeq ++ evs.map(_.ts))
+                .minBy(_.getTime),
               // late events must not move the session end backwards
               ended = (prev.map(_.ended).toSeq ++ evs.map(_.ts))
                 .maxBy(_.getTime))

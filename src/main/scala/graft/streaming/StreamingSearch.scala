@@ -46,7 +46,8 @@ object StreamingSearch {
       checkpointPath: String,
       triggerMs: Long = 100L,
       warmupEvery: Int = 0,
-      warm: () => Unit = () => ())(
+      warm: () => Unit = () => (),
+      admit: Long => Boolean = _ => true)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val servedBatches = new java.util.concurrent.atomic.AtomicLong
     queryStream.writeStream
@@ -58,6 +59,10 @@ object StreamingSearch {
         // on the serving hot loop
         val ran = IvfFlatIndex.snapshotQueries(batch).batch match {
           case Some(b) if b.isEmpty => false // idle trigger: nothing to serve
+          // admit() runs AFTER the emptiness read but BEFORE any search
+          // construction: a load-shedding guard must not pay the probe +
+          // broadcast build for a batch it is about to reject
+          case _ if !admit(batchId) => false
           case Some(b) =>
             val (res, release) = index.searchBatchManaged(b, params)
             try sink(res, batchId) finally release()
@@ -83,8 +88,12 @@ object StreamingSearch {
    * The default `onReject` drops rejected batches silently, exactly like
    * a load-shedding gRPC front end; pass a callback to surface them.
    * (The per-trigger bounded snapshot — driver metadata only — still runs
-   * for a rejected batch; it IS the coalescing read. The guarded part is
-   * the distributed search execution and the sink.)
+   * for a rejected batch; it IS the coalescing read. A circuit already
+   * OPEN short-circuits before any search construction via the admit
+   * hook — an open breaker must not pay the probe + broadcast build per
+   * trigger for 30 s of cool-down; the half-open probe batch and all
+   * admitted batches run under the full guard, which owns the overload
+   * cap and the error accounting.)
    */
   def serveGuarded(
       index: IvfFlatIndex,
@@ -98,9 +107,16 @@ object StreamingSearch {
       warm: () => Unit = () => ())(
       sink: (DataFrame, Long) => Unit): StreamingQuery =
     serve(index, queryStream, params, checkpointPath, triggerMs,
-      warmupEvery, warm) { (res, batchId) =>
+      warmupEvery, warm,
+      admit = { batchId =>
+        val open = guard.isCircuitOpen("search")
+        if (open) onReject(batchId, new guard.RejectedException("circuit open for search"))
+        !open
+      }) { (res, batchId) =>
+      // NonFatal: an OOM/LinkageError must kill the loop, not be recorded
+      // as an ordinary service error while the JVM limps on
       try guard.guarded("search")(sink(res, batchId))
-      catch { case e: Throwable => onReject(batchId, e) }
+      catch { case scala.util.control.NonFatal(e) => onReject(batchId, e) }
     }
 
   /**

@@ -74,6 +74,55 @@ class ServingGuardSpec extends AnyFunSuite {
     assert(g.isCircuitOpen("s"))
   }
 
+  test("racing admissions never exceed the cap (increment-then-test)") {
+    val g = new ServingGuard(maxConcurrent = 4)
+    val peak = new java.util.concurrent.atomic.AtomicInteger(0)
+    val running = new java.util.concurrent.atomic.AtomicInteger(0)
+    val admitted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 32).map { _ =>
+      val t = new Thread(() => {
+        start.await()
+        try g.guarded("s") {
+          admitted.incrementAndGet()
+          val r = running.incrementAndGet()
+          peak.getAndUpdate(p => math.max(p, r))
+          Thread.sleep(20)
+          running.decrementAndGet()
+        } catch { case _: g.RejectedException => () }
+      })
+      t.start(); t
+    }
+    start.countDown()
+    threads.foreach(_.join())
+    assert(peak.get() <= 4, s"cap exceeded: peak ${peak.get()}")
+    assert(admitted.get() >= 1)
+    assert(g.currentLoad === 0)
+  }
+
+  test("half-open: concurrent arrivals during the recovery probe are rejected") {
+    var t = 0L
+    val g = new ServingGuard(now = () => t)
+    intercept[RuntimeException](g.guarded("s")(throw new RuntimeException("b")))
+    assert(g.isCircuitOpen("s"))
+    t += 31000L // past the cool-down: next request becomes THE probe
+    val inProbe = new java.util.concurrent.CountDownLatch(1)
+    val finish = new java.util.concurrent.CountDownLatch(1)
+    val probe = new Thread(() => g.guarded("s") { inProbe.countDown(); finish.await(); 1 })
+    probe.start()
+    inProbe.await()
+    // the circuit is still open and the probe slot is taken
+    val e = intercept[g.RejectedException](g.guarded("s")(2))
+    assert(e.reason.contains("probe"))
+    finish.countDown()
+    probe.join()
+    // successful probe with rate now 1 err / 2 total = 50%: not < 0.5, so
+    // the circuit needs one more successful probe to close (cumulative
+    // quirk) — but the NEXT probe is admitted immediately
+    assert(g.guarded("s")(3) === 3)
+    assert(!g.isCircuitOpen("s"))
+  }
+
   test("EMA latency (alpha 0.1) drives the adaptive timeout with [1s, 30s] clamps") {
     var t = 0L
     val g = new ServingGuard(now = () => t)

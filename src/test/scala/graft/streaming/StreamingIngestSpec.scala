@@ -193,11 +193,15 @@ class StreamingIngestSpec extends SparkSpec {
       // a LATE event must not move the session end backwards
       mem.addData(Event(5, ts(1), 7, "late", 0.5))
       q.processAllAvailable()
+      // a late event EARLIER than the recorded start must pull it back —
+      // symmetric with the end never regressing
+      mem.addData(Event(6, ts(-3), 7, "later-still-earlier", 0.0))
+      q.processAllAvailable()
       val byUser = spark.table("sessions").as[Session].collect()
         .groupBy(_.user_id).map { case (u, ss) => u -> ss.maxBy(_.n_events) }
-      assert(byUser(7L).n_events === 4)
+      assert(byUser(7L).n_events === 5)
       assert(byUser(7L).total_value === 7.5)
-      assert(byUser(7L).started === ts(0))
+      assert(byUser(7L).started === ts(-3)) // pulled back by the late event
       assert(byUser(7L).ended === ts(2)) // not regressed to ts(1)
       assert(byUser(8L).n_events === 1)
     } finally q.stop()
