@@ -376,6 +376,13 @@ object text {
    * near-duplicate candidates without an all-pairs comparison.
    */
   def lsh_bands(sig: Column, numHashes: Int, bands: Int): Column = {
+    // a non-dividing band count would silently drop the trailing
+    // numHashes % bands signature rows — minhash work computed in the
+    // hottest kernel and then never banded, with the effective
+    // rows-per-band (and thus the (1/b)^(1/r) candidate S-curve the
+    // user tuned the threshold against) quietly shifted
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     val r = numHashes / bands
     transform(
       sequence(lit(0), lit(bands - 1)),

@@ -213,7 +213,16 @@ object Dedup {
     val esym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .transform(persistOnce)
-    var labels = docs.select(col(idCol).as("id"), col(idCol).as("lbl"))
+    // label EVERY pair endpoint, not just ids present in docs: a pair
+    // endpoint missing from docs (pairs computed pre-filter) must still
+    // RELAY labels — without it, chains through the absent id silently
+    // never merge and clusters over-split. Relay-only ids are dropped
+    // from the output at the end (the docs join below).
+    val docIds = docs.select(col(idCol).as("id"))
+    val allIds = docIds
+      .unionAll(esym.select(col("src").as("id")))
+      .distinct()
+    var labels = allIds.select(col("id"), col("id").as("lbl"))
       .localCheckpoint(true)
     var changed = 1L
     var it = 0
@@ -233,10 +242,14 @@ object Dedup {
     }
     require(changed == 0,
       s"dupClusters did not converge in $maxIters rounds — raise maxIters")
-    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "lbl")
-      .select(col("id").as(idCol), col("lbl").as("cluster_id"),
-        col("cluster_size"))
+    // output covers docs only, sizes count docs, and cluster_id is the
+    // minimum DOC id of the cluster — a relay-only id may win the label
+    // propagation but must not leak out as a cluster id
+    val docLabels = labels.join(docIds, "id")
+    val canon = docLabels.groupBy("lbl")
+      .agg(min("id").as("cluster_id"), count(lit(1)).as("cluster_size"))
+    docLabels.join(canon, "lbl")
+      .select(col("id").as(idCol), col("cluster_id"), col("cluster_size"))
   }
 
   /**
@@ -403,9 +416,17 @@ object Dedup {
     val bits = 64 / chunks
     // (1L << 64) wraps to 1 (shift mod 64): full-width chunks need -1L
     val mask = if (bits >= 64) -1L else (1L << bits) - 1
-    val sigs = docs.select(
-      col(idCol).as("id"),
-      text.simhash64(text.tokenize(col(textCol)), family = family).as("sim"))
+    val toks = docs.select(col(idCol).as("id"),
+      text.tokenize(col(textCol)).as("toks"))
+      // empty token sets (non-Latin or punctuation-only text under the
+      // [a-z0-9]+ tokenizer) all hash to simhash 0: without this guard
+      // they'd share every chunk bucket — one quadratic straggler — and
+      // pair with each other at hamming 0 as false "near-duplicates"
+      // (same guard + rationale as shingleBands)
+      .filter(size(col("toks")) > 0)
+    val sigs = toks.select(
+      col("id"),
+      text.simhash64(col("toks"), family = family).as("sim"))
     val chunkCols = (0 until chunks).map { i =>
       struct(
         lit(i).as("cpos"),

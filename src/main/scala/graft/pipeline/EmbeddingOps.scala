@@ -25,9 +25,17 @@ object EmbeddingOps {
     * value in [-127, 127] can reach -128 only when max|x| is the unique
     * negative extreme; the decoder divides by the same scale, so range
     * asymmetry is harmless). */
-  def quantizeInt8(vec: Column): Column = {
-    val scale = lit(127.0) / array_max(transform(vec, v => abs(v.cast("double"))))
-    transform(vec, v => floor(v.cast("double") * scale).cast("long"))
+  def quantizeInt8(vec: Column): Column =
+    transform(vec, v => floor(v.cast("double") * sq8Scale(vec)).cast("long"))
+
+  /** THE symmetric-quantizer scale, shared by every SQ8 producer
+    * (quantizeInt8, quantizeStats, Similarity.sq8SearchRerank) so the
+    * stored codes and their oracles can never drift apart. All-zero
+    * vectors get scale 1 — 127/0 would be Infinity and every code NaN;
+    * with scale 1 the codes and their dequantized values are exactly 0. */
+  private[graft] def sq8Scale(vec: Column): Column = {
+    val mx = array_max(transform(vec, v => abs(v.cast("double"))))
+    when(mx === 0.0, lit(1.0)).otherwise(lit(127.0) / mx)
   }
 
   /**
@@ -62,8 +70,8 @@ object EmbeddingOps {
    */
   def quantizeStats(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
     val x = col(vecCol)
-    val scale = lit(127.0) / array_max(transform(x, v => abs(v.cast("double"))))
-    val codes = transform(x, v => floor(v.cast("double") * scale).cast("long"))
+    val scale = sq8Scale(x)
+    val codes = quantizeInt8(x)
     emb.select(
       col("vec_id"),
       col("label"),
@@ -148,7 +156,15 @@ object EmbeddingOps {
       scale: Long = 10000L): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val d = emb.select(size(col(vecCol))).head().getInt(0)
+    // dimension probe must itself survive dirty data: a null first row
+    // gives size() = -1 and an empty frame has no head() — both deserve
+    // the documented contract error, not NegativeArraySizeException
+    val d = emb.select(size(col(vecCol)).as("_d"))
+      .filter(col("_d") >= 0)
+      .head(1).headOption
+      .map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        "momentsFixedPoint: no non-null vectors to infer the dimension from"))
     val tri = (for { i <- 0 until d; j <- i until d } yield (i, j)).toArray
     val maxAbsQ = MomentsMaxAbsQ
     val partials = emb.select(col(vecCol)).as[Seq[Float]]

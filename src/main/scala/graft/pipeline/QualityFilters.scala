@@ -38,11 +38,15 @@ object QualityFilters {
    */
   def repetitionMetrics(docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val base = docs.select(
+    // pin the tokenized projection: three consumers (unigram branch,
+    // bigram branch, final join) and Spark has no cross-branch CSE — an
+    // uncached base re-runs the hottest regex pass over the full corpus
+    // text once per branch
+    val base = Dedup.persistOnce(docs.select(
       col(idCol),
       text.tokenize(col(textCol)).as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long")))
 
     def topCount(grams: Column, out: String): DataFrame = base
       .select(col(idCol), explode(grams).as("g"))

@@ -394,7 +394,7 @@ object Similarity {
       candK: Int,
       k: Int,
       metric: Metric.Value = Metric.L2): DataFrame = {
-    val scale = lit(127.0) / array_max(transform(col("vec"), v => abs(v.cast("double"))))
+    val scale = EmbeddingOps.sq8Scale(col("vec")) // shared: codes/oracle can't drift
     // The codes table is the SQ8 index artifact — one BINARY byte per dim
     // (the true 4x scan-byte reduction) + a double scale, built once and
     // cached (at 100 TB it is a stored table, like the PQ codes epoch).

@@ -121,13 +121,20 @@ object TextAnalysis {
     val cands = toks.as[String]
       .mapPartitions(it => misraGries(it, capacity).iterator)
       .toDF("tok").distinct()
-    val counted = toks.join(broadcast(cands), "tok")
+    // no broadcast HINT: the candidate set is bounded by partitions x
+    // capacity, which at 10^4+ partitions is far past broadcast budgets —
+    // let the optimizer/AQE pick broadcast when the actual set is small
+    val counted = toks.join(cands, "tok")
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // global top-k via sort+limit (TakeOrderedAndProject: per-partition
+    // heaps + one k-row merge) — a no-partition row_number window would
+    // funnel every counted candidate through a single task; the rank
+    // window below runs over k rows only
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("cnt").desc, col("tok").asc)
-    counted
-      .withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= k)
+    val topk = counted.orderBy(col("cnt").desc, col("tok").asc).limit(k)
+    topk
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("tok").asc)).cast("int"))
       .orderBy("rank")
   }
 

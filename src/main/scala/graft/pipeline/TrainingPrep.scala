@@ -65,7 +65,7 @@ object TrainingPrep {
     * 1000. Plain modular arithmetic — replayable anywhere, stable across
     * partitioning, runs, and engines. */
   private def permilleBucket(id: Column): Column =
-    ((id * 48271L + 11L) % 2147483647L) % 1000L
+    pmod(id * 48271L + 11L, lit(2147483647L)) % 1000L
 
   /**
    * Reproducible stratified sampling: keep a document iff its hash bucket
@@ -210,7 +210,7 @@ object TrainingPrep {
     // bucket order == key order, which makes offsets well-defined
     val width = (2147483647L + buckets - 1) / buckets
     val keyed = docs
-      .withColumn("shuffle_key", (col(idCol) * 48271L + 11L) % 2147483647L)
+      .withColumn("shuffle_key", pmod(col(idCol) * 48271L + 11L, lit(2147483647L)))
       .withColumn("bkt", expr(s"shuffle_key div $width"))
     val wIn = Window.partitionBy("bkt").orderBy(col("shuffle_key"), col(idCol))
     val offsets = keyed
@@ -246,30 +246,38 @@ object TrainingPrep {
       idCol: String = "doc_id"): Unit = {
     require(numShards > 0, s"numShards must be positive: $numShards")
     val spark = docs.sparkSession
-    val n = docs.count()
-    val perShard = math.max(1L, (n + numShards - 1) / numShards)
-    val positioned = shuffleCorpus(docs, idCol)
-      .withColumn("shard", expr(s"(position - 1) div $perShard").cast("int"))
-      .join(docs, idCol)
-    positioned
-      .repartition(col("shard"))
-      .sortWithinPartitions("shard", "position")
-      .write.mode("overwrite").partitionBy("shard").parquet(path)
-    val stats = spark.read.parquet(path)
-      .groupBy("shard")
-      .agg(
-        count(lit(1)).as("rows"),
-        // XOR fold: order-insensitive like a sum but cannot overflow
-        // under ANSI arithmetic (xxhash64 values span the full Long range)
-        expr(s"bit_xor(xxhash64($idCol))").as("content_hash"))
-      .orderBy("shard")
-      .collect()
-    val manifest = stats.map { r =>
-      s"""{"shard":${r.getInt(0)},"rows":${r.getLong(1)},"hash":${r.getLong(2)}}"""
-    }.mkString("[", ",", "]")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$path/_shards.json"),
-      s"""{"num_shards":${stats.length},"total_rows":$n,"shards":$manifest}""")
+    // pin ONCE: the source plan is read three times (count, position pass,
+    // payload join) — a non-deterministic input (sample, unordered limit)
+    // would otherwise give each pass a different row set, dropping rows
+    // from shards and desynchronizing the manifest (same rule as
+    // filteredAnnAdaptive's snapshot-once fix)
+    val pinned = Dedup.persistOnce(docs)
+    try {
+      val n = pinned.count()
+      val perShard = math.max(1L, (n + numShards - 1) / numShards)
+      val positioned = shuffleCorpus(pinned, idCol)
+        .withColumn("shard", expr(s"(position - 1) div $perShard").cast("int"))
+        .join(pinned, idCol)
+      positioned
+        .repartition(col("shard"))
+        .sortWithinPartitions("shard", "position")
+        .write.mode("overwrite").partitionBy("shard").parquet(path)
+      val stats = spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(
+          count(lit(1)).as("rows"),
+          // XOR fold: order-insensitive like a sum but cannot overflow
+          // under ANSI arithmetic (xxhash64 values span the full Long range)
+          expr(s"bit_xor(xxhash64($idCol))").as("content_hash"))
+        .orderBy("shard")
+        .collect()
+      val manifest = stats.map { r =>
+        s"""{"shard":${r.getInt(0)},"rows":${r.getLong(1)},"hash":${r.getLong(2)}}"""
+      }.mkString("[", ",", "]")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$path/_shards.json"),
+        s"""{"num_shards":${stats.length},"total_rows":$n,"shards":$manifest}""")
+    } finally pinned.unpersist(blocking = false)
   }
 
   /**
@@ -295,7 +303,7 @@ object TrainingPrep {
     val w = Window.partitionBy(srcCol)
       .orderBy(col("cap_key"), col(idCol))
     docs
-      .withColumn("cap_key", (col(idCol) * 48271L + 11L) % 2147483647L)
+      .withColumn("cap_key", pmod(col(idCol) * 48271L + 11L, lit(2147483647L)))
       .withColumn("rank_in_source", row_number().over(w))
       .filter(col("rank_in_source") <= cap)
       .select(col(idCol), col(srcCol), col("cap_key"),

@@ -474,7 +474,7 @@ object PipelineQueries {
         |WHERE d.doc_id % 10 = 0 ORDER BY d.doc_id""".stripMargin,
     "source_cap" ->
       """WITH k AS (SELECT doc_id, source,
-        |             (doc_id * 48271 + 11) % 2147483647 AS cap_key
+        |             (((doc_id * 48271 + 11) % 2147483647) + 2147483647) % 2147483647 AS cap_key
         |           FROM documents),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
         |        ORDER BY cap_key, doc_id) AS INT) AS rank_in_source FROM k)
@@ -598,8 +598,10 @@ object PipelineQueries {
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "embed_quantize" ->
       """WITH q AS (SELECT vec_id, label,
-        |    127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
-        |      AS scale, embedding FROM embeddings)
+        |    CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+        |         THEN 1.0
+        |         ELSE 127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |    END AS scale, embedding FROM embeddings)
         |SELECT vec_id, label,
         |  CAST(floor(scale * 1000000.0) AS BIGINT) AS scale_m,
         |  CAST(list_sum(list_transform(embedding,
@@ -624,8 +626,8 @@ object PipelineQueries {
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "corpus_shuffle" ->
       """SELECT doc_id,
-        |  (doc_id * 48271 + 11) % 2147483647 AS shuffle_key,
-        |  CAST(row_number() OVER (ORDER BY (doc_id * 48271 + 11) % 2147483647, doc_id)
+        |  (((doc_id * 48271 + 11) % 2147483647) + 2147483647) % 2147483647 AS shuffle_key,
+        |  CAST(row_number() OVER (ORDER BY (((doc_id * 48271 + 11) % 2147483647) + 2147483647) % 2147483647, doc_id)
         |    AS BIGINT) AS position
         |FROM documents ORDER BY position""".stripMargin,
     "seq_pack" ->
@@ -639,9 +641,9 @@ object PipelineQueries {
         |FROM s ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang, source,
-        |  ((doc_id * 48271 + 11) % 2147483647) % 1000 AS bucket
+        |  ((((doc_id * 48271 + 11) % 2147483647) + 2147483647) % 2147483647) % 1000 AS bucket
         |FROM documents
-        |WHERE ((doc_id * 48271 + 11) % 2147483647) % 1000
+        |WHERE ((((doc_id * 48271 + 11) % 2147483647) + 2147483647) % 2147483647) % 1000
         |      < CASE WHEN lang = 'en' THEN 120 ELSE 350 END
         |ORDER BY doc_id""".stripMargin,
     "contamination" ->
@@ -898,7 +900,7 @@ object PipelineQueries {
     // per bit, brute-force hamming <= 3 (== the lossless pigeonhole join).
     "simhash_pairs_poly" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS toks
-        |           FROM documents),
+        |           FROM documents WHERE len(regexp_extract_all(lower(text),'[a-z0-9]+')) > 0),
         |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
         |h AS (SELECT doc_id,
         |        ((list_reduce(list_prepend(CAST(0 AS BIGINT),

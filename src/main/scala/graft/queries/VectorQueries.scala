@@ -672,7 +672,10 @@ object VectorQueries {
 
   private lazy val sq8RerankOracleSql =
     s"""WITH s AS (SELECT vec_id, embedding,
-       |             127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+       |             CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+       |                  THEN 1.0
+       |                  ELSE 127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+       |             END AS scale
        |           FROM embeddings),
        |a AS (SELECT vec_id, list_transform(embedding,
        |        x -> CAST(floor(CAST(x AS DOUBLE) * scale) / scale AS FLOAT)) AS vec FROM s),

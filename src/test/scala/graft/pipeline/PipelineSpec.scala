@@ -528,6 +528,46 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.contains((0L, 3L)))
   }
 
+  test("empty-token docs never simhash-pair (all would share simhash 0)") {
+    val s = spark
+    import s.implicits._
+    val d = docs.unionAll(Seq(
+      (200L, "???!!!"), (201L, "¡¿"), (202L, "")).toDF("doc_id", "text"))
+    val pairs = Dedup.simhashPairs(d, maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!pairs.exists(p => p._1 >= 200L || p._2 >= 200L),
+      s"empty-token docs paired: ${pairs.toSeq}")
+  }
+
+  test("quantizeInt8 maps an all-zero vector to all-zero codes, not NaN") {
+    val s = spark
+    import s.implicits._
+    val r = Seq((0L, Array(0f, 0f, 0f)), (1L, Array(1f, -0.5f, 0f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), EmbeddingOps.quantizeInt8(col("embedding")).as("codes"))
+      .orderBy("vec_id").collect()
+    assert(r(0).getSeq[Long](1) === Seq(0L, 0L, 0L))
+    assert(r(1).getSeq[Long](1) === Seq(127L, -64L, 0L))
+  }
+
+  test("dupClusters merges chains through pair endpoints absent from docs") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "a"), (5L, "b")).toDF("doc_id", "text")
+    // 1 and 5 connect ONLY through relay id 3, which is not in docs
+    val pairs = Seq((1L, 3L), (3L, 5L)).toDF("a_id", "b_id")
+    val r = Dedup.dupClusters(d, pairs).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq === Seq((1L, 1L, 2L), (5L, 1L, 2L)),
+      s"relay chain not merged: ${r.toSeq}")
+  }
+
+  test("lsh_bands rejects a band count that does not divide numHashes") {
+    intercept[IllegalArgumentException] {
+      graft.functions.text.lsh_bands(col("sig"), numHashes = 64, bands = 12)
+    }
+  }
+
   test("jacobiEigen recovers a known symmetric eigensystem") {
     // [[2,1],[1,2]] has eigenvalues 3 and 1
     val (vals, vecs) = EmbeddingOps.jacobiEigen(

@@ -121,6 +121,21 @@ class TrainingPrepSpec extends SparkSpec {
     assert(pos === expected)
   }
 
+  test("negative doc ids hash into [0, 1000) like any other (pmod keys)") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((-5L, "neg id doc", "en", "srcA"), (7L, "pos id doc", "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+    // rate 0: NOTHING may survive — a signed % would keep the negative id
+    // (its negative bucket compares below any rate)
+    val kept = TrainingPrep.sampleStratified(d, Map("en" -> 0), defaultPermille = 0)
+      .collect()
+    assert(kept.isEmpty, s"rate-0 stratum leaked: ${kept.toSeq}")
+    // and shuffle positions stay a dense positive 1..n
+    val pos = TrainingPrep.shuffleCorpus(d).collect().map(_.getLong(2)).sorted
+    assert(pos.toSeq === Seq(1L, 2L))
+  }
+
   test("writeShards: balanced deterministic shards with a faithful manifest") {
     val s = spark
     import s.implicits._
