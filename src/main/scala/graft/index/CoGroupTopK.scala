@@ -103,11 +103,18 @@ object CoGroupTopK {
       lit(0).as("_tag"),
       col("qid").cast("long").as("id"),
       col("qvec").as("vec"))
-    val c = corpus.select(
-      saltedKey("list_id", salt),
-      lit(1).as("_tag"),
-      col("id").cast("long").as("id"),
-      col("vec"))
+    val c = corpus
+      // skip null-keyed/null-payload rows like ListScanTopK/PartialTopK
+      // do (e.g. a predicate-filtered projection): a null list_id or id
+      // makes _skey null, and the primitive tuple decode below would
+      // kill the task where the equi-join this path replaces dropped
+      // the row silently
+      .filter(col("id").isNotNull && col("list_id").isNotNull && col("vec").isNotNull)
+      .select(
+        saltedKey("list_id", salt),
+        lit(1).as("_tag"),
+        col("id").cast("long").as("id"),
+        col("vec"))
     val partial = q.unionByName(c)
       .repartition(numParts(spark), col("_skey"))
       .sortWithinPartitions("_skey", "_tag")
@@ -154,12 +161,15 @@ object CoGroupTopK {
       col("qid").cast("long").as("id"),
       col("qvec").as("qvec"),
       lit(null).cast("array<byte>").as("codes"))
-    val c = codes.select(
-      saltedKey("list_id", salt),
-      lit(0).as("_tag"),
-      col("id").cast("long").as("id"),
-      lit(null).cast("array<float>").as("qvec"),
-      col("codes"))
+    val c = codes
+      // null-keyed/null-payload skip, same rationale as flatSearch
+      .filter(col("id").isNotNull && col("list_id").isNotNull && col("codes").isNotNull)
+      .select(
+        saltedKey("list_id", salt),
+        lit(0).as("_tag"),
+        col("id").cast("long").as("id"),
+        lit(null).cast("array<float>").as("qvec"),
+        col("codes"))
     val books = codebooks
     val partial = q.unionByName(c)
       .repartition(numParts(spark), col("_skey"))

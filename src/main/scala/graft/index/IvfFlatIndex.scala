@@ -130,16 +130,18 @@ class IvfFlatIndex(
     val m = params.metric.getOrElse(metric)
     val nprobe = math.min(params.nprobe, nlist)
     val corpus = predicate.map(vectors.filter).getOrElse(vectors)
-    batch.foreach { case (qid, v) =>
-      require(v != null, s"null query vector for qid=$qid")
-    }
+    // null query vectors yield no rows — the SAME semantics as every
+    // other path (Knn.exact, rangeSearch, the unbounded join path's
+    // silent explode-drop): a throw here would make behavior flip at
+    // the MaxStaticBatch boundary for the identical query set
+    val live = batch.filter(_._2 != null)
     // the batch is already on the driver — probe it here (parallel
     // chunks) instead of scheduling a one-partition Spark job
-    val pairs = IvfFlatIndex.localProbe(batch, centroids.value, nprobe, m)
+    val pairs = IvfFlatIndex.localProbe(live, centroids.value, nprobe, m)
     // ONE broadcast carries the batch's vectors (once, never replicated
     // per probe) plus the per-list probe positions — the shared-query-
     // cache idea of kernels.cuh:111-117 in Spark terms
-    val bcP = spark.sparkContext.broadcast(ProbeIndex(batch, pairs, nlist))
+    val bcP = spark.sparkContext.broadcast(ProbeIndex(live, pairs, nlist))
     (searchStaticPruned(corpus, pairs, bcP, params.k, m),
       () => bcP.destroy())
   }

@@ -36,7 +36,8 @@ class IvfPqIndex(
     val codes: DataFrame,
     val rawVectors: DataFrame,
     val centroids: Broadcast[Array[Array[Float]]],
-    val codebooks: Broadcast[Array[Array[Array[Float]]]]) {
+    val codebooks: Broadcast[Array[Array[Array[Float]]]],
+    val metric: Metric.Value = Metric.L2) {
 
   def nlist: Int = centroids.value.length
   def m: Int = codebooks.value.length
@@ -90,20 +91,18 @@ class IvfPqIndex(
       params: SearchParams,
       rerankK: Int = 0): (DataFrame, () => Unit) = {
     val nprobe = math.min(params.nprobe, nlist)
-    val probeMetric = params.metric.getOrElse(Metric.L2)
-    // validate BEFORE the probe — a null vector must fail with this
-    // message, not an NPE from inside the probe's worker future
-    batch.foreach { case (qid, v) =>
-      require(v != null, s"null query vector for qid=$qid")
-    }
-    val pairs = IvfFlatIndex.localProbe(batch, centroids.value, nprobe, probeMetric)
+    val probeMetric = params.metric.getOrElse(metric)
+    // null query vectors yield no rows (uniform drop semantics across
+    // every search path — see IvfFlatIndex.searchBatchManaged)
+    val live = batch.filter(_._2 != null)
+    val pairs = IvfFlatIndex.localProbe(live, centroids.value, nprobe, probeMetric)
     val listIds = pairs.map(_._2).distinct.toSeq
     // one broadcast: per-query ADC tables (computed once on the driver,
     // never replicated per candidate) + per-list probe positions; the
     // pruned codes scan feeds per-query top-k buffers inside the stable
     // ListScanTopK operator — no candidate rows, no per-candidate codegen
     val bcT = spark.sparkContext.broadcast(
-      PqProbeIndex(batch, pairs, nlist, codebooks.value, probeMetric.id))
+      PqProbeIndex(live, pairs, nlist, codebooks.value, probeMetric.id))
     val prunedCodes = codes
       .filter(col("list_id").isInCollection(listIds)) // partition pruning
       .select(col("id").cast("long"), col("list_id").cast("int"), col("codes"))
@@ -113,9 +112,9 @@ class IvfPqIndex(
       .select("qid", "id", "dist", "rank")
     if (rerankK <= 0) (adcTop, () => bcT.destroy())
     else {
-      val m = params.metric.getOrElse(Metric.L2)
+      val m = params.metric.getOrElse(metric)
       val qmap = new java.util.HashMap[java.lang.Long, Array[Float]]()
-      batch.foreach { case (qid, v) => qmap.put(qid, v) }
+      live.foreach { case (qid, v) => qmap.put(qid, v) }
       val bcQ = spark.sparkContext.broadcast(qmap)
       // every rerank candidate lives in a probed list — when the raw table
       // carries list_id (epoch reads do), prune its scan to those
@@ -124,7 +123,12 @@ class IvfPqIndex(
         if (rawVectors.columns.contains("list_id"))
           rawVectors.filter(col("list_id").isInCollection(listIds)).select("id", "vec")
         else rawVectors.select("id", "vec")
-      val exact = adcTop
+      // broadcast the candidate side like searchJoin does: adcTop is
+      // bounded at batch x preK rows but sits above custom operators
+      // whose size estimates are scan-proportional, so Catalyst would
+      // otherwise plan a sort-merge shuffle of the raw scan per serving
+      // batch
+      val exact = org.apache.spark.sql.functions.broadcast(adcTop)
         .join(rerankSource, "id")
         .withColumn("dist", vector.distance_to_query(col("vec"), col("qid"), bcQ, m))
         .select("qid", "id", "dist")
@@ -166,7 +170,7 @@ class IvfPqIndex(
       params: SearchParams,
       rerankK: Int): DataFrame = {
     val nprobe = math.min(params.nprobe, nlist)
-    val probeMetric = params.metric.getOrElse(Metric.L2)
+    val probeMetric = params.metric.getOrElse(metric)
     val probed = queries
       .withColumn("list_id",
         explode(vector.probe_lists(col("qvec"), centroids, nprobe, probeMetric)))
@@ -181,7 +185,7 @@ class IvfPqIndex(
       else CoGroupTopK.pqSearch(probed, codes, codebooks, probeMetric.id, preK)
     if (rerankK <= 0) adcTop
     else {
-      val m = params.metric.getOrElse(Metric.L2)
+      val m = params.metric.getOrElse(metric)
       // id-only candidate stream (<= queries x preK 16-byte rows) joins
       // back to the raw payloads; the gate estimate (query-plan stats x
       // preK) safely overestimates it, since stats price the qvec column
@@ -251,7 +255,7 @@ object IvfPqIndex {
       col("id"),
       pq.pq_encode(col("vec"), bcB).as("codes"),
       vector.argmin_centroid(col("vec"), bcC).as("list_id"))
-    new IvfPqIndex(spark, codes, space, bcC, bcB)
+    new IvfPqIndex(spark, codes, space, bcC, bcB, metric)
   }
 
   /**
@@ -261,6 +265,13 @@ object IvfPqIndex {
    * raw table keeps this index's list_id).
    */
   def writeEpoch(index: IvfPqIndex, epochPath: String, filesPerList: Int = 1): Unit = {
+    // the metric is part of the index: a cosine-built epoch read back and
+    // searched without an explicit metric must stay cosine
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(epochPath))
+        s"$epochPath/metric.txt"
+      }, index.metric.toString)
     IvfFlatIndex.writeEpoch(index.codes, s"$epochPath/codes", filesPerList)
     // a raw table that already carries this index's list_id (epoch
     // re-write, ScaleStress-style build) skips a full argmin re-assign
@@ -277,11 +288,17 @@ object IvfPqIndex {
   def readEpoch(spark: SparkSession, epochPath: String): IvfPqIndex = {
     val cents = IvfFlatIndex.readCentroidTable(spark, s"$epochPath/centroids")
     val books = readCodebooks(spark, s"$epochPath/codebooks")
+    val metricPath = java.nio.file.Paths.get(s"$epochPath/metric.txt")
+    val metric =
+      if (java.nio.file.Files.exists(metricPath))
+        Metric.parse(java.nio.file.Files.readString(metricPath).trim)
+      else Metric.L2 // pre-metric epochs were L2-built
     new IvfPqIndex(spark,
       spark.read.parquet(s"$epochPath/codes"),
       spark.read.parquet(s"$epochPath/vectors"), // carries list_id -> pruned rerank
       spark.sparkContext.broadcast(cents),
-      spark.sparkContext.broadcast(books))
+      spark.sparkContext.broadcast(books),
+      metric)
   }
 
   /**

@@ -258,7 +258,11 @@ object ProbeIndex {
     while (i < batch.length) {
       qids(i) = batch(i)._1
       qvecs(i) = batch(i)._2
-      posOf.put(batch(i)._1, i)
+      // first entry wins on a duplicated qid — matching the flood fold
+      // (BroadcastProbeTopK keeps the first qvec); last-wins here would
+      // make the static and flood paths silently disagree on which of
+      // the duplicates gets scored
+      posOf.putIfAbsent(batch(i)._1, i)
       i += 1
     }
     val perList = Array.fill(nlist)(new scala.collection.mutable.ArrayBuilder.ofInt)

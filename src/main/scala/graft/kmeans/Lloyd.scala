@@ -48,8 +48,12 @@ object Lloyd {
       maxTrain: Int = DefaultMaxTrain,
       maxBytes: Long = MaxTrainBytes): Array[Array[Float]] = {
     val src = vectors.select(col(idCol), col(vecCol))
+    // Option-wrap the vector too: limit(1) can surface ANY row, and a
+    // null vec would NPE here with no context instead of falling through
+    // to the byte-cap default
     val dim = src.limit(1).collect()
-      .headOption.map(_.getSeq[Float](1).length).getOrElse(0)
+      .headOption.flatMap(r => Option(r.getSeq[Float](1)).map(_.length))
+      .getOrElse(0)
     val capped =
       if (dim <= 0) maxTrain
       else math.min(maxTrain.toLong, math.max(1L, maxBytes / (dim * 4L))).toInt

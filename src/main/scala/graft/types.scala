@@ -57,7 +57,12 @@ object IndexConfig {
 case class SearchParams(
     k: Int,
     nprobe: Int = 8,
-    metric: Option[Metric.Value] = None)
+    metric: Option[Metric.Value] = None) {
+  // fail at construction, not as an ArrayIndexOutOfBounds inside an
+  // executor task (TopKBuf/TopKHeap assume k >= 1)
+  require(k >= 1, s"Invalid topk value: $k")
+  require(nprobe >= 1, s"Invalid nprobe value: $nprobe")
+}
 
 /** Validation failure on the API surface — the engine's INVALID_ARGUMENT. */
 class InvalidArgumentException(msg: String) extends IllegalArgumentException(msg)
