@@ -183,9 +183,14 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     val progress = new java.util.concurrent.atomic.AtomicReference[Double](0.0)
     if (builds.putIfAbsent(name, progress).isDefined)
       throw new InvalidArgumentException(s"Build already in progress for index: $name")
-    scala.concurrent.Future {
+    // a rejecting/shut-down ExecutionContext throws from Future.apply
+    // SYNCHRONOUSLY — without this, the reserved slot would leak forever
+    // and every later build for the index would see "already in progress"
+    try scala.concurrent.Future {
       try doBuildEpoch(name, source, progress)
       finally builds.remove(name)
+    } catch {
+      case e: Throwable => builds.remove(name); throw e
     }
   }
 
@@ -221,29 +226,44 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val added = assigned.count()
       if (added > 0) {
-        // appended rows can GROW lists: a stale persisted covering-radius
-        // bound would falsely dismiss them from range searches. Drop the
-        // table BEFORE the append lands — a crash between the two steps
-        // then leaves a radius-less epoch (recomputed lazily, safe), never
-        // an appended epoch with a stale bound; the delete must succeed
-        // for the append to proceed
-        locally {
-          val radiiDir = new java.io.File(s"$path/radii")
-          if (radiiDir.exists) {
-            require(scala.reflect.io.Directory(radiiDir).deleteRecursively(),
-              s"could not invalidate covering radii at $radiiDir")
-          }
-        }
-        IvfFlatIndex.appendToEpoch(assigned, s"$path/vectors")
-        // manifest read-modify-write + reload serialized per index so
-        // concurrent adds cannot lose counts
+        // the append itself runs under the state lock: compactEpoch holds
+        // the same lock across its copy+swap, so an append can never land
+        // in an epoch being retired (the rows would be silently lost when
+        // cleanup deletes it)
         stateLock(name).synchronized {
+          if (!served.get(name).exists(_.epochId == s.epochId))
+            throw new InvalidArgumentException(
+              s"Serving epoch changed during addVectors (was ${s.epochId}); retry")
+          // appended rows can GROW lists: a stale persisted covering-radius
+          // bound would falsely dismiss them from range searches. Drop the
+          // table BEFORE the append lands — a crash between the two steps
+          // then leaves a radius-less epoch (recomputed lazily, safe),
+          // never an appended epoch with a stale bound
+          locally {
+            val radiiDir = new java.io.File(s"$path/radii")
+            if (radiiDir.exists) {
+              require(scala.reflect.io.Directory(radiiDir).deleteRecursively(),
+                s"could not invalidate covering radii at $radiiDir")
+            }
+          }
+          IvfFlatIndex.appendToEpoch(assigned, s"$path/vectors")
+          // merge the batch's per-list counts into the manifest shards —
+          // stats()'s imbalance signal must see appended skew, not the
+          // build-time layout
+          val batchCounts = assigned.groupBy("list_id").count().collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap
           val updated = Manifest.load(s"$path/manifest.json")
-          updated.copy(numVectors = updated.numVectors + added).save(s"$path/manifest.json")
-          // reload ONLY if this epoch still serves — a concurrent
-          // activation of a different epoch must not be rolled back
-          if (served.get(name).forall(_.epochId == s.epochId))
-            loadServed(name, s.epochId) // re-read: new files become visible
+          val prev = updated.shards.map(sh => sh.listId -> sh).toMap
+          val mergedShards = (prev.keySet ++ batchCounts.keySet).toSeq.sorted.map { l =>
+            val base = prev.get(l)
+            ShardInfo(l,
+              base.map(_.path).getOrElse(s"$path/vectors/list_id=$l"),
+              base.map(_.numVectors).getOrElse(0L) + batchCounts.getOrElse(l, 0L))
+          }
+          updated.copy(
+            numVectors = updated.numVectors + added,
+            shards = mergedShards).save(s"$path/manifest.json")
+          loadServed(name, s.epochId) // re-read: new files become visible
         }
       }
       added
@@ -397,28 +417,28 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     if (s.manifest.metric != Metric.L2)
       throw new InvalidArgumentException(
         s"Range search requires an L2 index; '${name}' uses ${s.manifest.metric}")
-    val qdf = batch match {
-      case Some(b) =>
-        import spark.implicits._
-        b.toSeq.toDF("qid", "qvec")
-      case None => guardedQueries(queries, s.manifest.dimension)
-    }
-    timed(name, s.index.rangeSearch(qdf, radius))
+    timed(name, s.index.rangeSearch(snapshotToDf(s, batch, queries), radius))
+  }
+
+  /** The validated snapshot as a query DataFrame: a bounded batch becomes
+    * a local relation (the validated rows ARE the batch — a
+    * non-deterministic source is never evaluated twice); an over-limit
+    * set stays distributed behind the in-plan dimension guard. */
+  private def snapshotToDf(
+      s: Served,
+      batch: Option[Array[(Long, Array[Float])]],
+      queries: DataFrame): DataFrame = batch match {
+    case Some(b) =>
+      import spark.implicits._
+      b.toSeq.toDF("qid", "qvec")
+    case None => guardedQueries(queries, s.manifest.dimension)
   }
 
   /** Exact search through the serving index (the recall oracle) —
     * same validation matrix as [[search]]. */
   def searchExact(name: String, queries: DataFrame, topk: Int): DataFrame = {
     val (s, batch) = validateAndSnapshot(name, queries, topk)
-    val qdf = batch match {
-      // reuse the snapshot: the validated rows ARE the batch (a
-      // non-deterministic source is never evaluated twice)
-      case Some(b) =>
-        import spark.implicits._
-        b.toSeq.toDF("qid", "qvec")
-      case None => guardedQueries(queries, s.manifest.dimension)
-    }
-    s.index.searchExact(qdf, topk)
+    s.index.searchExact(snapshotToDf(s, batch, queries), topk)
   }
 
   /**
@@ -589,17 +609,24 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
   /** Prometheus exposition text for every index that has served searches —
     * the reference's metric names (query_service.cpp:752-760, README
     * `vdb_search_duration_milliseconds` family). */
+  /** Prometheus label-value escaping: backslash, quote, newline — an
+    * unescaped odd-named index would invalidate the whole exposition
+    * payload for every index, not just the odd one. */
+  private def promLabel(v: String): String =
+    v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+
   def metricsText(): String = {
     val sb = new StringBuilder
     sb.append("# HELP vdb_search_duration_milliseconds Search latency in milliseconds\n")
     sb.append("# TYPE vdb_search_duration_milliseconds summary\n")
     searchLatency.toSeq.sortBy(_._1).foreach { case (name, h) =>
+      val lbl = promLabel(name)
       Seq("0.5" -> h.percentileMs(0.5), "0.95" -> h.percentileMs(0.95),
         "0.99" -> h.percentileMs(0.99)).foreach { case (q, v) =>
-        sb.append(s"""vdb_search_duration_milliseconds{index="$name",quantile="$q"} $v""")
+        sb.append(s"""vdb_search_duration_milliseconds{index="$lbl",quantile="$q"} $v""")
         sb.append('\n')
       }
-      sb.append(s"""vdb_searches_total{index="$name"} ${h.count}""")
+      sb.append(s"""vdb_searches_total{index="$lbl"} ${h.count}""")
       sb.append('\n')
     }
     val withRecall = searchRecall.toSeq.filter(_._2._1.get() > 0).sortBy(_._1)
@@ -607,7 +634,7 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       sb.append("# HELP vdb_search_recall Measured recall@k vs the exact scan (mean)\n")
       sb.append("# TYPE vdb_search_recall gauge\n")
       withRecall.foreach { case (name, (n, sum)) =>
-        sb.append(s"""vdb_search_recall{index="$name"} ${sum.sum() / n.get()}""")
+        sb.append(s"""vdb_search_recall{index="${promLabel(name)}"} ${sum.sum() / n.get()}""")
         sb.append('\n')
       }
     }
@@ -644,19 +671,33 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     val src = em.epochPath(id)
     val newId = em.createEpoch()
     val dst = em.epochPath(newId)
-    IvfFlatIndex.writeEpoch(spark.read.parquet(s"$src/vectors"), s"$dst/vectors", filesPerList)
-    writeCentroids(readCentroids(s"$src/centroids"), s"$dst/centroids")
-    val shardCounts = spark.read.parquet(s"$dst/vectors")
-      .groupBy("list_id").count().collect()
-      .map(r => ShardInfo(r.getInt(0), s"$dst/vectors/list_id=${r.getInt(0)}", r.getLong(1)))
-      .sortBy(_.listId)
-    Manifest.load(s"$src/manifest.json").copy(
-      epoch = newId,
-      createdAt = System.currentTimeMillis(),
-      numVectors = shardCounts.map(_.numVectors).sum,
-      shards = shardCounts.toSeq)
-      .save(s"$dst/manifest.json")
+    // the WHOLE copy+swap holds the state lock: addVectors appends under
+    // the same lock, so an append can no longer land in the source files
+    // after the copy read but before the swap — which would strand the
+    // appended vectors in a retired epoch that cleanup later deletes.
+    // Compaction is a maintenance op; blocking serve-state mutations
+    // (not searches) for its duration is the correct trade.
     stateLock(name).synchronized {
+      IvfFlatIndex.writeEpoch(spark.read.parquet(s"$src/vectors"), s"$dst/vectors", filesPerList)
+      writeCentroids(readCentroids(s"$src/centroids"), s"$dst/centroids")
+      // compaction preserves list membership exactly, so the source
+      // epoch's covering radii stay valid — copy them rather than force
+      // the next range search into a full corpus pass
+      if (new java.io.File(s"$src/radii").exists)
+        IvfFlatIndex.writeListRadiiTable(spark,
+          IvfFlatIndex.readListRadiiTable(spark, s"$src/radii",
+            Manifest.load(s"$src/manifest.json").nlist),
+          s"$dst/radii")
+      val shardCounts = spark.read.parquet(s"$dst/vectors")
+        .groupBy("list_id").count().collect()
+        .map(r => ShardInfo(r.getInt(0), s"$dst/vectors/list_id=${r.getInt(0)}", r.getLong(1)))
+        .sortBy(_.listId)
+      Manifest.load(s"$src/manifest.json").copy(
+        epoch = newId,
+        createdAt = System.currentTimeMillis(),
+        numVectors = shardCounts.map(_.numVectors).sum,
+        shards = shardCounts.toSeq)
+        .save(s"$dst/manifest.json")
       if (em.activeEpoch.contains(id)) em.activateEpoch(newId)
       if (served.get(name).exists(_.epochId == id)) loadServed(name, newId)
     }
@@ -706,9 +747,14 @@ object VectorDB {
   def readVectorSlice(
       spark: SparkSession, path: String, offset: Int, length: Int): DataFrame = {
     val base = readVectorParquet(spark, path)
+    // DISTINCT count: contiguity needs distinctness — plain count accepts
+    // duplicate-id sets with compensating gaps (ids {1,1,3}: hi-lo+1 == n)
+    // and the range predicate then reads the wrong window
     val r = base.agg(
-      min(col("id")).as("lo"), max(col("id")).as("hi"), count(lit(1)).as("n")).head()
-    val dense = r.getLong(2) > 0 && r.getLong(1) - r.getLong(0) + 1 == r.getLong(2)
+      min(col("id")).as("lo"), max(col("id")).as("hi"),
+      countDistinct(col("id")).as("n"), count(lit(1)).as("total")).head()
+    val dense = r.getLong(3) > 0 && r.getLong(3) == r.getLong(2) &&
+      r.getLong(1) - r.getLong(0) + 1 == r.getLong(2)
     if (dense) {
       val lo = r.getLong(0) + offset
       // the orderBy sorts only the <= `length` filtered rows, not the table

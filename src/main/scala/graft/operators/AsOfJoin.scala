@@ -80,7 +80,11 @@ object AsOfJoin {
       }))
 
     // Union schema: keys, ts, tag, tie-breaks, left payload, right payload.
-    val rightRows = right.select(
+    // A null rightTs can never satisfy rightTs <= leftTs — but under the
+    // window's ascending (nulls-first) ts order it would sort before
+    // EVERY row and become a spurious "preceding" match for left rows
+    // that have no true predecessor; drop such rows up front.
+    val rightRows = right.filter(col(rightTs).isNotNull).select(
       keys.map(col) ++
         Seq(col(rightTs).as(ts), lit(0).as(tag)) ++
         rightTieBreak.zip(tb).map { case (c, a) => col(c).as(a) } ++
@@ -95,7 +99,12 @@ object AsOfJoin {
 
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col(ts).asc +: col(tag).asc +: tb.map(col(_).asc_nulls_last): _*)
+      // plain asc (nulls FIRST) on the tie-breaks: `last()` picks the
+      // final right row of an equal-ts run, so the max tie-break wins as
+      // documented — nulls_last would let a null-tie-break right row
+      // beat every real one. (tag already separates left rows, whose
+      // tie-break columns are all null, from this ordering.)
+      .orderBy(col(ts).asc +: col(tag).asc +: tb.map(col(_).asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = rightRows.unionByName(leftRows)

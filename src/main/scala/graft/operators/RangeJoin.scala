@@ -50,6 +50,11 @@ object RangeJoin {
     val payloadOut = rightPayload.toSeq.sortBy(_._2)
     require(payloadOut.forall { case (_, out) => !left.columns.contains(out) },
       s"payload output names ${payloadOut.map(_._2)} collide with left columns")
+    // an output named like rightVal (or a key) would be silently removed
+    // by the drop(rightVal)/internal-column cleanup below
+    require(payloadOut.forall { case (_, out) =>
+      out != rightVal && !keys.contains(out) },
+      s"payload output names ${payloadOut.map(_._2)} collide with rightVal/keys")
 
     val bin = "_range_bin"
     val rv = "_range_rv"

@@ -149,6 +149,37 @@ class VectorDBSpec extends SparkSpec {
     assert(hit.getDouble(2) === 0.0)
   }
 
+  test("addVectors merges appended counts into the manifest shards (imbalance signal)") {
+    ready
+    val statsBefore = db.stats("test_index")
+    val totalBefore = statsBefore("num_vectors").asInstanceOf[Long]
+    val batch = vectorsDF(randomVectors(30, 8, seed = 91)
+      .map { case (i, v) => (i + 500000L, v) })
+    db.addVectors("test_index", batch)
+    val after = db.stats("test_index")
+    assert(after("num_vectors") === totalBefore + 30)
+    // shard counts must absorb the append: their sum tracks num_vectors
+    val epochId = after("epoch").asInstanceOf[String]
+    val m = graft.storage.Manifest.load(
+      s"${db.dataPath}/test_index/epochs/$epochId/manifest.json")
+    assert(m.shards.map(_.numVectors).sum === totalBefore + 30,
+      s"manifest shards stale after append: ${m.shards.map(_.numVectors).sum}")
+  }
+
+  test("readVectorSlice with duplicate ids uses the rank window, not the id range") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dupids").toString
+    // ids {1,1,3}: hi-lo+1 == count, so a non-distinct density check would
+    // wrongly take the id-range path and return zero rows for offset 1
+    Seq((1L, Array(1f)), (1L, Array(2f)), (3L, Array(3f)))
+      .toDF("id", "vec").write.parquet(s"$tmp/v")
+    val got = VectorDB.readVectorSlice(spark, s"$tmp/v", offset = 1, length = 1)
+      .collect()
+    assert(got.length === 1, "duplicate-id set mis-detected as dense")
+    assert(got.head.getLong(0) === 1L)
+  }
+
   test("addVectors rejects wrong-dimension batches (kernels would truncate silently)") {
     ready
     val wrongDim = vectorsDF(randomVectors(3, 5, seed = 88)

@@ -73,4 +73,29 @@ class AsOfJoinSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges === 1, s"expected one shuffle, plan:\n$plan")
   }
+
+  test("a null right ts never matches (nulls-first sort must not fabricate a predecessor)") {
+    val s = spark
+    import s.implicits._
+    val l = Seq(("u1", 5L, "early")).toDF("k", "ts", "tag")
+    val r = Seq(("u1", Option.empty[Long], 42L)).toDF("k", "ts", "rid")
+    val out = AsOfJoin.backward(l, r, Seq("k"), "ts", "ts",
+      rightPayload = Map("rid" -> "m_rid")).head()
+    assert(out.isNullAt(out.fieldIndex("m_rid")),
+      "null-ts right row became a spurious as-of match")
+  }
+
+  test("a null tie-break loses to any real tie-break at equal ts") {
+    val s = spark
+    import s.implicits._
+    val l = Seq(("u1", 100L, "x")).toDF("k", "ts", "tag")
+    val r = Seq(
+      ("u1", 100L, Option.empty[Long], 1.0),
+      ("u1", 100L, Some(5L), 2.0))
+      .toDF("k", "ts", "rid", "v")
+    val out = AsOfJoin.backward(l, r, Seq("k"), "ts", "ts",
+      rightPayload = Map("v" -> "m_v"), rightTieBreak = Seq("rid")).head()
+    assert(out.getDouble(out.fieldIndex("m_v")) === 2.0,
+      "null-tie-break row beat the documented max-tie-break winner")
+  }
 }

@@ -37,6 +37,20 @@ class RangeJoinSpec extends SparkSpec {
     .select("lid", "rid")
     .collect().map(r => (r.getString(0), r.getLong(1))).toSet
 
+  test("payload outputs colliding with rightVal or keys are rejected, not dropped") {
+    // rename the right value so the collision is with rightVal ONLY (a
+    // left-column collision would trip the older require instead)
+    val r2 = right.withColumnRenamed("v", "rv")
+    intercept[IllegalArgumentException] {
+      RangeJoin.band(left, r2, Seq("k"), "v", "rv", radius = 10L,
+        rightPayload = Map("rid" -> "rv")) // collides with rightVal
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.band(left, right, Seq("k"), "v", "v", radius = 10L,
+        rightPayload = Map("rid" -> "k")) // collides with a key
+    }
+  }
+
   test("band membership is inclusive at both edges, per key, sign-correct") {
     assert(pairs() === Set(
       ("l0", 1L), ("l0", 2L),   // both edges of l0
