@@ -376,6 +376,24 @@ object RelationalQueries {
       .orderBy("user_id")
 
   /**
+   * Unpivot (melt) coverage — the long-format export surface and the
+   * inverse of [[eventsPivot]]: the wide per-user cent matrix rotates
+   * back to (user_id, event_type, cents) rows, absent combinations
+   * (NULL cells) dropped. The oracle is the roundtrip identity:
+   * unpivot(pivot(events)) must equal the plain groupBy — pinning both
+   * rotations against each other and the raw data at once.
+   */
+  private def eventsUnpivot(spark: SparkSession, dir: String): DataFrame =
+    eventsPivot(spark, dir)
+      .unpivot(
+        Array(col("user_id")),
+        Array(col("click"), col("error"), col("purchase"),
+          col("signup"), col("view")),
+        "event_type", "cents")
+      .filter(col("cents").isNotNull)
+      .orderBy("user_id", "event_type")
+
+  /**
    * RANGE-frame window: per-customer rolling 30-day spend over orders —
    * the time-bounded running aggregate (RANGE, not ROWS, so tied order
    * dates aggregate as peers identically in both engines). The ordering
@@ -599,6 +617,7 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_asof" -> (eventsAsOf _),
     "events_pivot" -> (eventsPivot _),
+    "events_unpivot" -> (eventsUnpivot _),
     "q_range_window" -> (qRangeWindow _),
     "events_funnel" -> (eventsFunnel _),
     "events_retention" -> (eventsRetention _),
@@ -681,6 +700,11 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "events_unpivot" ->
+      """SELECT user_id, event_type,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
     "events_pivot" ->
       """SELECT user_id,
         |  sum(CASE WHEN event_type='click' THEN CAST(floor(value*100) AS BIGINT) END) AS click,
