@@ -145,32 +145,24 @@ object PipelineQueries {
       Multimodal.mediaFromDocuments(spark, docs(spark, dir)).toDF())
       .orderBy("doc_id")
 
-  // --- rows-only (scale paths; exactness covered in PipelineSpec) ----------
-
-  private def minhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLsh(docs(spark, dir), threshold = 0.5)
-      .orderBy("a_id", "b_id")
-
-  private def simhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(docs(spark, dir), maxHamming = 3)
-      .orderBy("a_id", "b_id")
-
-  // --- oracle-checked poly-hash twins of the LSH paths ---------------------
-  // Same plans as minhash_pairs / simhash_pairs but with HashFamily.Poly
-  // (polynomial rolling hash mod 1e9+7), whose arithmetic DuckDB can
-  // replay — the production XXH64 default stays rows-only + differential-
-  // tested, these twins put the SAME plan shape under the hash gate.
+  // --- oracle-checked LSH entries (poly hash family) -----------------------
+  // The gate entries run with HashFamily.Poly (polynomial rolling hash mod
+  // 1e9+7), whose arithmetic DuckDB can replay in SQL, so BOTH sketch
+  // families' shared plan shape sits under the hash gate. The production
+  // XXH64 default (graft.functions.HashFamily.Xxh64) stays the library
+  // default and is differential-tested in PipelineSpec (LSH covers all
+  // exact high-jaccard pairs; blocked simhash == brute force).
   // Band-key equality is xxhash64-of-slice equality == slice equality, so
   // the oracle joins on the signature slice itself; the simhash pigeonhole
   // blocking at maxHamming=3 is lossless (3 flipped bits touch <= 3 of the
   // 4 chunks), so its oracle is brute-force hamming <= 3.
 
-  private def minhashPairsPoly(spark: SparkSession, dir: String): DataFrame =
+  private def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(docs(spark, dir), threshold = 0.5,
       family = graft.functions.HashFamily.Poly)
       .orderBy("a_id", "b_id")
 
-  private def simhashPairsPoly(spark: SparkSession, dir: String): DataFrame =
+  private def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(spark, dir), maxHamming = 3,
       family = graft.functions.HashFamily.Poly)
       .orderBy("a_id", "b_id")
@@ -374,8 +366,6 @@ object PipelineQueries {
     "dedup_corpus" -> (dedupCorpus _),
     "minhash_pairs" -> (minhashPairs _),
     "simhash_pairs" -> (simhashPairs _),
-    "minhash_pairs_poly" -> (minhashPairsPoly _),
-    "simhash_pairs_poly" -> (simhashPairsPoly _),
     "neardup_embeddings" -> (neardupEmbeddings _),
     "knn_self_join" -> (knnSelfJoin _),
     "multimodal_features" -> (multimodalFeatures _),
@@ -637,7 +627,8 @@ object PipelineQueries {
         |s AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source, shard
         |        ORDER BY doc_id) - n_tokens AS start FROM t)
         |SELECT doc_id, source, shard, n_tokens,
-        |  start // 256 AS seq_id, start % 256 AS seq_offset
+        |  CAST(start // 256 AS BIGINT) AS seq_id,
+        |  CAST(start % 256 AS BIGINT) AS seq_offset
         |FROM s ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang, source,
@@ -790,7 +781,8 @@ object PipelineQueries {
         |p AS (SELECT i.range AS i, j.range AS j
         |      FROM range(1, 65) i, range(1, 65) j WHERE i.range <= j.range)
         |SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j, count(*) AS n,
-        |  sum(q[p.i]) AS s_i, sum(q[p.j]) AS s_j, sum(q[p.i] * q[p.j]) AS s_ij
+        |  CAST(sum(q[p.i]) AS BIGINT) AS s_i, CAST(sum(q[p.j]) AS BIGINT) AS s_j,
+        |  CAST(sum(q[p.i] * q[p.j]) AS BIGINT) AS s_ij
         |FROM m, p GROUP BY p.i, p.j ORDER BY i, j""".stripMargin,
     "hard_negatives" -> {
       val dist = OracleFragments.sqlL2("q.qv", "v.embedding")
@@ -871,7 +863,7 @@ object PipelineQueries {
     // Poly MinHash+LSH replayed in SQL: 3-gram shingles -> 64-entry poly
     // signature (seed 42: a_h = 43+2h, b_h = 1302+7919h mod 1e9+7) -> 16
     // bands of 4 joined on the slice itself -> true-jaccard verify.
-    "minhash_pairs_poly" ->
+    "minhash_pairs" ->
       """WITH t0 AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS toks
         |            FROM documents),
         |t AS (SELECT doc_id, list_transform(range(1, len(toks)-1),
@@ -898,7 +890,7 @@ object PipelineQueries {
     // Poly SimHash replayed in SQL: per-token 61-bit hash (two rolling
     // hashes, mults 31/37, seed 42 folded, packed hi*2^31+lo), sign votes
     // per bit, brute-force hamming <= 3 (== the lossless pigeonhole join).
-    "simhash_pairs_poly" ->
+    "simhash_pairs" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS toks
         |           FROM documents WHERE len(regexp_extract_all(lower(text),'[a-z0-9]+')) > 0),
         |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),

@@ -309,17 +309,28 @@ object RelationalQueries {
    * HLL++ approximate distinct per group — the sketch every 100 TB
    * distinct-count rolls through (exact countDistinct shuffles every
    * distinct value; the sketch shuffles a fixed-size buffer per group).
-   * rows-only at the driver gate: DuckDB's approx_count_distinct is a
-   * different sketch, so values can't hash-match — the ScalaTest spec
-   * pins the <2% error against the exact counts instead.
+   * DuckDB's approx_count_distinct is a different sketch, so the raw
+   * estimates can't hash-match; instead the entry emits the exact counts
+   * plus a tolerance predicate (|apx - exact| / exact <= 0.05) and the
+   * oracle recomputes the exact counts and asserts literal TRUE — the
+   * hash gate then passes iff the HLL++ estimate stays in-band, a real
+   * accuracy gate rather than a rows-only check. The ScalaTest spec pins
+   * the tighter <2% error envelope.
    */
   private def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
+        countDistinct(col("l_partkey")).as("n_parts_exact"),
+        countDistinct(col("l_suppkey")).as("n_supps_exact"),
         approx_count_distinct(col("l_partkey"), rsd = 0.02).as("apx_parts"),
-        approx_count_distinct(col("l_suppkey"), rsd = 0.02).as("apx_supps"),
-        count(lit(1)).as("n_rows"))
+        approx_count_distinct(col("l_suppkey"), rsd = 0.02).as("apx_supps"))
+      .select(col("l_returnflag"),
+        col("n_parts_exact"), col("n_supps_exact"),
+        (abs(col("apx_parts") - col("n_parts_exact")) /
+          col("n_parts_exact") <= 0.05).as("parts_within_5pct"),
+        (abs(col("apx_supps") - col("n_supps_exact")) /
+          col("n_supps_exact") <= 0.05).as("supps_within_5pct"))
       .orderBy("l_returnflag")
 
   /** Distinct aggregation: exact distinct counts per group. */
@@ -707,11 +718,11 @@ object RelationalQueries {
         |ORDER BY user_id, event_type""".stripMargin,
     "events_pivot" ->
       """SELECT user_id,
-        |  sum(CASE WHEN event_type='click' THEN CAST(floor(value*100) AS BIGINT) END) AS click,
-        |  sum(CASE WHEN event_type='error' THEN CAST(floor(value*100) AS BIGINT) END) AS error,
-        |  sum(CASE WHEN event_type='purchase' THEN CAST(floor(value*100) AS BIGINT) END) AS purchase,
-        |  sum(CASE WHEN event_type='signup' THEN CAST(floor(value*100) AS BIGINT) END) AS signup,
-        |  sum(CASE WHEN event_type='view' THEN CAST(floor(value*100) AS BIGINT) END) AS view
+        |  CAST(sum(CASE WHEN event_type='click' THEN CAST(floor(value*100) AS BIGINT) END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type='error' THEN CAST(floor(value*100) AS BIGINT) END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type='purchase' THEN CAST(floor(value*100) AS BIGINT) END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type='signup' THEN CAST(floor(value*100) AS BIGINT) END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type='view' THEN CAST(floor(value*100) AS BIGINT) END) AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_range_window" ->
       """WITH o AS (SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS ts_us,
@@ -758,7 +769,7 @@ object RelationalQueries {
         |ORDER BY grid.event_type, hour""".stripMargin,
     "events_json" ->
       """SELECT event_type, count(*) AS n_events,
-        |  sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
         |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
         |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
         |  count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS n_distinct_k
@@ -775,6 +786,16 @@ object RelationalQueries {
         |  count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the oracle recomputes the exact counts and asserts the tolerance
+    // predicates as literal TRUE — the hash gate passes iff Spark's HLL++
+    // estimate lands within 5% of exact (see qApproxDistinct scaladoc)
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts_exact,
+        |  count(DISTINCT l_suppkey) AS n_supps_exact,
+        |  TRUE AS parts_within_5pct,
+        |  TRUE AS supps_within_5pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -428,7 +428,7 @@ object VectorQueries {
    *    its `Block ... already exists` warnings, was the persisted
    *    in-memory corpus rematerializing mid-bench).
    *  - ORACLE: vectors come from a SQL-replayable polynomial hash (the
-   *    minhash_pairs_poly recipe applied to vector components) and the
+   *    minhash_pairs poly-family recipe applied to vector components) and the
    *    index clusters on FIXED centroids (the ScaleNlist lowest-id corpus
    *    vectors), so corpus gen, assign, probe, scan, and top-k all replay
    *    in DuckDB and the entry is hash-gated like the rest.

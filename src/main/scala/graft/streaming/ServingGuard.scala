@@ -1,34 +1,98 @@
 package graft.streaming
 
 /**
+ * Token-bucket rate limiter — the reference's RateLimiter semantics
+ * (reference server/query_service.h:169-191, query_service.cpp:639-677;
+ * defaults 10000 rps / burst 100 from query_service.h:172-173, production
+ * deploys 10000/200 via configs/production.yaml:31-33): bucket starts
+ * full at `burstSize`, each admit takes `n` tokens, refill adds
+ * `elapsed / refillPeriod` tokens capped at the burst size. The refill
+ * resets its anchor to `now` and floors the token count, dropping the
+ * fractional remainder exactly as the reference does
+ * (query_service.cpp:668-677) — sustained throughput lands marginally
+ * under the nominal rate; mirrored as-is for parity.
+ *
+ * The reference DECLARES this class but never calls it from the request
+ * path; here it is wired into [[ServingGuard.guarded]] as pre-admission
+ * control, ahead of the breaker and the concurrency cap.
+ */
+final class TokenBucket(
+    val requestsPerSecond: Long = 10000L,
+    val burstSize: Long = 100L,
+    nanoNow: () => Long = () => System.nanoTime()) {
+  require(requestsPerSecond > 0, s"requestsPerSecond must be positive: $requestsPerSecond")
+  require(burstSize > 0, s"burstSize must be positive: $burstSize")
+
+  private[this] var tokens: Long = burstSize
+  private[this] var lastRefillNs: Long = nanoNow()
+  private[this] var refillPeriodNs: Long = 1000000000L / requestsPerSecond
+
+  /** Take `n` tokens if available; never blocks (query_service.cpp:646-656). */
+  def tryAcquire(n: Long = 1L): Boolean = synchronized {
+    refill()
+    if (tokens >= n) { tokens -= n; true } else false
+  }
+
+  /** Live rate adjustment (query_service.cpp:663-666). */
+  def updateRate(rps: Long): Unit = synchronized {
+    require(rps > 0, s"rate must be positive: $rps")
+    refillPeriodNs = 1000000000L / rps
+  }
+
+  /** Tokens currently in the bucket (post-refill); for metrics/specs. */
+  def available: Long = synchronized { refill(); tokens }
+
+  private def refill(): Unit = {
+    val now = nanoNow()
+    val elapsed = now - lastRefillNs
+    if (elapsed >= refillPeriodNs) {
+      tokens = math.min(burstSize, tokens + elapsed / refillPeriodNs)
+      lastRefillNs = now
+    }
+  }
+}
+
+/**
  * Serving-side admission control — the reference's LoadBalancer semantics
  * (reference server/load_balancer.cpp:8-120, 173-244) as a plain decorator
  * around batch handlers, with the same constants and transitions:
  *
+ *  - **Rate limit**: a [[TokenBucket]] at the reference's defaults
+ *    (10k rps, burst 100) sheds requests before they touch the breaker
+ *    or the in-flight counter. A shed request is NOT counted as a
+ *    service error — it never reached the backend, and counting it
+ *    would trip the breaker on exactly the floods the limiter is
+ *    correctly absorbing.
  *  - **Concurrency cap** (`maxConcurrent`, default 100): a request
  *    arriving while the in-flight count is at the cap is rejected as
  *    overload AND counted as an error (load_balancer.cpp:47-52).
  *  - **Circuit breaker** per service name: cumulative error rate above
  *    `breakerThreshold` (0.5) opens the circuit (:238-241); an open
  *    circuit rejects without running the handler (:40-44) until
- *    `breakerTimeoutMs` (30 s) after the last failure, when ONE probe is
- *    let through (:196-203 "try to recover"); a success closes it only
- *    while the cumulative rate sits below the threshold (:227-230 — the
+ *    `breakerTimeoutMs` (30 s) after the last failure. Recovery is an
+ *    INTENTIONAL hardening over the reference: where the reference
+ *    fully closes the circuit at cool-down and lets every queued
+ *    request through at once (load_balancer.cpp:199-203), this guard
+ *    goes true-half-open — exactly ONE probe runs while the circuit
+ *    stays open, its success closes the circuit (only while the
+ *    cumulative rate sits below the threshold, :227-230 — the
  *    reference's rates are cumulative, not windowed, so a long error
- *    burst needs a matching success run to close; mirrored as-is).
+ *    burst needs a matching success run to close; that part mirrored
+ *    as-is), its failure restarts the cool-down.
  *  - **EMA latency** (alpha 0.1, :218-225) feeding an adaptive timeout of
  *    3x average clamped to [1 s, 30 s], 5 s before any sample (:91-103).
  *  - **Adaptive batch size** by load factor (:76-86): 16 under 30 % load,
  *    32 under 70 %, 64 above.
  *
- * The clock is injectable so breaker-timeout transitions are unit-testable
- * without sleeping.
+ * The clocks are injectable so breaker-timeout and bucket-refill
+ * transitions are unit-testable without sleeping.
  */
 class ServingGuard(
     val maxConcurrent: Int = 100,
     val breakerThreshold: Double = 0.5,
     val breakerTimeoutMs: Long = 30000L,
-    now: () => Long = () => System.currentTimeMillis()) {
+    now: () => Long = () => System.currentTimeMillis(),
+    val rateLimiter: Option[TokenBucket] = Some(new TokenBucket())) {
 
   /** Rejected WITHOUT running the handler: circuit open or overload. */
   final class RejectedException(val reason: String) extends RuntimeException(reason)
@@ -63,6 +127,11 @@ class ServingGuard(
    */
   def guarded[T](service: String)(body: => T): T = {
     val m = metricsFor(service)
+    // Rate limit first: shedding here costs no lock on the service metrics
+    // and leaves breaker state untouched (see class doc).
+    rateLimiter.foreach { rl =>
+      if (!rl.tryAcquire()) throw new RejectedException(s"rate limited ($service)")
+    }
     m.synchronized {
       if (m.circuitOpen) {
         // TRUE half-open: after the cool-down exactly ONE probe runs while

