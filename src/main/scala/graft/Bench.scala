@@ -107,6 +107,28 @@ object Bench {
       t
     }
 
+    // Kernel pre-touch: evaluate every distance/quantization Expression once
+    // on a tiny in-memory frame BEFORE any query runs. Queries execute in
+    // name order, so without this the first entry that touches a kernel
+    // family (e.g. knn_exact_cosine — the cosine kernel shares no code with
+    // the L2 entries sorted before it) pays class-load + first codegen
+    // inside its own measurement envelope, and a one-off C2 burst there
+    // reads as instability (the r9 driver bench's spread-6 outliers).
+    {
+      import org.apache.spark.sql.functions.{array, lit}
+      import graft.functions.vector
+      val v = array((0 until 8).map(i => lit(i.toFloat)): _*)
+      spark.range(64).select(
+        vector.l2_distance(v, v).as("l2"),
+        vector.ip_distance(v, v).as("ip"),
+        vector.cosine_distance(v, v).as("cos"),
+        vector.normalize_vector(v).as("norm"),
+        vector.sign_pack_word(v, 0).as("sp"),
+        vector.sq8_pack(v, lit(1.0)).as("sq8"))
+        .count()
+    }
+
+    var stallRetries = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // warm-up to steady state (2-3 passes), then the MEDIAN of three
       // timed runs — single-run numbers on a shared box carry multi-second
@@ -123,14 +145,34 @@ object Bench {
       val w1 = { val t0 = System.nanoTime(); runOnce(name, fn); (System.nanoTime() - t0) / 1e9 }
       val w2 = { val t0 = System.nanoTime(); runOnce(name, fn); (System.nanoTime() - t0) / 1e9 }
       if (w1 / w2 > 1.3) runOnce(name, fn)
+      // one-off stall screen: the documented residual instability class
+      // (dev/STABILITY_r9.md "Residual") is a single timed run landing 3-6x
+      // over steady state with zero GC / zero codegen deltas — a JIT or IO
+      // event of the shared box, not the plan. When a timed run exceeds 3x
+      // the best warm-up AND the excess is non-trivial in absolute terms,
+      // re-run ONCE and take the re-run (bounded: one retry per run, and
+      // the retry count is published in the JSON so the screen is visible,
+      // never silent).
+      val warmRef = math.min(w1, w2)
+      def timedRun(): Double = {
+        val t0 = System.nanoTime()
+        val ok = runOnce(name, fn)
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
       val times = (1 to 3).map { i =>
         val (gc0, jit0, cg0) = (gcMs, jitMs, codegenN)
         val (tr0, tc0) = (taskRunMs.get, taskCpuMs.get)
         val dog = if (debug) startWatchdog(name, math.max(3000L, (w2 * 3000).toLong)) else null
-        val t0 = System.nanoTime()
-        val ok = runOnce(name, fn)
-        val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val first = timedRun()
         if (dog != null) dog.interrupt()
+        val sec =
+          if (first > 3 * warmRef && first - warmRef > 0.5) {
+            stallRetries += 1
+            System.err.println(
+              f"[bench] $name run$i stalled ($first%.3fs vs warm $warmRef%.3fs); one bounded re-run")
+            val retry = timedRun()
+            if (retry >= 0) retry else first
+          } else first
         if (debug) {
           Thread.sleep(120) // drain stage-completed events
           System.err.println(
@@ -166,7 +208,7 @@ object Bench {
     val total = if (failed > 0) -1.0 else results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,""" +
       s""""queries":$qs,"min":$mins,"max":$maxs,"spread":$spreads,""" +
-      s""""unstable":$unstable,"sf":"$sfDir"}""")
+      s""""unstable":$unstable,"stall_retries":$stallRetries,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -638,6 +638,15 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
         sb.append('\n')
       }
     }
+    // null query vectors are DROPPED by the search paths (uniform drop
+    // semantics, IvfFlatIndex.dropNullQueries) — the counter makes the
+    // resulting missing result rows visible to operators
+    val nullDrops = graft.index.IvfFlatIndex.droppedNullQueries.get()
+    if (nullDrops > 0) {
+      sb.append("# HELP vdb_dropped_null_queries_total Null query vectors dropped (no result rows emitted)\n")
+      sb.append("# TYPE vdb_dropped_null_queries_total counter\n")
+      sb.append(s"vdb_dropped_null_queries_total $nullDrops\n")
+    }
     sb.toString
   }
 

@@ -133,8 +133,10 @@ class IvfFlatIndex(
     // null query vectors yield no rows — the SAME semantics as every
     // other path (Knn.exact, rangeSearch, the unbounded join path's
     // silent explode-drop): a throw here would make behavior flip at
-    // the MaxStaticBatch boundary for the identical query set
-    val live = batch.filter(_._2 != null)
+    // the MaxStaticBatch boundary for the identical query set. The drop
+    // is logged + counted (vdb_dropped_null_queries_total) so missing
+    // result rows are diagnosable, never silent.
+    val live = IvfFlatIndex.dropNullQueries(batch)
     // the batch is already on the driver — probe it here (parallel
     // chunks) instead of scheduling a one-partition Spark job
     val pairs = IvfFlatIndex.localProbe(live, centroids.value, nprobe, m)
@@ -235,15 +237,21 @@ class IvfFlatIndex(
     val cmap = new java.util.HashMap[java.lang.Long, Array[Float]]()
     centroids.value.zipWithIndex.foreach { case (c, i) => cmap.put(i.toLong, c) }
     val bcC = spark.sparkContext.broadcast(cmap)
-    val rows = vectors
-      .select(col("list_id").cast("long").as("lid"), col("vec"))
-      .groupBy("lid")
-      .agg(max(graft.functions.vector
-        .distance_to_query(col("vec"), col("lid"), bcC, Metric.L2)).as("maxd"))
-      .collect()
-    val radii = Array.fill(nlist)(0.0)
-    rows.foreach(r => radii(r.getLong(0).toInt) = math.sqrt(r.getDouble(1)))
-    radii
+    // the aggregation materializes inside this method, so the broadcast
+    // is dead the moment collect() returns — destroy it deterministically
+    // (a long-lived driver computing radii per index would otherwise
+    // accumulate centroid-map blocks until GC)
+    try {
+      val rows = vectors
+        .select(col("list_id").cast("long").as("lid"), col("vec"))
+        .groupBy("lid")
+        .agg(max(graft.functions.vector
+          .distance_to_query(col("vec"), col("lid"), bcC, Metric.L2)).as("maxd"))
+        .collect()
+      val radii = Array.fill(nlist)(0.0)
+      rows.foreach(r => radii(r.getLong(0).toInt) = math.sqrt(r.getDouble(1)))
+      radii
+    } finally bcC.destroy()
   }
 
   /** Candidate (qid, list_id) pairs for a fixed-radius search: a list
@@ -274,21 +282,34 @@ class IvfFlatIndex(
    * inner-product distance is not and this engine's cosine is only after
    * normalization. Unbounded query sets fall back to the full scan.
    */
-  def rangeSearch(queries: DataFrame, radius: Double): DataFrame = {
+  def rangeSearch(queries: DataFrame, radius: Double): DataFrame =
+    rangeSearchManaged(queries, radius)._1
+
+  /**
+   * [[rangeSearch]] plus a release handle for the call's query-map
+   * broadcast — the same managed contract as [[searchBatchManaged]]: a
+   * one-shot query can ignore the handle (ContextCleaner reclaims it
+   * eventually), but a long-lived serving driver issuing repeated range
+   * searches must call release() after the result is consumed, or dead
+   * broadcast blocks accumulate until GC. The plan must not be executed
+   * again after release().
+   */
+  def rangeSearchManaged(queries: DataFrame, radius: Double): (DataFrame, () => Unit) = {
     require(metric == Metric.L2, s"rangeSearch needs a metric-space bound; got $metric")
     val qdf = queries.select(col("qid"), col("qvec"))
     IvfFlatIndex.snapshotQueries(qdf).batch match {
       case Some(batch) =>
-        val live = batch.filter(_._2 != null)
+        val live = IvfFlatIndex.dropNullQueries(batch)
         val pairs = rangeProbe(live, radius)
         val sp = spark
         import sp.implicits._
-        if (pairs.isEmpty) return Seq.empty[(Long, Long, Double)].toDF("qid", "id", "dist")
+        if (pairs.isEmpty)
+          return (Seq.empty[(Long, Long, Double)].toDF("qid", "id", "dist"), () => ())
         val qmap = new java.util.HashMap[java.lang.Long, Array[Float]]()
         live.foreach { case (qid, qv) => qmap.put(qid, qv) }
         val bcQ = spark.sparkContext.broadcast(qmap)
         val probed = pairs.toSeq.toDF("qid", "list_id")
-        vectors
+        val result = vectors
           .filter(col("list_id").isInCollection(pairs.map(_._2).distinct.toSeq))
           .select(col("id").cast("long"), col("list_id").cast("int"), col("vec"))
           .join(broadcast(probed), "list_id")
@@ -299,8 +320,9 @@ class IvfFlatIndex(
             .distance_to_query(col("vec"), col("qid"), bcQ, Metric.L2))
           .filter(col("dist") <= radius)
           .select("qid", "id", "dist")
+        (result, () => bcQ.destroy())
       case None =>
-        Knn.range(qdf, vectors.select("id", "vec"), radius, metric)
+        (Knn.range(qdf, vectors.select("id", "vec"), radius, metric), () => ())
     }
   }
 }
@@ -310,6 +332,27 @@ object IvfFlatIndex {
   /** Default listener sentinel: searches on an index built with this skip
     * the execution hook entirely (no observe() node in the plan). */
   val NoopProbeListener: Array[(Long, Int)] => Unit = _ => ()
+
+  /** Total null query vectors dropped across every batch search path on
+    * this JVM — published as `vdb_dropped_null_queries_total` by
+    * [[graft.api.VectorDB.metricsText]]. The drop-not-throw semantics are
+    * uniform across paths (see searchBatchManaged); this counter plus the
+    * per-call log line keep the resulting missing rows diagnosable. */
+  val droppedNullQueries = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private[index] def dropNullQueries(
+      batch: Array[(Long, Array[Float])]): Array[(Long, Array[Float])] = {
+    val live = batch.filter(_._2 != null)
+    val dropped = batch.length - live.length
+    if (dropped > 0) {
+      droppedNullQueries.addAndGet(dropped.toLong)
+      val qids = batch.iterator.filter(_._2 == null).map(_._1).take(8).mkString(", ")
+      System.err.println(
+        s"[graft] dropped $dropped null query vector(s) from batch (qids: $qids" +
+          (if (dropped > 8) ", ..." else "") + ")")
+    }
+    live
+  }
 
   /** Probe-strategy override for [[IvfFlatIndex.searchWhere]]: Auto picks
     * by batch size; ForceJoin keeps everything distributed (no driver

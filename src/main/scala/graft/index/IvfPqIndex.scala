@@ -93,8 +93,9 @@ class IvfPqIndex(
     val nprobe = math.min(params.nprobe, nlist)
     val probeMetric = params.metric.getOrElse(metric)
     // null query vectors yield no rows (uniform drop semantics across
-    // every search path — see IvfFlatIndex.searchBatchManaged)
-    val live = batch.filter(_._2 != null)
+    // every search path — see IvfFlatIndex.searchBatchManaged); logged +
+    // counted so the missing rows are diagnosable
+    val live = IvfFlatIndex.dropNullQueries(batch)
     val pairs = IvfFlatIndex.localProbe(live, centroids.value, nprobe, probeMetric)
     val listIds = pairs.map(_._2).distinct.toSeq
     // one broadcast: per-query ADC tables (computed once on the driver,
@@ -266,12 +267,11 @@ object IvfPqIndex {
    */
   def writeEpoch(index: IvfPqIndex, epochPath: String, filesPerList: Int = 1): Unit = {
     // the metric is part of the index: a cosine-built epoch read back and
-    // searched without an explicit metric must stay cosine
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get {
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(epochPath))
-        s"$epochPath/metric.txt"
-      }, index.metric.toString)
+    // searched without an explicit metric must stay cosine. Written
+    // through the tmp+fsync+rename helper — a crash mid-write must never
+    // leave a truncated metric a reader could misinterpret.
+    graft.storage.Manifest.atomicWrite(
+      java.nio.file.Paths.get(s"$epochPath/metric.txt"), index.metric.toString)
     IvfFlatIndex.writeEpoch(index.codes, s"$epochPath/codes", filesPerList)
     // a raw table that already carries this index's list_id (epoch
     // re-write, ScaleStress-style build) skips a full argmin re-assign
@@ -289,9 +289,12 @@ object IvfPqIndex {
     val cents = IvfFlatIndex.readCentroidTable(spark, s"$epochPath/centroids")
     val books = readCodebooks(spark, s"$epochPath/codebooks")
     val metricPath = java.nio.file.Paths.get(s"$epochPath/metric.txt")
+    // parseStrict: this string is engine-written, so anything unparseable
+    // is corruption — better to refuse the epoch than silently serve L2
+    // distances from a Cosine-built index
     val metric =
       if (java.nio.file.Files.exists(metricPath))
-        Metric.parse(java.nio.file.Files.readString(metricPath).trim)
+        Metric.parseStrict(java.nio.file.Files.readString(metricPath).trim)
       else Metric.L2 // pre-metric epochs were L2-built
     new IvfPqIndex(spark,
       spark.read.parquet(s"$epochPath/codes"),

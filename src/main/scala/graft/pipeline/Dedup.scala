@@ -306,6 +306,45 @@ object Dedup {
     shingleBands(corpus, idCol, textCol, ngram, numHashes, bands, family)
 
   /**
+   * The three corpus-side projections [[incremental]] needs, all pure
+   * functions of the corpus: at 100 TB these are written ONCE as index
+   * tables at curation time (plain parquet; `bands` bucketed by band key
+   * if the ingest cadence warrants it) and every batch reads them back —
+   * the corpus TEXT is never rescanned per ingest.
+   *
+   *  - `shingles`: `(id, shingles)` — n-gram sets for Jaccard verification
+   *  - `bands`: `(pos, band, id)` — LSH band keys for candidate blocking
+   *  - `exactText`: `(<textCol>, exact_dup_of)` — min corpus id per text
+   */
+  final case class CorpusIndex(
+      shingles: DataFrame,
+      bands: DataFrame,
+      exactText: DataFrame)
+
+  /**
+   * Build the [[CorpusIndex]] from the corpus. The `family` used here MUST
+   * match the one passed to [[incremental]] for every batch screened
+   * against this index — mismatched hash families collide on nothing and
+   * the near path silently admits every duplicate.
+   */
+  def buildCorpusIndex(
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      ngram: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      family: graft.functions.HashFamily = graft.functions.HashFamily.Xxh64): CorpusIndex = {
+    val (cToks, cBands) =
+      shingleBands(corpus, idCol, textCol, ngram, numHashes, bands, family)
+    CorpusIndex(
+      shingles = cToks,
+      bands = cBands,
+      exactText =
+        corpus.groupBy(col(textCol)).agg(min(col(idCol)).as("exact_dup_of")))
+  }
+
+  /**
    * Incremental dedup: match an incoming batch against an EXISTING corpus
    * without ever self-joining the corpus — the shape of continuous-ingest
    * curation, where the corpus is 100 TB and the batch is a day's crawl.
@@ -316,9 +355,9 @@ object Dedup {
    * Exact path: one left equi-join on the text (min corpus id per text).
    * Near path: bipartite banded MinHash — batch band keys join corpus
    * band keys, candidates carry 8-byte ids only, true n-gram Jaccard
-   * verifies survivors. The corpus-side shingle/band projection is a pure
-   * function of the corpus, so at scale it is written once as an index
-   * table and only the (tiny) batch side is computed per ingest.
+   * verifies survivors. This overload derives the corpus projections
+   * inline; the index-table shape a 100 TB deployment runs is the
+   * [[CorpusIndex]] overload below.
    */
   def incremental(
       batch: DataFrame,
@@ -329,14 +368,33 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.7,
-      family: graft.functions.HashFamily = graft.functions.HashFamily.Xxh64): DataFrame = {
+      family: graft.functions.HashFamily = graft.functions.HashFamily.Xxh64): DataFrame =
+    incremental(batch,
+      buildCorpusIndex(corpus, idCol, textCol, ngram, numHashes, bands, family),
+      idCol, textCol, ngram, numHashes, bands, threshold, family)
+
+  /**
+   * [[incremental]] against a PREBUILT [[CorpusIndex]] — the production
+   * shape: the index tables are computed once (or read back from parquet)
+   * and only the tiny batch side is hashed per ingest; the corpus text is
+   * never scanned in the batch plan. `ngram`/`numHashes`/`bands`/`family`
+   * must match the values the index was built with.
+   */
+  def incremental(
+      batch: DataFrame,
+      index: CorpusIndex,
+      idCol: String,
+      textCol: String,
+      ngram: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      family: graft.functions.HashFamily): DataFrame = {
     val exact = batch.select(col(idCol), col(textCol))
-      .join(
-        corpus.groupBy(col(textCol)).agg(min(col(idCol)).as("exact_dup_of")),
-        Seq(textCol), "left")
+      .join(index.exactText, Seq(textCol), "left")
       .select(col(idCol), col("exact_dup_of"))
     val (bToks, bBands) = shingleBands(batch, idCol, textCol, ngram, numHashes, bands, family)
-    val (cToks, cBands) = shingleBands(corpus, idCol, textCol, ngram, numHashes, bands, family)
+    val (cToks, cBands) = (index.shingles, index.bands)
     val cands = bBands
       .join(cBands.select(col("pos"), col("band"), col("id").as("c_id")),
         Seq("pos", "band"))

@@ -299,12 +299,19 @@ object PipelineQueries {
 
   /** Incremental dedup of the doc_id % 10 == 0 batch against the rest of
     * the corpus — Poly family + threshold 0.5 so the DuckDB oracle can
-    * replay the banded MinHash end to end. */
+    * replay the banded MinHash end to end. Runs through the PREBUILT
+    * [[Dedup.CorpusIndex]] overload (the 100 TB ingest shape: corpus
+    * projections computed once, batch side hashed per call). */
   private def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
+    val index = Dedup.buildCorpusIndex(
+      d.filter(col("doc_id") % 10 =!= 0),
+      family = graft.functions.HashFamily.Poly)
     Dedup.incremental(
       d.filter(col("doc_id") % 10 === 0),
-      d.filter(col("doc_id") % 10 =!= 0),
+      index,
+      idCol = "doc_id", textCol = "text",
+      ngram = 3, numHashes = 64, bands = 16,
       threshold = 0.5,
       family = graft.functions.HashFamily.Poly)
       .orderBy("doc_id")

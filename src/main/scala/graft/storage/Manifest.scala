@@ -77,7 +77,8 @@ object Manifest {
       }
       case _ => Nil
     }
-    Manifest(str("name"), num("dimension").toInt, Metric.parse(str("metric")),
+    // parseStrict: the manifest is engine-written; see Metric.parseStrict
+    Manifest(str("name"), num("dimension").toInt, Metric.parseStrict(str("metric")),
       num("nlist").toInt, num("m").toInt, num("nbits").toInt, str("epoch"),
       num("created_at"), num("num_vectors"), shards)
   }
@@ -87,7 +88,7 @@ object Manifest {
     * only orders METADATA; without flushing the temp file's data blocks a
     * power loss shortly after an epoch swap can leave the state file
     * zero-length or truncated on ext4/xfs. */
-  private[storage] def atomicWrite(target: Path, content: String): Unit = {
+  private[graft] def atomicWrite(target: Path, content: String): Unit = {
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
     Files.createDirectories(target.getParent)
     val ch = java.nio.channels.FileChannel.open(tmp,

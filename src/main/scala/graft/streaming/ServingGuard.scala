@@ -179,6 +179,36 @@ class ServingGuard(
     if (m.errorRate > breakerThreshold) m.circuitOpen = true
   }
 
+  /**
+   * One pass of the reference's health-check loop
+   * (load_balancer.cpp:247-269), caller-scheduled instead of owning a
+   * background thread (injectable-clock testable; a serving deployment
+   * calls it every health-check interval):
+   *
+   *  - decay both counters by 0.95 so the cumulative error rate can
+   *    recover without needing a matching success run;
+   *  - auto-close any circuit open longer than 2x the breaker timeout,
+   *    resetting to (success=1, error=0) — the reference's "give it a
+   *    chance" escape hatch for a circuit the cumulative-rate quirk
+   *    would otherwise hold open forever.
+   */
+  def maintenanceTick(): Unit = {
+    val it = metrics.values().iterator()
+    while (it.hasNext) {
+      val m = it.next()
+      m.synchronized {
+        m.successCount = (m.successCount * 0.95).toLong
+        m.errorCount = (m.errorCount * 0.95).toLong
+        if (m.circuitOpen && now() - m.lastFailureMs > breakerTimeoutMs * 2) {
+          m.circuitOpen = false
+          m.probing = false
+          m.errorCount = 0
+          m.successCount = 1 // reference: "Give it a chance"
+        }
+      }
+    }
+  }
+
   def isCircuitOpen(service: String): Boolean = {
     val m = metricsFor(service)
     m.synchronized(m.circuitOpen && now() - m.lastFailureMs <= breakerTimeoutMs)

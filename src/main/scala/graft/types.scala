@@ -13,11 +13,24 @@ object Metric extends Enumeration {
   /** 1 - cos with +1e-8 epsilon in denominator (engine/kernels.cuh:63-80). */
   val Cosine: Metric.Value = Value(2, "Cosine")
 
-  /** Unknown strings fall back to L2 (server/query_service.cpp:99-108). */
+  /** Unknown strings fall back to L2 (server/query_service.cpp:99-108) —
+    * the right behavior for USER-SUPPLIED request strings only. */
   def parse(s: String): Metric.Value = s match {
     case "InnerProduct" => InnerProduct
     case "Cosine"       => Cosine
     case _              => L2
+  }
+
+  /** For ENGINE-PERSISTED metric strings (epoch metadata): a value we
+    * wrote ourselves can only be unparseable through corruption, and
+    * falling back to L2 there would silently serve wrong distances from a
+    * Cosine-built index — fail loudly instead. */
+  def parseStrict(s: String): Metric.Value = s match {
+    case "L2"           => L2
+    case "InnerProduct" => InnerProduct
+    case "Cosine"       => Cosine
+    case other => throw new IllegalArgumentException(
+      s"corrupt persisted metric '$other' (expected L2|InnerProduct|Cosine)")
   }
 }
 

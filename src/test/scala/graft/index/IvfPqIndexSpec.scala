@@ -147,6 +147,32 @@ class IvfPqIndexSpec extends SparkSpec {
       s"expected pruned codes+raw scans in:\n$plan")
   }
 
+  test("epoch metric is written atomically and corrupt values refuse to load") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq-metric").toString
+    IvfPqIndex.writeEpoch(index, tmp)
+    val metricPath = java.nio.file.Paths.get(s"$tmp/metric.txt")
+    // no .tmp residue from the atomic write, and the content parses strict
+    assert(!java.nio.file.Files.exists(
+      metricPath.resolveSibling("metric.txt.tmp")))
+    assert(graft.Metric.parseStrict(
+      java.nio.file.Files.readString(metricPath).trim) === index.metric)
+    // a truncated/garbage metric must fail loudly, never default to L2 —
+    // a Cosine-built epoch silently served as L2 is the failure this guards
+    java.nio.file.Files.writeString(metricPath, "Cos")
+    val e = intercept[IllegalArgumentException](IvfPqIndex.readEpoch(spark, tmp))
+    assert(e.getMessage.contains("corrupt persisted metric"))
+    // the user-request parser keeps the reference's L2 fallback untouched
+    assert(graft.Metric.parse("Cos") === graft.Metric.L2)
+  }
+
+  test("null query vectors are dropped, counted, and logged — not silent") {
+    val before = IvfFlatIndex.droppedNullQueries.get()
+    val batch = Array((0L, queries.head._2), (1L, null: Array[Float]))
+    val rows = index.searchBatch(batch, SearchParams(k = 3, nprobe = 8)).collect()
+    assert(rows.map(_.getLong(0)).distinct === Array(0L)) // qid 1 has no rows
+    assert(IvfFlatIndex.droppedNullQueries.get() === before + 1)
+  }
+
   test("codebook parquet roundtrip preserves the (sub << 16) | centroid packing") {
     val sample = data.take(200).map(_._2).toArray
     val books = IvfPqIndex.trainCodebooks(sample, m = 2, nbits = 4)

@@ -80,6 +80,45 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(out === Array((0L, 0L), (1L, 0L), (2L, 0L)))
   }
 
+  test("prebuilt CorpusIndex from parquet: same labels, no corpus text scan in the batch plan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-corpus-index").toString
+    // curation time: corpus lands as parquet, index tables derived ONCE
+    corpus.write.mode("overwrite").parquet(s"$tmp/corpus")
+    val corpusPq = spark.read.parquet(s"$tmp/corpus")
+    val built = Dedup.buildCorpusIndex(corpusPq)
+    built.shingles.write.mode("overwrite").parquet(s"$tmp/idx_shingles")
+    built.bands.write.mode("overwrite").parquet(s"$tmp/idx_bands")
+    built.exactText.write.mode("overwrite").parquet(s"$tmp/idx_exact")
+    // ingest time: ONLY the index tables are read back
+    val index = Dedup.CorpusIndex(
+      shingles = spark.read.parquet(s"$tmp/idx_shingles"),
+      bands = spark.read.parquet(s"$tmp/idx_bands"),
+      exactText = spark.read.parquet(s"$tmp/idx_exact"))
+    val out = Dedup.incremental(batch, index,
+      idCol = "doc_id", textCol = "text",
+      ngram = 3, numHashes = 64, bands = 16, threshold = 0.5,
+      family = graft.functions.HashFamily.Xxh64)
+    // the batch plan must not touch the corpus parquet at all — every
+    // corpus-side input comes from the index tables
+    val scannedPaths = out.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(!scannedPaths.contains(s"$tmp/corpus"),
+      s"batch plan scans the corpus table:\n$scannedPaths")
+    assert(scannedPaths.contains("idx_bands"), "index tables absent from plan")
+    // and the labels match the inline-derivation overload exactly
+    val viaIndex = out.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0),
+        Option(r.getAs[Any]("dup_of")).map(_.asInstanceOf[Long]),
+        Option(r.getAs[Any]("match_kind")).map(_.asInstanceOf[String])))
+    val inline = Dedup.incremental(batch, corpusPq, threshold = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0),
+        Option(r.getAs[Any]("dup_of")).map(_.asInstanceOf[Long]),
+        Option(r.getAs[Any]("match_kind")).map(_.asInstanceOf[String])))
+    assert(viaIndex === inline)
+    assert(viaIndex(0) === ((0L, Some(100L), Some("exact"))))
+  }
+
   test("batch docs never match other batch docs, corpus never self-joins") {
     val s = spark
     import s.implicits._

@@ -138,6 +138,39 @@ class ServingGuardSpec extends AnyFunSuite {
     assert(fast.requestTimeoutMs("s") === 5000L)
   }
 
+  // --- maintenance loop (reference load_balancer.cpp:247-269) -------------
+
+  test("maintenanceTick decays counters so one probe success can close after an error burst") {
+    val (g, tick) = clocked()
+    (1 to 3).foreach(_ =>
+      intercept[RuntimeException](g.guarded("s")(throw new RuntimeException("b"))))
+    assert(g.isCircuitOpen("s")) // 3/3 = 100%
+    // decay drives the cumulative counters down while the circuit is open
+    (1 to 20).foreach(_ => g.maintenanceTick())
+    tick() // past the cool-down: next request is THE probe
+    assert(g.guarded("s")(1) === 1)
+    // WITHOUT decay the probe success would sit at 3 err / 4 total = 75%
+    // and the cumulative-rate quirk would hold the circuit open; decayed
+    // to 0 errors, the single success closes it
+    assert(!g.isCircuitOpen("s"))
+  }
+
+  test("maintenanceTick auto-closes a circuit open past 2x the breaker timeout") {
+    var t = 0L
+    val g = new ServingGuard(now = () => t)
+    intercept[RuntimeException](g.guarded("s")(throw new RuntimeException("b")))
+    assert(g.isCircuitOpen("s"))
+    t += 61000L // > 2x30s since the failure -> auto-recovery fires
+    g.maintenanceTick()
+    assert(!g.isCircuitOpen("s"))
+    // reference reset (success=1, error=0): requests flow directly — no
+    // single-probe gating — and a fresh failure at 1/3 rate stays closed
+    assert(g.guarded("s")(5) === 5)
+    assert(g.guarded("s")(6) === 6)
+    intercept[RuntimeException](g.guarded("s")(throw new RuntimeException("b2")))
+    assert(!g.isCircuitOpen("s")) // 1 err / 4 total (1 seeded + 2 + 1) = 25%
+  }
+
   // --- token-bucket rate limiter (reference query_service.cpp:639-677) ---
 
   test("token bucket: burst within budget passes, then sheds until refill") {
