@@ -165,14 +165,20 @@ object Bench {
         val dog = if (debug) startWatchdog(name, math.max(3000L, (w2 * 3000).toLong)) else null
         val first = timedRun()
         if (dog != null) dog.interrupt()
-        val sec =
-          if (first > 3 * warmRef && first - warmRef > 0.5) {
-            stallRetries += 1
-            System.err.println(
-              f"[bench] $name run$i stalled ($first%.3fs vs warm $warmRef%.3fs); one bounded re-run")
-            val retry = timedRun()
-            if (retry >= 0) retry else first
-          } else first
+        // up to TWO bounded re-runs: a stall event can span a couple of
+        // seconds, so the first retry occasionally lands on its tail
+        // (observed: 3.4s stall, 1.8s retry, steady 0.56s)
+        var sec = first
+        var attempts = 0
+        while (sec >= 0 && sec > 3 * warmRef && sec - warmRef > 0.5 && attempts < 2) {
+          stallRetries += 1
+          attempts += 1
+          System.err.println(
+            f"[bench] $name run$i stalled ($sec%.3fs vs warm $warmRef%.3fs); bounded re-run $attempts")
+          val retry = timedRun()
+          if (retry >= 0) sec = retry
+          else { attempts = 2 } // crashed retry: keep the measured time
+        }
         if (debug) {
           Thread.sleep(120) // drain stage-completed events
           System.err.println(

@@ -345,6 +345,27 @@ object Dedup {
   }
 
   /**
+   * Persist the index tables (one parquet table per projection). `bands`
+   * is written partitioned by `pos` so a batch's band join prunes to the
+   * band positions it actually probes; the shingle and exact tables stay
+   * flat (they are joined by id / text hash, both uniformly distributed).
+   */
+  def writeCorpusIndex(index: CorpusIndex, path: String): Unit = {
+    index.shingles.write.mode("overwrite").parquet(s"$path/shingles")
+    index.bands.write.mode("overwrite").partitionBy("pos").parquet(s"$path/bands")
+    index.exactText.write.mode("overwrite").parquet(s"$path/exact")
+  }
+
+  /** Read back a [[writeCorpusIndex]] directory for [[incremental]] /
+    * [[graft.streaming.StreamingIngest.nearDupScreen]]. */
+  def readCorpusIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): CorpusIndex =
+    CorpusIndex(
+      shingles = spark.read.parquet(s"$path/shingles"),
+      bands = spark.read.parquet(s"$path/bands"),
+      exactText = spark.read.parquet(s"$path/exact"))
+
+  /**
    * Incremental dedup: match an incoming batch against an EXISTING corpus
    * without ever self-joining the corpus — the shape of continuous-ingest
    * curation, where the corpus is 100 TB and the batch is a day's crawl.

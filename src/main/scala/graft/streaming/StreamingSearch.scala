@@ -94,6 +94,12 @@ object StreamingSearch {
    * trigger for 30 s of cool-down; the half-open probe batch and all
    * admitted batches run under the full guard, which owns the overload
    * cap and the error accounting.)
+   *
+   * `maintenanceEvery` > 0 runs [[ServingGuard.maintenanceTick]] every N
+   * micro-batches — the reference's health-check loop
+   * (load_balancer.cpp:247-269) on the serving cadence instead of a
+   * dedicated thread: counters decay so the cumulative breaker rate can
+   * recover, and a circuit open past 2x the breaker timeout auto-closes.
    */
   def serveGuarded(
       index: IvfFlatIndex,
@@ -104,11 +110,15 @@ object StreamingSearch {
       triggerMs: Long = 100L,
       onReject: (Long, Throwable) => Unit = (_, _) => (),
       warmupEvery: Int = 0,
-      warm: () => Unit = () => ())(
-      sink: (DataFrame, Long) => Unit): StreamingQuery =
+      warm: () => Unit = () => (),
+      maintenanceEvery: Int = 0)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
     serve(index, queryStream, params, checkpointPath, triggerMs,
       warmupEvery, warm,
       admit = { batchId =>
+        if (maintenanceEvery > 0 &&
+          batches.incrementAndGet() % maintenanceEvery == 0) guard.maintenanceTick()
         val open = guard.isCircuitOpen("search")
         if (open) onReject(batchId, new guard.RejectedException("circuit open for search"))
         !open
@@ -118,6 +128,7 @@ object StreamingSearch {
       try guard.guarded("search")(sink(res, batchId))
       catch { case scala.util.control.NonFatal(e) => onReject(batchId, e) }
     }
+  }
 
   /**
    * Multi-profile coalescing dispatcher (A8 parity): ONE serving loop for

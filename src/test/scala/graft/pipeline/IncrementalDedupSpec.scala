@@ -85,15 +85,9 @@ class IncrementalDedupSpec extends SparkSpec {
     // curation time: corpus lands as parquet, index tables derived ONCE
     corpus.write.mode("overwrite").parquet(s"$tmp/corpus")
     val corpusPq = spark.read.parquet(s"$tmp/corpus")
-    val built = Dedup.buildCorpusIndex(corpusPq)
-    built.shingles.write.mode("overwrite").parquet(s"$tmp/idx_shingles")
-    built.bands.write.mode("overwrite").parquet(s"$tmp/idx_bands")
-    built.exactText.write.mode("overwrite").parquet(s"$tmp/idx_exact")
+    Dedup.writeCorpusIndex(Dedup.buildCorpusIndex(corpusPq), s"$tmp/idx")
     // ingest time: ONLY the index tables are read back
-    val index = Dedup.CorpusIndex(
-      shingles = spark.read.parquet(s"$tmp/idx_shingles"),
-      bands = spark.read.parquet(s"$tmp/idx_bands"),
-      exactText = spark.read.parquet(s"$tmp/idx_exact"))
+    val index = Dedup.readCorpusIndex(spark, s"$tmp/idx")
     val out = Dedup.incremental(batch, index,
       idCol = "doc_id", textCol = "text",
       ngram = 3, numHashes = 64, bands = 16, threshold = 0.5,
@@ -104,7 +98,7 @@ class IncrementalDedupSpec extends SparkSpec {
       .map(_.toString).mkString("\n")
     assert(!scannedPaths.contains(s"$tmp/corpus"),
       s"batch plan scans the corpus table:\n$scannedPaths")
-    assert(scannedPaths.contains("idx_bands"), "index tables absent from plan")
+    assert(scannedPaths.contains("idx/bands"), "index tables absent from plan")
     // and the labels match the inline-derivation overload exactly
     val viaIndex = out.orderBy("doc_id").collect()
       .map(r => (r.getLong(0),
