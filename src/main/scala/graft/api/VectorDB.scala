@@ -408,7 +408,17 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
    * L2 only). Same query validation as [[search]]; `radius` is a squared
    * L2 distance like every dist this engine returns.
    */
-  def rangeSearch(name: String, queries: DataFrame, radius: Double): DataFrame = {
+  def rangeSearch(name: String, queries: DataFrame, radius: Double): DataFrame =
+    rangeSearchManaged(name, queries, radius)._1
+
+  /** [[rangeSearch]] plus the release handle for the call's query-map
+    * broadcast — same managed contract as the index-level
+    * [[IvfFlatIndex.rangeSearchManaged]]: a long-lived serving driver
+    * calls release() once the result is consumed (the plan must not run
+    * again after); one-shot callers can use [[rangeSearch]] and let the
+    * ContextCleaner reclaim it. */
+  def rangeSearchManaged(
+      name: String, queries: DataFrame, radius: Double): (DataFrame, () => Unit) = {
     if (radius < 0 || radius.isNaN)
       throw new InvalidArgumentException("Invalid radius value")
     val (s, batch) = validateAndSnapshot(name, queries, topk = 1)
@@ -417,7 +427,9 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     if (s.manifest.metric != Metric.L2)
       throw new InvalidArgumentException(
         s"Range search requires an L2 index; '${name}' uses ${s.manifest.metric}")
-    timed(name, s.index.rangeSearch(snapshotToDf(s, batch, queries), radius))
+    val (df, release) =
+      s.index.rangeSearchManaged(snapshotToDf(s, batch, queries), radius)
+    (timed(name, df), release)
   }
 
   /** The validated snapshot as a query DataFrame: a bounded batch becomes
