@@ -96,6 +96,22 @@ object StreamingIngest {
    * `(doc_id, ts, corpus_id, jaccard)` for verified matches only — true
    * n-gram Jaccard, not just a band collision.
    */
+  /** [[nearDupScreen]] against a [[graft.pipeline.Dedup.CorpusIndex]]
+    * (built by `Dedup.buildCorpusIndex`, or read back from a
+    * `Dedup.writeCorpusIndex` directory — the 100 TB ingest shape). The
+    * hash `family` must match the one the index was built with. */
+  def nearDupScreen(
+      docs: DataFrame,
+      index: graft.pipeline.Dedup.CorpusIndex,
+      ngram: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      watermarkDelay: String,
+      family: graft.functions.HashFamily): DataFrame =
+    nearDupScreen(docs, index.shingles, index.bands,
+      ngram, numHashes, bands, threshold, watermarkDelay, family)
+
   def nearDupScreen(
       docs: DataFrame, // streaming (doc_id, ts, text)
       corpusShingles: DataFrame, // static (id, shingles)

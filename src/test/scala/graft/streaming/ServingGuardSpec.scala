@@ -222,6 +222,33 @@ class ServingGuardSpec extends AnyFunSuite {
     assert(g.guarded("s")(7) === 7)
   }
 
+  test("token bucket properties: admissions never exceed burst + refill budget") {
+    // property over random (rps, burst, event sequence): at any point, the
+    // number of admits can never exceed burst + floor-refilled tokens —
+    // the token-conservation invariant of the reference's bucket
+    import org.scalacheck.{Gen, Prop}
+    val evGen = for {
+      rps <- Gen.chooseNum(1L, 100000L)
+      burst <- Gen.chooseNum(1L, 64L)
+      steps <- Gen.listOfN(200, Gen.chooseNum(0L, 2000000L)) // ns gaps
+    } yield (rps, burst, steps)
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(100),
+      Prop.forAll(evGen) { case (rps, burst, steps) =>
+        var ns = 0L
+        val b = new TokenBucket(rps, burst, () => ns)
+        val period = 1000000000L / rps
+        var admitted = 0L
+        steps.foreach { gap =>
+          ns += gap
+          if (b.tryAcquire()) admitted += 1
+        }
+        // independent upper bound on refill: full elapsed time / period
+        admitted <= burst + ns / period
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("rateLimiter = None disables shedding entirely") {
     val g = new ServingGuard(now = () => 0L, rateLimiter = None)
     (1 to 500).foreach(i => assert(g.guarded("s")(i) === i)) // > any burst

@@ -95,11 +95,14 @@ class StreamingIngestSpec extends SparkSpec {
       (101L, "a completely unrelated corpus document about columnar execution"),
       (102L, "der schnelle braune fuchs springt und der hund ist mit anderen"))
       .toDF("doc_id", "text")
-    val (cShingles, cBands) = graft.pipeline.Dedup.bandIndex(corpus)
+    // through the CorpusIndex overload (the writeCorpusIndex/read shape)
+    val index = graft.pipeline.Dedup.buildCorpusIndex(corpus)
     val mem = MemoryStream[(Long, Timestamp, String)]
     val q = StreamingIngest
-      .nearDupScreen(mem.toDF().toDF("doc_id", "ts", "text"),
-        cShingles, cBands, threshold = 0.5)
+      .nearDupScreen(mem.toDF().toDF("doc_id", "ts", "text"), index,
+        ngram = 3, numHashes = 64, bands = 16, threshold = 0.5,
+        watermarkDelay = "10 minutes",
+        family = graft.functions.HashFamily.Xxh64)
       .writeStream.format("memory").queryName("neardup_screen")
       .outputMode(OutputMode.Append()).start()
     try {
