@@ -115,9 +115,12 @@ object Bench {
     // inside its own measurement envelope, and a one-off C2 burst there
     // reads as instability (the r9 driver bench's spread-6 outliers).
     {
-      import org.apache.spark.sql.functions.{array, lit}
+      import org.apache.spark.sql.functions.{array, col, hash, lit, sum}
       import graft.functions.vector
       val v = array((0 until 8).map(i => lit(i.toFloat)): _*)
+      // the aggregate CONSUMES every kernel column — a bare count() would
+      // let ColumnPruning drop the whole projection and evaluate nothing
+      // (the same hazard VectorDB's in-plan guard documents)
       spark.range(64).select(
         vector.l2_distance(v, v).as("l2"),
         vector.ip_distance(v, v).as("ip"),
@@ -125,7 +128,10 @@ object Bench {
         vector.normalize_vector(v).as("norm"),
         vector.sign_pack_word(v, 0).as("sp"),
         vector.sq8_pack(v, lit(1.0)).as("sq8"))
-        .count()
+        .select(hash(col("l2"), col("ip"), col("cos"), col("norm"),
+          col("sp"), col("sq8")).as("h"))
+        .agg(sum("h"))
+        .collect()
     }
 
     var stallRetries = 0
@@ -176,8 +182,9 @@ object Bench {
           System.err.println(
             f"[bench] $name run$i stalled ($sec%.3fs vs warm $warmRef%.3fs); bounded re-run $attempts")
           val retry = timedRun()
-          if (retry >= 0) sec = retry
-          else { attempts = 2 } // crashed retry: keep the measured time
+          // a crashed retry poisons the query like any crashed run — the
+          // stall screen must never convert a crash into a healthy number
+          sec = retry
         }
         if (debug) {
           Thread.sleep(120) // drain stage-completed events

@@ -488,10 +488,15 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
 
   /** In-plan dimension guard for unbounded query sets: rows past the
     * validation sample raise at execution time instead of being silently
-    * truncated/mis-scored by the min-length distance kernels. */
+    * truncated/mis-scored by the min-length distance kernels. Null qvecs
+    * get their own explicit branch — size(NULL) is NULL, which would
+    * otherwise reach raise_error with a NULL message. */
   private def guardedQueries(queries: DataFrame, dim: Int): DataFrame =
     queries.withColumn("qvec",
-      when(size(col("qvec")) === dim, col("qvec"))
+      when(col("qvec").isNull, raise_error(concat(
+        lit("Query dimension mismatch: null query vector qid="),
+        col("qid").cast("string"))))
+        .when(size(col("qvec")) === dim, col("qvec"))
         .otherwise(raise_error(concat(
           lit("Query dimension mismatch: expected "), lit(dim).cast("string"),
           lit(", got "), size(col("qvec")).cast("string")))))
@@ -650,12 +655,13 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
         sb.append('\n')
       }
     }
-    // null query vectors are DROPPED by the search paths (uniform drop
-    // semantics, IvfFlatIndex.dropNullQueries) — the counter makes the
-    // resulting missing result rows visible to operators
+    // null query vectors are DROPPED by the bounded-batch search paths
+    // (uniform drop semantics, IvfFlatIndex.dropNullQueries; the unbounded
+    // ForceJoin path raises in-plan instead) — the counter makes the
+    // resulting missing result rows visible to operators; JVM-wide
     val nullDrops = graft.index.IvfFlatIndex.droppedNullQueries.get()
     if (nullDrops > 0) {
-      sb.append("# HELP vdb_dropped_null_queries_total Null query vectors dropped (no result rows emitted)\n")
+      sb.append("# HELP vdb_dropped_null_queries_total Null query vectors dropped on bounded-batch search paths (no result rows emitted; JVM-wide)\n")
       sb.append("# TYPE vdb_dropped_null_queries_total counter\n")
       sb.append(s"vdb_dropped_null_queries_total $nullDrops\n")
     }

@@ -333,11 +333,14 @@ object IvfFlatIndex {
     * the execution hook entirely (no observe() node in the plan). */
   val NoopProbeListener: Array[(Long, Int)] => Unit = _ => ()
 
-  /** Total null query vectors dropped across every batch search path on
-    * this JVM — published as `vdb_dropped_null_queries_total` by
-    * [[graft.api.VectorDB.metricsText]]. The drop-not-throw semantics are
-    * uniform across paths (see searchBatchManaged); this counter plus the
-    * per-call log line keep the resulting missing rows diagnosable. */
+  /** Total null query vectors dropped across the BOUNDED-batch search
+    * paths on this JVM (driver-snapshot serving: searchBatchManaged, the
+    * PQ twin, rangeSearch) — published as `vdb_dropped_null_queries_total`
+    * by [[graft.api.VectorDB.metricsText]]. JVM-wide by design (one
+    * process = one scrape endpoint). Scope note: the UNBOUNDED ForceJoin
+    * path cannot feed a driver counter — there the facade's in-plan guard
+    * raises on malformed rows at execution instead, so nulls never drop
+    * silently on that path either. */
   val droppedNullQueries = new java.util.concurrent.atomic.AtomicLong(0)
 
   private[index] def dropNullQueries(

@@ -315,7 +315,10 @@ object RelationalQueries {
    * oracle recomputes the exact counts and asserts literal TRUE — the
    * hash gate then passes iff the HLL++ estimate stays in-band, a real
    * accuracy gate rather than a rows-only check. The ScalaTest spec pins
-   * the tighter <2% error envelope.
+   * the tighter <2% error envelope. Bench note: this entry DELIBERATELY
+   * times sketch + exact together (the tolerance gate needs both
+   * in-plan); the exact-only cost is the separate q_distinct entry, so
+   * sketch-vs-exact remains readable from the pair.
    */
   private def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")

@@ -25,7 +25,10 @@ final class TokenBucket(
 
   private[this] var tokens: Long = burstSize
   private[this] var lastRefillNs: Long = nanoNow()
-  private[this] var refillPeriodNs: Long = 1000000000L / requestsPerSecond
+  // >= 1 ns: at rates above 1e9 rps the integer period would floor to 0
+  // and refill would divide by zero — clamp instead (≥1e9 rps is
+  // effectively "refill every nanosecond", i.e. unlimited)
+  private[this] var refillPeriodNs: Long = math.max(1L, 1000000000L / requestsPerSecond)
 
   /** Take `n` tokens if available; never blocks (query_service.cpp:646-656). */
   def tryAcquire(n: Long = 1L): Boolean = synchronized {
@@ -36,7 +39,7 @@ final class TokenBucket(
   /** Live rate adjustment (query_service.cpp:663-666). */
   def updateRate(rps: Long): Unit = synchronized {
     require(rps > 0, s"rate must be positive: $rps")
-    refillPeriodNs = 1000000000L / rps
+    refillPeriodNs = math.max(1L, 1000000000L / rps)
   }
 
   /** Tokens currently in the bucket (post-refill); for metrics/specs. */

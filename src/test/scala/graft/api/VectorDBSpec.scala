@@ -99,6 +99,26 @@ class VectorDBSpec extends SparkSpec {
     intercept[InvalidArgumentException](db.search("test_index", wrongDim, 5))
   }
 
+  test("unbounded path: null qvec raises in-plan with the qid, never drops silently") {
+    ready
+    val s = spark
+    import s.implicits._
+    // > MaxStaticBatch rows forces the distributed ForceJoin path through
+    // guardedQueries; the null sits past the eager validation sample
+    val n = graft.index.IvfFlatIndex.MaxStaticBatch + 8
+    val base = randomVectors(n, 8, seed = 7)
+    val rows = base.updated(n - 1, (base(n - 1)._1, null: Array[Float]))
+    val qs = rows.toDF("qid", "qvec")
+    val e = intercept[Exception] {
+      db.search("test_index", qs, 3).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m =>
+      m.contains("null query vector") && m.contains(s"qid=${n - 1}")),
+      s"wrong error: ${messages(e)}")
+  }
+
   test("CreateIndex validation: dimension bounds and duplicate names") {
     intercept[IllegalArgumentException](IndexConfig("bad", 0))
     intercept[IllegalArgumentException](IndexConfig("bad", 65537))

@@ -196,6 +196,16 @@ class ServingGuardSpec extends AnyFunSuite {
     assert(b.tryAcquire() && !b.tryAcquire())
   }
 
+  test("token bucket: rates above 1e9 rps clamp to a 1 ns period instead of dividing by zero") {
+    var ns = 0L
+    val b = new TokenBucket(requestsPerSecond = 5000000000L, burstSize = 2L, nanoNow = () => ns)
+    assert(b.tryAcquire() && b.tryAcquire() && !b.tryAcquire())
+    ns += 3L // 3 ns at the clamped 1 ns period -> refill (capped at burst)
+    assert(b.available === 2L)
+    b.updateRate(2000000000L) // live update clamps the same way
+    assert(b.tryAcquire())
+  }
+
   test("token bucket: updateRate changes the refill period live") {
     var ns = 0L
     val b = new TokenBucket(requestsPerSecond = 1L, burstSize = 1L, nanoNow = () => ns)
