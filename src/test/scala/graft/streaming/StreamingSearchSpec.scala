@@ -121,6 +121,29 @@ class StreamingSearchSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maintenanceEvery runs the guard's maintenance tick on the serving cadence") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val index = IvfFlatIndex.build(spark, vectorsDF(randomVectors(100, 8)), nlist = 4)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val ticks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val guard = new ServingGuard(now = () => 0L) {
+      override def maintenanceTick(): Unit = { ticks.incrementAndGet(); super.maintenanceTick() }
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-serve-maint").toString
+    val q = StreamingSearch.serveGuarded(
+      index, mem.toDF().toDF("qid", "qvec"), SearchParams(k = 3, nprobe = 4),
+      checkpointPath = s"$tmp/ckpt", guard = guard, triggerMs = 50L,
+      maintenanceEvery = 2) { (res, _) => res.collect(); () }
+    try {
+      val qs = randomVectors(4, 8, seed = 11)
+      qs.foreach { v => mem.addData(v); q.processAllAvailable() }
+      // 4+ admit checks at maintenanceEvery=2 -> at least 2 ticks
+      assert(ticks.get() >= 2, s"ticks=${ticks.get()}")
+    } finally q.stop()
+  }
+
   test("multi-profile dispatcher routes one stream to per-index batches with own params") {
     val s = spark
     import s.implicits._
