@@ -491,6 +491,10 @@ object Dedup {
       textCol: String = "text",
       maxHamming: Int = 3,
       family: graft.functions.HashFamily = graft.functions.HashFamily.Xxh64): DataFrame = {
+    // 0 is valid (exact-simhash buckets); negatives would give 0 chunks
+    // (divide-by-zero) or -1 (silent empty result) — reject with context
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63]: $maxHamming")
     val chunks = maxHamming + 1
     val bits = 64 / chunks
     // (1L << 64) wraps to 1 (shift mod 64): full-width chunks need -1L

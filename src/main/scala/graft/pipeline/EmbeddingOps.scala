@@ -24,9 +24,15 @@ object EmbeddingOps {
     * code_i = floor(x_i * scale). Codes land in [-128, 127] (floor of a
     * value in [-127, 127] can reach -128 only when max|x| is the unique
     * negative extreme; the decoder divides by the same scale, so range
-    * asymmetry is harmless). */
+    * asymmetry is harmless).
+    *
+    * Evaluation shape: the scale is computed ONCE per row and zipped in —
+    * referencing sq8Scale(vec) inside a transform() lambda would
+    * re-evaluate the O(d) max-scan per ELEMENT (higher-order lambdas get
+    * no subexpression hoisting), turning the quantizer O(d^2). */
   def quantizeInt8(vec: Column): Column =
-    transform(vec, v => floor(v.cast("double") * sq8Scale(vec)).cast("long"))
+    zip_with(vec, array_repeat(sq8Scale(vec), size(vec)),
+      (v, s) => floor(v.cast("double") * s).cast("long"))
 
   /** THE symmetric-quantizer scale, shared by every SQ8 producer
     * (quantizeInt8, quantizeStats, Similarity.sq8SearchRerank) so the
@@ -47,15 +53,26 @@ object EmbeddingOps {
    * aggregate broadcast back, so the plan is two scans and no wide
    * shuffle. Spark `percentile` and DuckDB `quantile_cont` share exact
    * linear interpolation, making the flags oracle-replayable.
+   *
+   * `exact = true` (the oracle-parity default) uses exact `percentile`,
+   * whose buffer holds every distinct norm — fine up to the hundreds of
+   * millions of rows a single aggregate task can absorb, NOT at 100 TB
+   * (norms are near-all-distinct doubles). A full-corpus screen passes
+   * `exact = false` for GK approx_percentile: bounded sketch state, at
+   * the cost of DuckDB bit-parity on the two bounds (the outlier band is
+   * a heuristic screen, so approximate bounds are semantically fine).
    */
   def normOutliers(emb: DataFrame, vecCol: String = "embedding",
-      lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
+      lo: Double = 0.01, hi: Double = 0.99,
+      exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     val norms = emb.select(
       col("vec_id"),
       sqrt(-vector.ip_distance(col(vecCol), col(vecCol))).as("norm"))
+    val fn = if (exact) "percentile(norm, %s)"
+             else s"approx_percentile(norm, %s, $accuracy)"
     val bounds = norms.agg(
-      expr(s"percentile(norm, $lo)").as("p_lo"),
-      expr(s"percentile(norm, $hi)").as("p_hi"))
+      expr(fn.format(lo.toString)).as("p_lo"),
+      expr(fn.format(hi.toString)).as("p_hi"))
     norms.crossJoin(broadcast(bounds))
       .select(col("vec_id"), col("norm"),
         (col("norm") < col("p_lo") || col("norm") > col("p_hi"))
@@ -70,15 +87,22 @@ object EmbeddingOps {
    */
   def quantizeStats(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
     val x = col(vecCol)
-    val scale = sq8Scale(x)
-    val codes = quantizeInt8(x)
+    // two-step select: materialize the codes array once, then aggregate
+    // it — three references to the quantize expression in one projection
+    // would re-run the whole O(d) quantization per output column
+    // (CollapseProject keeps the boundary for non-cheap repeated exprs)
     emb.select(
       col("vec_id"),
       col("label"),
-      floor(scale * 1e6).cast("long").as("scale_m"),
-      aggregate(codes, lit(0L), (acc, c) => acc + c).as("sum_codes"),
-      array_min(codes).as("min_code"),
-      array_max(codes).as("max_code"))
+      floor(sq8Scale(x) * 1e6).cast("long").as("scale_m"),
+      quantizeInt8(x).as("codes"))
+      .select(
+        col("vec_id"),
+        col("label"),
+        col("scale_m"),
+        aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("sum_codes"),
+        array_min(col("codes")).as("min_code"),
+        array_max(col("codes")).as("max_code"))
   }
 
   /**

@@ -112,10 +112,31 @@ object Similarity {
       predicate: org.apache.spark.sql.Column,
       k: Int,
       nprobe: Int,
-      metric: Metric.Value = Metric.Cosine): DataFrame = {
+      metric: Metric.Value = Metric.Cosine): DataFrame =
+    filteredAnnAdaptiveManaged(index, queries, predicate, k, nprobe, metric)._1
+
+  /**
+   * [[filteredAnnAdaptive]] plus a release handle for the call's cache
+   * entries (pinned query set, pruned first pass, shortfall set) — the
+   * same managed contract as the broadcast-returning search paths: each
+   * call persists up to three structurally-new plans, so a loop calling
+   * this per batch without releasing grows the cache registry (and its
+   * disk spill) without bound. Call release() after the result is
+   * consumed; the plan must not be executed again after. One-shot
+   * callers can use the unmanaged overload and release the session cache
+   * between corpora (`spark.catalog.clearCache()`).
+   */
+  def filteredAnnAdaptiveManaged(
+      index: IvfFlatIndex,
+      queries: DataFrame,
+      predicate: org.apache.spark.sql.Column,
+      k: Int,
+      nprobe: Int,
+      metric: Metric.Value = Metric.Cosine): (DataFrame, () => Unit) = {
     val q = Dedup.persistOnce(queries.select("qid", "qvec"))
+    val releaseQ = () => { q.unpersist(blocking = false); () }
     val pruned = filteredAnn(index, q, predicate, k, nprobe, metric)
-    if (nprobe >= index.nlist) return pruned
+    if (nprobe >= index.nlist) return (pruned, releaseQ)
     val cached = Dedup.persistOnce(pruned)
     // zero-row queries are ABSENT from the result — left join from the
     // query set to count shortfalls, not from the result
@@ -124,12 +145,19 @@ object Similarity {
       q.join(counts, Seq("qid"), "left")
         .filter(coalesce(col("n"), lit(0L)) < k)
         .select("qid", "qvec"))
+    val releaseAll = () => {
+      q.unpersist(blocking = false)
+      cached.unpersist(blocking = false)
+      shortQ.unpersist(blocking = false)
+      ()
+    }
     // the persisted shortfall set is tiny by construction (<= one row per
     // query, usually far fewer) — Spark broadcasts the anti-join side
-    if (shortQ.isEmpty) cached
-    else cached.join(shortQ.select("qid"), Seq("qid"), "left_anti")
+    if (shortQ.isEmpty) (cached, releaseAll)
+    else (cached.join(shortQ.select("qid"), Seq("qid"), "left_anti")
       .unionAll(index.searchWhere(
-        shortQ, SearchParams(k, index.nlist, Some(metric)), Some(predicate)))
+        shortQ, SearchParams(k, index.nlist, Some(metric)), Some(predicate))),
+      releaseAll)
   }
 
   /** Corpus rows up to which the self-join ships the whole corpus as one
@@ -335,7 +363,11 @@ object Similarity {
     val hdist = (0 until words)
       .map(w => call_function("bit_count", col(s"w$w").bitwiseXOR(col(s"q$w"))).cast("long"))
       .reduce(_ + _)
-    val scored = c.crossJoin(broadcast(q)).withColumn("hdist", hdist)
+    // size-gated hint (the hardNegatives round-7 lesson): an unconditional
+    // broadcast bypasses autoBroadcastJoinThreshold for an arbitrarily
+    // large query flood; above the gate AQE plans the cross join
+    val qb = if (IvfFlatIndex.fitsBroadcastGate(q, 1)) broadcast(q) else q
+    val scored = c.crossJoin(qb).withColumn("hdist", hdist)
     TopKAggregator.topKPerQuery(scored, k, distCol = "hdist")
       .select(col("qid"), col("id"), col("dist").cast("long").as("dist"), col("rank"))
   }
@@ -356,21 +388,30 @@ object Similarity {
       k: Int,
       metric: Metric.Value = Metric.L2): DataFrame = {
     val cands = hammingSearch(queries, corpus, dim, candK).select("qid", "id")
-    rerankExact(cands, queries, corpus, k, metric)
+    rerankExact(cands, queries, corpus, k, metric, candK)
   }
 
   /** Exact-metric rerank of a bounded candidate set: the (qid, id) pairs
     * broadcast onto the raw corpus scan, so the fp32 read touches only
-    * candidates. Shared tail of the quantized two-pass pipelines. */
+    * candidates. Shared tail of the quantized two-pass pipelines.
+    * Both hints are size-gated on the QUERY batch (whose plan stats are
+    * known; cands is bounded by |queries| x candK 16-byte pairs, so
+    * gating it by queries x candK is a conservative over-estimate) —
+    * above the gate AQE plans the joins for the flood. */
   private def rerankExact(
       cands: DataFrame, // (qid, id)
       queries: DataFrame, // (qid, qvec)
       corpus: DataFrame, // (id, vec)
       k: Int,
-      metric: Metric.Value): DataFrame = {
+      metric: Metric.Value,
+      candK: Int): DataFrame = {
+    val cb =
+      if (IvfFlatIndex.fitsBroadcastGate(queries, math.max(1, candK))) broadcast(cands)
+      else cands
+    val qb = if (IvfFlatIndex.fitsBroadcastGate(queries, 1)) broadcast(queries) else queries
     val rescored = corpus
-      .join(broadcast(cands), "id")
-      .join(broadcast(queries), "qid")
+      .join(cb, "id")
+      .join(qb, "qid")
       .select(col("qid"), col("id"),
         vector.distance(col("qvec"), col("vec"), metric).as("dist"))
     TopKAggregator.topKPerQuery(rescored, k)
@@ -406,10 +447,12 @@ object Similarity {
     // dequant-distance kernel (stable compiled loop, no per-pair scratch),
     // bounded partial top-k — the same shape as the exact flood path but
     // over int8 bytes
-    val scored = codesTable.crossJoin(broadcast(queries))
+    val qb =
+      if (IvfFlatIndex.fitsBroadcastGate(queries, 1)) broadcast(queries) else queries
+    val scored = codesTable.crossJoin(qb)
       .select(col("qid"), col("id"),
         vector.sq8_distance(col("qvec"), col("codes"), col("scale"), metric).as("dist"))
     val cands = TopKAggregator.topKPerQuery(scored, candK).select("qid", "id")
-    rerankExact(cands, queries, corpus, k, metric)
+    rerankExact(cands, queries, corpus, k, metric, candK)
   }
 }

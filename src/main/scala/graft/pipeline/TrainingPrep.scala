@@ -60,12 +60,20 @@ object TrainingPrep {
         expr(s"start % $budget").as("seq_offset"))
   }
 
-  /** Deterministic per-doc hash in [0, 1000): a Lehmer-style LCG step mod
-    * 2^31-1 (a Mersenne prime, full-period multiplier 48271), then mod
-    * 1000. Plain modular arithmetic — replayable anywhere, stable across
+  /** THE Lehmer-style LCG step shared by sampling, shuffling and capping:
+    * id * 48271 + 11 mod 2^31-1 (Mersenne prime, full-period multiplier).
+    * One definition on purpose — the scaladocs of
+    * [[sampleStratified]]/[[shuffleCorpus]]/[[capPerSource]] promise the
+    * SAME generator, and per-site copies could silently desynchronize
+    * decisions that are documented to be mutually consistent. Plain
+    * modular arithmetic — replayable anywhere, stable across
     * partitioning, runs, and engines. */
+  private def lehmerKey(id: Column): Column =
+    pmod(id * 48271L + 11L, lit(2147483647L))
+
+  /** Deterministic per-doc hash in [0, 1000): [[lehmerKey]] mod 1000. */
   private def permilleBucket(id: Column): Column =
-    pmod(id * 48271L + 11L, lit(2147483647L)) % 1000L
+    lehmerKey(id) % 1000L
 
   /**
    * Reproducible stratified sampling: keep a document iff its hash bucket
@@ -169,7 +177,11 @@ object TrainingPrep {
     require(window > 0 && stride > 0 && stride <= window,
       s"need 0 < stride <= window: window=$window stride=$stride")
     docs
-      .withColumn("toks", text.tokenize(col(textCol)))
+      // null text => empty token array: size(NULL) is NULL, which would
+      // null-cascade into sequence() and make explode() DROP the doc —
+      // violating the "no doc silently disappears" contract above
+      .withColumn("toks",
+        coalesce(text.tokenize(col(textCol)), array().cast("array<string>")))
       .withColumn("n", size(col("toks")).cast("long"))
       .withColumn("n_chunks",
         when(col("n") <= window, lit(1L))
@@ -210,7 +222,7 @@ object TrainingPrep {
     // bucket order == key order, which makes offsets well-defined
     val width = (2147483647L + buckets - 1) / buckets
     val keyed = docs
-      .withColumn("shuffle_key", pmod(col(idCol) * 48271L + 11L, lit(2147483647L)))
+      .withColumn("shuffle_key", lehmerKey(col(idCol)))
       .withColumn("bkt", expr(s"shuffle_key div $width"))
     val wIn = Window.partitionBy("bkt").orderBy(col("shuffle_key"), col(idCol))
     val offsets = keyed
@@ -251,6 +263,9 @@ object TrainingPrep {
     // would otherwise give each pass a different row set, dropping rows
     // from shards and desynchronizing the manifest (same rule as
     // filteredAnnAdaptive's snapshot-once fix)
+    // only release a cache THIS call created — a caller that pre-pinned
+    // `docs` (its own persist, or persistOnce upstream) keeps its cache
+    val callerCached = docs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val pinned = Dedup.persistOnce(docs)
     try {
       val n = pinned.count()
@@ -274,10 +289,18 @@ object TrainingPrep {
       val manifest = stats.map { r =>
         s"""{"shard":${r.getInt(0)},"rows":${r.getLong(1)},"hash":${r.getLong(2)}}"""
       }.mkString("[", ",", "]")
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$path/_shards.json"),
-        s"""{"num_shards":${stats.length},"total_rows":$n,"shards":$manifest}""")
-    } finally pinned.unpersist(blocking = false)
+      // through the Hadoop filesystem of `path`, not java.nio: the shards
+      // themselves went through Hadoop, so an hdfs:// or s3a:// export
+      // must land its manifest next to them, not on the driver's local
+      // disk (or fail on the scheme-prefixed string)
+      val hPath = new org.apache.hadoop.fs.Path(s"$path/_shards.json")
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(hPath, true)
+      try out.write(
+        s"""{"num_shards":${stats.length},"total_rows":$n,"shards":$manifest}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } finally if (!callerCached) pinned.unpersist(blocking = false)
   }
 
   /**
@@ -303,7 +326,7 @@ object TrainingPrep {
     val w = Window.partitionBy(srcCol)
       .orderBy(col("cap_key"), col(idCol))
     docs
-      .withColumn("cap_key", pmod(col(idCol) * 48271L + 11L, lit(2147483647L)))
+      .withColumn("cap_key", lehmerKey(col(idCol)))
       .withColumn("rank_in_source", row_number().over(w))
       .filter(col("rank_in_source") <= cap)
       .select(col(idCol), col(srcCol), col("cap_key"),

@@ -106,6 +106,10 @@ class PipelineSpec extends SparkSpec {
     // not degenerate to mask 0 (which would bucket EVERY doc together)
     assert(pairs.map(_._1).toSeq === Seq((0L, 5L)))
     assert(pairs.head._2 === 0)
+    // nonsense bounds are rejected with context, not a bare /-by-zero or
+    // a silently empty result
+    intercept[IllegalArgumentException](Dedup.simhashPairs(docs, maxHamming = -1))
+    intercept[IllegalArgumentException](Dedup.simhashPairs(docs, maxHamming = 64))
   }
 
   test("embedding near-dup via IVF blocking finds the planted duplicate pair") {

@@ -164,6 +164,11 @@ class QualityFiltersSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
     assert(out(48L) && out(49L), "extremes must be flagged")
     assert((0 until 48).forall(i => !out(i.toLong)), "unit norms must pass")
+    // the bounded-sketch scale path (approx_percentile) agrees on this
+    // clear-cut band: same flags, no exact-percentile buffer
+    val approx = EmbeddingOps.normOutliers(vecs, lo = 0.05, hi = 0.95, exact = false)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(approx === out)
   }
 
   test("every code stays within [-128, 127] on real-shaped vectors") {

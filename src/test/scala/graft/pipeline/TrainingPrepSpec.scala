@@ -100,6 +100,14 @@ class TrainingPrepSpec extends SparkSpec {
       .groupBy("doc_id").sum("n_tok").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cover === Map(1L -> 10L, 2L -> 2L, 3L -> 0L))
+    // null text must survive as one empty chunk — size(NULL) would
+    // otherwise null-cascade into sequence() and explode() drops the doc
+    val withNull = Seq((1L, "a b"), (2L, null: String)).toDF("doc_id", "text")
+    val nullOut = TrainingPrep.chunkDocuments(withNull, window = 4, stride = 3)
+      .orderBy("doc_id").collect()
+    assert(nullOut.map(_.getLong(0)).toSeq === Seq(1L, 2L),
+      "null-text doc silently disappeared")
+    assert(nullOut(1).getLong(3) === 0L) // n_tok 0 for the null doc
   }
 
   test("shuffleCorpus is a reproducible total order independent of bucketing") {
