@@ -71,6 +71,11 @@ object AsOfJoin {
     val tag = "_asof_tag"
     val pay = "_asof_payload"
     val tb = rightTieBreak.zipWithIndex.map { case (_, i) => s"_asof_tb_$i" }
+    // working names are selected into the union and consumed at the end —
+    // a user column with one of these names would be silently destroyed
+    require(!left.columns.exists(c => c.startsWith("_asof_")) &&
+      !right.columns.exists(c => c.startsWith("_asof_")),
+      "'_asof_*' column names are reserved working names")
 
     val payloadStruct: Column =
       struct(payloadOut.map { case (c, out) => col(c).as(out) }: _*)
@@ -84,7 +89,13 @@ object AsOfJoin {
     // window's ascending (nulls-first) ts order it would sort before
     // EVERY row and become a spurious "preceding" match for left rows
     // that have no true predecessor; drop such rows up front.
-    val rightRows = right.filter(col(rightTs).isNotNull).select(
+    // Null equi-keys likewise never match in equi-join (and DuckDB ASOF)
+    // semantics, but Window.partitionBy groups null keys into ONE
+    // partition where they would match each other — drop null-key right
+    // rows too (null-key LEFT rows then share a partition with no right
+    // rows and correctly come back with null payload).
+    val rightKeysLive = keys.map(col(_).isNotNull).reduce(_ && _)
+    val rightRows = right.filter(col(rightTs).isNotNull && rightKeysLive).select(
       keys.map(col) ++
         Seq(col(rightTs).as(ts), lit(0).as(tag)) ++
         rightTieBreak.zip(tb).map { case (c, a) => col(c).as(a) } ++

@@ -63,12 +63,25 @@ case class BloomMightContain(child: Expression, bloom: Broadcast[BloomFilter])
  */
 object BloomJoin {
 
+  /** Integral-dtype guard shared by build and probe: the probe hashes
+    * LONGs (`mightContainLong`), while `df.stat.bloomFilter` on a string
+    * column would build over binary hashes — the two never agree, and the
+    * cast("long") on the probe side nulls non-numeric strings, so a
+    * non-integral key would SILENTLY filter out every row. Fail loudly. */
+  private def requireIntegralKey(df: DataFrame, key: String): Unit = {
+    val dt = df.schema(df.schema.fieldIndex(key)).dataType
+    require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+      s"BloomJoin keys must be integral (ids); column '$key' is $dt — " +
+        "a string key would build binary hashes the long probe never matches")
+  }
+
   /** Build a Bloom filter over `df`'s long key column. */
   def keyFilter(
       df: DataFrame,
       key: String,
       expectedItems: Long = -1L,
       fpp: Double = 0.01): Broadcast[BloomFilter] = {
+    requireIntegralKey(df, key)
     val keys = df.select(key)
     val n =
       if (expectedItems > 0) expectedItems
@@ -99,6 +112,7 @@ object BloomJoin {
       dimKey: String,
       expectedDimKeys: Long = -1L,
       fpp: Double = 0.01): DataFrame = {
+    requireIntegralKey(fact, factKey)
     val bf = keyFilter(dim, dimKey, expectedDimKeys, fpp)
     prefilter(fact, fact(factKey), bf)
       .join(dim, fact(factKey) === dim(dimKey))

@@ -58,6 +58,11 @@ object RangeJoin {
 
     val bin = "_range_bin"
     val rv = "_range_rv"
+    // the working names are overwritten by withColumn and dropped at the
+    // end — a user column with either name would be silently destroyed
+    require(!left.columns.contains(bin) && !left.columns.contains(rv) &&
+      !right.columns.contains(bin) && !right.columns.contains(rv),
+      s"'$bin'/'$rv' are reserved working column names")
 
     // Exact floor division by `radius` on a pinned column name: `div` is
     // integer division (a DOUBLE round-trip via `/` would mis-bin values
@@ -79,8 +84,15 @@ object RangeJoin {
       .withColumn(bin, explode(array(col(bin) - 1, col(bin), col(bin) + 1)))
       .drop(rv)
 
+    // DECIMAL(38,0) band check: long subtraction wraps silently at the
+    // domain extremes under non-ANSI arithmetic (MaxValue - MinValue
+    // = -1, |.| = 1 <= radius — a false match for a pair 2^64-1 apart;
+    // the bin+1 explode wraps the same way, minting the colliding bin).
+    // Decimal is exact over the full long range; it runs only on the
+    // band-limited candidate pairs, not the scan.
     l.join(r, keys :+ bin)
-      .filter(abs(col(leftVal) - col(rv)) <= radius)
+      .filter(abs(col(leftVal).cast("decimal(38,0)") -
+        col(rv).cast("decimal(38,0)")) <= lit(radius).cast("decimal(38,0)"))
       .drop(bin, rv)
   }
 }

@@ -66,10 +66,34 @@ object ZOrder {
    * of a full-width stripe. Written this way the downstream
    * `filter(x BETWEEN ... AND y BETWEEN ...)` prunes row groups on both
    * predicates (see ZOrderSpec's bounding-box measurement).
+   *
+   * Values are min/max-NORMALIZED into the `bits`-wide bucket range
+   * first (one tiny 1-row aggregate): interleaving the raw low bits
+   * would alias values 2^bits apart into the same Morton key — on
+   * ordinary inputs (ms epochs ~1.7e12, snowflake ids) every file would
+   * then span nearly the full domain and the min/max pruning this
+   * operator exists for silently stops working. The double division is
+   * exact enough for bucketing (2^bits buckets, bits <= 32); span 0
+   * collapses the dimension to bucket 0, which is correct (nothing to
+   * prune on a constant column).
    */
   def cluster(df: DataFrame, x: Column, y: Column, partitions: Int,
       bits: Int = 16): DataFrame = {
-    val keyed = df.withColumn("_z", zvalue(x, y, bits))
+    require(!df.columns.contains("_z"),
+      "input already has a '_z' column (reserved working name)")
+    import org.apache.spark.sql.functions.{floor, least, lit, max, min}
+    val Array(b) = df.agg(
+      min(x.cast("long")).as("x0"), max(x.cast("long")).as("x1"),
+      min(y.cast("long")).as("y0"), max(y.cast("long")).as("y1")).collect()
+    val top = (1L << bits) - 1
+    def norm(c: Column, lo: Long, hi: Long): Column =
+      if (hi == lo) lit(0L)
+      else least(lit(top), floor(
+        (c.cast("long") - lit(lo)).cast("double") / (hi - lo).toDouble * top))
+        .cast("long")
+    val keyed = df.withColumn("_z", zvalue(
+      norm(x, b.getLong(0), b.getLong(1)),
+      norm(y, b.getLong(2), b.getLong(3)), bits))
     keyed
       .repartitionByRange(partitions, keyed.col("_z"))
       .sortWithinPartitions("_z")

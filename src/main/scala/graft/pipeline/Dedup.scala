@@ -3,6 +3,9 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import org.json4s.{JInt, JLong, JString}
+import org.json4s.jackson.JsonMethods
+
 import graft.functions.{text, vector}
 import graft.Metric
 
@@ -315,11 +318,21 @@ object Dedup {
    *  - `shingles`: `(id, shingles)` — n-gram sets for Jaccard verification
    *  - `bands`: `(pos, band, id)` — LSH band keys for candidate blocking
    *  - `exactText`: `(<textCol>, exact_dup_of)` — min corpus id per text
+   *
+   * The index CARRIES its build parameters: a batch hashed with a
+   * different ngram/numHashes/bands/family than the corpus side produces
+   * band keys that never collide, and the screen would silently admit
+   * every duplicate — consumers derive the parameters from here instead
+   * of accepting free ones that could drift.
    */
   final case class CorpusIndex(
       shingles: DataFrame,
       bands: DataFrame,
-      exactText: DataFrame)
+      exactText: DataFrame,
+      ngram: Int = 3,
+      numHashes: Int = 64,
+      bandCount: Int = 16,
+      family: graft.functions.HashFamily = graft.functions.HashFamily.Xxh64)
 
   /**
    * Build the [[CorpusIndex]] from the corpus. The `family` used here MUST
@@ -341,7 +354,8 @@ object Dedup {
       shingles = cToks,
       bands = cBands,
       exactText =
-        corpus.groupBy(col(textCol)).agg(min(col(idCol)).as("exact_dup_of")))
+        corpus.groupBy(col(textCol)).agg(min(col(idCol)).as("exact_dup_of")),
+      ngram = ngram, numHashes = numHashes, bandCount = bands, family = family)
   }
 
   /**
@@ -354,16 +368,53 @@ object Dedup {
     index.shingles.write.mode("overwrite").parquet(s"$path/shingles")
     index.bands.write.mode("overwrite").partitionBy("pos").parquet(s"$path/bands")
     index.exactText.write.mode("overwrite").parquet(s"$path/exact")
+    // the build parameters ARE part of the index (a reader hashing with
+    // different ones gets band keys that never collide — silent admit-all)
+    // — persisted through the path's Hadoop filesystem like the tables
+    val spark = index.shingles.sparkSession
+    val pPath = new org.apache.hadoop.fs.Path(s"$path/params.json")
+    val fs = pPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(pPath, true)
+    try out.write(
+      (s"""{"ngram":${index.ngram},"num_hashes":${index.numHashes},""" +
+        s""""bands":${index.bandCount},"family":"${index.family}"}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Read back a [[writeCorpusIndex]] directory for [[incremental]] /
-    * [[graft.streaming.StreamingIngest.nearDupScreen]]. */
+    * [[graft.streaming.StreamingIngest.nearDupScreen]] — build parameters
+    * included, so consumers can never hash a batch with mismatched ones. */
   def readCorpusIndex(
-      spark: org.apache.spark.sql.SparkSession, path: String): CorpusIndex =
+      spark: org.apache.spark.sql.SparkSession, path: String): CorpusIndex = {
+    val pPath = new org.apache.hadoop.fs.Path(s"$path/params.json")
+    val fs = pPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(pPath),
+      s"$path/params.json missing — not a writeCorpusIndex directory")
+    val in = fs.open(pPath)
+    val raw = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      buf.toString("UTF-8")
+    } finally in.close()
+    val j = JsonMethods.parse(raw)
+    def num(k: String): Int = (j \ k) match {
+      case JInt(i) => i.toInt
+      case JLong(l) => l.toInt
+      case other => throw new IllegalArgumentException(s"bad $k in params.json: $other")
+    }
+    val fam = (j \ "family") match {
+      case JString("Poly") => graft.functions.HashFamily.Poly
+      case JString("Xxh64") => graft.functions.HashFamily.Xxh64
+      case other => throw new IllegalArgumentException(s"bad family in params.json: $other")
+    }
     CorpusIndex(
       shingles = spark.read.parquet(s"$path/shingles"),
       bands = spark.read.parquet(s"$path/bands"),
-      exactText = spark.read.parquet(s"$path/exact"))
+      exactText = spark.read.parquet(s"$path/exact"),
+      ngram = num("ngram"), numHashes = num("num_hashes"),
+      bandCount = num("bands"), family = fam)
+  }
 
   /**
    * Incremental dedup: match an incoming batch against an EXISTING corpus
@@ -392,29 +443,28 @@ object Dedup {
       family: graft.functions.HashFamily = graft.functions.HashFamily.Xxh64): DataFrame =
     incremental(batch,
       buildCorpusIndex(corpus, idCol, textCol, ngram, numHashes, bands, family),
-      idCol, textCol, ngram, numHashes, bands, threshold, family)
+      idCol, textCol, threshold)
 
   /**
    * [[incremental]] against a PREBUILT [[CorpusIndex]] — the production
    * shape: the index tables are computed once (or read back from parquet)
    * and only the tiny batch side is hashed per ingest; the corpus text is
-   * never scanned in the batch plan. `ngram`/`numHashes`/`bands`/`family`
-   * must match the values the index was built with.
+   * never scanned in the batch plan. The batch-side hash parameters come
+   * FROM the index (mismatched parameters would produce band keys that
+   * never collide — a silent admit-all screen — so they are not free
+   * arguments here).
    */
   def incremental(
       batch: DataFrame,
       index: CorpusIndex,
       idCol: String,
       textCol: String,
-      ngram: Int,
-      numHashes: Int,
-      bands: Int,
-      threshold: Double,
-      family: graft.functions.HashFamily): DataFrame = {
+      threshold: Double): DataFrame = {
     val exact = batch.select(col(idCol), col(textCol))
       .join(index.exactText, Seq(textCol), "left")
       .select(col(idCol), col("exact_dup_of"))
-    val (bToks, bBands) = shingleBands(batch, idCol, textCol, ngram, numHashes, bands, family)
+    val (bToks, bBands) = shingleBands(batch, idCol, textCol,
+      index.ngram, index.numHashes, index.bandCount, index.family)
     val (cToks, cBands) = (index.shingles, index.bands)
     val cands = bBands
       .join(cBands.select(col("pos"), col("band"), col("id").as("c_id")),

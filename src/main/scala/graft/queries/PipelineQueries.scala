@@ -311,9 +311,7 @@ object PipelineQueries {
       d.filter(col("doc_id") % 10 === 0),
       index,
       idCol = "doc_id", textCol = "text",
-      ngram = 3, numHashes = 64, bands = 16,
-      threshold = 0.5,
-      family = graft.functions.HashFamily.Poly)
+      threshold = 0.5)
       .orderBy("doc_id")
   }
 

@@ -32,7 +32,12 @@ class EpochManager(basePath: String) {
   def statePath: String = s"$basePath/epochs.json"
 
   def createEpoch(): String = synchronized {
-    val id = f"epoch_${System.currentTimeMillis()}%d_${rnd.nextInt(10000)}%04d"
+    // regenerate on collision: same millisecond + same 1-in-10000 draw
+    // (or a directory left by another manager on this base path) would
+    // otherwise silently mix two epochs' shards in one directory
+    var id = ""
+    do id = f"epoch_${System.currentTimeMillis()}%d_${rnd.nextInt(10000)}%04d"
+    while (epochs.contains(id) || Files.exists(Paths.get(epochPath(id))))
     Files.createDirectories(Paths.get(epochPath(id)))
     epochs.put(id, System.currentTimeMillis())
     persistState()
@@ -66,16 +71,26 @@ class EpochManager(basePath: String) {
       .map(_._1)
     doomed.foreach { id =>
       // state first, directory second: a crash between the two leaves an
-      // orphan directory (harmless, re-collected by a later cleanup pass
-      // over unreferenced ids) — the reverse order would leave state
-      // pointing at a DELETED epoch, which activateEpoch would then
-      // happily activate
+      // orphan directory (harmless, re-collected by the orphan sweep
+      // below) — the reverse order would leave state pointing at a
+      // DELETED epoch, which activateEpoch would then happily activate
       epochs.remove(id)
       persistState()
       deleteRecursively(epochPath(id))
     }
+    // orphan sweep: epoch_* directories no state references (a crash
+    // landed between persistState() and the delete above on a previous
+    // run). Both mutation paths hold this instance's lock, so a dir
+    // absent from the map here is never a create in flight.
+    val known = epochs.keySet ++ protectedIds + activeId
+    val orphans = Option(new java.io.File(basePath).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch_") &&
+        !known.contains(f.getName))
+      .map(_.getName).toSeq.sorted
+    orphans.foreach(id => deleteRecursively(epochPath(id)))
     if (doomed.isEmpty) persistState()
-    doomed
+    doomed ++ orphans
   }
 
   private def deleteRecursively(path: String): Unit = {

@@ -106,7 +106,14 @@ class ServingGuard(
     var circuitOpen = false
     var probing = false // half-open: ONE recovery probe in flight
     var lastFailureMs = 0L
-    var avgLatencyMs = 0L
+    // DOUBLE, with an explicit has-sample flag: a long EMA would truncate
+    // sub-ms latencies to 0 and conflate "avg is 0 ms" with "no sample
+    // yet" — a consistently-fast service would then read the 5 s
+    // no-sample default timeout forever instead of the 1 s clamp, and a
+    // decayed-to-0 average would RESET to the next raw latency instead
+    // of averaging into it
+    var avgLatencyMs = 0.0
+    var hasLatencySample = false
     def errorRate: Double = {
       val total = successCount + errorCount
       if (total == 0) 0.0 else errorCount.toDouble / total
@@ -170,8 +177,9 @@ class ServingGuard(
     m.successCount += 1
     m.probing = false
     m.avgLatencyMs =
-      if (m.avgLatencyMs == 0L) latencyMs
-      else (m.avgLatencyMs * 0.9 + latencyMs * 0.1).toLong // EMA alpha 0.1
+      if (!m.hasLatencySample) latencyMs.toDouble
+      else m.avgLatencyMs * 0.9 + latencyMs * 0.1 // EMA alpha 0.1
+    m.hasLatencySample = true
     if (m.errorRate < breakerThreshold) m.circuitOpen = false
   }
 
@@ -225,7 +233,8 @@ class ServingGuard(
 
   /** 3x EMA latency clamped to [1 s, 30 s]; 5 s before any sample. */
   def requestTimeoutMs(service: String): Long = {
-    val avg = metricsFor(service).synchronized(metricsFor(service).avgLatencyMs)
-    if (avg == 0L) 5000L else math.max(1000L, math.min(30000L, avg * 3))
+    val m = metricsFor(service)
+    val (has, avg) = m.synchronized((m.hasLatencySample, m.avgLatencyMs))
+    if (!has) 5000L else math.max(1000L, math.min(30000L, (avg * 3).toLong))
   }
 }

@@ -99,18 +99,18 @@ object StreamingIngest {
   /** [[nearDupScreen]] against a [[graft.pipeline.Dedup.CorpusIndex]]
     * (built by `Dedup.buildCorpusIndex`, or read back from a
     * `Dedup.writeCorpusIndex` directory — the 100 TB ingest shape). The
-    * hash `family` must match the one the index was built with. */
+    * stream-side hash parameters come FROM the index: mismatched
+    * ngram/numHashes/bands/family would produce band keys that never
+    * collide with the corpus index and the screen would silently admit
+    * every duplicate, so they are not free arguments here. */
   def nearDupScreen(
       docs: DataFrame,
       index: graft.pipeline.Dedup.CorpusIndex,
-      ngram: Int,
-      numHashes: Int,
-      bands: Int,
       threshold: Double,
-      watermarkDelay: String,
-      family: graft.functions.HashFamily): DataFrame =
+      watermarkDelay: String): DataFrame =
     nearDupScreen(docs, index.shingles, index.bands,
-      ngram, numHashes, bands, threshold, watermarkDelay, family)
+      index.ngram, index.numHashes, index.bandCount,
+      threshold, watermarkDelay, index.family)
 
   def nearDupScreen(
       docs: DataFrame, // streaming (doc_id, ts, text)

@@ -85,6 +85,20 @@ class AsOfJoinSpec extends SparkSpec {
       "null-ts right row became a spurious as-of match")
   }
 
+  test("null equi-keys never match each other (equi-join / DuckDB ASOF semantics)") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((None: Option[String], 10L, "lx"), (Some("u1"), 10L, "ly"))
+      .toDF("k", "ts", "tag")
+    val r = Seq((None: Option[String], 5L, 1.0), (Some("u1"), 5L, 2.0))
+      .toDF("k", "ts", "v")
+    val out = AsOfJoin.backward(l, r, Seq("k"), "ts", "ts",
+      rightPayload = Map("v" -> "m_v"))
+      .collect().map(x => (Option(x.getAs[String]("k")), Option(x.getAs[Any]("m_v")))).toMap
+    assert(out(Some("u1")) === Some(2.0)) // real key matches
+    assert(out(None) === None, "null keys must not enrich each other")
+  }
+
   test("a null tie-break loses to any real tie-break at equal ts") {
     val s = spark
     import s.implicits._

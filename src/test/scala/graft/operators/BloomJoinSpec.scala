@@ -19,6 +19,16 @@ class BloomJoinSpec extends SparkSpec {
     (0L until 1000L by 20L).map(k => (k, s"d$k")).toDF("pk", "dim_payload")
   }
 
+  test("non-integral key columns are rejected, not silently filtered to nothing") {
+    val s = spark
+    import s.implicits._
+    val strDim = Seq(("a", 1), ("b", 2)).toDF("sku", "x")
+    val e = intercept[IllegalArgumentException](BloomJoin.keyFilter(strDim, "sku"))
+    assert(e.getMessage.contains("integral"))
+    intercept[IllegalArgumentException](
+      BloomJoin.innerJoin(fact, "payload", strDim, "sku"))
+  }
+
   test("prefilter has no false negatives: every truly-matching row survives") {
     val bf = BloomJoin.keyFilter(dim, "pk")
     val kept = BloomJoin.prefilter(fact, col("fk"), bf)

@@ -87,6 +87,29 @@ class RangeJoinSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("domain extremes never wrap into false matches (decimal band check)") {
+    val s = spark
+    import s.implicits._
+    val l = Seq(("k", Long.MaxValue, "hi"), ("k", Long.MinValue + 1, "lo"))
+      .toDF("k", "v", "lid")
+    val r = Seq(("k", Long.MinValue, 1L), ("k", Long.MaxValue - 1, 2L))
+      .toDF("k", "v", "rid")
+    val out = RangeJoin.band(l, r, Seq("k"), "v", "v", radius = 2L,
+      rightPayload = Map("rid" -> "m_rid"))
+      .collect().map(x => (x.getAs[String]("lid"), x.getAs[Long]("m_rid"))).toSet
+    // MaxValue pairs only with MaxValue-1; MinValue+1 only with MinValue —
+    // the 2^64-apart cross pairs must NOT appear (long subtraction wraps)
+    assert(out === Set(("hi", 2L), ("lo", 1L)), s"got $out")
+  }
+
+  test("reserved working column names are rejected, not silently destroyed") {
+    val s = spark
+    import s.implicits._
+    val bad = Seq(("k", 1L, "x")).toDF("k", "v", "_range_rv")
+    intercept[IllegalArgumentException](RangeJoin.band(
+      bad, right, Seq("k"), "v", "v", 10L, Map("rid" -> "m_rid")))
+  }
+
   test("plan is an equi-join, not a nested-loop theta join") {
     val plan = RangeJoin.band(left, right, Seq("k"), "v", "v", radius = 10L,
       rightPayload = Map("rid" -> "rid")).queryExecution.executedPlan.toString

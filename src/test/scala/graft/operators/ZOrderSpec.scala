@@ -56,4 +56,32 @@ class ZOrderSpec extends SparkSpec {
     val boxZ = partitionsHit(byZ, (0L, 127L), (0L, 127L))
     assert(boxZ <= parts / 4, s"2-D box hit $boxZ of $parts z tiles")
   }
+
+  test("wide-domain values (ms epochs, snowflake ids) still cluster: min/max normalization") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(6)
+    // x spans ~1.7e12 (ms epochs), y is snowflake-ish — the raw low 10
+    // bits of either are noise, so unnormalized interleaving would give
+    // every partition a full-domain bounding box (no pruning at all)
+    val base = 1700000000000L
+    val rows = Seq.fill(20000)(
+      (base + rnd.nextInt(1 << 20).toLong * 1000L,
+        (rnd.nextInt(1 << 20).toLong << 22) | 42L))
+      .toDF("x", "y")
+    val parts = 16
+    val byZ = ZOrder.cluster(rows, col("x"), col("y"), parts, bits = 10)
+    def hit(xr: (Long, Long), yr: (Long, Long)): Int =
+      byZ.withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg(min("x").as("x0"), max("x").as("x1"), min("y").as("y0"), max("y").as("y1"))
+        .filter(col("x1") >= xr._1 && col("x0") <= xr._2 &&
+          col("y1") >= yr._1 && col("y0") <= yr._2)
+        .count().toInt
+    // a quarter-domain 2-D box must prune most tiles
+    val xQ = (base, base + (1L << 18) * 1000L)
+    val yQ = (0L, (1L << 18) << 22)
+    val boxZ = hit(xQ, yQ)
+    assert(boxZ <= parts / 2, s"wide-domain clustering pruned nothing: $boxZ of $parts")
+  }
 }

@@ -88,10 +88,12 @@ class IncrementalDedupSpec extends SparkSpec {
     Dedup.writeCorpusIndex(Dedup.buildCorpusIndex(corpusPq), s"$tmp/idx")
     // ingest time: ONLY the index tables are read back
     val index = Dedup.readCorpusIndex(spark, s"$tmp/idx")
+    // the read-back index carries its build params (params.json) — the
+    // batch side derives them instead of accepting free ones that drift
+    assert(index.numHashes === 64 && index.bandCount === 16 &&
+      index.ngram === 3 && index.family === graft.functions.HashFamily.Xxh64)
     val out = Dedup.incremental(batch, index,
-      idCol = "doc_id", textCol = "text",
-      ngram = 3, numHashes = 64, bands = 16, threshold = 0.5,
-      family = graft.functions.HashFamily.Xxh64)
+      idCol = "doc_id", textCol = "text", threshold = 0.5)
     // the batch plan must not touch the corpus parquet at all — every
     // corpus-side input comes from the index tables
     val scannedPaths = out.queryExecution.executedPlan.collectLeaves()

@@ -48,6 +48,23 @@ class EpochManagerSpec extends AnyFunSuite {
     deleted.foreach(id => assert(!Files.exists(java.nio.file.Paths.get(em.epochPath(id)))))
   }
 
+  test("cleanup re-collects orphan epoch dirs no state references (crash between persist and delete)") {
+    val base = tmpDir()
+    val em = new EpochManager(base)
+    val live = em.createEpoch()
+    // simulate the crash window: a directory exists but epochs.json does
+    // not reference it (state was persisted without it, JVM died before
+    // the recursive delete)
+    val orphan = s"$base/epoch_0000000000000_9999"
+    Files.createDirectories(java.nio.file.Paths.get(orphan))
+    Files.writeString(java.nio.file.Paths.get(s"$orphan/shard.parquet"), "x")
+    val deleted = em.cleanupOldEpochs(keepN = 3)
+    assert(deleted.contains("epoch_0000000000000_9999"))
+    assert(!Files.exists(java.nio.file.Paths.get(orphan)), "orphan dir must be swept")
+    assert(em.contains(live) &&
+      Files.exists(java.nio.file.Paths.get(em.epochPath(live))))
+  }
+
   test("deactivate clears the active pointer") {
     val em = new EpochManager(tmpDir())
     val e = em.createEpoch()

@@ -133,9 +133,12 @@ class ServingGuardSpec extends AnyFunSuite {
     assert(g.requestTimeoutMs("s") === 6000L)
     g.guarded("s") { t += 100L; 1 } // EMA: 2000*0.9 + 100*0.1 = 1810
     assert(g.requestTimeoutMs("s") === 5430L)
+    // a zero-latency sample IS a sample: the sub-ms service gets the
+    // documented 1 s clamp, not the 5 s no-sample default forever
     val fast = new ServingGuard(now = () => 0L)
-    fast.guarded("s")(1) // zero-latency sample keeps avg 0 -> default path
-    assert(fast.requestTimeoutMs("s") === 5000L)
+    assert(fast.requestTimeoutMs("s") === 5000L) // truly no sample yet
+    fast.guarded("s")(1)
+    assert(fast.requestTimeoutMs("s") === 1000L)
   }
 
   // --- maintenance loop (reference load_balancer.cpp:247-269) -------------

@@ -100,9 +100,7 @@ class StreamingIngestSpec extends SparkSpec {
     val mem = MemoryStream[(Long, Timestamp, String)]
     val q = StreamingIngest
       .nearDupScreen(mem.toDF().toDF("doc_id", "ts", "text"), index,
-        ngram = 3, numHashes = 64, bands = 16, threshold = 0.5,
-        watermarkDelay = "10 minutes",
-        family = graft.functions.HashFamily.Xxh64)
+        threshold = 0.5, watermarkDelay = "10 minutes")
       .writeStream.format("memory").queryName("neardup_screen")
       .outputMode(OutputMode.Append()).start()
     try {
