@@ -270,9 +270,14 @@ case class PqEncode(child: Expression, codebooks: Broadcast[Array[Array[Array[Fl
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bc = ctx.addReferenceObj("pqCodebooks", codebooks,
       classOf[Broadcast[Array[Array[Array[Float]]]]].getName)
+    // per-task deref, not per row: TorrentBroadcast.getValue() is
+    // synchronized (see ArgMinCentroid) and encode runs over every corpus
+    // row of a PQ build
+    val cb = ctx.addMutableState("float[][][]", "pqBooks",
+      v => s"$v = (float[][][]) $bc.value();")
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.functions.PqKernels.encode($v.toFloatArray(), (float[][][]) $bc.value()));")
+        s"graft.functions.PqKernels.encode($v.toFloatArray(), $cb));")
   }
 
   override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)

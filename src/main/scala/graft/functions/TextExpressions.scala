@@ -223,6 +223,11 @@ object TextKernels {
 case class WordNgrams(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {
 
+  // n <= 0 would silently emit cnt-n+1 EMPTY strings per row (the inner
+  // parts loop runs zero times) — garbage shingles flowing into
+  // MinHash/LSH with no error
+  require(n > 0, s"ngram width must be positive: $n")
+
   override def inputTypes: Seq[org.apache.spark.sql.graftshims.AbstractDataType] =
     Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

@@ -93,9 +93,14 @@ case class ArgMinCentroid(child: Expression, centroids: Broadcast[Array[Array[Fl
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bc = ctx.addReferenceObj("centroidsBc", centroids,
       classOf[Broadcast[Array[Array[Float]]]].getName)
+    // per-task deref, NOT per row: TorrentBroadcast.getValue() is a
+    // synchronized method (Spark 4.x), so a per-row $bc.value() would
+    // contend on one monitor across every task of the full-corpus assign
+    val cm = ctx.addMutableState("float[][]", "centroidsArr",
+      v => s"$v = (float[][]) $bc.value();")
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = graft.functions.VectorKernels.argminCentroid(" +
-        s"$v.toFloatArray(), (float[][]) $bc.value());")
+        s"$v.toFloatArray(), $cm);")
   }
 
   override protected def withNewChildInternal(c: Expression): ArgMinCentroid =
@@ -129,10 +134,13 @@ case class ProbeLists(
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bc = ctx.addReferenceObj("centroidsBc", centroids,
       classOf[Broadcast[Array[Array[Float]]]].getName)
+    // per-task deref, not per row (see ArgMinCentroid)
+    val cm = ctx.addMutableState("float[][]", "centroidsArr",
+      v => s"$v = (float[][]) $bc.value();")
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
         s"graft.functions.VectorKernels.probeLists($v.toFloatArray(), " +
-        s"(float[][]) $bc.value(), $nprobe, $metricId));")
+        s"$cm, $nprobe, $metricId));")
   }
 
   override protected def withNewChildInternal(c: Expression): ProbeLists =
@@ -263,8 +271,6 @@ case class SignPackWord(child: Expression, word: Int)
     copy(child = c)
 }
 
-/** SQ8 pack: ARRAY<FLOAT> x DOUBLE scale -> BINARY int8 codes (one byte
-  * per dim — the true 4x scan-byte reduction the quantizer exists for). */
 /**
  * Affine whitening of an ARRAY<FLOAT>: W (v − mean) with the (matrix,
  * mean) pair riding as a Broadcast handle like the centroid expressions —
@@ -300,6 +306,8 @@ case class WhitenVector(
     copy(child = c)
 }
 
+/** SQ8 pack: ARRAY<FLOAT> x DOUBLE scale -> BINARY int8 codes (one byte
+  * per dim — the true 4x scan-byte reduction the quantizer exists for). */
 case class Sq8Pack(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 

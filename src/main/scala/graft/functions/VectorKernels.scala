@@ -82,10 +82,6 @@ object VectorKernels {
     acc
   }
 
-  /** SQ8 pack: bytes[i] = floor(x_i * scale). With the symmetric scale
-    * 127/max|x| ([[graft.pipeline.EmbeddingOps.quantizeInt8]]) every code
-    * lands in [-128, 127], so the byte cast is exact — int8 codes at a
-    * true 4x fewer scan bytes than fp32. */
   /** Affine whitening: out = W (v - mean), double accumulation, float
     * output. `w` is the d x d matrix flattened row-major. The per-row
     * O(d^2) mat-vec lives here as a compiled loop — a transform-HOF
@@ -112,6 +108,10 @@ object VectorKernels {
     out
   }
 
+  /** SQ8 pack: bytes[i] = floor(x_i * scale). With the symmetric scale
+    * 127/max|x| ([[graft.pipeline.EmbeddingOps.quantizeInt8]]) every code
+    * lands in [-128, 127], so the byte cast is exact — int8 codes at a
+    * true 4x fewer scan bytes than fp32. */
   def sq8Pack(v: Array[Float], scale: Double): Array[Byte] = {
     val out = new Array[Byte](v.length)
     var i = 0
@@ -226,8 +226,12 @@ object VectorKernels {
     var c = 0
     while (c < n) {
       val d = distance(v, centroids(c), metric)
-      // centroid ids arrive ascending, so on a tie the incumbent wins
-      if (size < k || d < bufD(size - 1)) {
+      // NaN (corrupt centroid, Inf-Inf) must be rejected like TopKBuf /
+      // TopKHeap do: a NaN accepted while the buffer fills compares false
+      // against every later candidate and permanently blocks the tail of
+      // the scan — silent recall loss on an otherwise-healthy probe.
+      // Centroid ids arrive ascending, so on a tie the incumbent wins.
+      if (!java.lang.Double.isNaN(d) && (size < k || d < bufD(size - 1))) {
         var p = size
         while (p > 0 && d < bufD(p - 1)) p -= 1
         val tail = math.min(size, k - 1)

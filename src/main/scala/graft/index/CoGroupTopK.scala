@@ -98,11 +98,17 @@ object CoGroupTopK {
     val spark = probed.sparkSession
     import spark.implicits._
     val salt = saltOf(spark)
-    val q = probed.select(
-      explodedSaltKeys("list_id", salt),
-      lit(0).as("_tag"),
-      col("qid").cast("long").as("id"),
-      col("qvec").as("vec"))
+    val q = probed
+      // uniform null-drop semantics: a null qid would kill the task at
+      // the primitive-tuple decode below, where the broadcast path
+      // (BroadcastProbeTopK) and the equi-join path skip the row silently
+      // — behavior must not flip at the broadcast gate
+      .filter(col("qid").isNotNull && col("qvec").isNotNull)
+      .select(
+        explodedSaltKeys("list_id", salt),
+        lit(0).as("_tag"),
+        col("qid").cast("long").as("id"),
+        col("qvec").as("vec"))
     val c = corpus
       // skip null-keyed/null-payload rows like ListScanTopK/PartialTopK
       // do (e.g. a predicate-filtered projection): a null list_id or id
@@ -155,12 +161,15 @@ object CoGroupTopK {
     // codes are ARRAY<TINYINT> in the plan (the PQ encoder's type); the
     // Array[Byte] encoder would demand BINARY, so decode as Seq and copy
     // to a primitive array once per row at buffer time (off the hot loop)
-    val q = probed.select(
-      explodedSaltKeys("list_id", salt),
-      lit(1).as("_tag"),
-      col("qid").cast("long").as("id"),
-      col("qvec").as("qvec"),
-      lit(null).cast("array<byte>").as("codes"))
+    val q = probed
+      // null-qid/qvec drop, same rationale as flatSearch
+      .filter(col("qid").isNotNull && col("qvec").isNotNull)
+      .select(
+        explodedSaltKeys("list_id", salt),
+        lit(1).as("_tag"),
+        col("qid").cast("long").as("id"),
+        col("qvec").as("qvec"),
+        lit(null).cast("array<byte>").as("codes"))
     val c = codes
       // null-keyed/null-payload skip, same rationale as flatSearch
       .filter(col("id").isNotNull && col("list_id").isNotNull && col("codes").isNotNull)
@@ -201,16 +210,20 @@ object CoGroupTopK {
   def rerankTopK(queries: DataFrame, cands: DataFrame, metricId: Int, k: Int): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val q = queries.select(
-      col("qid").cast("long").as("_skey"),
-      lit(0).as("_tag"),
-      col("qid").cast("long").as("id"),
-      col("qvec").as("vec"))
-    val c = cands.select(
-      col("qid").cast("long").as("_skey"),
-      lit(1).as("_tag"),
-      col("id").cast("long").as("id"),
-      col("vec"))
+    val q = queries
+      .filter(col("qid").isNotNull) // null-qid drop, same as flatSearch
+      .select(
+        col("qid").cast("long").as("_skey"),
+        lit(0).as("_tag"),
+        col("qid").cast("long").as("id"),
+        col("qvec").as("vec"))
+    val c = cands
+      .filter(col("qid").isNotNull && col("id").isNotNull)
+      .select(
+        col("qid").cast("long").as("_skey"),
+        lit(1).as("_tag"),
+        col("id").cast("long").as("id"),
+        col("vec"))
     q.unionByName(c)
       .repartition(numParts(spark), col("_skey"))
       .sortWithinPartitions("_skey", "_tag")

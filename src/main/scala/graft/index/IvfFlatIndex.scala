@@ -243,6 +243,9 @@ class IvfFlatIndex(
     // accumulate centroid-map blocks until GC)
     try {
       val rows = vectors
+        // skip null rows like every scan path does — a null vec/list_id
+        // group would otherwise unbox null into getLong/getDouble below
+        .filter(col("vec").isNotNull && col("list_id").isNotNull)
         .select(col("list_id").cast("long").as("lid"), col("vec"))
         .groupBy("lid")
         .agg(max(graft.functions.vector

@@ -39,7 +39,20 @@ object Knn {
       queries: DataFrame,
       vectors: DataFrame,
       k: Int,
-      metric: Metric.Value = Metric.L2): DataFrame = {
+      metric: Metric.Value = Metric.L2): DataFrame =
+    exactManaged(queries, vectors, k, metric)._1
+
+  /** [[exact]] plus a release handle for the bounded-batch path's query
+    * broadcast — same managed contract as [[IvfFlatIndex
+    * .searchBatchManaged]]: a long-lived driver (recall monitoring loop)
+    * calls release() after the result is consumed; one-shot callers use
+    * [[exact]] and let the ContextCleaner reclaim it. The plan must not
+    * run again after release(). */
+  def exactManaged(
+      queries: DataFrame,
+      vectors: DataFrame,
+      k: Int,
+      metric: Metric.Value = Metric.L2): (DataFrame, () => Unit) = {
     val qdf = queries.select(col("qid"), col("qvec"))
     IvfFlatIndex.snapshotQueries(qdf).batch match {
       case Some(batch) =>
@@ -50,9 +63,10 @@ object Knn {
           ProbeIndex(live, live.map(q => (q._1, 0)), nlist = 1))
         val corpus = vectors.select(
           col("id").cast("long"), lit(0).cast("int").as("list_id"), col("vec"))
-        TopKAggregator.finalizePartial(
+        (TopKAggregator.finalizePartial(
           ListScanTopK(corpus, new FlatListScorer(bc, metric.id), k), k)
-          .select("qid", "id", "dist", "rank")
+          .select("qid", "id", "dist", "rank"),
+          () => bc.destroy())
       case None =>
         // unbounded query set. Below the size gate the batch ships through
         // the lazy broadcast exchange into the same stable scan operator
@@ -66,14 +80,15 @@ object Knn {
           val probed = qdf.withColumn("list_id", lit(0))
           val corpus = IvfFlatIndex.widenScan(vectors.select(
             col("id").cast("long"), lit(0).cast("int").as("list_id"), col("vec")))
-          TopKAggregator.finalizePartial(
+          (TopKAggregator.finalizePartial(
             BroadcastProbeTopK.flat(probed, corpus, k, metric.id), k)
-            .select("qid", "id", "dist", "rank")
+            .select("qid", "id", "dist", "rank"), () => ())
         } else {
           val scored = vectors.select(col("id"), col("vec"))
             .crossJoin(qdf)
             .withColumn("dist", vector.distance(col("qvec"), col("vec"), metric))
-          TopKAggregator.topKPerQuery(scored, k).select("qid", "id", "dist", "rank")
+          (TopKAggregator.topKPerQuery(scored, k).select("qid", "id", "dist", "rank"),
+            () => ())
         }
     }
   }

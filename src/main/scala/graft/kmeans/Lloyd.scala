@@ -57,7 +57,11 @@ object Lloyd {
     val capped =
       if (dim <= 0) maxTrain
       else math.min(maxTrain.toLong, math.max(1L, maxBytes / (dim * 4L))).toInt
+    // null vecs are skipped like every search path skips them — without
+    // the filter one null row in the id-prefix sample would NPE the
+    // whole build with no context
     src
+      .filter(col(vecCol).isNotNull)
       .orderBy(col(idCol))
       .limit(capped)
       .collect()

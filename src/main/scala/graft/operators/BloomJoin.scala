@@ -32,9 +32,13 @@ case class BloomMightContain(child: Expression, bloom: Broadcast[BloomFilter])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bc = ctx.addReferenceObj("bloomBc", bloom,
       classOf[Broadcast[BloomFilter]].getName)
+    // per-task deref, not per row: TorrentBroadcast.getValue() is
+    // synchronized, and this probe runs once per fact row pre-shuffle
+    val bf = ctx.addMutableState("org.apache.spark.util.sketch.BloomFilter",
+      "bloomFilter",
+      v => s"$v = (org.apache.spark.util.sketch.BloomFilter) $bc.value();")
     nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = ((org.apache.spark.util.sketch.BloomFilter) " +
-        s"$bc.value()).mightContainLong($v);")
+      s"${ev.value} = $bf.mightContainLong($v);")
   }
 
   override protected def withNewChildInternal(c: Expression): BloomMightContain =

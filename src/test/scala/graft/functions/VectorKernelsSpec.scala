@@ -53,4 +53,15 @@ class VectorKernelsSpec extends AnyFunSuite {
     val all = VectorKernels.probeLists(Array(0.9f, 0f), cents, 99, VectorKernels.METRIC_L2)
     assert(all.length === 3)
   }
+
+  test("probeLists rejects NaN distances like the top-k buffers do") {
+    // a corrupt centroid (NaN component) scanned EARLY must not blank the
+    // rest of the probe: an accepted NaN compares false against every
+    // later candidate and permanently blocks the buffer tail
+    val cents = Array(
+      Array(Float.NaN, 0f), // id 0: NaN distance to any query
+      Array(1f, 0f), Array(2f, 0f), Array(3f, 0f))
+    val p = VectorKernels.probeLists(Array(0.9f, 0f), cents, 2, VectorKernels.METRIC_L2)
+    assert(p.toSeq === Seq(1, 2), s"NaN centroid poisoned the probe: ${p.toSeq}")
+  }
 }
