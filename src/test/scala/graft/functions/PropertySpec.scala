@@ -172,4 +172,14 @@ class PropertySpec extends AnyFunSuite {
     val est = sig(a).zip(sig(b)).count { case (x, y) => x == y } / 256.0
     assert(math.abs(est - 1.0 / 3.0) < 0.12, s"estimate $est vs true 0.333")
   }
+
+  test("WordNgrams rejects non-positive n at construction") {
+    // n <= 0 would silently emit empty-string shingles (the join loop
+    // runs zero times) straight into MinHash/LSH — must fail loudly
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val child = Literal.create(Seq("a", "b", "c"), ArrayType(StringType))
+    intercept[IllegalArgumentException] { WordNgrams(child, 0) }
+    intercept[IllegalArgumentException] { WordNgrams(child, -3) }
+  }
 }

@@ -191,6 +191,19 @@ class IvfFlatIndexSpec extends SparkSpec {
     assert(res.count() === 10)
   }
 
+  test("exactManaged release destroys the batch broadcast after consumption") {
+    // managed contract: consume the result, then release(); the released
+    // plan must not be the caller's problem afterwards, and release must
+    // be a no-op-safe call on the unbounded paths too
+    val (res, release) = Knn.exactManaged(queriesDF(queries.take(2)), vectorsDF(data), 5)
+    val rows = res.collect()
+    assert(rows.length === 10)
+    release() // bounded-batch path: destroys the query broadcast
+    val exact = Knn.exact(queriesDF(queries.take(2)), vectorsDF(data), 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet === exact)
+  }
+
   test("pathological skew: every vector in one list still searches correctly") {
     // centroids far from all data -> argmin sends everything to list 0
     val far = Array.fill(16)(1000f)
