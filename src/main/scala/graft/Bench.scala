@@ -31,8 +31,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Consume the FULL result, not count(): a count() on top lets Catalyst
+    // prune every non-grouping aggregate expression (and the scan columns
+    // feeding it), so an aggregate-terminated entry would be timed as a
+    // keys-only distinct scan — the same ColumnPruning hazard the kernel
+    // pre-touch below documents. toRdd executes the optimized plan with
+    // its full output schema (every column materialized into UnsafeRows)
+    // and adds NO operator on top — in particular no limit/agg whose
+    // JVM-global codegen counter would bust the Janino cache per run
+    // (dev/STABILITY_r9.md).
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
-      try { fn(spark, sfDir).count(); true }
+      try {
+        fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); true
+      }
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -148,9 +159,14 @@ object Bench {
       // consistently ~3x its steady time — pure JIT warm-in: zero GC,
       // zero codegen compiles, code cache half empty). A third warmup only
       // if the second still improved >30% on the first.
-      val w1 = { val t0 = System.nanoTime(); runOnce(name, fn); (System.nanoTime() - t0) / 1e9 }
-      val w2 = { val t0 = System.nanoTime(); runOnce(name, fn); (System.nanoTime() - t0) / 1e9 }
-      if (w1 / w2 > 1.3) runOnce(name, fn)
+      def warmup(): (Double, Boolean) = {
+        val t0 = System.nanoTime()
+        val ok = runOnce(name, fn)
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val (w1, ok1) = warmup()
+      val (w2, ok2) = warmup()
+      if (ok1 && ok2 && w1 / w2 > 1.3) runOnce(name, fn)
       // one-off stall screen: the documented residual instability class
       // (dev/STABILITY_r9.md "Residual") is a single timed run landing 3-6x
       // over steady state with zero GC / zero codegen deltas — a JIT or IO
@@ -159,7 +175,13 @@ object Bench {
       // re-run ONCE and take the re-run (bounded: one retry per run, and
       // the retry count is published in the JSON so the screen is visible,
       // never silent).
-      val warmRef = math.min(w1, w2)
+      // only SUCCESSFUL warm-ups anchor the stall screen: a warm-up that
+      // crashed records its time-to-crash, and a fast crash (e.g. 0.1s
+      // broadcast failure) would make every healthy timed run look like a
+      // 3x stall — up to 6 wasted re-runs and misattributed stall_retries.
+      // With no clean warm-up the screen is disabled (MaxValue reference).
+      val warmRef = (Seq(w1 -> ok1, w2 -> ok2).collect { case (t, true) => t }
+        match { case Nil => Double.MaxValue; case ts => ts.min })
       def timedRun(): Double = {
         val t0 = System.nanoTime()
         val ok = runOnce(name, fn)
