@@ -161,7 +161,14 @@ object Dedup {
       langCol: String = "lang",
       maxDist: Int = 24): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
-    val a = docs.select(
+    // The DP verification runs in the broadcast join's probe tasks, which
+    // inherit the LEFT scan's partitioning — a small corpus in one parquet
+    // file would run the whole CPU-bound verify on one core. widenScan
+    // spreads an under-partitioned small input to defaultParallelism
+    // (size-gated via plan stats; at 100 TB the scan is already wider
+    // than the cluster and this is a no-op).
+    val wide = graft.index.IvfFlatIndex.widenScan(docs)
+    val a = wide.select(
       col(langCol),
       col(idCol).as("a_id"), col(textCol).as("a_text"),
       text.char_hist(col(textCol)).as("a_hist"),
@@ -175,8 +182,17 @@ object Dedup {
       .band(a, b, Seq(langCol), "a_len", "b_len",
         radius = math.max(1L, maxDist.toLong),
         rightPayload = Map(
-          "b_id" -> "b_id", "b_text" -> "b_text", "b_hist" -> "b_hist"))
+          "b_id" -> "b_id", "b_text" -> "b_text", "b_hist" -> "b_hist",
+          "b_len" -> "b_len_p")) // rightVal itself is dropped by band()
+      // Predicate ORDER is load-bearing: Catalyst folds these filters into
+      // the band join's condition with caller filters FIRST and the
+      // band's exact decimal radius check LAST, and conjuncts
+      // short-circuit left to right. The left side is bin-exploded 3x, so
+      // ~2/3 of bin-matched candidates fail the radius — the cheap long
+      // length check must run before the O(256) histogram L1 and both
+      // before the O(d*n) DP, or the DP pays for every cross-bin replica.
       .filter(pairUp(col("a_id"), col("b_id")) &&
+        abs(col("a_len") - col("b_len_p")) <= maxDist &&
         text.hist_l1(col("a_hist"), col("b_hist")) <= 2 * maxDist)
       .withColumn("dist",
         levenshtein(col("a_text"), col("b_text"), maxDist).cast("long"))

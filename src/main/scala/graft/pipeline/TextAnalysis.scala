@@ -162,7 +162,8 @@ object TextAnalysis {
           regexp_replace(t, lit(EmailRe), lit("<EMAIL>")),
           lit(PhoneRe), lit("<PHONE>")),
         lit(Ipv4Re), lit("<IP>"))
-    docs.select(
+    // six regex passes per row run in the scan stage — widen a small input
+    graft.index.IvfFlatIndex.widenScan(docs).select(
       col(idCol),
       regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
       regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"),
@@ -170,9 +171,12 @@ object TextAnalysis {
       redacted.as("redacted"))
   }
 
-  /** Full per-document analysis projection. */
+  /** Full per-document analysis projection. The per-row work (four
+    * tokenize passes + fingerprint) is CPU-bound and runs in the scan
+    * stage, so an under-partitioned small input is widened first
+    * (size-gated; a no-op on an already-wide corpus scan). */
   def analyze(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(
+    graft.index.IvfFlatIndex.widenScan(docs).select(
       col(idCol),
       text.token_count(col(textCol)).as("n_tokens"),
       langId(col(textCol)).as("lang_pred"),

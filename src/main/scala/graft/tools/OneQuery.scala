@@ -51,7 +51,10 @@ object OneQuery {
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
       val t1 = System.nanoTime()
-      val n = df.count()
+      // toRdd, not count(): count() lets Catalyst prune non-grouping
+      // aggregates (and their scan columns), so an agg-terminated query
+      // would be timed as a keys-only scan — must measure what Bench does
+      val n = df.queryExecution.toRdd.count()
       val t2 = System.nanoTime()
       println(f"[onequery] $name iter$i ${(t2 - t0) / 1e9}%7.3f s " +
         f"(build ${(t1 - t0) / 1e9}%6.3f, exec ${(t2 - t1) / 1e9}%6.3f) rows=$n " +
@@ -60,7 +63,7 @@ object OneQuery {
     }
     if (sys.env.contains("ONEQUERY_METRICS")) {
       val df = fn(spark, sfDir)
-      df.count()
+      df.queryExecution.toRdd.count() // full consumption, same as the timing loop
       def walk(p: org.apache.spark.sql.execution.SparkPlan, d: Int): Unit = {
         val m = p.metrics.map { case (k, v) => s"$k=${v.value}" }.mkString(" ")
         println(s"[metrics] ${"  " * d}${p.nodeName} $m")
@@ -78,12 +81,12 @@ object OneQuery {
     if (sys.env.contains("ONEQUERY_CODEGEN")) {
       import org.apache.spark.sql.execution.debug._
       val df = fn(spark, sfDir)
-      df.count() // finalize AQE stages so codegen subtrees exist
+      df.queryExecution.toRdd.count() // finalize AQE stages so codegen subtrees exist
       df.debugCodegen()
     }
     if (sys.env.contains("ONEQUERY_EXPLAIN")) {
       val df = fn(spark, sfDir)
-      df.count()
+      df.queryExecution.toRdd.count()
       println("[onequery-plan-begin]")
       println(df.queryExecution.executedPlan.toString)
       println("[onequery-plan-end]")
