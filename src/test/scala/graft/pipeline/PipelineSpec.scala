@@ -532,6 +532,22 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.contains((0L, 3L)))
   }
 
+  test("edit-distance pairs are identical on 1-partition and 8-partition input") {
+    // the widenScan spread of the CPU-bound DP verify must never change
+    // RESULTS — only which tasks run them
+    val s = spark
+    import s.implicits._
+    val d = (0L until 40L).map(i =>
+      (i, "abcdefghij" + ("x" * (i % 4).toInt), "en")).toDF("doc_id", "text", "lang")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.editDistancePairs(df, maxDist = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val one = run(d.coalesce(1))
+    val eight = run(d.repartition(8))
+    assert(one.nonEmpty)
+    assert(one === eight)
+  }
+
   test("empty-token docs never simhash-pair (all would share simhash 0)") {
     val s = spark
     import s.implicits._
