@@ -495,7 +495,10 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     queries.withColumn("qvec",
       when(col("qvec").isNull, raise_error(concat(
         lit("Query dimension mismatch: null query vector qid="),
-        col("qid").cast("string"))))
+        // coalesce: a row with BOTH qid and qvec null would null-propagate
+        // the concat and raise with a NULL message — the contextless error
+        // this branch exists to prevent
+        coalesce(col("qid").cast("string"), lit("null")))))
         .when(size(col("qvec")) === dim, col("qvec"))
         .otherwise(raise_error(concat(
           lit("Query dimension mismatch: expected "), lit(dim).cast("string"),

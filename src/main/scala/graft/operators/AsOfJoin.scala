@@ -94,7 +94,10 @@ object AsOfJoin {
     // partition where they would match each other — drop null-key right
     // rows too (null-key LEFT rows then share a partition with no right
     // rows and correctly come back with null payload).
-    val rightKeysLive = keys.map(col(_).isNotNull).reduce(_ && _)
+    // foldLeft over lit(true), not reduce: an empty key list (global
+    // as-of join over one timeline) is valid — Window.partitionBy() with
+    // no columns is the global window — and reduce would throw on it
+    val rightKeysLive = keys.map(col(_).isNotNull).foldLeft(lit(true))(_ && _)
     val rightRows = right.filter(col(rightTs).isNotNull && rightKeysLive).select(
       keys.map(col) ++
         Seq(col(rightTs).as(ts), lit(0).as(tag)) ++

@@ -78,22 +78,45 @@ object ZOrder {
    * prune on a constant column).
    */
   def cluster(df: DataFrame, x: Column, y: Column, partitions: Int,
-      bits: Int = 16): DataFrame = {
+      bits: Int = 16, bounds: Option[(Long, Long, Long, Long)] = None): DataFrame = {
     require(!df.columns.contains("_z"),
       "input already has a '_z' column (reserved working name)")
-    import org.apache.spark.sql.functions.{floor, least, lit, max, min}
-    val Array(b) = df.agg(
-      min(x.cast("long")).as("x0"), max(x.cast("long")).as("x1"),
-      min(y.cast("long")).as("y0"), max(y.cast("long")).as("y1")).collect()
+    import org.apache.spark.sql.functions.{floor, least, lit, max, min, when}
+    // Caller-supplied bounds skip the bounds scan entirely — a layout job
+    // over 100 TB usually KNOWS its domain (epoch ranges, id ranges), and
+    // the fallback aggregate is a full extra pass over the input, eagerly
+    // at compose time.
+    val (x0, x1, y0, y1) = bounds.getOrElse {
+      val Array(b) = df.agg(
+        min(x.cast("long")).as("x0"), max(x.cast("long")).as("x1"),
+        min(y.cast("long")).as("y0"), max(y.cast("long")).as("y1")).collect()
+      // empty input (or all-null coordinates): nothing to cluster — the
+      // min/max row is all null and any bucketing would be arbitrary
+      if (b.isNullAt(0) || b.isNullAt(2)) return df
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    }
     val top = (1L << bits) - 1
-    def norm(c: Column, lo: Long, hi: Long): Column =
-      if (hi == lo) lit(0L)
-      else least(lit(top), floor(
-        (c.cast("long") - lit(lo)).cast("double") / (hi - lo).toDouble * top))
-        .cast("long")
+    def norm(c: Column, lo: Long, hi: Long): Column = {
+      val cl = c.cast("long")
+      // span arithmetic in BigDecimal/decimal(38,0): a domain containing
+      // both a Long.MinValue sentinel and large positive values wraps a
+      // long subtraction (the same wrap class RangeJoin.band's decimal
+      // check guards), silently destroying the clustering
+      val span = (BigDecimal(hi) - BigDecimal(lo)).toDouble
+      val bucket =
+        if (hi == lo) lit(0L)
+        else least(lit(top), floor(
+          (cl.cast("decimal(38,0)") - lit(lo).cast("decimal(38,0)"))
+            .cast("double") / span * top))
+          .cast("long")
+      // null coordinates keep a null bucket (-> null _z, ranged together
+      // at the null end); least() would otherwise SKIP the null operand
+      // and drop such rows into the hottest max-corner tile, inflating
+      // that tile's bounding box
+      when(cl.isNotNull, bucket)
+    }
     val keyed = df.withColumn("_z", zvalue(
-      norm(x, b.getLong(0), b.getLong(1)),
-      norm(y, b.getLong(2), b.getLong(3)), bits))
+      norm(x, x0, x1), norm(y, y0, y1), bits))
     keyed
       .repartitionByRange(partitions, keyed.col("_z"))
       .sortWithinPartitions("_z")

@@ -78,20 +78,49 @@ class EpochManager(basePath: String) {
       persistState()
       deleteRecursively(epochPath(id))
     }
-    // orphan sweep: epoch_* directories no state references (a crash
+    // Orphan sweep: epoch_* directories no state references (a crash
     // landed between persistState() and the delete above on a previous
-    // run). Both mutation paths hold this instance's lock, so a dir
-    // absent from the map here is never a create in flight.
-    val known = epochs.keySet ++ protectedIds + activeId
-    val orphans = Option(new java.io.File(basePath).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("epoch_") &&
-        !known.contains(f.getName))
-      .map(_.getName).toSeq.sorted
+    // run). The in-memory map alone is NOT a safe reference — another
+    // manager on the same base path (serving driver + maintenance job)
+    // registers epochs this instance never loads, and a lost/partial
+    // epochs.json would make EVERY live epoch look orphaned. So:
+    //  - re-read the persisted state from disk and union it in; if the
+    //    state file is missing or unreadable, skip the sweep entirely
+    //    (fail safe — orphans are only disk waste);
+    //  - age-gate: never delete a directory younger than the grace
+    //    window, because createEpoch creates the dir BEFORE persisting
+    //    state, so a concurrent build's fresh dir is briefly unreferenced.
+    val diskKnown = diskStateIds()
+    val orphans = diskKnown match {
+      case None => Seq.empty // no readable state file -> nothing is provably orphaned
+      case Some(persisted) =>
+        val known = epochs.keySet ++ persisted ++ protectedIds + activeId
+        val cutoff = System.currentTimeMillis() - EpochManager.OrphanGraceMs
+        Option(new java.io.File(basePath).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isDirectory && f.getName.startsWith("epoch_") &&
+            !known.contains(f.getName) && f.lastModified() < cutoff)
+          .map(_.getName).toSeq.sorted
+    }
     orphans.foreach(id => deleteRecursively(epochPath(id)))
     if (doomed.isEmpty) persistState()
     doomed ++ orphans
   }
+
+  /** Epoch ids the on-disk state file references, or None if the file is
+    * missing/unreadable (in which case nothing can be declared orphaned). */
+  private def diskStateIds(): Option[Set[String]] =
+    try {
+      val p = Paths.get(statePath)
+      if (!Files.exists(p)) None
+      else JsonMethods.parse(Files.readString(p)) \ "epochs" match {
+        case JArray(items) => Some(items.collect {
+          case e if (e \ "id").isInstanceOf[JString] =>
+            (e \ "id").asInstanceOf[JString].s
+        }.toSet)
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   private def deleteRecursively(path: String): Unit = {
     val p = Paths.get(path)
@@ -134,4 +163,11 @@ class EpochManager(basePath: String) {
       }
     }
   }
+}
+
+object EpochManager {
+  /** Orphan directories younger than this are left alone: createEpoch
+    * creates the directory before persisting state, so a concurrent
+    * manager's fresh epoch is briefly unreferenced on disk. */
+  val OrphanGraceMs: Long = 60L * 60 * 1000
 }

@@ -112,4 +112,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.getDouble(out.fieldIndex("m_v")) === 2.0,
       "null-tie-break row beat the documented max-tie-break winner")
   }
+
+  test("empty key list = global as-of join over one timeline") {
+    // Window.partitionBy() with no columns is the global window; the
+    // null-key right filter must fold over lit(true), not reduce (which
+    // throws on Nil)
+    val s = spark
+    import s.implicits._
+    val l = Seq((10L, "a"), (20L, "b")).toDF("ts", "tag")
+    val r = Seq((5L, 1.0), (15L, 2.0)).toDF("ts", "v")
+    val out = AsOfJoin.backward(l, r, Seq.empty, "ts", "ts",
+      rightPayload = Map("v" -> "m_v"))
+      .collect().map(x => (x.getAs[Long]("ts"), x.getAs[Double]("m_v"))).toMap
+    assert(out(10L) === 1.0)
+    assert(out(20L) === 2.0)
+  }
 }

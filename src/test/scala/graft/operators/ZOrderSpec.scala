@@ -84,4 +84,47 @@ class ZOrderSpec extends SparkSpec {
     val boxZ = hit(xQ, yQ)
     assert(boxZ <= parts / 2, s"wide-domain clustering pruned nothing: $boxZ of $parts")
   }
+
+  test("empty input and null coordinates survive cluster()") {
+    val s = spark
+    import s.implicits._
+    // empty: the bounds row is all null — must return the frame, not NPE
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    assert(ZOrder.cluster(empty, col("x"), col("y"), 4).count() === 0)
+    // null coords: least() skips null operands, so without the guard such
+    // rows land in the hottest max-corner tile; they must keep a null _z
+    // (ranged together) and above all SURVIVE with exact multiplicity
+    val rows = Seq((1L, 1L), (100L, 100L)).toDF("x", "y")
+      .unionByName(Seq((Option.empty[Long], Option(5L)),
+        (Option(5L), Option.empty[Long])).toDF("x", "y"))
+    val out = ZOrder.cluster(rows, col("x"), col("y"), 2)
+    assert(out.count() === 4)
+    assert(out.filter(col("x").isNull || col("y").isNull).count() === 2)
+  }
+
+  test("caller-supplied bounds skip the bounds scan and still cluster") {
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 1000L).map(i => (i, (i * 37) % 1000)).toDF("x", "y")
+    val withBounds = ZOrder.cluster(rows, col("x"), col("y"), 4,
+      bits = 10, bounds = Some((0L, 999L, 0L, 999L)))
+    val scanned = ZOrder.cluster(rows, col("x"), col("y"), 4, bits = 10)
+    def keyOrder(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("pid", spark_partition_id())
+        .groupBy("pid").count().orderBy("pid").collect().map(_.getLong(1)).toSeq
+    assert(withBounds.count() === 1000)
+    // identical bounds -> identical partition layout
+    assert(keyOrder(withBounds) === keyOrder(scanned))
+  }
+
+  test("a domain spanning more than Long.MaxValue still buckets sanely (no long wrap)") {
+    val s = spark
+    import s.implicits._
+    // Long.MinValue sentinel + large positive ids: hi - lo wraps in long
+    // arithmetic; the decimal span must keep buckets within [0, top]
+    val rows = Seq((Long.MinValue, 0L), (0L, 0L), (Long.MaxValue, 0L))
+      .toDF("x", "y")
+    val out = ZOrder.cluster(rows, col("x"), col("y"), 2, bits = 8)
+    assert(out.count() === 3) // no crash, nothing dropped
+  }
 }

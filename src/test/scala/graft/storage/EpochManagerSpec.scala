@@ -58,11 +58,42 @@ class EpochManagerSpec extends AnyFunSuite {
     val orphan = s"$base/epoch_0000000000000_9999"
     Files.createDirectories(java.nio.file.Paths.get(orphan))
     Files.writeString(java.nio.file.Paths.get(s"$orphan/shard.parquet"), "x")
+    // a FRESH unreferenced dir is inside the orphan grace window (it could
+    // be a concurrent build between mkdir and persistState) — protected
+    val kept = em.cleanupOldEpochs(keepN = 3)
+    assert(!kept.contains("epoch_0000000000000_9999"))
+    assert(Files.exists(java.nio.file.Paths.get(orphan)),
+      "fresh unreferenced dir must survive the grace window")
+    // age it past the grace window -> swept
+    val old = System.currentTimeMillis() - EpochManager.OrphanGraceMs - 1000
+    java.nio.file.Paths.get(orphan).toFile.setLastModified(old)
     val deleted = em.cleanupOldEpochs(keepN = 3)
     assert(deleted.contains("epoch_0000000000000_9999"))
     assert(!Files.exists(java.nio.file.Paths.get(orphan)), "orphan dir must be swept")
     assert(em.contains(live) &&
       Files.exists(java.nio.file.Paths.get(em.epochPath(live))))
+  }
+
+  test("orphan sweep never deletes epochs another manager registered, and skips without a state file") {
+    val base = tmpDir()
+    val a = new EpochManager(base)
+    val b = new EpochManager(base) // loaded state BEFORE a's next epoch
+    val fromA = a.createEpoch()
+    // age the dir past the grace window: b still must not delete it,
+    // because the DISK state file references it even though b's memory
+    // doesn't
+    val old = System.currentTimeMillis() - EpochManager.OrphanGraceMs - 1000
+    java.nio.file.Paths.get(a.epochPath(fromA)).toFile.setLastModified(old)
+    val swept = b.cleanupOldEpochs(keepN = 3)
+    assert(!swept.contains(fromA))
+    assert(Files.exists(java.nio.file.Paths.get(a.epochPath(fromA))),
+      "a concurrently-registered epoch must never be swept as an orphan")
+    // lost state file: nothing is provably orphaned -> sweep is a no-op
+    Files.delete(java.nio.file.Paths.get(a.statePath))
+    val sweptNoState = b.cleanupOldEpochs(keepN = 3)
+    assert(sweptNoState.isEmpty)
+    assert(Files.exists(java.nio.file.Paths.get(a.epochPath(fromA))),
+      "with no readable state file every dir must survive")
   }
 
   test("deactivate clears the active pointer") {
