@@ -59,7 +59,7 @@ object ScaleStress {
     // the reference's OWN serving shape: coalesced batches of 64 queries
     // (server/query_service.h:25-27, vendor p99 12 ms on V100) — measure
     // the per-micro-batch latency floor of the static path at batch=64
-    val batch64 = small.limit(64).collect().map(graft.index.IvfFlatIndex.decodeQueryRow)
+    val batch64 = small.limit(64).collect().map(graft.index.IvfFlatIndex.decodeQueryRow(_))
     def servingFloor(idx: graft.index.IvfFlatIndex, label: String, runs: Int = 60): Double = {
       val lat = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

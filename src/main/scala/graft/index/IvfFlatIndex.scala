@@ -91,7 +91,7 @@ class IvfFlatIndex(
     // ForceStatic must snapshot the WHOLE batch — the limit-probe would
     // silently truncate a batch above the threshold
     if (strategy == IvfFlatIndex.ForceStatic)
-      searchBatch(qdf.collect().map(IvfFlatIndex.decodeQueryRow), params, predicate)
+      searchBatch(qdf.collect().map(IvfFlatIndex.decodeQueryRow(_)), params, predicate)
     else IvfFlatIndex.snapshotQueries(qdf).batch match {
       case Some(batch) => searchBatch(batch, params, predicate)
       case None => searchJoinPruned(corpus, qdf, params.k, nprobe, m)
@@ -434,9 +434,10 @@ object IvfFlatIndex {
   }
 
   /** (qid, qvec) row decode shared by every snapshot site; a missing qvec
-    * stays null so callers choose their own error contract. */
-  def decodeQueryRow(r: org.apache.spark.sql.Row): (Long, Array[Float]) =
-    (r.getLong(0), Option(r.getSeq[Float](1)).map(_.toArray).orNull)
+    * stays null so callers choose their own error contract. `offset`
+    * skips leading columns (e.g. the multi-index stream's index name). */
+  def decodeQueryRow(r: org.apache.spark.sql.Row, offset: Int = 0): (Long, Array[Float]) =
+    (r.getLong(offset), Option(r.getSeq[Float](offset + 1)).map(_.toArray).orNull)
 
   /** Result of [[snapshotQueries]]: the decoded prefix sample (validation
     * material either way), and whether it IS the whole query set. */
@@ -478,7 +479,7 @@ object IvfFlatIndex {
     val sample =
       if (local) sel.limit(MaxStaticBatch + 1).collect()
       else sel.rdd.take(MaxStaticBatch + 1)
-    QuerySnapshot(sample.map(decodeQueryRow), sample.length <= MaxStaticBatch)
+    QuerySnapshot(sample.map(decodeQueryRow(_)), sample.length <= MaxStaticBatch)
   }
 
   /** Driver-side probe of a bounded query batch: chunk-parallel, ordered

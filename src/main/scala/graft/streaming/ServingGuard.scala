@@ -36,9 +36,21 @@ final class TokenBucket(
     if (tokens >= n) { tokens -= n; true } else false
   }
 
-  /** Live rate adjustment (query_service.cpp:663-666). */
+  /** Live rate adjustment (query_service.cpp:663-666). Credits elapsed
+    * time at the OLD rate first: without the refill, idle nanoseconds
+    * accrued under a slow rate would be converted at the new period on
+    * the next acquire — raising the limit after an idle stretch would
+    * instantly mint a full burst the old rate never earned (and lowering
+    * it would forfeit legitimately earned tokens). */
   def updateRate(rps: Long): Unit = synchronized {
     require(rps > 0, s"rate must be positive: $rps")
+    refill()
+    // reset the anchor even when refill() credited nothing (sub-period
+    // elapse): the residual nanoseconds were earned at the old rate and
+    // must not convert at the new period — dropping them matches the
+    // bucket's documented floor-drop semantics (at most one old-rate
+    // token forfeited)
+    lastRefillNs = nanoNow()
     refillPeriodNs = math.max(1L, 1000000000L / rps)
   }
 
@@ -210,9 +222,14 @@ class ServingGuard(
       m.synchronized {
         m.successCount = (m.successCount * 0.95).toLong
         m.errorCount = (m.errorCount * 0.95).toLong
-        if (m.circuitOpen && now() - m.lastFailureMs > breakerTimeoutMs * 2) {
+        // never auto-close while a recovery probe is in flight: the
+        // probe's own completion decides the outcome, and closing here
+        // would admit full traffic against a still-unproven backend AND
+        // let a second concurrent "probe" start — the flood-on-recovery
+        // the true-half-open design exists to prevent
+        if (m.circuitOpen && !m.probing &&
+          now() - m.lastFailureMs > breakerTimeoutMs * 2) {
           m.circuitOpen = false
-          m.probing = false
           m.errorCount = 0
           m.successCount = 1 // reference: "Give it a chance"
         }

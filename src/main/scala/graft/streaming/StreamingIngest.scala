@@ -39,15 +39,8 @@ object StreamingIngest {
       events: DataFrame,
       windowLength: String = "1 hour",
       watermarkDelay: String = "10 minutes"): DataFrame =
-    events
-      .withWatermark("ts", watermarkDelay)
-      .groupBy(window(col("ts"), windowLength), col("event_type"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        sum(col("value")).as("sum_value"))
-      .select(
-        col("window.start").as("window_start"),
-        col("event_type"), col("n_events"), col("sum_value"))
+    // tumbling = sliding with slide == length; one rollup body to maintain
+    slidingCounts(events, windowLength, windowLength, watermarkDelay)
 
   /**
    * Sliding (hopping) window rollup — the streaming mirror of the batch
@@ -133,7 +126,12 @@ object StreamingIngest {
       // silently admit every duplicate
       .withColumn("sig",
         text.minhash_signature(col("shingles"), numHashes, family = family))
-      .select(col("doc_id"), col("ts"), col("shingles"),
+      // content discriminator for the candidate dedup below: hash of the
+      // separator-joined shingle list, so two arrivals only collapse when
+      // their CONTENT is identical, not merely their doc_id
+      .withColumn("content_key",
+        xxhash64(concat_ws("\u0001", col("shingles"))))
+      .select(col("doc_id"), col("ts"), col("shingles"), col("content_key"),
         posexplode(text.lsh_bands(col("sig"), numHashes, bands))
           .as(Seq("pos", "band")))
     banded
@@ -141,8 +139,12 @@ object StreamingIngest {
         Seq("pos", "band"))
       // collapse multi-band hits BEFORE the shingle join + Jaccard (the
       // batch twin's "candidates distinct first" rule): a doc colliding
-      // in all `bands` bands must pay ONE verification, not `bands`
-      .dropDuplicatesWithinWatermark("doc_id", "corpus_id")
+      // in all `bands` bands must pay ONE verification, not `bands`.
+      // content_key is part of the dedup key: without it, a re-crawled
+      // doc_id whose EDITED text now clears the threshold would be
+      // silently suppressed for the whole watermark horizon because its
+      // earlier below-threshold version already recorded (doc, corpus)
+      .dropDuplicatesWithinWatermark("doc_id", "content_key", "corpus_id")
       .join(corpusShingles.select(col("id").as("corpus_id"),
         col("shingles").as("c_sh")), Seq("corpus_id"))
       .withColumn("jaccard",
@@ -209,9 +211,17 @@ object StreamingIngest {
         col("n_events"), col("total_value"))
 
   /**
-   * Stateful sessionization via mapGroupsWithState: one state entry per
-   * user, closed by a processing-time timeout — the
+   * Stateful sessionization via flatMapGroupsWithState: one state entry
+   * per user, closed by a processing-time timeout — the
    * KeyValueGroupedDataset custom-state path (SURVEY §2.8 streaming row).
+   *
+   * UPDATE-mode semantics: every emission is the user's current RUNNING
+   * session (the last emission before the timeout IS the final session);
+   * the timeout closes state silently instead of re-emitting a row
+   * byte-identical to the last update — a consumer counting emitted rows
+   * must dedup on user/start anyway under update semantics, and the
+   * duplicate final row would double-count even a last-write-wins sink.
+   * For one-row-per-CLOSED-session semantics use [[sessionWindows]].
    */
   def sessionize(
       events: Dataset[Event],
@@ -225,12 +235,13 @@ object StreamingIngest {
       else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[Session, Session](conf) {
+      .flatMapGroupsWithState[Session, Session](OutputMode.Update(), conf) {
         (userId: Long, rows: Iterator[Event], state: GroupState[Session]) =>
           if (state.hasTimedOut) {
-            val out = state.get
+            // the final session was already emitted by its last update —
+            // emitting it again here would duplicate it in the sink
             state.remove()
-            out
+            Iterator.empty
           } else {
             val evs = rows.toSeq
             val prev = state.getOption
@@ -248,7 +259,7 @@ object StreamingIngest {
                 .maxBy(_.getTime))
             state.update(merged)
             if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
-            merged
+            Iterator.single(merged)
           }
       }
   }
@@ -266,16 +277,24 @@ object StreamingIngest {
    * the watermark, so state is bounded by the horizon's key cardinality
    * — the property that lets it run forever on a 100 TB/day feed, where
    * an unbounded `dropDuplicates` would accumulate every key ever seen.
-   * Dedup on a content hash, not the raw text, so the state store holds
-   * 8-byte keys instead of documents.
+   * Dedup on TWO independent 64-bit content hashes plus the text length,
+   * not the raw text: the state store holds ~24-byte keys instead of
+   * documents, and the combined ~128-bit key space keeps the birthday
+   * bound far past any watermark-horizon cardinality — a bare 64-bit key
+   * at ~1e9 keys/horizon makes a silent distinct-document drop a
+   * when-not-if (NOTE: hash dedup is therefore near-exact, not the
+   * byte-exact semantics of the batch `Dedup.exact`, which groups by
+   * full text).
    */
   def dedupStream(
       docs: DataFrame, // needs an event-time `ts` and a `text` column
       watermarkDelay: String = "10 minutes"): DataFrame =
     docs
       .withColumn("content_key", xxhash64(col("text")))
+      .withColumn("content_key2", xxhash64(lit(0x9e3779b9L), col("text")))
+      .withColumn("content_len", length(col("text")))
       .withWatermark("ts", watermarkDelay)
-      .dropDuplicatesWithinWatermark("content_key")
+      .dropDuplicatesWithinWatermark("content_key", "content_key2", "content_len")
 
   def ingestToStaging(
       events: DataFrame,

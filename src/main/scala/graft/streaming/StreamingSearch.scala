@@ -114,8 +114,15 @@ object StreamingSearch {
       maintenanceEvery: Int = 0)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val served = new java.util.concurrent.atomic.AtomicLong(0)
+    // warm counting lives HERE, not in serve(): serve counts a batch as
+    // served the moment the sink callback returns, but this wrapper
+    // swallows guard rejections and handler failures to keep the loop
+    // alive — counting those would fire warm() (real materialization
+    // work) during exactly the failure/overload episodes the guard is
+    // shedding, on the same foreachBatch thread
     serve(index, queryStream, params, checkpointPath, triggerMs,
-      warmupEvery, warm,
+      warmupEvery = 0, warm = () => (),
       admit = { batchId =>
         if (maintenanceEvery > 0 &&
           batches.incrementAndGet() % maintenanceEvery == 0) guard.maintenanceTick()
@@ -125,8 +132,11 @@ object StreamingSearch {
       }) { (res, batchId) =>
       // NonFatal: an OOM/LinkageError must kill the loop, not be recorded
       // as an ordinary service error while the JVM limps on
-      try guard.guarded("search")(sink(res, batchId))
-      catch { case scala.util.control.NonFatal(e) => onReject(batchId, e) }
+      val ok =
+        try { guard.guarded("search")(sink(res, batchId)); true }
+        catch { case scala.util.control.NonFatal(e) => onReject(batchId, e); false }
+      if (ok && warmupEvery > 0 &&
+        served.incrementAndGet() % warmupEvery == 0) warm()
     }
   }
 
@@ -163,21 +173,29 @@ object StreamingSearch {
         val sample = named.rdd.take(IvfFlatIndex.MaxStaticBatch + 1)
         if (sample.length > IvfFlatIndex.MaxStaticBatch) {
           // flood: stay distributed, one join-pruned pass per index that
-          // actually has queued rows (cheap driver distinct on the names)
-          val present = named.select("index").distinct().collect().map(_.getString(0))
-          present.foreach { name =>
-            val (idx, params) = indices.getOrElse(name,
-              throw new IllegalArgumentException(s"unregistered index in stream: $name"))
-            sink(name,
-              idx.searchWhere(named.filter(col("index") === name).select("qid", "qvec"),
-                params, None, IvfFlatIndex.ForceJoin), batchId)
-          }
+          // actually has queued rows (cheap driver distinct on the names).
+          // Pin the batch first: the distinct plus one filter per present
+          // index would otherwise re-evaluate the streaming source 1 + K
+          // times — on exactly the biggest batches
+          val pinned = named.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val present = pinned.select("index").distinct().collect().map(_.getString(0))
+            present.foreach { name =>
+              val (idx, params) = indices.getOrElse(name,
+                throw new IllegalArgumentException(s"unregistered index in stream: $name"))
+              sink(name,
+                idx.searchWhere(pinned.filter(col("index") === name).select("qid", "qvec"),
+                  params, None, IvfFlatIndex.ForceJoin), batchId)
+            }
+          } finally pinned.unpersist(false)
         } else if (sample.nonEmpty) {
           sample.groupBy(_.getString(0)).foreach { case (name, rows) =>
             val (idx, params) = indices.getOrElse(name,
               throw new IllegalArgumentException(s"unregistered index in stream: $name"))
-            val b = rows.map(r =>
-              (r.getLong(1), Option(r.getSeq[Float](2)).map(_.toArray).orNull))
+            // shared decode contract (null qvec stays null), offset past
+            // the leading index-name column
+            val b = rows.map(IvfFlatIndex.decodeQueryRow(_, offset = 1))
             val (res, release) = idx.searchBatchManaged(b, params)
             try sink(name, res, batchId) finally release()
           }

@@ -219,6 +219,50 @@ class ServingGuardSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](b.updateRate(0L))
   }
 
+  test("token bucket: updateRate never converts old-rate elapsed time at the new period") {
+    var ns = 0L
+    val b = new TokenBucket(requestsPerSecond = 1L, burstSize = 100L, nanoNow = () => ns)
+    (1 to 100).foreach(_ => assert(b.tryAcquire()))
+    assert(!b.tryAcquire())
+    ns += 500000000L // 0.5 s at 1 rps: zero tokens earned (sub-period)
+    b.updateRate(10000L)
+    // old behavior: 0.5 s / 100 us = 5000 "tokens" -> instant full burst
+    // the slow rate never earned; the refill+anchor reset forfeits the
+    // residual instead (documented floor-drop semantics)
+    assert(b.available === 0L, "old-rate residual minted tokens at the new rate")
+    ns += 1000000L // 1 ms at the NEW rate -> 10 tokens
+    assert(b.available === 10L)
+    // and time credited BEFORE the switch stays credited at the old rate
+    var ns2 = 0L
+    val b2 = new TokenBucket(requestsPerSecond = 1L, burstSize = 100L, nanoNow = () => ns2)
+    (1 to 100).foreach(_ => assert(b2.tryAcquire()))
+    ns2 += 5000000000L // 5 s at 1 rps = 5 earned tokens
+    b2.updateRate(10000L)
+    assert(b2.available === 5L, "legitimately earned old-rate tokens were forfeited")
+  }
+
+  test("maintenanceTick never auto-closes while a recovery probe is in flight") {
+    var t = 0L
+    val g = new ServingGuard(now = () => t)
+    intercept[RuntimeException](g.guarded("s")(throw new RuntimeException("b")))
+    assert(g.isCircuitOpen("s"))
+    t += 31000L // past the cool-down: next admit becomes the probe
+    g.guarded("s") {
+      // probe in flight; an overdue maintenance tick must NOT close the
+      // circuit under it (that would admit full traffic against the
+      // still-unproven backend and allow a second concurrent probe)
+      t += 40000L // now > 2x breakerTimeout since the failure
+      g.maintenanceTick()
+      // the circuit must still be in probing state: a concurrent arrival
+      // is rejected, not admitted as if the auto-close had fired
+      intercept[g.RejectedException](g.guarded("s")(42))
+      "probe-ok"
+    }
+    // the probe's own success closed the circuit
+    assert(!g.isCircuitOpen("s"))
+    assert(g.guarded("s")(7) === 7)
+  }
+
   test("guarded sheds over-rps load as rejection without tripping the breaker") {
     var ns = 0L
     val bucket = new TokenBucket(requestsPerSecond = 1000L, burstSize = 3L, nanoNow = () => ns)

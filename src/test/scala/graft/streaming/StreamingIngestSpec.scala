@@ -122,6 +122,45 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup screen: an edited re-crawl of the same doc_id is re-verified, not suppressed") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank"))
+      .toDF("doc_id", "text")
+    val index = graft.pipeline.Dedup.buildCorpusIndex(corpus)
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingIngest
+      .nearDupScreen(mem.toDF().toDF("doc_id", "ts", "text"), index,
+        threshold = 0.95, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("neardup_recrawl")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // v1: a superset of the corpus text — band-collides (all corpus
+      // shingles present, so with the fixed seed several bands agree)
+      // but jaccard ~0.65 fails the 0.95 threshold, recording the
+      // (doc, corpus) candidate in the dedup state
+      mem.addData((1L, ts(0),
+        "the quick brown fox jumps over the lazy dog near the river bank " +
+          "and then some extra trailing words appended here"))
+      q.processAllAvailable()
+      assert(spark.table("neardup_recrawl").count() === 0,
+        "v1 must fail verification for this test to mean anything")
+      // v2, same doc_id INSIDE the watermark: the edited text is now an
+      // exact corpus match — the (doc, corpus) dedup must not have
+      // poisoned it (content_key distinguishes the arrivals)
+      mem.addData((1L, ts(1),
+        "the quick brown fox jumps over the lazy dog near the river bank"))
+      q.processAllAvailable()
+      val rows = spark.table("neardup_recrawl")
+        .select("doc_id", "corpus_id", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.exists(t => t._1 == 1L && t._2 == 100L && t._3 === 1.0),
+        s"edited re-crawl was suppressed by the candidate dedup: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join pairs purchases with lookback clicks only") {
     val s = spark
     import s.implicits._
