@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, graftshims}
 import org.apache.spark.sql.functions._
 
 import org.json4s.{JInt, JLong, JString}
@@ -51,6 +51,13 @@ object Dedup {
     }
     df
   }
+
+  /** True set Jaccard of two string-array columns — the single verify
+    * expression every LSH candidate path thresholds on (incremental,
+    * minhashLsh, ngramJaccardExact share it so a future change cannot
+    * silently diverge between them). */
+  private def setJaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
   /** Per-side row cap for one bucket-join task: a bucket above this size is
     * split into salted sub-buckets, so per-task candidate fan-out is at
@@ -201,12 +208,6 @@ object Dedup {
   }
 
   /**
-   * MinHash + LSH near-duplicate pairs: shingle -> minhash signature ->
-   * band keys -> equi-join on (band, key) for candidates -> verify with
-   * true n-gram Jaccard -> threshold. One shuffle on the band key; the
-   * signature pass is a single map.
-   */
-  /**
    * TRUE connected components over a near-duplicate pair graph: every doc
    * gets `cluster_id` = the minimum doc id reachable through any chain of
    * pairs, plus the cluster size. This is the exact upgrade over
@@ -241,8 +242,9 @@ object Dedup {
     val allIds = docIds
       .unionAll(esym.select(col("src").as("id")))
       .distinct()
-    var labels = allIds.select(col("id"), col("id").as("lbl"))
+    var checkpointed = allIds.select(col("id"), col("id").as("lbl"))
       .localCheckpoint(true)
+    var labels = checkpointed
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
@@ -256,6 +258,12 @@ object Dedup {
           (col("nbr_lbl") < col("lbl")).as("moved"))
         .localCheckpoint(true)
       changed = next.filter(col("moved")).count()
+      // release the PREVIOUS round's checkpoint now that `next` is
+      // materialized — without this, a diameter-15 graph pins ~15 full
+      // label-table copies in executor storage until driver GC +
+      // ContextCleaner catch up, evicting the persisted edge list
+      graftshims.unpersistCheckpoint(checkpointed)
+      checkpointed = next
       labels = next.select("id", "lbl")
       it += 1
     }
@@ -475,7 +483,23 @@ object Dedup {
       index: CorpusIndex,
       idCol: String,
       textCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    incrementalManaged(batch, index, idCol, textCol, threshold)._1
+
+  /** [[incremental]] plus a release handle for the two batch-side caches
+    * this call registers (the shingle and band projections of the batch).
+    * The advertised shape is a continuous ingest loop — one call per
+    * crawl batch — and every batch is a structurally new plan, so without
+    * a release the cache registry (and its disk spill) grows by two
+    * entries per batch until driver GC. Call release() after the result
+    * is consumed; one-shot callers can use [[incremental]] and let the
+    * ContextCleaner reclaim the caches. */
+  def incrementalManaged(
+      batch: DataFrame,
+      index: CorpusIndex,
+      idCol: String,
+      textCol: String,
+      threshold: Double): (DataFrame, () => Unit) = {
     val exact = batch.select(col(idCol), col(textCol))
       .join(index.exactText, Seq(textCol), "left")
       .select(col(idCol), col("exact_dup_of"))
@@ -489,18 +513,23 @@ object Dedup {
     val near = cands
       .join(bToks.select(col("id"), col("shingles").as("a_sh")), "id")
       .join(cToks.select(col("id").as("c_id"), col("shingles").as("b_sh")), "c_id")
-      .withColumn("jaccard",
-        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-          size(array_union(col("a_sh"), col("b_sh"))))
+      .withColumn("jaccard", setJaccard(col("a_sh"), col("b_sh")))
       .filter(col("jaccard") >= threshold)
       .groupBy("id").agg(min("c_id").as("near_dup_of"))
-    exact.join(near, exact(idCol) === near("id"), "left")
+    val out = exact.join(near, exact(idCol) === near("id"), "left")
       .select(exact(idCol),
         coalesce(col("exact_dup_of"), col("near_dup_of")).as("dup_of"),
         when(col("exact_dup_of").isNotNull, "exact")
           .when(col("near_dup_of").isNotNull, "near").as("match_kind"))
+    (out, () => { bToks.unpersist(false); bBands.unpersist(false) })
   }
 
+  /**
+   * MinHash + LSH near-duplicate pairs: shingle -> minhash signature ->
+   * band keys -> equi-join on (band, key) for candidates -> verify with
+   * true n-gram Jaccard -> threshold. One shuffle on the band key; the
+   * signature pass is a single map.
+   */
   def minhashLsh(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -522,9 +551,7 @@ object Dedup {
     cands
       .join(toks.select(col("id").as("a_id"), col("shingles").as("a_sh")), "a_id")
       .join(toks.select(col("id").as("b_id"), col("shingles").as("b_sh")), "b_id")
-      .withColumn("jaccard",
-        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-          size(array_union(col("a_sh"), col("b_sh"))))
+      .withColumn("jaccard", setJaccard(col("a_sh"), col("b_sh")))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }
@@ -623,9 +650,7 @@ object Dedup {
     val b = toks.select(col("id").as("b_id"), col("sh").as("b_sh"))
     a.crossJoin(b)
       .filter(pairUp(col("a_id"), col("b_id")))
-      .withColumn("jaccard",
-        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-          size(array_union(col("a_sh"), col("b_sh"))))
+      .withColumn("jaccard", setJaccard(col("a_sh"), col("b_sh")))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }

@@ -30,8 +30,13 @@ object EmbeddingOps {
     * referencing sq8Scale(vec) inside a transform() lambda would
     * re-evaluate the O(d) max-scan per ELEMENT (higher-order lambdas get
     * no subexpression hoisting), turning the quantizer O(d^2). */
-  def quantizeInt8(vec: Column): Column =
-    zip_with(vec, array_repeat(sq8Scale(vec), size(vec)),
+  def quantizeInt8(vec: Column): Column = quantizeInt8(vec, sq8Scale(vec))
+
+  /** [[quantizeInt8]] against a PRECOMPUTED scale column — for plans that
+    * already carry the scale (quantizeStats), so the O(d) max-scan isn't
+    * re-run inside the quantize expression. */
+  private[graft] def quantizeInt8(vec: Column, scale: Column): Column =
+    zip_with(vec, array_repeat(scale, size(vec)),
       (v, s) => floor(v.cast("double") * s).cast("long"))
 
   /** THE symmetric-quantizer scale, shared by every SQ8 producer
@@ -87,15 +92,22 @@ object EmbeddingOps {
    */
   def quantizeStats(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
     val x = col(vecCol)
-    // two-step select: materialize the codes array once, then aggregate
-    // it — three references to the quantize expression in one projection
-    // would re-run the whole O(d) quantization per output column
-    // (CollapseProject keeps the boundary for non-cheap repeated exprs)
+    // staged selects: the O(d) max-|x| scale scan runs ONCE (scale_m and
+    // the codes both read the `scale` column — inlining sq8Scale twice in
+    // one projection re-runs the scan per reference, Project has no
+    // intra-operator CSE for it), and the codes array materializes once
+    // before the three aggregates read it (CollapseProject keeps the
+    // boundary for non-cheap repeated exprs)
     emb.select(
       col("vec_id"),
       col("label"),
-      floor(sq8Scale(x) * 1e6).cast("long").as("scale_m"),
-      quantizeInt8(x).as("codes"))
+      x.as("v"),
+      sq8Scale(x).as("scale"))
+      .select(
+        col("vec_id"),
+        col("label"),
+        floor(col("scale") * 1e6).cast("long").as("scale_m"),
+        quantizeInt8(col("v"), col("scale")).as("codes"))
       .select(
         col("vec_id"),
         col("label"),

@@ -387,6 +387,9 @@ object Similarity {
       candK: Int,
       k: Int,
       metric: Metric.Value = Metric.L2): DataFrame = {
+    // swapped/misconfigured args would silently return candK < k rows per
+    // query — indistinguishable from a small corpus
+    require(candK >= k, s"candK ($candK) must be >= k ($k)")
     val cands = hammingSearch(queries, corpus, dim, candK).select("qid", "id")
     rerankExact(cands, queries, corpus, k, metric, candK)
   }
@@ -435,6 +438,9 @@ object Similarity {
       candK: Int,
       k: Int,
       metric: Metric.Value = Metric.L2): DataFrame = {
+    // same contract as hammingSearchRerank: a swapped pair silently
+    // shrinks every result set
+    require(candK >= k, s"candK ($candK) must be >= k ($k)")
     val scale = EmbeddingOps.sq8Scale(col("vec")) // shared: codes/oracle can't drift
     // The codes table is the SQ8 index artifact — one BINARY byte per dim
     // (the true 4x scan-byte reduction) + a double scale, built once and

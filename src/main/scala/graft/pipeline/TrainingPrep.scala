@@ -108,15 +108,14 @@ object TrainingPrep {
    * signal).
    *
    * Built around the structural asymmetry of the problem — benchmarks are
-   * KBs, corpora are TBs — so CORPUS SHINGLES NEVER SHUFFLE: eval shingles
-   * broadcast into a first corpus pass (candidates), the distinct matched
-   * shingles (bounded by the eval set's shingle count) broadcast into a
-   * second pass that counts each one's corpus df (the cap only needs df
-   * for shingles that matched), and the df-capped survivors broadcast into
-   * the final aggregation. The one shuffle in the plan is the per-doc
-   * count over the already-tiny contaminated candidate set, so a hot
-   * boilerplate shingle can never produce a skewed join task — it is
-   * counted by map-side-combined partial aggregation and then dropped.
+   * KBs, corpora are TBs — so CORPUS SHINGLES NEVER SHUFFLE, and no
+   * candidate triple materializes before the df cap: pass 1 broadcasts
+   * the distinct eval shingles into a pure corpus-df aggregate (map-side
+   * combine absorbs hot boilerplate keys; output is eval-bounded) and
+   * keeps only shingles with df <= maxDf; pass 2 broadcasts the rare
+   * eval shingle occurrences into the corpus scan, so triples exist only
+   * for rare shingles — bounded by maxDf x the eval set's shingle count.
+   * The one shuffle in the plan is the per-doc count over that tiny set.
    *
    * Returns one row per contaminated corpus doc: the number of distinct
    * eval docs hit and of distinct shared shingles.
@@ -134,21 +133,24 @@ object TrainingPrep {
           explode(array_distinct(
             text.word_ngrams(text.tokenize(col(textCol)), n))).as("shingle"))
     val corpus = shingles(corpusDocs, "doc_id")
-    // pass 1: candidate (corpus doc, eval doc, shingle) triples
-    val cand = Dedup.persistOnce(
-      corpus.join(broadcast(shingles(evalDocs, "eval_id")), "shingle"))
-    // per-doc shingles are distinct, so count(*) per shingle == document
-    // frequency; only matched shingles need a df at all
-    val matched = cand.select("shingle").distinct()
-    // pass 2: corpus df of the matched shingles (map-side combine handles
-    // hot boilerplate keys; the aggregate output is eval-bounded)
+    val evalSh = Dedup.persistOnce(shingles(evalDocs, "eval_id"))
+    // ORDER is the scale property: the df cap must be computed BEFORE any
+    // candidate triple materializes. A boilerplate shingle shared with the
+    // eval set ("one of the") has corpus-df in the millions — triples for
+    // it are (corpus-df x eval-df) rows, and materializing them first
+    // (even to drop them later) is the near-quadratic blowup the cap
+    // exists to prevent. Pass 1 is therefore a pure aggregate (map-side
+    // combine absorbs hot keys; output is eval-bounded), and only RARE
+    // shingles ever form triples.
     val rare = corpus
-      .join(broadcast(matched), "shingle")
+      .join(broadcast(evalSh.select("shingle").distinct()), "shingle")
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select("shingle")
-    cand
-      .join(broadcast(rare), "shingle")
+    // pass 2: triples restricted to rare shingles — bounded by
+    // maxDf x |eval shingle occurrences|, so the groupBy's input is tiny
+    corpus
+      .join(broadcast(evalSh.join(broadcast(rare), "shingle")), "shingle")
       .groupBy("doc_id")
       .agg(
         countDistinct(col("eval_id")).as("n_eval_docs"),
@@ -269,6 +271,18 @@ object TrainingPrep {
     val pinned = Dedup.persistOnce(docs)
     try {
       val n = pinned.count()
+      // empty corpus: the partitioned write emits only _SUCCESS, and the
+      // stats read-back below would die on "unable to infer schema" —
+      // export an empty-but-valid manifest instead of crashing the job
+      if (n == 0) {
+        val hPath = new org.apache.hadoop.fs.Path(s"$path/_shards.json")
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val out = fs.create(hPath, true)
+        try out.write("""{"num_shards":0,"total_rows":0,"shards":[]}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        return
+      }
       val perShard = math.max(1L, (n + numShards - 1) / numShards)
       val positioned = shuffleCorpus(pinned, idCol)
         .withColumn("shard", expr(s"(position - 1) div $perShard").cast("int"))
@@ -361,8 +375,16 @@ object TrainingPrep {
         col(stratumCol),
         col("n_docs"),
         col("n_tokens"),
-        (col("n_tokens").cast("double") / col("total_tokens")).as("token_share"),
-        (col("total_tokens").cast("double") / (col("n_strata") * col("n_tokens")))
-          .as("mix_weight"))
+        // denominator guards (the QualityFilters.ratio convention): a
+        // stratum whose docs tokenize to zero tokens (e.g. a zh/ja
+        // stratum under the [a-z0-9]+ tokenizer) must yield weight 0, not
+        // an Infinity that poisons every downstream sampling probability;
+        // an all-empty corpus likewise yields 0 shares, not 0/0 = NaN
+        when(col("total_tokens") > 0,
+          col("n_tokens").cast("double") / col("total_tokens"))
+          .otherwise(0.0).as("token_share"),
+        when(col("n_tokens") > 0,
+          col("total_tokens").cast("double") / (col("n_strata") * col("n_tokens")))
+          .otherwise(0.0).as("mix_weight"))
   }
 }

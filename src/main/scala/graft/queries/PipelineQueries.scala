@@ -668,8 +668,11 @@ object PipelineQueries {
         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |               count(*) AS n_strata FROM per)
         |SELECT lang, n_docs, n_tokens,
-        |  CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
-        |  CAST(total_tokens AS DOUBLE) / (n_strata * n_tokens) AS mix_weight
+        |  CASE WHEN total_tokens > 0
+        |       THEN CAST(n_tokens AS DOUBLE) / total_tokens ELSE 0.0 END AS token_share,
+        |  CASE WHEN n_tokens > 0
+        |       THEN CAST(total_tokens AS DOUBLE) / (n_strata * n_tokens)
+        |       ELSE 0.0 END AS mix_weight
         |FROM per, tot ORDER BY lang""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count, text

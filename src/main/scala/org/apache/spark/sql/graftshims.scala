@@ -19,4 +19,15 @@ object graftshims {
     * SparkListener-observed state (job counts etc.). */
   def drainListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** Unpersist the RDD behind a `localCheckpoint`ed Dataset. A checkpoint
+    * pins its materialized RDD in executor storage until the driver GCs
+    * the Dataset and the ContextCleaner catches up — an iterative
+    * algorithm (label propagation) checkpointing per round would pile up
+    * one full copy per round. No-op for non-checkpoint plans. */
+  def unpersistCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ =>
+    }
 }

@@ -53,6 +53,19 @@ class BinaryTextOpsSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("rerank entry points reject candK < k (a swapped pair silently shrinks results)") {
+    val corpus = randomVectors(20, 16, seed = 3)
+    val queries = corpus.take(2).map { case (id, v) => (id + 500, v) }
+    intercept[IllegalArgumentException] {
+      Similarity.hammingSearchRerank(queriesDF(queries.toIndexedSeq),
+        vectorsDF(corpus), dim = 16, candK = 4, k = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.sq8SearchRerank(queriesDF(queries.toIndexedSeq),
+        vectorsDF(corpus), candK = 4, k = 10)
+    }
+  }
+
   test("hammingSearchRerank with candK = |corpus| equals exact L2 knn") {
     val corpus = randomVectors(200, 64, seed = 13)
     val queries = corpus.take(5).map { case (id, v) => (id + 500, v) }

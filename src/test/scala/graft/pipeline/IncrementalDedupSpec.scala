@@ -44,6 +44,22 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(out(3) === ((3L, None, None))) // unshingleable -> novel
   }
 
+  test("incrementalManaged releases this call's batch-side caches and matches incremental") {
+    val index = Dedup.buildCorpusIndex(corpus)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (out, release) = Dedup.incrementalManaged(batch, index, "doc_id", "text", 0.5)
+    val rows = out.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), Option(r.getAs[Any]("dup_of"))))
+    assert(rows.length === 4)
+    assert(rows(0) === ((0L, Some(100L))))
+    release()
+    // the two batch-side caches (shingle + band projections) are gone;
+    // a continuous ingest loop must not grow the registry per batch
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"batch-side caches survived release(): ${after -- before}")
+  }
+
   test("identical-text pairs always survive LSH banding (jaccard = 1)") {
     // identical shingle sets give identical signatures, so every band
     // matches — the exact twin can never be missed by the near path either

@@ -190,4 +190,34 @@ class TrainingPrepSpec extends SparkSpec {
       assert(math.abs(r.getDouble(3) * r.getDouble(4) - 1.0 / 3.0) < 1e-12)
     }
   }
+
+  test("corpusStats: a zero-token stratum yields weight 0, never Infinity") {
+    val s = spark
+    import s.implicits._
+    // a CJK stratum tokenizes to zero tokens under [a-z0-9]+ — its
+    // mix_weight must be 0 (weight-nothing), not the Infinity that would
+    // poison every downstream sampling probability
+    val d = Seq(
+      (0L, "plain english words here", "en"),
+      (1L, "中文文档", "zh"))
+      .toDF("doc_id", "text", "lang")
+    val rows = TrainingPrep.corpusStats(d).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(rows("zh")._1 === 0.0)
+    assert(rows("zh")._2 === 0.0, s"zero-token stratum weight: ${rows("zh")._2}")
+    assert(!rows.values.exists(v => v._1.isNaN || v._1.isInfinite ||
+      v._2.isNaN || v._2.isInfinite))
+  }
+
+  test("writeShards on an empty corpus writes an empty manifest instead of crashing") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_shards").toString
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    TrainingPrep.writeShards(empty, s"$dir/out", numShards = 4)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/out/_shards.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(manifest === """{"num_shards":0,"total_rows":0,"shards":[]}""")
+  }
 }
