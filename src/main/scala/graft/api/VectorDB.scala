@@ -74,6 +74,15 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
   private def epochManager(name: String): EpochManager =
     epochManagers.getOrElseUpdate(name, new EpochManager(s"${indexPath(name)}/epochs"))
 
+  /** In-plan dimension guard shared by every WRITE path (buildEpoch,
+    * addVectors): a wrong-dim or null vector raises at execution, before
+    * any stored state exists — the kernels truncate to min(len), so a
+    * short vector would otherwise be silently mis-scored forever. */
+  private def dimGuarded(source: DataFrame, dim: Int): DataFrame =
+    source.withColumn("vec",
+      when(size(col("vec")) === dim, col("vec"))
+        .otherwise(raise_error(lit("Vector dimension mismatch"))))
+
   // --- A4 CreateIndex ------------------------------------------------------
 
   def createIndex(config: IndexConfig): Unit = {
@@ -123,6 +132,12 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     if (builds.putIfAbsent(name, progress).isDefined)
       throw new InvalidArgumentException(s"Build already in progress for index: $name")
     try doBuildEpoch(name, source, progress, centroids)
+    catch {
+      // same error taxonomy as addVectors: the in-plan guard's
+      // raise_error surfaces as a Spark execution exception
+      case e: Exception if dimensionError(e) =>
+        throw new InvalidArgumentException("Vector dimension mismatch in build source")
+    }
     finally builds.remove(name)
   }
 
@@ -138,10 +153,17 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       val path = em.epochPath(epochId)
       progress.set(0.1)
 
-      val cents = warmStart.getOrElse(IvfFlatIndex.train(spark, source, manifest.nlist))
+      // the SAME in-plan dimension guard addVectors installs: a wrong-dim
+      // (or null) source vector would otherwise build a silently corrupt
+      // epoch — the kernels truncate to min(len), searches validate only
+      // the QUERY dimension, and every result would be wrong forever. The
+      // guard fires during the epoch write (which evaluates every column),
+      // before any manifest/serving state exists.
+      val guarded = dimGuarded(source, manifest.dimension)
+      val cents = warmStart.getOrElse(IvfFlatIndex.train(spark, guarded, manifest.nlist))
       progress.set(0.5)
       val bc = IvfFlatIndex.broadcastCentroids(spark, cents)
-      IvfFlatIndex.writeEpoch(IvfFlatIndex.assign(source, bc), s"$path/vectors")
+      IvfFlatIndex.writeEpoch(IvfFlatIndex.assign(guarded, bc), s"$path/vectors")
       progress.set(0.8)
       writeCentroids(cents, s"$path/centroids")
       // covering radii for range search: one aggregation over the written
@@ -212,9 +234,7 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     // and the reported count. The count materializes the cache and fires
     // the in-plan dimension guard — wrong-dim vectors would otherwise be
     // silently appended and mis-scored by the min-length kernels forever.
-    val guarded = batch.withColumn("vec",
-      when(size(col("vec")) === s.manifest.dimension, col("vec"))
-        .otherwise(raise_error(lit("Vector dimension mismatch"))))
+    val guarded = dimGuarded(batch, s.manifest.dimension)
     val assigned = IvfFlatIndex.assign(guarded, s.index.centroids)
     try {
       // persist inside the translation scope: local-relation batches hit
@@ -239,13 +259,10 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
           // table BEFORE the append lands — a crash between the two steps
           // then leaves a radius-less epoch (recomputed lazily, safe),
           // never an appended epoch with a stale bound
-          locally {
-            val radiiDir = new java.io.File(s"$path/radii")
-            if (radiiDir.exists) {
-              require(scala.reflect.io.Directory(radiiDir).deleteRecursively(),
-                s"could not invalidate covering radii at $radiiDir")
-            }
-          }
+          // shared Files.walk-based delete (EpochManager's): the
+          // scala.reflect.io variant is a deprecated compiler-internal
+          // API that reports failure as a bare boolean with no cause
+          graft.storage.EpochManager.deleteRecursively(s"$path/radii")
           IvfFlatIndex.appendToEpoch(assigned, s"$path/vectors")
           // merge the batch's per-list counts into the manifest shards —
           // stats()'s imbalance signal must see appended skew, not the
@@ -323,8 +340,19 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     val listener: Array[(Long, Int)] => Unit = pairs => {
       val now = System.currentTimeMillis()
       pairs.groupBy(_._2).foreach { case (listId, hits) =>
-        val (c, _) = stats.getOrElse(listId, (0L, 0L))
-        stats.put(listId, (c + hits.length, now))
+        // atomic replace-loop: two concurrent searches firing for the same
+        // list would otherwise race the read-modify-write and lose counts
+        // — the LFU ranking would systematically undercount the hottest
+        // lists, which are exactly the ones warmupHot exists to pin
+        var done = false
+        while (!done) {
+          stats.get(listId) match {
+            case Some(prev @ (c, _)) =>
+              done = stats.replace(listId, prev, (c + hits.length, now))
+            case None =>
+              done = stats.putIfAbsent(listId, (hits.length.toLong, now)).isEmpty
+          }
+        }
       }
     }
     val index = new IvfFlatIndex(spark, vectors, bc, manifest.metric, listener)
@@ -362,16 +390,26 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     val hot = hotLists(name, topN).map(_._1)
     if (hot.isEmpty) return 0L
     val hotSet = hot.toSet
-    hotWarm.get(name) match {
-      case Some((prev, _)) if prev == hotSet => 0L // working set stable
-      case prevEntry =>
-        val s = served.getOrElse(name, throw new NotFoundException(s"Index not found: $name"))
-        val subset = s.index.vectors.filter(col("list_id").isin(hot: _*))
-        subset.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val n = subset.count()
-        prevEntry.foreach(_._2.unpersist(blocking = false))
-        hotWarm.put(name, (hotSet, subset))
-        n
+    // under the state lock: racing an epoch swap (loadServed drops
+    // hotWarm and unpersists) could otherwise pin a subset of the OLD
+    // epoch's vectors into hotWarm AFTER the swap — and the stable-set
+    // short-circuit would then block re-warming the new epoch until the
+    // hot set drifts. Two concurrent warmupHot calls could also both
+    // persist and leak one cached copy. Warm materialization inside the
+    // lock delays a concurrent activate by one warm pass — the admin op
+    // loses that race by design.
+    stateLock(name).synchronized {
+      hotWarm.get(name) match {
+        case Some((prev, _)) if prev == hotSet => 0L // working set stable
+        case prevEntry =>
+          val s = served.getOrElse(name, throw new NotFoundException(s"Index not found: $name"))
+          val subset = s.index.vectors.filter(col("list_id").isin(hot: _*))
+          subset.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val n = subset.count()
+          prevEntry.foreach(_._2.unpersist(blocking = false))
+          hotWarm.put(name, (hotSet, subset))
+          n
+      }
     }
   }
 
@@ -471,8 +509,11 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     if (name.isEmpty) throw new InvalidArgumentException("Index name required")
     val s = served.getOrElse(name, throw new NotFoundException(s"Index not found: $name"))
     val schema = queries.schema
-    require(schema.fieldNames.contains("qid") && schema.fieldNames.contains("qvec"),
-      "queries need (qid LONG, qvec ARRAY<FLOAT>) columns")
+    // the facade's documented error type, not a bare require failure —
+    // callers catching InvalidArgumentException must see schema errors too
+    if (!schema.fieldNames.contains("qid") || !schema.fieldNames.contains("qvec"))
+      throw new InvalidArgumentException(
+        "queries need (qid LONG, qvec ARRAY<FLOAT>) columns")
     val snapshot = IvfFlatIndex.snapshotQueries(queries)
     // validate the PREFIX eagerly even for over-limit sets — the facade's
     // documented error contract is a synchronous InvalidArgumentException,
@@ -564,9 +605,17 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       if (sc.isStopped) Health.NotServing
       else {
         val mem = sc.getExecutorMemoryStatus
-        val memHealthy = mem.nonEmpty && mem.values.forall { case (max, remaining) =>
-          max <= 0 || remaining.toDouble / max >= 0.1
-        }
+        // getExecutorMemoryStatus always contains the DRIVER's block
+        // manager, so `mem.nonEmpty` can never fail — on a cluster with
+        // zero live executors no search job can run, yet the check would
+        // report Serving. statusTracker counts the driver too: cluster
+        // mode needs > 1 entries; local mode IS the single entry.
+        val execsAlive = sc.master.startsWith("local") ||
+          sc.statusTracker.getExecutorInfos.length > 1
+        val memHealthy = execsAlive && mem.nonEmpty &&
+          mem.values.forall { case (max, remaining) =>
+            max <= 0 || remaining.toDouble / max >= 0.1
+          }
         if (memHealthy && healthCheck("QueryService") == Health.Serving) Health.Serving
         else Health.NotServing
       }
@@ -674,9 +723,16 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
   def cleanupOldEpochs(name: String, keepN: Int = 3): Seq[String] =
     // the active epoch is protected by the EpochManager; also protect
     // whatever this facade is currently SERVING (loadIndex can serve a
-    // non-active epoch for rollback/inspection)
-    epochManager(name).cleanupOldEpochs(keepN,
-      protectedIds = served.get(name).map(_.epochId).toSet)
+    // non-active epoch for rollback/inspection). Under the state lock:
+    // reading `served` unlocked could race a concurrent loadIndex
+    // mid-swap — the cleanup would read the OLD served epoch, consider
+    // the one being loaded unprotected, and delete the directory the
+    // swap is about to serve (same lock compactEpoch holds for its
+    // copy+swap)
+    stateLock(name).synchronized {
+      epochManager(name).cleanupOldEpochs(keepN,
+        protectedIds = served.get(name).map(_.epochId).toSet)
+    }
 
   /**
    * F7 analog (ShardManager::compact, declared-only in the reference,
@@ -776,6 +832,13 @@ object VectorDB {
    */
   def readVectorSlice(
       spark: SparkSession, path: String, offset: Int, length: Int): DataFrame = {
+    // validate BEFORE branching: the dense path's range filter would
+    // silently return a shrunken window for a negative offset (ids below
+    // lo simply don't exist) while the sparse path's .offset() throws —
+    // behavior must not depend on the table's id layout
+    if (offset < 0 || length < 0)
+      throw new InvalidArgumentException(
+        s"offset/length must be non-negative: offset=$offset length=$length")
     val base = readVectorParquet(spark, path)
     // DISTINCT count: contiguity needs distinctness — plain count accepts
     // duplicate-id sets with compensating gaps (ids {1,1,3}: hi-lo+1 == n)

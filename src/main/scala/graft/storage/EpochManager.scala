@@ -22,6 +22,12 @@ import graft.NotFoundException
 class EpochManager(basePath: String) {
 
   private val epochs = TrieMap.empty[String, Long] // id -> createdAt
+  // ids THIS instance doomed: persistState merges with the on-disk state
+  // (another manager on the same base path registers epochs this
+  // instance never loads — overwriting with our stale memory would drop
+  // them and the orphan sweep would later delete their live directories),
+  // and the local tombstones are the only ids the merge may remove
+  private val locallyDeleted = TrieMap.empty[String, Unit]
   @volatile private var activeId: String = ""
   private val rnd = new java.security.SecureRandom()
 
@@ -75,8 +81,9 @@ class EpochManager(basePath: String) {
       // below) — the reverse order would leave state pointing at a
       // DELETED epoch, which activateEpoch would then happily activate
       epochs.remove(id)
+      locallyDeleted.put(id, ())
       persistState()
-      deleteRecursively(epochPath(id))
+      EpochManager.deleteRecursively(epochPath(id))
     }
     // Orphan sweep: epoch_* directories no state references (a crash
     // landed between persistState() and the delete above on a previous
@@ -102,7 +109,7 @@ class EpochManager(basePath: String) {
             !known.contains(f.getName) && f.lastModified() < cutoff)
           .map(_.getName).toSeq.sorted
     }
-    orphans.foreach(id => deleteRecursively(epochPath(id)))
+    orphans.foreach(id => EpochManager.deleteRecursively(epochPath(id)))
     if (doomed.isEmpty) persistState()
     doomed ++ orphans
   }
@@ -122,22 +129,34 @@ class EpochManager(basePath: String) {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  private def deleteRecursively(path: String): Unit = {
-    val p = Paths.get(path)
-    if (Files.exists(p)) {
-      // Files.walk holds open directory handles until closed — a
-      // long-lived driver running periodic cleanups would leak fds
-      val walk = Files.walk(p)
-      try walk.sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.delete(f))
-      finally walk.close()
-    }
-  }
-
+  /** Merge-on-write: union the on-disk epoch list (another manager's
+    * registrations) with this instance's map, minus only the ids THIS
+    * instance doomed. A plain overwrite from a stale instance would drop
+    * concurrent registrations, and the orphan sweep — which trusts this
+    * file — would then delete their live directories an hour later. A
+    * deletion performed by ANOTHER instance may be resurrected as a
+    * ghost entry (its directory is gone; activation of it fails loudly);
+    * that is the safe direction. */
   private def persistState(): Unit = {
+    val diskEpochs: Map[String, Long] =
+      try {
+        val p = Paths.get(statePath)
+        if (!Files.exists(p)) Map.empty
+        else JsonMethods.parse(Files.readString(p)) \ "epochs" match {
+          case JArray(items) => items.flatMap { e =>
+            ((e \ "id"), (e \ "created_at")) match {
+              case (JString(id), JLong(ts)) => Some(id -> ts)
+              case (JString(id), JInt(ts)) => Some(id -> ts.toLong)
+              case _ => None
+            }
+          }.toMap
+          case _ => Map.empty
+        }
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val merged = (diskEpochs ++ epochs.toMap) -- locallyDeleted.keys
     val j = JObject(
       "active" -> JString(activeId),
-      "epochs" -> JArray(epochs.toList.sortBy(_._1).map { case (id, ts) =>
+      "epochs" -> JArray(merged.toList.sortBy(_._1).map { case (id, ts) =>
         JObject("id" -> JString(id), "created_at" -> JLong(ts))
       }))
     Manifest.atomicWrite(Paths.get(statePath), JsonMethods.pretty(JsonMethods.render(j)))
@@ -170,4 +189,19 @@ object EpochManager {
     * creates the directory before persisting state, so a concurrent
     * manager's fresh epoch is briefly unreferenced on disk. */
   val OrphanGraceMs: Long = 60L * 60 * 1000
+
+  /** Recursive delete shared by the storage stack (epoch cleanup, radii
+    * invalidation). Files.walk holds open directory handles until
+    * closed — a long-lived driver running periodic cleanups would leak
+    * fds — and a failure surfaces WHICH path failed, unlike the
+    * deprecated scala.reflect.io boolean API. No-op on a missing path. */
+  private[graft] def deleteRecursively(path: String): Unit = {
+    val p = Paths.get(path)
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+      finally walk.close()
+    }
+  }
 }

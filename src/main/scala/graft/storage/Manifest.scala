@@ -89,17 +89,24 @@ object Manifest {
     * power loss shortly after an epoch swap can leave the state file
     * zero-length or truncated on ext4/xfs. */
   private[graft] def atomicWrite(target: Path, content: String): Unit = {
-    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
     Files.createDirectories(target.getParent)
-    val ch = java.nio.channels.FileChannel.open(tmp,
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE,
-      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    // UNIQUE temp name per writer: a fixed '<name>.tmp' sibling lets two
+    // concurrent writers (serving driver + maintenance job on one base
+    // path) interleave open/TRUNCATE/write/rename and atomically publish
+    // a half-written file — the rename is atomic, the shared scratch
+    // file is not
+    val tmp = Files.createTempFile(target.getParent,
+      target.getFileName.toString + ".", ".tmp")
     try {
-      ch.write(java.nio.ByteBuffer.wrap(content.getBytes(StandardCharsets.UTF_8)))
-      ch.force(true)
-    } finally ch.close()
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      try {
+        ch.write(java.nio.ByteBuffer.wrap(content.getBytes(StandardCharsets.UTF_8)))
+        ch.force(true)
+      } finally ch.close()
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.deleteIfExists(tmp) // no-op after a successful move
   }
 }

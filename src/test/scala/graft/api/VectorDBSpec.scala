@@ -207,6 +207,25 @@ class VectorDBSpec extends SparkSpec {
     intercept[InvalidArgumentException](db.addVectors("test_index", wrongDim))
   }
 
+  test("buildEpoch rejects wrong-dimension sources like addVectors (no silent corrupt index)") {
+    ready
+    val wrongDim = vectorsDF(randomVectors(10, 5, seed = 89)
+      .map { case (i, v) => (i + 400000L, v) })
+    intercept[InvalidArgumentException](db.buildEpoch("test_index", wrongDim))
+  }
+
+  test("readVectorSlice rejects negative offset/length on every id layout") {
+    // the dense path's range filter would otherwise silently SHRINK the
+    // window for a negative offset while the sparse path throws
+    val dir = java.nio.file.Files.createTempDirectory("graft-negslice").toString
+    vectorsDF(randomVectors(20, 8, seed = 90)).write.mode("overwrite")
+      .parquet(s"$dir/vecs")
+    intercept[InvalidArgumentException](
+      VectorDB.readVectorSlice(spark, s"$dir/vecs", offset = -5, length = 10))
+    intercept[InvalidArgumentException](
+      VectorDB.readVectorSlice(spark, s"$dir/vecs", offset = 0, length = -1))
+  }
+
   test("cleanup never deletes the epoch currently loaded for serving") {
     ready
     val served = db.stats("test_index")("epoch").toString

@@ -88,6 +88,12 @@ class EpochManagerSpec extends AnyFunSuite {
     assert(!swept.contains(fromA))
     assert(Files.exists(java.nio.file.Paths.get(a.epochPath(fromA))),
       "a concurrently-registered epoch must never be swept as an orphan")
+    // merge-on-write: b's persist (stale memory, no fromA) must not drop
+    // a's registration from epochs.json — a plain overwrite would, and
+    // the next sweep past the grace window would then delete a's LIVE
+    // directory
+    assert(Files.readString(java.nio.file.Paths.get(a.statePath)).contains(fromA),
+      "a stale instance's persist dropped a concurrent registration")
     // lost state file: nothing is provably orphaned -> sweep is a no-op
     Files.delete(java.nio.file.Paths.get(a.statePath))
     val sweptNoState = b.cleanupOldEpochs(keepN = 3)
