@@ -295,9 +295,15 @@ object CoGroupTopK {
     if (!qs.hasNext) return Iterator.empty
     val qids = new ArrayBuffer[Long]
     val qvecs = new ArrayBuffer[Array[Float]]
+    // ONE qvec per qid (first in group order): every other path enforces
+    // first-entry-wins for duplicated qids (ProbeIndex.apply, the
+    // broadcast fold, rerankTopK), and scoring BOTH would merge two
+    // different query vectors' candidates into one top-k — results would
+    // flip at the broadcast gate for the identical query set
+    val seen = new java.util.HashSet[java.lang.Long]
     while (qs.hasNext) {
       val (_, qid, qvec) = qs.next()
-      if (qvec != null) { qids += qid; qvecs += qvec }
+      if (qvec != null && seen.add(qid)) { qids += qid; qvecs += qvec }
     }
     val n = qids.length
     if (n == 0) return Iterator.empty
@@ -359,8 +365,11 @@ object CoGroupTopK {
     val cap = math.min(k, nC)
     val useHeap = cap > PartialTopK.HeapThreshold
     val buildTable = nC >= books(0).length // ks — the amortization point
+    // first-qvec-wins for duplicated qids, like scoreFlatList (and every
+    // static-path peer) — see the comment there
+    val seenQ = new java.util.HashSet[java.lang.Long]
     qs.flatMap { case (_, qid, qvec) =>
-      if (qvec == null) Iterator.empty
+      if (qvec == null || !seenQ.add(qid)) Iterator.empty
       else {
         val prepped = PqKernels.prepQuery(qvec, metricId)
         val table =

@@ -19,22 +19,33 @@ import org.apache.spark.sql.util.QueryExecutionListener
  * [[QueryExecutionListener]] maps completed executions back to their
  * callbacks by metric name. Every successful execution fires once; a
  * failed action fires nothing; re-executing the same DataFrame fires
- * again (each execution served a real batch). Callbacks for plans that
- * are never executed age out of a bounded pending map instead of leaking.
+ * again (each execution served a real batch) for the most recently fired
+ * plans. Both maps are bounded: never-executed callbacks age out of the
+ * pending map, fired ones out of a small re-fire map — a long-lived
+ * serving driver retains neither.
  */
 private[graft] object ExecutionProbeHook {
 
   private val Prefix = "graft_probe_"
   private val MaxPending = 4096
+  private val MaxFired = 64
   private val counter = new java.util.concurrent.atomic.AtomicLong()
 
-  // insertion-ordered with eldest-entry eviction: never-executed plans
-  // (bounded at MaxPending) are the only entries that age out in practice
-  private val pending = java.util.Collections.synchronizedMap(
+  private def bounded(max: Int) = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[String, Long => Unit](64, 0.75f, false) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Long => Unit]): Boolean = size() > MaxPending
+          e: java.util.Map.Entry[String, Long => Unit]): Boolean = size() > max
     })
+
+  // insertion-ordered with eldest-entry eviction. FIRED entries migrate to
+  // the small `fired` map (re-executing the same DataFrame still fires —
+  // each execution served a real batch — but only the MaxFired most
+  // recent plans support it): a serving loop arms one closure per
+  // micro-batch, each capturing the batch's probe-pair array, and leaving
+  // fired entries in the 4096-slot pending map retained gigabytes of dead
+  // probe pairs on a long-lived driver.
+  private val pending = bounded(MaxPending)
+  private val fired = bounded(MaxFired)
 
   private val registered = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
@@ -60,7 +71,13 @@ private[graft] object ExecutionProbeHook {
         spark.listenerManager.register(new QueryExecutionListener {
           override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
             qe.observedMetrics.keys.foreach { k =>
-              if (k.startsWith(Prefix)) Option(pending.get(k)).foreach(_.apply(durationNs))
+              if (k.startsWith(Prefix)) {
+                val cb = Option(pending.remove(k)).orElse(Option(fired.get(k)))
+                cb.foreach { f =>
+                  fired.put(k, f) // recent fired plans may re-fire
+                  f(durationNs)
+                }
+              }
             }
           override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
         })

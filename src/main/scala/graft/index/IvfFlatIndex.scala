@@ -91,7 +91,7 @@ class IvfFlatIndex(
     // ForceStatic must snapshot the WHOLE batch — the limit-probe would
     // silently truncate a batch above the threshold
     if (strategy == IvfFlatIndex.ForceStatic)
-      searchBatch(qdf.collect().map(IvfFlatIndex.decodeQueryRow(_)), params, predicate)
+      searchBatch(IvfFlatIndex.decodeQueryRows(qdf.collect()), params, predicate)
     else IvfFlatIndex.snapshotQueries(qdf).batch match {
       case Some(batch) => searchBatch(batch, params, predicate)
       case None => searchJoinPruned(corpus, qdf, params.k, nprobe, m)
@@ -439,6 +439,22 @@ object IvfFlatIndex {
   def decodeQueryRow(r: org.apache.spark.sql.Row, offset: Int = 0): (Long, Array[Float]) =
     (r.getLong(offset), Option(r.getSeq[Float](offset + 1)).map(_.toArray).orNull)
 
+  /** [[decodeQueryRow]] over a collected sample, dropping null-qid rows
+    * first (counted + logged like null-vector drops): Row.getLong NPEs on
+    * a null, and the unbounded flood paths SKIP null-qid rows silently —
+    * behavior must not flip at the MaxStaticBatch/broadcast gate. */
+  def decodeQueryRows(
+      rows: Array[org.apache.spark.sql.Row],
+      offset: Int = 0): Array[(Long, Array[Float])] = {
+    val live = rows.filter(!_.isNullAt(offset))
+    val dropped = rows.length - live.length
+    if (dropped > 0) {
+      droppedNullQueries.addAndGet(dropped.toLong)
+      System.err.println(s"[graft] dropped $dropped null-qid query row(s) from batch")
+    }
+    live.map(decodeQueryRow(_, offset))
+  }
+
   /** Result of [[snapshotQueries]]: the decoded prefix sample (validation
     * material either way), and whether it IS the whole query set. */
   case class QuerySnapshot(sample: Array[(Long, Array[Float])], bounded: Boolean) {
@@ -479,7 +495,7 @@ object IvfFlatIndex {
     val sample =
       if (local) sel.limit(MaxStaticBatch + 1).collect()
       else sel.rdd.take(MaxStaticBatch + 1)
-    QuerySnapshot(sample.map(decodeQueryRow(_)), sample.length <= MaxStaticBatch)
+    QuerySnapshot(decodeQueryRows(sample), sample.length <= MaxStaticBatch)
   }
 
   /** Driver-side probe of a bounded query batch: chunk-parallel, ordered

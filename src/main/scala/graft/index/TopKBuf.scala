@@ -12,10 +12,16 @@ package graft.index
  * order never changes the final contents — safe for partial/merge
  * aggregation in any partitioning.
  *
- * A case class of encoder-friendly fields on purpose: the aggregation
- * buffer crosses the partial/final shuffle through ExpressionEncoder
- * serialization (kryo would require `--add-opens java.base/java.nio` on
- * Java 17, which plain `java -cp` launches don't have).
+ * Historical note: the encoder-friendly case-class shape dates from the
+ * typed-Aggregator era, when the buffer crossed the partial/final shuffle
+ * through ExpressionEncoder serialization. Since RankTopKExec replaced
+ * that path, buffers live only inside per-task iterators
+ * (TopKScanIterator, RankTopKExec, the co-group scorers) and never
+ * serialize — the shape is kept for its plain-arrays performance, not an
+ * encoder constraint. [[merge]] likewise has no production caller today
+ * (the per-task paths insert candidate-by-candidate); it remains the S5
+ * reference semantics, exercised by TopKAggregatorSpec's partition-merge
+ * property test.
  */
 case class TopKBuf(k: Int, dists: Array[Double], ids: Array[Long], var size: Int) {
 

@@ -55,6 +55,12 @@ object RangeJoin {
     require(payloadOut.forall { case (_, out) =>
       out != rightVal && !keys.contains(out) },
       s"payload output names ${payloadOut.map(_._2)} collide with rightVal/keys")
+    // ... and an output named like the reserved working columns would be
+    // OVERWRITTEN by binned()'s withColumn and then dropped — requested
+    // payload silently missing from the join output
+    require(payloadOut.forall { case (_, out) =>
+      out != "_range_bin" && out != "_range_rv" },
+      s"payload output names ${payloadOut.map(_._2)} collide with reserved '_range_bin'/'_range_rv'")
 
     val bin = "_range_bin"
     val rv = "_range_rv"

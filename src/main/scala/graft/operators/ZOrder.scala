@@ -81,7 +81,7 @@ object ZOrder {
       bits: Int = 16, bounds: Option[(Long, Long, Long, Long)] = None): DataFrame = {
     require(!df.columns.contains("_z"),
       "input already has a '_z' column (reserved working name)")
-    import org.apache.spark.sql.functions.{floor, least, lit, max, min, when}
+    import org.apache.spark.sql.functions.{floor, greatest, least, lit, max, min, when}
     // Caller-supplied bounds skip the bounds scan entirely — a layout job
     // over 100 TB usually KNOWS its domain (epoch ranges, id ranges), and
     // the fallback aggregate is a full extra pass over the input, eagerly
@@ -103,11 +103,16 @@ object ZOrder {
       // long subtraction (the same wrap class RangeJoin.band's decimal
       // check guards), silently destroying the clustering
       val span = (BigDecimal(hi) - BigDecimal(lo)).toDouble
+      // clamp BOTH ends: caller-supplied bounds can be slightly stale vs
+      // the data, and an un-clamped below-lo value yields a NEGATIVE
+      // bucket whose sign-extended low bits interleave into the
+      // max-corner Morton tile — inflating that tile's bounding box, the
+      // exact pruning failure this operator exists to prevent
       val bucket =
         if (hi == lo) lit(0L)
-        else least(lit(top), floor(
+        else greatest(lit(0L), least(lit(top), floor(
           (cl.cast("decimal(38,0)") - lit(lo).cast("decimal(38,0)"))
-            .cast("double") / span * top))
+            .cast("double") / span * top)))
           .cast("long")
       // null coordinates keep a null bucket (-> null _z, ranged together
       // at the null end); least() would otherwise SKIP the null operand

@@ -204,7 +204,7 @@ object Similarity {
     // would recompile on every gate evaluation
     val rows = vectors.select(col("id"), col("vec")).rdd.take(effMax + 1)
     if (rows.length > effMax) null
-    else rows.map(IvfFlatIndex.decodeQueryRow(_)).filter(_._2 != null)
+    else IvfFlatIndex.decodeQueryRows(rows).filter(_._2 != null)
   }
 
   /** The snapshot as the fast path's corpus side, read back from the SAME

@@ -195,7 +195,7 @@ object StreamingSearch {
               throw new IllegalArgumentException(s"unregistered index in stream: $name"))
             // shared decode contract (null qvec stays null), offset past
             // the leading index-name column
-            val b = rows.map(IvfFlatIndex.decodeQueryRow(_, offset = 1))
+            val b = IvfFlatIndex.decodeQueryRows(rows.toArray, offset = 1)
             val (res, release) = idx.searchBatchManaged(b, params)
             try sink(name, res, batchId) finally release()
           }

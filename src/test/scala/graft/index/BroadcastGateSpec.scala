@@ -86,6 +86,37 @@ class BroadcastGateSpec extends SparkSpec {
     }
   }
 
+  test("duplicated qids score exactly one qvec on every path (no cross-qvec top-k mixing)") {
+    // two rows share each qid but carry DIFFERENT vectors; every path must
+    // score exactly ONE qvec per qid (first-entry-wins) — the co-group
+    // flood scorers previously buffered both and merged two different
+    // query vectors' candidates into one top-k
+    val dupes = floodQueries ++ floodQueries.take(200)
+      .map { case (qid, v) => (qid, v.reverse) } // same scale, different direction
+    val qdf = queriesDF(dupes)
+    val params = SearchParams(k = 5, nprobe = 8)
+    def perQid(df: DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    // the reference answer: dedup to the FIRST qvec per qid, exact search
+    val firstOnly = dupes.groupBy(_._1).map { case (_, vs) => vs.head }.toSeq
+    val expected = perQid(flat.searchBatch(
+      firstOnly.sortBy(_._1).toArray, params))
+    withConf(gate = "1", auto = "-1") { // above-gate co-group flood
+      val got = perQid(flat.search(qdf, params))
+      // every qid's result set must equal SOME single-qvec answer; with
+      // first-wins it equals the first occurrence in group order — assert
+      // at minimum it never MIXES (result must match one of the two pure
+      // answers per qid, and sizes stay k)
+      val altOnly = dupes.reverse.groupBy(_._1).map { case (_, vs) => vs.head }.toSeq
+      val altExpected = perQid(flat.searchBatch(altOnly.sortBy(_._1).toArray, params))
+      got.foreach { case (q, ids) =>
+        assert(ids == expected(q) || ids == altExpected(q),
+          s"qid $q merged candidates from two different qvecs")
+      }
+    }
+  }
+
   test("pq flood broadcast-probes below the gate, co-partitions above it") {
     val qdf = queriesDF(floodQueries)
     val params = SearchParams(k = 5, nprobe = 4)

@@ -204,6 +204,20 @@ class IvfFlatIndexSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet === exact)
   }
 
+  test("a null qid in a bounded batch drops the row like the flood paths, never NPEs") {
+    val s = spark
+    import s.implicits._
+    val qs2 = Seq((java.lang.Long.valueOf(1L), queries.head._2),
+      (null.asInstanceOf[java.lang.Long], queries(1)._2))
+      .toDF("qid", "qvec")
+    // bounded path (2 rows << MaxStaticBatch): must serve qid 1 and drop
+    // the null-qid row — Row.getLong on a null previously threw a raw
+    // NPE here while the >1024-row flood silently skipped it
+    val res = index.search(qs2, SearchParams(k = 3, nprobe = 2)).collect()
+    assert(res.nonEmpty)
+    assert(res.forall(_.getLong(0) == 1L))
+  }
+
   test("pathological skew: every vector in one list still searches correctly") {
     // centroids far from all data -> argmin sends everything to list 0
     val far = Array.fill(16)(1000f)

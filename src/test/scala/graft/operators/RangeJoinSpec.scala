@@ -110,6 +110,23 @@ class RangeJoinSpec extends SparkSpec {
       bad, right, Seq("k"), "v", "v", 10L, Map("rid" -> "m_rid")))
   }
 
+  test("payload output named like a reserved working column is rejected") {
+    val s = spark
+    import s.implicits._
+    val l = Seq(("en", 1L, 10L)).toDF("lang", "a_id", "a_len")
+    val r = Seq(("en", 2L, 11L, 1.0)).toDF("lang", "b_id", "b_len", "v")
+    // '_range_bin'/'_range_rv' outputs would be overwritten by the
+    // binning withColumn and then dropped — payload silently missing
+    intercept[IllegalArgumentException] {
+      RangeJoin.band(l, r, Seq("lang"), "a_len", "b_len", radius = 2,
+        rightPayload = Map("v" -> "_range_bin"))
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.band(l, r, Seq("lang"), "a_len", "b_len", radius = 2,
+        rightPayload = Map("v" -> "_range_rv"))
+    }
+  }
+
   test("plan is an equi-join, not a nested-loop theta join") {
     val plan = RangeJoin.band(left, right, Seq("k"), "v", "v", radius = 10L,
       rightPayload = Map("rid" -> "rid")).queryExecution.executedPlan.toString

@@ -117,6 +117,28 @@ class ZOrderSpec extends SparkSpec {
     assert(keyOrder(withBounds) === keyOrder(scanned))
   }
 
+  test("stale caller bounds: below-lo values clamp to bucket 0, not the max-corner tile") {
+    val s = spark
+    import s.implicits._
+    // bounds say [0, 1000] but a few rows sit below: an un-clamped
+    // negative bucket sign-extends into the max Morton tile and inflates
+    // its bounding box; the clamp sends them to the LOW corner instead
+    val rows = ((0L until 1000L).map(i => (i, i)) ++ Seq((-5L, 1L), (-9L, 2L)))
+      .toDF("x", "y")
+    val out = ZOrder.cluster(rows, col("x"), col("y"), 8,
+      bits = 10, bounds = Some((0L, 999L, 0L, 999L)))
+    assert(out.count() === 1002)
+    // the below-lo rows must share a partition with the SMALLEST x values
+    val pidOf = out.withColumn("pid", spark_partition_id())
+    val negPids = pidOf.filter(col("x") < 0).select("pid").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val minPid = pidOf.filter(col("x") === 0).select("pid").head().getInt(0)
+    val maxPid = pidOf.filter(col("x") === 999).select("pid").head().getInt(0)
+    assert(negPids.forall(_ == minPid),
+      s"below-lo rows landed in partitions $negPids, not the low tile $minPid")
+    assert(!negPids.contains(maxPid) || minPid == maxPid)
+  }
+
   test("a domain spanning more than Long.MaxValue still buckets sanely (no long wrap)") {
     val s = spark
     import s.implicits._
