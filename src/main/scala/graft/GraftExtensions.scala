@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
 import graft.functions._
 
@@ -41,44 +41,101 @@ object GraftExtensions {
             if n.startsWith("__arg") => args(n.drop("__arg".length).toInt)
       }
 
+  /** Arity gate for every injection: extra arguments were previously
+    * IGNORED (a `minhash_signature(toks, 128, 7)` silently computed the
+    * 64-hash seed-42 default — signatures that match nothing built with
+    * the requested parameters) and missing ones crashed analysis with a
+    * raw IndexOutOfBoundsException. `arities` lists the accepted counts. */
+  private def checked(name: String, arities: Set[Int])(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      if (!arities.contains(es.length))
+        throw new InvalidArgumentException(
+          s"$name expects ${arities.toSeq.sorted.mkString(" or ")} argument(s), got ${es.length}")
+      build(es)
+    }
+
+  /** Extract a foldable integer argument (SQL literal) or fail loudly —
+    * the expression-level twins take these as constructor Ints, so a
+    * non-literal here cannot be honored and must not be silently
+    * defaulted. */
+  private def litInt(name: String, arg: String, e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case Literal(v: Short, _) => v.toInt
+    case Literal(v: Byte, _) => v.toInt
+    case _ => throw new InvalidArgumentException(
+      s"$name: $arg must be an integer literal, got ${e.sql}")
+  }
+  private def litLong(name: String, arg: String, e: Expression): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case _ => throw new InvalidArgumentException(
+      s"$name: $arg must be an integer literal, got ${e.sql}")
+  }
+
   /** [[graft.functions.text.BpePattern]] as a SQL string literal (its
     * quotes and regex backslashes escaped). */
   private def bpeSqlPattern: String =
     "'" + text.BpePattern.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
   private val injections: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "l2_distance" -> (es => VectorDistance(es(0), es(1), Metric.L2)),
-    "ip_distance" -> (es => VectorDistance(es(0), es(1), Metric.InnerProduct)),
-    "cosine_distance" -> (es => VectorDistance(es(0), es(1), Metric.Cosine)),
-    "normalize_vector" -> (es => NormalizeVector(es(0))),
-    "minhash_signature" -> (es => MinHashSignature(es(0), 64, 42L)),
-    "simhash64" -> (es => SimHash64(es(0), 42L)),
-    "sq8_pack" -> (es => Sq8Pack(es(0), es(1))),
-    "sq8_distance" -> (es => Sq8Distance(es(0), es(1), es(2), Metric.L2)),
-    "zvalue" -> (es => graft.operators.ZValue(es(0), es(1), 16)),
-    "char_hist" -> (es => CharHist(es(0))),
-    "hist_l1" -> (es => HistL1(es(0), es(1))),
+    "l2_distance" -> checked("l2_distance", Set(2))(es =>
+      VectorDistance(es(0), es(1), Metric.L2)),
+    "ip_distance" -> checked("ip_distance", Set(2))(es =>
+      VectorDistance(es(0), es(1), Metric.InnerProduct)),
+    "cosine_distance" -> checked("cosine_distance", Set(2))(es =>
+      VectorDistance(es(0), es(1), Metric.Cosine)),
+    "normalize_vector" -> checked("normalize_vector", Set(1))(es =>
+      NormalizeVector(es(0))),
+    // optional numHashes/seed now honored — they were silently ignored
+    "minhash_signature" -> checked("minhash_signature", Set(1, 2, 3))(es =>
+      MinHashSignature(es(0),
+        if (es.length > 1) litInt("minhash_signature", "numHashes", es(1)) else 64,
+        if (es.length > 2) litLong("minhash_signature", "seed", es(2)) else 42L)),
+    "simhash64" -> checked("simhash64", Set(1, 2))(es =>
+      SimHash64(es(0),
+        if (es.length > 1) litLong("simhash64", "seed", es(1)) else 42L)),
+    "sq8_pack" -> checked("sq8_pack", Set(2))(es => Sq8Pack(es(0), es(1))),
+    "sq8_distance" -> checked("sq8_distance", Set(3))(es =>
+      Sq8Distance(es(0), es(1), es(2), Metric.L2)),
+    "zvalue" -> checked("zvalue", Set(2, 3))(es =>
+      graft.operators.ZValue(es(0), es(1),
+        if (es.length > 2) litInt("zvalue", "bits", es(2)) else 16)),
+    "char_hist" -> checked("char_hist", Set(1))(es => CharHist(es(0))),
+    "hist_l1" -> checked("hist_l1", Set(2))(es => HistL1(es(0), es(1))),
     // text pipeline: same composed-builtin bodies as graft.functions.text
-    "graft_tokenize" -> sqlMacro(
-      "regexp_extract_all(lower(__arg0), '[a-z0-9]+', 0)") _,
-    "word_ngrams" -> sqlMacro(
-      """CASE WHEN size(__arg0) < __arg1 THEN cast(array() as array<string>)
-        |ELSE transform(sequence(0, size(__arg0) - __arg1),
-        |               i -> concat_ws(' ', slice(__arg0, i + 1, __arg1))) END"""
-        .stripMargin) _,
-    "lsh_bands" -> sqlMacro(
-      """transform(sequence(0, __arg2 - 1),
-        |  b -> xxhash64(b, slice(__arg0, b * (__arg1 div __arg2) + 1,
-        |                         __arg1 div __arg2)))""".stripMargin) _,
-    "doc_fingerprint" -> sqlMacro(
+    "graft_tokenize" -> checked("graft_tokenize", Set(1))(sqlMacro(
+      "regexp_extract_all(lower(__arg0), '[a-z0-9]+', 0)") _),
+    // native kernel, not a macro: the macro body spliced __arg0 three
+    // times (two size() calls + the slice inside the lambda), re-running
+    // an expensive input (e.g. graft_tokenize's regex pass) per
+    // reference; the expression evaluates its child once and validates n
+    "word_ngrams" -> checked("word_ngrams", Set(2))(es =>
+      WordNgrams(es(0), litInt("word_ngrams", "n", es(1)))),
+    "lsh_bands" -> checked("lsh_bands", Set(3))(es => {
+      val numHashes = litInt("lsh_bands", "numHashes", es(1))
+      val bands = litInt("lsh_bands", "bands", es(2))
+      // the Column twin's guard, or the SQL surface silently drops the
+      // trailing numHashes % bands signature rows and shifts the
+      // (1/b)^(1/r) candidate S-curve
+      if (bands <= 0 || numHashes % bands != 0)
+        throw new InvalidArgumentException(
+          s"lsh_bands: bands ($bands) must divide numHashes ($numHashes)")
+      val r = numHashes / bands
+      sqlMacro(
+        s"""transform(sequence(0, ${bands - 1}),
+           |  b -> xxhash64(b, slice(__arg0, b * $r + 1, $r)))""".stripMargin)(es)
+    }),
+    "doc_fingerprint" -> checked("doc_fingerprint", Set(1))(sqlMacro(
       """aggregate(
         |  transform(filter(split(__arg0, ''), ch -> ch != ''),
         |            ch -> cast(ascii(ch) as bigint)),
-        |  0L, (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin) _,
-    "token_count" -> sqlMacro(
-      "size(regexp_extract_all(lower(__arg0), '[a-z0-9]+', 0))") _,
-    "token_count_bpe" -> sqlMacro(
-      s"size(regexp_extract_all(__arg0, $bpeSqlPattern, 0))") _)
+        |  0L, (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin) _),
+    "token_count" -> checked("token_count", Set(1))(sqlMacro(
+      "size(regexp_extract_all(lower(__arg0), '[a-z0-9]+', 0))") _),
+    "token_count_bpe" -> checked("token_count_bpe", Set(1))(sqlMacro(
+      s"size(regexp_extract_all(__arg0, $bpeSqlPattern, 0))") _))
 
   /** Register on an existing session (temp functions, same expressions). */
   def register(spark: SparkSession): Unit =

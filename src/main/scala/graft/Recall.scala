@@ -40,7 +40,9 @@ object Recall {
     val recalls = sweep.map { nprobe =>
       val got = index.search(queries, SearchParams(k, nprobe)).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      nprobe -> (got & exact).size.toDouble / exact.size
+      // 0/0 = NaN is not valid JSON; an empty query/exact set reads as
+      // recall 0, not a line downstream parsers reject
+      nprobe -> (if (exact.isEmpty) 0.0 else (got & exact).size.toDouble / exact.size)
     }
     val json = recalls.map { case (np, r) => s""""$np":$r""" }.mkString("{", ",", "}")
     println(s"""{"nlist":$nlist,"k":$k,"sf":"$sfDir","recall":$json}""")

@@ -37,19 +37,34 @@ object RecallSweep {
     r
   }
 
-  /** Exact ground truth + per-(nlist, nprobe) recall for one corpus. */
+  /** Recall of `got` against the exact set; 0 (valid JSON) when the
+    * ground truth is empty — 0/0 = NaN is not JSON and would poison the
+    * emitted RECALL line. */
+  private def recallVs(exact: Set[(Long, Long)], got: Set[(Long, Long)]): Double =
+    if (exact.isEmpty) 0.0 else (got & exact).size.toDouble / exact.size
+
+  /** Exact ground truth for one (queries, corpus, k) — computed ONCE per
+    * corpus and shared by the flat and PQ sweeps (it is a full
+    * brute-force O(n x q x d) pass; recomputing it per sweep doubled the
+    * most expensive jobs of the run). */
+  private def groundTruth(
+      name: String, queries: DataFrame, corpus: DataFrame, k: Int): Set[(Long, Long)] =
+    timed(s"$name: exact ground truth") {
+      Knn.exact(queries, corpus, k, Metric.L2).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+
+  /** Per-(nlist, nprobe) recall for one corpus against a precomputed
+    * ground truth. */
   private def sweepCorpus(
       spark: SparkSession,
       name: String,
       corpus: DataFrame,
       queries: DataFrame,
+      exact: Set[(Long, Long)],
       points: Seq[(Int, Int, Seq[Int])],
       maxTrain: Int,
       k: Int): String = {
-    val exact = timed(s"$name: exact ground truth") {
-      Knn.exact(queries, corpus, k, Metric.L2).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-    }
     val results = points.map { case (nlist, rec, sweep) =>
       val index = timed(s"$name: build nlist=$nlist") {
         val idx = IvfFlatIndex.build(spark, corpus, nlist, maxTrain = maxTrain)
@@ -61,7 +76,7 @@ object RecallSweep {
           index.search(queries, SearchParams(k, nprobe)).collect()
             .map(r => (r.getLong(0), r.getLong(1))).toSet
         }
-        nprobe -> (got & exact).size.toDouble / exact.size
+        nprobe -> recallVs(exact, got)
       }
       index.vectors.unpersist(blocking = false)
       val rs = recalls.map { case (np, r) => s""""$np":$r""" }.mkString("{", ",", "}")
@@ -79,26 +94,21 @@ object RecallSweep {
       name: String,
       corpus: DataFrame,
       queries: DataFrame,
+      exact: Set[(Long, Long)],
       nlist: Int,
       m: Int,
       nprobes: Seq[Int],
       rerankK: Int,
       maxTrain: Int,
       k: Int): String = {
-    val exact = timed(s"$name: exact ground truth (pq)") {
-      Knn.exact(queries, corpus, k, Metric.L2).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-    }
     val index = timed(s"$name: pq build nlist=$nlist m=$m") {
       val idx = graft.index.IvfPqIndex.build(spark, corpus, nlist, m, maxTrain = maxTrain)
       idx.codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
       idx
     }
     val rows = nprobes.map { nprobe =>
-      def recallOf(df: DataFrame): Double = {
-        val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-        (got & exact).size.toDouble / exact.size
-      }
+      def recallOf(df: DataFrame): Double =
+        recallVs(exact, df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
       val adc = timed(s"$name: pq adc nlist=$nlist nprobe=$nprobe") {
         recallOf(index.search(queries, SearchParams(k, nprobe)))
       }
@@ -142,7 +152,8 @@ object RecallSweep {
     val uniformQ = persisted(spark.range(nq)
       .select((col("id") + 5000000L).as("id"))
       .select(col("id").as("qid"), uniformExpr.as("qvec")))
-    val uniformJson = sweepCorpus(spark, "uniform", uniform, uniformQ,
+    val uniformExact = groundTruth("uniform", uniformQ, uniform, k)
+    val uniformJson = sweepCorpus(spark, "uniform", uniform, uniformQ, uniformExact,
       Seq(
         (128, 16, Seq(4, 8, 16, 32)),   // README: 100k-1M sizing
         (1024, 10, Seq(10)),            // canonical bench shape
@@ -168,14 +179,15 @@ object RecallSweep {
     val clusteredQ = persisted(spark.range(nq)
       .select((col("id") + 5000000L).as("id"))
       .select(col("id").as("qid"), clusteredExpr(col("id")).as("qvec")))
-    val clusteredJson = sweepCorpus(spark, "clustered", clustered, clusteredQ,
+    val clusteredExact = groundTruth("clustered", clusteredQ, clustered, k)
+    val clusteredJson = sweepCorpus(spark, "clustered", clustered, clusteredQ, clusteredExact,
       Seq(
         (128, 16, Seq(4, 8, 16, 32)),
         (1024, 10, Seq(10))),
       maxTrain = 100000, k)
     // PQ at the canonical shape on the designed-for corpus: ADC-only vs
     // ADC + exact rerank at the same (nlist, nprobe) as the flat points
-    val clusteredPqJson = sweepPq(spark, "clustered", clustered, clusteredQ,
+    val clusteredPqJson = sweepPq(spark, "clustered", clustered, clusteredQ, clusteredExact,
       nlist = 1024, m = 16, nprobes = Seq(10, 32), rerankK = 100,
       maxTrain = 100000, k = k)
     clustered.unpersist(blocking = false)
@@ -187,13 +199,14 @@ object RecallSweep {
     val embN = emb.count()
     val embQ = persisted(e.filter(col("vec_id") < 100)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec")))
-    val embJson = sweepCorpus(spark, "embeddings", emb, embQ,
+    val embExact = groundTruth("embeddings", embQ, emb, k)
+    val embJson = sweepCorpus(spark, "embeddings", emb, embQ, embExact,
       Seq(
         (16, 8, Seq(1, 2, 4, 8, 16)),  // the shape VERDICT's 0.80 point used
         (128, 16, Seq(4, 8, 16, 32)),
         (1024, 10, Seq(10, 32))),      // reference sizing on a tiny corpus
       maxTrain = 100000, k)
-    val embPqJson = sweepPq(spark, "embeddings", emb, embQ,
+    val embPqJson = sweepPq(spark, "embeddings", emb, embQ, embExact,
       nlist = 16, m = 8, nprobes = Seq(8, 16), rerankK = 100,
       maxTrain = 100000, k = k)
     emb.unpersist(blocking = false)

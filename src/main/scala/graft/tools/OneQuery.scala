@@ -56,6 +56,10 @@ object OneQuery {
       // would be timed as a keys-only scan — must measure what Bench does
       val n = df.queryExecution.toRdd.count()
       val t2 = System.nanoTime()
+      // drain the async listener bus before reading the counters: stage
+      // events land asynchronously, so without this the tail of iter i's
+      // stages is misattributed to iter i+1 after the reset above
+      org.apache.spark.sql.graftshims.drainListenerBus(spark)
       println(f"[onequery] $name iter$i ${(t2 - t0) / 1e9}%7.3f s " +
         f"(build ${(t1 - t0) / 1e9}%6.3f, exec ${(t2 - t1) / 1e9}%6.3f) rows=$n " +
         f"jobs=${jobs.get} stages=${stages.get} taskSec=${taskMs.get / 1e3}%.2f " +

@@ -77,11 +77,16 @@ object ScaleBenchRepro {
         calSamples.add(ns)
         Thread.sleep(2)
       }
-      if (sink == Double.NaN) println(sink) // keep the loop alive
+      // sink.isNaN, not == NaN (always false): the guard must actually
+      // reference `sink` observably or the JIT may dead-code-eliminate
+      // the whole FMA loop and the calibration measures an empty loop
+      if (sink.isNaN) println(sink) // keep the loop alive
     })
     cal.setDaemon(true)
     cal.start()
     Thread.sleep(2000) // let the calibration loop JIT
+    var lastCompiles =
+      org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
     (1 to reps).foreach { i =>
       calSamples.clear()
       val t0 = System.nanoTime()
@@ -107,7 +112,11 @@ object ScaleBenchRepro {
       Thread.sleep(500)
       val (run, cpu, gc, sr, sw, sp, nt, st) = snapReset()
       import org.apache.spark.metrics.source.CodegenMetrics
-      val compiles = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+      // DELTA per run, not the monotonic total — "did run 5 recompile?"
+      // is unanswerable from a cumulative count
+      val compilesNow = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+      val compiles = compilesNow - lastCompiles
+      lastCompiles = compilesNow
       import scala.jdk.CollectionConverters._
       val cals = calSamples.asScala.toSeq
       val calStats = if (cals.isEmpty) "n/a"

@@ -94,4 +94,51 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(res.head.getLong(0) === 0L) // self-match first
     assert(res.head.getDouble(1) === 0.0)
   }
+
+  test("SQL surface: wrong arity fails loudly instead of ignoring or crashing raw") {
+    GraftExtensions.register(spark)
+    // extra args were silently IGNORED (seed/numHashes dropped); missing
+    // ones crashed with a raw IndexOutOfBoundsException
+    val extra = intercept[Exception](
+      spark.sql("SELECT l2_distance(array(CAST(1 AS FLOAT)))").head())
+    assert(extra.getMessage.contains("argument"), extra.getMessage)
+    val tooMany = intercept[Exception](
+      spark.sql("SELECT char_hist('a', 'b')").head())
+    assert(tooMany.getMessage.contains("argument"), tooMany.getMessage)
+  }
+
+  test("SQL surface: minhash_signature honors numHashes and seed arguments") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  size(minhash_signature(array('a','b','c'))) AS n_default,
+        |  size(minhash_signature(array('a','b','c'), 128)) AS n_128,
+        |  minhash_signature(array('a','b','c'), 64, 42)[0] AS h_seed42,
+        |  minhash_signature(array('a','b','c'), 64, 7)[0] AS h_seed7
+        |""".stripMargin).head()
+    assert(row.getInt(0) === 64)
+    assert(row.getInt(1) === 128, "numHashes argument was silently ignored")
+    assert(row.getLong(2) !== row.getLong(3), "seed argument was silently ignored")
+  }
+
+  test("SQL surface: lsh_bands enforces the divisibility guard like its Column twin") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception](
+      spark.sql("SELECT lsh_bands(minhash_signature(array('a')), 64, 7)").head())
+    assert(e.getMessage.contains("divide"), e.getMessage)
+    // and the valid shape still bands
+    val ok = spark.sql(
+      "SELECT size(lsh_bands(minhash_signature(array('a','b')), 64, 16)) AS n").head()
+    assert(ok.getInt(0) === 16)
+  }
+
+  test("SQL surface: word_ngrams runs the native kernel and validates n") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      "SELECT word_ngrams(array('a','b','c'), 2) AS g").head()
+    assert(row.getSeq[String](0) === Seq("a b", "b c"))
+    val bad = intercept[Exception](
+      spark.sql("SELECT word_ngrams(array('a'), 0)").head())
+    assert(bad.getMessage.contains("positive"), bad.getMessage)
+  }
 }
