@@ -36,7 +36,11 @@ object QuantRecall {
 
     val exact = pairs(graft.index.Knn.exact(queries, corpus, k))
     def recall(got: Set[(Long, Long)]): Double =
-      math.round(10000.0 * (got & exact).size / exact.size) / 10000.0
+      // explicit empty guard: math.round(NaN) silently yields 0, which
+      // would mask an empty ground truth as "0 recall" — same contract as
+      // RecallSweep.recallVs, but stated instead of accidental
+      if (exact.isEmpty) 0.0
+      else math.round(10000.0 * (got & exact).size / exact.size) / 10000.0
 
     val hamming10 = recall(pairs(Similarity.hammingSearch(queries, corpus, 64, k)))
     val hammingR100 = recall(pairs(Similarity.hammingSearchRerank(queries, corpus, 64, 100, k)))
