@@ -609,8 +609,14 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
         // manager, so `mem.nonEmpty` can never fail — on a cluster with
         // zero live executors no search job can run, yet the check would
         // report Serving. statusTracker counts the driver too: cluster
-        // mode needs > 1 entries; local mode IS the single entry.
-        val execsAlive = sc.master.startsWith("local") ||
+        // mode needs > 1 entries; local mode IS the single entry
+        // (sc.isLocal, which correctly EXCLUDES local-cluster's separate
+        // executor JVMs). Dynamic allocation idles legitimately to zero
+        // executors (a submitted job triggers scale-up) — failing there
+        // would be a self-sustaining false outage once a load balancer
+        // drains the node.
+        val dynAlloc = sc.getConf.getBoolean("spark.dynamicAllocation.enabled", false)
+        val execsAlive = sc.isLocal || dynAlloc ||
           sc.statusTracker.getExecutorInfos.length > 1
         val memHealthy = execsAlive && mem.nonEmpty &&
           mem.values.forall { case (max, remaining) =>

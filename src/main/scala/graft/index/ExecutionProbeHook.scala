@@ -31,8 +31,8 @@ private[graft] object ExecutionProbeHook {
   private val MaxFired = 64
   private val counter = new java.util.concurrent.atomic.AtomicLong()
 
-  private def bounded(max: Int) = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, Long => Unit](64, 0.75f, false) {
+  private def bounded(max: Int, lru: Boolean) = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Long => Unit](64, 0.75f, lru) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, Long => Unit]): Boolean = size() > max
     })
@@ -44,8 +44,11 @@ private[graft] object ExecutionProbeHook {
   // micro-batch, each capturing the batch's probe-pair array, and leaving
   // fired entries in the 4096-slot pending map retained gigabytes of dead
   // probe pairs on a long-lived driver.
-  private val pending = bounded(MaxPending)
-  private val fired = bounded(MaxFired)
+  private val pending = bounded(MaxPending, lru = false)
+  // ACCESS-ordered: a hot plan that re-fires every trigger must refresh
+  // its recency, or first-fire order would evict it after MaxFired other
+  // plans fire once each and its callback silently stops
+  private val fired = bounded(MaxFired, lru = true)
 
   private val registered = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())

@@ -188,7 +188,14 @@ class IvfFlatIndex(
    */
   private def searchJoinPruned(
       corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int, m: Metric.Value): DataFrame = {
-    val probed = queries.withColumn("list_id",
+    // ONE row per qid BEFORE the probe explosion: duplicated qids with
+    // different qvecs probe DIFFERENT list sets, so any per-group
+    // first-wins downstream still lets finalizePartial merge candidates
+    // scored against two different vectors into one top-k. The static
+    // path dedups globally at the driver (ProbeIndex.apply); the flood
+    // path must too — the extra query-side exchange is nprobe-times
+    // smaller than the probe-replica shuffle that follows.
+    val probed = IvfFlatIndex.onePerQid(queries).withColumn("list_id",
       explode(vector.probe_lists(col("qvec"), centroids, nprobe, m)))
       .select("qid", "qvec", "list_id")
     if (IvfFlatIndex.fitsBroadcastGate(queries, nprobe)) {
@@ -438,6 +445,14 @@ object IvfFlatIndex {
     * skips leading columns (e.g. the multi-index stream's index name). */
   def decodeQueryRow(r: org.apache.spark.sql.Row, offset: Int = 0): (Long, Array[Float]) =
     (r.getLong(offset), Option(r.getSeq[Float](offset + 1)).map(_.toArray).orNull)
+
+  /** One row per qid for the distributed flood paths — the global twin of
+    * ProbeIndex.apply's first-entry-wins. Which duplicate survives is
+    * Spark's pick (deterministic for a deterministic input plan); the
+    * invariant every path must share is that exactly ONE qvec per qid is
+    * ever scored. */
+  private[graft] def onePerQid(queries: DataFrame): DataFrame =
+    queries.dropDuplicates("qid")
 
   /** [[decodeQueryRow]] over a collected sample, dropping null-qid rows
     * first (counted + logged like null-vector drops): Row.getLong NPEs on

@@ -172,7 +172,11 @@ class IvfPqIndex(
       rerankK: Int): DataFrame = {
     val nprobe = math.min(params.nprobe, nlist)
     val probeMetric = params.metric.getOrElse(metric)
-    val probed = queries
+    // one row per qid before the probe explosion — see
+    // IvfFlatIndex.searchJoinPruned (duplicated qids probe different
+    // list sets; dedup after the fact cannot prevent cross-qvec mixing)
+    val uniq = IvfFlatIndex.onePerQid(queries)
+    val probed = uniq
       .withColumn("list_id",
         explode(vector.probe_lists(col("qvec"), centroids, nprobe, probeMetric)))
       .select("qid", "qvec", "list_id")
@@ -197,7 +201,9 @@ class IvfPqIndex(
       // widen a small raw scan for the same reason as the ADC stage: the
       // join fans the candidate stream out over the RAW side's partitions
       val cands = IvfFlatIndex.widenScan(rawVectors.select("id", "vec")).join(hinted, "id")
-      CoGroupTopK.rerankTopK(queries.select("qid", "qvec"), cands, m.id, params.k)
+      // the SAME deduped query rows: joining the raw duplicates back in
+      // would re-introduce the second qvec at the rerank stage
+      CoGroupTopK.rerankTopK(uniq.select("qid", "qvec"), cands, m.id, params.k)
     }
   }
 }

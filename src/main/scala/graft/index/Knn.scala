@@ -84,8 +84,11 @@ object Knn {
             BroadcastProbeTopK.flat(probed, corpus, k, metric.id), k)
             .select("qid", "id", "dist", "rank"), () => ())
         } else {
+          // one row per qid: two duplicate rows would BOTH cross-join and
+          // their candidates merge in the per-qid top-k (cross-qvec
+          // mixing) — same invariant as every other search path
           val scored = vectors.select(col("id"), col("vec"))
-            .crossJoin(qdf)
+            .crossJoin(IvfFlatIndex.onePerQid(qdf))
             .withColumn("dist", vector.distance(col("qvec"), col("vec"), metric))
           (TopKAggregator.topKPerQuery(scored, k).select("qid", "id", "dist", "rank"),
             () => ())

@@ -86,6 +86,14 @@ object ZOrder {
     // over 100 TB usually KNOWS its domain (epoch ranges, id ranges), and
     // the fallback aggregate is a full extra pass over the input, eagerly
     // at compose time.
+    bounds.foreach { case (bx0, bx1, by0, by1) =>
+      // reversed bounds would make every span negative and every bucket
+      // clamp to 0 — clustering silently collapses to one tile, the
+      // exact failure this operator exists to prevent; only the caller
+      // parameter can produce this (the scan path computes min <= max)
+      require(bx1 >= bx0 && by1 >= by0,
+        s"bounds must be ordered (lo <= hi): x=($bx0, $bx1) y=($by0, $by1)")
+    }
     val (x0, x1, y0, y1) = bounds.getOrElse {
       val Array(b) = df.agg(
         min(x.cast("long")).as("x0"), max(x.cast("long")).as("x1"),

@@ -277,6 +277,12 @@ object TrainingPrep {
       if (n == 0) {
         val hPath = new org.apache.hadoop.fs.Path(s"$path/_shards.json")
         val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // same overwrite semantics as the non-empty path's
+        // mode("overwrite") write: stale shard=N dirs from a previous
+        // export must not survive next to an empty manifest (a reader
+        // would silently train on the old rows)
+        val root = new org.apache.hadoop.fs.Path(path)
+        if (fs.exists(root)) fs.delete(root, true)
         val out = fs.create(hPath, true)
         try out.write("""{"num_shards":0,"total_rows":0,"shards":[]}"""
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -29,6 +29,11 @@ class EpochManager(basePath: String) {
   // and the local tombstones are the only ids the merge may remove
   private val locallyDeleted = TrieMap.empty[String, Unit]
   @volatile private var activeId: String = ""
+  // has THIS instance ever changed the active pointer? persistState only
+  // writes our activeId when true — otherwise a stale instance's persist
+  // would REVERT an activation another manager performed on the same
+  // base path
+  @volatile private var activeDirty = false
   private val rnd = new java.security.SecureRandom()
 
   Files.createDirectories(Paths.get(basePath))
@@ -53,11 +58,12 @@ class EpochManager(basePath: String) {
   def activateEpoch(id: String): Unit = synchronized {
     if (!epochs.contains(id)) throw new NotFoundException(s"Epoch not found: $id")
     activeId = id
+    activeDirty = true
     persistState()
   }
 
   def deactivateEpoch(id: String): Unit = synchronized {
-    if (activeId == id) activeId = ""
+    if (activeId == id) { activeId = ""; activeDirty = true }
     persistState()
   }
 
@@ -72,8 +78,14 @@ class EpochManager(basePath: String) {
     * never deleted. */
   def cleanupOldEpochs(keepN: Int = 3, protectedIds: Set[String] = Set.empty): Seq[String] = synchronized {
     val byAgeDesc = epochs.toSeq.sortBy { case (id, ts) => (-ts, id) }
+    // ALSO protect the active id the DISK state names: another manager on
+    // this base path may have activated an epoch this instance's stale
+    // memory considers old — deleting it would break that manager's
+    // serving (and the next loadState everywhere)
+    val diskActive = diskActiveId()
     val doomed = byAgeDesc.drop(keepN)
-      .filterNot { case (id, _) => id == activeId || protectedIds.contains(id) }
+      .filterNot { case (id, _) =>
+        id == activeId || diskActive.contains(id) || protectedIds.contains(id) }
       .map(_._1)
     doomed.foreach { id =>
       // state first, directory second: a crash between the two leaves an
@@ -113,6 +125,17 @@ class EpochManager(basePath: String) {
     if (doomed.isEmpty) persistState()
     doomed ++ orphans
   }
+
+  /** The active epoch id the on-disk state file names, if any. */
+  private def diskActiveId(): Option[String] =
+    try {
+      val p = Paths.get(statePath)
+      if (!Files.exists(p)) None
+      else JsonMethods.parse(Files.readString(p)) \ "active" match {
+        case JString(a) if a.nonEmpty => Some(a)
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Epoch ids the on-disk state file references, or None if the file is
     * missing/unreadable (in which case nothing can be declared orphaned). */
@@ -154,8 +177,12 @@ class EpochManager(basePath: String) {
         }
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
     val merged = (diskEpochs ++ epochs.toMap) -- locallyDeleted.keys
+    // our active pointer only if WE set it; otherwise preserve whatever
+    // the disk names (another instance's activation must survive our
+    // unrelated persists)
+    val act = if (activeDirty) activeId else diskActiveId().getOrElse(activeId)
     val j = JObject(
-      "active" -> JString(activeId),
+      "active" -> JString(act),
       "epochs" -> JArray(merged.toList.sortBy(_._1).map { case (id, ts) =>
         JObject("id" -> JString(id), "created_at" -> JLong(ts))
       }))

@@ -88,19 +88,26 @@ object Manifest {
     * only orders METADATA; without flushing the temp file's data blocks a
     * power loss shortly after an epoch swap can leave the state file
     * zero-length or truncated on ext4/xfs. */
+  private val tmpCounter = new java.util.concurrent.atomic.AtomicLong()
+
   private[graft] def atomicWrite(target: Path, content: String): Unit = {
     Files.createDirectories(target.getParent)
     // UNIQUE temp name per writer: a fixed '<name>.tmp' sibling lets two
     // concurrent writers (serving driver + maintenance job on one base
     // path) interleave open/TRUNCATE/write/rename and atomically publish
     // a half-written file — the rename is atomic, the shared scratch
-    // file is not
-    val tmp = Files.createTempFile(target.getParent,
-      target.getFileName.toString + ".", ".tmp")
+    // file is not. Built by hand (pid + counter), NOT createTempFile:
+    // that API creates 0600 files on POSIX and ATOMIC_MOVE preserves the
+    // mode, so the published state file would become unreadable to the
+    // other processes this very hardening targets; CREATE_NEW here
+    // honors the umask like the old path did.
+    val tmp = target.resolveSibling(
+      s"${target.getFileName}.${ProcessHandle.current.pid}." +
+        s"${tmpCounter.incrementAndGet()}.tmp")
     try {
       val ch = java.nio.channels.FileChannel.open(tmp,
-        java.nio.file.StandardOpenOption.WRITE,
-        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
       try {
         ch.write(java.nio.ByteBuffer.wrap(content.getBytes(StandardCharsets.UTF_8)))
         ch.force(true)

@@ -94,7 +94,11 @@ class BroadcastGateSpec extends SparkSpec {
     val dupes = floodQueries ++ floodQueries.take(200)
       .map { case (qid, v) => (qid, v.reverse) } // same scale, different direction
     val qdf = queriesDF(dupes)
-    val params = SearchParams(k = 5, nprobe = 8)
+    // nprobe < nlist: the two duplicates of a qid probe DIFFERENT list
+    // sets, so a per-group dedup inside the co-group scorer cannot
+    // prevent the mixing — only a global one-row-per-qid before the
+    // probe explosion can
+    val params = SearchParams(k = 5, nprobe = 2)
     def perQid(df: DataFrame): Map[Long, Set[Long]] =
       df.collect().map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }

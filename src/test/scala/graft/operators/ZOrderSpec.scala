@@ -139,6 +139,16 @@ class ZOrderSpec extends SparkSpec {
     assert(!negPids.contains(maxPid) || minPid == maxPid)
   }
 
+  test("reversed caller bounds are rejected, not silently collapsed to one tile") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((1L, 1L)).toDF("x", "y")
+    intercept[IllegalArgumentException] {
+      ZOrder.cluster(rows, col("x"), col("y"), 2,
+        bounds = Some((999L, 0L, 0L, 999L)))
+    }
+  }
+
   test("a domain spanning more than Long.MaxValue still buckets sanely (no long wrap)") {
     val s = spark
     import s.implicits._

@@ -213,11 +213,21 @@ class TrainingPrepSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_empty_shards").toString
-    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // FIRST a real export, then an empty re-export at the same path: the
+    // empty manifest must not sit next to the previous run's stale shard
+    // parquet (a reader would silently train on the old rows)
+    val real = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .withColumn("source", lit("web"))
+    TrainingPrep.writeShards(real, s"$dir/out", numShards = 2)
+    assert(spark.read.parquet(s"$dir/out").count() === 2)
+    val empty = real.filter(col("doc_id") < 0)
     TrainingPrep.writeShards(empty, s"$dir/out", numShards = 4)
     val manifest = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$dir/out/_shards.json")),
       java.nio.charset.StandardCharsets.UTF_8)
     assert(manifest === """{"num_shards":0,"total_rows":0,"shards":[]}""")
+    val stale = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.startsWith("shard="))
+    assert(stale.isEmpty, s"stale shards survived the empty export: ${stale.toSeq}")
   }
 }

@@ -94,6 +94,18 @@ class EpochManagerSpec extends AnyFunSuite {
     // directory
     assert(Files.readString(java.nio.file.Paths.get(a.statePath)).contains(fromA),
       "a stale instance's persist dropped a concurrent registration")
+    // a stale instance's persist must not REVERT another's activation:
+    // a activates its epoch; b (stale active="" in memory) persists via
+    // cleanup — the disk active pointer must survive
+    a.activateEpoch(fromA)
+    b.cleanupOldEpochs(keepN = 3)
+    val a2 = new EpochManager(base) // fresh load sees the disk state
+    assert(a2.activeEpoch === Some(fromA),
+      "stale instance's persist reverted the active pointer")
+    // and b's cleanup must never doom the DISK-active epoch even when
+    // b's own memory considers it unprotected
+    assert(Files.exists(java.nio.file.Paths.get(a.epochPath(fromA))))
+
     // lost state file: nothing is provably orphaned -> sweep is a no-op
     Files.delete(java.nio.file.Paths.get(a.statePath))
     val sweptNoState = b.cleanupOldEpochs(keepN = 3)
