@@ -17,6 +17,13 @@ import graft.streaming.StreamingIngest
  */
 class IntegrationSpec extends SparkSpec {
 
+  test("driver contract: SparkEntry.entry returns rows at sf0.001") {
+    // the driver smoke-checks exactly this; pin it so a refactor of the
+    // flagship query can never silently break the per-round gate
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("stream -> staging -> BuildEpoch -> ActivateEpoch -> Search loop") {
     val s = spark
     import s.implicits._
