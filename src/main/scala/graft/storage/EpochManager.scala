@@ -41,6 +41,33 @@ class EpochManager(basePath: String) {
 
   def epochPath(id: String): String = s"$basePath/$id"
   def statePath: String = s"$basePath/epochs.json"
+  def lockPath: String = s"$basePath/epochs.lock"
+
+  /** Serialize every read->merge->write of epochs.json across BOTH
+    * threads and processes sharing this base path. Two layers because
+    * `FileChannel.lock` is process-scoped: the JVM throws
+    * OverlappingFileLockException if a second channel in the SAME process
+    * tries to lock the file, so in-process callers (two EpochManager
+    * instances in one driver) first serialize on a per-canonical-path
+    * ReentrantLock, and only the winner takes the OS file lock that
+    * excludes OTHER processes (the maintenance job racing the serving
+    * driver). The lock file is a sibling — never epochs.json itself,
+    * whose atomic-rename replacement would drop the lock's inode. */
+  private def withStateLock[T](body: => T): T = {
+    val jvm = EpochManager.processLock(basePath)
+    jvm.lock()
+    try {
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(lockPath),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val fl = ch.lock()
+        try body
+        finally fl.release()
+      } finally ch.close()
+    } finally jvm.unlock()
+  }
 
   def createEpoch(): String = synchronized {
     // regenerate on collision: same millisecond + same 1-in-10000 draw
@@ -159,8 +186,17 @@ class EpochManager(basePath: String) {
     * file — would then delete their live directories an hour later. A
     * deletion performed by ANOTHER instance may be resurrected as a
     * ghost entry (its directory is gone; activation of it fails loudly);
-    * that is the safe direction. */
-  private def persistState(): Unit = {
+    * that is the safe direction.
+    *
+    * The read->merge->write runs under [[withStateLock]]: without mutual
+    * exclusion two managers (serving driver + maintenance job) can BOTH
+    * read the same disk state, each merge only its own registrations, and
+    * the second write silently drops the first's new epoch from
+    * epochs.json — after which the other manager's orphan sweep, which
+    * trusts the disk state, deletes the live epoch directory once the
+    * grace window passes. The merge logic alone cannot close that race;
+    * only serializing the whole read-merge-write does. */
+  private def persistState(): Unit = withStateLock {
     val diskEpochs: Map[String, Long] =
       try {
         val p = Paths.get(statePath)
@@ -212,6 +248,20 @@ class EpochManager(basePath: String) {
 }
 
 object EpochManager {
+  /** One in-process lock per canonical base path: the gate that lets
+    * [[EpochManager.withStateLock]] take an OS file lock without tripping
+    * OverlappingFileLockException when two instances in the same JVM
+    * share a base path. Never removed — a handful of ReentrantLocks per
+    * distinct index path is bounded by the number of indexes served. */
+  private val processLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+  private def processLock(basePath: String): java.util.concurrent.locks.ReentrantLock = {
+    val key =
+      try new java.io.File(basePath).getCanonicalPath
+      catch { case scala.util.control.NonFatal(_) => basePath }
+    processLocks.computeIfAbsent(key, _ => new java.util.concurrent.locks.ReentrantLock())
+  }
+
   /** Orphan directories younger than this are left alone: createEpoch
     * creates the directory before persisting state, so a concurrent
     * manager's fresh epoch is briefly unreferenced on disk. */

@@ -114,6 +114,38 @@ class EpochManagerSpec extends AnyFunSuite {
       "with no readable state file every dir must survive")
   }
 
+  test("concurrent persists from two managers never drop a registration (state-lock)") {
+    // The lost-update race: A reads epochs.json, B reads the same bytes,
+    // A writes (with A's new epoch), B writes over it from its stale read
+    // -> A's epoch vanishes from disk state, and an orphan sweep past the
+    // grace window would delete A's LIVE directory. withStateLock
+    // serializes the whole read->merge->write, so every id must survive.
+    val base = tmpDir()
+    val a = new EpochManager(base)
+    val b = new EpochManager(base)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val created = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    try {
+      val tasks = (0 until 40).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = created.add((if (i % 2 == 0) a else b).createEpoch())
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    assert(created.size === 40)
+    val disk = Files.readString(java.nio.file.Paths.get(a.statePath))
+    created.forEach { id =>
+      assert(disk.contains(id), s"epoch $id lost from disk state by a concurrent persist")
+    }
+    // a fresh manager (restart) must load every registration
+    val fresh = new EpochManager(base)
+    assert(fresh.listEpochs.toSet === {
+      val s = scala.collection.mutable.Set.empty[String]
+      created.forEach(id => s += id); s.toSet
+    })
+  }
+
   test("deactivate clears the active pointer") {
     val em = new EpochManager(tmpDir())
     val e = em.createEpoch()
