@@ -40,9 +40,10 @@ object Recall {
     val recalls = sweep.map { nprobe =>
       val got = index.search(queries, SearchParams(k, nprobe)).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      // 0/0 = NaN is not valid JSON; an empty query/exact set reads as
-      // recall 0, not a line downstream parsers reject
-      nprobe -> (if (exact.isEmpty) 0.0 else (got & exact).size.toDouble / exact.size)
+      // empty ground truth -> -1 marker + stderr warning (config error,
+      // distinguishable from a real recall collapse; NaN is not JSON) —
+      // same contract as RecallSweep.recallVs
+      nprobe -> RecallSweep.recallVs(exact, got)
     }
     val json = recalls.map { case (np, r) => s""""$np":$r""" }.mkString("{", ",", "}")
     println(s"""{"nlist":$nlist,"k":$k,"sf":"$sfDir","recall":$json}""")

@@ -37,11 +37,20 @@ object RecallSweep {
     r
   }
 
-  /** Recall of `got` against the exact set; 0 (valid JSON) when the
-    * ground truth is empty — 0/0 = NaN is not JSON and would poison the
-    * emitted RECALL line. */
-  private def recallVs(exact: Set[(Long, Long)], got: Set[(Long, Long)]): Double =
-    if (exact.isEmpty) 0.0 else (got & exact).size.toDouble / exact.size
+  /** Recall of `got` against the exact set; -1 (valid JSON, impossible as
+    * a real recall) when the ground truth is empty — 0/0 = NaN is not JSON
+    * and would poison the emitted RECALL line, and reporting 0.0 would
+    * make a misconfigured/empty query set indistinguishable from a
+    * genuinely catastrophic recall collapse. A stderr warning rides along
+    * so the config error is visible even to a reader who only eyeballs
+    * the JSON for small numbers. */
+  private[graft] def recallVs(exact: Set[(Long, Long)], got: Set[(Long, Long)]): Double =
+    if (exact.isEmpty) {
+      System.err.println(
+        "[recall] WARNING: empty exact ground-truth set — emitting -1 " +
+          "(config error marker, NOT a recall measurement)")
+      -1.0
+    } else (got & exact).size.toDouble / exact.size
 
   /** Exact ground truth for one (queries, corpus, k) — computed ONCE per
     * corpus and shared by the flat and PQ sweeps (it is a full

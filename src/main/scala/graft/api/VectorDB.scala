@@ -723,6 +723,15 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       sb.append("# TYPE vdb_dropped_null_queries_total counter\n")
       sb.append(s"vdb_dropped_null_queries_total $nullDrops\n")
     }
+    // probe re-fire evictions: growing value = some re-executed plans'
+    // callbacks (hot-list stats, latency histograms) silently stopped
+    // updating — raise -Dgraft.probe.maxFired (JVM-wide)
+    val probeEvict = graft.index.ExecutionProbeHook.firedEvictions.get()
+    if (probeEvict > 0) {
+      sb.append("# HELP vdb_probe_refire_evictions_total Execution-probe callbacks evicted from the re-fire map (re-executed plans stop updating stats; JVM-wide)\n")
+      sb.append("# TYPE vdb_probe_refire_evictions_total counter\n")
+      sb.append(s"vdb_probe_refire_evictions_total $probeEvict\n")
+    }
     sb.toString
   }
 

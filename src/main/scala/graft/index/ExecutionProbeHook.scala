@@ -28,14 +28,33 @@ private[graft] object ExecutionProbeHook {
 
   private val Prefix = "graft_probe_"
   private val MaxPending = 4096
-  private val MaxFired = 64
+  // configurable: a deployment re-executing more than MaxFired distinct
+  // observed DataFrames (an unusually wide serving loop) can raise the
+  // cap instead of silently losing re-fire support
+  private val MaxFired =
+    try math.max(1, Integer.getInteger("graft.probe.maxFired", 64))
+    catch { case _: NumberFormatException => 64 }
   private val counter = new java.util.concurrent.atomic.AtomicLong()
 
-  private def bounded(max: Int, lru: Boolean) = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, Long => Unit](64, 0.75f, lru) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Long => Unit]): Boolean = size() > max
-    })
+  /** Evictions from the re-fire map. A non-zero, growing value means the
+    * driver re-executes more distinct observed plans than [[MaxFired]] and
+    * some probe callbacks (hot-list stats feeding warmupHot, latency
+    * histograms) have silently stopped updating — raise
+    * -Dgraft.probe.maxFired. Exposed so VectorDB.metricsText can publish
+    * it; also logged (first eviction, then every 1024th) so the signal
+    * exists even without a metrics scraper. */
+  private[graft] val firedEvictions = new java.util.concurrent.atomic.AtomicLong()
+
+  private def bounded(max: Int, lru: Boolean, onEvict: () => Unit = () => ()) =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Long => Unit](64, 0.75f, lru) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Long => Unit]): Boolean = {
+          val evict = size() > max
+          if (evict) onEvict()
+          evict
+        }
+      })
 
   // insertion-ordered with eldest-entry eviction. FIRED entries migrate to
   // the small `fired` map (re-executing the same DataFrame still fires —
@@ -48,7 +67,14 @@ private[graft] object ExecutionProbeHook {
   // ACCESS-ordered: a hot plan that re-fires every trigger must refresh
   // its recency, or first-fire order would evict it after MaxFired other
   // plans fire once each and its callback silently stops
-  private val fired = bounded(MaxFired, lru = true)
+  private val fired = bounded(MaxFired, lru = true, onEvict = () => {
+    val n = firedEvictions.incrementAndGet()
+    if (n == 1 || n % 1024 == 0) System.err.println(
+      s"[graft] probe re-fire map evicted $n callback(s) (cap $MaxFired): " +
+        "re-executions of evicted plans no longer update hot-list/latency " +
+        "stats; raise -Dgraft.probe.maxFired if this driver legitimately " +
+        "re-executes that many distinct observed plans")
+  })
 
   private val registered = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())

@@ -72,12 +72,14 @@ final class TokenBucket(
  * (reference server/load_balancer.cpp:8-120, 173-244) as a plain decorator
  * around batch handlers, with the same constants and transitions:
  *
- *  - **Rate limit**: a [[TokenBucket]] at the reference's defaults
- *    (10k rps, burst 100) sheds requests before they touch the breaker
- *    or the in-flight counter. A shed request is NOT counted as a
- *    service error — it never reached the backend, and counting it
- *    would trip the breaker on exactly the floods the limiter is
- *    correctly absorbing.
+ *  - **Rate limit**: ONE [[TokenBucket]] per service name (minted lazily
+ *    from the injected factory, mirroring the per-service breaker/metrics
+ *    map — a flood on one service must not consume another's shed
+ *    budget), at the reference's defaults (10k rps, burst 100), shedding
+ *    requests before they touch the breaker or the in-flight counter. A
+ *    shed request is NOT counted as a service error — it never reached
+ *    the backend, and counting it would trip the breaker on exactly the
+ *    floods the limiter is correctly absorbing.
  *  - **Concurrency cap** (`maxConcurrent`, default 100): a request
  *    arriving while the in-flight count is at the cap is rejected as
  *    overload AND counted as an error (load_balancer.cpp:47-52).
@@ -107,7 +109,7 @@ class ServingGuard(
     val breakerThreshold: Double = 0.5,
     val breakerTimeoutMs: Long = 30000L,
     now: () => Long = () => System.currentTimeMillis(),
-    val rateLimiter: Option[TokenBucket] = Some(new TokenBucket())) {
+    val rateLimiter: Option[() => TokenBucket] = Some(() => new TokenBucket())) {
 
   /** Rejected WITHOUT running the handler: circuit open or overload. */
   final class RejectedException(val reason: String) extends RuntimeException(reason)
@@ -136,6 +138,14 @@ class ServingGuard(
   private val metrics = new java.util.concurrent.ConcurrentHashMap[String, Metrics]()
   private def metricsFor(service: String): Metrics =
     metrics.computeIfAbsent(service, _ => new Metrics)
+  // per-service buckets, minted lazily from the factory — mirrors the
+  // metrics map so shed budgets are isolated the same way breaker state is
+  private val limiters = new java.util.concurrent.ConcurrentHashMap[String, TokenBucket]()
+
+  /** The service's bucket (minted on first use), if rate limiting is on;
+    * exposed for metrics/specs (e.g. publishing available tokens). */
+  def rateLimiterFor(service: String): Option[TokenBucket] =
+    rateLimiter.map(mk => limiters.computeIfAbsent(service, _ => mk()))
 
   /** In-flight request count (the load the batch sizing adapts to). */
   def currentLoad: Int = inFlight.get()
@@ -151,7 +161,7 @@ class ServingGuard(
     val m = metricsFor(service)
     // Rate limit first: shedding here costs no lock on the service metrics
     // and leaves breaker state untouched (see class doc).
-    rateLimiter.foreach { rl =>
+    rateLimiterFor(service).foreach { rl =>
       if (!rl.tryAcquire()) throw new RejectedException(s"rate limited ($service)")
     }
     m.synchronized {

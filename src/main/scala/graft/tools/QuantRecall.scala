@@ -36,10 +36,10 @@ object QuantRecall {
 
     val exact = pairs(graft.index.Knn.exact(queries, corpus, k))
     def recall(got: Set[(Long, Long)]): Double =
-      // explicit empty guard: math.round(NaN) silently yields 0, which
-      // would mask an empty ground truth as "0 recall" — same contract as
-      // RecallSweep.recallVs, but stated instead of accidental
-      if (exact.isEmpty) 0.0
+      // empty ground truth -> -1 marker + stderr warning (config error,
+      // distinguishable from a real recall collapse) — same contract as
+      // RecallSweep.recallVs; math.round(NaN) would silently yield 0
+      if (exact.isEmpty) graft.RecallSweep.recallVs(exact, got)
       else math.round(10000.0 * (got & exact).size / exact.size) / 10000.0
 
     val hamming10 = recall(pairs(Similarity.hammingSearch(queries, corpus, 64, k)))

@@ -266,7 +266,7 @@ class ServingGuardSpec extends AnyFunSuite {
   test("guarded sheds over-rps load as rejection without tripping the breaker") {
     var ns = 0L
     val bucket = new TokenBucket(requestsPerSecond = 1000L, burstSize = 3L, nanoNow = () => ns)
-    val g = new ServingGuard(now = () => ns / 1000000L, rateLimiter = Some(bucket))
+    val g = new ServingGuard(now = () => ns / 1000000L, rateLimiter = Some(() => bucket))
     // burst within budget passes
     (1 to 3).foreach(i => assert(g.guarded("s")(i) === i))
     // sustained flood past the burst sheds...
@@ -304,6 +304,24 @@ class ServingGuardSpec extends AnyFunSuite {
         admitted <= burst + ns / period
       })
     assert(res.passed, res.status.toString)
+  }
+
+  test("rate-limit budgets are per service: a flood on one never sheds another") {
+    // one bucket is minted PER service name from the factory — a shared
+    // bucket would let a flood on service "a" consume "b"'s entire budget
+    var ns = 0L
+    val g = new ServingGuard(
+      now = () => ns / 1000000L,
+      rateLimiter = Some(() => new TokenBucket(requestsPerSecond = 1000L, burstSize = 2L, nanoNow = () => ns)))
+    // exhaust a's burst and keep flooding past it
+    (1 to 2).foreach(i => assert(g.guarded("a")(i) === i))
+    intercept[g.RejectedException](g.guarded("a")(99))
+    // b's budget is untouched by a's flood
+    (1 to 2).foreach(i => assert(g.guarded("b")(i) === i))
+    intercept[g.RejectedException](g.guarded("b")(99))
+    // and the minted buckets are distinct, stable instances
+    assert(g.rateLimiterFor("a").get ne g.rateLimiterFor("b").get)
+    assert(g.rateLimiterFor("a").get eq g.rateLimiterFor("a").get)
   }
 
   test("rateLimiter = None disables shedding entirely") {
