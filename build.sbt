@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains speak a JSON-line protocol on stdout. Forked-run
+// output must pass through unprefixed (no "[info] " wrapper), and sbt's
+// trailing "[success] Total time: ..." line must not displace the JSON
+// line from the END of the captured output — harness tails are finite.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -244,6 +244,31 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,""" +
       s""""queries":$qs,"min":$mins,"max":$maxs,"spread":$spreads,""" +
       s""""unstable":$unstable,"stall_retries":$stallRetries,"sf":"$sfDir"}""")
+    // Compact SUMMARY line, printed LAST: the harness that records the
+    // bench keeps only a finite tail of the output (~2000 chars observed),
+    // and the full line above — four per-query maps across ~90 queries —
+    // is several times that, so its head (and any parseable prefix) falls
+    // off the capture. This line carries the same headline contract
+    // (metric/value/unit/queries/sf) with the queries map cut to a fixed
+    // headline set UNION the slowest eight (regressions surface even off
+    // the fixed list), sized to fit a 2k tail whole. Full per-query
+    // medians/min/max/spread remain on the line above for any consumer of
+    // the complete stream.
+    val headline = Set(
+      "q1_agg", "q3_join", "knn_exact_l2", "knn_exact_flood",
+      "ivf_search_probe", "ivf_search_full", "ivf_search_batch_all",
+      "ivfpq_search_adc", "ivfpq_search_rerank", "ivfpq_flood_cogroup",
+      "knn_self_join", "filtered_ann", "hamming_rerank", "sq8_rerank",
+      "dedup_exact", "minhash_pairs", "simhash_pairs", "dedup_edit_distance",
+      "neardup_embeddings", "vector_scale_bench", "events_hourly",
+      "text_analysis", "seq_pack", "corpus_shuffle", "multimodal_features")
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8).map(_._1).toSet
+    val keep = headline ++ slowest
+    val compactQs = results.filter(r => keep(r._1))
+      .map(r => "\"" + r._1 + "\":" + r._2).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,""" +
+      s""""queries":$compactQs,"n_queries":${results.size},""" +
+      s""""unstable":$unstable,"stall_retries":$stallRetries,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
