@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * End-to-end corpus curation — the composition a 100 TB training-data
+ * pipeline actually runs, as ONE plan with a per-document audit row.
+ * The reference ships the vector-side primitives (engine/, server/); the
+ * curation stages here compose this repo's pipeline operators in their
+ * production order, each stage operating on the SURVIVORS of the
+ * previous one (you don't MinHash documents the quality gate already
+ * dropped — at scale the staging IS the optimization, every stage
+ * shrinks the next stage's input):
+ *
+ *  1. quality gate — [[TextAnalysis.qualityScore]] >= minQuality AND
+ *     [[QualityFilters.repetitionMetrics]] rep_ok;
+ *  2. exact dedup — keep the minimum surviving doc_id per identical
+ *     text (a doc whose only twin failed quality is NOT a duplicate);
+ *  3. near dedup — [[Dedup.minhashLsh]] over stage-2 survivors; a doc
+ *     is dropped iff some surviving pair partner has a smaller id (the
+ *     standard greedy LSH rule, [[Dedup.dropNearDuplicates]]);
+ *  4. decontamination — [[TrainingPrep.contamination]] of stage-3
+ *     survivors against the held-out eval set (rare shared word
+ *     n-grams, corpus-df-capped);
+ *  5. shard assignment — kept docs land on a shard by the shared
+ *     Lehmer key ([[TrainingPrep.lehmerKey]] mod nShards), the same
+ *     generator the sampling/shuffle/cap operators promise.
+ *
+ * Output: one row PER INPUT DOCUMENT — `doc_id`, the per-stage verdict
+ * columns (`quality_ok`, `rep_ok`, `exact_dup_of`, `near_dup_of`,
+ * `contaminated`), the final `keep`, the first-failing-stage
+ * `drop_reason` ('quality' | 'repetition' | 'exact_dup' | 'near_dup' |
+ * 'contaminated' | null), and `shard` (null unless kept). Rejected
+ * documents stay visible with their reasons — the audit shape a
+ * curation run needs. Everything is integer/boolean/string, so the
+ * result hash-compares exactly against a SQL replay.
+ *
+ * Scale notes: stage 1 is expression-only over the scan; stage 2 is one
+ * groupBy(text) with map-side combine; stage 3 carries 8-byte ids
+ * through band joins ([[Dedup.minhashLsh]]); stage 4 never shuffles
+ * corpus shingles ([[TrainingPrep.contamination]]'s df-cap-first
+ * design); the final assembly is doc_id equi-joins on per-stage
+ * verdict frames, each at most one row per doc. No stage collects to
+ * the driver.
+ */
+object Curation {
+
+  /** First-failing-stage precedence shared by `keep` and `drop_reason`. */
+  private def reasonCol(
+      qualityOk: Column, repOk: Column, exactDupOf: Column,
+      nearDupOf: Column, contaminated: Column): Column =
+    when(!qualityOk, "quality")
+      .when(!repOk, "repetition")
+      .when(exactDupOf.isNotNull, "exact_dup")
+      .when(nearDupOf.isNotNull, "near_dup")
+      .when(contaminated, "contaminated")
+
+  def curate(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      minQuality: Double = 0.5,
+      ngram: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      nearThreshold: Double = 0.5,
+      contamN: Int = 3,
+      contamMaxDf: Int = 5,
+      nShards: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      family: graft.functions.HashFamily = graft.functions.HashFamily.Xxh64)
+      : DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val id = col(idCol)
+
+    // stage 1: per-doc quality + repetition verdicts (expression/agg only)
+    val qual = docs.select(id,
+      (TextAnalysis.qualityScore(col(textCol)) >= minQuality).as("quality_ok"))
+    val rep = QualityFilters.repetitionMetrics(docs, idCol, textCol)
+      .select(idCol, "rep_ok")
+    // the three verdict frames join back once at the end; the SURVIVOR
+    // frame feeding stages 2-4 is persisted — three downstream consumers
+    // (exact groupBy, minhash shingles, final join) and no cross-branch
+    // CSE in Spark
+    val s1 = Dedup.persistOnce(docs.select(id, col(textCol))
+      .join(qual.filter(col("quality_ok")).select(idCol), idCol)
+      .join(rep.filter(col("rep_ok")).select(idCol), idCol))
+
+    // stage 2: exact dedup among stage-1 survivors — keep min doc_id per
+    // text; the keeper maps to a NULL exact_dup_of
+    val keepers = s1.groupBy(textCol).agg(min(idCol).as("keep_id"))
+    val exactOf = s1.join(keepers, textCol)
+      .select(id, when(id =!= col("keep_id"), col("keep_id")).as("exact_dup_of"))
+    val s2 = Dedup.persistOnce(
+      s1.join(exactOf.filter(col("exact_dup_of").isNotNull).select(idCol),
+        Seq(idCol), "left_anti"))
+
+    // stage 3: banded MinHash near-dup among stage-2 survivors; greedy
+    // smaller-id-partner-wins rule (Dedup.dropNearDuplicates semantics),
+    // near_dup_of = the smallest such partner for the audit row
+    val pairs = Dedup.minhashLsh(s2, idCol, textCol, ngram, numHashes,
+      bands, nearThreshold, family)
+    val nearOf = pairs.groupBy(col("b_id").as(idCol))
+      .agg(min("a_id").as("near_dup_of"))
+    val s3 = s2.join(nearOf.select(idCol), Seq(idCol), "left_anti")
+
+    // stage 4: eval-set decontamination of stage-3 survivors (the df cap
+    // is computed over the SURVIVOR corpus — boilerplate is judged on
+    // what would actually ship)
+    val contam = TrainingPrep.contamination(
+        s3, evalDocs, contamN, contamMaxDf, idCol, textCol)
+      .select(id, lit(true).as("contaminated"))
+
+    // assembly: one row per INPUT doc, every verdict visible
+    val q = col("quality_ok")
+    val r = coalesce(col("rep_ok"), lit(false))
+    val e = col("exact_dup_of")
+    val nd = col("near_dup_of")
+    val c = coalesce(col("contaminated"), lit(false))
+    val reason = reasonCol(q, r, e, nd, c)
+    docs.select(id)
+      .join(qual, idCol)
+      .join(rep, Seq(idCol), "left")
+      .join(exactOf, Seq(idCol), "left")
+      .join(nearOf, Seq(idCol), "left")
+      .join(contam, Seq(idCol), "left")
+      .select(
+        id,
+        q.as("quality_ok"),
+        r.as("rep_ok"),
+        e,
+        nd,
+        c.as("contaminated"),
+        reason.isNull.as("keep"),
+        reason.as("drop_reason"),
+        when(reason.isNull,
+          (TrainingPrep.lehmerKey(id) % nShards).cast("int")).as("shard"))
+  }
+}

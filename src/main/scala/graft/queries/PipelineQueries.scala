@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.vector
 import graft.index.IvfFlatIndex
-import graft.pipeline.{Dedup, EmbeddingOps, Multimodal, QualityFilters, Similarity, TextAnalysis, TrainingPrep}
+import graft.pipeline.{Curation, Dedup, EmbeddingOps, Multimodal, QualityFilters, Similarity, TextAnalysis, TrainingPrep}
 
 /**
  * Driver-contract entries for the LLM-pipeline operators (dedup,
@@ -317,6 +317,21 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Full curation pipeline in one plan (Curation.curate): quality gate
+    * -> exact dedup among survivors -> banded MinHash near-dup (Poly
+    * family so the oracle can replay the bands) -> eval-set
+    * decontamination -> Lehmer shard assignment; one audit row per input
+    * doc with the first-failing-stage drop_reason. Corpus/eval split is
+    * the same doc_id % 50 convention as the contamination entry. */
+  private def corpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Curation.curate(
+      d.filter(col("doc_id") % 50 =!= 0),
+      d.filter(col("doc_id") % 50 === 0),
+      family = graft.functions.HashFamily.Poly)
+      .orderBy("doc_id")
+  }
+
   /** Deterministic per-source cap at 15 docs (TrainingPrep.capPerSource). */
   private def sourceCap(spark: SparkSession, dir: String): DataFrame =
     TrainingPrep.capPerSource(docs(spark, dir), cap = 15).orderBy("doc_id")
@@ -345,6 +360,7 @@ object PipelineQueries {
     "embedding_outliers" -> (embeddingOutliers _),
     "token_histogram" -> (tokenHistogram _),
     "corpus_clean" -> (corpusClean _),
+    "corpus_curation" -> (corpusCuration _),
     "contamination_emb" -> (contaminationEmb _),
     "quality_repetition" -> (qualityRepetition _),
     "tfidf_keywords" -> (tfidfKeywords _),
@@ -870,6 +886,120 @@ object PipelineQueries {
          |      FROM d)
          |SELECT qid, id, dist, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
     },
+    // The full curation pipeline replayed stage by stage: each CTE block
+    // is the proven fragment from the corresponding single-stage oracle
+    // (corpus_clean's quality/repetition, dedup_exact's min-per-text,
+    // minhash_pairs' Poly bands, contamination's df-capped shingle join),
+    // re-rooted on the previous stage's survivor set exactly as
+    // Curation.curate stages its inputs.
+    "corpus_curation" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+        |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+        |qb AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS toks,
+        |  CAST(length(text) AS DOUBLE) AS n_chars,
+        |  CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+        |    AS alpha_chars
+        |  FROM corpus),
+        |q AS (SELECT doc_id,
+        |  (least(CAST(len(toks) AS DOUBLE) / 20.0, 1.0) * 0.4
+        |   + (CASE WHEN n_chars > 0 THEN alpha_chars / n_chars ELSE 0.0 END) * 0.4
+        |   + (CASE WHEN CAST(len(toks) AS DOUBLE) > 0
+        |            AND alpha_chars / CAST(len(toks) AS DOUBLE) >= 3
+        |            AND alpha_chars / CAST(len(toks) AS DOUBLE) <= 10
+        |       THEN 1.0 ELSE 0.5 END) * 0.2) >= 0.5 AS quality_ok
+        |  FROM qb),
+        |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct FROM qb),
+        |uc AS (SELECT doc_id, g, count(*) AS cnt FROM
+        |        (SELECT doc_id, unnest(toks) AS g FROM qb) GROUP BY doc_id, g),
+        |u AS (SELECT doc_id, max(cnt) AS top_uni FROM uc GROUP BY doc_id),
+        |bc AS (SELECT doc_id, g, count(*) AS cnt FROM
+        |        (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |           i -> concat_ws(' ', toks[i], toks[i+1]))) AS g FROM qb)
+        |       GROUP BY doc_id, g),
+        |b2 AS (SELECT doc_id, max(cnt) AS top_bi FROM bc GROUP BY doc_id),
+        |rep AS (SELECT base.doc_id,
+        |  (CASE WHEN n_tokens > 0
+        |        THEN CAST(n_distinct AS DOUBLE) / n_tokens ELSE 0.0 END) >= 0.40
+        |  AND (CASE WHEN n_tokens > 0
+        |       THEN CAST(coalesce(top_uni, 0) AS DOUBLE) / n_tokens ELSE 0.0 END)
+        |      <= 0.10
+        |  AND (CASE WHEN n_tokens - 1 > 0
+        |       THEN CAST(coalesce(top_bi, 0) AS DOUBLE) / (n_tokens - 1)
+        |       ELSE 0.0 END) <= 0.08 AS rep_ok
+        |  FROM base LEFT JOIN u ON base.doc_id = u.doc_id
+        |            LEFT JOIN b2 ON base.doc_id = b2.doc_id),
+        |s1 AS (SELECT c.doc_id, c.text FROM corpus c
+        |       JOIN q ON c.doc_id = q.doc_id
+        |       JOIN rep ON c.doc_id = rep.doc_id
+        |       WHERE q.quality_ok AND rep.rep_ok),
+        |k1 AS (SELECT text, min(doc_id) AS keep_id FROM s1 GROUP BY text),
+        |ex AS (SELECT s1.doc_id,
+        |         CASE WHEN s1.doc_id <> k1.keep_id THEN k1.keep_id END AS exact_dup_of
+        |       FROM s1 JOIN k1 ON s1.text = k1.text),
+        |s2 AS (SELECT s1.doc_id, s1.text FROM s1 JOIN ex ON s1.doc_id = ex.doc_id
+        |       WHERE ex.exact_dup_of IS NULL),
+        |m0 AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS toks
+        |       FROM s2),
+        |m1 AS (SELECT doc_id, list_transform(range(1, len(toks)-1),
+        |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS sh FROM m0),
+        |m2 AS (SELECT doc_id AS id, list_distinct(sh) AS dsh FROM m1 WHERE len(sh) > 0),
+        |bs AS (SELECT id, dsh, list_transform(dsh, s ->
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(list_filter(string_split_regex(s, ''), c -> c <> ''),
+        |             c -> CAST(ascii(c) AS BIGINT))),
+        |           (acc, x) -> (acc * 31 + x) % 1000000007)) AS bases FROM m2),
+        |sigs AS (SELECT id, dsh, list_transform(range(0, 64), h ->
+        |           list_min(list_transform(bases, base ->
+        |             ((43 + 2*h) * base + 1302 + 7919*h) % 1000000007))) AS sig FROM bs),
+        |bnd AS (SELECT id, b, CAST(list_slice(sig, b*4+1, b*4+4) AS VARCHAR) AS bkey
+        |        FROM sigs, (SELECT unnest(range(0, 16)) AS b)),
+        |cand AS (SELECT DISTINCT a.id AS a_id, c.id AS b_id
+        |         FROM bnd a JOIN bnd c ON a.b = c.b AND a.bkey = c.bkey AND a.id < c.id),
+        |pp AS (SELECT cand.a_id, cand.b_id,
+        |        CAST(len(list_intersect(x.dsh, y.dsh)) AS DOUBLE)
+        |          / len(list_distinct(x.dsh || y.dsh)) AS jaccard
+        |      FROM cand JOIN sigs x ON x.id = cand.a_id JOIN sigs y ON y.id = cand.b_id),
+        |nearof AS (SELECT b_id AS doc_id, min(a_id) AS near_dup_of
+        |           FROM pp WHERE jaccard >= 0.5 GROUP BY b_id),
+        |s3 AS (SELECT s2.doc_id, s2.text FROM s2
+        |       LEFT JOIN nearof ON s2.doc_id = nearof.doc_id
+        |       WHERE nearof.near_dup_of IS NULL),
+        |c0 AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS toks
+        |       FROM s3),
+        |csh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-1),
+        |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle FROM c0),
+        |e0 AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS toks FROM ev),
+        |esh AS (SELECT doc_id AS eval_id, unnest(list_distinct(list_transform(
+        |         range(1, len(toks)-1),
+        |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle FROM e0),
+        |rare AS (SELECT shingle FROM csh GROUP BY shingle
+        |         HAVING count(DISTINCT doc_id) <= 5),
+        |contam AS (SELECT DISTINCT c.doc_id
+        |           FROM csh c JOIN rare r ON c.shingle = r.shingle
+        |                      JOIN esh e ON c.shingle = e.shingle),
+        |asm AS (SELECT c.doc_id, q.quality_ok,
+        |  coalesce(rep.rep_ok, FALSE) AS rep_ok,
+        |  ex.exact_dup_of, nearof.near_dup_of,
+        |  (contam.doc_id IS NOT NULL) AS contaminated
+        |  FROM corpus c
+        |  JOIN q ON c.doc_id = q.doc_id
+        |  LEFT JOIN rep ON c.doc_id = rep.doc_id
+        |  LEFT JOIN ex ON c.doc_id = ex.doc_id
+        |  LEFT JOIN nearof ON c.doc_id = nearof.doc_id
+        |  LEFT JOIN contam ON c.doc_id = contam.doc_id),
+        |fin AS (SELECT *,
+        |  CASE WHEN NOT quality_ok THEN 'quality'
+        |       WHEN NOT rep_ok THEN 'repetition'
+        |       WHEN exact_dup_of IS NOT NULL THEN 'exact_dup'
+        |       WHEN near_dup_of IS NOT NULL THEN 'near_dup'
+        |       WHEN contaminated THEN 'contaminated'
+        |  END AS drop_reason FROM asm)
+        |SELECT doc_id, quality_ok, rep_ok, exact_dup_of, near_dup_of, contaminated,
+        |  drop_reason IS NULL AS keep, drop_reason,
+        |  CASE WHEN drop_reason IS NULL
+        |       THEN CAST(((doc_id * 48271 + 11) % 2147483647) % 8 AS INT) END AS shard
+        |FROM fin ORDER BY doc_id""".stripMargin,
     // Poly MinHash+LSH replayed in SQL: 3-gram shingles -> 64-entry poly
     // signature (seed 42: a_h = 43+2h, b_h = 1302+7919h mod 1e9+7) -> 16
     // bands of 4 joined on the slice itself -> true-jaccard verify.
