@@ -56,6 +56,42 @@ object Curation {
       .when(nearDupOf.isNotNull, "near_dup")
       .when(contaminated, "contaminated")
 
+  /**
+   * The eval-set screen table a STREAMING ingest checks incoming docs
+   * against ([[graft.streaming.StreamingIngest.curationScreen]]): the
+   * distinct word `n`-grams of the eval set, minus those whose document
+   * frequency in the STATIC corpus exceeds `maxDf` (boilerplate n-grams
+   * match everything and carry no contamination signal — the same cap
+   * [[TrainingPrep.contamination]] applies). Unlike the batch stage, an
+   * eval shingle ABSENT from the corpus (df 0) stays IN the screen: for
+   * an incoming novel doc that is the strongest contamination signal
+   * there is. Output: one `shingle` column; eval-set-bounded (KBs), so
+   * it broadcasts.
+   */
+  def evalScreenShingles(
+      corpus: DataFrame,
+      evalDocs: DataFrame,
+      n: Int = 3,
+      maxDf: Int = 5,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.text
+    def sh(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).as(as),
+        explode(array_distinct(
+          text.word_ngrams(text.tokenize(col(textCol)), n))).as("shingle"))
+    val evalSh = sh(evalDocs, "eval_id").select("shingle").distinct()
+    // df computed ONLY for shingles the eval set contains (broadcast
+    // pre-filter), so corpus shingles never shuffle — then the hot ones
+    // knock their shingle out of the screen
+    val hot = sh(corpus, "doc_id")
+      .join(broadcast(evalSh), "shingle")
+      .groupBy("shingle").agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") > maxDf)
+      .select("shingle")
+    evalSh.join(hot, Seq("shingle"), "left_anti")
+  }
+
   def curate(
       docs: DataFrame,
       evalDocs: DataFrame,

@@ -28,6 +28,44 @@ object QualityFilters {
   val MaxTopBigramFrac = 0.08
   val MinDistinctRatio = 0.40
 
+  /** Multiplicity of the most frequent element of a string array, as a
+    * pure per-row expression: sort, then the longest equal-adjacent run
+    * IS the mode's count. `aggregate` carries (prev, run, best) through
+    * one pass over the sorted array — no explode, no shuffle, which is
+    * what lets [[repetitionOk]] run on an unbounded stream. Empty array
+    * -> 0; null array -> null (same as the sort). */
+  private def topElementCount(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+
+  /**
+   * The [[repetitionMetrics]] `rep_ok` verdict as ONE per-row expression —
+   * zero shuffle, zero state, so a streaming ingest screen can apply the
+   * SAME Gopher gate the batch pipeline applies (the equality is pinned by
+   * a differential spec). The batch form stays the right choice for batch
+   * audits (its two-stage aggregation exposes the component metrics);
+   * this form exists for row-at-a-time contexts.
+   */
+  def repetitionOk(textCol: Column): Column = {
+    val toks = text.tokenize(textCol)
+    val n = size(toks).cast("long")
+    val nd = size(array_distinct(toks)).cast("long")
+    val topU = topElementCount(toks)
+    val topB = topElementCount(text.word_ngrams(toks, 2))
+    def ratio(num: Column, denom: Column): Column =
+      when(denom > 0, num.cast("double") / denom.cast("double")).otherwise(0.0)
+    ratio(nd, n) >= MinDistinctRatio &&
+      ratio(coalesce(topU, lit(0L)), n) <= MaxTopUnigramFrac &&
+      ratio(coalesce(topB, lit(0L)), n - 1) <= MaxTopBigramFrac
+  }
+
   /**
    * Per-document repetition metrics:
    *  - `distinct_ratio`  — type/token ratio, a per-row array expression;

@@ -155,6 +155,72 @@ object StreamingIngest {
   }
 
   /**
+   * Streaming curation screen — the STATELESS stages of
+   * [[graft.pipeline.Curation.curate]] applied to an unbounded ingest
+   * stream, one audit row PER INCOMING DOC with the first-failing-stage
+   * `drop_reason` ('quality' | 'repetition' | 'exact_dup' |
+   * 'contaminated' | null) and `stateless_keep`:
+   *
+   *  - quality + repetition: pure per-row expressions
+   *    ([[graft.pipeline.TextAnalysis.qualityScore]],
+   *    [[graft.pipeline.QualityFilters.repetitionOk]] — the batch gate's
+   *    differential-tested row form), zero state;
+   *  - exact dedup: stream-static left join on the text against the
+   *    corpus index's exact table;
+   *  - contamination: `arrays_overlap` against the eval screen set
+   *    ([[graft.pipeline.Curation.evalScreenShingles]] — eval-set-bounded
+   *    by construction, carried as ONE collected-array row broadcast
+   *    into the scan, the same benchmarks-are-KBs asymmetry
+   *    [[graft.pipeline.TrainingPrep.contamination]] builds on).
+   *
+   * The near-dup stage is deliberately NOT folded in: a per-doc "no
+   * corpus band matched" verdict needs a stateful per-doc aggregation
+   * that can only emit at watermark close. Production chains the two
+   * screens instead — `curationScreen` first (stateless, immediate
+   * verdict), then [[nearDupScreen]] over the `stateless_keep` survivors
+   * (emits verified match rows; its rejects resolve against the audit
+   * stream at compaction). Because every stage here is stateless, this
+   * screen defines NO watermark — the downstream stateful screen owns it
+   * (two definitions on one chained plan is a Spark analysis error).
+   * `contamN` MUST match the `n` the screen shingles were built with —
+   * mismatched n-gram widths overlap on nothing and the screen silently
+   * passes every contaminated doc.
+   */
+  def curationScreen(
+      docs: DataFrame, // streaming (doc_id, ts, text)
+      index: graft.pipeline.Dedup.CorpusIndex,
+      evalShingles: DataFrame, // static (shingle), from Curation.evalScreenShingles
+      minQuality: Double = 0.5,
+      contamN: Int = 3): DataFrame = {
+    import graft.functions.text
+    import graft.pipeline.{QualityFilters, TextAnalysis}
+    val evalArr = evalShingles.agg(collect_set("shingle").as("eval_sh"))
+    val audited = docs
+      .withColumn("quality_ok",
+        TextAnalysis.qualityScore(col("text")) >= minQuality)
+      .withColumn("rep_ok",
+        coalesce(QualityFilters.repetitionOk(col("text")), lit(false)))
+      .join(index.exactText, Seq("text"), "left")
+      .crossJoin(broadcast(evalArr)) // 1 static row
+      .withColumn("contaminated", coalesce(
+        arrays_overlap(
+          array_distinct(text.word_ngrams(text.tokenize(col("text")), contamN)),
+          col("eval_sh")),
+        lit(false)))
+    val reason =
+      when(!col("quality_ok"), "quality")
+        .when(!col("rep_ok"), "repetition")
+        .when(col("exact_dup_of").isNotNull, "exact_dup")
+        .when(col("contaminated"), "contaminated")
+    audited.select(
+      col("doc_id"), col("ts"), col("text"),
+      col("quality_ok"), col("rep_ok"), col("exact_dup_of"),
+      col("contaminated"),
+      reason.isNull.as("stateless_keep"),
+      reason.as("drop_reason"))
+  }
+
+  /**
    * Stream-stream interval join: each purchase enriched with the same
    * user's clicks from the preceding `lookback` — the canonical
    * attribution join. Both sides carry watermarks and the join condition

@@ -184,4 +184,28 @@ class QualityFiltersSpec extends SparkSpec {
         s"codes out of int8 range for vec ${r.getLong(0)}")
     }
   }
+
+  test("repetitionOk (per-row form) agrees with repetitionMetrics on every doc") {
+    val s = spark
+    import s.implicits._
+    // the fixture's edge cases PLUS adversarial shapes: threshold-straddling
+    // repetition, bigram-heavy text, long mixed text, duplicated tokens at
+    // the distinct-ratio boundary
+    val extra = Seq(
+      (10L, "a b a b a b a b a b"), // bigram "a b" dominates
+      (11L, ("x ".repeat(3) + (1 to 30).map("w" + _).mkString(" "))),
+      (12L, (1 to 50).map(i => "t" + (i % 23)).mkString(" ")),
+      (13L, "one two three one two three seven eight nine ten"),
+      (14L, "  leading and   irregular   whitespace tokens here  "))
+      .toDF("doc_id", "text")
+    val all = docs.union(extra)
+    val batch = QualityFilters.repetitionMetrics(all)
+      .select("doc_id", "rep_ok").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val row = all.select(col("doc_id"),
+        QualityFilters.repetitionOk(col("text")).as("rep_ok")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(row === batch,
+      "per-row repetition gate diverged from the batch aggregation form")
+  }
 }

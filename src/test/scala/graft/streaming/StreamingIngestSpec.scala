@@ -345,4 +345,93 @@ class StreamingIngestSpec extends SparkSpec {
       assert(ids === Array(1L, 2L, 4L), "replayed doc 3 must be dropped")
     } finally q.stop()
   }
+
+  // texts mirror CurationSpec's batch fixture so the streaming screen's
+  // verdicts are comparable stage for stage
+  private val goodA =
+    "the quick brown fox jumps over a lazy dog while twenty other animals " +
+      "watch from the tall green hill near town"
+  private val goodB =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu " +
+      "nu xi omicron pi rho sigma tau upsilon"
+  private val nearBase =
+    "one two three four five six seven eight nine ten eleven twelve " +
+      "thirteen fourteen fifteen sixteen seventeen eighteen nineteen " +
+      "twenty twentyone twentytwo twentythree "
+  private val contaminatedText =
+    "researchers found the zebra quokka axolotl sequence appearing in " +
+      "several benchmark answer keys during the annual evaluation of " +
+      "language systems last winter"
+  private val evalText =
+    "the eval set contains zebra quokka axolotl patterns hidden within " +
+      "questions that models must answer without prior exposure to " +
+      "benchmark data collections online"
+
+  test("streaming curation screen: every stateless stage fires with its reason") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(200L -> goodB, 201L -> (nearBase + "alphaend"))
+      .toDF("doc_id", "text")
+    val eval = Seq(100L -> evalText).toDF("doc_id", "text")
+    val index = graft.pipeline.Dedup.buildCorpusIndex(corpus)
+    val screen = graft.pipeline.Curation.evalScreenShingles(corpus, eval)
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingIngest
+      .curationScreen(mem.toDF().toDF("doc_id", "ts", "text"), index, screen)
+      .writeStream.format("memory").queryName("curation_screen")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (1L, ts(0), goodA), // novel, clean -> keep
+        (2L, ts(1), "!!! ??? ---"), // quality
+        (3L, ts(2), Seq.fill(25)("spam").mkString(" ")), // repetition
+        (4L, ts(3), goodB), // exact twin of corpus 200
+        (5L, ts(4), contaminatedText)) // shares the eval trigram
+      q.processAllAvailable()
+      val byId = spark.table("curation_screen").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(byId.keySet === Set(1L, 2L, 3L, 4L, 5L),
+        "one audit row per incoming doc")
+      def reason(id: Long) = Option(byId(id).getAs[String]("drop_reason")).orNull
+      assert(byId(1L).getAs[Boolean]("stateless_keep") && reason(1L) == null)
+      assert(reason(2L) === "quality")
+      assert(reason(3L) === "repetition")
+      assert(reason(4L) === "exact_dup")
+      assert(byId(4L).getAs[Long]("exact_dup_of") === 200L)
+      assert(reason(5L) === "contaminated")
+    } finally q.stop()
+  }
+
+  test("curation screen chains into the near-dup screen over its survivors") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(201L -> (nearBase + "alphaend")).toDF("doc_id", "text")
+    val eval = Seq(100L -> evalText).toDF("doc_id", "text")
+    val index = graft.pipeline.Dedup.buildCorpusIndex(corpus)
+    val screen = graft.pipeline.Curation.evalScreenShingles(corpus, eval)
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    // production chain: stateless screen -> survivors -> band screen
+    val survivors = StreamingIngest
+      .curationScreen(mem.toDF().toDF("doc_id", "ts", "text"), index, screen)
+      .filter(org.apache.spark.sql.functions.col("stateless_keep"))
+      .select("doc_id", "ts", "text")
+    val q = StreamingIngest
+      .nearDupScreen(survivors, index, threshold = 0.5,
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("curation_neardup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (6L, ts(0), nearBase + "betaend"), // near twin of corpus 201
+        (7L, ts(1), "!!! ???"), // dropped by the stateless screen first
+        (8L, ts(2), goodA)) // clean and novel
+      q.processAllAvailable()
+      val rows = spark.table("curation_neardup").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("corpus_id")))
+      assert(rows.toSet === Set(6L -> 201L),
+        s"only the near twin may reach a verified match: ${rows.toSeq}")
+    } finally q.stop()
+  }
 }
