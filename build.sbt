@@ -17,6 +17,9 @@ run / fork := true
 // line from the END of the captured output — harness tails are finite.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — the
+// lintUnused pass can't see that and would warn every build
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
