@@ -110,18 +110,19 @@ object Curation {
     require(nShards > 0, s"nShards must be positive: $nShards")
     val id = col(idCol)
 
-    // stage 1: per-doc quality + repetition verdicts (expression/agg only)
-    val qual = docs.select(id,
-      (TextAnalysis.qualityScore(col(textCol)) >= minQuality).as("quality_ok"))
-    val rep = QualityFilters.repetitionMetrics(docs, idCol, textCol)
-      .select(idCol, "rep_ok")
-    // the three verdict frames join back once at the end; the SURVIVOR
-    // frame feeding stages 2-4 is persisted — three downstream consumers
-    // (exact groupBy, minhash shingles, final join) and no cross-branch
-    // CSE in Spark
-    val s1 = Dedup.persistOnce(docs.select(id, col(textCol))
-      .join(qual.filter(col("quality_ok")).select(idCol), idCol)
-      .join(rep.filter(col("rep_ok")).select(idCol), idCol))
+    // stage 1: per-doc quality + repetition verdicts — BOTH pure per-row
+    // expressions (repetitionOk is the batch gate's differential-tested
+    // row form), so the whole stage rides the scan with zero shuffle and
+    // zero joins; persisted because it has two consumers (the survivor
+    // filter feeding stages 2-4 and the final assembly) and Spark has no
+    // cross-branch CSE
+    val verdicts = Dedup.persistOnce(docs.select(id, col(textCol),
+      (TextAnalysis.qualityScore(col(textCol)) >= minQuality).as("quality_ok"),
+      coalesce(QualityFilters.repetitionOk(col(textCol)), lit(false)).as("rep_ok")))
+    // the SURVIVOR frame feeding stages 2-4 is persisted — three
+    // downstream consumers (exact groupBy, minhash shingles, contamination)
+    val s1 = Dedup.persistOnce(
+      verdicts.filter(col("quality_ok") && col("rep_ok")).select(id, col(textCol)))
 
     // stage 2: exact dedup among stage-1 survivors — keep min doc_id per
     // text; the keeper maps to a NULL exact_dup_of
@@ -150,14 +151,12 @@ object Curation {
 
     // assembly: one row per INPUT doc, every verdict visible
     val q = col("quality_ok")
-    val r = coalesce(col("rep_ok"), lit(false))
+    val r = col("rep_ok")
     val e = col("exact_dup_of")
     val nd = col("near_dup_of")
     val c = coalesce(col("contaminated"), lit(false))
     val reason = reasonCol(q, r, e, nd, c)
-    docs.select(id)
-      .join(qual, idCol)
-      .join(rep, Seq(idCol), "left")
+    verdicts.select(id, q, r)
       .join(exactOf, Seq(idCol), "left")
       .join(nearOf, Seq(idCol), "left")
       .join(contam, Seq(idCol), "left")
