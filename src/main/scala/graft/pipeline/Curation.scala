@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
  * shrinks the next stage's input):
  *
  *  1. quality gate — [[TextAnalysis.qualityScore]] >= minQuality AND
- *     [[QualityFilters.repetitionMetrics]] rep_ok;
+ *     [[QualityFilters.repetitionOk]] (the batch gate's per-row form);
  *  2. exact dedup — keep the minimum surviving doc_id per identical
  *     text (a doc whose only twin failed quality is NOT a duplicate);
  *  3. near dedup — [[Dedup.minhashLsh]] over stage-2 survivors; a doc
@@ -84,9 +84,11 @@ object Curation {
     // df computed ONLY for shingles the eval set contains (broadcast
     // pre-filter), so corpus shingles never shuffle — then the hot ones
     // knock their shingle out of the screen
+    // shingles are per-doc distinct (array_distinct above), so a plain
+    // count IS the document frequency — no distinct-aggregation state
     val hot = sh(corpus, "doc_id")
       .join(broadcast(evalSh), "shingle")
-      .groupBy("shingle").agg(countDistinct("doc_id").as("df"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select("shingle")
     evalSh.join(hot, Seq("shingle"), "left_anti")
@@ -126,9 +128,13 @@ object Curation {
 
     // stage 2: exact dedup among stage-1 survivors — keep min doc_id per
     // text; the keeper maps to a NULL exact_dup_of
+    // exactOf/nearOf/s3 each have TWO consumers (the next stage's
+    // survivor anti-join, and the final assembly — s3 additionally feeds
+    // contamination's two corpus passes); uncached they re-run the text
+    // groupBy / the whole band join per consumer
     val keepers = s1.groupBy(textCol).agg(min(idCol).as("keep_id"))
-    val exactOf = s1.join(keepers, textCol)
-      .select(id, when(id =!= col("keep_id"), col("keep_id")).as("exact_dup_of"))
+    val exactOf = Dedup.persistOnce(s1.join(keepers, textCol)
+      .select(id, when(id =!= col("keep_id"), col("keep_id")).as("exact_dup_of")))
     val s2 = Dedup.persistOnce(
       s1.join(exactOf.filter(col("exact_dup_of").isNotNull).select(idCol),
         Seq(idCol), "left_anti"))
@@ -138,9 +144,10 @@ object Curation {
     // near_dup_of = the smallest such partner for the audit row
     val pairs = Dedup.minhashLsh(s2, idCol, textCol, ngram, numHashes,
       bands, nearThreshold, family)
-    val nearOf = pairs.groupBy(col("b_id").as(idCol))
-      .agg(min("a_id").as("near_dup_of"))
-    val s3 = s2.join(nearOf.select(idCol), Seq(idCol), "left_anti")
+    val nearOf = Dedup.persistOnce(pairs.groupBy(col("b_id").as(idCol))
+      .agg(min("a_id").as("near_dup_of")))
+    val s3 = Dedup.persistOnce(
+      s2.join(nearOf.select(idCol), Seq(idCol), "left_anti"))
 
     // stage 4: eval-set decontamination of stage-3 survivors (the df cap
     // is computed over the SURVIVOR corpus — boilerplate is judged on
