@@ -259,7 +259,7 @@ object Bench {
       "ivf_search_probe", "ivf_search_full", "ivf_search_batch_all",
       "ivfpq_search_adc", "ivfpq_search_rerank", "ivfpq_flood_cogroup",
       "knn_self_join", "filtered_ann", "hamming_rerank", "sq8_rerank",
-      "dedup_exact", "minhash_pairs", "simhash_pairs", "dedup_edit_distance",
+      "dedup_exact", "corpus_curation", "minhash_pairs", "simhash_pairs", "dedup_edit_distance",
       "neardup_embeddings", "vector_scale_bench", "events_hourly",
       "text_analysis", "seq_pack", "corpus_shuffle", "multimodal_features")
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8).map(_._1).toSet

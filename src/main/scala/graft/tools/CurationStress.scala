@@ -1,0 +1,100 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * One-off scale diagnostic for the end-to-end curation pipeline
+ * ([[graft.pipeline.Curation.curate]]) — NOT part of the per-round Bench
+ * (it would dominate its budget). Synthesizes a corpus 100x the sf0.1
+ * documents table (~500k docs) with REALISTIC duplicate structure, the
+ * part that actually stresses the staged plan:
+ *
+ *  - copy 0 is the original; copy 1 is byte-identical (1 exact dup per
+ *    family, ~5k total);
+ *  - copies k >= 2 PREPEND 5k per-(doc,copy) noise tokens. The noise is
+ *    unique per (doc, copy), so no band key is shared across unrelated
+ *    docs (a shared noise vocabulary would make every same-k pair a
+ *    candidate — 5000^2 per k, the classic synthetic-data trap); within
+ *    a family, Jaccard decays with |j-k| (~45 shared suffix shingles vs
+ *    5(j+k) differing prefix shingles), so each copy near-pairs with a
+ *    handful of NEIGHBORING copies — bounded candidate fan-out, like a
+ *    real crawl's revision chains, with transitive chains the greedy
+ *    smaller-id rule must collapse.
+ *
+ * Eval set: the original doc_id % 50 == 0 texts. Their family copies
+ * share every shingle with the eval set — but at corpus df ~100 those
+ * shingles are boilerplate and the df cap (5) must screen them out, so
+ * the contamination stage is exercised at full width while returning a
+ * small result. Prints per-stage-observable counts + wall times.
+ */
+object CurationStress {
+  def main(args: Array[String]): Unit = {
+    val copies = if (args.nonEmpty) args(0).toInt else 100
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[curation-stress] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    val base = graft.Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val nBase = base.count()
+    // family id stays in the low bits so doc_id ordering interleaves
+    // copies of different families (no accidental per-family partition
+    // locality — the shuffle has to do its job)
+    // the sf tables are single parquet files, and a crossJoin against a
+    // broadcast range preserves that ONE input partition — without the
+    // repartition the per-row synthesis expression (and curate's whole
+    // stage 1) pins to a single core for the entire 500k-doc corpus
+    // (observed: 1 thread at 100% for 20+ min). A real 100 TB corpus
+    // arrives in thousands of partitions; the stress must present one.
+    val corpus = base
+      .crossJoin(spark.range(copies).select(col("id").cast("int").as("k")))
+      .repartition(spark.sparkContext.defaultParallelism * 4)
+      .select(
+        (col("k") * nBase * 2 + col("doc_id")).as("doc_id"),
+        when(col("k") <= 1, col("text")).otherwise(
+          concat_ws(" ",
+            // 5k unique-per-(doc,copy) noise tokens, then the original;
+            // array-then-join, NOT a fold of string concats (the fold
+            // re-copies the accumulated prefix per token — quadratic per
+            // row, ~1 MB of copying for a 500-token prefix)
+            concat_ws(" ", transform(
+              sequence(lit(0), col("k") * 5 - 1),
+              i => format_string("n%dx%dq%d", col("doc_id"), col("k"), i))),
+            col("text"))).as("text"))
+    val evalDocs = base.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 100000000L).as("doc_id"), col("text"))
+
+    val n = timed(s"materialize corpus (${copies}x sf0.1)")(corpus.count())
+    println(s"[curation-stress] corpus docs: $n, eval docs: ${evalDocs.count()}")
+
+    val out = graft.pipeline.Curation.curate(corpus, evalDocs)
+    val persisted = timed("curate (full pipeline, all stages)") {
+      val p = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    }
+    val byReason = timed("disposition rollup") {
+      persisted.groupBy("drop_reason").count()
+        .collect().map(r => Option(r.getString(0)).getOrElse("KEPT") -> r.getLong(1))
+        .sortBy(_._1).toSeq
+    }
+    println(s"[curation-stress] dispositions: ${byReason.mkString(", ")}")
+    val shards = timed("shard balance") {
+      persisted.filter(col("keep")).groupBy("shard").count()
+        .agg(min("count").as("mn"), max("count").as("mx"))
+        .collect().head
+    }
+    println(s"[curation-stress] kept-shard balance: min=${shards.getLong(0)} max=${shards.getLong(1)}")
+    spark.stop()
+  }
+}
