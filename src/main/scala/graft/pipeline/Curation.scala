@@ -118,6 +118,14 @@ object Curation {
     // zero joins; persisted because it has two consumers (the survivor
     // filter feeding stages 2-4 and the final assembly) and Spark has no
     // cross-branch CSE
+    // NOTE on input width: the verdict projection tokenizes each row
+    // three times (quality, type/token ratio, bigram mode) — heavy
+    // per-row work that inherits the INPUT's partitioning. A real corpus
+    // arrives in thousands of partitions; a single-file toy input pins
+    // stage 1 to one core, so repartition such inputs first (the
+    // curation stress tool does; widening HERE was measured a net loss —
+    // the stage runs once into the cache, and the widen probe taxes
+    // every later plan build).
     val verdicts = Dedup.persistOnce(docs.select(id, col(textCol),
       (TextAnalysis.qualityScore(col(textCol)) >= minQuality).as("quality_ok"),
       coalesce(QualityFilters.repetitionOk(col(textCol)), lit(false)).as("rep_ok")))
