@@ -263,7 +263,11 @@ object Bench {
       "neardup_embeddings", "vector_scale_bench", "events_hourly",
       "text_analysis", "seq_pack", "corpus_shuffle", "multimodal_features")
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8).map(_._1).toSet
-    val keep = headline ++ slowest
+    // crashed queries (median -1) must be NAMED here: they are excluded
+    // from `slowest` and may be off the fixed list, and the full line
+    // carrying their identity has already scrolled off a finite capture
+    val crashed = results.filter(_._2 < 0).map(_._1).toSet
+    val keep = headline ++ slowest ++ crashed
     val compactQs = results.filter(r => keep(r._1))
       .map(r => "\"" + r._1 + "\":" + r._2).mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,""" +

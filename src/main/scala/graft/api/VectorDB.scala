@@ -732,6 +732,13 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       sb.append("# TYPE vdb_probe_refire_evictions_total counter\n")
       sb.append(s"vdb_probe_refire_evictions_total $probeEvict\n")
     }
+    // pending-map evictions are worse: those plans never fire at all
+    val pendingEvict = graft.index.ExecutionProbeHook.pendingEvictions.get()
+    if (pendingEvict > 0) {
+      sb.append("# HELP vdb_probe_pending_evictions_total Execution-probe callbacks evicted before ever firing (armed plans exceeded the pending cap; JVM-wide)\n")
+      sb.append("# TYPE vdb_probe_pending_evictions_total counter\n")
+      sb.append(s"vdb_probe_pending_evictions_total $pendingEvict\n")
+    }
     sb.toString
   }
 

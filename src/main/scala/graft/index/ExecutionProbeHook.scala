@@ -31,9 +31,10 @@ private[graft] object ExecutionProbeHook {
   // configurable: a deployment re-executing more than MaxFired distinct
   // observed DataFrames (an unusually wide serving loop) can raise the
   // cap instead of silently losing re-fire support
+  // Integer.getInteger swallows unparseable values itself and returns
+  // the default — no catch needed
   private val MaxFired =
-    try math.max(1, Integer.getInteger("graft.probe.maxFired", 64))
-    catch { case _: NumberFormatException => 64 }
+    math.max(1, Integer.getInteger("graft.probe.maxFired", 64))
   private val counter = new java.util.concurrent.atomic.AtomicLong()
 
   /** Evictions from the re-fire map. A non-zero, growing value means the
@@ -44,6 +45,12 @@ private[graft] object ExecutionProbeHook {
     * it; also logged (first eviction, then every 1024th) so the signal
     * exists even without a metrics scraper. */
   private[graft] val firedEvictions = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Evictions from the PENDING map — a callback evicted here never fires
+    * at all (armed > MaxPending plans before any executed), a strictly
+    * worse loss than a re-fire eviction; counted/logged/published the
+    * same way. */
+  private[graft] val pendingEvictions = new java.util.concurrent.atomic.AtomicLong()
 
   private def bounded(max: Int, lru: Boolean, onEvict: () => Unit = () => ()) =
     java.util.Collections.synchronizedMap(
@@ -63,7 +70,13 @@ private[graft] object ExecutionProbeHook {
   // micro-batch, each capturing the batch's probe-pair array, and leaving
   // fired entries in the 4096-slot pending map retained gigabytes of dead
   // probe pairs on a long-lived driver.
-  private val pending = bounded(MaxPending, lru = false)
+  private val pending = bounded(MaxPending, lru = false, onEvict = () => {
+    val n = pendingEvictions.incrementAndGet()
+    if (n == 1 || n % 1024 == 0) System.err.println(
+      s"[graft] probe pending map evicted $n callback(s) (cap $MaxPending): " +
+        "those observed plans will NEVER fire their probe callback — the " +
+        "driver armed more plans than it executed")
+  })
   // ACCESS-ordered: a hot plan that re-fires every trigger must refresh
   // its recency, or first-fire order would evict it after MaxFired other
   // plans fire once each and its callback silently stops

@@ -57,16 +57,25 @@ object Curation {
       .when(contaminated, "contaminated")
 
   /**
-   * The eval-set screen table a STREAMING ingest checks incoming docs
-   * against ([[graft.streaming.StreamingIngest.curationScreen]]): the
-   * distinct word `n`-grams of the eval set, minus those whose document
-   * frequency in the STATIC corpus exceeds `maxDf` (boilerplate n-grams
-   * match everything and carry no contamination signal — the same cap
-   * [[TrainingPrep.contamination]] applies). Unlike the batch stage, an
-   * eval shingle ABSENT from the corpus (df 0) stays IN the screen: for
-   * an incoming novel doc that is the strongest contamination signal
-   * there is. Output: one `shingle` column; eval-set-bounded (KBs), so
-   * it broadcasts.
+   * The eval-set screen a STREAMING ingest checks incoming docs against,
+   * WITH the n-gram width it was built at — the consumer
+   * ([[graft.streaming.StreamingIngest.curationScreen]]) derives its
+   * shingling from `n` instead of accepting a free parameter that could
+   * drift (the [[Dedup.CorpusIndex]] rule: mismatched widths overlap on
+   * nothing and the screen silently passes every contaminated doc).
+   */
+  final case class EvalScreen(shingles: DataFrame, n: Int)
+
+  /**
+   * Build the [[EvalScreen]]: the distinct word `n`-grams of the eval
+   * set, minus those whose document frequency in the STATIC corpus
+   * exceeds `maxDf` (boilerplate n-grams match everything and carry no
+   * contamination signal — the same cap [[TrainingPrep.contamination]]
+   * applies, via the SAME shared shingle projection,
+   * [[TrainingPrep.docShingles]]). Unlike the batch stage, an eval
+   * shingle ABSENT from the corpus (df 0) stays IN the screen: for an
+   * incoming novel doc that is the strongest contamination signal there
+   * is. Eval-set-bounded (KBs), so it broadcasts.
    */
   def evalScreenShingles(
       corpus: DataFrame,
@@ -74,24 +83,22 @@ object Curation {
       n: Int = 3,
       maxDf: Int = 5,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    import graft.functions.text
-    def sh(df: DataFrame, as: String): DataFrame =
-      df.select(col(idCol).as(as),
-        explode(array_distinct(
-          text.word_ngrams(text.tokenize(col(textCol)), n))).as("shingle"))
-    val evalSh = sh(evalDocs, "eval_id").select("shingle").distinct()
+      textCol: String = "text"): EvalScreen = {
+    // two consumers (broadcast into `hot`, left side of the anti-join) —
+    // persistOnce, same as contamination's eval projection
+    val evalSh = Dedup.persistOnce(
+      TrainingPrep.docShingles(evalDocs, n, idCol, textCol, "eval_id")
+        .select("shingle").distinct())
     // df computed ONLY for shingles the eval set contains (broadcast
     // pre-filter), so corpus shingles never shuffle — then the hot ones
-    // knock their shingle out of the screen
-    // shingles are per-doc distinct (array_distinct above), so a plain
-    // count IS the document frequency — no distinct-aggregation state
-    val hot = sh(corpus, "doc_id")
+    // knock their shingle out of the screen; shingles are per-doc
+    // distinct, so a plain count IS the document frequency
+    val hot = TrainingPrep.docShingles(corpus, n, idCol, textCol, "doc_id")
       .join(broadcast(evalSh), "shingle")
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select("shingle")
-    evalSh.join(hot, Seq("shingle"), "left_anti")
+    EvalScreen(evalSh.join(hot, Seq("shingle"), "left_anti"), n)
   }
 
   def curate(
@@ -160,9 +167,12 @@ object Curation {
     // stage 4: eval-set decontamination of stage-3 survivors (the df cap
     // is computed over the SURVIVOR corpus — boilerplate is judged on
     // what would actually ship)
+    // contamination's OUTPUT id column is always "doc_id" (it renames its
+    // input ids) — map it back to this pipeline's idCol, or any
+    // non-default idCol fails to resolve in the assembly
     val contam = TrainingPrep.contamination(
         s3, evalDocs, contamN, contamMaxDf, idCol, textCol)
-      .select(id, lit(true).as("contaminated"))
+      .select(col("doc_id").as(idCol), lit(true).as("contaminated"))
 
     // assembly: one row per INPUT doc, every verdict visible
     val q = col("quality_ok")

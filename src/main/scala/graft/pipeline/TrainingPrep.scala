@@ -120,6 +120,19 @@ object TrainingPrep {
    * Returns one row per contaminated corpus doc: the number of distinct
    * eval docs hit and of distinct shared shingles.
    */
+  /** Exploded per-doc-DISTINCT word n-gram projection — ONE definition
+    * shared by [[contamination]] and
+    * [[Curation.evalScreenShingles]], so the batch stage and the
+    * streaming screen builder can never silently diverge on
+    * tokenization or shingle shape. */
+  private[pipeline] def docShingles(
+      df: DataFrame, n: Int, idCol: String, textCol: String,
+      as: String): DataFrame =
+    df.select(
+      col(idCol).as(as),
+      explode(array_distinct(
+        text.word_ngrams(text.tokenize(col(textCol)), n))).as("shingle"))
+
   def contamination(
       corpusDocs: DataFrame,
       evalDocs: DataFrame,
@@ -127,13 +140,8 @@ object TrainingPrep {
       maxDf: Int = 5,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    def shingles(df: DataFrame, as: String): DataFrame =
-      df.select(
-          col(idCol).as(as),
-          explode(array_distinct(
-            text.word_ngrams(text.tokenize(col(textCol)), n))).as("shingle"))
-    val corpus = shingles(corpusDocs, "doc_id")
-    val evalSh = Dedup.persistOnce(shingles(evalDocs, "eval_id"))
+    val corpus = docShingles(corpusDocs, n, idCol, textCol, "doc_id")
+    val evalSh = Dedup.persistOnce(docShingles(evalDocs, n, idCol, textCol, "eval_id"))
     // ORDER is the scale property: the df cap must be computed BEFORE any
     // candidate triple materializes. A boilerplate shingle shared with the
     // eval set ("one of the") has corpus-df in the millions — triples for

@@ -62,7 +62,33 @@ class EpochManager(basePath: String) {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
       try {
-        val fl = ch.lock()
+        // BOUNDED wait, never ch.lock(): this frame holds the instance
+        // monitor AND the per-path JVM lock, so an indefinite block on a
+        // wedged lock-holder process (NFS stall, SIGSTOP, long GC in the
+        // maintenance job) would freeze EVERY epoch operation of this
+        // driver with no diagnostic. Poll tryLock, warn once at 5 s,
+        // fail loudly at the deadline — persistState's caller sees WHICH
+        // path is wedged instead of a silent hang.
+        val deadlineNs = System.nanoTime() + EpochManager.StateLockTimeoutMs * 1000000L
+        var warned = false
+        var fl: java.nio.channels.FileLock = null
+        while (fl == null) {
+          fl = ch.tryLock()
+          if (fl == null) {
+            val leftMs = (deadlineNs - System.nanoTime()) / 1000000L
+            if (leftMs <= 0) throw new IllegalStateException(
+              s"timed out after ${EpochManager.StateLockTimeoutMs} ms waiting for " +
+                s"the epoch state lock $lockPath — another process holds it and is " +
+                "not releasing (wedged maintenance job?)")
+            if (!warned && EpochManager.StateLockTimeoutMs - leftMs > 5000) {
+              warned = true
+              System.err.println(
+                s"[graft] still waiting for the epoch state lock $lockPath " +
+                  "(another process holds it)")
+            }
+            Thread.sleep(100)
+          }
+        }
         try body
         finally fl.release()
       } finally ch.close()
@@ -266,6 +292,12 @@ object EpochManager {
     * creates the directory before persisting state, so a concurrent
     * manager's fresh epoch is briefly unreferenced on disk. */
   val OrphanGraceMs: Long = 60L * 60 * 1000
+
+  /** Cross-process state-lock acquisition deadline. Generous — a healthy
+    * holder keeps the lock for one small-file read-merge-write — but
+    * finite, so a wedged holder surfaces as a loud error instead of
+    * freezing every epoch operation of this driver. */
+  val StateLockTimeoutMs: Long = 60L * 1000
 
   /** Recursive delete shared by the storage stack (epoch cleanup, radii
     * invalidation). Files.walk holds open directory handles until

@@ -182,19 +182,21 @@ object StreamingIngest {
    * stream at compaction). Because every stage here is stateless, this
    * screen defines NO watermark — the downstream stateful screen owns it
    * (two definitions on one chained plan is a Spark analysis error).
-   * `contamN` MUST match the `n` the screen shingles were built with —
-   * mismatched n-gram widths overlap on nothing and the screen silently
-   * passes every contaminated doc.
+   * The contamination n-gram width travels INSIDE the
+   * [[graft.pipeline.Curation.EvalScreen]] carrier — mismatched widths
+   * would overlap on nothing and silently pass every contaminated doc,
+   * so it is not a free argument here (the
+   * [[graft.pipeline.Dedup.CorpusIndex]] rule).
    */
   def curationScreen(
       docs: DataFrame, // streaming (doc_id, ts, text)
       index: graft.pipeline.Dedup.CorpusIndex,
-      evalShingles: DataFrame, // static (shingle), from Curation.evalScreenShingles
-      minQuality: Double = 0.5,
-      contamN: Int = 3): DataFrame = {
+      evalScreen: graft.pipeline.Curation.EvalScreen,
+      minQuality: Double = 0.5): DataFrame = {
     import graft.functions.text
     import graft.pipeline.{QualityFilters, TextAnalysis}
-    val evalArr = evalShingles.agg(collect_set("shingle").as("eval_sh"))
+    val contamN = evalScreen.n
+    val evalArr = evalScreen.shingles.agg(collect_set("shingle").as("eval_sh"))
     val audited = docs
       .withColumn("quality_ok",
         TextAnalysis.qualityScore(col("text")) >= minQuality)

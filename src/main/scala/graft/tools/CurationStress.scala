@@ -74,6 +74,11 @@ object CurationStress {
     val evalDocs = base.filter(col("doc_id") % 50 === 0)
       .select((col("doc_id") + 100000000L).as("doc_id"), col("text"))
 
+    // persist + count: a bare count() would let Catalyst PRUNE the heavy
+    // synthesis projection (the round-10 measurement lesson — count
+    // drops unreferenced columns), mis-attributing the synthesis cost to
+    // curate's stage 1; materializing the cache builds full rows
+    corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = timed(s"materialize corpus (${copies}x sf0.1)")(corpus.count())
     println(s"[curation-stress] corpus docs: $n, eval docs: ${evalDocs.count()}")
 

@@ -104,6 +104,24 @@ class CurationSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("non-default id/text column names work end to end") {
+    // contamination's output id column is always "doc_id"; curate must
+    // map it back to the caller's idCol (a regression here fails with
+    // AnalysisException in the assembly, not a wrong value)
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(1L -> goodA, 2L -> contaminated, 3L -> contaminated)
+      .toDF("id", "body")
+    val eval = Seq(100L -> evalText).toDF("id", "body")
+    val out = Curation.curate(corpus, eval, idCol = "id", textCol = "body")
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(0)) === Seq(1L, 2L, 3L))
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Boolean]("keep"))
+    assert(byId(2L).getAs[String]("drop_reason") === "contaminated")
+    assert(byId(3L).getAs[String]("drop_reason") === "exact_dup")
+  }
+
   test("a doc whose only exact twin failed quality is NOT a duplicate") {
     val s = spark
     import s.implicits._
