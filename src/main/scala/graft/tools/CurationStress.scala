@@ -79,7 +79,7 @@ object CurationStress {
     // drops unreferenced columns), mis-attributing the synthesis cost to
     // curate's stage 1; materializing the cache builds full rows
     corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = timed(s"materialize corpus (${copies}x sf0.1)")(corpus.count())
+    val n = timed(s"synthesize + cache corpus (${copies}x sf0.1; fixture prep, not pipeline cost)")(corpus.count())
     println(s"[curation-stress] corpus docs: $n, eval docs: ${evalDocs.count()}")
 
     val out = graft.pipeline.Curation.curate(corpus, evalDocs)
