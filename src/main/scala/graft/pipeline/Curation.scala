@@ -43,6 +43,16 @@ import org.apache.spark.sql.functions._
  * design); the final assembly is doc_id equi-joins on per-stage
  * verdict frames, each at most one row per doc. No stage collects to
  * the driver.
+ *
+ * Caching contract: one call registers several survivor-sized caches
+ * (verdicts, the per-stage survivor frames, the band projections) so
+ * each multiply-consumed frame computes once. The advertised shape is
+ * ONE call per batch curation run — a one-shot driver lets the
+ * ContextCleaner reclaim them. A long-lived driver screening
+ * continuous ingest should use
+ * [[graft.streaming.StreamingIngest.curationScreen]] +
+ * [[graft.streaming.StreamingIngest.nearDupScreen]] over a persisted
+ * [[Dedup.CorpusIndex]] instead of repeated curate() calls.
  */
 object Curation {
 
