@@ -122,6 +122,83 @@ class CurationSpec extends SparkSpec {
     assert(byId(3L).getAs[String]("drop_reason") === "exact_dup")
   }
 
+  test("empty corpus and empty eval set are both safe") {
+    val s = spark
+    import s.implicits._
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val eval = Seq(100L -> evalText).toDF("doc_id", "text")
+    // empty corpus: no rows out, no crash anywhere in the staged plan
+    assert(Curation.curate(none, eval).count() === 0)
+    // empty eval set: contamination finds nothing, everything else runs
+    val some = Seq(1L -> goodA, 2L -> goodB).toDF("doc_id", "text")
+    val out = collect(Curation.curate(some, none))
+    assert(out.length === 2)
+    assert(out.forall(r => !r.getAs[Boolean]("contaminated")))
+    assert(out.forall(_.getAs[Boolean]("keep")))
+  }
+
+  test("structural invariants hold on a generated 200-doc corpus") {
+    val s = spark
+    import s.implicits._
+    // seeded generator mixing uniques, exact dups, near dups (small tail
+    // edits), junk, and repetitive docs — wide enough that every stage
+    // participates
+    val rnd = new scala.util.Random(42)
+    // 200 distinct words: a 25-word vocabulary makes a random 25-token
+    // sentence repeat some word 3+ times with high probability, tripping
+    // the top-unigram gate (0.10) — the whole corpus then dies at
+    // repetition and no later stage gets exercised
+    val vocab = for {
+      w <- Vector("alpha", "bridge", "copper", "delta", "ember",
+        "forest", "grain", "harbor", "inlet", "jasper", "kernel", "lumen",
+        "marble", "north", "osprey", "pallet", "quarry", "river", "stone",
+        "timber", "umber", "vessel", "willow", "yonder", "zephyr")
+      i <- 0 until 8
+    } yield s"$w$i"
+    def sentence(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bases = Vector.fill(40)(sentence(25))
+    val docs = (0 until 200).map { i =>
+      val text = rnd.nextInt(10) match {
+        case 0 => "!!!" // quality fail
+        case 1 => Seq.fill(30)("loop").mkString(" ") // repetition fail
+        case 2 | 3 => bases(rnd.nextInt(bases.size)) // exact dup pressure
+        case 4 => bases(rnd.nextInt(bases.size)) + " tail" + rnd.nextInt(3) // near dup
+        case _ => sentence(25)
+      }
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val eval = Seq(100000L -> bases(0)).toDF("doc_id", "text")
+    val rows = collect(Curation.curate(docs, eval))
+    assert(rows.length === 200, "one audit row per input doc")
+    val textOf = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val keep = r.getAs[Boolean]("keep")
+      val reason = Option(r.getAs[String]("drop_reason"))
+      assert(keep === reason.isEmpty, s"keep/drop_reason disagree for $id")
+      assert(r.isNullAt(r.fieldIndex("shard")) === !keep, s"shard nullity for $id")
+      if (!r.isNullAt(r.fieldIndex("exact_dup_of"))) {
+        val of = r.getAs[Long]("exact_dup_of")
+        assert(of < id, s"exact_dup_of must be a smaller id ($id -> $of)")
+        assert(textOf(of) === textOf(id), s"exact_dup_of text mismatch ($id -> $of)")
+        assert(reason.contains("exact_dup"))
+      }
+      if (!r.isNullAt(r.fieldIndex("near_dup_of"))) {
+        val of = r.getAs[Long]("near_dup_of")
+        assert(of < id, s"near_dup_of must be a smaller id ($id -> $of)")
+      }
+    }
+    // among KEPT docs, texts are unique (the exact stage's guarantee
+    // restricted to survivors)
+    val keptTexts = rows.filter(_.getAs[Boolean]("keep")).map(r => textOf(r.getLong(0)))
+    assert(keptTexts.distinct.length === keptTexts.length,
+      "two kept docs share identical text")
+    // every reason fired at least once on this corpus (generator sanity)
+    val reasons = rows.flatMap(r => Option(r.getAs[String]("drop_reason"))).toSet
+    assert(Set("quality", "repetition", "exact_dup", "near_dup").subsetOf(reasons),
+      s"generator failed to exercise some stage: $reasons")
+  }
+
   test("a doc whose only exact twin failed quality is NOT a duplicate") {
     val s = spark
     import s.implicits._
