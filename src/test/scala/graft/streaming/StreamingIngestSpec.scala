@@ -403,6 +403,52 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E2E ingest shape: persisted corpus index from parquet drives both screens") {
+    // the 100 TB deployment: index tables written ONCE at curation time,
+    // read back from parquet by the ingest driver — the stream never
+    // touches corpus text, only the index projections
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(200L -> goodB, 201L -> (nearBase + "alphaend"))
+      .toDF("doc_id", "text")
+    val eval = Seq(100L -> evalText).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ci").toString
+    graft.pipeline.Dedup.writeCorpusIndex(
+      graft.pipeline.Dedup.buildCorpusIndex(corpus), dir)
+    val index = graft.pipeline.Dedup.readCorpusIndex(spark, dir)
+    val screen = graft.pipeline.Curation.evalScreenShingles(corpus, eval)
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val audited = StreamingIngest
+      .curationScreen(mem.toDF().toDF("doc_id", "ts", "text"), index, screen)
+    val q1 = audited.writeStream.format("memory").queryName("e2e_audit")
+      .outputMode(OutputMode.Append()).start()
+    val q2 = StreamingIngest
+      .nearDupScreen(audited
+        .filter(org.apache.spark.sql.functions.col("stateless_keep"))
+        .select("doc_id", "ts", "text"),
+        index, threshold = 0.5, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("e2e_neardup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (1L, ts(0), goodB), // exact twin of persisted corpus 200
+        (2L, ts(1), nearBase + "gammaend"), // near twin of persisted 201
+        (3L, ts(2), contaminatedText), // eval-screen hit
+        (4L, ts(3), goodA)) // clean
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val audit = spark.table("e2e_audit").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          Option(r.getAs[String]("drop_reason")).orNull).toMap
+      assert(audit === Map(1L -> "exact_dup", 2L -> null,
+        3L -> "contaminated", 4L -> null))
+      val near = spark.table("e2e_neardup").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("corpus_id"))).toSet
+      assert(near === Set(2L -> 201L),
+        "the near twin must match against the parquet-loaded band index")
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("curation screen chains into the near-dup screen over its survivors") {
     val s = spark
     import s.implicits._
