@@ -316,6 +316,21 @@ class VectorDBSpec extends SparkSpec {
     assert(text.contains("vdb_searches_total{index=\"test_index\"}"))
   }
 
+  test("probe eviction counters surface in the Prometheus text once non-zero") {
+    // the counters are JVM-wide and monotonic; bump both directly and
+    // assert the exposition lines appear with at-least-the-bumped values
+    // (other suites may have evicted too — never assert exact equality)
+    graft.index.ExecutionProbeHook.firedEvictions.incrementAndGet()
+    graft.index.ExecutionProbeHook.pendingEvictions.incrementAndGet()
+    val text = db.metricsText()
+    assert(text.contains("vdb_probe_refire_evictions_total "))
+    assert(text.contains("vdb_probe_pending_evictions_total "))
+    def value(name: String): Long = text.linesIterator
+      .find(l => l.startsWith(name + " ")).get.split(' ')(1).toLong
+    assert(value("vdb_probe_refire_evictions_total") >= 1L)
+    assert(value("vdb_probe_pending_evictions_total") >= 1L)
+  }
+
   test("measured recall@k lands in metrics and the Prometheus text (round 7)") {
     ready
     // nprobe = nlist: the pruned search IS exact, so measured recall is
