@@ -270,7 +270,11 @@ object Bench {
     val keep = headline ++ slowest ++ crashed
     val compactQs = results.filter(r => keep(r._1))
       .map(r => "\"" + r._1 + "\":" + r._2).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,""" +
+    // "summary":true disambiguates this line from the full one above for
+    // a consumer of the WHOLE stream matching on metric=="total" (the
+    // metric name itself stays "total" — the tail-reading harness keys on
+    // it, and this line must remain the one it parses)
+    println(s"""{"metric":"total","summary":true,"value":$total,"unit":"sec","failed":$failed,""" +
       s""""queries":$compactQs,"n_queries":${results.size},""" +
       s""""unstable":$unstable,"stall_retries":$stallRetries,"sf":"$sfDir"}""")
     spark.stop()

@@ -713,32 +713,32 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
         sb.append('\n')
       }
     }
+    // The counters below are emitted UNCONDITIONALLY, zero included: a
+    // Prometheus counter absent until its first event breaks increase()/
+    // rate() over the first window and makes "0" indistinguishable from
+    // "not exported" — and these are alert-worthy counters, where that
+    // distinction is the whole point.
+    //
     // null query vectors are DROPPED by the bounded-batch search paths
     // (uniform drop semantics, IvfFlatIndex.dropNullQueries; the unbounded
     // ForceJoin path raises in-plan instead) — the counter makes the
     // resulting missing result rows visible to operators; JVM-wide
     val nullDrops = graft.index.IvfFlatIndex.droppedNullQueries.get()
-    if (nullDrops > 0) {
-      sb.append("# HELP vdb_dropped_null_queries_total Null query vectors dropped on bounded-batch search paths (no result rows emitted; JVM-wide)\n")
-      sb.append("# TYPE vdb_dropped_null_queries_total counter\n")
-      sb.append(s"vdb_dropped_null_queries_total $nullDrops\n")
-    }
+    sb.append("# HELP vdb_dropped_null_queries_total Null query vectors dropped on bounded-batch search paths (no result rows emitted; JVM-wide)\n")
+    sb.append("# TYPE vdb_dropped_null_queries_total counter\n")
+    sb.append(s"vdb_dropped_null_queries_total $nullDrops\n")
     // probe re-fire evictions: growing value = some re-executed plans'
     // callbacks (hot-list stats, latency histograms) silently stopped
     // updating — raise -Dgraft.probe.maxFired (JVM-wide)
     val probeEvict = graft.index.ExecutionProbeHook.firedEvictions.get()
-    if (probeEvict > 0) {
-      sb.append("# HELP vdb_probe_refire_evictions_total Execution-probe callbacks evicted from the re-fire map (re-executed plans stop updating stats; JVM-wide)\n")
-      sb.append("# TYPE vdb_probe_refire_evictions_total counter\n")
-      sb.append(s"vdb_probe_refire_evictions_total $probeEvict\n")
-    }
+    sb.append("# HELP vdb_probe_refire_evictions_total Execution-probe callbacks evicted from the re-fire map (re-executed plans stop updating stats; JVM-wide)\n")
+    sb.append("# TYPE vdb_probe_refire_evictions_total counter\n")
+    sb.append(s"vdb_probe_refire_evictions_total $probeEvict\n")
     // pending-map evictions are worse: those plans never fire at all
     val pendingEvict = graft.index.ExecutionProbeHook.pendingEvictions.get()
-    if (pendingEvict > 0) {
-      sb.append("# HELP vdb_probe_pending_evictions_total Execution-probe callbacks evicted before ever firing (armed plans exceeded the pending cap; JVM-wide)\n")
-      sb.append("# TYPE vdb_probe_pending_evictions_total counter\n")
-      sb.append(s"vdb_probe_pending_evictions_total $pendingEvict\n")
-    }
+    sb.append("# HELP vdb_probe_pending_evictions_total Execution-probe callbacks evicted before ever firing (armed plans exceeded the pending cap; JVM-wide)\n")
+    sb.append("# TYPE vdb_probe_pending_evictions_total counter\n")
+    sb.append(s"vdb_probe_pending_evictions_total $pendingEvict\n")
     sb.toString
   }
 

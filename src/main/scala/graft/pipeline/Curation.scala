@@ -108,7 +108,50 @@ object Curation {
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select("shingle")
-    EvalScreen(evalSh.join(hot, Seq("shingle"), "left_anti"), n)
+    // persistOnce: the anti-join's plan embeds the CORPUS-wide df
+    // aggregation above — unpersisted, every streaming micro-batch that
+    // broadcasts the screen would re-scan the whole corpus per trigger,
+    // exactly the cost CorpusIndex exists to avoid. Materialized once
+    // here (eval-set-bounded, KBs), the stream never touches corpus text.
+    EvalScreen(Dedup.persistOnce(evalSh.join(hot, Seq("shingle"), "left_anti")), n)
+  }
+
+  /** Persist an [[EvalScreen]] to parquet, n-gram width included — the
+    * long-lived-ingest shape ([[Dedup.writeCorpusIndex]]'s rule): the
+    * screening driver reads the KB-sized screen back instead of carrying
+    * a corpus-scan lineage, and the width cannot drift because it
+    * travels with the data. */
+  def writeEvalScreen(screen: EvalScreen, path: String): Unit = {
+    screen.shingles.write.mode("overwrite").parquet(s"$path/shingles")
+    val spark = screen.shingles.sparkSession
+    val pPath = new org.apache.hadoop.fs.Path(s"$path/params.json")
+    val fs = pPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(pPath, true)
+    try out.write(s"""{"n":${screen.n}}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read back a [[writeEvalScreen]] directory. */
+  def readEvalScreen(
+      spark: org.apache.spark.sql.SparkSession, path: String): EvalScreen = {
+    val pPath = new org.apache.hadoop.fs.Path(s"$path/params.json")
+    val fs = pPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(pPath),
+      s"$path/params.json missing — not a writeEvalScreen directory")
+    val in = fs.open(pPath)
+    val raw = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      buf.toString("UTF-8")
+    } finally in.close()
+    import org.json4s._
+    val n = (org.json4s.jackson.JsonMethods.parse(raw) \ "n") match {
+      case JInt(i) => i.toInt
+      case JLong(l) => l.toInt
+      case other => throw new IllegalArgumentException(s"bad n in params.json: $other")
+    }
+    EvalScreen(spark.read.parquet(s"$path/shingles"), n)
   }
 
   def curate(
@@ -143,8 +186,14 @@ object Curation {
     // curation stress tool does; widening HERE was measured a net loss —
     // the stage runs once into the cache, and the widen probe taxes
     // every later plan build).
+    // both verdicts coalesce NULL -> false: a null/absent text yields a
+    // NULL quality score, and an un-coalesced NULL would slip past the
+    // quality branch of reasonCol and mis-attribute the drop to the next
+    // stage (with a null audit cell) — null text is the quality stage's
+    // failure to own
     val verdicts = Dedup.persistOnce(docs.select(id, col(textCol),
-      (TextAnalysis.qualityScore(col(textCol)) >= minQuality).as("quality_ok"),
+      coalesce(TextAnalysis.qualityScore(col(textCol)) >= minQuality,
+        lit(false)).as("quality_ok"),
       coalesce(QualityFilters.repetitionOk(col(textCol)), lit(false)).as("rep_ok")))
     // the SURVIVOR frame feeding stages 2-4 is persisted — three
     // downstream consumers (exact groupBy, minhash shingles, contamination)

@@ -54,7 +54,15 @@ object TextAnalysis {
     val alphaRatio = when(nChars > 0, alphaChars / nChars).otherwise(0.0)
     val meanTokLen = when(nTok > 0, alphaChars / nTok).otherwise(0.0)
     val tokLenScore = when(meanTokLen >= 3 && meanTokLen <= 10, lit(1.0)).otherwise(lit(0.5))
-    (lenScore * lit(0.4) + alphaRatio * lit(0.4) + tokLenScore * lit(0.2))
+    // NULL text scores NULL, never a number: `least` IGNORES null
+    // arguments, so without the guard a null text would score exactly 0.5
+    // (lenScore collapses to the 1.0 literal, the when()s take their
+    // otherwise branches) and silently PASS the default quality gate —
+    // consumers coalesce the verdict to false (Curation,
+    // StreamingIngest.curationScreen), which only works if null is what
+    // arrives
+    when(textCol.isNotNull,
+      lenScore * lit(0.4) + alphaRatio * lit(0.4) + tokLenScore * lit(0.2))
   }
 
   /**

@@ -978,7 +978,7 @@ object PipelineQueries {
         |contam AS (SELECT DISTINCT c.doc_id
         |           FROM csh c JOIN rare r ON c.shingle = r.shingle
         |                      JOIN esh e ON c.shingle = e.shingle),
-        |asm AS (SELECT c.doc_id, q.quality_ok,
+        |asm AS (SELECT c.doc_id, coalesce(q.quality_ok, FALSE) AS quality_ok,
         |  coalesce(rep.rep_ok, FALSE) AS rep_ok,
         |  ex.exact_dup_of, nearof.near_dup_of,
         |  (contam.doc_id IS NOT NULL) AS contaminated

@@ -197,9 +197,12 @@ object StreamingIngest {
     import graft.pipeline.{QualityFilters, TextAnalysis}
     val contamN = evalScreen.n
     val evalArr = evalScreen.shingles.agg(collect_set("shingle").as("eval_sh"))
+    // NULL -> false, same as the batch stage: null/absent text must be
+    // owned by the quality verdict, not fall through to a later branch
     val audited = docs
       .withColumn("quality_ok",
-        TextAnalysis.qualityScore(col("text")) >= minQuality)
+        coalesce(TextAnalysis.qualityScore(col("text")) >= minQuality,
+          lit(false)))
       .withColumn("rep_ok",
         coalesce(QualityFilters.repetitionOk(col("text")), lit(false)))
       .join(index.exactText, Seq("text"), "left")

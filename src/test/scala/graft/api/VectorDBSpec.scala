@@ -316,7 +316,14 @@ class VectorDBSpec extends SparkSpec {
     assert(text.contains("vdb_searches_total{index=\"test_index\"}"))
   }
 
-  test("probe eviction counters surface in the Prometheus text once non-zero") {
+  test("probe eviction counters are always present in the Prometheus text") {
+    // zero included: a counter absent until its first event breaks
+    // increase()/rate() over the first scrape window and makes 0
+    // indistinguishable from not-exported
+    val zeroText = db.metricsText()
+    assert(zeroText.contains("vdb_probe_refire_evictions_total "))
+    assert(zeroText.contains("vdb_probe_pending_evictions_total "))
+    assert(zeroText.contains("vdb_dropped_null_queries_total "))
     // the counters are JVM-wide and monotonic; bump both directly and
     // assert the exposition lines appear with at-least-the-bumped values
     // (other suites may have evicted too — never assert exact equality)

@@ -199,6 +199,23 @@ class CurationSpec extends SparkSpec {
       s"generator failed to exercise some stage: $reasons")
   }
 
+  test("null text is owned by the quality stage") {
+    val s = spark
+    import s.implicits._
+    // a null/absent text yields a NULL quality score; un-coalesced it
+    // would skip the quality branch of drop_reason and mis-attribute the
+    // drop to repetition with a null quality_ok audit cell
+    val corpus = Seq(1L -> Option(goodA), 2L -> Option.empty[String])
+      .toDF("doc_id", "text")
+    val eval = Seq(100L -> evalText).toDF("doc_id", "text")
+    val byId = collect(Curation.curate(corpus, eval))
+      .map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Boolean]("keep"))
+    assert(byId(2L).getAs[Boolean]("quality_ok") === false,
+      "quality_ok must be false, not null, for null text")
+    assert(byId(2L).getAs[String]("drop_reason") === "quality")
+  }
+
   test("a doc whose only exact twin failed quality is NOT a duplicate") {
     val s = spark
     import s.implicits._
