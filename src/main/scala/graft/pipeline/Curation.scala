@@ -46,10 +46,15 @@ import org.apache.spark.sql.functions._
  *
  * Caching contract: one call registers several survivor-sized caches
  * (verdicts, the per-stage survivor frames, the band projections) so
- * each multiply-consumed frame computes once. The advertised shape is
- * ONE call per batch curation run — a one-shot driver lets the
- * ContextCleaner reclaim them. A long-lived driver screening
- * continuous ingest should use
+ * each multiply-consumed frame computes once. [[curate]] is the
+ * one-shot-driver shape — the driver exits and the ContextCleaner
+ * reclaims the caches. A driver that runs REPEATED batch curations, or
+ * one that cannot afford corpus-sized text in the block manager at all,
+ * should call [[curateManaged]]: it returns a [[CurationRun]] whose
+ * `unpersist()` releases every cache the run registered (nested
+ * operators included), and its parquet-staging mode replaces the caches
+ * with on-disk stage files (zero storage memory; `cleanup()` deletes
+ * them). A long-lived driver screening continuous ingest should use
  * [[graft.streaming.StreamingIngest.curationScreen]] +
  * [[graft.streaming.StreamingIngest.nearDupScreen]] over a persisted
  * [[Dedup.CorpusIndex]] instead of repeated curate() calls.
@@ -152,6 +157,75 @@ object Curation {
       case other => throw new IllegalArgumentException(s"bad n in params.json: $other")
     }
     EvalScreen(spark.read.parquet(s"$path/shingles"), n)
+  }
+
+  /**
+   * A managed curation run: the audit frame plus ownership of every
+   * intermediate the run materialized.
+   *
+   * Consume (write/collect/persist) `audit` BEFORE calling `unpersist`
+   * or `cleanup` — the audit plan references the materialized frames;
+   * releasing them first is correct but recomputes the whole pipeline
+   * (block-manager mode) or fails the scan (staging mode, files gone).
+   */
+  final case class CurationRun(
+      audit: DataFrame,
+      caches: Seq[DataFrame],
+      staging: Option[String]) {
+    /** Drop every block-manager cache this run registered (no-op in
+      * staging mode — there are none). */
+    def unpersist(blocking: Boolean = false): Unit =
+      caches.foreach(_.unpersist(blocking))
+    /** [[unpersist]] + delete the staging directory, if any. */
+    def cleanup(blocking: Boolean = false): Unit = {
+      unpersist(blocking)
+      staging.foreach { s =>
+        val p = new org.apache.hadoop.fs.Path(s)
+        p.getFileSystem(audit.sparkSession.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
+    }
+  }
+
+  /**
+   * [[curate]] with an explicit materialization policy — the
+   * repeated-runs / bounded-memory shape:
+   *
+   *  - `storageLevel` governs every cache the run registers (the
+   *    pipeline's own stage frames AND the nested minhashLsh /
+   *    contamination internals, via [[Dedup.withMatCtx]]);
+   *  - `stagingPath` (non-empty) switches materialization to parquet
+   *    stage files under that path instead — the block manager never
+   *    holds corpus-sized text, which at 100 TB is the difference
+   *    between a curation run and a cluster-wide spill storm. The
+   *    caller owns the path; `CurationRun.cleanup()` deletes it.
+   *
+   * Identical output to [[curate]] by construction (same plan, only the
+   * materialization of shared subframes differs).
+   */
+  def curateManaged(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      minQuality: Double = 0.5,
+      ngram: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      nearThreshold: Double = 0.5,
+      contamN: Int = 3,
+      contamMaxDf: Int = 5,
+      nShards: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      family: graft.functions.HashFamily = graft.functions.HashFamily.Xxh64,
+      storageLevel: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+      stagingPath: Option[String] = None): CurationRun = {
+    val ctx = new Dedup.MatCtx(storageLevel, stagingPath)
+    val audit = Dedup.withMatCtx(ctx) {
+      curate(docs, evalDocs, minQuality, ngram, numHashes, bands,
+        nearThreshold, contamN, contamMaxDf, nShards, idCol, textCol, family)
+    }
+    CurationRun(audit, ctx.frames.toSeq, stagingPath)
   }
 
   def curate(

@@ -45,11 +45,84 @@ object Dedup {
     * abandoned-plan laziness matters on the serving paths, which never
     * touch this helper. */
   private[graft] def persistOnce(df: DataFrame): DataFrame = {
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
+    val ctx = matCtx.get
+    if (ctx == null) {
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count()
+      }
+      df
+    } else ctx.materialize(df)
+  }
+
+  /**
+   * Per-thread materialization policy for [[persistOnce]] — the hook
+   * that lets a COMPOSED pipeline ([[Curation.curateManaged]]) own the
+   * caches its stages (and their nested operators — minhashLsh,
+   * contamination — whose persistOnce calls it cannot see) register:
+   *
+   *  - block-manager mode (`stagingPath` empty): persist at `level` and
+   *    RECORD the frame, so the caller can unpersist the whole set after
+   *    consuming the result — the repeated-batch-runs-in-one-driver
+   *    shape a one-shot ContextCleaner contract leaks under;
+   *  - parquet-staging mode: write the frame to
+   *    `stagingPath/stage-N` and return the read-back scan. Zero
+   *    storage-memory footprint and a TRUNCATED lineage (a 100 TB run's
+   *    corpus-sized text never occupies the block manager); cleanup is
+   *    deleting the directory. A frame that is already a bare file scan
+   *    (itself read back from staging, or the caller's own parquet
+   *    input) is returned as-is — it is already materialized on disk,
+   *    and re-staging it would copy corpus-sized text once more.
+   *
+   * Thread-local because pipeline plans are CONSTRUCTED synchronously on
+   * one driver thread; [[withMatCtx]] restores the previous context so
+   * nested managed scopes compose.
+   */
+  private[graft] final class MatCtx(
+      level: org.apache.spark.storage.StorageLevel,
+      stagingPath: Option[String]) {
+    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    private var nextStage = 0
+    def materialize(df: DataFrame): DataFrame = stagingPath match {
+      case Some(root) =>
+        if (isBareFileScan(df)) df
+        else {
+          val p = s"$root/stage-$nextStage"
+          nextStage += 1
+          df.write.mode("overwrite").parquet(p)
+          df.sparkSession.read.parquet(p)
+        }
+      case None =>
+        if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+          df.persist(level)
+          df.count()
+          frames += df
+        }
+        df
     }
-    df
+  }
+
+  /** True iff the frame's optimized plan is a plain file-source relation
+    * (no projection/filter/join above it) — already materialized on
+    * disk, so parquet staging would only duplicate it. */
+  private def isBareFileScan(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan match {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation => false
+      case r if r.getClass.getSimpleName == "DataSourceV2Relation" => true
+      case _ => false
+    }
+
+  private val matCtx = new ThreadLocal[MatCtx]
+
+  /** Run `body` with `ctx` governing every [[persistOnce]] on this
+    * thread (nested operator calls included); restores the previous
+    * context on exit. */
+  private[graft] def withMatCtx[A](ctx: MatCtx)(body: => A): A = {
+    val prev = matCtx.get
+    matCtx.set(ctx)
+    try body
+    finally if (prev == null) matCtx.remove() else matCtx.set(prev)
   }
 
   /** True set Jaccard of two string-array columns — the single verify

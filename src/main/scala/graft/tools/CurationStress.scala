@@ -27,10 +27,24 @@ import org.apache.spark.sql.functions._
  * shingles are boilerplate and the df cap (5) must screen them out, so
  * the contamination stage is exercised at full width while returning a
  * small result. Prints per-stage-observable counts + wall times.
+ *
+ * Modes (second arg):
+ *  - `oneshot` (default): one [[graft.pipeline.Curation.curate]] call,
+ *    the documented one-shot-driver contract;
+ *  - `managed`: THREE [[graft.pipeline.Curation.curateManaged]] runs in
+ *    one driver, unpersisting between runs — asserts via
+ *    `sc.getRDDStorageInfo` that each run's caches are real while live
+ *    and that storage returns to the pre-run baseline after
+ *    `unpersist()` (the repeated-batch-runs leak check);
+ *  - `staged`: one parquet-staging run — asserts storage NEVER grows
+ *    past the baseline (corpus-sized text stays out of the block
+ *    manager entirely) and that `cleanup()` removes the stage files.
  */
 object CurationStress {
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 100
+    val mode = if (args.length > 1) args(1) else "oneshot"
+    require(Set("oneshot", "managed", "staged")(mode), s"unknown mode $mode")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -82,24 +96,79 @@ object CurationStress {
     val n = timed(s"synthesize + cache corpus (${copies}x sf0.1; fixture prep, not pipeline cost)")(corpus.count())
     println(s"[curation-stress] corpus docs: $n, eval docs: ${evalDocs.count()}")
 
-    val out = graft.pipeline.Curation.curate(corpus, evalDocs)
-    val persisted = timed("curate (full pipeline, all stages)") {
-      val p = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      p.count()
-      p
+    mode match {
+      case "oneshot" =>
+        val out = graft.pipeline.Curation.curate(corpus, evalDocs)
+        val persisted = timed("curate (full pipeline, all stages)") {
+          val p = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          p.count()
+          p
+        }
+        val byReason = timed("disposition rollup") {
+          persisted.groupBy("drop_reason").count()
+            .collect().map(r => Option(r.getString(0)).getOrElse("KEPT") -> r.getLong(1))
+            .sortBy(_._1).toSeq
+        }
+        println(s"[curation-stress] dispositions: ${byReason.mkString(", ")}")
+        val shards = timed("shard balance") {
+          persisted.filter(col("keep")).groupBy("shard").count()
+            .agg(min("count").as("mn"), max("count").as("mx"))
+            .collect().head
+        }
+        println(s"[curation-stress] kept-shard balance: min=${shards.getLong(0)} max=${shards.getLong(1)}")
+
+      case "managed" =>
+        val sc = spark.sparkContext
+        // the corpus fixture cache is part of the baseline; each run's
+        // caches must come and GO relative to it
+        val baseline = sc.getRDDStorageInfo.map(_.id).toSet
+        def extra() = sc.getRDDStorageInfo.filterNot(i => baseline(i.id))
+        for (i <- 1 to 3) {
+          val run = timed(s"managed run $i: build + materialize") {
+            graft.pipeline.Curation.curateManaged(corpus, evalDocs)
+          }
+          // toRdd, not count(): count() lets Catalyst prune the verdict
+          // projections and the run would time a keys-only plan
+          val n = timed(s"managed run $i: consume audit")(
+            run.audit.queryExecution.toRdd.count())
+          val live = extra()
+          val liveMb = live.map(i => i.memSize + i.diskSize).sum / 1e6
+          println(f"[curation-stress] run $i: $n rows, ${live.length} live cached RDDs, $liveMb%.1f MB")
+          assert(live.nonEmpty, "a managed run must register real caches while live")
+          run.unpersist(blocking = true)
+          val leaked = extra()
+          assert(leaked.isEmpty,
+            s"run $i leaked ${leaked.length} cached RDDs past unpersist(): " +
+              leaked.map(_.id).mkString(","))
+          println(s"[curation-stress] run $i: storage back to baseline after unpersist")
+        }
+        println("[curation-stress] managed: 3 runs, zero leaked caches PASS")
+
+      case "staged" =>
+        val sc = spark.sparkContext
+        val baseline = sc.getRDDStorageInfo.map(_.id).toSet
+        val dir = java.nio.file.Files.createTempDirectory("graft-curation-staged")
+          .toFile.getAbsolutePath
+        val run = timed("staged run: build + write stage files") {
+          graft.pipeline.Curation.curateManaged(corpus, evalDocs,
+            stagingPath = Some(dir))
+        }
+        val n = timed("staged run: consume audit")(
+          run.audit.queryExecution.toRdd.count())
+        val grown = sc.getRDDStorageInfo.filterNot(i => baseline(i.id))
+        assert(grown.isEmpty,
+          s"staging mode must not touch the block manager, saw ${grown.length} new cached RDDs")
+        val stageBytes = {
+          def du(f: java.io.File): Long =
+            if (f.isFile) f.length
+            else Option(f.listFiles).map(_.map(du).sum).getOrElse(0L)
+          du(new java.io.File(dir))
+        }
+        println(f"[curation-stress] staged: $n rows, 0 new cached RDDs, ${stageBytes / 1e6}%.1f MB of stage files")
+        run.cleanup()
+        assert(!new java.io.File(dir).exists(), "cleanup must delete the staging dir")
+        println("[curation-stress] staged: zero block-manager growth + cleanup PASS")
     }
-    val byReason = timed("disposition rollup") {
-      persisted.groupBy("drop_reason").count()
-        .collect().map(r => Option(r.getString(0)).getOrElse("KEPT") -> r.getLong(1))
-        .sortBy(_._1).toSeq
-    }
-    println(s"[curation-stress] dispositions: ${byReason.mkString(", ")}")
-    val shards = timed("shard balance") {
-      persisted.filter(col("keep")).groupBy("shard").count()
-        .agg(min("count").as("mn"), max("count").as("mx"))
-        .collect().head
-    }
-    println(s"[curation-stress] kept-shard balance: min=${shards.getLong(0)} max=${shards.getLong(1)}")
     spark.stop()
   }
 }

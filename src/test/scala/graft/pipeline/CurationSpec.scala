@@ -235,4 +235,83 @@ class CurationSpec extends SparkSpec {
     assert(byId(13L).getAs[String]("drop_reason") === "exact_dup")
     assert(byId(13L).getAs[Long]("exact_dup_of") === 12L)
   }
+
+  // distinct doc ids + a salt token per text so these fixtures never
+  // structurally match frames the OTHER tests cached — the CacheManager
+  // matches plans structurally, and a hit would hand the managed run a
+  // pre-existing cache, making its registration/unpersist untestable
+  private def saltedFixture(salt: String, base: Long) = {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (base + 1L) -> (goodA + " " + salt),
+      (base + 2L) -> "!!! ??? ---",
+      (base + 4L) -> (goodB + " " + salt),
+      (base + 5L) -> (goodB + " " + salt),
+      (base + 8L) -> (contaminated + " " + salt)).toDF("doc_id", "text")
+    val eval = Seq((base + 100L) -> (evalText + " " + salt)).toDF("doc_id", "text")
+    (corpus, eval)
+  }
+
+  test("curateManaged: matches curate, owns its caches, unpersist releases them") {
+    import org.apache.spark.storage.StorageLevel
+    val (corpus, eval) = saltedFixture("mgdsalt", 2000L)
+    // managed FIRST: a prior curate() on the same data would have cached
+    // structurally-identical frames, so persistOnce would see them
+    // already pinned and register nothing
+    val run = Curation.curateManaged(corpus, eval,
+      storageLevel = StorageLevel.DISK_ONLY)
+    val managed = collect(run.audit)
+    assert(run.staging.isEmpty)
+    assert(run.caches.nonEmpty, "the run must own the caches it registered")
+    assert(run.caches.forall(_.storageLevel == StorageLevel.DISK_ONLY),
+      "storageLevel must govern every registered cache, nested operators included")
+    val plain = collect(Curation.curate(corpus, eval))
+    assert(managed === plain)
+    run.unpersist(blocking = true)
+    assert(run.caches.forall(_.storageLevel == StorageLevel.NONE),
+      "unpersist must release every registered cache")
+  }
+
+  test("curateManaged staging mode: zero block-manager caches, cleanup deletes the stage files") {
+    val (corpus, eval) = saltedFixture("stgsalt", 3000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-curation-staging")
+      .toFile.getAbsolutePath
+    val run = Curation.curateManaged(corpus, eval, stagingPath = Some(dir))
+    val staged = collect(run.audit)
+    assert(run.caches.isEmpty, "staging mode must register no block-manager caches")
+    val stageDirs = new java.io.File(dir).listFiles()
+    assert(stageDirs != null && stageDirs.exists(_.getName.startsWith("stage-")),
+      "intermediates must land under stagingPath/stage-N")
+    // the audit plan must read the stage files, not InMemoryRelations
+    val cachedNodes = run.audit.queryExecution.withCachedData.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(cachedNodes.isEmpty,
+      "staging mode must not substitute block-manager caches into the audit plan")
+    val plain = collect(Curation.curate(corpus, eval))
+    assert(staged === plain)
+    run.cleanup()
+    assert(!new java.io.File(dir).exists(), "cleanup must delete the staging dir")
+  }
+
+  test("eval screen parquet round-trip preserves shingles and n-gram width") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(10L -> goodA, 11L -> goodB).toDF("doc_id", "text")
+    val eval = Seq(100L -> evalText).toDF("doc_id", "text")
+    val screen = Curation.evalScreenShingles(corpus, eval, n = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-eval-screen")
+      .toFile.getAbsolutePath
+    Curation.writeEvalScreen(screen, dir)
+    val back = Curation.readEvalScreen(spark, dir)
+    assert(back.n === 2, "the n-gram width must travel with the data")
+    val a = screen.shingles.orderBy("shingle").collect().map(_.getString(0)).toSeq
+    val b = back.shingles.orderBy("shingle").collect().map(_.getString(0)).toSeq
+    assert(a.nonEmpty && a === b)
+    // the read-back plan is a bare parquet scan — no corpus lineage for a
+    // streaming micro-batch to re-execute
+    assert(back.shingles.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]))
+  }
 }
