@@ -61,8 +61,11 @@ import org.apache.spark.sql.functions._
  */
 object Curation {
 
-  /** First-failing-stage precedence shared by `keep` and `drop_reason`. */
-  private def reasonCol(
+  /** First-failing-stage precedence shared by `keep` and `drop_reason` —
+    * and by the streaming audit
+    * ([[graft.streaming.StreamingIngest.curationAudit]]), so batch and
+    * stream cannot disagree on precedence. */
+  private[graft] def reasonCol(
       qualityOk: Column, repOk: Column, exactDupOf: Column,
       nearDupOf: Column, contaminated: Column): Column =
     when(!qualityOk, "quality")

@@ -68,7 +68,7 @@ object TrainingPrep {
     * decisions that are documented to be mutually consistent. Plain
     * modular arithmetic — replayable anywhere, stable across
     * partitioning, runs, and engines. */
-  private[pipeline] def lehmerKey(id: Column): Column =
+  private[graft] def lehmerKey(id: Column): Column =
     pmod(id * 48271L + 11L, lit(2147483647L))
 
   /** Deterministic per-doc hash in [0, 1000): [[lehmerKey]] mod 1000. */

@@ -226,6 +226,149 @@ object StreamingIngest {
   }
 
   /**
+   * Unified streaming curation audit — ONE watermark-closed row per
+   * incoming doc carrying EVERY stage verdict, `near_dup_of` included,
+   * with the batch audit schema ([[graft.pipeline.Curation.curate]])
+   * column for column (`doc_id, ts, quality_ok, rep_ok, exact_dup_of,
+   * near_dup_of, contaminated, keep, drop_reason, shard`). Where
+   * [[curationScreen]] + [[nearDupScreen]] give two streams (immediate
+   * stateless verdicts, separate verified-match rows), this gives the
+   * one-auditable-stream shape — at the cost that every verdict waits
+   * for the watermark to close the doc's near-dup aggregation.
+   *
+   * Near-dup semantics are the batch pipeline's greedy
+   * smaller-id-partner-wins rule: `near_dup_of` = the SMALLEST corpus id
+   * with verified Jaccard >= `nearThreshold` that is < the doc's own id.
+   * This presumes the global doc-id order reflects ingest order (corpus
+   * ids precede stream ids — the natural monotonic-id deployment), and
+   * it is exactly what makes a replayed batch audit byte-identical to
+   * `Curation.curate` when the index is built over that batch's
+   * post-exact survivors. An id space where corpus ids can EXCEED
+   * stream ids needs [[nearDupScreen]]'s any-match semantics instead.
+   * Exact dedup applies the same rule: a doc whose text's corpus keeper
+   * is itself (replay) maps to a NULL `exact_dup_of`.
+   *
+   * Like the batch pipeline, later-stage cells are gated on earlier
+   * verdicts (a quality-dropped doc never shingles; `contaminated` is
+   * only true for docs that survived every earlier stage) — so the audit
+   * cells, not just `drop_reason`, replay identically. Intra-STREAM
+   * exact/near duplicates (two novel docs duplicating each other, neither
+   * in the corpus) are NOT collapsed here — that is [[dedupStream]] /
+   * compaction-time `curate()` work; this audit screens against the
+   * CORPUS.
+   *
+   * Plan shape: stateless verdicts ride the scan; band candidates come
+   * from a stream-static left join against the index's band table
+   * (survivors only — dropped docs carry a null band array through
+   * `posexplode_outer`); multi-band repeats collapse via
+   * `dropDuplicatesWithinWatermark` BEFORE the shingle-verification join
+   * (one Jaccard per (doc, corpus) candidate, the batch rule); the final
+   * per-doc aggregation is the single watermark-bounded state that emits
+   * the closed audit row. All joins are stream-static, so state =
+   * in-horizon candidate dedup + per-doc pending aggregation, bounded by
+   * the watermark regardless of corpus size.
+   */
+  def curationAudit(
+      docs: DataFrame, // streaming (doc_id, ts, text)
+      index: graft.pipeline.Dedup.CorpusIndex,
+      evalScreen: graft.pipeline.Curation.EvalScreen,
+      minQuality: Double = 0.5,
+      nearThreshold: Double = 0.5,
+      nShards: Int = 8,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.functions.text
+    import graft.pipeline.{Curation, QualityFilters, TextAnalysis, TrainingPrep}
+    val ngram = index.ngram
+    val numHashes = index.numHashes
+    val bands = index.bandCount
+    val evalArr = evalScreen.shingles.agg(collect_set("shingle").as("eval_sh"))
+    val stateless = docs
+      .withWatermark("ts", watermarkDelay)
+      // NULL -> false: null/absent text is the quality stage's failure to
+      // own, same as the batch stage
+      .withColumn("quality_ok",
+        coalesce(TextAnalysis.qualityScore(col("text")) >= minQuality,
+          lit(false)))
+      .withColumn("rep_ok",
+        coalesce(QualityFilters.repetitionOk(col("text")), lit(false)))
+      .join(index.exactText
+          .withColumnRenamed("exact_dup_of", "corpus_keep_id"),
+        Seq("text"), "left")
+      // gated on the quality verdicts (batch: exactOf is computed over
+      // stage-1 SURVIVORS) and nulled when the keeper is the doc itself
+      .withColumn("exact_dup_of",
+        when(col("quality_ok") && col("rep_ok") &&
+          col("corpus_keep_id") =!= col("doc_id"), col("corpus_keep_id")))
+      .crossJoin(broadcast(evalArr)) // 1 static row, eval-set-bounded
+      // RAW overlap; the batch-identical gated cell needs the near-dup
+      // verdict, so it is finalized after the aggregation below
+      .withColumn("contam_raw", coalesce(
+        arrays_overlap(
+          array_distinct(
+            text.word_ngrams(text.tokenize(col("text")), evalScreen.n)),
+          col("eval_sh")),
+        lit(false)))
+    val survivorOk =
+      col("quality_ok") && col("rep_ok") && col("exact_dup_of").isNull
+    val banded = stateless
+      // dropped docs never shingle (batch: stage 3 sees stage-2 survivors
+      // only) — they ride through as a single null-band row
+      .withColumn("shingles", when(survivorOk,
+        text.word_ngrams(text.tokenize(col("text")), ngram)))
+      .withColumn("sig", when(size(col("shingles")) > 0,
+        text.minhash_signature(col("shingles"), numHashes,
+          family = index.family)))
+      .withColumn("content_key",
+        xxhash64(concat_ws("\u0001", col("shingles"))))
+      .withColumn("band_arr", when(col("sig").isNotNull,
+        text.lsh_bands(col("sig"), numHashes, bands)))
+      .select(col("doc_id"), col("ts"), col("quality_ok"), col("rep_ok"),
+        col("exact_dup_of"), col("contam_raw"), col("shingles"),
+        col("content_key"),
+        posexplode_outer(col("band_arr")).as(Seq("pos", "band")))
+    banded
+      .join(index.bands
+          .select(col("pos"), col("band"), col("id").as("corpus_id")),
+        Seq("pos", "band"), "left")
+      // the greedy rule, applied BEFORE candidate dedup so larger-id
+      // matches don't occupy state; nulled (not filtered) so a doc whose
+      // only matches are larger ids keeps its audit row
+      .withColumn("corpus_id",
+        when(col("corpus_id") < col("doc_id"), col("corpus_id")))
+      // one Jaccard verification per (doc, corpus) candidate, however
+      // many bands collided ([[nearDupScreen]]'s rule; content_key keeps
+      // a re-crawled edited doc distinct from its earlier arrival)
+      .dropDuplicatesWithinWatermark("doc_id", "content_key", "corpus_id")
+      .join(index.shingles
+          .select(col("id").as("c_id"), col("shingles").as("c_sh")),
+        col("corpus_id") === col("c_id"), "left")
+      .withColumn("near_hit", when(
+        size(array_intersect(col("shingles"), col("c_sh"))).cast("double") /
+          size(array_union(col("shingles"), col("c_sh"))) >= nearThreshold,
+        col("corpus_id")))
+      // the one stateful aggregation: closes each doc's audit row at
+      // watermark expiry; grouping keys beyond (ts, doc_id) are
+      // functionally dependent row constants riding into the output
+      .groupBy(col("ts"), col("doc_id"), col("quality_ok"), col("rep_ok"),
+        col("exact_dup_of"), col("contam_raw"))
+      .agg(min(col("near_hit")).as("near_dup_of"))
+      .withColumn("contaminated",
+        col("quality_ok") && col("rep_ok") && col("exact_dup_of").isNull &&
+          col("near_dup_of").isNull && col("contam_raw"))
+      .select(col("doc_id"), col("ts"), col("quality_ok"), col("rep_ok"),
+        col("exact_dup_of"), col("near_dup_of"), col("contaminated"),
+        Curation.reasonCol(col("quality_ok"), col("rep_ok"),
+          col("exact_dup_of"), col("near_dup_of"), col("contaminated"))
+          .as("drop_reason"))
+      .withColumn("keep", col("drop_reason").isNull)
+      .withColumn("shard", when(col("drop_reason").isNull,
+        (TrainingPrep.lehmerKey(col("doc_id")) % nShards).cast("int")))
+      .select(col("doc_id"), col("ts"), col("quality_ok"), col("rep_ok"),
+        col("exact_dup_of"), col("near_dup_of"), col("contaminated"),
+        col("keep"), col("drop_reason"), col("shard"))
+  }
+
+  /**
    * Stream-stream interval join: each purchase enriched with the same
    * user's clicks from the preceding `lookback` — the canonical
    * attribution join. Both sides carry watermarks and the join condition

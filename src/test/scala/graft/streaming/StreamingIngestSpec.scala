@@ -480,4 +480,118 @@ class StreamingIngestSpec extends SparkSpec {
         s"only the near twin may reach a verified match: ${rows.toSeq}")
     } finally q.stop()
   }
+
+  test("curationAudit: one watermark-closed row per doc, every stage verdict included") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // disjoint ingest shape: corpus ids (all < stream ids) already curated
+    val corpus = Seq(200L -> goodB, 201L -> (nearBase + "alphaend"))
+      .toDF("doc_id", "text")
+    val eval = Seq(100L -> evalText).toDF("doc_id", "text")
+    val index = graft.pipeline.Dedup.buildCorpusIndex(corpus)
+    val screen = graft.pipeline.Curation.evalScreenShingles(corpus, eval)
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingIngest
+      .curationAudit(mem.toDF().toDF("doc_id", "ts", "text"), index, screen,
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("curation_audit")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (301L, ts(0), goodA), // novel, clean -> keep + shard
+        (302L, ts(1), "!!! ??? ---"), // quality
+        (303L, ts(2), Seq.fill(25)("spam").mkString(" ")), // repetition
+        (304L, ts(3), goodB), // exact twin of corpus 200
+        (305L, ts(4), nearBase + "gammaend"), // near twin of corpus 201
+        (306L, ts(5), contaminatedText)) // shares the eval trigram
+      q.processAllAvailable()
+      // the audit row closes at watermark expiry — advance it past the
+      // docs above with a sentinel arrival (itself still pending)
+      mem.addData((999L, ts(60), goodA))
+      q.processAllAvailable()
+      val byId = spark.table("curation_audit").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(byId.keySet === Set(301L, 302L, 303L, 304L, 305L, 306L),
+        "one closed audit row per in-horizon doc (the sentinel stays pending)")
+      def reason(id: Long) = Option(byId(id).getAs[String]("drop_reason")).orNull
+      assert(reason(301L) == null && byId(301L).getAs[Boolean]("keep"))
+      assert(!byId(301L).isNullAt(byId(301L).fieldIndex("shard")),
+        "a kept doc must carry its shard")
+      assert(reason(302L) === "quality" && byId(302L).isNullAt(
+        byId(302L).fieldIndex("shard")))
+      assert(reason(303L) === "repetition")
+      assert(reason(304L) === "exact_dup")
+      assert(byId(304L).getAs[Long]("exact_dup_of") === 200L)
+      assert(reason(305L) === "near_dup")
+      assert(byId(305L).getAs[Long]("near_dup_of") === 201L)
+      assert(reason(306L) === "contaminated")
+      assert(byId(306L).getAs[Boolean]("contaminated"))
+    } finally q.stop()
+  }
+
+  test("curationAudit replay of a batch is byte-identical to Curation.curate") {
+    // THE unification contract: index the batch's post-exact survivors,
+    // eval-screen its post-near survivors, replay the whole batch through
+    // the streaming audit -> every row (all verdict cells, keep,
+    // drop_reason, shard) matches the batch pipeline column for column
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      1L -> goodA, // clean keep
+      2L -> "!!! ??? ---", // quality
+      3L -> Seq.fill(25)("spam").mkString(" "), // repetition
+      12L -> goodB, 13L -> goodB, // exact pair: 13 -> 12
+      21L -> (nearBase + "alphaend"), // near pair keeper
+      22L -> (nearBase + "betaend"), // near pair: 22 -> 21
+      31L -> contaminatedText // contaminated
+    ).toDF("doc_id", "text")
+    val eval = Seq(100L -> evalText).toDF("doc_id", "text")
+    val nearThreshold = 0.5
+    val batch = graft.pipeline.Curation
+      .curate(docs, eval, nearThreshold = nearThreshold)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    // the projections the streaming driver would persist at curation time
+    val s2 = docs.join(
+      graft.pipeline.Curation.curate(docs, eval, nearThreshold = nearThreshold)
+        .filter(col("quality_ok") && col("rep_ok") &&
+          col("exact_dup_of").isNull)
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val s3 = docs.join(
+      graft.pipeline.Curation.curate(docs, eval, nearThreshold = nearThreshold)
+        .filter(col("quality_ok") && col("rep_ok") &&
+          col("exact_dup_of").isNull && col("near_dup_of").isNull)
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val index = graft.pipeline.Dedup.buildCorpusIndex(s2)
+    val screen = graft.pipeline.Curation.evalScreenShingles(s3, eval)
+
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingIngest
+      .curationAudit(mem.toDF().toDF("doc_id", "ts", "text"), index, screen,
+        nearThreshold = nearThreshold)
+      .writeStream.format("memory").queryName("curation_audit_replay")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(docs.collect().map(r =>
+        (r.getLong(0), ts(r.getLong(0).toInt), r.getString(1))).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData((999L, ts(600), goodA)) // watermark advancer, stays pending
+      q.processAllAvailable()
+      val streamed = spark.table("curation_audit_replay").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(streamed.keySet === batch.keySet)
+      val cols = Seq("quality_ok", "rep_ok", "exact_dup_of", "near_dup_of",
+        "contaminated", "keep", "drop_reason", "shard")
+      for (id <- batch.keySet; c <- cols) {
+        val b = batch(id).getAs[Any](c)
+        val st = streamed(id).getAs[Any](c)
+        assert(b === st, s"doc $id column $c: batch=$b stream=$st")
+      }
+    } finally q.stop()
+  }
 }
