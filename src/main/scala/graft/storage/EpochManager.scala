@@ -28,6 +28,16 @@ class EpochManager(basePath: String) {
   // them and the orphan sweep would later delete their live directories),
   // and the local tombstones are the only ids the merge may remove
   private val locallyDeleted = TrieMap.empty[String, Unit]
+  // Double-absence rule for the orphan sweep: a directory must be
+  // observed unreferenced on TWO CONSECUTIVE sweeps before deletion.
+  // The state lock already closes the read-merge-write race, but this is
+  // cheap defense-in-depth against any future lock bypass (e.g. an NFS
+  // deployment where FileChannel.lock is advisory-unreliable): a
+  // concurrently-registering manager whose epochs.json write we somehow
+  // failed to see gets a whole sweep interval for its write to land
+  // before anything is deleted. An id that becomes referenced again
+  // between sweeps is acquitted (removed from the suspect set).
+  private val orphanSuspects = TrieMap.empty[String, Unit]
   @volatile private var activeId: String = ""
   // has THIS instance ever changed the active pointer? persistState only
   // writes our activeId when true — otherwise a stale instance's persist
@@ -168,13 +178,25 @@ class EpochManager(basePath: String) {
       case Some(persisted) =>
         val known = epochs.keySet ++ persisted ++ protectedIds + activeId
         val cutoff = System.currentTimeMillis() - EpochManager.OrphanGraceMs
-        Option(new java.io.File(basePath).listFiles())
+        val candidates = Option(new java.io.File(basePath).listFiles())
           .getOrElse(Array.empty[java.io.File])
           .filter(f => f.isDirectory && f.getName.startsWith("epoch_") &&
             !known.contains(f.getName) && f.lastModified() < cutoff)
           .map(_.getName).toSeq.sorted
+        // Double-absence: only suspects from a PREVIOUS sweep are deleted
+        // this sweep; first-time candidates are merely recorded. Ids no
+        // longer candidate (referenced again, or deleted meanwhile) are
+        // acquitted so the suspect set cannot grow stale entries.
+        val candidateSet = candidates.toSet
+        (orphanSuspects.keySet diff candidateSet).foreach(orphanSuspects.remove)
+        val (confirmed, firstSeen) = candidates.partition(orphanSuspects.contains)
+        firstSeen.foreach(id => orphanSuspects.put(id, ()))
+        confirmed
     }
-    orphans.foreach(id => EpochManager.deleteRecursively(epochPath(id)))
+    orphans.foreach { id =>
+      orphanSuspects.remove(id)
+      EpochManager.deleteRecursively(epochPath(id))
+    }
     if (doomed.isEmpty) persistState()
     doomed ++ orphans
   }

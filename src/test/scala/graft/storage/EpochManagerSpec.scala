@@ -64,14 +64,47 @@ class EpochManagerSpec extends AnyFunSuite {
     assert(!kept.contains("epoch_0000000000000_9999"))
     assert(Files.exists(java.nio.file.Paths.get(orphan)),
       "fresh unreferenced dir must survive the grace window")
-    // age it past the grace window -> swept
+    // age it past the grace window -> double-absence rule: the FIRST
+    // sweep that observes it unreferenced only records a suspicion (a
+    // defense-in-depth grace interval against a lock bypass, e.g. an NFS
+    // deployment where FileChannel.lock is advisory-unreliable); only the
+    // SECOND consecutive observation deletes
     val old = System.currentTimeMillis() - EpochManager.OrphanGraceMs - 1000
     java.nio.file.Paths.get(orphan).toFile.setLastModified(old)
+    val firstSweep = em.cleanupOldEpochs(keepN = 3)
+    assert(!firstSweep.contains("epoch_0000000000000_9999"),
+      "an id seen missing ONCE must not be deleted")
+    assert(Files.exists(java.nio.file.Paths.get(orphan)))
     val deleted = em.cleanupOldEpochs(keepN = 3)
-    assert(deleted.contains("epoch_0000000000000_9999"))
+    assert(deleted.contains("epoch_0000000000000_9999"),
+      "an id seen missing TWICE consecutively must be deleted")
     assert(!Files.exists(java.nio.file.Paths.get(orphan)), "orphan dir must be swept")
     assert(em.contains(live) &&
       Files.exists(java.nio.file.Paths.get(em.epochPath(live))))
+  }
+
+  test("orphan suspect is acquitted when referenced again between sweeps") {
+    val base = tmpDir()
+    val em = new EpochManager(base)
+    em.createEpoch()
+    val orphan = s"$base/epoch_0000000000000_8888"
+    Files.createDirectories(java.nio.file.Paths.get(orphan))
+    val old = System.currentTimeMillis() - EpochManager.OrphanGraceMs - 1000
+    java.nio.file.Paths.get(orphan).toFile.setLastModified(old)
+    // sweep 1: suspect recorded
+    assert(em.cleanupOldEpochs(keepN = 3).isEmpty)
+    // sweep 2: the id is referenced this time (a serving driver protects
+    // it) -> acquitted, suspicion cleared
+    assert(em.cleanupOldEpochs(keepN = 3,
+      protectedIds = Set("epoch_0000000000000_8888")).isEmpty)
+    // sweep 3: unreferenced again — this must count as a FIRST
+    // observation (the earlier suspicion was dropped), so still no delete
+    assert(!em.cleanupOldEpochs(keepN = 3).contains("epoch_0000000000000_8888"),
+      "acquittal must reset the absence count")
+    assert(Files.exists(java.nio.file.Paths.get(orphan)))
+    // sweep 4: second consecutive absence -> deleted
+    assert(em.cleanupOldEpochs(keepN = 3).contains("epoch_0000000000000_8888"))
+    assert(!Files.exists(java.nio.file.Paths.get(orphan)))
   }
 
   test("orphan sweep never deletes epochs another manager registered, and skips without a state file") {
