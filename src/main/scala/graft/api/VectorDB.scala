@@ -30,6 +30,14 @@ import graft.storage.{EpochManager, Manifest, ShardInfo}
  */
 class VectorDB(val spark: SparkSession, val dataPath: String) {
 
+  /** Stable tag for THIS facade in JVM-shared telemetry (the probe-map
+    * eviction counters live in the [[graft.index.ExecutionProbeHook]]
+    * singleton): dataPath names the tenant, the sequence number splits
+    * two facades opened on the same path. Exposed as the `instance`
+    * label in [[metricsText]] and in [[stats]]. */
+  val instanceId: String =
+    s"$dataPath#${VectorDB.instanceSeq.incrementAndGet()}"
+
   private case class Served(
       manifest: Manifest,
       index: IvfFlatIndex,
@@ -67,7 +75,8 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     * server/query_service.cpp:686-689). */
   private def timed(name: String, df: DataFrame): DataFrame =
     graft.index.ExecutionProbeHook.armTimed(df,
-      ns => searchLatency.getOrElseUpdate(name, new LatencyHistogram).record(ns))
+      ns => searchLatency.getOrElseUpdate(name, new LatencyHistogram).record(ns),
+      owner = instanceId)
 
   private def indexPath(name: String) = s"$dataPath/$name"
   private def manifestPath(name: String) = s"${indexPath(name)}/manifest.json"
@@ -355,7 +364,8 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
         }
       }
     }
-    val index = new IvfFlatIndex(spark, vectors, bc, manifest.metric, listener)
+    val index = new IvfFlatIndex(spark, vectors, bc, manifest.metric, listener,
+      probeOwner = instanceId)
     // persisted covering radii (absent on appended-to epochs — the append
     // path drops the table because grown lists would make a stale bound a
     // false-dismissal bug; the index then recomputes lazily on first use)
@@ -582,7 +592,13 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       "dimension" -> s.manifest.dimension,
       "metric" -> s.manifest.metric.toString,
       "num_shards" -> s.manifest.shards.size,
-      "list_imbalance" -> imbalance)
+      "list_imbalance" -> imbalance,
+      // probe-map evictions attributed to THIS facade (non-zero = some of
+      // its plans' stats callbacks were dropped — see metricsText HELP)
+      "probe_refire_evictions" ->
+        graft.index.ExecutionProbeHook.firedEvictionsFor(instanceId),
+      "probe_pending_evictions" ->
+        graft.index.ExecutionProbeHook.pendingEvictionsFor(instanceId))
   }
 
   // --- A10 health + metrics -------------------------------------------------
@@ -739,6 +755,19 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     sb.append("# HELP vdb_probe_pending_evictions_total Execution-probe callbacks evicted before ever firing (armed plans exceeded the pending cap; JVM-wide)\n")
     sb.append("# TYPE vdb_probe_pending_evictions_total counter\n")
     sb.append(s"vdb_probe_pending_evictions_total $pendingEvict\n")
+    // THIS facade's share of the two JVM totals above — distinct metric
+    // names (not a labeled series of the same name: the unlabeled totals
+    // are pinned and a mixed labeled/unlabeled family would double-count
+    // under sum()). Emitted unconditionally at 0, same rationale.
+    val inst = promLabel(instanceId)
+    sb.append("# HELP vdb_probe_refire_evictions_instance_total Re-fire-map probe evictions attributed to this facade instance\n")
+    sb.append("# TYPE vdb_probe_refire_evictions_instance_total counter\n")
+    sb.append(s"""vdb_probe_refire_evictions_instance_total{instance="$inst"} ${graft.index.ExecutionProbeHook.firedEvictionsFor(instanceId)}""")
+    sb.append('\n')
+    sb.append("# HELP vdb_probe_pending_evictions_instance_total Pending-map probe evictions attributed to this facade instance\n")
+    sb.append("# TYPE vdb_probe_pending_evictions_instance_total counter\n")
+    sb.append(s"""vdb_probe_pending_evictions_instance_total{instance="$inst"} ${graft.index.ExecutionProbeHook.pendingEvictionsFor(instanceId)}""")
+    sb.append('\n')
     sb.toString
   }
 
@@ -824,6 +853,8 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
 }
 
 object VectorDB {
+
+  private[api] val instanceSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** F1/F8: read a (vec_id|id, embedding|vec) parquet as (id, vec). */
   def readVectorParquet(spark: SparkSession, path: String): DataFrame = {

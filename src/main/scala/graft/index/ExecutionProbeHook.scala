@@ -37,6 +37,11 @@ private[graft] object ExecutionProbeHook {
     math.max(1, Integer.getInteger("graft.probe.maxFired", 64))
   private val counter = new java.util.concurrent.atomic.AtomicLong()
 
+  /** A callback plus the registry (e.g. one VectorDB facade) that armed
+    * it — carried through the maps so an EVICTION can be attributed to
+    * its owner, not just the JVM total. */
+  private final case class Probe(owner: String, fn: Long => Unit)
+
   /** Evictions from the re-fire map. A non-zero, growing value means the
     * driver re-executes more distinct observed plans than [[MaxFired]] and
     * some probe callbacks (hot-list stats feeding warmupHot, latency
@@ -52,13 +57,40 @@ private[graft] object ExecutionProbeHook {
     * same way. */
   private[graft] val pendingEvictions = new java.util.concurrent.atomic.AtomicLong()
 
-  private def bounded(max: Int, lru: Boolean, onEvict: () => Unit = () => ()) =
+  // Per-owner splits of the two counters above: two VectorDB facades in
+  // one JVM (multi-tenant serving) would otherwise be indistinguishable
+  // in the shared totals — an operator could not tell WHICH tenant's
+  // serving loop outran the caps. Keyed by the owner string passed to
+  // arm/armTimed; "" (ownerless arms, e.g. bare IvfFlatIndex use) rolls
+  // into the JVM totals only. Unbounded in principle, but bounded in
+  // practice by the number of live registries (facades), not by plans.
+  private val firedEvictionsPerOwner =
+    scala.collection.concurrent.TrieMap.empty[String, java.util.concurrent.atomic.AtomicLong]
+  private val pendingEvictionsPerOwner =
+    scala.collection.concurrent.TrieMap.empty[String, java.util.concurrent.atomic.AtomicLong]
+
+  /** Re-fire-map evictions attributed to `owner` (0 if it never armed or
+    * never lost a callback). */
+  private[graft] def firedEvictionsFor(owner: String): Long =
+    firedEvictionsPerOwner.get(owner).map(_.get()).getOrElse(0L)
+
+  /** Pending-map evictions attributed to `owner`. */
+  private[graft] def pendingEvictionsFor(owner: String): Long =
+    pendingEvictionsPerOwner.get(owner).map(_.get()).getOrElse(0L)
+
+  private def bump(per: scala.collection.concurrent.TrieMap[String, java.util.concurrent.atomic.AtomicLong],
+      owner: String): Unit =
+    if (owner.nonEmpty)
+      per.getOrElseUpdate(owner, new java.util.concurrent.atomic.AtomicLong())
+        .incrementAndGet()
+
+  private def bounded(max: Int, lru: Boolean, onEvict: Probe => Unit) =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, Long => Unit](64, 0.75f, lru) {
+      new java.util.LinkedHashMap[String, Probe](64, 0.75f, lru) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[String, Long => Unit]): Boolean = {
+            e: java.util.Map.Entry[String, Probe]): Boolean = {
           val evict = size() > max
-          if (evict) onEvict()
+          if (evict) onEvict(e.getValue)
           evict
         }
       })
@@ -70,8 +102,9 @@ private[graft] object ExecutionProbeHook {
   // micro-batch, each capturing the batch's probe-pair array, and leaving
   // fired entries in the 4096-slot pending map retained gigabytes of dead
   // probe pairs on a long-lived driver.
-  private val pending = bounded(MaxPending, lru = false, onEvict = () => {
+  private val pending = bounded(MaxPending, lru = false, onEvict = p => {
     val n = pendingEvictions.incrementAndGet()
+    bump(pendingEvictionsPerOwner, p.owner)
     if (n == 1 || n % 1024 == 0) System.err.println(
       s"[graft] probe pending map evicted $n callback(s) (cap $MaxPending): " +
         "those observed plans will NEVER fire their probe callback — the " +
@@ -80,8 +113,9 @@ private[graft] object ExecutionProbeHook {
   // ACCESS-ordered: a hot plan that re-fires every trigger must refresh
   // its recency, or first-fire order would evict it after MaxFired other
   // plans fire once each and its callback silently stops
-  private val fired = bounded(MaxFired, lru = true, onEvict = () => {
+  private val fired = bounded(MaxFired, lru = true, onEvict = p => {
     val n = firedEvictions.incrementAndGet()
+    bump(firedEvictionsPerOwner, p.owner)
     if (n == 1 || n % 1024 == 0) System.err.println(
       s"[graft] probe re-fire map evicted $n callback(s) (cap $MaxFired): " +
         "re-executions of evicted plans no longer update hot-list/latency " +
@@ -92,17 +126,19 @@ private[graft] object ExecutionProbeHook {
   private val registered = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
-  /** Wrap `df` so `fire` runs on each successful execution of the result. */
-  def arm(df: DataFrame, fire: () => Unit): DataFrame =
-    armTimed(df, _ => fire())
+  /** Wrap `df` so `fire` runs on each successful execution of the result.
+    * `owner` tags the arming registry for per-owner eviction attribution
+    * ("" = untagged, counted in the JVM totals only). */
+  def arm(df: DataFrame, fire: () => Unit, owner: String = ""): DataFrame =
+    armTimed(df, _ => fire(), owner)
 
   /** [[arm]] flavor whose callback also receives the execution's wall
     * duration in nanoseconds (the listener's durationNs) — feeds the A10
     * per-index latency histograms without a second timing source. */
-  def armTimed(df: DataFrame, fire: Long => Unit): DataFrame = {
+  def armTimed(df: DataFrame, fire: Long => Unit, owner: String = ""): DataFrame = {
     ensureListener(df.sparkSession)
     val name = Prefix + counter.incrementAndGet()
-    pending.put(name, fire)
+    pending.put(name, Probe(owner, fire))
     df.observe(name, count(lit(1)))
   }
 
@@ -115,9 +151,9 @@ private[graft] object ExecutionProbeHook {
             qe.observedMetrics.keys.foreach { k =>
               if (k.startsWith(Prefix)) {
                 val cb = Option(pending.remove(k)).orElse(Option(fired.get(k)))
-                cb.foreach { f =>
-                  fired.put(k, f) // recent fired plans may re-fire
-                  f(durationNs)
+                cb.foreach { p =>
+                  fired.put(k, p) // recent fired plans may re-fire
+                  p.fn(durationNs)
                 }
               }
             }

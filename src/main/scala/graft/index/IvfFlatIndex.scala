@@ -37,7 +37,12 @@ class IvfFlatIndex(
       * hot-list stats (reference access_count / last_access,
       * engine/ivf_flat_index.h:34-35). Leave the default no-op to keep
       * search plans free of the observe() wrapper entirely. */
-    val probeListener: Array[(Long, Int)] => Unit = IvfFlatIndex.NoopProbeListener) {
+    val probeListener: Array[(Long, Int)] => Unit = IvfFlatIndex.NoopProbeListener,
+    /** Registry tag for [[ExecutionProbeHook]] eviction attribution — set
+      * by the owning facade (VectorDB passes its instance id) so a
+      * multi-tenant JVM can tell WHOSE serving loop outran the probe-map
+      * caps. "" = untagged (JVM totals only). */
+    val probeOwner: String = "") {
 
   def nlist: Int = centroids.value.length
   def dimension: Int = centroids.value.head.length
@@ -166,7 +171,7 @@ class IvfFlatIndex(
     // stats record when the plan RUNS, not here at construction — an
     // abandoned DataFrame must leave hot-list stats untouched
     if (probeListener eq IvfFlatIndex.NoopProbeListener) result
-    else ExecutionProbeHook.arm(result, () => probeListener(pairs))
+    else ExecutionProbeHook.arm(result, () => probeListener(pairs), probeOwner)
   }
 
   /**

@@ -336,6 +336,23 @@ class VectorDBSpec extends SparkSpec {
       .find(l => l.startsWith(name + " ")).get.split(' ')(1).toLong
     assert(value("vdb_probe_refire_evictions_total") >= 1L)
     assert(value("vdb_probe_pending_evictions_total") >= 1L)
+    // per-instance split: this facade's share under its own label, also
+    // emitted unconditionally at 0 — and the direct bumps above were
+    // UNOWNED, so this instance's share must still read 0
+    val inst = db.instanceId.replace("\\", "\\\\").replace("\"", "\\\"")
+    assert(text.contains(
+      s"""vdb_probe_refire_evictions_instance_total{instance="$inst"} """))
+    assert(text.contains(
+      s"""vdb_probe_pending_evictions_instance_total{instance="$inst"} """))
+  }
+
+  test("stats() surfaces this instance's probe-eviction counters") {
+    ready
+    val st = db.stats("test_index")
+    assert(st.contains("probe_refire_evictions"))
+    assert(st.contains("probe_pending_evictions"))
+    assert(st("probe_refire_evictions").asInstanceOf[Long] >= 0L)
+    assert(st("probe_pending_evictions").asInstanceOf[Long] >= 0L)
   }
 
   test("measured recall@k lands in metrics and the Prometheus text (round 7)") {

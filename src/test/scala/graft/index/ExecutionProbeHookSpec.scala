@@ -1,0 +1,45 @@
+package graft.index
+
+import graft.SparkSpec
+
+/**
+ * Per-owner eviction attribution (the round-11 "counters are JVM-global"
+ * advisory): two VectorDB facades in one JVM must be able to tell WHOSE
+ * serving loop outran the probe-map caps.
+ *
+ * This suite floods the PENDING map past its cap (4096) — safe because
+ * sbt runs suites sequentially in the forked test JVM, so no other
+ * suite's armed-but-not-yet-executed plan can be alive to lose its
+ * callback to our flood.
+ */
+class ExecutionProbeHookSpec extends SparkSpec {
+
+  test("pending-map evictions are attributed to the arming owner") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(1).toDF("x")
+    val owner = "probe-owner-" + System.nanoTime()
+    val bystander = "probe-bystander-" + System.nanoTime()
+
+    val beforeOwner = ExecutionProbeHook.pendingEvictionsFor(owner)
+    val beforeTotal = ExecutionProbeHook.pendingEvictions.get()
+    assert(beforeOwner === 0L, "a never-armed owner starts at zero")
+
+    // fill past the cap: the map keeps the LAST 4096 inserted, so at
+    // least `overflow` of OUR entries are evicted regardless of how many
+    // stale entries other suites left behind
+    val overflow = 50
+    (0 until 4096 + overflow).foreach { _ =>
+      ExecutionProbeHook.arm(df, () => (), owner)
+    }
+    assert(ExecutionProbeHook.pendingEvictionsFor(owner) >= overflow.toLong,
+      "owner must be charged for its own evicted callbacks")
+    assert(ExecutionProbeHook.pendingEvictions.get() - beforeTotal >=
+      ExecutionProbeHook.pendingEvictionsFor(owner) - beforeOwner,
+      "the JVM total includes every per-owner count")
+    assert(ExecutionProbeHook.pendingEvictionsFor(bystander) === 0L,
+      "an uninvolved owner must not be charged")
+    // the untagged default rolls into the JVM totals only
+    assert(ExecutionProbeHook.pendingEvictionsFor("") === 0L)
+  }
+}
