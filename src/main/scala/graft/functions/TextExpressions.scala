@@ -217,6 +217,21 @@ object TextKernels {
     s
   }
 
+  /** True iff any element of `arr` is in `set` — the
+    * [[BroadcastSetOverlap]] kernel: O(|arr|) with O(1) byte-equality
+    * probes (null elements never match). */
+  def overlapsSet(
+      arr: ArrayData,
+      set: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]): Boolean = {
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) return true
+      i += 1
+    }
+    false
+  }
+
 }
 
 /** Word n-grams of an ARRAY<STRING> token column (codegen'd kernel). */
@@ -303,6 +318,51 @@ case class SimHash64(child: Expression, seed: Long,
     copy(child = c)
 }
 
+/**
+ * True iff any element of a STRING array is in a broadcast hash set —
+ * the stateless membership form of contamination screening for LARGE
+ * eval screens. `arrays_overlap` against a screen carried as one
+ * broadcast array re-walks the WHOLE screen per row (Spark's
+ * ArraysOverlap rebuilds its probe set per invocation), so its per-row
+ * cost is O(|screen|); this probes a set built once, O(|doc shingles|)
+ * per row with O(1) probes. Like [[ArgMinCentroid]], the set rides
+ * along as a `Broadcast` handle: the expression serializes into each
+ * task as a few bytes and executors fetch the set once from the
+ * BlockManager — the plan never embeds the (possibly MBs-sized) screen.
+ * The set holds UTF8Strings so probes compare raw bytes, no per-element
+ * java.lang.String materialization.
+ */
+case class BroadcastSetOverlap(
+    child: Expression,
+    set: org.apache.spark.broadcast.Broadcast[
+      java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftshims.AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "broadcast_set_overlap"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.overlapsSet(v.asInstanceOf[ArrayData], set.value)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bc = ctx.addReferenceObj("overlapSetBc", set,
+      classOf[org.apache.spark.broadcast.Broadcast[
+        java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]]].getName)
+    // per-task deref, NOT per row: TorrentBroadcast.getValue() is a
+    // synchronized method (see ArgMinCentroid)
+    val sm = ctx.addMutableState("java.util.HashSet", "overlapSet",
+      v => s"$v = (java.util.HashSet) $bc.value();")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.TextKernels.overlapsSet($v, $sm);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BroadcastSetOverlap =
+    copy(child = c)
+}
+
 /** Column-level text functions (composed built-ins where possible). */
 /** Saturating 256-bin byte histogram of a STRING, as BINARY. */
 case class CharHist(child: Expression)
@@ -360,6 +420,15 @@ object text {
   /** Word n-grams as space-joined strings over a token array. */
   def word_ngrams(tokens: Column, n: Int): Column =
     col(WordNgrams(ex(tokens), n))
+
+  /** True iff any element of the STRING array column is in the broadcast
+    * set — see [[BroadcastSetOverlap]] (the large-eval-screen
+    * contamination probe). */
+  def broadcast_set_overlap(
+      arr: Column,
+      set: org.apache.spark.broadcast.Broadcast[
+        java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]]): Column =
+    col(BroadcastSetOverlap(ex(arr), set))
 
   /** Saturating 256-bin byte histogram (BINARY) — see [[TextKernels.charHist]]. */
   def char_hist(c: Column): Column = col(CharHist(ex(c)))

@@ -154,6 +154,51 @@ object StreamingIngest {
       .select(col("doc_id"), col("ts"), col("corpus_id"), col("jaccard"))
   }
 
+  /** Eval-screen size above which the streaming contamination check
+    * switches from `arrays_overlap` against a single broadcast-row array
+    * (no driver collect, ideal for the common KBs-sized screen — but
+    * O(|screen|) PER ROW, because ArraysOverlap re-walks the screen on
+    * every invocation) to a per-row probe of a broadcast hash set
+    * ([[graft.functions.text.broadcast_set_overlap]] — O(|doc shingles|)
+    * per row, O(1) probes). Both forms are stateless and verdict-
+    * identical; only the per-row cost curve differs. */
+  val ContamSetProbeThreshold = 4096L
+
+  /** Append `outName` (BOOLEAN, never null) to streaming `docs`: true iff
+    * the doc's distinct word `n`-grams overlap the eval screen. Picks the
+    * plan form by screen size (see [[ContamSetProbeThreshold]]); the
+    * screen frame is counted/collected HERE, at stream-construction time
+    * — which is why the screen must be materialized (persistOnce or
+    * parquet-backed, the [[graft.pipeline.Curation.evalScreenShingles]]
+    * contract), not a live corpus-scan plan. */
+  private def withContamOverlap(
+      docs: DataFrame,
+      evalScreen: graft.pipeline.Curation.EvalScreen,
+      outName: String,
+      threshold: Long): DataFrame = {
+    import graft.functions.text
+    val docSh = array_distinct(
+      text.word_ngrams(text.tokenize(col("text")), evalScreen.n))
+    // NULL -> false in both forms: a null text shingles to null, and the
+    // quality stage owns that failure, not this one
+    if (evalScreen.shingles.count() <= threshold) {
+      val evalArr = evalScreen.shingles
+        .agg(collect_set("shingle").as("__eval_sh"))
+      docs.crossJoin(broadcast(evalArr)) // 1 static row
+        .withColumn(outName,
+          coalesce(arrays_overlap(docSh, col("__eval_sh")), lit(false)))
+        .drop("__eval_sh")
+    } else {
+      import org.apache.spark.unsafe.types.UTF8String
+      val set = new java.util.HashSet[UTF8String]()
+      evalScreen.shingles.select("shingle").collect()
+        .foreach(r => set.add(UTF8String.fromString(r.getString(0))))
+      val bc = docs.sparkSession.sparkContext.broadcast(set)
+      docs.withColumn(outName,
+        coalesce(text.broadcast_set_overlap(docSh, bc), lit(false)))
+    }
+  }
+
   /**
    * Streaming curation screen — the STATELESS stages of
    * [[graft.pipeline.Curation.curate]] applied to an unbounded ingest
@@ -167,11 +212,13 @@ object StreamingIngest {
    *    differential-tested row form), zero state;
    *  - exact dedup: stream-static left join on the text against the
    *    corpus index's exact table;
-   *  - contamination: `arrays_overlap` against the eval screen set
-   *    ([[graft.pipeline.Curation.evalScreenShingles]] — eval-set-bounded
-   *    by construction, carried as ONE collected-array row broadcast
-   *    into the scan, the same benchmarks-are-KBs asymmetry
-   *    [[graft.pipeline.TrainingPrep.contamination]] builds on).
+   *  - contamination: overlap with the eval screen
+   *    ([[graft.pipeline.Curation.evalScreenShingles]]) — below
+   *    `setProbeThreshold` shingles as `arrays_overlap` against one
+   *    broadcast-row array (the benchmarks-are-KBs asymmetry
+   *    [[graft.pipeline.TrainingPrep.contamination]] builds on), above
+   *    it as a per-row broadcast-set probe whose cost no longer scales
+   *    with the screen (see [[ContamSetProbeThreshold]]).
    *
    * The near-dup stage is deliberately NOT folded in: a per-doc "no
    * corpus band matched" verdict needs a stateful per-doc aggregation
@@ -192,26 +239,20 @@ object StreamingIngest {
       docs: DataFrame, // streaming (doc_id, ts, text)
       index: graft.pipeline.Dedup.CorpusIndex,
       evalScreen: graft.pipeline.Curation.EvalScreen,
-      minQuality: Double = 0.5): DataFrame = {
-    import graft.functions.text
+      minQuality: Double = 0.5,
+      setProbeThreshold: Long = ContamSetProbeThreshold): DataFrame = {
     import graft.pipeline.{QualityFilters, TextAnalysis}
-    val contamN = evalScreen.n
-    val evalArr = evalScreen.shingles.agg(collect_set("shingle").as("eval_sh"))
     // NULL -> false, same as the batch stage: null/absent text must be
     // owned by the quality verdict, not fall through to a later branch
-    val audited = docs
-      .withColumn("quality_ok",
-        coalesce(TextAnalysis.qualityScore(col("text")) >= minQuality,
-          lit(false)))
-      .withColumn("rep_ok",
-        coalesce(QualityFilters.repetitionOk(col("text")), lit(false)))
-      .join(index.exactText, Seq("text"), "left")
-      .crossJoin(broadcast(evalArr)) // 1 static row
-      .withColumn("contaminated", coalesce(
-        arrays_overlap(
-          array_distinct(text.word_ngrams(text.tokenize(col("text")), contamN)),
-          col("eval_sh")),
-        lit(false)))
+    val audited = withContamOverlap(
+      docs
+        .withColumn("quality_ok",
+          coalesce(TextAnalysis.qualityScore(col("text")) >= minQuality,
+            lit(false)))
+        .withColumn("rep_ok",
+          coalesce(QualityFilters.repetitionOk(col("text")), lit(false)))
+        .join(index.exactText, Seq("text"), "left"),
+      evalScreen, "contaminated", setProbeThreshold)
     val reason =
       when(!col("quality_ok"), "quality")
         .when(!col("rep_ok"), "repetition")
@@ -275,39 +316,35 @@ object StreamingIngest {
       minQuality: Double = 0.5,
       nearThreshold: Double = 0.5,
       nShards: Int = 8,
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes",
+      setProbeThreshold: Long = ContamSetProbeThreshold): DataFrame = {
     import graft.functions.text
     import graft.pipeline.{Curation, QualityFilters, TextAnalysis, TrainingPrep}
     val ngram = index.ngram
     val numHashes = index.numHashes
     val bands = index.bandCount
-    val evalArr = evalScreen.shingles.agg(collect_set("shingle").as("eval_sh"))
-    val stateless = docs
-      .withWatermark("ts", watermarkDelay)
-      // NULL -> false: null/absent text is the quality stage's failure to
-      // own, same as the batch stage
-      .withColumn("quality_ok",
-        coalesce(TextAnalysis.qualityScore(col("text")) >= minQuality,
-          lit(false)))
-      .withColumn("rep_ok",
-        coalesce(QualityFilters.repetitionOk(col("text")), lit(false)))
-      .join(index.exactText
-          .withColumnRenamed("exact_dup_of", "corpus_keep_id"),
-        Seq("text"), "left")
-      // gated on the quality verdicts (batch: exactOf is computed over
-      // stage-1 SURVIVORS) and nulled when the keeper is the doc itself
-      .withColumn("exact_dup_of",
-        when(col("quality_ok") && col("rep_ok") &&
-          col("corpus_keep_id") =!= col("doc_id"), col("corpus_keep_id")))
-      .crossJoin(broadcast(evalArr)) // 1 static row, eval-set-bounded
-      // RAW overlap; the batch-identical gated cell needs the near-dup
-      // verdict, so it is finalized after the aggregation below
-      .withColumn("contam_raw", coalesce(
-        arrays_overlap(
-          array_distinct(
-            text.word_ngrams(text.tokenize(col("text")), evalScreen.n)),
-          col("eval_sh")),
-        lit(false)))
+    // RAW overlap (size-gated plan form, see ContamSetProbeThreshold);
+    // the batch-identical gated cell needs the near-dup verdict, so it is
+    // finalized after the aggregation below
+    val stateless = withContamOverlap(
+      docs
+        .withWatermark("ts", watermarkDelay)
+        // NULL -> false: null/absent text is the quality stage's failure
+        // to own, same as the batch stage
+        .withColumn("quality_ok",
+          coalesce(TextAnalysis.qualityScore(col("text")) >= minQuality,
+            lit(false)))
+        .withColumn("rep_ok",
+          coalesce(QualityFilters.repetitionOk(col("text")), lit(false)))
+        .join(index.exactText
+            .withColumnRenamed("exact_dup_of", "corpus_keep_id"),
+          Seq("text"), "left")
+        // gated on the quality verdicts (batch: exactOf is computed over
+        // stage-1 SURVIVORS) and nulled when the keeper is the doc itself
+        .withColumn("exact_dup_of",
+          when(col("quality_ok") && col("rep_ok") &&
+            col("corpus_keep_id") =!= col("doc_id"), col("corpus_keep_id"))),
+      evalScreen, "contam_raw", setProbeThreshold)
     val survivorOk =
       col("quality_ok") && col("rep_ok") && col("exact_dup_of").isNull
     val banded = stateless

@@ -47,6 +47,32 @@ class CodegenParitySpec extends SparkSpec {
     assert(on === off)
   }
 
+  test("broadcast_set_overlap: codegen == interpreted, null semantics match arrays_overlap's coalesced form") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    val set = new java.util.HashSet[UTF8String]()
+    Seq("quick brown", "lazy dog").foreach(x => set.add(UTF8String.fromString(x)))
+    val bc = spark.sparkContext.broadcast(set)
+    val docs = Seq(
+      (1L, "the quick brown fox"), // bigram hit
+      (2L, "nothing shared here at all"), // miss
+      (3L, ""), // empty token array -> empty ngram array -> false
+      (4L, null.asInstanceOf[String])) // null text -> null (callers coalesce)
+      .toDF("id", "t")
+    def run() = docs.select(col("id"),
+      text.broadcast_set_overlap(
+        array_distinct(text.word_ngrams(text.tokenize(col("t")), 2)), bc))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getBoolean(1))))
+      .sortBy(_._1).toSeq
+    val on = run()
+    val off = withCodegenOff(run())
+    assert(on === off)
+    assert(on === Seq(1L -> Some(true), 2L -> Some(false),
+      3L -> Some(false), 4L -> None))
+  }
+
   test("PQ encode: codegen == interpreted") {
     val s = spark
     import s.implicits._

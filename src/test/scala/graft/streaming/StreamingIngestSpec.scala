@@ -403,6 +403,46 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("contamination set-probe form is verdict-identical to the broadcast-array form") {
+    // the ContamSetProbeThreshold gate swaps the PLAN (arrays_overlap
+    // over one broadcast row vs a per-row broadcast-set probe) — never
+    // the verdicts; force each side of the gate over the same stream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(200L -> goodB, 201L -> (nearBase + "alphaend"))
+      .toDF("doc_id", "text")
+    val eval = Seq(100L -> evalText).toDF("doc_id", "text")
+    val index = graft.pipeline.Dedup.buildCorpusIndex(corpus)
+    val screen = graft.pipeline.Curation.evalScreenShingles(corpus, eval)
+    val batches = Seq(
+      (1L, ts(0), goodA), // clean
+      (2L, ts(1), contaminatedText), // eval hit -> contaminated both sides
+      (3L, ts(2), "!!! ??? ---"), // quality (null shingles path)
+      (4L, ts(3), goodB)) // exact dup
+    def run(name: String, threshold: Long): Map[Long, (Boolean, String)] = {
+      val mem = MemoryStream[(Long, Timestamp, String)]
+      val q = StreamingIngest
+        .curationScreen(mem.toDF().toDF("doc_id", "ts", "text"), index, screen,
+          setProbeThreshold = threshold)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData(batches: _*)
+        q.processAllAvailable()
+        spark.table(name).collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Boolean]("contaminated"),
+            Option(r.getAs[String]("drop_reason")).orNull))).toMap
+      } finally q.stop()
+    }
+    val arrayForm = run("contam_gate_array", Long.MaxValue) // always arrays_overlap
+    val setForm = run("contam_gate_set", 0L) // always the broadcast-set probe
+    assert(arrayForm === setForm, "both gate sides must agree on every verdict")
+    assert(arrayForm(2L)._1 && arrayForm(2L)._2 === "contaminated")
+    assert(!arrayForm(1L)._1 && arrayForm(1L)._2 == null)
+    assert(!arrayForm(3L)._1, "null-shingle docs must coalesce to false on both sides")
+  }
+
   test("E2E ingest shape: persisted corpus index from parquet drives both screens") {
     // the 100 TB deployment: index tables written ONCE at curation time,
     // read back from parquet by the ingest driver — the stream never
