@@ -28,6 +28,20 @@ import org.apache.spark.sql.functions._
  * the contamination stage is exercised at full width while returning a
  * small result. Prints per-stage-observable counts + wall times.
  *
+ * Scale (third arg, `famReps`, default 1): replicates the FAMILY space
+ * rather than deepening the revision chains — each replica r > 0
+ * token-remaps the base text (`r3_the r3_quick ...`), so its shingle
+ * space is disjoint from every other replica and the per-family dup
+ * structure is IDENTICAL to the proven 100-copy fixture. 10 replicas =
+ * 5M docs with the same local structure, so any superlinear stage
+ * (band-join candidate growth, assembly-join skew) shows up as a
+ * >10x wall-time ratio against the 500k run instead of being masked by
+ * a changed workload shape. (Deepening chains instead would grow
+ * per-doc noise linearly in the copy index — copy 999 would carry 5k
+ * noise tokens — changing both text-size distribution and pair
+ * structure.) Noise tokens carry the replica index so no band key is
+ * ever shared across replicas.
+ *
  * Modes (second arg):
  *  - `oneshot` (default): one [[graft.pipeline.Curation.curate]] call,
  *    the documented one-shot-driver contract;
@@ -44,7 +58,9 @@ object CurationStress {
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 100
     val mode = if (args.length > 1) args(1) else "oneshot"
+    val famReps = if (args.length > 2) args(2).toInt else 1
     require(Set("oneshot", "managed", "staged")(mode), s"unknown mode $mode")
+    require(famReps >= 1, "famReps must be >= 1")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -52,10 +68,27 @@ object CurationStress {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // per-section job/task accounting, so a scale-up run can show WHERE
+    // the extra work landed (wall time alone hides a superlinear stage
+    // behind parallelism)
+    val jobs = new java.util.concurrent.atomic.AtomicLong()
+    val tasks = new java.util.concurrent.atomic.AtomicLong()
+    val taskMs = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        Option(t.taskInfo).foreach(i => taskMs.addAndGet(i.duration))
+      }
+    })
     def timed[T](label: String)(f: => T): T = {
+      val (j0, t0n, m0) = (jobs.get(), tasks.get(), taskMs.get())
       val t0 = System.nanoTime()
       val r = f
-      println(f"[curation-stress] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      println(f"[curation-stress] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        f"(jobs ${jobs.get() - j0}, tasks ${tasks.get() - t0n}, " +
+        f"taskSec ${(taskMs.get() - m0) / 1e3}%.1f)")
       r
     }
 
@@ -70,21 +103,28 @@ object CurationStress {
     // stage 1) pins to a single core for the entire 500k-doc corpus
     // (observed: 1 thread at 100% for 20+ min). A real 100 TB corpus
     // arrives in thousands of partitions; the stress must present one.
+    // replica 0 keeps the raw text (the eval set must still hit it);
+    // replicas > 0 remap every token, giving a disjoint shingle space —
+    // families in different replicas can never pair
+    val famText = when(col("r") === 0, col("text")).otherwise(
+      concat_ws(" ", transform(split(col("text"), " "),
+        t => format_string("r%d_%s", col("r"), t))))
     val corpus = base
+      .crossJoin(spark.range(famReps).select(col("id").cast("int").as("r")))
       .crossJoin(spark.range(copies).select(col("id").cast("int").as("k")))
       .repartition(spark.sparkContext.defaultParallelism * 4)
       .select(
-        (col("k") * nBase * 2 + col("doc_id")).as("doc_id"),
-        when(col("k") <= 1, col("text")).otherwise(
+        ((col("r") * copies + col("k")) * nBase * 2 + col("doc_id")).as("doc_id"),
+        when(col("k") <= 1, famText).otherwise(
           concat_ws(" ",
-            // 5k unique-per-(doc,copy) noise tokens, then the original;
-            // array-then-join, NOT a fold of string concats (the fold
-            // re-copies the accumulated prefix per token — quadratic per
-            // row, ~1 MB of copying for a 500-token prefix)
+            // 5k unique-per-(doc,copy,replica) noise tokens, then the
+            // original; array-then-join, NOT a fold of string concats
+            // (the fold re-copies the accumulated prefix per token —
+            // quadratic per row, ~1 MB of copying for a 500-token prefix)
             concat_ws(" ", transform(
               sequence(lit(0), col("k") * 5 - 1),
-              i => format_string("n%dx%dq%d", col("doc_id"), col("k"), i))),
-            col("text"))).as("text"))
+              i => format_string("n%dx%dr%dq%d", col("doc_id"), col("k"), col("r"), i))),
+            famText)).as("text"))
     val evalDocs = base.filter(col("doc_id") % 50 === 0)
       .select((col("doc_id") + 100000000L).as("doc_id"), col("text"))
 
@@ -165,6 +205,20 @@ object CurationStress {
           du(new java.io.File(dir))
         }
         println(f"[curation-stress] staged: $n rows, 0 new cached RDDs, ${stageBytes / 1e6}%.1f MB of stage files")
+        // disposition + shard rollups off the parquet stage files — cheap
+        // (the assembly recomputes from staged frames, not from raw text)
+        val byReason = timed("disposition rollup") {
+          run.audit.groupBy("drop_reason").count()
+            .collect().map(r => Option(r.getString(0)).getOrElse("KEPT") -> r.getLong(1))
+            .sortBy(_._1).toSeq
+        }
+        println(s"[curation-stress] dispositions: ${byReason.mkString(", ")}")
+        val shards = timed("shard balance") {
+          run.audit.filter(col("keep")).groupBy("shard").count()
+            .agg(min("count").as("mn"), max("count").as("mx"))
+            .collect().head
+        }
+        println(s"[curation-stress] kept-shard balance: min=${shards.getLong(0)} max=${shards.getLong(1)}")
         run.cleanup()
         assert(!new java.io.File(dir).exists(), "cleanup must delete the staging dir")
         println("[curation-stress] staged: zero block-manager growth + cleanup PASS")
