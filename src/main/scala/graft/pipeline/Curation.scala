@@ -273,8 +273,13 @@ object Curation {
         lit(false)).as("quality_ok"),
       coalesce(QualityFilters.repetitionOk(col(textCol)), lit(false)).as("rep_ok")))
     // the SURVIVOR frame feeding stages 2-4 is persisted — three
-    // downstream consumers (exact groupBy, minhash shingles, contamination)
-    val s1 = Dedup.persistOnce(
+    // downstream consumers (exact groupBy, minhash shingles, contamination).
+    // persistOnceDerived: s1 (and s2/s3 below) are filters/anti-joins over
+    // frames already materialized, so the parquet-staging mode re-derives
+    // them per consumer instead of copying the corpus text to disk again
+    // per stage (boolean-filter pushdown makes the re-derivation scans
+    // cheap); block-manager modes cache them exactly as before
+    val s1 = Dedup.persistOnceDerived(
       verdicts.filter(col("quality_ok") && col("rep_ok")).select(id, col(textCol)))
 
     // stage 2: exact dedup among stage-1 survivors — keep min doc_id per
@@ -286,7 +291,7 @@ object Curation {
     val keepers = s1.groupBy(textCol).agg(min(idCol).as("keep_id"))
     val exactOf = Dedup.persistOnce(s1.join(keepers, textCol)
       .select(id, when(id =!= col("keep_id"), col("keep_id")).as("exact_dup_of")))
-    val s2 = Dedup.persistOnce(
+    val s2 = Dedup.persistOnceDerived(
       s1.join(exactOf.filter(col("exact_dup_of").isNotNull).select(idCol),
         Seq(idCol), "left_anti"))
 
@@ -297,7 +302,7 @@ object Curation {
       bands, nearThreshold, family)
     val nearOf = Dedup.persistOnce(pairs.groupBy(col("b_id").as(idCol))
       .agg(min("a_id").as("near_dup_of")))
-    val s3 = Dedup.persistOnce(
+    val s3 = Dedup.persistOnceDerived(
       s2.join(nearOf.select(idCol), Seq(idCol), "left_anti"))
 
     // stage 4: eval-set decontamination of stage-3 survivors (the df cap

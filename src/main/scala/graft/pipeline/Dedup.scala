@@ -83,13 +83,20 @@ object Dedup {
       stagingPath: Option[String]) {
     val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     private var nextStage = 0
+    def isStaging: Boolean = stagingPath.nonEmpty
     def materialize(df: DataFrame): DataFrame = stagingPath match {
       case Some(root) =>
         if (isBareFileScan(df)) df
         else {
           val p = s"$root/stage-$nextStage"
           nextStage += 1
-          df.write.mode("overwrite").parquet(p)
+          // zstd, not the snappy default: stage files are written once
+          // and read a couple of times, and the heavy ones carry corpus
+          // text/shingles that snappy barely compresses — measured at the
+          // 5M-doc stress, the snappy stage set outgrew the box's disk
+          // (dev/ROUND12.md); zstd's ~3x ratio on that payload is pure
+          // footprint win at negligible read cost
+          df.write.mode("overwrite").option("compression", "zstd").parquet(p)
           df.sparkSession.read.parquet(p)
         }
       case None =>
@@ -112,6 +119,22 @@ object Dedup {
       case r if r.getClass.getSimpleName == "DataSourceV2Relation" => true
       case _ => false
     }
+
+  /** [[persistOnce]] for frames that are CHEAP DERIVATIONS — a filter or
+    * an anti-join against a small id frame — of inputs persistOnce
+    * already materialized. Block-manager modes persist as usual (memory
+    * is the managed resource there, and a cache beats re-running even a
+    * cheap join per consumer); parquet-STAGING mode returns the frame
+    * unstaged: its corpus-sized payload already lives in the parent's
+    * stage file, so staging it again copies the corpus to disk once more
+    * per stage — at the 5M-doc stress the four survivor-text copies plus
+    * the shingle frame outgrew the box's disk (dev/ROUND12.md) — while
+    * each consumer can re-derive it with a pushdown-friendly scan of the
+    * parent's parquet. */
+  private[graft] def persistOnceDerived(df: DataFrame): DataFrame = {
+    val ctx = matCtx.get
+    if (ctx != null && ctx.isStaging) df else persistOnce(df)
+  }
 
   private val matCtx = new ThreadLocal[MatCtx]
 

@@ -105,10 +105,17 @@ object CurationStress {
     // arrives in thousands of partitions; the stress must present one.
     // replica 0 keeps the raw text (the eval set must still hit it);
     // replicas > 0 remap every token, giving a disjoint shingle space —
-    // families in different replicas can never pair
+    // families in different replicas can never pair. The remap must be
+    // token-for-token under the pipeline's OWN tokenizer ([a-z0-9]+ runs):
+    // the prefix is alnum-only and glued with no separator ("r3xthe"), so
+    // each original token stays ONE token and the replica's repetition /
+    // quality profile matches the base text. (A first cut used "r3_the";
+    // the underscore split every token in two and injected "r3" between
+    // all of them — 3.4M of 4.5M replica docs died at the repetition
+    // stage and the scale-up never reached the dedup stages.)
     val famText = when(col("r") === 0, col("text")).otherwise(
       concat_ws(" ", transform(split(col("text"), " "),
-        t => format_string("r%d_%s", col("r"), t))))
+        t => format_string("r%dx%s", col("r"), t))))
     val corpus = base
       .crossJoin(spark.range(famReps).select(col("id").cast("int").as("r")))
       .crossJoin(spark.range(copies).select(col("id").cast("int").as("k")))
@@ -189,6 +196,20 @@ object CurationStress {
         val baseline = sc.getRDDStorageInfo.map(_.id).toSet
         val dir = java.nio.file.Files.createTempDirectory("graft-curation-staged")
           .toFile.getAbsolutePath
+        // an ABORTED run never reaches run.cleanup(); without this hook
+        // every failed attempt strands a staging dir that silently eats
+        // the disk budget of the next one (observed: two failed 5M
+        // attempts left 45 GB behind, and the second failure was mostly
+        // squatting the first one's leftovers)
+        sys.addShutdownHook {
+          val f = new java.io.File(dir)
+          if (f.exists()) {
+            def rm(x: java.io.File): Unit = {
+              Option(x.listFiles).foreach(_.foreach(rm)); x.delete(): Unit
+            }
+            rm(f)
+          }
+        }
         val run = timed("staged run: build + write stage files") {
           graft.pipeline.Curation.curateManaged(corpus, evalDocs,
             stagingPath = Some(dir))
