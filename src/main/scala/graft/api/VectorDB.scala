@@ -771,6 +771,18 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     sb.toString
   }
 
+  /** Discard this facade: drop the serving map and check this instance's
+    * per-owner probe-eviction counters out of the JVM-global registry —
+    * without the checkout, facade churn in a long-lived multi-tenant
+    * driver grows that registry one permanent entry per facade ever
+    * created. Spark-side caches (warmed partitions, broadcasts) follow
+    * the SparkSession's lifecycle as before; this facade must simply not
+    * be used after close(). */
+  def close(): Unit = {
+    served.clear()
+    graft.index.ExecutionProbeHook.releaseOwner(instanceId)
+  }
+
   def cleanupOldEpochs(name: String, keepN: Int = 3): Seq[String] =
     // the active epoch is protected by the EpochManager; also protect
     // whatever this facade is currently SERVING (loadIndex can serve a

@@ -78,6 +78,18 @@ private[graft] object ExecutionProbeHook {
   private[graft] def pendingEvictionsFor(owner: String): Long =
     pendingEvictionsPerOwner.get(owner).map(_.get()).getOrElse(0L)
 
+  /** Drop `owner`'s per-owner counters — called by the owning registry
+    * when it is discarded ([[graft.api.VectorDB.close]]). Without a
+    * release hook, facade churn in a long-lived JVM grows these maps one
+    * permanent entry per facade EVER created that lost a probe; the maps
+    * are bounded by LIVE registries only if discarded ones check out. */
+  private[graft] def releaseOwner(owner: String): Unit =
+    if (owner.nonEmpty) {
+      firedEvictionsPerOwner.remove(owner)
+      pendingEvictionsPerOwner.remove(owner)
+      ()
+    }
+
   private def bump(per: scala.collection.concurrent.TrieMap[String, java.util.concurrent.atomic.AtomicLong],
       owner: String): Unit =
     if (owner.nonEmpty)

@@ -82,7 +82,19 @@ object Curation {
    * drift (the [[Dedup.CorpusIndex]] rule: mismatched widths overlap on
    * nothing and the screen silently passes every contaminated doc).
    */
-  final case class EvalScreen(shingles: DataFrame, n: Int)
+  final case class EvalScreen(shingles: DataFrame, n: Int) {
+    /** Release the screen's block-manager cache ([[evalScreenShingles]]
+      * persistOnce's it so streaming triggers never re-run the corpus
+      * df scan). A long-lived driver that REBUILDS the screen per
+      * eval-set refresh must unpersist the superseded one or each
+      * rebuild pins another cache for the driver's lifetime — the same
+      * repeated-runs leak class [[CurationRun.unpersist]] closes. No-op
+      * on a parquet-backed screen ([[readEvalScreen]]). */
+    def unpersist(blocking: Boolean = false): Unit = {
+      shingles.unpersist(blocking)
+      ()
+    }
+  }
 
   /**
    * Build the [[EvalScreen]]: the distinct word `n`-grams of the eval

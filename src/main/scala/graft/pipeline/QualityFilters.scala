@@ -161,7 +161,10 @@ object QualityFilters {
       .select(col("doc_id"), col("lang"),
         coalesce(col("dedup_keep"), lit(false)).as("dedup_keep"),
         col("rep_ok"),
-        (col("quality") >= minQuality).as("quality_ok"))
+        // null text scores a NULL quality; the quality stage owns that
+        // failure (verdict false, never a NULL audit cell) — the same
+        // rule Curation.curate and the streaming screens apply
+        coalesce(col("quality") >= minQuality, lit(false)).as("quality_ok"))
       .withColumn("keep",
         col("dedup_keep") && col("rep_ok") && col("quality_ok"))
   }

@@ -520,7 +520,7 @@ object PipelineQueries {
         |  CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
         |    AS alpha_chars
         |  FROM documents),
-        |q AS (SELECT doc_id, lang,
+        |q AS (SELECT doc_id, lang, n_chars,
         |  (least(CAST(len(toks) AS DOUBLE) / 20.0, 1.0) * 0.4
         |   + (CASE WHEN n_chars > 0 THEN alpha_chars / n_chars ELSE 0.0 END) * 0.4
         |   + (CASE WHEN CAST(len(toks) AS DOUBLE) > 0
@@ -552,8 +552,11 @@ object PipelineQueries {
         |  FROM base LEFT JOIN u ON base.doc_id = u.doc_id
         |            LEFT JOIN b2 ON base.doc_id = b2.doc_id)
         |SELECT q.doc_id, q.lang, coalesce(k.dedup_keep, FALSE) AS dedup_keep,
-        |  rep.rep_ok, q.quality >= 0.5 AS quality_ok,
-        |  (coalesce(k.dedup_keep, FALSE) AND rep.rep_ok AND q.quality >= 0.5)
+        |  rep.rep_ok,
+        |  (CASE WHEN q.n_chars IS NULL THEN FALSE
+        |        ELSE q.quality >= 0.5 END) AS quality_ok,
+        |  (coalesce(k.dedup_keep, FALSE) AND rep.rep_ok AND
+        |   CASE WHEN q.n_chars IS NULL THEN FALSE ELSE q.quality >= 0.5 END)
         |    AS keep
         |FROM q LEFT JOIN k ON q.doc_id = k.doc_id
         |       JOIN rep ON q.doc_id = rep.doc_id
@@ -765,6 +768,9 @@ object PipelineQueries {
         |      FROM t1 a, t1 b WHERE a.doc_id < b.doc_id)
         |SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    // null text -> NULL quality (not 0.5): DuckDB's least() IGNORES
+    // nulls, so without the CASE guard a NULL token count would score
+    // 0.4+0+0.1 while Spark's qualityScore returns NULL for null text
     "text_analysis" ->
       s"""WITH b AS (SELECT doc_id, text,
          |  regexp_extract_all(lower(text),'[a-z0-9]+') AS toks,
@@ -782,10 +788,11 @@ object PipelineQueries {
          |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
          |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
          |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred,
-         |  (least(n_tok_d / 20.0, 1.0) * 0.4
+         |  (CASE WHEN n_chars IS NULL THEN NULL ELSE
+         |   least(n_tok_d / 20.0, 1.0) * 0.4
          |   + (CASE WHEN n_chars > 0 THEN alpha_chars / n_chars ELSE 0.0 END) * 0.4
          |   + (CASE WHEN n_tok_d > 0 AND alpha_chars / n_tok_d >= 3
-         |            AND alpha_chars / n_tok_d <= 10 THEN 1.0 ELSE 0.5 END) * 0.2) AS quality,
+         |            AND alpha_chars / n_tok_d <= 10 THEN 1.0 ELSE 0.5 END) * 0.2 END) AS quality,
          |  list_reduce(
          |    list_prepend(CAST(0 AS BIGINT),
          |      list_transform(list_filter(string_split_regex(text, ''), c -> c <> ''),
@@ -901,12 +908,13 @@ object PipelineQueries {
         |    AS alpha_chars
         |  FROM corpus),
         |q AS (SELECT doc_id,
-        |  (least(CAST(len(toks) AS DOUBLE) / 20.0, 1.0) * 0.4
+        |  (CASE WHEN n_chars IS NULL THEN FALSE ELSE
+        |   (least(CAST(len(toks) AS DOUBLE) / 20.0, 1.0) * 0.4
         |   + (CASE WHEN n_chars > 0 THEN alpha_chars / n_chars ELSE 0.0 END) * 0.4
         |   + (CASE WHEN CAST(len(toks) AS DOUBLE) > 0
         |            AND alpha_chars / CAST(len(toks) AS DOUBLE) >= 3
         |            AND alpha_chars / CAST(len(toks) AS DOUBLE) <= 10
-        |       THEN 1.0 ELSE 0.5 END) * 0.2) >= 0.5 AS quality_ok
+        |       THEN 1.0 ELSE 0.5 END) * 0.2) >= 0.5 END) AS quality_ok
         |  FROM qb),
         |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
         |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct FROM qb),

@@ -37,7 +37,12 @@ class EpochManager(basePath: String) {
   // failed to see gets a whole sweep interval for its write to land
   // before anything is deleted. An id that becomes referenced again
   // between sweeps is acquitted (removed from the suspect set).
-  private val orphanSuspects = TrieMap.empty[String, Unit]
+  // The suspect set is PERSISTED (orphan_suspects.json, sibling of
+  // epochs.json) — in-memory suspicion would mean a one-shot maintenance
+  // job (fresh manager per invocation, the common cron shape) observes
+  // every orphan as "first seen" forever and crash orphans never get
+  // reclaimed. The two observations may come from DIFFERENT processes;
+  // what matters is two consecutive sweeps over the shared state.
   @volatile private var activeId: String = ""
   // has THIS instance ever changed the active pointer? persistState only
   // writes our activeId when true — otherwise a stale instance's persist
@@ -186,17 +191,14 @@ class EpochManager(basePath: String) {
         // Double-absence: only suspects from a PREVIOUS sweep are deleted
         // this sweep; first-time candidates are merely recorded. Ids no
         // longer candidate (referenced again, or deleted meanwhile) are
-        // acquitted so the suspect set cannot grow stale entries.
-        val candidateSet = candidates.toSet
-        (orphanSuspects.keySet diff candidateSet).foreach(orphanSuspects.remove)
-        val (confirmed, firstSeen) = candidates.partition(orphanSuspects.contains)
-        firstSeen.foreach(id => orphanSuspects.put(id, ()))
+        // acquitted, and the saved set is exactly the still-pending
+        // first-time candidates — so the file cannot grow stale entries.
+        val prior = loadSuspects()
+        val (confirmed, firstSeen) = candidates.partition(prior.contains)
+        saveSuspects(firstSeen.toSet)
         confirmed
     }
-    orphans.foreach { id =>
-      orphanSuspects.remove(id)
-      EpochManager.deleteRecursively(epochPath(id))
-    }
+    orphans.foreach(id => EpochManager.deleteRecursively(epochPath(id)))
     if (doomed.isEmpty) persistState()
     doomed ++ orphans
   }
@@ -211,6 +213,28 @@ class EpochManager(basePath: String) {
         case _ => None
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def suspectsPath: String = s"$basePath/orphan_suspects.json"
+
+  /** Orphan-sweep suspects recorded by the PREVIOUS sweep (possibly by
+    * another process — the cron-job shape constructs a fresh manager per
+    * invocation). Missing/unreadable file -> empty set, the fail-safe
+    * direction: every candidate counts as first-seen and nothing is
+    * deleted this sweep. */
+  private def loadSuspects(): Set[String] =
+    try {
+      val p = Paths.get(suspectsPath)
+      if (!Files.exists(p)) Set.empty
+      else JsonMethods.parse(Files.readString(p)) \ "suspects" match {
+        case JArray(items) => items.collect { case JString(id) => id }.toSet
+        case _ => Set.empty
+      }
+    } catch { case scala.util.control.NonFatal(_) => Set.empty }
+
+  private def saveSuspects(ids: Set[String]): Unit =
+    Manifest.atomicWrite(Paths.get(suspectsPath),
+      JsonMethods.pretty(JsonMethods.render(JObject(
+        "suspects" -> JArray(ids.toList.sorted.map(JString(_)))))))
 
   /** Epoch ids the on-disk state file references, or None if the file is
     * missing/unreadable (in which case nothing can be declared orphaned). */

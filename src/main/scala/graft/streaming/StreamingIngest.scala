@@ -308,6 +308,15 @@ object StreamingIngest {
    * the closed audit row. All joins are stream-static, so state =
    * in-horizon candidate dedup + per-doc pending aggregation, bounded by
    * the watermark regardless of corpus size.
+   *
+   * At-least-once absorption: a REDELIVERY of the same (doc_id, text)
+   * within the watermark horizon — same content_key, a later event ts —
+   * is collapsed by the candidate dedup (its keys omit ts by design) and
+   * emits NO second audit row; "one row per incoming doc" means one row
+   * per distinct (doc, content) arrival in the horizon, which is the
+   * verdict-stream shape an at-least-once source (Kafka redelivery,
+   * unchanged re-crawl) actually wants. An EDITED re-arrival has a new
+   * content_key and is re-verified in full (the nearDupScreen rule).
    */
   def curationAudit(
       docs: DataFrame, // streaming (doc_id, ts, text)

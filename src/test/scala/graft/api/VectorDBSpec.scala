@@ -346,6 +346,20 @@ class VectorDBSpec extends SparkSpec {
       s"""vdb_probe_pending_evictions_instance_total{instance="$inst"} """))
   }
 
+  test("close() checks the facade's probe-eviction counters out of the JVM registry") {
+    val db2 = new VectorDB(spark,
+      java.nio.file.Files.createTempDirectory("graft-close").toString)
+    val owner = db2.instanceId
+    // charge one pending eviction to this facade's owner key directly
+    val df = { val s = spark; import s.implicits._; Seq(1).toDF("x") }
+    (0 until 4096 + 1).foreach(_ =>
+      graft.index.ExecutionProbeHook.arm(df, () => (), owner))
+    assert(graft.index.ExecutionProbeHook.pendingEvictionsFor(owner) >= 1L)
+    db2.close()
+    assert(graft.index.ExecutionProbeHook.pendingEvictionsFor(owner) === 0L,
+      "a closed facade must not leave a permanent per-owner registry entry")
+  }
+
   test("stats() surfaces this instance's probe-eviction counters") {
     ready
     val st = db.stats("test_index")

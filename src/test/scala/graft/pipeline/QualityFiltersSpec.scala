@@ -93,6 +93,25 @@ class QualityFiltersSpec extends SparkSpec {
     assert(!out(2)._3 && !out(2)._5) // repetition trips, keep false
   }
 
+  test("cleanVerdict: null text is owned by the quality stage, no NULL audit cells") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon", "en"),
+      (1L, null.asInstanceOf[String], "en"))
+      .toDF("doc_id", "text", "lang")
+    val r = QualityFilters.cleanVerdict(d).filter($"doc_id" === 1L).collect().head
+    // quality_ok and keep must be FALSE, never NULL — an un-coalesced
+    // null would skip the quality branch of any first-failure reasoning
+    // and leave a null audit cell (the round-11 advisory's rule, applied
+    // here as in Curation.curate and the streaming screens)
+    assert(!r.isNullAt(r.fieldIndex("quality_ok")) &&
+      !r.getBoolean(r.fieldIndex("quality_ok")))
+    assert(!r.isNullAt(r.fieldIndex("keep")) &&
+      !r.getBoolean(r.fieldIndex("keep")))
+  }
+
   test("tokenHistogram buckets term frequencies by digit count") {
     val s = spark
     import s.implicits._

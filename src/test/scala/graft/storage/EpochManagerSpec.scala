@@ -83,6 +83,27 @@ class EpochManagerSpec extends AnyFunSuite {
       Files.exists(java.nio.file.Paths.get(em.epochPath(live))))
   }
 
+  test("orphan double-absence survives manager restarts (one-shot cron shape)") {
+    // the common maintenance deployment constructs a FRESH EpochManager
+    // per invocation; suspicion must persist across processes (the
+    // orphan_suspects.json sidecar) or crash orphans would be "first
+    // seen" forever and never reclaimed
+    val base = tmpDir()
+    new EpochManager(base).createEpoch()
+    val orphan = s"$base/epoch_0000000000000_7777"
+    Files.createDirectories(java.nio.file.Paths.get(orphan))
+    val old = System.currentTimeMillis() - EpochManager.OrphanGraceMs - 1000
+    java.nio.file.Paths.get(orphan).toFile.setLastModified(old)
+    // invocation 1: a fresh manager records the suspect, deletes nothing
+    assert(!new EpochManager(base).cleanupOldEpochs(keepN = 3)
+      .contains("epoch_0000000000000_7777"))
+    assert(Files.exists(java.nio.file.Paths.get(orphan)))
+    // invocation 2: ANOTHER fresh manager confirms and deletes
+    assert(new EpochManager(base).cleanupOldEpochs(keepN = 3)
+      .contains("epoch_0000000000000_7777"))
+    assert(!Files.exists(java.nio.file.Paths.get(orphan)))
+  }
+
   test("orphan suspect is acquitted when referenced again between sweeps") {
     val base = tmpDir()
     val em = new EpochManager(base)
