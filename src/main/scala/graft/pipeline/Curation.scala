@@ -143,30 +143,16 @@ object Curation {
     * travels with the data. */
   def writeEvalScreen(screen: EvalScreen, path: String): Unit = {
     screen.shingles.write.mode("overwrite").parquet(s"$path/shingles")
-    val spark = screen.shingles.sparkSession
-    val pPath = new org.apache.hadoop.fs.Path(s"$path/params.json")
-    val fs = pPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(pPath, true)
-    try out.write(s"""{"n":${screen.n}}"""
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    Dedup.writeParamsJson(screen.shingles.sparkSession, s"$path/params.json",
+      s"""{"n":${screen.n}}""")
   }
 
   /** Read back a [[writeEvalScreen]] directory. */
   def readEvalScreen(
       spark: org.apache.spark.sql.SparkSession, path: String): EvalScreen = {
-    val pPath = new org.apache.hadoop.fs.Path(s"$path/params.json")
-    val fs = pPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(pPath),
-      s"$path/params.json missing — not a writeEvalScreen directory")
-    val in = fs.open(pPath)
-    val raw = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-      buf.toString("UTF-8")
-    } finally in.close()
     import org.json4s._
-    val n = (org.json4s.jackson.JsonMethods.parse(raw) \ "n") match {
+    val n = Dedup.readParamsJson(
+      spark, s"$path/params.json", "writeEvalScreen") \ "n" match {
       case JInt(i) => i.toInt
       case JLong(l) => l.toInt
       case other => throw new IllegalArgumentException(s"bad n in params.json: $other")

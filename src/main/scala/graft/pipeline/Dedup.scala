@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame, graftshims}
 import org.apache.spark.sql.functions._
 
-import org.json4s.{JInt, JLong, JString}
+import org.json4s.{JInt, JLong, JString, JValue}
 import org.json4s.jackson.JsonMethods
 
 import graft.functions.{text, vector}
@@ -490,16 +490,39 @@ object Dedup {
     index.exactText.write.mode("overwrite").parquet(s"$path/exact")
     // the build parameters ARE part of the index (a reader hashing with
     // different ones gets band keys that never collide — silent admit-all)
-    // — persisted through the path's Hadoop filesystem like the tables
-    val spark = index.shingles.sparkSession
-    val pPath = new org.apache.hadoop.fs.Path(s"$path/params.json")
-    val fs = pPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(pPath, true)
-    try out.write(
-      (s"""{"ngram":${index.ngram},"num_hashes":${index.numHashes},""" +
+    writeParamsJson(index.shingles.sparkSession, s"$path/params.json",
+      s"""{"ngram":${index.ngram},"num_hashes":${index.numHashes},""" +
         s""""bands":${index.bandCount},"family":"${index.family}"}""")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Write `json` to `path` through the path's Hadoop filesystem (same
+    * filesystem the parquet tables use) — the shared params-sidecar
+    * plumbing for [[writeCorpusIndex]] and
+    * [[Curation.writeEvalScreen]]; build parameters travel WITH the
+    * data so a reader can never hash with mismatched ones. */
+  private[pipeline] def writeParamsJson(
+      spark: org.apache.spark.sql.SparkSession, path: String, json: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** Read a [[writeParamsJson]] sidecar back as parsed JSON; `what`
+    * names the writer in the missing-file error. */
+  private[pipeline] def readParamsJson(
+      spark: org.apache.spark.sql.SparkSession, path: String, what: String): JValue = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"$path missing — not a $what directory")
+    val in = fs.open(p)
+    val raw = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      buf.toString("UTF-8")
+    } finally in.close()
+    JsonMethods.parse(raw)
   }
 
   /** Read back a [[writeCorpusIndex]] directory for [[incremental]] /
@@ -507,17 +530,7 @@ object Dedup {
     * included, so consumers can never hash a batch with mismatched ones. */
   def readCorpusIndex(
       spark: org.apache.spark.sql.SparkSession, path: String): CorpusIndex = {
-    val pPath = new org.apache.hadoop.fs.Path(s"$path/params.json")
-    val fs = pPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(pPath),
-      s"$path/params.json missing — not a writeCorpusIndex directory")
-    val in = fs.open(pPath)
-    val raw = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-      buf.toString("UTF-8")
-    } finally in.close()
-    val j = JsonMethods.parse(raw)
+    val j = readParamsJson(spark, s"$path/params.json", "writeCorpusIndex")
     def num(k: String): Int = (j \ k) match {
       case JInt(i) => i.toInt
       case JLong(l) => l.toInt
