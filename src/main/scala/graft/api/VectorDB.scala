@@ -758,15 +758,19 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     // THIS facade's share of the two JVM totals above — distinct metric
     // names (not a labeled series of the same name: the unlabeled totals
     // are pinned and a mixed labeled/unlabeled family would double-count
-    // under sum()). Emitted unconditionally at 0, same rationale.
+    // under sum()). Emitted unconditionally at 0, same rationale. The
+    // label is `facade`, NOT `instance`: Prometheus reserves `instance`
+    // for the scrape-target label, and without honor_labels a collision
+    // is exported as `exported_instance` — dashboards keyed on
+    // instance="<facade>" would silently miss.
     val inst = promLabel(instanceId)
     sb.append("# HELP vdb_probe_refire_evictions_instance_total Re-fire-map probe evictions attributed to this facade instance\n")
     sb.append("# TYPE vdb_probe_refire_evictions_instance_total counter\n")
-    sb.append(s"""vdb_probe_refire_evictions_instance_total{instance="$inst"} ${graft.index.ExecutionProbeHook.firedEvictionsFor(instanceId)}""")
+    sb.append(s"""vdb_probe_refire_evictions_instance_total{facade="$inst"} ${graft.index.ExecutionProbeHook.firedEvictionsFor(instanceId)}""")
     sb.append('\n')
     sb.append("# HELP vdb_probe_pending_evictions_instance_total Pending-map probe evictions attributed to this facade instance\n")
     sb.append("# TYPE vdb_probe_pending_evictions_instance_total counter\n")
-    sb.append(s"""vdb_probe_pending_evictions_instance_total{instance="$inst"} ${graft.index.ExecutionProbeHook.pendingEvictionsFor(instanceId)}""")
+    sb.append(s"""vdb_probe_pending_evictions_instance_total{facade="$inst"} ${graft.index.ExecutionProbeHook.pendingEvictionsFor(instanceId)}""")
     sb.append('\n')
     sb.toString
   }

@@ -78,16 +78,36 @@ private[graft] object ExecutionProbeHook {
   private[graft] def pendingEvictionsFor(owner: String): Long =
     pendingEvictionsPerOwner.get(owner).map(_.get()).getOrElse(0L)
 
-  /** Drop `owner`'s per-owner counters — called by the owning registry
-    * when it is discarded ([[graft.api.VectorDB.close]]). Without a
-    * release hook, facade churn in a long-lived JVM grows these maps one
-    * permanent entry per facade EVER created that lost a probe; the maps
-    * are bounded by LIVE registries only if discarded ones check out. */
+  /** Drop `owner`'s per-owner counters AND its armed probes — called by
+    * the owning registry when it is discarded
+    * ([[graft.api.VectorDB.close]]). Without a release hook, facade churn
+    * in a long-lived JVM grows these maps one permanent entry per facade
+    * EVER created that lost a probe; the maps are bounded by LIVE
+    * registries only if discarded ones check out. The probe purge must
+    * happen FIRST: a still-resident Probe evicted after the counters were
+    * removed would `bump` the owner back into the TrieMap permanently
+    * (getOrElseUpdate recreates it), re-opening the leak close() exists to
+    * plug. Purging under the maps' monitors means no eviction of this
+    * owner's entries can race the counter removal. */
   private[graft] def releaseOwner(owner: String): Unit =
     if (owner.nonEmpty) {
+      purgeOwner(pending, owner)
+      purgeOwner(fired, owner)
       firedEvictionsPerOwner.remove(owner)
       pendingEvictionsPerOwner.remove(owner)
       ()
+    }
+
+  /** Remove every Probe armed by `owner` from a synchronized bounded map.
+    * Iteration over a Collections.synchronizedMap view requires holding
+    * the wrapper's monitor — the same monitor its put/remove use, so a
+    * concurrent eviction cannot interleave with the purge. Removing via
+    * the iterator does NOT invoke removeEldestEntry (that only runs on
+    * put), so purged probes are not counted as evictions. */
+  private def purgeOwner(map: java.util.Map[String, Probe], owner: String): Unit =
+    map.synchronized {
+      val it = map.values().iterator()
+      while (it.hasNext) if (it.next().owner == owner) it.remove()
     }
 
   private def bump(per: scala.collection.concurrent.TrieMap[String, java.util.concurrent.atomic.AtomicLong],

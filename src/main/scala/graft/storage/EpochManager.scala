@@ -29,12 +29,15 @@ class EpochManager(basePath: String) {
   // and the local tombstones are the only ids the merge may remove
   private val locallyDeleted = TrieMap.empty[String, Unit]
   // Double-absence rule for the orphan sweep: a directory must be
-  // observed unreferenced on TWO CONSECUTIVE sweeps before deletion.
+  // observed unreferenced on TWO sweeps, the second at least
+  // SuspectMinAgeMs after the first recorded it (the persisted first-seen
+  // stamp, not the sweep count, carries the guarantee — multiple
+  // processes sweeping seconds apart must not shortcut the window).
   // The state lock already closes the read-merge-write race, but this is
   // cheap defense-in-depth against any future lock bypass (e.g. an NFS
   // deployment where FileChannel.lock is advisory-unreliable): a
   // concurrently-registering manager whose epochs.json write we somehow
-  // failed to see gets a whole sweep interval for its write to land
+  // failed to see gets a whole grace window for its write to land
   // before anything is deleted. An id that becomes referenced again
   // between sweeps is acquitted (removed from the suspect set).
   // The suspect set is PERSISTED (orphan_suspects.json, sibling of
@@ -188,14 +191,26 @@ class EpochManager(basePath: String) {
           .filter(f => f.isDirectory && f.getName.startsWith("epoch_") &&
             !known.contains(f.getName) && f.lastModified() < cutoff)
           .map(_.getName).toSeq.sorted
-        // Double-absence: only suspects from a PREVIOUS sweep are deleted
-        // this sweep; first-time candidates are merely recorded. Ids no
-        // longer candidate (referenced again, or deleted meanwhile) are
-        // acquitted, and the saved set is exactly the still-pending
-        // first-time candidates — so the file cannot grow stale entries.
+        // Double-absence + minimum suspect AGE: deletion requires (a) the
+        // id was already a suspect on a previous sweep AND (b) it has been
+        // on the books at least SuspectMinAgeMs. Counting sweeps alone is
+        // not enough in the multi-process shape this feature targets: a
+        // serving driver and a cron job sweeping seconds apart would
+        // record and then confirm a suspect almost immediately, defeating
+        // the "whole sweep interval for a concurrent registrant's
+        // epochs.json write to land" guarantee — so each suspect persists
+        // its first-seen timestamp and the clock, not the sweep count, is
+        // the gate. Ids no longer candidate (referenced again, or deleted
+        // meanwhile) are acquitted, and the saved set is exactly the
+        // still-pending candidates with their ORIGINAL first-seen stamps —
+        // so the file cannot grow stale entries and repeated sweeps do
+        // not reset the clock.
         val prior = loadSuspects()
-        val (confirmed, firstSeen) = candidates.partition(prior.contains)
-        saveSuspects(firstSeen.toSet)
+        val now = System.currentTimeMillis()
+        val confirmed = candidates.filter(id =>
+          prior.get(id).exists(ts => now - ts >= EpochManager.SuspectMinAgeMs))
+        saveSuspects(candidates.filterNot(confirmed.contains)
+          .map(id => id -> prior.getOrElse(id, now)).toMap)
         confirmed
     }
     orphans.foreach(id => EpochManager.deleteRecursively(epochPath(id)))
@@ -216,25 +231,35 @@ class EpochManager(basePath: String) {
 
   private def suspectsPath: String = s"$basePath/orphan_suspects.json"
 
-  /** Orphan-sweep suspects recorded by the PREVIOUS sweep (possibly by
+  /** Orphan-sweep suspects recorded by a PREVIOUS sweep (possibly by
     * another process — the cron-job shape constructs a fresh manager per
-    * invocation). Missing/unreadable file -> empty set, the fail-safe
-    * direction: every candidate counts as first-seen and nothing is
-    * deleted this sweep. */
-  private def loadSuspects(): Set[String] =
+    * invocation), as id -> first-seen millis. Missing/unreadable file ->
+    * empty map, the fail-safe direction: every candidate counts as
+    * first-seen and nothing is deleted this sweep. A legacy id-only entry
+    * (pre-timestamp sidecar format) restarts its clock at now — also the
+    * fail-safe direction (one extra grace window, never an early delete). */
+  private def loadSuspects(): Map[String, Long] =
     try {
       val p = Paths.get(suspectsPath)
-      if (!Files.exists(p)) Set.empty
+      if (!Files.exists(p)) Map.empty
       else JsonMethods.parse(Files.readString(p)) \ "suspects" match {
-        case JArray(items) => items.collect { case JString(id) => id }.toSet
-        case _ => Set.empty
+        case JArray(items) => items.flatMap {
+          case JString(id) => Some(id -> System.currentTimeMillis())
+          case o: JObject => (o \ "id", o \ "firstSeen") match {
+            case (JString(id), JInt(ts)) => Some(id -> ts.toLong)
+            case _ => None
+          }
+          case _ => None
+        }.toMap
+        case _ => Map.empty
       }
-    } catch { case scala.util.control.NonFatal(_) => Set.empty }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
-  private def saveSuspects(ids: Set[String]): Unit =
+  private def saveSuspects(ids: Map[String, Long]): Unit =
     Manifest.atomicWrite(Paths.get(suspectsPath),
       JsonMethods.pretty(JsonMethods.render(JObject(
-        "suspects" -> JArray(ids.toList.sorted.map(JString(_)))))))
+        "suspects" -> JArray(ids.toList.sortBy(_._1).map { case (id, ts) =>
+          JObject("id" -> JString(id), "firstSeen" -> JInt(ts)) })))))
 
   /** Epoch ids the on-disk state file references, or None if the file is
     * missing/unreadable (in which case nothing can be declared orphaned). */
@@ -338,6 +363,16 @@ object EpochManager {
     * creates the directory before persisting state, so a concurrent
     * manager's fresh epoch is briefly unreferenced on disk. */
   val OrphanGraceMs: Long = 60L * 60 * 1000
+
+  /** Minimum time an orphan suspect must sit on the books
+    * (orphan_suspects.json first-seen stamp) before a confirming sweep
+    * may delete it. Sweep COUNT alone is not a time guarantee — two
+    * managers sweeping back-to-back (serving driver + cron job seconds
+    * later) would record then confirm almost immediately; the age gate
+    * restores the intended "a concurrent registrant gets a full grace
+    * window for its epochs.json write to land" semantics regardless of
+    * how many processes sweep. */
+  val SuspectMinAgeMs: Long = OrphanGraceMs
 
   /** Cross-process state-lock acquisition deadline. Generous — a healthy
     * holder keeps the lock for one small-file read-merge-write — but

@@ -338,12 +338,16 @@ class VectorDBSpec extends SparkSpec {
     assert(value("vdb_probe_pending_evictions_total") >= 1L)
     // per-instance split: this facade's share under its own label, also
     // emitted unconditionally at 0 — and the direct bumps above were
-    // UNOWNED, so this instance's share must still read 0
+    // UNOWNED, so this instance's share must still read 0. The label is
+    // `facade` (not the Prometheus-reserved `instance`, which scrape
+    // targets would shadow into exported_instance).
     val inst = db.instanceId.replace("\\", "\\\\").replace("\"", "\\\"")
     assert(text.contains(
-      s"""vdb_probe_refire_evictions_instance_total{instance="$inst"} """))
+      s"""vdb_probe_refire_evictions_instance_total{facade="$inst"} """))
     assert(text.contains(
-      s"""vdb_probe_pending_evictions_instance_total{instance="$inst"} """))
+      s"""vdb_probe_pending_evictions_instance_total{facade="$inst"} """))
+    assert(!text.contains("{instance="),
+      "metrics must not use the Prometheus-reserved `instance` label")
   }
 
   test("close() checks the facade's probe-eviction counters out of the JVM registry") {
@@ -358,6 +362,17 @@ class VectorDBSpec extends SparkSpec {
     db2.close()
     assert(graft.index.ExecutionProbeHook.pendingEvictionsFor(owner) === 0L,
       "a closed facade must not leave a permanent per-owner registry entry")
+    // resurrection guard: close() also purged the facade's still-resident
+    // Probe entries from the pending map — so flooding the map with
+    // another owner's arms (which evicts the eldest entries) must NOT
+    // bump the closed owner back into the registry. Before the purge,
+    // the 4096 resident entries above would be evicted here and
+    // getOrElseUpdate would silently recreate the per-owner counter.
+    (0 until 4096).foreach(_ =>
+      graft.index.ExecutionProbeHook.arm(df, () => (), "other-owner"))
+    assert(graft.index.ExecutionProbeHook.pendingEvictionsFor(owner) === 0L,
+      "evictions after close() must not resurrect the closed owner's counter")
+    graft.index.ExecutionProbeHook.releaseOwner("other-owner")
   }
 
   test("stats() surfaces this instance's probe-eviction counters") {

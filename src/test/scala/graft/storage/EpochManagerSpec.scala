@@ -10,6 +10,19 @@ class EpochManagerSpec extends AnyFunSuite {
 
   private def tmpDir() = Files.createTempDirectory("graft-em").toString
 
+  /** Rewind every first-seen stamp in the orphan_suspects.json sidecar by
+    * `ms` — tests would otherwise have to really wait SuspectMinAgeMs
+    * between the recording and confirming sweeps. */
+  private def ageSuspects(base: String, ms: Long): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val p = java.nio.file.Paths.get(s"$base/orphan_suspects.json")
+    val aged = JsonMethods.parse(Files.readString(p)).transformField {
+      case ("firstSeen", JInt(ts)) => ("firstSeen", JInt(ts - ms))
+    }
+    Files.writeString(p, JsonMethods.pretty(JsonMethods.render(aged)))
+  }
+
   test("create/activate/list epochs with persisted state (storage.cpp:318-375)") {
     val base = tmpDir()
     val em = new EpochManager(base)
@@ -75,9 +88,16 @@ class EpochManagerSpec extends AnyFunSuite {
     assert(!firstSweep.contains("epoch_0000000000000_9999"),
       "an id seen missing ONCE must not be deleted")
     assert(Files.exists(java.nio.file.Paths.get(orphan)))
+    // a second sweep BEFORE the suspect has aged SuspectMinAgeMs still
+    // must not delete — two processes sweeping seconds apart must not
+    // shortcut the grace window (the clock, not the sweep count, gates)
+    assert(!em.cleanupOldEpochs(keepN = 3).contains("epoch_0000000000000_9999"),
+      "a young suspect must survive a back-to-back confirming sweep")
+    assert(Files.exists(java.nio.file.Paths.get(orphan)))
+    ageSuspects(base, EpochManager.SuspectMinAgeMs + 1000)
     val deleted = em.cleanupOldEpochs(keepN = 3)
     assert(deleted.contains("epoch_0000000000000_9999"),
-      "an id seen missing TWICE consecutively must be deleted")
+      "an id seen missing twice AND aged past SuspectMinAgeMs must be deleted")
     assert(!Files.exists(java.nio.file.Paths.get(orphan)), "orphan dir must be swept")
     assert(em.contains(live) &&
       Files.exists(java.nio.file.Paths.get(em.epochPath(live))))
@@ -98,7 +118,16 @@ class EpochManagerSpec extends AnyFunSuite {
     assert(!new EpochManager(base).cleanupOldEpochs(keepN = 3)
       .contains("epoch_0000000000000_7777"))
     assert(Files.exists(java.nio.file.Paths.get(orphan)))
-    // invocation 2: ANOTHER fresh manager confirms and deletes
+    // invocation 2 seconds later: still too young to confirm (the
+    // persisted first-seen stamp gates, so a serving driver + cron job
+    // sweeping back-to-back cannot shortcut the grace window)
+    assert(!new EpochManager(base).cleanupOldEpochs(keepN = 3)
+      .contains("epoch_0000000000000_7777"))
+    assert(Files.exists(java.nio.file.Paths.get(orphan)))
+    // invocation 3, after the suspect has aged: ANOTHER fresh manager
+    // confirms and deletes — suspicion AND its clock persisted across
+    // processes via the sidecar
+    ageSuspects(base, EpochManager.SuspectMinAgeMs + 1000)
     assert(new EpochManager(base).cleanupOldEpochs(keepN = 3)
       .contains("epoch_0000000000000_7777"))
     assert(!Files.exists(java.nio.file.Paths.get(orphan)))
@@ -114,16 +143,20 @@ class EpochManagerSpec extends AnyFunSuite {
     java.nio.file.Paths.get(orphan).toFile.setLastModified(old)
     // sweep 1: suspect recorded
     assert(em.cleanupOldEpochs(keepN = 3).isEmpty)
+    ageSuspects(base, EpochManager.SuspectMinAgeMs + 1000)
     // sweep 2: the id is referenced this time (a serving driver protects
-    // it) -> acquitted, suspicion cleared
+    // it) -> acquitted, suspicion cleared — even though it had aged
+    // enough that an unprotected sweep would have deleted it
     assert(em.cleanupOldEpochs(keepN = 3,
       protectedIds = Set("epoch_0000000000000_8888")).isEmpty)
     // sweep 3: unreferenced again — this must count as a FIRST
-    // observation (the earlier suspicion was dropped), so still no delete
+    // observation with a FRESH clock (the earlier suspicion was dropped),
+    // so still no delete
     assert(!em.cleanupOldEpochs(keepN = 3).contains("epoch_0000000000000_8888"),
       "acquittal must reset the absence count")
     assert(Files.exists(java.nio.file.Paths.get(orphan)))
-    // sweep 4: second consecutive absence -> deleted
+    // sweep 4: second absence, aged past the gate -> deleted
+    ageSuspects(base, EpochManager.SuspectMinAgeMs + 1000)
     assert(em.cleanupOldEpochs(keepN = 3).contains("epoch_0000000000000_8888"))
     assert(!Files.exists(java.nio.file.Paths.get(orphan)))
   }
