@@ -222,10 +222,23 @@ object Curation {
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
       stagingPath: Option[String] = None): CurationRun = {
     val ctx = new Dedup.MatCtx(storageLevel, stagingPath)
-    val audit = Dedup.withMatCtx(ctx) {
+    val assembled = Dedup.withMatCtx(ctx) {
       curate(docs, evalDocs, minQuality, ngram, numHashes, bands,
         nearThreshold, contamN, contamMaxDf, nShards, idCol, textCol, family)
     }
+    // Staging mode stages the ASSEMBLED audit too: it is the one frame
+    // every consumer reads, and unlike the survivor frames it is
+    // text-free and tiny (ints/bools/strings — one row per input doc).
+    // Without this, each consumption re-derives the unstaged s1/s2/s3
+    // filters and the assembly joins from the staged parents — measured
+    // at the 5M-doc stress (dev/ROUND12.md), three aggregations over the
+    // audit silently paid the back half of the pipeline three times
+    // (rollup taskSec grew 39x at 10x data). Staged, repeated
+    // consumption is O(audit scan). Block-manager mode is unchanged: the
+    // parent frames are cached there, so the assembly joins are already
+    // cheap, and an extra corpus-rows cache would grow the footprint the
+    // caller chose that mode to control.
+    val audit = if (ctx.isStaging) ctx.materialize(assembled) else assembled
     CurationRun(audit, ctx.frames.toSeq, stagingPath)
   }
 

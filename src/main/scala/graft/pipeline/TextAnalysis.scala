@@ -60,9 +60,17 @@ object TextAnalysis {
     // otherwise branches) and silently PASS the default quality gate —
     // consumers coalesce the verdict to false (Curation,
     // StreamingIngest.curationScreen), which only works if null is what
-    // arrives
-    when(textCol.isNotNull,
-      lenScore * lit(0.4) + alphaRatio * lit(0.4) + tokLenScore * lit(0.2))
+    // arrives.
+    // The guard is a guarded-zero ADDEND, not a when() around the blend:
+    // a CaseWhen branch body is excluded from whole-stage codegen's
+    // unconditional subexpression elimination, so wrapping the blend
+    // forced the tokenize above out of CSE with the sibling projections
+    // (langId, token_count) — one extra full tokenize per row, measured
+    // +21% on the analyze projection (BENCH_r12 vs r11). `+ when(notNull,
+    // 0.0)` keeps the blend unconditional (null text evaluates it to a
+    // harmless 0.5) and nulls the SUM via null propagation instead.
+    lenScore * lit(0.4) + alphaRatio * lit(0.4) + tokLenScore * lit(0.2) +
+      when(textCol.isNotNull, lit(0.0))
   }
 
   /**

@@ -289,6 +289,14 @@ class CurationSpec extends SparkSpec {
     }
     assert(cachedNodes.isEmpty,
       "staging mode must not substitute block-manager caches into the audit plan")
+    // the ASSEMBLED audit itself is staged (round 13): consuming it N
+    // times must cost N scans of the tiny audit parquet, not N replays
+    // of the re-derived s1/s2/s3 pipeline — so the audit plan is a bare
+    // file-source scan, and its leaf count is exactly 1
+    val leaves = run.audit.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size === 1 && leaves.head.isInstanceOf[
+        org.apache.spark.sql.execution.datasources.LogicalRelation],
+      s"staged audit must be one parquet scan, got: ${run.audit.queryExecution.optimizedPlan}")
     val plain = collect(Curation.curate(corpus, eval))
     assert(staged === plain)
     run.cleanup()

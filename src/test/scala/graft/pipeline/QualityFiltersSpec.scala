@@ -112,6 +112,22 @@ class QualityFiltersSpec extends SparkSpec {
       !r.getBoolean(r.fieldIndex("keep")))
   }
 
+  test("qualityScore: NULL for null text, a number otherwise (expression-level pin)") {
+    val s = spark
+    import s.implicits._
+    // pins the null-propagation contract independent of HOW the guard is
+    // expressed (round 13 moved it from a when() wrapper to a guarded-zero
+    // addend so the blend stays inside whole-stage codegen's unconditional
+    // subexpression elimination — the shape must be free to change, the
+    // semantics must not)
+    val d = Seq((0L, "the quick brown fox jumps over the lazy dog again"),
+      (1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = d.select($"doc_id",
+      TextAnalysis.qualityScore($"text").as("q")).orderBy("doc_id").collect()
+    assert(!out(0).isNullAt(1) && out(0).getDouble(1) > 0.0)
+    assert(out(1).isNullAt(1), "null text must score NULL, not 0.5")
+  }
+
   test("tokenHistogram buckets term frequencies by digit count") {
     val s = spark
     import s.implicits._
