@@ -1,0 +1,200 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.graft.GraftSqlBridge
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
+
+import graft.Metric
+import graft.functions.{VectorDistance, VectorKernels}
+
+/**
+ * The SQL ANN surface (SURVEY §4, custom component 3): a
+ * `Rule[LogicalPlan]` that rewrites the canonical vector-search SQL shape
+ *
+ * {{{
+ *   SELECT id, l2_distance(vec, CAST(array(...) AS ARRAY<FLOAT>)) AS dist
+ *   FROM ivf_table          -- parquet, Hive-partitioned by list_id
+ *   ORDER BY dist[, id] LIMIT k
+ * }}}
+ *
+ * over a REGISTERED IVF table into the probe+prune+topk plan the
+ * programmatic facade composes ([[graft.index.IvfFlatIndex.search]]): the
+ * query literal is probed against the registered centroids ON THE DRIVER
+ * (nlist dot products — the same coarse quantization the reference runs
+ * before touching lists, ivf_flat_index.cpp:298-336), and a
+ * `list_id IN (<nprobe nearest>)` filter is injected above the relation.
+ * `list_id` is the table's Hive partition column, so the filter reaches
+ * `FileSourceScanExec` as a PartitionFilter — at 100 TB the scan reads
+ * nprobe/nlist of the corpus, exactly like the facade's static-pruned
+ * path. The ORDER BY .. LIMIT stays and plans as TakeOrderedAndProject
+ * (partial per-partition top-k, merge on the driver), the same
+ * partial/merge shape as every other search path here.
+ *
+ * Semantics contract (the same one every ANN system documents): a
+ * registered table OPTS IN to approximate top-k at its registered
+ * `nprobe`. Unregistered tables, non-literal query vectors, descending
+ * sorts, or a distance over anything but the registered vector column are
+ * left untouched — the rule rewrites nothing it cannot prove is the ANN
+ * shape. At `nprobe = nlist` the rewrite is EXACT (the In-filter covers
+ * every list), which is what the driver's `sql_ann_rewrite` oracle entry
+ * pins against brute-force SQL.
+ *
+ * Registration is keyed by qualified table path (JVM-global — the rule
+ * may run on an optimizer thread with no active-session thread-local, so
+ * the plan's relation path is the only reliable key); the rule itself is
+ * installed per session by [[enable]], which is what scopes the rewrite.
+ */
+object SqlAnn {
+
+  /** A registered IVF table: centroid matrix (row index == list_id),
+    * probe width, and the column names the rule must see. */
+  final case class Registration(
+      centroids: Array[Array[Float]],
+      nprobe: Int,
+      vecCol: String,
+      listCol: String) {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    require(nprobe > 0, s"nprobe must be positive: $nprobe")
+  }
+
+  // Keyed by qualified table path, JVM-global — NOT per session. The
+  // rule must resolve the registration during OPTIMIZATION, which can
+  // run on a thread where SparkSession.getActiveSession is unset (a
+  // driver's query thread pool), so the plan's relation path is the only
+  // reliable key. Scoping comes from the rule itself: only sessions
+  // where enable() installed it ever rewrite. Entries are centroids-
+  // sized (nlist x dim floats) and bounded by live registrations;
+  // unregisterIndex releases.
+  private val registry = TrieMap.empty[String, Registration]
+
+  /** Install the rewrite rule (idempotent) and the SQL function surface
+    * ([[graft.GraftExtensions]]) on the session. */
+  def enable(spark: SparkSession): Unit = {
+    graft.GraftExtensions.register(spark)
+    GraftSqlBridge.ensureOptimizerRule(spark, AnnTopKPruneRule)
+  }
+
+  /**
+   * Register the IVF table at `path` (the Hive-partitioned parquet
+   * directory `list_id=<n>/...`, e.g. an epoch's lists) for ANN rewrite
+   * at `nprobe`. Also [[enable]]s the session.
+   */
+  def registerIndex(
+      spark: SparkSession,
+      path: String,
+      centroids: Array[Array[Float]],
+      nprobe: Int,
+      vecCol: String = "vec",
+      listCol: String = "list_id"): Unit = {
+    enable(spark)
+    registry.put(qualified(spark, path),
+      Registration(centroids, nprobe, vecCol, listCol))
+    ()
+  }
+
+  /** Remove a registration; subsequent queries plan as plain full scans. */
+  def unregisterIndex(spark: SparkSession, path: String): Unit = {
+    registry.remove(qualified(spark, path))
+    ()
+  }
+
+  /** Qualify a path exactly the way HadoopFsRelation qualifies its
+    * rootPaths, so registration and lookup cannot diverge on scheme or
+    * authority (file:/ vs bare /). */
+  private def qualified(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+  }
+
+  private[plans] def lookup(rel: LogicalRelation): Option[Registration] =
+    rel.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location.rootPaths.iterator
+          .map(_.toString).flatMap(registry.get).nextOption()
+      case _ => None
+    }
+
+  /**
+   * The rewrite itself. Runs in the "User Provided Optimizers" batch
+   * (fixed point), so it must be IDEMPOTENT: the injected In-filter is
+   * detected by semantic equality and the plan is returned untouched on
+   * the second pass.
+   */
+  private object AnnTopKPruneRule extends Rule[LogicalPlan] with PredicateHelper {
+
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.transformDown {
+        case gl @ GlobalLimit(_, ll @ LocalLimit(_,
+            s @ Sort(order, true, p: Project, _))) if order.nonEmpty =>
+          tryRewrite(order.head, p) match {
+            case Some(np) =>
+              gl.copy(child = ll.copy(child = s.copy(child = np)))
+            case None => gl
+          }
+      }
+
+    /** Match `ORDER BY <registered distance> ASC` and inject the probe
+      * filter under the projection. */
+    private def tryRewrite(head: SortOrder, p: Project): Option[Project] = {
+      if (head.direction != Ascending) return None
+      // the sort key is usually an attribute referencing the projection's
+      // distance alias — resolve it; a bare inline expression also works
+      val distE = head.child match {
+        case a: AttributeReference =>
+          p.projectList.collectFirst {
+            case al: Alias if al.exprId == a.exprId => al.child
+          }.getOrElse(return None)
+        case e => e
+      }
+      val (vecAttr, qLit, metric) = distE match {
+        case VectorDistance(v: AttributeReference,
+            Literal(q: ArrayData, ArrayType(FloatType, _)), m) => (v, q, m)
+        case VectorDistance(Literal(q: ArrayData, ArrayType(FloatType, _)),
+            v: AttributeReference, m) => (v, q, m) // all three metrics are symmetric
+        case _ => return None
+      }
+      if (qLit == null) return None
+      pruned(p.child, vecAttr, qLit, metric).map(c => p.copy(child = c))
+    }
+
+    private def pruned(
+        child: LogicalPlan,
+        vecAttr: AttributeReference,
+        qLit: ArrayData,
+        metric: Metric.Value): Option[LogicalPlan] = {
+      val (cond, rel) = child match {
+        case Filter(c, r: LogicalRelation) => (Some(c), r)
+        case r: LogicalRelation => (None, r)
+        case _ => return None
+      }
+      val reg = lookup(rel).getOrElse(return None)
+      // the distance must be over THIS relation's registered vector column
+      if (!rel.output.exists(o =>
+          o.exprId == vecAttr.exprId && o.name == reg.vecCol)) return None
+      val listAttr = rel.output.find(o =>
+        o.name == reg.listCol && o.dataType == IntegerType).getOrElse(return None)
+      // a malformed literal (nulls inside, wrong dim) falls back to the
+      // exact scan — the rule must never fail a query it could leave alone
+      val q = try qLit.toFloatArray() catch { case _: NullPointerException => return None }
+      if (q.length != reg.centroids.head.length) return None
+      val probes = VectorKernels.probeLists(
+        q, reg.centroids, reg.nprobe, metric.id)
+      if (probes.isEmpty) return None
+      val inExpr = In(listAttr, probes.sorted.toSeq.map(i => Literal(i)))
+      // idempotence under the fixed-point batch
+      if (cond.exists(c =>
+          splitConjunctivePredicates(c).exists(_.semanticEquals(inExpr))))
+        return None
+      Some(Filter(cond.map(And(_, inExpr)).getOrElse(inExpr), rel))
+    }
+  }
+}

@@ -114,14 +114,48 @@ object VectorQueries {
     }
   }
 
+  /** Bench-shape recall point: the `vector_scale_bench` geometry
+    * (nlist=256, nprobe=10, k=10 over the 128-D poly corpus — 20k rows at
+    * sf0.01, 200k at sf0.1) is the shape that predicts production recall;
+    * the nlist=16 points gate the 500-row table only. Measured (r13):
+    * 0.829 at sf0.01, 0.992 at sf0.1 — nearest neighbors concentrate in
+    * few lists at this geometry, so nprobe=10/256 already recalls well.
+    * Floor 0.50 sits between measured and the random-probing collapse
+    * point (nprobe/nlist ≈ 0.04): the row goes red on a broken probe
+    * selector, never on corpus effects. 100 of the bench's 1000 queries —
+    * the exact pass is the cost, and it is memoized per dir like the
+    * small-shape ground truth. */
+  private val ScaleRecallNQ = 100
+  private val ScaleRecallFloor = "0.50"
+
+  private[queries] def scaleRecallMeasured(
+      spark: SparkSession, dir: String): (String, Double, Double) = {
+    import graft.SearchParams
+    val index = scaleIndex(spark, dir)
+    val queries = spark.range(ScaleRecallNQ)
+      .select((col("id") + ScaleQidOffset).as("id"))
+      .select(col("id").as("qid"), polyVec(col("id")).as("qvec"))
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = cached[Set[(Long, Long)]](s"scale-recall-exact:$dir") {
+      pairs(Knn.exact(queries,
+        index.vectors.select(col("id"), col("vec")), 10, Metric.L2))
+    }
+    val got = pairs(index.search(queries, SearchParams(k = 10, nprobe = 10)))
+    (s"nlist=$ScaleNlist nprobe=10 k=10 floor=$ScaleRecallFloor",
+      graft.RecallSweep.recallVs(exact, got), ScaleRecallFloor.toDouble)
+  }
+
   /** Recall-floor gate (the round-11 verdict's "RECALL.json is published
     * but nothing gates it"): emits one (config, recall_ok) row per
-    * [[RecallPoints]] entry; the DuckDB oracle emits literal TRUE, so the
-    * driver's CORRECTNESS row goes red iff IVF recall ever collapses. */
+    * [[RecallPoints]] entry plus the bench-shape point
+    * ([[scaleRecallMeasured]], round 13); the DuckDB oracle emits literal
+    * TRUE, so the driver's CORRECTNESS row goes red iff IVF recall ever
+    * collapses — at either geometry. */
   private def recallFloor(spark: SparkSession, dir: String): DataFrame = {
     val s = spark
     import s.implicits._
-    recallMeasured(spark, dir)
+    (recallMeasured(spark, dir) :+ scaleRecallMeasured(spark, dir))
       .map { case (config, recall, floor) => (config, recall >= floor) }
       .toDF("config", "recall_ok").orderBy("config")
   }
@@ -662,7 +696,45 @@ object VectorQueries {
     "hamming_ann" -> (hammingAnn _),
     "hamming_rerank" -> (hammingRerank _),
     "sq8_rerank" -> (sq8Rerank _),
+    "sql_ann_rewrite" -> (sqlAnnRewrite _),
   )
+
+  /** The SQL-surface ANN query vector: 64 exactly-representable binary
+    * fractions, so the literal text parses to the identical float32 in
+    * Spark SQL and DuckDB. */
+  private def sqlAnnVals: Seq[Double] =
+    (0 until 64).map(i => ((i * 7) % 33 - 16) / 16.0)
+
+  /** SQL ANN surface (SURVEY §4's `Rule[LogicalPlan]`, shipped round 13):
+    * the canonical `ORDER BY l2_distance(vec, lit) LIMIT k` SQL text goes
+    * through [[graft.plans.SqlAnn]]'s rewrite over the Hive-partitioned
+    * IVF table — probe on the driver, `list_id IN (...)` partition filter
+    * into the scan. Registered at nprobe = nlist, so the pruned plan is
+    * EXACT and brute-force SQL is a hash oracle. The entry REQUIRES the
+    * partition filter in the executed plan: without that check a silently
+    * non-firing rewrite would still match the oracle via the full scan. */
+  private def sqlAnnRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val index = ivfIndex(spark, dir, 16)
+    val tableDir = cached[String](s"sqlann-table:$dir") {
+      val d = tempDirCleaned("graft-sqlann")
+      index.vectors.write.partitionBy("list_id").mode("overwrite").parquet(d)
+      d
+    }
+    graft.plans.SqlAnn.registerIndex(
+      spark, tableDir, index.centroids.value, nprobe = 16)
+    spark.read.parquet(tableDir).createOrReplaceTempView("graft_sqlann")
+    val df = spark.sql(
+      s"""SELECT id, l2_distance(vec,
+         |  CAST(array(${sqlAnnVals.mkString(", ")}) AS ARRAY<FLOAT>)) AS dist
+         |FROM graft_sqlann ORDER BY dist, id LIMIT $K""".stripMargin)
+    val pf = df.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("PartitionFilters", "")
+    }.getOrElse("")
+    require(pf.contains("list_id"),
+      s"sql_ann_rewrite: the ANN rewrite did not fire (PartitionFilters: $pf)")
+    df
+  }
 
   /** SQ8 two-pass: int8-dequantized first pass to 50 candidates, exact-L2
     * rerank to top-k (Similarity.sq8SearchRerank). */
@@ -780,6 +852,14 @@ object VectorQueries {
        |SELECT qid, id, dist, rank FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // the SQL-surface rewrite is registered at nprobe = nlist, so the
+    // pruned plan is exact and single-query brute force is the oracle —
+    // same exactly-representable literal vector on both sides
+    "sql_ann_rewrite" ->
+      s"""WITH q AS (SELECT [${sqlAnnVals.mkString(", ")}]::FLOAT[] AS qv),
+         |d AS (SELECT v.vec_id AS id, ${sqlL2("q.qv", "v.embedding")} AS dist
+         |      FROM embeddings v, q)
+         |SELECT id, dist FROM d ORDER BY dist, id LIMIT $K""".stripMargin,
     "hamming_ann" -> hammingOracleSql,
     "hamming_rerank" -> hammingRerankOracleSql,
     "sq8_rerank" -> sq8RerankOracleSql,
@@ -797,7 +877,7 @@ object VectorQueries {
     "recall_floor" -> {
       val rows = RecallPoints.map { case (nprobe, floor) =>
         s"('nlist=16 nprobe=$nprobe k=$K floor=$floor', TRUE)"
-      }
+      } :+ s"('nlist=$ScaleNlist nprobe=10 k=10 floor=$ScaleRecallFloor', TRUE)"
       s"SELECT config, recall_ok FROM (VALUES ${rows.mkString(", ")}) " +
         "t(config, recall_ok) ORDER BY config"
     },

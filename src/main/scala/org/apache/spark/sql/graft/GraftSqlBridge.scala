@@ -29,4 +29,19 @@ object GraftSqlBridge {
         exp.extraStrategies = exp.extraStrategies :+ strategy
     }
   }
+
+  /** Append an optimizer rule to the session exactly once (idempotent,
+    * additive — same contract as [[ensureStrategy]]). The rule runs in
+    * the optimizer's user-provided batch, which is FIXED-POINT: rules
+    * registered here must be idempotent. */
+  def ensureOptimizerRule(
+      spark: SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    exp.synchronized {
+      if (!exp.extraOptimizations.contains(rule))
+        exp.extraOptimizations = exp.extraOptimizations :+ rule
+    }
+  }
 }

@@ -1,0 +1,151 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.{Metric, SearchParams, SparkSpec}
+import graft.index.IvfFlatIndex
+
+/**
+ * Pins the SQL ANN rewrite (SURVEY §4, custom component 3): the canonical
+ * `ORDER BY l2_distance(vec, lit) LIMIT k` SQL over a registered
+ * Hive-partitioned IVF table must plan as a PARTITION-PRUNED scan whose
+ * results equal the programmatic facade at the same nprobe, be exact at
+ * nprobe = nlist, and leave every non-matching shape untouched.
+ */
+class SqlAnnSpec extends SparkSpec {
+
+  private val Dim = 8
+  private val NList = 8
+  private val K = 5
+
+  private lazy val dir = java.nio.file.Files
+    .createTempDirectory("graft-sqlann").toFile.getAbsolutePath
+
+  // one shared fixture: 200 seeded vectors, IVF-assigned, written as the
+  // Hive-partitioned layout an epoch uses
+  private lazy val index: IvfFlatIndex = {
+    val idx = IvfFlatIndex.build(spark, vectorsDF(randomVectors(200, Dim)), NList)
+    idx.vectors.write.partitionBy("list_id").mode("overwrite").parquet(dir)
+    idx
+  }
+
+  private def qvecSql: String = {
+    // exactly-representable fractions: no float-parse divergence anywhere
+    val vals = (0 until Dim).map(i => ((i * 7) % 33 - 16) / 16.0)
+    s"CAST(array(${vals.mkString(", ")}) AS ARRAY<FLOAT>)"
+  }
+
+  private def qvec: Array[Float] =
+    (0 until Dim).map(i => (((i * 7) % 33 - 16) / 16.0).toFloat).toArray
+
+  private def annSql(view: String): String =
+    s"""SELECT id, l2_distance(vec, $qvecSql) AS dist
+       |FROM $view ORDER BY dist, id LIMIT $K""".stripMargin
+
+  private def scanOf(df: DataFrame): FileSourceScanExec =
+    df.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+
+  private def partitionFilterText(df: DataFrame): String =
+    scanOf(df).metadata.getOrElse("PartitionFilters", "")
+
+  test("registered table at nprobe < nlist: pruned scan, facade-identical results") {
+    index // force fixture
+    spark.read.parquet(dir).createOrReplaceTempView("sqlann_v")
+    SqlAnn.registerIndex(spark, dir, index.centroids.value, nprobe = 2)
+    try {
+      val df = spark.sql(annSql("sqlann_v"))
+      val pf = partitionFilterText(df)
+      assert(pf.contains("list_id"), s"expected a list_id partition filter, got: $pf")
+      // the scan must actually read FEWER partitions than the table has
+      val read = scanOf(df).relation.location.listFiles(
+        scanOf(df).partitionFilters, Nil).size
+      assert(read > 0 && read <= 2,
+        s"nprobe=2 must prune to at most 2 of $NList partitions, read $read")
+      // results == the facade's search at the same nprobe (same probe
+      // selection kernel, same (dist, id) order)
+      val sql = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val facade = index.search(
+        queriesDF(Seq(0L -> qvec)), SearchParams(k = K, nprobe = 2))
+        .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2)))
+      assert(sql.toSeq === facade.toSeq)
+    } finally SqlAnn.unregisterIndex(spark, dir)
+  }
+
+  test("nprobe = nlist: rewrite fires and is exact vs brute force") {
+    index
+    spark.read.parquet(dir).createOrReplaceTempView("sqlann_v")
+    SqlAnn.registerIndex(spark, dir, index.centroids.value, nprobe = NList)
+    try {
+      val df = spark.sql(annSql("sqlann_v"))
+      assert(partitionFilterText(df).contains("list_id"))
+      val sql = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val exact = graft.index.Knn.exact(
+        queriesDF(Seq(0L -> qvec)),
+        index.vectors.select(col("id"), col("vec")), K, Metric.L2)
+        .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2)))
+      assert(sql.toSeq === exact.toSeq)
+    } finally SqlAnn.unregisterIndex(spark, dir)
+  }
+
+  test("idempotent under the fixed-point batch: exactly one probe filter") {
+    index
+    spark.read.parquet(dir).createOrReplaceTempView("sqlann_v")
+    SqlAnn.registerIndex(spark, dir, index.centroids.value, nprobe = 2)
+    try {
+      val df = spark.sql(annSql("sqlann_v"))
+      val ins = df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.collect {
+            case i: org.apache.spark.sql.catalyst.expressions.In => i
+          }.size
+      }.sum
+      assert(ins === 1, s"the fixed-point batch must inject the In exactly once, got $ins")
+    } finally SqlAnn.unregisterIndex(spark, dir)
+  }
+
+  test("unregistered table, DESC sort, and non-vector sorts are left untouched") {
+    index
+    spark.read.parquet(dir).createOrReplaceTempView("sqlann_v")
+    // (a) unregistered: no partition filter
+    assert(!partitionFilterText(spark.sql(annSql("sqlann_v"))).contains("list_id"))
+    SqlAnn.registerIndex(spark, dir, index.centroids.value, nprobe = 2)
+    try {
+      // (b) descending sort is not a nearest-neighbor query
+      val desc = spark.sql(
+        s"""SELECT id, l2_distance(vec, $qvecSql) AS dist
+           |FROM sqlann_v ORDER BY dist DESC LIMIT $K""".stripMargin)
+      assert(!partitionFilterText(desc).contains("list_id"))
+      // (c) sorting by something else entirely
+      val plain = spark.sql(s"SELECT id FROM sqlann_v ORDER BY id LIMIT $K")
+      assert(!partitionFilterText(plain).contains("list_id"))
+      // (d) non-literal query vector (vec against itself) cannot be probed
+      val nonLit = spark.sql(
+        s"SELECT id, l2_distance(vec, vec) AS dist FROM sqlann_v ORDER BY dist LIMIT $K")
+      assert(!partitionFilterText(nonLit).contains("list_id"))
+    } finally SqlAnn.unregisterIndex(spark, dir)
+  }
+
+  test("a user WHERE clause composes with the injected probe filter") {
+    index
+    spark.read.parquet(dir).createOrReplaceTempView("sqlann_v")
+    SqlAnn.registerIndex(spark, dir, index.centroids.value, nprobe = NList)
+    try {
+      val df = spark.sql(
+        s"""SELECT id, l2_distance(vec, $qvecSql) AS dist
+           |FROM sqlann_v WHERE id % 2 = 0 ORDER BY dist, id LIMIT $K""".stripMargin)
+      assert(partitionFilterText(df).contains("list_id"))
+      val got = df.collect().map(_.getLong(0))
+      assert(got.nonEmpty && got.forall(_ % 2 == 0))
+      // exact (nprobe = nlist): equals brute force over the filtered corpus
+      val exact = graft.index.Knn.exact(
+        queriesDF(Seq(0L -> qvec)),
+        index.vectors.filter(col("id") % 2 === 0).select(col("id"), col("vec")),
+        K, Metric.L2).orderBy("rank").collect().map(_.getLong(1))
+      assert(got.toSeq === exact.toSeq)
+    } finally SqlAnn.unregisterIndex(spark, dir)
+  }
+}
