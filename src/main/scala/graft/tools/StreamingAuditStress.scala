@@ -1,0 +1,139 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/**
+ * Sustained-rate stress for the unified streaming curation audit
+ * ([[graft.streaming.StreamingIngest.curationAudit]]) — the round-12
+ * verdict's open question: the audit is spec-proven EQUIVALENT on
+ * replayed batches, but nothing measured it under load. This drives a
+ * `rate`-source stream against a real corpus index at a fixed rows/s for
+ * a fixed duration, once per watermark setting, and reports:
+ *
+ *  - throughput: input vs processed rows/s per trigger (a growing gap =
+ *    the pipeline cannot sustain the offered rate);
+ *  - state growth: total state-store rows + memory per trigger — the
+ *    claim under test is that state is bounded by rate x watermark
+ *    horizon (candidate dedup + pending per-doc aggregations), NOT by
+ *    stream length;
+ *  - end-to-end verdict latency: audit-row emission wall time minus the
+ *    row's event ts, per output batch (expected ~= watermark delay +
+ *    trigger interval — the price curationAudit's docs advertise for the
+ *    one-auditable-stream shape).
+ *
+ * Stream content exercises every stage: each row picks one of three
+ * variants of a corpus doc — byte-identical (exact-dup path), 8 prepended
+ * noise tokens (near-dup band+Jaccard path), or a token-remap
+ * (novel-doc path; separator-free prefix so the [a-z0-9]+ tokenizer keeps
+ * one token per original token — the r12 fixture lesson). Stream doc_ids
+ * sit ABOVE every corpus id, matching the audit's monotonic-id greedy
+ * rule. Usage:
+ *
+ *   StreamingAuditStress [rowsPerSec] [runSeconds] [watermark1,watermark2]
+ */
+object StreamingAuditStress {
+  def main(args: Array[String]): Unit = {
+    val rate = if (args.nonEmpty) args(0).toInt else 2000
+    val runSec = if (args.length > 1) args(1).toInt else 60
+    val watermarks: Seq[String] =
+      if (args.length > 2) args(2).split(',').toSeq.map(_.replace('_', ' '))
+      else Seq("5 seconds", "30 seconds")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "false") // streaming plans
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // --- static fixtures: corpus index + eval screen + variant table ---
+    val base = graft.Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").filter(col("text").isNotNull)
+    val index = graft.pipeline.Dedup.buildCorpusIndex(base)
+    val evalDocs = base.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 100000000L).as("doc_id"), col("text"))
+    val screen = graft.pipeline.Curation.evalScreenShingles(base, evalDocs)
+    // three content variants per corpus doc, keyed densely by vid so the
+    // rate source can pick one with a modulo; persisted — this is the
+    // static side of a per-trigger stream-static join
+    val exactV = base.select((col("doc_id") * 3).as("vid"), col("text"))
+    val nearV = base.select((col("doc_id") * 3 + 1).as("vid"),
+      concat_ws(" ", lit((1 to 8).map(i => s"zq${i}noise").mkString(" ")),
+        col("text")).as("text"))
+    val novelV = base.select((col("doc_id") * 3 + 2).as("vid"),
+      concat_ws(" ", transform(split(col("text"), " "),
+        t => concat(lit("nvx"), t))).as("text"))
+    val variants = exactV.unionAll(nearV).unionAll(novelV)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nVariants = variants.count()
+    println(s"[audit-stress] corpus=${base.count()} docs, $nVariants variants, " +
+      s"rate=$rate rows/s, run=${runSec}s, watermarks=${watermarks.mkString(" | ")}")
+
+    for (wm <- watermarks) {
+      // stream ids above every corpus id (greedy smaller-id rule)
+      val stream = spark.readStream.format("rate")
+        .option("rowsPerSecond", rate).load()
+        .select((col("value") + 10000000L).as("doc_id"),
+          col("timestamp").as("ts"),
+          (col("value") % nVariants).as("vid"))
+        .join(variants, "vid")
+        .select("doc_id", "ts", "text")
+      val audit = graft.streaming.StreamingIngest.curationAudit(
+        stream, index, screen, watermarkDelay = wm)
+      val outRows = new java.util.concurrent.atomic.AtomicLong()
+      val latSum = new java.util.concurrent.atomic.AtomicLong()
+      val latMax = new java.util.concurrent.atomic.AtomicLong()
+      val q = audit.writeStream
+        .outputMode("append")
+        .trigger(Trigger.ProcessingTime("2 seconds"))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.select(col("ts")).collect()
+          val now = System.currentTimeMillis()
+          rows.foreach { r =>
+            val lat = now - r.getTimestamp(0).getTime
+            latSum.addAndGet(lat)
+            latMax.accumulateAndGet(lat, Math.max(_, _))
+          }
+          outRows.addAndGet(rows.length)
+          ()
+        }
+        .start()
+      val t0 = System.currentTimeMillis()
+      // sample progress while the load runs, then drain one extra horizon
+      // so in-flight rows close and the latency numbers include them
+      val horizonMs = wm match {
+        case s if s.endsWith("seconds") => s.split(' ')(0).toLong * 1000
+        case s if s.endsWith("minutes") => s.split(' ')(0).toLong * 60000
+        case _ => 60000L
+      }
+      val deadline = t0 + runSec * 1000L + horizonMs + 8000L
+      var lastBatch = -1L
+      while (System.currentTimeMillis() < deadline) {
+        Thread.sleep(4000)
+        val p = q.lastProgress
+        if (p != null && p.batchId != lastBatch) {
+          lastBatch = p.batchId
+          val st = p.stateOperators
+          val stRows = st.map(_.numRowsTotal).sum
+          val stMb = st.map(_.memoryUsedBytes).sum / 1e6
+          println(f"[audit-stress][$wm] t=${(System.currentTimeMillis() - t0) / 1000}%3ds " +
+            f"batch=${p.batchId}%3d in=${p.numInputRows}%6d " +
+            f"inRps=${Option(p.inputRowsPerSecond).getOrElse(0.0)}%9.1f " +
+            f"procRps=${Option(p.processedRowsPerSecond).getOrElse(0.0)}%9.1f " +
+            f"stateRows=$stRows%8d stateMB=$stMb%7.1f out=${outRows.get()}%7d")
+        }
+      }
+      q.stop()
+      q.awaitTermination(30000)
+      val n = outRows.get()
+      val avgLat = if (n > 0) latSum.get() / n else -1L
+      println(f"[audit-stress][$wm] SUMMARY rate=$rate rows/s x ${runSec}s: " +
+        f"audit rows out=$n, avg verdict latency=${avgLat}ms, " +
+        f"max=${latMax.get()}ms (watermark=$wm + 2s trigger)")
+    }
+    spark.stop()
+  }
+}

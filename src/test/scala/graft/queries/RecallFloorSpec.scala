@@ -18,8 +18,13 @@ class RecallFloorSpec extends SparkSpec {
   for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
     test(s"recall floors hold with margin on $dir") {
       assume(haveData(dir))
-      val measured = VectorQueries.recallMeasured(spark, dir)
-      assert(measured.nonEmpty)
+      // small shape (nlist=16, 500-row table) AND the bench shape
+      // (nlist=256, 128-D poly corpus — 20k/200k rows) added round 13:
+      // the bench geometry is the one that predicts production recall
+      val measured =
+        VectorQueries.recallMeasured(spark, dir) :+
+          VectorQueries.scaleRecallMeasured(spark, dir)
+      assert(measured.size === 3)
       measured.foreach { case (config, recall, floor) =>
         info(f"$config -> measured recall $recall%.4f")
         assert(recall >= 0.0 && recall <= 1.0,
