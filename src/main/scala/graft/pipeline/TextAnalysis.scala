@@ -61,14 +61,16 @@ object TextAnalysis {
     // consumers coalesce the verdict to false (Curation,
     // StreamingIngest.curationScreen), which only works if null is what
     // arrives.
-    // The guard is a guarded-zero ADDEND, not a when() around the blend:
-    // a CaseWhen branch body is excluded from whole-stage codegen's
-    // unconditional subexpression elimination, so wrapping the blend
-    // forced the tokenize above out of CSE with the sibling projections
-    // (langId, token_count) — one extra full tokenize per row, measured
-    // +21% on the analyze projection (BENCH_r12 vs r11). `+ when(notNull,
-    // 0.0)` keeps the blend unconditional (null text evaluates it to a
-    // harmless 0.5) and nulls the SUM via null propagation instead.
+    // Guard shape: a guarded-zero ADDEND (`+ when(notNull, 0.0)`) — the
+    // blend stays unconditional (null text evaluates it to a harmless
+    // 0.5) and null propagation through the sum nulls the result. Chosen
+    // while chasing the r12 text_analysis bench delta on a CSE-in-branch
+    // hypothesis; tools/CodegenProbe measured all three guard shapes
+    // (none / when()-wrap / this) at parity within noise — the analyze
+    // projection is not whole-stage-codegen'd (fingerprint's aggregate()
+    // HOF is CodegenFallback) and GenerateUnsafeProjection shares the
+    // tokenize either way — so the shape is a wash and this one is kept
+    // for being branch-free. Semantics pinned by QualityFiltersSpec.
     lenScore * lit(0.4) + alphaRatio * lit(0.4) + tokLenScore * lit(0.2) +
       when(textCol.isNotNull, lit(0.0))
   }
