@@ -376,6 +376,45 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     served.put(name, Served(manifest, index, epochId))
   }
 
+  /** Paths this facade registered with the SQL ANN surface, per index —
+    * released on epoch-swap re-registration and on [[close]]. */
+  private val sqlRegistered = TrieMap.empty[String, String]
+
+  /**
+   * Expose the SERVED epoch through the SQL ANN surface
+   * ([[graft.plans.SqlAnn]], SURVEY §4): registers the epoch's
+   * partitioned vectors directory at `nprobe` and creates/replaces a
+   * temp view (default: the index name) over it, so
+   *
+   * {{{
+   *   SELECT id, l2_distance(vec, CAST(array(...) AS ARRAY<FLOAT>)) AS dist
+   *   FROM <view> ORDER BY dist, id LIMIT k
+   * }}}
+   *
+   * plans as the probe-pruned scan — the SQL twin of [[search]], minus
+   * the facade (no validation matrix, no latency/probe metrics: SQL
+   * users get the PLAN, facade users get the serving machinery).
+   * Registration is per-epoch path: re-call after [[loadIndex]] /
+   * [[activateEpoch]] to follow an epoch swap; the superseded epoch's
+   * registration is released here, and [[close]] releases whatever is
+   * still registered. Returns the view name.
+   */
+  def registerSql(name: String, nprobe: Int = 8, viewName: String = ""): String = {
+    if (nprobe <= 0)
+      throw new InvalidArgumentException(s"nprobe must be positive: $nprobe")
+    val s = served.getOrElse(name,
+      throw new NotFoundException(s"Index not loaded: $name"))
+    val path = s"${epochManager(name).epochPath(s.epochId)}/vectors"
+    val view = if (viewName.nonEmpty) viewName else name
+    sqlRegistered.put(name, path)
+      .filter(_ != path)
+      .foreach(old => graft.plans.SqlAnn.unregisterIndex(spark, old))
+    graft.plans.SqlAnn.registerIndex(
+      spark, path, s.index.centroids.value, nprobe)
+    spark.read.parquet(path).createOrReplaceTempView(view)
+    view
+  }
+
   /** C1: per-list access stats of the serving index — (list_id, probe
     * count, last access ms), hottest first. */
   def hotLists(name: String, topN: Int = 10): Seq[(Int, Long, Long)] =
@@ -784,6 +823,8 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     * be used after close(). */
   def close(): Unit = {
     served.clear()
+    sqlRegistered.values.foreach(p => graft.plans.SqlAnn.unregisterIndex(spark, p))
+    sqlRegistered.clear()
     graft.index.ExecutionProbeHook.releaseOwner(instanceId)
   }
 

@@ -129,6 +129,42 @@ class SqlAnnSpec extends SparkSpec {
     } finally SqlAnn.unregisterIndex(spark, dir)
   }
 
+  test("VectorDB.registerSql exposes the served epoch; swap re-registers; close releases") {
+    import graft.IndexConfig
+    val db = new graft.api.VectorDB(spark,
+      java.nio.file.Files.createTempDirectory("graft-sqlann-db").toString)
+    db.createIndex(IndexConfig("sqlidx", Dim, nlist = 4))
+    val ep1 = db.buildEpoch("sqlidx", vectorsDF(randomVectors(150, Dim)))
+    db.activateEpoch("sqlidx", ep1)
+    db.loadIndex("sqlidx")
+    // nprobe = nlist -> the SQL surface is exact vs the facade's exact path
+    val view = db.registerSql("sqlidx", nprobe = 4)
+    assert(view === "sqlidx")
+    val df = spark.sql(annSql(view))
+    assert(partitionFilterText(df).contains("list_id"), "rewrite must fire on the served view")
+    val viaSql = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val viaFacade = db.searchExact("sqlidx", queriesDF(Seq(0L -> qvec)), K)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(viaSql.toSeq === viaFacade.toSeq)
+    // epoch swap: re-register follows the new epoch and RELEASES the old
+    // path's registration
+    val em = new graft.storage.EpochManager(s"${db.dataPath}/sqlidx/epochs")
+    val oldPath = s"${em.epochPath(ep1)}/vectors"
+    val ep2 = db.buildEpoch("sqlidx", vectorsDF(randomVectors(150, Dim, seed = 7)))
+    db.activateEpoch("sqlidx", ep2)
+    db.loadIndex("sqlidx")
+    db.registerSql("sqlidx", nprobe = 2)
+    spark.read.parquet(oldPath).createOrReplaceTempView("sqlann_old_epoch")
+    assert(!partitionFilterText(spark.sql(annSql("sqlann_old_epoch"))).contains("list_id"),
+      "the superseded epoch's registration must be released")
+    assert(partitionFilterText(spark.sql(annSql(view))).contains("list_id"),
+      "the new epoch must be registered")
+    // close releases the surviving registration too
+    db.close()
+    assert(!partitionFilterText(spark.sql(annSql(view))).contains("list_id"),
+      "close() must release the SQL registration")
+  }
+
   test("a user WHERE clause composes with the injected probe filter") {
     index
     spark.read.parquet(dir).createOrReplaceTempView("sqlann_v")
