@@ -376,9 +376,15 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     served.put(name, Served(manifest, index, epochId))
   }
 
-  /** Paths this facade registered with the SQL ANN surface, per index —
-    * released on epoch-swap re-registration and on [[close]]. */
-  private val sqlRegistered = TrieMap.empty[String, String]
+  /** SQL-surface state this facade owns, per index: the registered epoch
+    * path, the temp view bound to it, and the registration TOKEN —
+    * released on epoch-swap re-registration and on [[close]]. The token
+    * makes the release conditional ([[graft.plans.SqlAnn]]'s registry is
+    * JVM-global and path-keyed, so two facades over the same path share
+    * one slot, last-register wins): a facade whose registration was
+    * superseded must not tear down the winner's on its own close. */
+  private val sqlRegistered =
+    TrieMap.empty[String, (String, String, graft.plans.SqlAnn.Registration)]
 
   /**
    * Expose the SERVED epoch through the SQL ANN surface
@@ -406,12 +412,21 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       throw new NotFoundException(s"Index not loaded: $name"))
     val path = s"${epochManager(name).epochPath(s.epochId)}/vectors"
     val view = if (viewName.nonEmpty) viewName else name
-    sqlRegistered.put(name, path)
-      .filter(_ != path)
-      .foreach(old => graft.plans.SqlAnn.unregisterIndex(spark, old))
-    graft.plans.SqlAnn.registerIndex(
+    val token = graft.plans.SqlAnn.registerIndex(
       spark, path, s.index.centroids.value, nprobe)
     spark.read.parquet(path).createOrReplaceTempView(view)
+    sqlRegistered.put(name, (path, view, token)).foreach {
+      case (oldPath, oldView, oldToken) =>
+        // release the superseded epoch's registration — conditionally, so
+        // a same-path re-register (nprobe change) and the fresh token
+        // above are not torn down
+        if (oldPath != path)
+          graft.plans.SqlAnn.unregisterIndex(spark, oldPath, oldToken)
+        // a RENAMED view must not linger bound to the superseded epoch:
+        // it would keep serving stale data until the epoch dir is reaped,
+        // then crash with FileNotFound
+        if (oldView != view) { spark.catalog.dropTempView(oldView); () }
+    }
     view
   }
 
@@ -823,7 +838,14 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     * be used after close(). */
   def close(): Unit = {
     served.clear()
-    sqlRegistered.values.foreach(p => graft.plans.SqlAnn.unregisterIndex(spark, p))
+    sqlRegistered.values.foreach { case (path, view, token) =>
+      graft.plans.SqlAnn.unregisterIndex(spark, path, token)
+      // drop the view too: left behind it would silently serve the
+      // no-longer-pinned epoch as full scans until cleanup deletes the
+      // directory and turns every query into FileNotFoundException
+      spark.catalog.dropTempView(view)
+      ()
+    }
     sqlRegistered.clear()
     graft.index.ExecutionProbeHook.releaseOwner(instanceId)
   }

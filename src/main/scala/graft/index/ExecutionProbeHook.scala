@@ -78,25 +78,47 @@ private[graft] object ExecutionProbeHook {
   private[graft] def pendingEvictionsFor(owner: String): Long =
     pendingEvictionsPerOwner.get(owner).map(_.get()).getOrElse(0L)
 
+  /** Owners whose registry checked out ([[releaseOwner]]), kept so the
+    * two races a purge alone cannot close stay closed: (a) the listener's
+    * pending->fired migration is not atomic across the maps, so a probe
+    * removed from pending before the purge can be re-inserted into fired
+    * after it — the listener re-checks this set AFTER its put and evicts
+    * the zombie; (b) `bump` skips released owners outright, so no
+    * eviction path can getOrElseUpdate a released owner back into the
+    * counter maps. Insertion-order bounded at 1024: instanceIds are never
+    * reused (VectorDB.instanceSeq), and a marker only MUST survive the
+    * milliseconds-wide migration race window, so eviction of old markers
+    * is safe — the purge already removed every resident probe by then. */
+  private val released = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, java.lang.Boolean](64, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+        size() > 1024
+    })
+
   /** Drop `owner`'s per-owner counters AND its armed probes — called by
     * the owning registry when it is discarded
     * ([[graft.api.VectorDB.close]]). Without a release hook, facade churn
     * in a long-lived JVM grows these maps one permanent entry per facade
     * EVER created that lost a probe; the maps are bounded by LIVE
-    * registries only if discarded ones check out. The probe purge must
-    * happen FIRST: a still-resident Probe evicted after the counters were
-    * removed would `bump` the owner back into the TrieMap permanently
-    * (getOrElseUpdate recreates it), re-opening the leak close() exists to
-    * plug. Purging under the maps' monitors means no eviction of this
-    * owner's entries can race the counter removal. */
+    * registries only if discarded ones check out. Order matters: the
+    * released marker lands FIRST (so bump and the listener's migration
+    * see it), then the probe purges (a still-resident Probe evicted after
+    * the counters were removed would `bump` the owner back permanently),
+    * then the counter removal. Purging under the maps' monitors means no
+    * eviction of this owner's entries can race the counter removal. */
   private[graft] def releaseOwner(owner: String): Unit =
     if (owner.nonEmpty) {
+      released.put(owner, java.lang.Boolean.TRUE)
       purgeOwner(pending, owner)
       purgeOwner(fired, owner)
       firedEvictionsPerOwner.remove(owner)
       pendingEvictionsPerOwner.remove(owner)
       ()
     }
+
+  private def isReleased(owner: String): Boolean =
+    owner.nonEmpty && released.get(owner) != null
 
   /** Remove every Probe armed by `owner` from a synchronized bounded map.
     * Iteration over a Collections.synchronizedMap view requires holding
@@ -112,7 +134,9 @@ private[graft] object ExecutionProbeHook {
 
   private def bump(per: scala.collection.concurrent.TrieMap[String, java.util.concurrent.atomic.AtomicLong],
       owner: String): Unit =
-    if (owner.nonEmpty)
+    // released owners never bump: getOrElseUpdate would silently recreate
+    // a checked-out facade's counter entry permanently
+    if (owner.nonEmpty && !isReleased(owner))
       per.getOrElseUpdate(owner, new java.util.concurrent.atomic.AtomicLong())
         .incrementAndGet()
 
@@ -184,8 +208,20 @@ private[graft] object ExecutionProbeHook {
               if (k.startsWith(Prefix)) {
                 val cb = Option(pending.remove(k)).orElse(Option(fired.get(k)))
                 cb.foreach { p =>
-                  fired.put(k, p) // recent fired plans may re-fire
-                  p.fn(durationNs)
+                  if (isReleased(p.owner)) {
+                    // the owning facade closed mid-execution: don't fire a
+                    // closed registry's callback, and don't migrate the
+                    // probe into the re-fire map
+                    fired.remove(k)
+                  } else {
+                    fired.put(k, p) // recent fired plans may re-fire
+                    // releaseOwner may have purged BETWEEN the check above
+                    // and the put — re-check and evict the zombie, or it
+                    // would sit in the re-fire map and bump the released
+                    // owner when it ages out (the migration race)
+                    if (isReleased(p.owner)) fired.remove(k)
+                    else p.fn(durationNs)
+                  }
                 }
               }
             }

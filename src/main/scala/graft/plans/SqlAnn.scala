@@ -55,12 +55,15 @@ import graft.functions.{VectorDistance, VectorKernels}
 object SqlAnn {
 
   /** A registered IVF table: centroid matrix (row index == list_id),
-    * probe width, and the column names the rule must see. */
-  final case class Registration(
-      centroids: Array[Array[Float]],
-      nprobe: Int,
-      vecCol: String,
-      listCol: String) {
+    * probe width, and the column names the rule must see. A plain class,
+    * NOT a case class: instances are ownership TOKENS (identity
+    * equality), so the conditional [[unregisterIndex]] can distinguish
+    * two facades' structurally-identical registrations of one path. */
+  final class Registration(
+      val centroids: Array[Array[Float]],
+      val nprobe: Int,
+      val vecCol: String,
+      val listCol: String) {
     require(centroids.nonEmpty, "centroids must be non-empty")
     require(nprobe > 0, s"nprobe must be positive: $nprobe")
   }
@@ -93,17 +96,31 @@ object SqlAnn {
       centroids: Array[Array[Float]],
       nprobe: Int,
       vecCol: String = "vec",
-      listCol: String = "list_id"): Unit = {
+      listCol: String = "list_id"): Registration = {
     enable(spark)
-    registry.put(qualified(spark, path),
-      Registration(centroids, nprobe, vecCol, listCol))
-    ()
+    val reg = new Registration(centroids, nprobe, vecCol, listCol)
+    registry.put(qualified(spark, path), reg)
+    reg
   }
 
   /** Remove a registration; subsequent queries plan as plain full scans. */
   def unregisterIndex(spark: SparkSession, path: String): Unit = {
     registry.remove(qualified(spark, path))
     ()
+  }
+
+  /** Remove the registration for `path` ONLY if it is still the exact
+    * token `registerIndex` returned to this caller — the multi-facade
+    * guard: two facades registering the same path share one registry
+    * slot (last wins), and an owner whose registration was superseded
+    * must not tear down the winner's on its own close. */
+  def unregisterIndex(
+      spark: SparkSession, path: String, token: Registration): Unit = {
+    val key = qualified(spark, path)
+    registry.get(key) match {
+      case Some(cur) if cur eq token => registry.remove(key, cur); ()
+      case _ => ()
+    }
   }
 
   /** Qualify a path exactly the way HadoopFsRelation qualifies its

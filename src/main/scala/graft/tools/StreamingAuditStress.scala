@@ -56,14 +56,21 @@ object StreamingAuditStress {
     val evalDocs = base.filter(col("doc_id") % 50 === 0)
       .select((col("doc_id") + 100000000L).as("doc_id"), col("text"))
     val screen = graft.pipeline.Curation.evalScreenShingles(base, evalDocs)
-    // three content variants per corpus doc, keyed densely by vid so the
-    // rate source can pick one with a modulo; persisted — this is the
-    // static side of a per-trigger stream-static join
-    val exactV = base.select((col("doc_id") * 3).as("vid"), col("text"))
-    val nearV = base.select((col("doc_id") * 3 + 1).as("vid"),
+    // three content variants per corpus doc, keyed DENSELY by vid so the
+    // rate source can pick one with a modulo — dense via row_number, not
+    // doc_id*3: any gap in the raw id space (nulls filtered above,
+    // 1-based ids) would make `value % nVariants` miss vids and the inner
+    // join silently DROP stream rows, under-running the advertised rate.
+    // Persisted — this is the static side of a per-trigger
+    // stream-static join.
+    val seq = base.withColumn("dseq",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy("doc_id")).cast("long") - 1)
+    val exactV = seq.select((col("dseq") * 3).as("vid"), col("text"))
+    val nearV = seq.select((col("dseq") * 3 + 1).as("vid"),
       concat_ws(" ", lit((1 to 8).map(i => s"zq${i}noise").mkString(" ")),
         col("text")).as("text"))
-    val novelV = base.select((col("doc_id") * 3 + 2).as("vid"),
+    val novelV = seq.select((col("dseq") * 3 + 2).as("vid"),
       concat_ws(" ", transform(split(col("text"), " "),
         t => concat(lit("nvx"), t))).as("text"))
     val variants = exactV.unionAll(nearV).unionAll(novelV)

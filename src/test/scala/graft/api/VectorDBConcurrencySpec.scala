@@ -61,6 +61,11 @@ class VectorDBConcurrencySpec extends SparkSpec {
     }
     threads.foreach(_.start())
     threads.foreach(_.join(300000))
+    // a hung lifecycle must be reported AS a hang, not surface later as a
+    // null-facade NPE or a half-charged counter assertion
+    assert(threads.forall(!_.isAlive),
+      s"lifecycle thread(s) still running after 300s: " +
+        threads.filter(_.isAlive).map(_.getName).mkString(","))
     assert(errs.isEmpty, s"concurrent lifecycles failed: ${errs}")
 
     // per-owner attribution, not a shared pot: each facade carries ITS

@@ -129,6 +129,25 @@ class SqlAnnSpec extends SparkSpec {
     } finally SqlAnn.unregisterIndex(spark, dir)
   }
 
+  test("metric plumbing: cosine_distance probes under cosine and is exact at nprobe = nlist") {
+    index
+    spark.read.parquet(dir).createOrReplaceTempView("sqlann_v")
+    SqlAnn.registerIndex(spark, dir, index.centroids.value, nprobe = NList)
+    try {
+      val df = spark.sql(
+        s"""SELECT id, cosine_distance(vec, $qvecSql) AS dist
+           |FROM sqlann_v ORDER BY dist, id LIMIT $K""".stripMargin)
+      assert(partitionFilterText(df).contains("list_id"),
+        "the rewrite must fire for cosine_distance too")
+      val sql = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val exact = graft.index.Knn.exact(
+        queriesDF(Seq(0L -> qvec)),
+        index.vectors.select(col("id"), col("vec")), K, Metric.Cosine)
+        .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2)))
+      assert(sql.toSeq === exact.toSeq)
+    } finally SqlAnn.unregisterIndex(spark, dir)
+  }
+
   test("VectorDB.registerSql exposes the served epoch; swap re-registers; close releases") {
     import graft.IndexConfig
     val db = new graft.api.VectorDB(spark,
@@ -159,10 +178,36 @@ class SqlAnnSpec extends SparkSpec {
       "the superseded epoch's registration must be released")
     assert(partitionFilterText(spark.sql(annSql(view))).contains("list_id"),
       "the new epoch must be registered")
-    // close releases the surviving registration too
+    // close releases the surviving registration AND drops the view (a
+    // lingering view would serve the unpinned epoch until cleanup deletes
+    // the directory, then crash every query)
+    val ep2Path = s"${em.epochPath(ep2)}/vectors"
     db.close()
-    assert(!partitionFilterText(spark.sql(annSql(view))).contains("list_id"),
+    intercept[org.apache.spark.sql.AnalysisException](spark.sql(annSql(view)))
+    spark.read.parquet(ep2Path).createOrReplaceTempView("sqlann_after_close")
+    assert(!partitionFilterText(spark.sql(annSql("sqlann_after_close"))).contains("list_id"),
       "close() must release the SQL registration")
+  }
+
+  test("registerSql close() releases only its OWN registration (two facades, one path)") {
+    import graft.IndexConfig
+    val base = java.nio.file.Files.createTempDirectory("graft-sqlann-2f").toString
+    val a = new graft.api.VectorDB(spark, base)
+    a.createIndex(IndexConfig("shidx", Dim, nlist = 4))
+    val ep = a.buildEpoch("shidx", vectorsDF(randomVectors(120, Dim)))
+    a.activateEpoch("shidx", ep)
+    a.loadIndex("shidx")
+    a.registerSql("shidx", nprobe = 4, viewName = "sh_a")
+    // facade B over the SAME dataPath/index/epoch registers the same path
+    val b = new graft.api.VectorDB(spark, base)
+    b.loadIndex("shidx")
+    b.registerSql("shidx", nprobe = 4, viewName = "sh_b")
+    // A closes: its token was superseded by B's, so B's registration (and
+    // the JVM-global registry slot) must survive
+    a.close()
+    assert(partitionFilterText(spark.sql(annSql("sh_b"))).contains("list_id"),
+      "the surviving facade's SQL registration must not be torn down by the peer's close")
+    b.close()
   }
 
   test("a user WHERE clause composes with the injected probe filter") {
