@@ -404,16 +404,29 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
    * [[activateEpoch]] to follow an epoch swap; the superseded epoch's
    * registration is released here, and [[close]] releases whatever is
    * still registered. Returns the view name.
+   *
+   * Range predicates too: `WHERE l2_distance(vec, lit) <= r` is rewritten
+   * to the covering-ball-pruned scan (EXACT — [[rangeSearch]]'s bound)
+   * when the epoch's per-list radii are available. They are attached for
+   * free when the epoch persisted its radii table (the build path does;
+   * appended-to epochs drop it); `computeRangeRadii = true` forces the
+   * one-corpus-pass computation otherwise.
    */
-  def registerSql(name: String, nprobe: Int = 8, viewName: String = ""): String = {
+  def registerSql(
+      name: String,
+      nprobe: Int = 8,
+      viewName: String = "",
+      computeRangeRadii: Boolean = false): String = {
     if (nprobe <= 0)
       throw new InvalidArgumentException(s"nprobe must be positive: $nprobe")
     val s = served.getOrElse(name,
       throw new NotFoundException(s"Index not loaded: $name"))
     val path = s"${epochManager(name).epochPath(s.epochId)}/vectors"
     val view = if (viewName.nonEmpty) viewName else name
+    val radii =
+      if (computeRangeRadii) Some(s.index.listRadii) else s.index.radiiIfKnown
     val token = graft.plans.SqlAnn.registerIndex(
-      spark, path, s.index.centroids.value, nprobe)
+      spark, path, s.index.centroids.value, nprobe, radii = radii)
     spark.read.parquet(path).createOrReplaceTempView(view)
     sqlRegistered.put(name, (path, view, token)).foreach {
       case (oldPath, oldView, oldToken) =>

@@ -245,6 +245,13 @@ class IvfFlatIndex(
     }
   }
 
+  /** The covering radii if already known (preset from the epoch's
+    * persisted table, or computed earlier) — None means deriving them now
+    * would cost a full corpus pass. Lets a caller
+    * ([[graft.api.VectorDB.registerSql]]) attach radii to the SQL range
+    * rewrite only when they are free. */
+  private[graft] def radiiIfKnown: Option[Array[Double]] = Option(radiiCache)
+
   private def computeListRadii(): Array[Double] = {
     val cmap = new java.util.HashMap[java.lang.Long, Array[Float]]()
     centroids.value.zipWithIndex.foreach { case (c, i) => cmap.put(i.toLong, c) }

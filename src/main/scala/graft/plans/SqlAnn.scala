@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.graft.GraftSqlBridge
-import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType}
 
 import graft.Metric
 import graft.functions.{VectorDistance, VectorKernels}
@@ -55,7 +55,9 @@ import graft.functions.{VectorDistance, VectorKernels}
 object SqlAnn {
 
   /** A registered IVF table: centroid matrix (row index == list_id),
-    * probe width, and the column names the rule must see. A plain class,
+    * probe width, the column names the rule must see, and (optionally)
+    * the per-list covering radii that unlock the EXACT range-predicate
+    * rewrite (absent -> range queries plan as full scans). A plain class,
     * NOT a case class: instances are ownership TOKENS (identity
     * equality), so the conditional [[unregisterIndex]] can distinguish
     * two facades' structurally-identical registrations of one path. */
@@ -63,9 +65,13 @@ object SqlAnn {
       val centroids: Array[Array[Float]],
       val nprobe: Int,
       val vecCol: String,
-      val listCol: String) {
+      val listCol: String,
+      val radii: Option[Array[Double]] = None) {
     require(centroids.nonEmpty, "centroids must be non-empty")
     require(nprobe > 0, s"nprobe must be positive: $nprobe")
+    require(radii.forall(_.length == centroids.length),
+      "radii length must equal nlist — stale radii on a grown table would" +
+        " FALSELY DISMISS matches (IvfFlatIndex.presetListRadii's contract)")
   }
 
   // Keyed by qualified table path, JVM-global — NOT per session. The
@@ -96,9 +102,10 @@ object SqlAnn {
       centroids: Array[Array[Float]],
       nprobe: Int,
       vecCol: String = "vec",
-      listCol: String = "list_id"): Registration = {
+      listCol: String = "list_id",
+      radii: Option[Array[Double]] = None): Registration = {
     enable(spark)
-    val reg = new Registration(centroids, nprobe, vecCol, listCol)
+    val reg = new Registration(centroids, nprobe, vecCol, listCol, radii)
     registry.put(qualified(spark, path), reg)
     reg
   }
@@ -157,7 +164,80 @@ object SqlAnn {
               gl.copy(child = ll.copy(child = s.copy(child = np)))
             case None => gl
           }
+        // fixed-radius shape: WHERE l2_distance(vec, lit) <= r — unlike
+        // top-k, this rewrite is SEMANTICS-PRESERVING (the covering-ball
+        // prune is a metric-space bound, reverse triangle inequality — no
+        // false dismissals), so it needs no opt-in beyond registering the
+        // radii. L2 only: the bound needs a true metric.
+        case f @ Filter(cond, rel: LogicalRelation) =>
+          rangeConjunct(cond, rel) match {
+            case Some(extra) => f.copy(condition = And(cond, extra))
+            case None => f
+          }
       }
+
+    /** The `list_id` conjunct a range predicate implies, or None when the
+      * shape doesn't match / radii are unregistered / already injected. */
+    private def rangeConjunct(
+        cond: Expression, rel: LogicalRelation): Option[Expression] = {
+      val reg = lookup(rel).getOrElse(return None)
+      val radii = reg.radii.getOrElse(return None)
+      val listAttr = rel.output.find(o =>
+        o.name == reg.listCol && o.dataType == IntegerType).getOrElse(return None)
+      val conjuncts = splitConjunctivePredicates(cond)
+      def qvecOf(d: Expression): Option[Array[Float]] = d match {
+        case VectorDistance(v: AttributeReference,
+            Literal(q: ArrayData, ArrayType(FloatType, _)), Metric.L2)
+            if q != null && vecOfRelation(rel, reg, v) => floats(q, reg)
+        case VectorDistance(Literal(q: ArrayData, ArrayType(FloatType, _)),
+            v: AttributeReference, Metric.L2)
+            if q != null && vecOfRelation(rel, reg, v) => floats(q, reg)
+        case _ => None
+      }
+      // every dist-under-bound conjunct contributes a covering-ball list
+      // set; multiple bounds intersect (all must hold)
+      val listSets = conjuncts.flatMap {
+        case LessThanOrEqual(d, Literal(r: Double, DoubleType)) =>
+          qvecOf(d).map(q => intersecting(q, r, reg.centroids, radii))
+        case LessThan(d, Literal(r: Double, DoubleType)) =>
+          qvecOf(d).map(q => intersecting(q, r, reg.centroids, radii))
+        case GreaterThanOrEqual(Literal(r: Double, DoubleType), d) =>
+          qvecOf(d).map(q => intersecting(q, r, reg.centroids, radii))
+        case GreaterThan(Literal(r: Double, DoubleType), d) =>
+          qvecOf(d).map(q => intersecting(q, r, reg.centroids, radii))
+        case _ => None
+      }
+      if (listSets.isEmpty) return None
+      val lists = listSets.reduce(_ intersect _)
+      // an empty intersection means NO list can hold a match (the exact
+      // bound again — e.g. a negative or NaN radius): plan a constant-
+      // false conjunct instead of an In Catalyst would reject as empty
+      val extra: Expression =
+        if (lists.isEmpty) Literal(false)
+        else In(listAttr, lists.toSeq.sorted.map(i => Literal(i)))
+      if (conjuncts.exists(_.semanticEquals(extra))) None else Some(extra)
+    }
+
+    /** Lists whose covering ball intersects the query ball:
+      * ||q − c_l|| <= sqrt(radius) + maxR(l) — the same exact prune as
+      * [[graft.index.IvfFlatIndex.rangeProbe]] (see its proof). */
+    private def intersecting(
+        q: Array[Float], radius: Double,
+        centroids: Array[Array[Float]], radii: Array[Double]): Set[Int] = {
+      val r = math.sqrt(radius)
+      (0 until centroids.length).iterator.filter(l =>
+        math.sqrt(VectorKernels.l2(q, centroids(l))) <= r + radii(l)).toSet
+    }
+
+    private def vecOfRelation(
+        rel: LogicalRelation, reg: Registration,
+        v: AttributeReference): Boolean =
+      rel.output.exists(o => o.exprId == v.exprId && o.name == reg.vecCol)
+
+    private def floats(q: ArrayData, reg: Registration): Option[Array[Float]] = {
+      val arr = try q.toFloatArray() catch { case _: NullPointerException => return None }
+      if (arr.length == reg.centroids.head.length) Some(arr) else None
+    }
 
     /** Match `ORDER BY <registered distance> ASC` and inject the probe
       * filter under the projection. */

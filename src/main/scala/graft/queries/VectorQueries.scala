@@ -697,6 +697,7 @@ object VectorQueries {
     "hamming_rerank" -> (hammingRerank _),
     "sq8_rerank" -> (sq8Rerank _),
     "sql_ann_rewrite" -> (sqlAnnRewrite _),
+    "sql_range_rewrite" -> (sqlRangeRewrite _),
   )
 
   /** The SQL-surface ANN query vector: 64 exactly-representable binary
@@ -713,7 +714,12 @@ object VectorQueries {
     * EXACT and brute-force SQL is a hash oracle. The entry REQUIRES the
     * partition filter in the executed plan: without that check a silently
     * non-firing rewrite would still match the oracle via the full scan. */
-  private def sqlAnnRewrite(spark: SparkSession, dir: String): DataFrame = {
+  /** Write (once per dir) and register the SQL-surface IVF table — BOTH
+    * SQL entries go through here so the shared path-keyed registration
+    * (last-register-wins) is identical in content regardless of which
+    * entry the driver runs first: nprobe = nlist (exact top-k) AND the
+    * covering radii (exact range). */
+  private def sqlAnnTable(spark: SparkSession, dir: String): String = {
     val index = ivfIndex(spark, dir, 16)
     val tableDir = cached[String](s"sqlann-table:$dir") {
       val d = tempDirCleaned("graft-sqlann")
@@ -721,18 +727,57 @@ object VectorQueries {
       d
     }
     graft.plans.SqlAnn.registerIndex(
-      spark, tableDir, index.centroids.value, nprobe = 16)
+      spark, tableDir, index.centroids.value, nprobe = 16,
+      radii = Some(index.listRadii))
     spark.read.parquet(tableDir).createOrReplaceTempView("graft_sqlann")
+    tableDir
+  }
+
+  /** The executed plan's partition-filter text — the "did the rewrite
+    * actually fire" probe both SQL entries require on. */
+  private def partitionFilterOf(df: DataFrame): String = {
+    def find(p: org.apache.spark.sql.execution.SparkPlan): Option[String] =
+      p.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metadata.getOrElse("PartitionFilters", "")
+      }.orElse(p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a
+      }.flatMap(a => find(a.executedPlan)).headOption)
+    find(df.queryExecution.executedPlan).getOrElse("")
+  }
+
+  private def sqlAnnRewrite(spark: SparkSession, dir: String): DataFrame = {
+    sqlAnnTable(spark, dir)
     val df = spark.sql(
       s"""SELECT id, l2_distance(vec,
          |  CAST(array(${sqlAnnVals.mkString(", ")}) AS ARRAY<FLOAT>)) AS dist
          |FROM graft_sqlann ORDER BY dist, id LIMIT $K""".stripMargin)
-    val pf = df.queryExecution.executedPlan.collectFirst {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-        f.metadata.getOrElse("PartitionFilters", "")
-    }.getOrElse("")
+    val pf = partitionFilterOf(df)
     require(pf.contains("list_id"),
       s"sql_ann_rewrite: the ANN rewrite did not fire (PartitionFilters: $pf)")
+    df
+  }
+
+  /** Squared-L2 radius for the SQL range entry: ~1% of the corpus at
+    * both driver scales (measured min dist ≈ 20.8/19.7, 1st percentile
+    * ≈ 21.4 at sf0.01/sf0.1). */
+  private val SqlRangeRadius = "21.4"
+
+  /** SQL range surface (round 13): `WHERE l2_distance(vec, lit) <= r`
+    * rewritten to the covering-ball-pruned scan — EXACT by the reverse
+    * triangle inequality ([[graft.index.IvfFlatIndex.rangeProbe]]'s
+    * bound), so brute-force SQL is the oracle with NO nprobe=nlist
+    * arrangement needed. Same fired-rewrite `require` as the top-k twin. */
+  private def sqlRangeRewrite(spark: SparkSession, dir: String): DataFrame = {
+    sqlAnnTable(spark, dir)
+    val q = s"CAST(array(${sqlAnnVals.mkString(", ")}) AS ARRAY<FLOAT>)"
+    val df = spark.sql(
+      s"""SELECT id, l2_distance(vec, $q) AS dist
+         |FROM graft_sqlann WHERE l2_distance(vec, $q) <= $SqlRangeRadius
+         |ORDER BY id""".stripMargin)
+    val pf = partitionFilterOf(df)
+    require(pf.contains("list_id"),
+      s"sql_range_rewrite: the range rewrite did not fire (PartitionFilters: $pf)")
     df
   }
 
@@ -860,6 +905,13 @@ object VectorQueries {
          |d AS (SELECT v.vec_id AS id, ${sqlL2("q.qv", "v.embedding")} AS dist
          |      FROM embeddings v, q)
          |SELECT id, dist FROM d ORDER BY dist, id LIMIT $K""".stripMargin,
+    // the range rewrite is EXACT by construction (covering-ball bound),
+    // so brute force under the same literal + radius is the oracle
+    "sql_range_rewrite" ->
+      s"""WITH q AS (SELECT [${sqlAnnVals.mkString(", ")}]::FLOAT[] AS qv),
+         |d AS (SELECT v.vec_id AS id, ${sqlL2("q.qv", "v.embedding")} AS dist
+         |      FROM embeddings v, q)
+         |SELECT id, dist FROM d WHERE dist <= $SqlRangeRadius ORDER BY id""".stripMargin,
     "hamming_ann" -> hammingOracleSql,
     "hamming_rerank" -> hammingRerankOracleSql,
     "sq8_rerank" -> sq8RerankOracleSql,

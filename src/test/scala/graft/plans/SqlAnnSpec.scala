@@ -44,10 +44,16 @@ class SqlAnnSpec extends SparkSpec {
     s"""SELECT id, l2_distance(vec, $qvecSql) AS dist
        |FROM $view ORDER BY dist, id LIMIT $K""".stripMargin
 
-  private def scanOf(df: DataFrame): FileSourceScanExec =
-    df.queryExecution.executedPlan.collectFirst {
-      case f: FileSourceScanExec => f
-    }.get
+  private def scanOf(df: DataFrame): FileSourceScanExec = {
+    // a global sort (ORDER BY without LIMIT) plans under AQE, whose
+    // wrapper node hides the scan from a plain collect — unwrap it
+    def find(p: org.apache.spark.sql.execution.SparkPlan): Option[FileSourceScanExec] =
+      p.collectFirst { case f: FileSourceScanExec => f }.orElse(
+        p.collect {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a
+        }.flatMap(a => find(a.executedPlan)).headOption)
+    find(df.queryExecution.executedPlan).get
+  }
 
   private def partitionFilterText(df: DataFrame): String =
     scanOf(df).metadata.getOrElse("PartitionFilters", "")
@@ -127,6 +133,82 @@ class SqlAnnSpec extends SparkSpec {
         s"SELECT id, l2_distance(vec, vec) AS dist FROM sqlann_v ORDER BY dist LIMIT $K")
       assert(!partitionFilterText(nonLit).contains("list_id"))
     } finally SqlAnn.unregisterIndex(spark, dir)
+  }
+
+  // clustered fixture for the RANGE rewrite: 8 tight clusters at scaled
+  // hypercube corners — covering radii stay small and far apart, so a
+  // small query ball provably intersects FEWER than nlist lists (the
+  // uniform fixture's covering balls all overlap and nothing would prune)
+  private def corner(k: Int): Array[Float] =
+    (0 until Dim).map(d => if (((k >> (d % 3)) & 1) == 1) 4.0f else -4.0f).toArray
+  private lazy val rangeDir = java.nio.file.Files
+    .createTempDirectory("graft-sqlann-range").toFile.getAbsolutePath
+  private lazy val rangeIndex: IvfFlatIndex = {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 200L).map { i =>
+      val c = corner((i % 8).toInt)
+      (i, c.map(x => x + rnd.nextFloat() * 0.2f - 0.1f))
+    }
+    val idx = IvfFlatIndex.build(spark, vectorsDF(rows), NList)
+    idx.vectors.write.partitionBy("list_id").mode("overwrite").parquet(rangeDir)
+    idx
+  }
+
+  private def rangeSql(view: String, radius: String, qv: String = ""): String = {
+    val q = if (qv.nonEmpty) qv else
+      s"CAST(array(${corner(0).map(_.toDouble).mkString(", ")}) AS ARRAY<FLOAT>)"
+    s"""SELECT id, l2_distance(vec, $q) AS dist
+       |FROM $view WHERE l2_distance(vec, $q) <= $radius ORDER BY id""".stripMargin
+  }
+
+  test("range predicate: covering-ball prune fires, stays EXACT, and reads fewer partitions") {
+    rangeIndex
+    spark.read.parquet(rangeDir).createOrReplaceTempView("sqlann_range")
+    SqlAnn.registerIndex(spark, rangeDir, rangeIndex.centroids.value,
+      nprobe = 2, radii = Some(rangeIndex.listRadii))
+    try {
+      val df = spark.sql(rangeSql("sqlann_range", "2.0"))
+      assert(partitionFilterText(df).contains("list_id"),
+        "the range rewrite must inject a list_id partition filter")
+      val inSizes = scanOf(df).partitionFilters.flatMap(_.collect {
+        case i: org.apache.spark.sql.catalyst.expressions.In => i.list.size
+      })
+      assert(inSizes.nonEmpty && inSizes.head < NList,
+        s"a tight query ball over clustered lists must prune (< $NList), got $inSizes")
+      // EXACT despite the prune — identical to the brute-force range scan
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val exact = graft.index.Knn.range(
+        queriesDF(Seq(0L -> corner(0))),
+        rangeIndex.vectors.select(col("id"), col("vec")), 2.0)
+        .orderBy("id").collect().map(r => (r.getLong(1), r.getDouble(2)))
+      assert(got.nonEmpty && got.toSeq === exact.toSeq)
+    } finally SqlAnn.unregisterIndex(spark, rangeDir)
+  }
+
+  test("range predicate: no radii registered -> untouched; negative radius -> zero rows; cosine -> untouched") {
+    rangeIndex
+    spark.read.parquet(rangeDir).createOrReplaceTempView("sqlann_range")
+    // (a) registered WITHOUT radii: the range shape must not rewrite
+    SqlAnn.registerIndex(spark, rangeDir, rangeIndex.centroids.value, nprobe = 2)
+    try {
+      assert(!partitionFilterText(spark.sql(rangeSql("sqlann_range", "2.0")))
+        .contains("list_id"), "no radii -> no range rewrite")
+    } finally SqlAnn.unregisterIndex(spark, rangeDir)
+    SqlAnn.registerIndex(spark, rangeDir, rangeIndex.centroids.value,
+      nprobe = 2, radii = Some(rangeIndex.listRadii))
+    try {
+      // (b) negative radius: squared distance is never negative — the
+      // intersection is empty, the conjunct is constant false, 0 rows
+      val none = spark.sql(rangeSql("sqlann_range", "-1.0"))
+      assert(none.collect().isEmpty)
+      // (c) the bound needs a true metric: cosine range is left untouched
+      val qv = s"CAST(array(${corner(0).map(_.toDouble).mkString(", ")}) AS ARRAY<FLOAT>)"
+      val cos = spark.sql(
+        s"""SELECT id FROM sqlann_range
+           |WHERE cosine_distance(vec, $qv) <= 0.2 ORDER BY id""".stripMargin)
+      assert(!partitionFilterText(cos).contains("list_id"),
+        "cosine range must not use the L2 covering-ball bound")
+    } finally SqlAnn.unregisterIndex(spark, rangeDir)
   }
 
   test("metric plumbing: cosine_distance probes under cosine and is exact at nprobe = nlist") {
