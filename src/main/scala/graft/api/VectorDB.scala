@@ -272,6 +272,12 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
           // scala.reflect.io variant is a deprecated compiler-internal
           // API that reports failure as a bare boolean with no cause
           graft.storage.EpochManager.deleteRecursively(s"$path/radii")
+          // same staleness rule for the SQL surface: a registerSql'd
+          // registration carrying pre-append radii would falsely dismiss
+          // the appended rows from the (exact) range rewrite — strip the
+          // radii in place, whoever registered them (the registry is
+          // JVM-global and path-keyed)
+          graft.plans.SqlAnn.invalidateRadii(spark, s"$path/vectors")
           IvfFlatIndex.appendToEpoch(assigned, s"$path/vectors")
           // merge the batch's per-list counts into the manifest shards —
           // stats()'s imbalance signal must see appended skew, not the

@@ -66,7 +66,11 @@ object SqlAnn {
       val nprobe: Int,
       val vecCol: String,
       val listCol: String,
-      val radii: Option[Array[Double]] = None) {
+      // volatile VAR, not a val: [[invalidateRadii]] must strip a grown
+      // table's stale radii IN PLACE — replacing the Registration would
+      // mint a new token and orphan every owner's conditional-unregister
+      // handle on the old one
+      @volatile var radii: Option[Array[Double]] = None) {
     require(centroids.nonEmpty, "centroids must be non-empty")
     require(nprobe > 0, s"nprobe must be positive: $nprobe")
     require(radii.forall(_.length == centroids.length),
@@ -116,6 +120,18 @@ object SqlAnn {
     ()
   }
 
+  /** Strip the radii from whatever registration currently covers `path`
+    * — WHOEVER owns it (in-place, token identity preserved). Called when
+    * the table GREW ([[graft.api.VectorDB.addVectors]]): the covering
+    * radii were computed for the pre-append membership, and a stale
+    * bound FALSELY DISMISSES appended rows from the range rewrite, which
+    * is documented as exact. Top-k rewriting is unaffected (the nprobe
+    * contract is an approximation either way); range predicates fall
+    * back to full scans until fresh radii are re-attached
+    * (re-`registerSql` after the next epoch build/compaction). */
+  def invalidateRadii(spark: SparkSession, path: String): Unit =
+    registry.get(qualified(spark, path)).foreach(_.radii = None)
+
   /** Remove the registration for `path` ONLY if it is still the exact
     * token `registerIndex` returned to this caller — the multi-facade
     * guard: two facades registering the same path share one registry
@@ -146,6 +162,23 @@ object SqlAnn {
           .map(_.toString).flatMap(registry.get).nextOption()
       case _ => None
     }
+
+  /** The first v1 file scan in a query's EXECUTED plan, unwrapping AQE
+    * wrapper nodes (a global sort plans under AdaptiveSparkPlanExec,
+    * whose inner plan a plain collect cannot see) — the shared
+    * "did the rewrite reach the scan" probe the driver entries and the
+    * specs assert on. */
+  def fileSourceScan(df: org.apache.spark.sql.DataFrame)
+      : Option[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    def find(p: org.apache.spark.sql.execution.SparkPlan)
+        : Option[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.orElse(p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a
+      }.flatMap(a => find(a.executedPlan)).headOption)
+    find(df.queryExecution.executedPlan)
+  }
 
   /**
    * The rewrite itself. Runs in the "User Provided Optimizers" batch
@@ -195,23 +228,29 @@ object SqlAnn {
         case _ => None
       }
       // every dist-under-bound conjunct contributes a covering-ball list
-      // set; multiple bounds intersect (all must hold)
+      // set; multiple bounds intersect (all must hold). A NaN radius is
+      // NOT prune-able: Spark's comparison semantics treat NaN as larger
+      // than every double, so `dist <= NaN` keeps EVERY row — the
+      // IEEE-driver-side bound (where sqrt(NaN) comparisons are all
+      // false) would turn that into zero rows. Leave NaN untouched.
       val listSets = conjuncts.flatMap {
-        case LessThanOrEqual(d, Literal(r: Double, DoubleType)) =>
+        case LessThanOrEqual(d, Literal(r: Double, DoubleType)) if !r.isNaN =>
           qvecOf(d).map(q => intersecting(q, r, reg.centroids, radii))
-        case LessThan(d, Literal(r: Double, DoubleType)) =>
+        case LessThan(d, Literal(r: Double, DoubleType)) if !r.isNaN =>
           qvecOf(d).map(q => intersecting(q, r, reg.centroids, radii))
-        case GreaterThanOrEqual(Literal(r: Double, DoubleType), d) =>
+        case GreaterThanOrEqual(Literal(r: Double, DoubleType), d) if !r.isNaN =>
           qvecOf(d).map(q => intersecting(q, r, reg.centroids, radii))
-        case GreaterThan(Literal(r: Double, DoubleType), d) =>
+        case GreaterThan(Literal(r: Double, DoubleType), d) if !r.isNaN =>
           qvecOf(d).map(q => intersecting(q, r, reg.centroids, radii))
         case _ => None
       }
       if (listSets.isEmpty) return None
       val lists = listSets.reduce(_ intersect _)
       // an empty intersection means NO list can hold a match (the exact
-      // bound again — e.g. a negative or NaN radius): plan a constant-
-      // false conjunct instead of an In Catalyst would reject as empty
+      // bound again — e.g. a negative radius, which matches nothing on
+      // either side: squared distance is non-negative and non-NaN rows
+      // compare false): plan a constant-false conjunct instead of an In
+      // Catalyst would reject as empty
       val extra: Expression =
         if (lists.isEmpty) Literal(false)
         else In(listAttr, lists.toSeq.sorted.map(i => Literal(i)))
@@ -220,13 +259,18 @@ object SqlAnn {
 
     /** Lists whose covering ball intersects the query ball:
       * ||q − c_l|| <= sqrt(radius) + maxR(l) — the same exact prune as
-      * [[graft.index.IvfFlatIndex.rangeProbe]] (see its proof). */
+      * [[graft.index.IvfFlatIndex.rangeProbe]] (see its proof). A NaN
+      * covering radius (a NaN vector component poisons the max()
+      * aggregation that computed it) makes the IEEE test false, which
+      * would FALSELY DISMISS the list's healthy members — treat it as
+      * unbounded instead (never prune that list). */
     private def intersecting(
         q: Array[Float], radius: Double,
         centroids: Array[Array[Float]], radii: Array[Double]): Set[Int] = {
       val r = math.sqrt(radius)
       (0 until centroids.length).iterator.filter(l =>
-        math.sqrt(VectorKernels.l2(q, centroids(l))) <= r + radii(l)).toSet
+        radii(l).isNaN ||
+          math.sqrt(VectorKernels.l2(q, centroids(l))) <= r + radii(l)).toSet
     }
 
     private def vecOfRelation(

@@ -706,14 +706,6 @@ object VectorQueries {
   private def sqlAnnVals: Seq[Double] =
     (0 until 64).map(i => ((i * 7) % 33 - 16) / 16.0)
 
-  /** SQL ANN surface (SURVEY §4's `Rule[LogicalPlan]`, shipped round 13):
-    * the canonical `ORDER BY l2_distance(vec, lit) LIMIT k` SQL text goes
-    * through [[graft.plans.SqlAnn]]'s rewrite over the Hive-partitioned
-    * IVF table — probe on the driver, `list_id IN (...)` partition filter
-    * into the scan. Registered at nprobe = nlist, so the pruned plan is
-    * EXACT and brute-force SQL is a hash oracle. The entry REQUIRES the
-    * partition filter in the executed plan: without that check a silently
-    * non-firing rewrite would still match the oracle via the full scan. */
   /** Write (once per dir) and register the SQL-surface IVF table — BOTH
     * SQL entries go through here so the shared path-keyed registration
     * (last-register-wins) is identical in content regardless of which
@@ -734,18 +726,20 @@ object VectorQueries {
   }
 
   /** The executed plan's partition-filter text — the "did the rewrite
-    * actually fire" probe both SQL entries require on. */
-  private def partitionFilterOf(df: DataFrame): String = {
-    def find(p: org.apache.spark.sql.execution.SparkPlan): Option[String] =
-      p.collectFirst {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-          f.metadata.getOrElse("PartitionFilters", "")
-      }.orElse(p.collect {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a
-      }.flatMap(a => find(a.executedPlan)).headOption)
-    find(df.queryExecution.executedPlan).getOrElse("")
-  }
+    * actually fire" probe both SQL entries require on (shared AQE-aware
+    * scan finder: [[graft.plans.SqlAnn.fileSourceScan]]). */
+  private def partitionFilterOf(df: DataFrame): String =
+    graft.plans.SqlAnn.fileSourceScan(df)
+      .flatMap(_.metadata.get("PartitionFilters")).getOrElse("")
 
+  /** SQL ANN surface (SURVEY §4's `Rule[LogicalPlan]`, shipped round 13):
+    * the canonical `ORDER BY l2_distance(vec, lit) LIMIT k` SQL text goes
+    * through [[graft.plans.SqlAnn]]'s rewrite over the Hive-partitioned
+    * IVF table — probe on the driver, `list_id IN (...)` partition filter
+    * into the scan. Registered at nprobe = nlist, so the pruned plan is
+    * EXACT and brute-force SQL is a hash oracle. The entry REQUIRES the
+    * partition filter in the executed plan: without that check a silently
+    * non-firing rewrite would still match the oracle via the full scan. */
   private def sqlAnnRewrite(spark: SparkSession, dir: String): DataFrame = {
     sqlAnnTable(spark, dir)
     val df = spark.sql(

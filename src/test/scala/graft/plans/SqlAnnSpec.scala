@@ -44,16 +44,9 @@ class SqlAnnSpec extends SparkSpec {
     s"""SELECT id, l2_distance(vec, $qvecSql) AS dist
        |FROM $view ORDER BY dist, id LIMIT $K""".stripMargin
 
-  private def scanOf(df: DataFrame): FileSourceScanExec = {
-    // a global sort (ORDER BY without LIMIT) plans under AQE, whose
-    // wrapper node hides the scan from a plain collect — unwrap it
-    def find(p: org.apache.spark.sql.execution.SparkPlan): Option[FileSourceScanExec] =
-      p.collectFirst { case f: FileSourceScanExec => f }.orElse(
-        p.collect {
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a
-        }.flatMap(a => find(a.executedPlan)).headOption)
-    find(df.queryExecution.executedPlan).get
-  }
+  // the shared AQE-aware scan finder — same probe the driver entries use
+  private def scanOf(df: DataFrame): FileSourceScanExec =
+    SqlAnn.fileSourceScan(df).get
 
   private def partitionFilterText(df: DataFrame): String =
     scanOf(df).metadata.getOrElse("PartitionFilters", "")
@@ -198,8 +191,20 @@ class SqlAnnSpec extends SparkSpec {
       nprobe = 2, radii = Some(rangeIndex.listRadii))
     try {
       // (b) negative radius: squared distance is never negative — the
-      // intersection is empty, the conjunct is constant false, 0 rows
+      // intersection is empty and the rewrite must inject a CONSTANT
+      // FALSE conjunct (zero rows would also fall out of the raw
+      // predicate, so pin the PLAN, not just the row count)
       val none = spark.sql(rangeSql("sqlann_range", "-1.0"))
+      val falseInjected = none.queryExecution.optimizedPlan.exists {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.exists {
+            case org.apache.spark.sql.catalyst.expressions.Literal(false, _) => true
+            case _ => false
+          }
+        case _ => false
+      }
+      assert(falseInjected,
+        "an empty covering-ball intersection must plan a constant-false conjunct")
       assert(none.collect().isEmpty)
       // (c) the bound needs a true metric: cosine range is left untouched
       val qv = s"CAST(array(${corner(0).map(_.toDouble).mkString(", ")}) AS ARRAY<FLOAT>)"
@@ -209,6 +214,34 @@ class SqlAnnSpec extends SparkSpec {
       assert(!partitionFilterText(cos).contains("list_id"),
         "cosine range must not use the L2 covering-ball bound")
     } finally SqlAnn.unregisterIndex(spark, rangeDir)
+  }
+
+  test("addVectors strips stale radii from the SQL registration in place") {
+    import graft.IndexConfig
+    val db = new graft.api.VectorDB(spark,
+      java.nio.file.Files.createTempDirectory("graft-sqlann-grow").toString)
+    db.createIndex(IndexConfig("rgidx", Dim, nlist = 4))
+    val ep = db.buildEpoch("rgidx", vectorsDF(randomVectors(120, Dim)))
+    db.activateEpoch("rgidx", ep)
+    db.loadIndex("rgidx")
+    db.registerSql("rgidx", nprobe = 4, computeRangeRadii = true)
+    try {
+      // radii attached: the range rewrite fires
+      assert(partitionFilterText(spark.sql(rangeSql("rgidx", "2.0",
+        s"CAST(array(${qvec.map(_.toDouble).mkString(", ")}) AS ARRAY<FLOAT>)")))
+        .contains("list_id"))
+      // appended rows can grow lists past the registered covering radii —
+      // the (exact) range rewrite would falsely dismiss them; the append
+      // must strip the radii IN PLACE (token identity preserved: close()
+      // below still releases with its original handle)
+      db.addVectors("rgidx", vectorsDF(Seq(9999L -> qvec)))
+      assert(!partitionFilterText(spark.sql(rangeSql("rgidx", "2.0",
+        s"CAST(array(${qvec.map(_.toDouble).mkString(", ")}) AS ARRAY<FLOAT>)")))
+        .contains("list_id"),
+        "post-append range SQL must fall back to the full scan")
+      // the TOP-K rewrite keeps working — its contract never needed radii
+      assert(partitionFilterText(spark.sql(annSql("rgidx"))).contains("list_id"))
+    } finally db.close()
   }
 
   test("metric plumbing: cosine_distance probes under cosine and is exact at nprobe = nlist") {
