@@ -42,4 +42,33 @@ class ExecutionProbeHookSpec extends SparkSpec {
     // the untagged default rolls into the JVM totals only
     assert(ExecutionProbeHook.pendingEvictionsFor("") === 0L)
   }
+
+  test("a released owner's probes neither re-fire nor re-enter the re-fire map") {
+    val s = spark
+    import s.implicits._
+    val owner = "probe-released-" + System.nanoTime()
+    val fires = new java.util.concurrent.atomic.AtomicLong()
+    val df = ExecutionProbeHook.arm(
+      Seq(1).toDF("x"), () => { fires.incrementAndGet(); () }, owner)
+    df.collect()
+    org.apache.spark.sql.graftshims.drainListenerBus(spark)
+    assert(fires.get() === 1L, "the armed probe fires on execution")
+    // the facade checks out: its probe moved to the re-fire map on the
+    // first execution, and the release must both purge it AND stop the
+    // listener from re-admitting or re-firing it (the migration race's
+    // deterministic half)
+    ExecutionProbeHook.releaseOwner(owner)
+    df.collect()
+    org.apache.spark.sql.graftshims.drainListenerBus(spark)
+    assert(fires.get() === 1L,
+      "a released owner's callback must not fire after close")
+    // and no eviction path can charge the released owner back into the
+    // registry (bump skips released owners)
+    val flood = Seq(2).toDF("y")
+    (0 to 4096).foreach(_ =>
+      ExecutionProbeHook.arm(flood, () => (), "probe-flooder"))
+    assert(ExecutionProbeHook.firedEvictionsFor(owner) === 0L)
+    assert(ExecutionProbeHook.pendingEvictionsFor(owner) === 0L)
+    ExecutionProbeHook.releaseOwner("probe-flooder")
+  }
 }
