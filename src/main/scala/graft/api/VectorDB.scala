@@ -296,6 +296,18 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
             numVectors = updated.numVectors + added,
             shards = mergedShards).save(s"$path/manifest.json")
           loadServed(name, s.epochId) // re-read: new files become visible
+          // the SQL surface must see the appended files too: the temp view
+          // registerSql created holds an eagerly-listed InMemoryFileIndex,
+          // so without a re-read SQL top-k/range queries would silently
+          // keep serving the pre-append snapshot while the facade (via
+          // loadServed above) sees the new rows. Re-create the view (a
+          // fresh file listing) when this facade registered THIS epoch;
+          // another facade's view over the same path is its own to refresh
+          sqlRegistered.get(name).foreach { case (p, view, _) =>
+            if (p == s"$path/vectors") {
+              spark.read.parquet(p).createOrReplaceTempView(view); ()
+            }
+          }
         }
       }
       added
@@ -858,12 +870,19 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
   def close(): Unit = {
     served.clear()
     sqlRegistered.values.foreach { case (path, view, token) =>
+      // the view teardown follows the SAME token guard as the registry
+      // release: two facades over one path share a registry slot AND
+      // (with the default viewName) a view name — a superseded facade
+      // dropping the shared view on its own close would tear down the
+      // WINNER's SQL surface while the winner's registration survives.
+      // Checked BEFORE unregisterIndex (which removes the slot if owned).
+      val owns = graft.plans.SqlAnn.ownsRegistration(spark, path, token)
       graft.plans.SqlAnn.unregisterIndex(spark, path, token)
-      // drop the view too: left behind it would silently serve the
-      // no-longer-pinned epoch as full scans until cleanup deletes the
-      // directory and turns every query into FileNotFoundException
-      spark.catalog.dropTempView(view)
-      ()
+      // drop the view too (when owned): left behind it would silently
+      // serve the no-longer-pinned epoch as full scans until cleanup
+      // deletes the directory and turns every query into
+      // FileNotFoundException
+      if (owns) { spark.catalog.dropTempView(view); () }
     }
     sqlRegistered.clear()
     graft.index.ExecutionProbeHook.releaseOwner(instanceId)

@@ -87,13 +87,27 @@ private[graft] object ExecutionProbeHook {
     * eviction path can getOrElseUpdate a released owner back into the
     * counter maps. Insertion-order bounded at 1024: instanceIds are never
     * reused (VectorDB.instanceSeq), and a marker only MUST survive the
-    * milliseconds-wide migration race window, so eviction of old markers
-    * is safe — the purge already removed every resident probe by then. */
+    * milliseconds-wide migration race window. Eviction of an old marker
+    * RE-PURGES that owner from both probe maps and the counter maps
+    * ([[releaseOwner]] drains [[evictedMarkers]] after its put) so even a
+    * zombie probe that slipped in through race (a) after the original
+    * purge is removed before it could age out and `bump` the owner back —
+    * the guarantee survives arbitrarily many facade closes, not just the
+    * first 1024. The purge CANNOT run inside removeEldestEntry: that
+    * fires under `released`'s monitor, while the probe maps' eviction
+    * path (put -> removeEldestEntry -> bump -> isReleased) takes the
+    * probe-map monitor THEN `released`'s — purging in place would nest
+    * the monitors in the opposite order (deadlock). */
+  private val evictedMarkers =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private val released = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[String, java.lang.Boolean](64, 0.75f, false) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
-        size() > 1024
+          e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean = {
+        val evict = size() > 1024
+        if (evict) evictedMarkers.add(e.getKey)
+        evict
+      }
     })
 
   /** Drop `owner`'s per-owner counters AND its armed probes — called by
@@ -114,7 +128,19 @@ private[graft] object ExecutionProbeHook {
       purgeOwner(fired, owner)
       firedEvictionsPerOwner.remove(owner)
       pendingEvictionsPerOwner.remove(owner)
-      ()
+      // markers the put above aged out of the bounded set: re-purge those
+      // owners (their original release already purged; this removes any
+      // zombie the migration race re-inserted since) so a marker falling
+      // off the 1024-entry window can never leave behind a probe that
+      // would later age out and bump the released owner's counters back
+      var ev = evictedMarkers.poll()
+      while (ev != null) {
+        purgeOwner(pending, ev)
+        purgeOwner(fired, ev)
+        firedEvictionsPerOwner.remove(ev)
+        pendingEvictionsPerOwner.remove(ev)
+        ev = evictedMarkers.poll()
+      }
     }
 
   private def isReleased(owner: String): Boolean =
@@ -218,7 +244,16 @@ private[graft] object ExecutionProbeHook {
                     // releaseOwner may have purged BETWEEN the check above
                     // and the put — re-check and evict the zombie, or it
                     // would sit in the re-fire map and bump the released
-                    // owner when it ages out (the migration race)
+                    // owner when it ages out (the migration race). The
+                    // no-fire-after-release contract is BEST-EFFORT at
+                    // this last step: releaseOwner completing between this
+                    // re-check and fn() lets one final callback through
+                    // (a stats update against a cleared facade — benign).
+                    // Making it strict would require holding a lock across
+                    // the user callback, inverting the probe-map ->
+                    // released monitor order the eviction path relies on.
+                    // What IS strict: the zombie never stays resident, and
+                    // released counters never resurrect (bump re-checks).
                     if (isReleased(p.owner)) fired.remove(k)
                     else p.fn(durationNs)
                   }

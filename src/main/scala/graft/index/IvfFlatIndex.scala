@@ -280,7 +280,12 @@ class IvfFlatIndex(
     * survives iff the query ball intersects the list's covering ball —
     * ||q − c|| <= sqrt(radius) + maxR(list). Reverse triangle inequality
     * makes the prune EXACT (no false dismissals): for any x in the list,
-    * ||q − x|| >= ||q − c|| − ||x − c|| >= ||q − c|| − maxR. */
+    * ||q − x|| >= ||q − c|| − ||x − c|| >= ||q − c|| − maxR. A NaN
+    * covering radius (one NaN vector component poisons the max() that
+    * computed it) makes the IEEE test false, which would FALSELY DISMISS
+    * the list's healthy members — treat it as unbounded instead (always
+    * scan that list), the same guard as [[graft.plans.SqlAnn]]'s
+    * intersecting(). */
   private[index] def rangeProbe(
       batch: Array[(Long, Array[Float])], radius: Double): Array[(Long, Int)] = {
     val r = math.sqrt(radius)
@@ -288,7 +293,8 @@ class IvfFlatIndex(
     val cents = centroids.value
     batch.flatMap { case (qid, qv) =>
       (0 until nlist).iterator
-        .filter(l => math.sqrt(graft.functions.VectorKernels.l2(qv, cents(l))) <= r + radii(l))
+        .filter(l => radii(l).isNaN ||
+          math.sqrt(graft.functions.VectorKernels.l2(qv, cents(l))) <= r + radii(l))
         .map(l => (qid, l))
     }
   }

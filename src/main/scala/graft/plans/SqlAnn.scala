@@ -146,6 +146,16 @@ object SqlAnn {
     }
   }
 
+  /** True while `token` is still the registration the registry serves for
+    * `path` — the guard [[graft.api.VectorDB.close]] uses to decide
+    * whether tearing down the path's temp view is its right: two facades
+    * over one path share a registry slot AND (with the default viewName)
+    * a view name, so a facade whose registration was superseded must
+    * leave the surviving facade's view alone. */
+  private[graft] def ownsRegistration(
+      spark: SparkSession, path: String, token: Registration): Boolean =
+    registry.get(qualified(spark, path)).exists(_ eq token)
+
   /** Qualify a path exactly the way HadoopFsRelation qualifies its
     * rootPaths, so registration and lookup cannot diverge on scheme or
     * authority (file:/ vs bare /). */

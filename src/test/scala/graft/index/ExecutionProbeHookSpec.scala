@@ -71,4 +71,36 @@ class ExecutionProbeHookSpec extends SparkSpec {
     assert(ExecutionProbeHook.pendingEvictionsFor(owner) === 0L)
     ExecutionProbeHook.releaseOwner("probe-flooder")
   }
+
+  test("a released marker aging out of the 1024 bound re-purges its owner " +
+      "(no counter resurrection after >1024 closes, concurrent eviction)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(1).toDF("x")
+    val owner = "probe-overflow-" + System.nanoTime()
+    ExecutionProbeHook.releaseOwner(owner)
+    // simulate the migration-race zombie (race (a) in the released-set
+    // doc): a probe for the already-released owner resident in the
+    // pending map after the release purge ran
+    ExecutionProbeHook.arm(df, () => (), owner)
+    // churn >1024 further closes on one thread (ages the owner's marker
+    // out of the bounded set — the eviction-time re-purge must take the
+    // zombie with it) while another thread floods the pending map (whose
+    // evictions would `bump` the owner's counter back into the per-owner
+    // registry if the zombie were still resident once the marker is gone)
+    val churn = new Thread(() => (0 until 1200).foreach(i =>
+      ExecutionProbeHook.releaseOwner(s"$owner-churn-$i")))
+    val flood = new Thread(() => (0 to 4200).foreach(_ =>
+      ExecutionProbeHook.arm(df, () => (), "probe-overflow-flooder")))
+    churn.start(); flood.start(); churn.join(); flood.join()
+    // one more flood AFTER the churn finished: by now the marker is
+    // definitely evicted, so only the re-purge protects the owner
+    (0 to 4200).foreach(_ =>
+      ExecutionProbeHook.arm(df, () => (), "probe-overflow-flooder"))
+    assert(ExecutionProbeHook.pendingEvictionsFor(owner) === 0L,
+      "a released owner must stay out of the counter registry even after " +
+        "its marker fell off the 1024-entry released set")
+    assert(ExecutionProbeHook.firedEvictionsFor(owner) === 0L)
+    ExecutionProbeHook.releaseOwner("probe-overflow-flooder")
+  }
 }

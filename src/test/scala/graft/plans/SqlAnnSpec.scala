@@ -325,6 +325,90 @@ class SqlAnnSpec extends SparkSpec {
     b.close()
   }
 
+  test("close() with the DEFAULT view name: a superseded facade leaves the winner's view alone") {
+    import graft.IndexConfig
+    val base = java.nio.file.Files.createTempDirectory("graft-sqlann-2fv").toString
+    val a = new graft.api.VectorDB(spark, base)
+    a.createIndex(IndexConfig("shvidx", Dim, nlist = 4))
+    val ep = a.buildEpoch("shvidx", vectorsDF(randomVectors(120, Dim)))
+    a.activateEpoch("shvidx", ep)
+    a.loadIndex("shvidx")
+    // BOTH facades use the default viewName (the index name): they share
+    // the registry slot AND the temp view — the exact collision shape the
+    // token guard exists for
+    a.registerSql("shvidx", nprobe = 4)
+    val b = new graft.api.VectorDB(spark, base)
+    b.loadIndex("shvidx")
+    b.registerSql("shvidx", nprobe = 4)
+    // A closes: its registration was superseded, so it must tear down
+    // NEITHER the registry slot NOR the shared view
+    a.close()
+    val df = spark.sql(annSql("shvidx"))
+    assert(partitionFilterText(df).contains("list_id"),
+      "the surviving facade's view must still exist and rewrite")
+    assert(df.collect().length === K)
+    // B's close (the owner) does drop the view
+    b.close()
+    intercept[org.apache.spark.sql.AnalysisException](spark.sql(annSql("shvidx")))
+  }
+
+  test("addVectors refreshes the registered view: SQL sees appended rows") {
+    import graft.IndexConfig
+    val db = new graft.api.VectorDB(spark,
+      java.nio.file.Files.createTempDirectory("graft-sqlann-app").toString)
+    db.createIndex(IndexConfig("appidx", Dim, nlist = 4))
+    val ep = db.buildEpoch("appidx", vectorsDF(randomVectors(120, Dim)))
+    db.activateEpoch("appidx", ep)
+    db.loadIndex("appidx")
+    db.registerSql("appidx", nprobe = 4)
+    try {
+      val before = spark.sql("SELECT count(*) FROM appidx").collect().head.getLong(0)
+      assert(before === 120L)
+      // the temp view holds an eagerly-listed InMemoryFileIndex: without
+      // the in-append re-read, the appended files would stay INVISIBLE to
+      // the SQL surface while the facade serves them — the silent
+      // pre-append-snapshot shape
+      db.addVectors("appidx", vectorsDF(Seq(9001L -> qvec, 9002L -> qvec)))
+      val after = spark.sql("SELECT count(*) FROM appidx").collect().head.getLong(0)
+      assert(after === 122L,
+        s"SQL view must see appended rows (got $after, want 122)")
+      // and the appended row is reachable through the rewritten top-k
+      // (nprobe = nlist: exact, and 9001/9002 sit AT the query point)
+      val top = spark.sql(annSql("appidx")).collect().map(_.getLong(0))
+      assert(top.contains(9001L) && top.contains(9002L),
+        s"appended ids must surface in SQL top-k, got ${top.mkString(",")}")
+    } finally db.close()
+  }
+
+  test("facade range search never falsely dismisses a list whose covering radius is NaN") {
+    // one poisoned vector (NaN component) in list L makes the max()-built
+    // covering radius NaN; IEEE comparisons are all false, so an unguarded
+    // rangeProbe would prune L and falsely dismiss its HEALTHY members —
+    // the SQL rewrite already guards this (SqlAnn.intersecting), the
+    // facade path must match
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 160L).map { i =>
+      val c = corner((i % 8).toInt)
+      (i, c.map(x => x + rnd.nextFloat() * 0.2f - 0.1f))
+    } :+ (999L, {
+      val v = corner(0); v(0) = Float.NaN; v
+    })
+    val idx = IvfFlatIndex.build(spark, vectorsDF(rows), NList)
+    val poisonedList = idx.listRadii.indexWhere(_.isNaN)
+    assert(poisonedList >= 0, "fixture must poison exactly one list's radius")
+    // healthy members near corner(0) share the poisoned vector's list
+    // (it sits at corner(0) too); a radius-2 ball around corner(0) must
+    // return them regardless of the NaN radius
+    val got = idx.rangeSearch(queriesDF(Seq(0L -> corner(0))), 2.0)
+      .collect().map(_.getLong(1)).toSet
+    val exact = graft.index.Knn.range(
+      queriesDF(Seq(0L -> corner(0))),
+      idx.vectors.select(col("id"), col("vec")), 2.0)
+      .collect().map(_.getLong(1)).toSet
+    assert(got === exact, "NaN covering radius must mean 'never prune', not 'always prune'")
+    assert(got.nonEmpty, "the fixture must actually have matches near corner(0)")
+  }
+
   test("a user WHERE clause composes with the injected probe filter") {
     index
     spark.read.parquet(dir).createOrReplaceTempView("sqlann_v")
