@@ -444,7 +444,10 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     val radii =
       if (computeRangeRadii) Some(s.index.listRadii) else s.index.radiiIfKnown
     val token = graft.plans.SqlAnn.registerIndex(
-      spark, path, s.index.centroids.value, nprobe, radii = radii)
+      spark, path, s.index.centroids.value, nprobe, radii = radii,
+      // reuse the serving index's centroid broadcast for the batch
+      // rewrite's per-query probe expression (no second copy shipped)
+      centroidsBc = Some(s.index.centroids))
     spark.read.parquet(path).createOrReplaceTempView(view)
     sqlRegistered.put(name, (path, view, token)).foreach {
       case (oldPath, oldView, oldToken) =>

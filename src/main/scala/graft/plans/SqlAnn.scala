@@ -3,8 +3,10 @@ package graft.plans
 import scala.collection.concurrent.TrieMap
 
 import org.apache.hadoop.fs.Path
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -13,7 +15,7 @@ import org.apache.spark.sql.graft.GraftSqlBridge
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType}
 
 import graft.Metric
-import graft.functions.{VectorDistance, VectorKernels}
+import graft.functions.{ProbeLists, VectorDistance, VectorKernels}
 
 /**
  * The SQL ANN surface (SURVEY §4, custom component 3): a
@@ -60,7 +62,13 @@ object SqlAnn {
     * rewrite (absent -> range queries plan as full scans). A plain class,
     * NOT a case class: instances are ownership TOKENS (identity
     * equality), so the conditional [[unregisterIndex]] can distinguish
-    * two facades' structurally-identical registrations of one path. */
+    * two facades' structurally-identical registrations of one path.
+    * `centroidsBc` rides along for the BATCH rewrite: the per-query
+    * [[graft.functions.ProbeLists]] expression it injects ships centroids
+    * to executors via broadcast, created once at registration (or reused
+    * from the caller's index — [[graft.api.VectorDB.registerSql]] passes
+    * its facade's), never per query. Not destroyed on unregister: rewritten
+    * plans may outlive the registration; the ContextCleaner reclaims it. */
   final class Registration(
       val centroids: Array[Array[Float]],
       val nprobe: Int,
@@ -70,7 +78,8 @@ object SqlAnn {
       // table's stale radii IN PLACE — replacing the Registration would
       // mint a new token and orphan every owner's conditional-unregister
       // handle on the old one
-      @volatile var radii: Option[Array[Double]] = None) {
+      @volatile var radii: Option[Array[Double]] = None,
+      private[plans] val centroidsBc: Broadcast[Array[Array[Float]]] = null) {
     require(centroids.nonEmpty, "centroids must be non-empty")
     require(nprobe > 0, s"nprobe must be positive: $nprobe")
     require(radii.forall(_.length == centroids.length),
@@ -107,9 +116,11 @@ object SqlAnn {
       nprobe: Int,
       vecCol: String = "vec",
       listCol: String = "list_id",
-      radii: Option[Array[Double]] = None): Registration = {
+      radii: Option[Array[Double]] = None,
+      centroidsBc: Option[Broadcast[Array[Array[Float]]]] = None): Registration = {
     enable(spark)
-    val reg = new Registration(centroids, nprobe, vecCol, listCol, radii)
+    val reg = new Registration(centroids, nprobe, vecCol, listCol, radii,
+      centroidsBc.getOrElse(spark.sparkContext.broadcast(centroids)))
     registry.put(qualified(spark, path), reg)
     reg
   }
@@ -217,6 +228,15 @@ object SqlAnn {
             case Some(extra) => f.copy(condition = And(cond, extra))
             case None => f
           }
+        // BATCH top-k shape: per-query rank over a join of a queries table
+        // with a registered table — the SQL twin of the facade's
+        // searchBatch (the reference DECLARES search_batch and never
+        // implements it, engine/ivf_flat_index.h:55-67). Keyed off the
+        // WindowGroupLimit node Spark's own InferWindowGroupLimit inserts
+        // for `row_number()/rank() OVER (PARTITION BY qid ORDER BY dist)
+        // <= k` filters — its presence IS the proof of top-k intent.
+        case wgl: WindowGroupLimit =>
+          tryBatchRewrite(wgl).getOrElse(wgl)
       }
 
     /** The `list_id` conjunct a range predicate implies, or None when the
@@ -346,6 +366,203 @@ object SqlAnn {
           splitConjunctivePredicates(c).exists(_.semanticEquals(inExpr))))
         return None
       Some(Filter(cond.map(And(_, inExpr)).getOrElse(inExpr), rel))
+    }
+
+    // ---- the BATCH rewrite ------------------------------------------------
+
+    /** Query batches larger than this skip the driver-side STATIC union
+      * filter (each row costs nlist dot products on the driver at
+      * optimization time); the per-query join prune still applies — only
+      * the scan-level partition filter is lost. Mirrors the facade's
+      * static-vs-join crossover idea (IvfFlatIndex.MaxStaticBatch). */
+    private val MaxStaticProbeRows = 4096
+
+    /**
+     * Rewrite
+     *
+     * {{{
+     *   SELECT ... FROM (
+     *     SELECT q.qid, t.id, l2_distance(t.vec, q.qvec) AS dist,
+     *       row_number() OVER (PARTITION BY q.qid
+     *                          ORDER BY l2_distance(t.vec, q.qvec), ...) rn
+     *     FROM queries q, registered t)
+     *   WHERE rn <= k
+     * }}}
+     *
+     * — which Spark has already turned into `WindowGroupLimit` over
+     * `Project` over an unconditioned inner `Join` — into the probe-pruned
+     * equi-join plan the facade's `searchBatch`/`searchJoinPruned`
+     * composes: the queries side gains `explode(probe_lists(qvec))` (a
+     * [[Generate]] emitting one row per probed list), the join becomes an
+     * EQUI-join on `probe = t.list_id` (broadcast-hash for small batches,
+     * co-partitioned shuffle for floods — never a cartesian), and when the
+     * query batch is a [[LocalRelation]] the UNION of all per-query probes
+     * is injected as a static `list_id IN (...)` filter that reaches the
+     * scan as a PartitionFilter. Per-pair semantics: a (query row, corpus
+     * row) pair survives iff the corpus row's list is among that query's
+     * `nprobe` nearest — at nprobe = nlist every pair survives and the
+     * rewrite is EXACT. Query rows with NULL vectors produce no pairs
+     * (facade semantics: null queries yield no rows; the unrewritten plan
+     * would rank every corpus row under a NULL distance instead — part of
+     * the registered table's ANN opt-in).
+     */
+    private def tryBatchRewrite(wgl: WindowGroupLimit): Option[WindowGroupLimit] = {
+      if (wgl.orderSpec.isEmpty || wgl.orderSpec.head.direction != Ascending)
+        return None
+      val (projOpt, join) = wgl.child match {
+        case p @ Project(_, j: Join) => (Some(p), j)
+        case j: Join => (None, j)
+        case _ => return None
+      }
+      join.joinType match {
+        case Inner | Cross =>
+        case _ => return None
+      }
+      // primary sort key -> distance expression (through the Project's
+      // aliases when the inner SELECT named it)
+      val distE = wgl.orderSpec.head.child match {
+        case a: AttributeReference =>
+          projOpt.flatMap(_.projectList.collectFirst {
+            case al: Alias if al.exprId == a.exprId => al.child
+          }).getOrElse(return None)
+        case e => e
+      }
+      val (a1, a2, metric) = distE match {
+        case VectorDistance(x: AttributeReference, y: AttributeReference, m) =>
+          (x, y, m)
+        case _ => return None
+      }
+      attemptBatch(wgl, projOpt, join, a1, a2, metric,
+        relSide = join.right, qSide = join.left, relIsLeft = false)
+        .orElse(attemptBatch(wgl, projOpt, join, a1, a2, metric,
+          relSide = join.left, qSide = join.right, relIsLeft = true))
+    }
+
+    /** The registered relation under a join side, with whatever
+      * column-pruning Project / pushed Filter sits above it. */
+    private def relParts(side: LogicalPlan)
+        : Option[(Option[Project], Option[Filter], LogicalRelation)] =
+      side match {
+        case r: LogicalRelation => Some((None, None, r))
+        case f @ Filter(_, r: LogicalRelation) => Some((None, Some(f), r))
+        case p @ Project(_, r: LogicalRelation) => Some((Some(p), None, r))
+        case p @ Project(_, f @ Filter(_, r: LogicalRelation)) =>
+          Some((Some(p), Some(f), r))
+        case _ => None
+      }
+
+    private def attemptBatch(
+        wgl: WindowGroupLimit,
+        projOpt: Option[Project],
+        join: Join,
+        a1: AttributeReference,
+        a2: AttributeReference,
+        metric: Metric.Value,
+        relSide: LogicalPlan,
+        qSide: LogicalPlan,
+        relIsLeft: Boolean): Option[WindowGroupLimit] = {
+      val (projR, filtR, rel) = relParts(relSide).getOrElse(return None)
+      val reg = lookup(rel).getOrElse(return None)
+      // which distance operand is the registered corpus column, which the
+      // query vector? (VectorDistance is symmetric for all three metrics)
+      val (corpusV, queryV) =
+        if (vecOfRelation(rel, reg, a1) && qSide.outputSet.contains(a2)) (a1, a2)
+        else if (vecOfRelation(rel, reg, a2) && qSide.outputSet.contains(a1)) (a2, a1)
+        else return None
+      if (!relSide.outputSet.contains(corpusV)) return None
+      queryV.dataType match {
+        case ArrayType(FloatType, _) =>
+        case _ => return None
+      }
+      // the rank must be PER QUERY: every partition key comes from the
+      // queries side (partitioning by a corpus column is not an ANN shape)
+      if (wgl.partitionSpec.isEmpty ||
+          !wgl.partitionSpec.forall(_.references.subsetOf(qSide.outputSet)))
+        return None
+      // idempotence under the fixed-point batch: the rewritten plan's
+      // queries side IS the Generate we injected
+      val alreadyRewritten = qSide.exists {
+        case Generate(e: Explode, _, _, _, _, _) => e.child.isInstanceOf[ProbeLists]
+        case _ => false
+      }
+      if (alreadyRewritten) return None
+      val listAttr = rel.output.find(o =>
+        o.name == reg.listCol && o.dataType == IntegerType).getOrElse(return None)
+
+      // queries side: one probe row per (query, probed list)
+      val listOut = AttributeReference(
+        "__graft_probe_list", IntegerType, nullable = false)()
+      val newQSide = Generate(
+        Explode(ProbeLists(queryV, reg.centroidsBc, reg.nprobe, metric)),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(listOut), child = qSide)
+
+      // static union partition filter — only derivable when the batch is
+      // LITERAL (a LocalRelation: the rows live in the plan, no job). Any
+      // malformed vector (null element, wrong dim) bails out of the static
+      // filter entirely — a partial union could FALSELY prune another
+      // query's lists; the per-query join prune below stays correct alone.
+      val staticLists: Option[Seq[Int]] = qSide match {
+        case lr: LocalRelation if lr.data.length <= MaxStaticProbeRows =>
+          val ord = lr.output.indexWhere(_.exprId == queryV.exprId)
+          if (ord < 0) None
+          else {
+            val dim = reg.centroids.head.length
+            val acc = scala.collection.mutable.SortedSet.empty[Int]
+            var ok = true
+            val it = lr.data.iterator
+            while (ok && it.hasNext) {
+              val row = it.next()
+              if (!row.isNullAt(ord)) {
+                val arr =
+                  try row.getArray(ord).toFloatArray()
+                  catch { case _: NullPointerException => ok = false; null }
+                if (ok) {
+                  if (arr.length != dim) ok = false
+                  else VectorKernels.probeLists(
+                    arr, reg.centroids, reg.nprobe, metric.id).foreach(acc += _)
+                }
+              }
+            }
+            if (ok) Some(acc.toSeq) else None
+          }
+        case _ => None
+      }
+      val relWithStatic: LogicalPlan = staticLists match {
+        case Some(lists) =>
+          // an empty union (every query row null) joins nothing anyway;
+          // a constant-false filter keeps the scan from reading at all
+          val in: Expression =
+            if (lists.isEmpty) Literal(false)
+            else In(listAttr, lists.map(i => Literal(i)))
+          filtR match {
+            case Some(f) => f.copy(condition = And(f.condition, in))
+            case None => Filter(in, rel)
+          }
+        case None => filtR.getOrElse(rel)
+      }
+      // the relation side must expose list_id to the join condition even
+      // when column pruning already projected it away
+      val newRelSide: LogicalPlan = projR match {
+        case Some(p) =>
+          val pl =
+            if (p.projectList.exists(_.exprId == listAttr.exprId)) p.projectList
+            else p.projectList :+ listAttr
+          p.copy(projectList = pl, child = relWithStatic)
+        case None => relWithStatic
+      }
+      val probeEq = EqualTo(listOut, listAttr)
+      val newCond = join.condition.map(And(_, probeEq)).getOrElse(probeEq)
+      val (nl, nr) =
+        if (relIsLeft) (newRelSide, newQSide) else (newQSide, newRelSide)
+      // restore the join's ORIGINAL output (drop the probe column and the
+      // re-exposed list_id) so nothing upstream sees a changed schema
+      val restored = Project(join.output,
+        join.copy(left = nl, right = nr, condition = Some(newCond)))
+      Some(projOpt match {
+        case Some(p) => wgl.copy(child = p.copy(child = restored))
+        case None => wgl.copy(child = restored)
+      })
     }
   }
 }

@@ -698,6 +698,7 @@ object VectorQueries {
     "sq8_rerank" -> (sq8Rerank _),
     "sql_ann_rewrite" -> (sqlAnnRewrite _),
     "sql_range_rewrite" -> (sqlRangeRewrite _),
+    "sql_batch_rewrite" -> (sqlBatchRewrite _),
   )
 
   /** The SQL-surface ANN query vector: 64 exactly-representable binary
@@ -772,6 +773,42 @@ object VectorQueries {
     val pf = partitionFilterOf(df)
     require(pf.contains("list_id"),
       s"sql_range_rewrite: the range rewrite did not fire (PartitionFilters: $pf)")
+    df
+  }
+
+  /** Query-batch size for the batch SQL ANN shape. */
+  private val BatchSqlNQ = 20
+
+  /** Batch SQL ANN (round 14): per-query top-k over a QUERIES TABLE in
+    * one SQL statement — `row_number() OVER (PARTITION BY q.qid ORDER BY
+    * l2_distance(t.vec, q.qvec), t.id) <= k` over a join with the
+    * registered IVF table, rewritten by [[graft.plans.SqlAnn]] into the
+    * probe+equi-join plan the facade's searchBatch composes (the
+    * reference DECLARES search_batch and never implements it,
+    * engine/ivf_flat_index.h:55-67). The query batch is a literal
+    * LocalRelation (collected embeddings — float bits preserved), so the
+    * rule derives the STATIC union partition filter this entry REQUIRES
+    * on the executed plan: a silently non-firing rewrite would still
+    * match the oracle via the cartesian scan. Registered at nprobe =
+    * nlist the rewritten plan is exact, so brute-force window SQL is the
+    * hash oracle. */
+  private def sqlBatchRewrite(spark: SparkSession, dir: String): DataFrame = {
+    sqlAnnTable(spark, dir)
+    val src = emb(spark, dir).filter(col("vec_id") < BatchSqlNQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    spark.createDataFrame(
+      java.util.Arrays.asList(src.collect(): _*), src.schema)
+      .createOrReplaceTempView("graft_sqlann_q")
+    val df = spark.sql(
+      s"""SELECT qid, id, dist, rank FROM (
+         |  SELECT q.qid, t.id, l2_distance(t.vec, q.qvec) AS dist,
+         |    CAST(row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY l2_distance(t.vec, q.qvec), t.id) AS INT) AS rank
+         |  FROM graft_sqlann_q q, graft_sqlann t)
+         |WHERE rank <= $K ORDER BY qid, rank""".stripMargin)
+    val pf = partitionFilterOf(df)
+    require(pf.contains("list_id"),
+      s"sql_batch_rewrite: the batch ANN rewrite did not fire (PartitionFilters: $pf)")
     df
   }
 
@@ -906,6 +943,19 @@ object VectorQueries {
          |d AS (SELECT v.vec_id AS id, ${sqlL2("q.qv", "v.embedding")} AS dist
          |      FROM embeddings v, q)
          |SELECT id, dist FROM d WHERE dist <= $SqlRangeRadius ORDER BY id""".stripMargin,
+    // batch shape, registered at nprobe = nlist: the rewritten
+    // probe+equi-join plan is exact, so the brute-force window rank over
+    // the same query rows (the first BatchSqlNQ embeddings, collected
+    // bit-exactly into the Spark-side LocalRelation) is the oracle
+    "sql_batch_rewrite" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |           WHERE vec_id < $BatchSqlNQ),
+         |d AS (SELECT q.qid, v.vec_id AS id, ${sqlL2("q.qv", "v.embedding")} AS dist
+         |      FROM q, embeddings v),
+         |r AS (SELECT qid, id, dist,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS INT) AS rank
+         |      FROM d)
+         |SELECT qid, id, dist, rank FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin,
     "hamming_ann" -> hammingOracleSql,
     "hamming_rerank" -> hammingRerankOracleSql,
     "sq8_rerank" -> sq8RerankOracleSql,

@@ -428,4 +428,218 @@ class SqlAnnSpec extends SparkSpec {
       assert(got.toSeq === exact.toSeq)
     } finally SqlAnn.unregisterIndex(spark, dir)
   }
+
+  // ---- the BATCH shape (round 14): window-rank over a join ---------------
+
+  /** Canonical batch-scoring SQL: per-query top-k via row_number over the
+    * (queries x corpus) join — the SQL twin of searchBatch. */
+  private def batchSql(qView: String, tView: String, k: Int = K): String =
+    s"""SELECT qid, id, dist, rank FROM (
+       |  SELECT q.qid, t.id, l2_distance(t.vec, q.qvec) AS dist,
+       |    CAST(row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY l2_distance(t.vec, q.qvec), t.id) AS INT) AS rank
+       |  FROM $qView q, $tView t)
+       |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  /** A LITERAL query batch (LocalRelation) — the shape that unlocks the
+    * static union partition filter. */
+  private def localQView(name: String, rows: Seq[(Long, Array[Float])]): Unit = {
+    val list = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    rows.foreach { case (i, v) =>
+      list.add(org.apache.spark.sql.Row(i, if (v == null) null else v.toSeq))
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("qid", LongType),
+      StructField("qvec", ArrayType(FloatType))))
+    spark.createDataFrame(list, schema).createOrReplaceTempView(name)
+  }
+
+  /** Did the batch rewrite fire? (the probe explode on the queries side) */
+  private def hasProbeGenerate(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.exists {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate =>
+        g.generator match {
+          case e: org.apache.spark.sql.catalyst.expressions.Explode =>
+            e.child.isInstanceOf[graft.functions.ProbeLists]
+          case _ => false
+        }
+      case _ => false
+    }
+
+  private def rows4(df: DataFrame): Seq[(Long, Long, Double, Int)] =
+    df.collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+
+  test("batch shape: probe equi-join + static partition filter, exact at nprobe = nlist, both FROM orders") {
+    index
+    spark.read.parquet(dir).createOrReplaceTempView("sqlann_v")
+    SqlAnn.registerIndex(spark, dir, index.centroids.value, nprobe = NList)
+    val qs = randomVectors(3, Dim, seed = 9)
+    localQView("sqlann_bq", qs)
+    try {
+      val df = spark.sql(batchSql("sqlann_bq", "sqlann_v"))
+      assert(hasProbeGenerate(df), "the probe explode must be injected")
+      assert(partitionFilterText(df).contains("list_id"),
+        "a literal batch must yield the static union partition filter")
+      // the cartesian is GONE: an equi-join (broadcast-hash here) replaced it
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("CartesianProduct") && !phys.contains("NestedLoop"),
+        s"the rewrite must plan an equi-join, got:\n$phys")
+      // exact at nprobe = nlist, per query
+      val exact = graft.index.Knn.exact(queriesDF(qs),
+        index.vectors.select(col("id"), col("vec")), K, Metric.L2)
+        .orderBy("qid", "rank")
+      assert(rows4(df) === rows4(exact.select(
+        col("qid"), col("id"), col("dist"), col("rank"))))
+      // reversed FROM order (registered table on the LEFT) rewrites too
+      val rev = spark.sql(
+        s"""SELECT qid, id, dist, rank FROM (
+           |  SELECT q.qid, t.id, l2_distance(t.vec, q.qvec) AS dist,
+           |    CAST(row_number() OVER (PARTITION BY q.qid
+           |      ORDER BY l2_distance(t.vec, q.qvec), t.id) AS INT) AS rank
+           |  FROM sqlann_v t, sqlann_bq q)
+           |WHERE rank <= $K ORDER BY qid, rank""".stripMargin)
+      assert(hasProbeGenerate(rev) && partitionFilterText(rev).contains("list_id"))
+      assert(rows4(rev) === rows4(df))
+    } finally SqlAnn.unregisterIndex(spark, dir)
+  }
+
+  test("batch shape at nprobe < nlist: facade-identical results, scan reads fewer partitions") {
+    rangeIndex
+    spark.read.parquet(rangeDir).createOrReplaceTempView("sqlann_brange")
+    SqlAnn.registerIndex(spark, rangeDir, rangeIndex.centroids.value, nprobe = 2)
+    // queries at two cluster corners: their probe unions cover FEWER than
+    // nlist lists, so the static filter actually prunes the scan
+    val qs = Seq(100L -> corner(0), 101L -> corner(3))
+    localQView("sqlann_bq2", qs)
+    try {
+      val df = spark.sql(batchSql("sqlann_bq2", "sqlann_brange"))
+      assert(hasProbeGenerate(df) && partitionFilterText(df).contains("list_id"))
+      val read = scanOf(df).relation.location.listFiles(
+        scanOf(df).partitionFilters, Nil).size
+      assert(read > 0 && read <= 4,
+        s"2 queries x nprobe=2 must prune to at most 4 of $NList partitions, read $read")
+      // per-query results == the facade at the SAME nprobe (same probe
+      // kernel, same (dist, id) merge order)
+      val facade = rangeIndex.search(queriesDF(qs),
+        graft.SearchParams(k = K, nprobe = 2)).orderBy("qid", "rank")
+      assert(rows4(df) === rows4(facade.select(
+        col("qid"), col("id"), col("dist"), col("rank"))))
+    } finally SqlAnn.unregisterIndex(spark, rangeDir)
+  }
+
+  test("batch shape: parquet-backed queries table rewrites to the join prune (no static filter)") {
+    index
+    spark.read.parquet(dir).createOrReplaceTempView("sqlann_v")
+    SqlAnn.registerIndex(spark, dir, index.centroids.value, nprobe = NList)
+    val qDir = java.nio.file.Files
+      .createTempDirectory("graft-sqlann-qp").toFile.getAbsolutePath
+    val qs = randomVectors(3, Dim, seed = 9)
+    queriesDF(qs).write.mode("overwrite").parquet(qDir)
+    spark.read.parquet(qDir).createOrReplaceTempView("sqlann_bqp")
+    try {
+      val df = spark.sql(batchSql("sqlann_bqp", "sqlann_v"))
+      assert(hasProbeGenerate(df),
+        "a non-literal batch must still get the per-query join prune")
+      assert(!partitionFilterText(df).contains("list_id"),
+        "no static filter without literal rows to probe on the driver")
+      // still exact at nprobe = nlist
+      val exact = graft.index.Knn.exact(queriesDF(qs),
+        index.vectors.select(col("id"), col("vec")), K, Metric.L2)
+        .orderBy("qid", "rank")
+      assert(rows4(df) === rows4(exact.select(
+        col("qid"), col("id"), col("dist"), col("rank"))))
+    } finally SqlAnn.unregisterIndex(spark, dir)
+  }
+
+  test("batch shape: non-matching window shapes are left untouched") {
+    index
+    spark.read.parquet(dir).createOrReplaceTempView("sqlann_v")
+    localQView("sqlann_bq3", randomVectors(2, Dim, seed = 9))
+    // (a) unregistered table: nothing fires
+    assert(!hasProbeGenerate(spark.sql(batchSql("sqlann_bq3", "sqlann_v"))))
+    SqlAnn.registerIndex(spark, dir, index.centroids.value, nprobe = 2)
+    try {
+      // (b) DESC rank (farthest-first) is not a nearest-neighbor query
+      val desc = spark.sql(
+        s"""SELECT qid, id, rank FROM (
+           |  SELECT q.qid, t.id,
+           |    CAST(row_number() OVER (PARTITION BY q.qid
+           |      ORDER BY l2_distance(t.vec, q.qvec) DESC) AS INT) AS rank
+           |  FROM sqlann_bq3 q, sqlann_v t)
+           |WHERE rank <= $K ORDER BY qid, rank""".stripMargin)
+      assert(!hasProbeGenerate(desc))
+      // (c) partitioning by a CORPUS column ranks per corpus row — not the
+      // per-query ANN shape
+      val byCorpus = spark.sql(
+        s"""SELECT qid, id, rank FROM (
+           |  SELECT q.qid, t.id,
+           |    CAST(row_number() OVER (PARTITION BY t.list_id
+           |      ORDER BY l2_distance(t.vec, q.qvec)) AS INT) AS rank
+           |  FROM sqlann_bq3 q, sqlann_v t)
+           |WHERE rank <= $K ORDER BY qid, id, rank""".stripMargin)
+      assert(!hasProbeGenerate(byCorpus))
+      // (d) ordering by something other than a distance
+      val byId = spark.sql(
+        s"""SELECT qid, id, rank FROM (
+           |  SELECT q.qid, t.id,
+           |    CAST(row_number() OVER (PARTITION BY q.qid ORDER BY t.id) AS INT) AS rank
+           |  FROM sqlann_bq3 q, sqlann_v t)
+           |WHERE rank <= $K ORDER BY qid, rank""".stripMargin)
+      assert(!hasProbeGenerate(byId))
+    } finally SqlAnn.unregisterIndex(spark, dir)
+  }
+
+  test("batch shape: idempotent under the fixed-point batch (one Generate, one In)") {
+    index
+    spark.read.parquet(dir).createOrReplaceTempView("sqlann_v")
+    SqlAnn.registerIndex(spark, dir, index.centroids.value, nprobe = 2)
+    localQView("sqlann_bq4", randomVectors(2, Dim, seed = 9))
+    try {
+      val df = spark.sql(batchSql("sqlann_bq4", "sqlann_v"))
+      val gens = df.queryExecution.optimizedPlan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }.size
+      val ins = df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.collect {
+            case i: org.apache.spark.sql.catalyst.expressions.In => i
+          }.size
+      }.sum
+      assert(gens === 1, s"exactly one probe explode, got $gens")
+      assert(ins === 1, s"exactly one static In filter, got $ins")
+    } finally SqlAnn.unregisterIndex(spark, dir)
+  }
+
+  test("batch shape: a user WHERE on the corpus composes; NULL query vectors yield no rows") {
+    index
+    spark.read.parquet(dir).createOrReplaceTempView("sqlann_v")
+    SqlAnn.registerIndex(spark, dir, index.centroids.value, nprobe = NList)
+    val qs = randomVectors(2, Dim, seed = 9)
+    try {
+      localQView("sqlann_bq5", qs)
+      val df = spark.sql(
+        s"""SELECT qid, id, dist, rank FROM (
+           |  SELECT q.qid, t.id, l2_distance(t.vec, q.qvec) AS dist,
+           |    CAST(row_number() OVER (PARTITION BY q.qid
+           |      ORDER BY l2_distance(t.vec, q.qvec), t.id) AS INT) AS rank
+           |  FROM sqlann_bq5 q, sqlann_v t WHERE t.id % 2 = 0)
+           |WHERE rank <= $K ORDER BY qid, rank""".stripMargin)
+      assert(hasProbeGenerate(df) && partitionFilterText(df).contains("list_id"))
+      val exact = graft.index.Knn.exact(queriesDF(qs),
+        index.vectors.filter(col("id") % 2 === 0).select(col("id"), col("vec")),
+        K, Metric.L2).orderBy("qid", "rank")
+      assert(rows4(df) === rows4(exact.select(
+        col("qid"), col("id"), col("dist"), col("rank"))))
+      // a NULL qvec row produces NO result rows for that qid (facade
+      // semantics: null queries yield no rows) — the live query still
+      // gets its full top-k
+      localQView("sqlann_bq6", Seq(qs.head, 77L -> null))
+      val withNull = spark.sql(batchSql("sqlann_bq6", "sqlann_v"))
+      assert(hasProbeGenerate(withNull))
+      val got = rows4(withNull)
+      assert(got.map(_._1).distinct === Seq(qs.head._1), "null-qvec qid must vanish")
+      assert(got.size === K)
+    } finally SqlAnn.unregisterIndex(spark, dir)
+  }
 }
