@@ -429,6 +429,62 @@ class SqlAnnSpec extends SparkSpec {
     } finally SqlAnn.unregisterIndex(spark, dir)
   }
 
+  test("ANN SQL races epoch build/activate/cleanup churn without failed queries") {
+    import graft.IndexConfig
+    val db = new graft.api.VectorDB(spark,
+      java.nio.file.Files.createTempDirectory("graft-sqlann-churn").toString)
+    db.createIndex(IndexConfig("churnidx", Dim, nlist = 4))
+    val ep0 = db.buildEpoch("churnidx", vectorsDF(randomVectors(100, Dim)))
+    db.activateEpoch("churnidx", ep0)
+    db.loadIndex("churnidx")
+    db.registerSql("churnidx", nprobe = 4)
+    val errs = new java.util.concurrent.CopyOnWriteArrayList[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val queriesRun = new java.util.concurrent.atomic.AtomicLong()
+    // reader: ANN SQL in a tight loop — every query must return a full
+    // top-k, never a FileNotFound from a reaped epoch dir, never an
+    // unresolved view. Between a swap and the re-register it may serve
+    // the PREVIOUS epoch (the documented staleness window); keepN = 2
+    // keeps that epoch on disk until the view is two swaps past it.
+    val reader = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          val rows = spark.sql(annSql("churnidx")).collect()
+          if (rows.length != K)
+            throw new AssertionError(s"expected $K rows, got ${rows.length}")
+          queriesRun.incrementAndGet()
+          ()
+        }
+      } catch { case e: Throwable => errs.add(e); () }
+    }, "sqlann-churn-reader")
+    reader.start()
+    try {
+      (1 to 4).foreach { i =>
+        val ep = db.buildEpoch("churnidx",
+          vectorsDF(randomVectors(100, Dim, seed = 42 + i)))
+        db.activateEpoch("churnidx", ep)
+        db.loadIndex("churnidx")
+        db.registerSql("churnidx", nprobe = 4)
+        db.cleanupOldEpochs("churnidx", keepN = 2)
+        ()
+      }
+    } finally {
+      stop.set(true)
+      reader.join(120000)
+    }
+    assert(!reader.isAlive, "reader thread hung")
+    assert(errs.isEmpty, s"ANN SQL failed during epoch churn: $errs")
+    assert(queriesRun.get() > 0, "the reader must have actually run queries")
+    // after the churn settles, SQL serves the FINAL epoch exactly
+    val viaSql = spark.sql(annSql("churnidx")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val viaFacade = db.search("churnidx", queriesDF(Seq(0L -> qvec)),
+      topk = K, nprobe = 4).orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(viaSql.toSeq === viaFacade.toSeq)
+    db.close()
+  }
+
   // ---- the BATCH shape (round 14): window-rank over a join ---------------
 
   /** Canonical batch-scoring SQL: per-query top-k via row_number over the
