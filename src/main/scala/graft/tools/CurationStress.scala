@@ -59,7 +59,16 @@ object CurationStress {
     val copies = if (args.nonEmpty) args(0).toInt else 100
     val mode = if (args.length > 1) args(1) else "oneshot"
     val famReps = if (args.length > 2) args(2).toInt else 1
+    // fixture residency (round 14): `cache` persists the synthesized
+    // corpus in the block manager (96 GB heap -> the 5M fixture spills
+    // past RAM and the BUILD phase pays page-cache-eviction reads that
+    // contaminate its scaling curve); `parquet` writes the fixture once
+    // (compressed, ~5x smaller) and the pipeline reads it like a real
+    // corpus — the build-phase numbers then measure the pipeline, not the
+    // fixture's memory pressure
+    val fixture = if (args.length > 3) args(3) else "cache"
     require(Set("oneshot", "managed", "staged")(mode), s"unknown mode $mode")
+    require(Set("cache", "parquet")(fixture), s"unknown fixture mode $fixture")
     require(famReps >= 1, "famReps must be >= 1")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -116,7 +125,7 @@ object CurationStress {
     val famText = when(col("r") === 0, col("text")).otherwise(
       concat_ws(" ", transform(split(col("text"), " "),
         t => format_string("r%dx%s", col("r"), t))))
-    val corpus = base
+    val synth = base
       .crossJoin(spark.range(famReps).select(col("id").cast("int").as("r")))
       .crossJoin(spark.range(copies).select(col("id").cast("int").as("k")))
       .repartition(spark.sparkContext.defaultParallelism * 4)
@@ -135,13 +144,39 @@ object CurationStress {
     val evalDocs = base.filter(col("doc_id") % 50 === 0)
       .select((col("doc_id") + 100000000L).as("doc_id"), col("text"))
 
-    // persist + count: a bare count() would let Catalyst PRUNE the heavy
-    // synthesis projection (the round-10 measurement lesson — count
-    // drops unreferenced columns), mis-attributing the synthesis cost to
-    // curate's stage 1; materializing the cache builds full rows
-    corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = timed(s"synthesize + cache corpus (${copies}x sf0.1; fixture prep, not pipeline cost)")(corpus.count())
-    println(s"[curation-stress] corpus docs: $n, eval docs: ${evalDocs.count()}")
+    def rmDir(path: String): Unit = {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles).foreach(_.foreach(rm)); x.delete(): Unit
+      }
+      val f = new java.io.File(path)
+      if (f.exists()) rm(f)
+    }
+
+    val corpus = fixture match {
+      case "cache" =>
+        // persist + count: a bare count() would let Catalyst PRUNE the
+        // heavy synthesis projection (the round-10 measurement lesson —
+        // count drops unreferenced columns), mis-attributing the synthesis
+        // cost to curate's stage 1; materializing the cache builds full rows
+        synth.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = timed(s"synthesize + cache corpus (${copies}x sf0.1; fixture prep, not pipeline cost)")(synth.count())
+        println(s"[curation-stress] corpus docs: $n, eval docs: ${evalDocs.count()}")
+        synth
+      case "parquet" =>
+        val fixDir = java.nio.file.Files
+          .createTempDirectory("graft-curation-fixture").toFile.getAbsolutePath
+        sys.addShutdownHook(rmDir(fixDir))
+        timed(s"synthesize + write parquet fixture (${copies}x sf0.1 x $famReps; fixture prep, not pipeline cost)") {
+          synth.write.mode("overwrite").parquet(fixDir)
+        }
+        val onDisk = spark.read.parquet(fixDir)
+        def du(f: java.io.File): Long =
+          if (f.isFile) f.length
+          else Option(f.listFiles).map(_.map(du).sum).getOrElse(0L)
+        println(f"[curation-stress] corpus docs: ${onDisk.count()}, eval docs: ${evalDocs.count()}, " +
+          f"fixture ${du(new java.io.File(fixDir)) / 1e9}%.1f GB parquet")
+        onDisk
+    }
 
     mode match {
       case "oneshot" =>

@@ -21,7 +21,15 @@ import org.apache.spark.sql.streaming.Trigger
  *  - end-to-end verdict latency: audit-row emission wall time minus the
  *    row's event ts, per output batch (expected ~= watermark delay +
  *    trigger interval — the price curationAudit's docs advertise for the
- *    one-auditable-stream shape).
+ *    one-auditable-stream shape);
+ *  - trigger-execution time per batch vs the trigger interval (round 14):
+ *    a mean execution time ABOVE the interval means the query is falling
+ *    behind at the offered rate — the sustained-rate ceiling signal. The
+ *    (trigger interval x shuffle parallelism) sweep maps the frontier a
+ *    deployment picks from: longer triggers amortize per-batch fixed cost
+ *    (higher ceiling, higher latency); shuffle partitions size the state
+ *    exchange (too many = per-batch task overhead dominates at this
+ *    corpus scale).
  *
  * Stream content exercises every stage: each row picks one of three
  * variants of a corpus doc — byte-identical (exact-dup path), 8 prepended
@@ -29,9 +37,15 @@ import org.apache.spark.sql.streaming.Trigger
  * (novel-doc path; separator-free prefix so the [a-z0-9]+ tokenizer keeps
  * one token per original token — the r12 fixture lesson). Stream doc_ids
  * sit ABOVE every corpus id, matching the audit's monotonic-id greedy
- * rule. Usage:
+ * rule. Usage (underscores in durations become spaces):
  *
  *   StreamingAuditStress [rowsPerSec] [runSeconds] [watermark1,watermark2]
+ *                        [trigger1,trigger2] [shuffleParts1,shuffleParts2]
+ *
+ * Every (watermark x trigger x parts) combination runs as its OWN
+ * streaming query (fresh checkpoint, so the state-store partitioning
+ * really is the swept value — shuffle partitions are fixed per query at
+ * its first batch).
  */
 object StreamingAuditStress {
   def main(args: Array[String]): Unit = {
@@ -40,8 +54,14 @@ object StreamingAuditStress {
     val watermarks: Seq[String] =
       if (args.length > 2) args(2).split(',').toSeq.map(_.replace('_', ' '))
       else Seq("5 seconds", "30 seconds")
+    val triggers: Seq[String] =
+      if (args.length > 3) args(3).split(',').toSeq.map(_.replace('_', ' '))
+      else Seq("2 seconds")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val partsSweep: Seq[Int] =
+      if (args.length > 4) args(4).split(',').toSeq.map(_.toInt)
+      else Seq(cpus.toInt)
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "false") // streaming plans
@@ -79,7 +99,12 @@ object StreamingAuditStress {
     println(s"[audit-stress] corpus=${base.count()} docs, $nVariants variants, " +
       s"rate=$rate rows/s, run=${runSec}s, watermarks=${watermarks.mkString(" | ")}")
 
-    for (wm <- watermarks) {
+    for (wm <- watermarks; trigger <- triggers; parts <- partsSweep) {
+      val tag = s"$wm|$trigger|p$parts"
+      // shuffle partitions are per-QUERY, fixed at its first batch — set
+      // before plan construction so the swept value is what the state
+      // store actually partitions by
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
       // stream ids above every corpus id (greedy smaller-id rule)
       val stream = spark.readStream.format("rate")
         .option("rowsPerSecond", rate).load()
@@ -95,7 +120,7 @@ object StreamingAuditStress {
       val latMax = new java.util.concurrent.atomic.AtomicLong()
       val q = audit.writeStream
         .outputMode("append")
-        .trigger(Trigger.ProcessingTime("2 seconds"))
+        .trigger(Trigger.ProcessingTime(trigger))
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
           val rows = b.select(col("ts")).collect()
           val now = System.currentTimeMillis()
@@ -118,18 +143,37 @@ object StreamingAuditStress {
       }
       val deadline = t0 + runSec * 1000L + horizonMs + 8000L
       var lastBatch = -1L
+      // execution-time accounting SKIPS the first two batches (plan
+      // compile + state-store open dominate them) so the mean reflects
+      // steady state — the ceiling verdict below compares it to the
+      // trigger interval
+      var execSumMs = 0L
+      var execMaxMs = 0L
+      var execBatches = 0L
+      var procSum = 0.0
+      var procBatches = 0L
       while (System.currentTimeMillis() < deadline) {
-        Thread.sleep(4000)
+        Thread.sleep(2000)
         val p = q.lastProgress
         if (p != null && p.batchId != lastBatch) {
           lastBatch = p.batchId
           val st = p.stateOperators
           val stRows = st.map(_.numRowsTotal).sum
           val stMb = st.map(_.memoryUsedBytes).sum / 1e6
-          println(f"[audit-stress][$wm] t=${(System.currentTimeMillis() - t0) / 1000}%3ds " +
+          val execMs: Long = Option(p.durationMs)
+            .flatMap(d => Option(d.get("triggerExecution")))
+            .map(_.longValue()).getOrElse(-1L)
+          if (p.batchId >= 2 && execMs >= 0) {
+            execSumMs += execMs
+            execMaxMs = math.max(execMaxMs, execMs)
+            execBatches += 1
+          }
+          val proc = Option(p.processedRowsPerSecond).getOrElse(0.0)
+          if (p.batchId >= 2 && proc > 0) { procSum += proc; procBatches += 1 }
+          println(f"[audit-stress][$tag] t=${(System.currentTimeMillis() - t0) / 1000}%3ds " +
             f"batch=${p.batchId}%3d in=${p.numInputRows}%6d " +
             f"inRps=${Option(p.inputRowsPerSecond).getOrElse(0.0)}%9.1f " +
-            f"procRps=${Option(p.processedRowsPerSecond).getOrElse(0.0)}%9.1f " +
+            f"procRps=$proc%9.1f execMs=$execMs%6d " +
             f"stateRows=$stRows%8d stateMB=$stMb%7.1f out=${outRows.get()}%7d")
         }
       }
@@ -137,9 +181,21 @@ object StreamingAuditStress {
       q.awaitTermination(30000)
       val n = outRows.get()
       val avgLat = if (n > 0) latSum.get() / n else -1L
-      println(f"[audit-stress][$wm] SUMMARY rate=$rate rows/s x ${runSec}s: " +
-        f"audit rows out=$n, avg verdict latency=${avgLat}ms, " +
-        f"max=${latMax.get()}ms (watermark=$wm + 2s trigger)")
+      val avgExec = if (execBatches > 0) execSumMs / execBatches else -1L
+      val avgProc = if (procBatches > 0) procSum / procBatches else 0.0
+      val triggerMs = trigger match {
+        case s if s.endsWith("seconds") => s.split(' ')(0).toLong * 1000
+        case s if s.endsWith("minutes") => s.split(' ')(0).toLong * 60000
+        case _ => 2000L
+      }
+      // sustained = steady-state batches complete inside the trigger
+      // interval (the query keeps up with the offered rate); the margin
+      // is the headroom a deployment has before latency starts compounding
+      val sustained = avgExec >= 0 && avgExec < triggerMs
+      println(f"[audit-stress][$tag] SUMMARY rate=$rate rows/s x ${runSec}s: " +
+        f"audit rows out=$n, avg verdict latency=${avgLat}ms, max=${latMax.get()}ms, " +
+        f"avg procRps=$avgProc%.0f, avg execMs=$avgExec (max $execMaxMs, " +
+        f"trigger $triggerMs), sustained=$sustained")
     }
     spark.stop()
   }
