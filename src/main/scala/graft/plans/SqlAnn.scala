@@ -78,10 +78,13 @@ object SqlAnn {
       // table's stale radii IN PLACE — replacing the Registration would
       // mint a new token and orphan every owner's conditional-unregister
       // handle on the old one
-      @volatile var radii: Option[Array[Double]] = None,
-      private[plans] val centroidsBc: Broadcast[Array[Array[Float]]] = null) {
+      @volatile var radii: Option[Array[Double]],
+      private[plans] val centroidsBc: Broadcast[Array[Array[Float]]]) {
     require(centroids.nonEmpty, "centroids must be non-empty")
     require(nprobe > 0, s"nprobe must be positive: $nprobe")
+    require(centroidsBc != null,
+      "centroidsBc is required — the batch rewrite's ProbeLists expression" +
+        " ships centroids through it (registerIndex always supplies one)")
     require(radii.forall(_.length == centroids.length),
       "radii length must equal nlist — stale radii on a grown table would" +
         " FALSELY DISMISS matches (IvfFlatIndex.presetListRadii's contract)")
