@@ -303,8 +303,11 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
           // loadServed above) sees the new rows. Re-create the view (a
           // fresh file listing) when this facade registered THIS epoch;
           // another facade's view over the same path is its own to refresh
+          // guarded like close(): re-creating the view would HIJACK it if
+          // a peer facade re-bound the same name to a different epoch path
           sqlRegistered.get(name).foreach { case (p, view, _) =>
-            if (p == s"$path/vectors") {
+            if (p == s"$path/vectors" &&
+                graft.plans.SqlAnn.viewBoundTo(spark, view, p)) {
               spark.read.parquet(p).createOrReplaceTempView(view); ()
             }
           }
@@ -458,8 +461,13 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
           graft.plans.SqlAnn.unregisterIndex(spark, oldPath, oldToken)
         // a RENAMED view must not linger bound to the superseded epoch:
         // it would keep serving stale data until the epoch dir is reaped,
-        // then crash with FileNotFound
-        if (oldView != view) { spark.catalog.dropTempView(oldView); () }
+        // then crash with FileNotFound. Guarded like close(): only drop
+        // a view still bound to the epoch WE registered it over — a peer
+        // facade may have re-bound the name to its own epoch
+        if (oldView != view &&
+            graft.plans.SqlAnn.viewBoundTo(spark, oldView, oldPath)) {
+          spark.catalog.dropTempView(oldView); ()
+        }
     }
     view
   }
@@ -879,7 +887,12 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       // dropping the shared view on its own close would tear down the
       // WINNER's SQL surface while the winner's registration survives.
       // Checked BEFORE unregisterIndex (which removes the slot if owned).
-      val owns = graft.plans.SqlAnn.ownsRegistration(spark, path, token)
+      // The token guard alone is not enough: a peer serving a DIFFERENT
+      // epoch re-binds the same view name under a different registry key
+      // (our token still owns OUR path), so also require the view to
+      // still resolve to this facade's path before dropping it.
+      val owns = graft.plans.SqlAnn.ownsRegistration(spark, path, token) &&
+        graft.plans.SqlAnn.viewBoundTo(spark, view, path)
       graft.plans.SqlAnn.unregisterIndex(spark, path, token)
       // drop the view too (when owned): left behind it would silently
       // serve the no-longer-pinned epoch as full scans until cleanup

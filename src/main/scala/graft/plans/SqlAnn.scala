@@ -170,6 +170,26 @@ object SqlAnn {
       spark: SparkSession, path: String, token: Registration): Boolean =
     registry.get(qualified(spark, path)).exists(_ eq token)
 
+  /** True when `view` currently resolves to a file relation rooted at
+    * `path` — the other half of the teardown/refresh guard: the registry
+    * token proves who owns the PATH's registration, but the temp VIEW is
+    * a session-global name another facade may have re-bound to a
+    * DIFFERENT epoch path (same default view name, different epoch). A
+    * facade must neither drop ([[graft.api.VectorDB.close]]) nor re-bind
+    * (addVectors' refresh) a view that no longer points at its own path.
+    * A missing/unresolvable view is "not bound" (nothing to guard). */
+  private[graft] def viewBoundTo(
+      spark: SparkSession, view: String, path: String): Boolean =
+    try {
+      val q = qualified(spark, path)
+      spark.table(view).queryExecution.analyzed.collectFirst {
+        case r: LogicalRelation => r
+      }.exists(_.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.exists(_.toString == q)
+        case _ => false
+      })
+    } catch { case _: org.apache.spark.sql.AnalysisException => false }
+
   /** Qualify a path exactly the way HadoopFsRelation qualifies its
     * rootPaths, so registration and lookup cannot diverge on scheme or
     * authority (file:/ vs bare /). */

@@ -352,6 +352,34 @@ class SqlAnnSpec extends SparkSpec {
     intercept[org.apache.spark.sql.AnalysisException](spark.sql(annSql("shvidx")))
   }
 
+  test("close() leaves a view a peer re-bound to a DIFFERENT epoch alone") {
+    import graft.IndexConfig
+    val base = java.nio.file.Files.createTempDirectory("graft-sqlann-xe").toString
+    val a = new graft.api.VectorDB(spark, base)
+    a.createIndex(IndexConfig("xeidx", Dim, nlist = 4))
+    val ep1 = a.buildEpoch("xeidx", vectorsDF(randomVectors(120, Dim)))
+    a.activateEpoch("xeidx", ep1)
+    a.loadIndex("xeidx")
+    a.registerSql("xeidx", nprobe = 4)
+    // peer facade builds and serves a NEW epoch, re-binding the shared
+    // default view name to a DIFFERENT path — A's token still owns ITS
+    // path's registry slot, so the token guard ALONE would let A's close
+    // tear down B's view; the view-resolution guard must stop it
+    val b = new graft.api.VectorDB(spark, base)
+    val ep2 = b.buildEpoch("xeidx", vectorsDF(randomVectors(130, Dim, seed = 5)))
+    b.activateEpoch("xeidx", ep2)
+    b.loadIndex("xeidx")
+    b.registerSql("xeidx", nprobe = 4)
+    a.close()
+    val df = spark.sql(annSql("xeidx"))
+    assert(partitionFilterText(df).contains("list_id"),
+      "the peer's re-bound view must survive A's close and still rewrite")
+    assert(spark.sql("SELECT count(*) FROM xeidx").collect().head.getLong(0) === 130L,
+      "the view must still serve the peer's epoch")
+    b.close()
+    intercept[org.apache.spark.sql.AnalysisException](spark.sql(annSql("xeidx")))
+  }
+
   test("addVectors refreshes the registered view: SQL sees appended rows") {
     import graft.IndexConfig
     val db = new graft.api.VectorDB(spark,
