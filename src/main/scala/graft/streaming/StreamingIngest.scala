@@ -317,6 +317,17 @@ object StreamingIngest {
    * verdict-stream shape an at-least-once source (Kafka redelivery,
    * unchanged re-crawl) actually wants. An EDITED re-arrival has a new
    * content_key and is re-verified in full (the nearDupScreen rule).
+   *
+   * Sizing (measured, dev/ROUND14.md frontier sweep at 20k rows/s,
+   * sf0.1-scale index, 32-core box): the state exchange is
+   * task-OVERHEAD-bound at this scale, so FEWER shuffle partitions beat
+   * more — 8 partitions sustained every swept trigger where the default
+   * 32 missed the 2 s trigger; latency ~= watermark + 2 triggers
+   * (9.9 s avg at 2 s trigger / 8 partitions), and longer triggers
+   * amortize per-batch fixed cost into a higher throughput ceiling
+   * (55.9k rows/s at a 10 s trigger) at proportional latency. Shuffle
+   * partitions are fixed per query at its FIRST batch — set
+   * `spark.sql.shuffle.partitions` before `writeStream.start()`.
    */
   def curationAudit(
       docs: DataFrame, // streaming (doc_id, ts, text)

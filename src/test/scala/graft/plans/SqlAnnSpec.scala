@@ -695,6 +695,44 @@ class SqlAnnSpec extends SparkSpec {
     } finally SqlAnn.unregisterIndex(spark, dir)
   }
 
+  test("batch shape: RANK() and cosine_distance plumb through (exact at nprobe = nlist)") {
+    index
+    spark.read.parquet(dir).createOrReplaceTempView("sqlann_v")
+    SqlAnn.registerIndex(spark, dir, index.centroids.value, nprobe = NList)
+    val qs = randomVectors(2, Dim, seed = 9)
+    localQView("sqlann_bq7", qs)
+    try {
+      // RANK() produces the same WindowGroupLimit anchor as row_number()
+      val ranked = spark.sql(
+        s"""SELECT qid, id, dist FROM (
+           |  SELECT q.qid, t.id, l2_distance(t.vec, q.qvec) AS dist,
+           |    RANK() OVER (PARTITION BY q.qid
+           |      ORDER BY l2_distance(t.vec, q.qvec), t.id) AS rnk
+           |  FROM sqlann_bq7 q, sqlann_v t)
+           |WHERE rnk <= $K ORDER BY qid, dist, id""".stripMargin)
+      assert(hasProbeGenerate(ranked) && partitionFilterText(ranked).contains("list_id"))
+      val exact = graft.index.Knn.exact(queriesDF(qs),
+        index.vectors.select(col("id"), col("vec")), K, Metric.L2)
+        .orderBy("qid", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(ranked.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        === exact.toSeq)
+      // cosine: the probe expression must inherit the metric
+      val cos = spark.sql(
+        s"""SELECT qid, id, dist, rank FROM (
+           |  SELECT q.qid, t.id, cosine_distance(t.vec, q.qvec) AS dist,
+           |    CAST(row_number() OVER (PARTITION BY q.qid
+           |      ORDER BY cosine_distance(t.vec, q.qvec), t.id) AS INT) AS rank
+           |  FROM sqlann_bq7 q, sqlann_v t)
+           |WHERE rank <= $K ORDER BY qid, rank""".stripMargin)
+      assert(hasProbeGenerate(cos) && partitionFilterText(cos).contains("list_id"))
+      val exactCos = graft.index.Knn.exact(queriesDF(qs),
+        index.vectors.select(col("id"), col("vec")), K, Metric.Cosine)
+        .orderBy("qid", "rank")
+      assert(rows4(cos) === rows4(exactCos.select(
+        col("qid"), col("id"), col("dist"), col("rank"))))
+    } finally SqlAnn.unregisterIndex(spark, dir)
+  }
+
   test("batch shape: a user WHERE on the corpus composes; NULL query vectors yield no rows") {
     index
     spark.read.parquet(dir).createOrReplaceTempView("sqlann_v")
