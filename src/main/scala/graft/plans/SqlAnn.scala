@@ -562,7 +562,30 @@ object SqlAnn {
             case Some(f) => f.copy(condition = And(f.condition, in))
             case None => Filter(in, rel)
           }
-        case None => filtR.getOrElse(rel)
+        case None =>
+          // NON-literal batch: the probe union is only known at runtime,
+          // so inject Spark's own dynamic-partition-pruning subquery on
+          // the partition column — the scan then reads only the probed
+          // partitions, learned from the (bounded: queries x nprobe rows)
+          // build side. Physical planning REUSES the equi-join's
+          // broadcast when it can (zero extra jobs); otherwise
+          // onlyInBroadcast = false runs a distinct-aggregate subquery on
+          // the queries side, still corpus-free. Safe to inject here:
+          // this rule runs AFTER CleanupDynamicPruningFilters, and
+          // list_id is a genuine partition column (the same property the
+          // static In relies on). At 100 TB this is the difference
+          // between scanning union(probes)/nlist of the corpus and
+          // scanning all of it.
+          val dpp = DynamicPruningSubquery(
+            pruningKey = listAttr,
+            buildQuery = newQSide,
+            buildKeys = Seq(listOut),
+            broadcastKeyIndices = Seq(0),
+            onlyInBroadcast = false)
+          filtR match {
+            case Some(f) => f.copy(condition = And(f.condition, dpp))
+            case None => Filter(dpp, rel)
+          }
       }
       // the relation side must expose list_id to the join condition even
       // when column pruning already projected it away

@@ -538,6 +538,24 @@ class SqlAnnSpec extends SparkSpec {
     spark.createDataFrame(list, schema).createOrReplaceTempView(name)
   }
 
+  /** The CORPUS scan of a batch-shape plan (the one with the list_id
+    * partition column) — the generic first-scan finder would hit the
+    * QUERIES table's scan when the batch is parquet-backed. Unwraps AQE
+    * plan wrappers AND (post-execution) materialized query stages. */
+  private def corpusScan(df: DataFrame): FileSourceScanExec = {
+    def find(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.collect {
+        case f: FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          find(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          find(q.plan)
+      }.flatten
+    find(df.queryExecution.executedPlan)
+      .find(_.output.exists(_.name == "list_id"))
+      .getOrElse(fail("no corpus scan (list_id) in the executed plan"))
+  }
+
   /** Did the batch rewrite fire? (the probe explode on the queries side) */
   private def hasProbeGenerate(df: DataFrame): Boolean =
     df.queryExecution.optimizedPlan.exists {
@@ -612,7 +630,7 @@ class SqlAnnSpec extends SparkSpec {
     } finally SqlAnn.unregisterIndex(spark, rangeDir)
   }
 
-  test("batch shape: parquet-backed queries table rewrites to the join prune (no static filter)") {
+  test("batch shape: parquet-backed queries table gets DYNAMIC partition pruning") {
     index
     spark.read.parquet(dir).createOrReplaceTempView("sqlann_v")
     SqlAnn.registerIndex(spark, dir, index.centroids.value, nprobe = NList)
@@ -625,8 +643,11 @@ class SqlAnnSpec extends SparkSpec {
       val df = spark.sql(batchSql("sqlann_bqp", "sqlann_v"))
       assert(hasProbeGenerate(df),
         "a non-literal batch must still get the per-query join prune")
-      assert(!partitionFilterText(df).contains("list_id"),
-        "no static filter without literal rows to probe on the driver")
+      // the probe union is runtime-only here: the CORPUS scan must carry
+      // a DYNAMIC pruning filter on list_id instead of a static In
+      val pf = corpusScan(df).metadata.getOrElse("PartitionFilters", "")
+      assert(pf.contains("dynamicpruning"),
+        s"a non-literal batch must inject dynamic partition pruning, got: $pf")
       // still exact at nprobe = nlist
       val exact = graft.index.Knn.exact(queriesDF(qs),
         index.vectors.select(col("id"), col("vec")), K, Metric.L2)
@@ -634,6 +655,34 @@ class SqlAnnSpec extends SparkSpec {
       assert(rows4(df) === rows4(exact.select(
         col("qid"), col("id"), col("dist"), col("rank"))))
     } finally SqlAnn.unregisterIndex(spark, dir)
+  }
+
+  test("batch shape: dynamic pruning actually reads fewer partitions at nprobe < nlist") {
+    rangeIndex
+    spark.read.parquet(rangeDir).createOrReplaceTempView("sqlann_brange2")
+    SqlAnn.registerIndex(spark, rangeDir, rangeIndex.centroids.value, nprobe = 2)
+    val qDir = java.nio.file.Files
+      .createTempDirectory("graft-sqlann-qp2").toFile.getAbsolutePath
+    // two corner queries: probe union covers FEWER than nlist lists
+    val qs = Seq(100L -> corner(0), 101L -> corner(3))
+    queriesDF(qs).write.mode("overwrite").parquet(qDir)
+    spark.read.parquet(qDir).createOrReplaceTempView("sqlann_bqp2")
+    try {
+      val df = spark.sql(batchSql("sqlann_bqp2", "sqlann_brange2"))
+      assert(corpusScan(df).metadata.getOrElse("PartitionFilters", "")
+        .contains("dynamicpruning"))
+      // facade-identical at the same nprobe
+      val facade = rangeIndex.search(queriesDF(qs),
+        graft.SearchParams(k = K, nprobe = 2)).orderBy("qid", "rank")
+      assert(rows4(df) === rows4(facade.select(
+        col("qid"), col("id"), col("dist"), col("rank"))))
+      // the runtime metric proves the prune: after execution the scan
+      // read at most union(probes) of the table's partitions
+      val partsRead = corpusScan(df)
+        .metrics.get("numPartitions").map(_.value).getOrElse(-1L)
+      assert(partsRead > 0 && partsRead <= 4,
+        s"dynamic pruning must read <= 4 of $NList partitions, read $partsRead")
+    } finally SqlAnn.unregisterIndex(spark, rangeDir)
   }
 
   test("batch shape: non-matching window shapes are left untouched") {
