@@ -245,4 +245,33 @@ object VectorKernels {
     }
     java.util.Arrays.copyOfRange(bufI, 0, size)
   }
+
+  /**
+   * Fixed-radius coarse prune (the SQL range-JOIN rewrite's per-query
+   * kernel): ids of every list whose covering ball intersects the query
+   * ball — list l survives iff sqrt(l2(q, c_l)) <= sqrt(radius) +
+   * radii(l). EXACT by the reverse triangle inequality
+   * ([[graft.index.IvfFlatIndex.rangeProbe]]'s proof); a NaN covering
+   * radius (poisoned by a NaN member) is treated as unbounded — never
+   * prune that list (rangeProbe's guard). A negative radius makes
+   * sqrt(radius) NaN, every comparison false, and only NaN-radius lists
+   * survive — their pairs then fail the retained `dist <= r` predicate,
+   * so the rewrite stays exact there too. Ascending list ids. L2 only:
+   * the bound needs a true metric.
+   */
+  def rangeProbeLists(
+      q: Array[Float],
+      centroids: Array[Array[Float]],
+      radii: Array[Double],
+      radius: Double): Array[Int] = {
+    val r = math.sqrt(radius)
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    var l = 0
+    while (l < centroids.length) {
+      if (radii(l).isNaN || math.sqrt(l2(q, centroids(l))) <= r + radii(l))
+        out += l
+      l += 1
+    }
+    out.result()
+  }
 }

@@ -15,7 +15,7 @@ import org.apache.spark.sql.graft.GraftSqlBridge
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType}
 
 import graft.Metric
-import graft.functions.{ProbeLists, VectorDistance, VectorKernels}
+import graft.functions.{ProbeLists, RangeProbeLists, VectorDistance, VectorKernels}
 
 /**
  * The SQL ANN surface (SURVEY §4, custom component 3): a
@@ -79,7 +79,12 @@ object SqlAnn {
       // mint a new token and orphan every owner's conditional-unregister
       // handle on the old one
       @volatile var radii: Option[Array[Double]],
-      private[plans] val centroidsBc: Broadcast[Array[Array[Float]]]) {
+      private[plans] val centroidsBc: Broadcast[Array[Array[Float]]],
+      // the radii's broadcast twin, for the range-JOIN rewrite's
+      // per-query RangeProbeLists expression; cleared together with
+      // `radii` by [[invalidateRadii]] (readers take ONE volatile read
+      // of whichever field they consume — never mix the two)
+      @volatile private[plans] var radiiBc: Option[Broadcast[Array[Double]]] = None) {
     require(centroids.nonEmpty, "centroids must be non-empty")
     require(nprobe > 0, s"nprobe must be positive: $nprobe")
     require(centroidsBc != null,
@@ -123,7 +128,8 @@ object SqlAnn {
       centroidsBc: Option[Broadcast[Array[Array[Float]]]] = None): Registration = {
     enable(spark)
     val reg = new Registration(centroids, nprobe, vecCol, listCol, radii,
-      centroidsBc.getOrElse(spark.sparkContext.broadcast(centroids)))
+      centroidsBc.getOrElse(spark.sparkContext.broadcast(centroids)),
+      radii.map(spark.sparkContext.broadcast(_)))
     registry.put(qualified(spark, path), reg)
     reg
   }
@@ -144,7 +150,10 @@ object SqlAnn {
     * back to full scans until fresh radii are re-attached
     * (re-`registerSql` after the next epoch build/compaction). */
   def invalidateRadii(spark: SparkSession, path: String): Unit =
-    registry.get(qualified(spark, path)).foreach(_.radii = None)
+    registry.get(qualified(spark, path)).foreach { r =>
+      r.radii = None
+      r.radiiBc = None // the range-JOIN rewrite's copy goes stale too
+    }
 
   /** Remove the registration for `path` ONLY if it is still the exact
     * token `registerIndex` returned to this caller — the multi-facade
@@ -260,6 +269,14 @@ object SqlAnn {
         // <= k` filters — its presence IS the proof of top-k intent.
         case wgl: WindowGroupLimit =>
           tryBatchRewrite(wgl).getOrElse(wgl)
+        // fixed-radius JOIN shape: `FROM q, t WHERE l2_distance(t.vec,
+        // q.qvec) <= r` — the SQL similarity join. EXACT like the
+        // single-table range rewrite (the covering-ball prune keeps the
+        // original predicate), so no opt-in shape needed beyond
+        // registered radii: the cartesian becomes an equi-join on the
+        // intersecting lists.
+        case j: Join =>
+          tryRangeJoinRewrite(j).getOrElse(j)
       }
 
     /** The `list_id` conjunct a range predicate implies, or None when the
@@ -512,46 +529,77 @@ object SqlAnn {
       val listAttr = rel.output.find(o =>
         o.name == reg.listCol && o.dataType == IntegerType).getOrElse(return None)
 
-      // queries side: one probe row per (query, probed list)
-      val listOut = AttributeReference(
-        "__graft_probe_list", IntegerType, nullable = false)()
-      val newQSide = Generate(
+      val staticLists = staticUnion(qSide, queryV, reg.centroids.head.length,
+        arr => VectorKernels.probeLists(arr, reg.centroids, reg.nprobe, metric.id))
+      val restored = prunedJoin(join, projR, filtR, rel, qSide, relIsLeft,
+        listAttr, "__graft_probe_list",
         Explode(ProbeLists(queryV, reg.centroidsBc, reg.nprobe, metric)),
-        unrequiredChildIndex = Nil, outer = false, qualifier = None,
-        generatorOutput = Seq(listOut), child = qSide)
+        staticLists)
+      Some(projOpt match {
+        case Some(p) => wgl.copy(child = p.copy(child = restored))
+        case None => wgl.copy(child = restored)
+      })
+    }
 
-      // static union partition filter — only derivable when the batch is
-      // LITERAL (a LocalRelation: the rows live in the plan, no job). Any
-      // malformed vector (null element, wrong dim) bails out of the static
-      // filter entirely — a partial union could FALSELY prune another
-      // query's lists; the per-query join prune below stays correct alone.
-      val staticLists: Option[Seq[Int]] = qSide match {
-        case lr: LocalRelation if lr.data.length <= MaxStaticProbeRows =>
-          val ord = lr.output.indexWhere(_.exprId == queryV.exprId)
-          if (ord < 0) None
-          else {
-            val dim = reg.centroids.head.length
-            val acc = scala.collection.mutable.SortedSet.empty[Int]
-            var ok = true
-            val it = lr.data.iterator
-            while (ok && it.hasNext) {
-              val row = it.next()
-              if (!row.isNullAt(ord)) {
-                val arr =
-                  try row.getArray(ord).toFloatArray()
-                  catch { case _: NullPointerException => ok = false; null }
-                if (ok) {
-                  if (arr.length != dim) ok = false
-                  else VectorKernels.probeLists(
-                    arr, reg.centroids, reg.nprobe, metric.id).foreach(acc += _)
-                }
+    /** Union of per-query candidate lists, derivable only when the batch
+      * is LITERAL (a LocalRelation: the rows live in the plan, no job)
+      * and small ([[MaxStaticProbeRows]]). Any malformed vector (null
+      * element, wrong dim) bails out of the static union entirely — a
+      * partial union could FALSELY prune another query's lists; the
+      * per-query join prune stays correct alone. */
+    private def staticUnion(
+        qSide: LogicalPlan,
+        queryV: AttributeReference,
+        dim: Int,
+        probe: Array[Float] => Array[Int]): Option[Seq[Int]] = qSide match {
+      case lr: LocalRelation if lr.data.length <= MaxStaticProbeRows =>
+        val ord = lr.output.indexWhere(_.exprId == queryV.exprId)
+        if (ord < 0) None
+        else {
+          val acc = scala.collection.mutable.SortedSet.empty[Int]
+          var ok = true
+          val it = lr.data.iterator
+          while (ok && it.hasNext) {
+            val row = it.next()
+            if (!row.isNullAt(ord)) {
+              val arr =
+                try row.getArray(ord).toFloatArray()
+                catch { case _: NullPointerException => ok = false; null }
+              if (ok) {
+                if (arr.length != dim) ok = false
+                else probe(arr).foreach(acc += _)
               }
             }
-            if (ok) Some(acc.toSeq) else None
           }
-        case _ => None
-      }
-      val relWithStatic: LogicalPlan = staticLists match {
+          if (ok) Some(acc.toSeq) else None
+        }
+      case _ => None
+    }
+
+    /** Shared tail of the batch-top-k and range-join rewrites: explode
+      * the per-query candidate-list expression on the queries side,
+      * equi-join on `listAttr`, prune the scan (static `In` for literal
+      * batches; Spark's dynamic-partition-pruning subquery otherwise),
+      * and restore the join's ORIGINAL output so nothing upstream sees a
+      * changed schema. */
+    private def prunedJoin(
+        join: Join,
+        projR: Option[Project],
+        filtR: Option[Filter],
+        rel: LogicalRelation,
+        qSide: LogicalPlan,
+        relIsLeft: Boolean,
+        listAttr: AttributeReference,
+        listOutName: String,
+        explodeExpr: Explode,
+        staticLists: Option[Seq[Int]]): LogicalPlan = {
+      val listOut = AttributeReference(
+        listOutName, IntegerType, nullable = false)()
+      // queries side: one row per (query, candidate list)
+      val newQSide = Generate(explodeExpr,
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(listOut), child = qSide)
+      val relWithPrune: LogicalPlan = staticLists match {
         case Some(lists) =>
           // an empty union (every query row null) joins nothing anyway;
           // a constant-false filter keeps the scan from reading at all
@@ -563,19 +611,19 @@ object SqlAnn {
             case None => Filter(in, rel)
           }
         case None =>
-          // NON-literal batch: the probe union is only known at runtime,
-          // so inject Spark's own dynamic-partition-pruning subquery on
-          // the partition column — the scan then reads only the probed
-          // partitions, learned from the (bounded: queries x nprobe rows)
-          // build side. Physical planning REUSES the equi-join's
-          // broadcast when it can (zero extra jobs); otherwise
-          // onlyInBroadcast = false runs a distinct-aggregate subquery on
-          // the queries side, still corpus-free. Safe to inject here:
-          // this rule runs AFTER CleanupDynamicPruningFilters, and
-          // list_id is a genuine partition column (the same property the
-          // static In relies on). At 100 TB this is the difference
-          // between scanning union(probes)/nlist of the corpus and
-          // scanning all of it.
+          // NON-literal batch: the candidate union is only known at
+          // runtime, so inject Spark's own dynamic-partition-pruning
+          // subquery on the partition column — the scan then reads only
+          // the candidate partitions, learned from the (bounded: queries
+          // x lists-per-query rows) build side. Physical planning REUSES
+          // the equi-join's broadcast when it can (zero extra jobs);
+          // otherwise onlyInBroadcast = false runs a distinct-aggregate
+          // subquery on the queries side, still corpus-free. Safe to
+          // inject here: this rule runs AFTER
+          // CleanupDynamicPruningFilters, and list_id is a genuine
+          // partition column (the same property the static In relies
+          // on). At 100 TB this is the difference between scanning
+          // union(candidates)/nlist of the corpus and scanning all of it.
           val dpp = DynamicPruningSubquery(
             pruningKey = listAttr,
             buildQuery = newQSide,
@@ -594,21 +642,95 @@ object SqlAnn {
           val pl =
             if (p.projectList.exists(_.exprId == listAttr.exprId)) p.projectList
             else p.projectList :+ listAttr
-          p.copy(projectList = pl, child = relWithStatic)
-        case None => relWithStatic
+          p.copy(projectList = pl, child = relWithPrune)
+        case None => relWithPrune
       }
       val probeEq = EqualTo(listOut, listAttr)
       val newCond = join.condition.map(And(_, probeEq)).getOrElse(probeEq)
       val (nl, nr) =
         if (relIsLeft) (newRelSide, newQSide) else (newQSide, newRelSide)
-      // restore the join's ORIGINAL output (drop the probe column and the
-      // re-exposed list_id) so nothing upstream sees a changed schema
-      val restored = Project(join.output,
+      Project(join.output,
         join.copy(left = nl, right = nr, condition = Some(newCond)))
-      Some(projOpt match {
-        case Some(p) => wgl.copy(child = p.copy(child = restored))
-        case None => wgl.copy(child = restored)
-      })
+    }
+
+    // ---- the RANGE-JOIN rewrite -------------------------------------------
+
+    /**
+     * The SQL similarity join: `FROM queries q, registered t WHERE
+     * l2_distance(t.vec, q.qvec) <= r` — a cartesian in the naive plan —
+     * becomes an equi-join on the lists whose covering ball intersects
+     * each query's radius-r ball ([[graft.functions.RangeProbeLists]]).
+     * EXACT like the single-table range rewrite (the covering-ball bound
+     * is a metric-space fact, and the original `dist <= r` conjunct is
+     * KEPT), so it needs no opt-in shape beyond registered radii; fires
+     * for any Inner/Cross join carrying the bound in its condition. L2
+     * only (the bound needs a true metric), finite radius only (the
+     * injected expression embeds it as a Java literal).
+     */
+    private def tryRangeJoinRewrite(join: Join): Option[LogicalPlan] = {
+      join.joinType match {
+        case Inner | Cross =>
+        case _ => return None
+      }
+      val cond = join.condition.getOrElse(return None)
+      def boundOf(e: Expression): Option[(VectorDistance, Double)] = e match {
+        case LessThanOrEqual(d: VectorDistance, Literal(r: Double, DoubleType)) => Some((d, r))
+        case LessThan(d: VectorDistance, Literal(r: Double, DoubleType)) => Some((d, r))
+        case GreaterThanOrEqual(Literal(r: Double, DoubleType), d: VectorDistance) => Some((d, r))
+        case GreaterThan(Literal(r: Double, DoubleType), d: VectorDistance) => Some((d, r))
+        case _ => None
+      }
+      splitConjunctivePredicates(cond).iterator
+        .flatMap(boundOf(_))
+        .flatMap {
+          case (VectorDistance(x: AttributeReference, y: AttributeReference,
+              Metric.L2), r) if java.lang.Double.isFinite(r) =>
+            attemptRangeJoin(join, x, y, r)
+              .orElse(attemptRangeJoin(join, y, x, r))
+          case _ => None
+        }
+        .nextOption()
+    }
+
+    private def attemptRangeJoin(
+        join: Join,
+        vecAttr: AttributeReference,
+        qAttr: AttributeReference,
+        radius: Double): Option[LogicalPlan] = {
+      val (relSide, qSide, relIsLeft) =
+        if (join.left.outputSet.contains(vecAttr) &&
+            join.right.outputSet.contains(qAttr)) (join.left, join.right, true)
+        else if (join.right.outputSet.contains(vecAttr) &&
+            join.left.outputSet.contains(qAttr)) (join.right, join.left, false)
+        else return None
+      val (projR, filtR, rel) = relParts(relSide).getOrElse(return None)
+      val reg = lookup(rel).getOrElse(return None)
+      if (!vecOfRelation(rel, reg, vecAttr)) return None
+      // ONE volatile read each; a concurrent invalidateRadii between the
+      // two reads can only make the prune use the OLDER (still-valid-for-
+      // its-snapshot) radii, same staleness contract as the static range
+      // rewrite
+      val radiiArr = reg.radii.getOrElse(return None)
+      val radiiB = reg.radiiBc.getOrElse(return None)
+      qAttr.dataType match {
+        case ArrayType(FloatType, _) =>
+        case _ => return None
+      }
+      // idempotence: OUR Generate (either flavor) already on the query side
+      val already = qSide.exists {
+        case Generate(e: Explode, _, _, _, _, _) =>
+          e.child.isInstanceOf[ProbeLists] || e.child.isInstanceOf[RangeProbeLists]
+        case _ => false
+      }
+      if (already) return None
+      val listAttr = rel.output.find(o =>
+        o.name == reg.listCol && o.dataType == IntegerType).getOrElse(return None)
+      val staticLists = staticUnion(qSide, qAttr, reg.centroids.head.length,
+        arr => VectorKernels.rangeProbeLists(arr, reg.centroids, radiiArr, radius))
+      Some(prunedJoin(join, projR, filtR, rel, qSide, relIsLeft,
+        listAttr, "__graft_range_list",
+        Explode(RangeProbeLists(qAttr, reg.centroidsBc, radiiB, radius)),
+        staticLists))
     }
   }
 }

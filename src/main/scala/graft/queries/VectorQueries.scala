@@ -699,6 +699,7 @@ object VectorQueries {
     "sql_ann_rewrite" -> (sqlAnnRewrite _),
     "sql_range_rewrite" -> (sqlRangeRewrite _),
     "sql_batch_rewrite" -> (sqlBatchRewrite _),
+    "sql_range_join" -> (sqlRangeJoin _),
   )
 
   /** The SQL-surface ANN query vector: 64 exactly-representable binary
@@ -809,6 +810,32 @@ object VectorQueries {
     val pf = partitionFilterOf(df)
     require(pf.contains("list_id"),
       s"sql_batch_rewrite: the batch ANN rewrite did not fire (PartitionFilters: $pf)")
+    df
+  }
+
+  /** SQL similarity join (round 14): `FROM queries q, corpus t WHERE
+    * l2_distance(t.vec, q.qvec) <= r` — a cartesian in the naive plan —
+    * rewritten by [[graft.plans.SqlAnn]] into an equi-join on each
+    * query's covering-ball-intersecting lists, EXACT by the reverse
+    * triangle inequality (the original predicate is kept), so the
+    * brute-force range join is the hash oracle with NO nprobe
+    * arrangement. Literal query batch -> the union of intersecting lists
+    * is also a static partition filter, which this entry REQUIRES. */
+  private def sqlRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    sqlAnnTable(spark, dir)
+    val src = emb(spark, dir).filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    spark.createDataFrame(
+      java.util.Arrays.asList(src.collect(): _*), src.schema)
+      .createOrReplaceTempView("graft_sqlann_rq")
+    val df = spark.sql(
+      s"""SELECT q.qid, t.id, l2_distance(t.vec, q.qvec) AS dist
+         |FROM graft_sqlann_rq q, graft_sqlann t
+         |WHERE l2_distance(t.vec, q.qvec) <= $RangeRadius
+         |ORDER BY qid, id""".stripMargin)
+    val pf = partitionFilterOf(df)
+    require(pf.contains("list_id"),
+      s"sql_range_join: the range-join rewrite did not fire (PartitionFilters: $pf)")
     df
   }
 
@@ -956,6 +983,10 @@ object VectorQueries {
          |        CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS INT) AS rank
          |      FROM d)
          |SELECT qid, id, dist, rank FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin,
+    // the range-JOIN rewrite is exact (covering-ball prune keeps the
+    // original predicate), so the brute-force range join over the same
+    // query rows IS the oracle — rangeOracleSql's exact shape
+    "sql_range_join" -> rangeOracleSql,
     "hamming_ann" -> hammingOracleSql,
     "hamming_rerank" -> hammingRerankOracleSql,
     "sq8_rerank" -> sq8RerankOracleSql,

@@ -782,6 +782,110 @@ class SqlAnnSpec extends SparkSpec {
     } finally SqlAnn.unregisterIndex(spark, dir)
   }
 
+  // ---- the RANGE-JOIN shape (round 14): SQL similarity join --------------
+
+  private def rangeJoinSql(qView: String, tView: String, radius: String): String =
+    s"""SELECT q.qid, t.id, l2_distance(t.vec, q.qvec) AS dist
+       |FROM $qView q, $tView t
+       |WHERE l2_distance(t.vec, q.qvec) <= $radius ORDER BY qid, id""".stripMargin
+
+  private def hasRangeGenerate(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.exists {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate =>
+        g.generator match {
+          case e: org.apache.spark.sql.catalyst.expressions.Explode =>
+            e.child.isInstanceOf[graft.functions.RangeProbeLists]
+          case _ => false
+        }
+      case _ => false
+    }
+
+  private def rows3(df: DataFrame): Seq[(Long, Long, Double)] =
+    df.collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+  test("range join: the cartesian becomes an equi-join, EXACT, pruned scan (literal batch)") {
+    rangeIndex
+    spark.read.parquet(rangeDir).createOrReplaceTempView("sqlann_rj")
+    SqlAnn.registerIndex(spark, rangeDir, rangeIndex.centroids.value,
+      nprobe = 2, radii = Some(rangeIndex.listRadii))
+    val qs = Seq(100L -> corner(0), 101L -> corner(3))
+    localQView("sqlann_rjq", qs)
+    try {
+      val df = spark.sql(rangeJoinSql("sqlann_rjq", "sqlann_rj", "2.0"))
+      assert(hasRangeGenerate(df), "the range-probe explode must be injected")
+      val scan = corpusScan(df)
+      assert(scan.metadata.getOrElse("PartitionFilters", "").contains("list_id"))
+      val read = scan.relation.location.listFiles(scan.partitionFilters, Nil).size
+      assert(read > 0 && read < NList,
+        s"tight query balls over clustered lists must prune (< $NList), read $read")
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("CartesianProduct") && !phys.contains("NestedLoop"),
+        s"the rewrite must plan an equi-join, got:\n$phys")
+      // EXACT — identical to the brute-force range scan over both queries
+      val exact = graft.index.Knn.range(queriesDF(qs),
+        rangeIndex.vectors.select(col("id"), col("vec")), 2.0).orderBy("qid", "id")
+      val got = rows3(df)
+      assert(got.nonEmpty && got === rows3(exact.select(
+        col("qid"), col("id"), col("dist"))))
+    } finally SqlAnn.unregisterIndex(spark, rangeDir)
+  }
+
+  test("range join: parquet queries side gets dynamic pruning; no radii / cosine untouched") {
+    rangeIndex
+    spark.read.parquet(rangeDir).createOrReplaceTempView("sqlann_rj2")
+    val qDir = java.nio.file.Files
+      .createTempDirectory("graft-sqlann-rjq").toFile.getAbsolutePath
+    val qs = Seq(100L -> corner(0), 101L -> corner(3))
+    queriesDF(qs).write.mode("overwrite").parquet(qDir)
+    spark.read.parquet(qDir).createOrReplaceTempView("sqlann_rjqp")
+    // (a) registered WITHOUT radii: the join shape must not rewrite
+    SqlAnn.registerIndex(spark, rangeDir, rangeIndex.centroids.value, nprobe = 2)
+    try {
+      assert(!hasRangeGenerate(
+        spark.sql(rangeJoinSql("sqlann_rjqp", "sqlann_rj2", "2.0"))))
+    } finally SqlAnn.unregisterIndex(spark, rangeDir)
+    SqlAnn.registerIndex(spark, rangeDir, rangeIndex.centroids.value,
+      nprobe = 2, radii = Some(rangeIndex.listRadii))
+    try {
+      // (b) non-literal queries side: dynamic pruning at the corpus scan
+      val df = spark.sql(rangeJoinSql("sqlann_rjqp", "sqlann_rj2", "2.0"))
+      assert(hasRangeGenerate(df))
+      assert(corpusScan(df).metadata.getOrElse("PartitionFilters", "")
+        .contains("dynamicpruning"))
+      val exact = graft.index.Knn.range(queriesDF(qs),
+        rangeIndex.vectors.select(col("id"), col("vec")), 2.0).orderBy("qid", "id")
+      assert(rows3(df) === rows3(exact.select(col("qid"), col("id"), col("dist"))))
+      val partsRead = corpusScan(df)
+        .metrics.get("numPartitions").map(_.value).getOrElse(-1L)
+      assert(partsRead > 0 && partsRead < NList,
+        s"dynamic range pruning must read < $NList partitions, read $partsRead")
+      // (c) the bound needs a true metric: cosine join is left untouched
+      val cos = spark.sql(
+        s"""SELECT q.qid, t.id FROM sqlann_rjqp q, sqlann_rj2 t
+           |WHERE cosine_distance(t.vec, q.qvec) <= 0.2""".stripMargin)
+      assert(!hasRangeGenerate(cos))
+      // (d) idempotence: one Generate, one In/dpp filter
+      val gens = df.queryExecution.optimizedPlan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }.size
+      assert(gens === 1, s"exactly one range-probe explode, got $gens")
+    } finally SqlAnn.unregisterIndex(spark, rangeDir)
+  }
+
+  test("range join: negative radius yields zero rows exactly") {
+    rangeIndex
+    spark.read.parquet(rangeDir).createOrReplaceTempView("sqlann_rj3")
+    SqlAnn.registerIndex(spark, rangeDir, rangeIndex.centroids.value,
+      nprobe = 2, radii = Some(rangeIndex.listRadii))
+    localQView("sqlann_rjq3", Seq(100L -> corner(0)))
+    try {
+      val df = spark.sql(rangeJoinSql("sqlann_rjq3", "sqlann_rj3", "-1.0"))
+      assert(df.collect().isEmpty,
+        "sqrt(negative) = NaN keeps only NaN-radius lists; the retained " +
+          "dist <= r predicate then drops every pair — exactly zero rows")
+    } finally SqlAnn.unregisterIndex(spark, rangeDir)
+  }
+
   test("batch shape: a user WHERE on the corpus composes; NULL query vectors yield no rows") {
     index
     spark.read.parquet(dir).createOrReplaceTempView("sqlann_v")
