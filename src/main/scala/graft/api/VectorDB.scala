@@ -432,6 +432,16 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
    * free when the epoch persisted its radii table (the build path does;
    * appended-to epochs drop it); `computeRangeRadii = true` forces the
    * one-corpus-pass computation otherwise.
+   *
+   * Two JOIN shapes as well (round 14): per-query top-k over a queries
+   * TABLE (`row_number() OVER (PARTITION BY q.qid ORDER BY
+   * l2_distance(t.vec, q.qvec)) <= k` — the SQL twin of the facade's
+   * searchBatch, approximate at the registered nprobe) and the
+   * similarity JOIN (`WHERE l2_distance(t.vec, q.qvec) <= r` — EXACT,
+   * needs the radii like the single-table range shape). Both replace the
+   * cartesian with an equi-join on the candidate lists; literal
+   * (VALUES/createDataFrame) query batches additionally prune the scan
+   * statically, any other batch via dynamic partition pruning.
    */
   def registerSql(
       name: String,
