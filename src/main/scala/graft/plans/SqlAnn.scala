@@ -624,12 +624,29 @@ object SqlAnn {
           // partition column (the same property the static In relies
           // on). At 100 TB this is the difference between scanning
           // union(candidates)/nlist of the corpus and scanning all of it.
+          //
+          // Double-execution safety: WITHOUT a reusable broadcast the
+          // planner runs buildQuery AGAIN as a standalone subquery — a
+          // queries side that does not re-execute to the same rows
+          // (sample, rand(), a limit with no total order) could then
+          // prune partitions the join's ACTUAL rows need: a false
+          // dismissal, the one thing these rewrites must never do. For
+          // such sides demand broadcast reuse (onlyInBroadcast = true:
+          // one read feeds both join and prune, or the prune is planned
+          // away as trivially true) — the same snapshot-once discipline
+          // the facade's searchWhere applies to non-deterministic query
+          // sets.
+          val reExecutable = qSide.expressions.forall(_.deterministic) &&
+            !qSide.exists {
+              case _: Sample | _: LocalLimit | _: GlobalLimit => true
+              case _ => false
+            }
           val dpp = DynamicPruningSubquery(
             pruningKey = listAttr,
             buildQuery = newQSide,
             buildKeys = Seq(listOut),
             broadcastKeyIndices = Seq(0),
-            onlyInBroadcast = false)
+            onlyInBroadcast = !reExecutable)
           filtR match {
             case Some(f) => f.copy(condition = And(f.condition, dpp))
             case None => Filter(dpp, rel)

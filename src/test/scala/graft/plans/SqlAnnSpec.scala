@@ -872,6 +872,60 @@ class SqlAnnSpec extends SparkSpec {
     } finally SqlAnn.unregisterIndex(spark, rangeDir)
   }
 
+  test("dynamic pruning demands broadcast reuse for non-re-executable query sides") {
+    // a queries side that may not re-execute to the same rows (sample,
+    // rand(), unordered limit) must NOT feed a standalone pruning
+    // subquery — a second execution could prune partitions the join's
+    // actual rows need (false dismissal). The injected subquery's
+    // onlyInBroadcast flag is the guard: reuse-or-drop.
+    index
+    spark.read.parquet(dir).createOrReplaceTempView("sqlann_det")
+    SqlAnn.registerIndex(spark, dir, index.centroids.value, nprobe = NList)
+    val qDir = java.nio.file.Files
+      .createTempDirectory("graft-sqlann-det").toFile.getAbsolutePath
+    queriesDF(randomVectors(6, Dim, seed = 9)).write.mode("overwrite").parquet(qDir)
+    spark.read.parquet(qDir).createOrReplaceTempView("sqlann_detq")
+    def onlyInBroadcastOf(df: DataFrame): Seq[Boolean] =
+      df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.collect {
+            case d: org.apache.spark.sql.catalyst.expressions.DynamicPruningSubquery =>
+              d.onlyInBroadcast
+          }
+      }.flatten
+    try {
+      // plain parquet side: re-executable, standalone subquery allowed
+      val det = spark.sql(batchSql("sqlann_detq", "sqlann_det"))
+      assert(onlyInBroadcastOf(det) === Seq(false))
+      // unordered LIMIT: row selection is not stable across executions
+      val lim = spark.sql(
+        s"""SELECT qid, id, dist, rank FROM (
+           |  SELECT q.qid, t.id, l2_distance(t.vec, q.qvec) AS dist,
+           |    CAST(row_number() OVER (PARTITION BY q.qid
+           |      ORDER BY l2_distance(t.vec, q.qvec), t.id) AS INT) AS rank
+           |  FROM (SELECT * FROM sqlann_detq LIMIT 3) q, sqlann_det t)
+           |WHERE rank <= $K ORDER BY qid, rank""".stripMargin)
+      assert(hasProbeGenerate(lim), "the join prune itself still applies")
+      assert(onlyInBroadcastOf(lim).forall(_ == true),
+        "a limited queries side must demand broadcast reuse for pruning")
+      // and the results stay correct either way (broadcast reuse serves
+      // one consistent row set to both join and prune)
+      val rows = rows4(lim)
+      assert(rows.map(_._1).distinct.size === 3 && rows.size === 3 * K)
+      // TABLESAMPLE: same guard
+      val samp = spark.sql(
+        s"""SELECT qid, id, dist, rank FROM (
+           |  SELECT q.qid, t.id, l2_distance(t.vec, q.qvec) AS dist,
+           |    CAST(row_number() OVER (PARTITION BY q.qid
+           |      ORDER BY l2_distance(t.vec, q.qvec), t.id) AS INT) AS rank
+           |  FROM (SELECT * FROM sqlann_detq TABLESAMPLE (50 PERCENT)) q, sqlann_det t)
+           |WHERE rank <= $K ORDER BY qid, rank""".stripMargin)
+      if (hasProbeGenerate(samp))
+        assert(onlyInBroadcastOf(samp).forall(_ == true),
+          "a sampled queries side must demand broadcast reuse for pruning")
+    } finally SqlAnn.unregisterIndex(spark, dir)
+  }
+
   test("range join: negative radius yields zero rows exactly") {
     rangeIndex
     spark.read.parquet(rangeDir).createOrReplaceTempView("sqlann_rj3")
