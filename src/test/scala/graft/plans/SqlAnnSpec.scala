@@ -872,6 +872,50 @@ class SqlAnnSpec extends SparkSpec {
     } finally SqlAnn.unregisterIndex(spark, rangeDir)
   }
 
+  test("batch shape: the shuffle-join regime (no broadcast) still prunes via the standalone subquery") {
+    // the 100 TB flood shape: a queries side too big to broadcast makes
+    // the equi-join shuffle — dynamic pruning must then fall back to the
+    // standalone distinct-keys subquery (onlyInBroadcast = false for a
+    // re-executable side) and STILL prune the corpus scan
+    rangeIndex
+    spark.read.parquet(rangeDir).createOrReplaceTempView("sqlann_smj")
+    SqlAnn.registerIndex(spark, rangeDir, rangeIndex.centroids.value, nprobe = 2)
+    val qDir = java.nio.file.Files
+      .createTempDirectory("graft-sqlann-smj").toFile.getAbsolutePath
+    val qs = Seq(100L -> corner(0), 101L -> corner(3))
+    queriesDF(qs).write.mode("overwrite").parquet(qDir)
+    spark.read.parquet(qDir).createOrReplaceTempView("sqlann_smjq")
+    val conf = spark.conf
+    val oldT = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldA = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = spark.sql(batchSql("sqlann_smjq", "sqlann_smj"))
+      assert(hasProbeGenerate(df))
+      assert(corpusScan(df).metadata.getOrElse("PartitionFilters", "")
+        .contains("dynamicpruning"))
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastHashJoin"),
+        s"the regime under test is the NON-broadcast join, got:\n$phys")
+      // facade-identical at the same nprobe, through the shuffle join
+      val facade = rangeIndex.search(queriesDF(qs),
+        graft.SearchParams(k = K, nprobe = 2)).orderBy("qid", "rank")
+      assert(rows4(df) === rows4(facade.select(
+        col("qid"), col("id"), col("dist"), col("rank"))))
+      // and the scan really read only the probed partitions
+      val partsRead = corpusScan(df)
+        .metrics.get("numPartitions").map(_.value).getOrElse(-1L)
+      assert(partsRead > 0 && partsRead <= 4,
+        s"standalone-subquery pruning must read <= 4 of $NList partitions, read $partsRead")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldT)
+      oldA.fold(conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold"))(
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
+      SqlAnn.unregisterIndex(spark, rangeDir)
+    }
+  }
+
   test("dynamic pruning demands broadcast reuse for non-re-executable query sides") {
     // a queries side that may not re-execute to the same rows (sample,
     // rand(), unordered limit) must NOT feed a standalone pruning
