@@ -469,17 +469,35 @@ class SqlAnnSpec extends SparkSpec {
     val errs = new java.util.concurrent.CopyOnWriteArrayList[Throwable]()
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val queriesRun = new java.util.concurrent.atomic.AtomicLong()
-    // reader: ANN SQL in a tight loop — every query must return a full
-    // top-k, never a FileNotFound from a reaped epoch dir, never an
-    // unresolved view. Between a swap and the re-register it may serve
-    // the PREVIOUS epoch (the documented staleness window); keepN = 2
-    // keeps that epoch on disk until the view is two swaps past it.
+    // reader: ALL THREE ANN SQL shapes in a tight loop — every query
+    // must return its full result, never a FileNotFound from a reaped
+    // epoch dir, never an unresolved view. Between a swap and the
+    // re-register a query may serve the PREVIOUS epoch (the documented
+    // staleness window) or lose the rewrite for a moment (registration
+    // released first — the unrewritten plan is the correct exact
+    // fallback, never an error); keepN = 2 keeps that epoch on disk
+    // until the view is two swaps past it.
+    localQView("churn_bq", Seq(500L -> qvec, 501L -> qvec.map(-_)))
+    val batchChurnSql =
+      s"""SELECT qid, id, dist, rank FROM (
+         |  SELECT q.qid, t.id, l2_distance(t.vec, q.qvec) AS dist,
+         |    CAST(row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY l2_distance(t.vec, q.qvec), t.id) AS INT) AS rank
+         |  FROM churn_bq q, churnidx t)
+         |WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+    val rangeChurnSql =
+      s"""SELECT q.qid, t.id FROM churn_bq q, churnidx t
+         |WHERE l2_distance(t.vec, q.qvec) <= 0.5""".stripMargin
     val reader = new Thread(() => {
       try {
         while (!stop.get()) {
           val rows = spark.sql(annSql("churnidx")).collect()
           if (rows.length != K)
             throw new AssertionError(s"expected $K rows, got ${rows.length}")
+          val brows = spark.sql(batchChurnSql).collect()
+          if (brows.length != 2 * K)
+            throw new AssertionError(s"expected ${2 * K} batch rows, got ${brows.length}")
+          spark.sql(rangeChurnSql).collect() // count is epoch-dependent; must not throw
           queriesRun.incrementAndGet()
           ()
         }
