@@ -1,0 +1,112 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.index.IvfFlatIndex
+
+/**
+ * Randomized differential check for the SQL ANN rewrites: for random
+ * (dim, nlist, corpus, batch, k, radius, metric) draws, the REWRITTEN
+ * plans must return byte-identical results to the same SQL over the same
+ * table UNREGISTERED (the brute-force cartesian plan). Registration is
+ * at nprobe = nlist with radii attached, where every rewrite is exact by
+ * construction — so any divergence is a rewrite bug (wrong probe set,
+ * broken idempotence, dropped rows at an edge like k > n, an empty list,
+ * or a one-vector list with covering radius 0). Both plans evaluate the
+ * SAME distance kernel, so results compare as exact tuples.
+ */
+class SqlAnnFuzzSpec extends SparkSpec {
+
+  private def batchSqlText(dist: String, k: Int): String =
+    s"""SELECT qid, id, dist, rank FROM (
+       |  SELECT q.qid, t.id, $dist(t.vec, q.qvec) AS dist,
+       |    CAST(row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY $dist(t.vec, q.qvec), t.id) AS INT) AS rank
+       |  FROM fz_q q, fz_t t)
+       |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  private def rangeSqlText(radius: Double): String =
+    s"""SELECT q.qid, t.id, l2_distance(t.vec, q.qvec) AS dist
+       |FROM fz_q q, fz_t t
+       |WHERE l2_distance(t.vec, q.qvec) <= $radius ORDER BY qid, id""".stripMargin
+
+  private def literalSqlText(q: Array[Float], k: Int): String = {
+    val lit = s"CAST(array(${q.map(_.toDouble).mkString(", ")}) AS ARRAY<FLOAT>)"
+    s"""SELECT id, l2_distance(vec, $lit) AS dist
+       |FROM fz_t ORDER BY dist, id LIMIT $k""".stripMargin
+  }
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  test("rewritten SQL == unregistered brute force across random configurations") {
+    // the distance functions must exist for the UNREGISTERED brute-force
+    // runs too (registerIndex would install them, but it runs later by
+    // design — brute force first)
+    graft.GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(1234)
+    (1 to 8).foreach { trial =>
+      val dim = 4 + rnd.nextInt(5)
+      val nlist = 2 + rnd.nextInt(7)
+      val n = 30 + rnd.nextInt(170)
+      val corpus = randomVectors(n, dim, seed = rnd.nextInt(100000))
+      val idx = IvfFlatIndex.build(spark, vectorsDF(corpus), nlist)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-sqlann-fuzz$trial").toFile.getAbsolutePath
+      idx.vectors.write.partitionBy("list_id").mode("overwrite").parquet(dir)
+      spark.read.parquet(dir).createOrReplaceTempView("fz_t")
+      val nq = 1 + rnd.nextInt(4)
+      val qs = randomVectors(nq, dim, seed = rnd.nextInt(100000))
+        .map { case (i, v) => (i + 1000L, v) }
+      localQView("fz_q", qs)
+      // k deliberately allowed ABOVE n (k > corpus edge); radius spans
+      // zero-match to most-match regimes
+      val k = 1 + rnd.nextInt(2 * n / nq.max(1)).min(40)
+      val radius = rnd.nextDouble() * rnd.nextInt(4)
+      val metric = Seq("l2_distance", "cosine_distance", "ip_distance")(rnd.nextInt(3))
+      val cfg = s"trial $trial: dim=$dim nlist=$nlist n=$n nq=$nq k=$k " +
+        s"radius=$radius metric=$metric"
+
+      val bSql = batchSqlText(metric, k)
+      val rSql = rangeSqlText(radius)
+      val lSql = literalSqlText(qs.head._2, k)
+      // brute force FIRST: nothing registered, nothing rewrites
+      val bruteBatch = rows(spark.sql(bSql))
+      val bruteRange = rows(spark.sql(rSql))
+      val bruteLit = rows(spark.sql(lSql))
+
+      SqlAnn.registerIndex(spark, dir, idx.centroids.value,
+        nprobe = nlist, radii = Some(idx.listRadii))
+      try {
+        val b = spark.sql(bSql)
+        val r = spark.sql(rSql)
+        val l = spark.sql(lSql)
+        // the rewrites must actually FIRE (otherwise this fuzz tests nothing)
+        assert(b.queryExecution.optimizedPlan.exists {
+          case g: org.apache.spark.sql.catalyst.plans.logical.Generate =>
+            g.generator.children.head.isInstanceOf[graft.functions.ProbeLists]
+          case _ => false
+        }, s"$cfg: batch rewrite did not fire")
+        assert(r.queryExecution.optimizedPlan.exists {
+          case g: org.apache.spark.sql.catalyst.plans.logical.Generate =>
+            g.generator.children.head.isInstanceOf[graft.functions.RangeProbeLists]
+          case _ => false
+        }, s"$cfg: range-join rewrite did not fire")
+        assert(rows(b) === bruteBatch, s"$cfg: BATCH divergence")
+        assert(rows(r) === bruteRange, s"$cfg: RANGE-JOIN divergence")
+        assert(rows(l) === bruteLit, s"$cfg: LITERAL top-k divergence")
+      } finally SqlAnn.unregisterIndex(spark, dir)
+    }
+  }
+
+  private def localQView(name: String, rows: Seq[(Long, Array[Float])]): Unit = {
+    val list = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    rows.foreach { case (i, v) => list.add(org.apache.spark.sql.Row(i, v.toSeq)) }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("qid", LongType),
+      StructField("qvec", ArrayType(FloatType))))
+    spark.createDataFrame(list, schema).createOrReplaceTempView(name)
+  }
+}
