@@ -98,6 +98,20 @@ class SqlAnnFuzzSpec extends SparkSpec {
         assert(rows(r) === bruteRange, s"$cfg: RANGE-JOIN divergence")
         assert(rows(l) === bruteLit, s"$cfg: LITERAL top-k divergence")
       } finally SqlAnn.unregisterIndex(spark, dir)
+
+      // the APPROXIMATION path: at a random nprobe < nlist the SQL batch
+      // must equal the facade at the SAME nprobe — same ProbeLists
+      // kernel, same per-query candidate lists, same (dist, id) order
+      val np = 1 + rnd.nextInt(nlist)
+      SqlAnn.registerIndex(spark, dir, idx.centroids.value, nprobe = np)
+      try {
+        val sqlRes = rows(spark.sql(batchSqlText("l2_distance", k)))
+        val facade = idx.search(queriesDF(qs),
+          graft.SearchParams(k = k, nprobe = np)).orderBy("qid", "rank")
+          .select(col("qid"), col("id"), col("dist"), col("rank"))
+        assert(sqlRes === rows(facade),
+          s"$cfg nprobe=$np: SQL batch != facade at the same nprobe")
+      } finally SqlAnn.unregisterIndex(spark, dir)
     }
   }
 
