@@ -699,6 +699,7 @@ object VectorQueries {
     "sql_ann_rewrite" -> (sqlAnnRewrite _),
     "sql_range_rewrite" -> (sqlRangeRewrite _),
     "sql_batch_rewrite" -> (sqlBatchRewrite _),
+    "sql_batch_dpp" -> (sqlBatchDpp _),
     "sql_range_join" -> (sqlRangeJoin _),
   )
 
@@ -810,6 +811,57 @@ object VectorQueries {
     val pf = partitionFilterOf(df)
     require(pf.contains("list_id"),
       s"sql_batch_rewrite: the batch ANN rewrite did not fire (PartitionFilters: $pf)")
+    df
+  }
+
+  /** The executed plan's CORPUS-scan partition-filter text — with a
+    * parquet-backed queries side the plan has TWO file scans and the
+    * first-scan probe ([[partitionFilterOf]]) may hit the queries
+    * table's; pick the scan carrying the list_id partition column. */
+  private def corpusPartitionFilterOf(df: DataFrame): String = {
+    def find(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          find(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          find(q.plan)
+      }.flatten
+    find(df.queryExecution.executedPlan)
+      .find(_.output.exists(_.name == "list_id"))
+      .flatMap(_.metadata.get("PartitionFilters")).getOrElse("")
+  }
+
+  /** The batch shape's DYNAMIC-pruning twin (round 14): same window-rank
+    * SQL, but the query batch is a PARQUET table (not a literal), so the
+    * static union is underivable and the rewrite must prune the corpus
+    * scan through Spark's DynamicPruningSubquery at runtime instead —
+    * this entry REQUIRES the dynamicpruning partition filter on the
+    * CORPUS scan. nprobe = nlist keeps it exact, so the same brute-force
+    * window SQL (over the next BatchSqlNQ embeddings) is the hash
+    * oracle. */
+  private def sqlBatchDpp(spark: SparkSession, dir: String): DataFrame = {
+    sqlAnnTable(spark, dir)
+    val qDir = cached[String](s"sqlann-batchq:$dir") {
+      val d = tempDirCleaned("graft-sqlann-bq")
+      emb(spark, dir)
+        .filter(col("vec_id") >= BatchSqlNQ && col("vec_id") < 2 * BatchSqlNQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        .coalesce(1).write.mode("overwrite").parquet(d)
+      d
+    }
+    spark.read.parquet(qDir).createOrReplaceTempView("graft_sqlann_qp")
+    val df = spark.sql(
+      s"""SELECT qid, id, dist, rank FROM (
+         |  SELECT q.qid, t.id, l2_distance(t.vec, q.qvec) AS dist,
+         |    CAST(row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY l2_distance(t.vec, q.qvec), t.id) AS INT) AS rank
+         |  FROM graft_sqlann_qp q, graft_sqlann t)
+         |WHERE rank <= $K ORDER BY qid, rank""".stripMargin)
+    val pf = corpusPartitionFilterOf(df)
+    require(pf.contains("dynamicpruning"),
+      s"sql_batch_dpp: dynamic pruning did not reach the corpus scan (PartitionFilters: $pf)")
     df
   }
 
@@ -977,6 +1029,18 @@ object VectorQueries {
     "sql_batch_rewrite" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
          |           WHERE vec_id < $BatchSqlNQ),
+         |d AS (SELECT q.qid, v.vec_id AS id, ${sqlL2("q.qv", "v.embedding")} AS dist
+         |      FROM q, embeddings v),
+         |r AS (SELECT qid, id, dist,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS INT) AS rank
+         |      FROM d)
+         |SELECT qid, id, dist, rank FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin,
+    // the DPP twin runs the SAME shape over the NEXT BatchSqlNQ
+    // embeddings (parquet-backed, runtime-pruned, still exact at
+    // nprobe = nlist)
+    "sql_batch_dpp" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |           WHERE vec_id >= $BatchSqlNQ AND vec_id < ${2 * BatchSqlNQ}),
          |d AS (SELECT q.qid, v.vec_id AS id, ${sqlL2("q.qv", "v.embedding")} AS dist
          |      FROM q, embeddings v),
          |r AS (SELECT qid, id, dist,
