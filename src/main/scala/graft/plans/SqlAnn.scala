@@ -216,22 +216,34 @@ object SqlAnn {
       case _ => None
     }
 
-  /** The first v1 file scan in a query's EXECUTED plan, unwrapping AQE
-    * wrapper nodes (a global sort plans under AdaptiveSparkPlanExec,
-    * whose inner plan a plain collect cannot see) — the shared
-    * "did the rewrite reach the scan" probe the driver entries and the
-    * specs assert on. */
-  def fileSourceScan(df: org.apache.spark.sql.DataFrame)
-      : Option[org.apache.spark.sql.execution.FileSourceScanExec] = {
+  /** Every v1 file scan in a query's EXECUTED plan, unwrapping the AQE
+    * wrapper nodes a plain collect cannot see through: a global sort
+    * plans under AdaptiveSparkPlanExec, and AFTER execution the adaptive
+    * plan's subtrees live inside QueryStageExec wrappers (children = Nil,
+    * subtree at `.plan`). Shared by the driver entries' fired-rewrite
+    * probes and the specs; callers with a two-table plan (batch / range
+    * join over a parquet queries table) pick the CORPUS scan by its
+    * list_id output — traversal order may surface the queries scan
+    * first. */
+  def fileSourceScans(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
     def find(p: org.apache.spark.sql.execution.SparkPlan)
-        : Option[org.apache.spark.sql.execution.FileSourceScanExec] =
-      p.collectFirst {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-      }.orElse(p.collect {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a
-      }.flatMap(a => find(a.executedPlan)).headOption)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          find(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          find(q.plan)
+      }.flatten
     find(df.queryExecution.executedPlan)
   }
+
+  /** The first file scan (see [[fileSourceScans]]) — the single-table
+    * shapes' "did the rewrite reach the scan" probe. */
+  def fileSourceScan(df: org.apache.spark.sql.DataFrame)
+      : Option[org.apache.spark.sql.execution.FileSourceScanExec] =
+    fileSourceScans(df).headOption
 
   /**
    * The rewrite itself. Runs in the "User Provided Optimizers" batch

@@ -818,20 +818,10 @@ object VectorQueries {
     * parquet-backed queries side the plan has TWO file scans and the
     * first-scan probe ([[partitionFilterOf]]) may hit the queries
     * table's; pick the scan carrying the list_id partition column. */
-  private def corpusPartitionFilterOf(df: DataFrame): String = {
-    def find(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
-      p.collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          find(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          find(q.plan)
-      }.flatten
-    find(df.queryExecution.executedPlan)
+  private def corpusPartitionFilterOf(df: DataFrame): String =
+    graft.plans.SqlAnn.fileSourceScans(df)
       .find(_.output.exists(_.name == "list_id"))
       .flatMap(_.metadata.get("PartitionFilters")).getOrElse("")
-  }
 
   /** The batch shape's DYNAMIC-pruning twin (round 14): same window-rank
     * SQL, but the query batch is a PARQUET table (not a literal), so the

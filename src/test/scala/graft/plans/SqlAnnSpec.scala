@@ -560,19 +560,10 @@ class SqlAnnSpec extends SparkSpec {
     * partition column) — the generic first-scan finder would hit the
     * QUERIES table's scan when the batch is parquet-backed. Unwraps AQE
     * plan wrappers AND (post-execution) materialized query stages. */
-  private def corpusScan(df: DataFrame): FileSourceScanExec = {
-    def find(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
-      p.collect {
-        case f: FileSourceScanExec => Seq(f)
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          find(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          find(q.plan)
-      }.flatten
-    find(df.queryExecution.executedPlan)
+  private def corpusScan(df: DataFrame): FileSourceScanExec =
+    SqlAnn.fileSourceScans(df)
       .find(_.output.exists(_.name == "list_id"))
       .getOrElse(fail("no corpus scan (list_id) in the executed plan"))
-  }
 
   /** Did the batch rewrite fire? (the probe explode on the queries side) */
   private def hasProbeGenerate(df: DataFrame): Boolean =
