@@ -112,6 +112,22 @@ class SqlAnnFuzzSpec extends SparkSpec {
         assert(sqlRes === rows(facade),
           s"$cfg nprobe=$np: SQL batch != facade at the same nprobe")
       } finally SqlAnn.unregisterIndex(spark, dir)
+
+      // the INVALIDATION lifecycle: stripping the radii (the addVectors
+      // append contract) must stop BOTH range rewrites from firing while
+      // the queries keep answering brute-force-identically
+      SqlAnn.registerIndex(spark, dir, idx.centroids.value,
+        nprobe = nlist, radii = Some(idx.listRadii))
+      try {
+        SqlAnn.invalidateRadii(spark, dir)
+        val r2 = spark.sql(rSql)
+        assert(!r2.queryExecution.optimizedPlan.exists {
+          case g: org.apache.spark.sql.catalyst.plans.logical.Generate =>
+            g.generator.children.head.isInstanceOf[graft.functions.RangeProbeLists]
+          case _ => false
+        }, s"$cfg: range-join rewrite must NOT fire on invalidated radii")
+        assert(rows(r2) === bruteRange, s"$cfg: post-invalidation RANGE divergence")
+      } finally SqlAnn.unregisterIndex(spark, dir)
     }
   }
 
