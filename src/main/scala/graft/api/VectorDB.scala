@@ -447,7 +447,8 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       name: String,
       nprobe: Int = 8,
       viewName: String = "",
-      computeRangeRadii: Boolean = false): String = {
+      computeRangeRadii: Boolean = false,
+      unitNorm: Boolean = false): String = {
     if (nprobe <= 0)
       throw new InvalidArgumentException(s"nprobe must be positive: $nprobe")
     val s = served.getOrElse(name,
@@ -460,7 +461,11 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       spark, path, s.index.centroids.value, nprobe, radii = radii,
       // reuse the serving index's centroid broadcast for the batch
       // rewrite's per-query probe expression (no second copy shipped)
-      centroidsBc = Some(s.index.centroids))
+      centroidsBc = Some(s.index.centroids),
+      // caller's ATTESTATION that every stored vector is unit-norm
+      // (within SqlAnn.UnitNormTol) — unlocks the cosine→L2 bridge for
+      // SQL similarity joins; see SqlAnn.Registration.unitNorm
+      unitNorm = unitNorm)
     spark.read.parquet(path).createOrReplaceTempView(view)
     sqlRegistered.put(name, (path, view, token)).foreach {
       case (oldPath, oldView, oldToken) =>

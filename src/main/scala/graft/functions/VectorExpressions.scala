@@ -196,6 +196,54 @@ case class RangeProbeLists(
 }
 
 /**
+ * [[RangeProbeLists]] for a COSINE bound over a unit-norm-attested table
+ * (the cosine→L2 bridge, [[VectorKernels.cosineL2Bound]]): the per-row
+ * norm check happens HERE, at runtime — a degenerate query row (the
+ * bridge bound doesn't hold for it) emits EVERY list instead of a pruned
+ * set, so the rewrite stays exact per row. `radius` is the ORIGINAL
+ * cosine radius; the kernel derives the L2 ball.
+ */
+case class CosineRangeProbeLists(
+    child: Expression,
+    centroids: Broadcast[Array[Array[Float]]],
+    radii: Broadcast[Array[Double]],
+    radius: Double,
+    tol: Double)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[graftshims.AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_range_probe_lists"
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(VectorKernels.cosineRangeProbeLists(
+      v.asInstanceOf[ArrayData].toFloatArray(),
+      centroids.value, radii.value, radius, tol))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bc = ctx.addReferenceObj("centroidsBc", centroids,
+      classOf[Broadcast[Array[Array[Float]]]].getName)
+    val rb = ctx.addReferenceObj("radiiBc", radii,
+      classOf[Broadcast[Array[Double]]].getName)
+    // per-task deref, not per row (see ArgMinCentroid)
+    val cm = ctx.addMutableState("float[][]", "centroidsArr",
+      v => s"$v = (float[][]) $bc.value();")
+    val rm = ctx.addMutableState("double[]", "radiiArr",
+      v => s"$v = (double[]) $rb.value();")
+    // ${radius}D/${tol}D are only valid Java literals for FINITE values —
+    // the rewrite rule guards radius with isFinite; tol is a constant
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VectorKernels.cosineRangeProbeLists($v.toFloatArray(), " +
+        s"$cm, $rm, ${radius}D, ${tol}D));")
+  }
+
+  override protected def withNewChildInternal(c: Expression): CosineRangeProbeLists =
+    copy(child = c)
+}
+
+/**
  * Distance between a stored vector and a query looked up BY ID from a
  * broadcast map — the probe join then carries only an 8-byte qid per
  * candidate row instead of materializing the full query vector into every

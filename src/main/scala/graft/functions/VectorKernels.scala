@@ -274,4 +274,49 @@ object VectorKernels {
     }
     out.result()
   }
+
+  /** L2 norm (with sqrt, unlike [[l2]]'s squared distance). */
+  def norm(a: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val x = a(i).toDouble; s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+
+  /**
+   * Squared-L2 radius implied by `cosine_distance(a, b) <= r` when BOTH
+   * vectors' norms lie within [1−tol, 1+tol] — the cosine→L2 bridge the
+   * SQL range rewrites use over unit-norm-attested tables
+   * ([[graft.plans.SqlAnn.Registration]].unitNorm). At exact unit norms
+   * 1−cos = ‖a−b‖²/2, so the bound is 2r; the tol terms make it
+   * CONSERVATIVE (never under — an under-bound would falsely dismiss):
+   * with n₁,n₂ ∈ [1−tol, 1+tol] and cosine's +1e-8 denominator epsilon,
+   *   ‖a−b‖² = n₁² + n₂² − 2(1−cdist)(n₁n₂ + ε)
+   *          ≤ 2(1+tol)² − 2(1−r)·(1−tol)²            for r ≤ 1
+   *          ≤ 2(1+tol)² − 2(1−r)·((1+tol)² + ε)      for r > 1
+   * (minimize the subtracted dot bound over the norm box; the sign of
+   * 1−r picks which corner). ≈ 2r + 8·tol of slack on the squared
+   * distance — a sliver of extra candidate lists, zero dismissals.
+   */
+  def cosineL2Bound(r: Double, tol: Double): Double = {
+    val hi = (1.0 + tol) * (1.0 + tol)
+    val lo = (1.0 - tol) * (1.0 - tol)
+    if (r <= 1.0) 2.0 * (hi - (1.0 - r) * lo)
+    else 2.0 * hi - 2.0 * (1.0 - r) * (hi + 1e-8)
+  }
+
+  /** [[rangeProbeLists]] for a COSINE bound over a unit-norm-attested
+    * table: prune through the L2 bridge when this query vector really is
+    * unit-norm (within tol); a degenerate row (near-zero input vector —
+    * normalize's 1e-8 regularizer emits sub-unit norms for those) keeps
+    * EVERY list, because the bridge bound doesn't hold for it — per-row
+    * exactness, never a false dismissal. */
+  def cosineRangeProbeLists(
+      q: Array[Float],
+      centroids: Array[Array[Float]],
+      radii: Array[Double],
+      radius: Double,
+      tol: Double): Array[Int] =
+    if (math.abs(norm(q) - 1.0) > tol) Array.range(0, centroids.length)
+    else rangeProbeLists(q, centroids, radii, cosineL2Bound(radius, tol))
 }

@@ -15,7 +15,7 @@ import org.apache.spark.sql.graft.GraftSqlBridge
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType}
 
 import graft.Metric
-import graft.functions.{ProbeLists, RangeProbeLists, VectorDistance, VectorKernels}
+import graft.functions.{CosineRangeProbeLists, ProbeLists, RangeProbeLists, VectorDistance, VectorKernels}
 
 /**
  * The SQL ANN surface (SURVEY §4, custom component 3): a
@@ -67,33 +67,79 @@ object SqlAnn {
     * [[graft.functions.ProbeLists]] expression it injects ships centroids
     * to executors via broadcast, created once at registration (or reused
     * from the caller's index — [[graft.api.VectorDB.registerSql]] passes
-    * its facade's), never per query. Not destroyed on unregister: rewritten
-    * plans may outlive the registration; the ContextCleaner reclaims it. */
+    * its facade's), never per query. Never destroy()ed: rewritten plans
+    * may outlive the registration; a superseding same-path registration
+    * only unpersist()s the radii copy ([[registerIndex]]), which evicts
+    * executor blocks but stays re-fetchable.
+    * `unitNorm` is the caller's ATTESTATION that every stored vector's
+    * L2 norm lies within [1−[[UnitNormTol]], 1+[[UnitNormTol]]] — it
+    * unlocks the cosine→L2 bridge rewrites (1−cos = ‖a−b‖²/2 exactly at
+    * unit norms; [[graft.functions.VectorKernels.cosineL2Bound]] absorbs
+    * the tolerance). A false attestation can FALSELY DISMISS matches;
+    * never set it for tables that may hold unnormalized or near-zero
+    * vectors. */
   final class Registration(
       val centroids: Array[Array[Float]],
       val nprobe: Int,
       val vecCol: String,
       val listCol: String,
-      // volatile VAR, not a val: [[invalidateRadii]] must strip a grown
-      // table's stale radii IN PLACE — replacing the Registration would
-      // mint a new token and orphan every owner's conditional-unregister
-      // handle on the old one
-      @volatile var radii: Option[Array[Double]],
+      radii0: Option[Array[Double]],
       private[plans] val centroidsBc: Broadcast[Array[Array[Float]]],
-      // the radii's broadcast twin, for the range-JOIN rewrite's
-      // per-query RangeProbeLists expression; cleared together with
-      // `radii` by [[invalidateRadii]] (readers take ONE volatile read
-      // of whichever field they consume — never mix the two)
-      @volatile private[plans] var radiiBc: Option[Broadcast[Array[Double]]] = None) {
+      radiiBc0: Option[Broadcast[Array[Double]]] = None,
+      val unitNorm: Boolean = false) {
     require(centroids.nonEmpty, "centroids must be non-empty")
     require(nprobe > 0, s"nprobe must be positive: $nprobe")
     require(centroidsBc != null,
       "centroidsBc is required — the batch rewrite's ProbeLists expression" +
         " ships centroids through it (registerIndex always supplies one)")
-    require(radii.forall(_.length == centroids.length),
+    require(radii0.forall(_.length == centroids.length),
       "radii length must equal nlist — stale radii on a grown table would" +
         " FALSELY DISMISS matches (IvfFlatIndex.presetListRadii's contract)")
+    require(radii0.isDefined == radiiBc0.isDefined,
+      "radii and their broadcast twin travel together (registerIndex" +
+        " always creates both or neither)")
+
+    // ONE volatile pair, not two fields: the static range rewrite reads
+    // the array, the range-JOIN rewrite ships the broadcast — a single
+    // field makes "fresh array + stale broadcast" UNREPRESENTABLE (any
+    // update, invalidation or a future in-place refresh, swaps both
+    // atomically; [[invalidateRadii]] strips a grown table's stale radii
+    // IN PLACE because replacing the Registration would mint a new token
+    // and orphan every owner's conditional-unregister handle on the old
+    // one).
+    @volatile private[this] var radiiState
+        : Option[(Array[Double], Broadcast[Array[Double]])] =
+      radii0.zip(radiiBc0)
+
+    def radii: Option[Array[Double]] = radiiState.map(_._1)
+    private[plans] def radiiBc: Option[Broadcast[Array[Double]]] =
+      radiiState.map(_._2)
+    /** ONE volatile read of the (array, broadcast) pair — the range-JOIN
+      * rewrite consumes both and must see a consistent snapshot. */
+    private[plans] def radiiPair
+        : Option[(Array[Double], Broadcast[Array[Double]])] = radiiState
+    /** Swap both halves atomically (fresh pair) or clear both (None). */
+    private[plans] def updateRadii(
+        state: Option[(Array[Double], Broadcast[Array[Double]])]): Unit = {
+      require(state.forall(_._1.length == centroids.length),
+        "radii length must equal nlist")
+      radiiState = state
+    }
+    /** Evict executor-resident blocks of the radii broadcast — called on
+      * same-path registration churn, where the superseded registration's
+      * copy would otherwise accumulate until the token is GC-reclaimed.
+      * unpersist, NOT destroy: a rewritten plan that still references the
+      * broadcast re-fetches it from the driver on next use. */
+    private[plans] def releaseRadiiBroadcast(): Unit =
+      radiiState.foreach(_._2.unpersist(blocking = false))
   }
+
+  /** Norm tolerance the `unitNorm` attestation promises and the cosine→L2
+    * bridge absorbs ([[graft.functions.VectorKernels.cosineL2Bound]]):
+    * wide enough for float32 normalize error by orders of magnitude,
+    * tight enough that the bound's slack (≈8·tol on the squared distance)
+    * admits only a sliver of extra lists. */
+  val UnitNormTol: Double = 1e-3
 
   // Keyed by qualified table path, JVM-global — NOT per session. The
   // rule must resolve the registration during OPTIMIZATION, which can
@@ -125,12 +171,20 @@ object SqlAnn {
       vecCol: String = "vec",
       listCol: String = "list_id",
       radii: Option[Array[Double]] = None,
-      centroidsBc: Option[Broadcast[Array[Array[Float]]]] = None): Registration = {
+      centroidsBc: Option[Broadcast[Array[Array[Float]]]] = None,
+      unitNorm: Boolean = false): Registration = {
     enable(spark)
     val reg = new Registration(centroids, nprobe, vecCol, listCol, radii,
       centroidsBc.getOrElse(spark.sparkContext.broadcast(centroids)),
-      radii.map(spark.sparkContext.broadcast(_)))
+      radii.map(spark.sparkContext.broadcast(_)), unitNorm)
+    // same-path churn (epoch swaps, nprobe changes, registerSql re-calls)
+    // would otherwise accumulate one executor-resident radii broadcast per
+    // call until the superseded tokens are GC-reclaimed — evict eagerly;
+    // the radii broadcast is created fresh per registration just above, so
+    // it is ours to release (centroidsBc may be a caller's shared handle
+    // and is left alone)
     registry.put(qualified(spark, path), reg)
+      .foreach(old => if (!(old eq reg)) old.releaseRadiiBroadcast())
     reg
   }
 
@@ -150,10 +204,7 @@ object SqlAnn {
     * back to full scans until fresh radii are re-attached
     * (re-`registerSql` after the next epoch build/compaction). */
   def invalidateRadii(spark: SparkSession, path: String): Unit =
-    registry.get(qualified(spark, path)).foreach { r =>
-      r.radii = None
-      r.radiiBc = None // the range-JOIN rewrite's copy goes stale too
-    }
+    registry.get(qualified(spark, path)).foreach(_.updateRadii(None))
 
   /** Remove the registration for `path` ONLY if it is still the exact
     * token `registerIndex` returned to this caller — the multi-facade
@@ -266,12 +317,10 @@ object SqlAnn {
         // top-k, this rewrite is SEMANTICS-PRESERVING (the covering-ball
         // prune is a metric-space bound, reverse triangle inequality — no
         // false dismissals), so it needs no opt-in beyond registering the
-        // radii. L2 only: the bound needs a true metric.
-        case f @ Filter(cond, rel: LogicalRelation) =>
-          rangeConjunct(cond, rel) match {
-            case Some(extra) => f.copy(condition = And(cond, extra))
-            case None => f
-          }
+        // radii. L2 natively; cosine through the unit-norm bridge when
+        // the registration attests normalized vectors.
+        case f: Filter =>
+          tryRangeRewrite(f).getOrElse(f)
         // BATCH top-k shape: per-query rank over a join of a queries table
         // with a registered table — the SQL twin of the facade's
         // searchBatch (the reference DECLARES search_batch and never
@@ -291,24 +340,87 @@ object SqlAnn {
           tryRangeJoinRewrite(j).getOrElse(j)
       }
 
+    /** The single-table fixed-radius shapes: the filter directly over the
+      * relation (the canonical layout after predicate pushdown), or above
+      * the Project a VIEW leaves when its project list is not
+      * push-through-able (a non-deterministic computed column — e.g. a
+      * generated-id — blocks the main optimizer from pushing ANY
+      * predicate below it). The list_id prune is OURS to place: it only
+      * removes rows the KEPT distance bound drops anyway, so injecting it
+      * under the Project is semantics-preserving for every deterministic
+      * output column (non-deterministic columns have no cross-plan value
+      * contract to preserve — AQE renumbering already changes them). */
+    private def tryRangeRewrite(f: Filter): Option[Filter] = {
+      val (projOpt, filtOpt, rel) = relParts(f.child).getOrElse(return None)
+      val extra = rangeConjunct(f.condition, rel, projOpt, filtOpt)
+        .getOrElse(return None)
+      Some((projOpt, filtOpt) match {
+        case (None, None) => f.copy(condition = And(f.condition, extra))
+        case (Some(p), None) =>
+          f.copy(child = p.copy(child = Filter(extra, rel)))
+        case (Some(p), Some(inner)) =>
+          f.copy(child =
+            p.copy(child = inner.copy(condition = And(inner.condition, extra))))
+        case (None, Some(inner)) =>
+          f.copy(child = inner.copy(condition = And(inner.condition, extra)))
+      })
+    }
+
     /** The `list_id` conjunct a range predicate implies, or None when the
-      * shape doesn't match / radii are unregistered / already injected. */
+      * shape doesn't match / radii are unregistered / already injected
+      * (in `cond` itself or in the inner filter under the view's
+      * Project). */
     private def rangeConjunct(
-        cond: Expression, rel: LogicalRelation): Option[Expression] = {
+        cond: Expression, rel: LogicalRelation,
+        proj: Option[Project], inner: Option[Filter]): Option[Expression] = {
       val reg = lookup(rel).getOrElse(return None)
       val radii = reg.radii.getOrElse(return None)
       val listAttr = rel.output.find(o =>
         o.name == reg.listCol && o.dataType == IntegerType).getOrElse(return None)
       val conjuncts = splitConjunctivePredicates(cond)
-      def qvecOf(d: Expression): Option[Array[Float]] = d match {
+      // a view may re-alias the stored vector column: resolve an attribute
+      // in the outer condition through the Project's aliases down to the
+      // relation's own attribute (a pass-through keeps its exprId and
+      // resolves as itself; a COMPUTED alias stays unresolved and fails
+      // vecOfRelation — a derived vector has no registered geometry)
+      def resolved(v: AttributeReference): AttributeReference =
+        proj.flatMap(_.projectList.collectFirst {
+          case al: Alias if al.exprId == v.exprId => al.child
+        }) match {
+          case Some(ar: AttributeReference) => ar
+          case Some(_) => v
+          case None => v
+        }
+      def qvecOf(d: Expression): Option[(Array[Float], Metric.Value)] = d match {
         case VectorDistance(v: AttributeReference,
-            Literal(q: ArrayData, ArrayType(FloatType, _)), Metric.L2)
-            if q != null && vecOfRelation(rel, reg, v) => floats(q, reg)
+            Literal(q: ArrayData, ArrayType(FloatType, _)), m)
+            if q != null && vecOfRelation(rel, reg, resolved(v)) =>
+          floats(q, reg).map((_, m))
         case VectorDistance(Literal(q: ArrayData, ArrayType(FloatType, _)),
-            v: AttributeReference, Metric.L2)
-            if q != null && vecOfRelation(rel, reg, v) => floats(q, reg)
+            v: AttributeReference, m)
+            if q != null && vecOfRelation(rel, reg, resolved(v)) =>
+          floats(q, reg).map((_, m))
         case _ => None
       }
+      // the squared-L2 ball a dist-under-bound conjunct implies: the bound
+      // itself for L2 (a true metric); for cosine over a unit-norm-attested
+      // table, the bridge bound (1−cos = ‖a−b‖²/2 exactly at unit norms;
+      // cosineL2Bound absorbs the ±UnitNormTol attestation slack) — the
+      // LITERAL's norm is checked here on the driver, a degenerate query
+      // vector simply doesn't prune. IP is not a metric: never pruned.
+      def l2RadiusOf(q: Array[Float], r: Double, m: Metric.Value): Option[Double] =
+        m match {
+          case Metric.L2 => Some(r)
+          case Metric.Cosine
+              if reg.unitNorm &&
+                math.abs(VectorKernels.norm(q) - 1.0) <= UnitNormTol =>
+            Some(VectorKernels.cosineL2Bound(r, UnitNormTol))
+          case _ => None
+        }
+      def ball(d: Expression, r: Double): Option[Set[Int]] =
+        qvecOf(d).flatMap { case (q, m) =>
+          l2RadiusOf(q, r, m).map(intersecting(q, _, reg.centroids, radii))
+        }
       // every dist-under-bound conjunct contributes a covering-ball list
       // set; multiple bounds intersect (all must hold). A NaN radius is
       // NOT prune-able: Spark's comparison semantics treat NaN as larger
@@ -317,13 +429,13 @@ object SqlAnn {
       // false) would turn that into zero rows. Leave NaN untouched.
       val listSets = conjuncts.flatMap {
         case LessThanOrEqual(d, Literal(r: Double, DoubleType)) if !r.isNaN =>
-          qvecOf(d).map(q => intersecting(q, r, reg.centroids, radii))
+          ball(d, r)
         case LessThan(d, Literal(r: Double, DoubleType)) if !r.isNaN =>
-          qvecOf(d).map(q => intersecting(q, r, reg.centroids, radii))
+          ball(d, r)
         case GreaterThanOrEqual(Literal(r: Double, DoubleType), d) if !r.isNaN =>
-          qvecOf(d).map(q => intersecting(q, r, reg.centroids, radii))
+          ball(d, r)
         case GreaterThan(Literal(r: Double, DoubleType), d) if !r.isNaN =>
-          qvecOf(d).map(q => intersecting(q, r, reg.centroids, radii))
+          ball(d, r)
         case _ => None
       }
       if (listSets.isEmpty) return None
@@ -336,7 +448,10 @@ object SqlAnn {
       val extra: Expression =
         if (lists.isEmpty) Literal(false)
         else In(listAttr, lists.toSeq.sorted.map(i => Literal(i)))
-      if (conjuncts.exists(_.semanticEquals(extra))) None else Some(extra)
+      val innerConjuncts =
+        inner.toSeq.flatMap(i => splitConjunctivePredicates(i.condition))
+      if ((conjuncts ++ innerConjuncts).exists(_.semanticEquals(extra))) None
+      else Some(extra)
     }
 
     /** Lists whose covering ball intersects the query ball:
@@ -648,7 +763,12 @@ object SqlAnn {
           // away as trivially true) — the same snapshot-once discipline
           // the facade's searchWhere applies to non-deterministic query
           // sets.
-          val reExecutable = qSide.expressions.forall(_.deterministic) &&
+          // DEEP checks, both of them: a rand() under an Aggregate or a
+          // Project above a Filter would pass a top-operator-only
+          // expression scan, and a Sample anywhere below re-draws rows
+          // on re-execution just the same
+          val reExecutable = !qSide.exists(p =>
+              p.expressions.exists(!_.deterministic)) &&
             !qSide.exists {
               case _: Sample | _: LocalLimit | _: GlobalLimit => true
               case _ => false
@@ -713,9 +833,10 @@ object SqlAnn {
         .flatMap(boundOf(_))
         .flatMap {
           case (VectorDistance(x: AttributeReference, y: AttributeReference,
-              Metric.L2), r) if java.lang.Double.isFinite(r) =>
-            attemptRangeJoin(join, x, y, r)
-              .orElse(attemptRangeJoin(join, y, x, r))
+              m @ (Metric.L2 | Metric.Cosine)), r)
+              if java.lang.Double.isFinite(r) =>
+            attemptRangeJoin(join, x, y, r, m)
+              .orElse(attemptRangeJoin(join, y, x, r, m))
           case _ => None
         }
         .nextOption()
@@ -725,7 +846,8 @@ object SqlAnn {
         join: Join,
         vecAttr: AttributeReference,
         qAttr: AttributeReference,
-        radius: Double): Option[LogicalPlan] = {
+        radius: Double,
+        metric: Metric.Value): Option[LogicalPlan] = {
       val (relSide, qSide, relIsLeft) =
         if (join.left.outputSet.contains(vecAttr) &&
             join.right.outputSet.contains(qAttr)) (join.left, join.right, true)
@@ -735,31 +857,47 @@ object SqlAnn {
       val (projR, filtR, rel) = relParts(relSide).getOrElse(return None)
       val reg = lookup(rel).getOrElse(return None)
       if (!vecOfRelation(rel, reg, vecAttr)) return None
-      // ONE volatile read each; a concurrent invalidateRadii between the
-      // two reads can only make the prune use the OLDER (still-valid-for-
-      // its-snapshot) radii, same staleness contract as the static range
-      // rewrite
-      val radiiArr = reg.radii.getOrElse(return None)
-      val radiiB = reg.radiiBc.getOrElse(return None)
+      // cosine rides the unit-norm bridge: corpus-side norms are the
+      // registration's ATTESTATION; each query row's norm is checked AT
+      // RUNTIME inside CosineRangeProbeLists (a degenerate row keeps
+      // every list — per-row fallback, never a false dismissal)
+      if (metric == Metric.Cosine && !reg.unitNorm) return None
+      // ONE volatile read of the (array, broadcast) pair — the prune and
+      // the shipped expression must use the same radii snapshot; a
+      // concurrent invalidateRadii can only make this prune use the OLDER
+      // (still-valid-for-its-snapshot) radii, same staleness contract as
+      // the static range rewrite
+      val (radiiArr, radiiB) = reg.radiiPair.getOrElse(return None)
       qAttr.dataType match {
         case ArrayType(FloatType, _) =>
         case _ => return None
       }
-      // idempotence: OUR Generate (either flavor) already on the query side
+      // idempotence: OUR Generate (any flavor) already on the query side
       val already = qSide.exists {
         case Generate(e: Explode, _, _, _, _, _) =>
-          e.child.isInstanceOf[ProbeLists] || e.child.isInstanceOf[RangeProbeLists]
+          e.child.isInstanceOf[ProbeLists] ||
+            e.child.isInstanceOf[RangeProbeLists] ||
+            e.child.isInstanceOf[CosineRangeProbeLists]
         case _ => false
       }
       if (already) return None
       val listAttr = rel.output.find(o =>
         o.name == reg.listCol && o.dataType == IntegerType).getOrElse(return None)
-      val staticLists = staticUnion(qSide, qAttr, reg.centroids.head.length,
-        arr => VectorKernels.rangeProbeLists(arr, reg.centroids, radiiArr, radius))
+      val (explodeExpr, probeFn) = metric match {
+        case Metric.Cosine =>
+          (Explode(CosineRangeProbeLists(
+            qAttr, reg.centroidsBc, radiiB, radius, UnitNormTol)),
+            (arr: Array[Float]) => VectorKernels.cosineRangeProbeLists(
+              arr, reg.centroids, radiiArr, radius, UnitNormTol))
+        case _ =>
+          (Explode(RangeProbeLists(qAttr, reg.centroidsBc, radiiB, radius)),
+            (arr: Array[Float]) => VectorKernels.rangeProbeLists(
+              arr, reg.centroids, radiiArr, radius))
+      }
+      val staticLists =
+        staticUnion(qSide, qAttr, reg.centroids.head.length, probeFn)
       Some(prunedJoin(join, projR, filtR, rel, qSide, relIsLeft,
-        listAttr, "__graft_range_list",
-        Explode(RangeProbeLists(qAttr, reg.centroidsBc, radiiB, radius)),
-        staticLists))
+        listAttr, "__graft_range_list", explodeExpr, staticLists))
     }
   }
 }

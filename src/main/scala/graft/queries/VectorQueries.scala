@@ -701,6 +701,7 @@ object VectorQueries {
     "sql_batch_rewrite" -> (sqlBatchRewrite _),
     "sql_batch_dpp" -> (sqlBatchDpp _),
     "sql_range_join" -> (sqlRangeJoin _),
+    "sql_cosine_join" -> (sqlCosineJoin _),
   )
 
   /** The SQL-surface ANN query vector: 64 exactly-representable binary
@@ -881,6 +882,69 @@ object VectorQueries {
     df
   }
 
+  /** Cosine radius for the cosine similarity join: ~4% of the (query x
+    * corpus) pairs at both driver scales (measured: 217/5000 at sf0.01,
+    * 811/200000 pairs at sf0.1 — 64-d quasi-random embeddings are
+    * near-orthogonal, 1st-percentile cosine distance ≈ 0.70). */
+  private val CosJoinRadius = "0.78"
+
+  /** Unit-norm IVF table for the cosine join: the embeddings NORMALIZED
+    * (same kernel the `normalize_vectors` entry oracles), k-means-listed,
+    * Hive-partitioned — registered with `unitNorm = true`, the attestation
+    * the cosine→L2 bridge requires. */
+  private def sqlAnnCosTable(spark: SparkSession, dir: String): String = {
+    val index = cached[graft.index.IvfFlatIndex](s"ivfcos:$dir") {
+      val e = emb(spark, dir)
+      graft.index.IvfFlatIndex.build(spark,
+        e.select(col("vec_id").as("id"),
+          vector.normalize_vector(col("embedding")).as("vec")), 16)
+    }
+    val tableDir = cached[String](s"sqlann-costable:$dir") {
+      val d = tempDirCleaned("graft-sqlann-cos")
+      index.vectors.write.partitionBy("list_id").mode("overwrite").parquet(d)
+      d
+    }
+    graft.plans.SqlAnn.registerIndex(
+      spark, tableDir, index.centroids.value, nprobe = 16,
+      radii = Some(index.listRadii), unitNorm = true)
+    spark.read.parquet(tableDir).createOrReplaceTempView("graft_sqlann_cos")
+    tableDir
+  }
+
+  /** Cosine similarity join in SQL (round 15): `WHERE cosine_distance(
+    * t.vec, q.qvec) <= r` over a unit-norm-attested registered table —
+    * the ANN-dedup shape LLM pipelines actually run (the reference cannot
+    * express it at all: its CPU fallback silently zeroes cosine, SURVEY
+    * §2.7.9). Rewritten through the cosine→L2 bridge (1−cos = ‖a−b‖²/2 at
+    * unit norms, [[graft.functions.VectorKernels.cosineL2Bound]]) into
+    * the covering-ball equi-join; EXACT because the original cosine
+    * predicate is KEPT and the bridge bound is conservative, so the
+    * brute-force cosine join over the same normalized vectors is the hash
+    * oracle. The literal query batch makes the union of candidate lists a
+    * static partition filter, which this entry REQUIRES on the executed
+    * plan. (On THIS quasi-random corpus the near-orthogonal geometry
+    * makes the union cover most lists — the prune's selectivity is pinned
+    * by SqlAnnSpec's clustered fixture; this entry pins the end-to-end
+    * SQL surface and its exactness.) */
+  private def sqlCosineJoin(spark: SparkSession, dir: String): DataFrame = {
+    sqlAnnCosTable(spark, dir)
+    val src = emb(spark, dir).filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"),
+        vector.normalize_vector(col("embedding")).as("qvec"))
+    spark.createDataFrame(
+      java.util.Arrays.asList(src.collect(): _*), src.schema)
+      .createOrReplaceTempView("graft_sqlann_cq")
+    val df = spark.sql(
+      s"""SELECT q.qid, t.id, cosine_distance(t.vec, q.qvec) AS dist
+         |FROM graft_sqlann_cq q, graft_sqlann_cos t
+         |WHERE cosine_distance(t.vec, q.qvec) <= $CosJoinRadius
+         |ORDER BY qid, id""".stripMargin)
+    val pf = partitionFilterOf(df)
+    require(pf.contains("list_id"),
+      s"sql_cosine_join: the cosine-bridge range join did not fire (PartitionFilters: $pf)")
+    df
+  }
+
   /** SQ8 two-pass: int8-dequantized first pass to 50 candidates, exact-L2
     * rerank to top-k (Similarity.sq8SearchRerank). */
   private def sq8Rerank(spark: SparkSession, dir: String): DataFrame = {
@@ -1041,6 +1105,20 @@ object VectorQueries {
     // original predicate), so the brute-force range join over the same
     // query rows IS the oracle — rangeOracleSql's exact shape
     "sql_range_join" -> rangeOracleSql,
+    // cosine bridge is exact too (conservative bound + kept predicate):
+    // brute-force cosine join over the SAME normalized vectors (the
+    // normalize replay is the hash-green normalize_vectors twin)
+    "sql_cosine_join" ->
+      s"""WITH n AS (SELECT vec_id, list_transform(embedding,
+         |      x -> CAST(CAST(x AS DOUBLE) * inv AS FLOAT)) AS nv
+         |    FROM (SELECT vec_id, embedding,
+         |      1.0 / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) + 1e-8) AS inv
+         |      FROM embeddings)),
+         |q AS (SELECT vec_id AS qid, nv AS qv FROM n WHERE vec_id < $NQ),
+         |d AS (SELECT q.qid, v.vec_id AS id, ${sqlCosine("q.qv", "v.nv")} AS dist
+         |      FROM q, n v)
+         |SELECT qid, id, dist FROM d WHERE dist <= $CosJoinRadius
+         |ORDER BY qid, id""".stripMargin,
     "hamming_ann" -> hammingOracleSql,
     "hamming_rerank" -> hammingRerankOracleSql,
     "sq8_rerank" -> sq8RerankOracleSql,

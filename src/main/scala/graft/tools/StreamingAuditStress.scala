@@ -183,10 +183,15 @@ object StreamingAuditStress {
       val avgLat = if (n > 0) latSum.get() / n else -1L
       val avgExec = if (execBatches > 0) execSumMs / execBatches else -1L
       val avgProc = if (procBatches > 0) procSum / procBatches else 0.0
-      val triggerMs = trigger match {
-        case s if s.endsWith("seconds") => s.split(' ')(0).toLong * 1000
-        case s if s.endsWith("minutes") => s.split(' ')(0).toLong * 60000
-        case _ => 2000L
+      // parse via Spark's own interval reader (singular "1 second" and
+      // plural alike) and FAIL LOUDLY on anything else: a silent 2000 ms
+      // fallback would grade the sustained= verdict against the wrong
+      // interval
+      val triggerMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(trigger)) match {
+        case iv if iv.months == 0 =>
+          iv.days * 86400000L + iv.microseconds / 1000L
+        case iv => sys.error(s"unsupported trigger interval: $trigger ($iv)")
       }
       // sustained = steady-state batches complete inside the trigger
       // interval (the query keeps up with the offered rate); the margin

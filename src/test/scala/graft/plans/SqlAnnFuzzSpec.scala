@@ -46,7 +46,14 @@ class SqlAnnFuzzSpec extends SparkSpec {
     // runs too (registerIndex would install them, but it runs later by
     // design — brute force first)
     graft.GraftExtensions.register(spark)
-    val rnd = new scala.util.Random(1234)
+    // seed rotates with the calendar date so every round walks a FRESH
+    // path through (dim, nlist, corpus, batch, k, radius, metric) space
+    // instead of re-walking one; override SQLANN_FUZZ_SEED to reproduce a
+    // failure (the seed is in every assertion message via cfg)
+    val seed = sys.env.get("SQLANN_FUZZ_SEED").map(_.toLong)
+      .getOrElse(java.time.LocalDate.now(java.time.ZoneOffset.UTC).toEpochDay)
+    info(s"fuzz seed = $seed (set SQLANN_FUZZ_SEED to reproduce)")
+    val rnd = new scala.util.Random(seed)
     (1 to 8).foreach { trial =>
       val dim = 4 + rnd.nextInt(5)
       val nlist = 2 + rnd.nextInt(7)
@@ -66,7 +73,7 @@ class SqlAnnFuzzSpec extends SparkSpec {
       val k = 1 + rnd.nextInt(2 * n / nq.max(1)).min(40)
       val radius = rnd.nextDouble() * rnd.nextInt(4)
       val metric = Seq("l2_distance", "cosine_distance", "ip_distance")(rnd.nextInt(3))
-      val cfg = s"trial $trial: dim=$dim nlist=$nlist n=$n nq=$nq k=$k " +
+      val cfg = s"trial $trial (seed=$seed): dim=$dim nlist=$nlist n=$n nq=$nq k=$k " +
         s"radius=$radius metric=$metric"
 
       val bSql = batchSqlText(metric, k)

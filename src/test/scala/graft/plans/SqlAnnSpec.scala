@@ -993,6 +993,310 @@ class SqlAnnSpec extends SparkSpec {
     } finally SqlAnn.unregisterIndex(spark, rangeDir)
   }
 
+  // ---- the COSINE bridge (round 15): unit-norm attested tables -----------
+
+  // normalized clustered fixture: the corner clusters projected onto the
+  // unit sphere keep their separation (different corners' cosine distance
+  // >= 0.5; within-cluster ~1e-3), so a 0.1 cosine ball provably prunes
+  private lazy val cosDir = java.nio.file.Files
+    .createTempDirectory("graft-sqlann-cosine").toFile.getAbsolutePath
+  private lazy val cosIndex: IvfFlatIndex = {
+    val rnd = new scala.util.Random(17)
+    val rows = (0L until 200L).map { i =>
+      val c = corner((i % 8).toInt)
+      (i, graft.functions.VectorKernels.normalize(
+        c.map(x => x + rnd.nextFloat() * 0.2f - 0.1f)))
+    }
+    val idx = IvfFlatIndex.build(spark, vectorsDF(rows), NList)
+    idx.vectors.write.partitionBy("list_id").mode("overwrite").parquet(cosDir)
+    idx
+  }
+  private def ncorner(k: Int): Array[Float] =
+    graft.functions.VectorKernels.normalize(corner(k))
+  private def litOf(v: Array[Float]): String =
+    s"CAST(array(${v.map(_.toDouble).mkString(", ")}) AS ARRAY<FLOAT>)"
+
+  private def cosineJoinSql(qView: String, tView: String, radius: String): String =
+    s"""SELECT q.qid, t.id, cosine_distance(t.vec, q.qvec) AS dist
+       |FROM $qView q, $tView t
+       |WHERE cosine_distance(t.vec, q.qvec) <= $radius ORDER BY qid, id""".stripMargin
+
+  private def hasCosineGenerate(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.exists {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate =>
+        g.generator match {
+          case e: org.apache.spark.sql.catalyst.expressions.Explode =>
+            e.child.isInstanceOf[graft.functions.CosineRangeProbeLists]
+          case _ => false
+        }
+      case _ => false
+    }
+
+  test("cosine join over a unit-norm-attested table: bridge fires, EXACT, pruned scan") {
+    cosIndex
+    graft.GraftExtensions.register(spark) // cosine_distance for the brute run
+    spark.read.parquet(cosDir).createOrReplaceTempView("sqlann_cj")
+    val qs = Seq(100L -> ncorner(0), 101L -> ncorner(3))
+    localQView("sqlann_cjq", qs)
+    // brute force FIRST (nothing registered -> the cartesian plan)
+    val brute = rows3(spark.sql(cosineJoinSql("sqlann_cjq", "sqlann_cj", "0.1")))
+    SqlAnn.registerIndex(spark, cosDir, cosIndex.centroids.value,
+      nprobe = 2, radii = Some(cosIndex.listRadii), unitNorm = true)
+    try {
+      val df = spark.sql(cosineJoinSql("sqlann_cjq", "sqlann_cj", "0.1"))
+      assert(hasCosineGenerate(df), "the cosine range-probe explode must be injected")
+      val scan = corpusScan(df)
+      assert(scan.metadata.getOrElse("PartitionFilters", "").contains("list_id"))
+      val read = scan.relation.location.listFiles(scan.partitionFilters, Nil).size
+      assert(read > 0 && read < NList,
+        s"tight cosine balls over clustered unit vectors must prune (< $NList), read $read")
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("CartesianProduct") && !phys.contains("NestedLoop"),
+        s"the rewrite must plan an equi-join, got:\n$phys")
+      val got = rows3(df)
+      assert(got.nonEmpty && got === brute,
+        "the cosine bridge must be EXACT (conservative bound + kept predicate)")
+    } finally SqlAnn.unregisterIndex(spark, cosDir)
+  }
+
+  test("cosine join: degenerate (zero) query rows fall back to all lists per row — still exact") {
+    cosIndex
+    graft.GraftExtensions.register(spark)
+    spark.read.parquet(cosDir).createOrReplaceTempView("sqlann_cj2")
+    // a zero vector's norm fails the unit check: the bridge bound doesn't
+    // hold for it, so its probe emits EVERY list (no false dismissal) and
+    // the kept cosine predicate does the filtering (dist = 1 for a zero
+    // vector against anything — no matches at 0.1)
+    val qs = Seq(100L -> ncorner(0), 102L -> Array.fill(Dim)(0f))
+    localQView("sqlann_cjq2", qs)
+    val brute = rows3(spark.sql(cosineJoinSql("sqlann_cjq2", "sqlann_cj2", "0.1")))
+    SqlAnn.registerIndex(spark, cosDir, cosIndex.centroids.value,
+      nprobe = 2, radii = Some(cosIndex.listRadii), unitNorm = true)
+    try {
+      val df = spark.sql(cosineJoinSql("sqlann_cjq2", "sqlann_cj2", "0.1"))
+      assert(hasCosineGenerate(df))
+      val got = rows3(df)
+      assert(got === brute)
+      assert(got.map(_._1).toSet === Set(100L), "the zero query matches nothing")
+    } finally SqlAnn.unregisterIndex(spark, cosDir)
+  }
+
+  test("cosine join without the unitNorm attestation stays untouched (radii alone are not enough)") {
+    cosIndex
+    spark.read.parquet(cosDir).createOrReplaceTempView("sqlann_cj3")
+    localQView("sqlann_cjq3", Seq(100L -> ncorner(0)))
+    SqlAnn.registerIndex(spark, cosDir, cosIndex.centroids.value,
+      nprobe = 2, radii = Some(cosIndex.listRadii))
+    try {
+      val df = spark.sql(cosineJoinSql("sqlann_cjq3", "sqlann_cj3", "0.1"))
+      assert(!hasCosineGenerate(df),
+        "no attestation -> the bridge bound is unsound -> no rewrite")
+    } finally SqlAnn.unregisterIndex(spark, cosDir)
+  }
+
+  test("single-table cosine range: bridge prunes for a unit literal, ignores a non-unit literal") {
+    cosIndex
+    graft.GraftExtensions.register(spark)
+    spark.read.parquet(cosDir).createOrReplaceTempView("sqlann_cr")
+    def sql(lit: String) =
+      s"""SELECT id, cosine_distance(vec, $lit) AS dist
+         |FROM sqlann_cr WHERE cosine_distance(vec, $lit) <= 0.1 ORDER BY id""".stripMargin
+    val brute = spark.sql(sql(litOf(ncorner(0)))).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    SqlAnn.registerIndex(spark, cosDir, cosIndex.centroids.value,
+      nprobe = 2, radii = Some(cosIndex.listRadii), unitNorm = true)
+    try {
+      val df = spark.sql(sql(litOf(ncorner(0))))
+      assert(partitionFilterText(df).contains("list_id"),
+        "the single-table cosine bridge must inject the list_id filter")
+      val inSizes = scanOf(df).partitionFilters.flatMap(_.collect {
+        case i: org.apache.spark.sql.catalyst.expressions.In => i.list.size
+      })
+      assert(inSizes.nonEmpty && inSizes.head < NList,
+        s"a 0.1 cosine ball over clustered unit vectors must prune, got $inSizes")
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got.nonEmpty && got === brute)
+      // a NON-unit literal (norm ~11): the bridge bound doesn't hold for
+      // it — the driver-side norm check must leave the query untouched
+      assert(!partitionFilterText(spark.sql(sql(litOf(corner(0)))))
+        .contains("list_id"),
+        "a non-unit query literal must not prune through the bridge")
+    } finally SqlAnn.unregisterIndex(spark, cosDir)
+  }
+
+  // ---- round 15: range rewrite through a computed-column view ------------
+
+  test("range rewrite fires through a view whose Project blocks predicate pushdown") {
+    rangeIndex
+    // monotonically_increasing_id is non-deterministic: the main optimizer
+    // cannot push ANY predicate below this Project, so the distance bound
+    // is stuck ABOVE it — the rewrite must reach through and inject the
+    // list_id prune directly over the relation
+    spark.read.parquet(rangeDir)
+      .withColumn("rid", monotonically_increasing_id())
+      .createOrReplaceTempView("sqlann_pview")
+    SqlAnn.registerIndex(spark, rangeDir, rangeIndex.centroids.value,
+      nprobe = 2, radii = Some(rangeIndex.listRadii))
+    try {
+      val df = spark.sql(
+        s"""SELECT id, l2_distance(vec, ${litOf(corner(0))}) AS dist, rid
+           |FROM sqlann_pview
+           |WHERE l2_distance(vec, ${litOf(corner(0))}) <= 2.0 ORDER BY id""".stripMargin)
+      // shape sanity: the filter really is stuck above the Project (no
+      // pushdown happened) — otherwise this test pins nothing
+      val stuck = df.queryExecution.optimizedPlan.exists {
+        case org.apache.spark.sql.catalyst.plans.logical.Filter(_,
+            _: org.apache.spark.sql.catalyst.plans.logical.Project) => true
+        case _ => false
+      }
+      assert(stuck, "fixture must keep the user filter above the view's Project")
+      assert(partitionFilterText(df).contains("list_id"),
+        "the covering-ball prune must reach the scan through the Project")
+      val inSizes = scanOf(df).partitionFilters.flatMap(_.collect {
+        case i: org.apache.spark.sql.catalyst.expressions.In => i.list.size
+      })
+      assert(inSizes.nonEmpty && inSizes.head < NList,
+        s"the tight ball must prune (< $NList), got $inSizes")
+      // deterministic columns stay EXACT vs brute force
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val exact = graft.index.Knn.range(
+        queriesDF(Seq(0L -> corner(0))),
+        rangeIndex.vectors.select(col("id"), col("vec")), 2.0)
+        .orderBy("id").collect().map(r => (r.getLong(1), r.getDouble(2)))
+      assert(got.nonEmpty && got.toSeq === exact.toSeq)
+      // idempotence through the new shape: exactly one injected In
+      val ins = df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.collect {
+            case i: org.apache.spark.sql.catalyst.expressions.In => i
+          }.size
+      }.sum
+      assert(ins === 1, s"exactly one In through the fixed-point batch, got $ins")
+    } finally SqlAnn.unregisterIndex(spark, rangeDir)
+  }
+
+  // ---- round 15: catalog (metastore) tables -------------------------------
+
+  test("catalog parquet table (USING parquet, recovered partitions): rewrites reach the scan") {
+    rangeIndex
+    spark.sql("DROP TABLE IF EXISTS sqlann_cat")
+    spark.sql(
+      s"""CREATE TABLE sqlann_cat (id BIGINT, vec ARRAY<FLOAT>, list_id INT)
+         |USING parquet PARTITIONED BY (list_id) LOCATION '$rangeDir'""".stripMargin)
+    spark.sql("MSCK REPAIR TABLE sqlann_cat")
+    SqlAnn.registerIndex(spark, rangeDir, rangeIndex.centroids.value,
+      nprobe = 2, radii = Some(rangeIndex.listRadii))
+    try {
+      // top-k through the metastore relation
+      val tk = spark.sql(
+        s"""SELECT id, l2_distance(vec, ${litOf(corner(0))}) AS dist
+           |FROM sqlann_cat ORDER BY dist, id LIMIT $K""".stripMargin)
+      assert(partitionFilterText(tk).contains("list_id"),
+        "the top-k rewrite must fire through a catalog table")
+      // range: fires AND stays exact (catalog partition pruning serves
+      // the same files the path-based scan reads)
+      val rg = spark.sql(
+        s"""SELECT id, l2_distance(vec, ${litOf(corner(0))}) AS dist
+           |FROM sqlann_cat
+           |WHERE l2_distance(vec, ${litOf(corner(0))}) <= 2.0 ORDER BY id""".stripMargin)
+      assert(partitionFilterText(rg).contains("list_id"))
+      val read = scanOf(rg).relation.location.listFiles(
+        scanOf(rg).partitionFilters, Nil).size
+      assert(read > 0 && read < NList,
+        s"catalog partition pruning must read fewer than $NList partitions, read $read")
+      val got = rg.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val exact = graft.index.Knn.range(
+        queriesDF(Seq(0L -> corner(0))),
+        rangeIndex.vectors.select(col("id"), col("vec")), 2.0)
+        .orderBy("id").collect().map(r => (r.getLong(1), r.getDouble(2)))
+      assert(got.nonEmpty && got.toSeq === exact.toSeq)
+      // batch shape through the catalog table: literal batch -> static In
+      localQView("sqlann_catq", Seq(100L -> corner(0), 101L -> corner(3)))
+      val bt = spark.sql(batchSql("sqlann_catq", "sqlann_cat"))
+      assert(hasProbeGenerate(bt) && partitionFilterText(bt).contains("list_id"),
+        "the batch rewrite must fire through a catalog table")
+    } finally {
+      SqlAnn.unregisterIndex(spark, rangeDir)
+      spark.sql("DROP TABLE IF EXISTS sqlann_cat")
+      ()
+    }
+  }
+
+  // ---- round 15: registration-churn hygiene -------------------------------
+
+  test("same-path re-registration evicts the superseded radii broadcast; invalidation clears the pair atomically") {
+    rangeIndex
+    spark.read.parquet(rangeDir).createOrReplaceTempView("sqlann_churn2")
+    val t1 = SqlAnn.registerIndex(spark, rangeDir, rangeIndex.centroids.value,
+      nprobe = 2, radii = Some(rangeIndex.listRadii))
+    val bc1 = t1.radiiPair.get._2
+    val t2 = SqlAnn.registerIndex(spark, rangeDir, rangeIndex.centroids.value,
+      nprobe = 2, radii = Some(rangeIndex.listRadii))
+    try {
+      // the superseded broadcast was unpersist()ed, NOT destroyed: a
+      // rewritten plan that still holds it can re-fetch and read it
+      assert(bc1.value.length === NList,
+        "unpersist must leave the superseded broadcast re-fetchable")
+      // the winner still rewrites
+      assert(partitionFilterText(spark.sql(rangeSql("sqlann_churn2", "2.0")))
+        .contains("list_id"))
+      // the single-pair setter: invalidation clears BOTH halves in one
+      // volatile write — no fresh-array/stale-broadcast interleaving
+      SqlAnn.invalidateRadii(spark, rangeDir)
+      assert(t2.radii.isEmpty && t2.radiiBc.isEmpty && t2.radiiPair.isEmpty)
+      assert(!partitionFilterText(spark.sql(rangeSql("sqlann_churn2", "2.0")))
+        .contains("list_id"))
+    } finally SqlAnn.unregisterIndex(spark, rangeDir)
+  }
+
+  test("deep determinism: rand() nested below an aggregate on the queries side demands broadcast reuse") {
+    index
+    spark.read.parquet(dir).createOrReplaceTempView("sqlann_deep")
+    SqlAnn.registerIndex(spark, dir, index.centroids.value, nprobe = NList)
+    val qDir = java.nio.file.Files
+      .createTempDirectory("graft-sqlann-deep").toFile.getAbsolutePath
+    queriesDF(randomVectors(5, Dim, seed = 9)).write.mode("overwrite").parquet(qDir)
+    spark.read.parquet(qDir).createOrReplaceTempView("sqlann_deepq")
+    def onlyInBroadcastOf(df: DataFrame): Seq[Boolean] =
+      df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.collect {
+            case d: org.apache.spark.sql.catalyst.expressions.DynamicPruningSubquery =>
+              d.onlyInBroadcast
+          }
+      }.flatten
+    try {
+      // rand() sits under the Aggregate — a top-operator-only expression
+      // scan sees only deterministic aggregate expressions and would let
+      // the planner RE-EXECUTE this side as a standalone pruning subquery
+      // (second rand() draw -> different rows -> partitions the join's
+      // actual rows need could be pruned: a false dismissal). NOT an
+      // always-true comparison: the optimizer ELIMINATES rand() < c for
+      // c >= 1, and a plan with the filter gone really is re-executable.
+      val df = spark.sql(
+        s"""SELECT qid, id, dist, rank FROM (
+           |  SELECT q.qid, t.id, l2_distance(t.vec, q.qvec) AS dist,
+           |    CAST(row_number() OVER (PARTITION BY q.qid
+           |      ORDER BY l2_distance(t.vec, q.qvec), t.id) AS INT) AS rank
+           |  FROM (SELECT qid, first(qvec) AS qvec FROM sqlann_deepq
+           |        WHERE rand() < 0.999 GROUP BY qid) q, sqlann_deep t)
+           |WHERE rank <= $K ORDER BY qid, rank""".stripMargin)
+      assert(hasProbeGenerate(df), "the join prune itself still applies")
+      // the nested rand() must survive optimization, or this pins nothing
+      assert(df.queryExecution.optimizedPlan.exists(p =>
+        p.expressions.exists(!_.deterministic)),
+        "fixture must keep a non-deterministic expression below the aggregate")
+      val flags = onlyInBroadcastOf(df)
+      assert(flags.nonEmpty && flags.forall(_ == true),
+        s"nested non-determinism must demand broadcast reuse, got $flags")
+      // results stay internally consistent (one snapshot feeds both join
+      // and prune): every surviving qid gets its FULL top-k
+      val rows = rows4(df)
+      assert(rows.groupBy(_._1).values.forall(_.size == K),
+        s"each surviving query must keep its full top-$K")
+    } finally SqlAnn.unregisterIndex(spark, dir)
+  }
+
   test("batch shape: a user WHERE on the corpus composes; NULL query vectors yield no rows") {
     index
     spark.read.parquet(dir).createOrReplaceTempView("sqlann_v")
