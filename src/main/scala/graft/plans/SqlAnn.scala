@@ -188,11 +188,13 @@ object SqlAnn {
     reg
   }
 
-  /** Remove a registration; subsequent queries plan as plain full scans. */
-  def unregisterIndex(spark: SparkSession, path: String): Unit = {
+  /** Remove a registration; subsequent queries plan as plain full scans.
+    * The removed registration's radii broadcast is evicted from executors
+    * (unpersist — still re-fetchable by any rewritten plan that outlives
+    * the registration, same contract as the churn path). */
+  def unregisterIndex(spark: SparkSession, path: String): Unit =
     registry.remove(qualified(spark, path))
-    ()
-  }
+      .foreach(_.releaseRadiiBroadcast())
 
   /** Strip the radii from whatever registration currently covers `path`
     * — WHOEVER owns it (in-place, token identity preserved). Called when
@@ -215,7 +217,9 @@ object SqlAnn {
       spark: SparkSession, path: String, token: Registration): Unit = {
     val key = qualified(spark, path)
     registry.get(key) match {
-      case Some(cur) if cur eq token => registry.remove(key, cur); ()
+      case Some(cur) if cur eq token =>
+        if (registry.remove(key, cur)) cur.releaseRadiiBroadcast()
+        ()
       case _ => ()
     }
   }

@@ -41,6 +41,7 @@ import org.apache.spark.sql.streaming.Trigger
  *
  *   StreamingAuditStress [rowsPerSec] [runSeconds] [watermark1,watermark2]
  *                        [trigger1,trigger2] [shuffleParts1,shuffleParts2]
+ *                        [corpusCopies]
  *
  * Every (watermark x trigger x parts) combination runs as its OWN
  * streaming query (fresh checkpoint, so the state-store partitioning
@@ -62,6 +63,13 @@ object StreamingAuditStress {
     val partsSweep: Seq[Int] =
       if (args.length > 4) args(4).split(',').toSeq.map(_.toInt)
       else Seq(cpus.toInt)
+    // corpus-index scale knob (round 15): union N token-remapped replicas
+    // of the documents table into the INDEX (copy c prefixes every token
+    // with the separator-free "r${c}x", so replicas are distinct docs to
+    // the [a-z0-9]+ tokenizer and the band index genuinely grows N-fold)
+    // while the stream variants keep hitting copy 0 — the sweep's
+    // task-overhead-vs-data-bound crossover as a function of index size
+    val corpusCopies: Int = if (args.length > 5) args(5).toInt else 1
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "false") // streaming plans
@@ -72,7 +80,18 @@ object StreamingAuditStress {
     // --- static fixtures: corpus index + eval screen + variant table ---
     val base = graft.Tables(spark, sfDir, "documents")
       .select("doc_id", "text").filter(col("text").isNotNull)
-    val index = graft.pipeline.Dedup.buildCorpusIndex(base)
+    // stream doc_ids start at 10,000,000 (below); replica ids stay under
+    // copies x 1,000,000 + max(doc_id), far beneath it, preserving the
+    // monotonic-id greedy rule
+    val indexed =
+      if (corpusCopies <= 1) base
+      else (0 until corpusCopies).map { c =>
+        if (c == 0) base
+        else base.select((col("doc_id") + c * 1000000L).as("doc_id"),
+          concat_ws(" ", transform(split(col("text"), " "),
+            t => concat(lit(s"r${c}x"), t))).as("text"))
+      }.reduce(_ unionAll _)
+    val index = graft.pipeline.Dedup.buildCorpusIndex(indexed)
     val evalDocs = base.filter(col("doc_id") % 50 === 0)
       .select((col("doc_id") + 100000000L).as("doc_id"), col("text"))
     val screen = graft.pipeline.Curation.evalScreenShingles(base, evalDocs)
@@ -96,7 +115,8 @@ object StreamingAuditStress {
     val variants = exactV.unionAll(nearV).unionAll(novelV)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nVariants = variants.count()
-    println(s"[audit-stress] corpus=${base.count()} docs, $nVariants variants, " +
+    println(s"[audit-stress] corpus=${base.count()} docs x$corpusCopies in index, " +
+      s"$nVariants variants, " +
       s"rate=$rate rows/s, run=${runSec}s, watermarks=${watermarks.mkString(" | ")}")
 
     for (wm <- watermarks; trigger <- triggers; parts <- partsSweep) {
@@ -136,10 +156,13 @@ object StreamingAuditStress {
       val t0 = System.currentTimeMillis()
       // sample progress while the load runs, then drain one extra horizon
       // so in-flight rows close and the latency numbers include them
-      val horizonMs = wm match {
-        case s if s.endsWith("seconds") => s.split(' ')(0).toLong * 1000
-        case s if s.endsWith("minutes") => s.split(' ')(0).toLong * 60000
-        case _ => 60000L
+      // same loud interval parsing as the trigger below (a wrong horizon
+      // only shortens the drain window, but consistency is free)
+      val horizonMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(wm)) match {
+        case iv if iv.months == 0 =>
+          iv.days * 86400000L + iv.microseconds / 1000L
+        case iv => sys.error(s"unsupported watermark interval: $wm ($iv)")
       }
       val deadline = t0 + runSec * 1000L + horizonMs + 8000L
       var lastBatch = -1L
