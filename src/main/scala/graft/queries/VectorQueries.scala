@@ -702,6 +702,7 @@ object VectorQueries {
     "sql_batch_dpp" -> (sqlBatchDpp _),
     "sql_range_join" -> (sqlRangeJoin _),
     "sql_cosine_join" -> (sqlCosineJoin _),
+    "sql_selfjoin_dedup" -> (sqlSelfJoinDedup _),
   )
 
   /** The SQL-surface ANN query vector: 64 exactly-representable binary
@@ -879,6 +880,33 @@ object VectorQueries {
     val pf = partitionFilterOf(df)
     require(pf.contains("list_id"),
       s"sql_range_join: the range-join rewrite did not fire (PartitionFilters: $pf)")
+    df
+  }
+
+  /** SQL self-join dedup (round 15): every near pair within radius r
+    * over ONE registered table — `FROM t a, t b WHERE l2_distance(b.vec,
+    * a.vec) <= r AND a.id < b.id`, the ANN-dedup query an LLM pipeline
+    * runs as SQL (the twin of [[graft.pipeline.Dedup.embeddingNearDup]]'s
+    * bucketed blocking). The range-join rewrite turns the cartesian
+    * self-join into the intersecting-lists equi-join: one side feeds the
+    * per-row [[graft.functions.RangeProbeLists]] probes, the OTHER
+    * side's scan is dynamically pruned to the union of candidate lists —
+    * this entry REQUIRES that dynamicpruning filter on a list_id scan.
+    * EXACT (covering-ball bound + kept predicate), so the brute-force
+    * pair join is the hash oracle. At 100 TB this is the difference
+    * between an O(n²) cartesian and per-list blocking. */
+  private def sqlSelfJoinDedup(spark: SparkSession, dir: String): DataFrame = {
+    sqlAnnTable(spark, dir)
+    val df = spark.sql(
+      s"""SELECT a.id AS a_id, b.id AS b_id, l2_distance(b.vec, a.vec) AS dist
+         |FROM graft_sqlann a, graft_sqlann b
+         |WHERE l2_distance(b.vec, a.vec) <= $RangeRadius AND a.id < b.id
+         |ORDER BY a_id, b_id""".stripMargin)
+    val pfs = graft.plans.SqlAnn.fileSourceScans(df)
+      .filter(_.output.exists(_.name == "list_id"))
+      .map(_.metadata.getOrElse("PartitionFilters", ""))
+    require(pfs.exists(_.contains("dynamicpruning")),
+      s"sql_selfjoin_dedup: no dynamically pruned side (PartitionFilters: $pfs)")
     df
   }
 
@@ -1105,6 +1133,14 @@ object VectorQueries {
     // original predicate), so the brute-force range join over the same
     // query rows IS the oracle — rangeOracleSql's exact shape
     "sql_range_join" -> rangeOracleSql,
+    // the self-join rewrite is exact (same covering-ball argument), so
+    // the brute-force unordered-pair join is the hash oracle
+    "sql_selfjoin_dedup" ->
+      s"""WITH d AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |      ${sqlL2("a.embedding", "b.embedding")} AS dist
+         |    FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+         |SELECT a_id, b_id, dist FROM d WHERE dist <= $RangeRadius
+         |ORDER BY a_id, b_id""".stripMargin,
     // cosine bridge is exact too (conservative bound + kept predicate):
     // brute-force cosine join over the SAME normalized vectors (the
     // normalize replay is the hash-green normalize_vectors twin)

@@ -138,6 +138,61 @@ class SqlAnnFuzzSpec extends SparkSpec {
     }
   }
 
+  test("cosine-bridge join == brute force across random unit-norm configurations") {
+    graft.GraftExtensions.register(spark)
+    val seed = sys.env.get("SQLANN_FUZZ_SEED").map(_.toLong)
+      .getOrElse(java.time.LocalDate.now(java.time.ZoneOffset.UTC).toEpochDay) + 7
+    info(s"cosine fuzz seed = $seed (set SQLANN_FUZZ_SEED to reproduce, +7)")
+    val rnd = new scala.util.Random(seed)
+    (1 to 4).foreach { trial =>
+      val dim = 4 + rnd.nextInt(5)
+      val nlist = 2 + rnd.nextInt(7)
+      val n = 30 + rnd.nextInt(170)
+      // normalized corpus: random [-1,1) vectors are never near-zero at
+      // these dims, so every row is genuinely unit-norm post-normalize
+      val corpus = randomVectors(n, dim, seed = rnd.nextInt(100000))
+        .map { case (i, v) => (i, graft.functions.VectorKernels.normalize(v)) }
+      val idx = IvfFlatIndex.build(spark, vectorsDF(corpus), nlist)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-cosfuzz$trial").toFile.getAbsolutePath
+      idx.vectors.write.partitionBy("list_id").mode("overwrite").parquet(dir)
+      spark.read.parquet(dir).createOrReplaceTempView("fz_t")
+      val nq = 1 + rnd.nextInt(3)
+      // one degenerate (zero) query row per trial: the runtime norm check
+      // must fall back to all lists for it, never dismiss
+      val qs = randomVectors(nq, dim, seed = rnd.nextInt(100000))
+        .map { case (i, v) =>
+          (i + 1000L, graft.functions.VectorKernels.normalize(v)) } :+
+        (999L, Array.fill(dim)(0f))
+      localQView("fz_q", qs)
+      val radius = rnd.nextDouble() * 1.2
+      val cfg = s"cosine trial $trial (seed=$seed): dim=$dim nlist=$nlist " +
+        s"n=$n nq=$nq radius=$radius"
+      val jSql =
+        s"""SELECT q.qid, t.id, cosine_distance(t.vec, q.qvec) AS dist
+           |FROM fz_q q, fz_t t
+           |WHERE cosine_distance(t.vec, q.qvec) <= $radius ORDER BY qid, id""".stripMargin
+      val lit = s"CAST(array(${qs.head._2.map(_.toDouble).mkString(", ")}) AS ARRAY<FLOAT>)"
+      val sSql =
+        s"""SELECT id, cosine_distance(vec, $lit) AS dist
+           |FROM fz_t WHERE cosine_distance(vec, $lit) <= $radius ORDER BY id""".stripMargin
+      val bruteJ = rows(spark.sql(jSql))
+      val bruteS = rows(spark.sql(sSql))
+      SqlAnn.registerIndex(spark, dir, idx.centroids.value,
+        nprobe = nlist, radii = Some(idx.listRadii), unitNorm = true)
+      try {
+        val j = spark.sql(jSql)
+        assert(j.queryExecution.optimizedPlan.exists {
+          case g: org.apache.spark.sql.catalyst.plans.logical.Generate =>
+            g.generator.children.head.isInstanceOf[graft.functions.CosineRangeProbeLists]
+          case _ => false
+        }, s"$cfg: cosine-bridge join rewrite did not fire")
+        assert(rows(j) === bruteJ, s"$cfg: COSINE-JOIN divergence")
+        assert(rows(spark.sql(sSql)) === bruteS, s"$cfg: COSINE single-table divergence")
+      } finally SqlAnn.unregisterIndex(spark, dir)
+    }
+  }
+
   private def localQView(name: String, rows: Seq[(Long, Array[Float])]): Unit = {
     val list = new java.util.ArrayList[org.apache.spark.sql.Row]()
     rows.foreach { case (i, v) => list.add(org.apache.spark.sql.Row(i, v.toSeq)) }

@@ -1222,6 +1222,65 @@ class SqlAnnSpec extends SparkSpec {
     }
   }
 
+  // ---- round 15: the SQL self-join dedup shape ----------------------------
+
+  test("self-join dedup shape: t x t range join fires, prunes dynamically, EXACT") {
+    // the ANN-dedup query an LLM pipeline runs as SQL: every near pair
+    // within radius r over ONE table — the naive plan is the full
+    // cartesian self-join; the rewrite must turn it into the
+    // bucketed-by-intersecting-lists equi-join (the SQL twin of
+    // Dedup.embeddingNearDup's blocking)
+    rangeIndex
+    graft.GraftExtensions.register(spark)
+    spark.read.parquet(rangeDir).createOrReplaceTempView("sqlann_sj")
+    def sql = // a.id < b.id: each unordered pair once, no self-pairs
+      s"""SELECT a.id AS a_id, b.id AS b_id, l2_distance(b.vec, a.vec) AS dist
+         |FROM sqlann_sj a, sqlann_sj b
+         |WHERE l2_distance(b.vec, a.vec) <= 0.5 AND a.id < b.id
+         |ORDER BY a_id, b_id""".stripMargin
+    val brute = rows3(spark.sql(sql))
+    SqlAnn.registerIndex(spark, rangeDir, rangeIndex.centroids.value,
+      nprobe = 2, radii = Some(rangeIndex.listRadii))
+    try {
+      val df = spark.sql(sql)
+      assert(hasRangeGenerate(df), "the range-probe explode must be injected")
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("CartesianProduct") && !phys.contains("NestedLoop"),
+        s"the self-join must plan as an equi-join, got:\n$phys")
+      // one side keeps the full scan (it feeds the probes); the OTHER
+      // side's scan must carry the dynamic prune on list_id
+      val pfs = SqlAnn.fileSourceScans(df)
+        .filter(_.output.exists(_.name == "list_id"))
+        .map(_.metadata.getOrElse("PartitionFilters", ""))
+      assert(pfs.exists(_.contains("dynamicpruning")),
+        s"one self-join side must be dynamically pruned, got: $pfs")
+      val got = rows3(df)
+      assert(got.nonEmpty && got === brute,
+        s"self-join dedup must be EXACT (${got.size} vs ${brute.size} rows)")
+    } finally SqlAnn.unregisterIndex(spark, rangeDir)
+  }
+
+  test("range shapes: BETWEEN composes conjuncts (single-table and join)") {
+    rangeIndex
+    graft.GraftExtensions.register(spark)
+    spark.read.parquet(rangeDir).createOrReplaceTempView("sqlann_btw")
+    def sql =
+      s"""SELECT id, l2_distance(vec, ${litOf(corner(0))}) AS dist
+         |FROM sqlann_btw
+         |WHERE l2_distance(vec, ${litOf(corner(0))}) BETWEEN 0.0 AND 2.0
+         |ORDER BY id""".stripMargin
+    val brute = spark.sql(sql).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    SqlAnn.registerIndex(spark, rangeDir, rangeIndex.centroids.value,
+      nprobe = 2, radii = Some(rangeIndex.listRadii))
+    try {
+      val df = spark.sql(sql)
+      assert(partitionFilterText(df).contains("list_id"),
+        "BETWEEN splits into conjuncts; the upper bound must prune")
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got.nonEmpty && got === brute)
+    } finally SqlAnn.unregisterIndex(spark, rangeDir)
+  }
+
   // ---- round 15: registration-churn hygiene -------------------------------
 
   test("same-path re-registration evicts the superseded radii broadcast; invalidation clears the pair atomically") {
