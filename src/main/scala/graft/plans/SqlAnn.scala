@@ -382,27 +382,14 @@ object SqlAnn {
       val listAttr = rel.output.find(o =>
         o.name == reg.listCol && o.dataType == IntegerType).getOrElse(return None)
       val conjuncts = splitConjunctivePredicates(cond)
-      // a view may re-alias the stored vector column: resolve an attribute
-      // in the outer condition through the Project's aliases down to the
-      // relation's own attribute (a pass-through keeps its exprId and
-      // resolves as itself; a COMPUTED alias stays unresolved and fails
-      // vecOfRelation — a derived vector has no registered geometry)
-      def resolved(v: AttributeReference): AttributeReference =
-        proj.flatMap(_.projectList.collectFirst {
-          case al: Alias if al.exprId == v.exprId => al.child
-        }) match {
-          case Some(ar: AttributeReference) => ar
-          case Some(_) => v
-          case None => v
-        }
       def qvecOf(d: Expression): Option[(Array[Float], Metric.Value)] = d match {
         case VectorDistance(v: AttributeReference,
             Literal(q: ArrayData, ArrayType(FloatType, _)), m)
-            if q != null && vecOfRelation(rel, reg, resolved(v)) =>
+            if q != null && vecOfRelation(rel, reg, resolveThrough(proj, v)) =>
           floats(q, reg).map((_, m))
         case VectorDistance(Literal(q: ArrayData, ArrayType(FloatType, _)),
             v: AttributeReference, m)
-            if q != null && vecOfRelation(rel, reg, resolved(v)) =>
+            if q != null && vecOfRelation(rel, reg, resolveThrough(proj, v)) =>
           floats(q, reg).map((_, m))
         case _ => None
       }
@@ -479,6 +466,19 @@ object SqlAnn {
         v: AttributeReference): Boolean =
       rel.output.exists(o => o.exprId == v.exprId && o.name == reg.vecCol)
 
+    /** Resolve an attribute through a view Project's aliases down to the
+      * relation's own attribute: a pass-through keeps its exprId and
+      * resolves as itself; a COMPUTED alias stays unresolved and fails
+      * vecOfRelation (a derived vector has no registered geometry). */
+    private def resolveThrough(
+        proj: Option[Project], v: AttributeReference): AttributeReference =
+      proj.flatMap(_.projectList.collectFirst {
+        case al: Alias if al.exprId == v.exprId => al.child
+      }) match {
+        case Some(ar: AttributeReference) => ar
+        case _ => v
+      }
+
     private def floats(q: ArrayData, reg: Registration): Option[Array[Float]] = {
       val arr = try q.toFloatArray() catch { case _: NullPointerException => return None }
       if (arr.length == reg.centroids.head.length) Some(arr) else None
@@ -513,15 +513,19 @@ object SqlAnn {
         vecAttr: AttributeReference,
         qLit: ArrayData,
         metric: Metric.Value): Option[LogicalPlan] = {
-      val (cond, rel) = child match {
-        case Filter(c, r: LogicalRelation) => (Some(c), r)
-        case r: LogicalRelation => (None, r)
-        case _ => return None
-      }
+      // relParts: the relation directly, under a pushed Filter, or under
+      // a view's Project (possibly with a Filter below it) — a computed-
+      // column view that blocked predicate pushdown must not also block
+      // the top-k probe filter, which is injected UNDER the Project,
+      // directly over the relation (same placement argument as the range
+      // rewrite: it only removes rows the top-k contract already lets
+      // the nprobe approximation drop)
+      val (projOpt, filtOpt, rel) = relParts(child).getOrElse(return None)
       val reg = lookup(rel).getOrElse(return None)
-      // the distance must be over THIS relation's registered vector column
-      if (!rel.output.exists(o =>
-          o.exprId == vecAttr.exprId && o.name == reg.vecCol)) return None
+      // the distance must be over THIS relation's registered vector
+      // column (resolved through a view alias when projected)
+      if (!vecOfRelation(rel, reg, resolveThrough(projOpt, vecAttr)))
+        return None
       val listAttr = rel.output.find(o =>
         o.name == reg.listCol && o.dataType == IntegerType).getOrElse(return None)
       // a malformed literal (nulls inside, wrong dim) falls back to the
@@ -533,10 +537,17 @@ object SqlAnn {
       if (probes.isEmpty) return None
       val inExpr = In(listAttr, probes.sorted.toSeq.map(i => Literal(i)))
       // idempotence under the fixed-point batch
-      if (cond.exists(c =>
-          splitConjunctivePredicates(c).exists(_.semanticEquals(inExpr))))
+      if (filtOpt.exists(f =>
+          splitConjunctivePredicates(f.condition).exists(_.semanticEquals(inExpr))))
         return None
-      Some(Filter(cond.map(And(_, inExpr)).getOrElse(inExpr), rel))
+      val newInner: LogicalPlan = filtOpt match {
+        case Some(f) => f.copy(condition = And(f.condition, inExpr))
+        case None => Filter(inExpr, rel)
+      }
+      Some(projOpt match {
+        case Some(p) => p.copy(child = newInner)
+        case None => newInner
+      })
     }
 
     // ---- the BATCH rewrite ------------------------------------------------

@@ -1175,6 +1175,27 @@ class SqlAnnSpec extends SparkSpec {
     } finally SqlAnn.unregisterIndex(spark, rangeDir)
   }
 
+  test("top-k rewrite fires through the same computed-column view") {
+    rangeIndex
+    spark.read.parquet(rangeDir)
+      .withColumn("rid", monotonically_increasing_id())
+      .createOrReplaceTempView("sqlann_pview2")
+    SqlAnn.registerIndex(spark, rangeDir, rangeIndex.centroids.value, nprobe = 2)
+    try {
+      val df = spark.sql(
+        s"""SELECT id, l2_distance(vec, ${litOf(corner(0))}) AS dist, rid
+           |FROM sqlann_pview2 ORDER BY dist, id LIMIT $K""".stripMargin)
+      assert(partitionFilterText(df).contains("list_id"),
+        "the top-k probe filter must reach the scan through the view")
+      // deterministic columns equal the facade at the same nprobe
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val facade = rangeIndex.search(
+        queriesDF(Seq(0L -> corner(0))), graft.SearchParams(k = K, nprobe = 2))
+        .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2)))
+      assert(got.toSeq === facade.toSeq)
+    } finally SqlAnn.unregisterIndex(spark, rangeDir)
+  }
+
   // ---- round 15: catalog (metastore) tables -------------------------------
 
   test("catalog parquet table (USING parquet, recovered partitions): rewrites reach the scan") {
