@@ -141,6 +141,40 @@ object SqlAnn {
     * admits only a sliver of extra lists. */
   val UnitNormTol: Double = 1e-3
 
+  /** ONE corpus pass checking the `unitNorm` attestation: true iff every
+    * non-null vector under `path` has L2 norm within [1−tol, 1+tol] (a
+    * NaN component fails — NaN norms poison the bridge bound the same
+    * way they poison covering radii). Callers who did not produce the
+    * table themselves should run this before registering with
+    * `unitNorm = true`: a FALSE attestation silently turns the exact
+    * cosine rewrites into ones that can falsely dismiss. Costs a full
+    * scan of the vector column — the same order as computing range
+    * radii, and worth it for the same reason. */
+  def verifyUnitNorm(
+      spark: SparkSession,
+      path: String,
+      vecCol: String = "vec",
+      tol: Double = UnitNormTol): Boolean = {
+    import org.apache.spark.sql.functions._
+    val dev = spark.read.parquet(path)
+      .select(col(vecCol)).filter(col(vecCol).isNotNull)
+      // coalesce: a NULL ELEMENT nulls the whole aggregate, and max()
+      // would silently SKIP that row — force it to NaN so a malformed
+      // vector fails the attestation instead of evading it
+      .select(coalesce(
+        abs(sqrt(aggregate(col(vecCol), lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))) - 1.0d),
+        lit(Double.NaN)).as("dev"))
+      .agg(max(col("dev"))).head()
+    // an empty table attests trivially. Spark's max() orders NaN above
+    // every double, so one NaN norm makes the max NaN — but `NaN <= tol`
+    // compares false only under IEEE, and Spark already returned the
+    // value to the driver here: test NaN explicitly rather than lean on
+    // either semantics
+    if (dev.isNullAt(0)) true
+    else { val d = dev.getDouble(0); !d.isNaN && d <= tol }
+  }
+
   // Keyed by qualified table path, JVM-global — NOT per session. The
   // rule must resolve the registration during OPTIMIZATION, which can
   // run on a thread where SparkSession.getActiveSession is unset (a

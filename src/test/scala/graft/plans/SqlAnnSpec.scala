@@ -1124,6 +1124,88 @@ class SqlAnnSpec extends SparkSpec {
     } finally SqlAnn.unregisterIndex(spark, cosDir)
   }
 
+  test("cosine SELF-join dedup: bridge + self-join compose, EXACT") {
+    // the LLM near-dup shape in its most common form: cosine distance,
+    // one table, every near pair — both round-15 features composing
+    cosIndex
+    graft.GraftExtensions.register(spark)
+    spark.read.parquet(cosDir).createOrReplaceTempView("sqlann_csj")
+    def sql =
+      s"""SELECT a.id AS a_id, b.id AS b_id, cosine_distance(b.vec, a.vec) AS dist
+         |FROM sqlann_csj a, sqlann_csj b
+         |WHERE cosine_distance(b.vec, a.vec) <= 0.1 AND a.id < b.id
+         |ORDER BY a_id, b_id""".stripMargin
+    val brute = rows3(spark.sql(sql))
+    SqlAnn.registerIndex(spark, cosDir, cosIndex.centroids.value,
+      nprobe = 2, radii = Some(cosIndex.listRadii), unitNorm = true)
+    try {
+      val df = spark.sql(sql)
+      assert(hasCosineGenerate(df), "the cosine range-probe explode must be injected")
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("CartesianProduct") && !phys.contains("NestedLoop"),
+        s"the cosine self-join must plan as an equi-join, got:\n$phys")
+      val got = rows3(df)
+      assert(got.nonEmpty && got === brute,
+        s"cosine self-join must be EXACT (${got.size} vs ${brute.size} rows)")
+    } finally SqlAnn.unregisterIndex(spark, cosDir)
+  }
+
+  test("verifyUnitNorm: one-pass attestation check (unit table true, raw table false, NaN/null poison fails)") {
+    cosIndex; rangeIndex
+    assert(SqlAnn.verifyUnitNorm(spark, cosDir),
+      "the normalized fixture must pass the attestation check")
+    assert(!SqlAnn.verifyUnitNorm(spark, rangeDir),
+      "the raw corner fixture (norms ~11) must fail")
+    // a poisoned vector (NaN component) must FAIL, never evade: NaN
+    // norms poison the bridge bound like they poison covering radii
+    val poisonDir = java.nio.file.Files
+      .createTempDirectory("graft-sqlann-poison").toFile.getAbsolutePath
+    val rows = (0L until 20L).map(i =>
+      (i, graft.functions.VectorKernels.normalize(corner((i % 8).toInt)))) :+
+      (99L, { val v = ncorner(0); v(0) = Float.NaN; v })
+    vectorsDF(rows).withColumn("list_id", lit(0))
+      .write.partitionBy("list_id").mode("overwrite").parquet(poisonDir)
+    assert(!SqlAnn.verifyUnitNorm(spark, poisonDir),
+      "a NaN component must fail the attestation check")
+  }
+
+  test("facade end-to-end: registerSql(unitNorm = true) unlocks the cosine join on the served view") {
+    import graft.IndexConfig
+    val db = new graft.api.VectorDB(spark,
+      java.nio.file.Files.createTempDirectory("graft-sqlann-cos-db").toString)
+    db.createIndex(IndexConfig("cosidx", Dim, nlist = 4))
+    // the facade stores what it is given: the caller normalizes upfront
+    // (the attestation is the caller's statement about ITS OWN data)
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 160L).map { i =>
+      val c = corner((i % 8).toInt)
+      (i, graft.functions.VectorKernels.normalize(
+        c.map(x => x + rnd.nextFloat() * 0.2f - 0.1f)))
+    }
+    val ep = db.buildEpoch("cosidx", vectorsDF(rows))
+    db.activateEpoch("cosidx", ep)
+    db.loadIndex("cosidx")
+    db.registerSql("cosidx", nprobe = 4, computeRangeRadii = true, unitNorm = true)
+    try {
+      localQView("cosidx_q", Seq(500L -> ncorner(0), 501L -> ncorner(3)))
+      val sql =
+        s"""SELECT q.qid, t.id, cosine_distance(t.vec, q.qvec) AS dist
+           |FROM cosidx_q q, cosidx t
+           |WHERE cosine_distance(t.vec, q.qvec) <= 0.1 ORDER BY qid, id""".stripMargin
+      val df = spark.sql(sql)
+      assert(hasCosineGenerate(df),
+        "registerSql's attestation must unlock the cosine bridge")
+      // exact vs the facade's own exact cosine range twin: brute force
+      // over the same served vectors
+      val served = spark.table("cosidx")
+      val brute = graft.index.Knn.range(
+        queriesDF(Seq(500L -> ncorner(0), 501L -> ncorner(3))),
+        served.select(col("id"), col("vec")), 0.1, graft.Metric.Cosine)
+        .orderBy("qid", "id")
+      assert(rows3(df) === rows3(brute.select(col("qid"), col("id"), col("dist"))))
+    } finally db.close()
+  }
+
   // ---- round 15: range rewrite through a computed-column view ------------
 
   test("range rewrite fires through a view whose Project blocks predicate pushdown") {
