@@ -79,10 +79,26 @@ class SqlAnnFuzzSpec extends SparkSpec {
       val bSql = batchSqlText(metric, k)
       val rSql = rangeSqlText(radius)
       val lSql = literalSqlText(qs.head._2, k)
+      // computed-column VIEW twins (round 15): a non-deterministic
+      // projected column blocks predicate pushdown, so these exercise
+      // the through-Project injection paths; the queries must REFERENCE
+      // the column (else column pruning collapses the view away and the
+      // twin tests nothing), and the comparison drops it
+      spark.read.parquet(dir).withColumn("rid", monotonically_increasing_id())
+        .createOrReplaceTempView("fz_tv")
+      val qLit = s"CAST(array(${qs.head._2.map(_.toDouble).mkString(", ")}) AS ARRAY<FLOAT>)"
+      val lSqlV =
+        s"""SELECT id, l2_distance(vec, $qLit) AS dist, rid
+           |FROM fz_tv ORDER BY dist, id LIMIT $k""".stripMargin
+      val rSqlV =
+        s"""SELECT id, l2_distance(vec, $qLit) AS dist, rid
+           |FROM fz_tv WHERE l2_distance(vec, $qLit) <= $radius ORDER BY id""".stripMargin
+      def dropRid(s: Seq[Seq[Any]]): Seq[Seq[Any]] = s.map(_.dropRight(1))
       // brute force FIRST: nothing registered, nothing rewrites
       val bruteBatch = rows(spark.sql(bSql))
       val bruteRange = rows(spark.sql(rSql))
       val bruteLit = rows(spark.sql(lSql))
+      val bruteRangeSingleV = dropRid(rows(spark.sql(rSqlV)))
 
       SqlAnn.registerIndex(spark, dir, idx.centroids.value,
         nprobe = nlist, radii = Some(idx.listRadii))
@@ -104,6 +120,23 @@ class SqlAnnFuzzSpec extends SparkSpec {
         assert(rows(b) === bruteBatch, s"$cfg: BATCH divergence")
         assert(rows(r) === bruteRange, s"$cfg: RANGE-JOIN divergence")
         assert(rows(l) === bruteLit, s"$cfg: LITERAL top-k divergence")
+        // through-view twins: the probe/covering-ball filters must reach
+        // the scan UNDER the non-deterministic Project, results equal
+        // modulo the dropped rid column
+        val lv = spark.sql(lSqlV)
+        assert(SqlAnn.fileSourceScan(lv)
+          .flatMap(_.metadata.get("PartitionFilters")).getOrElse("")
+          .contains("list_id"), s"$cfg: view top-k did not prune")
+        assert(dropRid(rows(lv)) === bruteLit, s"$cfg: VIEW top-k divergence")
+        val rv = spark.sql(rSqlV)
+        // a tiny radius can make the covering-ball intersection EMPTY —
+        // the rewrite then injects a constant-false conjunct (maximal
+        // prune) instead of an In on list_id; both count as fired
+        val rvPf = SqlAnn.fileSourceScan(rv)
+          .flatMap(_.metadata.get("PartitionFilters")).getOrElse("")
+        assert(rvPf.contains("list_id") || rvPf.contains("false"),
+          s"$cfg: view range did not prune (PartitionFilters: $rvPf)")
+        assert(dropRid(rows(rv)) === bruteRangeSingleV, s"$cfg: VIEW range divergence")
       } finally SqlAnn.unregisterIndex(spark, dir)
 
       // the APPROXIMATION path: at a random nprobe < nlist the SQL batch
