@@ -546,14 +546,36 @@ object SqlAnn {
         child: LogicalPlan,
         vecAttr: AttributeReference,
         qLit: ArrayData,
+        metric: Metric.Value): Option[LogicalPlan] = child match {
+      // top-k with a metadata join: `FROM t JOIN dims ON ... ORDER BY
+      // l2_distance(t.vec, lit) LIMIT k` — prune the REGISTERED side
+      // before the join. Commutes with the nprobe contract for
+      // Inner/Cross (candidates = t-rows in probed lists, joined or
+      // not); outer joins are left alone (the null-producing side's
+      // unmatched rows are a semantics question this rewrite stays out
+      // of).
+      case j: Join =>
+        j.joinType match {
+          case Inner | Cross =>
+          case _ => return None
+        }
+        prunedParts(j.left, vecAttr, qLit, metric)
+          .map(nl => j.copy(left = nl))
+          .orElse(prunedParts(j.right, vecAttr, qLit, metric)
+            .map(nr => j.copy(right = nr)))
+      case _ => prunedParts(child, vecAttr, qLit, metric)
+    }
+
+    /** The single-side prune: relParts (the relation directly, under a
+      * pushed Filter, or under a view's Project whose computed columns
+      * blocked predicate pushdown — the probe filter is injected UNDER
+      * the Project, directly over the relation; it only removes rows the
+      * nprobe contract already lets the approximation drop). */
+    private def prunedParts(
+        child: LogicalPlan,
+        vecAttr: AttributeReference,
+        qLit: ArrayData,
         metric: Metric.Value): Option[LogicalPlan] = {
-      // relParts: the relation directly, under a pushed Filter, or under
-      // a view's Project (possibly with a Filter below it) — a computed-
-      // column view that blocked predicate pushdown must not also block
-      // the top-k probe filter, which is injected UNDER the Project,
-      // directly over the relation (same placement argument as the range
-      // rewrite: it only removes rows the top-k contract already lets
-      // the nprobe approximation drop)
       val (projOpt, filtOpt, rel) = relParts(child).getOrElse(return None)
       val reg = lookup(rel).getOrElse(return None)
       // the distance must be over THIS relation's registered vector

@@ -703,6 +703,7 @@ object VectorQueries {
     "sql_range_join" -> (sqlRangeJoin _),
     "sql_cosine_join" -> (sqlCosineJoin _),
     "sql_selfjoin_dedup" -> (sqlSelfJoinDedup _),
+    "sql_topk_join" -> (sqlTopkJoin _),
   )
 
   /** The SQL-surface ANN query vector: 64 exactly-representable binary
@@ -880,6 +881,29 @@ object VectorQueries {
     val pf = partitionFilterOf(df)
     require(pf.contains("list_id"),
       s"sql_range_join: the range-join rewrite did not fire (PartitionFilters: $pf)")
+    df
+  }
+
+  /** Top-k with a metadata join (round 15): `FROM t JOIN dims ON t.id =
+    * dims.id ORDER BY l2_distance(t.vec, lit) LIMIT k` — the serving
+    * query that decorates neighbors with metadata in the same statement.
+    * The rewrite prunes the REGISTERED side before the (Inner) join: the
+    * nprobe contract commutes (candidates = t-rows in probed lists,
+    * joined or not). Registered at nprobe = nlist it is exact, so the
+    * brute-force join is the hash oracle; REQUIRES the partition filter
+    * on the corpus-side scan. */
+  private def sqlTopkJoin(spark: SparkSession, dir: String): DataFrame = {
+    sqlAnnTable(spark, dir)
+    emb(spark, dir).select(col("vec_id"), col("label"))
+      .createOrReplaceTempView("graft_sqlann_meta")
+    val q = s"CAST(array(${sqlAnnVals.mkString(", ")}) AS ARRAY<FLOAT>)"
+    val df = spark.sql(
+      s"""SELECT t.id, m.label, l2_distance(t.vec, $q) AS dist
+         |FROM graft_sqlann t JOIN graft_sqlann_meta m ON t.id = m.vec_id
+         |ORDER BY dist, t.id LIMIT $K""".stripMargin)
+    val pf = corpusPartitionFilterOf(df)
+    require(pf.contains("list_id"),
+      s"sql_topk_join: the joined top-k rewrite did not fire (PartitionFilters: $pf)")
     df
   }
 
@@ -1133,6 +1157,15 @@ object VectorQueries {
     // original predicate), so the brute-force range join over the same
     // query rows IS the oracle — rangeOracleSql's exact shape
     "sql_range_join" -> rangeOracleSql,
+    // nprobe = nlist keeps the joined top-k exact; the metadata join is
+    // 1:1 on vec_id, so the brute-force ordered join replays it — same
+    // exactly-representable literal as sql_ann_rewrite
+    "sql_topk_join" ->
+      s"""WITH q AS (SELECT [${sqlAnnVals.mkString(", ")}]::FLOAT[] AS qv),
+         |d AS (SELECT v.vec_id AS id, v.label,
+         |      ${sqlL2("q.qv", "v.embedding")} AS dist
+         |      FROM embeddings v, q)
+         |SELECT id, label, dist FROM d ORDER BY dist, id LIMIT $K""".stripMargin,
     // the self-join rewrite is exact (same covering-ball argument), so
     // the brute-force unordered-pair join is the hash oracle
     "sql_selfjoin_dedup" ->

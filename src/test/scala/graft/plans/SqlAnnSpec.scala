@@ -1124,6 +1124,50 @@ class SqlAnnSpec extends SparkSpec {
     } finally SqlAnn.unregisterIndex(spark, cosDir)
   }
 
+  test("top-k with a metadata join: the registered side is pruned before the join") {
+    index
+    graft.GraftExtensions.register(spark)
+    spark.read.parquet(dir).createOrReplaceTempView("sqlann_tkj")
+    // a dims table: one metadata row per corpus id
+    spark.range(200).select(col("id").as("mid"), (col("id") % 7).as("tag"))
+      .createOrReplaceTempView("sqlann_dims")
+    def sql =
+      s"""SELECT t.id, d.tag, l2_distance(t.vec, $qvecSql) AS dist
+         |FROM sqlann_tkj t JOIN sqlann_dims d ON t.id = d.mid
+         |ORDER BY dist, t.id LIMIT $K""".stripMargin
+    val brute = spark.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    SqlAnn.registerIndex(spark, dir, index.centroids.value, nprobe = NList)
+    try {
+      val df = spark.sql(sql)
+      val pf = SqlAnn.fileSourceScans(df)
+        .find(_.output.exists(_.name == "list_id"))
+        .flatMap(_.metadata.get("PartitionFilters")).getOrElse("")
+      assert(pf.contains("list_id"),
+        s"the registered join side must carry the probe filter, got: $pf")
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got.nonEmpty && got === brute, "exact at nprobe = nlist through the join")
+      // at nprobe < nlist: the scan really reads fewer partitions
+      SqlAnn.unregisterIndex(spark, dir)
+      SqlAnn.registerIndex(spark, dir, index.centroids.value, nprobe = 2)
+      val ap = spark.sql(sql)
+      val scan = SqlAnn.fileSourceScans(ap)
+        .find(_.output.exists(_.name == "list_id")).get
+      val read = scan.relation.location.listFiles(scan.partitionFilters, Nil).size
+      assert(read > 0 && read <= 2,
+        s"nprobe=2 must prune the joined scan to at most 2 of $NList partitions, read $read")
+      // LEFT join: the rewrite must stay out (null-extended rows)
+      val lj = spark.sql(
+        s"""SELECT t.id, d.tag, l2_distance(t.vec, $qvecSql) AS dist
+           |FROM sqlann_tkj t LEFT JOIN sqlann_dims d ON t.id = d.mid
+           |ORDER BY dist, t.id LIMIT $K""".stripMargin)
+      val ljPf = SqlAnn.fileSourceScans(lj)
+        .find(_.output.exists(_.name == "list_id"))
+        .flatMap(_.metadata.get("PartitionFilters")).getOrElse("")
+      assert(!ljPf.contains("list_id"), "outer joins are left untouched")
+    } finally SqlAnn.unregisterIndex(spark, dir)
+  }
+
   test("cosine SELF-join dedup: bridge + self-join compose, EXACT") {
     // the LLM near-dup shape in its most common form: cosine distance,
     // one table, every near pair — both round-15 features composing
