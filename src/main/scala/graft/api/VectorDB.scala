@@ -448,13 +448,23 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       nprobe: Int = 8,
       viewName: String = "",
       computeRangeRadii: Boolean = false,
-      unitNorm: Boolean = false): String = {
+      unitNorm: Boolean = false,
+      verifyUnitNorm: Boolean = false): String = {
     if (nprobe <= 0)
       throw new InvalidArgumentException(s"nprobe must be positive: $nprobe")
     val s = served.getOrElse(name,
       throw new NotFoundException(s"Index not loaded: $name"))
     val path = s"${epochManager(name).epochPath(s.epochId)}/vectors"
     val view = if (viewName.nonEmpty) viewName else name
+    // a FALSE unit-norm attestation silently turns the exact cosine
+    // rewrites into ones that can falsely dismiss — callers who did not
+    // produce the vectors can pay one corpus pass here to check before
+    // the attestation is registered (same cost order as computeRangeRadii)
+    if (unitNorm && verifyUnitNorm &&
+        !graft.plans.SqlAnn.verifyUnitNorm(spark, path))
+      throw new InvalidArgumentException(
+        s"unitNorm attestation failed for '$name': a stored vector's norm " +
+          s"deviates from 1 by more than ${graft.plans.SqlAnn.UnitNormTol}")
     val radii =
       if (computeRangeRadii) Some(s.index.listRadii) else s.index.radiiIfKnown
     val token = graft.plans.SqlAnn.registerIndex(

@@ -1247,6 +1247,28 @@ class SqlAnnSpec extends SparkSpec {
         served.select(col("id"), col("vec")), 0.1, graft.Metric.Cosine)
         .orderBy("qid", "id")
       assert(rows3(df) === rows3(brute.select(col("qid"), col("id"), col("dist"))))
+      // the verified flavor passes on this genuinely-normalized epoch
+      db.registerSql("cosidx", nprobe = 4, computeRangeRadii = true,
+        unitNorm = true, verifyUnitNorm = true)
+      assert(hasCosineGenerate(spark.sql(sql)))
+    } finally db.close()
+  }
+
+  test("registerSql(verifyUnitNorm = true) rejects a false attestation on raw vectors") {
+    import graft.IndexConfig
+    val db = new graft.api.VectorDB(spark,
+      java.nio.file.Files.createTempDirectory("graft-sqlann-badattest").toString)
+    db.createIndex(IndexConfig("rawidx", Dim, nlist = 4))
+    val ep = db.buildEpoch("rawidx", vectorsDF(randomVectors(80, Dim)))
+    db.activateEpoch("rawidx", ep)
+    db.loadIndex("rawidx")
+    try {
+      intercept[graft.InvalidArgumentException] {
+        db.registerSql("rawidx", nprobe = 4, unitNorm = true, verifyUnitNorm = true)
+      }
+      // the unverified attestation is the caller's own risk and still
+      // registers (documented contract)
+      db.registerSql("rawidx", nprobe = 4, unitNorm = true)
     } finally db.close()
   }
 
