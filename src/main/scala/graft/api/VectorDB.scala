@@ -442,6 +442,18 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
    * cartesian with an equi-join on the candidate lists; literal
    * (VALUES/createDataFrame) query batches additionally prune the scan
    * statically, any other batch via dynamic partition pruning.
+   *
+   * Round 15: `unitNorm = true` ATTESTS every stored vector's L2 norm
+   * lies within [[graft.plans.SqlAnn.UnitNormTol]] of 1 (e.g. the
+   * caller normalized on ingest) — this unlocks the COSINE similarity
+   * join and range shapes through the 1−cos = ‖a−b‖²/2 bridge, still
+   * EXACT (conservative bound; per-row runtime norm check). A false
+   * attestation can falsely dismiss matches: pass
+   * `verifyUnitNorm = true` to pay one corpus pass and have the
+   * registration rejected instead. The rewrites also serve the
+   * self-join dedup shape (`FROM v a, v b WHERE dist <= r`), top-k
+   * decorated by an INNER metadata join, computed-column views over
+   * the registered table, and catalog (metastore) parquet tables.
    */
   def registerSql(
       name: String,
