@@ -468,6 +468,16 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       throw new NotFoundException(s"Index not loaded: $name"))
     val path = s"${epochManager(name).epochPath(s.epochId)}/vectors"
     val view = if (viewName.nonEmpty) viewName else name
+    // verifyUnitNorm only means anything as a check ON the attestation —
+    // a lone verify flag used to be a silent no-op (neither check nor
+    // registration), which reads as "my corpus was validated" when
+    // nothing ran: reject it loudly instead (round 16, r15 verdict #1)
+    if (verifyUnitNorm && !unitNorm)
+      throw new InvalidArgumentException(
+        "verifyUnitNorm = true without unitNorm = true: the verification " +
+          "guards the attestation — pass unitNorm = true to attest (and " +
+          "have it checked), or call SqlAnn.verifyUnitNorm directly for a " +
+          "standalone check")
     // a FALSE unit-norm attestation silently turns the exact cosine
     // rewrites into ones that can falsely dismiss — callers who did not
     // produce the vectors can pay one corpus pass here to check before

@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -118,12 +118,22 @@ object SqlAnn {
       * rewrite consumes both and must see a consistent snapshot. */
     private[plans] def radiiPair
         : Option[(Array[Double], Broadcast[Array[Double]])] = radiiState
-    /** Swap both halves atomically (fresh pair) or clear both (None). */
+    /** Swap both halves atomically (fresh pair) or clear both (None). The
+      * OUTGOING broadcast is unpersist()ed as part of the swap — without
+      * this, invalidateRadii followed by unregister/churn would drop the
+      * only driver-side reference before releaseRadiiBroadcast could
+      * evict, leaving executor blocks to linger until GC (r15 advice).
+      * unpersist is idempotent and re-fetchable, so a reader that
+      * snapshotted the old pair just before the swap stays correct. */
     private[plans] def updateRadii(
         state: Option[(Array[Double], Broadcast[Array[Double]])]): Unit = {
       require(state.forall(_._1.length == centroids.length),
         "radii length must equal nlist")
+      val outgoing = radiiState
       radiiState = state
+      outgoing.foreach { case (_, bc) =>
+        if (!state.exists(_._2 eq bc)) bc.unpersist(blocking = false)
+      }
     }
     /** Evict executor-resident blocks of the radii broadcast — called on
       * same-path registration churn, where the superseded registration's
@@ -551,18 +561,27 @@ object SqlAnn {
       // l2_distance(t.vec, lit) LIMIT k` — prune the REGISTERED side
       // before the join. Commutes with the nprobe contract for
       // Inner/Cross (candidates = t-rows in probed lists, joined or
-      // not); outer joins are left alone (the null-producing side's
-      // unmatched rows are a semantics question this rewrite stays out
-      // of).
+      // not) and for the PRESERVED side of an outer/semi/anti join
+      // (round 16): in `t LEFT JOIN dims` every output row derives from
+      // exactly one t row, so the probe filter under t only removes
+      // candidate rows the approximation already lets it drop — the
+      // common "metadata may be missing" serving idiom. The
+      // NULL-PRODUCING side is never pruned: dropping its rows would
+      // flip matched rows to null-extended ones, a semantics change the
+      // nprobe contract does not cover (and prunedParts can only fire on
+      // the side that owns the registered vector column, so a LeftOuter
+      // whose distance is over the RIGHT side stays untouched).
       case j: Join =>
-        j.joinType match {
-          case Inner | Cross =>
-          case _ => return None
-        }
-        prunedParts(j.left, vecAttr, qLit, metric)
+        def left = prunedParts(j.left, vecAttr, qLit, metric)
           .map(nl => j.copy(left = nl))
-          .orElse(prunedParts(j.right, vecAttr, qLit, metric)
-            .map(nr => j.copy(right = nr)))
+        def right = prunedParts(j.right, vecAttr, qLit, metric)
+          .map(nr => j.copy(right = nr))
+        j.joinType match {
+          case Inner | Cross => left.orElse(right)
+          case LeftOuter | LeftSemi | LeftAnti => left
+          case RightOuter => right
+          case _ => None
+        }
       case _ => prunedParts(child, vecAttr, qLit, metric)
     }
 

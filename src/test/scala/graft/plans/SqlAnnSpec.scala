@@ -1156,7 +1156,10 @@ class SqlAnnSpec extends SparkSpec {
       val read = scan.relation.location.listFiles(scan.partitionFilters, Nil).size
       assert(read > 0 && read <= 2,
         s"nprobe=2 must prune the joined scan to at most 2 of $NList partitions, read $read")
-      // LEFT join: the rewrite must stay out (null-extended rows)
+      // LEFT join with the registered table PRESERVED: fires too (round
+      // 16) — the probe filter under t only drops candidate rows the
+      // nprobe contract already allows; see the dedicated outer-join
+      // matrix test for semantics
       val lj = spark.sql(
         s"""SELECT t.id, d.tag, l2_distance(t.vec, $qvecSql) AS dist
            |FROM sqlann_tkj t LEFT JOIN sqlann_dims d ON t.id = d.mid
@@ -1164,7 +1167,78 @@ class SqlAnnSpec extends SparkSpec {
       val ljPf = SqlAnn.fileSourceScans(lj)
         .find(_.output.exists(_.name == "list_id"))
         .flatMap(_.metadata.get("PartitionFilters")).getOrElse("")
-      assert(!ljPf.contains("list_id"), "outer joins are left untouched")
+      assert(ljPf.contains("list_id"),
+        "a LEFT join with the registered side preserved must be pruned")
+    } finally SqlAnn.unregisterIndex(spark, dir)
+  }
+
+  test("outer-join top-k matrix: preserved registered side pruned, null-producing side untouched") {
+    index
+    graft.GraftExtensions.register(spark)
+    spark.read.parquet(dir).createOrReplaceTempView("sqlann_oj")
+    // PARTIAL metadata (one row per third id): a LEFT join genuinely
+    // null-extends some candidates, so exactness at nprobe = nlist pins
+    // the null-extension semantics, not just the happy path
+    spark.range(200).filter(col("id") % 3 === 0)
+      .select(col("id").as("mid"), (col("id") % 7).as("tag"))
+      .createOrReplaceTempView("sqlann_oj_dims")
+    def corpusPf(df: DataFrame): String = SqlAnn.fileSourceScans(df)
+      .find(_.output.exists(_.name == "list_id"))
+      .flatMap(_.metadata.get("PartitionFilters")).getOrElse("")
+    def rowsOf(df: DataFrame): Seq[(Long, Option[Long], Double)] =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getDouble(2))).toSeq
+    val leftSql =
+      s"""SELECT t.id, d.tag, l2_distance(t.vec, $qvecSql) AS dist
+         |FROM sqlann_oj t LEFT JOIN sqlann_oj_dims d ON t.id = d.mid
+         |ORDER BY dist, t.id LIMIT $K""".stripMargin
+    val rightSql =
+      s"""SELECT t.id, d.tag, l2_distance(t.vec, $qvecSql) AS dist
+         |FROM sqlann_oj_dims d RIGHT JOIN sqlann_oj t ON t.id = d.mid
+         |ORDER BY dist, t.id LIMIT $K""".stripMargin
+    val semiSql =
+      s"""SELECT t.id, CAST(NULL AS LONG) AS tag, l2_distance(t.vec, $qvecSql) AS dist
+         |FROM sqlann_oj t
+         |WHERE EXISTS (SELECT 1 FROM sqlann_oj_dims d WHERE d.mid = t.id)
+         |ORDER BY dist, t.id LIMIT $K""".stripMargin
+    val antiSql =
+      s"""SELECT t.id, CAST(NULL AS LONG) AS tag, l2_distance(t.vec, $qvecSql) AS dist
+         |FROM sqlann_oj t
+         |WHERE NOT EXISTS (SELECT 1 FROM sqlann_oj_dims d WHERE d.mid = t.id)
+         |ORDER BY dist, t.id LIMIT $K""".stripMargin
+    // the registered table NULL-PRODUCING: its rows may be replaced by
+    // null-extension, which the nprobe contract does not cover
+    val nullProdSql =
+      s"""SELECT d.mid, t.id, l2_distance(t.vec, $qvecSql) AS dist
+         |FROM sqlann_oj_dims d LEFT JOIN sqlann_oj t ON t.id = d.mid
+         |ORDER BY dist, d.mid LIMIT $K""".stripMargin
+    val brutes = Seq(leftSql, rightSql, semiSql, antiSql).map(s => rowsOf(spark.sql(s)))
+    SqlAnn.registerIndex(spark, dir, index.centroids.value, nprobe = NList)
+    try {
+      Seq(leftSql, rightSql, semiSql, antiSql).zip(brutes).zip(
+        Seq("LeftOuter", "RightOuter", "LeftSemi", "LeftAnti")).foreach {
+        case ((s, brute), name) =>
+          val df = spark.sql(s)
+          val pf = corpusPf(df)
+          assert(pf.contains("list_id"),
+            s"$name with the registered side preserved must prune, got: $pf")
+          assert(rowsOf(df) === brute, s"$name must be exact at nprobe = nlist")
+      }
+      // nprobe < nlist: the preserved-side scan really reads fewer
+      // partitions, and every surviving row comes from a probed list
+      SqlAnn.unregisterIndex(spark, dir)
+      SqlAnn.registerIndex(spark, dir, index.centroids.value, nprobe = 2)
+      val lp = spark.sql(leftSql)
+      val scan = SqlAnn.fileSourceScans(lp)
+        .find(_.output.exists(_.name == "list_id")).get
+      val read = scan.relation.location.listFiles(scan.partitionFilters, Nil).size
+      assert(read > 0 && read <= 2,
+        s"nprobe=2 must prune the preserved side to at most 2 of $NList partitions, read $read")
+      assert(rowsOf(lp).size === K, "the pruned LEFT join still returns a full top-k")
+      // null-producing registered side: untouched (a probe filter there
+      // would flip matched rows to null-extended ones)
+      assert(!corpusPf(spark.sql(nullProdSql)).contains("list_id"),
+        "the null-producing side of an outer join must never be pruned")
     } finally SqlAnn.unregisterIndex(spark, dir)
   }
 
@@ -1265,6 +1339,13 @@ class SqlAnnSpec extends SparkSpec {
     try {
       intercept[graft.InvalidArgumentException] {
         db.registerSql("rawidx", nprobe = 4, unitNorm = true, verifyUnitNorm = true)
+      }
+      // verifyUnitNorm WITHOUT unitNorm used to be a silent no-op (neither
+      // check nor registration) — a caller asking only for verification
+      // must get a loud error, not a belief their corpus was validated
+      // (round 16, r15 verdict #1)
+      intercept[graft.InvalidArgumentException] {
+        db.registerSql("rawidx", nprobe = 4, verifyUnitNorm = true)
       }
       // the unverified attestation is the caller's own risk and still
       // registers (documented contract)
@@ -1469,9 +1550,16 @@ class SqlAnnSpec extends SparkSpec {
       assert(partitionFilterText(spark.sql(rangeSql("sqlann_churn2", "2.0")))
         .contains("list_id"))
       // the single-pair setter: invalidation clears BOTH halves in one
-      // volatile write — no fresh-array/stale-broadcast interleaving
+      // volatile write — no fresh-array/stale-broadcast interleaving.
+      // The outgoing broadcast is unpersist()ed AS PART of the swap
+      // (round 16, r15 advice: updateRadii(None) used to drop the only
+      // handle before any eviction could run) — unpersist, not destroy,
+      // so it stays re-fetchable for plans that snapshotted it
+      val bc2 = t2.radiiPair.get._2
       SqlAnn.invalidateRadii(spark, rangeDir)
       assert(t2.radii.isEmpty && t2.radiiBc.isEmpty && t2.radiiPair.isEmpty)
+      assert(bc2.value.length === NList,
+        "the invalidated broadcast must stay re-fetchable (unpersist, not destroy)")
       assert(!partitionFilterText(spark.sql(rangeSql("sqlann_churn2", "2.0")))
         .contains("list_id"))
     } finally SqlAnn.unregisterIndex(spark, rangeDir)
