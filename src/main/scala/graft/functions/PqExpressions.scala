@@ -283,6 +283,51 @@ case class PqEncode(child: Expression, codebooks: Broadcast[Array[Array[Array[Fl
   override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
 }
 
+/**
+ * ADC lookup-sum distance of a PQ code column against ONE query vector
+ * known at plan time (the SQL ANN surface's PQ path,
+ * [[graft.plans.SqlAnn]]): the m x ks table is built LAZILY per
+ * deserialized instance — once per task, never per row — from the
+ * broadcast codebooks and the embedded query floats (dim floats ride the
+ * serialized expression; the 32 KB-at-m=16/ks=256 table never ships).
+ * Bit-identical to the facade's batch path by construction: same
+ * [[PqKernels.adcTableRaw]] rows, same [[PqKernels.adcDistanceRaw]]
+ * ascending-subspace lookup-sum.
+ *
+ * `query` is a Seq (not Array) so case-class equality — which Catalyst's
+ * semanticEquals and the fixed-point idempotence checks rely on — compares
+ * by VALUE.
+ */
+case class PqAdcDistance(
+    child: Expression,
+    query: scala.collection.immutable.Seq[Float],
+    codebooks: Broadcast[Array[Array[Array[Float]]]],
+    metricId: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftshims.AbstractDataType] =
+    Seq(ArrayType(ByteType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc_distance"
+
+  @transient private lazy val table: Array[Array[Double]] =
+    PqKernels.adcTableRaw(query.toArray, codebooks.value, metricId)
+
+  /** Public for codegen: per-row lookup-sum over the per-task table. */
+  def adc(codes: ArrayData): Double = PqKernels.adcDistanceRaw(table, codes)
+
+  override def nullSafeEval(c: Any): Any = adc(c.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdcExpr", this, classOf[PqAdcDistance].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.adc($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqAdcDistance =
+    copy(child = c)
+}
+
 object pq {
   private def col(e: Expression): Column = graftshims.column(e)
   private def ex(c: Column): Expression = graftshims.expression(c)

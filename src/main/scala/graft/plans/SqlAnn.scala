@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.graft.GraftSqlBridge
-import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType, FloatType, IntegerType}
 
 import graft.Metric
 import graft.functions.{CosineRangeProbeLists, ProbeLists, RangeProbeLists, VectorDistance, VectorKernels}
@@ -78,6 +78,26 @@ object SqlAnn {
     * the tolerance). A false attestation can FALSELY DISMISS matches;
     * never set it for tables that may hold unnormalized or near-zero
     * vectors. */
+  /** Opt-in PQ acceleration for the SQL top-k shape (round 16; reference
+    * declares IVF-PQ and never implements it, engine/ivf_flat_index.h:
+    * 107-189): the registered table additionally carries an m-byte PQ
+    * code column, and the top-k rewrite plans a TWO-SCAN pipeline — an
+    * ADC candidate scan reading ONLY (id, codes) of the probed lists
+    * (the 100 TB win: dim/4m of the flat bytes), then an exact rerank
+    * joining the top `rerankK` candidate ids back against the (id, vec)
+    * scan. Codes must be [[graft.functions.PqKernels.encode]]-d under
+    * THESE codebooks; foreign codes silently degrade recall (the kept
+    * exact rerank bounds the damage to the candidate pool). With
+    * `rerankK >= |table|` and nprobe = nlist the pipeline is EXACT —
+    * the geometry the driver's `sql_pq_topk` oracle entry pins. */
+  final class PqInfo(
+      val codebooksBc: Broadcast[Array[Array[Array[Float]]]],
+      val idCol: String = "id",
+      val codeCol: String = "codes",
+      val rerankK: Int = 100) {
+    require(rerankK > 0, s"rerankK must be positive: $rerankK")
+  }
+
   final class Registration(
       val centroids: Array[Array[Float]],
       val nprobe: Int,
@@ -86,7 +106,8 @@ object SqlAnn {
       radii0: Option[Array[Double]],
       private[plans] val centroidsBc: Broadcast[Array[Array[Float]]],
       radiiBc0: Option[Broadcast[Array[Double]]] = None,
-      val unitNorm: Boolean = false) {
+      val unitNorm: Boolean = false,
+      val pq: Option[PqInfo] = None) {
     require(centroids.nonEmpty, "centroids must be non-empty")
     require(nprobe > 0, s"nprobe must be positive: $nprobe")
     require(centroidsBc != null,
@@ -216,11 +237,12 @@ object SqlAnn {
       listCol: String = "list_id",
       radii: Option[Array[Double]] = None,
       centroidsBc: Option[Broadcast[Array[Array[Float]]]] = None,
-      unitNorm: Boolean = false): Registration = {
+      unitNorm: Boolean = false,
+      pq: Option[PqInfo] = None): Registration = {
     enable(spark)
     val reg = new Registration(centroids, nprobe, vecCol, listCol, radii,
       centroidsBc.getOrElse(spark.sparkContext.broadcast(centroids)),
-      radii.map(spark.sparkContext.broadcast(_)), unitNorm)
+      radii.map(spark.sparkContext.broadcast(_)), unitNorm, pq)
     // same-path churn (epoch swaps, nprobe changes, registerSql re-calls)
     // would otherwise accumulate one executor-resident radii broadcast per
     // call until the superseded tokens are GC-reclaimed — evict eagerly;
@@ -356,7 +378,13 @@ object SqlAnn {
       plan.transformDown {
         case gl @ GlobalLimit(_, ll @ LocalLimit(_,
             s @ Sort(order, true, p: Project, _))) if order.nonEmpty =>
-          tryRewrite(order.head, p) match {
+          // the literal k feeds the PQ path's candidate-pool size
+          // (candK = max(rerankK, k)); the flat path never needs it
+          val kOpt = gl.limitExpr match {
+            case Literal(i: Int, IntegerType) => Some(i)
+            case _ => None
+          }
+          tryRewrite(order.head, p, kOpt) match {
             case Some(np) =>
               gl.copy(child = ll.copy(child = s.copy(child = np)))
             case None => gl
@@ -399,18 +427,24 @@ object SqlAnn {
       * output column (non-deterministic columns have no cross-plan value
       * contract to preserve — AQE renumbering already changes them). */
     private def tryRangeRewrite(f: Filter): Option[Filter] = {
-      val (projOpt, filtOpt, rel) = relParts(f.child).getOrElse(return None)
-      val extra = rangeConjunct(f.condition, rel, projOpt, filtOpt)
+      val (projs, filtOpt, rel) = relParts(f.child).getOrElse(return None)
+      // under-Project injection shifts non-deterministic computed values
+      // of surviving rows — out of contract when another conjunct of THIS
+      // filter predicates on such a column (see nonDeterministicOutputs)
+      if (projs.nonEmpty) {
+        val tainted = nonDeterministicOutputs(projs)
+        if (tainted.nonEmpty &&
+            f.condition.references.exists(r => tainted(r.exprId)))
+          return None
+      }
+      val extra = rangeConjunct(f.condition, rel, projs, filtOpt)
         .getOrElse(return None)
-      Some((projOpt, filtOpt) match {
-        case (None, None) => f.copy(condition = And(f.condition, extra))
-        case (Some(p), None) =>
-          f.copy(child = p.copy(child = Filter(extra, rel)))
-        case (Some(p), Some(inner)) =>
+      Some((projs, filtOpt) match {
+        case (Nil, None) => f.copy(condition = And(f.condition, extra))
+        case (ps, None) => f.copy(child = rebuild(ps, Filter(extra, rel)))
+        case (ps, Some(inner)) =>
           f.copy(child =
-            p.copy(child = inner.copy(condition = And(inner.condition, extra))))
-        case (None, Some(inner)) =>
-          f.copy(child = inner.copy(condition = And(inner.condition, extra)))
+            rebuild(ps, inner.copy(condition = And(inner.condition, extra))))
       })
     }
 
@@ -420,7 +454,7 @@ object SqlAnn {
       * Project). */
     private def rangeConjunct(
         cond: Expression, rel: LogicalRelation,
-        proj: Option[Project], inner: Option[Filter]): Option[Expression] = {
+        proj: List[Project], inner: Option[Filter]): Option[Expression] = {
       val reg = lookup(rel).getOrElse(return None)
       val radii = reg.radii.getOrElse(return None)
       val listAttr = rel.output.find(o =>
@@ -510,18 +544,48 @@ object SqlAnn {
         v: AttributeReference): Boolean =
       rel.output.exists(o => o.exprId == v.exprId && o.name == reg.vecCol)
 
-    /** Resolve an attribute through a view Project's aliases down to the
-      * relation's own attribute: a pass-through keeps its exprId and
-      * resolves as itself; a COMPUTED alias stays unresolved and fails
-      * vecOfRelation (a derived vector has no registered geometry). */
+    /** Resolve an attribute through a chain of view Projects' aliases
+      * (outermost-first) down to the relation's own attribute: a
+      * pass-through keeps its exprId and resolves as itself; a simple
+      * re-alias follows the chain level by level; a COMPUTED alias stays
+      * unresolved and fails vecOfRelation (a derived vector has no
+      * registered geometry). */
+    @annotation.tailrec
     private def resolveThrough(
-        proj: Option[Project], v: AttributeReference): AttributeReference =
-      proj.flatMap(_.projectList.collectFirst {
-        case al: Alias if al.exprId == v.exprId => al.child
-      }) match {
-        case Some(ar: AttributeReference) => ar
-        case _ => v
+        projs: List[Project], v: AttributeReference): AttributeReference =
+      projs match {
+        case Nil => v
+        case p :: rest =>
+          p.projectList.collectFirst {
+            case al: Alias if al.exprId == v.exprId => al.child
+          } match {
+            case Some(ar: AttributeReference) => resolveThrough(rest, ar)
+            case Some(_) => v // computed: fails vecOfRelation upstream
+            case None => resolveThrough(rest, v)
+          }
       }
+
+    /** Output exprIds of a Project chain whose values derive (directly or
+      * transitively) from a NON-DETERMINISTIC computed column. The range
+      * rewrite must not inject below the chain when another conjunct of
+      * the outer filter references one of these: removing rows below a
+      * non-deterministic Project shifts the surviving rows' computed
+      * values (e.g. monotonically_increasing_id counters), so a predicate
+      * over them could select a DIFFERENT row set than the unrewritten
+      * plan — Spark's own pushdown refuses that case for the same reason
+      * (r15 advice; output-only references remain in contract, matching
+      * the AQE-renumbering argument). */
+    private def nonDeterministicOutputs(projs: List[Project]): Set[ExprId] = {
+      var tainted = Set.empty[ExprId]
+      projs.reverse.foreach { p => // innermost first
+        tainted = p.projectList.collect {
+          case al: Alias if !al.child.deterministic ||
+              al.child.references.exists(r => tainted(r.exprId)) => al.exprId
+          case ar: AttributeReference if tainted(ar.exprId) => ar.exprId
+        }.toSet
+      }
+      tainted
+    }
 
     private def floats(q: ArrayData, reg: Registration): Option[Array[Float]] = {
       val arr = try q.toFloatArray() catch { case _: NullPointerException => return None }
@@ -530,7 +594,8 @@ object SqlAnn {
 
     /** Match `ORDER BY <registered distance> ASC` and inject the probe
       * filter under the projection. */
-    private def tryRewrite(head: SortOrder, p: Project): Option[Project] = {
+    private def tryRewrite(
+        head: SortOrder, p: Project, kOpt: Option[Int]): Option[Project] = {
       if (head.direction != Ascending) return None
       // the sort key is usually an attribute referencing the projection's
       // distance alias — resolve it; a bare inline expression also works
@@ -549,14 +614,17 @@ object SqlAnn {
         case _ => return None
       }
       if (qLit == null) return None
-      pruned(p.child, vecAttr, qLit, metric).map(c => p.copy(child = c))
+      pruned(p.child, vecAttr, qLit, metric, kOpt, p.references)
+        .map(c => p.copy(child = c))
     }
 
     private def pruned(
         child: LogicalPlan,
         vecAttr: AttributeReference,
         qLit: ArrayData,
-        metric: Metric.Value): Option[LogicalPlan] = child match {
+        metric: Metric.Value,
+        kOpt: Option[Int],
+        required: AttributeSet): Option[LogicalPlan] = child match {
       // top-k with a metadata join: `FROM t JOIN dims ON ... ORDER BY
       // l2_distance(t.vec, lit) LIMIT k` — prune the REGISTERED side
       // before the join. Commutes with the nprobe contract for
@@ -582,7 +650,100 @@ object SqlAnn {
           case RightOuter => right
           case _ => None
         }
-      case _ => prunedParts(child, vecAttr, qLit, metric)
+      // single-relation: the PQ-accelerated two-scan pipeline when the
+      // registration opted in (and the shape is the canonical direct
+      // one), else the flat probe prune
+      case _ => prunedPqParts(child, vecAttr, qLit, metric, kOpt, required)
+        .orElse(prunedParts(child, vecAttr, qLit, metric))
+    }
+
+    /**
+     * The PQ top-k rewrite (round 16): for a [[PqInfo]]-registered
+     * relation, replace the relation under the user's Project with
+     *
+     * {{{
+     *   Join(Inner, candIds == rel.id,
+     *     candIds = Project(id,
+     *       Limit(candK, Sort(adc(codes) ASC, id ASC,
+     *         Project(id, adc), Filter(list_id IN probes, relCopy)))),
+     *     rerank  = Filter(list_id IN probes, rel))
+     * }}}
+     *
+     * so the outer `Sort(l2_distance(vec, lit)) LIMIT k` reranks EXACTLY
+     * over the ADC top-candK candidates. Two scans by design: the
+     * candidate scan reads ONLY (id, codes) — m bytes per row instead of
+     * 4·dim — and the rerank scan reads (id, vec) of the probed lists
+     * joined against candK ids (a broadcast: Limit stats bound the build
+     * side). The rerank side keeps the ORIGINAL relation instance, so
+     * the user Project's attribute references stay valid; the candidate
+     * side is a fresh [[LogicalRelation.newInstance]] (self-join
+     * discipline: no duplicate exprIds in one plan).
+     *
+     * Semantics: approximate at (nprobe, rerankK) — strictly MORE
+     * faithful than ADC alone (the reference's only implemented PQ idea)
+     * because the surviving k are true distances. L2 only for now: the
+     * cosine ADC table requires codes encoded from normalized vectors,
+     * an attestation the registration does not yet carry. Shapes with a
+     * view Project or pushed Filter above the relation fall back to the
+     * flat prune (correct, just uncompressed).
+     */
+    private def prunedPqParts(
+        child: LogicalPlan,
+        vecAttr: AttributeReference,
+        qLit: ArrayData,
+        metric: Metric.Value,
+        kOpt: Option[Int],
+        required: AttributeSet): Option[LogicalPlan] = {
+      val rel = child match {
+        case r: LogicalRelation => r
+        case _ => return None
+      }
+      val reg = lookup(rel).getOrElse(return None)
+      val pqInfo = reg.pq.getOrElse(return None)
+      if (metric != Metric.L2) return None
+      val k = kOpt.getOrElse(return None)
+      if (!vecOfRelation(rel, reg, vecAttr)) return None
+      val listAttr = rel.output.find(o =>
+        o.name == reg.listCol && o.dataType == IntegerType).getOrElse(return None)
+      val idAttr = rel.output.find(_.name == pqInfo.idCol).getOrElse(return None)
+      val hasCodes = rel.output.exists(o => o.name == pqInfo.codeCol &&
+        (o.dataType match {
+          case ArrayType(ByteType, _) => true
+          case _ => false
+        }))
+      if (!hasCodes) return None
+      val q = try qLit.toFloatArray() catch { case _: NullPointerException => return None }
+      if (q.length != reg.centroids.head.length) return None
+      val probes = VectorKernels.probeLists(
+        q, reg.centroids, reg.nprobe, metric.id)
+      if (probes.isEmpty) return None
+      val probeLits = probes.sorted.toSeq.map(i => Literal(i))
+
+      // candidate side: fresh relation instance, (id, codes) only
+      val relCand = rel.newInstance()
+      def cand(name: String): AttributeReference =
+        relCand.output.find(_.name == name).get
+      val cId = cand(pqInfo.idCol)
+      val adcAlias = Alias(
+        graft.functions.PqAdcDistance(cand(pqInfo.codeCol),
+          q.toIndexedSeq, pqInfo.codebooksBc, metric.id),
+        "__graft_adc")()
+      val candProj = Project(Seq(cId, adcAlias),
+        Filter(In(cand(reg.listCol), probeLits), relCand))
+      val candK = math.max(pqInfo.rerankK, k)
+      val candIds = Project(Seq(cId),
+        GlobalLimit(Literal(candK), LocalLimit(Literal(candK),
+          Sort(Seq(SortOrder(adcAlias.toAttribute, Ascending),
+            SortOrder(cId, Ascending)), global = true, candProj))))
+      // rerank side: ORIGINAL instance (the user Project references it),
+      // probe-pruned like the flat path, with an EXPLICIT column-pruning
+      // Project (ColumnPruning already ran — without this the rerank
+      // scan would read the codes column it never uses)
+      val keep = rel.output.filter(a =>
+        a.exprId == idAttr.exprId || required.contains(a))
+      val rerank = Project(keep, Filter(In(listAttr, probeLits), rel))
+      Some(Join(candIds, rerank, Inner,
+        Some(EqualTo(cId, idAttr)), JoinHint.NONE))
     }
 
     /** The single-side prune: relParts (the relation directly, under a
@@ -595,11 +756,11 @@ object SqlAnn {
         vecAttr: AttributeReference,
         qLit: ArrayData,
         metric: Metric.Value): Option[LogicalPlan] = {
-      val (projOpt, filtOpt, rel) = relParts(child).getOrElse(return None)
+      val (projs, filtOpt, rel) = relParts(child).getOrElse(return None)
       val reg = lookup(rel).getOrElse(return None)
       // the distance must be over THIS relation's registered vector
-      // column (resolved through a view alias when projected)
-      if (!vecOfRelation(rel, reg, resolveThrough(projOpt, vecAttr)))
+      // column (resolved through view aliases when projected)
+      if (!vecOfRelation(rel, reg, resolveThrough(projs, vecAttr)))
         return None
       val listAttr = rel.output.find(o =>
         o.name == reg.listCol && o.dataType == IntegerType).getOrElse(return None)
@@ -619,10 +780,7 @@ object SqlAnn {
         case Some(f) => f.copy(condition = And(f.condition, inExpr))
         case None => Filter(inExpr, rel)
       }
-      Some(projOpt match {
-        case Some(p) => p.copy(child = newInner)
-        case None => newInner
-      })
+      Some(rebuild(projs, newInner))
     }
 
     // ---- the BATCH rewrite ------------------------------------------------
@@ -696,17 +854,31 @@ object SqlAnn {
     }
 
     /** The registered relation under a join side, with whatever
-      * column-pruning Project / pushed Filter sits above it. */
+      * column-pruning / view Projects and pushed Filter sit above it.
+      * Projects are returned OUTERMOST-FIRST and may be STACKED (round
+      * 16): two non-collapsible view Projects — each holding a
+      * non-deterministic computed column, which CollapseProject will not
+      * merge — used to silently lose the prune; a recursive peel keeps
+      * it. The Filter, when present, sits directly above the relation
+      * (the canonical post-pushdown layout; a filter WEDGED between two
+      * non-collapsible Projects is out of scope and safely unmatched). */
     private def relParts(side: LogicalPlan)
-        : Option[(Option[Project], Option[Filter], LogicalRelation)] =
-      side match {
-        case r: LogicalRelation => Some((None, None, r))
-        case f @ Filter(_, r: LogicalRelation) => Some((None, Some(f), r))
-        case p @ Project(_, r: LogicalRelation) => Some((Some(p), None, r))
-        case p @ Project(_, f @ Filter(_, r: LogicalRelation)) =>
-          Some((Some(p), Some(f), r))
-        case _ => None
-      }
+        : Option[(List[Project], Option[Filter], LogicalRelation)] = {
+      def peel(p: LogicalPlan, acc: List[Project])
+          : Option[(List[Project], Option[Filter], LogicalRelation)] =
+        p match {
+          case r: LogicalRelation => Some((acc.reverse, None, r))
+          case f @ Filter(_, r: LogicalRelation) => Some((acc.reverse, Some(f), r))
+          case pr: Project => peel(pr.child, pr :: acc)
+          case _ => None
+        }
+      peel(side, Nil)
+    }
+
+    /** Rebuild an outermost-first Project chain over a new innermost
+      * child — the inverse of [[relParts]]'s peel. */
+    private def rebuild(projs: List[Project], inner: LogicalPlan): LogicalPlan =
+      projs.foldRight(inner)((p, c) => p.copy(child = c))
 
     private def attemptBatch(
         wgl: WindowGroupLimit,
@@ -721,10 +893,13 @@ object SqlAnn {
       val (projR, filtR, rel) = relParts(relSide).getOrElse(return None)
       val reg = lookup(rel).getOrElse(return None)
       // which distance operand is the registered corpus column, which the
-      // query vector? (VectorDistance is symmetric for all three metrics)
+      // query vector? (VectorDistance is symmetric for all three metrics;
+      // the corpus side resolves through view aliases)
       val (corpusV, queryV) =
-        if (vecOfRelation(rel, reg, a1) && qSide.outputSet.contains(a2)) (a1, a2)
-        else if (vecOfRelation(rel, reg, a2) && qSide.outputSet.contains(a1)) (a2, a1)
+        if (vecOfRelation(rel, reg, resolveThrough(projR, a1)) &&
+            qSide.outputSet.contains(a2)) (a1, a2)
+        else if (vecOfRelation(rel, reg, resolveThrough(projR, a2)) &&
+            qSide.outputSet.contains(a1)) (a2, a1)
         else return None
       if (!relSide.outputSet.contains(corpusV)) return None
       queryV.dataType match {
@@ -801,7 +976,7 @@ object SqlAnn {
       * changed schema. */
     private def prunedJoin(
         join: Join,
-        projR: Option[Project],
+        projR: List[Project],
         filtR: Option[Filter],
         rel: LogicalRelation,
         qSide: LogicalPlan,
@@ -875,14 +1050,14 @@ object SqlAnn {
           }
       }
       // the relation side must expose list_id to the join condition even
-      // when column pruning already projected it away
-      val newRelSide: LogicalPlan = projR match {
-        case Some(p) =>
+      // when column pruning already projected it away — through EVERY
+      // Project of a stacked view chain
+      val newRelSide: LogicalPlan = projR.foldRight(relWithPrune: LogicalPlan) {
+        (p, c) =>
           val pl =
             if (p.projectList.exists(_.exprId == listAttr.exprId)) p.projectList
             else p.projectList :+ listAttr
-          p.copy(projectList = pl, child = relWithPrune)
-        case None => relWithPrune
+          p.copy(projectList = pl, child = c)
       }
       val probeEq = EqualTo(listOut, listAttr)
       val newCond = join.condition.map(And(_, probeEq)).getOrElse(probeEq)
@@ -946,7 +1121,7 @@ object SqlAnn {
         else return None
       val (projR, filtR, rel) = relParts(relSide).getOrElse(return None)
       val reg = lookup(rel).getOrElse(return None)
-      if (!vecOfRelation(rel, reg, vecAttr)) return None
+      if (!vecOfRelation(rel, reg, resolveThrough(projR, vecAttr))) return None
       // cosine rides the unit-norm bridge: corpus-side norms are the
       // registration's ATTESTATION; each query row's norm is checked AT
       // RUNTIME inside CosineRangeProbeLists (a degenerate row keeps

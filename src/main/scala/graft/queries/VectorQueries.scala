@@ -697,6 +697,8 @@ object VectorQueries {
     "hamming_rerank" -> (hammingRerank _),
     "sq8_rerank" -> (sq8Rerank _),
     "sql_ann_rewrite" -> (sqlAnnRewrite _),
+    "sql_topk_cosine" -> (sqlTopkCosine _),
+    "sql_pq_topk" -> (sqlPqTopk _),
     "sql_range_rewrite" -> (sqlRangeRewrite _),
     "sql_batch_rewrite" -> (sqlBatchRewrite _),
     "sql_batch_dpp" -> (sqlBatchDpp _),
@@ -755,6 +757,80 @@ object VectorQueries {
     val pf = partitionFilterOf(df)
     require(pf.contains("list_id"),
       s"sql_ann_rewrite: the ANN rewrite did not fire (PartitionFilters: $pf)")
+    df
+  }
+
+  /** Cosine top-k in SQL (round 16): `ORDER BY cosine_distance(vec, lit)
+    * LIMIT k` over the registered table — the sort shape is
+    * metric-agnostic ([[graft.plans.SqlAnn]] probes under the sort's own
+    * metric; reference kernels.cuh:63-80 is the D3 semantics, the metric
+    * the reference's CPU path zeroes, SURVEY §2.7.9), but only L2 was
+    * driver-gated until now. Registered at nprobe = nlist the pruned plan
+    * is EXACT (cosine needs no unit-norm attestation for top-k — the
+    * attestation only gates the range/join bridge), so brute-force cosine
+    * SQL is the hash oracle. Requires the fired partition filter like its
+    * L2 twin. */
+  private def sqlTopkCosine(spark: SparkSession, dir: String): DataFrame = {
+    sqlAnnTable(spark, dir)
+    val df = spark.sql(
+      s"""SELECT id, cosine_distance(vec,
+         |  CAST(array(${sqlAnnVals.mkString(", ")}) AS ARRAY<FLOAT>)) AS dist
+         |FROM graft_sqlann ORDER BY dist, id LIMIT $K""".stripMargin)
+    val pf = partitionFilterOf(df)
+    require(pf.contains("list_id"),
+      s"sql_topk_cosine: the cosine top-k rewrite did not fire (PartitionFilters: $pf)")
+    df
+  }
+
+  /** Write (once per dir) and register the PQ-coded SQL table (round 16):
+    * the trained IVF-PQ index's (id, vec, codes, list_id) rows,
+    * Hive-partitioned — registered with [[graft.plans.SqlAnn.PqInfo]] at
+    * nprobe = nlist and rerankK covering the corpus, so the two-scan
+    * ADC + exact-rerank pipeline is EXACT and brute force oracles it. */
+  private def sqlAnnPqTable(spark: SparkSession, dir: String): String = {
+    val index = ivfpqIndex(spark, dir, 16, 8)
+    val tableDir = cached[String](s"sqlann-pqtable:$dir") {
+      val d = tempDirCleaned("graft-sqlann-pq")
+      index.codes.join(index.rawVectors, "id")
+        .select(col("id"), col("vec"), col("codes"), col("list_id"))
+        .write.partitionBy("list_id").mode("overwrite").parquet(d)
+      d
+    }
+    graft.plans.SqlAnn.registerIndex(
+      spark, tableDir, index.centroids.value, nprobe = 16,
+      centroidsBc = Some(index.centroids),
+      pq = Some(new graft.plans.SqlAnn.PqInfo(index.codebooks, rerankK = 100000)))
+    spark.read.parquet(tableDir).createOrReplaceTempView("graft_sqlann_pq")
+    tableDir
+  }
+
+  /** PQ through the SQL surface (round 16): the same canonical top-k SQL
+    * text over a [[graft.plans.SqlAnn.PqInfo]]-registered table plans as
+    * the TWO-SCAN pipeline — an ADC candidate scan reading only
+    * (id, codes) of the probed lists (m bytes per row instead of 4·dim,
+    * the compressed-scan path the reference only declares,
+    * engine/ivf_flat_index.h:107-189) and an exact rerank joining the top
+    * candidates against the (id, vec) scan. At nprobe = nlist with
+    * rerankK >= corpus the pipeline reduces to exact kNN (the facade's
+    * `ivfpq_search_rerank` argument), so brute-force SQL is the hash
+    * oracle. REQUIRES both fired scans: the codes-only candidate scan
+    * and the vec-only rerank scan, each probe-pruned. */
+  private def sqlPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    sqlAnnPqTable(spark, dir)
+    val df = spark.sql(
+      s"""SELECT id, l2_distance(vec,
+         |  CAST(array(${sqlAnnVals.mkString(", ")}) AS ARRAY<FLOAT>)) AS dist
+         |FROM graft_sqlann_pq ORDER BY dist, id LIMIT $K""".stripMargin)
+    val scans = graft.plans.SqlAnn.fileSourceScans(df)
+    def pfOf(s: org.apache.spark.sql.execution.FileSourceScanExec) =
+      s.metadata.getOrElse("PartitionFilters", "")
+    val adcOk = scans.exists(s => s.output.exists(_.name == "codes") &&
+      !s.output.exists(_.name == "vec") && pfOf(s).contains("list_id"))
+    val rerankOk = scans.exists(s => s.output.exists(_.name == "vec") &&
+      !s.output.exists(_.name == "codes") && pfOf(s).contains("list_id"))
+    require(adcOk && rerankOk,
+      s"sql_pq_topk: the PQ two-scan pipeline did not fire (scans: " +
+        s"${scans.map(s => (s.output.map(_.name), pfOf(s)))})")
     df
   }
 
@@ -1119,6 +1195,21 @@ object VectorQueries {
     "sql_ann_rewrite" ->
       s"""WITH q AS (SELECT [${sqlAnnVals.mkString(", ")}]::FLOAT[] AS qv),
          |d AS (SELECT v.vec_id AS id, ${sqlL2("q.qv", "v.embedding")} AS dist
+         |      FROM embeddings v, q)
+         |SELECT id, dist FROM d ORDER BY dist, id LIMIT $K""".stripMargin,
+    // the PQ two-scan pipeline reduces to exact kNN at nprobe = nlist
+    // with rerankK >= corpus (ADC orders the candidate pool, the kept
+    // exact rerank scores ALL of it), so the same brute force oracles it
+    "sql_pq_topk" ->
+      s"""WITH q AS (SELECT [${sqlAnnVals.mkString(", ")}]::FLOAT[] AS qv),
+         |d AS (SELECT v.vec_id AS id, ${sqlL2("q.qv", "v.embedding")} AS dist
+         |      FROM embeddings v, q)
+         |SELECT id, dist FROM d ORDER BY dist, id LIMIT $K""".stripMargin,
+    // cosine twin of sql_ann_rewrite: same nprobe = nlist exactness
+    // argument, same literal, cosine distance replayed in DuckDB
+    "sql_topk_cosine" ->
+      s"""WITH q AS (SELECT [${sqlAnnVals.mkString(", ")}]::FLOAT[] AS qv),
+         |d AS (SELECT v.vec_id AS id, ${sqlCosine("q.qv", "v.embedding")} AS dist
          |      FROM embeddings v, q)
          |SELECT id, dist FROM d ORDER BY dist, id LIMIT $K""".stripMargin,
     // the range rewrite is EXACT by construction (covering-ball bound),

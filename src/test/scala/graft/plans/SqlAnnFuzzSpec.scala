@@ -46,15 +46,22 @@ class SqlAnnFuzzSpec extends SparkSpec {
     // runs too (registerIndex would install them, but it runs later by
     // design — brute force first)
     graft.GraftExtensions.register(spark)
-    // seed rotates with the calendar date so every round walks a FRESH
-    // path through (dim, nlist, corpus, batch, k, radius, metric) space
-    // instead of re-walking one; override SQLANN_FUZZ_SEED to reproduce a
-    // failure (the seed is in every assertion message via cfg)
-    val seed = sys.env.get("SQLANN_FUZZ_SEED").map(_.toLong)
+    // seed policy (round 16, r15 advice): the first six trials use a
+    // FIXED seed so the exactness gate is deterministic across days (a
+    // geometry-dependent failure stays reproducible under bisection);
+    // the last two rotate with the calendar date so every round still
+    // walks a fresh path through (dim, nlist, corpus, batch, k, radius,
+    // metric) space. SQLANN_FUZZ_SEED overrides BOTH (full pin); each
+    // trial gets its own Random so a single failing trial reproduces
+    // from the seed in its assertion message alone.
+    val pinnedBase = sys.env.get("SQLANN_FUZZ_SEED").map(_.toLong).getOrElse(1516L)
+    val rotatingBase = sys.env.get("SQLANN_FUZZ_SEED").map(_.toLong)
       .getOrElse(java.time.LocalDate.now(java.time.ZoneOffset.UTC).toEpochDay)
-    info(s"fuzz seed = $seed (set SQLANN_FUZZ_SEED to reproduce)")
-    val rnd = new scala.util.Random(seed)
+    info(s"fuzz seeds: pinned=$pinnedBase rotating=$rotatingBase " +
+      "(set SQLANN_FUZZ_SEED to reproduce)")
     (1 to 8).foreach { trial =>
+      val seed = (if (trial <= 6) pinnedBase else rotatingBase) + trial
+      val rnd = new scala.util.Random(seed)
       val dim = 4 + rnd.nextInt(5)
       val nlist = 2 + rnd.nextInt(7)
       val n = 30 + rnd.nextInt(170)
@@ -173,11 +180,15 @@ class SqlAnnFuzzSpec extends SparkSpec {
 
   test("cosine-bridge join == brute force across random unit-norm configurations") {
     graft.GraftExtensions.register(spark)
-    val seed = sys.env.get("SQLANN_FUZZ_SEED").map(_.toLong)
-      .getOrElse(java.time.LocalDate.now(java.time.ZoneOffset.UTC).toEpochDay) + 7
-    info(s"cosine fuzz seed = $seed (set SQLANN_FUZZ_SEED to reproduce, +7)")
-    val rnd = new scala.util.Random(seed)
+    // same seed policy as the main fuzz: three pinned trials, one rotating
+    val pinnedBase = sys.env.get("SQLANN_FUZZ_SEED").map(_.toLong).getOrElse(1516L)
+    val rotatingBase = sys.env.get("SQLANN_FUZZ_SEED").map(_.toLong)
+      .getOrElse(java.time.LocalDate.now(java.time.ZoneOffset.UTC).toEpochDay)
+    info(s"cosine fuzz seeds: pinned=$pinnedBase rotating=$rotatingBase " +
+      "(set SQLANN_FUZZ_SEED to reproduce, +100 offset)")
     (1 to 4).foreach { trial =>
+      val seed = (if (trial <= 3) pinnedBase else rotatingBase) + 100 + trial
+      val rnd = new scala.util.Random(seed)
       val dim = 4 + rnd.nextInt(5)
       val nlist = 2 + rnd.nextInt(7)
       val n = 30 + rnd.nextInt(170)

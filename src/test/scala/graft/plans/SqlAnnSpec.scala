@@ -1268,6 +1268,178 @@ class SqlAnnSpec extends SparkSpec {
     } finally SqlAnn.unregisterIndex(spark, cosDir)
   }
 
+  // ---- round 16: the PQ-accelerated SQL top-k -----------------------------
+
+  private lazy val pqDir = java.nio.file.Files
+    .createTempDirectory("graft-sqlann-pq").toFile.getAbsolutePath
+  private lazy val pqIndex: graft.index.IvfPqIndex = {
+    rangeIndex // share the clustered-corner corpus
+    val idx = graft.index.IvfPqIndex.build(spark,
+      rangeIndex.vectors.select(col("id"), col("vec")), NList, m = 4)
+    idx.codes.join(idx.rawVectors, "id")
+      .select(col("id"), col("vec"), col("codes"), col("list_id"))
+      .write.partitionBy("list_id").mode("overwrite").parquet(pqDir)
+    idx
+  }
+
+  private def registerPq(nprobe: Int, rerankK: Int): Unit = {
+    SqlAnn.registerIndex(spark, pqDir, pqIndex.centroids.value, nprobe = nprobe,
+      centroidsBc = Some(pqIndex.centroids),
+      pq = Some(new SqlAnn.PqInfo(pqIndex.codebooks, rerankK = rerankK)))
+    ()
+  }
+
+  private def pqScansOf(df: DataFrame) = {
+    val scans = SqlAnn.fileSourceScans(df)
+    def pfOf(s: org.apache.spark.sql.execution.FileSourceScanExec) =
+      s.metadata.getOrElse("PartitionFilters", "")
+    val adc = scans.find(s => s.output.exists(_.name == "codes") &&
+      !s.output.exists(_.name == "vec"))
+    val rerank = scans.find(s => s.output.exists(_.name == "vec") &&
+      !s.output.exists(_.name == "codes"))
+    (adc, rerank, adc.map(pfOf), rerank.map(pfOf))
+  }
+
+  test("PQ-registered table: two-scan ADC + exact rerank plan, exact at full coverage") {
+    pqIndex
+    graft.GraftExtensions.register(spark)
+    spark.read.parquet(pqDir).createOrReplaceTempView("sqlann_pq")
+    val sql = annSql("sqlann_pq")
+    val brute = spark.sql(sql).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    registerPq(nprobe = NList, rerankK = 400) // >= corpus: rerank covers all
+    try {
+      val df = spark.sql(sql)
+      val (adc, rerank, adcPf, rerankPf) = pqScansOf(df)
+      assert(adc.isDefined && rerank.isDefined,
+        s"expected an (id, codes) candidate scan AND an (id, vec) rerank scan; " +
+          s"got schemas ${SqlAnn.fileSourceScans(df).map(_.output.map(_.name))}")
+      assert(adcPf.exists(_.contains("list_id")) && rerankPf.exists(_.contains("list_id")),
+        s"both scans must carry the probe partition filter ($adcPf / $rerankPf)")
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got === brute,
+        "nprobe = nlist with rerankK >= corpus must be EXACT vs brute force")
+      // idempotence: run the same SQL again (fresh plan through the same
+      // fixed-point batch) — still two scans, same rows
+      val again = spark.sql(sql)
+      assert(pqScansOf(again)._1.isDefined)
+      assert(again.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === brute)
+    } finally SqlAnn.unregisterIndex(spark, pqDir)
+  }
+
+  test("PQ top-k at nprobe < nlist prunes both scans; small rerankK still returns k rows") {
+    pqIndex
+    graft.GraftExtensions.register(spark)
+    spark.read.parquet(pqDir).createOrReplaceTempView("sqlann_pq")
+    val sql = annSql("sqlann_pq")
+    registerPq(nprobe = 2, rerankK = 400)
+    try {
+      val df = spark.sql(sql)
+      val (adc, rerank, _, _) = pqScansOf(df)
+      assert(adc.isDefined && rerank.isDefined, "the PQ pipeline must fire")
+      Seq(adc.get, rerank.get).foreach { s =>
+        val read = s.relation.location.listFiles(s.partitionFilters, Nil).size
+        assert(read > 0 && read <= 2,
+          s"nprobe=2 must prune to at most 2 of $NList partitions, read $read")
+      }
+      assert(df.collect().length === K)
+      // candidate pool floor: candK = max(rerankK, k) — a rerankK below k
+      // must not truncate the result
+      SqlAnn.unregisterIndex(spark, pqDir)
+      registerPq(nprobe = NList, rerankK = 1)
+      val tiny = spark.sql(sql)
+      assert(pqScansOf(tiny)._1.isDefined, "the PQ pipeline must fire at rerankK=1")
+      assert(tiny.collect().length === K, s"rerankK=1 must still return $K rows")
+    } finally SqlAnn.unregisterIndex(spark, pqDir)
+  }
+
+  test("PQ fallbacks: filtered shape, cosine sort, and joins use the flat prune (one scan)") {
+    pqIndex
+    graft.GraftExtensions.register(spark)
+    spark.read.parquet(pqDir).createOrReplaceTempView("sqlann_pq")
+    registerPq(nprobe = 2, rerankK = 400)
+    try {
+      // a user WHERE pushes a Filter above the relation: not the
+      // canonical direct shape — flat probe prune, ONE scan, no ADC
+      val filtered = spark.sql(
+        s"""SELECT id, l2_distance(vec, $qvecSql) AS dist
+           |FROM sqlann_pq WHERE id % 2 = 0 ORDER BY dist, id LIMIT $K""".stripMargin)
+      val (fAdc, _, _, _) = pqScansOf(filtered)
+      assert(fAdc.isEmpty, "filtered shape must fall back to the flat prune")
+      assert(partitionFilterText(filtered).contains("list_id"),
+        "the flat probe prune must still fire on the filtered shape")
+      assert(filtered.collect().nonEmpty)
+      // cosine sort over a PQ registration: codes lack the normalized-
+      // vector attestation — flat prune only
+      val cosine = spark.sql(
+        s"""SELECT id, cosine_distance(vec, $qvecSql) AS dist
+           |FROM sqlann_pq ORDER BY dist, id LIMIT $K""".stripMargin)
+      assert(pqScansOf(cosine)._1.isEmpty, "cosine must not take the ADC path")
+      assert(partitionFilterText(cosine).contains("list_id"))
+      // metadata join above the PQ table: flat prune on the joined side
+      spark.range(200).select(col("id").as("mid"), (col("id") % 3).as("tag"))
+        .createOrReplaceTempView("sqlann_pq_dims")
+      val joined = spark.sql(
+        s"""SELECT t.id, d.tag, l2_distance(t.vec, $qvecSql) AS dist
+           |FROM sqlann_pq t JOIN sqlann_pq_dims d ON t.id = d.mid
+           |ORDER BY dist, t.id LIMIT $K""".stripMargin)
+      assert(pqScansOf(joined)._1.isEmpty, "joined shape must fall back to the flat prune")
+      val jPf = SqlAnn.fileSourceScans(joined)
+        .find(_.output.exists(_.name == "list_id"))
+        .flatMap(_.metadata.get("PartitionFilters")).getOrElse("")
+      assert(jPf.contains("list_id") || partitionFilterText(joined).contains("list_id"),
+        "the flat probe prune must still fire under the join")
+    } finally SqlAnn.unregisterIndex(spark, pqDir)
+  }
+
+  test("inner-product range/join shapes are pinned UNSUPPORTED; IP top-k still fires") {
+    // IP is not a metric (no triangle inequality), so the covering-ball
+    // rewrites must never fire for it — not even with every unlock
+    // registered (radii AND the unit-norm attestation). The reference
+    // cannot express IP range pruning either (a MIPS norm-augmentation
+    // transform is the documented beyond-parity roadmap item); this test
+    // pins the limitation as EXPLICIT rather than silent (round 16).
+    rangeIndex
+    graft.GraftExtensions.register(spark)
+    spark.read.parquet(rangeDir).createOrReplaceTempView("sqlann_ip")
+    localQView("sqlann_ip_q", Seq(900L -> corner(0), 901L -> corner(3)))
+    SqlAnn.registerIndex(spark, rangeDir, rangeIndex.centroids.value,
+      nprobe = 2, radii = Some(rangeIndex.listRadii), unitNorm = true)
+    try {
+      // single-table range: no list prune reaches the scan
+      val r = spark.sql(
+        s"""SELECT id, ip_distance(vec, ${litOf(corner(0))}) AS dist
+           |FROM sqlann_ip
+           |WHERE ip_distance(vec, ${litOf(corner(0))}) <= -10.0 ORDER BY id""".stripMargin)
+      assert(!partitionFilterText(r).contains("list_id"),
+        "IP range must stay unrewritten (covering-ball bound needs a metric)")
+      assert(r.collect().nonEmpty, "fixture sanity: the IP bound matches rows")
+      // similarity join: untouched — no probe Generate of ANY flavor
+      val j = spark.sql(
+        s"""SELECT q.qid, t.id, ip_distance(t.vec, q.qvec) AS dist
+           |FROM sqlann_ip_q q, sqlann_ip t
+           |WHERE ip_distance(t.vec, q.qvec) <= -10.0 ORDER BY qid, id""".stripMargin)
+      val anyGenerate = j.queryExecution.optimizedPlan.exists {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Generate => true
+        case _ => false
+      }
+      assert(!anyGenerate, "IP similarity join must stay unrewritten")
+      // the TOP-K shape is metric-agnostic (probe order under the sort's
+      // own metric, an approximation contract not a bound): IP fires and
+      // equals the facade at the same nprobe
+      val tk = spark.sql(
+        s"""SELECT id, ip_distance(vec, ${litOf(corner(0))}) AS dist
+           |FROM sqlann_ip ORDER BY dist, id LIMIT $K""".stripMargin)
+      assert(partitionFilterText(tk).contains("list_id"),
+        "IP top-k must probe-prune like the other metrics")
+      val facade = rangeIndex.search(
+        queriesDF(Seq(0L -> corner(0))),
+        SearchParams(k = K, nprobe = 2, metric = Some(Metric.InnerProduct)))
+        .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2)))
+      val got = tk.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.toSeq === facade.toSeq, "IP top-k == facade at the same nprobe")
+    } finally SqlAnn.unregisterIndex(spark, rangeDir)
+  }
+
   test("verifyUnitNorm: one-pass attestation check (unit table true, raw table false, NaN/null poison fails)") {
     cosIndex; rangeIndex
     assert(SqlAnn.verifyUnitNorm(spark, cosDir),
@@ -1401,6 +1573,86 @@ class SqlAnnSpec extends SparkSpec {
           }.size
       }.sum
       assert(ins === 1, s"exactly one In through the fixed-point batch, got $ins")
+    } finally SqlAnn.unregisterIndex(spark, rangeDir)
+  }
+
+  test("STACKED non-collapsible view Projects: range and top-k prunes reach through both levels") {
+    rangeIndex
+    graft.GraftExtensions.register(spark)
+    // two view levels, each with a non-deterministic computed column; the
+    // outer references the inner's rid1 TWICE so CollapseProject cannot
+    // inline it — the shape round 15's one-level resolveThrough lost
+    spark.read.parquet(rangeDir)
+      .withColumn("rid1", monotonically_increasing_id())
+      .createOrReplaceTempView("sqlann_stk1")
+    spark.sql(
+      """SELECT id, vec, list_id, rid1, rid1 % 8 AS bucket1,
+        |  monotonically_increasing_id() AS rid2
+        |FROM sqlann_stk1""".stripMargin).createOrReplaceTempView("sqlann_stk2")
+    SqlAnn.registerIndex(spark, rangeDir, rangeIndex.centroids.value,
+      nprobe = 2, radii = Some(rangeIndex.listRadii))
+    try {
+      val df = spark.sql(
+        s"""SELECT id, l2_distance(vec, ${litOf(corner(0))}) AS dist, rid1, rid2
+           |FROM sqlann_stk2
+           |WHERE l2_distance(vec, ${litOf(corner(0))}) <= 2.0 ORDER BY id""".stripMargin)
+      // shape sanity: the two Projects really are stacked (not collapsed)
+      // with the user filter stuck above both — otherwise this pins nothing
+      val stacked = df.queryExecution.optimizedPlan.exists {
+        case org.apache.spark.sql.catalyst.plans.logical.Filter(_,
+            org.apache.spark.sql.catalyst.plans.logical.Project(_,
+              _: org.apache.spark.sql.catalyst.plans.logical.Project)) => true
+        case _ => false
+      }
+      assert(stacked, "fixture must keep TWO stacked Projects under the filter")
+      assert(partitionFilterText(df).contains("list_id"),
+        "the covering-ball prune must reach the scan through BOTH Projects")
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val exact = graft.index.Knn.range(
+        queriesDF(Seq(0L -> corner(0))),
+        rangeIndex.vectors.select(col("id"), col("vec")), 2.0)
+        .orderBy("id").collect().map(r => (r.getLong(1), r.getDouble(2)))
+      assert(got.nonEmpty && got.toSeq === exact.toSeq,
+        "deterministic columns stay exact through the stacked prune")
+      // the top-k twin through the same stacked view
+      val tk = spark.sql(
+        s"""SELECT id, l2_distance(vec, ${litOf(corner(0))}) AS dist, rid2
+           |FROM sqlann_stk2 ORDER BY dist, id LIMIT $K""".stripMargin)
+      assert(partitionFilterText(tk).contains("list_id"),
+        "the top-k probe prune must also reach through both Projects")
+      assert(tk.collect().length === K)
+    } finally SqlAnn.unregisterIndex(spark, rangeDir)
+  }
+
+  test("range rewrite skips injection when another conjunct predicates on a non-deterministic view column") {
+    rangeIndex
+    graft.GraftExtensions.register(spark)
+    spark.read.parquet(rangeDir)
+      .withColumn("rid", monotonically_increasing_id())
+      .createOrReplaceTempView("sqlann_ndguard")
+    SqlAnn.registerIndex(spark, rangeDir, rangeIndex.centroids.value,
+      nprobe = 2, radii = Some(rangeIndex.listRadii))
+    try {
+      // a conjunct over the non-deterministic rid: injecting the list
+      // prune below the Project would shift surviving rows' rid values
+      // and could change WHICH rows pass `rid % 2 = 0` — the rewrite must
+      // stay out (r15 advice; Spark's own pushdown refuses this case)
+      val guarded = spark.sql(
+        s"""SELECT id, l2_distance(vec, ${litOf(corner(0))}) AS dist, rid
+           |FROM sqlann_ndguard
+           |WHERE l2_distance(vec, ${litOf(corner(0))}) <= 2.0 AND rid % 2 = 0
+           |ORDER BY id""".stripMargin)
+      assert(!partitionFilterText(guarded).contains("list_id"),
+        "a filter predicating on the non-deterministic column must not be pruned")
+      // control: a conjunct over a DETERMINISTIC relation column composes
+      // fine — only non-deterministic references trigger the guard
+      val control = spark.sql(
+        s"""SELECT id, l2_distance(vec, ${litOf(corner(0))}) AS dist, rid
+           |FROM sqlann_ndguard
+           |WHERE l2_distance(vec, ${litOf(corner(0))}) <= 2.0 AND id % 2 = 0
+           |ORDER BY id""".stripMargin)
+      assert(partitionFilterText(control).contains("list_id"),
+        "a deterministic extra conjunct must still allow the prune")
     } finally SqlAnn.unregisterIndex(spark, rangeDir)
   }
 
