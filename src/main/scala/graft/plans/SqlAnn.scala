@@ -719,29 +719,47 @@ object SqlAnn {
       if (probes.isEmpty) return None
       val probeLits = probes.sorted.toSeq.map(i => Literal(i))
 
-      // candidate side: fresh relation instance, (id, codes) only
+      // candidate side: fresh relation instance, (id, codes) only; list_id
+      // rides along because it doubles as the rerank scan's DPP build key
       val relCand = rel.newInstance()
       def cand(name: String): AttributeReference =
         relCand.output.find(_.name == name).get
       val cId = cand(pqInfo.idCol)
+      val cList = cand(reg.listCol)
       val adcAlias = Alias(
         graft.functions.PqAdcDistance(cand(pqInfo.codeCol),
           q.toIndexedSeq, pqInfo.codebooksBc, metric.id),
         "__graft_adc")()
-      val candProj = Project(Seq(cId, adcAlias),
-        Filter(In(cand(reg.listCol), probeLits), relCand))
+      val candProj = Project(Seq(cId, cList, adcAlias),
+        Filter(In(cList, probeLits), relCand))
       val candK = math.max(pqInfo.rerankK, k)
-      val candIds = Project(Seq(cId),
-        GlobalLimit(Literal(candK), LocalLimit(Literal(candK),
-          Sort(Seq(SortOrder(adcAlias.toAttribute, Ascending),
-            SortOrder(cId, Ascending)), global = true, candProj))))
+      val candTop = GlobalLimit(Literal(candK), LocalLimit(Literal(candK),
+        Sort(Seq(SortOrder(adcAlias.toAttribute, Ascending),
+          SortOrder(cId, Ascending)), global = true, candProj)))
+      val candIds = Project(Seq(cId), candTop)
       // rerank side: ORIGINAL instance (the user Project references it),
-      // probe-pruned like the flat path, with an EXPLICIT column-pruning
-      // Project (ColumnPruning already ran — without this the rerank
-      // scan would read the codes column it never uses)
+      // pruned TWICE — statically to the probed lists, and DYNAMICALLY to
+      // the lists the top-candK candidates actually live in (typically a
+      // small subset of nprobe on clustered data): without the DPP the
+      // rerank scan would read (id, vec) of EVERY probed list, i.e. the
+      // same bytes as the flat path, and the codes scan would save
+      // nothing net. The DPP build re-executes the candidate stage
+      // (onlyInBroadcast = false; the join's broadcast is keyed by id,
+      // not list) — safe because that stage is deterministic by
+      // construction (parquet scan + static filter + ADC expression +
+      // (adc, id)-ordered limit), and cheap because it reads only the
+      // m-byte codes column. An explicit column-pruning Project keeps
+      // codes out of the rerank scan (ColumnPruning already ran).
+      val dpp = DynamicPruningSubquery(
+        pruningKey = listAttr,
+        buildQuery = candTop,
+        buildKeys = Seq(cList),
+        broadcastKeyIndices = Seq(0),
+        onlyInBroadcast = false)
       val keep = rel.output.filter(a =>
         a.exprId == idAttr.exprId || required.contains(a))
-      val rerank = Project(keep, Filter(In(listAttr, probeLits), rel))
+      val rerank = Project(keep,
+        Filter(And(In(listAttr, probeLits), dpp), rel))
       Some(Join(candIds, rerank, Inner,
         Some(EqualTo(cId, idAttr)), JoinHint.NONE))
     }

@@ -1337,7 +1337,12 @@ class SqlAnnSpec extends SparkSpec {
       val (adc, rerank, _, _) = pqScansOf(df)
       assert(adc.isDefined && rerank.isDefined, "the PQ pipeline must fire")
       Seq(adc.get, rerank.get).foreach { s =>
-        val read = s.relation.location.listFiles(s.partitionFilters, Nil).size
+        // static filters only: the rerank side also carries the dynamic
+        // candidate-list prune, which listFiles cannot evaluate
+        val static = s.partitionFilters.filter(_.find(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning])
+          .isEmpty)
+        val read = s.relation.location.listFiles(static, Nil).size
         assert(read > 0 && read <= 2,
           s"nprobe=2 must prune to at most 2 of $NList partitions, read $read")
       }
@@ -1349,6 +1354,35 @@ class SqlAnnSpec extends SparkSpec {
       val tiny = spark.sql(sql)
       assert(pqScansOf(tiny)._1.isDefined, "the PQ pipeline must fire at rerankK=1")
       assert(tiny.collect().length === K, s"rerankK=1 must still return $K rows")
+    } finally SqlAnn.unregisterIndex(spark, pqDir)
+  }
+
+  test("PQ rerank scan is DYNAMICALLY pruned to the candidates' lists (reads fewer than nprobe)") {
+    pqIndex
+    graft.GraftExtensions.register(spark)
+    spark.read.parquet(pqDir).createOrReplaceTempView("sqlann_pq")
+    // full probe width but a SMALL candidate pool around one cluster
+    // corner: the ADC top-candK concentrate in a couple of lists, so the
+    // rerank scan must read fewer partitions than the 8 the static probe
+    // filter admits — the bytes argument that makes the codes scan a net
+    // win (without the DPP, rerank re-reads (id, vec) of EVERY probed
+    // list and the pipeline saves nothing over the flat path)
+    registerPq(nprobe = NList, rerankK = 10)
+    try {
+      val df = spark.sql(
+        s"""SELECT id, l2_distance(vec, ${litOf(corner(0))}) AS dist
+           |FROM sqlann_pq ORDER BY dist, id LIMIT $K""".stripMargin)
+      assert(df.collect().length === K)
+      val (adc, rerank, _, rerankPf) = pqScansOf(df)
+      assert(adc.isDefined && rerank.isDefined, "the PQ pipeline must fire")
+      assert(rerankPf.exists(_.contains("dynamicpruning")),
+        s"the rerank scan must carry the candidate-list DPP, got: $rerankPf")
+      val adcParts = adc.get.metrics.get("numPartitions").map(_.value).getOrElse(-1L)
+      val rerankParts = rerank.get.metrics.get("numPartitions").map(_.value).getOrElse(-1L)
+      assert(adcParts === NList.toLong,
+        s"nprobe = nlist: the candidate scan reads all $NList lists, read $adcParts")
+      assert(rerankParts > 0 && rerankParts < NList,
+        s"the rerank scan must read only the candidates' lists (< $NList), read $rerankParts")
     } finally SqlAnn.unregisterIndex(spark, pqDir)
   }
 
