@@ -94,7 +94,8 @@ object SqlAnn {
       val codebooksBc: Broadcast[Array[Array[Array[Float]]]],
       val idCol: String = "id",
       val codeCol: String = "codes",
-      val rerankK: Int = 100) {
+      val rerankK: Int = 100,
+      val cosineCodes: Boolean = false) {
     require(rerankK > 0, s"rerankK must be positive: $rerankK")
   }
 
@@ -681,11 +682,10 @@ object SqlAnn {
      *
      * Semantics: approximate at (nprobe, rerankK) — strictly MORE
      * faithful than ADC alone (the reference's only implemented PQ idea)
-     * because the surviving k are true distances. L2 only for now: the
-     * cosine ADC table requires codes encoded from normalized vectors,
-     * an attestation the registration does not yet carry. Shapes with a
-     * view Project or pushed Filter above the relation fall back to the
-     * flat prune (correct, just uncompressed).
+     * because the surviving k are true distances. L2 and IP always;
+     * cosine behind the `cosineCodes` attestation (see the metric gate
+     * below). Shapes with a view Project or pushed Filter above the
+     * relation fall back to the flat prune (correct, just uncompressed).
      */
     private def prunedPqParts(
         child: LogicalPlan,
@@ -700,7 +700,17 @@ object SqlAnn {
       }
       val reg = lookup(rel).getOrElse(return None)
       val pqInfo = reg.pq.getOrElse(return None)
-      if (metric != Metric.L2) return None
+      // L2 and IP ride the metric-generic ADC tables directly; COSINE
+      // additionally requires the `cosineCodes` attestation (codes
+      // encoded from NORMALIZED vectors — IvfPqIndex.build(Cosine)'s
+      // layout) because the cosine ADC table assumes decode(code) ≈ v̂.
+      // Either way the kept exact rerank bounds a false attestation's
+      // damage to candidate recall, never to the scored distances.
+      metric match {
+        case Metric.L2 | Metric.InnerProduct =>
+        case Metric.Cosine if pqInfo.cosineCodes =>
+        case _ => return None
+      }
       val k = kOpt.getOrElse(return None)
       if (!vecOfRelation(rel, reg, vecAttr)) return None
       val listAttr = rel.output.find(o =>

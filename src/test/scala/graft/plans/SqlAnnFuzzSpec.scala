@@ -86,6 +86,16 @@ class SqlAnnFuzzSpec extends SparkSpec {
       val bSql = batchSqlText(metric, k)
       val rSql = rangeSqlText(radius)
       val lSql = literalSqlText(qs.head._2, k)
+      // outer-join twin (round 16): the literal top-k decorated by a
+      // LEFT JOIN onto PARTIAL metadata — the preserved registered side
+      // must prune and stay exact (null-extension included)
+      spark.range(n).filter(col("id") % 3 === 0).select(col("id").as("mid"))
+        .createOrReplaceTempView("fz_d")
+      val qLitOJ = s"CAST(array(${qs.head._2.map(_.toDouble).mkString(", ")}) AS ARRAY<FLOAT>)"
+      val lSqlOJ =
+        s"""SELECT t.id, d.mid, l2_distance(t.vec, $qLitOJ) AS dist
+           |FROM fz_t t LEFT JOIN fz_d d ON t.id = d.mid
+           |ORDER BY dist, t.id LIMIT $k""".stripMargin
       // computed-column VIEW twins (round 15): a non-deterministic
       // projected column blocks predicate pushdown, so these exercise
       // the through-Project injection paths; the queries must REFERENCE
@@ -105,6 +115,7 @@ class SqlAnnFuzzSpec extends SparkSpec {
       val bruteBatch = rows(spark.sql(bSql))
       val bruteRange = rows(spark.sql(rSql))
       val bruteLit = rows(spark.sql(lSql))
+      val bruteOJ = rows(spark.sql(lSqlOJ))
       val bruteRangeSingleV = dropRid(rows(spark.sql(rSqlV)))
 
       SqlAnn.registerIndex(spark, dir, idx.centroids.value,
@@ -127,6 +138,11 @@ class SqlAnnFuzzSpec extends SparkSpec {
         assert(rows(b) === bruteBatch, s"$cfg: BATCH divergence")
         assert(rows(r) === bruteRange, s"$cfg: RANGE-JOIN divergence")
         assert(rows(l) === bruteLit, s"$cfg: LITERAL top-k divergence")
+        val oj = spark.sql(lSqlOJ)
+        assert(SqlAnn.fileSourceScans(oj).exists(
+          _.metadata.getOrElse("PartitionFilters", "").contains("list_id")),
+          s"$cfg: outer-join top-k did not prune the preserved side")
+        assert(rows(oj) === bruteOJ, s"$cfg: OUTER-JOIN top-k divergence")
         // through-view twins: the probe/covering-ball filters must reach
         // the scan UNDER the non-deterministic Project, results equal
         // modulo the dropped rid column
@@ -233,6 +249,53 @@ class SqlAnnFuzzSpec extends SparkSpec {
         }, s"$cfg: cosine-bridge join rewrite did not fire")
         assert(rows(j) === bruteJ, s"$cfg: COSINE-JOIN divergence")
         assert(rows(spark.sql(sSql)) === bruteS, s"$cfg: COSINE single-table divergence")
+      } finally SqlAnn.unregisterIndex(spark, dir)
+    }
+  }
+
+  test("PQ SQL top-k == brute force across random configurations (full coverage)") {
+    graft.GraftExtensions.register(spark)
+    // the exactness argument under fuzz: at rerankK >= n EVERY probed row
+    // survives to the exact rerank, so the result must equal brute force
+    // for ANY geometry — empty lists, k > n, tied distances, tiny dims.
+    // Same seed policy as the other fuzzes: pinned trials + one rotating.
+    val pinnedBase = sys.env.get("SQLANN_FUZZ_SEED").map(_.toLong).getOrElse(1516L)
+    val rotatingBase = sys.env.get("SQLANN_FUZZ_SEED").map(_.toLong)
+      .getOrElse(java.time.LocalDate.now(java.time.ZoneOffset.UTC).toEpochDay)
+    info(s"PQ fuzz seeds: pinned=$pinnedBase rotating=$rotatingBase " +
+      "(set SQLANN_FUZZ_SEED to reproduce, +200 offset)")
+    (1 to 4).foreach { trial =>
+      val seed = (if (trial <= 3) pinnedBase else rotatingBase) + 200 + trial
+      val rnd = new scala.util.Random(seed)
+      val dim = Seq(4, 6, 8)(rnd.nextInt(3)) // m = 2 divides all three
+      val nlist = 2 + rnd.nextInt(7)
+      val n = 30 + rnd.nextInt(170)
+      val corpus = randomVectors(n, dim, seed = rnd.nextInt(100000))
+      val idx = graft.index.IvfPqIndex.build(spark, vectorsDF(corpus), nlist, m = 2)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-pqfuzz$trial").toFile.getAbsolutePath
+      idx.codes.join(idx.rawVectors, "id")
+        .select(col("id"), col("vec"), col("codes"), col("list_id"))
+        .write.partitionBy("list_id").mode("overwrite").parquet(dir)
+      spark.read.parquet(dir).createOrReplaceTempView("fz_pq")
+      val k = 1 + rnd.nextInt(40) // deliberately allowed above n
+      val q = randomVectors(1, dim, seed = rnd.nextInt(100000)).head._2
+      val metric = Seq("l2_distance", "ip_distance")(rnd.nextInt(2))
+      val cfg = s"PQ trial $trial (seed=$seed): dim=$dim nlist=$nlist n=$n k=$k metric=$metric"
+      val lit = s"CAST(array(${q.map(_.toDouble).mkString(", ")}) AS ARRAY<FLOAT>)"
+      val sql =
+        s"""SELECT id, $metric(vec, $lit) AS dist
+           |FROM fz_pq ORDER BY dist, id LIMIT $k""".stripMargin
+      val brute = rows(spark.sql(sql))
+      SqlAnn.registerIndex(spark, dir, idx.centroids.value, nprobe = nlist,
+        centroidsBc = Some(idx.centroids),
+        pq = Some(new SqlAnn.PqInfo(idx.codebooks, rerankK = n + 10)))
+      try {
+        val df = spark.sql(sql)
+        assert(SqlAnn.fileSourceScans(df).exists(s =>
+          s.output.exists(_.name == "codes") && !s.output.exists(_.name == "vec")),
+          s"$cfg: the PQ two-scan pipeline did not fire")
+        assert(rows(df) === brute, s"$cfg: PQ top-k divergence")
       } finally SqlAnn.unregisterIndex(spark, dir)
     }
   }

@@ -1386,6 +1386,55 @@ class SqlAnnSpec extends SparkSpec {
     } finally SqlAnn.unregisterIndex(spark, pqDir)
   }
 
+  test("PQ top-k under IP, and under cosine with the cosineCodes attestation: exact at full coverage") {
+    pqIndex
+    graft.GraftExtensions.register(spark)
+    spark.read.parquet(pqDir).createOrReplaceTempView("sqlann_pq")
+    // IP over the raw-coded table (the metric-generic ADC tables; the
+    // kept exact rerank makes full coverage exact regardless)
+    val ipSql =
+      s"""SELECT id, ip_distance(vec, $qvecSql) AS dist
+         |FROM sqlann_pq ORDER BY dist, id LIMIT $K""".stripMargin
+    val ipBrute = spark.sql(ipSql).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    registerPq(nprobe = NList, rerankK = 400)
+    try {
+      val ip = spark.sql(ipSql)
+      assert(pqScansOf(ip)._1.isDefined, "IP must take the ADC path")
+      assert(ip.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === ipBrute,
+        "IP PQ top-k must be exact at full coverage")
+    } finally SqlAnn.unregisterIndex(spark, pqDir)
+    // cosine needs the attestation that codes were encoded from
+    // NORMALIZED vectors — IvfPqIndex.build(metric = Cosine)'s layout
+    val rnd = new scala.util.Random(17)
+    val rows = (0L until 200L).map { i =>
+      val c = corner((i % 8).toInt)
+      (i, graft.functions.VectorKernels.normalize(
+        c.map(x => x + rnd.nextFloat() * 0.2f - 0.1f)))
+    }
+    val cosIdx = graft.index.IvfPqIndex.build(
+      spark, vectorsDF(rows), NList, m = 4, metric = Metric.Cosine)
+    val cosPqDir = java.nio.file.Files
+      .createTempDirectory("graft-sqlann-pqcos").toFile.getAbsolutePath
+    cosIdx.codes.join(cosIdx.rawVectors, "id")
+      .select(col("id"), col("vec"), col("codes"), col("list_id"))
+      .write.partitionBy("list_id").mode("overwrite").parquet(cosPqDir)
+    spark.read.parquet(cosPqDir).createOrReplaceTempView("sqlann_pqcos")
+    val cosSql =
+      s"""SELECT id, cosine_distance(vec, ${litOf(ncorner(0))}) AS dist
+         |FROM sqlann_pqcos ORDER BY dist, id LIMIT $K""".stripMargin
+    val cosBrute = spark.sql(cosSql).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    SqlAnn.registerIndex(spark, cosPqDir, cosIdx.centroids.value, nprobe = NList,
+      centroidsBc = Some(cosIdx.centroids),
+      pq = Some(new SqlAnn.PqInfo(cosIdx.codebooks, rerankK = 400, cosineCodes = true)))
+    try {
+      val cos = spark.sql(cosSql)
+      assert(pqScansOf(cos)._1.isDefined,
+        "attested-cosine must take the ADC path")
+      assert(cos.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === cosBrute,
+        "cosine PQ top-k must be exact at full coverage")
+    } finally SqlAnn.unregisterIndex(spark, cosPqDir)
+  }
+
   test("PQ fallbacks: filtered shape, cosine sort, and joins use the flat prune (one scan)") {
     pqIndex
     graft.GraftExtensions.register(spark)
