@@ -641,10 +641,16 @@ object SqlAnn {
       // the side that owns the registered vector column, so a LeftOuter
       // whose distance is over the RIGHT side stays untouched).
       case j: Join =>
-        def left = prunedParts(j.left, vecAttr, qLit, metric)
-          .map(nl => j.copy(left = nl))
-        def right = prunedParts(j.right, vecAttr, qLit, metric)
-          .map(nr => j.copy(right = nr))
+        // each permitted side tries the PQ two-scan pipeline first (the
+        // required-attribute set gains the join condition's references so
+        // the rerank-side column prune keeps every column the join needs),
+        // then the flat probe prune
+        val req = required ++ j.references
+        def prune(side: LogicalPlan): Option[LogicalPlan] =
+          prunedPqParts(side, vecAttr, qLit, metric, kOpt, req)
+            .orElse(prunedParts(side, vecAttr, qLit, metric))
+        def left = prune(j.left).map(nl => j.copy(left = nl))
+        def right = prune(j.right).map(nr => j.copy(right = nr))
         j.joinType match {
           case Inner | Cross => left.orElse(right)
           case LeftOuter | LeftSemi | LeftAnti => left
@@ -694,9 +700,20 @@ object SqlAnn {
         metric: Metric.Value,
         kOpt: Option[Int],
         required: AttributeSet): Option[LogicalPlan] = {
-      val rel = child match {
-        case r: LogicalRelation => r
-        case _ => return None
+      // bare relation OR a Project chain over it (the column-pruning
+      // Project a join side always carries, or computed-column views),
+      // optionally over a pushed Filter (a user WHERE, or the
+      // isnotnull(...) constraints a join's keys push down). A
+      // DETERMINISTIC filter is REPLICATED into the ADC candidate stage
+      // (rebased onto the fresh relation instance), so the candidate
+      // pool is the ADC top-candK of the rows that actually qualify —
+      // at full coverage the pipeline stays exact under the filter. A
+      // non-deterministic filter falls back to the flat prune: a
+      // replicated re-draw would make the two stages disagree on
+      // membership.
+      val (projs, filtOpt, rel) = relParts(child).getOrElse(return None)
+      filtOpt.foreach { f =>
+        if (f.condition.exists(!_.deterministic)) return None
       }
       val reg = lookup(rel).getOrElse(return None)
       val pqInfo = reg.pq.getOrElse(return None)
@@ -712,7 +729,7 @@ object SqlAnn {
         case _ => return None
       }
       val k = kOpt.getOrElse(return None)
-      if (!vecOfRelation(rel, reg, vecAttr)) return None
+      if (!vecOfRelation(rel, reg, resolveThrough(projs, vecAttr))) return None
       val listAttr = rel.output.find(o =>
         o.name == reg.listCol && o.dataType == IntegerType).getOrElse(return None)
       val idAttr = rel.output.find(_.name == pqInfo.idCol).getOrElse(return None)
@@ -728,6 +745,13 @@ object SqlAnn {
         q, reg.centroids, reg.nprobe, metric.id)
       if (probes.isEmpty) return None
       val probeLits = probes.sorted.toSeq.map(i => Literal(i))
+      val inExpr = In(listAttr, probeLits)
+      // idempotence under the fixed-point batch: our own rerank side IS a
+      // (chain over) Filter carrying this exact In conjunct
+      filtOpt.foreach { f =>
+        if (splitConjunctivePredicates(f.condition).exists(_.semanticEquals(inExpr)))
+          return None
+      }
 
       // candidate side: fresh relation instance, (id, codes) only; list_id
       // rides along because it doubles as the rerank scan's DPP build key
@@ -736,12 +760,20 @@ object SqlAnn {
         relCand.output.find(_.name == name).get
       val cId = cand(pqInfo.idCol)
       val cList = cand(reg.listCol)
+      // the pushed filter, rebased onto the fresh instance's exprIds
+      val attrMap = AttributeMap(rel.output.zip(relCand.output))
+      val candCond = filtOpt.map(_.condition.transform {
+        case a: AttributeReference => attrMap.getOrElse(a, a)
+      }) match {
+        case Some(c) => And(c, In(cList, probeLits))
+        case None => In(cList, probeLits)
+      }
       val adcAlias = Alias(
         graft.functions.PqAdcDistance(cand(pqInfo.codeCol),
           q.toIndexedSeq, pqInfo.codebooksBc, metric.id),
         "__graft_adc")()
       val candProj = Project(Seq(cId, cList, adcAlias),
-        Filter(In(cList, probeLits), relCand))
+        Filter(candCond, relCand))
       val candK = math.max(pqInfo.rerankK, k)
       val candTop = GlobalLimit(Literal(candK), LocalLimit(Literal(candK),
         Sort(Seq(SortOrder(adcAlias.toAttribute, Ascending),
@@ -766,10 +798,30 @@ object SqlAnn {
         buildKeys = Seq(cList),
         broadcastKeyIndices = Seq(0),
         onlyInBroadcast = false)
-      val keep = rel.output.filter(a =>
-        a.exprId == idAttr.exprId || required.contains(a))
-      val rerank = Project(keep,
-        Filter(And(In(listAttr, probeLits), dpp), rel))
+      // rerank inner filter: the ORIGINAL pushed predicate (kept — it is
+      // the semantics), plus the static probe In, plus the candidate-list
+      // DPP
+      val inner = filtOpt match {
+        case Some(f) => f.copy(condition = And(f.condition, And(inExpr, dpp)))
+        case None => Filter(And(inExpr, dpp), rel)
+      }
+      val rerank: LogicalPlan =
+        if (projs.isEmpty) {
+          // bare relation: insert our own column-pruning Project
+          val keep = rel.output.filter(a =>
+            a.exprId == idAttr.exprId || required.contains(a))
+          Project(keep, inner)
+        } else {
+          // Project chain: it IS the column pruning — rebuild it over the
+          // pruned filter, exposing the id column through every level for
+          // the candidate join (same discipline as prunedJoin's listAttr)
+          projs.foldRight(inner: LogicalPlan) { (p, c) =>
+            val pl =
+              if (p.projectList.exists(_.exprId == idAttr.exprId)) p.projectList
+              else p.projectList :+ idAttr
+            p.copy(projectList = pl, child = c)
+          }
+        }
       Some(Join(candIds, rerank, Inner,
         Some(EqualTo(cId, idAttr)), JoinHint.NONE))
     }

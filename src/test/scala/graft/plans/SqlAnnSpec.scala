@@ -1305,7 +1305,16 @@ class SqlAnnSpec extends SparkSpec {
     graft.GraftExtensions.register(spark)
     spark.read.parquet(pqDir).createOrReplaceTempView("sqlann_pq")
     val sql = annSql("sqlann_pq")
+    // joined twin: PQ under an INNER metadata join with PARTIAL metadata
+    spark.range(200).filter(col("id") % 2 === 0).select(col("id").as("mid"))
+      .createOrReplaceTempView("sqlann_pq_jdims")
+    val joinSql =
+      s"""SELECT t.id, d.mid, l2_distance(t.vec, $qvecSql) AS dist
+         |FROM sqlann_pq t JOIN sqlann_pq_jdims d ON t.id = d.mid
+         |ORDER BY dist, t.id LIMIT $K""".stripMargin
     val brute = spark.sql(sql).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val bruteJoin = spark.sql(joinSql).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     registerPq(nprobe = NList, rerankK = 400) // >= corpus: rerank covers all
     try {
       val df = spark.sql(sql)
@@ -1323,6 +1332,27 @@ class SqlAnnSpec extends SparkSpec {
       val again = spark.sql(sql)
       assert(pqScansOf(again)._1.isDefined)
       assert(again.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === brute)
+      // PQ composes under an INNER metadata join and stays exact at full
+      // coverage (partial metadata: the join genuinely drops candidates)
+      val jdf = spark.sql(joinSql)
+      assert(pqScansOf(jdf)._1.isDefined,
+        "the PQ pipeline must fire under the metadata join")
+      assert(jdf.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        === bruteJoin, "PQ-under-join must be exact at full coverage")
+      // a deterministic WHERE composes exactly too (the replicated
+      // candidate-side predicate keeps the pool a superset of the
+      // filtered top-k at full coverage)
+      val filtSql =
+        s"""SELECT id, l2_distance(vec, $qvecSql) AS dist
+           |FROM sqlann_pq WHERE id % 2 = 0 ORDER BY dist, id LIMIT $K""".stripMargin
+      SqlAnn.unregisterIndex(spark, pqDir)
+      val bruteFilt = spark.sql(filtSql).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      registerPq(nprobe = NList, rerankK = 400)
+      val fdf = spark.sql(filtSql)
+      assert(pqScansOf(fdf)._1.isDefined, "filtered PQ must fire")
+      assert(fdf.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === bruteFilt,
+        "filtered PQ top-k must be exact at full coverage")
     } finally SqlAnn.unregisterIndex(spark, pqDir)
   }
 
@@ -1435,22 +1465,32 @@ class SqlAnnSpec extends SparkSpec {
     } finally SqlAnn.unregisterIndex(spark, cosPqDir)
   }
 
-  test("PQ fallbacks: filtered shape, cosine sort, and joins use the flat prune (one scan)") {
+  test("PQ composition: filtered shapes ride the pipeline; non-det filters and unattested cosine fall back") {
     pqIndex
     graft.GraftExtensions.register(spark)
     spark.read.parquet(pqDir).createOrReplaceTempView("sqlann_pq")
     registerPq(nprobe = 2, rerankK = 400)
     try {
-      // a user WHERE pushes a Filter above the relation: not the
-      // canonical direct shape — flat probe prune, ONE scan, no ADC
+      // a DETERMINISTIC user WHERE rides the pipeline: the predicate is
+      // replicated into the ADC candidate stage (candidates = top-candK
+      // of the rows that qualify) and kept on the rerank side
       val filtered = spark.sql(
         s"""SELECT id, l2_distance(vec, $qvecSql) AS dist
            |FROM sqlann_pq WHERE id % 2 = 0 ORDER BY dist, id LIMIT $K""".stripMargin)
       val (fAdc, _, _, _) = pqScansOf(filtered)
-      assert(fAdc.isEmpty, "filtered shape must fall back to the flat prune")
-      assert(partitionFilterText(filtered).contains("list_id"),
-        "the flat probe prune must still fire on the filtered shape")
-      assert(filtered.collect().nonEmpty)
+      assert(fAdc.isDefined, "a deterministic filtered shape must take the ADC path")
+      val fRows = filtered.collect()
+      assert(fRows.nonEmpty && fRows.forall(_.getLong(0) % 2 == 0))
+      // a NON-DETERMINISTIC filter falls back (a replicated re-draw
+      // would make the candidate and rerank stages disagree); the flat
+      // probe prune still fires
+      val nondet = spark.sql(
+        s"""SELECT id, l2_distance(vec, $qvecSql) AS dist
+           |FROM sqlann_pq WHERE rand() < 0.999 ORDER BY dist, id LIMIT $K""".stripMargin)
+      assert(pqScansOf(nondet)._1.isEmpty,
+        "a non-deterministic filter must fall back to the flat prune")
+      assert(partitionFilterText(nondet).contains("list_id"),
+        "the flat probe prune must still fire under the non-det filter")
       // cosine sort over a PQ registration: codes lack the normalized-
       // vector attestation — flat prune only
       val cosine = spark.sql(
@@ -1458,19 +1498,19 @@ class SqlAnnSpec extends SparkSpec {
            |FROM sqlann_pq ORDER BY dist, id LIMIT $K""".stripMargin)
       assert(pqScansOf(cosine)._1.isEmpty, "cosine must not take the ADC path")
       assert(partitionFilterText(cosine).contains("list_id"))
-      // metadata join above the PQ table: flat prune on the joined side
+      // metadata join above the PQ table: the two-scan pipeline COMPOSES
+      // under the join (the registered side is replaced by ADC+rerank,
+      // the decoration join rides on top) — exactness pinned in the
+      // full-coverage test
       spark.range(200).select(col("id").as("mid"), (col("id") % 3).as("tag"))
         .createOrReplaceTempView("sqlann_pq_dims")
       val joined = spark.sql(
         s"""SELECT t.id, d.tag, l2_distance(t.vec, $qvecSql) AS dist
            |FROM sqlann_pq t JOIN sqlann_pq_dims d ON t.id = d.mid
            |ORDER BY dist, t.id LIMIT $K""".stripMargin)
-      assert(pqScansOf(joined)._1.isEmpty, "joined shape must fall back to the flat prune")
-      val jPf = SqlAnn.fileSourceScans(joined)
-        .find(_.output.exists(_.name == "list_id"))
-        .flatMap(_.metadata.get("PartitionFilters")).getOrElse("")
-      assert(jPf.contains("list_id") || partitionFilterText(joined).contains("list_id"),
-        "the flat probe prune must still fire under the join")
+      assert(pqScansOf(joined)._1.isDefined,
+        "the PQ pipeline must compose under a metadata join")
+      assert(joined.collect().nonEmpty)
     } finally SqlAnn.unregisterIndex(spark, pqDir)
   }
 
