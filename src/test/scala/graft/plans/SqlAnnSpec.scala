@@ -1465,6 +1465,43 @@ class SqlAnnSpec extends SparkSpec {
     } finally SqlAnn.unregisterIndex(spark, cosPqDir)
   }
 
+  test("PQ composition: preserved outer-join side and computed-column views take the pipeline") {
+    pqIndex
+    graft.GraftExtensions.register(spark)
+    spark.read.parquet(pqDir).createOrReplaceTempView("sqlann_pq")
+    spark.range(200).filter(col("id") % 3 === 0).select(col("id").as("mid"))
+      .createOrReplaceTempView("sqlann_pq_odims")
+    val ojSql =
+      s"""SELECT t.id, d.mid, l2_distance(t.vec, $qvecSql) AS dist
+         |FROM sqlann_pq t LEFT JOIN sqlann_pq_odims d ON t.id = d.mid
+         |ORDER BY dist, t.id LIMIT $K""".stripMargin
+    val ojBrute = spark.sql(ojSql).collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getDouble(2))).toSeq
+    // computed-column view over the PQ table: the chain rebuild carries
+    // the prune through; deterministic columns stay exact at full
+    // coverage (the non-det rid has no cross-plan value contract)
+    spark.read.parquet(pqDir).withColumn("rid", monotonically_increasing_id())
+      .createOrReplaceTempView("sqlann_pq_view")
+    val vSql =
+      s"""SELECT id, l2_distance(vec, $qvecSql) AS dist, rid
+         |FROM sqlann_pq_view ORDER BY dist, id LIMIT $K""".stripMargin
+    val vBrute = spark.sql(vSql).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    registerPq(nprobe = NList, rerankK = 400)
+    try {
+      val oj = spark.sql(ojSql)
+      assert(pqScansOf(oj)._1.isDefined,
+        "the PQ pipeline must fire on the preserved side of a LEFT join")
+      assert(oj.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getDouble(2))).toSeq === ojBrute,
+        "PQ under a LEFT join must be exact at full coverage")
+      val v = spark.sql(vSql)
+      assert(pqScansOf(v)._1.isDefined,
+        "the PQ pipeline must fire through a computed-column view")
+      assert(v.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === vBrute,
+        "PQ through a view must be exact at full coverage (deterministic columns)")
+    } finally SqlAnn.unregisterIndex(spark, pqDir)
+  }
+
   test("PQ composition: filtered shapes ride the pipeline; non-det filters and unattested cosine fall back") {
     pqIndex
     graft.GraftExtensions.register(spark)
