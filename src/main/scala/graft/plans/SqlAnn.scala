@@ -960,6 +960,20 @@ object SqlAnn {
     private def rebuild(projs: List[Project], inner: LogicalPlan): LogicalPlan =
       projs.foldRight(inner)((p, c) => p.copy(child = c))
 
+    /** True when any of the join's condition conjuncts references a
+      * (transitively) non-deterministic output of the relation side's
+      * view chain — the join twin of [[tryRangeRewrite]]'s guard: the
+      * injected probe filter below such a Project shifts the surviving
+      * rows' computed values, and a predicate over them could then
+      * select a different match set than the unrewritten plan. */
+    private def joinPredicatesOverNonDet(
+        join: Join, projs: List[Project]): Boolean = {
+      if (projs.isEmpty) return false
+      val tainted = nonDeterministicOutputs(projs)
+      tainted.nonEmpty &&
+        join.condition.exists(_.references.exists(r => tainted(r.exprId)))
+    }
+
     private def attemptBatch(
         wgl: WindowGroupLimit,
         projOpt: Option[Project],
@@ -971,6 +985,11 @@ object SqlAnn {
         qSide: LogicalPlan,
         relIsLeft: Boolean): Option[WindowGroupLimit] = {
       val (projR, filtR, rel) = relParts(relSide).getOrElse(return None)
+      // same hazard as the single-table range guard: injecting the probe
+      // filter below a non-deterministic view Project shifts the
+      // surviving rows' computed values, so a join conjunct over such a
+      // column could select a different match set
+      if (joinPredicatesOverNonDet(join, projR)) return None
       val reg = lookup(rel).getOrElse(return None)
       // which distance operand is the registered corpus column, which the
       // query vector? (VectorDistance is symmetric for all three metrics;
@@ -1200,6 +1219,9 @@ object SqlAnn {
             join.left.outputSet.contains(qAttr)) (join.right, join.left, false)
         else return None
       val (projR, filtR, rel) = relParts(relSide).getOrElse(return None)
+      // see attemptBatch: no injection below a non-det Project when the
+      // join predicates on one of its (transitively) non-det columns
+      if (joinPredicatesOverNonDet(join, projR)) return None
       val reg = lookup(rel).getOrElse(return None)
       if (!vecOfRelation(rel, reg, resolveThrough(projR, vecAttr))) return None
       // cosine rides the unit-norm bridge: corpus-side norms are the

@@ -1816,6 +1816,43 @@ class SqlAnnSpec extends SparkSpec {
     } finally SqlAnn.unregisterIndex(spark, rangeDir)
   }
 
+  test("range join skips injection when the join predicates on a non-deterministic view column") {
+    rangeIndex
+    graft.GraftExtensions.register(spark)
+    spark.read.parquet(rangeDir)
+      .withColumn("rid", monotonically_increasing_id())
+      .createOrReplaceTempView("sqlann_ndj")
+    localQView("sqlann_ndj_q", Seq(0L -> corner(0), 1L -> corner(3)))
+    SqlAnn.registerIndex(spark, rangeDir, rangeIndex.centroids.value,
+      nprobe = 2, radii = Some(rangeIndex.listRadii))
+    def hasRangeGenerate(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.exists {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate =>
+          g.generator.children.head
+            .isInstanceOf[graft.functions.RangeProbeLists]
+        case _ => false
+      }
+    try {
+      // a cross-relation join key over the non-det rid cannot be pushed
+      // out of the condition — injecting the probe filter below the view
+      // Project would shift rid values and change which rows match qid
+      val guarded = spark.sql(
+        s"""SELECT q.qid, t.id FROM sqlann_ndj_q q JOIN sqlann_ndj t
+           |ON l2_distance(t.vec, q.qvec) <= 2.0 AND q.qid = t.rid
+           |ORDER BY qid, id""".stripMargin)
+      assert(!hasRangeGenerate(guarded),
+        "a join keyed on the non-det view column must stay unrewritten")
+      // control: the same shape keyed on the deterministic id fires
+      // through the view
+      val control = spark.sql(
+        s"""SELECT q.qid, t.id FROM sqlann_ndj_q q JOIN sqlann_ndj t
+           |ON l2_distance(t.vec, q.qvec) <= 2.0 AND q.qid = t.id
+           |ORDER BY qid, id""".stripMargin)
+      assert(hasRangeGenerate(control),
+        "a deterministic join key must still allow the range-join rewrite")
+    } finally SqlAnn.unregisterIndex(spark, rangeDir)
+  }
+
   test("top-k rewrite fires through the same computed-column view") {
     rangeIndex
     spark.read.parquet(rangeDir)
