@@ -450,10 +450,19 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
    * EXACT (conservative bound; per-row runtime norm check). A false
    * attestation can falsely dismiss matches: pass
    * `verifyUnitNorm = true` to pay one corpus pass and have the
-   * registration rejected instead. The rewrites also serve the
-   * self-join dedup shape (`FROM v a, v b WHERE dist <= r`), top-k
-   * decorated by an INNER metadata join, computed-column views over
-   * the registered table, and catalog (metastore) parquet tables.
+   * registration rejected instead (`verifyUnitNorm` without `unitNorm`
+   * throws — the check guards the attestation). The rewrites also serve
+   * the self-join dedup shape (`FROM v a, v b WHERE dist <= r`), top-k
+   * decorated by a metadata join (inner, or outer/semi/anti with the
+   * registered side preserved — round 16), computed-column views
+   * (stacked included), and catalog (metastore) parquet tables.
+   *
+   * Round 16: tables that ALSO carry an m-byte PQ code column can opt
+   * into the compressed top-k pipeline (ADC candidate scan + exact
+   * rerank) by registering directly through
+   * [[graft.plans.SqlAnn.registerIndex]] with a
+   * [[graft.plans.SqlAnn.PqInfo]] — the facade's epochs store flat
+   * vectors only, so PQ-SQL registration lives at the SqlAnn level.
    */
   def registerSql(
       name: String,
