@@ -102,16 +102,22 @@ object SqlSelfJoinScale {
       println(s"[sjscale] exactness: rewritten subset == brute force ($bruteSub pairs)")
       SqlAnn.unregisterIndex(spark, subDir)
 
-      // the full-N rewritten self-join
-      val tr0 = System.nanoTime()
-      val df = spark.sql(pairSql("sj_t"))
-      val pairs = df.count()
-      val rewSec = (System.nanoTime() - tr0) / 1e9
-      val phys = df.queryExecution.executedPlan.toString
-      require(!phys.contains("CartesianProduct") && !phys.contains("NestedLoop"),
-        "full-N plan must be the equi-join")
-      println(f"[sjscale] REWRITTEN full self-join: n=$n -> $pairs near pairs in $rewSec%.1f s " +
-        f"(cartesian estimate ${fullPairs / rate / 60}%.0f min -> ${fullPairs / rate / rewSec}%.0fx speedup)")
+      // the full-N rewritten self-join — TWICE: the first run pays scan
+      // caching + DPP subquery cold start, the second is the steady state
+      // a repeated dedup pass sees; both are reported (SJSCALE_PLAN=1
+      // additionally dumps the executed plan for strategy forensics)
+      (1 to 2).foreach { iter =>
+        val tr0 = System.nanoTime()
+        val df = spark.sql(pairSql("sj_t"))
+        val pairs = df.count()
+        val rewSec = (System.nanoTime() - tr0) / 1e9
+        val phys = df.queryExecution.executedPlan.toString
+        require(!phys.contains("CartesianProduct") && !phys.contains("NestedLoop"),
+          "full-N plan must be the equi-join")
+        println(f"[sjscale] REWRITTEN full self-join (iter$iter): n=$n -> $pairs near pairs in $rewSec%.1f s " +
+          f"(cartesian estimate ${fullPairs / rate / 60}%.0f min -> ${fullPairs / rate / rewSec}%.0fx speedup)")
+        if (sys.env.contains("SJSCALE_PLAN")) println(phys.take(6000))
+      }
     } finally SqlAnn.unregisterIndex(spark, dir)
     spark.stop()
   }
