@@ -89,4 +89,43 @@ class CodegenParitySpec extends SparkSpec {
     val off = withCodegenOff(run())
     assert(on === off)
   }
+
+  test("PQ ADC distance (SQL-path expression): codegen == interpreted, all three metrics, null codes null") {
+    import org.apache.spark.sql.graftshims
+    val sample = randomVectors(200, 8).map(_._2).toArray
+    val books = graft.index.IvfPqIndex.trainCodebooks(sample, m = 2, nbits = 4)
+    val bc = spark.sparkContext.broadcast(books)
+    val q = randomVectors(1, 8, seed = 9).head._2
+    val df = vectorsDF(randomVectors(60, 8, seed = 5))
+      .select(col("id"), graftshims.column(
+        PqEncode(graftshims.expression(col("vec")), bc)).as("codes"))
+      // one NULL codes row: nullIntolerant must propagate, not crash
+      .union(spark.range(1).select(lit(999L).as("id"),
+        lit(null).cast("array<tinyint>").as("codes")))
+    def run(metricId: Int) = df.select(
+      col("id"),
+      graftshims.column(PqAdcDistance(
+        graftshims.expression(col("codes")), q.toIndexedSeq, bc, metricId)).as("d"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .sortBy(_._1).toSeq
+    Seq(VectorKernels.METRIC_L2, VectorKernels.METRIC_IP,
+      VectorKernels.METRIC_COSINE).foreach { m =>
+      val on = run(m)
+      val off = withCodegenOff(run(m))
+      assert(on === off, s"metric $m: codegen != interpreted")
+      assert(on.find(_._1 == 999L).exists(_._2.isEmpty),
+        s"metric $m: NULL codes must yield NULL distance")
+      // the lookup-sum must equal the table-free direct accumulation the
+      // facade paths use (adcDistanceDirectBytes) — one shared semantics
+      val direct = vectorsDF(randomVectors(60, 8, seed = 5)).collect().map { r =>
+        val v = r.getSeq[Float](1).toArray
+        val codes = PqKernels.encode(v, books)
+        (r.getLong(0), Some(PqKernels.adcDistanceDirectBytes(
+          PqKernels.prepQuery(q, m), books, m, codes)))
+      }.sortBy(_._1).toSeq
+      assert(on.filter(_._1 != 999L) === direct,
+        s"metric $m: expression != direct kernel accumulation")
+    }
+  }
 }
