@@ -244,6 +244,52 @@ case class CosineRangeProbeLists(
 }
 
 /**
+ * [[RangeProbeLists]] for an INNER-PRODUCT bound: the Cauchy–Schwarz
+ * ball bound (list survives iff `c_l·q + R_l·‖q‖ ≥ −radius`,
+ * [[VectorKernels.ipRangeProbeLists]]) — IP is not a metric, but the
+ * covering BALL is an L2 fact and bounds the dot exactly, so the prune
+ * is exact per row with no attestation needed.
+ */
+case class IpRangeProbeLists(
+    child: Expression,
+    centroids: Broadcast[Array[Array[Float]]],
+    radii: Broadcast[Array[Double]],
+    radius: Double)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[graftshims.AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ip_range_probe_lists"
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(VectorKernels.ipRangeProbeLists(
+      v.asInstanceOf[ArrayData].toFloatArray(),
+      centroids.value, radii.value, radius))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bc = ctx.addReferenceObj("centroidsBc", centroids,
+      classOf[Broadcast[Array[Array[Float]]]].getName)
+    val rb = ctx.addReferenceObj("radiiBc", radii,
+      classOf[Broadcast[Array[Double]]].getName)
+    // per-task deref, not per row (see ArgMinCentroid)
+    val cm = ctx.addMutableState("float[][]", "centroidsArr",
+      v => s"$v = (float[][]) $bc.value();")
+    val rm = ctx.addMutableState("double[]", "radiiArr",
+      v => s"$v = (double[]) $rb.value();")
+    // ${radius}D is only a valid Java literal for FINITE radii — the
+    // rewrite rule guards with isFinite before constructing this node
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VectorKernels.ipRangeProbeLists($v.toFloatArray(), " +
+        s"$cm, $rm, ${radius}D));")
+  }
+
+  override protected def withNewChildInternal(c: Expression): IpRangeProbeLists =
+    copy(child = c)
+}
+
+/**
  * Distance between a stored vector and a query looked up BY ID from a
  * broadcast map — the probe join then carries only an 8-byte qid per
  * candidate row instead of materializing the full query vector into every

@@ -319,4 +319,42 @@ object VectorKernels {
       tol: Double): Array[Int] =
     if (math.abs(norm(q) - 1.0) > tol) Array.range(0, centroids.length)
     else rangeProbeLists(q, centroids, radii, cosineL2Bound(radius, tol))
+
+  /**
+   * [[rangeProbeLists]] for an INNER-PRODUCT bound: `ip_distance(v, q)
+   * = −v·q ≤ r` ⟺ `v·q ≥ −r`. IP is not a metric, so there is no
+   * covering ball in IP "space" — but every member of list l lies in
+   * the L2 ball (c_l, R_l) by the covering-radius contract, and
+   * Cauchy–Schwarz bounds the dot over that ball:
+   *
+   *   v·q = c_l·q + (v − c_l)·q  ≤  c_l·q + ‖v − c_l‖·‖q‖
+   *                              ≤  c_l·q + R_l·‖q‖.
+   *
+   * A list can therefore hold a match ONLY IF
+   * `c_l·q + R_l·‖q‖ ≥ −r` — an EXACT prune (the bound is the true
+   * maximum of v·q over the covering ball; no false dismissals), the
+   * standard ball bound from the MIPS-pruning literature and beyond
+   * anything the reference expresses (its range path is L2-only). A NaN
+   * covering radius is kept (same poisoning guard as L2). A NaN query
+   * component makes every comparison false and prunes every list —
+   * correct: every ip_distance is then NaN and the retained predicate
+   * matches nothing. A zero query prunes exactly when r < 0, matching
+   * `−0·v = 0 ≤ r` exactly. Ascending list ids.
+   */
+  def ipRangeProbeLists(
+      q: Array[Float],
+      centroids: Array[Array[Float]],
+      radii: Array[Double],
+      radius: Double): Array[Int] = {
+    val qn = norm(q)
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    var l = 0
+    while (l < centroids.length) {
+      // ip() is the NEGATED dot (D2), so c·q = −ip(q, c)
+      if (radii(l).isNaN || -ip(q, centroids(l)) + radii(l) * qn >= -radius)
+        out += l
+      l += 1
+    }
+    out.result()
+  }
 }

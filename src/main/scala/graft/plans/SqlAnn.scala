@@ -15,7 +15,7 @@ import org.apache.spark.sql.graft.GraftSqlBridge
 import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType, FloatType, IntegerType}
 
 import graft.Metric
-import graft.functions.{CosineRangeProbeLists, ProbeLists, RangeProbeLists, VectorDistance, VectorKernels}
+import graft.functions.{CosineRangeProbeLists, IpRangeProbeLists, ProbeLists, RangeProbeLists, VectorDistance, VectorKernels}
 
 /**
  * The SQL ANN surface (SURVEY §4, custom component 3): a
@@ -472,12 +472,15 @@ object SqlAnn {
           floats(q, reg).map((_, m))
         case _ => None
       }
-      // the squared-L2 ball a dist-under-bound conjunct implies: the bound
-      // itself for L2 (a true metric); for cosine over a unit-norm-attested
-      // table, the bridge bound (1−cos = ‖a−b‖²/2 exactly at unit norms;
-      // cosineL2Bound absorbs the ±UnitNormTol attestation slack) — the
-      // LITERAL's norm is checked here on the driver, a degenerate query
-      // vector simply doesn't prune. IP is not a metric: never pruned.
+      // the list set a dist-under-bound conjunct implies: the squared-L2
+      // covering ball for L2 (a true metric); for cosine over a
+      // unit-norm-attested table, the bridge bound (1−cos = ‖a−b‖²/2
+      // exactly at unit norms; cosineL2Bound absorbs the ±UnitNormTol
+      // attestation slack) — the LITERAL's norm is checked here on the
+      // driver, a degenerate query vector simply doesn't prune; for IP,
+      // the Cauchy–Schwarz ball bound (round 16 —
+      // VectorKernels.ipRangeProbeLists: IP is not a metric, but the
+      // covering ball is an L2 fact that bounds the dot exactly).
       def l2RadiusOf(q: Array[Float], r: Double, m: Metric.Value): Option[Double] =
         m match {
           case Metric.L2 => Some(r)
@@ -489,7 +492,13 @@ object SqlAnn {
         }
       def ball(d: Expression, r: Double): Option[Set[Int]] =
         qvecOf(d).flatMap { case (q, m) =>
-          l2RadiusOf(q, r, m).map(intersecting(q, _, reg.centroids, radii))
+          m match {
+            case Metric.InnerProduct =>
+              Some(VectorKernels.ipRangeProbeLists(
+                q, reg.centroids, radii, r).toSet)
+            case _ =>
+              l2RadiusOf(q, r, m).map(intersecting(q, _, reg.centroids, radii))
+          }
         }
       // every dist-under-bound conjunct contributes a covering-ball list
       // set; multiple bounds intersect (all must hold). A NaN radius is
@@ -1176,9 +1185,11 @@ object SqlAnn {
      * EXACT like the single-table range rewrite (the covering-ball bound
      * is a metric-space fact, and the original `dist <= r` conjunct is
      * KEPT), so it needs no opt-in shape beyond registered radii; fires
-     * for any Inner/Cross join carrying the bound in its condition. L2
-     * only (the bound needs a true metric), finite radius only (the
-     * injected expression embeds it as a Java literal).
+     * for any Inner/Cross join carrying the bound in its condition.
+     * Metrics: L2 natively; cosine through the unit-norm bridge
+     * (attestation-gated); IP through the Cauchy–Schwarz ball bound
+     * (round 16 — no attestation, the ball is an L2 fact). Finite radius
+     * only (the injected expression embeds it as a Java literal).
      */
     private def tryRangeJoinRewrite(join: Join): Option[LogicalPlan] = {
       join.joinType match {
@@ -1196,8 +1207,7 @@ object SqlAnn {
       splitConjunctivePredicates(cond).iterator
         .flatMap(boundOf(_))
         .flatMap {
-          case (VectorDistance(x: AttributeReference, y: AttributeReference,
-              m @ (Metric.L2 | Metric.Cosine)), r)
+          case (VectorDistance(x: AttributeReference, y: AttributeReference, m), r)
               if java.lang.Double.isFinite(r) =>
             attemptRangeJoin(join, x, y, r, m)
               .orElse(attemptRangeJoin(join, y, x, r, m))
@@ -1244,7 +1254,8 @@ object SqlAnn {
         case Generate(e: Explode, _, _, _, _, _) =>
           e.child.isInstanceOf[ProbeLists] ||
             e.child.isInstanceOf[RangeProbeLists] ||
-            e.child.isInstanceOf[CosineRangeProbeLists]
+            e.child.isInstanceOf[CosineRangeProbeLists] ||
+            e.child.isInstanceOf[IpRangeProbeLists]
         case _ => false
       }
       if (already) return None
@@ -1256,6 +1267,13 @@ object SqlAnn {
             qAttr, reg.centroidsBc, radiiB, radius, UnitNormTol)),
             (arr: Array[Float]) => VectorKernels.cosineRangeProbeLists(
               arr, reg.centroids, radiiArr, radius, UnitNormTol))
+        // IP rides the Cauchy–Schwarz ball bound (round 16): exact per
+        // row, no attestation — the covering ball is an L2 fact that
+        // bounds the dot regardless of norms
+        case Metric.InnerProduct =>
+          (Explode(IpRangeProbeLists(qAttr, reg.centroidsBc, radiiB, radius)),
+            (arr: Array[Float]) => VectorKernels.ipRangeProbeLists(
+              arr, reg.centroids, radiiArr, radius))
         case _ =>
           (Explode(RangeProbeLists(qAttr, reg.centroidsBc, radiiB, radius)),
             (arr: Array[Float]) => VectorKernels.rangeProbeLists(

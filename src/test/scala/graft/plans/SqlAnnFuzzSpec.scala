@@ -32,6 +32,11 @@ class SqlAnnFuzzSpec extends SparkSpec {
        |FROM fz_q q, fz_t t
        |WHERE l2_distance(t.vec, q.qvec) <= $radius ORDER BY qid, id""".stripMargin
 
+  private def ipRangeSqlText(radius: Double): String =
+    s"""SELECT q.qid, t.id, ip_distance(t.vec, q.qvec) AS dist
+       |FROM fz_q q, fz_t t
+       |WHERE ip_distance(t.vec, q.qvec) <= $radius ORDER BY qid, id""".stripMargin
+
   private def literalSqlText(q: Array[Float], k: Int): String = {
     val lit = s"CAST(array(${q.map(_.toDouble).mkString(", ")}) AS ARRAY<FLOAT>)"
     s"""SELECT id, l2_distance(vec, $lit) AS dist
@@ -117,6 +122,11 @@ class SqlAnnFuzzSpec extends SparkSpec {
       val bruteLit = rows(spark.sql(lSql))
       val bruteOJ = rows(spark.sql(lSqlOJ))
       val bruteRangeSingleV = dropRid(rows(spark.sql(rSqlV)))
+      // IP range join (round 16, Cauchy-Schwarz ball bound): radius spans
+      // prune-everything to match-many on [-1,1)^dim dot scales
+      val ipRadius = (rnd.nextDouble() * 2 - 1) * dim / 4.0
+      val ipSql = ipRangeSqlText(ipRadius)
+      val bruteIp = rows(spark.sql(ipSql))
 
       SqlAnn.registerIndex(spark, dir, idx.centroids.value,
         nprobe = nlist, radii = Some(idx.listRadii))
@@ -143,6 +153,14 @@ class SqlAnnFuzzSpec extends SparkSpec {
           _.metadata.getOrElse("PartitionFilters", "").contains("list_id")),
           s"$cfg: outer-join top-k did not prune the preserved side")
         assert(rows(oj) === bruteOJ, s"$cfg: OUTER-JOIN top-k divergence")
+        val ipj = spark.sql(ipSql)
+        assert(ipj.queryExecution.optimizedPlan.exists {
+          case g: org.apache.spark.sql.catalyst.plans.logical.Generate =>
+            g.generator.children.head.isInstanceOf[graft.functions.IpRangeProbeLists]
+          case _ => false
+        }, s"$cfg: IP range-join rewrite did not fire (radius=$ipRadius)")
+        assert(rows(ipj) === bruteIp,
+          s"$cfg: IP RANGE-JOIN divergence (radius=$ipRadius)")
         // through-view twins: the probe/covering-ball filters must reach
         // the scan UNDER the non-deterministic Project, results equal
         // modulo the dropped rid column

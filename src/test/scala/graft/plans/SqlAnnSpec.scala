@@ -1551,40 +1551,66 @@ class SqlAnnSpec extends SparkSpec {
     } finally SqlAnn.unregisterIndex(spark, pqDir)
   }
 
-  test("inner-product range/join shapes are pinned UNSUPPORTED; IP top-k still fires") {
-    // IP is not a metric (no triangle inequality), so the covering-ball
-    // rewrites must never fire for it — not even with every unlock
-    // registered (radii AND the unit-norm attestation). The reference
-    // cannot express IP range pruning either (a MIPS norm-augmentation
-    // transform is the documented beyond-parity roadmap item); this test
-    // pins the limitation as EXPLICIT rather than silent (round 16).
+  test("inner-product range/join prune via the Cauchy-Schwarz ball bound; no radii -> untouched") {
+    // IP is not a metric (no triangle inequality), so there is no
+    // covering ball in IP "space" — but every list member lies in the L2
+    // ball (c_l, R_l), and Cauchy-Schwarz bounds the dot over it:
+    // a list can hold `v·q >= -r` only if `c_l·q + R_l·||q|| >= -r`.
+    // EXACT (the bound is the true max over the ball), no attestation
+    // needed — round 16, beyond anything the reference expresses.
     rangeIndex
     graft.GraftExtensions.register(spark)
     spark.read.parquet(rangeDir).createOrReplaceTempView("sqlann_ip")
-    localQView("sqlann_ip_q", Seq(900L -> corner(0), 901L -> corner(3)))
-    SqlAnn.registerIndex(spark, rangeDir, rangeIndex.centroids.value,
-      nprobe = 2, radii = Some(rangeIndex.listRadii), unitNorm = true)
-    try {
-      // single-table range: no list prune reaches the scan
-      val r = spark.sql(
-        s"""SELECT id, ip_distance(vec, ${litOf(corner(0))}) AS dist
-           |FROM sqlann_ip
-           |WHERE ip_distance(vec, ${litOf(corner(0))}) <= -10.0 ORDER BY id""".stripMargin)
-      assert(!partitionFilterText(r).contains("list_id"),
-        "IP range must stay unrewritten (covering-ball bound needs a metric)")
-      assert(r.collect().nonEmpty, "fixture sanity: the IP bound matches rows")
-      // similarity join: untouched — no probe Generate of ANY flavor
-      val j = spark.sql(
-        s"""SELECT q.qid, t.id, ip_distance(t.vec, q.qvec) AS dist
-           |FROM sqlann_ip_q q, sqlann_ip t
-           |WHERE ip_distance(t.vec, q.qvec) <= -10.0 ORDER BY qid, id""".stripMargin)
-      val anyGenerate = j.queryExecution.optimizedPlan.exists {
-        case _: org.apache.spark.sql.catalyst.plans.logical.Generate => true
+    // one zero query row: dot == 0, bound keeps a list iff r >= 0 — with
+    // r = -100 the row matches nothing and prunes everything, exactly
+    localQView("sqlann_ip_q",
+      Seq(900L -> corner(0), 901L -> corner(3), 902L -> Array.fill(Dim)(0f)))
+    // ip_distance(v, corner(0)) ~ -128 within corner-0's family; -100
+    // keeps only the high-dot families, so the bound genuinely prunes
+    val rSql =
+      s"""SELECT id, ip_distance(vec, ${litOf(corner(0))}) AS dist
+         |FROM sqlann_ip
+         |WHERE ip_distance(vec, ${litOf(corner(0))}) <= -100.0 ORDER BY id""".stripMargin
+    val jSql =
+      s"""SELECT q.qid, t.id, ip_distance(t.vec, q.qvec) AS dist
+         |FROM sqlann_ip_q q, sqlann_ip t
+         |WHERE ip_distance(t.vec, q.qvec) <= -100.0 ORDER BY qid, id""".stripMargin
+    val bruteR = spark.sql(rSql).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val bruteJ = rows3(spark.sql(jSql))
+    def hasIpGenerate(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.exists {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate =>
+          g.generator.children.head.isInstanceOf[graft.functions.IpRangeProbeLists]
         case _ => false
       }
-      assert(!anyGenerate, "IP similarity join must stay unrewritten")
-      // the TOP-K shape is metric-agnostic (probe order under the sort's
-      // own metric, an approximation contract not a bound): IP fires and
+    // WITHOUT radii: both shapes stay untouched (the prune needs the
+    // covering radii like every range rewrite)
+    SqlAnn.registerIndex(spark, rangeDir, rangeIndex.centroids.value, nprobe = 2)
+    assert(!partitionFilterText(spark.sql(rSql)).contains("list_id"),
+      "no radii -> IP range untouched")
+    assert(!hasIpGenerate(spark.sql(jSql)), "no radii -> IP join untouched")
+    SqlAnn.unregisterIndex(spark, rangeDir)
+    SqlAnn.registerIndex(spark, rangeDir, rangeIndex.centroids.value,
+      nprobe = 2, radii = Some(rangeIndex.listRadii))
+    try {
+      // single-table: the driver-side ball bound prunes the scan, exact
+      val r = spark.sql(rSql)
+      val pf = partitionFilterText(r)
+      assert(pf.contains("list_id") || pf.contains("false"),
+        s"IP range must prune via the ball bound, got: $pf")
+      val inSizes = scanOf(r).partitionFilters.flatMap(_.collect {
+        case i: org.apache.spark.sql.catalyst.expressions.In => i.list.size
+      })
+      assert(inSizes.headOption.exists(_ < NList),
+        s"the -100 bound must genuinely prune (< $NList lists), got $inSizes")
+      assert(r.collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq === bruteR,
+        "IP range must stay EXACT under the prune")
+      assert(bruteR.nonEmpty, "fixture sanity: the IP bound matches rows")
+      // similarity join: per-row runtime bound, exact incl. the zero row
+      val j = spark.sql(jSql)
+      assert(hasIpGenerate(j), "the IP range-join probe explode must be injected")
+      assert(rows3(j) === bruteJ, "IP similarity join must stay EXACT")
+      // the TOP-K shape was always metric-agnostic: still fires and
       // equals the facade at the same nprobe
       val tk = spark.sql(
         s"""SELECT id, ip_distance(vec, ${litOf(corner(0))}) AS dist
