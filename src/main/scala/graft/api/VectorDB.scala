@@ -177,9 +177,10 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       writeCentroids(cents, s"$path/centroids")
       // covering radii for range search: one aggregation over the written
       // epoch now saves every serving process its own corpus pass later.
-      // L2 indexes only — rangeSearch is hard-rejected on other metrics,
-      // so computing radii there would be a wasted full corpus pass
-      if (manifest.metric == Metric.L2) {
+      // L2 and IP indexes (round 16: IP range search prunes through the
+      // Cauchy–Schwarz ball bound over the same radii) — cosine is still
+      // hard-rejected, so computing radii there would be a wasted pass
+      if (manifest.metric == Metric.L2 || manifest.metric == Metric.InnerProduct) {
         val built = new IvfFlatIndex(spark,
           IvfFlatIndex.readEpoch(spark, s"$path/vectors"), bc, manifest.metric)
         IvfFlatIndex.writeListRadiiTable(spark, built.listRadii, s"$path/radii")
@@ -604,9 +605,11 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
 
   /**
    * Fixed-radius range search through the serving index
-   * ([[IvfFlatIndex.rangeSearch]] — exact covering-ball list pruning,
-   * L2 only). Same query validation as [[search]]; `radius` is a squared
-   * L2 distance like every dist this engine returns.
+   * ([[IvfFlatIndex.rangeSearch]] — exact list pruning: L2 covering
+   * ball, or the IP Cauchy–Schwarz ball bound). Same query validation as
+   * [[search]]; `radius` is in the index metric's distance (squared L2,
+   * or negated dot for IP — negative radii are MEANINGFUL there, so only
+   * NaN is rejected on IP indexes).
    */
   def rangeSearch(name: String, queries: DataFrame, radius: Double): DataFrame =
     rangeSearchManaged(name, queries, radius)._1
@@ -619,14 +622,22 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     * ContextCleaner reclaim it. */
   def rangeSearchManaged(
       name: String, queries: DataFrame, radius: Double): (DataFrame, () => Unit) = {
-    if (radius < 0 || radius.isNaN)
+    if (radius.isNaN)
       throw new InvalidArgumentException("Invalid radius value")
     val (s, batch) = validateAndSnapshot(name, queries, topk = 1)
+    // a negative radius is nonsense for squared-L2 but MEANINGFUL for IP
+    // (negated dot: "dot >= 0.28" is radius -0.28) — reject per metric
+    if (radius < 0 && s.manifest.metric == Metric.L2)
+      throw new InvalidArgumentException("Invalid radius value")
     // facade error taxonomy: surface the metric restriction as the
-    // documented InvalidArgumentException, not a bare require failure
-    if (s.manifest.metric != Metric.L2)
+    // documented InvalidArgumentException, not a bare require failure.
+    // L2 + IP (Cauchy–Schwarz ball bound, round 16); cosine rejected —
+    // the SQL surface offers it behind the unit-norm attestation
+    if (s.manifest.metric != Metric.L2 &&
+        s.manifest.metric != Metric.InnerProduct)
       throw new InvalidArgumentException(
-        s"Range search requires an L2 index; '${name}' uses ${s.manifest.metric}")
+        s"Range search requires an L2 or InnerProduct index; " +
+          s"'${name}' uses ${s.manifest.metric}")
     val (df, release) =
       s.index.rangeSearchManaged(snapshotToDf(s, batch, queries), radius)
     (timed(name, df), release)

@@ -288,14 +288,18 @@ class IvfFlatIndex(
     * intersecting(). */
   private[index] def rangeProbe(
       batch: Array[(Long, Array[Float])], radius: Double): Array[(Long, Int)] = {
-    val r = math.sqrt(radius)
     val radii = listRadii
     val cents = centroids.value
     batch.flatMap { case (qid, qv) =>
-      (0 until nlist).iterator
-        .filter(l => radii(l).isNaN ||
-          math.sqrt(graft.functions.VectorKernels.l2(qv, cents(l))) <= r + radii(l))
-        .map(l => (qid, l))
+      val lists = metric match {
+        // Cauchy–Schwarz ball bound (round 16): IP is not a metric, but
+        // the L2 covering ball bounds the dot exactly — see the kernel
+        case Metric.InnerProduct =>
+          graft.functions.VectorKernels.ipRangeProbeLists(qv, cents, radii, radius)
+        case _ =>
+          graft.functions.VectorKernels.rangeProbeLists(qv, cents, radii, radius)
+      }
+      lists.iterator.map(l => (qid, l))
     }
   }
 
@@ -306,9 +310,11 @@ class IvfFlatIndex(
    * `list_id IN (...)` PartitionFilter like the static top-k path — on a
    * 100 TB epoch the scan reads only the intersecting partitions. Results
    * are bit-identical to the brute-force scan (the prune is a metric-space
-   * bound, not a heuristic). L2 only: the bound needs a true metric, which
-   * inner-product distance is not and this engine's cosine is only after
-   * normalization. Unbounded query sets fall back to the full scan.
+   * bound, not a heuristic). L2 natively; INNER PRODUCT via the
+   * Cauchy–Schwarz ball bound (round 16 — the covering ball is an L2 fact
+   * that bounds the dot exactly, no transform needed); cosine remains
+   * unsupported here (the SQL surface offers it behind the unit-norm
+   * attestation). Unbounded query sets fall back to the full scan.
    */
   def rangeSearch(queries: DataFrame, radius: Double): DataFrame =
     rangeSearchManaged(queries, radius)._1
@@ -323,7 +329,8 @@ class IvfFlatIndex(
    * again after release().
    */
   def rangeSearchManaged(queries: DataFrame, radius: Double): (DataFrame, () => Unit) = {
-    require(metric == Metric.L2, s"rangeSearch needs a metric-space bound; got $metric")
+    require(metric == Metric.L2 || metric == Metric.InnerProduct,
+      s"rangeSearch needs a list bound (L2 ball or IP Cauchy–Schwarz); got $metric")
     val qdf = queries.select(col("qid"), col("qvec"))
     IvfFlatIndex.snapshotQueries(qdf).batch match {
       case Some(batch) =>
@@ -345,7 +352,7 @@ class IvfFlatIndex(
           // would be substituted into the join condition and re-evaluate
           // the kernel once per conjunct per candidate
           .withColumn("dist", graft.functions.vector
-            .distance_to_query(col("vec"), col("qid"), bcQ, Metric.L2))
+            .distance_to_query(col("vec"), col("qid"), bcQ, metric))
           .filter(col("dist") <= radius)
           .select("qid", "id", "dist")
         (result, () => bcQ.destroy())

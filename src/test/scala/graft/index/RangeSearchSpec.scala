@@ -59,6 +59,42 @@ class RangeSearchSpec extends SparkSpec {
     assert(got === brute(radius, Metric.L2))
   }
 
+  test("IP range search via the Cauchy-Schwarz ball bound: exact, prunes a far cluster, negative radii valid") {
+    // round 16: IP is not a metric, but the L2 covering ball bounds the
+    // dot exactly (c.q + R*||q|| >= -r keeps a list) — exact vs brute
+    val idx = IvfFlatIndex.build(spark, vectorsDF(corpus), nlist = 8,
+      metric = Metric.InnerProduct)
+    val allD = for { (_, qv) <- queries; (_, v) <- corpus }
+      yield VectorKernels.distance(qv, v, Metric.InnerProduct.id)
+    val radius = allD.sorted.apply(allD.size / 20) // ~5%, typically < 0
+    val got = idx.rangeSearch(queriesDF(queries), radius)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got === brute(radius, Metric.InnerProduct))
+    // pruning: two well-separated clusters; queries near cluster A with a
+    // bound only A's dots can meet must never probe B's lists
+    val rnd = new scala.util.Random(11)
+    def around(c: Float) = Array.fill(dim)(c + rnd.nextFloat() * 0.1f)
+    val a = (0L until 100L).map(i => (i, around(2f)))
+    val b = (100L until 200L).map(i => (i, around(-2f)))
+    val cidx = IvfFlatIndex.build(spark, vectorsDF(a ++ b), nlist = 4,
+      metric = Metric.InnerProduct)
+    val qs = (0L until 3L).map(i => (i, around(2f))).toArray
+    // dots: A ~ +4*dim, B ~ -4*dim — demand dot >= 2*dim (radius -2*dim)
+    val ipRadius = -2.0 * dim
+    val probed = cidx.rangeProbe(qs, ipRadius).map(_._2).toSet
+    val bLists = cidx.vectors.filter(col("id") >= 100L)
+      .select("list_id").distinct().collect().map(_.getInt(0)).toSet
+    assert(probed.intersect(bLists).isEmpty,
+      s"anti-correlated cluster's lists $bLists not pruned: probed $probed")
+    val hits = cidx.rangeSearch(queriesDF(qs.toSeq), ipRadius)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (qid, qv) <- qs.toSeq; (id, v) <- a ++ b
+      if VectorKernels.ip(qv, v) <= ipRadius
+    } yield (qid, id)).toSet
+    assert(hits === want && hits.nonEmpty)
+  }
+
   test("covering-ball pruning skips lists that cannot intersect the query ball") {
     // two tight, well-separated clusters: queries sit in cluster A, so
     // cluster B's lists must be pruned from the probe pairs
@@ -143,6 +179,41 @@ class RangeSearchSpec extends SparkSpec {
     intercept[InvalidArgumentException] {
       db.rangeSearch("cosrng", queriesDF(queries.take(1)), 1.0)
     }
+  }
+
+  test("facade rangeSearch on an IP index: radii persisted, negative radius accepted, exact") {
+    import graft.api.VectorDB
+    import graft.{IndexConfig, InvalidArgumentException}
+    val db = new VectorDB(spark,
+      java.nio.file.Files.createTempDirectory("graft-range-ip").toString)
+    db.createIndex(IndexConfig("iprng", dimension = dim,
+      metric = Metric.InnerProduct, nlist = 2))
+    val sub = corpus.take(50)
+    val epoch = db.buildEpoch("iprng", vectorsDF(sub))
+    db.activateEpoch("iprng", epoch)
+    db.loadIndex("iprng")
+    // round 16: IP epochs persist covering radii too (the ball bound
+    // reads the same table the L2 path does)
+    assert(new java.io.File(s"${db.dataPath}/iprng/epochs/$epoch/radii").exists,
+      "IP epoch must persist the radii table")
+    val qs = queries.take(2)
+    val allD = for { (_, qv) <- qs; (_, v) <- sub }
+      yield VectorKernels.distance(qv, v, Metric.InnerProduct.id)
+    val radius = allD.sorted.apply(allD.size / 10)
+    assert(radius < 0, s"fixture sanity: a selective IP radius is negative ($radius)")
+    val got = db.rangeSearch("iprng", queriesDF(qs), radius)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val want = (for {
+      (qid, qv) <- qs; (id, v) <- sub
+      d = VectorKernels.ip(qv, v)
+      if d <= radius
+    } yield ((qid, id), d)).toMap
+    assert(got === want && got.nonEmpty)
+    // NaN is still rejected everywhere
+    intercept[InvalidArgumentException] {
+      db.rangeSearch("iprng", queriesDF(qs), Double.NaN)
+    }
+    db.close()
   }
 
   test("range_search driver-gate query is non-empty and radius-bounded on sf0.001") {
