@@ -304,16 +304,39 @@ class SqlAnnFuzzSpec extends SparkSpec {
       val sql =
         s"""SELECT id, $metric(vec, $lit) AS dist
            |FROM fz_pq ORDER BY dist, id LIMIT $k""".stripMargin
+      // composition twins: a deterministic filter (replicated into the
+      // candidate stage) and a partial metadata join (candidate join
+      // under the decoration join) — both must stay exact at full
+      // coverage for ANY geometry
+      val fMod = 2 + rnd.nextInt(3)
+      val fSql =
+        s"""SELECT id, $metric(vec, $lit) AS dist
+           |FROM fz_pq WHERE id % $fMod = 0 ORDER BY dist, id LIMIT $k""".stripMargin
+      spark.range(n).filter(col("id") % 3 === 0).select(col("id").as("mid"))
+        .createOrReplaceTempView("fz_pqd")
+      val jSql =
+        s"""SELECT t.id, d.mid, $metric(t.vec, $lit) AS dist
+           |FROM fz_pq t JOIN fz_pqd d ON t.id = d.mid
+           |ORDER BY dist, t.id LIMIT $k""".stripMargin
       val brute = rows(spark.sql(sql))
+      val bruteF = rows(spark.sql(fSql))
+      val bruteJ = rows(spark.sql(jSql))
       SqlAnn.registerIndex(spark, dir, idx.centroids.value, nprobe = nlist,
         centroidsBc = Some(idx.centroids),
         pq = Some(new SqlAnn.PqInfo(idx.codebooks, rerankK = n + 10)))
       try {
+        def adcFired(df: org.apache.spark.sql.DataFrame): Boolean =
+          SqlAnn.fileSourceScans(df).exists(s =>
+            s.output.exists(_.name == "codes") && !s.output.exists(_.name == "vec"))
         val df = spark.sql(sql)
-        assert(SqlAnn.fileSourceScans(df).exists(s =>
-          s.output.exists(_.name == "codes") && !s.output.exists(_.name == "vec")),
-          s"$cfg: the PQ two-scan pipeline did not fire")
+        assert(adcFired(df), s"$cfg: the PQ two-scan pipeline did not fire")
         assert(rows(df) === brute, s"$cfg: PQ top-k divergence")
+        val fdf = spark.sql(fSql)
+        assert(adcFired(fdf), s"$cfg: filtered PQ did not fire (mod=$fMod)")
+        assert(rows(fdf) === bruteF, s"$cfg: FILTERED PQ divergence (mod=$fMod)")
+        val jdf = spark.sql(jSql)
+        assert(adcFired(jdf), s"$cfg: joined PQ did not fire")
+        assert(rows(jdf) === bruteJ, s"$cfg: JOINED PQ divergence")
       } finally SqlAnn.unregisterIndex(spark, dir)
     }
   }
