@@ -314,8 +314,27 @@ case class PqAdcDistance(
   @transient private lazy val table: Array[Array[Double]] =
     PqKernels.adcTableRaw(query.toArray, codebooks.value, metricId)
 
-  /** Public for codegen: per-row lookup-sum over the per-task table. */
-  def adc(codes: ArrayData): Double = PqKernels.adcDistanceRaw(table, codes)
+  /** Public for codegen: per-row lookup-sum over the per-task table.
+    * MALFORMED codes — wrong length, or a code byte outside the
+    * codebooks' ks — rank LAST (Double.MaxValue) instead of throwing:
+    * the rewrite must never fail a query the unrewritten plan would
+    * answer, and the kept exact rerank means a foreign-coded row can
+    * only cost candidate recall, never the correctness of returned
+    * distances (the PqInfo contract). */
+  def adc(codes: ArrayData): Double = {
+    val t = table
+    val m = t.length
+    if (codes.numElements() != m) return Double.MaxValue
+    var d = 0.0
+    var i = 0
+    while (i < m) {
+      val c = codes.getByte(i) & 0xff
+      if (c >= t(i).length) return Double.MaxValue
+      d += t(i)(c)
+      i += 1
+    }
+    d
+  }
 
   override def nullSafeEval(c: Any): Any = adc(c.asInstanceOf[ArrayData])
 

@@ -653,11 +653,21 @@ object SqlAnn {
         // each permitted side tries the PQ two-scan pipeline first (the
         // required-attribute set gains the join condition's references so
         // the rerank-side column prune keeps every column the join needs),
-        // then the flat probe prune
+        // then the flat probe prune. Same non-det guard as the batch and
+        // range-join rewrites: a join keyed on a (transitively) non-det
+        // view column must not have rows removed below that Project —
+        // the surviving rows' computed values would shift and match
+        // DIFFERENT rows, changing joined output values, not just
+        // dropping candidates.
         val req = required ++ j.references
-        def prune(side: LogicalPlan): Option[LogicalPlan] =
-          prunedPqParts(side, vecAttr, qLit, metric, kOpt, req)
+        def prune(side: LogicalPlan): Option[LogicalPlan] = {
+          val guarded = relParts(side).exists { case (projs, _, _) =>
+            joinPredicatesOverNonDet(j, projs)
+          }
+          if (guarded) None
+          else prunedPqParts(side, vecAttr, qLit, metric, kOpt, req)
             .orElse(prunedParts(side, vecAttr, qLit, metric))
+        }
         def left = prune(j.left).map(nl => j.copy(left = nl))
         def right = prune(j.right).map(nr => j.copy(right = nr))
         j.joinType match {
@@ -769,13 +779,20 @@ object SqlAnn {
         relCand.output.find(_.name == name).get
       val cId = cand(pqInfo.idCol)
       val cList = cand(reg.listCol)
-      // the pushed filter, rebased onto the fresh instance's exprIds
+      // the pushed filter, rebased onto the fresh instance's exprIds;
+      // IsNotNull(codes) rides along — PqAdcDistance is null-intolerant
+      // and Ascending sorts NULLs FIRST, so un-coded rows (e.g. appended
+      // after encoding) would otherwise flood the candidate pool ahead of
+      // every real candidate. Candidates are CODED rows by contract; a
+      // null-coded row is invisible to the PQ path (backfill codes and
+      // re-register, or use the flat registration).
       val attrMap = AttributeMap(rel.output.zip(relCand.output))
+      val baseCond = And(IsNotNull(cand(pqInfo.codeCol)), In(cList, probeLits))
       val candCond = filtOpt.map(_.condition.transform {
         case a: AttributeReference => attrMap.getOrElse(a, a)
       }) match {
-        case Some(c) => And(c, In(cList, probeLits))
-        case None => In(cList, probeLits)
+        case Some(c) => And(c, baseCond)
+        case None => baseCond
       }
       val adcAlias = Alias(
         graft.functions.PqAdcDistance(cand(pqInfo.codeCol),
@@ -822,14 +839,8 @@ object SqlAnn {
           Project(keep, inner)
         } else {
           // Project chain: it IS the column pruning — rebuild it over the
-          // pruned filter, exposing the id column through every level for
-          // the candidate join (same discipline as prunedJoin's listAttr)
-          projs.foldRight(inner: LogicalPlan) { (p, c) =>
-            val pl =
-              if (p.projectList.exists(_.exprId == idAttr.exprId)) p.projectList
-              else p.projectList :+ idAttr
-            p.copy(projectList = pl, child = c)
-          }
+          // pruned filter, exposing the id column for the candidate join
+          exposeThrough(projs, idAttr, inner)
         }
       Some(Join(candIds, rerank, Inner,
         Some(EqualTo(cId, idAttr)), JoinHint.NONE))
@@ -968,6 +979,21 @@ object SqlAnn {
       * child — the inverse of [[relParts]]'s peel. */
     private def rebuild(projs: List[Project], inner: LogicalPlan): LogicalPlan =
       projs.foldRight(inner)((p, c) => p.copy(child = c))
+
+    /** [[rebuild]], additionally exposing `attr` through EVERY level of
+      * the chain (appended when a level's projectList lacks it) — the
+      * join-condition discipline shared by the batch rewrite's list_id
+      * and the PQ rerank side's id column. */
+    private def exposeThrough(
+        projs: List[Project],
+        attr: AttributeReference,
+        inner: LogicalPlan): LogicalPlan =
+      projs.foldRight(inner) { (p, c) =>
+        val pl =
+          if (p.projectList.exists(_.exprId == attr.exprId)) p.projectList
+          else p.projectList :+ attr
+        p.copy(projectList = pl, child = c)
+      }
 
     /** True when any of the join's condition conjuncts references a
       * (transitively) non-deterministic output of the relation side's
@@ -1160,13 +1186,7 @@ object SqlAnn {
       // the relation side must expose list_id to the join condition even
       // when column pruning already projected it away — through EVERY
       // Project of a stacked view chain
-      val newRelSide: LogicalPlan = projR.foldRight(relWithPrune: LogicalPlan) {
-        (p, c) =>
-          val pl =
-            if (p.projectList.exists(_.exprId == listAttr.exprId)) p.projectList
-            else p.projectList :+ listAttr
-          p.copy(projectList = pl, child = c)
-      }
+      val newRelSide: LogicalPlan = exposeThrough(projR, listAttr, relWithPrune)
       val probeEq = EqualTo(listOut, listAttr)
       val newCond = join.condition.map(And(_, probeEq)).getOrElse(probeEq)
       val (nl, nr) =

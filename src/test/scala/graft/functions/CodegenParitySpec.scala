@@ -99,9 +99,12 @@ class CodegenParitySpec extends SparkSpec {
     val df = vectorsDF(randomVectors(60, 8, seed = 5))
       .select(col("id"), graftshims.column(
         PqEncode(graftshims.expression(col("vec")), bc)).as("codes"))
-      // one NULL codes row: nullIntolerant must propagate, not crash
+      // one NULL codes row (nullIntolerant must propagate, not crash) and
+      // one WRONG-LENGTH row (malformed codes rank last via MaxValue)
       .union(spark.range(1).select(lit(999L).as("id"),
         lit(null).cast("array<tinyint>").as("codes")))
+      .union(spark.range(1).select(lit(998L).as("id"),
+        array(lit(1.toByte)).as("codes")))
     def run(metricId: Int) = df.select(
       col("id"),
       graftshims.column(PqAdcDistance(
@@ -116,6 +119,8 @@ class CodegenParitySpec extends SparkSpec {
       assert(on === off, s"metric $m: codegen != interpreted")
       assert(on.find(_._1 == 999L).exists(_._2.isEmpty),
         s"metric $m: NULL codes must yield NULL distance")
+      assert(on.find(_._1 == 998L).exists(_._2.contains(Double.MaxValue)),
+        s"metric $m: wrong-length codes must rank last (MaxValue), not crash")
       // the lookup-sum must equal the table-free direct accumulation the
       // facade paths use (adcDistanceDirectBytes) — one shared semantics
       val direct = vectorsDF(randomVectors(60, 8, seed = 5)).collect().map { r =>
@@ -124,7 +129,7 @@ class CodegenParitySpec extends SparkSpec {
         (r.getLong(0), Some(PqKernels.adcDistanceDirectBytes(
           PqKernels.prepQuery(q, m), books, m, codes)))
       }.sortBy(_._1).toSeq
-      assert(on.filter(_._1 != 999L) === direct,
+      assert(on.filter(_._1 < 900L) === direct,
         s"metric $m: expression != direct kernel accumulation")
     }
   }

@@ -1465,6 +1465,47 @@ class SqlAnnSpec extends SparkSpec {
     } finally SqlAnn.unregisterIndex(spark, cosPqDir)
   }
 
+  test("PQ robustness: NULL codes never flood the pool; malformed codes rank last, not crash") {
+    pqIndex
+    graft.GraftExtensions.register(spark)
+    // rows 0-4: codes NULLed (appended-after-encoding shape); rows 5-9:
+    // WRONG-LENGTH codes (foreign/corrupt). NULL-coded rows are excluded
+    // from the candidate pool by contract (IsNotNull — Ascending would
+    // otherwise sort their NULL adc FIRST and fill candK with them);
+    // malformed-but-non-null codes get adc = MaxValue (rank last) instead
+    // of an executor ArrayIndexOutOfBounds, and at full coverage the
+    // exact rerank still scores them by TRUE distance.
+    val mixDir = java.nio.file.Files
+      .createTempDirectory("graft-sqlann-pqmix").toFile.getAbsolutePath
+    spark.read.parquet(pqDir)
+      .withColumn("codes",
+        when(col("id") < 5, lit(null).cast("array<tinyint>"))
+          .when(col("id") < 10,
+            array(lit(1.toByte))) // length 1 != m — malformed
+          .otherwise(col("codes")))
+      .write.partitionBy("list_id").mode("overwrite").parquet(mixDir)
+    spark.read.parquet(mixDir).createOrReplaceTempView("sqlann_pqmix")
+    // expected: brute top-k over rows with NON-NULL codes (null-coded
+    // rows are invisible to the PQ path; malformed ones participate via
+    // the exact rerank at full coverage)
+    val brute = spark.sql(
+      s"""SELECT id, l2_distance(vec, $qvecSql) AS dist
+         |FROM sqlann_pqmix WHERE codes IS NOT NULL
+         |ORDER BY dist, id LIMIT $K""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    SqlAnn.registerIndex(spark, mixDir, pqIndex.centroids.value, nprobe = NList,
+      centroidsBc = Some(pqIndex.centroids),
+      pq = Some(new SqlAnn.PqInfo(pqIndex.codebooks, rerankK = 400)))
+    try {
+      val df = spark.sql(annSql("sqlann_pqmix"))
+      assert(pqScansOf(df)._1.isDefined, "the PQ pipeline must fire")
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got === brute,
+        "NULL-coded rows excluded, malformed rows exactly reranked — no crash, no flood")
+      assert(got.forall(_._1 >= 5L), "null-coded rows must be invisible to the PQ path")
+    } finally SqlAnn.unregisterIndex(spark, mixDir)
+  }
+
   test("PQ composition: preserved outer-join side and computed-column views take the pipeline") {
     pqIndex
     graft.GraftExtensions.register(spark)
@@ -1876,6 +1917,25 @@ class SqlAnnSpec extends SparkSpec {
            |ORDER BY qid, id""".stripMargin)
       assert(hasRangeGenerate(control),
         "a deterministic join key must still allow the range-join rewrite")
+      // the TOP-K join prune honors the same guard: removing rows below
+      // the view would shift rid and match DIFFERENT metadata rows —
+      // changed join VALUES, not just dropped candidates
+      def corpusPf(df: DataFrame): String = SqlAnn.fileSourceScans(df)
+        .find(_.output.exists(_.name == "list_id"))
+        .flatMap(_.metadata.get("PartitionFilters")).getOrElse("")
+      val guardedTk = spark.sql(
+        s"""SELECT q.qid, t.id, l2_distance(t.vec, ${litOf(corner(0))}) AS dist
+           |FROM sqlann_ndj_q q JOIN sqlann_ndj t ON q.qid = t.rid
+           |ORDER BY dist, t.id LIMIT $K""".stripMargin)
+      assert(!corpusPf(guardedTk).contains("list_id") &&
+        !partitionFilterText(guardedTk).contains("list_id"),
+        "top-k joined on the non-det view column must stay unpruned")
+      val controlTk = spark.sql(
+        s"""SELECT q.qid, t.id, l2_distance(t.vec, ${litOf(corner(0))}) AS dist
+           |FROM sqlann_ndj_q q JOIN sqlann_ndj t ON q.qid = t.id
+           |ORDER BY dist, t.id LIMIT $K""".stripMargin)
+      assert(corpusPf(controlTk).contains("list_id"),
+        "top-k joined on the deterministic id must still prune")
     } finally SqlAnn.unregisterIndex(spark, rangeDir)
   }
 
