@@ -146,6 +146,28 @@ object PqKernels {
     d
   }
 
+  /** [[adcDistanceRaw]] hardened for UNTRUSTED code rows (the SQL
+    * surface, where the registered table's codes column is caller data):
+    * wrong-length codes or a code byte outside the codebooks' ks return
+    * Double.MaxValue — the row ranks LAST in an ascending candidate pool
+    * instead of throwing ArrayIndexOutOfBounds at the executor. Same
+    * ascending-subspace accumulation as [[adcDistanceRaw]] for
+    * well-formed rows, kept HERE so the checked and unchecked variants
+    * cannot drift apart. */
+  def adcDistanceRawChecked(table: Array[Array[Double]], codes: ArrayData): Double = {
+    val m = table.length
+    if (codes.numElements() != m) return Double.MaxValue
+    var d = 0.0
+    var i = 0
+    while (i < m) {
+      val c = codes.getByte(i) & 0xff
+      if (c >= table(i).length) return Double.MaxValue
+      d += table(i)(c)
+      i += 1
+    }
+    d
+  }
+
   /** Lookup-sum over a raw table and a plain byte-array code row — the
     * typed-Dataset twin of [[adcDistanceRaw]] for the cogroup flood path,
     * where codes arrive as `Array[Byte]` through the encoder rather than
@@ -290,9 +312,11 @@ case class PqEncode(child: Expression, codebooks: Broadcast[Array[Array[Array[Fl
  * deserialized instance — once per task, never per row — from the
  * broadcast codebooks and the embedded query floats (dim floats ride the
  * serialized expression; the 32 KB-at-m=16/ks=256 table never ships).
- * Bit-identical to the facade's batch path by construction: same
- * [[PqKernels.adcTableRaw]] rows, same [[PqKernels.adcDistanceRaw]]
- * ascending-subspace lookup-sum.
+ * Bit-identical to the facade's batch path for well-formed rows by
+ * construction: same [[PqKernels.adcTableRaw]] rows, same
+ * ascending-subspace lookup-sum via [[PqKernels.adcDistanceRawChecked]]
+ * (the hardened twin of the facade's [[PqKernels.adcDistanceRaw]] —
+ * malformed code rows rank last instead of throwing).
  *
  * `query` is a Seq (not Array) so case-class equality — which Catalyst's
  * semanticEquals and the fixed-point idempotence checks rely on — compares
@@ -314,27 +338,16 @@ case class PqAdcDistance(
   @transient private lazy val table: Array[Array[Double]] =
     PqKernels.adcTableRaw(query.toArray, codebooks.value, metricId)
 
-  /** Public for codegen: per-row lookup-sum over the per-task table.
-    * MALFORMED codes — wrong length, or a code byte outside the
-    * codebooks' ks — rank LAST (Double.MaxValue) instead of throwing:
-    * the rewrite must never fail a query the unrewritten plan would
-    * answer, and the kept exact rerank means a foreign-coded row can
-    * only cost candidate recall, never the correctness of returned
+  /** Public for codegen: per-row lookup-sum over the per-task table,
+    * through the CHECKED kernel ([[PqKernels.adcDistanceRawChecked]] —
+    * one shared accumulation with the facade's unchecked twin):
+    * MALFORMED codes rank LAST (Double.MaxValue) instead of throwing,
+    * because the rewrite must never fail a query the unrewritten plan
+    * would answer, and the kept exact rerank means a foreign-coded row
+    * can only cost candidate recall, never the correctness of returned
     * distances (the PqInfo contract). */
-  def adc(codes: ArrayData): Double = {
-    val t = table
-    val m = t.length
-    if (codes.numElements() != m) return Double.MaxValue
-    var d = 0.0
-    var i = 0
-    while (i < m) {
-      val c = codes.getByte(i) & 0xff
-      if (c >= t(i).length) return Double.MaxValue
-      d += t(i)(c)
-      i += 1
-    }
-    d
-  }
+  def adc(codes: ArrayData): Double =
+    PqKernels.adcDistanceRawChecked(table, codes)
 
   override def nullSafeEval(c: Any): Any = adc(c.asInstanceOf[ArrayData])
 

@@ -779,20 +779,13 @@ object SqlAnn {
         relCand.output.find(_.name == name).get
       val cId = cand(pqInfo.idCol)
       val cList = cand(reg.listCol)
-      // the pushed filter, rebased onto the fresh instance's exprIds;
-      // IsNotNull(codes) rides along — PqAdcDistance is null-intolerant
-      // and Ascending sorts NULLs FIRST, so un-coded rows (e.g. appended
-      // after encoding) would otherwise flood the candidate pool ahead of
-      // every real candidate. Candidates are CODED rows by contract; a
-      // null-coded row is invisible to the PQ path (backfill codes and
-      // re-register, or use the flat registration).
+      // the pushed filter, rebased onto the fresh instance's exprIds
       val attrMap = AttributeMap(rel.output.zip(relCand.output))
-      val baseCond = And(IsNotNull(cand(pqInfo.codeCol)), In(cList, probeLits))
       val candCond = filtOpt.map(_.condition.transform {
         case a: AttributeReference => attrMap.getOrElse(a, a)
       }) match {
-        case Some(c) => And(c, baseCond)
-        case None => baseCond
+        case Some(c) => And(c, In(cList, probeLits))
+        case None => In(cList, probeLits)
       }
       val adcAlias = Alias(
         graft.functions.PqAdcDistance(cand(pqInfo.codeCol),
@@ -801,8 +794,16 @@ object SqlAnn {
       val candProj = Project(Seq(cId, cList, adcAlias),
         Filter(candCond, relCand))
       val candK = math.max(pqInfo.rerankK, k)
+      // NULLS LAST, not the Ascending default (nulls first): PqAdcDistance
+      // is null-intolerant, so un-coded rows (e.g. appended after
+      // encoding) carry a NULL adc — nulls-first would FLOOD the pool
+      // with them ahead of every real candidate. Nulls-last gives every
+      // flavor of unscorable codes (NULL, wrong length, foreign bytes →
+      // MaxValue) the SAME semantics: ranked after all scorable rows,
+      // still reachable by the exact rerank when candK is large enough —
+      // at full coverage the pipeline stays exact over ALL rows.
       val candTop = GlobalLimit(Literal(candK), LocalLimit(Literal(candK),
-        Sort(Seq(SortOrder(adcAlias.toAttribute, Ascending),
+        Sort(Seq(SortOrder(adcAlias.toAttribute, Ascending, NullsLast, Seq.empty),
           SortOrder(cId, Ascending)), global = true, candProj)))
       val candIds = Project(Seq(cId), candTop)
       // rerank side: ORIGINAL instance (the user Project references it),

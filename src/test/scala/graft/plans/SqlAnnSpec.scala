@@ -1465,16 +1465,48 @@ class SqlAnnSpec extends SparkSpec {
     } finally SqlAnn.unregisterIndex(spark, cosPqDir)
   }
 
-  test("PQ robustness: NULL codes never flood the pool; malformed codes rank last, not crash") {
+  test("PQ join guard: a join keyed on a non-det view column blocks the PQ pipeline too") {
+    pqIndex
+    graft.GraftExtensions.register(spark)
+    // the non-det guard sits in front of BOTH prune flavors in pruned()'s
+    // join case — this pins the PQ branch specifically (the flat branch
+    // has its own pin), so a refactor that reorders the orElse or moves
+    // the guard into prunedParts alone cannot silently re-open it
+    spark.read.parquet(pqDir)
+      .withColumn("rid", monotonically_increasing_id())
+      .createOrReplaceTempView("sqlann_pq_ndv")
+    spark.range(200).select(col("id").as("mid"))
+      .createOrReplaceTempView("sqlann_pq_ndd")
+    registerPq(nprobe = NList, rerankK = 400)
+    try {
+      val guarded = spark.sql(
+        s"""SELECT d.mid, l2_distance(t.vec, $qvecSql) AS dist
+           |FROM sqlann_pq_ndv t JOIN sqlann_pq_ndd d ON t.rid = d.mid
+           |ORDER BY dist, d.mid LIMIT $K""".stripMargin)
+      assert(pqScansOf(guarded)._1.isEmpty &&
+        !partitionFilterText(guarded).contains("list_id"),
+        "PQ must not restructure a join keyed on the non-det view column")
+      // control: the same view joined on the deterministic id takes the
+      // PQ pipeline through the view
+      val control = spark.sql(
+        s"""SELECT d.mid, l2_distance(t.vec, $qvecSql) AS dist
+           |FROM sqlann_pq_ndv t JOIN sqlann_pq_ndd d ON t.id = d.mid
+           |ORDER BY dist, d.mid LIMIT $K""".stripMargin)
+      assert(pqScansOf(control)._1.isDefined,
+        "a deterministic join key must still allow the PQ pipeline through the view")
+    } finally SqlAnn.unregisterIndex(spark, pqDir)
+  }
+
+  test("PQ robustness: NULL and malformed codes rank last (no flood, no crash), exact at full coverage") {
     pqIndex
     graft.GraftExtensions.register(spark)
     // rows 0-4: codes NULLed (appended-after-encoding shape); rows 5-9:
-    // WRONG-LENGTH codes (foreign/corrupt). NULL-coded rows are excluded
-    // from the candidate pool by contract (IsNotNull — Ascending would
-    // otherwise sort their NULL adc FIRST and fill candK with them);
-    // malformed-but-non-null codes get adc = MaxValue (rank last) instead
-    // of an executor ArrayIndexOutOfBounds, and at full coverage the
-    // exact rerank still scores them by TRUE distance.
+    // WRONG-LENGTH codes (foreign/corrupt). BOTH flavors of unscorable
+    // codes get the same semantics: ranked after every scorable row
+    // (NULLS LAST for null adc; MaxValue for malformed — never an
+    // executor ArrayIndexOutOfBounds, never nulls-first flooding the
+    // pool), and at full coverage the exact rerank scores them by TRUE
+    // distance — the pipeline stays exact over ALL rows.
     val mixDir = java.nio.file.Files
       .createTempDirectory("graft-sqlann-pqmix").toFile.getAbsolutePath
     spark.read.parquet(pqDir)
@@ -1485,13 +1517,9 @@ class SqlAnnSpec extends SparkSpec {
           .otherwise(col("codes")))
       .write.partitionBy("list_id").mode("overwrite").parquet(mixDir)
     spark.read.parquet(mixDir).createOrReplaceTempView("sqlann_pqmix")
-    // expected: brute top-k over rows with NON-NULL codes (null-coded
-    // rows are invisible to the PQ path; malformed ones participate via
-    // the exact rerank at full coverage)
-    val brute = spark.sql(
-      s"""SELECT id, l2_distance(vec, $qvecSql) AS dist
-         |FROM sqlann_pqmix WHERE codes IS NOT NULL
-         |ORDER BY dist, id LIMIT $K""".stripMargin)
+    // expected: brute top-k over ALL rows — unscorable codes only demote
+    // candidate rank, and candK >= corpus reaches them all
+    val brute = spark.sql(annSql("sqlann_pqmix"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     SqlAnn.registerIndex(spark, mixDir, pqIndex.centroids.value, nprobe = NList,
       centroidsBc = Some(pqIndex.centroids),
@@ -1501,8 +1529,17 @@ class SqlAnnSpec extends SparkSpec {
       assert(pqScansOf(df)._1.isDefined, "the PQ pipeline must fire")
       val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(got === brute,
-        "NULL-coded rows excluded, malformed rows exactly reranked — no crash, no flood")
-      assert(got.forall(_._1 >= 5L), "null-coded rows must be invisible to the PQ path")
+        "unscorable-coded rows rank last but stay reachable — exact at full coverage")
+      // and a SMALL pool demonstrates the demotion: with candK = k the
+      // unscorable rows cannot displace scorable candidates
+      SqlAnn.unregisterIndex(spark, mixDir)
+      SqlAnn.registerIndex(spark, mixDir, pqIndex.centroids.value, nprobe = NList,
+        centroidsBc = Some(pqIndex.centroids),
+        pq = Some(new SqlAnn.PqInfo(pqIndex.codebooks, rerankK = 1)))
+      val tiny = spark.sql(annSql("sqlann_pqmix")).collect()
+      assert(tiny.length === K, "a tiny pool still returns k rows")
+      assert(tiny.forall(_.getLong(0) >= 10L),
+        "at candK = k the unscorable rows must not occupy the pool")
     } finally SqlAnn.unregisterIndex(spark, mixDir)
   }
 
