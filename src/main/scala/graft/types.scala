@@ -55,6 +55,14 @@ case class IndexConfig(
   require(name.nonEmpty, "Index name required")
   require(dimension >= 1 && dimension <= 65536, "Invalid dimension")
   require(nlist >= 1, "nlist must be positive")
+  // m > 0 declares a PQ index (reference CreateIndexRequest's pq params,
+  // proto/vdb.proto + ivf_flat_index.h:107-189 — declared-only there):
+  // buildEpoch then trains codebooks and writes the m-byte codes column
+  require(m >= 0, "m (PQ subquantizers) must be >= 0; 0 = flat index")
+  require(m == 0 || dimension % m == 0,
+    s"PQ subquantizer count $m must divide dimension $dimension")
+  require(m == 0 || (nbits >= 1 && nbits <= 8),
+    "nbits must be 1..8 (PQ codes are bytes)")
 }
 
 object IndexConfig {

@@ -2216,4 +2216,134 @@ class SqlAnnSpec extends SparkSpec {
       assert(got.size === K)
     } finally SqlAnn.unregisterIndex(spark, dir)
   }
+
+  // ---- round 17: facade PQ registration + the checkable codes attestation
+
+  test("facade PQ round-trip: IndexConfig(m) epoch serves the compressed two-scan SQL pipeline") {
+    import graft.IndexConfig
+    graft.GraftExtensions.register(spark)
+    val db = new graft.api.VectorDB(spark,
+      java.nio.file.Files.createTempDirectory("graft-sqlann-pqdb").toString)
+    // m = 2 declares the PQ index at CreateIndex (the reference's own API
+    // shape); buildEpoch then writes codes + codebooks with the epoch
+    db.createIndex(IndexConfig("pqfidx", Dim, nlist = 4, m = 2))
+    val ep = db.buildEpoch("pqfidx", vectorsDF(randomVectors(150, Dim)))
+    db.activateEpoch("pqfidx", ep)
+    db.loadIndex("pqfidx")
+    try {
+      // registration at full coverage, attestation CHECKED: the honest
+      // build must pass its own verification
+      val view = db.registerSql("pqfidx", nprobe = 4, pq = true,
+        pqRerankK = 1000, verifyCodes = true)
+      val df = spark.sql(annSql(view))
+      val (adc, rerank, adcPf, rerankPf) = pqScansOf(df)
+      assert(adc.isDefined && rerank.isDefined,
+        s"the served view must plan the two-scan pipeline; got " +
+          s"${SqlAnn.fileSourceScans(df).map(_.output.map(_.name))}")
+      assert(adcPf.exists(_.contains("list_id")) && rerankPf.exists(_.contains("list_id")))
+      val viaSql = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val viaFacade = db.searchExact("pqfidx", queriesDF(Seq(0L -> qvec)), K)
+        .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2)))
+      assert(viaSql.toSeq === viaFacade.toSeq,
+        "full-coverage PQ SQL must equal the facade's exact search")
+      // appended rows carry codes encoded under the EPOCH's codebooks
+      // (not the null-codes lane) and surface through the refreshed view
+      db.addVectors("pqfidx", vectorsDF(Seq(9999L -> qvec)))
+      val em = new graft.storage.EpochManager(s"${db.dataPath}/pqfidx/epochs")
+      val appended = spark.read.parquet(s"${em.epochPath(ep)}/vectors")
+        .filter(col("id") === 9999L).select("codes").collect()
+      assert(appended.length == 1 && appended.head.get(0) != null,
+        "addVectors to a PQ epoch must append WITH codes")
+      val after = spark.sql(annSql(view))
+      assert(pqScansOf(after)._1.isDefined)
+      val top = after.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(top.head === ((9999L, 0.0)),
+        s"the appended exact-match row must rank first, got ${top.head}")
+      // compaction carries the codebooks; re-registering the compacted
+      // epoch keeps the compressed path (and verification still passes)
+      db.compactEpoch("pqfidx")
+      val view2 = db.registerSql("pqfidx", nprobe = 4, pq = true,
+        pqRerankK = 1000, verifyCodes = true)
+      assert(pqScansOf(spark.sql(annSql(view2)))._1.isDefined,
+        "the compacted epoch must still serve the two-scan pipeline")
+    } finally db.close()
+  }
+
+  test("registerSql PQ validation: flat epoch, lone verifyCodes, bad rerankK all rejected") {
+    import graft.IndexConfig
+    val db = new graft.api.VectorDB(spark,
+      java.nio.file.Files.createTempDirectory("graft-sqlann-pqval").toString)
+    db.createIndex(IndexConfig("flatidx", Dim, nlist = 4)) // m = 0: flat
+    val ep = db.buildEpoch("flatidx", vectorsDF(randomVectors(80, Dim)))
+    db.activateEpoch("flatidx", ep)
+    db.loadIndex("flatidx")
+    try {
+      // a flat epoch has no codebooks: pq = true must fail loudly, not
+      // silently register the uncompressed path as if it were compressed
+      intercept[graft.InvalidArgumentException](
+        db.registerSql("flatidx", pq = true))
+      // the lone-flag rule (same as verifyUnitNorm): a verification with
+      // nothing to verify reads as "validated" while nothing ran
+      intercept[graft.InvalidArgumentException](
+        db.registerSql("flatidx", verifyCodes = true))
+      intercept[graft.InvalidArgumentException](
+        db.registerSql("flatidx", pq = true, pqRerankK = 0))
+      // and the SqlAnn-level twin of the lone-flag rule
+      intercept[IllegalArgumentException](
+        SqlAnn.registerIndex(spark, dir, index.centroids.value, nprobe = 2,
+          verifyCodes = true))
+    } finally db.close()
+  }
+
+  test("verifyPqCodes: argmin replay accepts honest codes, rejects foreign books/codes/ids") {
+    pqIndex
+    val books = pqIndex.codebooks.value
+    // the honest table passes, fully and sampled; NULL codes pass too
+    // (the documented un-coded-append case)
+    assert(SqlAnn.verifyPqCodes(spark, pqDir, books))
+    assert(SqlAnn.verifyPqCodes(spark, pqDir, books, sampleFraction = 0.5))
+    val base = spark.read.parquet(pqDir)
+    val nullDir = java.nio.file.Files
+      .createTempDirectory("graft-pqverify-null").toFile.getAbsolutePath
+    base.withColumn("codes",
+      when(col("id") < 5, lit(null)).otherwise(col("codes")))
+      .write.mode("overwrite").parquet(nullDir)
+    assert(SqlAnn.verifyPqCodes(spark, nullDir, books),
+      "NULL codes are the documented append case and must pass")
+    // FOREIGN codebooks: reversing each subspace's codeword order breaks
+    // every stored argmin (code c now points at codeword ks-1-c)
+    assert(!SqlAnn.verifyPqCodes(spark, pqDir, books.map(_.reverse)),
+      "foreign codebooks must fail the argmin replay")
+    // wrong-length codes
+    val shortDir = java.nio.file.Files
+      .createTempDirectory("graft-pqverify-short").toFile.getAbsolutePath
+    base.withColumn("codes", slice(col("codes"), 1, 1))
+      .write.mode("overwrite").parquet(shortDir)
+    assert(!SqlAnn.verifyPqCodes(spark, shortDir, books),
+      "wrong-length codes must fail")
+    // id contract: duplicates and nulls fail regardless of codes
+    val dupDir = java.nio.file.Files
+      .createTempDirectory("graft-pqverify-dup").toFile.getAbsolutePath
+    base.union(base.limit(3)).write.mode("overwrite").parquet(dupDir)
+    assert(!SqlAnn.verifyPqCodes(spark, dupDir, books), "duplicate ids must fail")
+    val nullIdDir = java.nio.file.Files
+      .createTempDirectory("graft-pqverify-nid").toFile.getAbsolutePath
+    base.withColumn("id",
+      when(col("id") === 7L, lit(null)).otherwise(col("id")))
+      .write.mode("overwrite").parquet(nullIdDir)
+    assert(!SqlAnn.verifyPqCodes(spark, nullIdDir, books), "null ids must fail")
+    // registration with verifyCodes = true enforces all of it
+    intercept[IllegalArgumentException](
+      SqlAnn.registerIndex(spark, pqDir, pqIndex.centroids.value, nprobe = 2,
+        centroidsBc = Some(pqIndex.centroids),
+        pq = Some(new SqlAnn.PqInfo(
+          spark.sparkContext.broadcast(books.map(_.reverse)))),
+        verifyCodes = true))
+    // ... and the honest registration passes through it
+    SqlAnn.registerIndex(spark, pqDir, pqIndex.centroids.value, nprobe = 2,
+      centroidsBc = Some(pqIndex.centroids),
+      pq = Some(new SqlAnn.PqInfo(pqIndex.codebooks)),
+      verifyCodes = true)
+    SqlAnn.unregisterIndex(spark, pqDir)
+  }
 }
