@@ -261,6 +261,53 @@ object PqKernels {
     total
   }
 
+  /** [[adcDistanceDirect]] hardened for UNTRUSTED rows on BOTH sides —
+    * the batch-SQL surface, where codes AND query vectors are caller
+    * data: wrong-length codes, a code byte outside ks, or a query whose
+    * dimension disagrees with the codebooks return Double.MaxValue (the
+    * row ranks LAST in an ascending candidate pool, reachable by the
+    * exact rerank — the same unified unscorable-row semantics as
+    * [[adcDistanceRawChecked]]). Same per-subspace loop and
+    * ascending-subspace accumulation as [[adcDistanceDirect]] for
+    * well-formed rows, kept HERE so the checked and unchecked direct
+    * variants cannot drift apart. */
+  def adcDistanceDirectChecked(
+      qd: Array[Double],
+      codebooks: Array[Array[Array[Float]]],
+      metric: Int,
+      codes: ArrayData): Double = {
+    val m = codebooks.length
+    if (codes.numElements() != m) return Double.MaxValue
+    val cosine = metric == VectorKernels.METRIC_COSINE
+    val dot = cosine || metric == VectorKernels.METRIC_IP
+    var total = 0.0
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val dsub = cb(0).length
+      val off = s * dsub
+      if (off + dsub > qd.length) return Double.MaxValue
+      val c = codes.getByte(s) & 0xff
+      if (c >= cb.length) return Double.MaxValue
+      val cw = cb(c)
+      var d = 0.0
+      var i = 0
+      if (dot) {
+        while (i < dsub) { d += qd(off + i) * cw(i).toDouble; i += 1 }
+        total += (if (cosine && s == 0) 1.0 + -d else -d)
+      } else {
+        while (i < dsub) {
+          val diff = qd(off + i) - cw(i).toDouble
+          d += diff * diff
+          i += 1
+        }
+        total += d
+      }
+      s += 1
+    }
+    total
+  }
+
   /** Decode a PQ code back to its codeword concatenation (for tests). */
   def decode(code: Array[Byte], codebooks: Array[Array[Array[Float]]]): Array[Float] = {
     val m = codebooks.length
@@ -358,6 +405,53 @@ case class PqAdcDistance(
 
   override protected def withNewChildInternal(c: Expression): PqAdcDistance =
     copy(child = c)
+}
+
+/** ADC distance between an m-byte code row and a RUNTIME query vector —
+  * the batch-SQL twin of [[PqAdcDistance]], whose query is a plan-time
+  * literal with a driver-precomputed lookup table. Per (query row, code
+  * row) a table would cost O(dim·ks) to build — far more than the O(dim)
+  * direct scoring — so this scores the named codeword directly
+  * ([[PqKernels.adcDistanceDirectChecked]]): bit-identical accumulation
+  * to the table path for well-formed rows, Double.MaxValue (ranks last,
+  * reachable by the exact rerank) for every malformed input on EITHER
+  * side — wrong-length/out-of-range codes, wrong-dimension or
+  * null-element queries. The compressed-scan win is per-row on the
+  * CORPUS side and unchanged: the codes scan reads m bytes per row. */
+case class PqAdcDistanceCol(
+    left: Expression,
+    right: Expression,
+    codebooks: Broadcast[Array[Array[Array[Float]]]],
+    metricId: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftshims.AbstractDataType] =
+    Seq(ArrayType(ByteType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc_distance_col"
+
+  /** Public for codegen. */
+  def adc(codes: ArrayData, q: ArrayData): Double = {
+    val qf =
+      try q.toFloatArray()
+      catch { case _: NullPointerException => return Double.MaxValue }
+    PqKernels.adcDistanceDirectChecked(
+      PqKernels.prepQuery(qf, metricId), codebooks.value, metricId, codes)
+  }
+
+  override def nullSafeEval(c: Any, q: Any): Any =
+    adc(c.asInstanceOf[ArrayData], q.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdcColExpr", this, classOf[PqAdcDistanceCol].getName)
+    nullSafeCodeGen(ctx, ev, (c, q) => s"${ev.value} = $ref.adc($c, $q);")
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqAdcDistanceCol =
+    copy(left = l, right = r)
 }
 
 object pq {

@@ -1223,14 +1223,168 @@ object SqlAnn {
 
       val staticLists = staticUnion(qSide, queryV, reg.centroids.head.length,
         arr => VectorKernels.probeLists(arr, reg.centroids, reg.nprobe, metric.id))
-      val restored = prunedJoin(join, projR, filtR, rel, qSide, relIsLeft,
-        listAttr, "__graft_probe_list",
-        Explode(ProbeLists(queryV, reg.centroidsBc, reg.nprobe, metric)),
-        staticLists)
+      // the PQ-compressed batch pipeline when the registration opted in
+      // (round 17, literal batches only — see attemptBatchPq); the flat
+      // probe equi-join otherwise
+      val restored = attemptBatchPq(wgl, join, projR, filtR, rel, reg, qSide,
+        relIsLeft, queryV, metric, listAttr, staticLists)
+        .getOrElse(prunedJoin(join, projR, filtR, rel, qSide, relIsLeft,
+          listAttr, "__graft_probe_list",
+          Explode(ProbeLists(queryV, reg.centroidsBc, reg.nprobe, metric)),
+          staticLists))
       Some(projOpt match {
         case Some(p) => wgl.copy(child = p.copy(child = restored))
         case None => wgl.copy(child = restored)
       })
+    }
+
+    /**
+     * The BATCH flavor of the PQ two-scan pipeline (round 17; single-query
+     * flavor: [[prunedPqParts]]): for a [[PqInfo]]-registered relation
+     * under the per-query-rank join shape, feed the join from a
+     * codes-only candidate stage instead of the flat vector scan —
+     *
+     * {{{
+     *   Join(Inner, cand.id == rel.id [&& original cond],
+     *     cand = Project(qSide.out :+ id,
+     *       Filter(row_number() OVER (PARTITION BY qid
+     *                ORDER BY adc(codes, qvec) NULLS LAST, id) <= candK,
+     *         Project(qSide.out, id, adc,
+     *           Join(Generate(explode(probe_lists(qvec)), qSide),
+     *                Project(id, list, codes,
+     *                  Filter(lists ∪ [+ pushed filter], relCopy)))))),
+     *     rerank = Filter(lists ∪ [+ pushed filter], rel))
+     * }}}
+     *
+     * so the outer WindowGroupLimit reranks EXACTLY (true distances) over
+     * each query's ADC top-candK. The candidate stage reads (id, codes,
+     * list_id) — m bytes of payload per row instead of 4·dim — and the
+     * per-(query, code) ADC scores the named codeword directly
+     * ([[graft.functions.PqAdcDistanceCol]]: O(dim) per pair, same as the
+     * flat kernel's compute, the bytes read are the win). Unscorable rows
+     * keep the unified semantics: NULL codes/queries → NULL adc (NULLS
+     * LAST), wrong-length/foreign codes and wrong-dim queries → MaxValue
+     * — ranked after every scorable row, reachable by the rerank.
+     *
+     * LITERAL batches only (`staticLists` derivable): both scans then
+     * carry the static probe-union partition filter. A parquet-backed
+     * batch falls back to the flat DPP path — threading dynamic pruning
+     * through BOTH scans of this pipeline is future work, and the flat
+     * fallback is correct, just uncompressed. Same gates as the
+     * single-query flavor: metric (cosine behind `cosineCodes`),
+     * deterministic pushed filters only (replicated into the candidate
+     * stage), codes column present. Exact at nprobe = nlist with
+     * rerankK >= corpus — the driver's `sql_pq_batch` geometry.
+     *
+     * The pre-join candidate-pool caveat (PqInfo scaladoc) applies to the
+     * ORIGINAL join's own condition too: candidates are drawn before it
+     * filters. For the canonical unconditioned cross join there is no
+     * such condition and the contract is exactly (nprobe, rerankK).
+     */
+    private def attemptBatchPq(
+        wgl: WindowGroupLimit,
+        join: Join,
+        projR: List[Project],
+        filtR: Option[Filter],
+        rel: LogicalRelation,
+        reg: Registration,
+        qSide: LogicalPlan,
+        relIsLeft: Boolean,
+        queryV: AttributeReference,
+        metric: Metric.Value,
+        listAttr: AttributeReference,
+        staticLists: Option[Seq[Int]]): Option[LogicalPlan] = {
+      val pqInfo = reg.pq.getOrElse(return None)
+      metric match {
+        case Metric.L2 | Metric.InnerProduct =>
+        case Metric.Cosine if pqInfo.cosineCodes =>
+        case _ => return None
+      }
+      filtR.foreach { f =>
+        if (f.condition.exists(!_.deterministic)) return None
+      }
+      val idAttr = rel.output.find(_.name == pqInfo.idCol).getOrElse(return None)
+      val hasCodes = rel.output.exists(o => o.name == pqInfo.codeCol &&
+        (o.dataType match {
+          case ArrayType(ByteType, _) => true
+          case _ => false
+        }))
+      if (!hasCodes) return None
+      val lists = staticLists.getOrElse(return None)
+      val candK = math.max(pqInfo.rerankK, wgl.limit)
+
+      def pruneOver(attr: AttributeReference): Expression =
+        if (lists.isEmpty) Literal(false)
+        else In(attr, lists.map(i => Literal(i)))
+
+      // candidate stage: fresh relation instance projected to
+      // (id, list_id, codes), statically pruned, pushed filter replicated
+      // (rebased onto the fresh exprIds)
+      val relCand = rel.newInstance()
+      def cand(name: String): AttributeReference =
+        relCand.output.find(_.name == name).get
+      val cId = cand(pqInfo.idCol)
+      val cList = cand(reg.listCol)
+      val cCodes = cand(pqInfo.codeCol)
+      val attrMap = AttributeMap(rel.output.zip(relCand.output))
+      val rebasedFilt = filtR.map(_.condition.transform {
+        case a: AttributeReference => attrMap.getOrElse(a, a)
+      })
+      val candCond = rebasedFilt match {
+        case Some(c) => And(c, pruneOver(cList))
+        case None => pruneOver(cList)
+      }
+      val codesProj = Project(Seq(cId, cList, cCodes), Filter(candCond, relCand))
+      val listOut = AttributeReference(
+        "__graft_pq_probe", IntegerType, nullable = false)()
+      val qGen = Generate(
+        Explode(ProbeLists(queryV, reg.centroidsBc, reg.nprobe, metric)),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(listOut), child = qSide)
+      val candJoin = Join(qGen, codesProj, Inner,
+        Some(EqualTo(listOut, cList)), JoinHint.NONE)
+      val adcAlias = Alias(
+        graft.functions.PqAdcDistanceCol(
+          cCodes, queryV, pqInfo.codebooksBc, metric.id), "__graft_adc")()
+      val withAdc = Project((qSide.output :+ cId) :+ adcAlias, candJoin)
+      // per-query ADC top-candK: row_number + rank filter, with the
+      // group-limit node Spark's InferWindowGroupLimit would derive
+      // inserted DIRECTLY below the Window — this rule runs after that
+      // optimizer batch, so the shape must arrive pre-optimized or the
+      // pool would fully materialize before filtering. NULLS LAST
+      // mirrors the single-query pipeline's unscorable-row semantics.
+      val candOrder = Seq(
+        SortOrder(adcAlias.toAttribute, Ascending, NullsLast, Seq.empty),
+        SortOrder(cId, Ascending))
+      val rnAlias = Alias(
+        WindowExpression(RowNumber(),
+          WindowSpecDefinition(wgl.partitionSpec, candOrder,
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
+        "__graft_cand_rn")()
+      val window = Window(Seq(rnAlias), wgl.partitionSpec, candOrder,
+        WindowGroupLimit(wgl.partitionSpec, candOrder, RowNumber(), candK,
+          withAdc))
+      val candSide = Project(qSide.output :+ cId,
+        Filter(LessThanOrEqual(rnAlias.toAttribute, Literal(candK)), window))
+      // rerank side: ORIGINAL relation instance (upstream references stay
+      // valid), statically pruned, original pushed filter KEPT. The projR
+      // chain is the column pruning; a bare relation keeps its full
+      // output — Project(join.output, ...) below must restore every
+      // original column, so codes can only be dropped when the optimizer
+      // already dropped them (the canonical SELECT-columns shape)
+      val rerankInner: LogicalPlan = filtR match {
+        case Some(f) => f.copy(condition = And(f.condition, pruneOver(listAttr)))
+        case None => Filter(pruneOver(listAttr), rel)
+      }
+      val rerankSide: LogicalPlan =
+        if (projR.isEmpty) rerankInner
+        else exposeThrough(projR, idAttr, rerankInner)
+      val candEq = EqualTo(cId, idAttr)
+      val newCond = join.condition.map(And(_, candEq)).getOrElse(candEq)
+      val (nl, nr) =
+        if (relIsLeft) (rerankSide, candSide) else (candSide, rerankSide)
+      Some(Project(join.output,
+        Join(nl, nr, Inner, Some(newCond), JoinHint.NONE)))
     }
 
     /** Union of per-query candidate lists, derivable only when the batch

@@ -698,10 +698,13 @@ object VectorQueries {
     "sq8_rerank" -> (sq8Rerank _),
     "sql_ann_rewrite" -> (sqlAnnRewrite _),
     "sql_topk_cosine" -> (sqlTopkCosine _),
+    "sql_topk_ip" -> (sqlTopkIp _),
     "sql_pq_topk" -> (sqlPqTopk _),
     "sql_range_rewrite" -> (sqlRangeRewrite _),
+    "sql_ip_range" -> (sqlIpRange _),
     "sql_batch_rewrite" -> (sqlBatchRewrite _),
     "sql_batch_dpp" -> (sqlBatchDpp _),
+    "sql_pq_batch" -> (sqlPqBatch _),
     "sql_range_join" -> (sqlRangeJoin _),
     "sql_cosine_join" -> (sqlCosineJoin _),
     "sql_ip_range_join" -> (sqlIpRangeJoin _),
@@ -783,6 +786,53 @@ object VectorQueries {
     df
   }
 
+  /** IP top-k in SQL (round 17, r16 verdict #3: the last top-k metric
+    * cell without a driver oracle): `ORDER BY ip_distance(vec, lit)
+    * LIMIT k` over the registered table — the probe selection is
+    * metric-aware ([[graft.functions.VectorKernels.probeLists]] ranks
+    * lists by negated centroid dot for IP; reference kernel semantics
+    * engine/kernels.cuh:50-60), and at nprobe = nlist the pruned plan is
+    * EXACT for ANY probe order, so brute-force negated-dot SQL is the
+    * hash oracle. Requires the fired partition filter like its L2 and
+    * cosine twins. */
+  private def sqlTopkIp(spark: SparkSession, dir: String): DataFrame = {
+    sqlAnnTable(spark, dir)
+    val df = spark.sql(
+      s"""SELECT id, ip_distance(vec,
+         |  CAST(array(${sqlAnnVals.mkString(", ")}) AS ARRAY<FLOAT>)) AS dist
+         |FROM graft_sqlann ORDER BY dist, id LIMIT $K""".stripMargin)
+    val pf = partitionFilterOf(df)
+    require(pf.contains("list_id"),
+      s"sql_topk_ip: the IP top-k rewrite did not fire (PartitionFilters: $pf)")
+    df
+  }
+
+  /** Negated-dot radius for the single-table IP range entry: ~2% of the
+    * corpus at both driver scales (measured 2nd-percentile ip_distance
+    * vs the shared literal ≈ −1.13 at sf0.01, −1.15 at sf0.1). */
+  private val SqlIpRangeRadius = "-1.15"
+
+  /** Single-table IP range in SQL (round 17, r16 verdict #3: this arm of
+    * [[graft.plans.SqlAnn]]'s rangeConjunct — the Cauchy–Schwarz ball
+    * bound over the registered covering radii — was spec-only; the JOIN
+    * flavor has `sql_ip_range_join`): `WHERE ip_distance(vec, lit) <= r`
+    * planned as the ball-bound-pruned scan. EXACT — the bound is the
+    * true max of the dot over each list's covering ball and the original
+    * predicate is KEPT — so brute-force negated-dot SQL is the oracle
+    * with no nprobe arrangement. Requires the fired partition filter. */
+  private def sqlIpRange(spark: SparkSession, dir: String): DataFrame = {
+    sqlAnnTable(spark, dir)
+    val q = s"CAST(array(${sqlAnnVals.mkString(", ")}) AS ARRAY<FLOAT>)"
+    val df = spark.sql(
+      s"""SELECT id, ip_distance(vec, $q) AS dist
+         |FROM graft_sqlann WHERE ip_distance(vec, $q) <= $SqlIpRangeRadius
+         |ORDER BY id""".stripMargin)
+    val pf = partitionFilterOf(df)
+    require(pf.contains("list_id"),
+      s"sql_ip_range: the IP ball-bound range rewrite did not fire (PartitionFilters: $pf)")
+    df
+  }
+
   /** Write (once per dir) and register the PQ-coded SQL table (round 16):
     * the trained IVF-PQ index's (id, vec, codes, list_id) rows,
     * Hive-partitioned — registered with [[graft.plans.SqlAnn.PqInfo]] at
@@ -831,6 +881,45 @@ object VectorQueries {
       !s.output.exists(_.name == "codes") && pfOf(s).contains("list_id"))
     require(adcOk && rerankOk,
       s"sql_pq_topk: the PQ two-scan pipeline did not fire (scans: " +
+        s"${scans.map(s => (s.output.map(_.name), pfOf(s)))})")
+    df
+  }
+
+  /** Batch PQ through SQL (round 17, r16 verdict #4): the window-rank
+    * batch shape over the [[graft.plans.SqlAnn.PqInfo]]-registered table
+    * plans as the BATCH two-scan pipeline — a codes-only candidate stage
+    * (probe-exploded queries equi-joined against the (id, codes, list_id)
+    * scan, per-(query, code) ADC via
+    * [[graft.functions.PqAdcDistanceCol]], per-query top-candK pool) and
+    * the exact window rerank over the (id, vec) scan. At nprobe = nlist
+    * with rerankK >= corpus every (query, row) pair survives to the
+    * exact rerank, so the same brute-force window SQL as
+    * `sql_batch_rewrite` (over the SAME first-BatchSqlNQ query rows) is
+    * the hash oracle. REQUIRES both fired scans, each carrying the
+    * static probe partition filter. */
+  private def sqlPqBatch(spark: SparkSession, dir: String): DataFrame = {
+    sqlAnnPqTable(spark, dir)
+    val src = emb(spark, dir).filter(col("vec_id") < BatchSqlNQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    spark.createDataFrame(
+      java.util.Arrays.asList(src.collect(): _*), src.schema)
+      .createOrReplaceTempView("graft_sqlann_pqb_q")
+    val df = spark.sql(
+      s"""SELECT qid, id, dist, rank FROM (
+         |  SELECT q.qid, t.id, l2_distance(t.vec, q.qvec) AS dist,
+         |    CAST(row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY l2_distance(t.vec, q.qvec), t.id) AS INT) AS rank
+         |  FROM graft_sqlann_pqb_q q, graft_sqlann_pq t)
+         |WHERE rank <= $K ORDER BY qid, rank""".stripMargin)
+    val scans = graft.plans.SqlAnn.fileSourceScans(df)
+    def pfOf(s: org.apache.spark.sql.execution.FileSourceScanExec) =
+      s.metadata.getOrElse("PartitionFilters", "")
+    val adcOk = scans.exists(s => s.output.exists(_.name == "codes") &&
+      !s.output.exists(_.name == "vec") && pfOf(s).contains("list_id"))
+    val rerankOk = scans.exists(s => s.output.exists(_.name == "vec") &&
+      !s.output.exists(_.name == "codes") && pfOf(s).contains("list_id"))
+    require(adcOk && rerankOk,
+      s"sql_pq_batch: the batch PQ two-scan pipeline did not fire (scans: " +
         s"${scans.map(s => (s.output.map(_.name), pfOf(s)))})")
     df
   }
@@ -1249,6 +1338,22 @@ object VectorQueries {
          |d AS (SELECT v.vec_id AS id, ${sqlCosine("q.qv", "v.embedding")} AS dist
          |      FROM embeddings v, q)
          |SELECT id, dist FROM d ORDER BY dist, id LIMIT $K""".stripMargin,
+    // IP twin of sql_ann_rewrite: the probe order differs per metric but
+    // nprobe = nlist keeps ANY order exact — negated dot replayed in
+    // DuckDB under the same literal
+    "sql_topk_ip" ->
+      s"""WITH q AS (SELECT [${sqlAnnVals.mkString(", ")}]::FLOAT[] AS qv),
+         |d AS (SELECT v.vec_id AS id, ${sqlIp("q.qv", "v.embedding")} AS dist
+         |      FROM embeddings v, q)
+         |SELECT id, dist FROM d ORDER BY dist, id LIMIT $K""".stripMargin,
+    // the single-table IP range rewrite is EXACT (Cauchy–Schwarz ball
+    // bound + kept predicate), so brute-force negated dot under the same
+    // literal + radius is the oracle
+    "sql_ip_range" ->
+      s"""WITH q AS (SELECT [${sqlAnnVals.mkString(", ")}]::FLOAT[] AS qv),
+         |d AS (SELECT v.vec_id AS id, ${sqlIp("q.qv", "v.embedding")} AS dist
+         |      FROM embeddings v, q)
+         |SELECT id, dist FROM d WHERE dist <= $SqlIpRangeRadius ORDER BY id""".stripMargin,
     // the range rewrite is EXACT by construction (covering-ball bound),
     // so brute force under the same literal + radius is the oracle
     "sql_range_rewrite" ->
@@ -1261,6 +1366,19 @@ object VectorQueries {
     // the same query rows (the first BatchSqlNQ embeddings, collected
     // bit-exactly into the Spark-side LocalRelation) is the oracle
     "sql_batch_rewrite" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |           WHERE vec_id < $BatchSqlNQ),
+         |d AS (SELECT q.qid, v.vec_id AS id, ${sqlL2("q.qv", "v.embedding")} AS dist
+         |      FROM q, embeddings v),
+         |r AS (SELECT qid, id, dist,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS INT) AS rank
+         |      FROM d)
+         |SELECT qid, id, dist, rank FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin,
+    // the batch PQ pipeline reduces to the exact window rank at
+    // nprobe = nlist with rerankK >= corpus (every pair reaches the
+    // exact rerank), so sql_batch_rewrite's brute-force window SQL over
+    // the same query rows oracles it
+    "sql_pq_batch" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
          |           WHERE vec_id < $BatchSqlNQ),
          |d AS (SELECT q.qid, v.vec_id AS id, ${sqlL2("q.qv", "v.embedding")} AS dist

@@ -326,9 +326,24 @@ class SqlAnnFuzzSpec extends SparkSpec {
         s"""SELECT t.id, d.mid, $metric(t.vec, $lit) AS dist
            |FROM fz_pq t JOIN fz_pqd d ON t.id = d.mid
            |ORDER BY dist, t.id LIMIT $k""".stripMargin
+      // the BATCH flavor (round 17): a literal query batch through the
+      // window-rank shape must ride the batch candidate pipeline and
+      // stay exact at full coverage for the same geometries
+      val nq = 1 + rnd.nextInt(3)
+      val bqs = randomVectors(nq, dim, seed = rnd.nextInt(100000))
+        .map { case (i, v) => (i + 2000L, v) }
+      localQView("fz_pq_q", bqs)
+      val bSql =
+        s"""SELECT qid, id, dist, rank FROM (
+           |  SELECT q.qid, t.id, $metric(t.vec, q.qvec) AS dist,
+           |    CAST(row_number() OVER (PARTITION BY q.qid
+           |      ORDER BY $metric(t.vec, q.qvec), t.id) AS INT) AS rank
+           |  FROM fz_pq_q q, fz_pq t)
+           |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
       val brute = rows(spark.sql(sql))
       val bruteF = rows(spark.sql(fSql))
       val bruteJ = rows(spark.sql(jSql))
+      val bruteB = rows(spark.sql(bSql))
       SqlAnn.registerIndex(spark, dir, idx.centroids.value, nprobe = nlist,
         centroidsBc = Some(idx.centroids),
         pq = Some(new SqlAnn.PqInfo(idx.codebooks, rerankK = n + 10)))
@@ -345,6 +360,9 @@ class SqlAnnFuzzSpec extends SparkSpec {
         val jdf = spark.sql(jSql)
         assert(adcFired(jdf), s"$cfg: joined PQ did not fire")
         assert(rows(jdf) === bruteJ, s"$cfg: JOINED PQ divergence")
+        val bdf = spark.sql(bSql)
+        assert(adcFired(bdf), s"$cfg: BATCH PQ did not fire (nq=$nq)")
+        assert(rows(bdf) === bruteB, s"$cfg: BATCH PQ divergence (nq=$nq)")
       } finally SqlAnn.unregisterIndex(spark, dir)
     }
   }

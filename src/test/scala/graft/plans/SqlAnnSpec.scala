@@ -2346,4 +2346,102 @@ class SqlAnnSpec extends SparkSpec {
       verifyCodes = true)
     SqlAnn.unregisterIndex(spark, pqDir)
   }
+
+  test("batch PQ: literal batch rides the two-scan candidate pipeline, exact at full coverage") {
+    pqIndex
+    graft.GraftExtensions.register(spark)
+    spark.read.parquet(pqDir).createOrReplaceTempView("sqlann_pq")
+    val qs = randomVectors(3, Dim, seed = 21).map { case (i, v) => (i + 500L, v) }
+    localQView("sqlann_pqb_q", qs)
+    val sql = batchSql("sqlann_pqb_q", "sqlann_pq")
+    val brute = rows4(spark.sql(sql)) // unregistered brute force
+    registerPq(nprobe = NList, rerankK = 400)
+    try {
+      val df = spark.sql(sql)
+      val (adc, rerank, adcPf, rerankPf) = pqScansOf(df)
+      assert(adc.isDefined && rerank.isDefined,
+        s"batch PQ must plan a codes-only candidate scan AND a vec rerank scan; got " +
+          s"${SqlAnn.fileSourceScans(df).map(_.output.map(_.name))}")
+      assert(adcPf.exists(_.contains("list_id")) && rerankPf.exists(_.contains("list_id")),
+        s"both scans must carry the static probe filter ($adcPf / $rerankPf)")
+      assert(rows4(df) === brute,
+        "batch PQ at nprobe = nlist with rerankK >= corpus must be EXACT")
+      // a NULL qvec row vanishes (no probe rows, no candidates) — the
+      // live query keeps its full top-k, same contract as the flat path
+      localQView("sqlann_pqb_qn", Seq(qs.head, 77L -> null))
+      val withNull = spark.sql(batchSql("sqlann_pqb_qn", "sqlann_pq"))
+      assert(pqScansOf(withNull)._1.isDefined)
+      val got = rows4(withNull)
+      assert(got.map(_._1).distinct === Seq(qs.head._1) && got.size === K)
+      // partial coverage: both scans pruned below full width, every query
+      // still gets k contiguously-ranked rows from its candidate pool
+      SqlAnn.unregisterIndex(spark, pqDir)
+      registerPq(nprobe = 2, rerankK = 20)
+      val part = spark.sql(sql)
+      assert(pqScansOf(part)._1.isDefined, "partial-coverage batch PQ must fire")
+      val rowsP = rows4(part)
+      qs.foreach { case (qid, _) =>
+        assert(rowsP.filter(_._1 == qid).map(_._4) === (1 to K),
+          s"query $qid must keep k contiguous ranks at partial coverage")
+      }
+    } finally SqlAnn.unregisterIndex(spark, pqDir)
+  }
+
+  test("batch PQ gates: parquet batches, unattested cosine, and filtered shapes") {
+    pqIndex
+    graft.GraftExtensions.register(spark)
+    spark.read.parquet(pqDir).createOrReplaceTempView("sqlann_pq")
+    val qs = randomVectors(3, Dim, seed = 22).map { case (i, v) => (i + 600L, v) }
+    // a deterministic corpus-side WHERE is replicated into the candidate
+    // stage — exact at full coverage over the filtered rows
+    val filtSql =
+      s"""SELECT qid, id, dist, rank FROM (
+         |  SELECT q.qid, t.id, l2_distance(t.vec, q.qvec) AS dist,
+         |    CAST(row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY l2_distance(t.vec, q.qvec), t.id) AS INT) AS rank
+         |  FROM sqlann_pqg_q q, sqlann_pq t WHERE t.id % 2 = 0)
+         |WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+    localQView("sqlann_pqg_q", qs)
+    val bruteFilt = rows4(spark.sql(filtSql))
+    // parquet-backed batch: the static union is underivable — PQ must
+    // NOT fire; the flat DPP path serves the shape instead
+    val qDir = java.nio.file.Files
+      .createTempDirectory("graft-pqbatch-qp").toFile.getAbsolutePath
+    val list = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    qs.foreach { case (i, v) => list.add(org.apache.spark.sql.Row(i, v.toSeq)) }
+    spark.createDataFrame(list, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qid",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("qvec",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)))))
+      .write.mode("overwrite").parquet(qDir)
+    spark.read.parquet(qDir).createOrReplaceTempView("sqlann_pqg_qp")
+    registerPq(nprobe = NList, rerankK = 400)
+    try {
+      val filt = spark.sql(filtSql)
+      assert(pqScansOf(filt)._1.isDefined, "filtered batch PQ must fire")
+      assert(rows4(filt) === bruteFilt,
+        "filtered batch PQ must be exact at full coverage")
+      val pq = spark.sql(batchSql("sqlann_pqg_qp", "sqlann_pq"))
+      assert(pqScansOf(pq)._1.isEmpty,
+        "a parquet-backed batch must fall back to the flat path")
+      assert(hasProbeGenerate(pq), "the flat batch rewrite must still fire")
+      val pfP = corpusScan(pq).metadata.getOrElse("PartitionFilters", "")
+      assert(pfP.contains("dynamicpruning"),
+        s"the flat fallback must dynamically prune the corpus scan ($pfP)")
+      // cosine without the cosineCodes attestation: flat probe join only
+      val cosSql =
+        s"""SELECT qid, id, dist, rank FROM (
+           |  SELECT q.qid, t.id, cosine_distance(t.vec, q.qvec) AS dist,
+           |    CAST(row_number() OVER (PARTITION BY q.qid
+           |      ORDER BY cosine_distance(t.vec, q.qvec), t.id) AS INT) AS rank
+           |  FROM sqlann_pqg_q q, sqlann_pq t)
+           |WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+      val cos = spark.sql(cosSql)
+      assert(pqScansOf(cos)._1.isEmpty,
+        "unattested cosine must not take the batch ADC path")
+      assert(hasProbeGenerate(cos), "the flat batch rewrite must serve cosine")
+    } finally SqlAnn.unregisterIndex(spark, pqDir)
+  }
 }
