@@ -1438,14 +1438,20 @@ object SqlAnn {
         listAttr: AttributeReference,
         listOutName: String,
         explodeExpr: Explode,
-        staticLists: Option[Seq[Int]]): LogicalPlan = {
+        staticLists: Option[Seq[Int]],
+        // false for ANTI joins: their output IS the non-matching
+        // registered rows, so the scan must stay full — the rewrite's
+        // win there is the equi-key (hash anti join, no cartesian)
+        pruneRel: Boolean = true): LogicalPlan = {
       val listOut = AttributeReference(
         listOutName, IntegerType, nullable = false)()
       // queries side: one row per (query, candidate list)
       val newQSide = Generate(explodeExpr,
         unrequiredChildIndex = Nil, outer = false, qualifier = None,
         generatorOutput = Seq(listOut), child = qSide)
-      val relWithPrune: LogicalPlan = staticLists match {
+      val relWithPrune: LogicalPlan = if (!pruneRel) {
+        filtR.getOrElse(rel): LogicalPlan
+      } else staticLists match {
         case Some(lists) =>
           // an empty union (every query row null) joins nothing anyway;
           // a constant-false filter keeps the scan from reading at all
@@ -1530,10 +1536,39 @@ object SqlAnn {
      * (attestation-gated); IP through the Cauchy–Schwarz ball bound
      * (round 16 — no attestation, the ball is an L2 fact). Finite radius
      * only (the injected expression embeds it as a Java literal).
+     *
+     * SEMI and ANTI flavors too (round 17, r16 verdict #7): `WHERE
+     * [NOT] EXISTS (SELECT 1 FROM q WHERE dist(t.vec, q.qvec) <= r)`
+     * over the registered table — the contamination screen and its
+     * DEcontamination twin, which Spark has already turned into a
+     * LeftSemi/LeftAnti join with the bound in the condition
+     * (RewritePredicateSubquery runs before the user batch). Both are
+     * EXACT because semi/anti semantics are pure MATCH-EXISTENCE, which
+     * the rewrite preserves in both directions: any (t, q) pair
+     * satisfying `dist <= r` has t's list in q's candidate set (the
+     * covering bound never falsely dismisses), so it survives the added
+     * probe equi-conjunct; and every surviving pair still carries the
+     * ORIGINAL predicate. Exploding the queries side cannot change
+     * multiplicity — semi/anti output only left rows, each at most
+     * once. The registered side must be the LEFT (preserved) side: with
+     * the registration on the inner/right side the explode would land
+     * on the PRESERVED side and duplicate its rows. The anti flavor
+     * never prunes the registered scan (non-matching rows ARE its
+     * output); the semi flavor prunes it like Inner (semi drops
+     * non-matching left rows anyway). The cartesian still disappears in
+     * both: the join gains the probe equi-key.
+     *
+     * Preserved-row OUTER range joins stay untouched BY ARGUMENT, not
+     * omission: every rewrite of this family explodes one side and (for
+     * Inner/semi) prunes the other, and in a Left/Right/Full outer join
+     * at least one modified side is preserved — exploding a preserved
+     * side turns one null-extended row into one per candidate list, and
+     * pruning a preserved side deletes rows the outer join must emit
+     * null-extended. Pinned by spec.
      */
     private def tryRangeJoinRewrite(join: Join): Option[LogicalPlan] = {
       join.joinType match {
-        case Inner | Cross =>
+        case Inner | Cross | LeftSemi | LeftAnti =>
         case _ => return None
       }
       val cond = join.condition.getOrElse(return None)
@@ -1568,6 +1603,14 @@ object SqlAnn {
         else if (join.right.outputSet.contains(vecAttr) &&
             join.left.outputSet.contains(qAttr)) (join.right, join.left, false)
         else return None
+      // semi/anti: only the registered-LEFT orientation is rewritable —
+      // with the registration on the inner side the explode would land on
+      // the PRESERVED side and duplicate its output rows (see the
+      // tryRangeJoinRewrite scaladoc)
+      join.joinType match {
+        case LeftSemi | LeftAnti if !relIsLeft => return None
+        case _ =>
+      }
       val (projR, filtR, rel) = relParts(relSide).getOrElse(return None)
       // see attemptBatch: no injection below a non-det Project when the
       // join predicates on one of its (transitively) non-det columns
@@ -1622,7 +1665,8 @@ object SqlAnn {
       val staticLists =
         staticUnion(qSide, qAttr, reg.centroids.head.length, probeFn)
       Some(prunedJoin(join, projR, filtR, rel, qSide, relIsLeft,
-        listAttr, "__graft_range_list", explodeExpr, staticLists))
+        listAttr, "__graft_range_list", explodeExpr, staticLists,
+        pruneRel = join.joinType != LeftAnti))
     }
   }
 }

@@ -706,6 +706,8 @@ object VectorQueries {
     "sql_batch_dpp" -> (sqlBatchDpp _),
     "sql_pq_batch" -> (sqlPqBatch _),
     "sql_range_join" -> (sqlRangeJoin _),
+    "sql_semi_screen" -> (sqlSemiScreen _),
+    "sql_anti_screen" -> (sqlAntiScreen _),
     "sql_cosine_join" -> (sqlCosineJoin _),
     "sql_ip_range_join" -> (sqlIpRangeJoin _),
     "sql_selfjoin_dedup" -> (sqlSelfJoinDedup _),
@@ -1047,6 +1049,82 @@ object VectorQueries {
     val pf = partitionFilterOf(df)
     require(pf.contains("list_id"),
       s"sql_range_join: the range-join rewrite did not fire (PartitionFilters: $pf)")
+    df
+  }
+
+  /** Did a range-probe explode land in the optimized plan? The semi/anti
+    * screen entries' fired-rewrite probe (the anti flavor leaves the
+    * scan unpruned BY DESIGN, so the partition-filter check cannot serve
+    * as its proof). */
+  private def rangeGenerateFired(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.exists {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate =>
+        g.generator match {
+          case e: org.apache.spark.sql.catalyst.expressions.Explode =>
+            e.child.isInstanceOf[graft.functions.RangeProbeLists]
+          case _ => false
+        }
+      case _ => false
+    }
+
+  /** Register the literal screen-query view shared by the semi/anti
+    * entries (the first NQ embeddings, collected bit-exactly). */
+  private def sqlScreenQueries(spark: SparkSession, dir: String): Unit = {
+    val src = emb(spark, dir).filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    spark.createDataFrame(
+      java.util.Arrays.asList(src.collect(): _*), src.schema)
+      .createOrReplaceTempView("graft_sqlann_sq")
+  }
+
+  /** Contamination screen in SQL (round 17, r16 verdict #7's semi/anti
+    * family): `WHERE EXISTS (SELECT 1 FROM queries q WHERE
+    * l2_distance(t.vec, q.qvec) <= r)` — "which corpus rows sit near any
+    * eval query", the screen an LLM pipeline runs before training-set
+    * assembly. Spark plans the EXISTS as a LeftSemi join; the rewrite
+    * turns its cartesian into the covering-ball equi-join and statically
+    * prunes the corpus scan (semi drops non-matching rows anyway). EXACT
+    * — semi semantics are pure match-existence, which the no-false-
+    * dismissal bound preserves in both directions — so the brute-force
+    * EXISTS is the hash oracle. REQUIRES the fired probe explode AND the
+    * pruned scan. */
+  private def sqlSemiScreen(spark: SparkSession, dir: String): DataFrame = {
+    sqlAnnTable(spark, dir)
+    sqlScreenQueries(spark, dir)
+    val df = spark.sql(
+      s"""SELECT t.id FROM graft_sqlann t WHERE EXISTS (
+         |  SELECT 1 FROM graft_sqlann_sq q
+         |  WHERE l2_distance(t.vec, q.qvec) <= $RangeRadius)
+         |ORDER BY t.id""".stripMargin)
+    require(rangeGenerateFired(df),
+      "sql_semi_screen: the semi range-join rewrite did not fire")
+    val pf = corpusPartitionFilterOf(df)
+    require(pf.contains("list_id"),
+      s"sql_semi_screen: the corpus scan is unpruned (PartitionFilters: $pf)")
+    df
+  }
+
+  /** DEcontamination screen in SQL (round 17): the NOT EXISTS twin —
+    * "which corpus rows are safely FAR from every eval query", the
+    * actual decontamination output. Spark plans it as a LeftAnti join;
+    * the rewrite adds the probe equi-key (no more cartesian) but leaves
+    * the corpus scan UNPRUNED — the anti join's output IS the
+    * non-matching rows. EXACT by the same match-existence argument, so
+    * brute-force NOT EXISTS is the hash oracle. REQUIRES the fired probe
+    * explode and a cartesian-free physical plan. */
+  private def sqlAntiScreen(spark: SparkSession, dir: String): DataFrame = {
+    sqlAnnTable(spark, dir)
+    sqlScreenQueries(spark, dir)
+    val df = spark.sql(
+      s"""SELECT t.id FROM graft_sqlann t WHERE NOT EXISTS (
+         |  SELECT 1 FROM graft_sqlann_sq q
+         |  WHERE l2_distance(t.vec, q.qvec) <= $RangeRadius)
+         |ORDER BY t.id""".stripMargin)
+    require(rangeGenerateFired(df),
+      "sql_anti_screen: the anti range-join rewrite did not fire")
+    val phys = df.queryExecution.executedPlan.toString
+    require(!phys.contains("CartesianProduct") && !phys.contains("NestedLoop"),
+      "sql_anti_screen: the anti screen must plan an equi join")
     df
   }
 
@@ -1403,6 +1481,20 @@ object VectorQueries {
     // original predicate), so the brute-force range join over the same
     // query rows IS the oracle — rangeOracleSql's exact shape
     "sql_range_join" -> rangeOracleSql,
+    // the semi screen is exact (match existence preserved in both
+    // directions by the no-false-dismissal bound): brute-force EXISTS
+    // over the same query rows is the oracle
+    "sql_semi_screen" ->
+      s"""SELECT t.vec_id AS id FROM embeddings t WHERE EXISTS (
+         |  SELECT 1 FROM embeddings q WHERE q.vec_id < $NQ
+         |    AND ${sqlL2("t.embedding", "q.embedding")} <= $RangeRadius)
+         |ORDER BY id""".stripMargin,
+    // the anti screen's NOT EXISTS twin, same exactness argument
+    "sql_anti_screen" ->
+      s"""SELECT t.vec_id AS id FROM embeddings t WHERE NOT EXISTS (
+         |  SELECT 1 FROM embeddings q WHERE q.vec_id < $NQ
+         |    AND ${sqlL2("t.embedding", "q.embedding")} <= $RangeRadius)
+         |ORDER BY id""".stripMargin,
     // nprobe = nlist keeps the joined top-k exact; the metadata join is
     // 1:1 on vec_id, so the brute-force ordered join replays it — same
     // exactly-representable literal as sql_ann_rewrite

@@ -139,6 +139,18 @@ class SqlAnnFuzzSpec extends SparkSpec {
       val ipRadius = (rnd.nextDouble() * 2 - 1) * dim / 4.0
       val ipSql = ipRangeSqlText(ipRadius)
       val bruteIp = rows(spark.sql(ipSql))
+      // semi/anti screens (round 17): EXISTS / NOT EXISTS with the same
+      // radius — match-existence must be exact for any geometry
+      val sSql =
+        s"""SELECT t.id FROM fz_t t WHERE EXISTS (
+           |  SELECT 1 FROM fz_q q
+           |  WHERE l2_distance(t.vec, q.qvec) <= $radius) ORDER BY t.id""".stripMargin
+      val aSql =
+        s"""SELECT t.id FROM fz_t t WHERE NOT EXISTS (
+           |  SELECT 1 FROM fz_q q
+           |  WHERE l2_distance(t.vec, q.qvec) <= $radius) ORDER BY t.id""".stripMargin
+      val bruteSemi = rows(spark.sql(sSql))
+      val bruteAnti = rows(spark.sql(aSql))
 
       SqlAnn.registerIndex(spark, dir, idx.centroids.value,
         nprobe = nlist, radii = Some(idx.listRadii))
@@ -173,6 +185,18 @@ class SqlAnnFuzzSpec extends SparkSpec {
         }, s"$cfg: IP range-join rewrite did not fire (radius=$ipRadius)")
         assert(rows(ipj) === bruteIp,
           s"$cfg: IP RANGE-JOIN divergence (radius=$ipRadius)")
+        def rangeGenFired(df: org.apache.spark.sql.DataFrame): Boolean =
+          df.queryExecution.optimizedPlan.exists {
+            case g: org.apache.spark.sql.catalyst.plans.logical.Generate =>
+              g.generator.children.head.isInstanceOf[graft.functions.RangeProbeLists]
+            case _ => false
+          }
+        val sdf = spark.sql(sSql)
+        assert(rangeGenFired(sdf), s"$cfg: SEMI screen rewrite did not fire")
+        assert(rows(sdf) === bruteSemi, s"$cfg: SEMI screen divergence")
+        val adf = spark.sql(aSql)
+        assert(rangeGenFired(adf), s"$cfg: ANTI screen rewrite did not fire")
+        assert(rows(adf) === bruteAnti, s"$cfg: ANTI screen divergence")
         // through-view twins: the probe/covering-ball filters must reach
         // the scan UNDER the non-deterministic Project, results equal
         // modulo the dropped rid column

@@ -2444,4 +2444,70 @@ class SqlAnnSpec extends SparkSpec {
       assert(hasProbeGenerate(cos), "the flat batch rewrite must serve cosine")
     } finally SqlAnn.unregisterIndex(spark, pqDir)
   }
+
+  test("semi/anti range joins: EXISTS screens become equi joins, exact; outer and flipped shapes pinned") {
+    rangeIndex
+    graft.GraftExtensions.register(spark)
+    spark.read.parquet(rangeDir).createOrReplaceTempView("sqlann_sar")
+    val qs = Seq(100L -> corner(0), 101L -> corner(3))
+    localQView("sqlann_sar_q", qs)
+    // the contamination screen and its DEcontamination twin — Spark
+    // plans these as LeftSemi/LeftAnti joins with the bound in the
+    // condition before the user rule batch runs
+    val semiSql =
+      s"""SELECT t.id FROM sqlann_sar t WHERE EXISTS (
+         |  SELECT 1 FROM sqlann_sar_q q
+         |  WHERE l2_distance(t.vec, q.qvec) <= 2.0) ORDER BY t.id""".stripMargin
+    val antiSql =
+      s"""SELECT t.id FROM sqlann_sar t WHERE NOT EXISTS (
+         |  SELECT 1 FROM sqlann_sar_q q
+         |  WHERE l2_distance(t.vec, q.qvec) <= 2.0) ORDER BY t.id""".stripMargin
+    val bruteSemi = spark.sql(semiSql).collect().map(_.getLong(0)).toSeq
+    val bruteAnti = spark.sql(antiSql).collect().map(_.getLong(0)).toSeq
+    assert(bruteSemi.nonEmpty && bruteAnti.nonEmpty &&
+      bruteSemi.size + bruteAnti.size === 200,
+      "fixture sanity: the screens must partition the corpus")
+    SqlAnn.registerIndex(spark, rangeDir, rangeIndex.centroids.value,
+      nprobe = 2, radii = Some(rangeIndex.listRadii))
+    try {
+      val semi = spark.sql(semiSql)
+      assert(hasRangeGenerate(semi), "the semi screen must gain the probe explode")
+      // semi may prune the registered scan: non-matching rows are dropped
+      // by semi semantics anyway
+      assert(corpusScan(semi).metadata.getOrElse("PartitionFilters", "")
+        .contains("list_id"), "semi must statically prune the corpus scan")
+      val semiPhys = semi.queryExecution.executedPlan.toString
+      assert(!semiPhys.contains("CartesianProduct") && !semiPhys.contains("NestedLoop"),
+        s"semi must plan an equi join, got:\n$semiPhys")
+      assert(semi.collect().map(_.getLong(0)).toSeq === bruteSemi,
+        "the semi screen is exact (match existence preserved both ways)")
+      val anti = spark.sql(antiSql)
+      assert(hasRangeGenerate(anti), "the anti screen must gain the probe explode")
+      // anti must NOT prune the registered scan — its OUTPUT is the
+      // non-matching rows
+      assert(!corpusScan(anti).metadata.getOrElse("PartitionFilters", "")
+        .contains("list_id"), "anti must leave the corpus scan unpruned")
+      val antiPhys = anti.queryExecution.executedPlan.toString
+      assert(!antiPhys.contains("CartesianProduct") && !antiPhys.contains("NestedLoop"),
+        s"anti must plan an equi join, got:\n$antiPhys")
+      assert(anti.collect().map(_.getLong(0)).toSeq === bruteAnti,
+        "the anti screen is exact")
+      // registration on the INNER (right) side of the EXISTS: the explode
+      // would land on the preserved side and duplicate its rows — pinned
+      // untouched
+      val flipped = spark.sql(
+        s"""SELECT q.qid FROM sqlann_sar_q q WHERE EXISTS (
+           |  SELECT 1 FROM sqlann_sar t
+           |  WHERE l2_distance(t.vec, q.qvec) <= 2.0)""".stripMargin)
+      assert(!hasRangeGenerate(flipped),
+        "registered-inner semi must stay untouched")
+      // preserved-row OUTER range join: every rewrite of this family
+      // modifies a preserved side (explode duplicates null-extension,
+      // prune deletes rows the outer join must emit) — pinned untouched
+      val outer = spark.sql(
+        s"""SELECT q.qid, t.id FROM sqlann_sar_q q LEFT JOIN sqlann_sar t
+           |ON l2_distance(t.vec, q.qvec) <= 2.0""".stripMargin)
+      assert(!hasRangeGenerate(outer), "outer range joins must stay untouched")
+    } finally SqlAnn.unregisterIndex(spark, rangeDir)
+  }
 }
