@@ -509,14 +509,30 @@ object SqlAnn {
   def fileSourceScans(df: org.apache.spark.sql.DataFrame)
       : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
     def find(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
-      p.collect {
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+      val inTree = p.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           find(a.executedPlan)
         case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
           find(q.plan)
       }.flatten
+      // ALSO descend into plan-level subquery expressions (DPP partition
+      // filters, scalar subqueries): after execution, AQE may satisfy a
+      // main-tree stage as a ReusedExchange of a SUBQUERY's stage — the
+      // batch PQ pipeline's candidate scan does exactly this (the DPP
+      // build and the join share one exchange), leaving the only live
+      // scan instance inside the expression tree. Main-tree scans come
+      // FIRST so pre-execution callers keep their original pick.
+      val inSubqueries = p.collect { case node => node }
+        .flatMap(_.expressions)
+        .flatMap(_.collect {
+          case s: org.apache.spark.sql.execution.ExecSubqueryExpression =>
+            find(s.plan)
+        })
+        .flatten
+      inTree ++ inSubqueries
+    }
     find(df.queryExecution.executedPlan)
   }
 
@@ -1249,11 +1265,12 @@ object SqlAnn {
      *     cand = Project(qSide.out :+ id,
      *       Filter(row_number() OVER (PARTITION BY qid
      *                ORDER BY adc(codes, qvec) NULLS LAST, id) <= candK,
-     *         Project(qSide.out, id, adc,
+     *         Project(qSide.out, id, list, adc,
      *           Join(Generate(explode(probe_lists(qvec)), qSide),
      *                Project(id, list, codes,
      *                  Filter(lists ∪ [+ pushed filter], relCopy)))))),
-     *     rerank = Filter(lists ∪ [+ pushed filter], rel))
+     *     rerank = Filter(lists ∪ AND dpp(candidates' lists)
+     *                     [+ pushed filter], rel))
      * }}}
      *
      * so the outer WindowGroupLimit reranks EXACTLY (true distances) over
@@ -1346,7 +1363,8 @@ object SqlAnn {
       val adcAlias = Alias(
         graft.functions.PqAdcDistanceCol(
           cCodes, queryV, pqInfo.codebooksBc, metric.id), "__graft_adc")()
-      val withAdc = Project((qSide.output :+ cId) :+ adcAlias, candJoin)
+      // cList rides along: it doubles as the rerank scan's DPP build key
+      val withAdc = Project((qSide.output :+ cId) :+ cList :+ adcAlias, candJoin)
       // per-query ADC top-candK: row_number + rank filter, with the
       // group-limit node Spark's InferWindowGroupLimit would derive
       // inserted DIRECTLY below the Window — this rule runs after that
@@ -1364,17 +1382,33 @@ object SqlAnn {
       val window = Window(Seq(rnAlias), wgl.partitionSpec, candOrder,
         WindowGroupLimit(wgl.partitionSpec, candOrder, RowNumber(), candK,
           withAdc))
-      val candSide = Project(qSide.output :+ cId,
-        Filter(LessThanOrEqual(rnAlias.toAttribute, Literal(candK)), window))
+      val candFiltered =
+        Filter(LessThanOrEqual(rnAlias.toAttribute, Literal(candK)), window)
+      val candSide = Project(qSide.output :+ cId, candFiltered)
       // rerank side: ORIGINAL relation instance (upstream references stay
-      // valid), statically pruned, original pushed filter KEPT. The projR
-      // chain is the column pruning; a bare relation keeps its full
-      // output — Project(join.output, ...) below must restore every
-      // original column, so codes can only be dropped when the optimizer
-      // already dropped them (the canonical SELECT-columns shape)
+      // valid), original pushed filter KEPT, pruned TWICE like the
+      // single-query pipeline — statically to the probe union, and
+      // DYNAMICALLY to the lists the pooled candidates actually live in.
+      // Without the DPP the rerank scan reads (id, vec) of EVERY probed
+      // list — the union over the whole batch, measured at ~77% of the
+      // corpus for 16 clustered queries at nprobe 16/256 — and the codes
+      // scan saves nothing net (tools/SqlPqScale's batch flavor is the
+      // measurement). The DPP build re-executes the candidate stage;
+      // safe because every ingredient is deterministic by construction —
+      // the queries side is a LocalRelation (the literal-batch gate),
+      // the filter static, the ADC an expression, the pool a row_number
+      // over the total (adc NULLS LAST, id) order — and cheap because it
+      // reads only the m-byte codes column.
+      val dpp = DynamicPruningSubquery(
+        pruningKey = listAttr,
+        buildQuery = candFiltered,
+        buildKeys = Seq(cList),
+        broadcastKeyIndices = Seq(0),
+        onlyInBroadcast = false)
+      val rerankPrune = And(pruneOver(listAttr), dpp)
       val rerankInner: LogicalPlan = filtR match {
-        case Some(f) => f.copy(condition = And(f.condition, pruneOver(listAttr)))
-        case None => Filter(pruneOver(listAttr), rel)
+        case Some(f) => f.copy(condition = And(f.condition, rerankPrune))
+        case None => Filter(rerankPrune, rel)
       }
       val rerankSide: LogicalPlan =
         if (projR.isEmpty) rerankInner

@@ -700,6 +700,7 @@ object VectorQueries {
     "sql_topk_cosine" -> (sqlTopkCosine _),
     "sql_topk_ip" -> (sqlTopkIp _),
     "sql_pq_topk" -> (sqlPqTopk _),
+    "sql_pq_facade" -> (sqlPqFacade _),
     "sql_range_rewrite" -> (sqlRangeRewrite _),
     "sql_ip_range" -> (sqlIpRange _),
     "sql_batch_rewrite" -> (sqlBatchRewrite _),
@@ -923,6 +924,56 @@ object VectorQueries {
     require(adcOk && rerankOk,
       s"sql_pq_batch: the batch PQ two-scan pipeline did not fire (scans: " +
         s"${scans.map(s => (s.output.map(_.name), pfOf(s)))})")
+    df
+  }
+
+  /** The full facade PQ lifecycle, built once per dir (round 17, r16
+    * verdict #2): a PQ index DECLARED at CreateIndex (IndexConfig.m —
+    * the reference's own API shape, declared-only there), epoch-built
+    * (codes + codebooks written with the epoch), served, and exposed
+    * through `registerSql(pq = true)` with the codes attestation
+    * VERIFIED (argmin replay + id-contract aggregates). */
+  private def pqFacadeDb(spark: SparkSession, dir: String): graft.api.VectorDB =
+    cached(s"pqfacadedb:$dir") {
+      val e = emb(spark, dir)
+      val root = tempDirCleaned("graft_pqsql_entry")
+      val db = new graft.api.VectorDB(spark, root)
+      db.createIndex(graft.IndexConfig(
+        name = "emb_pq", dimension = 64, nlist = 16, m = 8))
+      val eid = db.buildEpoch("emb_pq",
+        e.select(col("vec_id").as("id"), col("embedding").as("vec")))
+      db.activateEpoch("emb_pq", eid)
+      db.loadIndex("emb_pq")
+      db.registerSql("emb_pq", nprobe = 16, viewName = "graft_pq_served",
+        pq = true, pqRerankK = 1000000, verifyCodes = true)
+      db
+    }
+
+  /** PQ through the FACADE lifecycle end to end (round 17): the same
+    * canonical top-k SQL as `sql_pq_topk`, but the table is a served
+    * EPOCH — createIndex(m) → buildEpoch (codes encoded in the epoch
+    * write, codebooks beside it) → registerSql(pq = true,
+    * verifyCodes = true). At nprobe = nlist with rerankK >= corpus the
+    * pipeline reduces to exact kNN, so the same brute-force SQL is the
+    * hash oracle; REQUIRES the two-scan plan on the served view like its
+    * hand-assembled twin (which stays: it pins the SqlAnn-level
+    * registration surface; this entry pins the lifecycle route). */
+  private def sqlPqFacade(spark: SparkSession, dir: String): DataFrame = {
+    pqFacadeDb(spark, dir)
+    val df = spark.sql(
+      s"""SELECT id, l2_distance(vec,
+         |  CAST(array(${sqlAnnVals.mkString(", ")}) AS ARRAY<FLOAT>)) AS dist
+         |FROM graft_pq_served ORDER BY dist, id LIMIT $K""".stripMargin)
+    val scans = graft.plans.SqlAnn.fileSourceScans(df)
+    def pfOf(s: org.apache.spark.sql.execution.FileSourceScanExec) =
+      s.metadata.getOrElse("PartitionFilters", "")
+    val adcOk = scans.exists(s => s.output.exists(_.name == "codes") &&
+      !s.output.exists(_.name == "vec") && pfOf(s).contains("list_id"))
+    val rerankOk = scans.exists(s => s.output.exists(_.name == "vec") &&
+      !s.output.exists(_.name == "codes") && pfOf(s).contains("list_id"))
+    require(adcOk && rerankOk,
+      s"sql_pq_facade: the served epoch did not plan the two-scan pipeline " +
+        s"(scans: ${scans.map(s => (s.output.map(_.name), pfOf(s)))})")
     df
   }
 
@@ -1405,6 +1456,13 @@ object VectorQueries {
     // with rerankK >= corpus (ADC orders the candidate pool, the kept
     // exact rerank scores ALL of it), so the same brute force oracles it
     "sql_pq_topk" ->
+      s"""WITH q AS (SELECT [${sqlAnnVals.mkString(", ")}]::FLOAT[] AS qv),
+         |d AS (SELECT v.vec_id AS id, ${sqlL2("q.qv", "v.embedding")} AS dist
+         |      FROM embeddings v, q)
+         |SELECT id, dist FROM d ORDER BY dist, id LIMIT $K""".stripMargin,
+    // the facade lifecycle route to the same pipeline (built epoch,
+    // verified codes): identical exactness argument, same oracle
+    "sql_pq_facade" ->
       s"""WITH q AS (SELECT [${sqlAnnVals.mkString(", ")}]::FLOAT[] AS qv),
          |d AS (SELECT v.vec_id AS id, ${sqlL2("q.qv", "v.embedding")} AS dist
          |      FROM embeddings v, q)

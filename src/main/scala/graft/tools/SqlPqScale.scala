@@ -155,6 +155,64 @@ object SqlPqScale {
       SqlAnn.unregisterIndex(spark, dir)
     }
     println(f"[pqscale] recall@$k vs exact: flat=${recall(flatIds)}%.2f")
+
+    // 4. the BATCH flavor (round 17, `sql_pq_batch`): a literal batch of
+    // family-center queries through the window-rank shape — brute
+    // (unregistered) vs flat probe join vs the batch PQ candidate
+    // pipeline, same scan-stats accounting
+    val nq = 16
+    def centerOf(f: Int): Array[Float] = (0 until dim).map { d =>
+      val h = ((f.toLong * dim + d + 1L) * 2654435761L) % 1000000007L
+      (((((h % 200) + 200) % 200) / 100.0 - 1.0) * 4.0).toFloat
+    }.toArray
+    val list = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    (0 until nq).foreach { f =>
+      list.add(org.apache.spark.sql.Row(f.toLong, centerOf(f).toSeq))
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(list, StructType(Seq(
+      StructField("qid", LongType), StructField("qvec", ArrayType(FloatType)))))
+      .createOrReplaceTempView("pq_q")
+    val bSql =
+      s"""SELECT qid, id, dist, rank FROM (
+         |  SELECT q.qid, t.id, l2_distance(t.vec, q.qvec) AS dist,
+         |    CAST(row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY l2_distance(t.vec, q.qvec), t.id) AS INT) AS rank
+         |  FROM pq_q q, pq_t t)
+         |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+    def timeBatch(label: String): (Map[Long, Seq[Long]], Double, org.apache.spark.sql.DataFrame) = {
+      val t = System.nanoTime()
+      val df = spark.sql(bSql)
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val sec = (System.nanoTime() - t) / 1e9
+      println(f"[pqscale] batch-$label%-6s $sec%7.2f s (${rows.length} rows, $nq queries)")
+      (rows.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap, sec, df)
+    }
+    val (bruteB, _, bruteBDf) = timeBatch("brute")
+    scanStats(bruteBDf)
+    def meanRecall(got: Map[Long, Seq[Long]]): Double =
+      (0 until nq).map { f =>
+        got.getOrElse(f.toLong, Nil).toSet
+          .intersect(bruteB.getOrElse(f.toLong, Nil).toSet).size.toDouble / k
+      }.sum / nq
+    SqlAnn.registerIndex(spark, dir, idx.centroids.value, nprobe = nprobe,
+      centroidsBc = Some(idx.centroids))
+    val (flatB, _, flatBDf) = timeBatch("flat")
+    scanStats(flatBDf)
+    SqlAnn.unregisterIndex(spark, dir)
+    rerankKs.foreach { rerankK =>
+      SqlAnn.registerIndex(spark, dir, idx.centroids.value, nprobe = nprobe,
+        centroidsBc = Some(idx.centroids),
+        pq = Some(new SqlAnn.PqInfo(idx.codebooks, rerankK = rerankK)))
+      val (pqB, _, pqBDf) = timeBatch(s"pq$rerankK")
+      require(SqlAnn.fileSourceScans(pqBDf).exists(s =>
+        s.output.exists(_.name == "codes") && !s.output.exists(_.name == "vec")),
+        "the batch PQ pipeline must fire (codes-only candidate scan)")
+      scanStats(pqBDf)
+      println(f"[pqscale]   batch mean recall@$k at rerankK=$rerankK: ${meanRecall(pqB)}%.2f")
+      SqlAnn.unregisterIndex(spark, dir)
+    }
+    println(f"[pqscale] batch mean recall@$k: flat=${meanRecall(flatB)}%.2f")
     spark.stop()
   }
 }

@@ -2384,6 +2384,37 @@ class SqlAnnSpec extends SparkSpec {
         assert(rowsP.filter(_._1 == qid).map(_._4) === (1 to K),
           s"query $qid must keep k contiguous ranks at partial coverage")
       }
+      // candidate concentration (the batch twin of the single-query DPP
+      // pin): clustered queries pool their ADC candidates in few lists,
+      // so the rerank scan must carry the candidate-list DPP and read
+      // FEWER partitions than the probe union — without it the rerank
+      // re-reads (id, vec) of every probed list and the codes scan saves
+      // nothing net (SqlPqScale's batch measurement: 196/256 partitions,
+      // flat-plus-overhead latency)
+      SqlAnn.unregisterIndex(spark, pqDir)
+      localQView("sqlann_pqb_c",
+        Seq(900L -> corner(0), 901L -> corner(0).map(x => x + 0.05f)))
+      registerPq(nprobe = NList, rerankK = 10)
+      val conc = spark.sql(batchSql("sqlann_pqb_c", "sqlann_pq"))
+      val (cAdc, cRerank, _, cRerankPf) = pqScansOf(conc)
+      assert(conc.collect().nonEmpty)
+      assert(cAdc.isDefined && cRerank.isDefined)
+      assert(cRerankPf.exists(_.contains("dynamicpruning")),
+        s"the batch rerank scan must carry the candidate-list DPP: $cRerankPf")
+      // the DPP build reuses the candidate stage, so the executed plan
+      // holds MORE THAN ONE codes scan instance — read the max metric
+      // (the un-executed duplicate reports 0)
+      def parts(s: org.apache.spark.sql.execution.FileSourceScanExec): Long =
+        s.metrics.get("numPartitions").map(_.value).getOrElse(-1L)
+      val scansAll = SqlAnn.fileSourceScans(conc)
+      val adcParts = scansAll.filter(s => s.output.exists(_.name == "codes") &&
+        !s.output.exists(_.name == "vec")).map(parts).max
+      val rerankParts = scansAll.filter(s => s.output.exists(_.name == "vec") &&
+        !s.output.exists(_.name == "codes")).map(parts).max
+      assert(adcParts === NList.toLong,
+        s"nprobe = nlist: the candidate scan reads all $NList lists, read $adcParts")
+      assert(rerankParts > 0 && rerankParts < NList,
+        s"the batch rerank must read only the candidates' lists (< $NList), read $rerankParts")
     } finally SqlAnn.unregisterIndex(spark, pqDir)
   }
 
