@@ -267,6 +267,13 @@ object SqlAnn {
     * see: codes that were honestly encoded from DIFFERENT vectors than
     * the stored ones in a way that happens to reproduce every argmin —
     * vanishingly unlikely and still bounded by the exact rerank. */
+  /** @param normalized replay the argmin against NORMALIZE(vec) instead
+    *        of vec — the `cosineCodes` layout, where codes were encoded
+    *        from the D4-normalized vectors while the stored flat column
+    *        stays raw ([[graft.index.IvfPqIndex.build]](Cosine) and the
+    *        facade's cosine epochs). Registration passes
+    *        `pqInfo.cosineCodes` here; verifying a cosine table with
+    *        `normalized = false` would reject its HONEST codes. */
   def verifyPqCodes(
       spark: SparkSession,
       path: String,
@@ -275,7 +282,8 @@ object SqlAnn {
       codeCol: String = "codes",
       idCol: String = "id",
       sampleFraction: Double = 1.0,
-      tol: Double = PqVerifyTol): Boolean = {
+      tol: Double = PqVerifyTol,
+      normalized: Boolean = false): Boolean = {
     import org.apache.spark.sql.functions._
     require(sampleFraction > 0.0 && sampleFraction <= 1.0,
       s"sampleFraction must be in (0, 1]: $sampleFraction")
@@ -305,7 +313,10 @@ object SqlAnn {
         val ok = try {
           if (r.isNullAt(0)) false
           else {
-            val vec = r.getSeq[Float](0)
+            val raw = r.getSeq[Float](0)
+            val vec =
+              if (normalized) VectorKernels.normalize(raw.toArray).toSeq
+              else raw
             val codes = r.getSeq[Byte](1)
             vec.length == m * dsub && codes.length == m && {
               var s = 0
@@ -392,7 +403,10 @@ object SqlAnn {
     pq.foreach { info =>
       if (verifyCodes &&
           !verifyPqCodes(spark, path, info.codebooksBc.value,
-            vecCol = vecCol, codeCol = info.codeCol, idCol = info.idCol))
+            vecCol = vecCol, codeCol = info.codeCol, idCol = info.idCol,
+            // cosineCodes attests codes encoded from NORMALIZED vectors
+            // — the replay must normalize too or honest codes fail
+            normalized = info.cosineCodes))
         throw new IllegalArgumentException(
           s"PQ codes attestation failed for '$path': the id column is " +
             "not a non-null unique key, or a stored code does not " +

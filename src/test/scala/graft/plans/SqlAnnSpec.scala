@@ -2347,6 +2347,49 @@ class SqlAnnSpec extends SparkSpec {
     SqlAnn.unregisterIndex(spark, pqDir)
   }
 
+  test("facade PQ with cosine metric: normalized-code attestation verified and served") {
+    import graft.IndexConfig
+    graft.GraftExtensions.register(spark)
+    val db = new graft.api.VectorDB(spark,
+      java.nio.file.Files.createTempDirectory("graft-sqlann-cospq").toString)
+    db.createIndex(IndexConfig("cospq", Dim,
+      metric = graft.Metric.Cosine, nlist = 4, m = 2))
+    val ep = db.buildEpoch("cospq", vectorsDF(randomVectors(120, Dim, seed = 5)))
+    db.activateEpoch("cospq", ep)
+    db.loadIndex("cospq")
+    try {
+      val em = new graft.storage.EpochManager(s"${db.dataPath}/cospq/epochs")
+      val path = s"${em.epochPath(ep)}/vectors"
+      val books = graft.index.IvfPqIndex.readCodebooks(
+        spark, s"${em.epochPath(ep)}/codebooks")
+      // cosine epochs encode NORMALIZE(vec) while storing raw flat
+      // vectors: a raw-replay verification must REJECT the honest codes,
+      // and the normalized replay must accept them — the normalized flag
+      // exists exactly because of this layout
+      assert(!SqlAnn.verifyPqCodes(spark, path, books),
+        "raw replay over a cosine epoch must fail (codes are normalized-encoded)")
+      assert(SqlAnn.verifyPqCodes(spark, path, books, normalized = true),
+        "normalized replay must accept the honest cosine codes")
+      // registerSql wires cosineCodes AND the normalized verification
+      val view = db.registerSql("cospq", nprobe = 4, pq = true,
+        pqRerankK = 1000, verifyCodes = true)
+      val sql =
+        s"""SELECT id, cosine_distance(vec, $qvecSql) AS dist
+           |FROM $view ORDER BY dist, id LIMIT $K""".stripMargin
+      val df = spark.sql(sql)
+      assert(pqScansOf(df)._1.isDefined,
+        "the cosineCodes attestation must unlock the ADC path for cosine top-k")
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // exact at full coverage: unregister and replay the same SQL as the
+      // brute-force scan over the still-bound view
+      SqlAnn.unregisterIndex(spark, path)
+      val brute = spark.sql(sql).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got === brute,
+        "cosine facade PQ at full coverage must equal brute force")
+    } finally db.close()
+  }
+
   test("batch PQ: literal batch rides the two-scan candidate pipeline, exact at full coverage") {
     pqIndex
     graft.GraftExtensions.register(spark)
