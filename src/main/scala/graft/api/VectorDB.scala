@@ -364,7 +364,7 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
           // another facade's view over the same path is its own to refresh
           // guarded like close(): re-creating the view would HIJACK it if
           // a peer facade re-bound the same name to a different epoch path
-          sqlRegistered.get(name).foreach { case (p, view, _) =>
+          sqlRegistered.get(name).foreach { case (p, view, _, _) =>
             if (p == s"$path/vectors" &&
                 graft.plans.SqlAnn.viewBoundTo(spark, view, p)) {
               spark.read.parquet(p).createOrReplaceTempView(view); ()
@@ -462,9 +462,17 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     * makes the release conditional ([[graft.plans.SqlAnn]]'s registry is
     * JVM-global and path-keyed, so two facades over the same path share
     * one slot, last-register wins): a facade whose registration was
-    * superseded must not tear down the winner's on its own close. */
-  private val sqlRegistered =
-    TrieMap.empty[String, (String, String, graft.plans.SqlAnn.Registration)]
+    * superseded must not tear down the winner's on its own close. The
+    * fourth slot is the facade-OWNED PQ codebooks broadcast (created per
+    * `pq = true` registerSql call, unlike the SHARED serving-index
+    * centroid broadcast) — unpersisted on epoch-swap re-registration and
+    * on close, or swap churn would accumulate one executor-resident
+    * codebook copy per epoch until GC (the same leak class r15 closed
+    * for radii). unpersist, never destroy: a rewritten plan that
+    * outlives the registration re-fetches from the driver. */
+  private val sqlRegistered = TrieMap.empty[String,
+    (String, String, graft.plans.SqlAnn.Registration,
+      Option[org.apache.spark.broadcast.Broadcast[Array[Array[Array[Float]]]]])]
 
   /**
    * Expose the SERVED epoch through the SQL ANN surface
@@ -606,13 +614,18 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       pq = pqInfo,
       verifyCodes = verifyCodes)
     spark.read.parquet(path).createOrReplaceTempView(view)
-    sqlRegistered.put(name, (path, view, token)).foreach {
-      case (oldPath, oldView, oldToken) =>
+    sqlRegistered.put(name, (path, view, token, pqInfo.map(_.codebooksBc)))
+      .foreach { case (oldPath, oldView, oldToken, oldBooks) =>
         // release the superseded epoch's registration — conditionally, so
         // a same-path re-register (nprobe change) and the fresh token
         // above are not torn down
         if (oldPath != path)
           graft.plans.SqlAnn.unregisterIndex(spark, oldPath, oldToken)
+        // the superseded registration's codebooks broadcast is OURS
+        // (created above on its registerSql call) — evict executor
+        // blocks now instead of waiting for GC; re-fetchable if a
+        // rewritten plan still references it
+        oldBooks.foreach(_.unpersist(blocking = false))
         // a RENAMED view must not linger bound to the superseded epoch:
         // it would keep serving stale data until the epoch dir is reaped,
         // then crash with FileNotFound. Guarded like close(): only drop
@@ -1044,7 +1057,8 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     * be used after close(). */
   def close(): Unit = {
     served.clear()
-    sqlRegistered.values.foreach { case (path, view, token) =>
+    sqlRegistered.values.foreach { case (path, view, token, books) =>
+      books.foreach(_.unpersist(blocking = false))
       // the view teardown follows the SAME token guard as the registry
       // release: two facades over one path share a registry slot AND
       // (with the default viewName) a view name — a superseded facade

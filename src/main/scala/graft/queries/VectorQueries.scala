@@ -880,10 +880,14 @@ object VectorQueries {
       s.metadata.getOrElse("PartitionFilters", "")
     val adcOk = scans.exists(s => s.output.exists(_.name == "codes") &&
       !s.output.exists(_.name == "vec") && pfOf(s).contains("list_id"))
+    // the rerank scan must also carry the candidate-list DPP (round 16's
+    // bytes argument: without it the rerank re-reads every probed list's
+    // vectors and the codes scan saves nothing net)
     val rerankOk = scans.exists(s => s.output.exists(_.name == "vec") &&
-      !s.output.exists(_.name == "codes") && pfOf(s).contains("list_id"))
+      !s.output.exists(_.name == "codes") && pfOf(s).contains("list_id") &&
+      pfOf(s).contains("dynamicpruning"))
     require(adcOk && rerankOk,
-      s"sql_pq_topk: the PQ two-scan pipeline did not fire (scans: " +
+      s"sql_pq_topk: the PQ two-scan+DPP pipeline did not fire (scans: " +
         s"${scans.map(s => (s.output.map(_.name), pfOf(s)))})")
     df
   }
@@ -919,10 +923,15 @@ object VectorQueries {
       s.metadata.getOrElse("PartitionFilters", "")
     val adcOk = scans.exists(s => s.output.exists(_.name == "codes") &&
       !s.output.exists(_.name == "vec") && pfOf(s).contains("list_id"))
+    // the rerank scan must carry BOTH prunes: the static probe union AND
+    // the candidate-list DPP — without the DPP it re-reads the whole
+    // union's vectors and the codes scan saves nothing net (the
+    // SqlPqScale batch measurement)
     val rerankOk = scans.exists(s => s.output.exists(_.name == "vec") &&
-      !s.output.exists(_.name == "codes") && pfOf(s).contains("list_id"))
+      !s.output.exists(_.name == "codes") && pfOf(s).contains("list_id") &&
+      pfOf(s).contains("dynamicpruning"))
     require(adcOk && rerankOk,
-      s"sql_pq_batch: the batch PQ two-scan pipeline did not fire (scans: " +
+      s"sql_pq_batch: the batch PQ two-scan+DPP pipeline did not fire (scans: " +
         s"${scans.map(s => (s.output.map(_.name), pfOf(s)))})")
     df
   }
@@ -970,10 +979,11 @@ object VectorQueries {
     val adcOk = scans.exists(s => s.output.exists(_.name == "codes") &&
       !s.output.exists(_.name == "vec") && pfOf(s).contains("list_id"))
     val rerankOk = scans.exists(s => s.output.exists(_.name == "vec") &&
-      !s.output.exists(_.name == "codes") && pfOf(s).contains("list_id"))
+      !s.output.exists(_.name == "codes") && pfOf(s).contains("list_id") &&
+      pfOf(s).contains("dynamicpruning"))
     require(adcOk && rerankOk,
-      s"sql_pq_facade: the served epoch did not plan the two-scan pipeline " +
-        s"(scans: ${scans.map(s => (s.output.map(_.name), pfOf(s)))})")
+      s"sql_pq_facade: the served epoch did not plan the two-scan+DPP " +
+        s"pipeline (scans: ${scans.map(s => (s.output.map(_.name), pfOf(s)))})")
     df
   }
 
