@@ -1297,12 +1297,18 @@ object SqlAnn {
      * LAST), wrong-length/foreign codes and wrong-dim queries → MaxValue
      * — ranked after every scorable row, reachable by the rerank.
      *
-     * LITERAL batches only (`staticLists` derivable): both scans then
-     * carry the static probe-union partition filter. A parquet-backed
-     * batch falls back to the flat DPP path — threading dynamic pruning
-     * through BOTH scans of this pipeline is future work, and the flat
-     * fallback is correct, just uncompressed. Same gates as the
-     * single-query flavor: metric (cosine behind `cosineCodes`),
+     * LITERAL batches: both scans additionally carry the static
+     * probe-union partition filter. NON-literal (e.g. parquet-backed)
+     * batches ride too (round 17) when the queries side provably
+     * re-executes to the same rows (the rerank DPP's standalone-build
+     * safety — same gate as the flat path's onlyInBroadcast decision);
+     * their codes scan is deliberately UNPRUNED — a probe-union dynamic
+     * filter there would nest inside the rerank DPP's build plan, and
+     * for the flood-batch shape the union approaches every list anyway,
+     * where the full m-byte codes column is still 4·dim/m cheaper than
+     * the flat path's probed vectors. A non-re-executable batch falls
+     * back to the flat DPP path (correct, uncompressed). Same gates as
+     * the single-query flavor: metric (cosine behind `cosineCodes`),
      * deterministic pushed filters only (replicated into the candidate
      * stage), codes column present. Exact at nprobe = nlist with
      * rerankK >= corpus — the driver's `sql_pq_batch` geometry.
@@ -1341,16 +1347,29 @@ object SqlAnn {
           case _ => false
         }))
       if (!hasCodes) return None
-      val lists = staticLists.getOrElse(return None)
+      // NON-literal batches (no derivable static union): still eligible
+      // (round 17) when the queries side provably re-executes to the
+      // same rows — the rerank's candidate-list DPP build runs the
+      // candidate stage standalone, so a re-drawing side could prune
+      // lists the join's actual candidates need (false dismissal).
+      // Their codes scan stays UNPRUNED by design: the probe-union DPP
+      // the flat path uses would nest a dynamic filter inside the
+      // rerank DPP's build plan, and for the flood-batch shape (the one
+      // a parquet batch usually is) the union approaches every list
+      // anyway — a full scan of the m-byte codes column is the honest
+      // plan and still dim·4/m cheaper than the flat path's vectors.
+      if (staticLists.isEmpty && !reExecutesToSameRows(qSide)) return None
       val candK = math.max(pqInfo.rerankK, wgl.limit)
 
-      def pruneOver(attr: AttributeReference): Expression =
-        if (lists.isEmpty) Literal(false)
-        else In(attr, lists.map(i => Literal(i)))
+      def pruneOver(attr: AttributeReference): Option[Expression] =
+        staticLists.map { lists =>
+          if (lists.isEmpty) Literal(false)
+          else In(attr, lists.map(i => Literal(i)))
+        }
 
       // candidate stage: fresh relation instance projected to
-      // (id, list_id, codes), statically pruned, pushed filter replicated
-      // (rebased onto the fresh exprIds)
+      // (id, list_id, codes), statically pruned when the union is
+      // derivable, pushed filter replicated (rebased onto fresh exprIds)
       val relCand = rel.newInstance()
       def cand(name: String): AttributeReference =
         relCand.output.find(_.name == name).get
@@ -1361,11 +1380,12 @@ object SqlAnn {
       val rebasedFilt = filtR.map(_.condition.transform {
         case a: AttributeReference => attrMap.getOrElse(a, a)
       })
-      val candCond = rebasedFilt match {
-        case Some(c) => And(c, pruneOver(cList))
-        case None => pruneOver(cList)
-      }
-      val codesProj = Project(Seq(cId, cList, cCodes), Filter(candCond, relCand))
+      val candBase: LogicalPlan =
+        (rebasedFilt.toSeq ++ pruneOver(cList).toSeq).reduceOption(And) match {
+          case Some(c) => Filter(c, relCand)
+          case None => relCand
+        }
+      val codesProj = Project(Seq(cId, cList, cCodes), candBase)
       val listOut = AttributeReference(
         "__graft_pq_probe", IntegerType, nullable = false)()
       val qGen = Generate(
@@ -1419,7 +1439,10 @@ object SqlAnn {
         buildKeys = Seq(cList),
         broadcastKeyIndices = Seq(0),
         onlyInBroadcast = false)
-      val rerankPrune = And(pruneOver(listAttr), dpp)
+      val rerankPrune = pruneOver(listAttr) match {
+        case Some(in) => And(in, dpp)
+        case None => dpp
+      }
       val rerankInner: LogicalPlan = filtR match {
         case Some(f) => f.copy(condition = And(f.condition, rerankPrune))
         case None => Filter(rerankPrune, rel)
@@ -1434,6 +1457,20 @@ object SqlAnn {
       Some(Project(join.output,
         Join(nl, nr, Inner, Some(newCond), JoinHint.NONE)))
     }
+
+    /** True when re-executing the plan provably yields the same rows —
+      * the double-execution-safety gate shared by every DPP injection
+      * whose build side may run standalone (no non-deterministic
+      * expression anywhere, no Sample, no limit without a total order).
+      * DEEP checks: a rand() under an Aggregate or a Project above a
+      * Filter would pass a top-operator-only expression scan, and a
+      * Sample anywhere below re-draws rows on re-execution. */
+    private def reExecutesToSameRows(p: LogicalPlan): Boolean =
+      !p.exists(n => n.expressions.exists(!_.deterministic)) &&
+        !p.exists {
+          case _: Sample | _: LocalLimit | _: GlobalLimit => true
+          case _ => false
+        }
 
     /** Union of per-query candidate lists, derivable only when the batch
       * is LITERAL (a LocalRelation: the rows live in the plan, no job)
@@ -1540,12 +1577,7 @@ object SqlAnn {
           // Project above a Filter would pass a top-operator-only
           // expression scan, and a Sample anywhere below re-draws rows
           // on re-execution just the same
-          val reExecutable = !qSide.exists(p =>
-              p.expressions.exists(!_.deterministic)) &&
-            !qSide.exists {
-              case _: Sample | _: LocalLimit | _: GlobalLimit => true
-              case _ => false
-            }
+          val reExecutable = reExecutesToSameRows(qSide)
           val dpp = DynamicPruningSubquery(
             pruningKey = listAttr,
             buildQuery = newQSide,

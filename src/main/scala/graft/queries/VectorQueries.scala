@@ -706,6 +706,7 @@ object VectorQueries {
     "sql_batch_rewrite" -> (sqlBatchRewrite _),
     "sql_batch_dpp" -> (sqlBatchDpp _),
     "sql_pq_batch" -> (sqlPqBatch _),
+    "sql_pq_batch_dpp" -> (sqlPqBatchDpp _),
     "sql_range_join" -> (sqlRangeJoin _),
     "sql_semi_screen" -> (sqlSemiScreen _),
     "sql_anti_screen" -> (sqlAntiScreen _),
@@ -984,6 +985,47 @@ object VectorQueries {
     require(adcOk && rerankOk,
       s"sql_pq_facade: the served epoch did not plan the two-scan+DPP " +
         s"pipeline (scans: ${scans.map(s => (s.output.map(_.name), pfOf(s)))})")
+    df
+  }
+
+  /** The parquet-batch twin of `sql_pq_batch` (round 17): the query
+    * batch is a PARQUET table (the NEXT BatchSqlNQ embeddings, the
+    * `sql_batch_dpp` rows), so no static probe union is derivable — the
+    * rewrite still plans the PQ pipeline with the codes scan UNPRUNED by
+    * design (the flood-batch plan: the full m-byte codes column beats
+    * probe-pruned 4·dim vectors once the union widens; at nprobe =
+    * nlist it covers everything regardless) and the rerank scan pruned
+    * dynamically to the candidates' lists. Exact at full coverage, so
+    * the same brute-force window SQL is the hash oracle. REQUIRES the
+    * codes-only scan and the DPP'd rerank scan. */
+  private def sqlPqBatchDpp(spark: SparkSession, dir: String): DataFrame = {
+    sqlAnnPqTable(spark, dir)
+    val qDir = cached[String](s"sqlann-pq-batchq:$dir") {
+      val d = tempDirCleaned("graft-sqlann-pqbq")
+      emb(spark, dir)
+        .filter(col("vec_id") >= BatchSqlNQ && col("vec_id") < 2 * BatchSqlNQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        .coalesce(1).write.mode("overwrite").parquet(d)
+      d
+    }
+    spark.read.parquet(qDir).createOrReplaceTempView("graft_sqlann_pqb_qp")
+    val df = spark.sql(
+      s"""SELECT qid, id, dist, rank FROM (
+         |  SELECT q.qid, t.id, l2_distance(t.vec, q.qvec) AS dist,
+         |    CAST(row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY l2_distance(t.vec, q.qvec), t.id) AS INT) AS rank
+         |  FROM graft_sqlann_pqb_qp q, graft_sqlann_pq t)
+         |WHERE rank <= $K ORDER BY qid, rank""".stripMargin)
+    val scans = graft.plans.SqlAnn.fileSourceScans(df)
+    def pfOf(s: org.apache.spark.sql.execution.FileSourceScanExec) =
+      s.metadata.getOrElse("PartitionFilters", "")
+    val adcOk = scans.exists(s => s.output.exists(_.name == "codes") &&
+      !s.output.exists(_.name == "vec"))
+    val rerankOk = scans.exists(s => s.output.exists(_.name == "vec") &&
+      !s.output.exists(_.name == "codes") && pfOf(s).contains("dynamicpruning"))
+    require(adcOk && rerankOk,
+      s"sql_pq_batch_dpp: the parquet-batch PQ pipeline did not fire (scans: " +
+        s"${scans.map(s => (s.output.map(_.name), pfOf(s)))})")
     df
   }
 
@@ -1527,6 +1569,18 @@ object VectorQueries {
     "sql_pq_batch" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
          |           WHERE vec_id < $BatchSqlNQ),
+         |d AS (SELECT q.qid, v.vec_id AS id, ${sqlL2("q.qv", "v.embedding")} AS dist
+         |      FROM q, embeddings v),
+         |r AS (SELECT qid, id, dist,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS INT) AS rank
+         |      FROM d)
+         |SELECT qid, id, dist, rank FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin,
+    // the parquet-batch PQ twin: same exactness argument at full
+    // coverage, over the NEXT BatchSqlNQ embeddings (sql_batch_dpp's
+    // query rows)
+    "sql_pq_batch_dpp" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |           WHERE vec_id >= $BatchSqlNQ AND vec_id < ${2 * BatchSqlNQ}),
          |d AS (SELECT q.qid, v.vec_id AS id, ${sqlL2("q.qv", "v.embedding")} AS dist
          |      FROM q, embeddings v),
          |r AS (SELECT qid, id, dist,

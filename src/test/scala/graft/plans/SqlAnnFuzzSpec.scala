@@ -357,13 +357,21 @@ class SqlAnnFuzzSpec extends SparkSpec {
       val bqs = randomVectors(nq, dim, seed = rnd.nextInt(100000))
         .map { case (i, v) => (i + 2000L, v) }
       localQView("fz_pq_q", bqs)
-      val bSql =
+      def pqBatchSql(qView: String): String =
         s"""SELECT qid, id, dist, rank FROM (
            |  SELECT q.qid, t.id, $metric(t.vec, q.qvec) AS dist,
            |    CAST(row_number() OVER (PARTITION BY q.qid
            |      ORDER BY $metric(t.vec, q.qvec), t.id) AS INT) AS rank
-           |  FROM fz_pq_q q, fz_pq t)
+           |  FROM $qView q, fz_pq t)
            |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+      val bSql = pqBatchSql("fz_pq_q")
+      // parquet-backed twin: same rows, no static union — the codes scan
+      // goes unpruned, the rerank rides the candidate-list DPP
+      val qpDir = java.nio.file.Files
+        .createTempDirectory(s"graft-pqfuzz-qp$trial").toFile.getAbsolutePath
+      spark.table("fz_pq_q").write.mode("overwrite").parquet(qpDir)
+      spark.read.parquet(qpDir).createOrReplaceTempView("fz_pq_qp")
+      val bpSql = pqBatchSql("fz_pq_qp")
       val brute = rows(spark.sql(sql))
       val bruteF = rows(spark.sql(fSql))
       val bruteJ = rows(spark.sql(jSql))
@@ -387,6 +395,10 @@ class SqlAnnFuzzSpec extends SparkSpec {
         val bdf = spark.sql(bSql)
         assert(adcFired(bdf), s"$cfg: BATCH PQ did not fire (nq=$nq)")
         assert(rows(bdf) === bruteB, s"$cfg: BATCH PQ divergence (nq=$nq)")
+        val bpdf = spark.sql(bpSql)
+        assert(adcFired(bpdf), s"$cfg: PARQUET-BATCH PQ did not fire (nq=$nq)")
+        assert(rows(bpdf) === bruteB,
+          s"$cfg: PARQUET-BATCH PQ divergence (nq=$nq)")
       } finally SqlAnn.unregisterIndex(spark, dir)
     }
   }

@@ -2477,8 +2477,8 @@ class SqlAnnSpec extends SparkSpec {
          |WHERE rank <= $K ORDER BY qid, rank""".stripMargin
     localQView("sqlann_pqg_q", qs)
     val bruteFilt = rows4(spark.sql(filtSql))
-    // parquet-backed batch: the static union is underivable — PQ must
-    // NOT fire; the flat DPP path serves the shape instead
+    // parquet-backed batch (round 17): rides the pipeline too — the
+    // codes scan deliberately UNPRUNED, the rerank candidate-list-DPP'd
     val qDir = java.nio.file.Files
       .createTempDirectory("graft-pqbatch-qp").toFile.getAbsolutePath
     val list = new java.util.ArrayList[org.apache.spark.sql.Row]()
@@ -2491,6 +2491,7 @@ class SqlAnnSpec extends SparkSpec {
           org.apache.spark.sql.types.FloatType)))))
       .write.mode("overwrite").parquet(qDir)
     spark.read.parquet(qDir).createOrReplaceTempView("sqlann_pqg_qp")
+    val bruteP = rows4(spark.sql(batchSql("sqlann_pqg_qp", "sqlann_pq")))
     registerPq(nprobe = NList, rerankK = 400)
     try {
       val filt = spark.sql(filtSql)
@@ -2498,12 +2499,28 @@ class SqlAnnSpec extends SparkSpec {
       assert(rows4(filt) === bruteFilt,
         "filtered batch PQ must be exact at full coverage")
       val pq = spark.sql(batchSql("sqlann_pqg_qp", "sqlann_pq"))
-      assert(pqScansOf(pq)._1.isEmpty,
-        "a parquet-backed batch must fall back to the flat path")
-      assert(hasProbeGenerate(pq), "the flat batch rewrite must still fire")
-      val pfP = corpusScan(pq).metadata.getOrElse("PartitionFilters", "")
-      assert(pfP.contains("dynamicpruning"),
-        s"the flat fallback must dynamically prune the corpus scan ($pfP)")
+      val (pAdc, pRerank, pAdcPf, pRerankPf) = pqScansOf(pq)
+      assert(pAdc.isDefined && pRerank.isDefined,
+        "a re-executable parquet batch must ride the PQ pipeline")
+      assert(pAdcPf.forall(!_.contains("list_id")),
+        s"the parquet-batch codes scan is unpruned by design ($pAdcPf)")
+      assert(pRerankPf.exists(_.contains("dynamicpruning")),
+        s"the parquet-batch rerank must carry the candidate-list DPP ($pRerankPf)")
+      assert(rows4(pq) === bruteP,
+        "parquet-batch PQ must be exact at full coverage")
+      // a NON-re-executable batch (limit without total order: a
+      // standalone DPP build could pool different rows than the join
+      // sees) must fall back to the flat path
+      val lim = spark.sql(
+        s"""SELECT qid, id, dist, rank FROM (
+           |  SELECT q.qid, t.id, l2_distance(t.vec, q.qvec) AS dist,
+           |    CAST(row_number() OVER (PARTITION BY q.qid
+           |      ORDER BY l2_distance(t.vec, q.qvec), t.id) AS INT) AS rank
+           |  FROM (SELECT * FROM sqlann_pqg_qp LIMIT 2) q, sqlann_pq t)
+           |WHERE rank <= $K ORDER BY qid, rank""".stripMargin)
+      assert(pqScansOf(lim)._1.isEmpty,
+        "a non-re-executable batch must not take the PQ pipeline")
+      assert(hasProbeGenerate(lim), "the flat batch rewrite must serve it")
       // cosine without the cosineCodes attestation: flat probe join only
       val cosSql =
         s"""SELECT qid, id, dist, rank FROM (
