@@ -2599,6 +2599,24 @@ class SqlAnnSpec extends SparkSpec {
         s"""SELECT q.qid, t.id FROM sqlann_sar_q q LEFT JOIN sqlann_sar t
            |ON l2_distance(t.vec, q.qvec) <= 2.0""".stripMargin)
       assert(!hasRangeGenerate(outer), "outer range joins must stay untouched")
+      // PARQUET-backed query set (eval sets are tables in practice): the
+      // semi flavor rides the dynamic-pruning path, the anti flavor gets
+      // the equi-key with the scan full — both still exact
+      val qDir = java.nio.file.Files
+        .createTempDirectory("graft-sar-qp").toFile.getAbsolutePath
+      queriesDF(qs).write.mode("overwrite").parquet(qDir)
+      spark.read.parquet(qDir).createOrReplaceTempView("sqlann_sar_qp")
+      val semiP = spark.sql(semiSql.replace("sqlann_sar_q ", "sqlann_sar_qp "))
+      assert(hasRangeGenerate(semiP), "parquet semi screen must rewrite")
+      assert(corpusScan(semiP).metadata.getOrElse("PartitionFilters", "")
+        .contains("dynamicpruning"),
+        "parquet semi must dynamically prune the corpus scan")
+      assert(semiP.collect().map(_.getLong(0)).toSeq === bruteSemi)
+      val antiP = spark.sql(antiSql.replace("sqlann_sar_q ", "sqlann_sar_qp "))
+      assert(hasRangeGenerate(antiP), "parquet anti screen must rewrite")
+      val antiPPhys = antiP.queryExecution.executedPlan.toString
+      assert(!antiPPhys.contains("CartesianProduct") && !antiPPhys.contains("NestedLoop"))
+      assert(antiP.collect().map(_.getLong(0)).toSeq === bruteAnti)
     } finally SqlAnn.unregisterIndex(spark, rangeDir)
   }
 }
