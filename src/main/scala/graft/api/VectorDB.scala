@@ -121,19 +121,20 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
    *        oracle-checked lifecycle entry uses. Must match the index
    *        dimension: the distance kernels truncate to min(len), so a
    *        short centroid would silently mis-cluster the whole epoch.
+   *
+   * A PQ index — `IndexConfig.m > 0` at [[createIndex]], the reference's
+   * own CreateIndex PQ declaration (proto/vdb.proto; the PQ index API is
+   * declared-only there, engine/ivf_flat_index.h:107-189) —
+   * ADDITIONALLY trains per-subspace codebooks here and writes an
+   * m-byte `codes` column into the epoch's vectors table plus a sibling
+   * `codebooks` table, which [[registerSql]]'s `pq = true` route serves
+   * through the compressed two-scan SQL pipeline. The flat columns are
+   * unchanged — every existing path (search, range, slice read, stats)
+   * ignores `codes`. Cosine-metric epochs encode the NORMALIZED vectors
+   * (the cosine-ADC layout [[graft.index.IvfPqIndex.build]] documents;
+   * the stored flat vec stays raw — cosine scoring is
+   * normalization-invariant).
    */
-  /** A PQ index — `IndexConfig.m > 0` at [[createIndex]], the reference's
-    * own CreateIndex PQ declaration (proto/vdb.proto; the PQ index API is
-    * declared-only there, engine/ivf_flat_index.h:107-189) —
-    * ADDITIONALLY trains per-subspace codebooks here and writes an
-    * m-byte `codes` column into the epoch's vectors table plus a sibling
-    * `codebooks` table, which [[registerSql]]'s `pq = true` route serves
-    * through the compressed two-scan SQL pipeline. The flat columns are
-    * unchanged — every existing path (search, range, slice read, stats)
-    * ignores `codes`. Cosine-metric epochs encode the NORMALIZED vectors
-    * (the cosine-ADC layout [[graft.index.IvfPqIndex.build]] documents;
-    * the stored flat vec stays raw — cosine scoring is
-    * normalization-invariant). */
   def buildEpoch(
       name: String,
       source: DataFrame,
@@ -194,6 +195,12 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       val pqM = manifest.m
       val pqNbits = manifest.nbits
       val assigned = IvfFlatIndex.assign(guarded, bc)
+      // build-scoped: the encode broadcast is only referenced by the
+      // epoch-write plan, which completes synchronously below — evict
+      // executor blocks afterwards instead of leaking one codebook copy
+      // per build until GC (unpersist, re-fetchable)
+      var bcB: Option[org.apache.spark.broadcast.Broadcast[
+        Array[Array[Array[Float]]]]] = None
       val withCodes =
         if (pqM <= 0) assigned
         else {
@@ -209,11 +216,13 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
             "id", "vec", graft.kmeans.Lloyd.DefaultMaxTrain)
           val books = graft.index.IvfPqIndex.trainCodebooks(sample, pqM, pqNbits)
           graft.index.IvfPqIndex.writeCodebooks(spark, books, s"$path/codebooks")
-          val bcB = spark.sparkContext.broadcast(books)
+          val b = spark.sparkContext.broadcast(books)
+          bcB = Some(b)
           assigned.withColumn("codes",
-            graft.functions.pq.pq_encode(encodeIn, bcB))
+            graft.functions.pq.pq_encode(encodeIn, b))
         }
-      IvfFlatIndex.writeEpoch(withCodes, s"$path/vectors")
+      try IvfFlatIndex.writeEpoch(withCodes, s"$path/vectors")
+      finally bcB.foreach(_.unpersist(blocking = false))
       progress.set(0.8)
       writeCentroids(cents, s"$path/centroids")
       // covering radii for range search: one aggregation over the written
@@ -293,6 +302,13 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     // ride the compressed SQL pipeline's null-codes rank-last lane
     // instead of participating fully. Cosine epochs encode the
     // normalized vector, matching the build-time layout.
+    // append-scoped broadcast, evicted in the finally below — without
+    // that every addVectors to a PQ epoch would leak one executor-
+    // resident codebook copy until GC (same class as the registerSql
+    // churn release; unpersist only, the cached `assigned` plan can
+    // re-fetch)
+    var appendBooksBc: Option[org.apache.spark.broadcast.Broadcast[
+      Array[Array[Array[Float]]]]] = None
     val assigned =
       if (!new java.io.File(s"$path/codebooks").exists) flatAssigned
       else {
@@ -301,8 +317,10 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
           if (s.manifest.metric == Metric.Cosine)
             graft.functions.vector.normalize_vector(col("vec"))
           else col("vec")
+        val b = spark.sparkContext.broadcast(books)
+        appendBooksBc = Some(b)
         flatAssigned.withColumn("codes",
-          graft.functions.pq.pq_encode(encodeIn, spark.sparkContext.broadcast(books)))
+          graft.functions.pq.pq_encode(encodeIn, b))
       }
     try {
       // persist inside the translation scope: local-relation batches hit
@@ -376,7 +394,10 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     } catch {
       case e: Exception if dimensionError(e) =>
         throw new InvalidArgumentException("Vector dimension mismatch")
-    } finally assigned.unpersist(blocking = false)
+    } finally {
+      assigned.unpersist(blocking = false)
+      appendBooksBc.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Serializes every serve-state mutation (loadServed) and manifest
@@ -524,9 +545,9 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
    * registered side preserved — round 16), computed-column views
    * (stacked included), and catalog (metastore) parquet tables.
    *
-   * Round 17 (r16 verdict #2): `pq = true` serves a PQ epoch — one built
-   * of an index declared with `IndexConfig.m > 0`, whose vectors table carries the m-byte
-   * `codes` column and whose codebooks sit beside it — through the
+   * Round 17 (r16 verdict #2): `pq = true` serves a PQ epoch — built for
+   * an index declared with `IndexConfig.m > 0`, so its vectors table
+   * carries the m-byte `codes` column with codebooks beside it — through the
    * compressed two-scan top-k pipeline: the same canonical SQL plans as
    * an ADC candidate scan reading ONLY (id, codes) of the probed lists
    * plus an exact rerank ([[graft.plans.SqlAnn.PqInfo]]'s semantics;

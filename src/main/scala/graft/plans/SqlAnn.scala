@@ -266,8 +266,9 @@ object SqlAnn {
     * small fractions catch it). False attestations this check cannot
     * see: codes that were honestly encoded from DIFFERENT vectors than
     * the stored ones in a way that happens to reproduce every argmin —
-    * vanishingly unlikely and still bounded by the exact rerank. */
-  /** @param normalized replay the argmin against NORMALIZE(vec) instead
+    * vanishingly unlikely and still bounded by the exact rerank.
+    *
+    * @param normalized replay the argmin against NORMALIZE(vec) instead
     *        of vec — the `cosineCodes` layout, where codes were encoded
     *        from the D4-normalized vectors while the stored flat column
     *        stays raw ([[graft.index.IvfPqIndex.build]](Cosine) and the
@@ -1254,8 +1255,8 @@ object SqlAnn {
       val staticLists = staticUnion(qSide, queryV, reg.centroids.head.length,
         arr => VectorKernels.probeLists(arr, reg.centroids, reg.nprobe, metric.id))
       // the PQ-compressed batch pipeline when the registration opted in
-      // (round 17, literal batches only — see attemptBatchPq); the flat
-      // probe equi-join otherwise
+      // (round 17; literal + re-executable non-literal batches — see
+      // attemptBatchPq); the flat probe equi-join otherwise
       val restored = attemptBatchPq(wgl, join, projR, filtR, rel, reg, qSide,
         relIsLeft, queryV, metric, listAttr, staticLists)
         .getOrElse(prunedJoin(join, projR, filtR, rel, qSide, relIsLeft,

@@ -133,4 +133,62 @@ class CodegenParitySpec extends SparkSpec {
         s"metric $m: expression != direct kernel accumulation")
     }
   }
+
+  test("PQ ADC distance (runtime-query column): codegen == interpreted, agrees with the literal twin") {
+    import org.apache.spark.sql.graftshims
+    val sample = randomVectors(200, 8).map(_._2).toArray
+    val books = graft.index.IvfPqIndex.trainCodebooks(sample, m = 2, nbits = 4)
+    val bc = spark.sparkContext.broadcast(books)
+    val q = randomVectors(1, 8, seed = 9).head._2
+    val qLit = array(q.map(x => lit(x)).toIndexedSeq: _*).cast("array<float>")
+    val base = vectorsDF(randomVectors(60, 8, seed = 5))
+      .select(col("id"), graftshims.column(
+        PqEncode(graftshims.expression(col("vec")), bc)).as("codes"),
+        qLit.as("qv"))
+      // malformed rows on EITHER side: NULL codes (null propagates),
+      // wrong-length codes (MaxValue), NULL query (null propagates),
+      // wrong-DIM query (MaxValue)
+      .union(spark.range(1).select(lit(999L).as("id"),
+        lit(null).cast("array<tinyint>").as("codes"), qLit.as("qv")))
+      .union(spark.range(1).select(lit(998L).as("id"),
+        array(lit(1.toByte)).as("codes"), qLit.as("qv")))
+      .union(spark.range(1).select(lit(997L).as("id"),
+        array(lit(0.toByte), lit(0.toByte)).as("codes"),
+        lit(null).cast("array<float>").as("qv")))
+      .union(spark.range(1).select(lit(996L).as("id"),
+        array(lit(0.toByte), lit(0.toByte)).as("codes"),
+        array(lit(1.0f)).cast("array<float>").as("qv")))
+    def run(metricId: Int) = base.select(
+      col("id"),
+      graftshims.column(PqAdcDistanceCol(
+        graftshims.expression(col("codes")),
+        graftshims.expression(col("qv")), bc, metricId)).as("d"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .sortBy(_._1).toSeq
+    Seq(VectorKernels.METRIC_L2, VectorKernels.METRIC_IP,
+      VectorKernels.METRIC_COSINE).foreach { m =>
+      val on = run(m)
+      val off = withCodegenOff(run(m))
+      assert(on === off, s"metric $m: codegen != interpreted")
+      assert(on.find(_._1 == 999L).exists(_._2.isEmpty),
+        s"metric $m: NULL codes must yield NULL")
+      assert(on.find(_._1 == 998L).exists(_._2.contains(Double.MaxValue)),
+        s"metric $m: wrong-length codes must rank last")
+      assert(on.find(_._1 == 997L).exists(_._2.isEmpty),
+        s"metric $m: NULL query must yield NULL")
+      assert(on.find(_._1 == 996L).exists(_._2.contains(Double.MaxValue)),
+        s"metric $m: wrong-dim query must rank last, not crash")
+      // the runtime-query expression must agree with the literal-query
+      // twin (PqAdcDistance's table path) on every well-formed row —
+      // one ADC semantics regardless of how the query arrives
+      val lit_ = base.filter(col("id") < 900L).select(
+        col("id"),
+        graftshims.column(PqAdcDistance(
+          graftshims.expression(col("codes")), q.toIndexedSeq, bc, m)).as("d"))
+        .collect().map(r => (r.getLong(0), Some(r.getDouble(1)))).sortBy(_._1).toSeq
+      assert(on.filter(_._1 < 900L) === lit_,
+        s"metric $m: runtime-query ADC != literal-query ADC")
+    }
+  }
 }
