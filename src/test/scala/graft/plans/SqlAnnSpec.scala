@@ -2617,6 +2617,50 @@ class SqlAnnSpec extends SparkSpec {
       val antiPPhys = antiP.queryExecution.executedPlan.toString
       assert(!antiPPhys.contains("CartesianProduct") && !antiPPhys.contains("NestedLoop"))
       assert(antiP.collect().map(_.getLong(0)).toSeq === bruteAnti)
+      // METRIC MATRIX: the metric arms compose with the semi/anti gate —
+      // an IP anti screen rides the Cauchy–Schwarz ball bound (same
+      // attemptRangeJoin, different probe expression)
+      val ipAntiSql =
+        s"""SELECT t.id FROM sqlann_sar t WHERE NOT EXISTS (
+           |  SELECT 1 FROM sqlann_sar_q q
+           |  WHERE ip_distance(t.vec, q.qvec) <= -100.0) ORDER BY t.id""".stripMargin
+      SqlAnn.unregisterIndex(spark, rangeDir)
+      val bruteIpAnti = spark.sql(ipAntiSql).collect().map(_.getLong(0)).toSeq
+      SqlAnn.registerIndex(spark, rangeDir, rangeIndex.centroids.value,
+        nprobe = 2, radii = Some(rangeIndex.listRadii))
+      val ipAnti = spark.sql(ipAntiSql)
+      val ipGen = ipAnti.queryExecution.optimizedPlan.exists {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate =>
+          g.generator.children.head
+            .isInstanceOf[graft.functions.IpRangeProbeLists]
+        case _ => false
+      }
+      assert(ipGen, "the IP anti screen must ride the ball-bound probes")
+      assert(ipAnti.collect().map(_.getLong(0)).toSeq === bruteIpAnti,
+        "IP anti screen must be exact")
     } finally SqlAnn.unregisterIndex(spark, rangeDir)
+  }
+
+  test("cosine semi screen over a unit-norm-attested table rides the bridge") {
+    cosIndex
+    graft.GraftExtensions.register(spark)
+    spark.read.parquet(cosDir).createOrReplaceTempView("sqlann_csem")
+    localQView("sqlann_csem_q", Seq(100L -> ncorner(0), 101L -> ncorner(3)))
+    val sql =
+      s"""SELECT t.id FROM sqlann_csem t WHERE EXISTS (
+         |  SELECT 1 FROM sqlann_csem_q q
+         |  WHERE cosine_distance(t.vec, q.qvec) <= 0.1) ORDER BY t.id""".stripMargin
+    val brute = spark.sql(sql).collect().map(_.getLong(0)).toSeq
+    SqlAnn.registerIndex(spark, cosDir, cosIndex.centroids.value,
+      nprobe = 2, radii = Some(cosIndex.listRadii), unitNorm = true)
+    try {
+      val df = spark.sql(sql)
+      assert(hasCosineGenerate(df),
+        "the cosine semi screen must ride the unit-norm bridge probes")
+      assert(corpusScan(df).metadata.getOrElse("PartitionFilters", "")
+        .contains("list_id"), "the semi flavor prunes the corpus scan")
+      assert(df.collect().map(_.getLong(0)).toSeq === brute,
+        "cosine semi screen must be exact (bridge bound + kept predicate)")
+    } finally SqlAnn.unregisterIndex(spark, cosDir)
   }
 }
