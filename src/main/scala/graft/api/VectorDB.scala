@@ -556,7 +556,10 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
    * pool — see PqInfo's scaladoc for the pre-join pool caveat;
    * `verifyCodes = true` pays a registration-time argmin-replay pass
    * (the PQ twin of `verifyUnitNorm`) that rejects foreign/corrupted
-   * codes and non-unique ids instead of silently degrading recall.
+   * codes and non-unique ids instead of silently degrading recall;
+   * `verifySampleFraction < 1` samples the replay (round 18 — the check
+   * is probabilistic by design at scale: a corrupted codes column fails
+   * almost every row; the id-contract aggregates stay full-table).
    * Cosine-metric epochs get the `cosineCodes` attestation for free:
    * buildEpoch encoded the normalized vectors, which is exactly what
    * that attestation promises.
@@ -570,9 +573,24 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       verifyUnitNorm: Boolean = false,
       pq: Boolean = false,
       pqRerankK: Int = 100,
-      verifyCodes: Boolean = false): String = {
+      verifyCodes: Boolean = false,
+      verifySampleFraction: Double = 1.0): String = {
     if (nprobe <= 0)
       throw new InvalidArgumentException(s"nprobe must be positive: $nprobe")
+    // the sample-fraction knob (r17 verdict: previously hardwired to a
+    // FULL argmin replay — a full-corpus decode job at 100 TB, which
+    // pushes operators to turn verification off entirely): sizes the
+    // verifyCodes replay sample; the id-contract aggregates stay
+    // full-table regardless. Lone-flag rule as everywhere: a fraction
+    // with no verification to sample is a loud error, not a no-op.
+    if (verifySampleFraction <= 0.0 || verifySampleFraction > 1.0)
+      throw new InvalidArgumentException(
+        s"verifySampleFraction must be in (0, 1]: $verifySampleFraction")
+    if (verifySampleFraction != 1.0 && !verifyCodes)
+      throw new InvalidArgumentException(
+        "verifySampleFraction without verifyCodes = true: the fraction " +
+          "sizes the codes verification — pass verifyCodes = true or " +
+          "drop the fraction")
     val s = served.getOrElse(name,
       throw new NotFoundException(s"Index not loaded: $name"))
     val path = s"${epochManager(name).epochPath(s.epochId)}/vectors"
@@ -623,17 +641,36 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       }
     val radii =
       if (computeRangeRadii) Some(s.index.listRadii) else s.index.radiiIfKnown
-    val token = graft.plans.SqlAnn.registerIndex(
-      spark, path, s.index.centroids.value, nprobe, radii = radii,
-      // reuse the serving index's centroid broadcast for the batch
-      // rewrite's per-query probe expression (no second copy shipped)
-      centroidsBc = Some(s.index.centroids),
-      // caller's ATTESTATION that every stored vector is unit-norm
-      // (within SqlAnn.UnitNormTol) — unlocks the cosine→L2 bridge for
-      // SQL similarity joins; see SqlAnn.Registration.unitNorm
-      unitNorm = unitNorm,
-      pq = pqInfo,
-      verifyCodes = verifyCodes)
+    val token =
+      try graft.plans.SqlAnn.registerIndex(
+        spark, path, s.index.centroids.value, nprobe, radii = radii,
+        // reuse the serving index's centroid broadcast for the batch
+        // rewrite's per-query probe expression (no second copy shipped)
+        centroidsBc = Some(s.index.centroids),
+        // caller's ATTESTATION that every stored vector is unit-norm
+        // (within SqlAnn.UnitNormTol) — unlocks the cosine→L2 bridge for
+        // SQL similarity joins; see SqlAnn.Registration.unitNorm
+        unitNorm = unitNorm,
+        pq = pqInfo,
+        verifyCodes = verifyCodes,
+        verifySampleFraction = verifySampleFraction)
+      catch {
+        // facade error taxonomy (r17 advice): a verifyCodes rejection
+        // surfaces as the documented InvalidArgumentException like every
+        // other validation on this surface, not SqlAnn's bare
+        // IllegalArgumentException — and the codebooks broadcast created
+        // for pqInfo above is OURS and must not leak on the throw
+        // (unpersist, re-fetchable; same discipline as the swap path).
+        // The catch is ordered: InvalidArgumentException IS an
+        // IllegalArgumentException, so a facade-typed error (none today
+        // on this path) would pass through unwrapped.
+        case e: InvalidArgumentException =>
+          pqInfo.foreach(_.codebooksBc.unpersist(blocking = false))
+          throw e
+        case e: IllegalArgumentException =>
+          pqInfo.foreach(_.codebooksBc.unpersist(blocking = false))
+          throw new InvalidArgumentException(e.getMessage)
+      }
     spark.read.parquet(path).createOrReplaceTempView(view)
     sqlRegistered.put(name, (path, view, token, pqInfo.map(_.codebooksBc)))
       .foreach { case (oldPath, oldView, oldToken, oldBooks) =>

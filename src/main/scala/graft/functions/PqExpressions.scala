@@ -278,6 +278,17 @@ object PqKernels {
       codes: ArrayData): Double = {
     val m = codebooks.length
     if (codes.numElements() != m) return Double.MaxValue
+    // the query dimension must agree EXACTLY (r17 advice): the old
+    // per-subspace `off + dsub > qd.length` only caught too-SHORT
+    // queries — a LONGER one silently scored a prefix, and for cosine
+    // prepQuery had normalized over the FULL length while the prefix was
+    // scored, contradicting the documented "dimension disagrees ->
+    // MaxValue" contract. Codebooks fix the exact dimension (m uniform
+    // subspaces of dsub components — every producer trains them uniform;
+    // the per-subspace bound check below stays as the hard guard should
+    // that invariant ever break).
+    if (m == 0 || qd.length != m * codebooks(0)(0).length)
+      return Double.MaxValue
     val cosine = metric == VectorKernels.METRIC_COSINE
     val dot = cosine || metric == VectorKernels.METRIC_IP
     var total = 0.0
@@ -432,13 +443,50 @@ case class PqAdcDistanceCol(
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "pq_adc_distance_col"
 
-  /** Public for codegen. */
+  /** Per-task codebooks deref, not per pair (TorrentBroadcast.getValue
+    * synchronizes — see PqEncode's codegen note). */
+  @transient private lazy val books: Array[Array[Array[Float]]] =
+    codebooks.value
+
+  /** Last prepped query per (deserialized) expression instance:
+    * (float copy, prepped doubles). The batch candidate stage evaluates
+    * this expression once per joined (query, code) pair, and the SAME
+    * handful of query vectors arrive row after row — re-prepping per
+    * pair (a fresh double[] plus, for cosine, a renormalization) roughly
+    * doubles the stage's allocation rate (r17 advice). ArrayData object
+    * IDENTITY is useless as the key (UnsafeRow.getArray mints a fresh
+    * wrapper per call), so the key is the float CONTENT: one
+    * Arrays.equals against the memoized copy — cheaper than the
+    * copy+normalize it saves, and exact (floatToIntBits comparison;
+    * distinct NaN payloads prep to the same NaN doubles either way).
+    * ONE field holding an immutable pair: a racing reader sees a
+    * consistent (key, prepped) snapshot or recomputes — never a torn
+    * pair. */
+  @transient private var prepMemo: (Array[Float], Array[Double]) = null
+
+  /** Public for codegen. Unscorable-row contract, enforced explicitly: a
+    * NULL ELEMENT inside the query array ranks the pair LAST (MaxValue)
+    * — `toFloatArray` would instead silently unbox it to 0.0f
+    * (GenericArrayData) or memcpy the null slot's stale bytes
+    * (UnsafeArrayData), scoring a vector the caller never wrote (the NPE
+    * catch this replaces was dead code on Spark 4.1.2 — r17 advice). */
   def adc(codes: ArrayData, q: ArrayData): Double = {
-    val qf =
-      try q.toFloatArray()
-      catch { case _: NullPointerException => return Double.MaxValue }
-    PqKernels.adcDistanceDirectChecked(
-      PqKernels.prepQuery(qf, metricId), codebooks.value, metricId, codes)
+    val n = q.numElements()
+    var i = 0
+    while (i < n) {
+      if (q.isNullAt(i)) return Double.MaxValue
+      i += 1
+    }
+    val qf = q.toFloatArray()
+    val memo = prepMemo
+    val qd =
+      if (memo != null && java.util.Arrays.equals(memo._1, qf)) memo._2
+      else {
+        val prepped = PqKernels.prepQuery(qf, metricId)
+        prepMemo = (qf, prepped)
+        prepped
+      }
+    PqKernels.adcDistanceDirectChecked(qd, books, metricId, codes)
   }
 
   override def nullSafeEval(c: Any, q: Any): Any =

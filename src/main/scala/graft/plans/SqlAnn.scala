@@ -379,6 +379,15 @@ object SqlAnn {
    * Register the IVF table at `path` (the Hive-partitioned parquet
    * directory `list_id=<n>/...`, e.g. an epoch's lists) for ANN rewrite
    * at `nprobe`. Also [[enable]]s the session.
+   *
+   * `verifySampleFraction` (r17 verdict: previously hardwired to 1.0)
+   * sizes [[verifyPqCodes]]'s argmin-replay sample when
+   * `verifyCodes = true`: the default 1.0 replays EVERY coded row —
+   * right for driver-scale tables, a full-corpus decode job at 100 TB.
+   * The check is probabilistic by design at scale (a corrupted codes
+   * column fails almost every row, so even small fractions catch it);
+   * the id-contract aggregates always run over the FULL table regardless
+   * (a sampled uniqueness check proves nothing).
    */
   def registerIndex(
       spark: SparkSession,
@@ -391,7 +400,8 @@ object SqlAnn {
       centroidsBc: Option[Broadcast[Array[Array[Float]]]] = None,
       unitNorm: Boolean = false,
       pq: Option[PqInfo] = None,
-      verifyCodes: Boolean = false): Registration = {
+      verifyCodes: Boolean = false,
+      verifySampleFraction: Double = 1.0): Registration = {
     enable(spark)
     // same rule as the facade's lone-verifyUnitNorm throw (r15 verdict):
     // a verification flag with nothing to verify must fail loudly, not
@@ -401,10 +411,18 @@ object SqlAnn {
         "verifyCodes = true without a PqInfo registration: the check " +
           "guards the codes attestation — pass pq = Some(...), or call " +
           "SqlAnn.verifyPqCodes directly for a standalone check")
+    // the lone-flag rule again: a sample fraction with no verification to
+    // sample would silently do nothing while reading as "sampled check"
+    if (verifySampleFraction != 1.0 && !verifyCodes)
+      throw new IllegalArgumentException(
+        s"verifySampleFraction = $verifySampleFraction without " +
+          "verifyCodes = true: the fraction sizes the codes verification " +
+          "— pass verifyCodes = true or drop the fraction")
     pq.foreach { info =>
       if (verifyCodes &&
           !verifyPqCodes(spark, path, info.codebooksBc.value,
             vecCol = vecCol, codeCol = info.codeCol, idCol = info.idCol,
+            sampleFraction = verifySampleFraction,
             // cosineCodes attests codes encoded from NORMALIZED vectors
             // — the replay must normalize too or honest codes fail
             normalized = info.cosineCodes))
@@ -1468,10 +1486,28 @@ object SqlAnn {
       * Sample anywhere below re-draws rows on re-execution. */
     private def reExecutesToSameRows(p: LogicalPlan): Boolean =
       !p.exists(n => n.expressions.exists(!_.deterministic)) &&
-        !p.exists {
-          case _: Sample | _: LocalLimit | _: GlobalLimit => true
-          case _ => false
-        }
+        limitShapesSafe(p)
+
+    /** Samples and limits re-draw rows on re-execution — EXCEPT a limit
+      * directly over a GLOBAL Sort whose keys include every output
+      * column (r17 verdict: the blanket limit rejection forfeited the
+      * batch-PQ path on legitimately ordered batches). With all output
+      * columns among the sort keys the sorted sequence is unique up to
+      * FULLY-IDENTICAL rows, so any k-prefix is the same MULTISET on
+      * every execution — ties can only swap indistinguishable rows.
+      * (A sort over a mere subset of the columns is NOT enough: two rows
+      * equal on the keys but different elsewhere can cross the limit
+      * boundary in either order, and shuffle-read order is not stable.)
+      * Orderability of every column is already guaranteed: the keys
+      * passed analysis as SortOrder children. */
+    private def limitShapesSafe(p: LogicalPlan): Boolean = p match {
+      case _: Sample => false
+      case GlobalLimit(_, LocalLimit(_, s @ Sort(order, true, _, _)))
+          if s.output.forall(a => order.exists(_.child.semanticEquals(a))) =>
+        limitShapesSafe(s.child)
+      case _: GlobalLimit | _: LocalLimit => false
+      case _ => p.children.forall(limitShapesSafe)
+    }
 
     /** Union of per-query candidate lists, derivable only when the batch
       * is LITERAL (a LocalRelation: the rows live in the plan, no job)

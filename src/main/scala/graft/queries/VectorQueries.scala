@@ -703,7 +703,9 @@ object VectorQueries {
     "sql_pq_facade" -> (sqlPqFacade _),
     "sql_range_rewrite" -> (sqlRangeRewrite _),
     "sql_ip_range" -> (sqlIpRange _),
+    "sql_cosine_range" -> (sqlCosineRange _),
     "sql_batch_rewrite" -> (sqlBatchRewrite _),
+    "sql_batch_ip" -> (sqlBatchIp _),
     "sql_batch_dpp" -> (sqlBatchDpp _),
     "sql_pq_batch" -> (sqlPqBatch _),
     "sql_pq_batch_dpp" -> (sqlPqBatchDpp _),
@@ -834,6 +836,46 @@ object VectorQueries {
     val pf = partitionFilterOf(df)
     require(pf.contains("list_id"),
       s"sql_ip_range: the IP ball-bound range rewrite did not fire (PartitionFilters: $pf)")
+    df
+  }
+
+  /** Unit-norm SQL query literal for the cosine range entry: 64
+    * components of ±0.125, so ‖q‖² = 64·(1/64) = 1 EXACTLY — each
+    * component is an exact binary fraction (identical float32 in Spark
+    * SQL and DuckDB), and the exact unit norm passes
+    * [[graft.plans.SqlAnn]]'s driver-side norm gate on the literal
+    * (l2RadiusOf's cosine arm) with zero slack. */
+  private def sqlCosVals: Seq[Double] =
+    (0 until 64).map(i => if ((i * 7) % 3 == 0) -0.125 else 0.125)
+
+  /** Cosine radius for the single-table cosine range entry: ~4% of the
+    * corpus at both driver scales (measured quantiles of cosine distance
+    * vs the unit literal: 2%/5% ≈ 0.75/0.79 at sf0.01, 0.75/0.80 at
+    * sf0.1). */
+  private val SqlCosRangeRadius = "0.78"
+
+  /** Single-table cosine range in SQL (round 18, r17 verdict #3: the
+    * last unoracled cell of the range metric matrix — the cosine arm of
+    * [[graft.plans.SqlAnn]]'s rangeConjunct was spec-only; the JOIN
+    * flavor has `sql_cosine_join`): `WHERE cosine_distance(vec, lit) <=
+    * r` over the unit-norm-attested registered table, planned as the
+    * covering-ball-pruned scan through the cosine→L2 bridge (1−cos =
+    * ‖a−b‖²/2 at unit norms; cosineL2Bound absorbs the attestation
+    * slack). EXACT — the bridge bound is conservative and the original
+    * predicate is KEPT — so brute-force cosine SQL over the same
+    * normalized vectors is the hash oracle. Requires the fired partition
+    * filter like its L2 and IP twins. */
+  private def sqlCosineRange(spark: SparkSession, dir: String): DataFrame = {
+    sqlAnnCosTable(spark, dir)
+    val q = s"CAST(array(${sqlCosVals.mkString(", ")}) AS ARRAY<FLOAT>)"
+    val df = spark.sql(
+      s"""SELECT id, cosine_distance(vec, $q) AS dist
+         |FROM graft_sqlann_cos
+         |WHERE cosine_distance(vec, $q) <= $SqlCosRangeRadius
+         |ORDER BY id""".stripMargin)
+    val pf = partitionFilterOf(df)
+    require(pf.contains("list_id"),
+      s"sql_cosine_range: the cosine-bridge range rewrite did not fire (PartitionFilters: $pf)")
     df
   }
 
@@ -1085,6 +1127,36 @@ object VectorQueries {
     val pf = partitionFilterOf(df)
     require(pf.contains("list_id"),
       s"sql_batch_rewrite: the batch ANN rewrite did not fire (PartitionFilters: $pf)")
+    df
+  }
+
+  /** IP batch top-k in SQL (round 18, r17 verdict #4: the batch shape's
+    * metric dispatch was spec-only — all four batch driver entries were
+    * L2): the same window-rank SQL under `ip_distance` over the
+    * registered table. The rewrite's probe explode ranks lists by
+    * negated centroid dot (metric-aware
+    * [[graft.functions.ProbeLists]]), and at nprobe = nlist every
+    * (query, row) pair survives the equi-join regardless of probe order,
+    * so the rewritten plan is EXACT and the brute-force negated-dot
+    * window rank is the hash oracle. Literal batch → REQUIRES the fired
+    * static probe-union partition filter like its L2 twin. */
+  private def sqlBatchIp(spark: SparkSession, dir: String): DataFrame = {
+    sqlAnnTable(spark, dir)
+    val src = emb(spark, dir).filter(col("vec_id") < BatchSqlNQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    spark.createDataFrame(
+      java.util.Arrays.asList(src.collect(): _*), src.schema)
+      .createOrReplaceTempView("graft_sqlann_ipb_q")
+    val df = spark.sql(
+      s"""SELECT qid, id, dist, rank FROM (
+         |  SELECT q.qid, t.id, ip_distance(t.vec, q.qvec) AS dist,
+         |    CAST(row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ip_distance(t.vec, q.qvec), t.id) AS INT) AS rank
+         |  FROM graft_sqlann_ipb_q q, graft_sqlann t)
+         |WHERE rank <= $K ORDER BY qid, rank""".stripMargin)
+    val pf = partitionFilterOf(df)
+    require(pf.contains("list_id"),
+      s"sql_batch_ip: the IP batch rewrite did not fire (PartitionFilters: $pf)")
     df
   }
 
@@ -1542,6 +1614,20 @@ object VectorQueries {
          |d AS (SELECT v.vec_id AS id, ${sqlIp("q.qv", "v.embedding")} AS dist
          |      FROM embeddings v, q)
          |SELECT id, dist FROM d WHERE dist <= $SqlIpRangeRadius ORDER BY id""".stripMargin,
+    // the cosine range rewrite is EXACT (conservative bridge bound +
+    // kept predicate): brute-force cosine over the SAME normalized
+    // vectors (the hash-green normalize replay) under the unit literal
+    // is the oracle
+    "sql_cosine_range" ->
+      s"""WITH n AS (SELECT vec_id, list_transform(embedding,
+         |      x -> CAST(CAST(x AS DOUBLE) * inv AS FLOAT)) AS nv
+         |    FROM (SELECT vec_id, embedding,
+         |      1.0 / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) + 1e-8) AS inv
+         |      FROM embeddings)),
+         |q AS (SELECT [${sqlCosVals.mkString(", ")}]::FLOAT[] AS qv),
+         |d AS (SELECT v.vec_id AS id, ${sqlCosine("v.nv", "q.qv")} AS dist
+         |      FROM n v, q)
+         |SELECT id, dist FROM d WHERE dist <= $SqlCosRangeRadius ORDER BY id""".stripMargin,
     // the range rewrite is EXACT by construction (covering-ball bound),
     // so brute force under the same literal + radius is the oracle
     "sql_range_rewrite" ->
@@ -1557,6 +1643,18 @@ object VectorQueries {
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
          |           WHERE vec_id < $BatchSqlNQ),
          |d AS (SELECT q.qid, v.vec_id AS id, ${sqlL2("q.qv", "v.embedding")} AS dist
+         |      FROM q, embeddings v),
+         |r AS (SELECT qid, id, dist,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS INT) AS rank
+         |      FROM d)
+         |SELECT qid, id, dist, rank FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin,
+    // the IP batch twin: metric-aware probe order, but nprobe = nlist
+    // keeps ANY order exact — negated-dot window rank over the same
+    // query rows is the oracle
+    "sql_batch_ip" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |           WHERE vec_id < $BatchSqlNQ),
+         |d AS (SELECT q.qid, v.vec_id AS id, ${sqlIp("v.embedding", "q.qv")} AS dist
          |      FROM q, embeddings v),
          |r AS (SELECT qid, id, dist,
          |        CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS INT) AS rank

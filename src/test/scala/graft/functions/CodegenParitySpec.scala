@@ -158,6 +158,18 @@ class CodegenParitySpec extends SparkSpec {
       .union(spark.range(1).select(lit(996L).as("id"),
         array(lit(0.toByte), lit(0.toByte)).as("codes"),
         array(lit(1.0f)).cast("array<float>").as("qv")))
+      // a NULL ELEMENT inside the query array (r17 advice: toFloatArray
+      // silently zero-fills it — the expression must rank the pair last,
+      // not score a vector the caller never wrote)
+      .union(spark.range(1).select(lit(995L).as("id"),
+        array(lit(0.toByte), lit(0.toByte)).as("codes"),
+        array((lit(0.5f) +: lit(null).cast("float") +:
+          Seq.fill(6)(lit(0.5f))): _*).cast("array<float>").as("qv")))
+      // a TOO-LONG query (r17 advice: used to silently score a prefix —
+      // and for cosine, normalize over the full length while doing so)
+      .union(spark.range(1).select(lit(994L).as("id"),
+        array(lit(0.toByte), lit(0.toByte)).as("codes"),
+        array(Seq.fill(9)(lit(1.0f)): _*).cast("array<float>").as("qv")))
     def run(metricId: Int) = base.select(
       col("id"),
       graftshims.column(PqAdcDistanceCol(
@@ -179,6 +191,10 @@ class CodegenParitySpec extends SparkSpec {
         s"metric $m: NULL query must yield NULL")
       assert(on.find(_._1 == 996L).exists(_._2.contains(Double.MaxValue)),
         s"metric $m: wrong-dim query must rank last, not crash")
+      assert(on.find(_._1 == 995L).exists(_._2.contains(Double.MaxValue)),
+        s"metric $m: a null-ELEMENT query must rank last, not score zero-filled")
+      assert(on.find(_._1 == 994L).exists(_._2.contains(Double.MaxValue)),
+        s"metric $m: a too-LONG query must rank last, not score a prefix")
       // the runtime-query expression must agree with the literal-query
       // twin (PqAdcDistance's table path) on every well-formed row —
       // one ADC semantics regardless of how the query arrives

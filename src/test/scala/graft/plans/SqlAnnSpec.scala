@@ -2295,6 +2295,55 @@ class SqlAnnSpec extends SparkSpec {
     } finally db.close()
   }
 
+  test("registerSql verification taxonomy: sampled verify passes/rejects, failures surface as InvalidArgumentException") {
+    import graft.IndexConfig
+    graft.GraftExtensions.register(spark)
+    val db = new graft.api.VectorDB(spark,
+      java.nio.file.Files.createTempDirectory("graft-sqlann-pqsf").toString)
+    db.createIndex(IndexConfig("pqsf", Dim, nlist = 4, m = 2))
+    val ep = db.buildEpoch("pqsf", vectorsDF(randomVectors(150, Dim, seed = 31)))
+    db.activateEpoch("pqsf", ep)
+    db.loadIndex("pqsf")
+    // an epoch whose id contract is BROKEN (duplicate ids appended): the
+    // facade's verified registration must reject it with the facade's
+    // OWN error type — r17 advice: SqlAnn's IllegalArgumentException
+    // used to escape through registerSql, breaking the documented
+    // taxonomy every other validation on the surface follows
+    db.createIndex(IndexConfig("pqsfdup", Dim, nlist = 4, m = 2))
+    val dupRows = randomVectors(60, Dim, seed = 32)
+    val epDup = db.buildEpoch("pqsfdup", vectorsDF(dupRows ++ dupRows.take(3)))
+    db.activateEpoch("pqsfdup", epDup)
+    db.loadIndex("pqsfdup")
+    try {
+      // the fraction knob's own validation (facade taxonomy)
+      intercept[graft.InvalidArgumentException](
+        db.registerSql("pqsf", pq = true, verifyCodes = true,
+          verifySampleFraction = 0.0))
+      intercept[graft.InvalidArgumentException](
+        db.registerSql("pqsf", pq = true, verifyCodes = true,
+          verifySampleFraction = 1.5))
+      // lone fraction: nothing to sample must fail loudly
+      intercept[graft.InvalidArgumentException](
+        db.registerSql("pqsf", pq = true, verifySampleFraction = 0.5))
+      // honest epoch: the SAMPLED verification registers fine (r17
+      // verdict #2 — the 100 TB mode: no full-corpus decode job)
+      val view = db.registerSql("pqsf", nprobe = 4, pq = true,
+        pqRerankK = 1000, verifyCodes = true, verifySampleFraction = 0.25)
+      assert(pqScansOf(spark.sql(annSql(view)))._1.isDefined,
+        "a sampled-verified registration must serve the two-scan pipeline")
+      // broken id contract: rejected AS InvalidArgumentException — the
+      // exact class, not just some IllegalArgumentException
+      val e = intercept[IllegalArgumentException](
+        db.registerSql("pqsfdup", pq = true, verifyCodes = true))
+      assert(e.isInstanceOf[graft.InvalidArgumentException],
+        s"facade taxonomy: expected InvalidArgumentException, got ${e.getClass}")
+      // ... and the unverified registration of the same epoch still works
+      // (the id contract is the caller's to honor; verification is the
+      // opt-in check) — proving the failure above was the verifier
+      db.registerSql("pqsfdup", nprobe = 4, viewName = "pqsfdup_raw", pq = true)
+    } finally db.close()
+  }
+
   test("verifyPqCodes: argmin replay accepts honest codes, rejects foreign books/codes/ids") {
     pqIndex
     val books = pqIndex.codebooks.value
@@ -2345,6 +2394,29 @@ class SqlAnnSpec extends SparkSpec {
       pq = Some(new SqlAnn.PqInfo(pqIndex.codebooks)),
       verifyCodes = true)
     SqlAnn.unregisterIndex(spark, pqDir)
+    // the sample-fraction knob (round 18, r17 verdict #2: previously
+    // hardwired to a full replay): a SAMPLED verification still rejects
+    // a corrupted codes column — foreign codebooks fail almost every
+    // row, so any non-trivial sample catches them — and still accepts
+    // the honest one
+    intercept[IllegalArgumentException](
+      SqlAnn.registerIndex(spark, pqDir, pqIndex.centroids.value, nprobe = 2,
+        centroidsBc = Some(pqIndex.centroids),
+        pq = Some(new SqlAnn.PqInfo(
+          spark.sparkContext.broadcast(books.map(_.reverse)))),
+        verifyCodes = true, verifySampleFraction = 0.3))
+    SqlAnn.registerIndex(spark, pqDir, pqIndex.centroids.value, nprobe = 2,
+      centroidsBc = Some(pqIndex.centroids),
+      pq = Some(new SqlAnn.PqInfo(pqIndex.codebooks)),
+      verifyCodes = true, verifySampleFraction = 0.5)
+    SqlAnn.unregisterIndex(spark, pqDir)
+    // the lone-flag rule extends to the fraction: a sample size with no
+    // verification to sample must fail loudly, not read as "sampled"
+    intercept[IllegalArgumentException](
+      SqlAnn.registerIndex(spark, pqDir, pqIndex.centroids.value, nprobe = 2,
+        centroidsBc = Some(pqIndex.centroids),
+        pq = Some(new SqlAnn.PqInfo(pqIndex.codebooks)),
+        verifySampleFraction = 0.5))
   }
 
   test("facade PQ with cosine metric: normalized-code attestation verified and served") {
@@ -2533,6 +2605,58 @@ class SqlAnnSpec extends SparkSpec {
       assert(pqScansOf(cos)._1.isEmpty,
         "unattested cosine must not take the batch ADC path")
       assert(hasProbeGenerate(cos), "the flat batch rewrite must serve cosine")
+    } finally SqlAnn.unregisterIndex(spark, pqDir)
+  }
+
+  test("limit over a TOTAL-order sort is re-executable: batch PQ rides it; partial-order sorts still fall back") {
+    // r17 verdict #6: reExecutesToSameRows used to reject ALL limits —
+    // but a limit directly over a global sort whose keys include EVERY
+    // output column re-executes to the same multiset (ties can only
+    // swap fully-identical rows), so it may feed a standalone DPP build
+    pqIndex
+    graft.GraftExtensions.register(spark)
+    spark.read.parquet(pqDir).createOrReplaceTempView("sqlann_pq")
+    val qs = randomVectors(4, Dim, seed = 23).map { case (i, v) => (i + 700L, v) }
+    val qDir = java.nio.file.Files
+      .createTempDirectory("graft-pqlimit-qp").toFile.getAbsolutePath
+    val list = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    qs.foreach { case (i, v) => list.add(org.apache.spark.sql.Row(i, v.toSeq)) }
+    spark.createDataFrame(list, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qid",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("qvec",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)))))
+      .write.mode("overwrite").parquet(qDir)
+    spark.read.parquet(qDir).createOrReplaceTempView("sqlann_lim_qp")
+    def limSql(orderBy: String) =
+      s"""SELECT qid, id, dist, rank FROM (
+         |  SELECT q.qid, t.id, l2_distance(t.vec, q.qvec) AS dist,
+         |    CAST(row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY l2_distance(t.vec, q.qvec), t.id) AS INT) AS rank
+         |  FROM (SELECT * FROM sqlann_lim_qp ORDER BY $orderBy LIMIT 2) q,
+         |       sqlann_pq t)
+         |WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+    val brute = rows4(spark.sql(limSql("qid, qvec")))
+    registerPq(nprobe = NList, rerankK = 400)
+    try {
+      // ORDER BY every output column + LIMIT: total order, re-executable
+      // — the PQ pipeline fires with the candidate-list DPP
+      val tot = spark.sql(limSql("qid, qvec"))
+      val (adc, _, _, rerankPf) = pqScansOf(tot)
+      assert(adc.isDefined,
+        "a limit over a total-order sort must ride the PQ pipeline")
+      assert(rerankPf.exists(_.contains("dynamicpruning")),
+        s"the rerank must carry the candidate-list DPP ($rerankPf)")
+      assert(rows4(tot) === brute,
+        "total-sort-limited batch PQ must be exact at full coverage")
+      // ORDER BY a key SUBSET (qid only — unique in the data, but not
+      // provably so from the plan): conservative fallback to the flat
+      // path, broadcast-reuse-only pruning
+      val part = spark.sql(limSql("qid"))
+      assert(pqScansOf(part)._1.isEmpty,
+        "a subset-order limit must not take the PQ pipeline")
+      assert(hasProbeGenerate(part), "the flat batch rewrite must serve it")
     } finally SqlAnn.unregisterIndex(spark, pqDir)
   }
 
