@@ -1506,6 +1506,11 @@ object SqlAnn {
           if s.output.forall(a => order.exists(_.child.semanticEquals(a))) =>
         limitShapesSafe(s.child)
       case _: GlobalLimit | _: LocalLimit => false
+      // OFFSET and Dataset.tail select by position like a limit does —
+      // over anything but a total order the selected rows are not stable
+      // across executions (r18: these slipped through the pre-r18 gate,
+      // which only listed Sample and the two Limit nodes)
+      case _: Offset | _: Tail => false
       case _ => p.children.forall(limitShapesSafe)
     }
 

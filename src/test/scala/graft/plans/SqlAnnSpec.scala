@@ -965,6 +965,20 @@ class SqlAnnSpec extends SparkSpec {
       // one consistent row set to both join and prune)
       val rows = rows4(lim)
       assert(rows.map(_._1).distinct.size === 3 && rows.size === 3 * K)
+      // OFFSET selects by position like a limit: not stable across
+      // executions over anything but a total order (r18 — the pre-r18
+      // gate listed only Sample and the Limit nodes, so an OFFSET side
+      // could feed a standalone DPP build and falsely dismiss)
+      val off = spark.sql(
+        s"""SELECT qid, id, dist, rank FROM (
+           |  SELECT q.qid, t.id, l2_distance(t.vec, q.qvec) AS dist,
+           |    CAST(row_number() OVER (PARTITION BY q.qid
+           |      ORDER BY l2_distance(t.vec, q.qvec), t.id) AS INT) AS rank
+           |  FROM (SELECT * FROM sqlann_detq OFFSET 2) q, sqlann_det t)
+           |WHERE rank <= $K ORDER BY qid, rank""".stripMargin)
+      assert(hasProbeGenerate(off), "the join prune itself still applies")
+      assert(onlyInBroadcastOf(off).forall(_ == true),
+        "an OFFSET queries side must demand broadcast reuse for pruning")
       // TABLESAMPLE: same guard
       val samp = spark.sql(
         s"""SELECT qid, id, dist, rank FROM (
