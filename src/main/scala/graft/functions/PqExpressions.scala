@@ -450,19 +450,37 @@ case class PqAdcDistanceCol(
 
   /** Last prepped query per (deserialized) expression instance:
     * (float copy, prepped doubles). The batch candidate stage evaluates
-    * this expression once per joined (query, code) pair, and the SAME
-    * handful of query vectors arrive row after row — re-prepping per
-    * pair (a fresh double[] plus, for cosine, a renormalization) roughly
-    * doubles the stage's allocation rate (r17 advice). ArrayData object
-    * IDENTITY is useless as the key (UnsafeRow.getArray mints a fresh
-    * wrapper per call), so the key is the float CONTENT: one
-    * Arrays.equals against the memoized copy — cheaper than the
-    * copy+normalize it saves, and exact (floatToIntBits comparison;
-    * distinct NaN payloads prep to the same NaN doubles either way).
-    * ONE field holding an immutable pair: a racing reader sees a
-    * consistent (key, prepped) snapshot or recomputes — never a torn
-    * pair. */
+    * this expression once per joined (query, code) pair; when the same
+    * query repeats row after row, re-prepping per pair (a fresh double[]
+    * plus, for cosine, a renormalization) roughly doubles the stage's
+    * allocation rate (r17 advice). ArrayData object IDENTITY is useless
+    * as the key (UnsafeRow.getArray mints a fresh wrapper per call), so
+    * the key is the float CONTENT: one Arrays.equals against the
+    * memoized copy — exact (floatToIntBits comparison; distinct NaN
+    * payloads prep to the same NaN doubles either way) and cheap on
+    * misses (bails at the first differing element). ONE field holding an
+    * immutable pair: a racing reader sees a consistent (key, prepped)
+    * snapshot or recomputes — never a torn pair.
+    *
+    * ADAPTIVE INSTALL (measured, tools/AdcMemoBench): the broadcast-hash
+    * candidate join streams the CODES side, so its output can interleave
+    * the batch's queries per corpus row — a naive install-on-every-miss
+    * memo pays a tuple allocation per pair on that pattern and measured
+    * 20-35% SLOWER than no memo at all. The memo therefore installs only
+    * on the SECOND consecutive sighting of the same query (a cheap
+    * length/first/last-bits fingerprint of the last miss): repeated-query
+    * streams hit from the third row on, interleaved streams degrade to
+    * a failed first-element compare + three int ops — never a slowdown. */
   @transient private var prepMemo: (Array[Float], Array[Double]) = null
+  @transient private var lastMissKey: Int = 0
+
+  private def missKey(qf: Array[Float]): Int = {
+    val n = qf.length
+    var k = n * 31 + 17
+    if (n > 0) k ^= java.lang.Float.floatToIntBits(qf(0)) * 31
+    if (n > 1) k ^= java.lang.Float.floatToIntBits(qf(n - 1))
+    k
+  }
 
   /** Public for codegen. Unscorable-row contract, enforced explicitly: a
     * NULL ELEMENT inside the query array ranks the pair LAST (MaxValue)
@@ -483,7 +501,9 @@ case class PqAdcDistanceCol(
       if (memo != null && java.util.Arrays.equals(memo._1, qf)) memo._2
       else {
         val prepped = PqKernels.prepQuery(qf, metricId)
-        prepMemo = (qf, prepped)
+        val key = missKey(qf)
+        if (key == lastMissKey) prepMemo = (qf, prepped)
+        else lastMissKey = key
         prepped
       }
     PqKernels.adcDistanceDirectChecked(qd, books, metricId, codes)

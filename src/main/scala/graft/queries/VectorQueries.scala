@@ -706,11 +706,14 @@ object VectorQueries {
     "sql_cosine_range" -> (sqlCosineRange _),
     "sql_batch_rewrite" -> (sqlBatchRewrite _),
     "sql_batch_ip" -> (sqlBatchIp _),
+    "sql_batch_cosine" -> (sqlBatchCosine _),
     "sql_batch_dpp" -> (sqlBatchDpp _),
     "sql_pq_batch" -> (sqlPqBatch _),
     "sql_pq_batch_dpp" -> (sqlPqBatchDpp _),
     "sql_range_join" -> (sqlRangeJoin _),
     "sql_semi_screen" -> (sqlSemiScreen _),
+    "sql_semi_screen_cos" -> (sqlSemiScreenCos _),
+    "sql_semi_screen_ip" -> (sqlSemiScreenIp _),
     "sql_anti_screen" -> (sqlAntiScreen _),
     "sql_cosine_join" -> (sqlCosineJoin _),
     "sql_ip_range_join" -> (sqlIpRangeJoin _),
@@ -1160,6 +1163,35 @@ object VectorQueries {
     df
   }
 
+  /** Cosine batch top-k in SQL (round 18, closing the batch row of the
+    * metric matrix): the window-rank batch shape under
+    * `cosine_distance`. Top-k needs no unit-norm attestation (the
+    * attestation gates only the range/join bridge); the probe explode
+    * ranks lists by cosine-to-centroid, and at nprobe = nlist every
+    * (query, row) pair survives regardless of order, so the rewritten
+    * plan is EXACT and the brute-force cosine window rank is the hash
+    * oracle. Literal batch → REQUIRES the fired static probe-union
+    * partition filter. */
+  private def sqlBatchCosine(spark: SparkSession, dir: String): DataFrame = {
+    sqlAnnTable(spark, dir)
+    val src = emb(spark, dir).filter(col("vec_id") < BatchSqlNQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    spark.createDataFrame(
+      java.util.Arrays.asList(src.collect(): _*), src.schema)
+      .createOrReplaceTempView("graft_sqlann_cb_q")
+    val df = spark.sql(
+      s"""SELECT qid, id, dist, rank FROM (
+         |  SELECT q.qid, t.id, cosine_distance(t.vec, q.qvec) AS dist,
+         |    CAST(row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY cosine_distance(t.vec, q.qvec), t.id) AS INT) AS rank
+         |  FROM graft_sqlann_cb_q q, graft_sqlann t)
+         |WHERE rank <= $K ORDER BY qid, rank""".stripMargin)
+    val pf = partitionFilterOf(df)
+    require(pf.contains("list_id"),
+      s"sql_batch_cosine: the cosine batch rewrite did not fire (PartitionFilters: $pf)")
+    df
+  }
+
   /** The executed plan's CORPUS-scan partition-filter text — with a
     * parquet-backed queries side the plan has TWO file scans and the
     * first-scan probe ([[partitionFilterOf]]) may hit the queries
@@ -1230,13 +1262,17 @@ object VectorQueries {
   /** Did a range-probe explode land in the optimized plan? The semi/anti
     * screen entries' fired-rewrite probe (the anti flavor leaves the
     * scan unpruned BY DESIGN, so the partition-filter check cannot serve
-    * as its proof). */
-  private def rangeGenerateFired(df: DataFrame): Boolean =
+    * as its proof). Metric-aware: each screen entry names the probe
+    * expression ITS metric plans (L2 / cosine-bridge / IP-ball), so a
+    * silent metric-dispatch fallback to another arm cannot pass. */
+  private def rangeGenerateFired(
+      df: DataFrame,
+      probeClass: Class[_] = classOf[graft.functions.RangeProbeLists]): Boolean =
     df.queryExecution.optimizedPlan.exists {
       case g: org.apache.spark.sql.catalyst.plans.logical.Generate =>
         g.generator match {
           case e: org.apache.spark.sql.catalyst.expressions.Explode =>
-            e.child.isInstanceOf[graft.functions.RangeProbeLists]
+            probeClass.isInstance(e.child)
           case _ => false
         }
       case _ => false
@@ -1300,6 +1336,60 @@ object VectorQueries {
     val phys = df.queryExecution.executedPlan.toString
     require(!phys.contains("CartesianProduct") && !phys.contains("NestedLoop"),
       "sql_anti_screen: the anti screen must plan an equi join")
+    df
+  }
+
+  /** Cosine contamination screen in SQL (round 18, closing the screen
+    * row of the metric matrix): the EXISTS screen under
+    * `cosine_distance` over the unit-norm-attested cos table — rides the
+    * cosine→L2 bridge INSIDE the semi join (the metric dispatch and the
+    * join-type gate are orthogonal; spec-pinned in r17, unoracled until
+    * now). EXACT by the same match-existence argument as the L2 screen
+    * (the bridge bound is conservative, the original predicate is kept),
+    * so brute-force cosine EXISTS over the same normalized vectors is
+    * the hash oracle. REQUIRES the fired COSINE probe explode (a silent
+    * fallback to another metric arm cannot pass) and the pruned corpus
+    * scan. */
+  private def sqlSemiScreenCos(spark: SparkSession, dir: String): DataFrame = {
+    sqlAnnCosTable(spark, dir)
+    val src = emb(spark, dir).filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"),
+        vector.normalize_vector(col("embedding")).as("qvec"))
+    spark.createDataFrame(
+      java.util.Arrays.asList(src.collect(): _*), src.schema)
+      .createOrReplaceTempView("graft_sqlann_csq")
+    val df = spark.sql(
+      s"""SELECT t.id FROM graft_sqlann_cos t WHERE EXISTS (
+         |  SELECT 1 FROM graft_sqlann_csq q
+         |  WHERE cosine_distance(t.vec, q.qvec) <= $CosJoinRadius)
+         |ORDER BY t.id""".stripMargin)
+    require(rangeGenerateFired(df, classOf[graft.functions.CosineRangeProbeLists]),
+      "sql_semi_screen_cos: the cosine-bridge semi rewrite did not fire")
+    val pf = corpusPartitionFilterOf(df)
+    require(pf.contains("list_id"),
+      s"sql_semi_screen_cos: the corpus scan is unpruned (PartitionFilters: $pf)")
+    df
+  }
+
+  /** IP contamination screen in SQL (round 18): the EXISTS screen under
+    * `ip_distance` — the Cauchy–Schwarz ball bound inside the semi join.
+    * EXACT (the bound is the true max of the dot over each covering
+    * ball; match existence preserved both ways), so brute-force
+    * negated-dot EXISTS is the hash oracle. REQUIRES the fired IP probe
+    * explode and the pruned corpus scan. */
+  private def sqlSemiScreenIp(spark: SparkSession, dir: String): DataFrame = {
+    sqlAnnTable(spark, dir)
+    sqlScreenQueries(spark, dir)
+    val df = spark.sql(
+      s"""SELECT t.id FROM graft_sqlann t WHERE EXISTS (
+         |  SELECT 1 FROM graft_sqlann_sq q
+         |  WHERE ip_distance(t.vec, q.qvec) <= $IpJoinRadius)
+         |ORDER BY t.id""".stripMargin)
+    require(rangeGenerateFired(df, classOf[graft.functions.IpRangeProbeLists]),
+      "sql_semi_screen_ip: the IP ball-bound semi rewrite did not fire")
+    val pf = corpusPartitionFilterOf(df)
+    require(pf.contains("list_id"),
+      s"sql_semi_screen_ip: the corpus scan is unpruned (PartitionFilters: $pf)")
     df
   }
 
@@ -1660,6 +1750,17 @@ object VectorQueries {
          |        CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS INT) AS rank
          |      FROM d)
          |SELECT qid, id, dist, rank FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin,
+    // the cosine batch twin: no attestation needed for top-k, exact at
+    // nprobe = nlist — cosine window rank over the same query rows
+    "sql_batch_cosine" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |           WHERE vec_id < $BatchSqlNQ),
+         |d AS (SELECT q.qid, v.vec_id AS id, ${sqlCosine("v.embedding", "q.qv")} AS dist
+         |      FROM q, embeddings v),
+         |r AS (SELECT qid, id, dist,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS INT) AS rank
+         |      FROM d)
+         |SELECT qid, id, dist, rank FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin,
     // the batch PQ pipeline reduces to the exact window rank at
     // nprobe = nlist with rerankK >= corpus (every pair reaches the
     // exact rerank), so sql_batch_rewrite's brute-force window SQL over
@@ -1708,6 +1809,26 @@ object VectorQueries {
       s"""SELECT t.vec_id AS id FROM embeddings t WHERE EXISTS (
          |  SELECT 1 FROM embeddings q WHERE q.vec_id < $NQ
          |    AND ${sqlL2("t.embedding", "q.embedding")} <= $RangeRadius)
+         |ORDER BY id""".stripMargin,
+    // the cosine screen rides the bridge inside the semi join: same
+    // match-existence exactness, brute-force cosine EXISTS over the SAME
+    // normalized vectors (the hash-green normalize replay)
+    "sql_semi_screen_cos" ->
+      s"""WITH n AS (SELECT vec_id, list_transform(embedding,
+         |      x -> CAST(CAST(x AS DOUBLE) * inv AS FLOAT)) AS nv
+         |    FROM (SELECT vec_id, embedding,
+         |      1.0 / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) + 1e-8) AS inv
+         |      FROM embeddings))
+         |SELECT t.vec_id AS id FROM n t WHERE EXISTS (
+         |  SELECT 1 FROM n q WHERE q.vec_id < $NQ
+         |    AND ${sqlCosine("t.nv", "q.nv")} <= $CosJoinRadius)
+         |ORDER BY id""".stripMargin,
+    // the IP screen rides the Cauchy-Schwarz ball bound inside the semi
+    // join: same match-existence exactness, negated-dot EXISTS oracle
+    "sql_semi_screen_ip" ->
+      s"""SELECT t.vec_id AS id FROM embeddings t WHERE EXISTS (
+         |  SELECT 1 FROM embeddings q WHERE q.vec_id < $NQ
+         |    AND ${sqlIp("t.embedding", "q.embedding")} <= $IpJoinRadius)
          |ORDER BY id""".stripMargin,
     // the anti screen's NOT EXISTS twin, same exactness argument
     "sql_anti_screen" ->
