@@ -715,6 +715,8 @@ object VectorQueries {
     "sql_semi_screen_cos" -> (sqlSemiScreenCos _),
     "sql_semi_screen_ip" -> (sqlSemiScreenIp _),
     "sql_anti_screen" -> (sqlAntiScreen _),
+    "sql_anti_screen_cos" -> (sqlAntiScreenCos _),
+    "sql_anti_screen_ip" -> (sqlAntiScreenIp _),
     "sql_cosine_join" -> (sqlCosineJoin _),
     "sql_ip_range_join" -> (sqlIpRangeJoin _),
     "sql_selfjoin_dedup" -> (sqlSelfJoinDedup _),
@@ -1393,6 +1395,56 @@ object VectorQueries {
     df
   }
 
+  /** Cosine DEcontamination screen (round 18): the NOT EXISTS twin of
+    * `sql_semi_screen_cos` — the anti arm composes with the cosine
+    * bridge exactly like the semi arm (join-type gate and metric
+    * dispatch are orthogonal), the corpus scan correctly UNPRUNED (the
+    * anti output IS the non-matchers). Exact by match existence, so
+    * brute-force cosine NOT EXISTS over the same normalized vectors is
+    * the hash oracle. REQUIRES the fired cosine probe explode and a
+    * cartesian-free physical plan. */
+  private def sqlAntiScreenCos(spark: SparkSession, dir: String): DataFrame = {
+    sqlAnnCosTable(spark, dir)
+    val src = emb(spark, dir).filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"),
+        vector.normalize_vector(col("embedding")).as("qvec"))
+    spark.createDataFrame(
+      java.util.Arrays.asList(src.collect(): _*), src.schema)
+      .createOrReplaceTempView("graft_sqlann_casq")
+    val df = spark.sql(
+      s"""SELECT t.id FROM graft_sqlann_cos t WHERE NOT EXISTS (
+         |  SELECT 1 FROM graft_sqlann_casq q
+         |  WHERE cosine_distance(t.vec, q.qvec) <= $CosJoinRadius)
+         |ORDER BY t.id""".stripMargin)
+    require(rangeGenerateFired(df, classOf[graft.functions.CosineRangeProbeLists]),
+      "sql_anti_screen_cos: the cosine-bridge anti rewrite did not fire")
+    val phys = df.queryExecution.executedPlan.toString
+    require(!phys.contains("CartesianProduct") && !phys.contains("NestedLoop"),
+      "sql_anti_screen_cos: the anti screen must plan an equi join")
+    df
+  }
+
+  /** IP DEcontamination screen (round 18): the NOT EXISTS twin of
+    * `sql_semi_screen_ip` — the anti arm over the Cauchy–Schwarz ball
+    * bound, scan unpruned by design. Exact by match existence;
+    * brute-force negated-dot NOT EXISTS is the hash oracle. REQUIRES
+    * the fired IP probe explode and a cartesian-free physical plan. */
+  private def sqlAntiScreenIp(spark: SparkSession, dir: String): DataFrame = {
+    sqlAnnTable(spark, dir)
+    sqlScreenQueries(spark, dir)
+    val df = spark.sql(
+      s"""SELECT t.id FROM graft_sqlann t WHERE NOT EXISTS (
+         |  SELECT 1 FROM graft_sqlann_sq q
+         |  WHERE ip_distance(t.vec, q.qvec) <= $IpJoinRadius)
+         |ORDER BY t.id""".stripMargin)
+    require(rangeGenerateFired(df, classOf[graft.functions.IpRangeProbeLists]),
+      "sql_anti_screen_ip: the IP ball-bound anti rewrite did not fire")
+    val phys = df.queryExecution.executedPlan.toString
+    require(!phys.contains("CartesianProduct") && !phys.contains("NestedLoop"),
+      "sql_anti_screen_ip: the anti screen must plan an equi join")
+    df
+  }
+
   /** Top-k with a metadata join (round 15): `FROM t JOIN dims ON t.id =
     * dims.id ORDER BY l2_distance(t.vec, lit) LIMIT k` — the serving
     * query that decorates neighbors with metadata in the same statement.
@@ -1835,6 +1887,23 @@ object VectorQueries {
       s"""SELECT t.vec_id AS id FROM embeddings t WHERE NOT EXISTS (
          |  SELECT 1 FROM embeddings q WHERE q.vec_id < $NQ
          |    AND ${sqlL2("t.embedding", "q.embedding")} <= $RangeRadius)
+         |ORDER BY id""".stripMargin,
+    // the cosine anti twin: NOT EXISTS over the same normalized vectors
+    "sql_anti_screen_cos" ->
+      s"""WITH n AS (SELECT vec_id, list_transform(embedding,
+         |      x -> CAST(CAST(x AS DOUBLE) * inv AS FLOAT)) AS nv
+         |    FROM (SELECT vec_id, embedding,
+         |      1.0 / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) + 1e-8) AS inv
+         |      FROM embeddings))
+         |SELECT t.vec_id AS id FROM n t WHERE NOT EXISTS (
+         |  SELECT 1 FROM n q WHERE q.vec_id < $NQ
+         |    AND ${sqlCosine("t.nv", "q.nv")} <= $CosJoinRadius)
+         |ORDER BY id""".stripMargin,
+    // the IP anti twin: negated-dot NOT EXISTS
+    "sql_anti_screen_ip" ->
+      s"""SELECT t.vec_id AS id FROM embeddings t WHERE NOT EXISTS (
+         |  SELECT 1 FROM embeddings q WHERE q.vec_id < $NQ
+         |    AND ${sqlIp("t.embedding", "q.embedding")} <= $IpJoinRadius)
          |ORDER BY id""".stripMargin,
     // nprobe = nlist keeps the joined top-k exact; the metadata join is
     // 1:1 on vec_id, so the brute-force ordered join replays it — same
