@@ -560,6 +560,13 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
    * `verifySampleFraction < 1` samples the replay (round 18 — the check
    * is probabilistic by design at scale: a corrupted codes column fails
    * almost every row; the id-contract aggregates stay full-table).
+   * `pqRangeAccel = true` (round 18, L2/IP epochs with `pq = true`)
+   * additionally computes the per-list covering radii AND max
+   * quantization errors in one pass and registers both, so the EXACT
+   * range shapes gain the codes-scan candidate-list refinement
+   * ([[graft.functions.PqRangeKeep]] — the vector scan skips ball lists
+   * holding no ADC-plausible candidate; semantics-preserving by the
+   * triangle-inequality bound, never a dismissal).
    * Cosine-metric epochs get the `cosineCodes` attestation for free:
    * buildEpoch encoded the normalized vectors, which is exactly what
    * that attestation promises.
@@ -574,7 +581,8 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       pq: Boolean = false,
       pqRerankK: Int = 100,
       verifyCodes: Boolean = false,
-      verifySampleFraction: Double = 1.0): String = {
+      verifySampleFraction: Double = 1.0,
+      pqRangeAccel: Boolean = false): String = {
     if (nprobe <= 0)
       throw new InvalidArgumentException(s"nprobe must be positive: $nprobe")
     // the sample-fraction knob (r17 verdict: previously hardwired to a
@@ -623,6 +631,21 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
           "checked), or call SqlAnn.verifyPqCodes directly")
     if (pq && pqRerankK <= 0)
       throw new InvalidArgumentException(s"pqRerankK must be positive: $pqRerankK")
+    // the PQ range refinement (round 18): a codes-only DPP that prunes
+    // the exact range shapes' vector scan to the lists holding an
+    // ADC-plausible candidate (SqlAnn.computePqRangeMeta / PqRangeKeep).
+    // Needs the codes column (pq = true) and an L2-decodable layout —
+    // cosine epochs encode NORMALIZE(vec) while storing raw vectors, so
+    // their decode error against the stored column is meaningless
+    if (pqRangeAccel && !pq)
+      throw new InvalidArgumentException(
+        "pqRangeAccel = true without pq = true: the range refinement " +
+          "scores the epoch's codes column")
+    if (pqRangeAccel && s.manifest.metric == Metric.Cosine)
+      throw new InvalidArgumentException(
+        "pqRangeAccel is not available for cosine epochs: their codes " +
+          "are encoded from NORMALIZED vectors while the stored column " +
+          "stays raw, so no per-list decode-error bound exists")
     val pqInfo: Option[graft.plans.SqlAnn.PqInfo] =
       if (!pq) None
       else {
@@ -639,8 +662,16 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
           // exactly the layout the cosineCodes attestation promises
           cosineCodes = s.manifest.metric == Metric.Cosine))
       }
-    val radii =
-      if (computeRangeRadii) Some(s.index.listRadii) else s.index.radiiIfKnown
+    // pqRangeAccel's one meta pass yields BOTH bounds (fresh radii ride
+    // along for free — same pass order as computeRangeRadii alone)
+    val rangeMeta: Option[(Array[Double], Array[Double])] =
+      if (pqRangeAccel)
+        Some(graft.plans.SqlAnn.computePqRangeMeta(
+          spark, path, s.index.centroids.value,
+          pqInfo.get.codebooksBc.value))
+      else None
+    val radii = rangeMeta.map(m => Some(m._1)).getOrElse(
+      if (computeRangeRadii) Some(s.index.listRadii) else s.index.radiiIfKnown)
     val token =
       try graft.plans.SqlAnn.registerIndex(
         spark, path, s.index.centroids.value, nprobe, radii = radii,
@@ -653,7 +684,8 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
         unitNorm = unitNorm,
         pq = pqInfo,
         verifyCodes = verifyCodes,
-        verifySampleFraction = verifySampleFraction)
+        verifySampleFraction = verifySampleFraction,
+        pqRangeErrs = rangeMeta.map(_._2))
       catch {
         // facade error taxonomy (r17 advice): a verifyCodes rejection
         // surfaces as the documented InvalidArgumentException like every

@@ -522,6 +522,108 @@ case class PqAdcDistanceCol(
     copy(left = l, right = r)
 }
 
+/**
+ * Boolean keep-filter of the PQ range refinement (round 18 — the sound
+ * ADC range bound the r17 design note demanded before any range shape
+ * could touch PQ): over a registered L2 range predicate
+ * `l2_distance(vec, q)² ≤ r`, a row `v` in list `l` with stored codes
+ * `c_v` can match only if
+ *
+ * {{{
+ *   √adc(q, c_v) = ‖q − decode(c_v)‖ ≤ ‖q − v‖ + ‖v − decode(c_v)‖
+ *                ≤ √r + e_v ≤ √r + maxErr_l
+ * }}}
+ *
+ * (triangle inequality on the L2 METRIC, not its square), where
+ * `maxErr_l` is the per-list max quantization error recorded from the
+ * SAME stored codes ([[graft.plans.SqlAnn.computePqRangeMeta]]). The
+ * filter `adc ≤ (√r + maxErr_l)²` therefore admits a SUPERSET of the
+ * true matches — foreign or corrupted codes only inflate `e_v` (and the
+ * recorded max) toward "keep everything", never toward a dismissal —
+ * and the rewrite KEEPS the original predicate, so the refinement is
+ * semantics-preserving. NEVER-DISMISS hardening on every unscorable
+ * row: NULL codes/list keep (un-coded appends mark their own list as a
+ * candidate), a non-finite recorded bound keeps (NaN-poisoned or
+ * malformed-code lists), an unscorable ADC (MaxValue: wrong-length or
+ * foreign bytes) keeps. Used ONLY as the build side of a list-level
+ * DynamicPruningSubquery — the m-byte codes scan marks which lists hold
+ * at least one plausible candidate, and the vector scan skips the rest.
+ */
+case class PqRangeKeep(
+    codesExpr: Expression,
+    listExpr: Expression,
+    query: scala.collection.immutable.Seq[Float],
+    radius: Double,
+    codebooks: Broadcast[Array[Array[Array[Float]]]],
+    listErrs: Broadcast[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+
+  override def left: Expression = codesExpr
+  override def right: Expression = listExpr
+  override def inputTypes: Seq[org.apache.spark.sql.graftshims.AbstractDataType] =
+    Seq(ArrayType(ByteType), org.apache.spark.sql.types.IntegerType)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  // NOT null-intolerant: a NULL input means "cannot rule the row out",
+  // and the sound answer to that is KEEP — never a NULL that a
+  // conjunction would drop
+  override def nullable: Boolean = false
+  override def prettyName: String = "pq_range_keep"
+
+  @transient private lazy val qd: Array[Double] =
+    PqKernels.prepQuery(query.toArray, VectorKernels.METRIC_L2)
+  @transient private lazy val books: Array[Array[Array[Float]]] =
+    codebooks.value
+  @transient private lazy val errs: Array[Double] = listErrs.value
+  private val sqrtR = math.sqrt(math.max(radius, 0.0))
+
+  /** Public for codegen (null-free operands). */
+  def keepRow(codes: ArrayData, list: Int): Boolean = {
+    if (list < 0 || list >= errs.length) return true
+    val e = errs(list)
+    // non-finite bound: NaN-poisoned vectors or malformed codes in this
+    // list — no usable bound, keep
+    if (java.lang.Double.isNaN(e) || java.lang.Double.isInfinite(e))
+      return true
+    val adc = PqKernels.adcDistanceDirectChecked(
+      qd, books, VectorKernels.METRIC_L2, codes)
+    // unscorable THIS row (wrong-length/foreign codes): keep — a range
+    // refinement has no rerank pool to make dismissals recoverable
+    if (adc == Double.MaxValue) return true
+    val b = sqrtR + e
+    adc <= b * b
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val c = codesExpr.eval(input)
+    if (c == null) return true
+    val l = listExpr.eval(input)
+    if (l == null) return true
+    keepRow(c.asInstanceOf[ArrayData], l.asInstanceOf[Int])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val ref = ctx.addReferenceObj("pqRangeKeep", this, classOf[PqRangeKeep].getName)
+    val cGen = codesExpr.genCode(ctx)
+    val lGen = listExpr.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${cGen.code}
+        ${lGen.code}
+        boolean ${ev.value} = true;
+        if (!${cGen.isNull} && !${lGen.isNull}) {
+          ${ev.value} = $ref.keepRow(${cGen.value}, ${lGen.value});
+        }""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqRangeKeep =
+    copy(codesExpr = l, listExpr = r)
+}
+
 object pq {
   private def col(e: Expression): Column = graftshims.column(e)
   private def ex(c: Column): Expression = graftshims.expression(c)

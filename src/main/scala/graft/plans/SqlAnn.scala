@@ -136,7 +136,9 @@ object SqlAnn {
       private[plans] val centroidsBc: Broadcast[Array[Array[Float]]],
       radiiBc0: Option[Broadcast[Array[Double]]] = None,
       val unitNorm: Boolean = false,
-      val pq: Option[PqInfo] = None) {
+      val pq: Option[PqInfo] = None,
+      pqErr0: Option[Array[Double]] = None,
+      pqErrBc0: Option[Broadcast[Array[Double]]] = None) {
     require(centroids.nonEmpty, "centroids must be non-empty")
     require(nprobe > 0, s"nprobe must be positive: $nprobe")
     require(centroidsBc != null,
@@ -148,6 +150,15 @@ object SqlAnn {
     require(radii0.isDefined == radiiBc0.isDefined,
       "radii and their broadcast twin travel together (registerIndex" +
         " always creates both or neither)")
+    require(pqErr0.forall(_.length == centroids.length),
+      "pqErr length must equal nlist — per-LIST max quantization errors" +
+        " (the PQ range refinement's bound, see PqRangeKeep); stale errs" +
+        " on a grown table would FALSELY DISMISS appended rows")
+    require(pqErr0.isDefined == pqErrBc0.isDefined,
+      "pq errs and their broadcast twin travel together")
+    require(pqErr0.isEmpty || pq.isDefined,
+      "pq range errs without a PqInfo registration: the refinement reads" +
+        " the codes column that PqInfo names")
 
     // ONE volatile pair, not two fields: the static range rewrite reads
     // the array, the range-JOIN rewrite ships the broadcast — a single
@@ -185,13 +196,37 @@ object SqlAnn {
         if (!state.exists(_._2 eq bc)) bc.unpersist(blocking = false)
       }
     }
-    /** Evict executor-resident blocks of the radii broadcast — called on
-      * same-path registration churn, where the superseded registration's
-      * copy would otherwise accumulate until the token is GC-reclaimed.
-      * unpersist, NOT destroy: a rewritten plan that still references the
-      * broadcast re-fetches it from the driver on next use. */
-    private[plans] def releaseRadiiBroadcast(): Unit =
+    // the PQ range refinement's per-list max quantization errors
+    // (round 18): SAME single-volatile-pair discipline as the radii —
+    // both are membership-derived bounds that a grown table invalidates,
+    // and "fresh array + stale broadcast" must stay unrepresentable
+    @volatile private[this] var pqErrState
+        : Option[(Array[Double], Broadcast[Array[Double]])] =
+      pqErr0.zip(pqErrBc0)
+
+    private[plans] def pqErrPair
+        : Option[(Array[Double], Broadcast[Array[Double]])] = pqErrState
+    private[plans] def updatePqErr(
+        state: Option[(Array[Double], Broadcast[Array[Double]])]): Unit = {
+      require(state.forall(_._1.length == centroids.length),
+        "pqErr length must equal nlist")
+      val outgoing = pqErrState
+      pqErrState = state
+      outgoing.foreach { case (_, bc) =>
+        if (!state.exists(_._2 eq bc)) bc.unpersist(blocking = false)
+      }
+    }
+
+    /** Evict executor-resident blocks of the radii (and PQ err)
+      * broadcasts — called on same-path registration churn, where the
+      * superseded registration's copies would otherwise accumulate until
+      * the token is GC-reclaimed. unpersist, NOT destroy: a rewritten
+      * plan that still references the broadcast re-fetches it from the
+      * driver on next use. */
+    private[plans] def releaseRadiiBroadcast(): Unit = {
       radiiState.foreach(_._2.unpersist(blocking = false))
+      pqErrState.foreach(_._2.unpersist(blocking = false))
+    }
   }
 
   /** Norm tolerance the `unitNorm` attestation promises and the cosine→L2
@@ -358,6 +393,93 @@ object SqlAnn {
     violations == 0L
   }
 
+  /** ONE corpus pass computing the PQ range-refinement metadata of a
+    * coded table (round 18, the design-note derivation made real — see
+    * [[graft.functions.PqRangeKeep]] for the bound's proof): per list,
+    *
+    *  - the covering RADIUS `max ‖v − c_l‖` (same semantics as
+    *    [[graft.index.IvfFlatIndex]]'s radii — unlocks the exact
+    *    covering-ball range prune; a NaN component poisons the list's
+    *    radius to NaN = never pruned), and
+    *  - the max QUANTIZATION ERROR `max ‖v − decode(codes_v)‖` over the
+    *    rows with NON-NULL codes (null-codes rows need no error bound —
+    *    [[graft.functions.PqRangeKeep]] keeps them unconditionally, and
+    *    each such row marks its own list as a candidate). A malformed
+    *    code row (wrong length, byte ≥ ks, dim mismatch) records
+    *    +∞ — its list is then never ADC-pruned, the sound direction.
+    *
+    * Pass the results to [[registerIndex]] as `radii` and `pqRangeErrs`.
+    * Cost: one scan of (vec, codes, list) with O(dim) work per row —
+    * the same order as computing radii alone. */
+  def computePqRangeMeta(
+      spark: SparkSession,
+      path: String,
+      centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]],
+      vecCol: String = "vec",
+      codeCol: String = "codes",
+      listCol: String = "list_id"): (Array[Double], Array[Double]) = {
+    import org.apache.spark.sql.functions.col
+    val nlist = centroids.length
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val ks = codebooks(0).length
+    val centBc = spark.sparkContext.broadcast(centroids)
+    val cbBc = spark.sparkContext.broadcast(codebooks)
+    val partials = spark.read.parquet(path)
+      .select(col(vecCol), col(codeCol), col(listCol))
+      .rdd.mapPartitions { rows =>
+        val cents = centBc.value
+        val cb = cbBc.value
+        val radii = Array.fill(nlist)(0.0)
+        val errs = Array.fill(nlist)(0.0)
+        rows.foreach { r =>
+          if (!r.isNullAt(0) && !r.isNullAt(2)) {
+            val l = r.getInt(2)
+            if (l >= 0 && l < nlist) {
+              val v = r.getSeq[Float](0).toArray
+              // radius: NaN components poison via Math.max's NaN rule
+              radii(l) = math.max(radii(l),
+                math.sqrt(VectorKernels.l2(v, cents(l))))
+              if (!r.isNullAt(1)) {
+                val codes = r.getSeq[Byte](1)
+                val e =
+                  if (codes.length != m || v.length != m * dsub ||
+                      codes.exists(b => (b & 0xff) >= ks))
+                    Double.PositiveInfinity
+                  else {
+                    var d = 0.0
+                    var s = 0
+                    while (s < m) {
+                      val cw = cb(s)(codes(s) & 0xff)
+                      val off = s * dsub
+                      var i = 0
+                      while (i < dsub) {
+                        val diff = v(off + i).toDouble - cw(i).toDouble
+                        d += diff * diff
+                        i += 1
+                      }
+                      s += 1
+                    }
+                    math.sqrt(d)
+                  }
+                errs(l) = math.max(errs(l), e)
+              }
+            }
+          }
+        }
+        Iterator.single((radii, errs))
+      }
+      .fold((Array.fill(nlist)(0.0), Array.fill(nlist)(0.0))) {
+        case ((r1, e1), (r2, e2)) =>
+          (r1.zip(r2).map(p => math.max(p._1, p._2)),
+            e1.zip(e2).map(p => math.max(p._1, p._2)))
+      }
+    centBc.unpersist(blocking = false)
+    cbBc.unpersist(blocking = false)
+    partials
+  }
+
   // Keyed by qualified table path, JVM-global — NOT per session. The
   // rule must resolve the registration during OPTIMIZATION, which can
   // run on a thread where SparkSession.getActiveSession is unset (a
@@ -401,8 +523,16 @@ object SqlAnn {
       unitNorm: Boolean = false,
       pq: Option[PqInfo] = None,
       verifyCodes: Boolean = false,
-      verifySampleFraction: Double = 1.0): Registration = {
+      verifySampleFraction: Double = 1.0,
+      pqRangeErrs: Option[Array[Double]] = None): Registration = {
     enable(spark)
+    // the PQ range refinement's bound rides the PqInfo's codes column —
+    // errs without a PqInfo would have nothing to score (lone-flag rule)
+    if (pqRangeErrs.isDefined && pq.isEmpty)
+      throw new IllegalArgumentException(
+        "pqRangeErrs without a PqInfo registration: the range refinement " +
+          "scores the codes column PqInfo names — pass pq = Some(...) " +
+          "(see SqlAnn.computePqRangeMeta)")
     // same rule as the facade's lone-verifyUnitNorm throw (r15 verdict):
     // a verification flag with nothing to verify must fail loudly, not
     // read as "my codes were validated" while nothing ran
@@ -435,7 +565,8 @@ object SqlAnn {
     }
     val reg = new Registration(centroids, nprobe, vecCol, listCol, radii,
       centroidsBc.getOrElse(spark.sparkContext.broadcast(centroids)),
-      radii.map(spark.sparkContext.broadcast(_)), unitNorm, pq)
+      radii.map(spark.sparkContext.broadcast(_)), unitNorm, pq,
+      pqRangeErrs, pqRangeErrs.map(spark.sparkContext.broadcast(_)))
     // same-path churn (epoch swaps, nprobe changes, registerSql re-calls)
     // would otherwise accumulate one executor-resident radii broadcast per
     // call until the superseded tokens are GC-reclaimed — evict eagerly;
@@ -455,17 +586,23 @@ object SqlAnn {
     registry.remove(qualified(spark, path))
       .foreach(_.releaseRadiiBroadcast())
 
-  /** Strip the radii from whatever registration currently covers `path`
-    * — WHOEVER owns it (in-place, token identity preserved). Called when
-    * the table GREW ([[graft.api.VectorDB.addVectors]]): the covering
-    * radii were computed for the pre-append membership, and a stale
-    * bound FALSELY DISMISSES appended rows from the range rewrite, which
-    * is documented as exact. Top-k rewriting is unaffected (the nprobe
-    * contract is an approximation either way); range predicates fall
-    * back to full scans until fresh radii are re-attached
-    * (re-`registerSql` after the next epoch build/compaction). */
+  /** Strip the radii AND the PQ range errs from whatever registration
+    * currently covers `path` — WHOEVER owns it (in-place, token identity
+    * preserved). Called when the table GREW
+    * ([[graft.api.VectorDB.addVectors]]): both bounds were computed for
+    * the pre-append membership, and a stale bound FALSELY DISMISSES
+    * appended rows from the range rewrite, which is documented as exact
+    * (an appended row's quantization error can exceed its list's
+    * recorded max exactly like its distance can exceed the covering
+    * radius). Top-k rewriting is unaffected (the nprobe contract is an
+    * approximation either way); range predicates fall back to full scans
+    * until fresh bounds are re-attached (re-`registerSql` after the next
+    * epoch build/compaction). */
   def invalidateRadii(spark: SparkSession, path: String): Unit =
-    registry.get(qualified(spark, path)).foreach(_.updateRadii(None))
+    registry.get(qualified(spark, path)).foreach { r =>
+      r.updateRadii(None)
+      r.updatePqErr(None)
+    }
 
   /** Remove the registration for `path` ONLY if it is still the exact
     * token `registerIndex` returned to this caller — the multi-facade
@@ -714,17 +851,18 @@ object SqlAnn {
       // than every double, so `dist <= NaN` keeps EVERY row — the
       // IEEE-driver-side bound (where sqrt(NaN) comparisons are all
       // false) would turn that into zero rows. Leave NaN untouched.
-      val listSets = conjuncts.flatMap {
+      val bounds = conjuncts.flatMap {
         case LessThanOrEqual(d, Literal(r: Double, DoubleType)) if !r.isNaN =>
-          ball(d, r)
+          Some((d, r))
         case LessThan(d, Literal(r: Double, DoubleType)) if !r.isNaN =>
-          ball(d, r)
+          Some((d, r))
         case GreaterThanOrEqual(Literal(r: Double, DoubleType), d) if !r.isNaN =>
-          ball(d, r)
+          Some((d, r))
         case GreaterThan(Literal(r: Double, DoubleType), d) if !r.isNaN =>
-          ball(d, r)
+          Some((d, r))
         case _ => None
       }
+      val listSets = bounds.flatMap { case (d, r) => ball(d, r) }
       if (listSets.isEmpty) return None
       val lists = listSets.reduce(_ intersect _)
       // an empty intersection means NO list can hold a match (the exact
@@ -732,13 +870,75 @@ object SqlAnn {
       // either side: squared distance is non-negative and non-NaN rows
       // compare false): plan a constant-false conjunct instead of an In
       // Catalyst would reject as empty
-      val extra: Expression =
+      val inExpr: Expression =
         if (lists.isEmpty) Literal(false)
         else In(listAttr, lists.toSeq.sorted.map(i => Literal(i)))
       val innerConjuncts =
         inner.toSeq.flatMap(i => splitConjunctivePredicates(i.condition))
-      if ((conjuncts ++ innerConjuncts).exists(_.semanticEquals(extra))) None
-      else Some(extra)
+      if ((conjuncts ++ innerConjuncts).exists(_.semanticEquals(inExpr)))
+        return None
+      // PQ candidate-list refinement (round 18, the r17 design note's
+      // derivation made real — see PqRangeKeep's proof): when the
+      // registration carries per-list max quantization errors, a
+      // codes-only DPP build marks the ball lists that actually hold an
+      // ADC-plausible candidate, and the vector scan skips the rest.
+      // L2 bounds only (the tightest is used); SOUND because the keep
+      // bound admits a superset of the true matches and the ORIGINAL
+      // predicate stays — the refinement can only remove lists no match
+      // lives in. errs invalidate with the radii on append
+      // (invalidateRadii), so a grown table falls back before a stale
+      // bound could dismiss.
+      val refine: Option[Expression] =
+        if (lists.isEmpty) None
+        else {
+          val l2Bounds = bounds.flatMap { case (d, r) =>
+            qvecOf(d).collect { case (q, Metric.L2) => (q, r) }
+          }
+          pqRangeDpp(reg, rel, listAttr, lists, l2Bounds)
+        }
+      Some(refine.fold(inExpr)(d => And(inExpr, d)))
+    }
+
+    /** The refinement's DynamicPruningSubquery, or None when the
+      * registration lacks PQ metadata / the shape lacks an L2 bound /
+      * the relation lacks the codes column. The build side is a fresh
+      * relation instance projected to (codes, list_id) — m+4 bytes per
+      * probed row — filtered by the same static ball-list In plus
+      * [[graft.functions.PqRangeKeep]]'s never-dismiss bound, emitting
+      * the list ids that still hold a plausible candidate. Deterministic
+      * by construction (scan + static filter + driver-known query), so
+      * the standalone subquery execution is safe
+      * (onlyInBroadcast = false — there is no join whose broadcast could
+      * be reused; the build IS the point). */
+    private def pqRangeDpp(
+        reg: Registration,
+        rel: LogicalRelation,
+        listAttr: AttributeReference,
+        lists: Set[Int],
+        l2Bounds: Seq[(Array[Float], Double)]): Option[Expression] = {
+      val pqInfo = reg.pq.getOrElse(return None)
+      val (_, errsBc) = reg.pqErrPair.getOrElse(return None)
+      // the tightest bound refines hardest; any single bound is sound
+      val (q, r) = l2Bounds.minByOption(_._2).getOrElse(return None)
+      val hasCodes = rel.output.exists(o => o.name == pqInfo.codeCol &&
+        (o.dataType match {
+          case ArrayType(ByteType, _) => true
+          case _ => false
+        }))
+      if (!hasCodes) return None
+      val relCand = rel.newInstance()
+      val cCodes = relCand.output.find(_.name == pqInfo.codeCol).get
+      val cList = relCand.output.find(_.name == reg.listCol).get
+      val keep = graft.functions.PqRangeKeep(
+        cCodes, cList, q.toIndexedSeq, r, pqInfo.codebooksBc, errsBc)
+      val candIn = In(cList, lists.toSeq.sorted.map(i => Literal(i)))
+      val cand = Project(Seq(cList), Filter(And(candIn, keep), relCand))
+      Some(DynamicPruningSubquery(
+        pruningKey = listAttr,
+        buildQuery = cand,
+        buildKeys = Seq(cList),
+        broadcastKeyIndices = Seq(0),
+        onlyInBroadcast = false))
     }
 
     /** Lists whose covering ball intersects the query ball:

@@ -701,6 +701,7 @@ object VectorQueries {
     "sql_topk_ip" -> (sqlTopkIp _),
     "sql_pq_topk" -> (sqlPqTopk _),
     "sql_pq_facade" -> (sqlPqFacade _),
+    "sql_pq_range" -> (sqlPqRange _),
     "sql_range_rewrite" -> (sqlRangeRewrite _),
     "sql_ip_range" -> (sqlIpRange _),
     "sql_cosine_range" -> (sqlCosineRange _),
@@ -898,12 +899,56 @@ object VectorQueries {
         .write.partitionBy("list_id").mode("overwrite").parquet(d)
       d
     }
+    // one meta pass (cached per dir): covering radii + per-list max
+    // quantization errors — unlocks the EXACT range shape over this
+    // table AND its codes-scan candidate-list refinement (round 18)
+    val (radii, errs) = cached[(Array[Double], Array[Double])](
+      s"sqlann-pqmeta:$dir") {
+      graft.plans.SqlAnn.computePqRangeMeta(
+        spark, tableDir, index.centroids.value, index.codebooks.value)
+    }
     graft.plans.SqlAnn.registerIndex(
       spark, tableDir, index.centroids.value, nprobe = 16,
+      radii = Some(radii),
       centroidsBc = Some(index.centroids),
-      pq = Some(new graft.plans.SqlAnn.PqInfo(index.codebooks, rerankK = 100000)))
+      pq = Some(new graft.plans.SqlAnn.PqInfo(index.codebooks, rerankK = 100000)),
+      pqRangeErrs = Some(errs))
     spark.read.parquet(tableDir).createOrReplaceTempView("graft_sqlann_pq")
     tableDir
+  }
+
+  /** The PQ-refined EXACT range scan (round 18 — the r17 design note's
+    * sound derivation, shipped): `WHERE l2_distance(vec, lit) <= r` over
+    * the PqInfo-registered table with per-list quantization-error bounds
+    * plans as the covering-ball-pruned vector scan FURTHER pruned by a
+    * codes-only DPP — the m-byte codes scan marks which ball lists hold
+    * a row with `adc <= (sqrt(r) + maxErr_list)^2` (triangle inequality:
+    * a superset of the true matches, see
+    * [[graft.functions.PqRangeKeep]]), and the vector scan skips the
+    * rest. EXACT with NO nprobe/rerankK arrangement — the original
+    * predicate is kept and the bound never dismisses (unscorable rows
+    * keep their lists) — so the same brute-force SQL as
+    * `sql_range_rewrite` is the hash oracle. REQUIRES the ball partition
+    * filter, the refinement's dynamicpruning filter, and the codes-only
+    * build scan in the executed plan. */
+  private def sqlPqRange(spark: SparkSession, dir: String): DataFrame = {
+    sqlAnnPqTable(spark, dir)
+    val q = s"CAST(array(${sqlAnnVals.mkString(", ")}) AS ARRAY<FLOAT>)"
+    val df = spark.sql(
+      s"""SELECT id, l2_distance(vec, $q) AS dist
+         |FROM graft_sqlann_pq WHERE l2_distance(vec, $q) <= $SqlRangeRadius
+         |ORDER BY id""".stripMargin)
+    val scans = graft.plans.SqlAnn.fileSourceScans(df)
+    def pfOf(s: org.apache.spark.sql.execution.FileSourceScanExec) =
+      s.metadata.getOrElse("PartitionFilters", "")
+    val vecOk = scans.exists(s => s.output.exists(_.name == "vec") &&
+      pfOf(s).contains("list_id") && pfOf(s).contains("dynamicpruning"))
+    val codesOk = scans.exists(s => s.output.exists(_.name == "codes") &&
+      !s.output.exists(_.name == "vec"))
+    require(vecOk && codesOk,
+      s"sql_pq_range: the refined range plan did not fire (scans: " +
+        s"${scans.map(s => (s.output.map(_.name), pfOf(s)))})")
+    df
   }
 
   /** PQ through the SQL surface (round 16): the same canonical top-k SQL
@@ -1770,6 +1815,16 @@ object VectorQueries {
          |d AS (SELECT v.vec_id AS id, ${sqlCosine("v.nv", "q.qv")} AS dist
          |      FROM n v, q)
          |SELECT id, dist FROM d WHERE dist <= $SqlCosRangeRadius ORDER BY id""".stripMargin,
+    // the PQ-refined range scan is EXACT by construction too: the
+    // covering-ball prune and the ADC candidate-list refinement both
+    // admit supersets of the true matches, and the original predicate is
+    // KEPT — same brute-force oracle as sql_range_rewrite (the PQ
+    // table's (id, vec) ARE the embeddings)
+    "sql_pq_range" ->
+      s"""WITH q AS (SELECT [${sqlAnnVals.mkString(", ")}]::FLOAT[] AS qv),
+         |d AS (SELECT v.vec_id AS id, ${sqlL2("q.qv", "v.embedding")} AS dist
+         |      FROM embeddings v, q)
+         |SELECT id, dist FROM d WHERE dist <= $SqlRangeRadius ORDER BY id""".stripMargin,
     // the range rewrite is EXACT by construction (covering-ball bound),
     // so brute force under the same literal + radius is the oracle
     "sql_range_rewrite" ->

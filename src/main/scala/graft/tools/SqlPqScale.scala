@@ -213,6 +213,74 @@ object SqlPqScale {
       SqlAnn.unregisterIndex(spark, dir)
     }
     println(f"[pqscale] batch mean recall@$k: flat=${meanRecall(flatB)}%.2f")
+
+    // 5. the RANGE flavor (round 18, `sql_pq_range`): the EXACT range
+    // scan — covering-ball prune alone (radii) vs the codes-scan
+    // candidate-list refinement (radii + per-list max quantization
+    // errs). Radius sized to one family's spread, so the ball prune
+    // keeps the lists whose COVERING BALL intersects while the ADC
+    // bound keeps only lists with a plausible row. Results must be
+    // IDENTICAL (both exact).
+    val rangeR = 2.0 // family noise is ±0.025/dim -> members well inside
+    val rSql =
+      s"""SELECT id, l2_distance(vec, $litSql) AS dist
+         |FROM pq_t WHERE l2_distance(vec, $litSql) <= $rangeR
+         |ORDER BY id""".stripMargin
+    def timeRange(label: String): (Seq[Long], org.apache.spark.sql.DataFrame) = {
+      val t = System.nanoTime()
+      val df = spark.sql(rSql)
+      val ids = df.collect().map(_.getLong(0)).toSeq
+      val sec = (System.nanoTime() - t) / 1e9
+      println(f"[pqscale] range-$label%-9s $sec%7.2f s (${ids.length} rows)")
+      (ids, df)
+    }
+    val (bruteR, bruteRDf) = timeRange("brute")
+    scanStats(bruteRDf)
+    val metaT = System.nanoTime()
+    val (radiiArr, errArr) = SqlAnn.computePqRangeMeta(
+      spark, dir, idx.centroids.value, idx.codebooks.value)
+    println(f"[pqscale] range meta pass (radii + errs): " +
+      f"${(System.nanoTime() - metaT) / 1e9}%.1f s, " +
+      f"maxErr median=${errArr.sorted.apply(nlist / 2)}%.3f")
+    SqlAnn.registerIndex(spark, dir, idx.centroids.value, nprobe = nprobe,
+      centroidsBc = Some(idx.centroids), radii = Some(radiiArr))
+    val (ballR, ballRDf) = timeRange("ball")
+    scanStats(ballRDf)
+    SqlAnn.unregisterIndex(spark, dir)
+    SqlAnn.registerIndex(spark, dir, idx.centroids.value, nprobe = nprobe,
+      centroidsBc = Some(idx.centroids), radii = Some(radiiArr),
+      pq = Some(new SqlAnn.PqInfo(idx.codebooks, rerankK = rerankKs.head)),
+      pqRangeErrs = Some(errArr))
+    val (refR, refRDf) = timeRange("refined")
+    require(SqlAnn.fileSourceScans(refRDf).exists(s =>
+      s.output.exists(_.name == "codes") && !s.output.exists(_.name == "vec")),
+      "the range refinement must fire (codes-only DPP build scan)")
+    scanStats(refRDf)
+    SqlAnn.unregisterIndex(spark, dir)
+    require(ballR == bruteR && refR == bruteR,
+      s"range flavors must be EXACT: brute=${bruteR.size} " +
+        s"ball=${ballR.size} refined=${refR.size}")
+    println(s"[pqscale] range rows: ${bruteR.size} (all three flavors identical)")
+    // DEGRADED-RADII regime — the refinement's reason to exist: covering
+    // radii rot under outliers/appends (a single far row inflates its
+    // list's ball until every query intersects it), while the per-row
+    // ADC bound keeps seeing individual candidates. Simulated by
+    // inflating every radius; both flavors must STILL be exact.
+    val fat = radiiArr.map(_ => 1e6)
+    SqlAnn.registerIndex(spark, dir, idx.centroids.value, nprobe = nprobe,
+      centroidsBc = Some(idx.centroids), radii = Some(fat))
+    val (fatBallR, fatBallDf) = timeRange("fatball")
+    scanStats(fatBallDf)
+    SqlAnn.unregisterIndex(spark, dir)
+    SqlAnn.registerIndex(spark, dir, idx.centroids.value, nprobe = nprobe,
+      centroidsBc = Some(idx.centroids), radii = Some(fat),
+      pq = Some(new SqlAnn.PqInfo(idx.codebooks, rerankK = rerankKs.head)),
+      pqRangeErrs = Some(errArr))
+    val (fatRefR, fatRefDf) = timeRange("fatrefined")
+    scanStats(fatRefDf)
+    SqlAnn.unregisterIndex(spark, dir)
+    require(fatBallR == bruteR && fatRefR == bruteR,
+      "degraded-radii flavors must stay EXACT")
     spark.stop()
   }
 }

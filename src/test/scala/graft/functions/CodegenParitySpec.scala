@@ -134,6 +134,67 @@ class CodegenParitySpec extends SparkSpec {
     }
   }
 
+  test("PQ range keep (never-dismiss bound): codegen == interpreted across the malformed matrix") {
+    import org.apache.spark.sql.graftshims
+    val sample = randomVectors(200, 8).map(_._2).toArray
+    val books = graft.index.IvfPqIndex.trainCodebooks(sample, m = 2, nbits = 4)
+    val bc = spark.sparkContext.broadcast(books)
+    val q = randomVectors(1, 8, seed = 9).head._2
+    // errs: list 0 tight, list 1 loose, list 2 NaN (poisoned), list 3 inf
+    val errs = spark.sparkContext.broadcast(
+      Array(0.1, 100.0, Double.NaN, Double.PositiveInfinity))
+    val base = vectorsDF(randomVectors(40, 8, seed = 5))
+      .select(col("id"), graftshims.column(
+        PqEncode(graftshims.expression(col("vec")), bc)).as("codes"),
+        (col("id") % 4).cast("int").as("list_id"))
+      // NULL codes, wrong-length codes, NULL list, out-of-range list —
+      // every unscorable flavor must KEEP (true), never null/false-crash
+      .union(spark.range(1).select(lit(999L).as("id"),
+        lit(null).cast("array<tinyint>").as("codes"), lit(0).as("list_id")))
+      .union(spark.range(1).select(lit(998L).as("id"),
+        array(lit(1.toByte)).as("codes"), lit(0).as("list_id")))
+      .union(spark.range(1).select(lit(997L).as("id"),
+        array(lit(0.toByte), lit(0.toByte)).as("codes"),
+        lit(null).cast("int").as("list_id")))
+      .union(spark.range(1).select(lit(996L).as("id"),
+        array(lit(0.toByte), lit(0.toByte)).as("codes"), lit(77).as("list_id")))
+    def run(radius: Double) = base.select(
+      col("id"),
+      graftshims.column(PqRangeKeep(
+        graftshims.expression(col("codes")),
+        graftshims.expression(col("list_id")),
+        q.toIndexedSeq, radius, bc, errs)).as("keep"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1).toSeq
+    Seq(0.5, 4.0, 50.0).foreach { r =>
+      val on = run(r)
+      val off = withCodegenOff(run(r))
+      assert(on === off, s"radius $r: codegen != interpreted")
+      Seq(999L, 998L, 997L, 996L).foreach { id =>
+        assert(on.find(_._1 == id).exists(_._2),
+          s"radius $r: unscorable row $id must be KEPT (never dismissed)")
+      }
+      // NaN / inf err lists always keep
+      assert(on.filter(t => t._1 < 900L && (t._1 % 4 == 2 || t._1 % 4 == 3))
+        .forall(_._2), s"radius $r: non-finite err lists must keep")
+      // loose-err list keeps everything at any radius (bound >= 100^2)
+      assert(on.filter(t => t._1 < 900L && t._1 % 4 == 1).forall(_._2))
+    }
+    // semantics vs the direct kernel on the tight-err list: keep iff
+    // adc <= (sqrt(r)+0.1)^2
+    val r = 4.0
+    val on = run(r)
+    vectorsDF(randomVectors(40, 8, seed = 5)).collect()
+      .filter(_.getLong(0) % 4 == 0).foreach { row =>
+        val codes = PqKernels.encode(row.getSeq[Float](1).toArray, books)
+        val adc = PqKernels.adcDistanceDirectBytes(
+          PqKernels.prepQuery(q, VectorKernels.METRIC_L2), books,
+          VectorKernels.METRIC_L2, codes)
+        val b = math.sqrt(r) + 0.1
+        assert(on.find(_._1 == row.getLong(0)).exists(_._2 == (adc <= b * b)),
+          s"row ${row.getLong(0)}: keep must equal the kernel bound")
+      }
+  }
+
   test("PQ ADC distance (runtime-query column): codegen == interpreted, agrees with the literal twin") {
     import org.apache.spark.sql.graftshims
     val sample = randomVectors(200, 8).map(_._2).toArray

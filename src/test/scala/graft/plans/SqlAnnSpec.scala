@@ -2674,6 +2674,129 @@ class SqlAnnSpec extends SparkSpec {
     } finally SqlAnn.unregisterIndex(spark, pqDir)
   }
 
+  test("PQ range refinement: codes-scan DPP prunes candidate lists, EXACT, never dismisses unscorable rows") {
+    pqIndex
+    graft.GraftExtensions.register(spark)
+    // doctor the coded table: two IN-RADIUS rows become unscorable —
+    // NULL codes (the un-coded-append case) and wrong-length codes (a
+    // corrupted row) — the refinement must return BOTH (never-dismiss)
+    val refDir = java.nio.file.Files
+      .createTempDirectory("graft-pqrange").toFile.getAbsolutePath
+    spark.read.parquet(pqDir)
+      .withColumn("codes",
+        when(col("id") === 0L, lit(null))
+          .when(col("id") === 8L, slice(col("codes"), 1, 1))
+          .otherwise(col("codes")))
+      .write.partitionBy("list_id").mode("overwrite").parquet(refDir)
+    spark.read.parquet(refDir).createOrReplaceTempView("sqlann_pqr")
+    val sql = rangeSql("sqlann_pqr", "2.0")
+    val brute = spark.sql(sql).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(brute.exists(_._1 == 0L) && brute.exists(_._1 == 8L),
+      "fixture: the two unscorable rows must be true matches")
+    val (radii, errs) = SqlAnn.computePqRangeMeta(
+      spark, refDir, pqIndex.centroids.value, pqIndex.codebooks.value)
+    val errList = spark.read.parquet(refDir).filter(col("id") === 8L)
+      .select(col("list_id")).head().getInt(0)
+    assert(errs(errList).isInfinite,
+      "a malformed-code row must poison its list's err to +inf (never pruned)")
+    SqlAnn.registerIndex(spark, refDir, pqIndex.centroids.value, nprobe = 2,
+      radii = Some(radii), centroidsBc = Some(pqIndex.centroids),
+      pq = Some(new SqlAnn.PqInfo(pqIndex.codebooks)),
+      pqRangeErrs = Some(errs))
+    try {
+      val df = spark.sql(sql)
+      val pf = partitionFilterText(df)
+      assert(pf.contains("list_id") && pf.contains("dynamicpruning"),
+        s"the refinement DPP must reach the vector scan ($pf)")
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got === brute, "the refined range scan must stay EXACT — " +
+        "including the NULL-codes and corrupted-codes matches")
+      // the DPP build side is the m-byte codes scan, vector-free
+      val scans = SqlAnn.fileSourceScans(df)
+      assert(scans.exists(s => s.output.exists(_.name == "codes") &&
+        !s.output.exists(_.name == "vec")),
+        s"the refinement must build from a codes-only scan " +
+          s"(${scans.map(_.output.map(_.name))})")
+      // idempotent under the fixed point: exactly one DPP conjunct
+      val dppCount = df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.collect {
+            case _: org.apache.spark.sql.catalyst.expressions.DynamicPruningSubquery => 1
+          }.sum
+      }.sum
+      assert(dppCount <= 1, s"expected at most one refinement DPP, got $dppCount")
+      SqlAnn.unregisterIndex(spark, refDir)
+      // DEGRADED-radii regime — the refinement's reason to exist: with
+      // inflated covering radii (the grown-table shape) the ball prune
+      // keeps EVERY list, but the per-row ADC bound still rules out the
+      // lists with no plausible candidate. The runtime metric proves it.
+      SqlAnn.registerIndex(spark, refDir, pqIndex.centroids.value, nprobe = 2,
+        radii = Some(Array.fill(NList)(30.0)),
+        centroidsBc = Some(pqIndex.centroids),
+        pq = Some(new SqlAnn.PqInfo(pqIndex.codebooks)),
+        pqRangeErrs = Some(errs))
+      val df2 = spark.sql(sql)
+      val got2 = df2.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got2 === brute, "refined + inflated radii must stay exact")
+      val vecScan = SqlAnn.fileSourceScans(df2)
+        .find(s => s.output.exists(_.name == "vec"))
+        .getOrElse(fail("no vector scan"))
+      val partsRead = vecScan.metrics.get("numPartitions")
+        .map(_.value).getOrElse(-1L)
+      assert(partsRead > 0 && partsRead < NList,
+        s"the ADC refinement must prune below the (inflated) ball prune: " +
+          s"read $partsRead of $NList")
+      // append invalidation: a grown table strips radii AND errs — the
+      // range shape falls back to the plain scan (no stale dismissal)
+      SqlAnn.invalidateRadii(spark, refDir)
+      val df3 = spark.sql(sql)
+      assert(!partitionFilterText(df3).contains("list_id"),
+        "invalidation must disable both the ball prune and the refinement")
+      assert(df3.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === brute)
+    } finally SqlAnn.unregisterIndex(spark, refDir)
+  }
+
+  test("registerSql(pqRangeAccel): one meta pass unlocks the refined range scan; gates pinned") {
+    import graft.IndexConfig
+    graft.GraftExtensions.register(spark)
+    val db = new graft.api.VectorDB(spark,
+      java.nio.file.Files.createTempDirectory("graft-sqlann-pqra").toString)
+    db.createIndex(IndexConfig("pqra", Dim, nlist = 4, m = 2))
+    val ep = db.buildEpoch("pqra", vectorsDF(randomVectors(150, Dim, seed = 41)))
+    db.activateEpoch("pqra", ep)
+    db.loadIndex("pqra")
+    // a cosine PQ epoch for the metric gate
+    db.createIndex(IndexConfig("pqracos", Dim,
+      metric = graft.Metric.Cosine, nlist = 4, m = 2))
+    val epc = db.buildEpoch("pqracos", vectorsDF(randomVectors(90, Dim, seed = 42)))
+    db.activateEpoch("pqracos", epc)
+    db.loadIndex("pqracos")
+    try {
+      // lone-flag and metric gates (facade taxonomy)
+      intercept[graft.InvalidArgumentException](
+        db.registerSql("pqra", pqRangeAccel = true))
+      intercept[graft.InvalidArgumentException](
+        db.registerSql("pqracos", pq = true, pqRangeAccel = true))
+      val view = db.registerSql("pqra", nprobe = 4, pq = true,
+        pqRerankK = 1000, pqRangeAccel = true)
+      val sql = rangeSql(view, "2.0", qvecSql)
+      val brute = {
+        val em = new graft.storage.EpochManager(s"${db.dataPath}/pqra/epochs")
+        SqlAnn.unregisterIndex(spark, s"${em.epochPath(ep)}/vectors")
+        val b = spark.sql(sql).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        db.registerSql("pqra", nprobe = 4, pq = true,
+          pqRerankK = 1000, pqRangeAccel = true)
+        b
+      }
+      val df = spark.sql(sql)
+      val pf = partitionFilterText(df)
+      assert(pf.contains("list_id") && pf.contains("dynamicpruning"),
+        s"pqRangeAccel must plan the refined range scan ($pf)")
+      assert(df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === brute,
+        "the facade-refined range scan must stay exact")
+    } finally db.close()
+  }
+
   test("semi/anti range joins: EXISTS screens become equi joins, exact; outer and flipped shapes pinned") {
     rangeIndex
     graft.GraftExtensions.register(spark)
