@@ -541,7 +541,22 @@ case class PqAdcDistanceCol(
  * true matches — foreign or corrupted codes only inflate `e_v` (and the
  * recorded max) toward "keep everything", never toward a dismissal —
  * and the rewrite KEEPS the original predicate, so the refinement is
- * semantics-preserving. NEVER-DISMISS hardening on every unscorable
+ * semantics-preserving.
+ *
+ * The INNER-PRODUCT twin (metricId = METRIC_IP) uses Cauchy–Schwarz
+ * instead of the triangle inequality: a true match `−q·v ≤ r` forces
+ *
+ * {{{
+ *   adc = −q·decode(c_v) = −q·v + q·(v − decode(c_v))
+ *       ≤ r + ‖q‖·‖v − decode(c_v)‖ ≤ r + ‖q‖·maxErr_l
+ * }}}
+ *
+ * — the SAME recorded L2 decode errors serve both metrics (IP epochs
+ * encode from the raw stored vectors, so `e_v` is well-defined; cosine
+ * epochs are excluded — their codes are normalized-encoded and have no
+ * usable decode error against the raw column).
+ *
+ * NEVER-DISMISS hardening on every unscorable
  * row: NULL codes/list keep (un-coded appends mark their own list as a
  * candidate), a non-finite recorded bound keeps (NaN-poisoned or
  * malformed-code lists), an unscorable ADC (MaxValue: wrong-length or
@@ -555,9 +570,15 @@ case class PqRangeKeep(
     query: scala.collection.immutable.Seq[Float],
     radius: Double,
     codebooks: Broadcast[Array[Array[Array[Float]]]],
-    listErrs: Broadcast[Array[Double]])
+    listErrs: Broadcast[Array[Double]],
+    metricId: Int = VectorKernels.METRIC_L2)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
     with ExpectsInputTypes {
+
+  require(metricId == VectorKernels.METRIC_L2 ||
+    metricId == VectorKernels.METRIC_IP,
+    s"PqRangeKeep supports L2 and IP only (got $metricId) — cosine has " +
+      "no usable decode-error bound (normalized-encoded codes)")
 
   override def left: Expression = codesExpr
   override def right: Expression = listExpr
@@ -571,11 +592,18 @@ case class PqRangeKeep(
   override def prettyName: String = "pq_range_keep"
 
   @transient private lazy val qd: Array[Double] =
-    PqKernels.prepQuery(query.toArray, VectorKernels.METRIC_L2)
+    PqKernels.prepQuery(query.toArray, metricId)
   @transient private lazy val books: Array[Array[Array[Float]]] =
     codebooks.value
   @transient private lazy val errs: Array[Double] = listErrs.value
   private val sqrtR = math.sqrt(math.max(radius, 0.0))
+  @transient private lazy val qNorm: Double = {
+    var s = 0.0
+    var i = 0
+    val qa = query
+    while (i < qa.length) { val x = qa(i).toDouble; s += x * x; i += 1 }
+    math.sqrt(s)
+  }
 
   /** Public for codegen (null-free operands). */
   def keepRow(codes: ArrayData, list: Int): Boolean = {
@@ -585,13 +613,12 @@ case class PqRangeKeep(
     // list — no usable bound, keep
     if (java.lang.Double.isNaN(e) || java.lang.Double.isInfinite(e))
       return true
-    val adc = PqKernels.adcDistanceDirectChecked(
-      qd, books, VectorKernels.METRIC_L2, codes)
+    val adc = PqKernels.adcDistanceDirectChecked(qd, books, metricId, codes)
     // unscorable THIS row (wrong-length/foreign codes): keep — a range
     // refinement has no rerank pool to make dismissals recoverable
     if (adc == Double.MaxValue) return true
-    val b = sqrtR + e
-    adc <= b * b
+    if (metricId == VectorKernels.METRIC_IP) adc <= radius + qNorm * e
+    else { val b = sqrtR + e; adc <= b * b }
   }
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {

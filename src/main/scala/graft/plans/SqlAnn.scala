@@ -882,19 +882,22 @@ object SqlAnn {
       // registration carries per-list max quantization errors, a
       // codes-only DPP build marks the ball lists that actually hold an
       // ADC-plausible candidate, and the vector scan skips the rest.
-      // L2 bounds only (the tightest is used); SOUND because the keep
-      // bound admits a superset of the true matches and the ORIGINAL
-      // predicate stays — the refinement can only remove lists no match
-      // lives in. errs invalidate with the radii on append
-      // (invalidateRadii), so a grown table falls back before a stale
-      // bound could dismiss.
+      // L2 bounds via the triangle inequality, IP bounds via
+      // Cauchy–Schwarz (the tightest per metric is used, L2 preferred);
+      // SOUND because the keep bound admits a superset of the true
+      // matches and the ORIGINAL predicate stays — the refinement can
+      // only remove lists no match lives in. errs invalidate with the
+      // radii on append (invalidateRadii), so a grown table falls back
+      // before a stale bound could dismiss.
       val refine: Option[Expression] =
         if (lists.isEmpty) None
         else {
-          val l2Bounds = bounds.flatMap { case (d, r) =>
-            qvecOf(d).collect { case (q, Metric.L2) => (q, r) }
+          val pqBounds = bounds.flatMap { case (d, r) =>
+            qvecOf(d).collect {
+              case (q, m @ (Metric.L2 | Metric.InnerProduct)) => (q, r, m)
+            }
           }
-          pqRangeDpp(reg, rel, listAttr, lists, l2Bounds)
+          pqRangeDpp(reg, rel, listAttr, lists, pqBounds)
         }
       Some(refine.fold(inExpr)(d => And(inExpr, d)))
     }
@@ -915,11 +918,16 @@ object SqlAnn {
         rel: LogicalRelation,
         listAttr: AttributeReference,
         lists: Set[Int],
-        l2Bounds: Seq[(Array[Float], Double)]): Option[Expression] = {
+        pqBounds: Seq[(Array[Float], Double, Metric.Value)]): Option[Expression] = {
       val pqInfo = reg.pq.getOrElse(return None)
       val (_, errsBc) = reg.pqErrPair.getOrElse(return None)
-      // the tightest bound refines hardest; any single bound is sound
-      val (q, r) = l2Bounds.minByOption(_._2).getOrElse(return None)
+      // the tightest bound per metric refines hardest; any single bound
+      // is sound. L2 preferred (the triangle bound is tighter than the
+      // ‖q‖-scaled Cauchy–Schwarz one on typical geometry)
+      val (q, r, metric) = pqBounds.filter(_._3 == Metric.L2)
+        .minByOption(_._2)
+        .orElse(pqBounds.filter(_._3 == Metric.InnerProduct).minByOption(_._2))
+        .getOrElse(return None)
       val hasCodes = rel.output.exists(o => o.name == pqInfo.codeCol &&
         (o.dataType match {
           case ArrayType(ByteType, _) => true
@@ -930,7 +938,8 @@ object SqlAnn {
       val cCodes = relCand.output.find(_.name == pqInfo.codeCol).get
       val cList = relCand.output.find(_.name == reg.listCol).get
       val keep = graft.functions.PqRangeKeep(
-        cCodes, cList, q.toIndexedSeq, r, pqInfo.codebooksBc, errsBc)
+        cCodes, cList, q.toIndexedSeq, r, pqInfo.codebooksBc, errsBc,
+        metric.id)
       val candIn = In(cList, lists.toSeq.sorted.map(i => Literal(i)))
       val cand = Project(Seq(cList), Filter(And(candIn, keep), relCand))
       Some(DynamicPruningSubquery(

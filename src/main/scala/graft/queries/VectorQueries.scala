@@ -702,6 +702,7 @@ object VectorQueries {
     "sql_pq_topk" -> (sqlPqTopk _),
     "sql_pq_facade" -> (sqlPqFacade _),
     "sql_pq_range" -> (sqlPqRange _),
+    "sql_pq_range_ip" -> (sqlPqRangeIp _),
     "sql_range_rewrite" -> (sqlRangeRewrite _),
     "sql_ip_range" -> (sqlIpRange _),
     "sql_cosine_range" -> (sqlCosineRange _),
@@ -981,6 +982,35 @@ object VectorQueries {
       pfOf(s).contains("dynamicpruning"))
     require(adcOk && rerankOk,
       s"sql_pq_topk: the PQ two-scan+DPP pipeline did not fire (scans: " +
+        s"${scans.map(s => (s.output.map(_.name), pfOf(s)))})")
+    df
+  }
+
+  /** The IP twin of `sql_pq_range` (round 18): `WHERE ip_distance(vec,
+    * lit) <= r` over the err-carrying PQ registration refines through
+    * the Cauchy–Schwarz bound `adc <= r + ‖q‖·maxErr_list` (see
+    * [[graft.functions.PqRangeKeep]]'s IP derivation — the same stored
+    * L2 decode errors serve both metrics). EXACT like the L2 twin (ball
+    * bound + refinement both admit supersets, original predicate kept),
+    * so the same brute-force negated-dot SQL as `sql_ip_range` is the
+    * hash oracle. REQUIRES the refinement's dynamicpruning filter and
+    * the codes-only build scan. */
+  private def sqlPqRangeIp(spark: SparkSession, dir: String): DataFrame = {
+    sqlAnnPqTable(spark, dir)
+    val q = s"CAST(array(${sqlAnnVals.mkString(", ")}) AS ARRAY<FLOAT>)"
+    val df = spark.sql(
+      s"""SELECT id, ip_distance(vec, $q) AS dist
+         |FROM graft_sqlann_pq WHERE ip_distance(vec, $q) <= $SqlIpRangeRadius
+         |ORDER BY id""".stripMargin)
+    val scans = graft.plans.SqlAnn.fileSourceScans(df)
+    def pfOf(s: org.apache.spark.sql.execution.FileSourceScanExec) =
+      s.metadata.getOrElse("PartitionFilters", "")
+    val vecOk = scans.exists(s => s.output.exists(_.name == "vec") &&
+      pfOf(s).contains("list_id") && pfOf(s).contains("dynamicpruning"))
+    val codesOk = scans.exists(s => s.output.exists(_.name == "codes") &&
+      !s.output.exists(_.name == "vec"))
+    require(vecOk && codesOk,
+      s"sql_pq_range_ip: the IP-refined range plan did not fire (scans: " +
         s"${scans.map(s => (s.output.map(_.name), pfOf(s)))})")
     df
   }
@@ -1825,6 +1855,13 @@ object VectorQueries {
          |d AS (SELECT v.vec_id AS id, ${sqlL2("q.qv", "v.embedding")} AS dist
          |      FROM embeddings v, q)
          |SELECT id, dist FROM d WHERE dist <= $SqlRangeRadius ORDER BY id""".stripMargin,
+    // the IP refinement twin: Cauchy–Schwarz keep bound + kept
+    // predicate, same brute-force negated-dot oracle as sql_ip_range
+    "sql_pq_range_ip" ->
+      s"""WITH q AS (SELECT [${sqlAnnVals.mkString(", ")}]::FLOAT[] AS qv),
+         |d AS (SELECT v.vec_id AS id, ${sqlIp("q.qv", "v.embedding")} AS dist
+         |      FROM embeddings v, q)
+         |SELECT id, dist FROM d WHERE dist <= $SqlIpRangeRadius ORDER BY id""".stripMargin,
     // the range rewrite is EXACT by construction (covering-ball bound),
     // so brute force under the same literal + radius is the oracle
     "sql_range_rewrite" ->

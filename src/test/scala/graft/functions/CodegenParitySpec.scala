@@ -193,6 +193,37 @@ class CodegenParitySpec extends SparkSpec {
         assert(on.find(_._1 == row.getLong(0)).exists(_._2 == (adc <= b * b)),
           s"row ${row.getLong(0)}: keep must equal the kernel bound")
       }
+    // the IP twin (Cauchy–Schwarz bound): codegen == interpreted, keeps
+    // all unscorable flavors, and agrees with the kernel bound
+    // adc <= r + ||q||*e on the tight-err list
+    def runIp(radius: Double) = base.select(
+      col("id"),
+      graftshims.column(PqRangeKeep(
+        graftshims.expression(col("codes")),
+        graftshims.expression(col("list_id")),
+        q.toIndexedSeq, radius, bc, errs,
+        VectorKernels.METRIC_IP)).as("keep"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1).toSeq
+    val qNorm = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
+    Seq(-2.0, 0.0, 2.0).foreach { rr =>
+      val onIp = runIp(rr)
+      val offIp = withCodegenOff(runIp(rr))
+      assert(onIp === offIp, s"IP radius $rr: codegen != interpreted")
+      Seq(999L, 998L, 997L, 996L).foreach { id =>
+        assert(onIp.find(_._1 == id).exists(_._2),
+          s"IP radius $rr: unscorable row $id must be KEPT")
+      }
+      vectorsDF(randomVectors(40, 8, seed = 5)).collect()
+        .filter(_.getLong(0) % 4 == 0).foreach { row =>
+          val codes = PqKernels.encode(row.getSeq[Float](1).toArray, books)
+          val adc = PqKernels.adcDistanceDirectBytes(
+            PqKernels.prepQuery(q, VectorKernels.METRIC_IP), books,
+            VectorKernels.METRIC_IP, codes)
+          assert(onIp.find(_._1 == row.getLong(0))
+            .exists(_._2 == (adc <= rr + qNorm * 0.1)),
+            s"IP row ${row.getLong(0)}: keep must equal the kernel bound")
+        }
+    }
   }
 
   test("PQ ADC distance (runtime-query column): codegen == interpreted, agrees with the literal twin") {

@@ -2746,6 +2746,30 @@ class SqlAnnSpec extends SparkSpec {
       assert(partsRead > 0 && partsRead < NList,
         s"the ADC refinement must prune below the (inflated) ball prune: " +
           s"read $partsRead of $NList")
+      // the IP arm (Cauchy–Schwarz bound) rides the same registration:
+      // `ip_distance(vec, lit) <= r` refines through the SAME errs and
+      // stays exact — including the unscorable rows
+      val c0 = s"CAST(array(${corner(0).map(_.toDouble).mkString(", ")}) AS ARRAY<FLOAT>)"
+      val ipSql =
+        s"""SELECT id, ip_distance(vec, $c0) AS dist
+           |FROM sqlann_pqr
+           |WHERE ip_distance(vec, $c0) <= -100.0
+           |ORDER BY id""".stripMargin
+      SqlAnn.unregisterIndex(spark, refDir)
+      val ipBrute = spark.sql(ipSql).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(ipBrute.exists(_._1 == 0L) && ipBrute.exists(_._1 == 8L),
+        "IP fixture: the unscorable rows must be true IP matches")
+      SqlAnn.registerIndex(spark, refDir, pqIndex.centroids.value, nprobe = 2,
+        radii = Some(radii), centroidsBc = Some(pqIndex.centroids),
+        pq = Some(new SqlAnn.PqInfo(pqIndex.codebooks)),
+        pqRangeErrs = Some(errs))
+      val ipDf = spark.sql(ipSql)
+      val ipPf = partitionFilterText(ipDf)
+      assert(ipPf.contains("dynamicpruning"),
+        s"the IP refinement DPP must reach the vector scan ($ipPf)")
+      assert(ipDf.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        === ipBrute, "the IP-refined range scan must stay EXACT")
       // append invalidation: a grown table strips radii AND errs — the
       // range shape falls back to the plain scan (no stale dismissal)
       SqlAnn.invalidateRadii(spark, refDir)
