@@ -81,7 +81,11 @@ object Bench {
     // "tasks idle" (taskRun << wall -> scheduler gap / IO stall / straggler)
     val taskRunMs = new java.util.concurrent.atomic.AtomicLong
     val taskCpuMs = new java.util.concurrent.atomic.AtomicLong
-    if (debug) spark.sparkContext.addSparkListener(
+    // UNCONDITIONAL (r18 verdict #6): per-query taskSec rides the JSON so
+    // a degraded wall read carries its own exoneration — wall up with
+    // taskSec flat is external contention, not a code regression. The
+    // listener costs one atomic add per stage.
+    spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
             s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -182,11 +186,14 @@ object Bench {
       // With no clean warm-up the screen is disabled (MaxValue reference).
       val warmRef = (Seq(w1 -> ok1, w2 -> ok2).collect { case (t, true) => t }
         match { case Nil => Double.MaxValue; case ts => ts.min })
+      var timedRuns = 0
       def timedRun(): Double = {
+        timedRuns += 1
         val t0 = System.nanoTime()
         val ok = runOnce(name, fn)
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
+      val trQ0 = taskRunMs.get
       val times = (1 to 3).map { i =>
         val (gc0, jit0, cg0) = (gcMs, jitMs, codegenN)
         val (tr0, tc0) = (taskRunMs.get, taskCpuMs.get)
@@ -218,11 +225,19 @@ object Bench {
         }
         sec
       }
+      // per-query task time: taskRun delta across the timed runs (incl.
+      // stall retries), averaged per run — coarse by design (a short
+      // drain sleep bounds cross-query event leakage) but exactly the
+      // wall-vs-work discriminator the degraded-read adjudication needs
+      if (!debug) Thread.sleep(25) // debug path already drained per run
+      val taskSec =
+        if (timedRuns == 0) 0.0
+        else (taskRunMs.get - trQ0) / 1e3 / timedRuns
       // a crashed query reports -1, never a healthy-looking near-zero time
-      if (times.exists(_ < 0)) (name, -1.0, -1.0, -1.0)
-      else (name, times.sorted.apply(1), times.min, times.max)
+      if (times.exists(_ < 0)) (name, -1.0, -1.0, -1.0, taskSec)
+      else (name, times.sorted.apply(1), times.min, times.max, taskSec)
     }
-    def jsonMap(f: ((String, Double, Double, Double)) => Double) =
+    def jsonMap(f: ((String, Double, Double, Double, Double)) => Double) =
       results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val qs = jsonMap(_._2)
     val mins = jsonMap(_._3)
@@ -232,6 +247,7 @@ object Bench {
     // each query sits to the 3.0 flag line, not just who crossed it
     val spreads = jsonMap(r =>
       if (r._2 < 0 || r._3 <= 0) -1.0 else math.rint(r._4 / r._3 * 100) / 100)
+    val taskSecs = jsonMap(r => math.rint(r._5 * 1000) / 1000)
     // max/min > 3x on a healthy query = unstable measurement (caching or
     // box contention) — flag it so a round-over-round delta isn't misread
     val unstable = results
@@ -242,7 +258,7 @@ object Bench {
     val failed = results.count(_._2 < 0)
     val total = if (failed > 0) -1.0 else results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,""" +
-      s""""queries":$qs,"min":$mins,"max":$maxs,"spread":$spreads,""" +
+      s""""queries":$qs,"min":$mins,"max":$maxs,"spread":$spreads,"taskSec":$taskSecs,""" +
       s""""unstable":$unstable,"stall_retries":$stallRetries,"sf":"$sfDir"}""")
     // Compact SUMMARY line, printed LAST: the harness that records the
     // bench keeps only a finite tail of the output (~2000 chars observed),
@@ -270,12 +286,18 @@ object Bench {
     val keep = headline ++ slowest ++ crashed
     val compactQs = results.filter(r => keep(r._1))
       .map(r => "\"" + r._1 + "\":" + r._2).mkString("{", ",", "}")
+    // taskSec for the same keep set (2dp — the compact line must fit a
+    // ~2k tail capture whole): the self-exoneration signal survives even
+    // when only this line is recorded
+    val compactTask = results.filter(r => keep(r._1))
+      .map(r => "\"" + r._1 + "\":" + math.rint(r._5 * 100) / 100)
+      .mkString("{", ",", "}")
     // "summary":true disambiguates this line from the full one above for
     // a consumer of the WHOLE stream matching on metric=="total" (the
     // metric name itself stays "total" — the tail-reading harness keys on
     // it, and this line must remain the one it parses)
     println(s"""{"metric":"total","summary":true,"value":$total,"unit":"sec","failed":$failed,""" +
-      s""""queries":$compactQs,"n_queries":${results.size},""" +
+      s""""queries":$compactQs,"taskSec":$compactTask,"n_queries":${results.size},""" +
       s""""unstable":$unstable,"stall_retries":$stallRetries,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -467,20 +467,16 @@ case class PqAdcDistanceCol(
     * the batch's queries per corpus row — a naive install-on-every-miss
     * memo pays a tuple allocation per pair on that pattern and measured
     * 20-35% SLOWER than no memo at all. The memo therefore installs only
-    * on the SECOND consecutive sighting of the same query (a cheap
-    * length/first/last-bits fingerprint of the last miss): repeated-query
-    * streams hit from the third row on, interleaved streams degrade to
-    * a failed first-element compare + three int ops — never a slowdown. */
+    * on the SECOND consecutive sighting of the same query, detected by
+    * EXACT content compare against the last-missed array (r18 advice:
+    * the earlier length/first/last-bits fingerprint collided on
+    * zero-padded or shared-prefix/suffix embeddings, re-installing per
+    * pair and reinstating the regression). Holding the last miss is a
+    * reference assignment (the qf copy already exists per call), and
+    * interleaved streams degrade to a first-element compare — never a
+    * slowdown; repeated-query streams hit from the third row on. */
   @transient private var prepMemo: (Array[Float], Array[Double]) = null
-  @transient private var lastMissKey: Int = 0
-
-  private def missKey(qf: Array[Float]): Int = {
-    val n = qf.length
-    var k = n * 31 + 17
-    if (n > 0) k ^= java.lang.Float.floatToIntBits(qf(0)) * 31
-    if (n > 1) k ^= java.lang.Float.floatToIntBits(qf(n - 1))
-    k
-  }
+  @transient private var lastMiss: Array[Float] = null
 
   /** Public for codegen. Unscorable-row contract, enforced explicitly: a
     * NULL ELEMENT inside the query array ranks the pair LAST (MaxValue)
@@ -501,9 +497,9 @@ case class PqAdcDistanceCol(
       if (memo != null && java.util.Arrays.equals(memo._1, qf)) memo._2
       else {
         val prepped = PqKernels.prepQuery(qf, metricId)
-        val key = missKey(qf)
-        if (key == lastMissKey) prepMemo = (qf, prepped)
-        else lastMissKey = key
+        val lm = lastMiss
+        if (lm != null && java.util.Arrays.equals(lm, qf)) prepMemo = (qf, prepped)
+        else lastMiss = qf
         prepped
       }
     PqKernels.adcDistanceDirectChecked(qd, books, metricId, codes)

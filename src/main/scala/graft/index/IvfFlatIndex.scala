@@ -661,6 +661,32 @@ object IvfFlatIndex {
     out
   }
 
+  /** Per-list max PQ decode errors `(list_id, err)` — the radii table's
+    * twin (round 19, r18 verdict #1): buildEpoch's single meta pass
+    * ([[graft.plans.SqlAnn.computePqRangeMeta]]) yields BOTH bounds, and
+    * persisting the errs beside `radii` (as `pqerrs`) turns every
+    * `registerSql(pqRangeAccel = true)` from a corpus scan into a
+    * metadata read. Lifecycle is identical to radii: deleted before an
+    * append lands (grown lists invalidate the max), copied by compaction
+    * (membership and codes preserved exactly). Reference analog: derived
+    * index metadata rides the epoch, not the reader
+    * (format/storage.cpp:22-132). */
+  def writeListErrsTable(spark: SparkSession, errs: Array[Double], path: String): Unit = {
+    import spark.implicits._
+    errs.zipWithIndex.map { case (e, i) => (i, e) }.toSeq
+      .toDF("list_id", "err").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Missing list ids read as 0.0 — the same value the meta pass records
+    * for an EMPTY list (no rows, nothing to bound), and the write above
+    * always emits all nlist rows anyway. */
+  def readListErrsTable(spark: SparkSession, path: String, nlist: Int): Array[Double] = {
+    val out = Array.fill(nlist)(0.0)
+    spark.read.parquet(path).collect()
+      .foreach(r => out(r.getInt(0)) = r.getDouble(1))
+    out
+  }
+
   /** Build an in-memory index (train + assign, no epoch write). */
   def build(
       spark: SparkSession,

@@ -420,6 +420,13 @@ object SqlAnn {
       codeCol: String = "codes",
       listCol: String = "list_id"): (Array[Double], Array[Double]) = {
     import org.apache.spark.sql.functions.col
+    pqRangeMetaScans.incrementAndGet()
+    // loud validation, matching the facade's lone-flag discipline (r18
+    // advice: an empty codebooks array threw a bare AIOOBE here)
+    require(centroids.nonEmpty, "computePqRangeMeta: empty centroids")
+    require(codebooks.nonEmpty && codebooks(0).nonEmpty,
+      "computePqRangeMeta: empty codebooks — the range refinement needs " +
+        "a trained PQ codebook per subspace (IndexConfig m > 0)")
     val nlist = centroids.length
     val m = codebooks.length
     val dsub = codebooks(0)(0).length
@@ -489,6 +496,13 @@ object SqlAnn {
   // sized (nlist x dim floats) and bounded by live registrations;
   // unregisterIndex releases.
   private val registry = TrieMap.empty[String, Registration]
+
+  /** Count of [[computePqRangeMeta]] corpus passes this JVM has run —
+    * diagnostic for the r19 "registration is a metadata read" contract:
+    * a `registerSql(pqRangeAccel = true)` over a freshly built PQ epoch
+    * must consume the persisted `radii`/`pqerrs` tables and leave this
+    * counter unchanged (the spec pins it). */
+  val pqRangeMetaScans = new java.util.concurrent.atomic.AtomicLong
 
   /** Install the rewrite rule (idempotent) and the SQL function surface
     * ([[graft.GraftExtensions]]) on the session. */

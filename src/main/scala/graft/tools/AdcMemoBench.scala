@@ -24,6 +24,10 @@ import graft.functions.{PqAdcDistanceCol, PqKernels, VectorKernels}
  * Usage: AdcMemoBench [dim] [iters]  (defaults 64, 2000000)
  */
 object AdcMemoBench {
+  // volatile accumulator the measured sums land in; printed at exit so
+  // the JIT cannot prove the scoring loops dead
+  @volatile private var blackhole: Double = 0.0
+
   def main(args: Array[String]): Unit = {
     val dim = if (args.length > 0) args(0).toInt else 64
     val iters = if (args.length > 1) args(1).toInt else 2000000
@@ -59,7 +63,9 @@ object AdcMemoBench {
         i = 0
         while (i < iters) { sum += body(i); i += 1 }
         val ns = (System.nanoTime() - t0).toDouble / iters
-        if (sum == Double.NaN) println(sum) // sink
+        // DCE sink AFTER timing (r18 advice: `sum == Double.NaN` is
+        // always false — NaN != NaN — so the JIT could drop the work)
+        blackhole += sum
         ns
       }
       val eHit = fresh()
@@ -92,6 +98,7 @@ object AdcMemoBench {
       println(f"[adcmemo] $mname%-6s hit=${best(0)}%7.1f miss=${best(1)}%7.1f " +
         f"nomemo=${best(2)}%7.1f ns/op (dim=$dim m=$m ks=$ks)")
     }
+    println(s"[adcmemo] blackhole=$blackhole")
     spark.stop()
   }
 }

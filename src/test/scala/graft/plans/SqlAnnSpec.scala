@@ -2821,6 +2821,82 @@ class SqlAnnSpec extends SparkSpec {
     } finally db.close()
   }
 
+  test("pqRangeAccel meta rides the epoch: registration is a metadata read; compaction re-emits; append falls back") {
+    import graft.IndexConfig
+    graft.GraftExtensions.register(spark)
+    val db = new graft.api.VectorDB(spark,
+      java.nio.file.Files.createTempDirectory("graft-sqlann-pqmeta").toString)
+    db.createIndex(IndexConfig("pqmeta", Dim, nlist = 4, m = 2))
+    val ep = db.buildEpoch("pqmeta", vectorsDF(randomVectors(150, Dim, seed = 43)))
+    db.activateEpoch("pqmeta", ep)
+    db.loadIndex("pqmeta")
+    val em = new graft.storage.EpochManager(s"${db.dataPath}/pqmeta/epochs")
+    def rows(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    try {
+      val root = em.epochPath(ep)
+      assert(new java.io.File(s"$root/pqerrs").exists,
+        "buildEpoch over a PQ L2 epoch must persist the decode-error table")
+      // the persisted pair must replay a fresh meta pass bit-for-bit —
+      // a registration may mix persisted and recomputed sources
+      val books = graft.index.IvfPqIndex.readCodebooks(spark, s"$root/codebooks")
+      val cents = db.readCentroids(s"$root/centroids")
+      val (radii, errs) = SqlAnn.computePqRangeMeta(
+        spark, s"$root/vectors", cents, books)
+      assert(IvfFlatIndex.readListRadiiTable(spark, s"$root/radii", 4).toSeq
+        === radii.toSeq, "persisted radii must replay the meta pass")
+      assert(IvfFlatIndex.readListErrsTable(spark, s"$root/pqerrs", 4).toSeq
+        === errs.toSeq, "persisted errs must replay the meta pass")
+      // THE r19 contract (r18 verdict #1): registration consumes the
+      // persisted tables — zero corpus passes
+      val scans0 = SqlAnn.pqRangeMetaScans.get
+      val view = db.registerSql("pqmeta", nprobe = 4, pq = true,
+        pqRerankK = 1000, pqRangeAccel = true)
+      assert(SqlAnn.pqRangeMetaScans.get === scans0,
+        "registerSql over a freshly built PQ epoch must NOT scan the corpus")
+      val sql = rangeSql(view, "2.0", qvecSql)
+      val df = spark.sql(sql)
+      val pf = partitionFilterText(df)
+      assert(pf.contains("list_id") && pf.contains("dynamicpruning"),
+        s"persisted-meta registration must still plan the refined scan ($pf)")
+      val got = rows(df)
+      SqlAnn.unregisterIndex(spark, s"$root/vectors")
+      assert(got === rows(spark.sql(sql)),
+        "persisted-meta refined range scan must stay exact")
+      // compaction preserves membership + codes, so it re-emits the pair:
+      // the compacted epoch registers scan-free too
+      val ep2 = db.compactEpoch("pqmeta")
+      val root2 = em.epochPath(ep2)
+      assert(new java.io.File(s"$root2/pqerrs").exists,
+        "compaction must re-emit pqerrs beside the copied radii")
+      val scans1 = SqlAnn.pqRangeMetaScans.get
+      db.registerSql("pqmeta", nprobe = 4, pq = true,
+        pqRerankK = 1000, pqRangeAccel = true)
+      assert(SqlAnn.pqRangeMetaScans.get === scans1,
+        "registration over a compacted epoch must stay a metadata read")
+      val got2 = rows(spark.sql(sql))
+      SqlAnn.unregisterIndex(spark, s"$root2/vectors")
+      assert(got2 === rows(spark.sql(sql)),
+        "compacted-epoch refined range scan must stay exact")
+      // append: both tables drop BEFORE rows land, and the next
+      // registration pays the one-pass fallback — fresh bounds, exact
+      db.addVectors("pqmeta", vectorsDF(randomVectors(10, Dim, seed = 44)
+        .map { case (i, v) => (1000L + i, v) }))
+      assert(!new java.io.File(s"$root2/pqerrs").exists &&
+        !new java.io.File(s"$root2/radii").exists,
+        "append must delete radii AND pqerrs (a stale max dismisses)")
+      val scans2 = SqlAnn.pqRangeMetaScans.get
+      db.registerSql("pqmeta", nprobe = 4, pq = true,
+        pqRerankK = 1000, pqRangeAccel = true)
+      assert(SqlAnn.pqRangeMetaScans.get === scans2 + 1,
+        "meta-less registration must fall back to the corpus pass")
+      val got3 = rows(spark.sql(sql))
+      SqlAnn.unregisterIndex(spark, s"$root2/vectors")
+      assert(got3 === rows(spark.sql(sql)),
+        "post-append fallback registration must stay exact")
+    } finally db.close()
+  }
+
   test("semi/anti range joins: EXISTS screens become equi joins, exact; outer and flipped shapes pinned") {
     rangeIndex
     graft.GraftExtensions.register(spark)
