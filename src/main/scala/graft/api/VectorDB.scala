@@ -253,6 +253,19 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
               IvfFlatIndex.readEpoch(spark, s"$path/vectors"), bc, manifest.metric)
             IvfFlatIndex.writeListRadiiTable(spark, built.listRadii, s"$path/radii")
         }
+      } else builtBooks.foreach { books =>
+        // cosine PQ epoch (round 19, r18 verdict #4): the same single
+        // pass, with errs measured against the eps-NORMALIZED vectors
+        // (what the codes encode) and out-of-tolerance stored norms
+        // poisoned to +inf. The radii are max ‖raw − c_l‖ — the exact
+        // quantity IvfFlatIndex.computeListRadii derives, so presetting
+        // them at load is semantics-preserving; they become the cosine
+        // ball's bridge bound only under a unitNorm-attested
+        // registerSql(pqRangeAccel = true).
+        val (radii, errs) = graft.plans.SqlAnn.computePqRangeMeta(
+          spark, s"$path/vectors", cents, books, cosineCodes = true)
+        IvfFlatIndex.writeListRadiiTable(spark, radii, s"$path/radii")
+        IvfFlatIndex.writeListErrsTable(spark, errs, s"$path/pqerrs")
       }
 
       val shardCounts = spark.read.parquet(s"$path/vectors")
@@ -664,11 +677,18 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       throw new InvalidArgumentException(
         "pqRangeAccel = true without pq = true: the range refinement " +
           "scores the epoch's codes column")
-    if (pqRangeAccel && s.manifest.metric == Metric.Cosine)
+    // round 19 (r18 verdict #4): cosine epochs GAIN the refinement, but
+    // only under the unitNorm attestation — the keep bound (and the
+    // cosine ball bridge it rides) holds only over near-unit stored
+    // norms; the meta pass independently poisons out-of-tolerance rows,
+    // so even a lying attestation degrades to no-refinement, never a
+    // dismissal
+    if (pqRangeAccel && s.manifest.metric == Metric.Cosine && !unitNorm)
       throw new InvalidArgumentException(
-        "pqRangeAccel is not available for cosine epochs: their codes " +
-          "are encoded from NORMALIZED vectors while the stored column " +
-          "stays raw, so no per-list decode-error bound exists")
+        "pqRangeAccel on a cosine epoch requires unitNorm = true: the " +
+          "refinement's keep bound and the cosine ball bridge hold only " +
+          "over near-unit stored norms — attest unitNorm (ideally with " +
+          "verifyUnitNorm = true), or drop pqRangeAccel")
     val pqInfo: Option[graft.plans.SqlAnn.PqInfo] =
       if (!pq) None
       else {
@@ -707,7 +727,8 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
         else
           Some(graft.plans.SqlAnn.computePqRangeMeta(
             spark, path, s.index.centroids.value,
-            pqInfo.get.codebooksBc.value))
+            pqInfo.get.codebooksBc.value,
+            cosineCodes = s.manifest.metric == Metric.Cosine))
       } else None
     val radii = rangeMeta.map(m => Some(m._1)).getOrElse(
       if (computeRangeRadii) Some(s.index.listRadii) else s.index.radiiIfKnown)
@@ -973,6 +994,16 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     warmed.updateWith(name)(old => Some(subset :: old.getOrElse(Nil)))
     subset.count()
   }
+
+  /** Plan/codegen warmup (round 19, r18 verdict #2): compile the PQ/flat
+    * flood search plan family against a tiny synthetic table BEFORE the
+    * first real query, converting ~9-10 s of cold-start plan build +
+    * ~59 codegen compilations into a startup cost. The generated source
+    * is scale-invariant, so the tiny execution populates the Janino cache
+    * the real plans then hit (see [[graft.index.PlanWarmup]] — measured:
+    * flood iter1 dropped from ~20 s to ≤2x steady state). Idempotent per
+    * session; the data-side warmups ([[warmup]]/[[warmupHot]]) compose. */
+  def warmupPlans(): Unit = graft.index.PlanWarmup.warmPqFlood(spark)
 
   // --- A7 GetStats ---------------------------------------------------------
 

@@ -572,9 +572,9 @@ case class PqRangeKeep(
     with ExpectsInputTypes {
 
   require(metricId == VectorKernels.METRIC_L2 ||
-    metricId == VectorKernels.METRIC_IP,
-    s"PqRangeKeep supports L2 and IP only (got $metricId) — cosine has " +
-      "no usable decode-error bound (normalized-encoded codes)")
+    metricId == VectorKernels.METRIC_IP ||
+    metricId == VectorKernels.METRIC_COSINE,
+    s"PqRangeKeep: unknown metric $metricId")
 
   override def left: Expression = codesExpr
   override def right: Expression = listExpr
@@ -614,6 +614,14 @@ case class PqRangeKeep(
     // refinement has no rerank pool to make dismissals recoverable
     if (adc == Double.MaxValue) return true
     if (metricId == VectorKernels.METRIC_IP) adc <= radius + qNorm * e
+    // cosine (round 19): codes encode eps-normalized vectors and errs
+    // were recorded against them with out-of-tolerance norms poisoned to
+    // +inf (computePqRangeMeta), so on the surviving rows
+    // `adc = 1 − q̂·decode ≤ (1 − q̂·ṽ) + ‖q̂‖·e ≤ r + slack + e` with
+    // ‖q̂‖ ≤ 1 by the eps-inside-sqrt prep — the caller passes `radius`
+    // PRE-SLACKED (r + cosineKeepSlack(tol)) to absorb the kernel's
+    // norm-product eps vs the prep's per-vector eps on near-unit norms
+    else if (metricId == VectorKernels.METRIC_COSINE) adc <= radius + e
     else { val b = sqrtR + e; adc <= b * b }
   }
 
@@ -645,6 +653,149 @@ case class PqRangeKeep(
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): PqRangeKeep =
     copy(codesExpr = l, listExpr = r)
+}
+
+/**
+ * Per-row-query twin of [[PqRangeKeep]] (round 19, r18 verdict #3): the
+ * SAME sound keep-bound — triangle inequality for L2
+ * (`adc ≤ (√r + maxErr_l)²`), Cauchy–Schwarz for IP
+ * (`adc ≤ r + ‖q‖·maxErr_l`) — with the query vector coming from a
+ * COLUMN instead of a driver literal, so the covering-ball range-JOIN
+ * and semi-screen shapes (per-row query vectors, where the literal
+ * precondition of [[PqRangeKeep]] can never hold) gain the codes-only
+ * candidate-list refinement too. Evaluated per (corpus row, query row)
+ * pair inside the refinement DPP's build join; the bound admits a
+ * SUPERSET of the true matching pairs per the same derivation, so the
+ * lists it emits cover every true match and the kept original predicate
+ * makes the rewrite semantics-preserving.
+ *
+ * NEVER-DISMISS hardening identical to the literal twin, plus the
+ * per-row query cases: a NULL query vector or a NULL query ELEMENT
+ * keeps (cannot rule the pair out), a non-finite or out-of-range
+ * recorded bound keeps, an unscorable ADC keeps. Query prep is memoized
+ * with the SAME adaptive second-consecutive-sighting install as
+ * [[PqAdcDistanceCol]] (the build join streams corpus rows, so queries
+ * interleave; for IP the prepped triple carries ‖q‖ too).
+ */
+case class PqRangeKeepCol(
+    codesExpr: Expression,
+    listExpr: Expression,
+    queryExpr: Expression,
+    radius: Double,
+    codebooks: Broadcast[Array[Array[Array[Float]]]],
+    listErrs: Broadcast[Array[Double]],
+    metricId: Int = VectorKernels.METRIC_L2,
+    // cosine arm only: a query ROW whose norm deviates from 1 beyond
+    // this keeps unconditionally — the slack folded into `radius` is
+    // only valid on near-unit query norms (same per-row fallback as
+    // CosineRangeProbeLists)
+    unitTol: Double = 0.0)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ExpectsInputTypes {
+
+  require(metricId == VectorKernels.METRIC_L2 ||
+    metricId == VectorKernels.METRIC_IP ||
+    metricId == VectorKernels.METRIC_COSINE,
+    s"PqRangeKeepCol: unknown metric $metricId")
+
+  override def first: Expression = codesExpr
+  override def second: Expression = listExpr
+  override def third: Expression = queryExpr
+  override def inputTypes: Seq[org.apache.spark.sql.graftshims.AbstractDataType] =
+    Seq(ArrayType(ByteType), org.apache.spark.sql.types.IntegerType,
+      ArrayType(FloatType))
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  // keep-on-null: a NULL input means "cannot rule the pair out"
+  override def nullable: Boolean = false
+  override def prettyName: String = "pq_range_keep_col"
+
+  @transient private lazy val books: Array[Array[Array[Float]]] =
+    codebooks.value
+  @transient private lazy val errs: Array[Double] = listErrs.value
+  private val sqrtR = math.sqrt(math.max(radius, 0.0))
+
+  /** (query floats, prepped doubles, ‖q‖) — adaptive install, see
+    * [[PqAdcDistanceCol]]'s memo scaladoc for the measured rationale. */
+  @transient private var prepMemo: (Array[Float], Array[Double], Double) = null
+  @transient private var lastMiss: Array[Float] = null
+
+  /** Public for codegen (null-free operands). */
+  def keepRow(codes: ArrayData, list: Int, q: ArrayData): Boolean = {
+    if (list < 0 || list >= errs.length) return true
+    val e = errs(list)
+    if (java.lang.Double.isNaN(e) || java.lang.Double.isInfinite(e))
+      return true
+    // NULL ELEMENT inside the query array: unscorable pair — keep (the
+    // kept original predicate will drop it; dismissing here on a vector
+    // the caller never wrote would be the unsound direction)
+    val n = q.numElements()
+    var i = 0
+    while (i < n) {
+      if (q.isNullAt(i)) return true
+      i += 1
+    }
+    val qf = q.toFloatArray()
+    val memo = prepMemo
+    val (qd, qNorm) =
+      if (memo != null && java.util.Arrays.equals(memo._1, qf))
+        (memo._2, memo._3)
+      else {
+        val prepped = PqKernels.prepQuery(qf, metricId)
+        var s = 0.0
+        var j = 0
+        while (j < qf.length) { val x = qf(j).toDouble; s += x * x; j += 1 }
+        val norm = math.sqrt(s)
+        val lm = lastMiss
+        if (lm != null && java.util.Arrays.equals(lm, qf))
+          prepMemo = (qf, prepped, norm)
+        else lastMiss = qf
+        (prepped, norm)
+      }
+    val adc = PqKernels.adcDistanceDirectChecked(qd, books, metricId, codes)
+    if (adc == Double.MaxValue) return true
+    if (metricId == VectorKernels.METRIC_IP) adc <= radius + qNorm * e
+    else if (metricId == VectorKernels.METRIC_COSINE) {
+      // degenerate query ROW: the pre-slacked bound assumes a near-unit
+      // query norm — keep (per-row fallback, never a false dismissal)
+      if (!(math.abs(qNorm - 1.0) <= unitTol)) true
+      else adc <= radius + e
+    }
+    else { val b = sqrtR + e; adc <= b * b }
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val c = codesExpr.eval(input)
+    if (c == null) return true
+    val l = listExpr.eval(input)
+    if (l == null) return true
+    val q = queryExpr.eval(input)
+    if (q == null) return true
+    keepRow(c.asInstanceOf[ArrayData], l.asInstanceOf[Int],
+      q.asInstanceOf[ArrayData])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val ref = ctx.addReferenceObj("pqRangeKeepCol", this, classOf[PqRangeKeepCol].getName)
+    val cGen = codesExpr.genCode(ctx)
+    val lGen = listExpr.genCode(ctx)
+    val qGen = queryExpr.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${cGen.code}
+        ${lGen.code}
+        ${qGen.code}
+        boolean ${ev.value} = true;
+        if (!${cGen.isNull} && !${lGen.isNull} && !${qGen.isNull}) {
+          ${ev.value} = $ref.keepRow(${cGen.value}, ${lGen.value}, ${qGen.value});
+        }""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PqRangeKeepCol =
+    copy(codesExpr = f, listExpr = s, queryExpr = t)
 }
 
 object pq {

@@ -305,6 +305,31 @@ object VectorKernels {
     else 2.0 * hi - 2.0 * (1.0 - r) * (hi + 1e-8)
   }
 
+  /** Additive keep-bound slack for the COSINE PQ range refinement
+    * (round 19): the flat cosine kernel divides by `nv·nq + ε` while the
+    * ADC query prep normalizes each side with ε INSIDE the sqrt, so for
+    * norms in [1−tol, 1+tol] the two cosines differ by at most
+    * `cosK·(1 − ρ)` with
+    *
+    * {{{
+    *   ρ = (nv·nq + ε) / (√(nv²+ε)·√(nq²+ε)) ≥ (lo² + ε)/(hi² + ε)
+    * }}}
+    *
+    * (numerator minimized, denominator maximized over the box; AM–GM
+    * gives ρ ≤ 1 so the slack is one-sided) and `cosK ≤ 1`. The keep
+    * test `adc ≤ r + slack + maxErr` then admits a superset of the true
+    * matches ON near-unit-norm rows — out-of-tolerance STORED rows are
+    * poisoned to +∞ err by the meta pass, and out-of-tolerance QUERY
+    * rows keep unconditionally, because for tiny norms the two
+    * denominators diverge arbitrarily and no decode-error term can see
+    * that. ≈ 4·tol of slack: a sliver of extra kept lists, zero
+    * dismissals. */
+  def cosineKeepSlack(tol: Double): Double = {
+    val hi = (1.0 + tol) * (1.0 + tol)
+    val lo = (1.0 - tol) * (1.0 - tol)
+    1.0 - lo / (hi + 1e-8)
+  }
+
   /** [[rangeProbeLists]] for a COSINE bound over a unit-norm-attested
     * table: prune through the L2 bridge when this query vector really is
     * unit-norm (within tol); a degenerate row (near-zero input vector —

@@ -408,6 +408,19 @@ object SqlAnn {
     *    code row (wrong length, byte ≥ ks, dim mismatch) records
     *    +∞ — its list is then never ADC-pruned, the sound direction.
     *
+    * `cosineCodes = true` (round 19, the cosine arm): codes that encode
+    * NORMALIZE(vec) are scored against the eps-normalized vector, so the
+    * error is measured where the codes live —
+    * `max ‖v·rsqrt(‖v‖²+1e-8) − decode(codes_v)‖` — and, load-bearing
+    * for soundness, a row whose RAW norm deviates from 1 by more than
+    * [[UnitNormTol]] poisons its list's err to +∞: the cosine keep
+    * bound's slack term is only valid on near-unit norms (the flat
+    * kernel adds its 1e-8 to the norm PRODUCT while the ADC query prep
+    * normalizes with the eps INSIDE the sqrt, and for tiny norms those
+    * denominators diverge arbitrarily — a decode error cannot see that
+    * divergence), so a lying unit-norm attestation degrades to
+    * no-refinement instead of a false dismissal.
+    *
     * Pass the results to [[registerIndex]] as `radii` and `pqRangeErrs`.
     * Cost: one scan of (vec, codes, list) with O(dim) work per row —
     * the same order as computing radii alone. */
@@ -418,7 +431,8 @@ object SqlAnn {
       codebooks: Array[Array[Array[Float]]],
       vecCol: String = "vec",
       codeCol: String = "codes",
-      listCol: String = "list_id"): (Array[Double], Array[Double]) = {
+      listCol: String = "list_id",
+      cosineCodes: Boolean = false): (Array[Double], Array[Double]) = {
     import org.apache.spark.sql.functions.col
     pqRangeMetaScans.incrementAndGet()
     // loud validation, matching the facade's lone-flag discipline (r18
@@ -455,20 +469,40 @@ object SqlAnn {
                       codes.exists(b => (b & 0xff) >= ks))
                     Double.PositiveInfinity
                   else {
-                    var d = 0.0
-                    var s = 0
-                    while (s < m) {
-                      val cw = cb(s)(codes(s) & 0xff)
-                      val off = s * dsub
+                    // cosine codes: error against the eps-normalized
+                    // vector (what the codes encode) — and a row whose
+                    // raw norm breaks the near-unit precondition poisons
+                    // the list (see the scaladoc's soundness argument).
+                    // A NaN norm makes the tol test false -> poison too.
+                    var inv = 1.0
+                    var poison = false
+                    if (cosineCodes) {
+                      var n2 = 0.0
                       var i = 0
-                      while (i < dsub) {
-                        val diff = v(off + i).toDouble - cw(i).toDouble
-                        d += diff * diff
-                        i += 1
+                      while (i < v.length) {
+                        val x = v(i).toDouble; n2 += x * x; i += 1
                       }
-                      s += 1
+                      val nrm = math.sqrt(n2)
+                      if (!(math.abs(nrm - 1.0) <= UnitNormTol)) poison = true
+                      else inv = 1.0 / math.sqrt(n2 + 1e-8)
                     }
-                    math.sqrt(d)
+                    if (poison) Double.PositiveInfinity
+                    else {
+                      var d = 0.0
+                      var s = 0
+                      while (s < m) {
+                        val cw = cb(s)(codes(s) & 0xff)
+                        val off = s * dsub
+                        var i = 0
+                        while (i < dsub) {
+                          val diff = v(off + i).toDouble * inv - cw(i).toDouble
+                          d += diff * diff
+                          i += 1
+                        }
+                        s += 1
+                      }
+                      math.sqrt(d)
+                    }
                   }
                 errs(l) = math.max(errs(l), e)
               }
@@ -909,6 +943,17 @@ object SqlAnn {
           val pqBounds = bounds.flatMap { case (d, r) =>
             qvecOf(d).collect {
               case (q, m @ (Metric.L2 | Metric.InnerProduct)) => (q, r, m)
+              // cosine (round 19): codes must encode normalized vectors
+              // (cosineCodes), the stored norms must be attested (the
+              // meta pass ALSO poisons out-of-tolerance rows, so a lying
+              // attestation degrades to no-refinement), and the literal
+              // must be near-unit — then the keep bound holds with the
+              // kernel-eps slack folded into the radius
+              case (q, Metric.Cosine)
+                  if reg.unitNorm && reg.pq.exists(_.cosineCodes) &&
+                    math.abs(VectorKernels.norm(q) - 1.0) <= UnitNormTol =>
+                (q, r + VectorKernels.cosineKeepSlack(UnitNormTol),
+                  Metric.Cosine)
             }
           }
           pqRangeDpp(reg, rel, listAttr, lists, pqBounds)
@@ -937,10 +982,12 @@ object SqlAnn {
       val (_, errsBc) = reg.pqErrPair.getOrElse(return None)
       // the tightest bound per metric refines hardest; any single bound
       // is sound. L2 preferred (the triangle bound is tighter than the
-      // ‖q‖-scaled Cauchy–Schwarz one on typical geometry)
+      // ‖q‖-scaled Cauchy–Schwarz one on typical geometry); cosine last
+      // (its radius already carries the kernel-eps slack)
       val (q, r, metric) = pqBounds.filter(_._3 == Metric.L2)
         .minByOption(_._2)
         .orElse(pqBounds.filter(_._3 == Metric.InnerProduct).minByOption(_._2))
+        .orElse(pqBounds.filter(_._3 == Metric.Cosine).minByOption(_._2))
         .getOrElse(return None)
       val hasCodes = rel.output.exists(o => o.name == pqInfo.codeCol &&
         (o.dataType match {
@@ -1792,13 +1839,23 @@ object SqlAnn {
         // false for ANTI joins: their output IS the non-matching
         // registered rows, so the scan must stay full — the rewrite's
         // win there is the equi-key (hash anti join, no cartesian)
-        pruneRel: Boolean = true): LogicalPlan = {
+        pruneRel: Boolean = true,
+        // extra codes-built refinement conjunct (round 19) — ANDed onto
+        // the ball prune so the vector scan reads only the lists holding
+        // a pair-plausible candidate; None when the registration lacks
+        // PQ meta or the shape excludes it
+        pqRefine: Option[Expression] = None): LogicalPlan = {
       val listOut = AttributeReference(
         listOutName, IntegerType, nullable = false)()
       // queries side: one row per (query, candidate list)
       val newQSide = Generate(explodeExpr,
         unrequiredChildIndex = Nil, outer = false, qualifier = None,
         generatorOutput = Seq(listOut), child = qSide)
+      // the refinement conjunct composes with EITHER ball prune flavor:
+      // its build output is a subset of the ball lists by construction,
+      // so ANDing it only removes lists no true match lives in
+      def withRefine(e: Expression): Expression =
+        pqRefine.fold(e)(And(e, _))
       val relWithPrune: LogicalPlan = if (!pruneRel) {
         filtR.getOrElse(rel): LogicalPlan
       } else staticLists match {
@@ -1807,7 +1864,7 @@ object SqlAnn {
           // a constant-false filter keeps the scan from reading at all
           val in: Expression =
             if (lists.isEmpty) Literal(false)
-            else In(listAttr, lists.map(i => Literal(i)))
+            else withRefine(In(listAttr, lists.map(i => Literal(i))))
           filtR match {
             case Some(f) => f.copy(condition = And(f.condition, in))
             case None => Filter(in, rel)
@@ -1843,12 +1900,12 @@ object SqlAnn {
           // expression scan, and a Sample anywhere below re-draws rows
           // on re-execution just the same
           val reExecutable = reExecutesToSameRows(qSide)
-          val dpp = DynamicPruningSubquery(
+          val dpp: Expression = withRefine(DynamicPruningSubquery(
             pruningKey = listAttr,
             buildQuery = newQSide,
             buildKeys = Seq(listOut),
             broadcastKeyIndices = Seq(0),
-            onlyInBroadcast = !reExecutable)
+            onlyInBroadcast = !reExecutable))
           filtR match {
             case Some(f) => f.copy(condition = And(f.condition, dpp))
             case None => Filter(dpp, rel)
@@ -2009,9 +2066,105 @@ object SqlAnn {
       }
       val staticLists =
         staticUnion(qSide, qAttr, reg.centroids.head.length, probeFn)
+      // PQ candidate-list refinement for the JOIN/screen shapes (round
+      // 19, r18 verdict #3): the single-table refinement's driver-known-
+      // literal precondition can never hold here (per-row query
+      // vectors), so the refinement builds from a codes-scan JOINED to
+      // the probe explode and scores each (corpus row, query row) pair
+      // with the per-row keep bound — same superset argument, applied
+      // pairwise. Anti joins never prune the registered scan (their
+      // output IS the non-matching rows), so they take no refinement.
+      val pqRefine: Option[Expression] =
+        if (join.joinType == LeftAnti) None
+        else joinPqRefine(reg, rel, listAttr, qSide, qAttr, radius, metric,
+          explodeExpr, staticLists)
       Some(prunedJoin(join, projR, filtR, rel, qSide, relIsLeft,
         listAttr, "__graft_range_list", explodeExpr, staticLists,
-        pruneRel = join.joinType != LeftAnti))
+        pruneRel = join.joinType != LeftAnti,
+        pqRefine = pqRefine))
+    }
+
+    /** The JOIN-shape refinement's DynamicPruningSubquery, or None when
+      * the registration lacks PQ metadata / the metric has no decode-
+      * error bound (cosine) / the relation lacks the codes column / the
+      * queries side cannot safely re-execute. The build side joins a
+      * FRESH codes-scan instance (m+4 bytes per row, statically bounded
+      * to the ball union when the query set is driver-known) to the
+      * probe explode on the candidate-list equi-key and keeps the lists
+      * where [[graft.functions.PqRangeKeepCol]] admits at least one
+      * pair. Executes STANDALONE (onlyInBroadcast = false — its join
+      * differs from the main one, so no broadcast can be reused), which
+      * is exactly why the re-execution gate is REQUIRED and not merely
+      * conservative: the build replays the queries side, and a side
+      * that re-draws rows (sample, rand, unordered limit) could prune
+      * lists the main join's actual rows need — a false dismissal. */
+    private def joinPqRefine(
+        reg: Registration,
+        rel: LogicalRelation,
+        listAttr: AttributeReference,
+        qSide: LogicalPlan,
+        qAttr: AttributeReference,
+        radius: Double,
+        metric: Metric.Value,
+        explodeExpr: Explode,
+        staticLists: Option[Seq[Int]]): Option[Expression] = {
+      val pqInfo = reg.pq.getOrElse(return None)
+      // cosine (round 19): needs normalized-encoded codes + the unitNorm
+      // attestation (attemptRangeJoin already required the latter for
+      // the ball); per-row degenerate QUERY norms fall back inside
+      // PqRangeKeepCol, and out-of-tolerance STORED norms were poisoned
+      // by the meta pass
+      if (metric == Metric.Cosine && !(reg.unitNorm && pqInfo.cosineCodes))
+        return None
+      val (_, errsBc) = reg.pqErrPair.getOrElse(return None)
+      if (!reExecutesToSameRows(qSide)) return None
+      val hasCodes = rel.output.exists(o => o.name == pqInfo.codeCol &&
+        (o.dataType match {
+          case ArrayType(ByteType, _) => true
+          case _ => false
+        }))
+      if (!hasCodes) return None
+      val relCand = rel.newInstance()
+      val cCodes = relCand.output.find(_.name == pqInfo.codeCol).get
+      val cList = relCand.output.find(o =>
+        o.name == reg.listCol && o.dataType == IntegerType).getOrElse(return None)
+      // statically bounded codes scan when the query set was driver-known
+      // (mirrors the single-table candIn); an EMPTY static union already
+      // plans a constant-false scan filter — nothing to refine. The
+      // explicit (codes, list_id) Project is LOAD-BEARING: this rule runs
+      // after the optimizer's ColumnPruning batch, and with the relation
+      // under a Join the physical planner would otherwise read every
+      // column — including the vectors the refinement exists to skip.
+      val codesPruned = Project(Seq(cCodes, cList), relCand)
+      val codesSrc: LogicalPlan = staticLists match {
+        case Some(lists) if lists.isEmpty => return None
+        case Some(lists) =>
+          Project(Seq(cCodes, cList),
+            Filter(In(cList, lists.map(i => Literal(i))), relCand))
+        case None => codesPruned
+      }
+      val listOut = AttributeReference(
+        "__graft_pq_join_list", IntegerType, nullable = false)()
+      val buildGen = Generate(explodeExpr,
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(listOut), child = qSide)
+      val (keepRadius, keepTol) =
+        if (metric == Metric.Cosine)
+          (radius + VectorKernels.cosineKeepSlack(UnitNormTol), UnitNormTol)
+        else (radius, 0.0)
+      val keep = graft.functions.PqRangeKeepCol(
+        cCodes, cList, qAttr, keepRadius, pqInfo.codebooksBc, errsBc,
+        metric.id, keepTol)
+      val cand = Project(Seq(cList),
+        Filter(keep,
+          Join(codesSrc, buildGen, Inner,
+            Some(EqualTo(cList, listOut)), JoinHint.NONE)))
+      Some(DynamicPruningSubquery(
+        pruningKey = listAttr,
+        buildQuery = cand,
+        buildKeys = Seq(cList),
+        broadcastKeyIndices = Seq(0),
+        onlyInBroadcast = false))
     }
   }
 }

@@ -703,6 +703,9 @@ object VectorQueries {
     "sql_pq_facade" -> (sqlPqFacade _),
     "sql_pq_range" -> (sqlPqRange _),
     "sql_pq_range_ip" -> (sqlPqRangeIp _),
+    "sql_pq_range_join" -> (sqlPqRangeJoin _),
+    "sql_pq_semi_screen" -> (sqlPqSemiScreen _),
+    "sql_pq_range_cos" -> (sqlPqRangeCos _),
     "sql_range_rewrite" -> (sqlRangeRewrite _),
     "sql_ip_range" -> (sqlIpRange _),
     "sql_cosine_range" -> (sqlCosineRange _),
@@ -1012,6 +1015,151 @@ object VectorQueries {
     require(vecOk && codesOk,
       s"sql_pq_range_ip: the IP-refined range plan did not fire (scans: " +
         s"${scans.map(s => (s.output.map(_.name), pfOf(s)))})")
+    df
+  }
+
+  /** PARQUET-backed query view for the PQ join/screen refinement entries
+    * — deliberately NOT collected into a LocalRelation: the runtime-DPP
+    * arm (the realistic eval-set shape) is the one the refinement had to
+    * learn in round 19, and a driver-known set would exercise only the
+    * static branch. */
+  private def sqlPqJoinQueries(spark: SparkSession, dir: String): Unit =
+    emb(spark, dir).filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .createOrReplaceTempView("graft_sqlann_pqjq")
+
+  /** The PQ-refined range JOIN (round 19, r18 verdict #3): the covering-
+    * ball equi-join over the err-carrying PQ registration gains a SECOND
+    * codes-built DPP — the m-byte codes scan joins the probe explode on
+    * the candidate-list key and keeps only the lists where some (row,
+    * query) pair passes the per-row keep bound
+    * ([[graft.functions.PqRangeKeepCol]] — the triangle-inequality
+    * superset argument applied pairwise), so the VECTOR scan skips ball
+    * lists holding no ADC-plausible candidate for ANY query. EXACT like
+    * every range shape here (both prunes admit supersets, the original
+    * predicate is kept), so the same brute-force range join as
+    * `sql_range_join` is the hash oracle. REQUIRES the dynamicpruning
+    * partition filter on the vector scan AND the codes-only build scan. */
+  private def sqlPqRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    sqlAnnPqTable(spark, dir)
+    sqlPqJoinQueries(spark, dir)
+    val df = spark.sql(
+      s"""SELECT q.qid, t.id, l2_distance(t.vec, q.qvec) AS dist
+         |FROM graft_sqlann_pqjq q, graft_sqlann_pq t
+         |WHERE l2_distance(t.vec, q.qvec) <= $RangeRadius
+         |ORDER BY qid, id""".stripMargin)
+    val scans = graft.plans.SqlAnn.fileSourceScans(df)
+    def pfOf(s: org.apache.spark.sql.execution.FileSourceScanExec) =
+      s.metadata.getOrElse("PartitionFilters", "")
+    val vecOk = scans.exists(s => s.output.exists(_.name == "vec") &&
+      pfOf(s).contains("dynamicpruning"))
+    val codesOk = scans.exists(s => s.output.exists(_.name == "codes") &&
+      !s.output.exists(_.name == "vec"))
+    require(vecOk && codesOk,
+      s"sql_pq_range_join: the refined range join did not fire (scans: " +
+        s"${scans.map(s => (s.output.map(_.name), pfOf(s)))})")
+    df
+  }
+
+  /** The semi-screen twin (round 19): `WHERE EXISTS (... dist <= r)` over
+    * the err-carrying PQ registration — the contamination screen with
+    * the codes-built refinement pruning the corpus scan below the ball
+    * union. Match existence is preserved in both directions (the pair
+    * bound never dismisses a true match's list; the kept predicate
+    * drops the refinement's false admits), so the brute-force EXISTS is
+    * the hash oracle. Same fired-plan requirements as the join twin. */
+  private def sqlPqSemiScreen(spark: SparkSession, dir: String): DataFrame = {
+    sqlAnnPqTable(spark, dir)
+    sqlPqJoinQueries(spark, dir)
+    val df = spark.sql(
+      s"""SELECT t.id FROM graft_sqlann_pq t WHERE EXISTS (
+         |  SELECT 1 FROM graft_sqlann_pqjq q
+         |  WHERE l2_distance(t.vec, q.qvec) <= $RangeRadius)
+         |ORDER BY id""".stripMargin)
+    require(rangeGenerateFired(df),
+      "sql_pq_semi_screen: the semi-screen range rewrite did not fire")
+    val scans = graft.plans.SqlAnn.fileSourceScans(df)
+    def pfOf(s: org.apache.spark.sql.execution.FileSourceScanExec) =
+      s.metadata.getOrElse("PartitionFilters", "")
+    val vecOk = scans.exists(s => s.output.exists(_.name == "vec") &&
+      pfOf(s).contains("dynamicpruning"))
+    val codesOk = scans.exists(s => s.output.exists(_.name == "codes") &&
+      !s.output.exists(_.name == "vec"))
+    require(vecOk && codesOk,
+      s"sql_pq_semi_screen: the refined semi screen did not fire (scans: " +
+        s"${scans.map(s => (s.output.map(_.name), pfOf(s)))})")
+    df
+  }
+
+  /** Unit-norm cosine PQ table (round 19, r18 verdict #4): the cosine-
+    * metric IVF-PQ index lives entirely in normalized space (vectors,
+    * centroids, codes — [[graft.index.IvfPqIndex.build]]), so its stored
+    * column IS unit-norm and the `unitNorm` attestation is true by
+    * construction. The meta pass records decode errors against the
+    * eps-normalized vectors (`cosineCodes = true`) — the quantity the
+    * cosine keep bound needs. */
+  private def sqlAnnPqCosTable(spark: SparkSession, dir: String): String = {
+    val index = cached[graft.index.IvfPqIndex](s"ivfpqcos:$dir") {
+      val e = emb(spark, dir)
+      graft.index.IvfPqIndex.build(spark,
+        e.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        16, m = 8, metric = Metric.Cosine)
+    }
+    val tableDir = cached[String](s"sqlann-pqcostable:$dir") {
+      val d = tempDirCleaned("graft-sqlann-pqcos")
+      index.codes.join(index.rawVectors, "id")
+        .select(col("id"), col("vec"), col("codes"), col("list_id"))
+        .write.partitionBy("list_id").mode("overwrite").parquet(d)
+      d
+    }
+    val (radii, errs) = cached[(Array[Double], Array[Double])](
+      s"sqlann-pqcosmeta:$dir") {
+      graft.plans.SqlAnn.computePqRangeMeta(
+        spark, tableDir, index.centroids.value, index.codebooks.value,
+        cosineCodes = true)
+    }
+    graft.plans.SqlAnn.registerIndex(
+      spark, tableDir, index.centroids.value, nprobe = 16,
+      radii = Some(radii),
+      centroidsBc = Some(index.centroids),
+      unitNorm = true,
+      pq = Some(new graft.plans.SqlAnn.PqInfo(index.codebooks,
+        rerankK = 100000, cosineCodes = true)),
+      pqRangeErrs = Some(errs))
+    spark.read.parquet(tableDir).createOrReplaceTempView("graft_sqlann_pqcos")
+    tableDir
+  }
+
+  /** The cosine arm of the PQ range refinement (round 19, r18 verdict
+    * #4): `WHERE cosine_distance(vec, lit) <= r` over the unit-norm
+    * cosine-PQ registration plans as the bridge-ball-pruned vector scan
+    * FURTHER pruned by the codes-only DPP, with the keep bound
+    * `adc <= r + slack(tol) + maxErr_list` (Cauchy–Schwarz on the
+    * eps-normalized query, ‖q̂‖ ≤ 1; see
+    * [[graft.functions.VectorKernels.cosineKeepSlack]] for the
+    * kernel-eps slack derivation and
+    * [[graft.plans.SqlAnn.computePqRangeMeta]] for the out-of-tolerance
+    * poisoning that makes it never-dismiss). EXACT — both prunes admit
+    * supersets, the original predicate is kept — so the same
+    * brute-force cosine SQL as `sql_cosine_range` is the hash oracle. */
+  private def sqlPqRangeCos(spark: SparkSession, dir: String): DataFrame = {
+    sqlAnnPqCosTable(spark, dir)
+    val q = s"CAST(array(${sqlCosVals.mkString(", ")}) AS ARRAY<FLOAT>)"
+    val df = spark.sql(
+      s"""SELECT id, cosine_distance(vec, $q) AS dist
+         |FROM graft_sqlann_pqcos
+         |WHERE cosine_distance(vec, $q) <= $SqlCosRangeRadius
+         |ORDER BY id""".stripMargin)
+    val scans = graft.plans.SqlAnn.fileSourceScans(df)
+    def pfOf(s: org.apache.spark.sql.execution.FileSourceScanExec) =
+      s.metadata.getOrElse("PartitionFilters", "")
+    val vecOk = scans.exists(s => s.output.exists(_.name == "vec") &&
+      pfOf(s).contains("list_id") && pfOf(s).contains("dynamicpruning"))
+    val codesOk = scans.exists(s => s.output.exists(_.name == "codes") &&
+      !s.output.exists(_.name == "vec"))
+    require(vecOk && codesOk,
+      s"sql_pq_range_cos: the cosine-refined range plan did not fire " +
+        s"(scans: ${scans.map(s => (s.output.map(_.name), pfOf(s)))})")
     df
   }
 
@@ -1845,6 +1993,20 @@ object VectorQueries {
          |d AS (SELECT v.vec_id AS id, ${sqlCosine("v.nv", "q.qv")} AS dist
          |      FROM n v, q)
          |SELECT id, dist FROM d WHERE dist <= $SqlCosRangeRadius ORDER BY id""".stripMargin,
+    // the cosine-PQ refinement is exact by the same superset argument
+    // (ball bridge + pre-slacked keep bound, original predicate kept) —
+    // sql_cosine_range's brute-force oracle over the SAME normalized
+    // vectors (the cosine-PQ table's vec column IS normalize(embedding))
+    "sql_pq_range_cos" ->
+      s"""WITH n AS (SELECT vec_id, list_transform(embedding,
+         |      x -> CAST(CAST(x AS DOUBLE) * inv AS FLOAT)) AS nv
+         |    FROM (SELECT vec_id, embedding,
+         |      1.0 / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) + 1e-8) AS inv
+         |      FROM embeddings)),
+         |q AS (SELECT [${sqlCosVals.mkString(", ")}]::FLOAT[] AS qv),
+         |d AS (SELECT v.vec_id AS id, ${sqlCosine("v.nv", "q.qv")} AS dist
+         |      FROM n v, q)
+         |SELECT id, dist FROM d WHERE dist <= $SqlCosRangeRadius ORDER BY id""".stripMargin,
     // the PQ-refined range scan is EXACT by construction too: the
     // covering-ball prune and the ADC candidate-list refinement both
     // admit supersets of the true matches, and the original predicate is
@@ -1862,6 +2024,17 @@ object VectorQueries {
          |d AS (SELECT v.vec_id AS id, ${sqlIp("q.qv", "v.embedding")} AS dist
          |      FROM embeddings v, q)
          |SELECT id, dist FROM d WHERE dist <= $SqlIpRangeRadius ORDER BY id""".stripMargin,
+    // the PQ-refined range JOIN is exact by the same pairwise superset
+    // argument (ball prune + per-pair keep bound both admit supersets,
+    // original predicate kept) — sql_range_join's brute-force oracle
+    "sql_pq_range_join" -> rangeOracleSql,
+    // the refined semi screen preserves match existence both ways —
+    // sql_semi_screen's brute-force EXISTS oracle
+    "sql_pq_semi_screen" ->
+      s"""SELECT t.vec_id AS id FROM embeddings t WHERE EXISTS (
+         |  SELECT 1 FROM embeddings q WHERE q.vec_id < $NQ
+         |    AND ${sqlL2("t.embedding", "q.embedding")} <= $RangeRadius)
+         |ORDER BY id""".stripMargin,
     // the range rewrite is EXACT by construction (covering-ball bound),
     // so brute force under the same literal + radius is the oracle
     "sql_range_rewrite" ->

@@ -45,6 +45,27 @@ object OneQuery {
         org.apache.logging.log4j.Level.DEBUG)
     def codegenN: Long =
       org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+    // ONEQUERY_PRETOUCH_DIR: run the SAME entry once against another
+    // (tiny) sf dir before the timed loop — the cold-start attribution
+    // probe: identical plan shapes over the same schema hit the Janino
+    // source cache and walk the Catalyst paths, so iter1's residual is
+    // the part a serving-process plan warmup could NOT absorb.
+    sys.env.get("ONEQUERY_PRETOUCH_DIR").foreach { d =>
+      val cg0 = codegenN
+      val t0 = System.nanoTime()
+      fn(spark, d).queryExecution.toRdd.foreach(_ => ())
+      println(f"[onequery] $name pretouch($d) ${(System.nanoTime() - t0) / 1e9}%7.3f s " +
+        f"codegen+${codegenN - cg0}")
+    }
+    // ONEQUERY_PLANWARMUP: exercise the serving-grade warmup instead —
+    // the r19 cold-start fix the bench pre-touch and serving startups use
+    if (sys.env.contains("ONEQUERY_PLANWARMUP")) {
+      val cg0 = codegenN
+      val t0 = System.nanoTime()
+      graft.index.PlanWarmup.warmPqFlood(spark)
+      println(f"[onequery] $name planwarmup ${(System.nanoTime() - t0) / 1e9}%7.3f s " +
+        f"codegen+${codegenN - cg0}")
+    }
     (1 to iters).foreach { i =>
       jobs.set(0); stages.set(0); taskMs.set(0)
       val cg0 = codegenN

@@ -281,6 +281,50 @@ object SqlPqScale {
     SqlAnn.unregisterIndex(spark, dir)
     require(fatBallR == bruteR && fatRefR == bruteR,
       "degraded-radii flavors must stay EXACT")
+
+    // §6 (round 19, r18 verdict #3): the JOIN-shape refinement — a
+    // parquet query table against the corpus, degraded radii, so every
+    // list survives the ball and any pruning is the per-pair codes
+    // screen's work. The screen's build must be a codes-only scan.
+    val qjDir = java.nio.file.Files.createTempDirectory("graft-pqscale-qj").toString
+    corpus.filter(col("id") % lit(n.toLong / 8) === 0)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+      .write.mode("overwrite").parquet(qjDir)
+    spark.read.parquet(qjDir).createOrReplaceTempView("pq_qj")
+    val jSql =
+      s"""SELECT q.qid, t.id FROM pq_qj q, pq_t t
+         |WHERE l2_distance(t.vec, q.qvec) <= $rangeR
+         |ORDER BY qid, id""".stripMargin
+    def timeJoin(label: String): (Seq[(Long, Long)], org.apache.spark.sql.DataFrame) = {
+      val t = System.nanoTime()
+      val df = spark.sql(jSql)
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val sec = (System.nanoTime() - t) / 1e9
+      println(f"[pqscale] join-$label%-10s $sec%7.2f s (${rows.length} pairs)")
+      (rows, df)
+    }
+    val (bruteJ, bruteJDf) = timeJoin("brute")
+    scanStats(bruteJDf)
+    SqlAnn.registerIndex(spark, dir, idx.centroids.value, nprobe = nprobe,
+      centroidsBc = Some(idx.centroids), radii = Some(fat))
+    val (ballJ, ballJDf) = timeJoin("fatball")
+    scanStats(ballJDf)
+    SqlAnn.unregisterIndex(spark, dir)
+    SqlAnn.registerIndex(spark, dir, idx.centroids.value, nprobe = nprobe,
+      centroidsBc = Some(idx.centroids), radii = Some(fat),
+      pq = Some(new SqlAnn.PqInfo(idx.codebooks, rerankK = rerankKs.head)),
+      pqRangeErrs = Some(errArr))
+    val (refJ, refJDf) = timeJoin("fatrefined")
+    require(SqlAnn.fileSourceScans(refJDf).exists(s =>
+      s.output.exists(_.name == "codes") && !s.output.exists(_.name == "vec") &&
+        !s.output.exists(_.name == "id")),
+      "the join refinement must build from a (codes, list_id)-only scan")
+    scanStats(refJDf)
+    SqlAnn.unregisterIndex(spark, dir)
+    require(ballJ == bruteJ && refJ == bruteJ,
+      s"join flavors must be EXACT: brute=${bruteJ.size} " +
+        s"ball=${ballJ.size} refined=${refJ.size}")
+    println(s"[pqscale] join pairs: ${bruteJ.size} (all three flavors identical)")
     spark.stop()
   }
 }

@@ -2780,6 +2780,219 @@ class SqlAnnSpec extends SparkSpec {
     } finally SqlAnn.unregisterIndex(spark, refDir)
   }
 
+  /** Refinement DPPs in the optimized plan: DynamicPruningSubquery
+    * conjuncts whose BUILD contains the per-row keep filter — the probe
+    * that distinguishes the round-19 codes screen from the ball DPP. */
+  private def refineDppCount(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.collect {
+          case d: org.apache.spark.sql.catalyst.expressions.DynamicPruningSubquery
+              if d.buildQuery.exists {
+                case bf: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+                  bf.condition.exists(
+                    _.isInstanceOf[graft.functions.PqRangeKeepCol])
+                case _ => false
+              } => 1
+        }.sum
+    }.sum
+
+  test("PQ range-JOIN/semi refinement: per-row codes screen prunes below the ball, EXACT, anti excluded") {
+    pqIndex
+    graft.GraftExtensions.register(spark)
+    // the same doctored-unscorable fixture as the single-table test: two
+    // in-radius rows with NULL and truncated codes — the pairwise screen
+    // must keep both
+    val jDir = java.nio.file.Files
+      .createTempDirectory("graft-pqrjoin").toFile.getAbsolutePath
+    spark.read.parquet(pqDir)
+      .withColumn("codes",
+        when(col("id") === 0L, lit(null))
+          .when(col("id") === 8L, slice(col("codes"), 1, 1))
+          .otherwise(col("codes")))
+      .write.partitionBy("list_id").mode("overwrite").parquet(jDir)
+    spark.read.parquet(jDir).createOrReplaceTempView("sqlann_pqj")
+    val (_, errs) = SqlAnn.computePqRangeMeta(
+      spark, jDir, pqIndex.centroids.value, pqIndex.codebooks.value)
+    val qs = Seq(100L -> corner(0), 101L -> corner(3))
+    localQView("sqlann_pqj_q", qs)
+    val qDir = java.nio.file.Files
+      .createTempDirectory("graft-pqrjoin-q").toFile.getAbsolutePath
+    queriesDF(qs).write.mode("overwrite").parquet(qDir)
+    spark.read.parquet(qDir).createOrReplaceTempView("sqlann_pqj_qp")
+    def joinSql(q: String) =
+      s"""SELECT q.qid, t.id, l2_distance(t.vec, q.qvec) AS dist
+         |FROM $q q, sqlann_pqj t
+         |WHERE l2_distance(t.vec, q.qvec) <= 2.0
+         |ORDER BY qid, id""".stripMargin
+    def semiSql(q: String) =
+      s"""SELECT t.id FROM sqlann_pqj t WHERE EXISTS (
+         |  SELECT 1 FROM $q q
+         |  WHERE l2_distance(t.vec, q.qvec) <= 2.0) ORDER BY t.id""".stripMargin
+    def antiSql(q: String) =
+      s"""SELECT t.id FROM sqlann_pqj t WHERE NOT EXISTS (
+         |  SELECT 1 FROM $q q
+         |  WHERE l2_distance(t.vec, q.qvec) <= 2.0) ORDER BY t.id""".stripMargin
+    def pairs(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val bruteJoin = pairs(spark.sql(joinSql("sqlann_pqj_qp")))
+    assert(bruteJoin.exists(_._2 == 0L) && bruteJoin.exists(_._2 == 8L),
+      "fixture: the unscorable rows must be true join matches")
+    val bruteSemi = spark.sql(semiSql("sqlann_pqj_qp")).collect().map(_.getLong(0)).toSeq
+    val bruteAnti = spark.sql(antiSql("sqlann_pqj_qp")).collect().map(_.getLong(0)).toSeq
+    // DEGRADED radii (the grown-table regime): the ball keeps every list
+    // for every query, so any partition skipped below NList is the
+    // refinement's work alone
+    SqlAnn.registerIndex(spark, jDir, pqIndex.centroids.value, nprobe = 2,
+      radii = Some(Array.fill(NList)(30.0)),
+      centroidsBc = Some(pqIndex.centroids),
+      pq = Some(new SqlAnn.PqInfo(pqIndex.codebooks)),
+      pqRangeErrs = Some(errs))
+    try {
+      // dynamic arm: parquet-backed queries (the eval-set shape)
+      val dj = spark.sql(joinSql("sqlann_pqj_qp"))
+      assert(refineDppCount(dj) === 1,
+        "the parquet-queries range join must carry exactly one codes-screen DPP")
+      assert(pairs(dj) === bruteJoin,
+        "refined range join must stay EXACT incl. unscorable-codes rows")
+      val vecScan = SqlAnn.fileSourceScans(dj)
+        .find(s => s.output.exists(_.name == "vec") &&
+          s.output.exists(_.name == "list_id"))
+        .getOrElse(fail("no corpus vec scan"))
+      val partsRead = vecScan.metrics.get("numPartitions")
+        .map(_.value).getOrElse(-1L)
+      assert(partsRead > 0 && partsRead < NList,
+        s"the codes screen must prune below the (inflated) ball: read $partsRead of $NList")
+      // the build side reads codes WITHOUT vectors — the bytes argument
+      val buildScan = SqlAnn.fileSourceScans(dj)
+        .find(s => s.output.exists(_.name == "codes"))
+        .getOrElse(fail("no codes build scan"))
+      assert(!buildScan.output.exists(_.name == "vec") &&
+        !buildScan.output.exists(_.name == "id"),
+        s"the refinement build must scan (codes, list_id) only, " +
+          s"got ${buildScan.output.map(_.name)}")
+      // static arm: driver-known queries compose the static ball In with
+      // the screen DPP
+      val sj = spark.sql(joinSql("sqlann_pqj_q"))
+      assert(refineDppCount(sj) === 1,
+        "the local-queries range join must carry the codes-screen DPP too")
+      assert(pairs(sj) === bruteJoin, "static-arm refined join must stay exact")
+      // semi screen: same refinement, match existence preserved
+      val sm = spark.sql(semiSql("sqlann_pqj_qp"))
+      assert(refineDppCount(sm) === 1,
+        "the semi screen must carry the codes-screen DPP")
+      assert(sm.collect().map(_.getLong(0)).toSeq === bruteSemi,
+        "refined semi screen must stay exact")
+      // anti: output IS the non-matching rows — the screen must NOT
+      // attach (and the scan stays unpruned, pinned by the r17 test)
+      val an = spark.sql(antiSql("sqlann_pqj_qp"))
+      assert(refineDppCount(an) === 0,
+        "anti screens must never carry the codes-screen DPP")
+      assert(an.collect().map(_.getLong(0)).toSeq === bruteAnti)
+      // non-re-executable queries side: the screen build runs STANDALONE,
+      // so a side that could re-draw rows must not attach it
+      val lim = spark.sql(joinSql(
+        "(SELECT * FROM sqlann_pqj_qp LIMIT 1)"))
+      assert(refineDppCount(lim) === 0,
+        "a no-total-order LIMIT queries side must not attach the screen")
+    } finally SqlAnn.unregisterIndex(spark, jDir)
+  }
+
+  test("cosine PQ range refinement: pre-slacked keep bound EXACT; degenerate stored norm poisons its list, never dismissed") {
+    graft.GraftExtensions.register(spark)
+    // a unit-norm cosine-PQ corpus: normalized clustered corners (the
+    // cosine IVF-PQ build renormalizes, so the stored column is unit)
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 200L).map { i =>
+      val c = corner((i % 8).toInt)
+      (i, c.map(x => x + rnd.nextFloat() * 0.2f - 0.1f))
+    }
+    val idx = graft.index.IvfPqIndex.build(
+      spark, vectorsDF(rows), NList, m = 4, metric = Metric.Cosine)
+    val cDir = java.nio.file.Files
+      .createTempDirectory("graft-pqcos").toFile.getAbsolutePath
+    // doctor in a DEGENERATE stored row: norm 1e-4, ALIGNED with the
+    // query direction — the kernel's cosine distance to it is ~1e-4
+    // (the eps keeps it near zero), so it IS a true match at any sane
+    // radius, while its eps-normalized form has norm ~0.7: the naive
+    // keep bound would not cover it. The meta pass must poison its list.
+    val qdir = ncorner(0)
+    val degVec = qdir.map(x => x * 1e-4f)
+    val degCodes = graft.functions.PqKernels.encode(
+      graft.functions.VectorKernels.normalize(degVec), idx.codebooks.value)
+    val degList = {
+      // assign like the index would: nearest centroid of the normalized row
+      val cents = idx.centroids.value
+      val nv = graft.functions.VectorKernels.normalize(degVec)
+      (0 until cents.length).minBy(l =>
+        graft.functions.VectorKernels.l2(nv, cents(l)))
+    }
+    import spark.implicits._
+    val base = idx.codes.join(idx.rawVectors, "id")
+      .select(col("id"), col("vec"), col("codes"), col("list_id"))
+    val extra = Seq((9000L, degVec.toSeq, degCodes.toSeq, degList))
+      .toDF("id", "vec", "codes", "list_id")
+    base.unionByName(extra)
+      .write.partitionBy("list_id").mode("overwrite").parquet(cDir)
+    spark.read.parquet(cDir).createOrReplaceTempView("sqlann_pqcos")
+    val (radii, errs) = SqlAnn.computePqRangeMeta(
+      spark, cDir, idx.centroids.value, idx.codebooks.value,
+      cosineCodes = true)
+    assert(errs(degList).isInfinite,
+      "an out-of-tolerance stored norm must poison its list's err")
+    assert(errs.count(_.isInfinite) === 1,
+      "healthy unit-norm lists must keep finite errs")
+    val sql =
+      s"""SELECT id, cosine_distance(vec, ${litOf(qdir)}) AS dist
+         |FROM sqlann_pqcos
+         |WHERE cosine_distance(vec, ${litOf(qdir)}) <= 0.3
+         |ORDER BY id""".stripMargin
+    val brute = spark.sql(sql).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(brute.exists(_._1 == 9000L),
+      "fixture: the degenerate row must be a true cosine match")
+    // degraded-radii registration: the ball keeps everything, so any
+    // pruning below NList is the cosine keep bound's work
+    SqlAnn.registerIndex(spark, cDir, idx.centroids.value, nprobe = 2,
+      radii = Some(Array.fill(NList)(30.0)),
+      centroidsBc = Some(idx.centroids), unitNorm = true,
+      pq = Some(new SqlAnn.PqInfo(idx.codebooks, cosineCodes = true)),
+      pqRangeErrs = Some(errs))
+    try {
+      val df = spark.sql(sql)
+      val pf = partitionFilterText(df)
+      assert(pf.contains("dynamicpruning"),
+        s"the cosine refinement DPP must reach the vector scan ($pf)")
+      assert(df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        === brute,
+        "cosine-refined range scan must stay EXACT — incl. the degenerate row")
+      val vecScan = SqlAnn.fileSourceScans(df)
+        .find(s => s.output.exists(_.name == "vec"))
+        .getOrElse(fail("no vector scan"))
+      val partsRead = vecScan.metrics.get("numPartitions")
+        .map(_.value).getOrElse(-1L)
+      assert(partsRead > 0 && partsRead < NList,
+        s"the cosine keep bound must prune below the (inflated) ball: " +
+          s"read $partsRead of $NList")
+      // a NON-unit query literal must not refine (the slack assumes a
+      // near-unit query): no DPP, still exact
+      val badQ = qdir.map(_ * 3.0f)
+      val sqlBad =
+        s"""SELECT id FROM sqlann_pqcos
+           |WHERE cosine_distance(vec, ${litOf(badQ)}) <= 0.3 ORDER BY id""".stripMargin
+      SqlAnn.unregisterIndex(spark, cDir)
+      val bruteBad = spark.sql(sqlBad).collect().map(_.getLong(0)).toSeq
+      SqlAnn.registerIndex(spark, cDir, idx.centroids.value, nprobe = 2,
+        radii = Some(Array.fill(NList)(30.0)),
+        centroidsBc = Some(idx.centroids), unitNorm = true,
+        pq = Some(new SqlAnn.PqInfo(idx.codebooks, cosineCodes = true)),
+        pqRangeErrs = Some(errs))
+      val dfBad = spark.sql(sqlBad)
+      assert(!partitionFilterText(dfBad).contains("dynamicpruning"),
+        "a non-unit query literal must not attach the cosine refinement")
+      assert(dfBad.collect().map(_.getLong(0)).toSeq === bruteBad)
+    } finally SqlAnn.unregisterIndex(spark, cDir)
+  }
+
   test("registerSql(pqRangeAccel): one meta pass unlocks the refined range scan; gates pinned") {
     import graft.IndexConfig
     graft.GraftExtensions.register(spark)
@@ -2796,11 +3009,42 @@ class SqlAnnSpec extends SparkSpec {
     db.activateEpoch("pqracos", epc)
     db.loadIndex("pqracos")
     try {
-      // lone-flag and metric gates (facade taxonomy)
+      // lone-flag and metric gates (facade taxonomy). Round 19: the
+      // cosine arm is attestation-gated, not rejected — a cosine epoch
+      // WITHOUT unitNorm still throws
       intercept[graft.InvalidArgumentException](
         db.registerSql("pqra", pqRangeAccel = true))
       intercept[graft.InvalidArgumentException](
         db.registerSql("pqracos", pq = true, pqRangeAccel = true))
+      // a UNIT-NORM cosine epoch + the attestation unlocks the cosine
+      // refinement, consuming the build-persisted meta (no corpus scan)
+      db.createIndex(graft.IndexConfig("pqracosu", Dim,
+        metric = graft.Metric.Cosine, nlist = 4, m = 2))
+      val normRows = randomVectors(90, Dim, seed = 45).map { case (i, v) =>
+        (i, graft.functions.VectorKernels.normalize(v)) }
+      val epu = db.buildEpoch("pqracosu", vectorsDF(normRows))
+      db.activateEpoch("pqracosu", epu)
+      db.loadIndex("pqracosu")
+      val emu = new graft.storage.EpochManager(s"${db.dataPath}/pqracosu/epochs")
+      assert(new java.io.File(s"${emu.epochPath(epu)}/pqerrs").exists,
+        "a cosine PQ buildEpoch must persist the (normalized-space) errs")
+      val scansC = SqlAnn.pqRangeMetaScans.get
+      val vu = db.registerSql("pqracosu", nprobe = 4, pq = true,
+        pqRerankK = 1000, unitNorm = true, pqRangeAccel = true)
+      assert(SqlAnn.pqRangeMetaScans.get === scansC,
+        "cosine pqRangeAccel must consume the persisted meta")
+      val cq = litOf(ncorner(0))
+      val cSql =
+        s"""SELECT id, cosine_distance(vec, $cq) AS dist FROM $vu
+           |WHERE cosine_distance(vec, $cq) <= 0.5 ORDER BY id""".stripMargin
+      val dfc = spark.sql(cSql)
+      assert(partitionFilterText(dfc).contains("dynamicpruning"),
+        s"the cosine refinement must plan (${partitionFilterText(dfc)})")
+      val gotC = dfc.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      SqlAnn.unregisterIndex(spark, s"${emu.epochPath(epu)}/vectors")
+      assert(gotC === spark.sql(cSql).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+        "the facade cosine-refined range scan must stay exact")
       val view = db.registerSql("pqra", nprobe = 4, pq = true,
         pqRerankK = 1000, pqRangeAccel = true)
       val sql = rangeSql(view, "2.0", qvecSql)
