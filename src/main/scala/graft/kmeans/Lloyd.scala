@@ -60,8 +60,29 @@ object Lloyd {
     // null vecs are skipped like every search path skips them — without
     // the filter one null row in the id-prefix sample would NPE the
     // whole build with no context
-    src
-      .filter(col(vecCol).isNotNull)
+    val nonNull = src.filter(col(vecCol).isNotNull)
+    // SCALE (round 19, caught by the 5M SqlPqScale run): a root-level
+    // orderBy+limit+collect plans TakeOrderedAndProject, whose
+    // per-partition top-K PARTIALS all land on the driver — that is
+    // partitions x capped full vectors (1.7 GiB at 5M x 128d x 32 tasks,
+    // over spark.driver.maxResultSize; ~50 GiB at 1000 executors), for a
+    // sample whose final size is one partition's worth. Two phases
+    // instead: (1) the capped-th smallest id, computed DISTRIBUTED over
+    // the ids alone (the vec column is pruned from that scan; the
+    // non-root limit shuffles at most partitions x capped 8-byte ids,
+    // never vectors, never to the driver); (2) the same
+    // orderBy+limit+collect, but over the <= cutoff PREFIX — the
+    // partial-top-K blowup disappears because the pre-filtered input IS
+    // the sample. For unique ids the selected rows are bit-identical to
+    // the single-phase plan's (same id-prefix semantics, same sorted
+    // order for the seeded k-means++ indexing).
+    val cutoff = nonNull.select(col(idCol))
+      .orderBy(col(idCol)).limit(capped)
+      .agg(org.apache.spark.sql.functions.max(col(idCol)))
+      .head().get(0)
+    if (cutoff == null) Array.empty
+    else nonNull
+      .filter(col(idCol) <= org.apache.spark.sql.functions.lit(cutoff))
       .orderBy(col(idCol))
       .limit(capped)
       .collect()

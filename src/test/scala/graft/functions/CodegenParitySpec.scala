@@ -299,4 +299,134 @@ class CodegenParitySpec extends SparkSpec {
         s"metric $m: runtime-query ADC != literal-query ADC")
     }
   }
+
+  test("PQ range keep (per-row query column): codegen == interpreted, kernel-bound agreement, keep-on-unscorable") {
+    import org.apache.spark.sql.graftshims
+    val sample = randomVectors(200, 8).map(_._2).toArray
+    val books = graft.index.IvfPqIndex.trainCodebooks(sample, m = 2, nbits = 4)
+    val bc = spark.sparkContext.broadcast(books)
+    // errs: list 0 tight, list 1 loose, list 2 NaN, list 3 inf — the
+    // same four-flavor layout as the literal twin's test
+    val errs = spark.sparkContext.broadcast(
+      Array(0.1, 100.0, Double.NaN, Double.PositiveInfinity))
+    val q1 = randomVectors(1, 8, seed = 9).head._2
+    val q2 = randomVectors(1, 8, seed = 10).head._2
+    def qLit(q: Array[Float]) =
+      array(q.map(x => lit(x)).toIndexedSeq: _*).cast("array<float>")
+    // per-row queries ALTERNATE (the interleaved-stream memo pattern)
+    val base = vectorsDF(randomVectors(40, 8, seed = 5))
+      .select(col("id"), graftshims.column(
+        PqEncode(graftshims.expression(col("vec")), bc)).as("codes"),
+        (col("id") % 4).cast("int").as("list_id"),
+        when(col("id") % 2 === 0, qLit(q1)).otherwise(qLit(q2)).as("qv"))
+      // unscorable flavors: NULL codes, wrong-length codes, NULL list,
+      // out-of-range list, NULL query, null-ELEMENT query — ALL keep
+      .union(spark.range(1).select(lit(999L).as("id"),
+        lit(null).cast("array<tinyint>").as("codes"), lit(0).as("list_id"),
+        qLit(q1).as("qv")))
+      .union(spark.range(1).select(lit(998L).as("id"),
+        array(lit(1.toByte)).as("codes"), lit(0).as("list_id"),
+        qLit(q1).as("qv")))
+      .union(spark.range(1).select(lit(997L).as("id"),
+        array(lit(0.toByte), lit(0.toByte)).as("codes"),
+        lit(null).cast("int").as("list_id"), qLit(q1).as("qv")))
+      .union(spark.range(1).select(lit(996L).as("id"),
+        array(lit(0.toByte), lit(0.toByte)).as("codes"), lit(77).as("list_id"),
+        qLit(q1).as("qv")))
+      .union(spark.range(1).select(lit(995L).as("id"),
+        array(lit(0.toByte), lit(0.toByte)).as("codes"), lit(0).as("list_id"),
+        lit(null).cast("array<float>").as("qv")))
+      .union(spark.range(1).select(lit(994L).as("id"),
+        array(lit(0.toByte), lit(0.toByte)).as("codes"), lit(0).as("list_id"),
+        array((lit(0.5f) +: lit(null).cast("float") +:
+          Seq.fill(6)(lit(0.5f))): _*).cast("array<float>").as("qv")))
+    def run(radius: Double, metricId: Int, tol: Double = 0.0) = base.select(
+      col("id"),
+      graftshims.column(PqRangeKeepCol(
+        graftshims.expression(col("codes")),
+        graftshims.expression(col("list_id")),
+        graftshims.expression(col("qv")),
+        radius, bc, errs, metricId, tol)).as("keep"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1).toSeq
+    def qOf(id: Long): Array[Float] = if (id % 2 == 0) q1 else q2
+    // L2 arm
+    Seq(0.5, 4.0, 50.0).foreach { r =>
+      val on = run(r, VectorKernels.METRIC_L2)
+      assert(on === withCodegenOff(run(r, VectorKernels.METRIC_L2)),
+        s"L2 radius $r: codegen != interpreted")
+      Seq(999L, 998L, 997L, 996L, 995L, 994L).foreach { id =>
+        assert(on.find(_._1 == id).exists(_._2),
+          s"L2 radius $r: unscorable row $id must be KEPT")
+      }
+      assert(on.filter(t => t._1 < 900L && (t._1 % 4 == 2 || t._1 % 4 == 3))
+        .forall(_._2), s"L2 radius $r: non-finite err lists must keep")
+      // tight-err list: keep iff the kernel bound, per THAT ROW's query
+      vectorsDF(randomVectors(40, 8, seed = 5)).collect()
+        .filter(_.getLong(0) % 4 == 0).foreach { row =>
+          val id = row.getLong(0)
+          val codes = PqKernels.encode(row.getSeq[Float](1).toArray, books)
+          val adc = PqKernels.adcDistanceDirectBytes(
+            PqKernels.prepQuery(qOf(id), VectorKernels.METRIC_L2), books,
+            VectorKernels.METRIC_L2, codes)
+          val b = math.sqrt(r) + 0.1
+          assert(on.find(_._1 == id).exists(_._2 == (adc <= b * b)),
+            s"L2 row $id: keep must equal the kernel bound for ITS query")
+        }
+    }
+    // IP arm (per-row ||q||)
+    Seq(-2.0, 0.0, 2.0).foreach { r =>
+      val on = run(r, VectorKernels.METRIC_IP)
+      assert(on === withCodegenOff(run(r, VectorKernels.METRIC_IP)),
+        s"IP radius $r: codegen != interpreted")
+      vectorsDF(randomVectors(40, 8, seed = 5)).collect()
+        .filter(_.getLong(0) % 4 == 0).foreach { row =>
+          val id = row.getLong(0)
+          val q = qOf(id)
+          val codes = PqKernels.encode(row.getSeq[Float](1).toArray, books)
+          val adc = PqKernels.adcDistanceDirectBytes(
+            PqKernels.prepQuery(q, VectorKernels.METRIC_IP), books,
+            VectorKernels.METRIC_IP, codes)
+          val qn = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
+          assert(on.find(_._1 == id).exists(_._2 == (adc <= r + qn * 0.1)),
+            s"IP row $id: keep must equal the per-row Cauchy–Schwarz bound")
+        }
+    }
+    // cosine arm: near-unit queries score; a degenerate query ROW keeps
+    val n1 = VectorKernels.normalize(q1)
+    val n2 = VectorKernels.normalize(q2)
+    val cosBase = vectorsDF(randomVectors(40, 8, seed = 5))
+      .select(col("id"), graftshims.column(
+        PqEncode(graftshims.expression(col("vec")), bc)).as("codes"),
+        (col("id") % 4).cast("int").as("list_id"),
+        when(col("id") % 2 === 0, qLit(n1)).otherwise(qLit(n2)).as("qv"))
+      .union(spark.range(1).select(lit(993L).as("id"),
+        array(lit(0.toByte), lit(0.toByte)).as("codes"), lit(0).as("list_id"),
+        qLit(q1.map(x => x * 1e-5f)).as("qv")))
+    def runCos(radius: Double) = cosBase.select(
+      col("id"),
+      graftshims.column(PqRangeKeepCol(
+        graftshims.expression(col("codes")),
+        graftshims.expression(col("list_id")),
+        graftshims.expression(col("qv")),
+        radius, bc, errs, VectorKernels.METRIC_COSINE, 1e-3)).as("keep"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1).toSeq
+    Seq(0.2, 0.8).foreach { r =>
+      val on = runCos(r)
+      assert(on === withCodegenOff(runCos(r)),
+        s"cosine radius $r: codegen != interpreted")
+      assert(on.find(_._1 == 993L).exists(_._2),
+        s"cosine radius $r: a degenerate (tiny-norm) query ROW must keep")
+      vectorsDF(randomVectors(40, 8, seed = 5)).collect()
+        .filter(_.getLong(0) % 4 == 0).foreach { row =>
+          val id = row.getLong(0)
+          val q = if (id % 2 == 0) n1 else n2
+          val codes = PqKernels.encode(row.getSeq[Float](1).toArray, books)
+          val adc = PqKernels.adcDistanceDirectBytes(
+            PqKernels.prepQuery(q, VectorKernels.METRIC_COSINE), books,
+            VectorKernels.METRIC_COSINE, codes)
+          assert(on.find(_._1 == id).exists(_._2 == (adc <= r + 0.1)),
+            s"cosine row $id: keep must equal adc <= r + err on the tight list")
+        }
+    }
+  }
 }
