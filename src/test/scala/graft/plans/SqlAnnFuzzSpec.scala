@@ -403,6 +403,110 @@ class SqlAnnFuzzSpec extends SparkSpec {
     }
   }
 
+  test("PQ range refinement == brute force across random configurations (all shapes, both radii regimes)") {
+    graft.GraftExtensions.register(spark)
+    // the refinement's exactness argument is geometry-free (superset
+    // keep bound + kept predicate), so it must survive ANY random draw:
+    // zero-match radii, tied distances, empty lists, k-of-everything
+    // radii — in BOTH the healthy-radii and the degraded-radii (inflated
+    // covering balls, where only the codes screen prunes) regimes, for
+    // the single-table literal, the range JOIN, and the semi/anti
+    // screens. Seed policy as the other fuzzes (+300 offset).
+    info(s"PQ-range fuzz seeds: pinned=$pinnedBase rotating=$rotatingBase " +
+      "(set SQLANN_FUZZ_SEED to reproduce, +300 offset)")
+    (1 to 4).foreach { trial =>
+      val seed = (if (trial <= 3) pinnedBase else rotatingBase) + 300 + trial
+      val rnd = new scala.util.Random(seed)
+      val dim = Seq(4, 6, 8)(rnd.nextInt(3))
+      val nlist = 2 + rnd.nextInt(7)
+      val n = 30 + rnd.nextInt(170)
+      val corpus = randomVectors(n, dim, seed = rnd.nextInt(100000))
+      val idx = graft.index.IvfPqIndex.build(spark, vectorsDF(corpus), nlist, m = 2)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-pqrfuzz$trial").toFile.getAbsolutePath
+      idx.codes.join(idx.rawVectors, "id")
+        .select(col("id"), col("vec"), col("codes"), col("list_id"))
+        .write.partitionBy("list_id").mode("overwrite").parquet(dir)
+      spark.read.parquet(dir).createOrReplaceTempView("fz_pqr")
+      val (radii, errs) = SqlAnn.computePqRangeMeta(
+        spark, dir, idx.centroids.value, idx.codebooks.value)
+      val radius = rnd.nextDouble() * rnd.nextInt(4)
+      val ipRadius = (rnd.nextDouble() * 2 - 1) * dim / 4.0
+      val q = randomVectors(1, dim, seed = rnd.nextInt(100000)).head._2
+      val lit = s"CAST(array(${q.map(_.toDouble).mkString(", ")}) AS ARRAY<FLOAT>)"
+      val nq = 1 + rnd.nextInt(3)
+      val qs = randomVectors(nq, dim, seed = rnd.nextInt(100000))
+        .map { case (i, v) => (i + 3000L, v) }
+      localQView("fz_pqr_q", qs)
+      val cfg = s"PQR trial $trial (seed=$seed): dim=$dim nlist=$nlist " +
+        s"n=$n nq=$nq radius=$radius ipRadius=$ipRadius"
+      val singleSql =
+        s"""SELECT id, l2_distance(vec, $lit) AS dist
+           |FROM fz_pqr WHERE l2_distance(vec, $lit) <= $radius
+           |ORDER BY id""".stripMargin
+      val ipSingleSql =
+        s"""SELECT id, ip_distance(vec, $lit) AS dist
+           |FROM fz_pqr WHERE ip_distance(vec, $lit) <= $ipRadius
+           |ORDER BY id""".stripMargin
+      val joinSql =
+        s"""SELECT q.qid, t.id, l2_distance(t.vec, q.qvec) AS dist
+           |FROM fz_pqr_q q, fz_pqr t
+           |WHERE l2_distance(t.vec, q.qvec) <= $radius ORDER BY qid, id""".stripMargin
+      val semiSql =
+        s"""SELECT t.id FROM fz_pqr t WHERE EXISTS (
+           |  SELECT 1 FROM fz_pqr_q q
+           |  WHERE l2_distance(t.vec, q.qvec) <= $radius) ORDER BY t.id""".stripMargin
+      val antiSql =
+        s"""SELECT t.id FROM fz_pqr t WHERE NOT EXISTS (
+           |  SELECT 1 FROM fz_pqr_q q
+           |  WHERE l2_distance(t.vec, q.qvec) <= $radius) ORDER BY t.id""".stripMargin
+      val brute = rows(spark.sql(singleSql))
+      val bruteIp = rows(spark.sql(ipSingleSql))
+      val bruteJ = rows(spark.sql(joinSql))
+      val bruteS = rows(spark.sql(semiSql))
+      val bruteA = rows(spark.sql(antiSql))
+      def codesBuildFired(df: DataFrame): Boolean =
+        SqlAnn.fileSourceScans(df).exists(s =>
+          s.output.exists(_.name == "codes") && !s.output.exists(_.name == "vec"))
+      def checkAll(regime: String): Unit = {
+        val sdf = spark.sql(singleSql)
+        if (brute.nonEmpty)
+          assert(codesBuildFired(sdf), s"$cfg [$regime]: single refinement did not fire")
+        assert(rows(sdf) === brute, s"$cfg [$regime]: SINGLE range divergence")
+        val ipdf = spark.sql(ipSingleSql)
+        if (bruteIp.nonEmpty)
+          assert(codesBuildFired(ipdf), s"$cfg [$regime]: IP refinement did not fire")
+        assert(rows(ipdf) === bruteIp, s"$cfg [$regime]: IP range divergence")
+        val jdf = spark.sql(joinSql)
+        if (bruteJ.nonEmpty)
+          assert(codesBuildFired(jdf), s"$cfg [$regime]: join refinement did not fire")
+        assert(rows(jdf) === bruteJ, s"$cfg [$regime]: RANGE-JOIN divergence")
+        val smdf = spark.sql(semiSql)
+        if (bruteS.nonEmpty)
+          assert(codesBuildFired(smdf), s"$cfg [$regime]: semi refinement did not fire")
+        assert(rows(smdf) === bruteS, s"$cfg [$regime]: SEMI divergence")
+        val adf = spark.sql(antiSql)
+        assert(!codesBuildFired(adf),
+          s"$cfg [$regime]: anti must never carry the codes screen")
+        assert(rows(adf) === bruteA, s"$cfg [$regime]: ANTI divergence")
+      }
+      // healthy radii
+      SqlAnn.registerIndex(spark, dir, idx.centroids.value, nprobe = nlist,
+        centroidsBc = Some(idx.centroids), radii = Some(radii),
+        pq = Some(new SqlAnn.PqInfo(idx.codebooks)),
+        pqRangeErrs = Some(errs))
+      try checkAll("healthy") finally SqlAnn.unregisterIndex(spark, dir)
+      // degraded radii: every covering ball intersects everything — the
+      // codes screen is the only prune left, and must still be exact
+      SqlAnn.registerIndex(spark, dir, idx.centroids.value, nprobe = nlist,
+        centroidsBc = Some(idx.centroids),
+        radii = Some(Array.fill(nlist)(1e3)),
+        pq = Some(new SqlAnn.PqInfo(idx.codebooks)),
+        pqRangeErrs = Some(errs))
+      try checkAll("degraded") finally SqlAnn.unregisterIndex(spark, dir)
+    }
+  }
+
   private def localQView(name: String, rows: Seq[(Long, Array[Float])]): Unit = {
     val list = new java.util.ArrayList[org.apache.spark.sql.Row]()
     rows.foreach { case (i, v) => list.add(org.apache.spark.sql.Row(i, v.toSeq)) }

@@ -2895,6 +2895,27 @@ class SqlAnnSpec extends SparkSpec {
         "(SELECT * FROM sqlann_pqj_qp LIMIT 1)"))
       assert(refineDppCount(lim) === 0,
         "a no-total-order LIMIT queries side must not attach the screen")
+      // the IP arm rides the same registration: per-pair Cauchy–Schwarz
+      // bound (adc <= r + ||q_row||*maxErr), exact incl. the unscorable
+      // rows
+      val ipJSql =
+        s"""SELECT q.qid, t.id, ip_distance(t.vec, q.qvec) AS dist
+           |FROM sqlann_pqj_qp q, sqlann_pqj t
+           |WHERE ip_distance(t.vec, q.qvec) <= -100.0
+           |ORDER BY qid, id""".stripMargin
+      SqlAnn.unregisterIndex(spark, jDir)
+      val bruteIpJ = pairs(spark.sql(ipJSql))
+      assert(bruteIpJ.exists(_._2 == 0L) && bruteIpJ.exists(_._2 == 8L),
+        "IP fixture: the unscorable rows must be true IP join matches")
+      SqlAnn.registerIndex(spark, jDir, pqIndex.centroids.value, nprobe = 2,
+        radii = Some(Array.fill(NList)(30.0)),
+        centroidsBc = Some(pqIndex.centroids),
+        pq = Some(new SqlAnn.PqInfo(pqIndex.codebooks)),
+        pqRangeErrs = Some(errs))
+      val ipJ = spark.sql(ipJSql)
+      assert(refineDppCount(ipJ) === 1,
+        "the IP range join must carry the codes-screen DPP")
+      assert(pairs(ipJ) === bruteIpJ, "IP-refined range join must stay exact")
     } finally SqlAnn.unregisterIndex(spark, jDir)
   }
 
@@ -2990,6 +3011,26 @@ class SqlAnnSpec extends SparkSpec {
       assert(!partitionFilterText(dfBad).contains("dynamicpruning"),
         "a non-unit query literal must not attach the cosine refinement")
       assert(dfBad.collect().map(_.getLong(0)).toSeq === bruteBad)
+      // the cosine JOIN arm: per-row keep bound over unit-norm query
+      // rows (attestation + cosineCodes gates), exact incl. the
+      // degenerate stored row — whose poisoned list keeps it reachable
+      localQView("sqlann_pqcos_q", Seq(100L -> ncorner(0), 101L -> ncorner(3)))
+      val jSql = cosineJoinSql("sqlann_pqcos_q", "sqlann_pqcos", "0.3")
+      SqlAnn.unregisterIndex(spark, cDir)
+      val bruteJ = spark.sql(jSql).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(bruteJ.exists(_._2 == 9000L),
+        "cosine join fixture: the degenerate row must be a true match")
+      SqlAnn.registerIndex(spark, cDir, idx.centroids.value, nprobe = 2,
+        radii = Some(Array.fill(NList)(30.0)),
+        centroidsBc = Some(idx.centroids), unitNorm = true,
+        pq = Some(new SqlAnn.PqInfo(idx.codebooks, cosineCodes = true)),
+        pqRangeErrs = Some(errs))
+      val dj = spark.sql(jSql)
+      assert(refineDppCount(dj) === 1,
+        "the cosine range join must carry the codes-screen DPP")
+      assert(dj.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        === bruteJ, "cosine-refined range join must stay exact")
     } finally SqlAnn.unregisterIndex(spark, cDir)
   }
 
