@@ -159,6 +159,7 @@ object Bench {
     // nothing — cutting the cold tail that amplified host contention
     // into multi-second degraded reads.
     graft.index.PlanWarmup.warmPqFlood(spark)
+    graft.index.PlanWarmup.warmSqlAnn(spark)
 
     var stallRetries = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

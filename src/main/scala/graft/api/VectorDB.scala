@@ -1003,7 +1003,10 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     * the real plans then hit (see [[graft.index.PlanWarmup]] — measured:
     * flood iter1 dropped from ~20 s to ≤2x steady state). Idempotent per
     * session; the data-side warmups ([[warmup]]/[[warmupHot]]) compose. */
-  def warmupPlans(): Unit = graft.index.PlanWarmup.warmPqFlood(spark)
+  def warmupPlans(): Unit = {
+    graft.index.PlanWarmup.warmPqFlood(spark)
+    graft.index.PlanWarmup.warmSqlAnn(spark)
+  }
 
   // --- A7 GetStats ---------------------------------------------------------
 

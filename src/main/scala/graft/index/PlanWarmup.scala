@@ -119,4 +119,85 @@ object PlanWarmup {
     } finally oldGate2.fold(conf.unset(IvfFlatIndex.BroadcastGateKey))(
       conf.set(IvfFlatIndex.BroadcastGateKey, _))
   }
+
+  private val warmedSql =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** SQL-surface twin of [[warmPqFlood]]: registers a tiny PQ-coded
+    * table through [[graft.plans.SqlAnn]] and executes the canonical
+    * REWRITTEN shapes — literal top-k (two-scan ADC + rerank pipeline),
+    * refined literal range (codes-DPP), batch window rank, range join,
+    * and semi screen — so a serving process that exposes an epoch via
+    * `registerSql` compiles the rewrite plan family at startup instead
+    * of inside its first query. Scale-invariance caveat: a query's
+    * RADIUS is a primitive literal and lands verbatim in one generated
+    * filter, so that single small class still compiles per distinct
+    * radius; every other stage (scans, probe explode, ADC, DPP builds,
+    * joins, window) is shared. Idempotent per session; cleans up its
+    * registration, views, and temp table references. */
+  def warmSqlAnn(spark: SparkSession): Unit = {
+    val already = warmedSql.put(spark, java.lang.Boolean.TRUE)
+    if (already != null) return
+    spark.conf.set("spark.sql.codegen.useIdInClassName", "false")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-planwarmup-sql").toString
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(tmp)
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val idx = IvfPqIndex.build(spark,
+      (0L until 64L).map(i => (i, Array.fill(8)(rnd.nextFloat())))
+        .toDF("id", "vec"), nlist = 4, m = 2)
+    idx.codes.join(idx.rawVectors, "id")
+      .select(org.apache.spark.sql.functions.col("id"), col("vec"),
+        col("codes"), col("list_id"))
+      .write.partitionBy("list_id").mode("overwrite").parquet(s"$tmp/t")
+    spark.read.parquet(s"$tmp/t").createOrReplaceTempView("graft_warmup_sql")
+    (0L until 4L).map(i => (i, Array.fill(8)(rnd.nextFloat())))
+      .toDF("qid", "qvec").write.mode("overwrite").parquet(s"$tmp/q")
+    spark.read.parquet(s"$tmp/q").createOrReplaceTempView("graft_warmup_sql_q")
+    val (radii, errs) = graft.plans.SqlAnn.computePqRangeMeta(
+      spark, s"$tmp/t", idx.centroids.value, idx.codebooks.value)
+    graft.plans.SqlAnn.registerIndex(
+      spark, s"$tmp/t", idx.centroids.value, nprobe = 4,
+      centroidsBc = Some(idx.centroids), radii = Some(radii),
+      pq = Some(new graft.plans.SqlAnn.PqInfo(idx.codebooks, rerankK = 600)),
+      pqRangeErrs = Some(errs))
+    def consume(sql: String): Unit =
+      spark.sql(sql).queryExecution.toRdd.foreach(_ => ())
+    try {
+      val lit = s"CAST(array(${(0 until 8).map(_ => "0.5").mkString(", ")}) AS ARRAY<FLOAT>)"
+      consume(
+        s"""SELECT id, l2_distance(vec, $lit) AS dist
+           |FROM graft_warmup_sql ORDER BY dist, id LIMIT 5""".stripMargin)
+      consume(
+        s"""SELECT id, l2_distance(vec, $lit) AS dist
+           |FROM graft_warmup_sql WHERE l2_distance(vec, $lit) <= 2.0
+           |ORDER BY id""".stripMargin)
+      consume(
+        s"""SELECT qid, id, dist, rank FROM (
+           |  SELECT q.qid, t.id, l2_distance(t.vec, q.qvec) AS dist,
+           |    CAST(row_number() OVER (PARTITION BY q.qid
+           |      ORDER BY l2_distance(t.vec, q.qvec), t.id) AS INT) AS rank
+           |  FROM graft_warmup_sql_q q, graft_warmup_sql t)
+           |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
+      consume(
+        s"""SELECT q.qid, t.id, l2_distance(t.vec, q.qvec) AS dist
+           |FROM graft_warmup_sql_q q, graft_warmup_sql t
+           |WHERE l2_distance(t.vec, q.qvec) <= 2.0 ORDER BY qid, id""".stripMargin)
+      consume(
+        s"""SELECT t.id FROM graft_warmup_sql t WHERE EXISTS (
+           |  SELECT 1 FROM graft_warmup_sql_q q
+           |  WHERE l2_distance(t.vec, q.qvec) <= 2.0) ORDER BY t.id""".stripMargin)
+    } finally {
+      graft.plans.SqlAnn.unregisterIndex(spark, s"$tmp/t")
+      spark.catalog.dropTempView("graft_warmup_sql")
+      spark.catalog.dropTempView("graft_warmup_sql_q")
+    }
+  }
 }

@@ -63,6 +63,7 @@ object OneQuery {
       val cg0 = codegenN
       val t0 = System.nanoTime()
       graft.index.PlanWarmup.warmPqFlood(spark)
+      graft.index.PlanWarmup.warmSqlAnn(spark)
       println(f"[onequery] $name planwarmup ${(System.nanoTime() - t0) / 1e9}%7.3f s " +
         f"codegen+${codegenN - cg0}")
     }

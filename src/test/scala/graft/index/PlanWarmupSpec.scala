@@ -26,4 +26,19 @@ class PlanWarmupSpec extends SparkSpec {
     assert(spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
       === jobs0, "second warmPqFlood must run no jobs")
   }
+
+  test("warmSqlAnn executes the rewritten SQL shapes, cleans up, is idempotent") {
+    PlanWarmup.warmSqlAnn(spark)
+    // cleanup contract: no lingering views, no lingering registration
+    assert(!spark.catalog.tableExists("graft_warmup_sql"),
+      "warmup must drop its corpus view")
+    assert(!spark.catalog.tableExists("graft_warmup_sql_q"),
+      "warmup must drop its queries view")
+    val cg0 = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getCount
+    PlanWarmup.warmSqlAnn(spark)
+    assert(org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getCount === cg0,
+      "second warmSqlAnn must be a no-op")
+  }
 }
