@@ -311,6 +311,22 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
   /** Progress of an in-flight build: 0..1, or None when no build runs. */
   def buildProgress(name: String): Option[Double] = builds.get(name).map(_.get())
 
+  /** Crash-safe in-place rewrite of a tiny bounds table (radii/pqerrs):
+    * write the replacement to a `.next` sibling, then delete + rename.
+    * Any crash window leaves either the OLD table (valid pre-append
+    * bounds, and the merged write happens before the rows land) or NO
+    * table (lazy recompute / full-scan fallback) — never a torn table
+    * whose missing lists would read as radius 0 and falsely dismiss. */
+  private def replaceBoundsTable(livePath: String)(write: String => Unit): Unit = {
+    val next = s"$livePath.next"
+    graft.storage.EpochManager.deleteRecursively(next)
+    write(next)
+    graft.storage.EpochManager.deleteRecursively(livePath)
+    if (!new java.io.File(next).renameTo(new java.io.File(livePath)))
+      throw new java.io.IOException(
+        s"could not swap bounds table $next -> $livePath")
+  }
+
   /**
    * S9 add: assign a new batch against the SERVING epoch's centroids and
    * append it to that epoch's lists (ivf_flat_index.cpp:148-202). Only the
@@ -372,25 +388,57 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
           if (!served.get(name).exists(_.epochId == s.epochId))
             throw new InvalidArgumentException(
               s"Serving epoch changed during addVectors (was ${s.epochId}); retry")
-          // appended rows can GROW lists: a stale persisted covering-radius
-          // bound would falsely dismiss them from range searches. Drop the
-          // table BEFORE the append lands — a crash between the two steps
-          // then leaves a radius-less epoch (recomputed lazily, safe),
-          // never an appended epoch with a stale bound
-          // shared Files.walk-based delete (EpochManager's): the
-          // scala.reflect.io variant is a deprecated compiler-internal
-          // API that reports failure as a bare boolean with no cause
-          graft.storage.EpochManager.deleteRecursively(s"$path/radii")
-          // the PQ decode-error bounds share the radii's staleness rule:
-          // an appended row's error can exceed its list's recorded max
-          // exactly like its distance can exceed the covering radius
-          graft.storage.EpochManager.deleteRecursively(s"$path/pqerrs")
-          // same staleness rule for the SQL surface: a registerSql'd
-          // registration carrying pre-append radii would falsely dismiss
-          // the appended rows from the (exact) range rewrite — strip the
-          // radii in place, whoever registered them (the registry is
-          // JVM-global and path-keyed)
-          graft.plans.SqlAnn.invalidateRadii(spark, s"$path/vectors")
+          // appended rows can GROW lists: a stale covering-radius or
+          // decode-error bound would falsely dismiss them from range
+          // searches. Round 19 MAINTAINS the bounds instead of dropping
+          // them (pre-r19: range search degraded to full scans until the
+          // next build/compaction): per-list radii and errs are MAXES,
+          // so max(old, batchMax) is EXACT for the post-append
+          // membership — one pass over the (already persisted) batch
+          // yields the per-list batch maxes, merged into BOTH the
+          // persisted tables and any live registration, in place.
+          // ORDER is the crash-safety argument, inverted from the old
+          // delete-first rule: the merged (>= old) bounds land BEFORE
+          // the rows do, so a crash between the steps leaves OVER-sized
+          // bounds — less pruning, never a dismissal. The table rewrite
+          // itself goes through a write-aside + rename (replaceBounds),
+          // so its own crash window leaves either the old table or none
+          // (lazy recompute / full-scan fallback — both safe), never a
+          // torn table whose missing lists would read as radius 0.
+          val radiiPath = s"$path/radii"
+          val errsPath = s"$path/pqerrs"
+          val hasRadii = new java.io.File(radiiPath).exists
+          val hasErrs = new java.io.File(errsPath).exists
+          if (hasRadii || hasErrs ||
+              graft.plans.SqlAnn.holdsBounds(spark, s"$path/vectors")) {
+            val (bRadii, bErrs) = graft.plans.SqlAnn.computeBatchRangeMeta(
+              assigned, s.index.centroids.value,
+              appendBooksBc.map(_.value),
+              cosineCodes = s.manifest.metric == Metric.Cosine)
+            if (hasRadii)
+              replaceBoundsTable(radiiPath) { next =>
+                IvfFlatIndex.writeListRadiiTable(spark,
+                  IvfFlatIndex.readListRadiiTable(
+                    spark, radiiPath, s.manifest.nlist)
+                    .zip(bRadii).map(p => math.max(p._1, p._2)), next)
+              }
+            if (hasErrs) {
+              if (appendBooksBc.isDefined)
+                replaceBoundsTable(errsPath) { next =>
+                  IvfFlatIndex.writeListErrsTable(spark,
+                    IvfFlatIndex.readListErrsTable(
+                      spark, errsPath, s.manifest.nlist)
+                      .zip(bErrs).map(p => math.max(p._1, p._2)), next)
+                }
+              // an errs table without codebooks cannot be maintained
+              // (nothing encodes the batch) — drop it, the sound
+              // direction; unreachable for epochs built by this facade
+              // (pqerrs exists only beside codebooks)
+              else graft.storage.EpochManager.deleteRecursively(errsPath)
+            }
+            graft.plans.SqlAnn.mergeAppendBounds(spark, s"$path/vectors",
+              bRadii, if (appendBooksBc.isDefined) Some(bErrs) else None)
+          }
           IvfFlatIndex.appendToEpoch(assigned, s"$path/vectors")
           // merge the batch's per-list counts into the manifest shards —
           // stats()'s imbalance signal must see appended skew, not the
@@ -689,6 +737,18 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
           "refinement's keep bound and the cosine ball bridge hold only " +
           "over near-unit stored norms — attest unitNorm (ideally with " +
           "verifyUnitNorm = true), or drop pqRangeAccel")
+    // the bounds read + registration run under the per-index state lock
+    // (round 19): addVectors merges fresh maxes into the persisted
+    // tables AND the live registration under the same lock, so without
+    // it a registerSql racing an append could read pre-append bounds,
+    // then install them AFTER the rows landed — a stale registration no
+    // in-place merge would ever touch (the same hazard class the old
+    // delete-first append had, now closed instead of inherited). The
+    // epoch-unchanged recheck inside mirrors addVectors' own.
+    stateLock(name).synchronized {
+    if (!served.get(name).exists(_.epochId == s.epochId))
+      throw new InvalidArgumentException(
+        s"Serving epoch changed during registerSql (was ${s.epochId}); retry")
     val pqInfo: Option[graft.plans.SqlAnn.PqInfo] =
       if (!pq) None
       else {
@@ -787,6 +847,7 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
         }
     }
     view
+    } // stateLock
   }
 
   /** C1: per-list access stats of the serving index — (list_id, probe

@@ -441,17 +441,54 @@ object SqlAnn {
     require(codebooks.nonEmpty && codebooks(0).nonEmpty,
       "computePqRangeMeta: empty codebooks — the range refinement needs " +
         "a trained PQ codebook per subspace (IndexConfig m > 0)")
+    metaMaxesOf(
+      spark.read.parquet(path).select(col(vecCol), col(codeCol), col(listCol)),
+      centroids, Some(codebooks), cosineCodes)
+  }
+
+  /** The SAME one-pass maxes over an already-materialized BATCH frame —
+    * the append path's merge source (round 19: per-list radii and decode
+    * errors are MAXES, so `max(old, batchMax)` is EXACT for the union
+    * and appends can MAINTAIN the persisted bounds instead of dropping
+    * them). Columns are the append layout (`vec`, `list_id`, optional
+    * `codes`); `codebooks = None` (a flat epoch) yields all-zero errs
+    * the caller must ignore. Not counted by [[pqRangeMetaScans]] — the
+    * scan is over the batch, not the corpus. */
+  private[graft] def computeBatchRangeMeta(
+      batch: org.apache.spark.sql.DataFrame,
+      centroids: Array[Array[Float]],
+      codebooks: Option[Array[Array[Array[Float]]]],
+      cosineCodes: Boolean): (Array[Double], Array[Double]) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val withCodes =
+      if (batch.columns.contains("codes"))
+        batch.select(col("vec"), col("codes"), col("list_id"))
+      else batch.select(col("vec"),
+        lit(null).cast("array<tinyint>").as("codes"), col("list_id"))
+    metaMaxesOf(withCodes, centroids, codebooks, cosineCodes)
+  }
+
+  /** Shared core of the two meta passes: per-list max ‖v − c_l‖ and max
+    * decode error over a (vec, codes, list_id) frame. One definition so
+    * the corpus pass and the append-merge pass can never diverge on the
+    * hardening semantics (NaN poisoning, malformed-code +∞, cosine
+    * normalization + out-of-tolerance poisoning). */
+  private def metaMaxesOf(
+      df: org.apache.spark.sql.DataFrame,
+      centroids: Array[Array[Float]],
+      codebooks: Option[Array[Array[Array[Float]]]],
+      cosineCodes: Boolean): (Array[Double], Array[Double]) = {
+    val spark = df.sparkSession
     val nlist = centroids.length
-    val m = codebooks.length
-    val dsub = codebooks(0)(0).length
-    val ks = codebooks(0).length
+    val m = codebooks.map(_.length).getOrElse(0)
+    val dsub = codebooks.map(_(0)(0).length).getOrElse(0)
+    val ks = codebooks.map(_(0).length).getOrElse(0)
     val centBc = spark.sparkContext.broadcast(centroids)
     val cbBc = spark.sparkContext.broadcast(codebooks)
-    val partials = spark.read.parquet(path)
-      .select(col(vecCol), col(codeCol), col(listCol))
+    val partials = df
       .rdd.mapPartitions { rows =>
         val cents = centBc.value
-        val cb = cbBc.value
+        val cbOpt = cbBc.value
         val radii = Array.fill(nlist)(0.0)
         val errs = Array.fill(nlist)(0.0)
         rows.foreach { r =>
@@ -462,7 +499,8 @@ object SqlAnn {
               // radius: NaN components poison via Math.max's NaN rule
               radii(l) = math.max(radii(l),
                 math.sqrt(VectorKernels.l2(v, cents(l))))
-              if (!r.isNullAt(1)) {
+              if (!r.isNullAt(1) && cbOpt.isDefined) {
+                val cb = cbOpt.get
                 val codes = r.getSeq[Byte](1)
                 val e =
                   if (codes.length != m || v.length != m * dsub ||
@@ -636,20 +674,61 @@ object SqlAnn {
 
   /** Strip the radii AND the PQ range errs from whatever registration
     * currently covers `path` — WHOEVER owns it (in-place, token identity
-    * preserved). Called when the table GREW
-    * ([[graft.api.VectorDB.addVectors]]): both bounds were computed for
-    * the pre-append membership, and a stale bound FALSELY DISMISSES
-    * appended rows from the range rewrite, which is documented as exact
-    * (an appended row's quantization error can exceed its list's
-    * recorded max exactly like its distance can exceed the covering
-    * radius). Top-k rewriting is unaffected (the nprobe contract is an
-    * approximation either way); range predicates fall back to full scans
-    * until fresh bounds are re-attached (re-`registerSql` after the next
-    * epoch build/compaction). */
+    * preserved). The blunt instrument for a table that grew by unknown
+    * rows: both bounds were computed for the old membership, and a stale
+    * bound FALSELY DISMISSES new rows from the range rewrite, which is
+    * documented as exact. Range predicates then fall back to full scans
+    * until fresh bounds are re-attached. The facade's own append no
+    * longer needs this (round 19: [[mergeAppendBounds]] maintains the
+    * bounds exactly, because the append KNOWS its batch); external
+    * writers who grow a registered table out of band should still call
+    * it. */
   def invalidateRadii(spark: SparkSession, path: String): Unit =
     registry.get(qualified(spark, path)).foreach { r =>
       r.updateRadii(None)
       r.updatePqErr(None)
+    }
+
+  /** True when the registration covering `path` currently holds range
+    * bounds (radii or errs) — the append path's "is there anything to
+    * maintain" probe. */
+  private[graft] def holdsBounds(spark: SparkSession, path: String): Boolean =
+    registry.get(qualified(spark, path)).exists(r =>
+      r.radii.isDefined || r.pqErrPair.isDefined)
+
+  /** Merge a batch's per-list maxes into whatever registration currently
+    * covers `path` — IN PLACE, token identity preserved (the same
+    * contract as [[invalidateRadii]], round 19's maintenance twin):
+    * per-list radii and decode errors are MAXES, so `max(old, batchMax)`
+    * is EXACT for the post-append membership whenever `old` was valid
+    * for the pre-append one. NaN/+∞ poisoning propagates through
+    * Math.max. `bErrs = None` (a flat epoch, or an append that could not
+    * encode) STRIPS any held errs instead — they cannot be maintained.
+    * A length mismatch on either half clears that half (defensive — a
+    * registration over different geometry must never be "merged").
+    * Called by [[graft.api.VectorDB.addVectors]] BEFORE the rows land,
+    * so a query racing the append sees bounds that are at worst
+    * OVER-sized (less pruning, never a dismissal). */
+  private[graft] def mergeAppendBounds(
+      spark: SparkSession,
+      path: String,
+      bRadii: Array[Double],
+      bErrs: Option[Array[Double]]): Unit =
+    registry.get(qualified(spark, path)).foreach { r =>
+      r.radiiPair match {
+        case Some((old, _)) if old.length == bRadii.length =>
+          val m = old.zip(bRadii).map(p => math.max(p._1, p._2))
+          r.updateRadii(Some((m, spark.sparkContext.broadcast(m))))
+        case Some(_) => r.updateRadii(None)
+        case None => ()
+      }
+      (r.pqErrPair, bErrs) match {
+        case (Some((old, _)), Some(be)) if old.length == be.length =>
+          val m = old.zip(be).map(p => math.max(p._1, p._2))
+          r.updatePqErr(Some((m, spark.sparkContext.broadcast(m))))
+        case (Some(_), _) => r.updatePqErr(None)
+        case _ => ()
+      }
     }
 
   /** Remove the registration for `path` ONLY if it is still the exact

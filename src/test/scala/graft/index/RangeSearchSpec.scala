@@ -132,7 +132,7 @@ class RangeSearchSpec extends SparkSpec {
     assert(fresh.listRadii eq back) // preset short-circuits the compute
   }
 
-  test("epoch-backed range search: persisted radii, append drops them, no false dismissal") {
+  test("epoch-backed range search: persisted radii, append MERGES them, no false dismissal") {
     import graft.api.VectorDB
     import graft.{IndexConfig, Metric}
     val s = spark
@@ -155,10 +155,19 @@ class RangeSearchSpec extends SparkSpec {
     } yield (qid, id)).toSet
     assert(got === want)
     // append a vector that duplicates a query: it MUST appear in-range
-    // even though it may grow its list beyond the persisted radius
+    // even though it may grow its list beyond the build-time radius.
+    // Round 19: the append MAINTAINS the persisted table (max(old,
+    // batch) is exact for the union) instead of dropping it — the table
+    // survives, carries the merged (possibly grown) bounds, and the
+    // search stays pruned AND exact
+    val preRadii = IvfFlatIndex.readListRadiiTable(spark, path, 4)
     val dupOfQuery = Seq((9000L, queries.head._2)).toDF("id", "vec")
     db.addVectors("rng", dupOfQuery)
-    assert(!new java.io.File(path).exists, "stale radii table survived append")
+    assert(new java.io.File(path).exists,
+      "append must MAINTAIN the radii table, not drop it (round 19)")
+    val postRadii = IvfFlatIndex.readListRadiiTable(spark, path, 4)
+    assert(postRadii.zip(preRadii).forall { case (po, pr) => po >= pr },
+      "merged radii can only grow")
     val after = db.rangeSearch("rng", queriesDF(queries.take(1)), radius)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(after.contains((queries.head._1, 9000L)),

@@ -216,7 +216,7 @@ class SqlAnnSpec extends SparkSpec {
     } finally SqlAnn.unregisterIndex(spark, rangeDir)
   }
 
-  test("addVectors strips stale radii from the SQL registration in place") {
+  test("addVectors merges fresh bounds into the SQL registration in place (round 19: maintained, not stripped)") {
     import graft.IndexConfig
     val db = new graft.api.VectorDB(spark,
       java.nio.file.Files.createTempDirectory("graft-sqlann-grow").toString)
@@ -225,22 +225,31 @@ class SqlAnnSpec extends SparkSpec {
     db.activateEpoch("rgidx", ep)
     db.loadIndex("rgidx")
     db.registerSql("rgidx", nprobe = 4, computeRangeRadii = true)
+    val q = s"CAST(array(${qvec.map(_.toDouble).mkString(", ")}) AS ARRAY<FLOAT>)"
     try {
       // radii attached: the range rewrite fires
-      assert(partitionFilterText(spark.sql(rangeSql("rgidx", "2.0",
-        s"CAST(array(${qvec.map(_.toDouble).mkString(", ")}) AS ARRAY<FLOAT>)")))
+      assert(partitionFilterText(spark.sql(rangeSql("rgidx", "2.0", q)))
         .contains("list_id"))
-      // appended rows can grow lists past the registered covering radii —
-      // the (exact) range rewrite would falsely dismiss them; the append
-      // must strip the radii IN PLACE (token identity preserved: close()
-      // below still releases with its original handle)
+      // appended rows can grow lists past the registered covering radii.
+      // The append merges max(old, batchMax) into the registration IN
+      // PLACE (token identity preserved: close() below still releases
+      // with its original handle) — the range rewrite KEEPS firing and
+      // finds the appended row, which sits at distance 0 of the query
       db.addVectors("rgidx", vectorsDF(Seq(9999L -> qvec)))
-      assert(!partitionFilterText(spark.sql(rangeSql("rgidx", "2.0",
-        s"CAST(array(${qvec.map(_.toDouble).mkString(", ")}) AS ARRAY<FLOAT>)")))
-        .contains("list_id"),
-        "post-append range SQL must fall back to the full scan")
+      val post = spark.sql(rangeSql("rgidx", "2.0", q))
+      assert(partitionFilterText(post).contains("list_id"),
+        "post-append range SQL must STAY pruned (bounds maintained)")
+      assert(post.collect().map(_.getLong(0)).contains(9999L),
+        "the appended in-radius row must be found through the merged bounds")
       // the TOP-K rewrite keeps working — its contract never needed radii
       assert(partitionFilterText(spark.sql(annSql("rgidx"))).contains("list_id"))
+      // the blunt external-writer path still exists: explicit
+      // invalidation falls back to the full scan
+      val em = new graft.storage.EpochManager(s"${db.dataPath}/rgidx/epochs")
+      SqlAnn.invalidateRadii(spark, s"${em.epochPath(ep)}/vectors")
+      assert(!partitionFilterText(spark.sql(rangeSql("rgidx", "2.0", q)))
+        .contains("list_id"),
+        "explicit invalidation must fall back to the full scan")
     } finally db.close()
   }
 
@@ -3106,7 +3115,7 @@ class SqlAnnSpec extends SparkSpec {
     } finally db.close()
   }
 
-  test("pqRangeAccel meta rides the epoch: registration is a metadata read; compaction re-emits; append falls back") {
+  test("pqRangeAccel meta rides the epoch: registration is a metadata read; compaction re-emits; append merges in place") {
     import graft.IndexConfig
     graft.GraftExtensions.register(spark)
     val db = new graft.api.VectorDB(spark,
@@ -3163,22 +3172,45 @@ class SqlAnnSpec extends SparkSpec {
       SqlAnn.unregisterIndex(spark, s"$root2/vectors")
       assert(got2 === rows(spark.sql(sql)),
         "compacted-epoch refined range scan must stay exact")
-      // append: both tables drop BEFORE rows land, and the next
-      // registration pays the one-pass fallback — fresh bounds, exact
+      // append (round 19): the bounds are MAINTAINED — max(old, batch)
+      // is exact for the union — so the tables survive with merged
+      // values, a LIVE registration is merged in place (same token) and
+      // keeps refining, the NEXT registration is still a metadata read,
+      // and the refined range scan stays exact over the grown table
+      db.registerSql("pqmeta", nprobe = 4, pq = true,
+        pqRerankK = 1000, pqRangeAccel = true)
+      val preRadii2 = IvfFlatIndex.readListRadiiTable(spark, s"$root2/radii", 4)
+      val preErrs2 = IvfFlatIndex.readListErrsTable(spark, s"$root2/pqerrs", 4)
       db.addVectors("pqmeta", vectorsDF(randomVectors(10, Dim, seed = 44)
         .map { case (i, v) => (1000L + i, v) }))
-      assert(!new java.io.File(s"$root2/pqerrs").exists &&
-        !new java.io.File(s"$root2/radii").exists,
-        "append must delete radii AND pqerrs (a stale max dismisses)")
+      val dfLive = spark.sql(sql)
+      assert(partitionFilterText(dfLive).contains("dynamicpruning"),
+        "the LIVE registration must keep refining after the in-place merge")
+      val gotLive = rows(dfLive)
+      SqlAnn.unregisterIndex(spark, s"$root2/vectors")
+      assert(gotLive === rows(spark.sql(sql)),
+        "the live merged registration must stay exact over the grown table")
+      assert(new java.io.File(s"$root2/pqerrs").exists &&
+        new java.io.File(s"$root2/radii").exists,
+        "append must MAINTAIN radii AND pqerrs (merged maxes), not drop them")
+      assert(IvfFlatIndex.readListRadiiTable(spark, s"$root2/radii", 4)
+        .zip(preRadii2).forall { case (po, pr) => po >= pr },
+        "merged radii can only grow")
+      assert(IvfFlatIndex.readListErrsTable(spark, s"$root2/pqerrs", 4)
+        .zip(preErrs2).forall { case (po, pr) => po >= pr },
+        "merged errs can only grow")
       val scans2 = SqlAnn.pqRangeMetaScans.get
       db.registerSql("pqmeta", nprobe = 4, pq = true,
         pqRerankK = 1000, pqRangeAccel = true)
-      assert(SqlAnn.pqRangeMetaScans.get === scans2 + 1,
-        "meta-less registration must fall back to the corpus pass")
-      val got3 = rows(spark.sql(sql))
+      assert(SqlAnn.pqRangeMetaScans.get === scans2,
+        "post-append registration must STAY a metadata read (merged tables)")
+      val df3 = spark.sql(sql)
+      assert(partitionFilterText(df3).contains("dynamicpruning"),
+        "the refined range plan must still fire over the grown table")
+      val got3 = rows(df3)
       SqlAnn.unregisterIndex(spark, s"$root2/vectors")
       assert(got3 === rows(spark.sql(sql)),
-        "post-append fallback registration must stay exact")
+        "post-append merged-bounds registration must stay exact")
     } finally db.close()
   }
 
