@@ -205,6 +205,11 @@ object Bench {
         val ok = runOnce(name, fn)
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
+      // drain the async listener bus before the baseline snapshot (own
+      // review, round 19): a straggler stage from the LAST warmup posts
+      // its completion after this line otherwise, inflating the query's
+      // taskSec — the very signal the degraded-read adjudication keys on
+      Thread.sleep(25)
       val trQ0 = taskRunMs.get
       val times = (1 to 3).map { i =>
         val (gc0, jit0, cg0) = (gcMs, jitMs, codegenN)

@@ -486,9 +486,20 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
 
   /** Serializes every serve-state mutation (loadServed) and manifest
     * read-modify-write for one index. */
-  private val stateLocks = TrieMap.empty[String, Object]
-  private def stateLock(name: String): Object =
-    stateLocks.getOrElseUpdate(name, new Object)
+  // JVM-GLOBAL, keyed by the index's canonical data directory — NOT
+  // per facade (round 19, own review): two VectorDB instances over the
+  // same dataPath are explicitly supported (the SqlAnn registry is
+  // path-keyed and the close/view guards exist for exactly that), and
+  // the append-time bounds MERGE is a read-modify-write that a
+  // per-instance lock cannot serialize across facades — two concurrent
+  // appends could each merge against the same old maxes and the loser's
+  // contribution would vanish, an under-sized bound that falsely
+  // dismisses. Interning on (dataPath, name) restores the pre-merge
+  // safety argument for every cross-facade interleaving.
+  private[api] def stateLock(name: String): Object =
+    VectorDB.stateLocks.computeIfAbsent(
+      s"${new java.io.File(dataPath).getAbsolutePath}#$name",
+      _ => new Object)
 
   private def dimensionError(e: Throwable): Boolean =
     e != null && (Option(e.getMessage).exists(_.contains("dimension mismatch")) ||
@@ -551,9 +562,10 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     }
     val index = new IvfFlatIndex(spark, vectors, bc, manifest.metric, listener,
       probeOwner = instanceId)
-    // persisted covering radii (absent on appended-to epochs — the append
-    // path drops the table because grown lists would make a stale bound a
-    // false-dismissal bug; the index then recomputes lazily on first use)
+    // persisted covering radii: written at build and MAINTAINED by the
+    // append path (round 19: max(old, batchMax) is exact for the union);
+    // absent only on pre-r19-appended or cosine-flat epochs — the index
+    // then recomputes lazily on first use
     val radiiPath = s"$path/radii"
     if (new java.io.File(radiiPath).exists)
       index.presetListRadii(
@@ -737,18 +749,6 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
           "refinement's keep bound and the cosine ball bridge hold only " +
           "over near-unit stored norms — attest unitNorm (ideally with " +
           "verifyUnitNorm = true), or drop pqRangeAccel")
-    // the bounds read + registration run under the per-index state lock
-    // (round 19): addVectors merges fresh maxes into the persisted
-    // tables AND the live registration under the same lock, so without
-    // it a registerSql racing an append could read pre-append bounds,
-    // then install them AFTER the rows landed — a stale registration no
-    // in-place merge would ever touch (the same hazard class the old
-    // delete-first append had, now closed instead of inherited). The
-    // epoch-unchanged recheck inside mirrors addVectors' own.
-    stateLock(name).synchronized {
-    if (!served.get(name).exists(_.epochId == s.epochId))
-      throw new InvalidArgumentException(
-        s"Serving epoch changed during registerSql (was ${s.epochId}); retry")
     val pqInfo: Option[graft.plans.SqlAnn.PqInfo] =
       if (!pq) None
       else {
@@ -765,32 +765,78 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
           // exactly the layout the cosineCodes attestation promises
           cosineCodes = s.manifest.metric == Metric.Cosine))
       }
+    val root = epochManager(name).epochPath(s.epochId)
+    // the verifyCodes replay can be a corpus-sized pass — run it OUTSIDE
+    // the state lock (own review, round 19: holding the per-index lock
+    // across a corpus scan stalls every append/swap for its duration; a
+    // verification is a point-in-time check and tolerates a concurrent
+    // append, whose rows the facade itself encoded)
+    pqInfo.foreach { info =>
+      if (verifyCodes &&
+          !graft.plans.SqlAnn.verifyPqCodes(spark, path,
+            info.codebooksBc.value, codeCol = info.codeCol,
+            sampleFraction = verifySampleFraction,
+            normalized = info.cosineCodes)) {
+        info.codebooksBc.unpersist(blocking = false)
+        throw new InvalidArgumentException(
+          s"PQ codes attestation failed for '$path': the id column is " +
+            "not a non-null unique key, or a stored code does not " +
+            "argmin-replay under the registered codebooks (foreign or " +
+            "corrupted codes silently degrade recall — see " +
+            "PqInfo's scaladoc)")
+      }
+    }
     // pqRangeAccel consumes the meta buildEpoch persisted (round 19, r18
     // verdict #1): `radii` + `pqerrs` ride the epoch like the manifest
     // does, so registration is a metadata read — the pre-r19 behavior
     // (one corpus pass per registerSql/epoch swap) survives only as the
-    // fallback for epochs whose meta is absent (appended-to epochs drop
-    // both tables; pre-r19 epochs never had pqerrs). Existence of pqerrs
-    // implies existence and FRESHNESS of radii: the append path deletes
-    // the pair before any row lands, and compaction copies the pair.
+    // fallback for epochs whose meta is absent (pre-r19 epochs never had
+    // pqerrs; appends MERGE the pair in place). The fallback scan also
+    // runs OUTSIDE the lock, guarded by a numVectors recheck inside: an
+    // append landing mid-scan would otherwise let pre-append bounds
+    // install after its rows.
+    val scanNumVectors: Long =
+      if (pqRangeAccel) Manifest.load(s"$root/manifest.json").numVectors
+      else 0L
     val rangeMeta: Option[(Array[Double], Array[Double])] =
       if (pqRangeAccel) {
-        val root = epochManager(name).epochPath(s.epochId)
         val errsPath = s"$root/pqerrs"
         if (new java.io.File(errsPath).exists &&
             new java.io.File(s"$root/radii").exists)
-          Some((
-            IvfFlatIndex.readListRadiiTable(
-              spark, s"$root/radii", s.manifest.nlist),
-            IvfFlatIndex.readListErrsTable(
-              spark, errsPath, s.manifest.nlist)))
+          None // fast path: read the tables INSIDE the lock (consistent)
         else
           Some(graft.plans.SqlAnn.computePqRangeMeta(
             spark, path, s.index.centroids.value,
             pqInfo.get.codebooksBc.value,
             cosineCodes = s.manifest.metric == Metric.Cosine))
       } else None
-    val radii = rangeMeta.map(m => Some(m._1)).getOrElse(
+    // the bounds read + registration run under the per-index state lock
+    // (round 19): addVectors merges fresh maxes into the persisted
+    // tables AND the live registration under the same lock, so without
+    // it a registerSql racing an append could read pre-append bounds,
+    // then install them AFTER the rows landed — a stale registration no
+    // in-place merge would ever touch (the same hazard class the old
+    // delete-first append had, now closed instead of inherited). The
+    // epoch-unchanged recheck mirrors addVectors' own; only fast work
+    // (tiny-table reads, registry install, view binding) holds the lock.
+    stateLock(name).synchronized {
+    if (!served.get(name).exists(_.epochId == s.epochId))
+      throw new InvalidArgumentException(
+        s"Serving epoch changed during registerSql (was ${s.epochId}); retry")
+    if (pqRangeAccel && rangeMeta.isDefined &&
+        Manifest.load(s"$root/manifest.json").numVectors != scanNumVectors) {
+      pqInfo.foreach(_.codebooksBc.unpersist(blocking = false))
+      throw new InvalidArgumentException(
+        s"Index '$name' grew during registerSql's bounds scan; retry")
+    }
+    val boundsMeta: Option[(Array[Double], Array[Double])] =
+      if (!pqRangeAccel) None
+      else rangeMeta.orElse(Some((
+        IvfFlatIndex.readListRadiiTable(
+          spark, s"$root/radii", s.manifest.nlist),
+        IvfFlatIndex.readListErrsTable(
+          spark, s"$root/pqerrs", s.manifest.nlist))))
+    val radii = boundsMeta.map(m => Some(m._1)).getOrElse(
       if (computeRangeRadii) Some(s.index.listRadii) else s.index.radiiIfKnown)
     val token =
       try graft.plans.SqlAnn.registerIndex(
@@ -803,9 +849,9 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
         // SQL similarity joins; see SqlAnn.Registration.unitNorm
         unitNorm = unitNorm,
         pq = pqInfo,
-        verifyCodes = verifyCodes,
-        verifySampleFraction = verifySampleFraction,
-        pqRangeErrs = rangeMeta.map(_._2))
+        // codes verification already ran OUTSIDE the lock above
+        verifyCodes = false,
+        pqRangeErrs = boundsMeta.map(_._2))
       catch {
         // facade error taxonomy (r17 advice): a verifyCodes rejection
         // surfaces as the documented InvalidArgumentException like every
@@ -1405,6 +1451,14 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
 object VectorDB {
 
   private[api] val instanceSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Per-(dataPath, index) serve-state monitors — JVM-global so that
+    * multi-facade deployments over one data directory serialize their
+    * appends/swaps/registrations against each other, not merely within
+    * one instance (see the instance-side stateLock scaladoc). Bounded by
+    * live (dataPath, index) pairs; an Object per index is negligible. */
+  private[api] val stateLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** F1/F8: read a (vec_id|id, embedding|vec) parquet as (id, vec). */
   def readVectorParquet(spark: SparkSession, path: String): DataFrame = {

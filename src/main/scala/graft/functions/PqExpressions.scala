@@ -548,9 +548,14 @@ case class PqAdcDistanceCol(
  * }}}
  *
  * — the SAME recorded L2 decode errors serve both metrics (IP epochs
- * encode from the raw stored vectors, so `e_v` is well-defined; cosine
- * epochs are excluded — their codes are normalized-encoded and have no
- * usable decode error against the raw column).
+ * encode from the raw stored vectors, so `e_v` is well-defined). The
+ * COSINE arm (round 19): codes encode the eps-NORMALIZED vectors and
+ * the meta pass records errors against them (poisoning out-of-tolerance
+ * stored norms to +∞), so on near-unit rows
+ * `adc = 1 − q̂·decode ≤ r + slack(tol) + e_v` with `‖q̂‖ ≤ 1` — the
+ * caller passes `radius` pre-slacked
+ * ([[graft.functions.VectorKernels.cosineKeepSlack]] derives the
+ * kernel-eps slack) and gates the query literal's norm on the driver.
  *
  * NEVER-DISMISS hardening on every unscorable
  * row: NULL codes/list keep (un-coded appends mark their own list as a

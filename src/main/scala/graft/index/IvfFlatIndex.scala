@@ -228,9 +228,11 @@ class IvfFlatIndex(
 
   /** Install persisted radii (epoch load path). Radii are only consumed
     * as an UPPER bound on member-to-centroid distance, so installing
-    * radii computed for this exact membership is the caller's contract —
-    * appends grow lists, which is why the facade drops the persisted
-    * table on append instead of keeping a stale (false-dismissal) bound. */
+    * radii valid for (a superset of) this membership is the caller's
+    * contract — the facade's append MERGES max(old, batchMax) into the
+    * persisted table BEFORE its rows land (round 19), which keeps the
+    * bound valid through growth; a stale under-sized bound would be a
+    * false-dismissal bug. */
   def presetListRadii(r: Array[Double]): Unit = {
     require(r.length == nlist, s"radii length ${r.length} != nlist $nlist")
     radiiCache = r
@@ -666,8 +668,9 @@ object IvfFlatIndex {
     * ([[graft.plans.SqlAnn.computePqRangeMeta]]) yields BOTH bounds, and
     * persisting the errs beside `radii` (as `pqerrs`) turns every
     * `registerSql(pqRangeAccel = true)` from a corpus scan into a
-    * metadata read. Lifecycle is identical to radii: deleted before an
-    * append lands (grown lists invalidate the max), copied by compaction
+    * metadata read. Lifecycle is identical to radii: MERGED before an
+    * append lands (max(old, batchMax) is exact for the union — round
+    * 19's maintenance), copied by compaction
     * (membership and codes preserved exactly). Reference analog: derived
     * index metadata rides the epoch, not the reader
     * (format/storage.cpp:22-132). */

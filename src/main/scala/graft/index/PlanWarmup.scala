@@ -43,6 +43,31 @@ object PlanWarmup {
   private val warmed =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+  // one warmup at a time (they contend on the Janino cache anyway); the
+  // DONE marker lands only on SUCCESS, so a failed warmup stays
+  // retryable and a racing caller waits instead of firing its first
+  // query against a still-cold cache (own review, round 19)
+  private val runLock = new Object
+
+  /** Run `body` once per (session, marker slot): best-effort — a warmup
+    * failure is LOGGED, never propagated (it guards latency, not
+    * correctness, and must not abort a serving startup or bench run). */
+  private def oncePerSession(
+      marker: java.util.Map[SparkSession, java.lang.Boolean],
+      spark: SparkSession,
+      what: String)(body: => Unit): Unit = runLock.synchronized {
+    if (marker.containsKey(spark)) return
+    try {
+      body
+      marker.put(spark, java.lang.Boolean.TRUE)
+      ()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[planwarmup] $what failed (cold-start mitigation skipped, " +
+            s"retryable): ${e.getMessage}")
+    }
+  }
 
   /** Run once per session; subsequent calls are no-ops.
     *
@@ -55,9 +80,8 @@ object PlanWarmup {
     * iter1 compilations. The flag exists precisely to make the cache
     * position-independent; the only cost is less specific class names in
     * executor stack traces. */
-  def warmPqFlood(spark: SparkSession): Unit = {
-    val already = warmed.put(spark, java.lang.Boolean.TRUE)
-    if (already != null) return
+  def warmPqFlood(spark: SparkSession): Unit =
+    oncePerSession(warmed, spark, "warmPqFlood") {
     spark.conf.set("spark.sql.codegen.useIdInClassName", "false")
     val tmp = java.nio.file.Files.createTempDirectory("graft-planwarmup").toString
     sys.addShutdownHook {
@@ -136,9 +160,8 @@ object PlanWarmup {
     * radius; every other stage (scans, probe explode, ADC, DPP builds,
     * joins, window) is shared. Idempotent per session; cleans up its
     * registration, views, and temp table references. */
-  def warmSqlAnn(spark: SparkSession): Unit = {
-    val already = warmedSql.put(spark, java.lang.Boolean.TRUE)
-    if (already != null) return
+  def warmSqlAnn(spark: SparkSession): Unit =
+    oncePerSession(warmedSql, spark, "warmSqlAnn") {
     spark.conf.set("spark.sql.codegen.useIdInClassName", "false")
     val tmp = java.nio.file.Files.createTempDirectory("graft-planwarmup-sql").toString
     sys.addShutdownHook {

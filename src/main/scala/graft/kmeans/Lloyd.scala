@@ -80,9 +80,18 @@ object Lloyd {
       .orderBy(col(idCol)).limit(capped)
       .agg(org.apache.spark.sql.functions.max(col(idCol)))
       .head().get(0)
-    if (cutoff == null) Array.empty
-    else nonNull
-      .filter(col(idCol) <= org.apache.spark.sql.functions.lit(cutoff))
+    // NULL ids sort FIRST under the ascending prefix, so they belong to
+    // the sample whenever the prefix reaches them — and max() IGNORES
+    // them, so a null `cutoff` means the whole prefix was null-id rows
+    // (or the table is empty), not "no sample" (own review, round 19:
+    // the first cut returned empty here and failed builds the
+    // single-phase plan trained fine)
+    val prefix =
+      if (cutoff == null) nonNull.filter(col(idCol).isNull)
+      else nonNull.filter(
+        col(idCol) <= org.apache.spark.sql.functions.lit(cutoff) ||
+          col(idCol).isNull)
+    prefix
       .orderBy(col(idCol))
       .limit(capped)
       .collect()

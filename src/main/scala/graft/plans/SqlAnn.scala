@@ -1013,9 +1013,10 @@ object SqlAnn {
       // Cauchy–Schwarz (the tightest per metric is used, L2 preferred);
       // SOUND because the keep bound admits a superset of the true
       // matches and the ORIGINAL predicate stays — the refinement can
-      // only remove lists no match lives in. errs invalidate with the
-      // radii on append (invalidateRadii), so a grown table falls back
-      // before a stale bound could dismiss.
+      // only remove lists no match lives in. Growth safety: the facade's
+      // append MERGES max(old, batchMax) into the errs in place (round
+      // 19, mergeAppendBounds); out-of-band growth falls back via
+      // invalidateRadii before a stale bound could dismiss.
       val refine: Option[Expression] =
         if (lists.isEmpty) None
         else {
@@ -2164,9 +2165,10 @@ object SqlAnn {
     }
 
     /** The JOIN-shape refinement's DynamicPruningSubquery, or None when
-      * the registration lacks PQ metadata / the metric has no decode-
-      * error bound (cosine) / the relation lacks the codes column / the
-      * queries side cannot safely re-execute. The build side joins a
+      * the registration lacks PQ metadata / a cosine join lacks the
+      * attestation + normalized-codes gates its keep bound needs / the
+      * relation lacks the codes column / the queries side cannot safely
+      * re-execute. The build side joins a
       * FRESH codes-scan instance (m+4 bytes per row, statically bounded
       * to the ball union when the query set is driver-known) to the
       * probe explode on the candidate-list equi-key and keeps the lists

@@ -155,6 +155,24 @@ class VectorDBSpec extends SparkSpec {
     assert(db.stats("test_index")("epoch") === epoch2)
   }
 
+  test("state locks are JVM-global per (dataPath, index): two facades over one dataPath share one monitor") {
+    // round 19 (own review): the append-time bounds MERGE is a
+    // read-modify-write; a per-instance lock could not serialize two
+    // facades over the same data directory — the loser's max would
+    // vanish and the under-sized bound would falsely dismiss
+    val dir = Files.createTempDirectory("graft-lockshare").toString
+    val a = new VectorDB(spark, dir)
+    val b = new VectorDB(spark, dir)
+    val c = new VectorDB(spark,
+      Files.createTempDirectory("graft-lockother").toString)
+    assert(a.stateLock("x") eq b.stateLock("x"),
+      "same dataPath + index must intern ONE monitor across facades")
+    assert(!(a.stateLock("x") eq a.stateLock("y")),
+      "different indexes get different monitors")
+    assert(!(a.stateLock("x") eq c.stateLock("x")),
+      "different dataPaths get different monitors")
+  }
+
   test("addVectors appends to the serving epoch's lists (S9 semantics)") {
     ready
     val before = db.stats("test_index")("num_vectors").asInstanceOf[Long]

@@ -193,6 +193,34 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(capped.map(_.toSeq).toSeq === full.take(10).map(_.toSeq).toSeq)
   }
 
+  test("trainSample tolerates NULL ids: nulls sort first into the prefix, all-null still trains") {
+    // round 19 (own review): the two-phase cutoff's max() IGNORES nulls,
+    // so an all-null-id prefix used to read as "no sample" and fail a
+    // build the single-phase plan trained fine on
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("vec", ArrayType(FloatType))))
+    def df(rows: Seq[(java.lang.Long, Array[Float])]) = {
+      val list = new java.util.ArrayList[Row]()
+      rows.foreach { case (i, v) => list.add(Row(i, v.toSeq)) }
+      spark.createDataFrame(list, schema)
+    }
+    val rnd = new scala.util.Random(3)
+    def vec() = Array.fill(4)(rnd.nextFloat())
+    // all-null ids: the sample is the rows themselves, never empty
+    val allNull = df((0 until 30).map(_ => (null: java.lang.Long, vec())))
+    assert(Lloyd.trainSample(allNull, maxTrain = 20).length === 20)
+    assert(Lloyd.trainSample(allNull, maxTrain = 50).length === 30)
+    // mixed: nulls sort FIRST under the ascending id prefix, so a cap
+    // smaller than the null count + low ids must still fill completely
+    val mixed = df(
+      (0 until 5).map(_ => (null: java.lang.Long, vec())) ++
+        (0L until 20L).map(i => (java.lang.Long.valueOf(i), vec())))
+    assert(Lloyd.trainSample(mixed, maxTrain = 10).length === 10)
+    assert(Lloyd.trainSample(mixed, maxTrain = 100).length === 25)
+  }
+
   test("nbits bounds are enforced") {
     val sample = data.take(100).map(_._2).toArray
     intercept[IllegalArgumentException](IvfPqIndex.trainCodebooks(sample, m = 4, nbits = 9))
