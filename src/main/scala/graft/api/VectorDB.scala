@@ -613,9 +613,11 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
    * Range predicates too: `WHERE l2_distance(vec, lit) <= r` is rewritten
    * to the covering-ball-pruned scan (EXACT — [[rangeSearch]]'s bound)
    * when the epoch's per-list radii are available. They are attached for
-   * free when the epoch persisted its radii table (the build path does;
-   * appended-to epochs drop it); `computeRangeRadii = true` forces the
-   * one-corpus-pass computation otherwise.
+   * free when the epoch persisted its radii table (the build path does,
+   * and round 19+ [[addVectors]] MAINTAINS the persisted bounds across
+   * appends — max-merge, see the append site and
+   * [[graft.index.IvfFlatIndex.presetListRadii]]); `computeRangeRadii =
+   * true` forces the one-corpus-pass computation otherwise.
    *
    * Two JOIN shapes as well (round 14): per-query top-k over a queries
    * TABLE (`row_number() OVER (PARTITION BY q.qid ORDER BY
@@ -796,8 +798,23 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     // append landing mid-scan would otherwise let pre-append bounds
     // install after its rows.
     val scanNumVectors: Long =
-      if (pqRangeAccel) Manifest.load(s"$root/manifest.json").numVectors
+      if (pqRangeAccel || computeRangeRadii)
+        Manifest.load(s"$root/manifest.json").numVectors
       else 0L
+    // ADVICE r19 (medium): `s` is a PRE-lock snapshot — an append landing
+    // between it and the lock replaces served(name) (same epochId, so the
+    // epoch recheck passes) while s.index still lists the pre-append
+    // files; its lazily-computed listRadii would then under-cover the
+    // appended rows, a false dismissal in the documented-EXACT range
+    // rewrite. The computeRangeRadii corpus pass therefore runs OUTSIDE
+    // the lock (same reason as the pqRangeAccel fallback scan: a corpus
+    // pass must not stall appends) and is guarded by the same manifest
+    // numVectors recheck inside; the cheap radiiIfKnown arm instead
+    // re-resolves the CURRENT ServedIndex under the lock (loadServed's
+    // preset reflects the merged bounds tables).
+    val precomputedRadii: Option[Array[Double]] =
+      if (!pqRangeAccel && computeRangeRadii) Some(s.index.listRadii)
+      else None
     val rangeMeta: Option[(Array[Double], Array[Double])] =
       if (pqRangeAccel) {
         val errsPath = s"$root/pqerrs"
@@ -820,10 +837,15 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
     // epoch-unchanged recheck mirrors addVectors' own; only fast work
     // (tiny-table reads, registry install, view binding) holds the lock.
     stateLock(name).synchronized {
-    if (!served.get(name).exists(_.epochId == s.epochId))
+    if (!served.get(name).exists(_.epochId == s.epochId)) {
+      // the retry throw must not leak the executor-resident codebooks
+      // broadcast created above (ADVICE r19) — same discipline as the
+      // numVectors recheck below and the registerIndex catch
+      pqInfo.foreach(_.codebooksBc.unpersist(blocking = false))
       throw new InvalidArgumentException(
         s"Serving epoch changed during registerSql (was ${s.epochId}); retry")
-    if (pqRangeAccel && rangeMeta.isDefined &&
+    }
+    if ((rangeMeta.isDefined || precomputedRadii.isDefined) &&
         Manifest.load(s"$root/manifest.json").numVectors != scanNumVectors) {
       pqInfo.foreach(_.codebooksBc.unpersist(blocking = false))
       throw new InvalidArgumentException(
@@ -837,7 +859,11 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
         IvfFlatIndex.readListErrsTable(
           spark, s"$root/pqerrs", s.manifest.nlist))))
     val radii = boundsMeta.map(m => Some(m._1)).getOrElse(
-      if (computeRangeRadii) Some(s.index.listRadii) else s.index.radiiIfKnown)
+      if (computeRangeRadii) precomputedRadii
+      // re-resolved under the lock, NOT the pre-lock snapshot: a
+      // concurrent append's loadServed swapped in an index whose preset
+      // radii are the max-merged tables (the snapshot's would be stale)
+      else served(name).index.radiiIfKnown)
     val token =
       try graft.plans.SqlAnn.registerIndex(
         spark, path, s.index.centroids.value, nprobe, radii = radii,

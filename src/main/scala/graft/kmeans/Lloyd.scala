@@ -86,16 +86,44 @@ object Lloyd {
     // (or the table is empty), not "no sample" (own review, round 19:
     // the first cut returned empty here and failed builds the
     // single-phase plan trained fine)
-    val prefix =
-      if (cutoff == null) nonNull.filter(col(idCol).isNull)
-      else nonNull.filter(
-        col(idCol) <= org.apache.spark.sql.functions.lit(cutoff) ||
-          col(idCol).isNull)
-    prefix
-      .orderBy(col(idCol))
-      .limit(capped)
-      .collect()
-      .map(_.getSeq[Float](1).toArray)
+    if (cutoff == null) {
+      // the whole prefix is null-id rows: selection among them was
+      // arbitrary under the single-phase plan too (orderBy ties break by
+      // partition order), so a plain CollectLimit — which stops early and
+      // never ships partitions x capped partials — matches the semantics
+      // class while staying bounded even when MOST ids are null
+      nonNull.filter(col(idCol).isNull).limit(capped).collect()
+        .map(_.getSeq[Float](1).toArray)
+    } else {
+      // ADVICE r19: `id <= cutoff OR id IS NULL` can hold far MORE than
+      // `capped` rows when ids are heavily duplicated (every tie at the
+      // cutoff qualifies), and orderBy+limit over such a prefix re-creates
+      // the partitions x capped TakeOrdered partial blowup the two-phase
+      // rewrite exists to avoid. Split the prefix instead:
+      //  - STRICT (id < cutoff, plus nulls, which sort first): by the
+      //    cutoff's definition (max over the capped-row ascending prefix)
+      //    every such row precedes some cutoff-valued prefix row, so there
+      //    are at most capped-1 of them REGARDLESS of ties — the
+      //    TakeOrdered partials are bounded by the strict total itself;
+      //  - TIES (id == cutoff): fill the remainder via an unordered
+      //    CollectLimit (early-stopping, driver transfer bounded by the
+      //    remainder). Tie selection was already arbitrary under the
+      //    single-phase plan, so unique ids stay bit-identical and tied
+      //    ids keep the same semantics class.
+      // Appending ties after the sorted strict rows preserves the global
+      // ascending (nulls-first) order the seeded k-means++ indexes into.
+      val strict = nonNull.filter(
+          col(idCol) < org.apache.spark.sql.functions.lit(cutoff) ||
+            col(idCol).isNull)
+        .orderBy(col(idCol)).limit(capped).collect()
+      val need = capped - strict.length
+      val ties =
+        if (need <= 0) Array.empty[org.apache.spark.sql.Row]
+        else nonNull.filter(
+          col(idCol) === org.apache.spark.sql.functions.lit(cutoff))
+          .limit(need).collect()
+      (strict ++ ties).map(_.getSeq[Float](1).toArray)
+    }
   }
 
   /** k-means++ D^2-weighted seeding, seed 42 (ivf_flat_index.cpp:52-105). */

@@ -221,6 +221,36 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(Lloyd.trainSample(mixed, maxTrain = 100).length === 25)
   }
 
+  test("trainSample stays bounded and full under heavily duplicated ids") {
+    // ADVICE r19: the `id <= cutoff` prefix holds EVERY tie at the
+    // cutoff, so the old orderBy+limit over it could re-create the
+    // partitions x capped TakeOrdered partial blowup. The strict/ties
+    // split keeps the TakeOrdered input under `capped` rows by
+    // construction; this pins the observable half — the sample still
+    // fills to the cap, honors the id-prefix (every selected id <=
+    // cutoff), and unique-id sampling stays bit-identical.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec(tag: Float) = Array.fill(4)(rnd.nextFloat()) :+ tag
+    // 3 distinct ids x 200 rows each: any cap between 201 and 400 puts
+    // the cutoff ON a 200-row tie group
+    val dup = (0 until 600).map(i => ((i % 3).toLong, vec(i % 3).toSeq))
+      .toDF("id", "vec")
+    val sample = Lloyd.trainSample(dup, maxTrain = 250)
+    assert(sample.length === 250)
+    // id-prefix semantics: the tag column encodes the id — cutoff is 1,
+    // so id=2 rows (tag 2f) must never be selected and all 200 id=0
+    // rows must be (they sort strictly before the cutoff)
+    assert(sample.forall(_.last <= 1f + 1e-6f))
+    assert(sample.count(_.last < 0.5f) === 200)
+    // unique ids: bit-identical to the ascending id prefix
+    val uniq = (0L until 50L).map(i => (i, vec(i.toFloat).toSeq)).toDF("id", "vec")
+    val s2 = Lloyd.trainSample(uniq, maxTrain = 20)
+    val expect = uniq.orderBy("id").limit(20).collect()
+      .map(_.getSeq[Float](1).toArray)
+    assert(s2.map(_.toSeq).toSeq === expect.map(_.toSeq).toSeq)
+  }
+
   test("nbits bounds are enforced") {
     val sample = data.take(100).map(_._2).toArray
     intercept[IllegalArgumentException](IvfPqIndex.trainCodebooks(sample, m = 4, nbits = 9))
