@@ -311,22 +311,6 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
   /** Progress of an in-flight build: 0..1, or None when no build runs. */
   def buildProgress(name: String): Option[Double] = builds.get(name).map(_.get())
 
-  /** Crash-safe in-place rewrite of a tiny bounds table (radii/pqerrs):
-    * write the replacement to a `.next` sibling, then delete + rename.
-    * Any crash window leaves either the OLD table (valid pre-append
-    * bounds, and the merged write happens before the rows land) or NO
-    * table (lazy recompute / full-scan fallback) — never a torn table
-    * whose missing lists would read as radius 0 and falsely dismiss. */
-  private def replaceBoundsTable(livePath: String)(write: String => Unit): Unit = {
-    val next = s"$livePath.next"
-    graft.storage.EpochManager.deleteRecursively(next)
-    write(next)
-    graft.storage.EpochManager.deleteRecursively(livePath)
-    if (!new java.io.File(next).renameTo(new java.io.File(livePath)))
-      throw new java.io.IOException(
-        s"could not swap bounds table $next -> $livePath")
-  }
-
   /**
    * S9 add: assign a new batch against the SERVING epoch's centroids and
    * append it to that epoch's lists (ivf_flat_index.cpp:148-202). Only the
@@ -391,20 +375,22 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
           // appended rows can GROW lists: a stale covering-radius or
           // decode-error bound would falsely dismiss them from range
           // searches. Round 19 MAINTAINS the bounds instead of dropping
-          // them (pre-r19: range search degraded to full scans until the
-          // next build/compaction): per-list radii and errs are MAXES,
-          // so max(old, batchMax) is EXACT for the post-append
-          // membership — one pass over the (already persisted) batch
-          // yields the per-list batch maxes, merged into BOTH the
-          // persisted tables and any live registration, in place.
-          // ORDER is the crash-safety argument, inverted from the old
-          // delete-first rule: the merged (>= old) bounds land BEFORE
-          // the rows do, so a crash between the steps leaves OVER-sized
-          // bounds — less pruning, never a dismissal. The table rewrite
-          // itself goes through a write-aside + rename (replaceBounds),
-          // so its own crash window leaves either the old table or none
-          // (lazy recompute / full-scan fallback — both safe), never a
-          // torn table whose missing lists would read as radius 0.
+          // them; round 20 makes the maintenance CROSS-PROCESS safe:
+          // per-list radii and errs are MAXES, so the batch's per-list
+          // maxes land as an append-only DELTA parquet file inside the
+          // bounds dir (IvfFlatIndex.appendBoundsDelta) and readers fold
+          // the dir by max — writers never read-modify-write shared
+          // state, so two appends from two facades OR two JVM PROCESSES
+          // interleave arbitrarily and the fold still sees both batches
+          // (the pre-r20 in-place rewrite was serialized only by the
+          // JVM-global state lock; a second process could interleave the
+          // read-merge-write and lose a contribution — an UNDER-sized
+          // bound, the false-dismissal class this design exists to rule
+          // out). ORDER is the crash-safety argument: the delta (which
+          // can only RAISE the fold) lands BEFORE the rows do, so a
+          // crash between the steps leaves OVER-sized bounds — less
+          // pruning, never a dismissal — and the delta file itself is
+          // staged + renamed, never torn.
           val radiiPath = s"$path/radii"
           val errsPath = s"$path/pqerrs"
           val hasRadii = new java.io.File(radiiPath).exists
@@ -416,30 +402,31 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
               appendBooksBc.map(_.value),
               cosineCodes = s.manifest.metric == Metric.Cosine)
             if (hasRadii)
-              replaceBoundsTable(radiiPath) { next =>
-                IvfFlatIndex.writeListRadiiTable(spark,
-                  IvfFlatIndex.readListRadiiTable(
-                    spark, radiiPath, s.manifest.nlist)
-                    .zip(bRadii).map(p => math.max(p._1, p._2)), next)
-              }
+              IvfFlatIndex.appendBoundsDelta(spark, bRadii,
+                ("list_id", "radius"), radiiPath)
             if (hasErrs) {
               if (appendBooksBc.isDefined)
-                replaceBoundsTable(errsPath) { next =>
-                  IvfFlatIndex.writeListErrsTable(spark,
-                    IvfFlatIndex.readListErrsTable(
-                      spark, errsPath, s.manifest.nlist)
-                      .zip(bErrs).map(p => math.max(p._1, p._2)), next)
-                }
+                IvfFlatIndex.appendBoundsDelta(spark, bErrs,
+                  ("list_id", "err"), errsPath)
               // an errs table without codebooks cannot be maintained
               // (nothing encodes the batch) — drop it, the sound
               // direction; unreachable for epochs built by this facade
               // (pqerrs exists only beside codebooks)
               else graft.storage.EpochManager.deleteRecursively(errsPath)
             }
+            // in-memory half, BEFORE the rows land: a query racing the
+            // append through the live registration sees bounds that are
+            // at worst over-sized for its (pre-append) listing
             graft.plans.SqlAnn.mergeAppendBounds(spark, s"$path/vectors",
               bRadii, if (appendBooksBc.isDefined) Some(bErrs) else None)
           }
           IvfFlatIndex.appendToEpoch(assigned, s"$path/vectors")
+          // AFTER the rows land: re-sync the live registration from the
+          // persisted tables (whose fold now includes every process's
+          // deltas) and advance its freshness signature — see
+          // SqlAnn.refreshRegisteredBounds for the ordering argument
+          graft.plans.SqlAnn.refreshRegisteredBounds(
+            spark, s"$path/vectors", radiiPath, errsPath)
           // merge the batch's per-list counts into the manifest shards —
           // stats()'s imbalance signal must see appended skew, not the
           // build-time layout
@@ -851,6 +838,14 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
       throw new InvalidArgumentException(
         s"Index '$name' grew during registerSql's bounds scan; retry")
     }
+    // round 20 ordering (cross-process): freeze the vectors listing
+    // BEFORE any bounds-table read — bounds deltas land before their
+    // rows, so bounds folded AFTER the listing cover every row visible
+    // in it, under arbitrary foreign-writer interleaving. The listing's
+    // byte size becomes the registration's freshness signature and the
+    // same DataFrame backs the temp view below (one listing, not two).
+    val viewDf = spark.read.parquet(path)
+    val regListingBytes = graft.plans.SqlAnn.relationListingBytes(viewDf)
     val boundsMeta: Option[(Array[Double], Array[Double])] =
       if (!pqRangeAccel) None
       else rangeMeta.orElse(Some((
@@ -858,12 +853,27 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
           spark, s"$root/radii", s.manifest.nlist),
         IvfFlatIndex.readListErrsTable(
           spark, s"$root/pqerrs", s.manifest.nlist))))
-    val radii = boundsMeta.map(m => Some(m._1)).getOrElse(
-      if (computeRangeRadii) precomputedRadii
-      // re-resolved under the lock, NOT the pre-lock snapshot: a
-      // concurrent append's loadServed swapped in an index whose preset
-      // radii are the max-merged tables (the snapshot's would be stale)
-      else served(name).index.radiiIfKnown)
+    // Each radii arm carries the signature of the listing it is valid
+    // for: the post-listing fold-reads and the numVectors-rechecked
+    // scans cover the fresh listing; the cached radiiIfKnown arm covers
+    // the SERVED index's own (frozen) listing — normally identical, and
+    // smaller exactly when something this facade never heard about grew
+    // the dir, in which case queries through the fresh view correctly
+    // degrade to unpruned scans instead of trusting stale bounds.
+    val (radii: Option[Array[Double]], radiiSig: Long) = boundsMeta match {
+      case Some(m) => (Some(m._1), regListingBytes)
+      case None =>
+        if (computeRangeRadii) (precomputedRadii, regListingBytes)
+        else {
+          // re-resolved under the lock, NOT the pre-lock snapshot: a
+          // concurrent append's loadServed swapped in an index whose
+          // preset radii are the max-merged tables (the snapshot's
+          // would be stale)
+          val cur = served(name).index
+          (cur.radiiIfKnown,
+            graft.plans.SqlAnn.relationListingBytes(cur.vectors))
+        }
+    }
     val token =
       try graft.plans.SqlAnn.registerIndex(
         spark, path, s.index.centroids.value, nprobe, radii = radii,
@@ -877,7 +887,8 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
         pq = pqInfo,
         // codes verification already ran OUTSIDE the lock above
         verifyCodes = false,
-        pqRangeErrs = boundsMeta.map(_._2))
+        pqRangeErrs = boundsMeta.map(_._2),
+        boundsValidAsOf = radiiSig)
       catch {
         // facade error taxonomy (r17 advice): a verifyCodes rejection
         // surfaces as the documented InvalidArgumentException like every
@@ -895,7 +906,7 @@ class VectorDB(val spark: SparkSession, val dataPath: String) {
           pqInfo.foreach(_.codebooksBc.unpersist(blocking = false))
           throw new InvalidArgumentException(e.getMessage)
       }
-    spark.read.parquet(path).createOrReplaceTempView(view)
+    viewDf.createOrReplaceTempView(view)
     sqlRegistered.put(name, (path, view, token, pqInfo.map(_.codebooksBc)))
       .foreach { case (oldPath, oldView, oldToken, oldBooks) =>
         // release the superseded epoch's registration — conditionally, so

@@ -656,11 +656,63 @@ object IvfFlatIndex {
       .toDF("list_id", "radius").coalesce(1).write.mode("overwrite").parquet(path)
   }
 
+  /** Fold the bounds dir by per-list MAX (round 20): the dir holds the
+    * build-time BASE file plus zero or more append-time DELTA files
+    * ([[appendBoundsDelta]]), and max is the fold because radii/errs are
+    * per-list maxes — `max(base, delta1, delta2, ...)` is exact for the
+    * union membership in ANY landing order, which is what makes
+    * concurrent writers (across facades AND processes) commute without a
+    * lock. NaN/+Inf poisons propagate through the fold. */
   def readListRadiiTable(spark: SparkSession, path: String, nlist: Int): Array[Double] = {
     val out = Array.fill(nlist)(0.0)
-    spark.read.parquet(path).collect()
-      .foreach(r => out(r.getInt(0)) = r.getDouble(1))
+    spark.read.parquet(path).collect().foreach { r =>
+      val i = r.getInt(0)
+      out(i) = math.max(out(i), r.getDouble(1))
+    }
     out
+  }
+
+  /** Land a batch's per-list maxes as a NEW uniquely-named parquet file
+    * INSIDE the live bounds dir (radii/pqerrs) — append-only delta rows,
+    * folded by max at read ([[readListRadiiTable]]/[[readListErrsTable]]).
+    * Because writers never read-modify-write shared state, two appends —
+    * two facades, two JVM PROCESSES — interleave arbitrarily and the
+    * fold still sees both contributions (pre-r20 the in-place table
+    * rewrite could lose the loser's batch max across processes: an
+    * under-sized bound, the false-dismissal class everything else in
+    * the bounds design rules out). Crash safety: the delta is staged in
+    * a sibling temp dir and moved into place one atomic file rename at
+    * a time; callers land the delta BEFORE their rows, so a crash
+    * leaves either no delta (rows never landed — the old fold still
+    * covers) or a complete one (over-cover at worst). Zero/negative
+    * values are skipped (the fold's floor is 0.0); NaN/+Inf poisons are
+    * kept. */
+  def appendBoundsDelta(
+      spark: SparkSession,
+      values: Array[Double],
+      cols: (String, String),
+      livePath: String): Unit = {
+    require(new java.io.File(livePath).isDirectory,
+      s"bounds dir to delta into does not exist: $livePath")
+    import spark.implicits._
+    val rows = values.zipWithIndex.collect {
+      // keeps v > 0 and NaN (NaN <= 0.0 is false); drops the fold floor
+      case (v, i) if !(v <= 0.0) => (i, v)
+    }
+    if (rows.isEmpty) return
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val tmp = s"$livePath.delta-$uuid"
+    rows.toSeq.toDF(cols._1, cols._2)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val parts = new java.io.File(tmp).listFiles().filter(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    parts.zipWithIndex.foreach { case (f, i) =>
+      val dest = new java.io.File(livePath, s"delta-$uuid-$i.parquet")
+      if (!f.renameTo(dest))
+        throw new java.io.IOException(
+          s"could not land bounds delta $f -> $dest")
+    }
+    graft.storage.EpochManager.deleteRecursively(tmp)
   }
 
   /** Per-list max PQ decode errors `(list_id, err)` — the radii table's
@@ -681,12 +733,15 @@ object IvfFlatIndex {
   }
 
   /** Missing list ids read as 0.0 — the same value the meta pass records
-    * for an EMPTY list (no rows, nothing to bound), and the write above
-    * always emits all nlist rows anyway. */
+    * for an EMPTY list (no rows, nothing to bound), and the base write
+    * above always emits all nlist rows anyway. Same max-fold over
+    * base + append deltas as [[readListRadiiTable]]. */
   def readListErrsTable(spark: SparkSession, path: String, nlist: Int): Array[Double] = {
     val out = Array.fill(nlist)(0.0)
-    spark.read.parquet(path).collect()
-      .foreach(r => out(r.getInt(0)) = r.getDouble(1))
+    spark.read.parquet(path).collect().foreach { r =>
+      val i = r.getInt(0)
+      out(i) = math.max(out(i), r.getDouble(1))
+    }
     out
   }
 

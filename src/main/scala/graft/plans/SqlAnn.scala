@@ -138,7 +138,8 @@ object SqlAnn {
       val unitNorm: Boolean = false,
       val pq: Option[PqInfo] = None,
       pqErr0: Option[Array[Double]] = None,
-      pqErrBc0: Option[Broadcast[Array[Double]]] = None) {
+      pqErrBc0: Option[Broadcast[Array[Double]]] = None,
+      boundsSig0: Long = -1L) {
     require(centroids.nonEmpty, "centroids must be non-empty")
     require(nprobe > 0, s"nprobe must be positive: $nprobe")
     require(centroidsBc != null,
@@ -216,6 +217,31 @@ object SqlAnn {
         if (!state.exists(_._2 eq bc)) bc.unpersist(blocking = false)
       }
     }
+
+    // round 20 (cross-process safety): the FILE-LISTING BYTE SIZE the
+    // bounds are known to cover — every bounds consumer in the rewrite
+    // checks the matched relation's own listing size against it and
+    // falls back to the unpruned (still exact) plan when the relation
+    // lists MORE bytes than the signature. A table grown by a writer
+    // this registration never heard about (another process appending to
+    // the same epoch) therefore degrades to less pruning, never a
+    // stale-bounds false dismissal; [[invalidateRadii]] shifts from
+    // correctness requirement to performance hint. -1 = no signature
+    // (legacy/direct registrations): consumers treat the bounds as
+    // always-fresh, the pre-r20 contract.
+    @volatile private[this] var boundsSigState: Long = boundsSig0
+
+    /** True when a relation listing `relBytes` of files is covered by
+      * the bounds this registration holds. SMALLER listings pass too: an
+      * older (pre-append) snapshot's rows are a subset of the membership
+      * the bounds cover — max bounds over a superset over-cover, never
+      * dismiss. */
+    private[plans] def boundsFreshFor(relBytes: Long): Boolean = {
+      val s = boundsSigState
+      s < 0L || relBytes <= s
+    }
+    private[graft] def boundsSig: Long = boundsSigState
+    private[graft] def updateBoundsSig(s: Long): Unit = boundsSigState = s
 
     /** Evict executor-resident blocks of the radii (and PQ err)
       * broadcasts — called on same-path registration churn, where the
@@ -610,8 +636,22 @@ object SqlAnn {
       pq: Option[PqInfo] = None,
       verifyCodes: Boolean = false,
       verifySampleFraction: Double = 1.0,
-      pqRangeErrs: Option[Array[Double]] = None): Registration = {
+      pqRangeErrs: Option[Array[Double]] = None,
+      boundsValidAsOf: Long = -1L): Registration = {
     enable(spark)
+    // round 20: the bounds freshness signature (see
+    // Registration.boundsFreshFor). `boundsValidAsOf` is the listing
+    // byte size the caller's radii/errs are known to cover — pass the
+    // size of a listing taken BEFORE the bounds were read/computed
+    // (bounds deltas land before their rows, so bounds read at T cover
+    // every row visible at any listing <= T). Defaults to a listing
+    // taken HERE, which assumes no writer races the registration call
+    // itself — the contract this function always had; the facade's
+    // registerSql passes the correctly-ordered size.
+    val boundsSig: Long =
+      if (radii.isEmpty && pqRangeErrs.isEmpty) -1L
+      else if (boundsValidAsOf >= 0L) boundsValidAsOf
+      else listingSize(spark, path)
     // the PQ range refinement's bound rides the PqInfo's codes column —
     // errs without a PqInfo would have nothing to score (lone-flag rule)
     if (pqRangeErrs.isDefined && pq.isEmpty)
@@ -652,7 +692,8 @@ object SqlAnn {
     val reg = new Registration(centroids, nprobe, vecCol, listCol, radii,
       centroidsBc.getOrElse(spark.sparkContext.broadcast(centroids)),
       radii.map(spark.sparkContext.broadcast(_)), unitNorm, pq,
-      pqRangeErrs, pqRangeErrs.map(spark.sparkContext.broadcast(_)))
+      pqRangeErrs, pqRangeErrs.map(spark.sparkContext.broadcast(_)),
+      boundsSig)
     // same-path churn (epoch swaps, nprobe changes, registerSql re-calls)
     // would otherwise accumulate one executor-resident radii broadcast per
     // call until the superseded tokens are GC-reclaimed — evict eagerly;
@@ -678,11 +719,30 @@ object SqlAnn {
     * rows: both bounds were computed for the old membership, and a stale
     * bound FALSELY DISMISSES new rows from the range rewrite, which is
     * documented as exact. Range predicates then fall back to full scans
-    * until fresh bounds are re-attached. The facade's own append no
-    * longer needs this (round 19: [[mergeAppendBounds]] maintains the
-    * bounds exactly, because the append KNOWS its batch); external
-    * writers who grow a registered table out of band should still call
-    * it. */
+    * until fresh bounds are re-attached.
+    *
+    * The bounds-maintenance protocol (round 20) makes the call a
+    * PERFORMANCE hint rather than a correctness requirement in every
+    * in-contract regime:
+    *  - this facade's own appends maintain the bounds exactly
+    *    ([[mergeAppendBounds]] before the rows land,
+    *    [[refreshRegisteredBounds]] after);
+    *  - OTHER processes appending through [[graft.api.VectorDB
+    *    .addVectors]] land commutative per-list-max DELTA files
+    *    ([[graft.index.IvfFlatIndex.appendBoundsDelta]]) before their
+    *    rows, so persisted bounds folded at any later read still cover
+    *    — no writer ever loses another's contribution, with NO
+    *    cross-process lock;
+    *  - a LIVE registration that never hears about a foreign append is
+    *    protected by its freshness signature
+    *    ([[Registration.boundsFreshFor]]): any scan listing more bytes
+    *    than the bounds are known to cover plans UNPRUNED (exact, just
+    *    slower) until a re-registration or this facade's next
+    *    append/refresh re-syncs.
+    * Raw writers that bypass addVectors (plain parquet appends into the
+    * lists dir) grow the listing too and are therefore caught by the
+    * same signature; calling this (or re-registering) after bulk
+    * out-of-band growth merely restores PRUNING sooner. */
   def invalidateRadii(spark: SparkSession, path: String): Unit =
     registry.get(qualified(spark, path)).foreach { r =>
       r.updateRadii(None)
@@ -729,6 +789,101 @@ object SqlAnn {
         case (Some(_), _) => r.updatePqErr(None)
         case _ => ()
       }
+    }
+
+  /** The file-listing byte size of `path` by the SAME accounting the
+    * rewrite sees at plan time (an InMemoryFileIndex over the dir —
+    * hidden files excluded, leaf files summed): creating a throwaway
+    * relation makes the registration-side signature and the
+    * plan-side `location.sizeInBytes` consistent by construction. */
+  private[graft] def listingSize(spark: SparkSession, path: String): Long =
+    relationListingBytes(spark.read.parquet(path))
+
+  /** The listing byte size behind an already-created file-backed
+    * DataFrame — i.e. the size of the SNAPSHOT the DataFrame will scan
+    * (its InMemoryFileIndex was listed eagerly at creation), which is
+    * exactly what a bounds signature must describe. */
+  private[graft] def relationListingBytes(
+      df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.analyzed.collectFirst {
+      case r: LogicalRelation => r.relation match {
+        case fs: HadoopFsRelation => fs.location.sizeInBytes
+        case _ => -1L
+      }
+    }.getOrElse(-1L)
+
+  /** The freshness gate every BOUNDS consumer in the rewrite passes
+    * through (round 20): true when `rel`'s own listing is covered by the
+    * registration's bounds signature. Only LISTING-backed file indexes
+    * (PartitioningAwareFileIndex: InMemoryFileIndex et al., whose
+    * sizeInBytes is the sum of listed leaf files) are comparable to the
+    * signature; a CatalogFileIndex's size is stats-derived (defaulting
+    * to Long.MaxValue) and would spuriously read as "grown" — catalog
+    * relations keep the pre-r20 contract (trusted fresh; the catalog is
+    * its own growth authority). */
+  private def boundsFresh(reg: Registration, rel: LogicalRelation): Boolean =
+    rel.relation match {
+      case fs: HadoopFsRelation => fs.location match {
+        case pai: org.apache.spark.sql.execution.datasources
+            .PartitioningAwareFileIndex =>
+          reg.boundsFreshFor(pai.sizeInBytes)
+        case _ => true
+      }
+      case _ => true
+    }
+
+  /** Re-sync a live registration's bounds with the PERSISTED tables
+    * after an append's rows landed (round 20, the cross-process half of
+    * the maintenance [[mergeAppendBounds]] does in-memory): fold-read
+    * the radii/errs dirs — which include every writer's deltas, OURS
+    * and any other process's — and swap them in together with a fresh
+    * listing signature. ORDER is the soundness argument: the listing is
+    * taken BEFORE the fold-reads, and every writer lands its delta
+    * before its rows, so bounds read at T cover every row visible at
+    * any listing <= T — sound under arbitrary cross-process
+    * interleaving. Only halves the registration currently HOLDS are
+    * touched (a registration without radii stays without); a held half
+    * whose persisted table is gone or unreadable is STRIPPED (the safe
+    * direction — full scans, never dismissals). When NO table backs a
+    * held half (registration-only bounds, e.g. computeRangeRadii over a
+    * pre-r19 epoch), the in-memory merged value is kept and only the
+    * signature advances — sound for this facade's own appends (the
+    * merge covered the batch), and the one regime where a CONCURRENT
+    * foreign append inside this call's window could be over-claimed
+    * until the next registration; epochs built by this engine always
+    * persist their bounds, so the exposure needs a boundless epoch AND
+    * a cross-process writer AND a racing append. */
+  private[graft] def refreshRegisteredBounds(
+      spark: SparkSession,
+      path: String,
+      radiiPath: String,
+      errsPath: String): Unit =
+    registry.get(qualified(spark, path)).foreach { r =>
+      val sig = listingSize(spark, path)
+      val nlist = r.centroids.length
+      if (r.radiiPair.isDefined && new java.io.File(radiiPath).exists)
+        try {
+          val m = graft.index.IvfFlatIndex
+            .readListRadiiTable(spark, radiiPath, nlist)
+          r.updateRadii(Some((m, spark.sparkContext.broadcast(m))))
+        } catch {
+          case scala.util.control.NonFatal(_) => r.updateRadii(None)
+        }
+      if (r.pqErrPair.isDefined) {
+        if (new java.io.File(errsPath).exists)
+          try {
+            val m = graft.index.IvfFlatIndex
+              .readListErrsTable(spark, errsPath, nlist)
+            r.updatePqErr(Some((m, spark.sparkContext.broadcast(m))))
+          } catch {
+            case scala.util.control.NonFatal(_) => r.updatePqErr(None)
+          }
+        // errs table deleted (append without codebooks drops it) while
+        // the radii table survives: the persisted regime is
+        // authoritative — strip the held errs too
+        else if (new java.io.File(radiiPath).exists) r.updatePqErr(None)
+      }
+      r.updateBoundsSig(sig)
     }
 
   /** Remove the registration for `path` ONLY if it is still the exact
@@ -929,6 +1084,11 @@ object SqlAnn {
         cond: Expression, rel: LogicalRelation,
         proj: List[Project], inner: Option[Filter]): Option[Expression] = {
       val reg = lookup(rel).getOrElse(return None)
+      // round 20: a relation listing more bytes than the bounds
+      // signature was grown by a writer this registration never heard
+      // about (a foreign process) — its radii under-cover, so skip the
+      // prune (full scan of the kept original predicate: exact)
+      if (!boundsFresh(reg, rel)) return None
       val radii = reg.radii.getOrElse(return None)
       val listAttr = rel.output.find(o =>
         o.name == reg.listCol && o.dataType == IntegerType).getOrElse(return None)
@@ -1059,6 +1219,8 @@ object SqlAnn {
         lists: Set[Int],
         pqBounds: Seq[(Array[Float], Double, Metric.Value)]): Option[Expression] = {
       val pqInfo = reg.pq.getOrElse(return None)
+      // round 20 freshness gate — same argument as rangeConjunct's
+      if (!boundsFresh(reg, rel)) return None
       val (_, errsBc) = reg.pqErrPair.getOrElse(return None)
       // the tightest bound per metric refines hardest; any single bound
       // is sound. L2 preferred (the triangle bound is tighter than the
@@ -2104,6 +2266,8 @@ object SqlAnn {
       // RUNTIME inside CosineRangeProbeLists (a degenerate row keeps
       // every list — per-row fallback, never a false dismissal)
       if (metric == Metric.Cosine && !reg.unitNorm) return None
+      // round 20 freshness gate — same argument as rangeConjunct's
+      if (!boundsFresh(reg, rel)) return None
       // ONE volatile read of the (array, broadcast) pair — the prune and
       // the shipped expression must use the same radii snapshot; a
       // concurrent invalidateRadii can only make this prune use the OLDER
@@ -2197,6 +2361,8 @@ object SqlAnn {
       // by the meta pass
       if (metric == Metric.Cosine && !(reg.unitNorm && pqInfo.cosineCodes))
         return None
+      // round 20 freshness gate — same argument as rangeConjunct's
+      if (!boundsFresh(reg, rel)) return None
       val (_, errsBc) = reg.pqErrPair.getOrElse(return None)
       if (!reExecutesToSameRows(qSide)) return None
       val hasCodes = rel.output.exists(o => o.name == pqInfo.codeCol &&

@@ -103,4 +103,80 @@ class VectorDBConcurrencySpec extends SparkSpec {
         java.nio.file.Paths.get(em.epochPath(em.listEpochs.head))))
     }
   }
+
+  test("two facades over ONE dataPath: interleaved appends never lose a bounds contribution") {
+    // round 20 (r19 verdict #1, the two-writer criterion): both facades
+    // append far-out batches in interleaved rounds; the persisted bounds
+    // are maintained as commutative per-list-max DELTA files
+    // (IvfFlatIndex.appendBoundsDelta), so the final fold must equal the
+    // TRUE per-list max over build + every batch from both writers — a
+    // lost contribution would leave an under-sized bound and the range
+    // query below would falsely dismiss a far appended row.
+    val base = java.nio.file.Files.createTempDirectory("graft-xw").toString
+    val db1 = new VectorDB(spark, base)
+    val db2 = new VectorDB(spark, base)
+    db1.createIndex(IndexConfig("xw", Dim, nlist = 4))
+    val ep = db1.buildEpoch("xw",
+      vectorsDF(randomVectors(200, Dim, seed = 11)))
+    db1.activateEpoch("xw", ep)
+    db1.loadIndex("xw")
+    db2.loadIndex("xw")
+    val errs = new java.util.concurrent.CopyOnWriteArrayList[Throwable]()
+    // facade t appends 3 rounds of rows pushed progressively FARTHER out
+    // (distance grows with round and differs per facade, so each batch's
+    // max is distinguishable and the true final max needs BOTH writers)
+    def appender(t: Int, db: VectorDB): Unit = (0 until 3).foreach { r =>
+      val far = (0 until 4).map { j =>
+        val v = Array.fill(Dim)(0f)
+        v(j % Dim) = 20f + 10f * r + 5f * t
+        (9000L + t * 100L + r * 10L + j, v)
+      }
+      val n = db.addVectors("xw", vectorsDF(far))
+      assert(n === 4L)
+    }
+    val threads = Seq((0, db1), (1, db2)).map { case (t, db) =>
+      new Thread(() => {
+        try appender(t, db)
+        catch { case e: Throwable => errs.add(e); () }
+      }, s"appender-$t")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    assert(threads.forall(!_.isAlive), "an appender hung")
+    assert(errs.isEmpty, s"interleaved appends failed: $errs")
+    // ground truth: per-list max member-to-centroid L2 over EVERYTHING
+    // that landed, vs the folded persisted table
+    val epPath = new graft.storage.EpochManager(s"$base/xw/epochs").epochPath(ep)
+    val cents = graft.index.IvfFlatIndex.readCentroidTable(spark, s"$epPath/centroids")
+    val want = Array.fill(4)(0.0)
+    spark.read.parquet(s"$epPath/vectors")
+      .select("id", "vec", "list_id").collect().foreach { r =>
+        val v = r.getSeq[Float](1).toArray
+        val l = r.getInt(2)
+        want(l) = math.max(want(l),
+          math.sqrt(graft.functions.VectorKernels.l2(v, cents(l))))
+      }
+    val got = graft.index.IvfFlatIndex.readListRadiiTable(spark, s"$epPath/radii", 4)
+    (0 until 4).foreach { l =>
+      assert(got(l) >= want(l) - 1e-4,
+        s"list $l folded radius ${got(l)} under-covers true max ${want(l)} " +
+          "— a writer's contribution was lost")
+      assert(got(l) <= want(l) + math.max(1e-4, want(l) * 1e-6),
+        s"list $l folded radius ${got(l)} exceeds true max ${want(l)} " +
+          "— the fold must be exact when every append succeeded")
+    }
+    // functional check through BOTH facades: the farthest row of EACH
+    // writer is found by an exact range query (radius slightly above its
+    // distance; rangeSearch is exact via the covering-ball bound, so a
+    // lost bound contribution would dismiss it)
+    for ((db, t) <- Seq((db1, 0), (db2, 1))) {
+      val probe = Array.fill(Dim)(0f)
+      probe(3 % Dim) = 20f + 10f * 2 + 5f * t
+      val hits = db.rangeSearch("xw", queriesDF(Seq(1L -> probe)), radius = 1.0)
+        .collect().map(_.getLong(1)).toSet
+      assert(hits.contains(9000L + t * 100L + 2 * 10L + 3),
+        s"writer $t's farthest appended row was falsely dismissed")
+    }
+    db1.close(); db2.close()
+  }
 }

@@ -253,6 +253,60 @@ class SqlAnnSpec extends SparkSpec {
     } finally db.close()
   }
 
+  test("round 20: out-of-band growth auto-degrades the prune via the freshness signature — exact without invalidateRadii") {
+    // a writer the registration never hears about (a raw parquet append —
+    // the foreign-PROCESS analog) grows the listing past the bounds
+    // signature: any FRESH scan must plan UNPRUNED (and stay exact on
+    // the new row), while a pre-growth snapshot — whose rows the bounds
+    // DO cover — keeps the prune. Pre-r20 the fresh scan kept the stale
+    // prune and falsely dismissed the new row until invalidateRadii.
+    val oobDir = java.nio.file.Files
+      .createTempDirectory("graft-sqlann-oob").toString + "/vectors"
+    val oobIdx = IvfFlatIndex.build(
+      spark, vectorsDF(randomVectors(120, Dim, seed = 5)), 4)
+    oobIdx.vectors.write.partitionBy("list_id").mode("overwrite").parquet(oobDir)
+    SqlAnn.registerIndex(spark, oobDir, oobIdx.centroids.value,
+      nprobe = 2, radii = Some(oobIdx.listRadii))
+    try {
+      spark.read.parquet(oobDir).createOrReplaceTempView("sqlann_oob_pre")
+      val vNew = Array.fill(Dim)(100f) // far outside every covering ball
+      val q = litOf(vNew)
+      // for this far query the prune's strongest form fires: an EMPTY
+      // covering-ball intersection plans a constant-false conjunct —
+      // exactly the shape that would falsely dismiss the row about to be
+      // appended, were the bounds trusted past their signature
+      def constFalse(df: DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.exists {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition.exists {
+              case org.apache.spark.sql.catalyst.expressions
+                  .Literal(false, _) => true
+              case _ => false
+            }
+          case _ => false
+        }
+      assert(constFalse(spark.sql(rangeSql("sqlann_oob_pre", "1.0", q))),
+        "sanity: the registered prune fires pre-growth (empty intersection)")
+      // the foreign append: a far-out row raw-written into list 0's
+      // partition dir, bypassing addVectors and every bounds delta
+      val s = spark
+      import s.implicits._
+      Seq((7777L, vNew.toSeq)).toDF("id", "vec")
+        .withColumn("list_id", org.apache.spark.sql.functions.lit(0))
+        .write.mode("append").partitionBy("list_id").parquet(oobDir)
+      // a FRESH scan lists the grown dir: prune suppressed, result exact
+      spark.read.parquet(oobDir).createOrReplaceTempView("sqlann_oob_post")
+      val post = spark.sql(rangeSql("sqlann_oob_post", "1.0", q))
+      assert(!partitionFilterText(post).contains("list_id") && !constFalse(post),
+        "a listing grown past the bounds signature must suppress the prune")
+      assert(post.collect().map(_.getLong(0)).contains(7777L),
+        "the out-of-band row must be found — exact, just unpruned")
+      // the PRE-growth snapshot's listing is still covered: prune intact
+      assert(constFalse(spark.sql(rangeSql("sqlann_oob_pre", "1.0", q))),
+        "a snapshot the bounds cover must keep pruning")
+    } finally SqlAnn.unregisterIndex(spark, oobDir)
+  }
+
   test("metric plumbing: cosine_distance probes under cosine and is exact at nprobe = nlist") {
     index
     spark.read.parquet(dir).createOrReplaceTempView("sqlann_v")
