@@ -628,14 +628,21 @@ object VectorQueries {
     s"CAST((((((($x)+1) * 2654435761 + 40503 * ((($x)*($x)) % 1000000007)) " +
       s"% 1000000007) % 2000) / 1000.0 - 1.0) AS FLOAT)"
 
-  /** Full replay of vector_scale_bench at the sf0.01 shape the driver
-    * verifies at (n=20000): corpus gen -> fixed centroids -> assign ->
-    * probe top-nprobe -> pruned scan -> top-k. */
+  /** Full replay of vector_scale_bench: corpus gen -> fixed centroids ->
+    * assign -> probe top-nprobe -> pruned scan -> top-k. The corpus size
+    * is derived from the lineitem rowcount EXACTLY like [[scaleN]]
+    * (round 20, r19 verdict #5: decade = clamp(round(log10(rows/6000)),
+    * 0, 2), n = 2000·10^decade) — so the oracle follows the entry at ANY
+    * sf instead of hardwiring the sf0.01 shape; the range() upper bound
+    * is the decade cap's global max (200k), filtered down by the derived
+    * n. */
   private def scaleOracleSql: String = {
-    val n = 20000
+    val n = "(SELECT CAST(2000 * power(10, greatest(0, least(2, " +
+      "CAST(round(log10(greatest(1, (SELECT count(*) FROM lineitem)) " +
+      "/ 6000.0)) AS INT)))) AS BIGINT))"
     s"""WITH corpus AS (SELECT t.id,
        |    list_transform(range(0, $ScaleDim), d -> ${polySql(s"t.id*$ScaleDim+d")}) AS vec
-       |  FROM range(0, $n) t(id)),
+       |  FROM range(0, 200000) t(id) WHERE t.id < $n),
        |q AS (SELECT $ScaleQidOffset + t.i AS qid,
        |    list_transform(range(0, $ScaleDim), d -> ${polySql(s"($ScaleQidOffset+t.i)*$ScaleDim+d")}) AS qv
        |  FROM range(0, $ScaleNQ) t(i)),
