@@ -48,6 +48,40 @@ case class VectorDistance(left: Expression, right: Expression, metric: Metric.Va
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * A non-foldable double constant whose VALUE rides the references array
+ * instead of the generated source (round 20, r19 verdict #4). A
+ * primitive `Literal` inlines its value into every generated class that
+ * evaluates it (`... <= 2.5D`), so a serving workload issuing range
+ * queries with per-request radii compiles one filter-stage class per
+ * DISTINCT radius even after PlanWarmup — Janino churn with no upper
+ * bound. The SQL-ANN range rewrite substitutes the matched radius
+ * literal with this expression: the generated source becomes
+ * radius-invariant (`references[i]`, same index for same plan shape),
+ * so the second distinct radius is codegen+0. Non-foldable BY DESIGN —
+ * constant folding would turn it back into the inlining literal;
+ * deterministic, so partition-pruning and filter placement treat it
+ * like the constant it is. Interpreted eval returns the value directly.
+ */
+case class DoubleRef(value: Double)
+    extends org.apache.spark.sql.catalyst.expressions.LeafExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    value
+  override def toString: String = s"double_ref($value)"
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftRadius",
+      java.lang.Double.valueOf(value), "java.lang.Double")
+    ev.copy(
+      code = org.apache.spark.sql.catalyst.expressions.codegen.EmptyBlock,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral,
+      value = org.apache.spark.sql.catalyst.expressions.codegen.JavaCode
+        .expression(s"$ref.doubleValue()", DoubleType))
+  }
+}
+
 /** L2-normalize an ARRAY<FLOAT> (kernels.cuh:357-385, eps 1e-8). */
 case class NormalizeVector(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -183,12 +217,17 @@ case class RangeProbeLists(
       v => s"$v = (float[][]) $bc.value();")
     val rm = ctx.addMutableState("double[]", "radiiArr",
       v => s"$v = (double[]) $rb.value();")
-    // ${radius}D is only a valid Java literal for FINITE radii — the
-    // rewrite rule guards with isFinite before constructing this node
+    // the radius rides the references array, NOT the source (round 20,
+    // r19 verdict #4): an inlined `${radius}D` made every distinct
+    // per-request radius compile a fresh Generate-stage class — with the
+    // reference the generated source is radius-invariant and the warmed
+    // family serves new radii at codegen+0
+    val rr = ctx.addReferenceObj("rangeRadius",
+      java.lang.Double.valueOf(radius), "java.lang.Double")
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
         s"graft.functions.VectorKernels.rangeProbeLists($v.toFloatArray(), " +
-        s"$cm, $rm, ${radius}D));")
+        s"$cm, $rm, $rr.doubleValue()));")
   }
 
   override protected def withNewChildInternal(c: Expression): RangeProbeLists =
@@ -231,12 +270,15 @@ case class CosineRangeProbeLists(
       v => s"$v = (float[][]) $bc.value();")
     val rm = ctx.addMutableState("double[]", "radiiArr",
       v => s"$v = (double[]) $rb.value();")
-    // ${radius}D/${tol}D are only valid Java literals for FINITE values —
-    // the rewrite rule guards radius with isFinite; tol is a constant
+    // radius via references (see RangeProbeLists — radius-invariant
+    // source); ${tol}D stays inlined: it is the UnitNormTol constant,
+    // identical across queries, and a finite Java literal by definition
+    val rr = ctx.addReferenceObj("rangeRadius",
+      java.lang.Double.valueOf(radius), "java.lang.Double")
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
         s"graft.functions.VectorKernels.cosineRangeProbeLists($v.toFloatArray(), " +
-        s"$cm, $rm, ${radius}D, ${tol}D));")
+        s"$cm, $rm, $rr.doubleValue(), ${tol}D));")
   }
 
   override protected def withNewChildInternal(c: Expression): CosineRangeProbeLists =
@@ -277,12 +319,14 @@ case class IpRangeProbeLists(
       v => s"$v = (float[][]) $bc.value();")
     val rm = ctx.addMutableState("double[]", "radiiArr",
       v => s"$v = (double[]) $rb.value();")
-    // ${radius}D is only a valid Java literal for FINITE radii — the
-    // rewrite rule guards with isFinite before constructing this node
+    // radius via references (see RangeProbeLists — radius-invariant
+    // source)
+    val rr = ctx.addReferenceObj("rangeRadius",
+      java.lang.Double.valueOf(radius), "java.lang.Double")
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
         s"graft.functions.VectorKernels.ipRangeProbeLists($v.toFloatArray(), " +
-        s"$cm, $rm, ${radius}D));")
+        s"$cm, $rm, $rr.doubleValue()));")
   }
 
   override protected def withNewChildInternal(c: Expression): IpRangeProbeLists =

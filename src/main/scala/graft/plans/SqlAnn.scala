@@ -1065,24 +1065,28 @@ object SqlAnn {
             f.condition.references.exists(r => tainted(r.exprId)))
           return None
       }
-      val extra = rangeConjunct(f.condition, rel, projs, filtOpt)
+      val (extra, newCond) = rangeConjunct(f.condition, rel, projs, filtOpt)
         .getOrElse(return None)
       Some((projs, filtOpt) match {
-        case (Nil, None) => f.copy(condition = And(f.condition, extra))
-        case (ps, None) => f.copy(child = rebuild(ps, Filter(extra, rel)))
+        case (Nil, None) => f.copy(condition = And(newCond, extra))
+        case (ps, None) =>
+          f.copy(condition = newCond, child = rebuild(ps, Filter(extra, rel)))
         case (ps, Some(inner)) =>
-          f.copy(child =
+          f.copy(condition = newCond, child =
             rebuild(ps, inner.copy(condition = And(inner.condition, extra))))
       })
     }
 
-    /** The `list_id` conjunct a range predicate implies, or None when the
-      * shape doesn't match / radii are unregistered / already injected
-      * (in `cond` itself or in the inner filter under the view's
-      * Project). */
+    /** The `list_id` conjunct a range predicate implies — paired with
+      * the ORIGINAL condition rewritten so its radius literal rides the
+      * references array ([[graft.functions.DoubleRef]], round 20) — or
+      * None when the shape doesn't match / radii are unregistered /
+      * already injected (in `cond` itself or in the inner filter under
+      * the view's Project). */
     private def rangeConjunct(
         cond: Expression, rel: LogicalRelation,
-        proj: List[Project], inner: Option[Filter]): Option[Expression] = {
+        proj: List[Project], inner: Option[Filter])
+        : Option[(Expression, Expression)] = {
       val reg = lookup(rel).getOrElse(return None)
       // round 20: a relation listing more bytes than the bounds
       // signature was grown by a writer this registration never heard
@@ -1198,7 +1202,32 @@ object SqlAnn {
           }
           pqRangeDpp(reg, rel, listAttr, lists, pqBounds)
         }
-      Some(refine.fold(inExpr)(d => And(inExpr, d)))
+      // round 20 (r19 verdict #4 / watch #1): the radius is the ONE
+      // value-bearing token left in this family's generated filter
+      // source (the query vector, codebooks, errs and PqRangeKeep all
+      // ride the references array already) — substitute the
+      // reference-backed twin so per-request radii stop compiling one
+      // filter-stage class per distinct value. Value-preserving by
+      // construction; non-foldable so ConstantFolding cannot undo it;
+      // and idempotence is unaffected (the injected In conjunct is
+      // detected by semantic equality, and a later pass that no longer
+      // sees a Literal radius simply leaves the already-rewritten plan
+      // alone).
+      val newCond = cond.transformUp {
+        case LessThanOrEqual(d, Literal(r: Double, DoubleType))
+            if !r.isNaN && qvecOf(d).isDefined =>
+          LessThanOrEqual(d, graft.functions.DoubleRef(r))
+        case LessThan(d, Literal(r: Double, DoubleType))
+            if !r.isNaN && qvecOf(d).isDefined =>
+          LessThan(d, graft.functions.DoubleRef(r))
+        case GreaterThanOrEqual(Literal(r: Double, DoubleType), d)
+            if !r.isNaN && qvecOf(d).isDefined =>
+          GreaterThanOrEqual(graft.functions.DoubleRef(r), d)
+        case GreaterThan(Literal(r: Double, DoubleType), d)
+            if !r.isNaN && qvecOf(d).isDefined =>
+          GreaterThan(graft.functions.DoubleRef(r), d)
+      }
+      Some((refine.fold(inExpr)(d => And(inExpr, d)), newCond))
     }
 
     /** The refinement's DynamicPruningSubquery, or None when the
@@ -2322,7 +2351,26 @@ object SqlAnn {
         if (join.joinType == LeftAnti) None
         else joinPqRefine(reg, rel, listAttr, qSide, qAttr, radius, metric,
           explodeExpr, staticLists)
-      Some(prunedJoin(join, projR, filtR, rel, qSide, relIsLeft,
+      // round 20 (r19 verdict #4): the kept per-pair predicate's radius
+      // literal rides the references array too (DoubleRef — the
+      // single-table arm's argument verbatim; the probe expressions
+      // already reference theirs), so the whole join family's generated
+      // source is radius-invariant
+      val joinRef = join.copy(condition = join.condition.map(_.transformUp {
+        case LessThanOrEqual(d: VectorDistance, Literal(r: Double, DoubleType))
+            if java.lang.Double.isFinite(r) =>
+          LessThanOrEqual(d, graft.functions.DoubleRef(r))
+        case LessThan(d: VectorDistance, Literal(r: Double, DoubleType))
+            if java.lang.Double.isFinite(r) =>
+          LessThan(d, graft.functions.DoubleRef(r))
+        case GreaterThanOrEqual(Literal(r: Double, DoubleType), d: VectorDistance)
+            if java.lang.Double.isFinite(r) =>
+          GreaterThanOrEqual(graft.functions.DoubleRef(r), d)
+        case GreaterThan(Literal(r: Double, DoubleType), d: VectorDistance)
+            if java.lang.Double.isFinite(r) =>
+          GreaterThan(graft.functions.DoubleRef(r), d)
+      }))
+      Some(prunedJoin(joinRef, projR, filtR, rel, qSide, relIsLeft,
         listAttr, "__graft_range_list", explodeExpr, staticLists,
         pruneRel = join.joinType != LeftAnti,
         pqRefine = pqRefine))

@@ -875,6 +875,43 @@ class SqlAnnSpec extends SparkSpec {
   private def rows3(df: DataFrame): Seq[(Long, Long, Double)] =
     df.collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
 
+  test("round 20: a NEW radius over the warmed range family compiles zero codegen classes") {
+    // r19 verdict #4 / watch #1: the radius used to be the one
+    // value-bearing token in the family's generated source (an inlined
+    // `2.5D` in the filter stage; `${radius}D` in the probe explode), so
+    // a serving workload with per-request radii compiled one class per
+    // DISTINCT radius even after PlanWarmup. DoubleRef + the referenced
+    // probe radius make the source radius-invariant: after ONE warming
+    // radius, every later distinct radius must be codegen+0 — single
+    // table AND join shapes.
+    rangeIndex
+    spark.read.parquet(rangeDir).createOrReplaceTempView("sqlann_radref")
+    SqlAnn.registerIndex(spark, rangeDir, rangeIndex.centroids.value,
+      nprobe = 2, radii = Some(rangeIndex.listRadii))
+    localQView("sqlann_radrefq", Seq(100L -> corner(0), 101L -> corner(3)))
+    def cg: Long = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getCount
+    try {
+      // warm each shape once (any radius)
+      spark.sql(rangeSql("sqlann_radref", "2.0")).collect()
+      spark.sql(rangeJoinSql("sqlann_radrefq", "sqlann_radref", "2.0")).collect()
+      val c0 = cg
+      val a = spark.sql(rangeSql("sqlann_radref", "2.5")).collect()
+      val b = spark.sql(rangeJoinSql("sqlann_radrefq", "sqlann_radref", "1.7"))
+        .collect()
+      assert(cg - c0 === 0L,
+        s"distinct radii over the warmed family must compile nothing, got +${cg - c0}")
+      // and the substituted predicate still FILTERS correctly: results
+      // match the unregistered brute force at the new radii
+      SqlAnn.unregisterIndex(spark, rangeDir)
+      val a2 = spark.sql(rangeSql("sqlann_radref", "2.5")).collect()
+      val b2 = spark.sql(rangeJoinSql("sqlann_radrefq", "sqlann_radref", "1.7"))
+        .collect()
+      assert(a.map(_.toSeq).toSeq === a2.map(_.toSeq).toSeq)
+      assert(b.map(_.toSeq).toSeq === b2.map(_.toSeq).toSeq)
+    } finally SqlAnn.unregisterIndex(spark, rangeDir)
+  }
+
   test("range join: the cartesian becomes an equi-join, EXACT, pruned scan (literal batch)") {
     rangeIndex
     spark.read.parquet(rangeDir).createOrReplaceTempView("sqlann_rj")
