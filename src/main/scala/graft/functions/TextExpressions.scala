@@ -95,6 +95,31 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Polynomial rolling-hash document fingerprint over CODE POINTS mod
+    * 1e9+7 — the exact fold of [[text.fingerprint]]'s former
+    * higher-order-function composition (split('') → ascii → aggregate):
+    * Spark's empty-regex split emits one element per code point (Java 8+
+    * semantics, surrogate pairs intact) and `ascii()` returns
+    * `toString.codePointAt(0)`, so a code-point walk reproduces the fold
+    * bit-for-bit on ANY input, ASCII or not (parity pinned by
+    * TextExpressionsSpec). The HOF version allocated one UTF8String per
+    * CHARACTER and evaluated the lambda interpreted per element — and,
+    * being CodegenFallback, knocked every projection containing it out
+    * of whole-stage codegen, disabling subexpression elimination for the
+    * surrounding tokenize passes (r20, optimization guide §4). */
+  def polyFingerprint(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val str = s.toString
+    val n = str.length
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31L + cp) % PolyP
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
   /** Poly-family 61-bit token hash: two independent rolling hashes (mults
     * 31 and 37, seed folded additively) packed as hi<<31 | lo. Bits 61..63
     * are structurally zero — the SimHash sign votes there are always
@@ -235,6 +260,27 @@ object TextKernels {
 }
 
 /** Word n-grams of an ARRAY<STRING> token column (codegen'd kernel). */
+/** Rolling-hash document fingerprint — see [[TextKernels.polyFingerprint]]. */
+case class PolyFingerprint(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftshims.AbstractDataType] =
+    Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "poly_fingerprint"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.polyFingerprint(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.TextKernels.polyFingerprint($v);")
+
+  override protected def withNewChildInternal(c: Expression): PolyFingerprint =
+    copy(child = c)
+}
+
 case class WordNgrams(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {
 
@@ -466,9 +512,20 @@ object text {
   /**
    * Polynomial rolling-hash document fingerprint mod 1e9+7 — the same
    * arithmetic is expressible in DuckDB SQL (list_reduce), so this one is
-   * oracle-checkable end to end.
+   * oracle-checkable end to end. Since r20 a codegen'd kernel
+   * ([[PolyFingerprint]]) replaces the split('')/ascii/aggregate HOF
+   * composition it was first written as: same fold bit-for-bit
+   * (spec-pinned against the composition), but one static call per row
+   * instead of per-character UTF8String allocation + interpreted lambda
+   * evaluation — and no CodegenFallback poisoning whole-stage codegen
+   * (and its shared-subexpression elimination) for every projection
+   * that fingerprints next to tokenize passes.
    */
-  def fingerprint(c: Column): Column =
+  def fingerprint(c: Column): Column = col(PolyFingerprint(ex(c)))
+
+  /** The pre-r20 HOF composition of [[fingerprint]] — kept ONLY as the
+    * parity reference for the spec that pins [[PolyFingerprint]] to it. */
+  private[graft] def fingerprintViaHofs(c: Column): Column =
     aggregate(
       transform(
         filter(split(c, ""), ch => ch =!= ""), // split() emits a trailing ""

@@ -60,18 +60,57 @@ object CoGroupTopK {
     * sub-bucket — lossless) and the list's probing queries replicate into
     * all S, so one hot list becomes S tasks instead of one quadratic
     * straggler. S multiplies only the shuffled QUERY rows (the small
-    * side); corpus data movement is unchanged. */
+    * side); corpus data movement is unchanged.
+    *
+    * Unset (the default), the salt is DERIVED from the corpus size
+    * (r20, optimization-guide §2.2/§2.5: partitioning scale-adaptive,
+    * not a constant tuned for one scale): buckets target
+    * [[TargetBucketBytes]] of corpus payload each, so a bench-sized list
+    * (KBs) takes salt 1 — no query replication, no empty sub-bucket
+    * tasks — while a 100 TB list (GBs) splits into enough sub-buckets to
+    * keep every core busy, capped by the session's shuffle parallelism
+    * (more sub-buckets than partitions adds replication without adding
+    * parallelism). The r19 constant (8) was wrong at BOTH scales. Set
+    * the conf to pin a specific salt (tests, A/B runs). */
   val SaltKey = "spark.graft.flood.salt"
-  val DefaultSalt = 8
 
-  private def saltOf(spark: org.apache.spark.sql.SparkSession): Int = {
-    val s = spark.conf.get(SaltKey, DefaultSalt.toString).toInt
-    require(s >= 1, s"$SaltKey must be >= 1, got $s")
-    s
-  }
+  /** Corpus bytes per sub-bucket the derived salt aims for. A bucket is
+    * one task's sequential scan unit; 4 MB keeps tasks in the hundreds of
+    * milliseconds even at one-query-per-list floods while staying far
+    * above the per-task scheduling constant. */
+  val TargetBucketBytes: Long = 4L << 20
+
+  private[index] def saltOf(
+      spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame,
+      nlist: Int): Int =
+    spark.conf.getOption(SaltKey) match {
+      case Some(s) =>
+        val v = s.toInt
+        require(v >= 1, s"$SaltKey must be >= 1, got $v")
+        v
+      case None =>
+        // logical-plan stats: free at plan time (no job), scan-accurate
+        // for file sources; an unknown (huge) estimate degrades to the
+        // parallelism cap, never below 1
+        val bytes = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+        val perList = bytes / BigInt(math.max(nlist, 1))
+        val want = (perList + TargetBucketBytes - 1) / TargetBucketBytes
+        want.min(BigInt(numParts(spark))).max(BigInt(1)).toInt
+    }
 
   private def numParts(spark: org.apache.spark.sql.SparkSession): Int =
     spark.sessionState.conf.numShufflePartitions
+
+  /** Partition count for the co-partition shuffle: never more than the
+    * distinct salted-key space — nlist x salt groups spread over MORE
+    * partitions than groups just schedules empty tasks (each paying the
+    * shuffle-writer's per-task file fan-out, the dominant fixed cost the
+    * r20 stage profiles attributed). At scale nlist x salt >> partitions
+    * and this is the session parallelism unchanged. */
+  private[index] def groupParts(spark: org.apache.spark.sql.SparkSession, nlist: Int, salt: Int): Int =
+    math.max(1, math.min(numParts(spark),
+      math.min(nlist.toLong * salt, Int.MaxValue.toLong).toInt))
 
   /** (list_id, salt) composite grouping keys: corpus rows by id hash,
     * query rows replicated to every sub-bucket of their probed list. */
@@ -94,10 +133,11 @@ object CoGroupTopK {
    * side); corpus rows then stream, each payload decoding once and feeding
    * every probing query's buffer.
    */
-  def flatSearch(probed: DataFrame, corpus: DataFrame, k: Int, metricId: Int): DataFrame = {
+  def flatSearch(probed: DataFrame, corpus: DataFrame, k: Int, metricId: Int,
+      nlist: Int = Int.MaxValue): DataFrame = {
     val spark = probed.sparkSession
     import spark.implicits._
-    val salt = saltOf(spark)
+    val salt = saltOf(spark, corpus, nlist)
     val q = probed
       // uniform null-drop semantics: a null qid would kill the task at
       // the primitive-tuple decode below, where the broadcast path
@@ -122,7 +162,7 @@ object CoGroupTopK {
         col("id").cast("long").as("id"),
         col("vec"))
     val partial = q.unionByName(c)
-      .repartition(numParts(spark), col("_skey"))
+      .repartition(groupParts(spark, nlist, salt), col("_skey"))
       .sortWithinPartitions("_skey", "_tag")
       .as[(Long, Int, Long, Array[Float])]
       .mapPartitions { rows =>
@@ -154,10 +194,11 @@ object CoGroupTopK {
       codes: DataFrame,
       codebooks: Broadcast[Array[Array[Array[Float]]]],
       metricId: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      nlist: Int = Int.MaxValue): DataFrame = {
     val spark = probed.sparkSession
     import spark.implicits._
-    val salt = saltOf(spark)
+    val salt = saltOf(spark, codes, nlist)
     // codes are ARRAY<TINYINT> in the plan (the PQ encoder's type); the
     // Array[Byte] encoder would demand BINARY, so decode as Seq and copy
     // to a primitive array once per row at buffer time (off the hot loop)
@@ -181,7 +222,7 @@ object CoGroupTopK {
         col("codes"))
     val books = codebooks
     val partial = q.unionByName(c)
-      .repartition(numParts(spark), col("_skey"))
+      .repartition(groupParts(spark, nlist, salt), col("_skey"))
       .sortWithinPartitions("_skey", "_tag")
       .as[(Long, Int, Long, Array[Float], scala.collection.Seq[Byte])]
       .mapPartitions { rows =>

@@ -208,7 +208,7 @@ class IvfFlatIndex(
         IvfFlatIndex.widenScan(
           corpus.select(col("id"), col("list_id"), col("vec")), "list_id"), k, m.id)
       TopKAggregator.finalizePartial(partial, k).select("qid", "id", "dist", "rank")
-    } else CoGroupTopK.flatSearch(probed, corpus, k, m.id)
+    } else CoGroupTopK.flatSearch(probed, corpus, k, m.id, nlist = nlist)
   }
 
   /** Exact brute-force scan (S1) — also the recall oracle for IVF. */

@@ -187,7 +187,8 @@ class IvfPqIndex(
           BroadcastProbeTopK.pq(probed, IvfFlatIndex.widenScan(codes, "list_id"),
             preK, codebooks, probeMetric.id), preK)
           .select("qid", "id", "dist", "rank")
-      else CoGroupTopK.pqSearch(probed, codes, codebooks, probeMetric.id, preK)
+      else CoGroupTopK.pqSearch(probed, codes, codebooks, probeMetric.id, preK,
+        nlist = nlist)
     if (rerankK <= 0) adcTop
     else {
       val m = params.metric.getOrElse(metric)

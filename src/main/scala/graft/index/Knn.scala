@@ -86,9 +86,18 @@ object Knn {
         } else {
           // one row per qid: two duplicate rows would BOTH cross-join and
           // their candidates merge in the per-qid top-k (cross-qvec
-          // mixing) — same invariant as every other search path
+          // mixing) — same invariant as every other search path.
+          // The explicit-count repartition BEFORE the dedup pins the
+          // flood's scoring parallelism (r20, guide §2.5): the dedup's
+          // own ENSURE_REQUIREMENTS exchange is byte-coalesced by AQE —
+          // a KB-sized query flood collapsed to ONE partition, and the
+          // cross join, the distance kernel and both top-k operators all
+          // inherit that single task. Same key as the dedup (and the
+          // final per-qid merge), so no extra exchange is added — the
+          // repartition satisfies the dedup's required distribution.
+          val n = qdf.sparkSession.sessionState.conf.numShufflePartitions
           val scored = vectors.select(col("id"), col("vec"))
-            .crossJoin(IvfFlatIndex.onePerQid(qdf))
+            .crossJoin(IvfFlatIndex.onePerQid(qdf.repartition(n, col("qid"))))
             .withColumn("dist", vector.distance(col("qvec"), col("vec"), metric))
           (TopKAggregator.topKPerQuery(scored, k).select("qid", "id", "dist", "rank"),
             () => ())

@@ -47,6 +47,31 @@ class CodegenParitySpec extends SparkSpec {
     assert(on === off)
   }
 
+  test("poly_fingerprint kernel == the split/ascii/aggregate HOF fold it replaced (r20)") {
+    val s = spark
+    import s.implicits._
+    // ASCII, unicode (2/3/4-byte code points incl. a surrogate pair),
+    // empty, single-char, long, and null — the kernel must reproduce the
+    // composed-builtin fold bit-for-bit on every one
+    val docs = Seq(
+      (1L, "the quick brown fox 123"),
+      (2L, "héllo w世rld"),
+      (3L, "emoji 😀 pair"),
+      (4L, ""),
+      (5L, "x"),
+      (6L, ("abc" * 500) + "ü"),
+      (7L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    def vals(c: org.apache.spark.sql.Column) = docs.select(col("id"), c)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy(_._1).toSeq
+    val kernel = vals(text.fingerprint(col("t")))
+    val hofs = vals(text.fingerprintViaHofs(col("t")))
+    assert(kernel === hofs)
+    val off = withCodegenOff(vals(text.fingerprint(col("t"))))
+    assert(kernel === off)
+  }
+
   test("broadcast_set_overlap: codegen == interpreted, null semantics match arrays_overlap's coalesced form") {
     val s = spark
     import s.implicits._

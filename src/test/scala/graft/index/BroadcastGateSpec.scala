@@ -192,6 +192,31 @@ class BroadcastGateSpec extends SparkSpec {
     } finally old.fold(conf.unset(CoGroupTopK.SaltKey))(conf.set(CoGroupTopK.SaltKey, _))
   }
 
+  test("derived flood salt is scale-adaptive: 1 at bench scale, grows with corpus, conf pins") {
+    // r20: the salt defaults to a corpus-stats derivation instead of a
+    // constant — a KB-sized corpus must take salt 1 (no query replication,
+    // no empty sub-bucket tasks) and the derived value must scale with
+    // bytes-per-list, capped by the session's shuffle parallelism
+    val corpus = flat.vectors // tiny test corpus, stats well under 4 MB/list
+    assert(CoGroupTopK.saltOf(spark, corpus, nlist = 8) === 1)
+    // nlist=1 concentrates all bytes in one list; still tiny here -> 1
+    assert(CoGroupTopK.saltOf(spark, corpus, nlist = 1) === 1)
+    // derivation math at scale (pure function of stats/nlist/cap): a
+    // 1 GiB list wants 256 x 4 MB buckets, capped by parallelism
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val bigPerList = (1L << 30) / CoGroupTopK.TargetBucketBytes // 256
+    assert(CoGroupTopK.groupParts(spark, nlist = 4, salt = 1) === math.min(parts, 4))
+    assert(CoGroupTopK.groupParts(spark, nlist = 1 << 20, salt = 64) === parts)
+    assert(bigPerList === 256L)
+    // conf override wins over the derivation
+    val conf = spark.conf
+    val old = conf.getOption(CoGroupTopK.SaltKey)
+    try {
+      conf.set(CoGroupTopK.SaltKey, "13")
+      assert(CoGroupTopK.saltOf(spark, corpus, nlist = 8) === 13)
+    } finally old.fold(conf.unset(CoGroupTopK.SaltKey))(conf.set(CoGroupTopK.SaltKey, _))
+  }
+
   test("gate decision pins to the plan-stats estimate boundary") {
     val qdf = queriesDF(floodQueries.take(64))
     val nprobe = 4
