@@ -52,7 +52,6 @@ import graft.functions.{PqKernels, VectorKernels}
 object CoGroupTopK {
 
   private val PartialEncoder = ExpressionEncoder[(Long, Long, Double)]()
-  private val RankedEncoder = ExpressionEncoder[(Long, Long, Double, Int)]()
 
   /** Conf key for the flood co-partition salt (sub-buckets per list).
     * k-means lists are skewed by nature; with salt S every list's CORPUS
@@ -240,57 +239,14 @@ object CoGroupTopK {
       .select("qid", "id", "dist", "rank")
   }
 
-  /**
-   * Distributed exact rerank: `queries` (qid, qvec) co-partitioned with the
-   * candidate rows (qid, id, vec) on qid — all of a query's candidates
-   * land in one group, so the top-k emits FINAL ranked rows directly (no
-   * further merge). A duplicate qid in the query set takes the first
-   * qvec; exact-duplicate candidates collapse in [[TopKBuf]], matching
-   * the join-path behavior this replaces.
-   */
-  def rerankTopK(queries: DataFrame, cands: DataFrame, metricId: Int, k: Int): DataFrame = {
-    val spark = queries.sparkSession
-    import spark.implicits._
-    val q = queries
-      .filter(col("qid").isNotNull) // null-qid drop, same as flatSearch
-      .select(
-        col("qid").cast("long").as("_skey"),
-        lit(0).as("_tag"),
-        col("qid").cast("long").as("id"),
-        col("qvec").as("vec"))
-    val c = cands
-      .filter(col("qid").isNotNull && col("id").isNotNull)
-      .select(
-        col("qid").cast("long").as("_skey"),
-        lit(1).as("_tag"),
-        col("id").cast("long").as("id"),
-        col("vec"))
-    q.unionByName(c)
-      .repartition(numParts(spark), col("_skey"))
-      .sortWithinPartitions("_skey", "_tag")
-      .as[(Long, Int, Long, Array[Float])]
-      .mapPartitions { rows =>
-        groupRuns(rows)(_._1) { group =>
-          val qid = group.head._1 // every row of the group shares the key
-          var first = true
-          var qvec: Array[Float] = null
-          while (group.hasNext && group.head._2 == 0) {
-            val r = group.next()
-            if (first) { qvec = r._4; first = false }
-          }
-          if (first || qvec == null) Iterator.empty // no query row / null qvec
-          else {
-            val buf = TopKBuf.empty(k)
-            while (group.hasNext) {
-              val (_, _, id, vec) = group.next()
-              if (vec != null) buf.insert(VectorKernels.distance(vec, qvec, metricId), id)
-            }
-            Iterator.range(0, buf.size).map(j => (qid, buf.ids(j), buf.dists(j), j + 1))
-          }
-        }
-      }(RankedEncoder)
-      .toDF("qid", "id", "dist", "rank")
-  }
+  // The distributed exact rerank that lived here through r19 (queries
+  // cogrouped with fat (qid, id, vec) candidate rows on qid) was replaced
+  // in r20 by a join + codegen'd-distance + TopKAggregator shape at its
+  // only call site (IvfPqIndex.searchJoin): the cogroup repartitioned AND
+  // sorted ~260 B/candidate payload rows and decoded them through a typed
+  // encoder, which the r20 stage profile measured at 3x the join+kernel
+  // cost — and below the broadcast gate the join shape moves no candidate
+  // payload at all.
 
   /** Walk a partition's `(key-sorted)` row stream as one lazy iterator per
     * key run. `score` receives a BufferedIterator scoped to the current

@@ -439,11 +439,33 @@ object IvfFlatIndex {
    * partition count keeps AQE's byte-based coalescing from re-folding the
    * shuffle, and the cheap local sort restores per-list locality for
    * scorers that amortize per-list state (PQ ADC tables).
+   *
+   * `bytesPerTask` (r20) scales the widening to the caller's WORK
+   * DENSITY instead of a flat fan-out to full parallelism: the flood
+   * scorers' work per byte is query-count-proportional (a 32 KB codes
+   * scan measured ~1.0 s on one task — widen maximally, the default 0),
+   * while a per-row text projection is ~1000x lighter per byte — for
+   * those callers a positive target derives the partition count as
+   * ceil(bytes / target) clamped to [1, parallelism], so a KB-to-MB
+   * input stops paying (parallelism x per-task fixed cost) in scheduling
+   * and shuffle-writer file fan-out for microseconds of work
+   * (optimization guide §2: derive partitioning from input size). At
+   * production sizes ceil(bytes/target) saturates the clamp and the
+   * behavior matches the flat widen.
    */
-  private[graft] def widenScan(df: DataFrame, sortCols: String*): DataFrame = {
+  private[graft] def widenScan(df: DataFrame, sortCols: String*): DataFrame =
+    widenScanSized(df, 0L, sortCols: _*)
+
+  private[graft] def widenScanSized(
+      df: DataFrame, bytesPerTask: Long, sortCols: String*): DataFrame = {
     val spark = df.sparkSession
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(MaxWidenBytes)) return df
-    val p = spark.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes > BigInt(MaxWidenBytes)) return df
+    val maxP = spark.sparkContext.defaultParallelism
+    val p =
+      if (bytesPerTask <= 0) maxP
+      else ((bytes + bytesPerTask - 1) / bytesPerTask)
+        .min(BigInt(maxP)).max(BigInt(1)).toInt
     if (df.rdd.getNumPartitions >= p) df
     else {
       val wide = df.repartition(p)

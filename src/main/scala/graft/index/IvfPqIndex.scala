@@ -162,9 +162,20 @@ class IvfPqIndex(
    *    compact in the system (a 100 TB raw corpus is ~1.6 TB of m=16
    *    codes) — and each query's ADC table derives once per probed list.
    *  - **rerank stage**: the id-only ADC winners join back to raw payloads
-   *    (size-gated broadcast keeps the 100 TB raw scan unshuffled), and
-   *    the exact distances + final top-k run inside
-   *    [[CoGroupTopK.rerankTopK]]'s cogroup on qid.
+   *    (size-gated broadcast keeps the 100 TB raw scan unshuffled); the
+   *    QUERY rows then join onto the candidate rows by qid — broadcast
+   *    below the gate (the candidate payloads never reshuffle: the exact
+   *    distance computes in place on the raw scan's partitions and only
+   *    24-byte (qid, id, dist) rows cross the final top-k exchange),
+   *    shuffled-hash above it (the r19 cogroup sorted the full
+   *    ~260 B/candidate vector fan-out within partitions and decoded it
+   *    through a typed encoder; the r20 stage profile measured that sort
+   *    + decode at 3x the join+kernel cost, optimization guide §2.3/§8 —
+   *    shuffle the payload once, never sort it, keep every later
+   *    exchange on skinny rows). Distances run through the same codegen'd
+   *    [[graft.functions.vector.distance]] kernel as the exact paths and
+   *    the final top-k through [[TopKAggregator.topKPerQuery]]'s
+   *    partial/final operators.
    */
   private[index] def searchJoin(
       queries: DataFrame,
@@ -203,8 +214,23 @@ class IvfPqIndex(
       // join fans the candidate stream out over the RAW side's partitions
       val cands = IvfFlatIndex.widenScan(rawVectors.select("id", "vec")).join(hinted, "id")
       // the SAME deduped query rows: joining the raw duplicates back in
-      // would re-introduce the second qvec at the rerank stage
-      CoGroupTopK.rerankTopK(uniq.select("qid", "qvec"), cands, m.id, params.k)
+      // would re-introduce the second qvec at the rerank stage. Below the
+      // gate the query side broadcasts (no shuffle of the candidate
+      // payloads at all); above it a shuffled-hash hint keeps the fat
+      // side unsorted — both choices pin the build side to the queries.
+      // Null semantics match the cogroup this replaces: a null candidate
+      // vec or null qvec nulls the distance and the top-k operator skips
+      // null/NaN internally; qids absent from either side drop at the
+      // inner join exactly as the cogroup emitted nothing for them.
+      val qSide = uniq.select(col("qid"), col("qvec"))
+      val qHinted =
+        if (IvfFlatIndex.fitsBroadcastGate(qSide, 1)) broadcast(qSide)
+        else qSide.hint("SHUFFLE_HASH")
+      val exact = cands.join(qHinted, "qid")
+        .select(col("qid"), col("id"),
+          vector.distance(col("qvec"), col("vec"), m).as("dist"))
+      TopKAggregator.topKPerQuery(exact, params.k)
+        .select("qid", "id", "dist", "rank")
     }
   }
 }

@@ -15,6 +15,11 @@ import graft.functions.text
  */
 object TextAnalysis {
 
+  /** Text bytes per task for the regex-class projections ([[analyze]],
+    * [[piiScrub]]): ~512 KB ≈ 100-200 ms of regex work per task (engines run single-digit MB/s per core on these patterns), the
+    * density-derived widening target (see IvfFlatIndex.widenScanSized). */
+  val RegexTaskBytes: Long = 512L << 10
+
   /** Stopword lists for the n-gram language heuristic. Deterministic and
     * tiny by design — the point is the operator shape, not NLP accuracy. */
   val Stopwords: Map[String, Seq[String]] = Map(
@@ -66,11 +71,13 @@ object TextAnalysis {
     // 0.5) and null propagation through the sum nulls the result. Chosen
     // while chasing the r12 text_analysis bench delta on a CSE-in-branch
     // hypothesis; tools/CodegenProbe measured all three guard shapes
-    // (none / when()-wrap / this) at parity within noise — the analyze
-    // projection is not whole-stage-codegen'd (fingerprint's aggregate()
-    // HOF is CodegenFallback) and GenerateUnsafeProjection shares the
-    // tokenize either way — so the shape is a wash and this one is kept
-    // for being branch-free. Semantics pinned by QualityFiltersSpec.
+    // (none / when()-wrap / this) at parity within noise — the projection
+    // shares the tokenize via subexpression elimination either way (since
+    // r20's codegen'd fingerprint un-blocked whole-stage codegen for the
+    // analyze projection, it is WSCG's CSE; before, it was
+    // GenerateUnsafeProjection's) — so the shape is a wash and this one
+    // is kept for being branch-free. Semantics pinned by
+    // QualityFiltersSpec.
     lenScore * lit(0.4) + alphaRatio * lit(0.4) + tokLenScore * lit(0.2) +
       when(textCol.isNotNull, lit(0.0))
   }
@@ -180,8 +187,13 @@ object TextAnalysis {
           regexp_replace(t, lit(EmailRe), lit("<EMAIL>")),
           lit(PhoneRe), lit("<PHONE>")),
         lit(Ipv4Re), lit("<IP>"))
-    // six regex passes per row run in the scan stage — widen a small input
-    graft.index.IvfFlatIndex.widenScan(docs).select(
+    // six regex passes per row run in the scan stage — widen a small
+    // input, sized to regex work density (~512 KB of text per task: regex
+    // engines run single-digit MB/s per core on these patterns, so that is
+    // ~100-200 ms of work, well above the per-task fixed cost, unlike a flat
+    // full-parallelism widen, which r20 stage profiles measured as ~90%
+    // scheduling + shuffle-writer file fan-out at bench scale)
+    graft.index.IvfFlatIndex.widenScanSized(docs, RegexTaskBytes).select(
       col(idCol),
       regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
       regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"),
@@ -189,12 +201,13 @@ object TextAnalysis {
       redacted.as("redacted"))
   }
 
-  /** Full per-document analysis projection. The per-row work (four
-    * tokenize passes + fingerprint) is CPU-bound and runs in the scan
-    * stage, so an under-partitioned small input is widened first
-    * (size-gated; a no-op on an already-wide corpus scan). */
+  /** Full per-document analysis projection. The per-row work (tokenize +
+    * fingerprint, whole-stage-codegen'd with shared-subexpression
+    * elimination since r20) is CPU-bound and runs in the scan stage, so
+    * an under-partitioned small input is widened first — sized to regex
+    * work density like [[piiScrub]], not flat to full parallelism. */
   def analyze(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    graft.index.IvfFlatIndex.widenScan(docs).select(
+    graft.index.IvfFlatIndex.widenScanSized(docs, RegexTaskBytes).select(
       col(idCol),
       text.token_count(col(textCol)).as("n_tokens"),
       langId(col(textCol)).as("lang_pred"),

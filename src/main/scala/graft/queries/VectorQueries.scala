@@ -289,7 +289,8 @@ object VectorQueries {
    * PQ flood (> MaxStaticBatch ⇒ searchJoin) with exhaustive probe +
    * rerank: below the gate the ADC stage runs in
    * [[graft.index.BroadcastProbeTopK]] (codes scan in place) and the
-   * rerank in [[CoGroupTopK.rerankTopK]]. rerankK = 600 covers the WHOLE
+   * rerank in the join + codegen-distance + top-k shape (IvfPqIndex.searchJoin,
+   * r20). rerankK = 600 covers the WHOLE
    * sf0.01 oracle corpus (500 vectors), so the rerank re-scores every
    * candidate exactly and the exact-kNN SQL over the replicated query set
    * is the oracle — hash-gating row fidelity (no loss, no dup) through
