@@ -93,23 +93,38 @@ object CoGroupTopK {
         // for file sources; an unknown (huge) estimate degrades to the
         // parallelism cap, never below 1
         val bytes = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
-        val perList = bytes / BigInt(math.max(nlist, 1))
-        val want = (perList + TargetBucketBytes - 1) / TargetBucketBytes
+        // an UNKNOWN list count (the Int.MaxValue sentinel of callers
+        // that skip nlist) must not divide the estimate to zero and
+        // silently disable skew protection (r20 advice): with no list
+        // information the pessimistic per-list estimate is the whole
+        // corpus — one list could hold everything
+        val perList =
+          if (nlist <= 0 || nlist == Int.MaxValue) bytes
+          else bytes / BigInt(nlist)
+        // 4x skew headroom (r20 advice): the mean bytes-per-list
+        // under-splits a hot k-means list several times the mean in the
+        // below-cap regime; above the cap the clamp saturates either way
+        val want = (perList * 4 + TargetBucketBytes - 1) / TargetBucketBytes
         want.min(BigInt(numParts(spark))).max(BigInt(1)).toInt
     }
 
   private def numParts(spark: org.apache.spark.sql.SparkSession): Int =
     spark.sessionState.conf.numShufflePartitions
 
-  /** Partition count for the co-partition shuffle: never more than the
-    * distinct salted-key space — nlist x salt groups spread over MORE
-    * partitions than groups just schedules empty tasks (each paying the
-    * shuffle-writer's per-task file fan-out, the dominant fixed cost the
-    * r20 stage profiles attributed). At scale nlist x salt >> partitions
-    * and this is the session parallelism unchanged. */
+  /** Partition count for the co-partition shuffle: bounded by the
+    * distinct salted-key space — nlist x salt groups spread over MANY
+    * more partitions than groups just schedules empty tasks (each paying
+    * the shuffle-writer's per-task file fan-out, the dominant fixed cost
+    * the r20 stage profiles attributed). The 2x factor compensates hash
+    * collisions (r20 advice): hashing g groups into exactly g partitions
+    * co-locates ~1/e of them, so realized parallelism lands well under
+    * one-group-per-partition; at 2g the expected busy-partition count is
+    * ~0.8 g for the cost of g mostly-empty buckets. At scale
+    * nlist x salt >> partitions and this is the session parallelism
+    * unchanged. */
   private[index] def groupParts(spark: org.apache.spark.sql.SparkSession, nlist: Int, salt: Int): Int =
     math.max(1, math.min(numParts(spark),
-      math.min(nlist.toLong * salt, Int.MaxValue.toLong).toInt))
+      math.min(nlist.toLong * salt * 2, Int.MaxValue.toLong).toInt))
 
   /** (list_id, salt) composite grouping keys: corpus rows by id hash,
     * query rows replicated to every sub-bucket of their probed list. */
@@ -133,10 +148,16 @@ object CoGroupTopK {
    * every probing query's buffer.
    */
   def flatSearch(probed: DataFrame, corpus: DataFrame, k: Int, metricId: Int,
-      nlist: Int = Int.MaxValue): DataFrame = {
+      nlist: Int = Int.MaxValue, saltHint: Int = 0): DataFrame = {
     val spark = probed.sparkSession
     import spark.implicits._
-    val salt = saltOf(spark, corpus, nlist)
+    // saltHint: a caller that knows the real work shape better than the
+    // corpus-bytes heuristic (e.g. the exact-kNN flood, whose work is the
+    // query x corpus byte PRODUCT over ONE virtual list) pins the
+    // sub-bucket count directly; the conf still wins for tests/A-B runs
+    val salt =
+      if (saltHint > 0 && spark.conf.getOption(SaltKey).isEmpty) saltHint
+      else saltOf(spark, corpus, nlist)
     val q = probed
       // uniform null-drop semantics: a null qid would kill the task at
       // the primitive-tuple decode below, where the broadcast path
@@ -174,7 +195,16 @@ object CoGroupTopK {
           scoreFlatList(qs.iterator, group.map(r => (r._1, r._3, r._4)), k, metricId)
         }
       }(PartialEncoder)
-    TopKAggregator.finalizePartial(partial.toDF("_1", "_2", "_3"), k)
+    // merge parallelism tracks the scoring fan-out at a 4:1 compaction
+    // ratio (r21): the partial stage already reduced each task's stream
+    // to <= qids x k rows, so fewer merge tasks than scorers cuts the
+    // maps x reducers shuffle-file matrix (guide §2.2) — but ONE merge
+    // task ranking a preK-sized flood serially (measured: 720k partial
+    // rows ~1.5 s single-task) is the other ditch. The mapPartitions
+    // plan's stats inherit the scan estimate, so finalizePartial's own
+    // derivation cannot see the partial compaction.
+    TopKAggregator.finalizePartial(partial.toDF("_1", "_2", "_3"), k,
+      parts = math.max(1, groupParts(spark, nlist, salt) / 4))
       .select("qid", "id", "dist", "rank")
   }
 
@@ -235,7 +265,16 @@ object CoGroupTopK {
             books.value)
         }
       }(PartialEncoder)
-    TopKAggregator.finalizePartial(partial.toDF("_1", "_2", "_3"), k)
+    // merge parallelism tracks the scoring fan-out at a 4:1 compaction
+    // ratio (r21): the partial stage already reduced each task's stream
+    // to <= qids x k rows, so fewer merge tasks than scorers cuts the
+    // maps x reducers shuffle-file matrix (guide §2.2) — but ONE merge
+    // task ranking a preK-sized flood serially (measured: 720k partial
+    // rows ~1.5 s single-task) is the other ditch. The mapPartitions
+    // plan's stats inherit the scan estimate, so finalizePartial's own
+    // derivation cannot see the partial compaction.
+    TopKAggregator.finalizePartial(partial.toDF("_1", "_2", "_3"), k,
+      parts = math.max(1, groupParts(spark, nlist, salt) / 4))
       .select("qid", "id", "dist", "rank")
   }
 
@@ -294,7 +333,8 @@ object CoGroupTopK {
     val qvecs = new ArrayBuffer[Array[Float]]
     // ONE qvec per qid (first in group order): every other path enforces
     // first-entry-wins for duplicated qids (ProbeIndex.apply, the
-    // broadcast fold, rerankTopK), and scoring BOTH would merge two
+    // broadcast fold, the IvfPqIndex.searchJoin rerank's join +
+    // TopKAggregator shape), and scoring BOTH would merge two
     // different query vectors' candidates into one top-k — results would
     // flip at the broadcast gate for the identical query set
     val seen = new java.util.HashSet[java.lang.Long]

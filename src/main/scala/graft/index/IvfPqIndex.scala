@@ -133,7 +133,14 @@ class IvfPqIndex(
         .join(rerankSource, "id")
         .withColumn("dist", vector.distance_to_query(col("vec"), col("qid"), bcQ, m))
         .select("qid", "id", "dist")
-      (TopKAggregator.topKPerQuery(exact, params.k).select("qid", "id", "dist", "rank"),
+      // merge bound from the EXACT batch row count (r21): the join's plan
+      // stats would otherwise size the merge at the session fan-out for a
+      // serving batch whose merge stream is <= batch x k 24 B rows
+      val mergeParts = math.max(1, math.min(
+        spark.sessionState.conf.numShufflePartitions,
+        (live.length.toLong * params.k * 24 / TopKAggregator.MergeTargetBytes + 1).toInt))
+      (TopKAggregator.topKPerQuery(exact, params.k, mergeParts = mergeParts)
+        .select("qid", "id", "dist", "rank"),
         () => { bcT.destroy(); bcQ.destroy() })
     }
   }
@@ -209,7 +216,24 @@ class IvfPqIndex(
       // the stream no longer carries
       val candIds = adcTop.select("qid", "id")
       val hinted =
-        if (IvfFlatIndex.fitsBroadcastGate(queries, preK)) broadcast(candIds) else candIds
+        if (IvfFlatIndex.fitsBroadcastGate(queries, preK)) broadcast(candIds)
+        else {
+          // above the gate, pin the join-back's parallelism to the
+          // CANDIDATE OUTPUT volume (r21, guide §2.5): the skinny candIds
+          // stream is byte-small, so AQE coalesces the join's exchanges —
+          // and the ADC merge upstream may legitimately run on one
+          // partition — leaving the payload-attaching join (output ≈
+          // candidate rows x raw row width, ~6x its INPUT bytes) and its
+          // fat shuffle write on a single inherited task. Estimate output
+          // as qBytes x preK (query rows and raw rows share the vector
+          // width) and spread accordingly; REPARTITION_BY_NUM is exempt
+          // from coalescing and the raw side aligns to it.
+          val cap = spark.sessionState.conf.numShufflePartitions
+          val qB = uniq.queryExecution.optimizedPlan.stats.sizeInBytes
+          val candParts = ((qB * preK + TopKAggregator.MergeTargetBytes - 1) /
+            TopKAggregator.MergeTargetBytes).min(BigInt(cap)).max(BigInt(1)).toInt
+          candIds.repartition(candParts, col("id"))
+        }
       // widen a small raw scan for the same reason as the ADC stage: the
       // join fans the candidate stream out over the RAW side's partitions
       val cands = IvfFlatIndex.widenScan(rawVectors.select("id", "vec")).join(hinted, "id")
@@ -229,8 +253,23 @@ class IvfPqIndex(
       val exact = cands.join(qHinted, "qid")
         .select(col("qid"), col("id"),
           vector.distance(col("qvec"), col("vec"), m).as("dist"))
-      TopKAggregator.topKPerQuery(exact, params.k)
+      // query-side merge bound (r21): the joined plan's stats are a join
+      // product, so finalizePartial's own derivation would plan the full
+      // session fan-out for a KB merge
+      val mergeParts = TopKAggregator.mergePartsFor(uniq, params.k)
+      val ranked = TopKAggregator.topKPerQuery(exact, params.k,
+        mergeParts = mergeParts)
         .select("qid", "id", "dist", "rank")
+      // materialization barrier (r21, guide §2.4): when the shuffled-hash
+      // rerank join leaves the stream hash-clustered on qid, the merge's
+      // repartition can be elided as redundant — the whole fat
+      // join + kernel stage then sits on the map side of any consumer's
+      // range-partitioning exchange, whose bounds-SAMPLING job re-executes
+      // its child (measured: the 180 MB-read rerank stage ran twice per
+      // action). A round-robin exchange of the <= nq x k result rows is
+      // never elided and never satisfies a downstream requirement, so
+      // everything above it materializes exactly once.
+      ranked.repartition(mergeParts)
     }
   }
 }

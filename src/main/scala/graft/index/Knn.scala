@@ -21,6 +21,28 @@ import graft.functions.vector
  */
 object Knn {
 
+  /** Scoring-work target per flood task, in PAIR-BYTES (query-side bytes x
+    * corpus-side bytes, both from free plan-time stats): brute force
+    * evaluates one distance kernel per (query, corpus) pair, so work per
+    * task ∝ the byte product. 4e11 pair-bytes ≈ 1.5M 128-D float pairs
+    * ≈ ~100 ms of kernel time — tasks in the hundreds of milliseconds,
+    * far above the per-task scheduling + shuffle-writer fixed cost the
+    * r20 stage profiles attributed (guide §2.5), without the flat
+    * full-parallelism fan-out that made 8 cores beat 32 on KB floods. */
+  private[index] val TargetPairBytes: BigInt = BigInt(400L) * 1000000000L
+
+  /** Plan-stats-derived partition count for the unbounded flood's scoring
+    * stage: ceil(qBytes x cBytes / TargetPairBytes) clamped to
+    * [1, spark.sql.shuffle.partitions]. Unknown stats estimate huge and
+    * saturate the cap — the safe default for a genuine flood. */
+  private[index] def floodParts(queries: DataFrame, corpus: DataFrame): Int = {
+    val n = queries.sparkSession.sessionState.conf.numShufflePartitions
+    val qB = queries.queryExecution.optimizedPlan.stats.sizeInBytes
+    val cB = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+    val want = (qB * cB + TargetPairBytes - 1) / TargetPairBytes
+    want.min(BigInt(n)).max(BigInt(1)).toInt
+  }
+
   /**
    * @param queries  (qid: LONG, qvec: ARRAY<FLOAT>) — small batch, broadcast
    * @param vectors  (id: LONG, vec: ARRAY<FLOAT>) — the scanned corpus
@@ -84,22 +106,37 @@ object Knn {
             BroadcastProbeTopK.flat(probed, corpus, k, metric.id), k)
             .select("qid", "id", "dist", "rank"), () => ())
         } else {
-          // one row per qid: two duplicate rows would BOTH cross-join and
-          // their candidates merge in the per-qid top-k (cross-qvec
-          // mixing) — same invariant as every other search path.
-          // The explicit-count repartition BEFORE the dedup pins the
-          // flood's scoring parallelism (r20, guide §2.5): the dedup's
-          // own ENSURE_REQUIREMENTS exchange is byte-coalesced by AQE —
-          // a KB-sized query flood collapsed to ONE partition, and the
-          // cross join, the distance kernel and both top-k operators all
-          // inherit that single task. Same key as the dedup (and the
-          // final per-qid merge), so no extra exchange is added — the
-          // repartition satisfies the dedup's required distribution.
-          val n = qdf.sparkSession.sessionState.conf.numShufflePartitions
-          val scored = vectors.select(col("id"), col("vec"))
-            .crossJoin(IvfFlatIndex.onePerQid(qdf.repartition(n, col("qid"))))
-            .withColumn("dist", vector.distance(col("qvec"), col("vec"), metric))
-          (TopKAggregator.topKPerQuery(scored, k).select("qid", "id", "dist", "rank"),
+          // r21: the above-gate flood scores through CoGroupTopK's
+          // deopt-immune co-partition loops over ONE virtual list with
+          // the salt pinned to the plan-stats-derived scoring
+          // parallelism. This replaces the r20 cross-join + per-pair
+          // codegen shape, which was wrong twice over:
+          //  - its repartition(n, qid) pre-satisfied finalizePartial's
+          //    exchange; the optimizer elided it and the WHOLE quadratic
+          //    scoring pipeline landed on the map side of a consumer's
+          //    range-partitioning exchange — whose bounds-sampling job
+          //    re-executes its child, so the scoring ran TWICE per
+          //    action (measured: two identical 32-task stages each
+          //    reading the query shuffle; guide §2.4);
+          //  - every (query, vector) pair materialized as a generated-
+          //    code candidate row (measured ~1.9 us/pair vs ~0.1 us for
+          //    the same kernel inside the scalac scan loop — the exact
+          //    overhead ListScanTopK removed from the static path).
+          // The salt (corpus sub-buckets = scoring tasks) comes from the
+          // query x corpus byte product, not a flat constant (r20
+          // verdict #2, guide §2.5): a KB flood takes few tasks — no
+          // shuffle-writer file-matrix tax for microseconds of work —
+          // while any production-sized flood saturates the session cap.
+          // One row per qid BEFORE scoring: two duplicate rows would
+          // both replicate into the salt buckets, and per-bucket
+          // first-wins could score DIFFERENT qvecs of one qid in
+          // different buckets — same invariant as every other path.
+          val probed = IvfFlatIndex.onePerQid(qdf).withColumn("list_id", lit(0))
+          val corpus = vectors.select(
+            col("id").cast("long"), lit(0).cast("int").as("list_id"), col("vec"))
+          (CoGroupTopK.flatSearch(probed, corpus, k, metric.id,
+            nlist = 1, saltHint = floodParts(qdf, vectors))
+            .select("qid", "id", "dist", "rank"),
             () => ())
         }
     }

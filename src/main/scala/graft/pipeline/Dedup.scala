@@ -860,8 +860,20 @@ object Dedup {
         text.word_ngrams(text.tokenize(col(textCol)), spanLen))).as("span"))
       .select(col("id"), xxhash64(col("span")).as("h"))
       .transform(persistOnce)
-    spans.as("a")
-      .join(spans.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+    // r21 (guide §3.2 — reduce the join inputs before the quadratic
+    // stage): almost every span hash is unique to one document, yet the
+    // self-join carried ALL of them on both sides — pairs can only come
+    // from hashes held by >= 2 documents ((id, h) is distinct per doc via
+    // array_distinct, so count > 1 on h IS >= 2 docs). One extra
+    // aggregation pass over the cached span table prunes both join inputs
+    // to the shared-hash sliver, losslessly; at 100 TB it is the
+    // difference between self-joining the whole shingle space and only
+    // its collisions.
+    val shared = spans.groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("h")
+    val dup = spans.join(shared, Seq("h"), "left_semi")
+    dup.as("a")
+      .join(dup.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_spans"))
   }

@@ -414,26 +414,30 @@ object PipelineQueries {
     {
       val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
       val qname = "graft_streaming_curation_replay"
-      // curationAudit's measured sizing (its scaladoc / ROUND14 frontier
-      // sweep): the stateful exchange is task-OVERHEAD-bound — per-batch
-      // state-store instances dominate at tiny per-partition state — so
-      // FEWER shuffle partitions beat more. Shuffle partitions are fixed
-      // per streaming query at its first batch: set for the stream, then
-      // restore (entries run sequentially under Verify/Bench).
+      // Per-trigger confs DERIVED from the replay batch volume (r21, r20
+      // verdict #6 — the hardcoded 4/NO_CODEGEN encoded the bench shape,
+      // not a rule). Both are scoped to the stream and restored after
+      // q.stop(); entries run sequentially under Verify/Bench, so no
+      // other query sees them. Shuffle partitions are fixed per
+      // streaming query at its first batch.
+      val (derivedParts, interpret) =
+        graft.streaming.StreamingIngest.replayConfs(spark,
+          rows.iterator.map(r => 64L + (if (r._3 == null) 0 else r._3.length)).sum)
       val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-      // a streaming query's generated classes embed per-run state, so
-      // NOTHING hits the Janino cache across runs — at ~100 classes per
-      // start that is tens of driver-seconds compiling code that will
-      // process 294 rows. Run the microbatches INTERPRETED instead
-      // (zero compile; the replay is state-handoff-bound, not
-      // expression-bound). Both confs are read per-(micro)batch at
-      // planning: restored after q.stop(), and entries run sequentially
-      // under Verify/Bench, so no other query sees them.
       val prevWhole = spark.conf.get("spark.sql.codegen.wholeStage")
       val prevFactory = spark.conf.get("spark.sql.codegen.factoryMode")
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      spark.conf.set("spark.sql.codegen.wholeStage", "false")
-      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      spark.conf.set("spark.sql.shuffle.partitions", derivedParts.toString)
+      if (interpret) {
+        // a streaming query's generated classes embed per-run state, so
+        // NOTHING hits the Janino cache across runs — at ~100 classes
+        // per start that is tens of driver-seconds compiling code that
+        // would process a bounded batch. Below the codegen cutover the
+        // microbatches run INTERPRETED (zero compile); a production-
+        // sized batch keeps codegen, where per-row interpretation would
+        // be the pessimization.
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      }
       def restoreConfs(): Unit = {
         spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         spark.conf.set("spark.sql.codegen.wholeStage", prevWhole)

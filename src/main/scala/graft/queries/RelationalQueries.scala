@@ -138,16 +138,72 @@ object RelationalQueries {
    * so a tie-rich ordering would be nondeterministic across engines.
    */
   private def qRankFamily(spark: SparkSession, dir: String): DataFrame = {
+    // r21 rewrite (guide §2.3 "shuffle keys and metadata instead of
+    // payloads", §2.5 low-cardinality partition keys): the direct
+    // formulation stacked TWO full sorts + window passes over every order
+    // row, hash-partitioned on the 5-value o_orderpriority — parallelism
+    // capped at 5 tasks at ANY scale, and the hot priority a guaranteed
+    // straggler at 100 TB.
+    //
+    // Every requested value is a closed-form function of per-(priority,
+    // price_bucket) ROW COUNTS plus an in-bucket row_number, because the
+    // wb ordering (price_bucket DESC) has tie groups = buckets and the wt
+    // ordering (o_totalprice DESC, key) never interleaves buckets
+    // (floor(price/1e4) is monotone in price, so bucket order IS coarse
+    // price order; ties in price share a bucket):
+    //   dense_rank   = position of the bucket among the priority's
+    //                  distinct buckets in DESC order
+    //   percent_rank = n_before / (n_total - 1)    [0 when n_total = 1]
+    //   cume_dist    = (n_before + cnt) / n_total
+    //   ntile(4)     = the SQL ntile closed form over the global
+    //                  rn = n_before + row_number-within-bucket
+    // with n_before = rows in strictly-higher buckets of the same
+    // priority. Both engines DEFINE the rank family by exactly these
+    // integer formulas (same integer operands -> same double division ->
+    // bit-identical), and the driver's DuckDB oracle re-gates that.
+    //
+    // Plan shape: the counts aggregate map-side to |priority| x |bucket|
+    // rows (bounded: buckets are price/1e4 steps), the window machinery
+    // runs over THAT tiny frame, and the fact rows take ONE sort,
+    // partitioned on (priority, bucket) — two orders of magnitude more
+    // partition keys than the 5-value key the wb window forced.
     val o = Tables(spark, dir, "orders")
       .withColumn("price_bucket", floor(col("o_totalprice") / 10000).cast("long"))
-    val wb = Window.partitionBy("o_orderpriority").orderBy(col("price_bucket").desc)
-    val wt = Window.partitionBy("o_orderpriority")
+      .select("o_orderpriority", "o_orderkey", "o_totalprice", "price_bucket")
+    val wS = Window.partitionBy("o_orderpriority").orderBy(col("price_bucket").desc)
+    val stats = o.groupBy("o_orderpriority", "price_bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("o_orderpriority").as("p_priority"), col("price_bucket").as("p_bucket"),
+        col("cnt"),
+        coalesce(
+          sum("cnt").over(wS.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("n_before"),
+        row_number().over(wS).as("drk"),
+        sum("cnt").over(Window.partitionBy("o_orderpriority")).as("n_total"))
+    // null-safe join keys: equality join would silently drop a null
+    // bucket/priority row the window formulation kept as a peer group
+    val joined = o.join(broadcast(stats),
+      col("o_orderpriority") <=> col("p_priority") &&
+        col("price_bucket") <=> col("p_bucket"))
+    val wIn = Window.partitionBy("o_orderpriority", "price_bucket")
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    o.select(col("o_orderpriority"), col("o_orderkey"), col("price_bucket"),
-        dense_rank().over(wb).as("drk"),
-        percent_rank().over(wb).as("prk"),
-        cume_dist().over(wb).as("cd"),
-        ntile(4).over(wt).as("quartile"))
+    joined
+      .withColumn("rn", col("n_before") + row_number().over(wIn))
+      .selectExpr(
+        "o_orderpriority", "o_orderkey", "price_bucket",
+        "drk",
+        "CASE WHEN n_total > 1 THEN CAST(n_before AS DOUBLE) / CAST(n_total - 1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS prk",
+        "CAST(n_before + cnt AS DOUBLE) / CAST(n_total AS DOUBLE) AS cd",
+        // ntile(4) closed form: the first (n % 4) buckets hold
+        // (n div 4 + 1) rows, the rest (n div 4); n < 4 always lands in
+        // the THEN arm (threshold = n), so the ELSE's div-by-zero branch
+        // is never evaluated
+        """CAST(CASE WHEN rn <= (n_total % 4) * ((n_total div 4) + 1)
+          |     THEN (rn - 1) div ((n_total div 4) + 1) + 1
+          |     ELSE (n_total % 4) +
+          |          (rn - (n_total % 4) * ((n_total div 4) + 1) - 1) div (n_total div 4) + 1
+          |     END AS INT) AS quartile""".stripMargin)
       .orderBy("o_orderpriority", "o_orderkey")
   }
 
@@ -235,28 +291,50 @@ object RelationalQueries {
       .orderBy("nationkey")
   }
 
-  /** Rollup coverage: subtotal + grand-total rows with grouping ids. */
-  private def qRollup(spark: SparkSession, dir: String): DataFrame =
+  /** Finest-level (flag, status) aggregate feeding the rollup/cube
+    * rewrites: exact decimal sums + counts, re-aggregable losslessly
+    * (decimal addition is associative; count re-sums). Bounded output:
+    * both keys are tiny enumerated domains (|flag| x |status| <= 6 at any
+    * scale). */
+  private def qtyByFlagStatus(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(dec("l_quantity")).as("q"), count(lit(1)).as("n0"))
+
+  /** Rollup coverage: subtotal + grand-total rows with grouping ids.
+    *
+    * r21 (guide §2.3 "aggregate before you shuffle"): rollup over the raw
+    * table ran the Expand BELOW the partial aggregate — every input row
+    * tripled (one copy per grouping set) before any reduction, so the
+    * scan stage did 3x the aggregate updates. Rolling up the finest
+    * (flag, status) aggregate instead is exact (decimal sums re-add
+    * associatively; counts re-sum) and uses the SAME rollup/grouping_id
+    * machinery, so gids, null-filled group columns and output types are
+    * identical by construction — the Expand now multiplies <= 6 rows. */
+  private def qRollup(spark: SparkSession, dir: String): DataFrame =
+    qtyByFlagStatus(spark, dir)
       .rollup("l_returnflag", "l_linestatus")
       .agg(
         grouping_id().cast("int").as("gid"),
-        sum(dec("l_quantity")).cast("double").as("sum_qty"),
-        count(lit(1)).as("n"))
+        sum(col("q")).cast("double").as("sum_qty"),
+        sum(col("n0")).as("n"))
       .orderBy(col("gid"),
         col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
       .select("gid", "l_returnflag", "l_linestatus", "sum_qty", "n")
 
   /** Cube coverage: all four grouping combinations with grouping ids —
-    * completes the rollup/cube pair in the §2.8 checklist. */
+    * completes the rollup/cube pair in the §2.8 checklist. Same
+    * finest-aggregate-first shape as [[qRollup]] (r21, guide §2.3): the
+    * cube's 4-way Expand multiplies the 6-row fine aggregate, not the
+    * fact table. */
   private def qCube(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "lineitem")
+    qtyByFlagStatus(spark, dir)
       .cube("l_returnflag", "l_linestatus")
       .agg(
         grouping_id().cast("int").as("gid"),
-        sum(dec("l_quantity")).cast("double").as("sum_qty"),
-        count(lit(1)).as("n"))
+        sum(col("q")).cast("double").as("sum_qty"),
+        sum(col("n0")).as("n"))
       .orderBy(col("gid"),
         col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
@@ -519,14 +597,23 @@ object RelationalQueries {
   }
 
   /** GROUPING SETS — the explicit-combination sibling of rollup/cube
-    * (here: by flag, by status, and the grand total, but NOT the pair). */
+    * (here: by flag, by status, and the grand total, but NOT the pair).
+    * Same finest-aggregate-first shape as [[qRollup]] (r21, guide §2.3):
+    * the 3-way grouping-sets Expand multiplies the 6-row (flag, status)
+    * aggregate instead of tripling every fact row below the partial
+    * aggregate. Exact: decimal sums re-add associatively, counts re-sum,
+    * and grouping_id comes from the same GROUPING SETS machinery. */
   private def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir, "lineitem").createOrReplaceTempView("graft_li_gs")
     spark.sql(
-      """SELECT CAST(grouping_id() AS INT) AS gid, l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  count(1) AS n
-        |FROM graft_li_gs
+      """WITH fine AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS q, count(1) AS n0
+        |  FROM graft_li_gs GROUP BY l_returnflag, l_linestatus)
+        |SELECT CAST(grouping_id() AS INT) AS gid, l_returnflag, l_linestatus,
+        |  CAST(sum(q) AS DOUBLE) AS sum_qty,
+        |  sum(n0) AS n
+        |FROM fine
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
       .orderBy(col("gid"),
         col("l_returnflag").asc_nulls_first,

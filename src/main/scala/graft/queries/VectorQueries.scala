@@ -1713,10 +1713,18 @@ object VectorQueries {
     * between an O(n²) cartesian and per-list blocking. */
   private def sqlSelfJoinDedup(spark: SparkSession, dir: String): DataFrame = {
     sqlAnnTable(spark, dir)
+    // conjunct order matters (r21, guide §1.2 per-task work): the join
+    // condition evaluates left-to-right with short-circuit, and each
+    // unordered pair reaches it TWICE (once per side assignment) — with
+    // the kernel first, the full l2_distance ran on both mirror images
+    // and on every self-pair before the id test discarded half of them
+    // (this entry burned ~91 task-seconds at sf0.1, ~2x the candidate
+    // kernel cost). The cheap `a.id < b.id` now gates the kernel. Same
+    // predicate set, same result, same oracle.
     val df = spark.sql(
       s"""SELECT a.id AS a_id, b.id AS b_id, l2_distance(b.vec, a.vec) AS dist
          |FROM graft_sqlann a, graft_sqlann b
-         |WHERE l2_distance(b.vec, a.vec) <= $RangeRadius AND a.id < b.id
+         |WHERE a.id < b.id AND l2_distance(b.vec, a.vec) <= $RangeRadius
          |ORDER BY a_id, b_id""".stripMargin)
     val pfs = graft.plans.SqlAnn.fileSourceScans(df)
       .filter(_.output.exists(_.name == "list_id"))

@@ -7,16 +7,23 @@ import org.apache.spark.sql.SparkSession
 
 /** Dump `.explain("formatted")` for driver entries to files — the plan
   * evidence the optimization rounds commit under plans/rNN/.
-  * Usage: ExplainFormatted <outDir> <suffix> [sfDir] [query ...]
-  * (no query names = every SparkEntry entry). */
+  * Usage: ExplainFormatted <outDir> <suffix> [--dir <sfDir>] [query ...]
+  * (no query names = every SparkEntry entry). The data dir rides an
+  * explicit --dir flag: the old leading-'/' heuristic misread a relative
+  * data dir as a query name (r20 advice). */
 object ExplainFormatted {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        "usage: ExplainFormatted <outDir> <suffix> [--dir <sfDir>] [query ...]")
+      sys.exit(2)
+    }
     val outDir = args(0)
     val suffix = args(1)
-    val (dir, names) =
-      if (args.length > 2 && args(2).startsWith("/"))
-        (args(2), args.drop(3).toSeq)
-      else ("/root/testdata/sf0.01", args.drop(2).toSeq)
+    val (dir, names) = args.drop(2).toSeq match {
+      case "--dir" +: d +: qs => (d, qs)
+      case qs => ("/root/testdata/sf0.01", qs)
+    }
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")

@@ -9,12 +9,21 @@ object OneQuery {
     val iters = if (args.length > 1) args(1).toInt else 6
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // mirror Bench's conf EXACTLY (tmpfs shuffle dir, shared codegen class
+    // names): a timing read from this tool must be comparable to the
+    // bench, and disk-backed shuffle on the sandbox disk adds hundreds of
+    // ms of per-stage I/O wait the bench never pays
+    val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse(
+      Some("/dev/shm/graft-onequery")
+        .filter(_ => new java.io.File("/dev/shm").isDirectory))
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.useIdInClassName", "false")
       .config("spark.ui.enabled", "false")
+    val spark = localDir.fold(builder)(d => builder.config("spark.local.dir", d))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(name)

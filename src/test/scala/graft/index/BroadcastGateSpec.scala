@@ -215,6 +215,17 @@ class BroadcastGateSpec extends SparkSpec {
       conf.set(CoGroupTopK.SaltKey, "13")
       assert(CoGroupTopK.saltOf(spark, corpus, nlist = 8) === 13)
     } finally old.fold(conf.unset(CoGroupTopK.SaltKey))(conf.set(CoGroupTopK.SaltKey, _))
+    // r21 (r20 advice): the formula applies 4x skew headroom on the mean
+    // bytes-per-list, and an UNKNOWN nlist (the Int.MaxValue sentinel)
+    // prices the whole corpus as one potential hot list instead of
+    // dividing the estimate to zero and silently disabling salting
+    val bytes = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+    val t = BigInt(CoGroupTopK.TargetBucketBytes)
+    def clamp(v: BigInt) = v.min(BigInt(parts)).max(BigInt(1)).toInt
+    assert(CoGroupTopK.saltOf(spark, corpus, nlist = 8) ===
+      clamp((bytes / 8 * 4 + t - 1) / t))
+    assert(CoGroupTopK.saltOf(spark, corpus, nlist = Int.MaxValue) ===
+      clamp((bytes * 4 + t - 1) / t))
   }
 
   test("gate decision pins to the plan-stats estimate boundary") {

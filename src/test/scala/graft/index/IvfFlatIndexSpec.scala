@@ -140,11 +140,12 @@ class IvfFlatIndexSpec extends SparkSpec {
     assert(bcPlan.contains("BroadcastProbeTopK"), s"bounded-flood exact plan:\n$bcPlan")
     assert("_distance\\(".r.findAllIn(bcPlan).isEmpty,
       s"bounded-flood exact plan should carry no distance expression:\n$bcPlan")
-    // unbounded fallback ABOVE the gate (plain cross join, nothing
-    // broadcast): exactly ONE kernel eval per pair — the Window variant's
-    // null/NaN pre-filter used to land in the cross-join condition,
-    // evaluating the kernel THREE times per pair
-    // with Spark's own auto-broadcast disabled too, any BroadcastExchange
+    // unbounded fallback ABOVE the gate (r21: the salted co-partition
+    // scan, one virtual list): the kernel lives inside the scalac scoring
+    // loop, so NO distance expression may appear in the plan — and no
+    // per-pair candidate rows through a join either (the r20 cross-join
+    // shape materialized every (query, vector) pair in generated code).
+    // With Spark's own auto-broadcast disabled too, any BroadcastExchange
     // in the plan could only come from a planted hint — there must be none
     val conf = spark.conf
     val autoKey = "spark.sql.autoBroadcastJoinThreshold"
@@ -155,9 +156,10 @@ class IvfFlatIndexSpec extends SparkSpec {
       conf.set(autoKey, "-1")
       val joinPlan = Knn.exact(wide, index.vectors.select("id", "vec"), 5)
         .queryExecution.executedPlan.toString
-      val kernelCount = "_distance\\(".r.findAllIn(joinPlan).length
-      assert(kernelCount == 1,
-        s"join exact plan evaluates the distance kernel $kernelCount times:\n$joinPlan")
+      assert("_distance\\(".r.findAllIn(joinPlan).isEmpty,
+        s"above-gate exact plan should carry no distance expression:\n$joinPlan")
+      assert(!joinPlan.contains("NestedLoop") && !joinPlan.contains("CartesianProduct"),
+        s"above-gate exact plan must not materialize per-pair rows:\n$joinPlan")
       assert(!joinPlan.contains("BroadcastExchange"),
         s"above-gate exact plan must not broadcast the query set:\n$joinPlan")
     } finally {

@@ -21,6 +21,40 @@ class TopKAggregatorSpec extends SparkSpec {
     assert(agg === win)
   }
 
+  test("finalizePartial sizes its merge fan-out from the partial plan's stats (r21)") {
+    val s = spark
+    import s.implicits._
+    val partial = Seq((1L, 2L, 0.5), (2L, 3L, 0.25), (1L, 4L, 0.75))
+      .toDF("_1", "_2", "_3")
+    def mergeCount(df: org.apache.spark.sql.DataFrame): Option[Int] =
+      df.queryExecution.logical.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression =>
+          r.optNumPartitions
+      }.head
+    // KB-scale partial -> ONE merge partition: no maps x session-cap
+    // shuffle-file matrix for a handful of rows
+    assert(mergeCount(TopKAggregator.finalizePartial(partial, 2)) === Some(1))
+    // an explicit caller bound wins (clamped to the session cap)
+    assert(mergeCount(TopKAggregator.finalizePartial(partial, 2, parts = 3)) === Some(3))
+    val cap = spark.sessionState.conf.numShufflePartitions
+    assert(mergeCount(
+      TopKAggregator.finalizePartial(partial, 2, parts = cap + 100)) === Some(cap))
+    // results are partition-count-invariant
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))
+    val a = TopKAggregator.finalizePartial(partial, 2).collect().map(key).sorted
+    val b = TopKAggregator.finalizePartial(partial, 2, parts = 3)
+      .collect().map(key).sorted
+    assert(a === b)
+    // mergePartsFor pins the query-side bound formula
+    val q = Seq((1L, Array(1f, 2f))).toDF("qid", "qvec")
+    val qB = q.queryExecution.optimizedPlan.stats.sizeInBytes
+    val expect = ((qB * 7 * 3 / 5 + TopKAggregator.MergeTargetBytes - 1) /
+      TopKAggregator.MergeTargetBytes)
+      .min(BigInt(cap)).max(BigInt(1)).toInt
+    assert(TopKAggregator.mergePartsFor(q, 7) === expect)
+  }
+
   test("aggregator keeps the (dist, id) tie order and the k bound") {
     val s = spark
     import s.implicits._

@@ -170,4 +170,97 @@ class RelationalQueriesSpec extends SparkSpec {
       assert(sizes.max - sizes.min <= 1, s"$prio quartile sizes $sizes")
     }
   }
+
+  // --- r21 rewrite parity: the closed-form / fine-aggregate rewrites must
+  // be BIT-identical to the direct window / rollup formulations they
+  // replaced (the driver's DuckDB oracle re-gates this too; these tests
+  // keep the equivalence local and debuggable).
+
+  test("q_rank_family closed-form rewrite is bit-identical to the direct double-window plan") {
+    assume(new java.io.File(s"$dir/orders.parquet").exists)
+    import org.apache.spark.sql.expressions.Window
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .withColumn("price_bucket", floor(col("o_totalprice") / 10000).cast("long"))
+    val wb = Window.partitionBy("o_orderpriority").orderBy(col("price_bucket").desc)
+    val wt = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val direct = o.select(col("o_orderpriority"), col("o_orderkey"), col("price_bucket"),
+        dense_rank().over(wb).as("drk"),
+        percent_rank().over(wb).as("prk"),
+        cume_dist().over(wb).as("cd"),
+        ntile(4).over(wt).as("quartile"))
+      .orderBy("o_orderpriority", "o_orderkey").collect()
+    val got = RelationalQueries.queries("q_rank_family")(spark, dir).collect()
+    assert(got.length === direct.length)
+    got.zip(direct).zipWithIndex.foreach { case ((g, d), i) =>
+      assert(g === d, s"row $i")
+    }
+  }
+
+  test("q_rank_family rewrite handles tiny partitions (ntile n<4) and a null price") {
+    import org.apache.spark.sql.expressions.Window
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rankfam_edge").toString
+    // priorities of size 1, 2, 3 and 5; one NULL o_totalprice (null bucket)
+    val rows = Seq(
+      (1L, "a", Some(5000.0)),
+      (2L, "b", Some(15000.0)), (3L, "b", Some(15000.0)),
+      (4L, "c", Some(25000.0)), (5L, "c", Some(5.0)), (6L, "c", None),
+      (7L, "d", Some(100.0)), (8L, "d", Some(20000.0)), (9L, "d", Some(20000.0)),
+      (10L, "d", Some(30000.0)), (11L, "d", Some(100.0)))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    rows.write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val o = spark.read.parquet(s"$tmp/orders.parquet")
+      .withColumn("price_bucket", floor(col("o_totalprice") / 10000).cast("long"))
+    val wb = Window.partitionBy("o_orderpriority").orderBy(col("price_bucket").desc)
+    val wt = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val direct = o.select(col("o_orderpriority"), col("o_orderkey"), col("price_bucket"),
+        dense_rank().over(wb).as("drk"),
+        percent_rank().over(wb).as("prk"),
+        cume_dist().over(wb).as("cd"),
+        ntile(4).over(wt).as("quartile"))
+      .orderBy("o_orderpriority", "o_orderkey").collect()
+    val got = RelationalQueries.queries("q_rank_family")(spark, tmp).collect()
+    graft.storage.EpochManager.deleteRecursively(tmp)
+    assert(got.length === direct.length)
+    got.zip(direct).zipWithIndex.foreach { case ((g, d), i) =>
+      assert(g === d, s"row $i")
+    }
+  }
+
+  test("rollup/cube/grouping-sets fine-aggregate rewrites match the direct formulations") {
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists)
+    import org.apache.spark.sql.types.DecimalType
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val d = col("l_quantity").cast(DecimalType(18, 2))
+    def directOf(grouped: org.apache.spark.sql.RelationalGroupedDataset) =
+      grouped.agg(
+        grouping_id().cast("int").as("gid"),
+        sum(d).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+        .orderBy(col("gid"),
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+        .select("gid", "l_returnflag", "l_linestatus", "sum_qty", "n")
+        .collect().toSeq
+    assert(RelationalQueries.queries("q_rollup")(spark, dir).collect().toSeq ===
+      directOf(li.rollup("l_returnflag", "l_linestatus")))
+    assert(RelationalQueries.queries("q_cube")(spark, dir).collect().toSeq ===
+      directOf(li.cube("l_returnflag", "l_linestatus")))
+    li.createOrReplaceTempView("graft_li_gs_direct")
+    val directGs = spark.sql(
+      """SELECT CAST(grouping_id() AS INT) AS gid, l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(1) AS n
+        |FROM graft_li_gs_direct
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+      .orderBy(col("gid"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+      .collect().toSeq
+    assert(RelationalQueries.queries("q_grouping_sets")(spark, dir).collect().toSeq
+      === directGs)
+  }
 }

@@ -634,4 +634,22 @@ class StreamingIngestSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("replayConfs derives shuffle partitions and the codegen cutover from batch volume") {
+    val cap = spark.sessionState.conf.numShufflePartitions
+    // bench-sized replay (hundreds of KB): one partition, interpreted
+    assert(StreamingIngest.replayConfs(spark, 300L << 10) === ((1, true)))
+    // partitions scale with the batch and clamp at the session cap
+    val (midParts, midInterp) =
+      StreamingIngest.replayConfs(spark, 3 * StreamingIngest.ReplayBytesPerPartition)
+    assert(midParts === math.min(cap, 3) && midInterp)
+    val (bigParts, bigInterp) =
+      StreamingIngest.replayConfs(spark, 4L * StreamingIngest.ReplayCodegenBytes)
+    assert(bigParts === cap)
+    // a production-sized batch keeps codegen on
+    assert(!bigInterp)
+    // boundary: exactly the cutover compiles (strictly-below interprets)
+    assert(!StreamingIngest.replayConfs(spark, StreamingIngest.ReplayCodegenBytes)._2)
+    assert(StreamingIngest.replayConfs(spark, StreamingIngest.ReplayCodegenBytes - 1)._2)
+  }
 }
