@@ -32,16 +32,18 @@ case class VectorDistance(left: Expression, right: Expression, metric: Metric.Va
 
   private val metricId = metric.id
 
+  // distanceCols: thread-local scratch decode instead of two fresh
+  // float[] per PAIR (r21) — at rerank/cross-join candidate cardinality
+  // the copies were hundreds of MB of garbage per run (stage profiles:
+  // multi-second GC on scans whose runtime was 3x their CPU)
   override def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.distance(
-      a.asInstanceOf[ArrayData].toFloatArray(),
-      b.asInstanceOf[ArrayData].toFloatArray(),
-      metricId)
+    VectorKernels.distanceCols(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], metricId)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.VectorKernels.distance(" +
-        s"$a.toFloatArray(), $b.toFloatArray(), $metricId);")
+      s"${ev.value} = graft.functions.VectorKernels.distanceCols(" +
+        s"$a, $b, $metricId);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VectorDistance =

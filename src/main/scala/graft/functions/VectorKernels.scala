@@ -66,6 +66,35 @@ object VectorKernels {
       case _             => l2(a, b)
     }
 
+  // Per-thread scratch buffers for [[distanceCols]]: a fresh float[] pair
+  // per candidate was the dominant allocation of every rerank/cross-join
+  // distance stage (r21 stage profiles: GC-bound scans at 3x their CPU
+  // time). Two independent buffers — the operands must never alias. The
+  // decoded views are valid only within one distanceCols call.
+  private final class Scratch {
+    var buf: Array[Float] = null
+    def decode(a: org.apache.spark.sql.catalyst.util.ArrayData): Array[Float] = {
+      val n = a.numElements()
+      if (buf == null || buf.length != n) buf = new Array[Float](n)
+      val b = buf
+      var i = 0
+      while (i < n) { b(i) = a.getFloat(i); i += 1 }
+      b
+    }
+  }
+  private val scratchA = ThreadLocal.withInitial[Scratch](() => new Scratch)
+  private val scratchB = ThreadLocal.withInitial[Scratch](() => new Scratch)
+
+  /** [[distance]] straight off the columnar ArrayData operands through
+    * per-thread scratch buffers — same arithmetic (the kernels consume
+    * the decoded floats transiently), zero allocation per call once the
+    * buffers match the dimensionality. Called from generated code. */
+  def distanceCols(
+      a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData,
+      metric: Int): Double =
+    distance(scratchA.get().decode(a), scratchB.get().decode(b), metric)
+
   /** Sign-bit pack, word `word`: bit b set iff v[word*32 + b] > 0 —
     * operates straight on the columnar ArrayData (no float[] copy).
     * Bits past the array length stay clear, matching the builtin

@@ -228,7 +228,7 @@ object ProbeIndex {
     if (listId < 0 || listId >= pi.listPos.length) return EmptyArray
     val pos = pi.listPos(listId)
     if (pos == null) return EmptyArray
-    val v = vec.toFloatArray()
+    val v = VecScratch.local().decode(vec)
     var hits: scala.collection.mutable.ArrayBuffer[Any] = null
     var j = 0
     while (j < pos.length) {
@@ -273,6 +273,32 @@ object ProbeIndex {
   }
 }
 
+/** Per-thread scratch decode of an ARRAY<FLOAT> payload: the scan
+  * scorers decode every corpus row once, and `toFloatArray()` made each
+  * decode a fresh allocation — ~500 B x corpus rows x runs of pure
+  * garbage per scan (the r21 stage profiles measured multi-second GC
+  * spikes on the 200k-row scale-bench scan, runtime 3x its CPU). One
+  * buffer per (thread, dim) makes the hot path allocation-free; a
+  * dimension change just reallocates (no worse than before). The buffer
+  * is only valid until the next decode on the same thread — kernels
+  * consume it transiently and never retain it. */
+private[index] final class VecScratch {
+  private var buf: Array[Float] = null
+  def decode(a: ArrayData): Array[Float] = {
+    val n = a.numElements()
+    if (buf == null || buf.length != n) buf = new Array[Float](n)
+    val b = buf
+    var i = 0
+    while (i < n) { b(i) = a.getFloat(i); i += 1 }
+    b
+  }
+}
+
+private[index] object VecScratch {
+  private val tl = ThreadLocal.withInitial[VecScratch](() => new VecScratch)
+  def local(): VecScratch = tl.get()
+}
+
 /** Flat-vector scorer: payload is the row's ARRAY<FLOAT> vector, decoded
   * once and scored against each probing query with the metric kernel.
   * `excludeSelf` skips qid == id pairs — the self-join reformulation
@@ -294,7 +320,7 @@ object FlatListScorer {
     if (listId >= 0 && listId < pi.listPos.length) {
       val pos = pi.listPos(listId)
       if (pos != null) {
-        val v = payload.toFloatArray()
+        val v = VecScratch.local().decode(payload)
         var j = 0
         while (j < pos.length) {
           val p = pos(j)
